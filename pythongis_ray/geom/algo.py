@@ -1,0 +1,269 @@
+"""Planar geometry predicates & measures, vectorized numpy.
+
+These implement the predicate semantics the reference gets from shapely
+(`intersects/within/contains/touches/disjoint/...` dispatched at
+/root/reference/pythongis/vector/manager.py:381-431 and the prepared
+`intersects` fast path at manager.py:401-414), without shapely.
+
+Robustness note: the point-in-polygon test uses the division-free
+crossing-number formulation (sign of the edge cross product, never an
+intersection x computed by division). For coordinates on a dyadic
+lattice (multiples of 2^-11 degrees — all engine test fixtures, see
+fixtures.py) every comparison is exact in float64, so results are
+bit-reproducible and match a closed-form SQL oracle exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- points
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Crossing-number test of many points against one closed ring.
+
+    Returns a boolean interior mask (points exactly on the boundary are
+    NOT classified here — use :func:`points_on_ring`). Division-free:
+    for edge (a→b) straddling the horizontal ray of p, the ray crosses
+    iff sign((py-ay)*(bx-ax) - (px-ax)*(by-ay)) == sign(by-ay).
+    """
+    px = np.asarray(px, np.float64)[:, None]
+    py = np.asarray(py, np.float64)[:, None]
+    ax, ay = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    bx, by = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    straddle = (ay > py) != (by > py)
+    t = (py - ay) * (bx - ax) - (px - ax) * (by - ay)
+    cross = straddle & ((t > 0) == (by > ay))
+    return (cross.sum(axis=1) & 1).astype(bool)
+
+
+def points_on_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray,
+                   include_vertices: bool = True) -> np.ndarray:
+    """True where a point lies exactly on a ring segment (collinear and
+    within the segment's bbox)."""
+    px = np.asarray(px, np.float64)[:, None]
+    py = np.asarray(py, np.float64)[:, None]
+    ax, ay = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    bx, by = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    cross = (px - ax) * (by - ay) - (py - ay) * (bx - ax)
+    inx = (px >= np.minimum(ax, bx)) & (px <= np.maximum(ax, bx))
+    iny = (py >= np.minimum(ay, by)) & (py <= np.maximum(ay, by))
+    return ((cross == 0) & inx & iny).any(axis=1)
+
+
+def points_in_rings(px, py, rings) -> np.ndarray:
+    """Even-odd interior over a ring list (exterior + holes)."""
+    inside = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        inside ^= points_in_ring(px, py, ring)
+    return inside
+
+
+class PreparedPolygon:
+    """One polygon parsed once and reused across many point batches.
+
+    This is the engine's analog of the reference caching a prepared
+    shapely geometry per right-side feature before the join loop
+    (/root/reference/pythongis/vector/manager.py:383-386,401-406): here
+    the preparation happens once per refine *actor* (map_batches actor
+    pool), not per driver call.
+    """
+
+    __slots__ = ("rings", "bbox", "exterior_parts")
+
+    def __init__(self, rings: list[np.ndarray], ring_part=None):
+        self.rings = [np.asarray(r, np.float64) for r in rings]
+        pts = np.vstack(self.rings)
+        self.bbox = (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
+        self.exterior_parts = ring_part
+
+    def contains_points(self, px, py):
+        """Strict interior (boundary excluded)."""
+        xmin, ymin, xmax, ymax = self.bbox
+        cand = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+        out = np.zeros(len(px), dtype=bool)
+        if cand.any():
+            idx = np.flatnonzero(cand)
+            inside = points_in_rings(px[idx], py[idx], self.rings)
+            onb = points_on_boundary_rings(px[idx], py[idx], self.rings)
+            out[idx] = inside & ~onb
+        return out
+
+    def covers_points(self, px, py):
+        """Interior OR boundary (shapely 'covers' / point 'intersects')."""
+        xmin, ymin, xmax, ymax = self.bbox
+        cand = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+        out = np.zeros(len(px), dtype=bool)
+        if cand.any():
+            idx = np.flatnonzero(cand)
+            out[idx] = (points_in_rings(px[idx], py[idx], self.rings)
+                        | points_on_boundary_rings(px[idx], py[idx], self.rings))
+        return out
+
+    def touches_points(self, px, py):
+        """Exactly on the boundary."""
+        xmin, ymin, xmax, ymax = self.bbox
+        cand = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+        out = np.zeros(len(px), dtype=bool)
+        if cand.any():
+            idx = np.flatnonzero(cand)
+            out[idx] = points_on_boundary_rings(px[idx], py[idx], self.rings)
+        return out
+
+    def distance_points(self, px, py):
+        """Planar distance from each point to the polygon (0 if covered)."""
+        d = np.full(len(px), np.inf)
+        for ring in self.rings:
+            d = np.minimum(d, points_to_ring_distance(px, py, ring))
+        cov = self.covers_points(np.asarray(px, np.float64), np.asarray(py, np.float64))
+        d[cov] = 0.0
+        return d
+
+
+def points_on_boundary_rings(px, py, rings):
+    on = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        on |= points_on_ring(px, py, ring)
+    return on
+
+
+# ------------------------------------------------------------- distances
+
+def points_to_segments_sq(px, py, ax, ay, bx, by):
+    """Squared distance from each point i to each segment j → (n, m)."""
+    px = np.asarray(px, np.float64)[:, None]
+    py = np.asarray(py, np.float64)[:, None]
+    dx, dy = (bx - ax)[None, :], (by - ay)[None, :]
+    apx, apy = px - ax[None, :], py - ay[None, :]
+    seg_len_sq = dx * dx + dy * dy
+    t = np.where(seg_len_sq > 0, (apx * dx + apy * dy) / np.where(seg_len_sq == 0, 1, seg_len_sq), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = apx - t * dx, apy - t * dy
+    return cx * cx + cy * cy
+
+
+def points_to_ring_distance(px, py, ring):
+    d2 = points_to_segments_sq(px, py, ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1])
+    return np.sqrt(d2.min(axis=1))
+
+
+# -------------------------------------------------------- segment algebra
+
+def segments_intersect(a0x, a0y, a1x, a1y, b0x, b0y, b1x, b1y):
+    """Vectorized proper-or-touching segment intersection (broadcast
+    (n,1) vs (1,m) shaped inputs)."""
+    d1 = (a1x - a0x) * (b0y - a0y) - (a1y - a0y) * (b0x - a0x)
+    d2 = (a1x - a0x) * (b1y - a0y) - (a1y - a0y) * (b1x - a0x)
+    d3 = (b1x - b0x) * (a0y - b0y) - (b1y - b0y) * (a0x - b0x)
+    d4 = (b1x - b0x) * (a1y - b0y) - (b1y - b0y) * (a1x - b0x)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    # collinear / endpoint touches
+    def on(d, sx, sy, ex, ey, qx, qy):
+        return (d == 0) & (qx >= np.minimum(sx, ex)) & (qx <= np.maximum(sx, ex)) \
+            & (qy >= np.minimum(sy, ey)) & (qy <= np.maximum(sy, ey))
+    touch = (on(d1, a0x, a0y, a1x, a1y, b0x, b0y) | on(d2, a0x, a0y, a1x, a1y, b1x, b1y)
+             | on(d3, b0x, b0y, b1x, b1y, a0x, a0y) | on(d4, b0x, b0y, b1x, b1y, a1x, a1y))
+    return proper | touch
+
+
+def polygons_intersect(pa: PreparedPolygon, pb: PreparedPolygon) -> bool:
+    """Area-intersects test for two polygons (interiors or boundaries
+    share a point). Matches shapely `intersects` for valid polygons."""
+    ax0, ay0, ax1, ay1 = pa.bbox
+    bx0, by0, bx1, by1 = pb.bbox
+    if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
+        return False
+    ar, br = pa.rings[0], pb.rings[0]
+    if pb.covers_points(ar[:-1, 0], ar[:-1, 1]).any():
+        return True
+    if pa.covers_points(br[:-1, 0], br[:-1, 1]).any():
+        return True
+    for ra in pa.rings:
+        for rb in pb.rings:
+            hit = segments_intersect(
+                ra[:-1, 0][:, None], ra[:-1, 1][:, None], ra[1:, 0][:, None], ra[1:, 1][:, None],
+                rb[:-1, 0][None, :], rb[:-1, 1][None, :], rb[1:, 0][None, :], rb[1:, 1][None, :])
+            if hit.any():
+                return True
+    return False
+
+
+# -------------------------------------------------------------- measures
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (CCW positive)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def polygon_area(rings) -> float:
+    """Planar area, holes subtracted (reference `area` semantics,
+    /root/reference/pythongis/vector/data.py:319-321 via shapely)."""
+    return abs(ring_area(rings[0])) - sum(abs(ring_area(r)) for r in rings[1:])
+
+
+def line_length(coords: np.ndarray) -> float:
+    d = np.diff(coords, axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+def polygon_centroid(rings) -> tuple[float, float]:
+    """Area-weighted centroid (holes subtract), matching shapely
+    centroid for valid polygons (reference to_points 'centroid',
+    /root/reference/pythongis/vector/converter.py:115-128)."""
+    cx = cy = area = 0.0
+    for i, ring in enumerate(rings):
+        x, y = ring[:-1, 0], ring[:-1, 1]
+        xn, yn = ring[1:, 0], ring[1:, 1]
+        cr = x * yn - xn * y
+        a = 0.5 * cr.sum()
+        if a == 0:
+            continue
+        sign = 1.0 if i == 0 else -1.0
+        gx = ((x + xn) * cr).sum() / (6.0 * a)
+        gy = ((y + yn) * cr).sum() / (6.0 * a)
+        cx += sign * abs(a) * gx
+        cy += sign * abs(a) * gy
+        area += sign * abs(a)
+    if area == 0:
+        pts = np.vstack(rings)
+        return float(pts[:, 0].mean()), float(pts[:, 1].mean())
+    return cx / area, cy / area
+
+
+# ------------------------------------------------------------------ clip
+
+def clip_polygon_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None:
+    """Sutherland–Hodgman: clip a subject ring by a CONVEX clip ring
+    (CCW). Returns the clipped closed ring or None if empty. Used for
+    the spatial join ``clip='intersection'`` overlay rewrite
+    (/root/reference/pythongis/vector/manager.py:208-266) when the clip
+    side is convex (all engine zone fixtures are)."""
+    poly = subject[:-1] if np.array_equal(subject[0], subject[-1]) else subject
+    cr = clip_ring[:-1] if np.array_equal(clip_ring[0], clip_ring[-1]) else clip_ring
+    if ring_area(np.vstack([cr, cr[:1]])) < 0:
+        cr = cr[::-1]
+    out = [tuple(p) for p in poly]
+    for i in range(len(cr)):
+        ax, ay = cr[i]
+        bx, by = cr[(i + 1) % len(cr)]
+        inp, out = out, []
+        if not inp:
+            return None
+        for j in range(len(inp)):
+            cx, cy = inp[j]
+            dx, dy = inp[(j + 1) % len(inp)]
+            c_in = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) >= 0
+            d_in = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax) >= 0
+            if c_in:
+                out.append((cx, cy))
+            if c_in != d_in:
+                denom = (bx - ax) * (dy - cy) - (by - ay) * (dx - cx)
+                if denom != 0:
+                    t = ((bx - ax) * (ay - cy) - (by - ay) * (ax - cx)) / denom
+                    out.append((cx + t * (dx - cx), cy + t * (dy - cy)))
+    if len(out) < 3:
+        return None
+    arr = np.asarray(out, np.float64)
+    return np.vstack([arr, arr[:1]])

@@ -1,0 +1,183 @@
+import numpy as np
+import pytest
+
+from pythongis_ray.geom import algo, geodesy, wkb
+
+
+def rect_ring(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64)
+
+
+class TestWKB:
+    def test_point_roundtrip(self):
+        b = wkb.encode_point(12.5, -7.25)
+        g = wkb.decode(b)
+        assert g["type"] == "Point"
+        assert g["rings"][0].tolist() == [[12.5, -7.25]]
+
+    def test_points_vectorized_roundtrip(self):
+        lon = np.array([0.0, -179.5, 179.5, 12.125])
+        lat = np.array([0.0, -89.5, 89.5, -45.0625])
+        col = wkb.encode_points(lon, lat)
+        lo, la = wkb.decode_points(list(col))
+        assert (lo == lon).all() and (la == lat).all()
+
+    def test_points_vectorized_arrow_fastpath(self):
+        import pyarrow as pa
+
+        lon = np.linspace(-170, 170, 100)
+        lat = np.linspace(-80, 80, 100)
+        col = pa.array(list(wkb.encode_points(lon, lat)), type=pa.binary())
+        lo, la = wkb.decode_points(col)
+        assert (lo == lon).all() and (la == lat).all()
+
+    def test_polygon_roundtrip_with_hole(self):
+        outer = rect_ring(0, 0, 10, 10)
+        hole = rect_ring(4, 4, 6, 6)
+        b = wkb.encode_polygon([outer, hole])
+        g = wkb.decode(b)
+        assert g["type"] == "Polygon"
+        assert len(g["rings"]) == 2
+        assert np.array_equal(g["rings"][0], outer)
+
+    def test_multipolygon(self):
+        b = wkb.encode_multi("MultiPolygon", [[rect_ring(0, 0, 1, 1)], [rect_ring(5, 5, 6, 6)]])
+        g = wkb.decode(b)
+        assert g["type"] == "MultiPolygon"
+        assert len(g["rings"]) == 2
+        assert g["ring_part"] == [0, 1]
+
+    def test_bbox(self):
+        b = wkb.encode_polygon([rect_ring(-3, 2, 7, 9)])
+        assert wkb.bbox(b) == (-3, 2, 7, 9)
+
+
+class TestPIP:
+    def test_rect_interior_boundary_exterior(self):
+        ring = rect_ring(0, 0, 10, 10)
+        px = np.array([5.0, 0.0, 5.0, -1.0, 10.0, 15.0])
+        py = np.array([5.0, 5.0, 0.0, 5.0, 10.0, 5.0])
+        inside = algo.points_in_ring(px, py, ring)
+        onb = algo.points_on_ring(px, py, ring)
+        # interior
+        assert inside[0] and not onb[0]
+        # boundary points are on-ring
+        assert onb[1] and onb[2] and onb[4]
+        # exterior
+        assert not inside[3] and not onb[3]
+        assert not inside[5] and not onb[5]
+
+    def test_hole(self):
+        poly = algo.PreparedPolygon([rect_ring(0, 0, 10, 10), rect_ring(4, 4, 6, 6)])
+        px = np.array([5.0, 2.0])
+        py = np.array([5.0, 2.0])
+        cov = poly.covers_points(px, py)
+        assert not cov[0] and cov[1]  # hole center excluded
+
+    def test_diamond_matches_halfplane_formula(self):
+        # dyadic-lattice exactness: ray-cast PIP of a diamond must agree
+        # with the closed-form b|dx|+a|dy| < ab test on every lattice point
+        cx, cy, a, b = 0.0, 0.0, 15000.5 / 1024, 10000.5 / 1024
+        ring = np.array([[cx + a, cy], [cx, cy + b], [cx - a, cy], [cx, cy - b], [cx + a, cy]])
+        poly = algo.PreparedPolygon([ring])
+        rng = np.random.default_rng(7)
+        ix = rng.integers(-20000, 20000, 5000)
+        iy = rng.integers(-15000, 15000, 5000)
+        px = ix / 1024.0
+        py = iy / 1024.0
+        expect = (b * np.abs(px - cx) + a * np.abs(py - cy)) < a * b
+        got = poly.covers_points(px, py)
+        assert (got == expect).all()
+
+    def test_vertex_ray_crossing(self):
+        # horizontal ray passing exactly through a vertex must not double count
+        ring = np.array([[0, 0], [2, 2], [4, 0], [2, -2], [0, 0]], dtype=np.float64)
+        px = np.array([2.0, -1.0, 5.0])
+        py = np.array([0.0, 0.0, 0.0])  # same y as left/right vertices
+        inside = algo.points_in_ring(px, py, ring)
+        assert inside[0] and not inside[1] and not inside[2]
+
+
+class TestMeasures:
+    def test_area_with_hole(self):
+        assert algo.polygon_area([rect_ring(0, 0, 10, 10), rect_ring(4, 4, 6, 6)]) == 96.0
+
+    def test_length(self):
+        assert algo.line_length(np.array([[0.0, 0.0], [3.0, 4.0], [3.0, 8.0]])) == 9.0
+
+    def test_centroid_rect(self):
+        cx, cy = algo.polygon_centroid([rect_ring(2, 2, 6, 10)])
+        assert (cx, cy) == (4.0, 6.0)
+
+    def test_distance_to_polygon(self):
+        poly = algo.PreparedPolygon([rect_ring(0, 0, 10, 10)])
+        d = poly.distance_points(np.array([5.0, 13.0, 13.0]), np.array([5.0, 5.0, 14.0]))
+        assert d[0] == 0.0
+        assert d[1] == 3.0
+        assert d[2] == 5.0
+
+
+class TestPolyPoly:
+    def test_overlap_and_disjoint(self):
+        a = algo.PreparedPolygon([rect_ring(0, 0, 10, 10)])
+        b = algo.PreparedPolygon([rect_ring(5, 5, 15, 15)])
+        c = algo.PreparedPolygon([rect_ring(20, 20, 30, 30)])
+        assert algo.polygons_intersect(a, b)
+        assert not algo.polygons_intersect(a, c)
+
+    def test_touch_only(self):
+        a = algo.PreparedPolygon([rect_ring(0, 0, 10, 10)])
+        b = algo.PreparedPolygon([rect_ring(10, 0, 20, 10)])
+        assert algo.polygons_intersect(a, b)  # shares an edge → intersects
+
+    def test_containment_no_edge_crossing(self):
+        a = algo.PreparedPolygon([rect_ring(0, 0, 10, 10)])
+        b = algo.PreparedPolygon([rect_ring(4, 4, 6, 6)])
+        assert algo.polygons_intersect(a, b)
+        assert algo.polygons_intersect(b, a)
+
+
+class TestClip:
+    def test_rect_clip(self):
+        subj = rect_ring(0, 0, 10, 10)
+        clip = rect_ring(5, 5, 15, 15)
+        out = algo.clip_polygon_convex(subj, clip)
+        assert out is not None
+        assert algo.polygon_area([out]) == 25.0
+
+    def test_clip_empty(self):
+        assert algo.clip_polygon_convex(rect_ring(0, 0, 1, 1), rect_ring(5, 5, 6, 6)) is None
+
+
+class TestGeodesy:
+    def test_vincenty_known_distance(self):
+        # 1 degree along the equator: canonical WGS84 geodesic 111,319.491 m
+        d = geodesy.vincenty_inverse_m(np.array([0.0]), np.array([0.0]),
+                                       np.array([1.0]), np.array([0.0]))
+        assert abs(d[0] - 111319.491) < 0.01
+        # 1 degree along a meridian from the equator: 110,574.389 m
+        d = geodesy.vincenty_inverse_m(np.array([0.0]), np.array([0.0]),
+                                       np.array([0.0]), np.array([1.0]))
+        assert abs(d[0] - 110574.389) < 0.01
+
+    def test_vincenty_zero(self):
+        d = geodesy.vincenty_inverse_m(np.array([10.0]), np.array([10.0]),
+                                       np.array([10.0]), np.array([10.0]))
+        assert d[0] == 0.0
+
+    def test_direct_inverse_roundtrip(self):
+        lon2, lat2 = geodesy.vincenty_direct(np.array([10.0]), np.array([45.0]),
+                                             np.array([60.0]), np.array([100000.0]))
+        d = geodesy.vincenty_inverse_m(np.array([10.0]), np.array([45.0]), lon2, lat2)
+        assert abs(d[0] - 100000.0) < 0.01
+
+    def test_haversine_equator_degree(self):
+        d = geodesy.haversine_m(np.array([0.0]), np.array([0.0]), np.array([1.0]), np.array([0.0]))
+        assert abs(d[0] - 111195.0) < 10.0
+
+    def test_buffer_ring_radius(self):
+        ring = geodesy.geodetic_point_buffer(10.0, 50.0, 50000.0, n=16)
+        assert ring.shape == (17, 2)
+        d = geodesy.vincenty_inverse_m(np.full(16, 10.0), np.full(16, 50.0),
+                                       ring[:-1, 0], ring[:-1, 1])
+        assert np.allclose(d, 50000.0, atol=0.01)

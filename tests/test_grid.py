@@ -1,0 +1,67 @@
+import numpy as np
+
+from pythongis_ray import grid
+
+
+def test_pack_unpack_roundtrip():
+    ix = np.array([0, 5, 2047], dtype=np.int64)
+    iy = np.array([0, 7, 1023], dtype=np.int64)
+    c = grid.pack(10, ix, iy)
+    r, x, y = grid.unpack(c)
+    assert (r == 10).all() and (x == ix).all() and (y == iy).all()
+
+
+def test_point_to_cell_bounds_roundtrip():
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-180, 180, 1000)
+    lat = rng.uniform(-90, 90, 1000)
+    c = grid.point_to_cell(lon, lat, res=9)
+    xmin, ymin, xmax, ymax = grid.cell_bounds(c)
+    assert (lon >= xmin).all() and (lon < xmax).all()
+    assert (lat >= ymin).all() and (lat < ymax).all()
+
+
+def test_lon_wrap_lat_clamp():
+    c1 = grid.point_to_cell(np.array([180.0]), np.array([0.0]), res=5)
+    c2 = grid.point_to_cell(np.array([-180.0]), np.array([0.0]), res=5)
+    assert c1[0] == c2[0]
+    cp = grid.point_to_cell(np.array([0.0]), np.array([90.0]), res=5)
+    _, _, iy = grid.unpack(cp)
+    assert iy[0] == (1 << 5) - 1
+
+
+def test_parent_children():
+    c = grid.point_to_cell(np.array([10.0]), np.array([20.0]), res=8)
+    p = grid.parent(c)
+    kids = grid.children(int(p[0]))
+    assert int(c[0]) in set(int(k) for k in kids)
+    r, _, _ = grid.unpack(p)
+    assert r[0] == 7
+
+
+def test_k_ring_counts_and_membership():
+    c = grid.point_to_cell(np.array([0.0]), np.array([0.0]), res=6)
+    ring = grid.k_ring(c, 1)
+    assert ring.shape == (1, 9)
+    assert int(c[0]) in set(int(x) for x in ring[0])
+    assert len(set(int(x) for x in ring[0])) == 9  # interior cell: no clamping dups
+
+
+def test_bboxes_to_cells_cover():
+    # one bbox spanning 2x2 cells at res 5 (cell size 5.625 deg)
+    xmin = np.array([0.5])
+    ymin = np.array([0.5])
+    xmax = np.array([6.0])
+    ymax = np.array([6.0])
+    rows, cells = grid.bboxes_to_cells(xmin, ymin, xmax, ymax, res=5)
+    assert (rows == 0).all()
+    assert len(cells) == 4
+    # every corner's containing cell must be in the cover
+    for x, y in [(0.5, 0.5), (6.0, 0.5), (0.5, 6.0), (6.0, 6.0)]:
+        cc = grid.point_to_cell(np.array([x]), np.array([y]), res=5)
+        assert int(cc[0]) in set(int(c) for c in cells)
+
+
+def test_cover_scalar_coarsens():
+    cells = grid.bbox_to_cells(-170, -80, 170, 80, res=10, max_cells=64)
+    assert len(cells) <= 64
