@@ -1,0 +1,360 @@
+"""Attribute (non-spatial) operators: aggregation, joins, dedup, windows.
+
+Semantics source: the reference's ``sql.aggreg`` kernel
+(/root/reference/pythongis/vector/sql.py:20-137) — stats
+``count, sum, max, min, mean/avg, first, last, majority, minority,
+concat`` with missing values dropped — plus `VectorData.join`
+(/root/reference/pythongis/vector/data.py:1017-1114),
+`duplicates` (data.py:990-1015), `moving_window` (data.py:653-695),
+`manager.merge` (vector/manager.py:536-565) and `manager.split`
+(manager.py:501-534).
+
+Determinism notes (these define the oracle contract):
+* ``majority``/``minority`` tie-break to the SMALLEST value (the
+  reference's dict-order behavior is not reproducible distributed);
+* ``first``/``last``/``concat``/``moving_window`` require an explicit
+  order column — insertion order does not survive a shuffle
+  (SURVEY.md §7.5 "ordering-dependent ops");
+* ``mean`` is finalized as one division of exact partial sums so the
+  float result is independent of partitioning.
+
+Scale pattern: algebraic stats (count/sum/min/max/mean) pre-aggregate
+per batch inside ``map_batches`` (combiner), so the ``groupby`` shuffle
+moves one row per (key, batch) instead of every input row. Holistic
+stats (majority/minority/concat/first/last/median) go through
+``groupby().map_groups``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+ALGEBRAIC = {"count", "sum", "min", "max", "mean", "avg"}
+HOLISTIC = {"first", "last", "majority", "minority", "concat", "median"}
+
+
+@dataclass
+class Agg:
+    out: str
+    col: str | None
+    stat: str  # one of ALGEBRAIC | HOLISTIC (or 'concat:<delim>')
+
+
+def _normalize(specs) -> list[Agg]:
+    out = []
+    for s in specs:
+        if isinstance(s, Agg):
+            out.append(s)
+        else:
+            o, c, st = s
+            out.append(Agg(o, c, st))
+    return out
+
+
+def groupby_aggregate(ds, keys, specs, order_col: str | None = None):
+    """Grouped aggregation with the reference's stat vocabulary.
+
+    ``keys``: str or list[str]. ``specs``: iterable of (out, col, stat)
+    or :class:`Agg`. Missing values are dropped per-stat (reference
+    sql.py:103-118). Returns a Ray Dataset.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    specs = _normalize(specs)
+    if all(s.stat.split(":")[0] in ALGEBRAIC for s in specs):
+        return _aggregate_partial(ds, keys, specs)
+    return _aggregate_map_groups(ds, keys, specs, order_col)
+
+
+def _aggregate_partial(ds, keys: list[str], specs: list[Agg]):
+    """Combiner path: per-batch partials → tiny shuffle → final combine."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    need = []  # (partial_col, src_col, kind)
+    for s in specs:
+        st = "mean" if s.stat == "avg" else s.stat
+        if st == "count":
+            need.append((f"__cnt_{s.col or '*'}", s.col, "count"))
+        elif st == "sum":
+            need.append((f"__sum_{s.col}", s.col, "sum"))
+        elif st == "min":
+            need.append((f"__min_{s.col}", s.col, "min"))
+        elif st == "max":
+            need.append((f"__max_{s.col}", s.col, "max"))
+        elif st == "mean":
+            need.append((f"__sum_{s.col}", s.col, "sum"))
+            need.append((f"__cnt_{s.col}", s.col, "count"))
+    need = list(dict.fromkeys(need))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for pc, src, kind in need:
+            if kind == "count":
+                cols[pc] = g[src].count() if src else g.size()
+            elif kind == "sum":
+                cols[pc] = g[src].sum(min_count=1)
+            elif kind == "min":
+                cols[pc] = g[src].min()
+            elif kind == "max":
+                cols[pc] = g[src].max()
+        return pd.DataFrame(cols).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    aggs = []
+    for pc, src, kind in need:
+        if kind == "count" or kind == "sum":
+            aggs.append(Sum(pc, alias_name=pc))
+        elif kind == "min":
+            aggs.append(Min(pc, alias_name=pc))
+        elif kind == "max":
+            aggs.append(Max(pc, alias_name=pc))
+    final = partials.groupby(keys).aggregate(*aggs)
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[keys].copy()
+        for s in specs:
+            st = "mean" if s.stat == "avg" else s.stat
+            if st == "count":
+                out[s.out] = batch[f"__cnt_{s.col or '*'}"].astype(np.int64)
+            elif st == "sum":
+                out[s.out] = batch[f"__sum_{s.col}"]
+            elif st == "min":
+                out[s.out] = batch[f"__min_{s.col}"]
+            elif st == "max":
+                out[s.out] = batch[f"__max_{s.col}"]
+            elif st == "mean":
+                out[s.out] = batch[f"__sum_{s.col}"].to_numpy(np.float64) \
+                    / batch[f"__cnt_{s.col}"].to_numpy(np.float64)
+        return out
+
+    return final.map_batches(finalize, batch_format="pandas")
+
+
+def _aggregate_map_groups(ds, keys: list[str], specs: list[Agg], order_col):
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if order_col is not None:
+            g = g.sort_values(order_col, kind="stable")
+        row = {k: [g[k].iloc[0]] for k in keys}
+        for s in specs:
+            st = s.stat
+            delim = ","
+            if st.startswith("concat"):
+                parts = st.split(":", 1)
+                delim = parts[1] if len(parts) > 1 else ","
+                st = "concat"
+            vals = g[s.col].dropna() if s.col else g[keys[0]]
+            if st == "count":
+                row[s.out] = [len(vals)]
+            elif st == "sum":
+                row[s.out] = [vals.sum() if len(vals) else None]
+            elif st == "min":
+                row[s.out] = [vals.min() if len(vals) else None]
+            elif st == "max":
+                row[s.out] = [vals.max() if len(vals) else None]
+            elif st in ("mean", "avg"):
+                row[s.out] = [float(vals.sum()) / len(vals) if len(vals) else None]
+            elif st == "median":
+                row[s.out] = [vals.median() if len(vals) else None]
+            elif st == "first":
+                row[s.out] = [vals.iloc[0] if len(vals) else None]
+            elif st == "last":
+                row[s.out] = [vals.iloc[-1] if len(vals) else None]
+            elif st in ("majority", "minority"):
+                if not len(vals):
+                    row[s.out] = [None]
+                else:
+                    vc = vals.value_counts()
+                    # deterministic tie-break: smallest value
+                    best = None
+                    target = vc.max() if st == "majority" else vc.min()
+                    cand = sorted(v for v, c in vc.items() if c == target)
+                    row[s.out] = [cand[0]]
+            elif st == "concat":
+                row[s.out] = [delim.join(str(v) for v in vals)]
+            else:
+                raise ValueError(f"unknown stat {s.stat!r}")
+        return pd.DataFrame(row)
+
+    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+
+
+# ----------------------------------------------------------------- joins
+
+def hash_join(left_ds, right: pd.DataFrame, on, how: str = "inner",
+              rsuffix: str = "_r"):
+    """Broadcast hash join: small right side shipped once via ray.put,
+    pandas merge per batch. Duplicate right column names are DROPPED
+    (reference rule, /root/reference/pythongis/vector/data.py:1040-1043)
+    unless they are join keys."""
+    on = [on] if isinstance(on, str) else list(on)
+    ref = ray.put(right)
+
+    class _Join:
+        def __init__(self):
+            r = ray.get(ref)
+            self.right = r
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            r = self.right
+            drop = [c for c in r.columns if c in batch.columns and c not in on]
+            r = r.drop(columns=drop)
+            return batch.merge(r, on=on, how=how)
+
+    return left_ds.map_batches(_Join, batch_format="pandas", batch_size=65536,
+                               concurrency=_pool(), num_cpus=1)
+
+
+def join_large(left_ds, right_ds, on, num_buckets: int = 32, how: str = "inner"):
+    """Partitioned hash join for two large Datasets: both sides keyed by
+    hash(key) % B, co-located by one groupby, merged per bucket
+    (the portable large×large pattern; Ray's native ``Dataset.join`` is
+    used instead when available)."""
+    on = [on] if isinstance(on, str) else list(on)
+    if hasattr(left_ds, "join"):
+        try:
+            return left_ds.join(right_ds, join_type=how, on=tuple(on),
+                                num_partitions=num_buckets)
+        except Exception:
+            pass
+
+    def key_side(side: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(batch[on].astype("int64", errors="ignore"),
+                                           index=False).to_numpy()
+            batch = batch.copy()
+            batch["_bucket"] = (h % num_buckets).astype(np.int64)
+            batch["_side"] = np.int8(side)
+            return batch
+        return fn
+
+    l = left_ds.map_batches(key_side(0), batch_format="pandas")
+    r = right_ds.map_batches(key_side(1), batch_format="pandas")
+    lcols = [c for c in left_ds.schema().names]
+    rcols = [c for c in right_ds.schema().names]
+
+    def pad(missing):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            for m in missing:
+                batch[m] = None
+            return batch
+        return fn
+
+    onlyl = [c for c in lcols if c not in rcols]
+    onlyr = [c for c in rcols if c not in lcols]
+    if onlyr:
+        l = l.map_batches(pad(onlyr), batch_format="pandas")
+    if onlyl:
+        r = r.map_batches(pad(onlyl), batch_format="pandas")
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][lcols]
+        rg = g[g["_side"] == 1][rcols]
+        dup = [c for c in rcols if c in lcols and c not in on]
+        return lg.merge(rg.drop(columns=dup), on=on, how=how)
+
+    return l.union(r).groupby("_bucket").map_groups(bucket_join, batch_format="pandas")
+
+
+# ------------------------------------------------------------ dedup/window
+
+def dedup(ds, keys, order_col: str | None = None):
+    """Exact dedup: keep the first row per key (ordered by ``order_col``
+    if given, matching the reference's keep-first geometry dedup,
+    /root/reference/pythongis/vector/data.py:990-1015)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        if order_col is not None:
+            g = g.sort_values(order_col, kind="stable")
+        return g.head(1)
+
+    return ds.groupby(keys).map_groups(first, batch_format="pandas")
+
+
+def moving_window(ds, group_key, order_cols, value_col, n: int, stat: str = "mean",
+                  out_col: str | None = None):
+    """Per-row trailing window of n rows within each group, ordered by
+    ``order_cols`` (reference moving_window, data.py:653-695 — one of
+    the explicitly order-dependent operators)."""
+    out_col = out_col or f"{value_col}_{stat}{n}"
+    group_key = [group_key] if isinstance(group_key, str) else list(group_key)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable").reset_index(drop=True)
+        r = g[value_col].rolling(n, min_periods=1)
+        if stat == "mean":
+            # exact: integer rolling sum / count in one division
+            g[out_col] = r.sum() / r.count()
+        elif stat == "sum":
+            g[out_col] = r.sum()
+        elif stat == "min":
+            g[out_col] = r.min()
+        elif stat == "max":
+            g[out_col] = r.max()
+        else:
+            raise ValueError(stat)
+        return g
+
+    return ds.groupby(group_key).map_groups(per_group, batch_format="pandas")
+
+
+# ----------------------------------------------------------- merge/split
+
+def merge(*datasets):
+    """Union-all with schema harmonization: missing columns null-filled
+    (reference merge fills ``""`` — preserved only at legacy export,
+    /root/reference/pythongis/vector/manager.py:536-565)."""
+    all_cols: list[str] = []
+    for d in datasets:
+        for c in d.schema().names:
+            if c not in all_cols:
+                all_cols.append(c)
+
+    def pad(cols_present):
+        missing = [c for c in all_cols if c not in cols_present]
+
+        def fn(batch: pa.Table) -> pa.Table:
+            for m in missing:
+                batch = batch.append_column(m, pa.nulls(batch.num_rows))
+            return batch.select(all_cols)
+        return fn
+
+    out = None
+    for d in datasets:
+        dd = d.map_batches(pad(d.schema().names), batch_format="pyarrow")
+        out = dd if out is None else out.union(dd)
+    return out
+
+
+def split_by_class(ds, col: str, breaks: list[float], out_col: str = "class"):
+    """Equal/user-break classification column (classypie 'breaks' +
+    split, /root/reference/classypie/main.py:303-497): class i covers
+    (breaks[i], breaks[i+1]]; values ≤ breaks[0] get class 0."""
+    br = np.asarray(breaks, np.float64)
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(np.float64)
+        batch[out_col] = np.clip(np.searchsorted(br, v, side="left") - 1, 0, len(br) - 2).astype(np.int64)
+        return batch
+
+    return ds.map_batches(classify, batch_format="pandas")
+
+
+def equal_breaks(lo: float, hi: float, k: int) -> list[float]:
+    """classypie equal-interval breaks (/root/reference/classypie/
+    breaks.py:17-30)."""
+    step = (hi - lo) / k
+    return [lo + i * step for i in range(k + 1)]
+
+
+def _pool():
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    except Exception:
+        return 2

@@ -1,0 +1,578 @@
+"""Distributed spatial join / semi-join / kNN over the cell grid.
+
+Re-expresses the reference's flagship single-process spatial join
+(/root/reference/pythongis/vector/manager.py:160-489: per-left-feature
+R-tree candidate fetch + exact shapely predicate) as Ray-Data-native
+plans:
+
+* **broadcast path** (small polygon side, the common web-scale shape:
+  10^12 geocoded pages × 10^4..10^5 zones): the zone layer is parsed
+  once into a :class:`ZoneIndex`, put in the object store once
+  (``ray.put``), and every refine actor pulls it once in ``__init__``.
+  No shuffle at all — the pipeline stays a streaming ``map_batches``.
+
+* **shuffle path** (both sides large): phase 0 samples per-cell counts
+  to find hot cells; phase 1 explodes right-side polygon cell covers
+  (flat_map shape) and assigns left points their single cell, salting
+  hot cells by ``pk % salt`` with right-side replication; phase 2
+  ``groupby(bucket).map_groups`` runs the same vectorized refine per
+  co-located bucket. Because a left point has exactly one cell, each
+  (left, right) pair meets in exactly one bucket — no pair dedup pass
+  is needed for point-left joins (polygon-left joins dedup on
+  (left_id, right_id), see ``polygons`` notes).
+
+Predicate semantics (point left × polygon right), matching shapely's
+DE-9IM results as used by the reference dispatch at manager.py:381-431:
+  intersects = interior ∪ boundary        within/contains = interior
+  touches    = boundary only              disjoint = complement
+  dwithin    = planar distance ≤ radius (reference `distance`+radius,
+               manager.py:268-379)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from pythongis_ray import grid
+from pythongis_ray.geom import algo, wkb
+
+
+def _pool_size(concurrency=None) -> int:
+    """Default actor-pool size: most of the node's CPUs, leaving head-room
+    for the read/write stages so the pipeline doesn't serialize."""
+    if concurrency is not None:
+        return concurrency
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        ncpu = 4
+    return max(2, ncpu - 2)
+
+DEFAULT_INDEX_RES = 7  # zone index resolution (~1.4 deg cells)
+POINT_PREDICATES = ("intersects", "within", "contains", "covers", "touches",
+                    "disjoint", "dwithin")
+
+
+# ------------------------------------------------------------ zone index
+
+@dataclass
+class ZoneIndex:
+    """Broadcastable prepared-polygon index over the small join side.
+
+    Replaces the reference's per-dataset rtree/quadtree
+    (/root/reference/pythongis/vector/data.py:1189-1229) with an
+    immutable cell→zones map built ONCE on the driver, shipped through
+    the object store, and reused by every refine actor.
+    """
+
+    polys: list  # list[PreparedPolygon]
+    attrs: dict  # column -> numpy array aligned with polys
+    res: int
+    cell_to_zones: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_wkb(cls, geometry_wkbs, attrs: dict, res: int = DEFAULT_INDEX_RES):
+        polys = []
+        for b in geometry_wkbs:
+            g = wkb.decode(bytes(b))
+            polys.append(algo.PreparedPolygon(g["rings"], g.get("ring_part")))
+        idx = cls(polys=polys, attrs={k: np.asarray(v) for k, v in attrs.items()}, res=res)
+        c2z: dict[int, list[int]] = {}
+        for zi, p in enumerate(polys):
+            for c in grid.bbox_to_cells(*p.bbox, res=res):
+                c2z.setdefault(int(c), []).append(zi)
+        idx.cell_to_zones = c2z
+        return idx
+
+    @classmethod
+    def from_pandas(cls, df: pd.DataFrame, geometry_col: str = "geometry",
+                    res: int = DEFAULT_INDEX_RES):
+        attrs = {c: df[c].to_numpy() for c in df.columns if c != geometry_col}
+        return cls.from_wkb(df[geometry_col].tolist(), attrs, res=res)
+
+    def n_zones(self) -> int:
+        return len(self.polys)
+
+    def match_points(self, lon: np.ndarray, lat: np.ndarray, predicate: str,
+                     radius: float = 0.0):
+        """→ (point_idx, zone_idx) pair arrays for a batch of points.
+
+        Vectorized: points are cell-grouped once, then each candidate
+        zone tests all of its candidate points in one numpy call (the
+        engine equivalent of the reference's per-feature
+        quick_overlap + prepared predicate loop, manager.py:389-414).
+        """
+        cells = grid.point_to_cell(lon, lat, self.res)
+        order = np.argsort(cells, kind="stable")
+        scells = cells[order]
+        bounds = np.flatnonzero(np.r_[True, scells[1:] != scells[:-1], True])
+        zone_pts: dict[int, list[np.ndarray]] = {}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            zs = self.cell_to_zones.get(int(scells[s]))
+            if not zs:
+                continue
+            seg = order[s:e]
+            for zi in zs:
+                zone_pts.setdefault(zi, []).append(seg)
+        out_p, out_z = [], []
+        for zi, segs in zone_pts.items():
+            pts = np.concatenate(segs)
+            poly = self.polys[zi]
+            if predicate in ("intersects", "covers"):
+                m = poly.covers_points(lon[pts], lat[pts])
+            elif predicate in ("within", "contains"):
+                m = poly.contains_points(lon[pts], lat[pts])
+            elif predicate == "touches":
+                m = poly.touches_points(lon[pts], lat[pts])
+            elif predicate == "dwithin":
+                m = poly.distance_points(lon[pts], lat[pts]) <= radius
+            else:
+                raise ValueError(f"unsupported point predicate {predicate!r}")
+            hit = pts[m]
+            if len(hit):
+                out_p.append(hit)
+                out_z.append(np.full(len(hit), zi, dtype=np.int64))
+        if not out_p:
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        return np.concatenate(out_p), np.concatenate(out_z)
+
+
+# ------------------------------------------------- broadcast join stage
+
+def _emit_joined(batch: pa.Table, pidx: np.ndarray, zidx: np.ndarray,
+                 index: ZoneIndex, how: str, rsuffix: str = "") -> pa.Table:
+    """Build the joined Arrow table from pair indices.
+
+    Duplicate right-side field names are dropped, matching the
+    reference join column rule (/root/reference/pythongis/vector/
+    data.py:1040-1043, manager.py:203-206)."""
+    if how in ("left", "outer"):
+        matched = np.zeros(batch.num_rows, dtype=bool)
+        matched[pidx] = True
+        un = np.flatnonzero(~matched)
+        take = np.concatenate([pidx, un])
+        out = batch.take(pa.array(take))
+        for name, arr in index.attrs.items():
+            if name in batch.column_names:
+                name = name + rsuffix
+                if not rsuffix:
+                    continue
+            vals = pa.array(arr)
+            col = pa.concat_arrays([
+                vals.take(pa.array(zidx)),
+                pa.nulls(len(un), vals.type),
+            ])
+            out = out.append_column(name, col)
+        return out
+    out = batch.take(pa.array(pidx))
+    for name, arr in index.attrs.items():
+        if name in batch.column_names:
+            name = name + rsuffix
+            if not rsuffix:
+                continue
+        out = out.append_column(name, pa.array(arr[zidx]))
+    return out
+
+
+class BroadcastSpatialJoiner:
+    """Actor-pool stage: spatial join a point batch against a broadcast
+    :class:`ZoneIndex`. Index deserialized ONCE per actor in __init__
+    (setup-per-actor rule), batches refined in __call__."""
+
+    def __init__(self, index_ref, predicate: str = "intersects", how: str = "inner",
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 geometry_col: str | None = None, radius: float = 0.0,
+                 rsuffix: str = ""):
+        self.index: ZoneIndex = ray.get(index_ref) if isinstance(
+            index_ref, ray.ObjectRef) else index_ref
+        self.predicate = predicate
+        self.how = how
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.geometry_col = geometry_col
+        self.radius = radius
+        self.rsuffix = rsuffix
+
+    def _lonlat(self, batch: pa.Table):
+        if self.geometry_col is not None:
+            return wkb.decode_points(batch[self.geometry_col])
+        return (batch[self.lon_col].to_numpy(zero_copy_only=False),
+                batch[self.lat_col].to_numpy(zero_copy_only=False))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon, lat = self._lonlat(batch)
+        pred = "intersects" if self.predicate == "disjoint" else self.predicate
+        pidx, zidx = self.index.match_points(lon, lat, pred, self.radius)
+        if self.predicate == "disjoint":
+            # anti-join: keep left rows with NO matching zone
+            # (reference disjoint branch, manager.py:433-486)
+            matched = np.zeros(batch.num_rows, dtype=bool)
+            matched[pidx] = True
+            return batch.take(pa.array(np.flatnonzero(~matched)))
+        return _emit_joined(batch, pidx, zidx, self.index, self.how, self.rsuffix)
+
+
+def spatial_join(points_ds, zones: pd.DataFrame | ZoneIndex, predicate: str = "intersects",
+                 how: str = "inner", lon_col: str = "lon", lat_col: str = "lat",
+                 geometry_col: str | None = None, radius: float = 0.0,
+                 rsuffix: str = "", batch_size: int = 65536, concurrency=None):
+    """Broadcast spatial join: Dataset of points × small polygon layer.
+
+    The 100 TB shape: zones go through ``ray.put`` once; the Dataset
+    streams through a ``map_batches`` actor pool — no all-to-all
+    shuffle, no driver materialization."""
+    index = zones if isinstance(zones, ZoneIndex) else ZoneIndex.from_pandas(zones)
+    ref = ray.put(index)
+    return points_ds.map_batches(
+        BroadcastSpatialJoiner,
+        fn_constructor_kwargs=dict(index_ref=ref, predicate=predicate, how=how,
+                                   lon_col=lon_col, lat_col=lat_col,
+                                   geometry_col=geometry_col, radius=radius,
+                                   rsuffix=rsuffix),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=_pool_size(concurrency), num_cpus=1)
+
+
+def spatial_where(points_ds, zones, predicate: str = "intersects", **kw):
+    """Spatial semi-join: keep left rows matching ≥1 zone, attaching no
+    zone columns (reference `where`, manager.py:81-158)."""
+    index = zones if isinstance(zones, ZoneIndex) else ZoneIndex.from_pandas(zones)
+    ref = ray.put(index)
+
+    class _Semi(BroadcastSpatialJoiner):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lon, lat = self._lonlat(batch)
+            pidx, _ = self.index.match_points(lon, lat, self.predicate, self.radius)
+            keep = np.zeros(batch.num_rows, dtype=bool)
+            keep[pidx] = True
+            return batch.take(pa.array(np.flatnonzero(keep)))
+
+    return points_ds.map_batches(
+        _Semi, fn_constructor_kwargs=dict(index_ref=ref, predicate=predicate, **kw),
+        batch_format="pyarrow", batch_size=65536, num_cpus=1,
+        concurrency=_pool_size())
+
+
+# ------------------------------------------------ partial-agg spatial stats
+
+class _ZonalPartial:
+    """Fused join+aggregate stage: per batch, join points to zones and
+    emit ONE partial-aggregate row per (zone, batch) — the combiner
+    that keeps the shuffle tiny (SURVEY.md §4 'pre-aggregate partial').
+
+    Replaces the reference's per-group-feature aggregation loop in
+    spatial_stats (/root/reference/pythongis/vector/analyzer.py:16-152)."""
+
+    def __init__(self, index_ref, value_col: str, predicate: str,
+                 lon_col: str, lat_col: str):
+        self.index = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        self.value_col = value_col
+        self.predicate = predicate
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        pidx, zidx = self.index.match_points(lon, lat, self.predicate)
+        if len(pidx) == 0:
+            return pd.DataFrame({"zone_idx": np.empty(0, np.int64),
+                                 "psum": np.empty(0, np.int64),
+                                 "pcnt": np.empty(0, np.int64),
+                                 "pmin": np.empty(0, np.int64),
+                                 "pmax": np.empty(0, np.int64)})
+        vals = batch[self.value_col].to_numpy(zero_copy_only=False)[pidx]
+        nz = self.index.n_zones()
+        psum = np.bincount(zidx, weights=vals, minlength=nz)
+        pcnt = np.bincount(zidx, minlength=nz)
+        pmin = np.full(nz, np.iinfo(np.int64).max, dtype=np.float64)
+        pmax = np.full(nz, np.iinfo(np.int64).min, dtype=np.float64)
+        np.minimum.at(pmin, zidx, vals)
+        np.maximum.at(pmax, zidx, vals)
+        nzmask = pcnt > 0
+        return pd.DataFrame({
+            "zone_idx": np.flatnonzero(nzmask).astype(np.int64),
+            "psum": psum[nzmask].astype(np.int64),
+            "pcnt": pcnt[nzmask].astype(np.int64),
+            "pmin": pmin[nzmask].astype(np.int64),
+            "pmax": pmax[nzmask].astype(np.int64),
+        })
+
+
+def spatial_agg(points_ds, zones: pd.DataFrame, value_col: str,
+                predicate: str = "intersects", lon_col: str = "lon",
+                lat_col: str = "lat", zone_id_col: str = "zone_id"):
+    """Per-zone sum/count/min/max/mean of an integer value column over
+    joined points. Partial per-batch combine → small groupby final.
+    Mean is computed as one division of exact integer sum/count so the
+    result is bit-reproducible (and DuckDB-matchable)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    index = ZoneIndex.from_pandas(zones)
+    ref = ray.put(index)
+    partials = points_ds.map_batches(
+        _ZonalPartial,
+        fn_constructor_kwargs=dict(index_ref=ref, value_col=value_col,
+                                   predicate=predicate, lon_col=lon_col,
+                                   lat_col=lat_col),
+        batch_format="pyarrow", batch_size=65536, num_cpus=1,
+        concurrency=_pool_size())
+    agg = partials.groupby("zone_idx").aggregate(
+        Sum("psum", alias_name="sum_val"),
+        Sum("pcnt", alias_name="cnt"),
+        Min("pmin", alias_name="min_val"),
+        Max("pmax", alias_name="max_val"),
+    )
+    out = agg.to_pandas()
+    zid = zones[zone_id_col].to_numpy()
+    out.insert(0, zone_id_col, zid[out["zone_idx"].to_numpy()])
+    out = out.drop(columns=["zone_idx"])
+    out["mean_val"] = out["sum_val"].astype(np.float64) / out["cnt"].to_numpy()
+    return out.sort_values(zone_id_col).reset_index(drop=True)
+
+
+# ------------------------------------------------------------- kNN join
+
+class KnnJoiner:
+    """Actor-pool k-nearest-neighbour join: each left point gets its k
+    nearest right points (planar squared-euclidean in degrees, exact on
+    the dyadic lattice; ties broken by right id ascending — the
+    deterministic analog of the reference's distance sort at
+    /root/reference/pythongis/vector/manager.py:293-296,324-355).
+
+    Right side is broadcast (coordinates + id arrays); distance is
+    computed blockwise (points × right-chunk) with a running top-k so
+    memory stays bounded for large right sides.
+    """
+
+    def __init__(self, right_ref, k: int = 1, lon_col: str = "lon",
+                 lat_col: str = "lat", right_chunk: int = 8192,
+                 out_prefix: str = "nn_"):
+        right = ray.get(right_ref) if isinstance(right_ref, ray.ObjectRef) else right_ref
+        self.rlon = np.asarray(right["lon"], np.float64)
+        self.rlat = np.asarray(right["lat"], np.float64)
+        self.rid = np.asarray(right["id"], np.int64)
+        order = np.argsort(self.rid, kind="stable")  # tie-break by id
+        self.rlon, self.rlat, self.rid = self.rlon[order], self.rlat[order], self.rid[order]
+        self.rattrs = {k2: np.asarray(v)[order] for k2, v in right.items()
+                       if k2 not in ("lon", "lat", "id")}
+        self.k = k
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.right_chunk = right_chunk
+        self.out_prefix = out_prefix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        n, k = len(lon), self.k
+        best_d = np.full((n, k), np.inf)
+        best_j = np.full((n, k), -1, dtype=np.int64)
+        for s in range(0, len(self.rlon), self.right_chunk):
+            e = min(s + self.right_chunk, len(self.rlon))
+            dx = lon[:, None] - self.rlon[None, s:e]
+            dy = lat[:, None] - self.rlat[None, s:e]
+            d2 = dx * dx + dy * dy
+            cand_d = np.concatenate([best_d, d2], axis=1)
+            cand_j = np.concatenate(
+                [best_j, np.broadcast_to(np.arange(s, e), (n, e - s))], axis=1)
+            # stable selection: order by (distance, right position) — right
+            # positions are id-sorted so ties resolve to the smallest id
+            sel = np.argsort(cand_d, axis=1, kind="stable")[:, :k]
+            best_d = np.take_along_axis(cand_d, sel, axis=1)
+            best_j = np.take_along_axis(cand_j, sel, axis=1)
+        rank = np.tile(np.arange(1, k + 1, dtype=np.int64), n)
+        flat_j = best_j.ravel()
+        valid = flat_j >= 0
+        left_take = np.repeat(np.arange(n, dtype=np.int64), k)[valid]
+        out = batch.take(pa.array(left_take))
+        out = out.append_column(self.out_prefix + "rank", pa.array(rank[valid]))
+        out = out.append_column(self.out_prefix + "id", pa.array(self.rid[flat_j[valid]]))
+        out = out.append_column(self.out_prefix + "dist_sq",
+                                pa.array(best_d.ravel()[valid]))
+        for name, arr in self.rattrs.items():
+            out = out.append_column(self.out_prefix + name, pa.array(arr[flat_j[valid]]))
+        return out
+
+
+def knn_join(points_ds, right: pd.DataFrame, k: int = 1, id_col: str = "id",
+             lon_col: str = "lon", lat_col: str = "lat", out_prefix: str = "nn_",
+             batch_size: int = 4096, concurrency=None):
+    """kNN join of a point Dataset against a broadcast right point set.
+    (reference nearest/`closest_point`: /root/reference/pythongis/
+    vector/analyzer.py:289-310 and data.py:1261-1314)."""
+    payload = {c: right[c].to_numpy() for c in right.columns}
+    payload["id"] = right[id_col].to_numpy()
+    if id_col != "id":
+        payload.pop(id_col, None)
+    ref = ray.put(payload)
+    return points_ds.map_batches(
+        KnnJoiner,
+        fn_constructor_kwargs=dict(right_ref=ref, k=k, lon_col=lon_col,
+                                   lat_col=lat_col, out_prefix=out_prefix),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=_pool_size(concurrency), num_cpus=1)
+
+
+# ------------------------------------------------------- shuffle join path
+
+SALT_BITS = 6
+MAX_SALT = 1 << SALT_BITS  # up to 64-way split of one hot cell
+
+
+def _cell_counts(points_ds, lon_col: str, lat_col: str, res: int) -> pd.DataFrame:
+    """Phase 0: per-cell partial counts (combined per batch before the
+    tiny groupby) — the skew probe that drives salting."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        cells = grid.point_to_cell(lon, lat, res)
+        u, c = np.unique(cells, return_counts=True)
+        return pd.DataFrame({"cell": u.astype(np.uint64), "n": c.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+    agg = (points_ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("cell").aggregate(Sum("n", alias_name="n")))
+    return agg.to_pandas()
+
+
+def plan_salts(cell_counts: pd.DataFrame, rows_per_task: int = 50_000) -> dict[int, int]:
+    """cell → salt factor for cells whose row count exceeds the target
+    rows-per-refine-task (explicit skew handling; BASELINE.json
+    mandates hot-cell salting)."""
+    hot = cell_counts[cell_counts["n"] > rows_per_task]
+    return {int(c): int(min(MAX_SALT, -(-n // rows_per_task)))
+            for c, n in zip(hot["cell"], hot["n"])}
+
+
+def spatial_join_shuffle(points_ds, zones_ds, predicate: str = "intersects",
+                         res: int = DEFAULT_INDEX_RES, num_buckets: int = 64,
+                         rows_per_task: int = 50_000,
+                         lon_col: str = "lon", lat_col: str = "lat",
+                         zone_geom_col: str = "geometry", how: str = "inner"):
+    """Two-phase shuffle spatial join for large×large inputs.
+
+    Phase 0 probes left-side cell counts → salt plan for hot cells.
+    Phase 1 keys left points by hash(cell, salt) bucket and explodes
+    zone cell covers (replicated across salts for hot cells).
+    Phase 2 co-locates with one ``groupby(bucket)`` and refines each
+    bucket vectorized (sort-merge on cell inside the bucket).
+
+    Returns a Dataset of joined rows (left columns + zone attr columns).
+    """
+    counts = _cell_counts(points_ds, lon_col, lat_col, res)
+    salts = plan_salts(counts, rows_per_task)
+    salts_ref = ray.put(salts)
+
+    def key_points(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        cells = grid.point_to_cell(lon, lat, res)
+        salt_map = ray.get(salts_ref)
+        salt = np.zeros(len(cells), dtype=np.uint64)
+        if salt_map:
+            for c, s in salt_map.items():
+                m = cells == np.uint64(c)
+                if m.any():
+                    # deterministic spread of the hot cell's rows
+                    salt[m] = (np.arange(len(cells))[m] + np.uint64(s)) % np.uint64(s)
+        bucket = ((cells * np.uint64(0x9E3779B97F4A7C15) + salt)
+                  % np.uint64(num_buckets)).astype(np.int64)
+        t = batch.append_column("_cell", pa.array(cells.astype(np.int64)))
+        t = t.append_column("_bucket", pa.array(bucket))
+        return t.append_column("_side", pa.array(np.zeros(len(cells), np.int8)))
+
+    def explode_zones(batch: pa.Table) -> pa.Table:
+        geoms = batch[zone_geom_col].to_pylist()
+        salt_map = ray.get(salts_ref)
+        rows, cells_out, salts_out = [], [], []
+        for i, g in enumerate(geoms):
+            x0, y0, x1, y1 = wkb.bbox(bytes(g))
+            rws, cls = grid.bboxes_to_cells(
+                np.array([x0]), np.array([y0]), np.array([x1]), np.array([y1]), res=res)
+            for c in cls:
+                s_factor = salt_map.get(int(c), 1)
+                for s in range(s_factor):
+                    rows.append(i)
+                    cells_out.append(int(c))
+                    salts_out.append(s)
+        if not rows:
+            empty = batch.slice(0, 0)
+            empty = empty.append_column("_cell", pa.array([], pa.int64()))
+            empty = empty.append_column("_bucket", pa.array([], pa.int64()))
+            return empty.append_column("_side", pa.array([], pa.int8()))
+        take = pa.array(np.asarray(rows, np.int64))
+        out = batch.take(take)
+        cells_np = np.asarray(cells_out, np.uint64)
+        salts_np = np.asarray(salts_out, np.uint64)
+        bucket = ((cells_np * np.uint64(0x9E3779B97F4A7C15) + salts_np)
+                  % np.uint64(num_buckets)).astype(np.int64)
+        out = out.append_column("_cell", pa.array(cells_np.astype(np.int64)))
+        out = out.append_column("_bucket", pa.array(bucket))
+        return out.append_column("_side", pa.array(np.ones(out.num_rows, np.int8)))
+
+    left_keyed = points_ds.map_batches(key_points, batch_format="pyarrow",
+                                       batch_size=65536)
+    right_keyed = zones_ds.map_batches(explode_zones, batch_format="pyarrow",
+                                       batch_size=4096)
+    # schema-harmonized union: missing columns null-filled
+    lcols = set(left_keyed.schema().names)
+    rcols = set(right_keyed.schema().names)
+
+    def pad(missing):
+        def fn(batch: pa.Table) -> pa.Table:
+            for m in sorted(missing):
+                batch = batch.append_column(m, pa.nulls(batch.num_rows))
+            return batch
+        return fn
+
+    if rcols - lcols:
+        left_keyed = left_keyed.map_batches(pad(rcols - lcols), batch_format="pyarrow")
+    if lcols - rcols:
+        right_keyed = right_keyed.map_batches(pad(lcols - rcols), batch_format="pyarrow")
+    both = left_keyed.union(right_keyed)
+
+    zone_attr_cols = [c for c in zones_ds.schema().names if c != zone_geom_col]
+    left_cols = [c for c in points_ds.schema().names]
+
+    def refine(group: pd.DataFrame) -> pd.DataFrame:
+        pts = group[group["_side"] == 0]
+        zns = group[group["_side"] == 1]
+        if len(pts) == 0 or len(zns) == 0:
+            return pd.DataFrame({c: [] for c in left_cols + zone_attr_cols})
+        lon = pts[lon_col].to_numpy(np.float64)
+        lat = pts[lat_col].to_numpy(np.float64)
+        pcell = pts["_cell"].to_numpy(np.int64)
+        order = np.argsort(pcell, kind="stable")
+        pcell_s = pcell[order]
+        outs = []
+        for _, zrow in zns.iterrows():
+            c = zrow["_cell"]
+            s0 = np.searchsorted(pcell_s, c, "left")
+            s1 = np.searchsorted(pcell_s, c, "right")
+            if s0 == s1:
+                continue
+            seg = order[s0:s1]
+            g = wkb.decode(bytes(zrow[zone_geom_col]))
+            poly = algo.PreparedPolygon(g["rings"])
+            if predicate in ("within", "contains"):
+                m = poly.contains_points(lon[seg], lat[seg])
+            else:
+                m = poly.covers_points(lon[seg], lat[seg])
+            hit = seg[m]
+            if len(hit):
+                o = pts.iloc[hit][left_cols].reset_index(drop=True)
+                for c2 in zone_attr_cols:
+                    o[c2] = zrow[c2]
+                outs.append(o)
+        if not outs:
+            return pd.DataFrame({c: [] for c in left_cols + zone_attr_cols})
+        return pd.concat(outs, ignore_index=True)
+
+    return both.groupby("_bucket").map_groups(refine, batch_format="pandas")

@@ -1,0 +1,145 @@
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from pythongis_ray import fixtures, spatial
+
+SF = "/root/testdata/sf0.001"
+
+
+def make_points(n=2000):
+    key = np.arange(n, dtype=np.int64) * 11 + 3
+    ix, iy = fixtures.geocode_units(key)
+    lon, lat = fixtures.units_to_deg(ix, iy)
+    return pd.DataFrame({"pid": key, "lon": lon, "lat": lat,
+                         "val": (key % 100).astype(np.int64)})
+
+
+def oracle_rect_join(pts: pd.DataFrame, zones: pd.DataFrame) -> set:
+    out = set()
+    for _, z in zones.iterrows():
+        m = (pts.lon > z.x0) & (pts.lon < z.x1) & (pts.lat > z.y0) & (pts.lat < z.y1)
+        for pid in pts.pid[m]:
+            out.add((int(pid), int(z.zone_id)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def zones():
+    nation = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    return fixtures.zones_from_nation(nation)
+
+
+def test_broadcast_join_matches_oracle(ray_session, zones):
+    import ray.data as rd
+
+    pts = make_points()
+    ds = rd.from_pandas(pts)
+    joined = spatial.spatial_join(ds, zones, predicate="within").to_pandas()
+    got = set(zip(joined.pid.astype(int), joined.zone_id.astype(int)))
+    assert got == oracle_rect_join(pts, zones)
+    assert len(joined) > 100  # sanity: fixture produces real matches
+
+
+def test_left_outer_join(ray_session, zones):
+    import ray.data as rd
+
+    pts = make_points(500)
+    ds = rd.from_pandas(pts)
+    joined = spatial.spatial_join(ds, zones, predicate="within", how="left").to_pandas()
+    expect = oracle_rect_join(pts, zones)
+    matched_pids = {p for p, _ in expect}
+    # every left row appears; unmatched get null zone
+    assert set(joined.pid[joined.zone_id.notna()].astype(int)) == matched_pids
+    unmatched = set(pts.pid.astype(int)) - matched_pids
+    assert set(joined.pid[joined.zone_id.isna()].astype(int)) == unmatched
+    assert len(joined) == len(expect) + len(unmatched)
+
+
+def test_semi_and_anti_join_partition(ray_session, zones):
+    import ray.data as rd
+
+    pts = make_points(800)
+    ds = rd.from_pandas(pts)
+    semi = spatial.spatial_where(ds, zones, predicate="intersects").to_pandas()
+    anti = spatial.spatial_join(ds, zones, predicate="disjoint").to_pandas()
+    matched = {p for p, _ in oracle_rect_join(pts, zones)}
+    assert set(semi.pid.astype(int)) == matched
+    assert set(anti.pid.astype(int)) == set(pts.pid.astype(int)) - matched
+    assert len(semi) + len(anti) == len(pts)
+
+
+def test_diamond_join_matches_formula(ray_session):
+    import ray.data as rd
+
+    region = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    dia = fixtures.diamonds_from_region(region)
+    pts = make_points(3000)
+    ds = rd.from_pandas(pts)
+    joined = spatial.spatial_join(
+        ds, dia[["region_id", "geometry"]], predicate="within").to_pandas()
+    got = set(zip(joined.pid.astype(int), joined.region_id.astype(int)))
+    # closed-form oracle in unit space
+    ix, iy = fixtures.geocode_units(pts.pid.to_numpy())
+    expect = set()
+    for _, r in dia.iterrows():
+        inside = (fixtures.DIA_B * np.abs(ix - r.cxu)
+                  + fixtures.DIA_A * np.abs(iy - r.cyu)) < fixtures.DIA_A * fixtures.DIA_B
+        for pid in pts.pid.to_numpy()[inside]:
+            expect.add((int(pid), int(r.region_id)))
+    assert got == expect
+
+
+def test_shuffle_join_matches_broadcast(ray_session, zones):
+    import ray.data as rd
+
+    pts = make_points(1500)
+    ds = rd.from_pandas(pts)
+    bc = spatial.spatial_join(ds, zones, predicate="within").to_pandas()
+    zds = rd.from_pandas(zones)
+    sh = spatial.spatial_join_shuffle(
+        rd.from_pandas(pts), zds, predicate="within", rows_per_task=200).to_pandas()
+    key = lambda df: sorted(zip(df.pid.astype(int), df.zone_id.astype(int)))
+    assert key(sh) == key(bc)
+
+
+def test_spatial_agg_exact(ray_session, zones):
+    import ray.data as rd
+
+    pts = make_points(2500)
+    ds = rd.from_pandas(pts)
+    out = spatial.spatial_agg(ds, zones, value_col="val", predicate="within")
+    # oracle
+    rows = []
+    for _, z in zones.iterrows():
+        m = (pts.lon > z.x0) & (pts.lon < z.x1) & (pts.lat > z.y0) & (pts.lat < z.y1)
+        if m.any():
+            v = pts.val[m]
+            rows.append((int(z.zone_id), int(v.sum()), int(m.sum()),
+                         int(v.min()), int(v.max())))
+    exp = pd.DataFrame(rows, columns=["zone_id", "sum_val", "cnt", "min_val", "max_val"])
+    exp = exp.sort_values("zone_id").reset_index(drop=True)
+    got = out[["zone_id", "sum_val", "cnt", "min_val", "max_val"]].astype(int)
+    pd.testing.assert_frame_equal(got, exp.astype(int))
+    assert (out["mean_val"] == out["sum_val"] / out["cnt"]).all()
+
+
+def test_knn_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    pts = make_points(300)
+    pl_key = np.arange(50, dtype=np.int64) * 7 + 1
+    ix, iy = fixtures.geocode_units(pl_key)
+    plon, plat = fixtures.units_to_deg(ix, iy)
+    places = pd.DataFrame({"place_id": pl_key, "lon": plon, "lat": plat})
+    ds = rd.from_pandas(pts)
+    out = spatial.knn_join(ds, places, k=3, id_col="place_id").to_pandas()
+    # brute-force oracle with (dist, id) tie-break
+    for pid in pts.pid[:20]:
+        row = pts[pts.pid == pid].iloc[0]
+        d2 = (row.lon - plon) ** 2 + (row.lat - plat) ** 2
+        order = np.lexsort((pl_key, d2))[:3]
+        got = out[out.pid == pid].sort_values("nn_rank")
+        assert got.nn_id.tolist() == [int(pl_key[i]) for i in order]
+    assert len(out) == 3 * len(pts)
