@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+Baseline: brute-force top-k by dot product / cosine — one numpy matmul
+per batch against a broadcast query matrix (the classic
+broadcast-small-side pattern: queries go through ``ray.put`` once).
+Scale path: LSH-bucketed search (random hyperplane signs) that turns
+the all-pairs problem into a ``groupby(bucket)``.
+
+Exactness: for the DuckDB-verifiable variant, embeddings are quantized
+to integers (``round(x * 1000)``) so dot products are exact int64
+arithmetic — identical in numpy and SQL regardless of summation order.
+(float32*1000 can never be an exact half-integer, so rounding is
+unambiguous; see queries 'ann' oracle.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> Arrow column → (n, d) float matrix, zero-copy when
+    the layout is fixed-length."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    offs = arr.offsets.to_numpy()
+    d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    if d and np.all(np.diff(offs) == d):
+        return flat[offs[0]:offs[-1]].reshape(-1, d)
+    return np.array([flat[s:e] for s, e in zip(offs[:-1], offs[1:])])
+
+
+def quantize(mat: np.ndarray, scale: int = 1000) -> np.ndarray:
+    """round(x*scale) → int64 (bit-stable across platforms)."""
+    return np.rint(mat.astype(np.float64) * scale).astype(np.int64)
+
+
+class TopKDot:
+    """Actor-pool stage: for each row in the broadcast query set, keep
+    the global top-k dataset rows by (quantized) dot product. Emits
+    per-batch partial top-k rows (query_id, vec_id, score, rank later);
+    the final exact top-k is a tiny driver-side combine."""
+
+    def __init__(self, queries_ref, id_col: str, emb_col: str, k: int,
+                 scale: int = 1000):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = np.asarray(q["id"], np.int64)
+        self.qmat = np.asarray(q["mat"], np.int64)
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.k = k
+        self.scale = scale
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        mat = quantize(_as_matrix(batch[self.emb_col]), self.scale)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        scores = self.qmat @ mat.T  # (nq, nb) exact int64
+        k = min(self.k, scores.shape[1])
+        # partial top-k per query within this batch (ties → smallest id)
+        out_q, out_i, out_s = [], [], []
+        order = np.lexsort((ids[None, :].repeat(len(self.qids), 0),
+                            -scores), axis=1)[:, :k]
+        for qi in range(len(self.qids)):
+            sel = order[qi]
+            out_q.append(np.full(k, self.qids[qi]))
+            out_i.append(ids[sel])
+            out_s.append(scores[qi, sel])
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_i).astype(np.int64),
+            "score": np.concatenate(out_s),
+        })
+
+
+def ann_topk(ds, queries: pd.DataFrame, k: int = 5, id_col: str = "vec_id",
+             emb_col: str = "embedding", scale: int = 1000,
+             exclude_self: bool = True) -> pd.DataFrame:
+    """Exact top-k by quantized dot product: per-batch partial top-k
+    (map_batches actor pool) → driver combine over ≤ nq*k*nbatches
+    rows. Ties break to the smallest neighbor id."""
+    qmat = quantize(np.vstack(queries[emb_col].to_numpy()), scale)
+    payload = {"id": queries[id_col].to_numpy(np.int64), "mat": qmat}
+    ref = ray.put(payload)
+    ncpu = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    # keep one extra partial candidate so dropping the self-match can't
+    # shrink a query's final top-k below k
+    k_eff = k + 1 if exclude_self else k
+    parts = ds.map_batches(
+        TopKDot,
+        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col,
+                                   emb_col=emb_col, k=k_eff, scale=scale),
+        batch_format="pyarrow", batch_size=4096, concurrency=ncpu,
+        num_cpus=1).to_pandas()
+    if exclude_self:
+        parts = parts[parts.query_id != parts.neighbor_id]
+    parts = parts.sort_values(["query_id", "score", "neighbor_id"],
+                              ascending=[True, False, True], kind="stable")
+    out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
+# ------------------------------------------------------------- LSH path
+
+N_PLANES = 16
+
+
+def lsh_bucket_ids(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Random-hyperplane signature → int bucket id."""
+    signs = (mat @ planes.T) > 0
+    return (signs.astype(np.int64) << np.arange(planes.shape[0], dtype=np.int64)).sum(axis=1)
+
+
+def ann_lsh(ds, queries: pd.DataFrame, k: int = 5, id_col: str = "vec_id",
+            emb_col: str = "embedding", n_planes: int = N_PLANES,
+            seed: int = 42) -> pd.DataFrame:
+    """Approximate top-k: candidates restricted to query LSH buckets.
+    The 100-TB shape: bucket the corpus ONCE (cheap map_batches),
+    then only matching buckets are scanned per query. Recall < 1 by
+    construction — this is the documented approximate scale path;
+    `ann_topk` is the exact baseline."""
+    rng = np.random.default_rng(seed)
+    d = len(queries[emb_col].iloc[0])
+    planes = rng.standard_normal((n_planes, d))
+    planes_ref = ray.put(planes)
+    qmat = np.vstack(queries[emb_col].to_numpy()).astype(np.float64)
+    qbuckets = set(lsh_bucket_ids(qmat, planes).tolist())
+    qb_ref = ray.put(qbuckets)
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch[emb_col]).astype(np.float64)
+        b = lsh_bucket_ids(mat, ray.get(planes_ref))
+        keep = np.isin(b, np.fromiter(ray.get(qb_ref), dtype=np.int64))
+        return batch.filter(pa.array(keep))
+
+    cand = ds.map_batches(bucket_filter, batch_format="pyarrow", batch_size=4096)
+    return ann_topk(cand, queries, k=k, id_col=id_col, emb_col=emb_col)
+
+
+def label_centroids(ds, label_col: str = "label", emb_col: str = "embedding",
+                    scale: int = 1000):
+    """Per-label centroid of quantized embeddings: per-batch partial
+    (sum vector, count) → groupby(label) sum → one division.
+    Exact int sums → bit-stable means."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        mat = quantize(_as_matrix(batch[emb_col]), scale)
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        u = np.unique(labels)
+        rows = []
+        for lab in u:
+            m = labels == lab
+            rows.append((int(lab), mat[m].sum(axis=0).tolist(), int(m.sum())))
+        return pd.DataFrame(rows, columns=[label_col, "psum", "pcnt"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sum(np.vstack(g["psum"].to_numpy()), axis=0)
+        n = int(g["pcnt"].sum())
+        return pd.DataFrame({label_col: [g[label_col].iloc[0]],
+                             "centroid": [(s / n).tolist()], "n": [n]})
+
+    return parts.groupby(label_col).map_groups(combine, batch_format="pandas")

@@ -1,0 +1,94 @@
+"""Common-Crawl-style `pages` table synthesis + geocoding.
+
+BASELINE.json input_hint: the engine's primary input is a Parquet table
+``(url: string, warc_ts: timestamp, html: binary, text: string,
+lang: string)``. No such table ships with the test data, so it is
+synthesized deterministically from the provided `documents` table
+(doc_id → url/warc_ts; text/lang pass through; html wraps text) —
+pure arithmetic, no wall clock, reproducible at any scale.
+
+Per-row invariant (BASELINE.json): the `text` column must be
+byte-identical per `url` through every stage. All stages here carry
+`text` untouched through zero-copy Arrow batches; the invariant is
+asserted in tests/test_pages.py and in the resume test.
+
+Geocode: `hash(url-key) → skewed lat/lon point` (fixtures.geocode_units)
+— the stand-in for the reference pipeline's "pages are geocoded into
+point features" step, with ~70% of pages concentrated in 32 hotspot
+cities (power-law) to exercise hot-cell salting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pythongis_ray import fixtures, grid
+
+EPOCH_2024 = 1704067200_000000  # 2024-01-01 in microseconds
+N_SITES = 50
+
+
+def synthesize_pages(batch: pa.Table, replicate: int = 1) -> pa.Table:
+    """documents batch → pages batch. With ``replicate`` > 1 each doc
+    yields `replicate` pages with distinct page ids/urls (deterministic
+    upsampling for benchmarks; ids = doc_id * replicate + r)."""
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    text = batch["text"]
+    lang = batch["lang"]
+    if replicate > 1:
+        idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), replicate)
+        rep = np.tile(np.arange(replicate, dtype=np.int64), len(doc_id))
+        page_id = doc_id[idx] * replicate + rep
+        text = text.take(pa.array(idx))
+        lang = lang.take(pa.array(idx))
+    else:
+        page_id = doc_id
+    site = page_id % N_SITES
+    url = pa.array([f"https://site{s}.example/{p}" for s, p in zip(site, page_id)])
+    warc_ts = pa.array((EPOCH_2024 + page_id * 37_000_000).view(np.int64),
+                       type=pa.timestamp("us"))
+    html = pc.binary_join_element_wise(
+        pa.array([b"<html><body>"] * len(page_id), pa.binary()),
+        pc.cast(text, pa.binary()),
+        pa.array([b"</body></html>"] * len(page_id), pa.binary()),
+        b"")
+    return pa.table({
+        "page_id": pa.array(page_id),
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": html,
+        "text": text,
+        "lang": lang,
+    })
+
+
+def geocode_pages(batch: pa.Table, res: int = grid.DEFAULT_RES) -> pa.Table:
+    """Add lon/lat (skewed deterministic geocode of page_id) + cell id.
+    Stateless vectorized map_batches stage — phase 1 of the flagship
+    join."""
+    page_id = batch["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ix, iy = fixtures.geocode_units(page_id)
+    lon, lat = fixtures.units_to_deg(ix, iy)
+    cell = grid.point_to_cell(lon, lat, res)
+    batch = batch.append_column("lon", pa.array(lon))
+    batch = batch.append_column("lat", pa.array(lat))
+    return batch.append_column("cell", pa.array(cell.view(np.int64)))
+
+
+def pages_dataset(sf_dir: str, replicate: int = 1, geocode: bool = True,
+                  columns: list[str] | None = None):
+    """read documents.parquet → pages Dataset (lazy, streaming)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(lambda b: synthesize_pages(b, replicate),
+                        batch_format="pyarrow", batch_size=8192)
+    if geocode:
+        ds = ds.map_batches(geocode_pages, batch_format="pyarrow", batch_size=8192)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds

@@ -1,0 +1,902 @@
+"""Query registry: every operator exposed as `fn(sf_dir)` + DuckDB oracle SQL.
+
+This is the driver-facing correctness surface (`__ray_entry__.queries` /
+`oracle_sql`). Each entry exercises one operator family from SURVEY.md §2
+on the driver's parquet tables; the SQL string computes the *same* result
+in DuckDB — bit-exact by construction (integer arithmetic + dyadic
+lattice coordinates + single-division means; see fixtures.py).
+
+Entries without SQL (minhash/simhash/LSH/langid/geodetic) are
+non-SQL-expressible; the driver records rows-only checks for those.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pythongis_ray import embed, fixtures, pipelines, relational as rel, spatial, text
+from pythongis_ray.geom import geodesy
+
+# --------------------------------------------------------------- helpers
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def points_lineitem(sf_dir: str):
+    """lineitem → geocoded point Dataset (pk, qty, ix, iy, lon, lat)."""
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = ok * 8 + ln
+        ix, iy = fixtures.geocode_units(pk)
+        lon, lat = fixtures.units_to_deg(ix, iy)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": pk, "qty": qty, "ix": ix, "iy": iy,
+                         "lon": lon, "lat": lat})
+
+    return ds.map_batches(to_points, batch_format="pyarrow", batch_size=65536)
+
+
+def SQL_PTS_LINEITEM():
+    src = ("(SELECT l_orderkey*8+l_linenumber AS pk, "
+           "CAST(l_quantity AS BIGINT) AS qty FROM lineitem)")
+    g = fixtures.sql_geocode("pk").replace("__SRC__", src)
+    return f"SELECT pk, qty, ix, iy, {fixtures.SQL_UNITS_TO_DEG} FROM ({g}) _pts"
+
+
+def _keyed_points(sf_dir: str, table: str, key_col: str, mult: int, add: int,
+                  out_key: str):
+    ds = _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=[key_col])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = k * mult + add
+        ix, iy = fixtures.geocode_units(key)
+        lon, lat = fixtures.units_to_deg(ix, iy)
+        return pa.table({out_key: key, "lon": lon, "lat": lat})
+
+    return ds.map_batches(to_points, batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_keyed_points(table: str, key_col: str, mult: int, add: int, out_key: str):
+    src = f"(SELECT {key_col}*{mult}+{add} AS {out_key} FROM {table})"
+    g = fixtures.sql_geocode(out_key).replace("__SRC__", src)
+    return f"SELECT {out_key}, ix, iy, {fixtures.SQL_UNITS_TO_DEG} FROM ({g}) _kp"
+
+
+# --------------------------------------------------------- query functions
+
+def q_agg_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate (partial-combine path)."""
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                     "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        return batch.append_column("price_cents", pa.array(c))
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+    out = rel.groupby_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        [("sum_qty", "l_quantity", "sum"), ("cnt", "l_quantity", "count"),
+         ("min_qty", "l_quantity", "min"), ("max_qty", "l_quantity", "max"),
+         ("avg_qty", "l_quantity", "mean"),
+         ("sum_price_cents", "price_cents", "sum")])
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["sum_price_cents"] = batch["sum_price_cents"].astype(np.int64)
+        return batch
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(COUNT(l_quantity) AS BIGINT) AS cnt,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_segment(sf_dir: str):
+    """Broadcast hash join orders×customer + grouped aggregate."""
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]) \
+        .rename(columns={"c_custkey": "o_custkey"})
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        return batch.append_column("total_cents", pa.array(c))
+
+    joined = rel.hash_join(orders.map_batches(cents, batch_format="pyarrow"),
+                           cust, on="o_custkey")
+    out = rel.groupby_aggregate(
+        joined, "c_mktsegment",
+        [("n_orders", "o_custkey", "count"), ("sum_total_cents", "total_cents", "sum")])
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_total_cents"] = b["sum_total_cents"].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+SQL_JOIN_SEGMENT = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_join_large(sf_dir: str):
+    """Partitioned (shuffle) hash join lineitem×orders + aggregate."""
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda b: b.rename_columns(["l_orderkey", "o_orderpriority"]),
+                     batch_format="pyarrow")
+    joined = rel.join_large(li, orders, on="l_orderkey")
+    return rel.groupby_aggregate(
+        joined, "o_orderpriority",
+        [("n_items", "l_orderkey", "count"), ("sum_qty", "l_quantity", "sum")])
+
+
+SQL_JOIN_LARGE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    """sort + limit (top-k), deterministic tie-break."""
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"])
+    return ds.sort([("o_totalprice"), ("o_orderkey")],
+                   descending=[True, False]).limit(10)
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct_flags(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_linestatus"])
+    out = rel.groupby_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                                [("n", "l_returnflag", "count")])
+    return out.select_columns(["l_returnflag", "l_linestatus"])
+
+
+SQL_DISTINCT_FLAGS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_dedup_docs(sf_dir: str):
+    """Exact content dedup: fingerprint → keep min id per content."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    ds = ds.map_batches(text.fingerprint, batch_format="pyarrow", batch_size=4096)
+    out = rel.groupby_aggregate(ds, "fp", [("doc_id", "doc_id", "min"),
+                                           ("n_copies", "doc_id", "count")])
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+SQL_DEDUP_DOCS = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_window_events(sf_dir: str):
+    """Tumbling 1-minute window per user (event-time bucketing)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        t = pa.table({"user_id": batch["user_id"],
+                      "minute": pa.array(us // 60_000_000),
+                      "cents": pa.array(cents)})
+        return t
+
+    ds = ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
+    out = rel.groupby_aggregate(ds, ["user_id", "minute"],
+                                [("n_events", "cents", "count"),
+                                 ("sum_cents", "cents", "sum")])
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_cents"] = b["sum_cents"].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+SQL_WINDOW_EVENTS = """
+SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY user_id, epoch_us(ts) // 60000000
+"""
+
+
+def q_moving_avg(sf_dir: str):
+    """Ordered trailing-3 window per user (order-dependent operator)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({"event_id": batch["event_id"], "user_id": batch["user_id"],
+                         "ts_us": pa.array(us), "cents": pa.array(c)})
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+    out = rel.moving_window(ds, "user_id", ["ts_us", "event_id"], "cents", 3,
+                            "mean", out_col="avg3_cents")
+    return out.select_columns(["event_id", "avg3_cents"])
+
+
+SQL_MOVING_AVG = """
+SELECT event_id,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS avg3_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_majority_events(sf_dir: str):
+    """Holistic stats: majority/minority/first/last/concat per user."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        return batch.append_column("ord", pa.array(us * 100000 + batch["event_id"]
+                                                   .to_numpy(zero_copy_only=False)))
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    return rel.groupby_aggregate(
+        ds, "user_id",
+        [("maj_type", "event_type", "majority"),
+         ("min_type", "event_type", "minority"),
+         ("first_val", "value", "first"), ("last_val", "value", "last"),
+         ("types_cat", "event_type", "concat:|")],
+        order_col="ord")
+
+
+SQL_MAJORITY_EVENTS = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rmaj,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt ASC, event_type) AS rmin
+  FROM c
+)
+SELECT e.user_id,
+       (SELECT event_type FROM ranked r WHERE r.user_id = e.user_id AND rmaj = 1) AS maj_type,
+       (SELECT event_type FROM ranked r WHERE r.user_id = e.user_id AND rmin = 1) AS min_type,
+       first(e.value ORDER BY e.ts, e.event_id) AS first_val,
+       last(e.value ORDER BY e.ts, e.event_id) AS last_val,
+       string_agg(e.event_type, '|' ORDER BY e.ts, e.event_id) AS types_cat
+FROM events e GROUP BY e.user_id
+"""
+
+
+def q_merge_union(sf_dir: str):
+    """Union-all of two tables + groupby count (merge operator)."""
+    o = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]) \
+        .map_batches(lambda b: b.rename_columns(["key"]), batch_format="pyarrow")
+    l = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]) \
+        .map_batches(lambda b: b.rename_columns(["key"]), batch_format="pyarrow")
+    merged = rel.merge(o, l)
+    return rel.groupby_aggregate(merged, "key", [("n_rows", "key", "count")])
+
+
+SQL_MERGE_UNION = """
+SELECT key, CAST(COUNT(*) AS BIGINT) AS n_rows FROM (
+  SELECT o_orderkey AS key FROM orders
+  UNION ALL SELECT l_orderkey FROM lineitem
+) GROUP BY key
+"""
+
+
+def q_filter_revenue(sf_dir: str):
+    """filter + computed column + aggregate (exact integer revenue)."""
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_shipdate",
+                                     "l_extendedprice", "l_discount"])
+    cutoff = np.datetime64("1995-06-01", "us")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship < cutoff
+        batch = batch.filter(pa.array(keep))
+        cents = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        disc = np.rint(batch["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        rev = cents * (100 - disc)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "rev": pa.array(rev)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    out = rel.groupby_aggregate(ds, "l_returnflag",
+                                [("n", "rev", "count"), ("revenue_u", "rev", "sum")])
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue_u"] = b["revenue_u"].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+SQL_FILTER_REVENUE = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_u
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_classify_quantity(sf_dir: str):
+    """Equal-interval classification (classypie 'equal' breaks)."""
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        v = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        cls = np.minimum(np.floor(v / 10.0), 4.0).astype(np.int64)
+        return pa.table({"class": pa.array(cls)})
+
+    ds = ds.map_batches(classify, batch_format="pyarrow", batch_size=65536)
+    return rel.groupby_aggregate(ds, "class", [("n", "class", "count")])
+
+
+SQL_CLASSIFY_QUANTITY = """
+SELECT CAST(LEAST(FLOOR(l_quantity / 10.0), 4.0) AS BIGINT) AS class,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------ spatial set
+
+def q_spjoin_rect_pairs(sf_dir: str):
+    """Flagship spatial join (broadcast path): point-in-polygon pairs."""
+    pts = points_lineitem(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    joined = spatial.spatial_join(pts, zones[["zone_id", "geometry"]],
+                                  predicate="within")
+    return joined.select_columns(["pk", "zone_id"])
+
+
+def SQL_SPJOIN_RECT_PAIRS():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT pk, zone_id FROM pts JOIN z
+  ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
+"""
+
+
+def q_spjoin_rect_pairs_shuffle(sf_dir: str):
+    """Same join via the salted groupby-shuffle path (same oracle)."""
+    pts = points_lineitem(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    zds = _rd().from_pandas(zones[["zone_id", "geometry"]])
+    joined = spatial.spatial_join_shuffle(pts, zds, predicate="within",
+                                          rows_per_task=5000)
+    return joined.select_columns(["pk", "zone_id"])
+
+
+def q_spjoin_rect_agg(sf_dir: str):
+    """Fused spatial join + per-zone aggregate (partial combine)."""
+    pts = points_lineitem(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    out = spatial.spatial_agg(pts, zones, value_col="qty", predicate="within")
+    return out
+
+
+def SQL_SPJOIN_RECT_AGG():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT zone_id, CAST(SUM(qty) AS BIGINT) AS sum_val,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(MIN(qty) AS BIGINT) AS min_val, CAST(MAX(qty) AS BIGINT) AS max_val,
+       CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS mean_val
+FROM pts JOIN z ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
+GROUP BY zone_id
+"""
+
+
+def q_spjoin_diamond(sf_dir: str):
+    """General convex-polygon PIP via ray-casting refine."""
+    pts = points_lineitem(sf_dir)
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    dia = fixtures.diamonds_from_region(region)
+    joined = spatial.spatial_join(pts, dia[["region_id", "geometry"]],
+                                  predicate="within")
+    return joined.select_columns(["pk", "region_id"])
+
+
+def SQL_SPJOIN_DIAMOND():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()})
+SELECT pk, r_regionkey AS region_id
+FROM pts CROSS JOIN region
+WHERE {fixtures.sql_diamond_pred("ix", "iy")}
+"""
+
+
+def q_spatial_semi(sf_dir: str):
+    """Spatial semi-join (reference `where`)."""
+    pts = points_lineitem(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    out = spatial.spatial_where(pts, zones[["zone_id", "geometry"]],
+                                predicate="within")
+    return out.select_columns(["pk"])
+
+
+def SQL_SPATIAL_SEMI():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT pk FROM pts WHERE EXISTS (
+  SELECT 1 FROM z WHERE lon > x0 AND lon < x1 AND lat > y0 AND lat < y1)
+"""
+
+
+def q_spatial_disjoint(sf_dir: str):
+    """Spatial anti-join (reference `disjoint`)."""
+    pts = points_lineitem(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    out = spatial.spatial_join(pts, zones[["zone_id", "geometry"]],
+                               predicate="disjoint")
+    return out.select_columns(["pk"])
+
+
+def SQL_SPATIAL_DISJOINT():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT pk FROM pts WHERE NOT EXISTS (
+  SELECT 1 FROM z WHERE lon > x0 AND lon < x1 AND lat > y0 AND lat < y1)
+"""
+
+
+def q_spjoin_left(sf_dir: str):
+    """Left-outer spatial join (reference `keepall`)."""
+    pts = points_lineitem(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    joined = spatial.spatial_join(pts, zones[["zone_id", "geometry"]],
+                                  predicate="within", how="left")
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["pk", "zone_id"]]
+
+    return joined.map_batches(fix, batch_format="pandas")
+
+
+def SQL_SPJOIN_LEFT():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT pk, zone_id FROM pts LEFT JOIN z
+  ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
+"""
+
+
+def q_knn(sf_dir: str):
+    """kNN join: customer points → 3 nearest part 'places'."""
+    cpts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+    ppts = _keyed_points(sf_dir, "part", "p_partkey", 4, 2, "place_id") \
+        .to_pandas()
+    out = spatial.knn_join(cpts, ppts, k=3, id_col="place_id")
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["ck", "nn_id", "nn_rank", "nn_dist_sq"]].copy()
+        b.columns = ["ck", "place_id", "nn_rank", "dist_sq"]
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+def SQL_KNN():
+    return f"""
+WITH cpts AS ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")}),
+     ppts AS ({_sql_keyed_points("part", "p_partkey", 4, 2, "place_id")}),
+     d AS (
+  SELECT c.ck, p.place_id,
+         (c.lon-p.lon)*(c.lon-p.lon) + (c.lat-p.lat)*(c.lat-p.lat) AS dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY c.ck ORDER BY
+           (c.lon-p.lon)*(c.lon-p.lon) + (c.lat-p.lat)*(c.lat-p.lat), p.place_id)
+           AS nn_rank
+  FROM cpts c CROSS JOIN ppts p)
+SELECT ck, place_id, CAST(nn_rank AS BIGINT) AS nn_rank, dist_sq
+FROM d WHERE nn_rank <= 3
+"""
+
+
+def q_zonal_stats(sf_dir: str):
+    """Raster zonal statistics: grid cells aggregated per zone."""
+    cells = fixtures.raster_cells()
+    ds = _rd().from_pandas(cells)
+    zones = pipelines.load_zones(sf_dir)
+    return spatial.spatial_agg(ds, zones, value_col="value", predicate="within")
+
+
+def SQL_ZONAL_STATS():
+    return f"""
+WITH cells AS ({fixtures.SQL_RASTER_CELLS}), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT zone_id, CAST(SUM(value) AS BIGINT) AS sum_val,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(MIN(value) AS BIGINT) AS min_val, CAST(MAX(value) AS BIGINT) AS max_val,
+       CAST(SUM(value) AS DOUBLE) / COUNT(*) AS mean_val
+FROM cells JOIN z ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
+GROUP BY zone_id
+"""
+
+
+def q_upscale(sf_dir: str):
+    """Raster upscale: 2×2 cell aggregation to parent cells
+    (cell_to_parent groupby — reference raster upscale)."""
+    cells = fixtures.raster_cells()
+    ds = _rd().from_pandas(cells[["ci", "cj", "value"]])
+
+    def parent(batch: pa.Table) -> pa.Table:
+        ci = batch["ci"].to_numpy(zero_copy_only=False)
+        cj = batch["cj"].to_numpy(zero_copy_only=False)
+        return pa.table({"pci": pa.array(ci // 2), "pcj": pa.array(cj // 2),
+                         "value": batch["value"]})
+
+    ds = ds.map_batches(parent, batch_format="pyarrow", batch_size=65536)
+    out = rel.groupby_aggregate(ds, ["pci", "pcj"],
+                                [("sum_val", "value", "sum"),
+                                 ("cnt", "value", "count")])
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_val"] = b["sum_val"].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+def SQL_UPSCALE():
+    return f"""
+WITH cells AS ({fixtures.SQL_RASTER_CELLS})
+SELECT ci // 2 AS pci, cj // 2 AS pcj,
+       CAST(SUM(value) AS BIGINT) AS sum_val, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cells GROUP BY ci // 2, cj // 2
+"""
+
+
+def q_rasterize(sf_dir: str):
+    """Rasterize points: per-1°-cell point counts (density grid)."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 1024), "cy": pa.array(iy // 1024)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow", batch_size=65536)
+    return rel.groupby_aggregate(ds, ["cx", "cy"], [("n", "cx", "count")])
+
+
+def SQL_RASTERIZE():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()})
+SELECT ix // 1024 AS cx, iy // 1024 AS cy, CAST(COUNT(*) AS BIGINT) AS n
+FROM pts GROUP BY ix // 1024, iy // 1024
+"""
+
+
+def q_flagship(sf_dir: str):
+    """The headline pipeline: pages → geocode → spatial join → agg."""
+    return pipelines.flagship(sf_dir)
+
+
+def SQL_FLAGSHIP():
+    src = "(SELECT doc_id, text, lang FROM documents)"
+    g = fixtures.sql_geocode("doc_id").replace("__SRC__", src)
+    return f"""
+WITH pages AS (
+  SELECT doc_id, lang,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+         ix / 1024.0 - 180.0 AS lon, iy / 1024.0 - 90.0 AS lat
+  FROM ({g}) _p
+), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT zone_id, name, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM pages JOIN z ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
+GROUP BY zone_id, name, lang
+"""
+
+
+# ---------------------------------------------------------------- text set
+
+def q_doc_tokens(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(text.token_count, batch_format="pyarrow", batch_size=8192)
+    return ds.select_columns(["doc_id", "lang", "n_tokens"])
+
+
+SQL_DOC_TOKENS = """
+SELECT doc_id, lang,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_word_topk(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = text.word_frequency(ds, top_k=20)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
+SQL_WORD_TOPK = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY cnt DESC, word LIMIT 20
+"""
+
+
+def q_lang_stats(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+    out = rel.groupby_aggregate(ds, "lang",
+                                [("n_docs", "n_chars", "count"),
+                                 ("sum_chars", "n_chars", "sum"),
+                                 ("avg_chars", "n_chars", "mean")])
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_chars"] = b["sum_chars"].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+SQL_LANG_STATS = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    ds = ds.map_batches(text.quality_score, batch_format="pyarrow", batch_size=8192)
+    return ds.select_columns(["doc_id", "n_tokens", "n_stop", "stop_ratio"])
+
+
+SQL_QUALITY = f"""
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN {tuple(text.STOPWORDS)!r})) AS BIGINT) AS n_stop,
+       CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN {tuple(text.STOPWORDS)!r})) AS DOUBLE)
+         / (length(text) - length(replace(text, ' ', '')) + 1) AS stop_ratio
+FROM documents
+"""
+
+
+def q_doc_topk_chars(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    return ds.sort([("n_chars"), ("doc_id")], descending=[True, False]).limit(10)
+
+
+SQL_DOC_TOPK_CHARS = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+"""
+
+
+# ----------------------------------------------------------- embeddings set
+
+def q_ann_topk(sf_dir: str):
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = pdf[pdf.vec_id < 8]
+    out = embed.ann_topk(emb, queries_df, k=5)
+    out = out[["query_id", "neighbor_id", "score", "rank"]].copy()
+    out["score"] = out["score"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> round(x * 1000)) AS qe
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qe,
+              list_transform(e.embedding, x -> round(x * 1000))) AS BIGINT) AS score
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embed_label_stats(sf_dir: str):
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        mat = embed.quantize(embed._as_matrix(batch["embedding"]))
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({"label": labels, "d0": mat[:, 0]})
+
+    ds = emb.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    out = rel.groupby_aggregate(ds, "label",
+                                [("n", "d0", "count"), ("sum_d0", "d0", "sum"),
+                                 ("mean_d0", "d0", "mean")])
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_d0"] = b["sum_d0"].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+SQL_EMBED_LABEL_STATS = """
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(embedding[1] * 1000) AS BIGINT)) AS BIGINT) AS sum_d0,
+       CAST(SUM(CAST(round(embedding[1] * 1000) AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_d0
+FROM embeddings GROUP BY label
+"""
+
+
+# --------------------------------------------------- non-SQL (rows-only)
+
+def q_minhash_pairs(sf_dir: str):
+    """Near-dup detection (MinHash-LSH); rows-only driver check."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.minhash_dedup_pairs(ds, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.add_simhash(ds).select_columns(["doc_id", "simhash"])
+
+
+def q_langid(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = ds.map_batches(text.LanguageId, batch_format="pandas", batch_size=2048,
+                         concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def q_ann_lsh(sf_dir: str):
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embed.ann_lsh(emb, pdf[pdf.vec_id < 8], k=5)
+
+
+def q_geodetic_buffer(sf_dir: str):
+    """Geodetic point buffers (Vincenty rings) around customer points."""
+    cpts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+
+    def buf(batch: pa.Table) -> pd.DataFrame:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = np.clip(batch["lat"].to_numpy(zero_copy_only=False), -85, 85)
+        rings = [geodesy.geodetic_point_buffer(x, y, 50_000.0, n=16)
+                 for x, y in zip(lon, lat)]
+        from pythongis_ray.geom import wkb as _wkb
+        return pd.DataFrame({
+            "ck": batch["ck"].to_numpy(zero_copy_only=False),
+            "buffer_wkb": [_wkb.encode_polygon([r]) for r in rings],
+            "ring_n": [len(r) for r in rings],
+        })
+
+    return cpts.map_batches(buf, batch_format="pyarrow", batch_size=2048)
+
+
+def q_dedup_near_embed(sf_dir: str):
+    """Embedding-cosine near-dup: pairs with quantized dot >= threshold
+    among LSH-bucketed candidates; rows-only check."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embed.ann_topk(emb, pdf.head(64), k=2)
+    return out[out["rank"] == 1][["query_id", "neighbor_id", "score"]]
+
+
+# ------------------------------------------------------------- registry
+
+REGISTRY: dict[str, tuple] = {
+    # (fn, sql-or-None)
+    "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
+    "join_segment": (q_join_segment, SQL_JOIN_SEGMENT),
+    "join_large": (q_join_large, SQL_JOIN_LARGE),
+    "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
+    "distinct_flags": (q_distinct_flags, SQL_DISTINCT_FLAGS),
+    "dedup_docs": (q_dedup_docs, SQL_DEDUP_DOCS),
+    "window_events": (q_window_events, SQL_WINDOW_EVENTS),
+    "moving_avg": (q_moving_avg, SQL_MOVING_AVG),
+    "majority_events": (q_majority_events, SQL_MAJORITY_EVENTS),
+    "merge_union": (q_merge_union, SQL_MERGE_UNION),
+    "filter_revenue": (q_filter_revenue, SQL_FILTER_REVENUE),
+    "classify_quantity": (q_classify_quantity, SQL_CLASSIFY_QUANTITY),
+    "spjoin_rect_pairs": (q_spjoin_rect_pairs, SQL_SPJOIN_RECT_PAIRS),
+    "spjoin_rect_shuffle": (q_spjoin_rect_pairs_shuffle, SQL_SPJOIN_RECT_PAIRS),
+    "spjoin_rect_agg": (q_spjoin_rect_agg, SQL_SPJOIN_RECT_AGG),
+    "spjoin_diamond": (q_spjoin_diamond, SQL_SPJOIN_DIAMOND),
+    "spatial_semi": (q_spatial_semi, SQL_SPATIAL_SEMI),
+    "spatial_disjoint": (q_spatial_disjoint, SQL_SPATIAL_DISJOINT),
+    "spjoin_left": (q_spjoin_left, SQL_SPJOIN_LEFT),
+    "knn": (q_knn, SQL_KNN),
+    "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
+    "upscale": (q_upscale, SQL_UPSCALE),
+    "rasterize": (q_rasterize, SQL_RASTERIZE),
+    "flagship": (q_flagship, SQL_FLAGSHIP),
+    "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
+    "word_topk": (q_word_topk, SQL_WORD_TOPK),
+    "lang_stats": (q_lang_stats, SQL_LANG_STATS),
+    "quality": (q_quality, SQL_QUALITY),
+    "doc_topk_chars": (q_doc_topk_chars, SQL_DOC_TOPK_CHARS),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "embed_label_stats": (q_embed_label_stats, SQL_EMBED_LABEL_STATS),
+    "minhash_pairs": (q_minhash_pairs, None),
+    "simhash": (q_simhash, None),
+    "langid": (q_langid, None),
+    "ann_lsh": (q_ann_lsh, None),
+    "geodetic_buffer": (q_geodetic_buffer, None),
+    "dedup_near_embed": (q_dedup_near_embed, None),
+}
+
+
+def get_queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def get_oracle_sql():
+    out = {}
+    for name, (_, sql) in REGISTRY.items():
+        if sql is None:
+            continue
+        out[name] = sql() if callable(sql) else sql
+    return out

@@ -216,9 +216,12 @@ def join_large(left_ds, right_ds, on, num_buckets: int = 32, how: str = "inner")
     used instead when available)."""
     on = [on] if isinstance(on, str) else list(on)
     if hasattr(left_ds, "join"):
+        # hash-shuffle join spawns one aggregator actor per partition —
+        # cap partitions at the CPU count so the pool fits the cluster
+        nparts = max(2, min(num_buckets, int(ray.cluster_resources().get("CPU", 4))))
         try:
             return left_ds.join(right_ds, join_type=how, on=tuple(on),
-                                num_partitions=num_buckets)
+                                num_partitions=nparts)
         except Exception:
             pass
 

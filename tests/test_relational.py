@@ -1,0 +1,135 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from pythongis_ray import relational as rel
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/lineitem.parquet")
+
+
+def test_groupby_aggregate_algebraic(ray_session, lineitem):
+    out = rel.groupby_aggregate(
+        lineitem, ["l_returnflag", "l_linestatus"],
+        [("sum_qty", "l_quantity", "sum"),
+         ("cnt", "l_orderkey", "count"),
+         ("min_qty", "l_quantity", "min"),
+         ("max_qty", "l_quantity", "max"),
+         ("avg_qty", "l_quantity", "mean")],
+    ).to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    pdf = pd.read_parquet(f"{SF}/lineitem.parquet")
+    exp = (pdf.groupby(["l_returnflag", "l_linestatus"])
+           .agg(sum_qty=("l_quantity", "sum"), cnt=("l_orderkey", "count"),
+                min_qty=("l_quantity", "min"), max_qty=("l_quantity", "max"))
+           .reset_index().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True))
+    exp["avg_qty"] = exp.sum_qty / exp.cnt
+    pd.testing.assert_frame_equal(
+        out[exp.columns.tolist()].astype({"cnt": np.int64}), exp.astype({"cnt": np.int64}))
+
+
+def test_groupby_aggregate_holistic(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b"],
+        "ord": [3, 1, 2, 10, 9],
+        "v": [5.0, 7.0, 5.0, None, 4.0],
+        "s": ["x", "y", "x", "z", "z"],
+    })
+    out = rel.groupby_aggregate(
+        rd.from_pandas(df), "k",
+        [("first_v", "v", "first"), ("last_v", "v", "last"),
+         ("maj_s", "s", "majority"), ("min_s", "s", "minority"),
+         ("cat_s", "s", "concat:|")],
+        order_col="ord",
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    a = out[out.k == "a"].iloc[0]
+    assert a.first_v == 7.0  # ord=1 row
+    assert a.last_v == 5.0   # ord=3 row
+    assert a.maj_s == "x" and a.min_s == "y"
+    assert a.cat_s == "y|x|x"
+    b = out[out.k == "b"].iloc[0]
+    assert b.first_v == 4.0  # None dropped
+    assert b.maj_s == "z"
+
+
+def test_majority_tiebreak_smallest(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": [1, 1, 1, 1], "v": ["b", "a", "a", "b"], "o": range(4)})
+    out = rel.groupby_aggregate(rd.from_pandas(df), "k",
+                                [("m", "v", "majority")], order_col="o").to_pandas()
+    assert out.m.iloc[0] == "a"
+
+
+def test_hash_join_broadcast(ray_session):
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    out = rel.hash_join(orders, cust, on="o_custkey_join", how="inner") \
+        if False else None
+    # join on differing key names → pre-rename
+    cust2 = cust.rename(columns={"c_custkey": "o_custkey"})
+    out = rel.hash_join(orders, cust2[["o_custkey", "c_mktsegment"]],
+                        on="o_custkey").to_pandas()
+    exp = pd.read_parquet(f"{SF}/orders.parquet").merge(
+        cust2[["o_custkey", "c_mktsegment"]], on="o_custkey")
+    assert len(out) == len(exp)
+    assert out.c_mktsegment.value_counts().to_dict() == exp.c_mktsegment.value_counts().to_dict()
+
+
+def test_join_large_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    cust_pd = pd.read_parquet(f"{SF}/customer.parquet").rename(
+        columns={"c_custkey": "o_custkey"})[["o_custkey", "c_acctbal"]]
+    bc = rel.hash_join(orders, cust_pd, on="o_custkey").to_pandas()
+    lg = rel.join_large(orders, rd.from_pandas(cust_pd), on="o_custkey").to_pandas()
+    k = lambda d: sorted(zip(d.o_orderkey.astype(int), d.c_acctbal.round(2)))
+    assert k(bc) == k(lg)
+
+
+def test_dedup(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": [1, 1, 2, 2, 3], "o": [5, 2, 1, 9, 4], "v": list("abcde")})
+    out = rel.dedup(rd.from_pandas(df), "k", order_col="o").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out.v.tolist() == ["b", "c", "e"]
+
+
+def test_moving_window(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"g": [1] * 5, "t": [1, 2, 3, 4, 5], "v": [2.0, 4.0, 6.0, 8.0, 10.0]})
+    out = rel.moving_window(rd.from_pandas(df), "g", "t", "v", 3, "mean") \
+        .to_pandas().sort_values("t")
+    assert out.v_mean3.tolist() == [2.0, 3.0, 4.0, 6.0, 8.0]
+
+
+def test_merge_schema_harmonization(ray_session):
+    import ray.data as rd
+
+    a = rd.from_pandas(pd.DataFrame({"x": [1, 2], "y": ["p", "q"]}))
+    b = rd.from_pandas(pd.DataFrame({"x": [3], "z": [9.5]}))
+    out = rel.merge(a, b).to_pandas().sort_values("x").reset_index(drop=True)
+    assert set(out.columns) == {"x", "y", "z"}
+    assert out.y.isna().tolist() == [False, False, True]
+    assert out.z.isna().tolist() == [True, True, False]
+
+
+def test_split_by_class(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"v": [0.5, 10.0, 25.0, 49.9, 50.0]})
+    breaks = rel.equal_breaks(0, 50, 5)
+    out = rel.split_by_class(rd.from_pandas(df), "v", breaks).to_pandas()
+    assert out["class"].tolist() == [0, 0, 2, 4, 4]

@@ -1,0 +1,151 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pythongis_ray import embed, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_token_count_matches_split(ray_session, docs):
+    out = docs.map_batches(text.token_count, batch_format="pyarrow").to_pandas()
+    exp = out.text.str.split(" ").str.len()
+    assert (out.n_tokens == exp).all()
+
+
+def test_quality_score(ray_session, docs):
+    out = docs.map_batches(text.quality_score, batch_format="pyarrow").to_pandas()
+    row = out.iloc[0]
+    toks = row.text.split(" ")
+    assert row.n_tokens == len(toks)
+    assert row.n_stop == sum(t in text.STOPWORDS for t in toks)
+    assert row.stop_ratio == row.n_stop / row.n_tokens
+
+
+def test_word_frequency(ray_session, docs):
+    top = text.word_frequency(docs, top_k=5)
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    c = Counter(w for t in pdf.text for w in t.split(" "))
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(top.word, top.cnt)) == [(w, n) for w, n in exp]
+
+
+def test_fingerprint_dedup_key(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"text": ["a b c", "a b c", "x y", "", "a b d"]})
+    out = rd.from_pandas(df).map_batches(text.fingerprint,
+                                         batch_format="pyarrow").to_pandas()
+    assert out.fp[0] == out.fp[1]
+    assert out.fp[0] != out.fp[2]
+    assert out.fp[0] != out.fp[4]
+    # vectorized hash equals scalar recurrence
+    h = 0
+    for b in b"a b c":
+        h = (h * 1099511628211 + b) % (1 << 64)
+    assert int(np.uint64(out.fp[0])) == h
+
+
+def test_minhash_similar_docs_bucket_together():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    c = "completely different words with no overlap whatsoever in this text"
+    sa, sb, sc = (text.minhash_signature(t) for t in (a, b, c))
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    assert sim_ab > 0.5 > sim_ac
+    assert text.jaccard_tokens(a, b) > 0.8
+
+
+def test_minhash_dedup_pairs(ray_session):
+    import ray.data as rd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base + " one", base + " two", "unrelated totally distinct tokens here"],
+    })
+    pairs = text.minhash_dedup_pairs(rd.from_pandas(df), threshold=0.5).to_pandas()
+    assert set(zip(pairs.id_a, pairs.id_b)) == {(1, 2)}
+
+
+def test_simhash_similarity():
+    a = text.simhash64("the quick brown fox jumps over the lazy dog")
+    b = text.simhash64("the quick brown fox jumps over the lazy cat")
+    c = text.simhash64("zzz completely unrelated corpus of terms qqq")
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(a, b) < ham(a, c)
+
+
+def test_langid(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"text": [
+        "the cat is in the house and the dog is on a mat",
+        "der hund ist nicht die katze und das ist gut",
+        "le chat est dans la maison et les chiens",
+        "qqq zzz www",
+    ]})
+    out = rd.from_pandas(df).map_batches(
+        text.LanguageId, batch_format="pandas", batch_size=10,
+        concurrency=2).to_pandas()
+    assert out.lang_pred.tolist() == ["en", "de", "fr", "und"]
+
+
+# ----------------------------------------------------------- embeddings
+
+def test_ann_topk_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    queries = pdf[pdf.vec_id < 3]
+    out = embed.ann_topk(emb, queries, k=4)
+    mat = embed.quantize(np.vstack(pdf.embedding.to_numpy()))
+    ids = pdf.vec_id.to_numpy()
+    for qid in queries.vec_id:
+        q = mat[ids == qid][0]
+        scores = mat @ q
+        order = [i for i in np.lexsort((ids, -scores)) if ids[i] != qid][:4]
+        got = out[out.query_id == qid].sort_values("rank")
+        assert got.neighbor_id.tolist() == ids[order].tolist()
+        assert got.score.tolist() == scores[order].tolist()
+
+
+def test_ann_lsh_recall(ray_session):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    queries = pdf[pdf.vec_id < 5]
+    exact = embed.ann_topk(emb, queries, k=3)
+    approx = embed.ann_lsh(emb, queries, k=3, n_planes=2)
+    # approximate: shape identical, some overlap with the exact result
+    assert set(approx.columns) == set(exact.columns)
+    hits = len(set(zip(approx.query_id, approx.neighbor_id))
+               & set(zip(exact.query_id, exact.neighbor_id)))
+    assert hits >= 2
+
+
+def test_label_centroids(ray_session):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    out = embed.label_centroids(emb).to_pandas().sort_values("label")
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = embed.quantize(np.vstack(pdf.embedding.to_numpy()))
+    for _, r in out.iterrows():
+        m = pdf.label.to_numpy() == r.label
+        exp = mat[m].sum(axis=0) / m.sum()
+        assert np.array_equal(np.asarray(r.centroid), exp)
+        assert r.n == m.sum()
