@@ -1,0 +1,158 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from pythongis_ray import grid, raster
+
+T = raster.TILE
+
+
+def ramp(lon2, lat2, band):
+    return (lon2 + 180.0 + band).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def rast(ray_session):
+    import ray.data as rd
+
+    df = raster.make_raster(ramp, res=2, bands=1)
+    return rd.from_pandas(df)
+
+
+def test_make_raster_shape(rast):
+    df = rast.to_pandas()
+    nx, ny = grid.cell_dims(2)
+    assert len(df) == nx * ny
+    a = raster.bytes_to_tile(df.tile.iloc[0])
+    assert a.shape == (T, T)
+
+
+def test_band_math_scalar(ray_session, rast):
+    out = raster.band_math_scalar(rast, "mul", 2.0).to_pandas()
+    src = rast.to_pandas()
+    m = {c: raster.bytes_to_tile(t) for c, t in zip(src.cell_id, src.tile)}
+    for c, t in zip(out.cell_id, out.tile):
+        assert np.allclose(raster.bytes_to_tile(t), m[c] * 2.0)
+
+
+def test_band_math_two_rasters(ray_session):
+    import ray.data as rd
+
+    a = rd.from_pandas(raster.make_raster(ramp, res=1))
+    b = rd.from_pandas(raster.make_raster(lambda lo, la, bd: np.full_like(lo, 3.0,
+                                                                          dtype=np.float32), res=1))
+    out = raster.band_math(a, b, "add").to_pandas()
+    src = raster.make_raster(ramp, res=1)
+    m = {c: raster.bytes_to_tile(t) for c, t in zip(src.cell_id, src.tile)}
+    assert len(out) == len(src)
+    for c, t in zip(out.cell_id, out.tile):
+        assert np.allclose(raster.bytes_to_tile(t), m[c] + 3.0)
+
+
+def test_nodata_propagation(ray_session):
+    import ray.data as rd
+
+    df = raster.make_raster(ramp, res=0)
+    a0 = raster.bytes_to_tile(df.tile.iloc[0]).copy()
+    a0[0, 0] = raster.NODATA
+    df.at[0, "tile"] = raster.tile_to_bytes(a0)
+    out = raster.band_math_scalar(rd.from_pandas(df), "add", 1.0).to_pandas()
+    r = raster.bytes_to_tile(out[out.cell_id == df.cell_id.iloc[0]].tile.iloc[0])
+    assert r[0, 0] == raster.NODATA
+    assert r[0, 1] == a0[0, 1] + 1.0
+
+
+def test_recode(ray_session, rast):
+    out = raster.recode(rast, "lt", 10.0, 0.0).to_pandas()
+    for t in out.tile:
+        a = raster.bytes_to_tile(t)
+        assert not ((a < 10.0) & (a != 0.0) & (a != raster.NODATA)).any()
+
+
+def test_summarystats_exact(ray_session, rast):
+    stats = raster.summarystats(rast)
+    src = rast.to_pandas()
+    allv = np.concatenate([raster.bytes_to_tile(t).ravel() for t in src.tile])
+    assert stats["count"] == len(allv)
+    assert np.isclose(stats["sum"], allv.sum(dtype=np.float64))
+    assert stats["min"] == allv.min() and stats["max"] == allv.max()
+
+
+def test_upscale_parent_grid(ray_session, rast):
+    out = raster.upscale(rast).to_pandas()
+    nx, ny = grid.cell_dims(1)
+    assert len(out) == nx * ny
+    r, _, _ = grid.unpack(out.cell_id.to_numpy().astype(np.int64).view(np.uint64))
+    assert (r == 1).all()
+    # mean preserved globally (uniform weights, no nodata)
+    src_stats = raster.summarystats(rast)
+    import ray.data as rd
+    up_stats = raster.summarystats(rd.from_pandas(out))
+    assert np.isclose(src_stats["mean"], up_stats["mean"], rtol=1e-6)
+
+
+def test_mosaic_first_last(ray_session):
+    import ray.data as rd
+
+    a = raster.make_raster(lambda lo, la, b: np.full_like(lo, 1.0, dtype=np.float32), res=0)
+    b = raster.make_raster(lambda lo, la, b: np.full_like(lo, 2.0, dtype=np.float32), res=0)
+    first = raster.mosaic([rd.from_pandas(a), rd.from_pandas(b)], "first").to_pandas()
+    last = raster.mosaic([rd.from_pandas(a), rd.from_pandas(b)], "last").to_pandas()
+    assert all(raster.bytes_to_tile(t)[0, 0] == 1.0 for t in first.tile)
+    assert all(raster.bytes_to_tile(t)[0, 0] == 2.0 for t in last.tile)
+
+
+def test_rasterize_points_counts(ray_session):
+    import ray.data as rd
+
+    pts = pd.DataFrame({"lon": [10.0, 10.0, -20.0], "lat": [5.0, 5.0, -5.0]})
+    out = raster.rasterize_points(rd.from_pandas(pts), res=2).to_pandas()
+    total = sum(raster.bytes_to_tile(t).sum() for t in out.tile)
+    assert total == 3.0
+    # the duplicate point lands in one pixel with count 2
+    maxv = max(raster.bytes_to_tile(t).max() for t in out.tile)
+    assert maxv == 2.0
+
+
+def test_vectorize_roundtrip(ray_session):
+    import ray.data as rd
+
+    df = raster.make_raster(ramp, res=0).head(1)
+    out = raster.vectorize(rd.from_pandas(df)).to_pandas()
+    assert len(out) == T * T
+    a = raster.bytes_to_tile(df.tile.iloc[0])
+    row = out[(out.col == 3) & (out.row == 5)].iloc[0]
+    assert row.val == a[5, 3]
+    from pythongis_ray.geom import wkb as _wkb
+    g = _wkb.decode(bytes(row.geometry))
+    assert g["type"] == "Polygon"
+
+
+def test_zonal_statistics_tiles(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray import fixtures
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table("/root/testdata/sf0.001/nation.parquet").to_pandas()
+    zones = fixtures.zones_from_nation(nation)
+    tiles = rd.from_pandas(raster.make_raster(ramp, res=2))
+    out = raster.zonal_statistics(tiles, zones[["zone_id", "geometry"]])
+    assert len(out) == 25
+    # oracle: regenerate pixel centers and test rect membership
+    df = raster.make_raster(ramp, res=2)
+    lons, lats, vals = [], [], []
+    for cid, t in zip(df.cell_id, df.tile):
+        xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(
+            np.array([cid], dtype=np.int64).view(np.uint64)))
+        xs = xmin + (np.arange(T) + 0.5) * (xmax - xmin) / T
+        ys = ymin + (np.arange(T) + 0.5) * (ymax - ymin) / T
+        lon2, lat2 = np.meshgrid(xs, ys)
+        lons.append(lon2.ravel()); lats.append(lat2.ravel())
+        vals.append(raster.bytes_to_tile(t).ravel())
+    lon = np.concatenate(lons); lat = np.concatenate(lats); val = np.concatenate(vals)
+    for _, z in zones.head(5).iterrows():
+        m = (lon > z.x0) & (lon < z.x1) & (lat > z.y0) & (lat < z.y1)
+        got = out[out.zone_id == z.zone_id].iloc[0]
+        assert got.cnt == m.sum()
+        assert np.isclose(got.sum_val, val[m].sum(dtype=np.float64))
