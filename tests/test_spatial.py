@@ -143,3 +143,24 @@ def test_knn_join_matches_bruteforce(ray_session):
         got = out[out.pid == pid].sort_values("nn_rank")
         assert got.nn_id.tolist() == [int(pl_key[i]) for i in order]
     assert len(out) == 3 * len(pts)
+
+
+def test_grid_knn_matches_bruteforce_direct():
+    """GridKnnJoiner (expanding k-ring) must equal brute KnnJoiner
+    exactly, including (distance, id) tie-breaks."""
+    import pyarrow as pa
+
+    pl_key = np.arange(3000, dtype=np.int64) * 4 + 2
+    ix, iy = fixtures.geocode_units(pl_key)
+    plon, plat = fixtures.units_to_deg(ix, iy)
+    right = {"lon": plon, "lat": plat, "id": pl_key}
+    ck = np.arange(700, dtype=np.int64) * 4 + 1
+    cix, ciy = fixtures.geocode_units(ck)
+    clon, clat = fixtures.units_to_deg(cix, ciy)
+    batch = pa.table({"ck": ck, "lon": clon, "lat": clat})
+    g = spatial.GridKnnJoiner(right, k=4)
+    b = spatial.KnnJoiner(right, k=4, right_chunk=1000)
+    og = g(batch).to_pandas().sort_values(["ck", "nn_rank"]).reset_index(drop=True)
+    ob = b(batch).to_pandas().sort_values(["ck", "nn_rank"]).reset_index(drop=True)
+    assert og.nn_id.tolist() == ob.nn_id.tolist()
+    assert og.nn_dist_sq.tolist() == ob.nn_dist_sq.tolist()
