@@ -47,7 +47,13 @@ def synthesize_pages(batch: pa.Table, replicate: int = 1) -> pa.Table:
     else:
         page_id = doc_id
     site = page_id % N_SITES
-    url = pa.array([f"https://site{s}.example/{p}" for s, p in zip(site, page_id)])
+    n = len(page_id)
+    url = pc.binary_join_element_wise(
+        pa.array(np.full(n, "https://site"), pa.string()),
+        pc.cast(pa.array(site), pa.string()),
+        pa.array(np.full(n, ".example/"), pa.string()),
+        pc.cast(pa.array(page_id), pa.string()),
+        "")
     warc_ts = pa.array((EPOCH_2024 + page_id * 37_000_000).view(np.int64),
                        type=pa.timestamp("us"))
     html = pc.binary_join_element_wise(

@@ -271,24 +271,30 @@ def rasterize_points(points_ds, res: int, t: int = TILE,
         return pd.DataFrame({"pix": u, "w": w})
 
     parts = points_ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    from ray.data.aggregate import Sum
+    from pythongis_ray.relational import bucketed_group_apply
 
-    def add_cell(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["cell_id"] = batch["pix"] // (t * t)
-        return batch
+    def combine_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("pix", sort=False)["w"].sum().reset_index()
+        g["cell_id"] = g["pix"] // (t * t)
+        # assemble full tiles per cell within the bucket (vectorized
+        # scatter per cell; cells hash whole to one bucket via pix? no —
+        # pix buckets split cells, so emit per-pixel rows and assemble
+        # in a second cell-keyed pass)
+        return g
 
-    combined = parts.groupby("pix").aggregate(Sum("w", alias_name="w")) \
-        .map_batches(add_cell, batch_format="pandas")
+    combined = bucketed_group_apply(parts, ["pix"], combine_bucket)
 
-    def to_tiles(g: pd.DataFrame) -> pd.DataFrame:
-        tile = np.zeros((t, t), dtype=np.float32)
-        loc = g["pix"].to_numpy() % (t * t)
-        tile.ravel()[loc] = g["w"].to_numpy()
-        return pd.DataFrame({"cell_id": [g["cell_id"].iloc[0]], "band": [np.int32(0)],
-                             "tile": [tile_to_bytes(tile)], "nodata": [0.0]})
+    def to_tiles_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, g in b.groupby("cell_id", sort=False):
+            tile = np.zeros((t, t), dtype=np.float32)
+            loc = g["pix"].to_numpy() % (t * t)
+            tile.ravel()[loc] = g["w"].to_numpy()
+            rows.append({"cell_id": cid, "band": np.int32(0),
+                         "tile": tile_to_bytes(tile), "nodata": 0.0})
+        return pd.DataFrame(rows, columns=["cell_id", "band", "tile", "nodata"])
 
-    return combined.groupby("cell_id").map_groups(to_tiles, batch_format="pandas")
+    return bucketed_group_apply(combined, ["cell_id"], to_tiles_bucket)
 
 
 def vectorize(ds, t: int = TILE, merge_equal: bool = False):

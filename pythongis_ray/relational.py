@@ -37,6 +37,33 @@ import ray
 ALGEBRAIC = {"count", "sum", "min", "max", "mean", "avg"}
 HOLISTIC = {"first", "last", "majority", "minority", "concat", "median"}
 
+NUM_BUCKETS = 64
+
+
+def bucketed_group_apply(ds, keys: list[str], fn, num_buckets: int = NUM_BUCKETS):
+    """Hash-bucketed grouped apply: the high-cardinality groupby path.
+
+    Ray's sort-based ``groupby().aggregate`` iterates keys in Python —
+    fine for hundreds of groups, minutes for 10^5+. This routes rows to
+    ``hash(keys) % B`` buckets (ONE shuffle over B groups) and runs a
+    VECTORIZED pandas group computation inside each bucket. ``fn``
+    receives one bucket DataFrame (already without the bucket column)
+    and returns its aggregated frame. Bucket hash is
+    ``pd.util.hash_pandas_object`` (deterministic, fixed key).
+    """
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[keys], index=False).to_numpy()
+        batch = batch.copy()
+        batch["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return batch
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["_bucket"]))
+
+    return (ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+            .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
+
 
 @dataclass
 class Agg:
@@ -71,9 +98,7 @@ def groupby_aggregate(ds, keys, specs, order_col: str | None = None):
 
 
 def _aggregate_partial(ds, keys: list[str], specs: list[Agg]):
-    """Combiner path: per-batch partials → tiny shuffle → final combine."""
-    from ray.data.aggregate import Max, Min, Sum
-
+    """Combiner path: per-batch partials → bucketed hash combine."""
     need = []  # (partial_col, src_col, kind)
     for s in specs:
         st = "mean" if s.stat == "avg" else s.stat
@@ -105,37 +130,43 @@ def _aggregate_partial(ds, keys: list[str], specs: list[Agg]):
         return pd.DataFrame(cols).reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    aggs = []
+    combine_ops = {}
     for pc, src, kind in need:
-        if kind == "count" or kind == "sum":
-            aggs.append(Sum(pc, alias_name=pc))
-        elif kind == "min":
-            aggs.append(Min(pc, alias_name=pc))
-        elif kind == "max":
-            aggs.append(Max(pc, alias_name=pc))
-    final = partials.groupby(keys).aggregate(*aggs)
+        combine_ops[pc] = {"count": "sum", "sum": "sum",
+                           "min": "min", "max": "max"}[kind]
 
-    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[keys].copy()
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(keys, sort=False, dropna=False).agg(combine_ops) \
+            .reset_index()
+        out = g[keys].copy()
         for s in specs:
             st = "mean" if s.stat == "avg" else s.stat
             if st == "count":
-                out[s.out] = batch[f"__cnt_{s.col or '*'}"].astype(np.int64)
+                out[s.out] = g[f"__cnt_{s.col or '*'}"].astype(np.int64)
             elif st == "sum":
-                out[s.out] = batch[f"__sum_{s.col}"]
+                out[s.out] = g[f"__sum_{s.col}"]
             elif st == "min":
-                out[s.out] = batch[f"__min_{s.col}"]
+                out[s.out] = g[f"__min_{s.col}"]
             elif st == "max":
-                out[s.out] = batch[f"__max_{s.col}"]
+                out[s.out] = g[f"__max_{s.col}"]
             elif st == "mean":
-                out[s.out] = batch[f"__sum_{s.col}"].to_numpy(np.float64) \
-                    / batch[f"__cnt_{s.col}"].to_numpy(np.float64)
+                out[s.out] = g[f"__sum_{s.col}"].to_numpy(np.float64) \
+                    / g[f"__cnt_{s.col}"].to_numpy(np.float64)
         return out
 
-    return final.map_batches(finalize, batch_format="pandas")
+    # bucketed hash combine: one B-group shuffle, vectorized inside
+    return bucketed_group_apply(partials, keys, combine)
 
 
 def _aggregate_map_groups(ds, keys: list[str], specs: list[Agg], order_col):
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = [per_group(g) for _, g in
+                bucket.groupby(keys, sort=False, dropna=False)]
+        if not outs:
+            cols = keys + [s.out for s in specs]
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.concat(outs, ignore_index=True)
+
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         if order_col is not None:
             g = g.sort_values(order_col, kind="stable")
@@ -180,7 +211,7 @@ def _aggregate_map_groups(ds, keys: list[str], specs: list[Agg], order_col):
                 raise ValueError(f"unknown stat {s.stat!r}")
         return pd.DataFrame(row)
 
-    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+    return bucketed_group_apply(ds, keys, per_bucket)
 
 
 # ----------------------------------------------------------------- joins
@@ -271,12 +302,12 @@ def dedup(ds, keys, order_col: str | None = None):
     /root/reference/pythongis/vector/data.py:990-1015)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         if order_col is not None:
-            g = g.sort_values(order_col, kind="stable")
-        return g.head(1)
+            bucket = bucket.sort_values(order_col, kind="stable")
+        return bucket.drop_duplicates(subset=keys, keep="first")
 
-    return ds.groupby(keys).map_groups(first, batch_format="pandas")
+    return bucketed_group_apply(ds, keys, per_bucket)
 
 
 def moving_window(ds, group_key, order_cols, value_col, n: int, stat: str = "mean",
@@ -288,23 +319,25 @@ def moving_window(ds, group_key, order_cols, value_col, n: int, stat: str = "mea
     group_key = [group_key] if isinstance(group_key, str) else list(group_key)
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="stable").reset_index(drop=True)
-        r = g[value_col].rolling(n, min_periods=1)
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(group_key + order_cols, kind="stable") \
+            .reset_index(drop=True)
+        r = g.groupby(group_key, sort=False)[value_col].rolling(n, min_periods=1)
         if stat == "mean":
             # exact: integer rolling sum / count in one division
-            g[out_col] = r.sum() / r.count()
+            vals = (r.sum() / r.count()).to_numpy()
         elif stat == "sum":
-            g[out_col] = r.sum()
+            vals = r.sum().to_numpy()
         elif stat == "min":
-            g[out_col] = r.min()
+            vals = r.min().to_numpy()
         elif stat == "max":
-            g[out_col] = r.max()
+            vals = r.max().to_numpy()
         else:
             raise ValueError(stat)
+        g[out_col] = vals
         return g
 
-    return ds.groupby(group_key).map_groups(per_group, batch_format="pandas")
+    return bucketed_group_apply(ds, group_key, per_bucket)
 
 
 # ----------------------------------------------------------- merge/split

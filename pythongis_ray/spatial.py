@@ -87,7 +87,26 @@ class ZoneIndex:
             for c in grid.bbox_to_cells(*p.bbox, res=res):
                 c2z.setdefault(int(c), []).append(zi)
         idx.cell_to_zones = c2z
+        idx._build_csr()
         return idx
+
+    def _build_csr(self):
+        """Dense CSR cell→zones lookup so candidate assignment per batch
+        is pure vectorized gather (no Python per unique cell)."""
+        nx, ny = grid.cell_dims(self.res)
+        ncells = nx * ny
+        counts = np.zeros(ncells + 1, dtype=np.int64)
+        for c, zs in self.cell_to_zones.items():
+            _, ix, iy = grid.unpack(np.array([c], dtype=np.uint64))
+            counts[int(iy[0]) * nx + int(ix[0]) + 1] = len(zs)
+        self.csr_off = np.cumsum(counts)
+        self.csr_zones = np.empty(int(self.csr_off[-1]), dtype=np.int64)
+        for c, zs in self.cell_to_zones.items():
+            _, ix, iy = grid.unpack(np.array([c], dtype=np.uint64))
+            li = int(iy[0]) * nx + int(ix[0])
+            self.csr_zones[self.csr_off[li]:self.csr_off[li + 1]] = zs
+        self._nx = nx
+        self._ny = ny
 
     @classmethod
     def from_pandas(cls, df: pd.DataFrame, geometry_col: str = "geometry",
@@ -107,21 +126,29 @@ class ZoneIndex:
         engine equivalent of the reference's per-feature
         quick_overlap + prepared predicate loop, manager.py:389-414).
         """
-        cells = grid.point_to_cell(lon, lat, self.res)
-        order = np.argsort(cells, kind="stable")
-        scells = cells[order]
-        bounds = np.flatnonzero(np.r_[True, scells[1:] != scells[:-1], True])
-        zone_pts: dict[int, list[np.ndarray]] = {}
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            zs = self.cell_to_zones.get(int(scells[s]))
-            if not zs:
-                continue
-            seg = order[s:e]
-            for zi in zs:
-                zone_pts.setdefault(zi, []).append(seg)
+        step = grid.cell_size_deg(self.res)
+        ix = np.floor((np.asarray(lon, np.float64) + 180.0) / step).astype(np.int64) % self._nx
+        iy = np.clip(np.floor((np.asarray(lat, np.float64) + 90.0) / step).astype(np.int64),
+                     0, self._ny - 1)
+        li = iy * self._nx + ix
+        # vectorized candidate-pair expansion via the CSR lookup
+        starts = self.csr_off[li]
+        cnts = self.csr_off[li + 1] - starts
+        total = int(cnts.sum())
+        if total == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        pt_pair = np.repeat(np.arange(len(li), dtype=np.int64), cnts)
+        cum = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        local = np.arange(total, dtype=np.int64) - np.repeat(cum, cnts)
+        zi_pair = self.csr_zones[np.repeat(starts, cnts) + local]
+        # group candidate pairs by zone (few zones → short Python loop)
+        zorder = np.argsort(zi_pair, kind="stable")
+        zsorted = zi_pair[zorder]
+        zbounds = np.flatnonzero(np.r_[True, zsorted[1:] != zsorted[:-1], True])
         out_p, out_z = [], []
-        for zi, segs in zone_pts.items():
-            pts = np.concatenate(segs)
+        for s, e in zip(zbounds[:-1], zbounds[1:]):
+            zi = int(zsorted[s])
+            pts = pt_pair[zorder[s:e]]
             poly = self.polys[zi]
             if predicate in ("intersects", "covers"):
                 m = poly.covers_points(lon[pts], lat[pts])
@@ -592,12 +619,16 @@ def _cell_counts(points_ds, lon_col: str, lat_col: str, res: int) -> pd.DataFram
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
         cells = grid.point_to_cell(lon, lat, res)
         u, c = np.unique(cells, return_counts=True)
-        return pd.DataFrame({"cell": u.astype(np.uint64), "n": c.astype(np.int64)})
+        return pd.DataFrame({"cell": u.view(np.int64), "n": c.astype(np.int64)})
 
-    from ray.data.aggregate import Sum
-    agg = (points_ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-           .groupby("cell").aggregate(Sum("n", alias_name="n")))
-    return agg.to_pandas()
+    from pythongis_ray.relational import bucketed_group_apply
+
+    parts = points_ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = bucketed_group_apply(
+        parts, ["cell"],
+        lambda b: b.groupby("cell", sort=False)["n"].sum().reset_index()).to_pandas()
+    out["cell"] = out["cell"].to_numpy().view(np.uint64)
+    return out
 
 
 def plan_salts(cell_counts: pd.DataFrame, rows_per_task: int = 50_000) -> dict[int, int]:

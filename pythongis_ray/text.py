@@ -78,12 +78,17 @@ def words_exploded(ds, text_col: str = "text", word_col: str = "word"):
 
 
 def word_frequency(ds, text_col: str = "text", top_k: int | None = None):
-    """Global word frequency: per-batch partial counts → groupby sum.
-    Ties in top-k broken alphabetically (deterministic)."""
-    from ray.data.aggregate import Sum
+    """Global word frequency: per-batch partial counts → bucketed hash
+    combine (word cardinality is high — Ray's sort-aggregate iterates
+    keys in Python, so the combine goes through the vectorized bucket
+    path). Ties in top-k broken alphabetically (deterministic)."""
+    from pythongis_ray.relational import bucketed_group_apply
 
     parts = words_exploded(ds, text_col)
-    freq = parts.groupby("word").aggregate(Sum("pcnt", alias_name="cnt"))
+    freq = bucketed_group_apply(
+        parts, ["word"],
+        lambda b: b.groupby("word", sort=False)["pcnt"].sum()
+        .rename("cnt").reset_index())
     if top_k is None:
         return freq
     pdf = freq.to_pandas().sort_values(["cnt", "word"], ascending=[False, True],

@@ -1,0 +1,371 @@
+"""Per-feature vector operators (maps over geometry columns).
+
+Covers the reference's manager/converter per-feature transforms
+(SURVEY.md §2.2) as stateless vectorized ``map_batches`` stages:
+
+  buffer        manager.buffer (planar n-gon ring; geodetic Vincenty
+                ring) — /root/reference/pythongis/vector/manager.py:726-780
+  centroids     converter.to_points 'centroid' — converter.py:115-128
+  to_vertices   converter.to_points vertex explosion (flat-map shape)
+  simplify      manager.clean(tolerance) Douglas-Peucker —
+                manager.py:576-610
+  clean         drop null/invalid geometries, drop non-finite coords —
+                Feature.transform semantics, data.py:249-310
+  reproject     manager.reproject — manager.py:822-846; pyproj is not
+                available in this environment, so the built-in CRS pair
+                is WGS84⟷WebMercator (EPSG:4326⟷3857, the standard
+                published spherical-Mercator formulas); the stage shape
+                (per-worker cached transform fn) is the same for any
+                pyproj-backed transformer
+  connect       manager.connect: key-join two point sets and emit
+                great-circle paths — manager.py:660-713
+  crop          manager.crop: bbox filter + rectangle clip —
+                manager.py:26-45
+  describe      data.describe/summarystats profiling — data.py:731-824
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pythongis_ray.geom import algo, geodesy, wkb
+
+EARTH_R = 6378137.0  # WebMercator sphere radius
+
+
+# ------------------------------------------------------------- buffers
+
+def buffer_points(ds, radius, lon_col: str = "lon", lat_col: str = "lat",
+                  n: int = 16, geodetic: bool = False,
+                  out_col: str = "geometry"):
+    """Point buffer → polygon WKB column. ``radius`` is a constant
+    (degrees planar / meters geodetic) or a column name (the
+    reference accepts per-feature distance callables,
+    manager.py:738-741)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        r = (batch[radius].to_numpy(zero_copy_only=False)
+             if isinstance(radius, str) else np.full(len(lon), float(radius)))
+        geoms = []
+        if geodetic:
+            for x, y, rr in zip(lon, lat, r):
+                ring = geodesy.geodetic_point_buffer(x, y, rr, n=n)
+                geoms.append(wkb.encode_polygon([ring]))
+        else:
+            ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+            ca, sa = np.cos(ang), np.sin(ang)
+            for x, y, rr in zip(lon, lat, r):
+                ring = np.column_stack([x + rr * ca, y + rr * sa])
+                geoms.append(wkb.encode_polygon([np.vstack([ring, ring[:1]])]))
+        return batch.append_column(out_col, pa.array(geoms, pa.binary()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+# ------------------------------------------------------- geometry maps
+
+def centroids(ds, geometry_col: str = "geometry"):
+    """Add lon/lat centroid columns for a polygon WKB column."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        xs, ys = [], []
+        for b in batch[geometry_col].to_pylist():
+            g = wkb.decode(bytes(b))
+            if g["type"] == "Point":
+                xs.append(float(g["rings"][0][0, 0]))
+                ys.append(float(g["rings"][0][0, 1]))
+            elif g["type"] in ("Polygon", "MultiPolygon"):
+                cx, cy = algo.polygon_centroid(g["rings"])
+                xs.append(cx)
+                ys.append(cy)
+            else:
+                pts = np.vstack(g["rings"])
+                xs.append(float(pts[:, 0].mean()))
+                ys.append(float(pts[:, 1].mean()))
+        batch = batch.append_column("lon", pa.array(xs))
+        return batch.append_column("lat", pa.array(ys))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def to_vertices(ds, geometry_col: str = "geometry"):
+    """Explode each geometry into one row per vertex (flat-map shape:
+    more output rows than input)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        idx, vx, vy = [], [], []
+        for i, b in enumerate(batch[geometry_col].to_pylist()):
+            pts = np.vstack(wkb.decode(bytes(b))["rings"])
+            idx.extend([i] * len(pts))
+            vx.extend(pts[:, 0].tolist())
+            vy.extend(pts[:, 1].tolist())
+        out = batch.drop_columns([geometry_col]).take(pa.array(idx))
+        out = out.append_column("vx", pa.array(vx))
+        return out.append_column("vy", pa.array(vy))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def _dp_mask(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask (iterative stack, no recursion)."""
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    t2 = tol * tol
+    while stack:
+        s, e = stack.pop()
+        if e - s < 2:
+            continue
+        seg = pts[s + 1:e]
+        d2 = algo.points_to_segments_sq(
+            seg[:, 0], seg[:, 1],
+            np.array([pts[s, 0]]), np.array([pts[s, 1]]),
+            np.array([pts[e, 0]]), np.array([pts[e, 1]]))[:, 0]
+        imax = int(np.argmax(d2))
+        if d2[imax] > t2:
+            m = s + 1 + imax
+            keep[m] = True
+            stack.append((s, m))
+            stack.append((m, e))
+    return keep
+
+
+def simplify(ds, tolerance: float, geometry_col: str = "geometry"):
+    """Douglas-Peucker simplification of LineString/Polygon WKB."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch[geometry_col].to_pylist():
+            g = wkb.decode(bytes(b))
+            if g["type"] == "LineString":
+                pts = g["rings"][0]
+                out.append(wkb.encode_linestring(pts[_dp_mask(pts, tolerance)]))
+            elif g["type"] == "Polygon":
+                rings = []
+                for ring in g["rings"]:
+                    kept = ring[_dp_mask(ring, tolerance)]
+                    if len(kept) >= 4:
+                        rings.append(kept)
+                out.append(wkb.encode_polygon(rings) if rings else b)
+            else:
+                out.append(b)
+        return batch.set_column(batch.column_names.index(geometry_col),
+                                geometry_col, pa.array(out, pa.binary()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def clean(ds, geometry_col: str = "geometry"):
+    """Drop rows with null geometry; drop non-finite coordinates inside
+    geometries (reference Feature.transform drops inf/NaN points,
+    data.py:249-310; query_to_data drops null-geometry rows,
+    sql.py:253-255)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep, fixed = [], []
+        for b in batch[geometry_col].to_pylist():
+            if b is None:
+                keep.append(False)
+                continue
+            g = wkb.decode(bytes(b))
+            ok = True
+            rings = []
+            for ring in g["rings"]:
+                finite = np.isfinite(ring).all(axis=1)
+                ring = ring[finite]
+                min_pts = 4 if g["type"].endswith("Polygon") else \
+                    (1 if g["type"].endswith("Point") else 2)
+                if len(ring) < min_pts:
+                    ok = False
+                    break
+                rings.append(ring)
+            keep.append(ok)
+            if ok:
+                if g["type"] == "Point":
+                    fixed.append(wkb.encode_point(*rings[0][0]))
+                elif g["type"] == "LineString":
+                    fixed.append(wkb.encode_linestring(rings[0]))
+                elif g["type"] == "Polygon":
+                    fixed.append(wkb.encode_polygon(rings))
+                else:
+                    fixed.append(b)
+        out = batch.filter(pa.array(keep))
+        return out.set_column(out.column_names.index(geometry_col),
+                              geometry_col, pa.array(fixed, pa.binary()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+# ----------------------------------------------------------- reproject
+
+def lonlat_to_webmercator(lon: np.ndarray, lat: np.ndarray):
+    x = np.radians(lon) * EARTH_R
+    y = np.log(np.tan(np.pi / 4 + np.radians(np.clip(lat, -85.051129, 85.051129)) / 2)) * EARTH_R
+    return x, y
+
+
+def webmercator_to_lonlat(x: np.ndarray, y: np.ndarray):
+    lon = np.degrees(x / EARTH_R)
+    lat = np.degrees(2 * np.arctan(np.exp(y / EARTH_R)) - np.pi / 2)
+    return lon, lat
+
+
+def reproject(ds, direction: str = "to_webmercator",
+              lon_col: str = "lon", lat_col: str = "lat",
+              x_col: str = "x", y_col: str = "y"):
+    """Vectorized coordinate reprojection stage."""
+
+    def fwd(batch: pa.Table) -> pa.Table:
+        x, y = lonlat_to_webmercator(batch[lon_col].to_numpy(zero_copy_only=False),
+                                     batch[lat_col].to_numpy(zero_copy_only=False))
+        batch = batch.append_column(x_col, pa.array(x))
+        return batch.append_column(y_col, pa.array(y))
+
+    def inv(batch: pa.Table) -> pa.Table:
+        lon, lat = webmercator_to_lonlat(batch[x_col].to_numpy(zero_copy_only=False),
+                                         batch[y_col].to_numpy(zero_copy_only=False))
+        batch = batch.append_column(lon_col, pa.array(lon))
+        return batch.append_column(lat_col, pa.array(lat))
+
+    return ds.map_batches(fwd if direction == "to_webmercator" else inv,
+                          batch_format="pyarrow", batch_size=65536)
+
+
+# ------------------------------------------------------------- connect
+
+def great_circle_path(lon1, lat1, lon2, lat2, n: int = 32) -> np.ndarray:
+    """(n+1, 2) great-circle intermediate points (spherical slerp) —
+    the reference's `line_to`/path generator shape (_helpers.py:236-294)."""
+    p1 = np.radians([lon1, lat1])
+    p2 = np.radians([lon2, lat2])
+    v1 = np.array([np.cos(p1[1]) * np.cos(p1[0]), np.cos(p1[1]) * np.sin(p1[0]),
+                   np.sin(p1[1])])
+    v2 = np.array([np.cos(p2[1]) * np.cos(p2[0]), np.cos(p2[1]) * np.sin(p2[0]),
+                   np.sin(p2[1])])
+    omega = np.arccos(np.clip(v1 @ v2, -1, 1))
+    if omega == 0:
+        return np.array([[lon1, lat1], [lon2, lat2]])
+    t = np.linspace(0, 1, n + 1)
+    so = np.sin(omega)
+    vs = (np.sin((1 - t)[:, None] * omega) * v1[None, :]
+          + np.sin(t[:, None] * omega) * v2[None, :]) / so
+    lons = np.degrees(np.arctan2(vs[:, 1], vs[:, 0]))
+    lats = np.degrees(np.arcsin(np.clip(vs[:, 2] / np.linalg.norm(vs, axis=1), -1, 1)))
+    return np.column_stack([lons, lats])
+
+
+def connect(left_ds, right: pd.DataFrame, on: str,
+            lon_col: str = "lon", lat_col: str = "lat", segments: int = 16):
+    """Key-join two point layers and emit great-circle LineString WKB
+    per pair (reference connect, manager.py:660-713). Right side is
+    broadcast."""
+    import ray
+
+    ref = ray.put(right)
+
+    class _Connect:
+        def __init__(self):
+            r = ray.get(ref)
+            self.right = r.set_index(on)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for _, row in batch.iterrows():
+                key = row[on]
+                if key not in self.right.index:
+                    continue
+                r = self.right.loc[key]
+                path = great_circle_path(row[lon_col], row[lat_col],
+                                         r[lon_col], r[lat_col], segments)
+                rows.append({on: key, "geometry": wkb.encode_linestring(path)})
+            return pd.DataFrame(rows, columns=[on, "geometry"])
+
+    return left_ds.map_batches(_Connect, batch_format="pandas", batch_size=4096,
+                               concurrency=2, num_cpus=1)
+
+
+# ----------------------------------------------------------------- crop
+
+def crop(ds, bbox: tuple, geometry_col: str | None = None,
+         lon_col: str = "lon", lat_col: str = "lat", clip: bool = True):
+    """Crop to bbox: points filtered; polygons bbox-filtered then
+    rectangle-clipped (reference crop: spindex candidates + shapely
+    intersection, manager.py:26-45)."""
+    x0, y0, x1, y1 = bbox
+
+    def pts(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        keep = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        return batch.filter(pa.array(keep))
+
+    if geometry_col is None:
+        return ds.map_batches(pts, batch_format="pyarrow", batch_size=65536)
+
+    rect = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+
+    def polys(batch: pa.Table) -> pa.Table:
+        keep, out = [], []
+        for b in batch[geometry_col].to_pylist():
+            gx0, gy0, gx1, gy1 = wkb.bbox(bytes(b))
+            if gx1 < x0 or gx0 > x1 or gy1 < y0 or gy0 > y1:
+                keep.append(False)
+                continue
+            keep.append(True)
+            if clip:
+                g = wkb.decode(bytes(b))
+                if g["type"] == "Polygon":
+                    c = algo.clip_polygon_convex(g["rings"][0], rect)
+                    out.append(wkb.encode_polygon([c]) if c is not None else b)
+                else:
+                    out.append(b)
+            else:
+                out.append(b)
+        t = batch.filter(pa.array(keep))
+        return t.set_column(t.column_names.index(geometry_col), geometry_col,
+                            pa.array(out, pa.binary()))
+
+    return ds.map_batches(polys, batch_format="pyarrow", batch_size=4096)
+
+
+# -------------------------------------------------------------- profiling
+
+def describe(ds, columns: list[str] | None = None) -> pd.DataFrame:
+    """Per-column profile: n, missing, min/max/mean for numeric columns
+    (reference describe/summarystats, data.py:731-824). Partial
+    per-batch stats → driver combine; one streaming pass."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in (columns or batch.columns):
+            col = batch[c]
+            miss = int(col.isna().sum())
+            if pd.api.types.is_numeric_dtype(col):
+                v = col.dropna()
+                rows.append((c, len(col), miss,
+                             float(v.sum()) if len(v) else 0.0,
+                             float(v.min()) if len(v) else np.nan,
+                             float(v.max()) if len(v) else np.nan,
+                             len(v)))
+            else:
+                rows.append((c, len(col), miss, np.nan, np.nan, np.nan, 0))
+        return pd.DataFrame(rows, columns=["column", "n", "missing", "psum",
+                                           "pmin", "pmax", "pcnt"])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    g = parts.groupby("column", sort=True)
+    out = pd.DataFrame({
+        "n": g["n"].sum(),
+        "missing": g["missing"].sum(),
+        "min": g["pmin"].min(),
+        "max": g["pmax"].max(),
+    })
+    cnt = g["pcnt"].sum()
+    out["mean"] = np.where(cnt > 0, g["psum"].sum() / cnt.replace(0, 1), np.nan)
+    return out.reset_index()
