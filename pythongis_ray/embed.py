@@ -20,6 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from pythongis_ray import state
+
 
 def _as_matrix(col) -> np.ndarray:
     """list<float> Arrow column → (n, d) float matrix, zero-copy when
@@ -88,12 +90,15 @@ def ann_topk(ds, queries: pd.DataFrame, k: int = 5, id_col: str = "vec_id",
     # keep one extra partial candidate so dropping the self-match can't
     # shrink a query's final top-k below k
     k_eff = k + 1 if exclude_self else k
-    parts = ds.map_batches(
-        TopKDot,
-        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col,
-                                   emb_col=emb_col, k=k_eff, scale=scale),
-        batch_format="pyarrow", batch_size=4096, concurrency=ncpu,
-        num_cpus=1).to_pandas()
+
+    def fn(batch):
+        st = state.get_broadcast(
+            ref, builder=lambda q: TopKDot(q, id_col, emb_col, k_eff, scale),
+            key_extra=("topk", id_col, emb_col, k_eff, scale))
+        return st(batch)
+
+    parts = ds.map_batches(fn, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
     if exclude_self:
         parts = parts[parts.query_id != parts.neighbor_id]
     parts = parts.sort_values(["query_id", "score", "neighbor_id"],

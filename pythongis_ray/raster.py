@@ -26,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from pythongis_ray import grid
+from pythongis_ray import grid, state
 from pythongis_ray.geom import algo, wkb
 
 TILE = 64  # tile edge in pixels
@@ -338,8 +338,8 @@ def zonal_statistics(tiles_ds, zones: pd.DataFrame, t: int = TILE):
     ref = ray.put(index)
 
     class _Partial:
-        def __init__(self):
-            self.index: ZoneIndex = ray.get(ref)
+        def __init__(self, index):
+            self.index: ZoneIndex = index
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             rows = []
@@ -365,9 +365,11 @@ def zonal_statistics(tiles_ds, zones: pd.DataFrame, t: int = TILE):
             return pd.DataFrame(rows, columns=["zone_idx", "psum", "pcnt",
                                                "pmin", "pmax"])
 
-    parts = tiles_ds.map_batches(_Partial, batch_format="pandas", batch_size=64,
-                                 concurrency=max(2, int(ray.cluster_resources()
-                                                        .get("CPU", 4)) - 2))
+    def partial_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        st = state.get_broadcast(ref, builder=_Partial, key_extra=("zonal_tiles",))
+        return st(batch)
+
+    parts = tiles_ds.map_batches(partial_fn, batch_format="pandas", batch_size=64)
     agg = parts.groupby("zone_idx").aggregate(
         Sum("psum", alias_name="sum_val"), Sum("pcnt", alias_name="cnt"),
         Min("pmin", alias_name="min_val"), Max("pmax", alias_name="max_val"))

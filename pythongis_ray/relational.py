@@ -225,19 +225,13 @@ def hash_join(left_ds, right: pd.DataFrame, on, how: str = "inner",
     on = [on] if isinstance(on, str) else list(on)
     ref = ray.put(right)
 
-    class _Join:
-        def __init__(self):
-            r = ray.get(ref)
-            self.right = r
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        from pythongis_ray import state
+        r = state.get_broadcast(ref, key_extra=("hashjoin",))
+        drop = [c for c in r.columns if c in batch.columns and c not in on]
+        return batch.merge(r.drop(columns=drop), on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            r = self.right
-            drop = [c for c in r.columns if c in batch.columns and c not in on]
-            r = r.drop(columns=drop)
-            return batch.merge(r, on=on, how=how)
-
-    return left_ds.map_batches(_Join, batch_format="pandas", batch_size=65536,
-                               concurrency=_pool(), num_cpus=1)
+    return left_ds.map_batches(fn, batch_format="pandas", batch_size=65536)
 
 
 def join_large(left_ds, right_ds, on, num_buckets: int = 32, how: str = "inner"):

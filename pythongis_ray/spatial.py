@@ -38,7 +38,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from pythongis_ray import grid
+from pythongis_ray import grid, state
 from pythongis_ray.geom import algo, wkb
 
 
@@ -247,22 +247,36 @@ class BroadcastSpatialJoiner:
 def spatial_join(points_ds, zones: pd.DataFrame | ZoneIndex, predicate: str = "intersects",
                  how: str = "inner", lon_col: str = "lon", lat_col: str = "lat",
                  geometry_col: str | None = None, radius: float = 0.0,
-                 rsuffix: str = "", batch_size: int = 65536, concurrency=None):
+                 rsuffix: str = "", batch_size: int = 65536, concurrency=None,
+                 compute: str = "tasks"):
     """Broadcast spatial join: Dataset of points × small polygon layer.
 
     The 100 TB shape: zones go through ``ray.put`` once; the Dataset
-    streams through a ``map_batches`` actor pool — no all-to-all
-    shuffle, no driver materialization."""
+    streams through refine workers that hold the parsed index — either
+    a dedicated actor pool (``compute="actors"``) or warm stateless
+    tasks with a worker-side state cache (default; see state.py) —
+    no all-to-all shuffle, no driver materialization."""
     index = zones if isinstance(zones, ZoneIndex) else ZoneIndex.from_pandas(zones)
     ref = ray.put(index)
-    return points_ds.map_batches(
-        BroadcastSpatialJoiner,
-        fn_constructor_kwargs=dict(index_ref=ref, predicate=predicate, how=how,
-                                   lon_col=lon_col, lat_col=lat_col,
-                                   geometry_col=geometry_col, radius=radius,
-                                   rsuffix=rsuffix),
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=_pool_size(concurrency), num_cpus=1)
+    kw = dict(predicate=predicate, how=how, lon_col=lon_col, lat_col=lat_col,
+              geometry_col=geometry_col, radius=radius, rsuffix=rsuffix)
+    if compute == "actors":
+        return points_ds.map_batches(
+            BroadcastSpatialJoiner,
+            fn_constructor_kwargs=dict(index_ref=ref, **kw),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=_pool_size(concurrency), num_cpus=1)
+
+    key = ("spjoin", predicate, how, lon_col, lat_col, geometry_col or "",
+           radius, rsuffix)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        joiner = state.get_broadcast(
+            ref, builder=lambda idx: BroadcastSpatialJoiner(idx, **kw),
+            key_extra=key)
+        return joiner(batch)
+
+    return points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 def spatial_where(points_ds, zones, predicate: str = "intersects", **kw):
@@ -271,18 +285,17 @@ def spatial_where(points_ds, zones, predicate: str = "intersects", **kw):
     index = zones if isinstance(zones, ZoneIndex) else ZoneIndex.from_pandas(zones)
     ref = ray.put(index)
 
-    class _Semi(BroadcastSpatialJoiner):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            lon, lat = self._lonlat(batch)
-            pidx, _ = self.index.match_points(lon, lat, self.predicate, self.radius)
-            keep = np.zeros(batch.num_rows, dtype=bool)
-            keep[pidx] = True
-            return batch.take(pa.array(np.flatnonzero(keep)))
+    def fn(batch: pa.Table) -> pa.Table:
+        joiner = state.get_broadcast(
+            ref, builder=lambda idx: BroadcastSpatialJoiner(idx, predicate=predicate, **kw),
+            key_extra=("semi", predicate) + tuple(sorted(kw.items())))
+        lon, lat = joiner._lonlat(batch)
+        pidx, _ = joiner.index.match_points(lon, lat, joiner.predicate, joiner.radius)
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        keep[pidx] = True
+        return batch.take(pa.array(np.flatnonzero(keep)))
 
-    return points_ds.map_batches(
-        _Semi, fn_constructor_kwargs=dict(index_ref=ref, predicate=predicate, **kw),
-        batch_format="pyarrow", batch_size=65536, num_cpus=1,
-        concurrency=_pool_size())
+    return points_ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
 
 
 # ------------------------------------------------ partial-agg spatial stats
@@ -342,13 +355,17 @@ def spatial_agg(points_ds, zones: pd.DataFrame, value_col: str,
 
     index = ZoneIndex.from_pandas(zones)
     ref = ray.put(index)
-    partials = points_ds.map_batches(
-        _ZonalPartial,
-        fn_constructor_kwargs=dict(index_ref=ref, value_col=value_col,
-                                   predicate=predicate, lon_col=lon_col,
-                                   lat_col=lat_col),
-        batch_format="pyarrow", batch_size=65536, num_cpus=1,
-        concurrency=_pool_size())
+
+    def partial_fn(batch: pa.Table) -> pd.DataFrame:
+        st = state.get_broadcast(
+            ref, builder=lambda idx: _ZonalPartial(idx, value_col=value_col,
+                                                   predicate=predicate,
+                                                   lon_col=lon_col, lat_col=lat_col),
+            key_extra=("zonalp", value_col, predicate, lon_col, lat_col))
+        return st(batch)
+
+    partials = points_ds.map_batches(partial_fn, batch_format="pyarrow",
+                                     batch_size=65536)
     agg = partials.groupby("zone_idx").aggregate(
         Sum("psum", alias_name="sum_val"),
         Sum("pcnt", alias_name="cnt"),
@@ -586,7 +603,8 @@ class GridKnnJoiner:
 
 def knn_join(points_ds, right: pd.DataFrame, k: int = 1, id_col: str = "id",
              lon_col: str = "lon", lat_col: str = "lat", out_prefix: str = "nn_",
-             batch_size: int = 4096, concurrency=None, grid_accel: bool = True):
+             batch_size: int = 4096, concurrency=None, grid_accel: bool = True,
+             compute: str = "tasks"):
     """kNN join of a point Dataset against a broadcast right point set.
     (reference nearest/`closest_point`: /root/reference/pythongis/
     vector/analyzer.py:289-310 and data.py:1261-1314)."""
@@ -596,12 +614,22 @@ def knn_join(points_ds, right: pd.DataFrame, k: int = 1, id_col: str = "id",
         payload.pop(id_col, None)
     ref = ray.put(payload)
     cls = GridKnnJoiner if grid_accel else KnnJoiner
-    return points_ds.map_batches(
-        cls,
-        fn_constructor_kwargs=dict(right_ref=ref, k=k, lon_col=lon_col,
-                                   lat_col=lat_col, out_prefix=out_prefix),
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=_pool_size(concurrency), num_cpus=1)
+    if compute == "actors":
+        return points_ds.map_batches(
+            cls,
+            fn_constructor_kwargs=dict(right_ref=ref, k=k, lon_col=lon_col,
+                                       lat_col=lat_col, out_prefix=out_prefix),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=_pool_size(concurrency), num_cpus=1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        joiner = state.get_broadcast(
+            ref, builder=lambda r: cls(r, k=k, lon_col=lon_col, lat_col=lat_col,
+                                       out_prefix=out_prefix),
+            key_extra=("knn", cls.__name__, k, lon_col, lat_col, out_prefix))
+        return joiner(batch)
+
+    return points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 # ------------------------------------------------------- shuffle join path

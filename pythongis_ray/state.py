@@ -1,0 +1,49 @@
+"""Worker-side broadcast-state cache.
+
+Two ways to amortize per-stage state (a zone index, a kNN grid, a
+query matrix) across batches:
+
+1. **Actor pool** (`map_batches(Cls, concurrency=N)`): state built in
+   ``__init__`` once per actor. The classic pattern — but each actor is
+   a fresh OS process, and on this sandbox's kernel cold process
+   startup (page-faulting numpy/pandas into a new address space) costs
+   seconds, serialized across the pool.
+
+2. **Stateless tasks + this cache**: the stage is a plain function, so
+   Ray Data schedules it on its long-lived default worker pool (already
+   warm from earlier stages, fusable with upstream ops). The function
+   looks its state up here, keyed by the broadcast ObjectRef; the first
+   task on each worker pays one ``ray.get`` + build, every later task
+   hits the cache. Same asymptotics as an actor pool, without paying
+   process spawn per stage.
+
+Both paths are implemented for every stateful stage; ``compute="tasks"``
+is the default (better on shared warm clusters), ``compute="actors"``
+pins dedicated processes (better when state is huge or thread-unsafe).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import ray
+
+_CACHE: dict[tuple, Any] = {}
+
+
+def get_broadcast(ref, builder: Callable[[Any], Any] | None = None,
+                  key_extra: tuple = ()) -> Any:
+    """Fetch-and-cache a broadcast object on this worker process.
+
+    ``ref``: ObjectRef (or the object itself for in-process use).
+    ``builder``: optional one-time transform of the fetched payload
+    (e.g. wrap arrays into a joiner instance).
+    """
+    base = ref.hex() if isinstance(ref, ray.ObjectRef) else str(id(ref))
+    key = (base,) + key_extra
+    obj = _CACHE.get(key)
+    if obj is None:
+        payload = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        obj = builder(payload) if builder is not None else payload
+        _CACHE[key] = obj
+    return obj

@@ -1,0 +1,115 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from pythongis_ray import vector
+from pythongis_ray.geom import algo, geodesy, wkb
+
+
+def rect(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+
+def test_buffer_points_planar(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"pid": [1, 2], "lon": [10.0, 20.0], "lat": [0.0, 5.0]})
+    out = vector.buffer_points(rd.from_pandas(df), 2.0, n=32).to_pandas()
+    g = wkb.decode(bytes(out.geometry.iloc[0]))
+    ring = g["rings"][0]
+    d = np.hypot(ring[:, 0] - 10.0, ring[:, 1] - 0.0)
+    assert np.allclose(d, 2.0)
+
+
+def test_buffer_points_geodetic(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"pid": [1], "lon": [10.0], "lat": [45.0]})
+    out = vector.buffer_points(rd.from_pandas(df), 10000.0, geodetic=True, n=8).to_pandas()
+    ring = wkb.decode(bytes(out.geometry.iloc[0]))["rings"][0]
+    d = geodesy.vincenty_inverse_m(np.full(8, 10.0), np.full(8, 45.0),
+                                   ring[:-1, 0], ring[:-1, 1])
+    assert np.allclose(d, 10000.0, atol=0.01)
+
+
+def test_centroids_and_vertices(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"zid": [1], "geometry": [wkb.encode_polygon([rect(0, 0, 4, 8)])]})
+    cent = vector.centroids(rd.from_pandas(df)).to_pandas()
+    assert (cent.lon.iloc[0], cent.lat.iloc[0]) == (2.0, 4.0)
+    verts = vector.to_vertices(rd.from_pandas(df)).to_pandas()
+    assert len(verts) == 5  # closed ring vertices
+
+
+def test_simplify_collinear(ray_session):
+    import ray.data as rd
+
+    line = np.array([[0, 0], [1, 0.001], [2, 0], [3, 0.001], [10, 0]], float)
+    df = pd.DataFrame({"geometry": [wkb.encode_linestring(line)]})
+    out = vector.simplify(rd.from_pandas(df), 0.01).to_pandas()
+    pts = wkb.decode(bytes(out.geometry.iloc[0]))["rings"][0]
+    assert len(pts) == 2  # collapses to endpoints
+    out2 = vector.simplify(rd.from_pandas(df), 0.0001).to_pandas()
+    pts2 = wkb.decode(bytes(out2.geometry.iloc[0]))["rings"][0]
+    assert len(pts2) == 5  # everything kept
+
+
+def test_clean_drops_nonfinite_and_null(ray_session):
+    import ray.data as rd
+
+    bad = wkb.encode_linestring(np.array([[0, 0], [np.nan, 1], [2, 2]]))
+    df = pd.DataFrame({"geometry": [wkb.encode_point(1, 2), None, bad]})
+    out = vector.clean(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 2
+    fixed = wkb.decode(bytes(out.geometry.iloc[1]))["rings"][0]
+    assert len(fixed) == 2  # NaN vertex dropped
+
+
+def test_reproject_roundtrip(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"lon": [12.5, -100.0], "lat": [41.9, 45.0]})
+    fwd = vector.reproject(rd.from_pandas(df), "to_webmercator").to_pandas()
+    # canonical check: lon 12.5 → x = 12.5/180 * 20037508.34
+    assert np.isclose(fwd.x.iloc[0], 12.5 / 180 * 20037508.342789244)
+    inv = vector.reproject(rd.from_pandas(fwd[["x", "y"]]), "to_lonlat").to_pandas()
+    assert np.allclose(inv.lon, df.lon) and np.allclose(inv.lat, df.lat)
+
+
+def test_connect_great_circle(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": [1], "lon": [0.0], "lat": [0.0]})
+    right = pd.DataFrame({"k": [1], "lon": [90.0], "lat": [0.0]})
+    out = vector.connect(rd.from_pandas(left), right, on="k", segments=4).to_pandas()
+    path = wkb.decode(bytes(out.geometry.iloc[0]))["rings"][0]
+    assert len(path) == 5
+    assert np.allclose(path[:, 1], 0.0, atol=1e-9)  # equator stays equator
+    assert path[0, 0] == 0.0 and np.isclose(path[-1, 0], 90.0)
+
+
+def test_crop_points_and_polys(ray_session):
+    import ray.data as rd
+
+    pts = pd.DataFrame({"lon": [1.0, 50.0], "lat": [1.0, 50.0]})
+    out = vector.crop(rd.from_pandas(pts), (0, 0, 10, 10)).to_pandas()
+    assert len(out) == 1
+    polys = pd.DataFrame({"geometry": [wkb.encode_polygon([rect(5, 5, 15, 15)]),
+                                       wkb.encode_polygon([rect(50, 50, 60, 60)])]})
+    outp = vector.crop(rd.from_pandas(polys), (0, 0, 10, 10),
+                       geometry_col="geometry").to_pandas()
+    assert len(outp) == 1
+    clipped = wkb.decode(bytes(outp.geometry.iloc[0]))["rings"][0]
+    assert algo.polygon_area([clipped]) == 25.0
+
+
+def test_describe(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"a": [1.0, 2.0, None, 4.0], "b": ["x", None, "y", "z"]})
+    out = vector.describe(rd.from_pandas(df)).set_index("column")
+    assert out.loc["a", "n"] == 4 and out.loc["a", "missing"] == 1
+    assert out.loc["a", "min"] == 1.0 and out.loc["a", "max"] == 4.0
+    assert out.loc["a", "mean"] == 7.0 / 3
+    assert out.loc["b", "missing"] == 1
