@@ -142,6 +142,29 @@ def _fp_powers(n: int) -> np.ndarray:
     return _FP_POW_CACHE
 
 
+def _poly_hash_segments(data: np.ndarray, starts: np.ndarray,
+                        ends: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit polynomial hash of many byte segments:
+    h(seg) = sum(byte[j] * P^(len-1-j)) mod 2^64, one weighted
+    add.reduceat over the whole buffer — zero Python per segment."""
+    lens = ends - starts
+    out = np.zeros(len(starts), dtype=np.uint64)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    total = int(lens.sum())
+    rel = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+    exp = np.repeat(lens, lens) - 1 - rel
+    src = np.repeat(starts, lens) + rel
+    pw = _fp_powers(int(lens.max()) + 1)
+    vals = data[src].astype(np.uint64) * pw[exp]
+    red_offs = np.concatenate(([0], np.cumsum(lens)[:-1]))[nz]
+    # reduceat over the contiguous per-segment value runs
+    out[nz] = np.add.reduceat(vals, red_offs)
+    return out
+
+
 def fingerprint(batch: pa.Table, text_col: str = "text",
                 out_col: str = "fp") -> pa.Table:
     """64-bit polynomial content fingerprint per document — the
@@ -159,44 +182,46 @@ def fingerprint(batch: pa.Table, text_col: str = "text",
     buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
         arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
-    start, end = offs[:-1], offs[1:]
-    lens = end - start
-    total = int(end[-1] - start[0])
-    seg = buf[start[0]:end[-1]].astype(np.uint64)
-    doc_start = np.repeat(start - start[0], lens)
-    rel = np.arange(total, dtype=np.int64) - doc_start
-    exp = np.repeat(lens, lens) - 1 - rel
-    pw = _fp_powers(int(lens.max()) + 1 if len(lens) else 1)
-    vals = seg * pw[exp]
-    h = np.zeros(len(arr), dtype=np.uint64)
-    nz = lens > 0
-    red_offs = (start - start[0])[nz]
-    if total:
-        h[nz] = np.add.reduceat(vals, red_offs)
+    h = _poly_hash_segments(buf, offs[:-1], offs[1:])
     return batch.append_column(out_col, pa.array(h.view(np.int64)))
 
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """k-token shingles → stable 61-bit polynomial hashes."""
-    toks = text.split(" ")
-    if len(toks) < k:
-        toks = toks + [""] * (k - len(toks))
-    sh = np.empty(max(1, len(toks) - k + 1), dtype=np.int64)
-    for i in range(len(sh)):
-        h = 0
-        for t in toks[i:i + k]:
-            for ch in t:
-                h = (h * 131 + ord(ch)) % MH_PRIME
-            h = (h * 131 + 32) % MH_PRIME
-        sh[i] = h
-    return sh
+# multiply-add uint64 permutations (odd multipliers → bijective mod 2^64)
+_mh_rng = np.random.default_rng(4242)
+MH_A64 = (_mh_rng.integers(0, 1 << 63, MH_PERMS, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+MH_B64 = _mh_rng.integers(0, 1 << 63, MH_PERMS, dtype=np.uint64)
+MH_SHINGLE_K = 5
+_SH_P = np.uint64(1000003)
+
+
+def _token_hashes(text_bytes: np.ndarray) -> np.ndarray:
+    """uint64 polynomial hash per whitespace token, fully vectorized."""
+    spaces = np.flatnonzero(text_bytes == 32)
+    starts = np.concatenate(([0], spaces + 1))
+    ends = np.concatenate((spaces, [len(text_bytes)]))
+    return _poly_hash_segments(text_bytes, starts, ends)
+
+
+def _shingle_hashes_from_tokens(th: np.ndarray, k: int = MH_SHINGLE_K) -> np.ndarray:
+    """Rolling combine of k consecutive token hashes (uint64 wraparound)."""
+    if len(th) <= k:
+        h = np.uint64(0)
+        for t in th:
+            h = h * _SH_P + t
+        return np.array([h], dtype=np.uint64)
+    s = th[:len(th) - k + 1].copy()
+    for j in range(1, k):
+        s = s * _SH_P + th[j:len(th) - k + 1 + j]
+    return s
 
 
 def minhash_signature(text: str) -> np.ndarray:
-    """64-permutation MinHash signature of a document's 5-shingles."""
-    sh = _shingle_hashes(text)
-    # (perms, shingles) affine hash, min over shingles
-    v = (MH_A[:, None] * sh[None, :] + MH_B[:, None]) % MH_PRIME
+    """64-permutation MinHash signature of a document's 5-token
+    shingles. Hash family: multiply-add over uint64 (deterministic,
+    vectorized — no Python per character)."""
+    th = _token_hashes(np.frombuffer(text.encode(), dtype=np.uint8))
+    sh = _shingle_hashes_from_tokens(th)
+    v = MH_A64[:, None] * sh[None, :] + MH_B64[:, None]
     return v.min(axis=1)
 
 
@@ -206,18 +231,20 @@ def minhash_bands(ds, id_col: str = "doc_id", text_col: str = "text"):
     (band_id, band_hash) — candidate pairs only ever meet in buckets."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, hashes = [], [], []
-        for did, txt in zip(batch[id_col], batch[text_col]):
-            sig = minhash_signature(txt)
-            for b in range(MH_BANDS):
-                band = sig[b * MH_ROWS:(b + 1) * MH_ROWS]
-                h = 0
-                for x in band:
-                    h = (h * 1000003 + int(x)) % MH_PRIME
-                ids.append(did)
-                bands.append(b)
-                hashes.append(h)
-        return pd.DataFrame({"band_id": bands, "band_hash": hashes, id_col: ids})
+        n = len(batch)
+        sigs = np.empty((n, MH_PERMS), dtype=np.uint64)
+        for i, txt in enumerate(batch[text_col]):
+            sigs[i] = minhash_signature(txt)
+        # band hash: fold each band's rows (vectorized across docs+bands)
+        bands = sigs.reshape(n, MH_BANDS, MH_ROWS)
+        h = np.zeros((n, MH_BANDS), dtype=np.uint64)
+        for j in range(MH_ROWS):
+            h = h * _SH_P + bands[:, :, j]
+        return pd.DataFrame({
+            "band_id": np.tile(np.arange(MH_BANDS), n),
+            "band_hash": h.reshape(-1).view(np.int64),
+            id_col: np.repeat(batch[id_col].to_numpy(), MH_BANDS),
+        })
 
     return ds.map_batches(explode, batch_format="pandas", batch_size=2048)
 
@@ -266,14 +293,10 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over token FNV hashes."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.split(" "):
-        h = 0xCBF29CE484222325
-        for ch in tok.encode():
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
+    """64-bit SimHash over vectorized token hashes."""
+    th = _token_hashes(np.frombuffer(text.encode(), dtype=np.uint8))
+    bits = (th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:
