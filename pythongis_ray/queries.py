@@ -27,8 +27,11 @@ def _rd():
     return rd
 
 
-def points_lineitem(sf_dir: str):
-    """lineitem → geocoded point Dataset (pk, qty, ix, iy, lon, lat)."""
+def points_lineitem(sf_dir: str, replicate: int = 1):
+    """lineitem → geocoded point Dataset (pk, qty, ix, iy, lon, lat).
+
+    ``replicate`` deterministically upsamples rows (pk' = pk*R + r) for
+    benchmark scale — never used by the oracle-checked queries."""
     ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_linenumber", "l_quantity"])
 
@@ -36,13 +39,18 @@ def points_lineitem(sf_dir: str):
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
         pk = ok * 8 + ln
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if replicate > 1:
+            idx = np.repeat(np.arange(len(pk), dtype=np.int64), replicate)
+            rep = np.tile(np.arange(replicate, dtype=np.int64), len(pk))
+            pk = pk[idx] * replicate + rep
+            qty = qty[idx]
         ix, iy = fixtures.geocode_units(pk)
         lon, lat = fixtures.units_to_deg(ix, iy)
-        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"pk": pk, "qty": qty, "ix": ix, "iy": iy,
                          "lon": lon, "lat": lat})
 
-    return ds.map_batches(to_points, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(to_points, batch_format="pyarrow", batch_size=16384)
 
 
 def SQL_PTS_LINEITEM():
@@ -547,6 +555,49 @@ FROM d WHERE nn_rank <= 3
 """
 
 
+def q_dwithin(sf_dir: str):
+    """Distance join: all (customer point, part place) pairs within a
+    2-degree planar radius (reference spatial_join distance+radius)."""
+    cpts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+    ppts = _keyed_points(sf_dir, "part", "p_partkey", 4, 2, "place_id").to_pandas()
+    out = spatial.radius_join(cpts, ppts, radius=2.0, id_col="place_id")
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["ck", "nn_id", "nn_dist_sq"]].copy()
+        b.columns = ["ck", "place_id", "dist_sq"]
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+def SQL_DWITHIN():
+    return f"""
+WITH cpts AS ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")}),
+     ppts AS ({_sql_keyed_points("part", "p_partkey", 4, 2, "place_id")})
+SELECT c.ck, p.place_id,
+       (c.lon-p.lon)*(c.lon-p.lon) + (c.lat-p.lat)*(c.lat-p.lat) AS dist_sq
+FROM cpts c CROSS JOIN ppts p
+WHERE (c.lon-p.lon)*(c.lon-p.lon) + (c.lat-p.lat)*(c.lat-p.lat) <= 4.0
+"""
+
+
+def q_crop_points(sf_dir: str):
+    """bbox crop (reference manager.crop for points)."""
+    from pythongis_ray import vector as vec
+
+    pts = points_lineitem(sf_dir)
+    out = vec.crop(pts, (-90.0, -45.0, 90.0, 45.0))
+    return out.select_columns(["pk", "lon", "lat"])
+
+
+def SQL_CROP_POINTS():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()})
+SELECT pk, lon, lat FROM pts
+WHERE lon >= -90.0 AND lon <= 90.0 AND lat >= -45.0 AND lat <= 45.0
+"""
+
+
 def q_zonal_stats(sf_dir: str):
     """Raster zonal statistics: grid cells aggregated per zone."""
     cells = fixtures.raster_cells()
@@ -869,6 +920,8 @@ REGISTRY: dict[str, tuple] = {
     "spatial_disjoint": (q_spatial_disjoint, SQL_SPATIAL_DISJOINT),
     "spjoin_left": (q_spjoin_left, SQL_SPJOIN_LEFT),
     "knn": (q_knn, SQL_KNN),
+    "dwithin": (q_dwithin, SQL_DWITHIN),
+    "crop_points": (q_crop_points, SQL_CROP_POINTS),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "upscale": (q_upscale, SQL_UPSCALE),
     "rasterize": (q_rasterize, SQL_RASTERIZE),

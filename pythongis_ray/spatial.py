@@ -632,6 +632,117 @@ def knn_join(points_ds, right: pd.DataFrame, k: int = 1, id_col: str = "id",
     return points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+def spatial_stats(points_ds, zones: pd.DataFrame, fieldmapping,
+                  predicate: str = "intersects", zone_id_col: str = "zone_id",
+                  order_col: str | None = None):
+    """Overlay aggregation with the full fieldmapping stat vocabulary
+    (count/sum/min/max/mean + first/last/majority/minority/concat) —
+    the reference's `analyzer.spatial_stats`
+    (/root/reference/pythongis/vector/analyzer.py:16-152): join points
+    to zones, then grouped aggregate per zone. Purely-algebraic
+    fieldmappings should prefer :func:`spatial_agg` (fused partial
+    combine, no joined-row materialization)."""
+    from pythongis_ray import relational as rel
+
+    joined = spatial_join(points_ds, zones[[zone_id_col, "geometry"]],
+                          predicate=predicate)
+    return rel.groupby_aggregate(joined, zone_id_col, fieldmapping,
+                                 order_col=order_col)
+
+
+def spatial_join_polygons(left_ds, zones: pd.DataFrame,
+                          predicate: str = "intersects",
+                          geometry_col: str = "geometry", rsuffix: str = ""):
+    """Polygon×polygon spatial join (left polygons stream; zone side
+    broadcast). Predicates: intersects (boundaries count) |
+    overlaps (interiors only — the reference's touch-only exclusion,
+    analyzer.py:62-66). Candidates via bbox cell cover; refine with
+    exact polygon tests. Left geometries are parsed per batch (the
+    polygon side of web-scale joins is the small one; a polygon-heavy
+    LEFT at 10^9 scale would move parsing into the cell-shuffle path)."""
+    index = ZoneIndex.from_pandas(zones, geometry_col=geometry_col)
+    ref = ray.put(index)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        idx: ZoneIndex = state.get_broadcast(ref, key_extra=("polyjoin",))
+        pidx, zidx = [], []
+        for i, b in enumerate(batch[geometry_col].to_pylist()):
+            if b is None:
+                continue
+            g = wkb.decode(bytes(b))
+            lp = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
+            cand = set()
+            for c in grid.bbox_to_cells(*lp.bbox, res=idx.res):
+                cand.update(idx.cell_to_zones.get(int(c), ()))
+            for zi in sorted(cand):
+                zp = idx.polys[zi]
+                hit = (algo.polygons_interiors_intersect(lp, zp)
+                       if predicate == "overlaps"
+                       else algo.polygons_intersect(lp, zp))
+                if hit:
+                    pidx.append(i)
+                    zidx.append(zi)
+        return _emit_joined(batch, np.asarray(pidx, np.int64),
+                            np.asarray(zidx, np.int64), idx, "inner", rsuffix)
+
+    return left_ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+class RadiusJoiner(GridKnnJoiner):
+    """Distance join: all right points within ``radius`` (planar
+    degrees) of each left point — the reference's `spatial_join`
+    distance-with-radius condition for point layers
+    (/root/reference/pythongis/vector/manager.py:268-379).
+
+    Grid-accelerated: candidates come from the fixed Chebyshev ring
+    that covers the radius (r_cells = ceil(radius / cell) + 1), then an
+    exact d² ≤ radius² filter. Exact on the dyadic lattice."""
+
+    def __init__(self, right_ref, radius: float, lon_col: str = "lon",
+                 lat_col: str = "lat", out_prefix: str = "nn_",
+                 res: int | None = None):
+        super().__init__(right_ref, k=1, lon_col=lon_col, lat_col=lat_col,
+                         out_prefix=out_prefix, res=res)
+        self.radius = float(radius)
+        self.r_cells = int(np.ceil(self.radius / self.cell_deg)) + 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        seg_cnt, seg_start, point_s, pos_s, d2_s = self._topk_flat(
+            lon, lat, self.r_cells)
+        keep = d2_s <= self.radius * self.radius
+        point_k = point_s[keep]
+        pos_k = pos_s[keep]
+        out = batch.take(pa.array(point_k))
+        out = out.append_column(self.out_prefix + "id", pa.array(self.rid[pos_k]))
+        out = out.append_column(self.out_prefix + "dist_sq", pa.array(d2_s[keep]))
+        for name, arr in self.rattrs.items():
+            out = out.append_column(self.out_prefix + name, pa.array(arr[pos_k]))
+        return out
+
+
+def radius_join(points_ds, right: pd.DataFrame, radius: float,
+                id_col: str = "id", lon_col: str = "lon", lat_col: str = "lat",
+                out_prefix: str = "nn_", batch_size: int = 4096):
+    """All-pairs-within-radius join against a broadcast right point set."""
+    payload = {c: right[c].to_numpy() for c in right.columns}
+    payload["id"] = right[id_col].to_numpy()
+    if id_col != "id":
+        payload.pop(id_col, None)
+    ref = ray.put(payload)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        joiner = state.get_broadcast(
+            ref, builder=lambda r: RadiusJoiner(r, radius, lon_col=lon_col,
+                                                lat_col=lat_col,
+                                                out_prefix=out_prefix),
+            key_extra=("radius", radius, lon_col, lat_col, out_prefix))
+        return joiner(batch)
+
+    return points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
 # ------------------------------------------------------- shuffle join path
 
 SALT_BITS = 6

@@ -164,3 +164,47 @@ def test_grid_knn_matches_bruteforce_direct():
     ob = b(batch).to_pandas().sort_values(["ck", "nn_rank"]).reset_index(drop=True)
     assert og.nn_id.tolist() == ob.nn_id.tolist()
     assert og.nn_dist_sq.tolist() == ob.nn_dist_sq.tolist()
+
+
+def test_spatial_stats_holistic(ray_session, zones):
+    import ray.data as rd
+
+    pts = make_points(1200)
+    pts["tag"] = np.where(pts.pid % 3 == 0, "a", "b")
+    out = spatial.spatial_stats(
+        rd.from_pandas(pts), zones,
+        [("n", "val", "count"), ("maj_tag", "tag", "majority")],
+        predicate="within", order_col="pid").to_pandas()
+    # oracle for one zone
+    z = zones.iloc[0]
+    m = (pts.lon > z.x0) & (pts.lon < z.x1) & (pts.lat > z.y0) & (pts.lat < z.y1)
+    if m.any():
+        got = out[out.zone_id == z.zone_id].iloc[0]
+        assert got.n == m.sum()
+        vc = pts.tag[m].value_counts()
+        best = sorted(v for v, c in vc.items() if c == vc.max())[0]
+        assert got.maj_tag == best
+
+
+def test_polygon_join_touch_exclusion(ray_session):
+    import ray.data as rd
+    from pythongis_ray.geom import wkb as _wkb
+
+    def rect_wkb(x0, y0, x1, y1):
+        return _wkb.encode_polygon([np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)])
+
+    zones_df = pd.DataFrame({
+        "zone_id": [0, 1, 2],
+        "geometry": [rect_wkb(0, 0, 10, 10), rect_wkb(10, 0, 20, 10),
+                     rect_wkb(40, 40, 50, 50)],
+    })
+    left = pd.DataFrame({
+        "lid": [100],
+        "geometry": [rect_wkb(5, 5, 10, 15)],  # overlaps z0, touches z1 edge
+    })
+    ds = rd.from_pandas(left)
+    inter = spatial.spatial_join_polygons(ds, zones_df, "intersects").to_pandas()
+    over = spatial.spatial_join_polygons(ds, zones_df, "overlaps").to_pandas()
+    assert set(inter.zone_id) == {0, 1}   # touching counts as intersects
+    assert set(over.zone_id) == {0}       # touch-only neighbour excluded
