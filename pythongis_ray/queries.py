@@ -555,6 +555,57 @@ FROM d WHERE nn_rank <= 3
 """
 
 
+def fused_geocode_zonal(sf_dir: str, replicate: int = 1, batch_size: int = 2048):
+    """Single-stage flagship: key → geocode → PIP refine → per-zone
+    partial aggregate, all inside ONE map_batches (no intermediate
+    point table ever hits the object store), then a 25-key combine.
+
+    This is the headline scaling job: at 10^12 rows the only data that
+    moves is the input scan and one partial row per (zone, task).
+    Returns the per-zone aggregate DataFrame."""
+    import ray
+
+    from pythongis_ray import pipelines, state as _state
+    from ray.data.aggregate import Sum
+
+    zones = pipelines.load_zones(sf_dir)
+    index = spatial.ZoneIndex.from_pandas(zones[["zone_id", "geometry"]])
+    ref = ray.put(index)
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def fused(batch: pa.Table) -> pd.DataFrame:
+        idx: spatial.ZoneIndex = _state.get_broadcast(ref, key_extra=("fz",))
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = ok * 8 + ln
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if replicate > 1:
+            i2 = np.repeat(np.arange(len(pk), dtype=np.int64), replicate)
+            rep = np.tile(np.arange(replicate, dtype=np.int64), len(pk))
+            pk = pk[i2] * replicate + rep
+            qty = qty[i2]
+        ix, iy = fixtures.geocode_units(pk)
+        lon, lat = fixtures.units_to_deg(ix, iy)
+        pidx, zidx = idx.match_points(lon, lat, "within")
+        nz = idx.n_zones()
+        psum = np.bincount(zidx, weights=qty[pidx], minlength=nz)
+        pcnt = np.bincount(zidx, minlength=nz)
+        m = pcnt > 0
+        return pd.DataFrame({"zone_idx": np.flatnonzero(m).astype(np.int64),
+                             "psum": psum[m].astype(np.int64),
+                             "pcnt": pcnt[m].astype(np.int64)})
+
+    parts = ds.map_batches(fused, batch_format="pyarrow", batch_size=batch_size)
+    agg = parts.groupby("zone_idx").aggregate(
+        Sum("psum", alias_name="sum_val"), Sum("pcnt", alias_name="cnt"))
+    out = agg.to_pandas()
+    out.insert(0, "zone_id",
+               zones["zone_id"].to_numpy()[out["zone_idx"].to_numpy()])
+    return out.drop(columns=["zone_idx"]).sort_values("zone_id") \
+        .reset_index(drop=True)
+
+
 def q_dwithin(sf_dir: str):
     """Distance join: all (customer point, part place) pairs within a
     2-degree planar radius (reference spatial_join distance+radius)."""

@@ -379,3 +379,270 @@ def zonal_statistics(tiles_ds, zones: pd.DataFrame, t: int = TILE):
     out = out.drop(columns=["zone_idx"])
     out["mean_val"] = out["sum_val"] / out["cnt"]
     return out.sort_values("zone_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------- resample / align
+
+def resample_to_res(ds, src_res: int, dst_res: int, t: int = TILE):
+    """Nearest-neighbour resample onto the tile grid at another
+    resolution (reference resample 'nearest',
+    /root/reference/pythongis/raster/manager.py:560-650). Each source
+    tile maps its pixels to destination tiles (cell-id arithmetic —
+    alignment is free on a shared grid, reference align
+    manager.py:678-722), then destination tiles assemble via one
+    groupby."""
+    if dst_res == src_res:
+        return ds
+
+    def scatter(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, band, buf, nd in zip(batch["cell_id"], batch["band"],
+                                      batch["tile"], batch["nodata"]):
+            a = bytes_to_tile(buf, t)
+            cu = np.array([cid], dtype=np.int64).view(np.uint64)
+            xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(cu))
+            xs = xmin + (np.arange(t) + 0.5) * (xmax - xmin) / t
+            ys = ymin + (np.arange(t) + 0.5) * (ymax - ymin) / t
+            lon2, lat2 = np.meshgrid(xs, ys)
+            lonf, latf = lon2.ravel(), lat2.ravel()
+            dcell = grid.point_to_cell(lonf, latf, dst_res)
+            # destination pixel index within its tile + distance of the
+            # source center to the destination pixel center (for a
+            # deterministic nearest-center pick)
+            dxm, dym, dxx, dyx = grid.cell_bounds(dcell)
+            px = (dxx - dxm) / t
+            py = (dyx - dym) / t
+            fx = np.clip(((lonf - dxm) / px).astype(np.int64), 0, t - 1)
+            fy = np.clip(((latf - dym) / py).astype(np.int64), 0, t - 1)
+            dcx = dxm + (fx + 0.5) * px
+            dcy = dym + (fy + 0.5) * py
+            d2 = (lonf - dcx) ** 2 + (latf - dcy) ** 2
+            pix = dcell.view(np.int64) * (t * t) + fy * t + fx
+            rows.append(pd.DataFrame({"pix": pix, "v": a.ravel(), "d2": d2,
+                                      "band": band, "nodata": nd}))
+        if not rows:
+            return pd.DataFrame({"pix": [], "v": [], "d2": [], "band": [],
+                                 "nodata": []})
+        out = pd.concat(rows, ignore_index=True)
+        # keep the nearest source center per destination pixel (ties → min value)
+        out = out.sort_values(["pix", "band", "d2", "v"], kind="stable")
+        return out.drop_duplicates(subset=["pix", "band"], keep="first")
+
+    scattered = ds.map_batches(scatter, batch_format="pandas", batch_size=64)
+
+    from pythongis_ray.relational import bucketed_group_apply
+
+    def assemble(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(["pix", "band", "d2", "v"], kind="stable") \
+            .drop_duplicates(subset=["pix", "band"], keep="first")
+        bucket["cell_id"] = bucket["pix"] // (t * t)
+        rows = []
+        for (cid, band), g in bucket.groupby(["cell_id", "band"], sort=False):
+            nd = float(g["nodata"].iloc[0])
+            tile = np.full((t, t), nd, dtype=np.float32)
+            loc = g["pix"].to_numpy() % (t * t)
+            tile.ravel()[loc] = g["v"].to_numpy()
+            rows.append({"cell_id": cid, "band": band,
+                         "tile": tile_to_bytes(tile), "nodata": nd})
+        return pd.DataFrame(rows, columns=["cell_id", "band", "tile", "nodata"])
+
+    def add_cell_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["dcell"] = batch["pix"] // (t * t)
+        return batch
+
+    keyed = scattered.map_batches(add_cell_key, batch_format="pandas",
+                                  batch_size=65536)
+    return bucketed_group_apply(keyed, ["dcell"],
+                                lambda b: assemble(b.drop(columns=["dcell"])),
+                                num_buckets=32)
+
+
+# --------------------------------------------------- morphology (halo)
+
+def morphology(ds, op: str = "dilate", t: int = TILE):
+    """3x3 dilation/erosion/edge with cross-tile halo exchange
+    (reference morphology via PIL.ImageMorph,
+    /root/reference/pythongis/raster/analyzer.py:616-631).
+
+    Each tile ships its 1-pixel edge strips to the 8 neighbour cells
+    (flat-map), one groupby co-locates core+halo, the kernel runs on
+    the padded array — the canonical stencil pattern on a tile table."""
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, band, buf, nd in zip(batch["cell_id"], batch["band"],
+                                      batch["tile"], batch["nodata"]):
+            cu = np.array([cid], dtype=np.int64).view(np.uint64)
+            res, ix, iy = grid.unpack(cu)
+            r, x, y = int(res[0]), int(ix[0]), int(iy[0])
+            nx, ny = grid.cell_dims(r)
+            a = bytes_to_tile(buf, t)
+            rows.append({"cell_id": cid, "band": band, "part": 4,
+                         "tile": buf, "nodata": nd})
+            # halo strips: (dx,dy) → neighbour tile receives our edge
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    njx = (x + dx) % nx
+                    njy = y + dy
+                    if not (0 <= njy < ny):
+                        continue
+                    ncell = int(grid.pack(r, np.array([njx]), np.array([njy]))[0])
+                    xs = slice(t - 1, t) if dx == 1 else (slice(0, 1) if dx == -1 else slice(0, t))
+                    ys = slice(t - 1, t) if dy == 1 else (slice(0, 1) if dy == -1 else slice(0, t))
+                    strip = a[ys, xs]
+                    part = (dx + 1) + 3 * (dy + 1)  # position of SENDER relative to receiver mirrored below
+                    rows.append({"cell_id": np.int64(np.uint64(ncell).view(np.int64)),
+                                 "band": band, "part": part,
+                                 "tile": strip.tobytes(), "nodata": nd})
+        return pd.DataFrame(rows, columns=["cell_id", "band", "part", "tile", "nodata"])
+
+    halos = ds.map_batches(emit, batch_format="pandas", batch_size=64)
+
+    def stencil(g: pd.DataFrame) -> pd.DataFrame:
+        core = g[g["part"] == 4]
+        if len(core) == 0:
+            return pd.DataFrame({c: [] for c in ("cell_id", "band", "tile", "nodata")})
+        nd = float(core["nodata"].iloc[0])
+        pad = np.full((t + 2, t + 2), nd, dtype=np.float32)
+        pad[1:-1, 1:-1] = bytes_to_tile(core["tile"].iloc[0], t)
+        for _, row in g[g["part"] != 4].iterrows():
+            part = int(row["part"])
+            # part encodes sender→receiver direction; the sender sits at
+            # the OPPOSITE offset relative to this (receiving) tile
+            dx, dy = -(part % 3 - 1), -(part // 3 - 1)
+            strip = np.frombuffer(row["tile"], dtype="<f4")
+            # sender at offset (dx,dy) relative to us: its strip lands on
+            # our padded border on the (dx,dy) side
+            if dx == -1 and dy == 0:
+                pad[1:-1, 0] = strip
+            elif dx == 1 and dy == 0:
+                pad[1:-1, -1] = strip
+            elif dx == 0 and dy == -1:
+                pad[0, 1:-1] = strip
+            elif dx == 0 and dy == 1:
+                pad[-1, 1:-1] = strip
+            elif dx == -1 and dy == -1:
+                pad[0, 0] = strip[0]
+            elif dx == 1 and dy == -1:
+                pad[0, -1] = strip[0]
+            elif dx == -1 and dy == 1:
+                pad[-1, 0] = strip[0]
+            elif dx == 1 and dy == 1:
+                pad[-1, -1] = strip[0]
+        valid = pad != nd
+        stacks = [pad[1 + dy:t + 1 + dy, 1 + dx:t + 1 + dx]
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+        vstacks = [valid[1 + dy:t + 1 + dy, 1 + dx:t + 1 + dx]
+                   for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+        arr = np.stack(stacks)
+        va = np.stack(vstacks)
+        if op == "dilate":
+            out = np.where(va, arr, -np.inf).max(axis=0)
+            out = np.where(np.isfinite(out), out, nd)
+        elif op == "erode":
+            out = np.where(va, arr, np.inf).min(axis=0)
+            out = np.where(np.isfinite(out), out, nd)
+        elif op == "edge":
+            mx = np.where(va, arr, -np.inf).max(axis=0)
+            mn = np.where(va, arr, np.inf).min(axis=0)
+            out = np.where(np.isfinite(mx) & np.isfinite(mn), mx - mn, nd)
+        else:
+            raise ValueError(op)
+        core_valid = pad[1:-1, 1:-1] != nd
+        out = np.where(core_valid, out, nd).astype(np.float32)
+        return pd.DataFrame({"cell_id": [core["cell_id"].iloc[0]],
+                             "band": [core["band"].iloc[0]],
+                             "tile": [tile_to_bytes(out)], "nodata": [nd]})
+
+    return halos.groupby(["cell_id", "band"]).map_groups(stencil,
+                                                         batch_format="pandas")
+
+
+# -------------------------------------------------------- interpolation
+
+def idw_interpolate(points_df: pd.DataFrame, res: int = 4, t: int = TILE,
+                    power: float = 2.0, value_col: str = "value",
+                    lon_col: str = "lon", lat_col: str = "lat"):
+    """Inverse-distance-weighted surface from a broadcast point set
+    (reference analyzer.interpolate, O(cells×points),
+    /root/reference/pythongis/raster/analyzer.py:150-267): per-tile
+    map_batches computing IDW for the tile's pixel centers against the
+    broadcast points — embarrassingly parallel over tiles."""
+    import ray
+    import ray.data as rd
+
+    from pythongis_ray import state as _state
+
+    nx, ny = grid.cell_dims(res)
+    tx, ty = np.meshgrid(np.arange(nx, dtype=np.int64),
+                         np.arange(ny, dtype=np.int64))
+    cells = grid.pack(res, tx.ravel(), ty.ravel()).view(np.int64)
+    tiles = rd.from_pandas(pd.DataFrame({"cell_id": cells}))
+    payload = {"lon": points_df[lon_col].to_numpy(np.float64),
+               "lat": points_df[lat_col].to_numpy(np.float64),
+               "val": points_df[value_col].to_numpy(np.float64)}
+    ref = ray.put(payload)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        p = _state.get_broadcast(ref, key_extra=("idw",))
+        rows = []
+        for cid in batch["cell_id"]:
+            cu = np.array([cid], dtype=np.int64).view(np.uint64)
+            xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(cu))
+            xs = xmin + (np.arange(t) + 0.5) * (xmax - xmin) / t
+            ys = ymin + (np.arange(t) + 0.5) * (ymax - ymin) / t
+            lon2, lat2 = np.meshgrid(xs, ys)
+            d2 = ((lon2.ravel()[:, None] - p["lon"][None, :]) ** 2
+                  + (lat2.ravel()[:, None] - p["lat"][None, :]) ** 2)
+            w = 1.0 / np.maximum(d2, 1e-12) ** (power / 2.0)
+            v = (w * p["val"][None, :]).sum(axis=1) / w.sum(axis=1)
+            # exact hits take the point value
+            hit = d2.min(axis=1) < 1e-12
+            if hit.any():
+                v[hit] = p["val"][d2.argmin(axis=1)[hit]]
+            rows.append({"cell_id": cid, "band": np.int32(0),
+                         "tile": tile_to_bytes(v.reshape(t, t).astype(np.float32)),
+                         "nodata": NODATA})
+        return pd.DataFrame(rows)
+
+    return tiles.map_batches(fn, batch_format="pandas", batch_size=16)
+
+
+def distance_to_points(points_df: pd.DataFrame, res: int = 4, t: int = TILE,
+                       lon_col: str = "lon", lat_col: str = "lat"):
+    """Per-pixel planar distance to the nearest broadcast point
+    (reference analyzer.distance, raster/analyzer.py:485-607)."""
+    import ray
+    import ray.data as rd
+
+    from pythongis_ray import state as _state
+
+    nx, ny = grid.cell_dims(res)
+    tx, ty = np.meshgrid(np.arange(nx, dtype=np.int64),
+                         np.arange(ny, dtype=np.int64))
+    cells = grid.pack(res, tx.ravel(), ty.ravel()).view(np.int64)
+    tiles = rd.from_pandas(pd.DataFrame({"cell_id": cells}))
+    payload = {"lon": points_df[lon_col].to_numpy(np.float64),
+               "lat": points_df[lat_col].to_numpy(np.float64)}
+    ref = ray.put(payload)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        p = _state.get_broadcast(ref, key_extra=("dist",))
+        rows = []
+        for cid in batch["cell_id"]:
+            cu = np.array([cid], dtype=np.int64).view(np.uint64)
+            xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(cu))
+            xs = xmin + (np.arange(t) + 0.5) * (xmax - xmin) / t
+            ys = ymin + (np.arange(t) + 0.5) * (ymax - ymin) / t
+            lon2, lat2 = np.meshgrid(xs, ys)
+            d2 = ((lon2.ravel()[:, None] - p["lon"][None, :]) ** 2
+                  + (lat2.ravel()[:, None] - p["lat"][None, :]) ** 2)
+            d = np.sqrt(d2.min(axis=1)).reshape(t, t).astype(np.float32)
+            rows.append({"cell_id": cid, "band": np.int32(0),
+                         "tile": tile_to_bytes(d), "nodata": NODATA})
+        return pd.DataFrame(rows)
+
+    return tiles.map_batches(fn, batch_format="pandas", batch_size=16)

@@ -82,31 +82,39 @@ class ZoneIndex:
             g = wkb.decode(bytes(b))
             polys.append(algo.PreparedPolygon(g["rings"], g.get("ring_part")))
         idx = cls(polys=polys, attrs={k: np.asarray(v) for k, v in attrs.items()}, res=res)
-        c2z: dict[int, list[int]] = {}
+        pc, pz = [np.empty(0, np.uint64)], [np.empty(0, np.int64)]
         for zi, p in enumerate(polys):
-            for c in grid.bbox_to_cells(*p.bbox, res=res):
-                c2z.setdefault(int(c), []).append(zi)
-        idx.cell_to_zones = c2z
+            cells = grid.bbox_to_cells(*p.bbox, res=res)
+            pc.append(cells)
+            pz.append(np.full(len(cells), zi, dtype=np.int64))
+        idx._pair_cells = np.concatenate(pc)
+        idx._pair_zones = np.concatenate(pz)
         idx._build_csr()
         return idx
 
     def _build_csr(self):
         """Dense CSR cell→zones lookup so candidate assignment per batch
-        is pure vectorized gather (no Python per unique cell)."""
+        is pure vectorized gather (no Python per unique cell). Built
+        vectorized from the (cell, zone) pair arrays."""
         nx, ny = grid.cell_dims(self.res)
-        ncells = nx * ny
-        counts = np.zeros(ncells + 1, dtype=np.int64)
-        for c, zs in self.cell_to_zones.items():
-            _, ix, iy = grid.unpack(np.array([c], dtype=np.uint64))
-            counts[int(iy[0]) * nx + int(ix[0]) + 1] = len(zs)
-        self.csr_off = np.cumsum(counts)
-        self.csr_zones = np.empty(int(self.csr_off[-1]), dtype=np.int64)
-        for c, zs in self.cell_to_zones.items():
-            _, ix, iy = grid.unpack(np.array([c], dtype=np.uint64))
-            li = int(iy[0]) * nx + int(ix[0])
-            self.csr_zones[self.csr_off[li]:self.csr_off[li + 1]] = zs
+        _, ix, iy = grid.unpack(self._pair_cells)
+        li = iy * nx + ix
+        order = np.argsort(li, kind="stable")
+        counts = np.bincount(li, minlength=nx * ny)
+        self.csr_off = np.concatenate(([0], np.cumsum(counts)))
+        self.csr_zones = self._pair_zones[order]
         self._nx = nx
         self._ny = ny
+
+    @property
+    def cell_to_zones_map(self) -> dict:
+        """Lazy dict view (only the polygon-join path needs it)."""
+        if not self.cell_to_zones:
+            d: dict[int, list[int]] = {}
+            for c, z in zip(self._pair_cells.tolist(), self._pair_zones.tolist()):
+                d.setdefault(int(c), []).append(int(z))
+            self.cell_to_zones = d
+        return self.cell_to_zones
 
     @classmethod
     def from_pandas(cls, df: pd.DataFrame, geometry_col: str = "geometry",
@@ -673,7 +681,7 @@ def spatial_join_polygons(left_ds, zones: pd.DataFrame,
             lp = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
             cand = set()
             for c in grid.bbox_to_cells(*lp.bbox, res=idx.res):
-                cand.update(idx.cell_to_zones.get(int(c), ()))
+                cand.update(idx.cell_to_zones_map.get(int(c), ()))
             for zi in sorted(cand):
                 zp = idx.polys[zi]
                 hit = (algo.polygons_interiors_intersect(lp, zp)

@@ -156,3 +156,78 @@ def test_zonal_statistics_tiles(ray_session):
         got = out[out.zone_id == z.zone_id].iloc[0]
         assert got.cnt == m.sum()
         assert np.isclose(got.sum_val, val[m].sum(dtype=np.float64))
+
+
+def test_resample_round_trip_res(ray_session):
+    import ray.data as rd
+
+    src = raster.make_raster(ramp, res=1)
+    ds = rd.from_pandas(src)
+    out = raster.resample_to_res(ds, src_res=1, dst_res=0).to_pandas()
+    nx, ny = grid.cell_dims(0)
+    assert len(out) == nx * ny
+    # values must come from the source value set (nearest, no blending)
+    srcvals = set(np.unique(np.concatenate(
+        [raster.bytes_to_tile(t).ravel() for t in src.tile])).tolist())
+    for t in out.tile:
+        vals = set(np.unique(raster.bytes_to_tile(t)).tolist()) - {raster.NODATA}
+        assert vals <= srcvals
+
+
+def test_morphology_dilate_erode(ray_session):
+    import ray.data as rd
+
+    def spot(lon2, lat2, b):
+        a = np.zeros_like(lon2, dtype=np.float32)
+        return a
+
+    df = raster.make_raster(spot, res=1)
+    # put a single hot pixel in the middle of one tile
+    a = raster.bytes_to_tile(df.tile.iloc[0]).copy()
+    a[10, 10] = 5.0
+    df.at[0, "tile"] = raster.tile_to_bytes(a)
+    ds = rd.from_pandas(df)
+    dil = raster.morphology(ds, "dilate").to_pandas()
+    m = {c: raster.bytes_to_tile(t) for c, t in zip(dil.cell_id, dil.tile)}
+    out = m[df.cell_id.iloc[0]]
+    assert out[10, 10] == 5.0 and out[9, 10] == 5.0 and out[11, 11] == 5.0
+    assert out[13, 13] == 0.0
+    ero = raster.morphology(ds, "erode").to_pandas()
+    e = {c: raster.bytes_to_tile(t) for c, t in zip(ero.cell_id, ero.tile)}
+    assert e[df.cell_id.iloc[0]][10, 10] == 0.0  # single pixel eroded away
+
+
+def test_morphology_halo_crosses_tiles(ray_session):
+    import ray.data as rd
+
+    def zero(lon2, lat2, b):
+        return np.zeros_like(lon2, dtype=np.float32)
+
+    df = raster.make_raster(zero, res=1)
+    T = raster.TILE
+    # hot pixel on the RIGHT edge of tile (0,0) → dilation must reach
+    # the left edge of the tile to its right
+    a = raster.bytes_to_tile(df.tile.iloc[0]).copy()
+    a[5, T - 1] = 7.0
+    df.at[0, "tile"] = raster.tile_to_bytes(a)
+    cu = np.array([df.cell_id.iloc[0]], dtype=np.int64).view(np.uint64)
+    r, ix, iy = grid.unpack(cu)
+    right_cell = int(grid.pack(int(r[0]), np.array([int(ix[0]) + 1]),
+                               np.array([int(iy[0])]))[0])
+    ds = rd.from_pandas(df)
+    dil = raster.morphology(ds, "dilate").to_pandas()
+    m = {c: raster.bytes_to_tile(t) for c, t in zip(dil.cell_id, dil.tile)}
+    assert m[np.uint64(right_cell).view(np.int64) if hasattr(np.uint64(right_cell), 'view') else right_cell][5, 0] == 7.0
+
+
+def test_idw_and_distance(ray_session):
+    pts = pd.DataFrame({"lon": [0.0, 90.0], "lat": [0.0, 0.0],
+                        "value": [10.0, 20.0]})
+    out = raster.idw_interpolate(pts, res=1).to_pandas()
+    # pixel at a sample point ~ the sample value
+    allv = np.concatenate([raster.bytes_to_tile(t).ravel() for t in out.tile])
+    assert allv.min() >= 10.0 - 0.5 and allv.max() <= 20.0 + 0.5
+    d = raster.distance_to_points(pts[["lon", "lat"]], res=1).to_pandas()
+    dv = np.concatenate([raster.bytes_to_tile(t).ravel() for t in d.tile])
+    assert dv.min() < 1.5  # some pixel close to a sample
+    assert dv.max() > 50.0  # far side of the world is far
