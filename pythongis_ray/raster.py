@@ -549,6 +549,10 @@ def morphology(ds, op: str = "dilate", t: int = TILE):
             mx = np.where(va, arr, -np.inf).max(axis=0)
             mn = np.where(va, arr, np.inf).min(axis=0)
             out = np.where(np.isfinite(mx) & np.isfinite(mn), mx - mn, nd)
+        elif op == "smooth":
+            s_ = np.where(va, arr, 0.0).sum(axis=0)
+            c_ = va.sum(axis=0)
+            out = np.where(c_ > 0, s_ / np.maximum(c_, 1), nd)
         else:
             raise ValueError(op)
         core_valid = pad[1:-1, 1:-1] != nd
@@ -646,3 +650,148 @@ def distance_to_points(points_df: pd.DataFrame, res: int = 4, t: int = TILE,
         return pd.DataFrame(rows)
 
     return tiles.map_batches(fn, batch_format="pandas", batch_size=16)
+
+
+# ------------------------------------------------------ smoothing / algebra
+
+def smooth(ds, t: int = TILE):
+    """3x3 mean smoothing with cross-tile halo exchange (reference
+    analyzer.smooth radial kernel, /root/reference/pythongis/raster/
+    analyzer.py:269-434, kernel radius 1 on the tile grid). Reuses the
+    morphology halo plumbing with a mean-over-valid kernel."""
+    return morphology(ds, "smooth", t)
+
+
+def roll(ds, shift_cells_x: int, t: int = TILE):
+    """Wrap-around recenter: shift the raster by whole tiles in x
+    (reference manager.roll, raster/manager.py:652-676) — pure cell-id
+    remap, no pixel movement."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        cu = batch["cell_id"].to_numpy(np.int64).view(np.uint64)
+        res, ix, iy = grid.unpack(cu)
+        nx, _ = grid.cell_dims(int(res[0])) if len(res) else (1, 1)
+        nix = (ix + shift_cells_x) % nx
+        out["cell_id"] = grid.pack(int(res[0]), nix, iy).view(np.int64)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=256)
+
+
+def sequence_lerp(ds_a, ds_b, t_frac: float, t: int = TILE):
+    """Interpolated raster between two keyframes (reference
+    manager.sequence band lerp, raster/manager.py:65-160): per-tile
+    a*(1-t) + b*t via the aligned-tile join."""
+
+    def tag(side):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["_side"] = np.int8(side)
+            return b
+        return fn
+
+    both = ds_a.map_batches(tag(0), batch_format="pandas").union(
+        ds_b.map_batches(tag(1), batch_format="pandas"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["_side"] == 0]
+        b = g[g["_side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({c: [] for c in ("cell_id", "band", "tile", "nodata")})
+        ta = bytes_to_tile(a["tile"].iloc[0], t)
+        tb = bytes_to_tile(b["tile"].iloc[0], t)
+        nd = float(a["nodata"].iloc[0])
+        mask = (ta == nd) | (tb == float(b["nodata"].iloc[0]))
+        r = (ta * (1.0 - t_frac) + tb * t_frac).astype(np.float32)
+        r[mask] = nd
+        return pd.DataFrame({"cell_id": [a["cell_id"].iloc[0]],
+                             "band": [a["band"].iloc[0]],
+                             "tile": [tile_to_bytes(r)], "nodata": [nd]})
+
+    return both.groupby(["cell_id", "band"]).map_groups(combine,
+                                                        batch_format="pandas")
+
+
+def raster_algebra(datasets, fn, t: int = TILE):
+    """N-raster expression evaluation (reference analyzer.mathexpr,
+    raster/analyzer.py:94-143): co-locate aligned tiles from N rasters
+    with one groupby, apply ``fn(list_of_arrays) -> array``. User
+    expressions are CALLABLES, not eval'd strings — no string eval on
+    workers (SURVEY.md §2.7 sandboxing note)."""
+    tagged = []
+    for i, d in enumerate(datasets):
+        def tag(b, i=i):
+            b = b.copy()
+            b["_src"] = np.int64(i)
+            return b
+        tagged.append(d.map_batches(tag, batch_format="pandas"))
+    u = tagged[0]
+    for d in tagged[1:]:
+        u = u.union(d)
+    n = len(datasets)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_src")
+        if len(g) < n:
+            return pd.DataFrame({c: [] for c in ("cell_id", "band", "tile", "nodata")})
+        nd = float(g["nodata"].iloc[0])
+        arrs = [bytes_to_tile(b, t) for b in g["tile"]]
+        mask = np.zeros_like(arrs[0], dtype=bool)
+        for a in arrs:
+            mask |= a == nd
+        r = np.asarray(fn(arrs), dtype=np.float32)
+        r[mask] = nd
+        return pd.DataFrame({"cell_id": [g["cell_id"].iloc[0]],
+                             "band": [g["band"].iloc[0]],
+                             "tile": [tile_to_bytes(r)], "nodata": [nd]})
+
+    return u.groupby(["cell_id", "band"]).map_groups(combine,
+                                                     batch_format="pandas")
+
+
+def disperse(points_df: pd.DataFrame, res: int = 4, t: int = TILE,
+             value_col: str = "value", lon_col: str = "lon",
+             lat_col: str = "lat", spread: int = 1):
+    """Value-preserving dispersal: each point's value spreads uniformly
+    over a (2*spread+1)^2 pixel neighbourhood; global sum of the raster
+    equals the sum of input values (reference analyzer.disperse,
+    raster/analyzer.py:436-476 — two-pass weight normalization is
+    implicit here because uniform in-bounds weights are renormalized
+    per point)."""
+    import ray.data as rd
+
+    lon = points_df[lon_col].to_numpy(np.float64)
+    lat = points_df[lat_col].to_numpy(np.float64)
+    val = points_df[value_col].to_numpy(np.float64)
+    cell = grid.point_to_cell(lon, lat, res)
+    xmin, ymin, xmax, ymax = grid.cell_bounds(cell)
+    fx = np.clip(((lon - xmin) / (xmax - xmin) * t).astype(np.int64), 0, t - 1)
+    fy = np.clip(((lat - ymin) / (ymax - ymin) * t).astype(np.int64), 0, t - 1)
+    nx, ny = grid.cell_dims(res)
+    _, cix, ciy = grid.unpack(cell)
+    gx = cix * t + fx  # global pixel coords
+    gy = ciy * t + fy
+    rows = []
+    offs = range(-spread, spread + 1)
+    for i in range(len(val)):
+        tgt = [(gx[i] + dx, gy[i] + dy) for dx in offs for dy in offs
+               if 0 <= gy[i] + dy < ny * t]
+        w = val[i] / len(tgt)
+        for tx_, ty_ in tgt:
+            rows.append(((tx_ % (nx * t)), ty_, w))
+    df = pd.DataFrame(rows, columns=["gx", "gy", "w"])
+    df["pix_cell"] = grid.pack(res, df.gx.to_numpy() // t,
+                               df.gy.to_numpy() // t).view(np.int64)
+    df["pix"] = df["pix_cell"] * (t * t) + (df.gy.to_numpy() % t) * t \
+        + (df.gx.to_numpy() % t)
+    agg = df.groupby("pix")["w"].sum().reset_index()
+    agg["cell_id"] = agg["pix"] // (t * t)
+    out_rows = []
+    for cid, g in agg.groupby("cell_id"):
+        tile = np.zeros((t, t), dtype=np.float32)
+        loc = g["pix"].to_numpy() % (t * t)
+        tile.ravel()[loc] = g["w"].to_numpy()
+        out_rows.append({"cell_id": cid, "band": np.int32(0),
+                         "tile": tile_to_bytes(tile), "nodata": 0.0})
+    return rd.from_pandas(pd.DataFrame(out_rows))

@@ -231,3 +231,56 @@ def test_idw_and_distance(ray_session):
     dv = np.concatenate([raster.bytes_to_tile(t).ravel() for t in d.tile])
     assert dv.min() < 1.5  # some pixel close to a sample
     assert dv.max() > 50.0  # far side of the world is far
+
+
+def test_smooth_mean(ray_session):
+    import ray.data as rd
+
+    df = raster.make_raster(lambda lo, la, b: np.zeros_like(lo, np.float32), res=1)
+    a = raster.bytes_to_tile(df.tile.iloc[0]).copy()
+    a[10, 10] = 9.0
+    df.at[0, "tile"] = raster.tile_to_bytes(a)
+    out = raster.smooth(rd.from_pandas(df)).to_pandas()
+    m = {c: raster.bytes_to_tile(t) for c, t in zip(out.cell_id, out.tile)}
+    s = m[df.cell_id.iloc[0]]
+    assert np.isclose(s[10, 10], 1.0)  # 9 spread over 9 neighbours
+    assert np.isclose(s[9, 9], 1.0)
+    assert s[13, 13] == 0.0
+
+
+def test_roll_remap(ray_session):
+    import ray.data as rd
+
+    df = raster.make_raster(ramp, res=1)
+    out = raster.roll(rd.from_pandas(df), 1).to_pandas()
+    assert set(out.cell_id) == set(df.cell_id)  # permutation of cells
+    assert len(out) == len(df)
+
+
+def test_sequence_lerp(ray_session):
+    import ray.data as rd
+
+    a = raster.make_raster(lambda lo, la, b: np.full_like(lo, 10.0, np.float32), res=0)
+    b = raster.make_raster(lambda lo, la, b: np.full_like(lo, 20.0, np.float32), res=0)
+    out = raster.sequence_lerp(rd.from_pandas(a), rd.from_pandas(b), 0.25).to_pandas()
+    v = raster.bytes_to_tile(out.tile.iloc[0])
+    assert np.allclose(v, 12.5)
+
+
+def test_raster_algebra_threeway(ray_session):
+    import ray.data as rd
+
+    mk = lambda v: rd.from_pandas(raster.make_raster(
+        lambda lo, la, b: np.full_like(lo, v, np.float32), res=0))
+    out = raster.raster_algebra([mk(2.0), mk(3.0), mk(4.0)],
+                                lambda ts: ts[0] * ts[1] + ts[2]).to_pandas()
+    v = raster.bytes_to_tile(out.tile.iloc[0])
+    assert np.allclose(v, 10.0)
+
+
+def test_disperse_preserves_mass(ray_session):
+    pts = pd.DataFrame({"lon": [10.0, -50.0], "lat": [5.0, 20.0],
+                        "value": [100.0, 60.0]})
+    out = raster.disperse(pts, res=2, spread=1).to_pandas()
+    total = sum(raster.bytes_to_tile(t).sum(dtype=np.float64) for t in out.tile)
+    assert np.isclose(total, 160.0, rtol=1e-5)
