@@ -890,6 +890,88 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization of the event log (5-minute gap)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"], "ts_us": pa.array(us)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    out = rel.sessionize(ds, "user_id", ["ts_us", "event_id"], "ts_us",
+                         gap=300_000_000)
+    return out.select_columns(["event_id", "user_id", "session_id"])
+
+
+SQL_SESSIONIZE = """
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN prev_us IS NOT NULL
+                      AND epoch_us(ts) - prev_us > 300000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS session_id
+FROM (SELECT event_id, user_id, ts,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events)
+"""
+
+
+def q_reproject_x(sf_dir: str):
+    """WebMercator reprojection (x axis; y involves tan/log whose last
+    ulp differs between libm builds — verified here on the exactly
+    matching axis, full reproject covered by unit tests)."""
+    from pythongis_ray import vector as vec
+
+    cpts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+    out = vec.reproject(cpts, "to_webmercator")
+    return out.select_columns(["ck", "lon", "x"])
+
+
+SQL_REPROJECT_X = f"""
+WITH cpts AS ({{CPTS}})
+SELECT ck, lon, radians(lon) * 6378137.0 AS x FROM cpts
+"""
+
+
+def SQL_REPROJECT_X_F():
+    return SQL_REPROJECT_X.replace(
+        "{CPTS}", _sql_keyed_points("customer", "c_custkey", 4, 1, "ck"))
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup candidates: band the 64-bit simhash into 4
+    16-bit bands; docs sharing any band bucket become candidate pairs
+    (rows-only driver check — the hash family is not SQL-expressible)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    hashed = text.add_simhash(ds)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["simhash"].to_numpy(np.int64).view(np.uint64)
+        rows = []
+        for b in range(4):
+            band = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            rows.append(pd.DataFrame({"band_id": b, "band_val": band,
+                                      "doc_id": batch["doc_id"].to_numpy()}))
+        return pd.concat(rows, ignore_index=True)
+
+    bands = hashed.map_batches(explode, batch_format="pandas", batch_size=8192)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return pd.DataFrame(out, columns=["id_a", "id_b"])
+
+    cand = bands.groupby(["band_id", "band_val"]).map_groups(
+        pairs, batch_format="pandas")
+    return rel.dedup(cand, ["id_a", "id_b"])
+
+
 # --------------------------------------------------- non-SQL (rows-only)
 
 def q_minhash_pairs(sf_dir: str):
@@ -984,6 +1066,9 @@ REGISTRY: dict[str, tuple] = {
     "doc_topk_chars": (q_doc_topk_chars, SQL_DOC_TOPK_CHARS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "embed_label_stats": (q_embed_label_stats, SQL_EMBED_LABEL_STATS),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
+    "simhash_pairs": (q_simhash_pairs, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash": (q_simhash, None),
     "langid": (q_langid, None),

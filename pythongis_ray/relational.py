@@ -334,6 +334,41 @@ def moving_window(ds, group_key, order_cols, value_col, n: int, stat: str = "mea
     return bucketed_group_apply(ds, group_key, per_bucket)
 
 
+def sessionize(ds, group_key, order_cols, ts_col: str, gap: int,
+               out_col: str = "session_id"):
+    """Gap-based sessionization: within each group (ordered by
+    ``order_cols``), a new session starts when the timestamp jumps by
+    more than ``gap``; session ids number from 0 per group. The
+    stream-shaped operator of the engine (Ray Data has no event-time
+    windows — this is the ordered-log pattern, see ray_guide
+    'Streaming-shaped workloads')."""
+    group_key = [group_key] if isinstance(group_key, str) else list(group_key)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(group_key + order_cols, kind="stable") \
+            .reset_index(drop=True)
+        ts = g[ts_col].to_numpy()
+        new_group = np.zeros(len(g), dtype=bool)
+        if len(g):
+            gkeys = g[group_key].to_numpy()
+            new_group[1:] = (gkeys[1:] != gkeys[:-1]).any(axis=1)
+        jump = np.zeros(len(g), dtype=bool)
+        jump[1:] = (ts[1:] - ts[:-1]) > gap
+        new_sess = new_group | (jump & ~new_group)
+        # per-group session counter: cumsum of jumps, reset at group start
+        sess = np.cumsum(jump & ~new_group)
+        # subtract the cumulative count at each group's start
+        start_idx = np.flatnonzero(np.r_[True, new_group[1:]])
+        base = np.zeros(len(g), dtype=np.int64)
+        base[start_idx] = sess[start_idx]
+        base = np.maximum.accumulate(base)
+        g[out_col] = sess - base
+        return g
+
+    return bucketed_group_apply(ds, group_key, per_bucket)
+
+
 # ----------------------------------------------------------- merge/split
 
 def merge(*datasets):
