@@ -369,3 +369,152 @@ def describe(ds, columns: list[str] | None = None) -> pd.DataFrame:
     cnt = g["pcnt"].sum()
     out["mean"] = np.where(cnt > 0, g["psum"].sum() / cnt.replace(0, 1), np.nan)
     return out.reset_index()
+
+
+# ------------------------------------------------------------ snap / cut
+
+def snap(ds, targets: pd.DataFrame, tolerance: float,
+         geometry_col: str = "geometry",
+         t_lon: str = "lon", t_lat: str = "lat"):
+    """Snap geometry vertices to the nearest target point within
+    ``tolerance`` (reference manager.snap,
+    /root/reference/pythongis/vector/manager.py:622-648). Targets are
+    broadcast; per batch ALL vertices across the batch snap in one
+    vectorized nearest-neighbour pass (grid-bucketed)."""
+    import ray
+
+    from pythongis_ray import state as _state
+    from pythongis_ray.spatial import GridKnnJoiner
+
+    payload = {"lon": targets[t_lon].to_numpy(np.float64),
+               "lat": targets[t_lat].to_numpy(np.float64),
+               "id": np.arange(len(targets), dtype=np.int64)}
+    ref = ray.put(payload)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        knn = _state.get_broadcast(
+            ref, builder=lambda r: GridKnnJoiner(r, k=1), key_extra=("snap",))
+        geoms = batch[geometry_col].to_pylist()
+        # gather every vertex of the batch
+        all_pts, spans = [], []
+        parsed = []
+        for b in geoms:
+            g = wkb.decode(bytes(b))
+            parsed.append(g)
+            pts = np.vstack(g["rings"])
+            spans.append(len(pts))
+            all_pts.append(pts)
+        if not all_pts:
+            return batch
+        flat = np.vstack(all_pts)
+        vb = pa.table({"i": np.arange(len(flat), dtype=np.int64),
+                       "lon": flat[:, 0], "lat": flat[:, 1]})
+        nn = knn(vb)
+        order = np.argsort(nn["i"].to_numpy(zero_copy_only=False))
+        d2 = nn["nn_dist_sq"].to_numpy(zero_copy_only=False)[order]
+        nid = nn["nn_id"].to_numpy(zero_copy_only=False)[order]
+        move = d2 <= tolerance * tolerance
+        flat = flat.copy()
+        flat[move, 0] = knn.rlon[np.searchsorted(knn.rid, nid[move])]
+        flat[move, 1] = knn.rlat[np.searchsorted(knn.rid, nid[move])]
+        # rebuild geometries
+        out = []
+        pos = 0
+        for g, n in zip(parsed, spans):
+            seg = flat[pos:pos + n]
+            pos += n
+            ring_sizes = [len(r) for r in g["rings"]]
+            new_rings, s = [], 0
+            for rs in ring_sizes:
+                new_rings.append(seg[s:s + rs])
+                s += rs
+            if g["type"] == "Point":
+                out.append(wkb.encode_point(*new_rings[0][0]))
+            elif g["type"] == "LineString":
+                out.append(wkb.encode_linestring(new_rings[0]))
+            elif g["type"] == "Polygon":
+                # re-close rings after snapping
+                closed = []
+                for r in new_rings:
+                    r = r.copy()
+                    r[-1] = r[0]
+                    closed.append(r)
+                out.append(wkb.encode_polygon(closed))
+            else:
+                out.append(wkb.encode_multi(g["type"], [r for r in new_rings]))
+        return batch.set_column(batch.column_names.index(geometry_col),
+                                geometry_col, pa.array(out, pa.binary()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def cut(ds, cutters: pd.DataFrame, geometry_col: str = "geometry",
+        cutter_geom_col: str = "geometry"):
+    """Split LineStrings by a broadcast line layer (reference
+    manager.cut via shapely.ops.split,
+    /root/reference/pythongis/vector/manager.py:782-820). Each
+    intersection point with any cutter segment splits the line; output
+    is one row per resulting piece with a ``piece`` index column."""
+    import ray
+
+    from pythongis_ray import state as _state
+
+    cut_segs = []
+    for b in cutters[cutter_geom_col]:
+        g = wkb.decode(bytes(b))
+        for ring in g["rings"]:
+            cut_segs.append(ring)
+    A = np.vstack([r[:-1] for r in cut_segs]) if cut_segs else np.empty((0, 2))
+    B = np.vstack([r[1:] for r in cut_segs]) if cut_segs else np.empty((0, 2))
+    ref = ray.put({"a": A, "b": B})
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        seg = _state.get_broadcast(ref, key_extra=("cut",))
+        ax, ay = seg["a"][:, 0], seg["a"][:, 1]
+        bx, by = seg["b"][:, 0], seg["b"][:, 1]
+        rows = []
+        others = [c for c in batch.column_names if c != geometry_col]
+        for ri in range(batch.num_rows):
+            b = batch[geometry_col][ri].as_py()
+            g = wkb.decode(bytes(b))
+            if g["type"] != "LineString":
+                rec = {c: batch[c][ri].as_py() for c in others}
+                rec.update({"piece": 0, geometry_col: b})
+                rows.append(rec)
+                continue
+            line = g["rings"][0]
+            out_pts = [line[0].tolist()]
+            cut_marks = []
+            for i in range(len(line) - 1):
+                p0, p1 = line[i], line[i + 1]
+                # parametric intersections of segment p0→p1 with all cutters
+                d1x, d1y = p1[0] - p0[0], p1[1] - p0[1]
+                d2x, d2y = bx - ax, by - ay
+                denom = d1x * d2y - d1y * d2x
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = ((ax - p0[0]) * d2y - (ay - p0[1]) * d2x) / denom
+                    u = ((ax - p0[0]) * d1y - (ay - p0[1]) * d1x) / denom
+                valid = (denom != 0) & (t > 0) & (t < 1) & (u >= 0) & (u <= 1)
+                ts = np.sort(np.unique(t[valid]))
+                for tv in ts:
+                    px, py = p0[0] + tv * d1x, p0[1] + tv * d1y
+                    out_pts.append([px, py])
+                    cut_marks.append(len(out_pts) - 1)
+                out_pts.append(p1.tolist())
+            # split out_pts at cut_marks (cut point belongs to both pieces)
+            pieces = []
+            start = 0
+            for m in cut_marks:
+                pieces.append(out_pts[start:m + 1])
+                start = m
+            pieces.append(out_pts[start:])
+            for pi, pts in enumerate(pieces):
+                if len(pts) < 2:
+                    continue
+                rec = {c: batch[c][ri].as_py() for c in others}
+                rec.update({"piece": pi,
+                            geometry_col: wkb.encode_linestring(np.asarray(pts))})
+                rows.append(rec)
+        return pd.DataFrame(rows, columns=others + ["piece", geometry_col])
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)

@@ -113,3 +113,48 @@ def test_describe(ray_session):
     assert out.loc["a", "min"] == 1.0 and out.loc["a", "max"] == 4.0
     assert out.loc["a", "mean"] == 7.0 / 3
     assert out.loc["b", "missing"] == 1
+
+
+def test_snap_vertices(ray_session):
+    import ray.data as rd
+
+    targets = pd.DataFrame({"lon": [10.0, 20.0], "lat": [10.0, 20.0]})
+    # line with one vertex near (10,10) and one far from anything
+    line = wkb.encode_linestring(np.array([[10.05, 10.02], [15.0, 15.0]]))
+    pt = wkb.encode_point(19.99, 20.01)
+    df = pd.DataFrame({"gid": [1, 2], "geometry": [line, pt]})
+    out = vector.snap(rd.from_pandas(df), targets, tolerance=0.1) \
+        .to_pandas().sort_values("gid")
+    l2 = wkb.decode(bytes(out.geometry.iloc[0]))["rings"][0]
+    assert l2[0].tolist() == [10.0, 10.0]     # snapped
+    assert l2[1].tolist() == [15.0, 15.0]     # out of tolerance, unmoved
+    p2 = wkb.decode(bytes(out.geometry.iloc[1]))["rings"][0][0]
+    assert p2.tolist() == [20.0, 20.0]
+
+
+def test_cut_line_by_cutter(ray_session):
+    import ray.data as rd
+
+    # horizontal line crossed by a vertical cutter at x=5
+    line = wkb.encode_linestring(np.array([[0.0, 0.0], [10.0, 0.0]]))
+    cutter = pd.DataFrame({"geometry": [
+        wkb.encode_linestring(np.array([[5.0, -1.0], [5.0, 1.0]]))]})
+    df = pd.DataFrame({"gid": [7], "geometry": [line]})
+    out = vector.cut(rd.from_pandas(df), cutter).to_pandas()
+    assert len(out) == 2
+    pieces = [wkb.decode(bytes(b))["rings"][0] for b in out.geometry]
+    assert pieces[0].tolist() == [[0.0, 0.0], [5.0, 0.0]]
+    assert pieces[1].tolist() == [[5.0, 0.0], [10.0, 0.0]]
+    assert out.gid.tolist() == [7, 7]
+    assert out.piece.tolist() == [0, 1]
+
+
+def test_cut_no_intersection_passthrough(ray_session):
+    import ray.data as rd
+
+    line = wkb.encode_linestring(np.array([[0.0, 0.0], [1.0, 0.0]]))
+    cutter = pd.DataFrame({"geometry": [
+        wkb.encode_linestring(np.array([[50.0, -1.0], [50.0, 1.0]]))]})
+    out = vector.cut(rd.from_pandas(pd.DataFrame({"gid": [1], "geometry": [line]})),
+                     cutter).to_pandas()
+    assert len(out) == 1 and out.piece.iloc[0] == 0
