@@ -810,14 +810,20 @@ def spatial_join_shuffle(points_ds, zones_ds, predicate: str = "intersects",
         lon = batch[lon_col].to_numpy(zero_copy_only=False)
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
         cells = grid.point_to_cell(lon, lat, res)
-        salt_map = ray.get(salts_ref)
+        salt_map = state.get_broadcast(salts_ref, key_extra=("salts",))
         salt = np.zeros(len(cells), dtype=np.uint64)
         if salt_map:
-            for c, s in salt_map.items():
-                m = cells == np.uint64(c)
-                if m.any():
-                    # deterministic spread of the hot cell's rows
-                    salt[m] = (np.arange(len(cells))[m] + np.uint64(s)) % np.uint64(s)
+            hot = np.fromiter(salt_map.keys(), dtype=np.int64)
+            fac = np.fromiter(salt_map.values(), dtype=np.int64)
+            order = np.argsort(hot)
+            hot, fac = hot[order], fac[order]
+            pos = np.searchsorted(hot, cells.view(np.int64))
+            pos_c = np.clip(pos, 0, len(hot) - 1)
+            is_hot = hot[pos_c] == cells.view(np.int64)
+            if is_hot.any():
+                # deterministic spread of each hot cell's rows
+                f = fac[pos_c[is_hot]].astype(np.uint64)
+                salt[is_hot] = (np.arange(len(cells), dtype=np.uint64)[is_hot]) % f
         bucket = ((cells * np.uint64(0x9E3779B97F4A7C15) + salt)
                   % np.uint64(num_buckets)).astype(np.int64)
         t = batch.append_column("_cell", pa.array(cells.astype(np.int64)))
@@ -826,27 +832,33 @@ def spatial_join_shuffle(points_ds, zones_ds, predicate: str = "intersects",
 
     def explode_zones(batch: pa.Table) -> pa.Table:
         geoms = batch[zone_geom_col].to_pylist()
-        salt_map = ray.get(salts_ref)
-        rows, cells_out, salts_out = [], [], []
-        for i, g in enumerate(geoms):
-            x0, y0, x1, y1 = wkb.bbox(bytes(g))
-            rws, cls = grid.bboxes_to_cells(
-                np.array([x0]), np.array([y0]), np.array([x1]), np.array([y1]), res=res)
-            for c in cls:
-                s_factor = salt_map.get(int(c), 1)
-                for s in range(s_factor):
-                    rows.append(i)
-                    cells_out.append(int(c))
-                    salts_out.append(s)
-        if not rows:
+        salt_map = state.get_broadcast(salts_ref, key_extra=("salts",))
+        bb = np.array([wkb.bbox(bytes(g)) for g in geoms], np.float64) \
+            if geoms else np.empty((0, 4))
+        if len(bb) == 0:
             empty = batch.slice(0, 0)
             empty = empty.append_column("_cell", pa.array([], pa.int64()))
             empty = empty.append_column("_bucket", pa.array([], pa.int64()))
             return empty.append_column("_side", pa.array([], pa.int8()))
-        take = pa.array(np.asarray(rows, np.int64))
-        out = batch.take(take)
-        cells_np = np.asarray(cells_out, np.uint64)
-        salts_np = np.asarray(salts_out, np.uint64)
+        # vectorized cover of every zone bbox at once
+        rws, cls = grid.bboxes_to_cells(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3],
+                                        res=res)
+        # salt replication factors per cover cell
+        fac = np.ones(len(cls), dtype=np.int64)
+        if salt_map:
+            hot = np.fromiter(salt_map.keys(), dtype=np.int64)
+            hfac = np.fromiter(salt_map.values(), dtype=np.int64)
+            horder = np.argsort(hot)
+            hot, hfac = hot[horder], hfac[horder]
+            pos = np.clip(np.searchsorted(hot, cls.view(np.int64)), 0, len(hot) - 1)
+            m = hot[pos] == cls.view(np.int64)
+            fac[m] = hfac[pos[m]]
+        rows_rep = np.repeat(rws, fac)
+        cells_np = np.repeat(cls, fac)
+        cum = np.concatenate(([0], np.cumsum(fac)[:-1]))
+        salts_np = (np.arange(int(fac.sum()), dtype=np.int64)
+                    - np.repeat(cum, fac)).astype(np.uint64)
+        out = batch.take(pa.array(rows_rep))
         bucket = ((cells_np * np.uint64(0x9E3779B97F4A7C15) + salts_np)
                   % np.uint64(num_buckets)).astype(np.int64)
         out = out.append_column("_cell", pa.array(cells_np.astype(np.int64)))
@@ -887,22 +899,30 @@ def spatial_join_shuffle(points_ds, zones_ds, predicate: str = "intersects",
         pcell = pts["_cell"].to_numpy(np.int64)
         order = np.argsort(pcell, kind="stable")
         pcell_s = pcell[order]
+        # one refine per UNIQUE zone: parse once, gather the point
+        # segments of all its cover cells in this bucket, test vectorized
         outs = []
-        for _, zrow in zns.iterrows():
-            c = zrow["_cell"]
-            s0 = np.searchsorted(pcell_s, c, "left")
-            s1 = np.searchsorted(pcell_s, c, "right")
-            if s0 == s1:
+        zns = zns.reset_index(drop=True)
+        geo_first: dict[bytes, list[int]] = {}
+        for i, gb in enumerate(zns[zone_geom_col]):
+            geo_first.setdefault(bytes(gb), []).append(i)
+        for gb, rows_idx in geo_first.items():
+            zcells = np.unique(zns["_cell"].to_numpy(np.int64)[rows_idx])
+            s0 = np.searchsorted(pcell_s, zcells, "left")
+            s1 = np.searchsorted(pcell_s, zcells, "right")
+            lens = s1 - s0
+            if lens.sum() == 0:
                 continue
-            seg = order[s0:s1]
-            g = wkb.decode(bytes(zrow[zone_geom_col]))
-            poly = algo.PreparedPolygon(g["rings"])
+            seg = np.concatenate([order[a:b] for a, b in zip(s0, s1) if b > a])
+            g = wkb.decode(gb)
+            poly = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
             if predicate in ("within", "contains"):
                 m = poly.contains_points(lon[seg], lat[seg])
             else:
                 m = poly.covers_points(lon[seg], lat[seg])
             hit = seg[m]
             if len(hit):
+                zrow = zns.iloc[rows_idx[0]]
                 o = pts.iloc[hit][left_cols].reset_index(drop=True)
                 for c2 in zone_attr_cols:
                     o[c2] = zrow[c2]
