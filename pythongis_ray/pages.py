@@ -91,8 +91,12 @@ def pages_dataset(sf_dir: str, replicate: int = 1, geocode: bool = True,
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
+    # keep output blocks bounded: a replicate-R synthesis multiplies
+    # rows AND bytes by R, so the input batch shrinks by R (wide-row
+    # memory rule — html ~1 KB/row must not produce GB-sized blocks)
+    bs = max(256, 8192 // max(1, replicate))
     ds = ds.map_batches(lambda b: synthesize_pages(b, replicate),
-                        batch_format="pyarrow", batch_size=8192)
+                        batch_format="pyarrow", batch_size=bs)
     if geocode:
         ds = ds.map_batches(geocode_pages, batch_format="pyarrow", batch_size=8192)
     if columns:
