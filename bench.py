@@ -76,13 +76,16 @@ def run_benchmarks() -> dict:
     extras["spjoin_joined_rows"] = joined_rows
     extras["spjoin_rows_per_sec"] = round(joined_rows / timings["spjoin_points"], 1)
 
-    # 2. same join through the salted shuffle path
+    # 2. same join through the salted shuffle path; rows_per_task set so
+    # the power-law city cells genuinely exceed the threshold and take
+    # the salted-split branch (~12.7k rows in the hottest cell at sf0.1)
     def spjoin_shuffle():
         import ray.data as rd
         pts = q.points_lineitem(SF_DIR)
         zones = pipelines.load_zones(SF_DIR)
         zds = rd.from_pandas(zones[["zone_id", "geometry"]])
-        return spatial.spatial_join_shuffle(pts, zds, predicate="within").count()
+        return spatial.spatial_join_shuffle(pts, zds, predicate="within",
+                                            rows_per_task=5000).count()
 
     timed("spjoin_shuffle", spjoin_shuffle)
 

@@ -890,6 +890,51 @@ FROM embeddings GROUP BY label
 """
 
 
+SUP_HALF_X = 4000.25  # supplier rect half-extents, quarter-lattice units:
+SUP_HALF_Y = 3000.25  # bounds at x.25/.75 never touch zone bounds at x.5
+
+
+def q_polyjoin(sf_dir: str):
+    """Polygon×polygon spatial join: supplier-derived rectangles vs the
+    nation zone rectangles (axis-aligned ⇒ intersects ≡ bbox overlap,
+    which the SQL oracle expresses exactly; boundary contact is
+    impossible by lattice construction)."""
+    from pythongis_ray.geom import wkb as _wkb
+
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    k = sup["s_suppkey"].to_numpy().astype(np.int64) * 4 + 3
+    ix, iy = fixtures.geocode_units(k)
+    cx, cy = fixtures.units_to_deg(ix, iy)
+    hx = SUP_HALF_X / 1024.0
+    hy = SUP_HALF_Y / 1024.0
+    geoms = [
+        _wkb.encode_polygon([np.array([[x - hx, y - hy], [x + hx, y - hy],
+                                       [x + hx, y + hy], [x - hx, y + hy],
+                                       [x - hx, y - hy]])])
+        for x, y in zip(cx, cy)
+    ]
+    left = pd.DataFrame({"sup_id": k, "geometry": geoms})
+    zones = pipelines.load_zones(sf_dir)
+    ds = _rd().from_pandas(left)
+    out = spatial.spatial_join_polygons(ds, zones[["zone_id", "geometry"]],
+                                        predicate="intersects")
+    return out.select_columns(["sup_id", "zone_id"])
+
+
+def SQL_POLYJOIN():
+    sup_pts = _sql_keyed_points("supplier", "s_suppkey", 4, 3, "sup_id")
+    return f"""
+WITH sup AS (
+  SELECT sup_id,
+         lon - {SUP_HALF_X} / 1024.0 AS sx0, lon + {SUP_HALF_X} / 1024.0 AS sx1,
+         lat - {SUP_HALF_Y} / 1024.0 AS sy0, lat + {SUP_HALF_Y} / 1024.0 AS sy1
+  FROM ({sup_pts}) _sp
+), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT sup_id, zone_id FROM sup CROSS JOIN z
+WHERE sx0 < x1 AND x0 < sx1 AND sy0 < y1 AND y0 < sy1
+"""
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization of the event log (5-minute gap)."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
@@ -1066,6 +1111,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_topk_chars": (q_doc_topk_chars, SQL_DOC_TOPK_CHARS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "embed_label_stats": (q_embed_label_stats, SQL_EMBED_LABEL_STATS),
+    "polyjoin": (q_polyjoin, SQL_POLYJOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, None),

@@ -136,8 +136,9 @@ def _fp_powers(n: int) -> np.ndarray:
         m = len(_FP_POW_CACHE)
         ext = np.empty(n, dtype=np.uint64)
         ext[:m] = _FP_POW_CACHE
-        for i in range(m, n):
-            ext[i] = ext[i - 1] * _FP_P  # uint64 wraparound
+        with np.errstate(over="ignore"):
+            for i in range(m, n):
+                ext[i] = ext[i - 1] * _FP_P  # uint64 wraparound (intended)
         _FP_POW_CACHE = ext
     return _FP_POW_CACHE
 
