@@ -417,9 +417,3 @@ def equal_breaks(lo: float, hi: float, k: int) -> list[float]:
     step = (hi - lo) / k
     return [lo + i * step for i in range(k + 1)]
 
-
-def _pool():
-    try:
-        return max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
-    except Exception:
-        return 2

@@ -13,8 +13,6 @@ the documented SQL mirrors where one exists.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -26,13 +24,6 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 MH_PERMS = 64
 MH_BANDS = 16
 MH_ROWS = MH_PERMS // MH_BANDS
-MH_PRIME = (1 << 61) - 1
-_rng = np.random.default_rng(42)
-MH_A = _rng.integers(1, MH_PRIME, MH_PERMS, dtype=np.int64)
-MH_B = _rng.integers(0, MH_PRIME, MH_PERMS, dtype=np.int64)
-
-FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def token_count(batch: pa.Table, text_col: str = "text",
