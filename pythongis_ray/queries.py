@@ -425,8 +425,10 @@ def q_spjoin_rect_pairs_shuffle(sf_dir: str):
     pts = points_lineitem(sf_dir)
     zones = pipelines.load_zones(sf_dir)
     zds = _rd().from_pandas(zones[["zone_id", "geometry"]])
+    # rows_per_task=500 < the hottest city cell at sf0.01 (~1.3k rows)
+    # so the driver's correctness run exercises the SALTED path
     joined = spatial.spatial_join_shuffle(pts, zds, predicate="within",
-                                          rows_per_task=5000)
+                                          rows_per_task=500)
     return joined.select_columns(["pk", "zone_id"])
 
 

@@ -98,8 +98,17 @@ def test_shuffle_join_matches_broadcast(ray_session, zones):
     ds = rd.from_pandas(pts)
     bc = spatial.spatial_join(ds, zones, predicate="within").to_pandas()
     zds = rd.from_pandas(zones)
+    # rows_per_task=20 forces the salted-split branch on the hot city
+    # cells of this fixture (max cell count ~76) — verifies salting
+    # preserves exact pair semantics
+    from pythongis_ray import grid as _grid
+    cells = _grid.point_to_cell(pts.lon.to_numpy(), pts.lat.to_numpy(),
+                                spatial.DEFAULT_INDEX_RES)
+    import numpy as _np
+    _, counts = _np.unique(cells, return_counts=True)
+    assert counts.max() > 20  # fixture really has hot cells
     sh = spatial.spatial_join_shuffle(
-        rd.from_pandas(pts), zds, predicate="within", rows_per_task=200).to_pandas()
+        rd.from_pandas(pts), zds, predicate="within", rows_per_task=20).to_pandas()
     key = lambda df: sorted(zip(df.pid.astype(int), df.zone_id.astype(int)))
     assert key(sh) == key(bc)
 
