@@ -53,6 +53,24 @@ def flagship(sf_dir: str, replicate: int = 1, how: str = "inner"):
     return agg
 
 
+def flagship_wide_rejoin(sf_dir: str, replicate: int = 1):
+    """The wide-row discipline end-to-end (SURVEY.md §7.5 / SCALING.md):
+    heavy columns (html, text) are PROJECTED OUT before the spatial
+    join; the joined slim rows re-attach them afterwards by key via a
+    bucketed hash join — html/text never enter the join or any
+    shuffle. Returns the joined pages WITH html/text re-attached
+    (byte-identical; asserted in tests)."""
+    from pythongis_ray import relational as rel
+
+    ds = pages.pages_dataset(sf_dir, replicate=replicate)
+    slim = ds.select_columns(["page_id", "lon", "lat", "lang"])
+    heavy = ds.select_columns(["page_id", "url", "warc_ts", "html", "text"])
+    zones = load_zones(sf_dir)
+    joined = spatial.spatial_join(slim, zones[["zone_id", "name", "geometry"]],
+                                  predicate="within")
+    return rel.join_large(joined, heavy, on="page_id")
+
+
 def flagship_joined_pages(sf_dir: str, replicate: int = 1):
     """The un-aggregated joined pages Dataset (page_id..zone columns),
     with text carried through — used by the byte-identity invariant

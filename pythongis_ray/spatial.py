@@ -791,7 +791,8 @@ def spatial_join_shuffle(points_ds, zones_ds, predicate: str = "intersects",
                          res: int = DEFAULT_INDEX_RES, num_buckets: int = 64,
                          rows_per_task: int = 50_000,
                          lon_col: str = "lon", lat_col: str = "lat",
-                         zone_geom_col: str = "geometry", how: str = "inner"):
+                         zone_geom_col: str = "geometry", how: str = "inner",
+                         checkpoint_dir: str | None = None):
     """Two-phase shuffle spatial join for large×large inputs.
 
     Phase 0 probes left-side cell counts → salt plan for hot cells.
@@ -799,6 +800,12 @@ def spatial_join_shuffle(points_ds, zones_ds, predicate: str = "intersects",
     zone cell covers (replicated across salts for hot cells).
     Phase 2 co-locates with one ``groupby(bucket)`` and refines each
     bucket vectorized (sort-merge on cell inside the bucket).
+
+    ``checkpoint_dir`` materializes the phase-1 keyed union as a
+    RESUMABLE partitioned-parquet stage boundary (one partition per
+    bucket + lineage manifest): a killed run re-submitted with the same
+    dir skips completed phase-1 partitions and the refine re-reads the
+    checkpoint — the "resume mid-shuffle" path of BASELINE.json.
 
     Returns a Dataset of joined rows (left columns + zone attr columns).
     """
@@ -885,6 +892,27 @@ def spatial_join_shuffle(points_ds, zones_ds, predicate: str = "intersects",
     if lcols - rcols:
         right_keyed = right_keyed.map_batches(pad(lcols - rcols), batch_format="pyarrow")
     both = left_keyed.union(right_keyed)
+
+    if checkpoint_dir is not None:
+        # materialized, resumable stage boundary between phase 1 and the
+        # refine shuffle: per-bucket parquet partitions + lineage
+        from pythongis_ray import checkpoint as ckpt
+
+        def add_key(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "_ckpt_key", batch["_bucket"])
+
+        ckpt.write_partitioned(both.map_batches(add_key, batch_format="pyarrow"),
+                               checkpoint_dir, key_col="_ckpt_key",
+                               num_partitions=num_buckets, resume=True)
+        import ray.data as rd
+
+        def strip_ckpt_cols(b: pa.Table) -> pa.Table:
+            drop = [c for c in ("_ckpt_key", "_part", "part") if c in b.column_names]
+            return b.drop_columns(drop)
+
+        both = rd.read_parquet(checkpoint_dir) \
+            .map_batches(strip_ckpt_cols, batch_format="pyarrow")
 
     zone_attr_cols = [c for c in zones_ds.schema().names if c != zone_geom_col]
     left_cols = [c for c in points_ds.schema().names]

@@ -217,3 +217,49 @@ def test_polygon_join_touch_exclusion(ray_session):
     over = spatial.spatial_join_polygons(ds, zones_df, "overlaps").to_pandas()
     assert set(inter.zone_id) == {0, 1}   # touching counts as intersects
     assert set(over.zone_id) == {0}       # touch-only neighbour excluded
+
+
+def test_shuffle_join_checkpoint_resume(ray_session, zones, tmp_path):
+    """Phase-1 keyed output materialized as a resumable stage boundary:
+    second run with the same checkpoint dir skips completed partitions
+    and produces identical join results."""
+    import os
+    import ray.data as rd
+    from pythongis_ray import checkpoint as ckpt
+
+    pts = make_points(800)
+    zds = rd.from_pandas(zones[["zone_id", "geometry"]])
+    cdir = str(tmp_path / "phase1")
+    sh1 = spatial.spatial_join_shuffle(
+        rd.from_pandas(pts), zds, predicate="within", rows_per_task=20,
+        num_buckets=8, checkpoint_dir=cdir).to_pandas()
+    done = ckpt.completed_partitions(cdir)
+    assert len(done) > 0
+    # delete one partition → resume should rewrite ONLY that one
+    import shutil
+    victim = sorted(done)[0]
+    shutil.rmtree(os.path.join(cdir, f"part={victim}"))
+    os.remove(os.path.join(cdir, "_manifest", f"part-{victim}.json"))
+    sh2 = spatial.spatial_join_shuffle(
+        rd.from_pandas(pts), zds, predicate="within", rows_per_task=20,
+        num_buckets=8, checkpoint_dir=cdir).to_pandas()
+    key = lambda df: sorted(zip(df.pid.astype(int), df.zone_id.astype(int)))
+    assert key(sh1) == key(sh2)
+    bc = spatial.spatial_join(rd.from_pandas(pts), zones,
+                              predicate="within").to_pandas()
+    assert key(sh1) == key(bc)
+
+
+def test_wide_rejoin_byte_identity(ray_session):
+    """html/text projected out of the join and re-attached by key must
+    be byte-identical (per-url invariant through the wide-row path)."""
+    import pandas as _pd
+    from pythongis_ray import pipelines
+
+    out = pipelines.flagship_wide_rejoin(SF).to_pandas()
+    src = _pd.read_parquet(f"{SF}/documents.parquet")
+    m = dict(zip(src.doc_id, src.text))
+    assert len(out) > 100
+    for pid, txt, html in zip(out.page_id, out.text, out.html):
+        assert m[pid] == txt
+        assert bytes(html) == b"<html><body>" + txt.encode() + b"</body></html>"
