@@ -2,9 +2,10 @@
 
 Runs the headline pipelines over $GRAFT_SF_DIR (default sf0.1) with a
 fresh local Ray at $RAY_GRAFT_CPUS (default 32) and prints ONE JSON
-line. `--scaling` runs the headline job in two fresh subprocesses at
-num_cpus=8 and num_cpus=32 on the same input and reports both
-throughputs + scaling efficiency (the in-sandbox stand-in for the
+line. `--scaling` runs the fused headline job in two fresh subprocesses
+at num_cpus=4 and num_cpus=16 (N vs 4N — BASELINE.md documents why this
+host's 32 vCPUs are ~16 effective cores) on the same input and reports
+both throughputs + scaling efficiency (the in-sandbox stand-in for the
 N-vs-4N-node criterion in BASELINE.json).
 """
 
@@ -89,8 +90,9 @@ def run_benchmarks() -> dict:
 
     timed("spjoin_shuffle", spjoin_shuffle)
 
-    # 3. flagship pages pipeline (wide rows: html+text carried to the join)
-    timed("flagship_pages", lambda: pipelines.flagship(SF_DIR, replicate=100)
+    # 3. flagship pages pipeline (wide rows: html+text synthesized, heavy
+    # columns pruned before the join per the wide-row rule)
+    timed("flagship_pages", lambda: pipelines.flagship(SF_DIR, replicate=50)
           .to_pandas().n_pages.sum())
 
     # 4. kNN join
