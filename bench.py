@@ -137,7 +137,7 @@ def run_benchmarks() -> dict:
 
 SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "4"))
 SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-SCALE_REPLICATE = int(os.environ.get("GRAFT_SCALE_REPLICATE", "64"))
+SCALE_REPLICATE = int(os.environ.get("GRAFT_SCALE_REPLICATE", "128"))
 
 
 def run_headline() -> dict:

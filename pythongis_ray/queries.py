@@ -557,7 +557,8 @@ FROM d WHERE nn_rank <= 3
 """
 
 
-def fused_geocode_zonal(sf_dir: str, replicate: int = 1, batch_size: int = 2048):
+def fused_geocode_zonal(sf_dir: str, replicate: int = 1,
+                        batch_size: int | None = None):
     """Single-stage flagship: key → geocode → PIP refine → per-zone
     partial aggregate, all inside ONE map_batches (no intermediate
     point table ever hits the object store), then a 25-key combine.
@@ -570,6 +571,12 @@ def fused_geocode_zonal(sf_dir: str, replicate: int = 1, batch_size: int = 2048)
     from pythongis_ray import pipelines, state as _state
     from ray.data.aggregate import Sum
 
+    if batch_size is None:
+        # hold per-task output near 128k points regardless of replicate
+        # (large fresh numpy temporaries hit this sandbox's mmap/page-
+        # fault tax; ~10 MB working sets stay in the allocator's reuse
+        # pool — see CLAUDE.md)
+        batch_size = max(256, 131072 // max(1, replicate))
     zones = pipelines.load_zones(sf_dir)
     index = spatial.ZoneIndex.from_pandas(zones[["zone_id", "geometry"]])
     ref = ray.put(index)

@@ -16,7 +16,11 @@ Determinism notes (these define the oracle contract):
   order column — insertion order does not survive a shuffle
   (SURVEY.md §7.5 "ordering-dependent ops");
 * ``mean`` is finalized as one division of exact partial sums so the
-  float result is independent of partitioning.
+  float result is independent of partitioning;
+* an all-missing group yields NULL (SQL semantics) — the reference
+  returns the empty string there (sql.py:124-127), a quirk of its
+  string-typed save path that would poison Arrow column types; the
+  deviation is deliberate and matched by the DuckDB oracles.
 
 Scale pattern: algebraic stats (count/sum/min/max/mean) pre-aggregate
 per batch inside ``map_batches`` (combiner), so the ``groupby`` shuffle
