@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis) for the geometry kernel and grid.
+
+These are the robustness layer over the example-based suites: the PIP
+crossing test is checked against an independent scalar winding
+implementation, WKB round-trips over arbitrary coordinates, and the
+grid over arbitrary lon/lat.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pythongis_ray import grid
+from pythongis_ray.geom import algo, wkb
+
+coord = st.floats(min_value=-179.99, max_value=179.99, allow_nan=False,
+                  width=64).map(lambda x: round(x, 6))
+lat_c = st.floats(min_value=-89.99, max_value=89.99, allow_nan=False,
+                  width=64).map(lambda x: round(x, 6))
+
+
+def scalar_winding_inside(px, py, ring):
+    """Independent reference PIP: scalar winding-number accumulation."""
+    wn = 0
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if y1 <= py:
+            if y2 > py and (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0:
+                wn += 1
+        else:
+            if y2 <= py and (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) < 0:
+                wn -= 1
+    return wn != 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(coord, lat_c), min_size=3, max_size=8, unique=True),
+       coord, lat_c)
+def test_pip_matches_winding_reference(poly_pts, px, py):
+    ring = np.array(list(poly_pts) + [poly_pts[0]], dtype=np.float64)
+    # skip degenerate self-touching test points exactly on the boundary
+    on = algo.points_on_ring(np.array([px]), np.array([py]), ring)[0]
+    if on:
+        return
+    # winding and crossing agree for points off the boundary of any
+    # simple polygon; for self-intersecting rings they can differ, so
+    # restrict to convex hull order
+    hull = ring[:-1]
+    c = hull.mean(axis=0)
+    ang = np.arctan2(hull[:, 1] - c[1], hull[:, 0] - c[0])
+    hull = hull[np.argsort(ang)]
+    ring = np.vstack([hull, hull[:1]])
+    got = algo.points_in_ring(np.array([px]), np.array([py]), ring)[0]
+    exp = scalar_winding_inside(px, py, ring)
+    assert got == exp
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(coord, lat_c), min_size=1, max_size=20))
+def test_wkb_points_roundtrip(pts):
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    col = wkb.encode_points(lon, lat)
+    lo, la = wkb.decode_points(list(col))
+    assert np.array_equal(lo, lon) and np.array_equal(la, lat)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(coord, lat_c), min_size=3, max_size=12))
+def test_wkb_polygon_roundtrip(pts):
+    ring = np.array(list(pts) + [pts[0]], dtype=np.float64)
+    b = wkb.encode_polygon([ring])
+    g = wkb.decode(b)
+    assert g["type"] == "Polygon"
+    assert np.array_equal(g["rings"][0], ring)
+    x0, y0, x1, y1 = wkb.bbox(b)
+    assert x0 == ring[:, 0].min() and x1 == ring[:, 0].max()
+    assert y0 == ring[:, 1].min() and y1 == ring[:, 1].max()
+
+
+@settings(max_examples=300, deadline=None)
+@given(coord, lat_c, st.integers(min_value=0, max_value=14))
+def test_grid_point_cell_contains_point(lon, lat, res):
+    c = grid.point_to_cell(np.array([lon]), np.array([lat]), res)
+    xmin, ymin, xmax, ymax = grid.cell_bounds(c)
+    assert xmin[0] <= lon < xmax[0] or np.isclose(lon, 180.0)
+    assert ymin[0] <= lat < ymax[0] or lat >= 90.0 - grid.cell_size_deg(res)
+    # parent relation
+    if res > 0:
+        p = grid.parent(c)
+        pxmin, pymin, pxmax, pymax = grid.cell_bounds(p)
+        assert pxmin[0] <= xmin[0] and pxmax[0] >= xmax[0]
+        assert pymin[0] <= ymin[0] and pymax[0] >= ymax[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(coord, lat_c), min_size=4, max_size=10, unique=True))
+def test_centroid_inside_bbox(pts):
+    # the bbox property holds for SIMPLE polygons (a self-intersecting
+    # bowtie legitimately puts the area-weighted centroid outside);
+    # convexify by angular sort, like the reference's valid inputs
+    hull = np.array(pts, dtype=np.float64)
+    c = hull.mean(axis=0)
+    ang = np.arctan2(hull[:, 1] - c[1], hull[:, 0] - c[0])
+    hull = hull[np.argsort(ang)]
+    ring = np.vstack([hull, hull[:1]])
+    cx, cy = algo.polygon_centroid([ring])
+    assert ring[:, 0].min() - 1e-9 <= cx <= ring[:, 0].max() + 1e-9
+    assert ring[:, 1].min() - 1e-9 <= cy <= ring[:, 1].max() + 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(-5000, 5000), st.integers(-5000, 5000)),
+                min_size=3, max_size=6, unique=True))
+def test_prepared_polygon_partition(int_pts):
+    """covers == contains ∪ touches, and they are disjoint."""
+    pts = [(x / 16.0, y / 16.0) for x, y in int_pts]
+    hull = np.array(pts)
+    c = hull.mean(axis=0)
+    ang = np.arctan2(hull[:, 1] - c[1], hull[:, 0] - c[0])
+    hull = hull[np.argsort(ang)]
+    ring = np.vstack([hull, hull[:1]])
+    if abs(algo.ring_area(ring)) < 1e-9:
+        return
+    poly = algo.PreparedPolygon([ring])
+    rng = np.random.default_rng(0)
+    px = rng.integers(-6000, 6000, 200) / 16.0
+    py = rng.integers(-6000, 6000, 200) / 16.0
+    cov = poly.covers_points(px, py)
+    inside = poly.contains_points(px, py)
+    touch = poly.touches_points(px, py)
+    assert not (inside & touch).any()
+    assert np.array_equal(cov, inside | touch)
