@@ -899,6 +899,41 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_json_extract(sf_dir: str):
+    """Semi-structured parsing: extract the integer `k` from the JSON
+    `props` column (vectorized Arrow regex) and aggregate per
+    event_type — the web-data payload-parsing shape."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k": (?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    ds = ds.map_batches(extract, batch_format="pyarrow", batch_size=65536)
+    out = rel.groupby_aggregate(ds, "event_type",
+                                [("n", "k", "count"), ("sum_k", "k", "sum"),
+                                 ("min_k", "k", "min"), ("max_k", "k", "max")])
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_k", "min_k", "max_k"):
+            b[c] = b[c].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 SUP_HALF_X = 4000.25  # supplier rect half-extents, quarter-lattice units:
 SUP_HALF_Y = 3000.25  # bounds at x.25/.75 never touch zone bounds at x.5
 
@@ -1120,6 +1155,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_topk_chars": (q_doc_topk_chars, SQL_DOC_TOPK_CHARS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "embed_label_stats": (q_embed_label_stats, SQL_EMBED_LABEL_STATS),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "polyjoin": (q_polyjoin, SQL_POLYJOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
