@@ -105,7 +105,14 @@ def write_partitioned(ds, out_dir: str, key_col: str, num_partitions: int = 64,
         return pd.DataFrame([m])[["partition", "rows", "bytes", "wall_sec"]]
 
     metrics = keyed.groupby("_part").map_groups(sink, batch_format="pandas")
-    return metrics.to_pandas()
+    out = metrics.to_pandas()
+    # lineage + metrics additionally checkpointed AS PARQUET (the
+    # BASELINE.json wording): the cumulative manifest across runs
+    full = read_manifest(out_dir)
+    if len(full):
+        pq.write_table(pa.Table.from_pandas(full, preserve_index=False),
+                       os.path.join(out_dir, "_manifest", "metrics.parquet"))
+    return out
 
 
 def read_manifest(out_dir: str):
@@ -115,6 +122,6 @@ def read_manifest(out_dir: str):
     rows = []
     if os.path.isdir(mdir):
         for f in sorted(os.listdir(mdir)):
-            if f.startswith("part-"):
+            if f.startswith("part-") and f.endswith(".json"):
                 rows.append(json.load(open(os.path.join(mdir, f))))
     return pd.DataFrame(rows)
