@@ -297,11 +297,15 @@ def rasterize_points(points_ds, res: int, t: int = TILE,
     return bucketed_group_apply(combined, ["cell_id"], to_tiles_bucket)
 
 
-def vectorize(ds, t: int = TILE, merge_equal: bool = False):
+def vectorize(ds, t: int = TILE):
     """Cells → one rectangle polygon per non-nodata pixel with
     col/row/x/y/val columns (reference vectorize one-rect-per-cell
-    variant, raster/manager.py:976-1167; the contiguous-merge variant
-    is per-tile via connected components when merge_equal=True)."""
+    variant, raster/manager.py:976-1167). The reference's
+    contiguous-merge variant (cascaded_union of same-value cells) maps
+    to a downstream ``groupby(val)`` + per-value geometry union; with
+    no GEOS in this environment the dissolve itself is out of scope —
+    the per-cell rows carry (cell_id, col, row, val) so the grouping
+    key structure is already in place."""
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for cid, buf, nd in zip(batch["cell_id"], batch["tile"], batch["nodata"]):
