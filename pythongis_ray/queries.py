@@ -899,6 +899,31 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_median_events(sf_dir: str):
+    """Holistic median per group (reference summarystats 'median' —
+    exact, unlike the reference's approximate tiled fallback,
+    raster/data.py:689)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "cents": pa.array(c)})
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+    return rel.groupby_aggregate(ds, "event_type",
+                                 [("med_cents", "cents", "median")])
+
+
+SQL_MEDIAN_EVENTS = """
+SELECT event_type,
+       median(CAST(round(value * 100) AS BIGINT)) AS med_cents
+FROM events GROUP BY event_type
+"""
+
+
 def q_json_extract(sf_dir: str):
     """Semi-structured parsing: extract the integer `k` from the JSON
     `props` column (vectorized Arrow regex) and aggregate per
@@ -1155,6 +1180,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_topk_chars": (q_doc_topk_chars, SQL_DOC_TOPK_CHARS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "embed_label_stats": (q_embed_label_stats, SQL_EMBED_LABEL_STATS),
+    "median_events": (q_median_events, SQL_MEDIAN_EVENTS),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "polyjoin": (q_polyjoin, SQL_POLYJOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
