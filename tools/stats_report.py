@@ -34,15 +34,15 @@ def main():
     zones = pipelines.load_zones(sf_dir)
     joined = spatial.spatial_join(pts, zones[["zone_id", "geometry"]],
                                   predicate="within")
-    joined.count()
-    print(joined.stats())
+    m = joined.materialize()
+    print(m.stats())
 
     print("=" * 70)
     print("flagship pages pipeline (synthesize -> geocode -> join -> agg)")
     print("=" * 70)
     agg = pipelines.flagship(sf_dir)
-    agg.count()
-    print(agg.stats())
+    m2 = agg.materialize()
+    print(m2.stats())
     ray.shutdown()
 
 
