@@ -120,17 +120,29 @@ def _aggregate_partial(ds, keys: list[str], specs: list[Agg]):
     need = list(dict.fromkeys(need))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # reference quirk (sql.py:120-122): NUMERIC stats (sum/min/max/
+        # mean) coerce values via float() and silently drop non-numeric
+        # entries. Coercion goes through a SHADOW column so `count` (and
+        # group keys) still see the raw values.
+        batch = batch.copy()
+        shadow = {}
+        for _, src, kind in need:
+            if (kind != "count" and src and src not in shadow
+                    and batch[src].dtype == object):
+                shadow[src] = f"__num_{src}"
+                batch[shadow[src]] = pd.to_numeric(batch[src], errors="coerce")
         g = batch.groupby(keys, sort=False, dropna=False)
         cols = {}
         for pc, src, kind in need:
+            nsrc = shadow.get(src, src) if kind != "count" else src
             if kind == "count":
                 cols[pc] = g[src].count() if src else g.size()
             elif kind == "sum":
-                cols[pc] = g[src].sum(min_count=1)
+                cols[pc] = g[nsrc].sum(min_count=1)
             elif kind == "min":
-                cols[pc] = g[src].min()
+                cols[pc] = g[nsrc].min()
             elif kind == "max":
-                cols[pc] = g[src].max()
+                cols[pc] = g[nsrc].max()
         return pd.DataFrame(cols).reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
@@ -183,6 +195,10 @@ def _aggregate_map_groups(ds, keys: list[str], specs: list[Agg], order_col):
                 delim = parts[1] if len(parts) > 1 else ","
                 st = "concat"
             vals = g[s.col].dropna() if s.col else g[keys[0]]
+            if st in ("sum", "min", "max", "mean", "avg", "median") \
+                    and vals.dtype == object:
+                # reference float()-coercion quirk (sql.py:120-122)
+                vals = pd.to_numeric(vals, errors="coerce").dropna()
             if st == "count":
                 row[s.out] = [len(vals)]
             elif st == "sum":

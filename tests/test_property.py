@@ -37,19 +37,23 @@ def scalar_winding_inside(px, py, ring):
 @given(st.lists(st.tuples(coord, lat_c), min_size=3, max_size=8, unique=True),
        coord, lat_c)
 def test_pip_matches_winding_reference(poly_pts, px, py):
-    ring = np.array(list(poly_pts) + [poly_pts[0]], dtype=np.float64)
-    # skip degenerate self-touching test points exactly on the boundary
-    on = algo.points_on_ring(np.array([px]), np.array([py]), ring)[0]
-    if on:
-        return
-    # winding and crossing agree for points off the boundary of any
-    # simple polygon; for self-intersecting rings they can differ, so
-    # restrict to convex hull order
-    hull = ring[:-1]
+    # winding and crossing agree for points off the boundary of a
+    # SIMPLE polygon; angular sort around the centroid yields a simple
+    # (star-shaped) ring as long as no two points share an angle
+    hull = np.array(poly_pts, dtype=np.float64)
     c = hull.mean(axis=0)
     ang = np.arctan2(hull[:, 1] - c[1], hull[:, 0] - c[0])
+    if len(np.unique(ang)) != len(ang):
+        return  # duplicate angles → ordering ambiguous → possibly non-simple
     hull = hull[np.argsort(ang)]
     ring = np.vstack([hull, hull[:1]])
+    # skip points exactly on (or within float-noise of) the boundary of
+    # the ring actually being tested
+    if algo.points_on_ring(np.array([px]), np.array([py]), ring)[0]:
+        return
+    d = algo.points_to_ring_distance(np.array([px]), np.array([py]), ring)[0]
+    if d < 1e-7:
+        return
     got = algo.points_in_ring(np.array([px]), np.array([py]), ring)[0]
     exp = scalar_winding_inside(px, py, ring)
     assert got == exp

@@ -135,3 +135,26 @@ def test_dedup_keeps_first_geometry(ray_session):
     out = rel.dedup(ds, "gkey", order_col="fid").to_pandas().sort_values("fid")
     assert out.fid.tolist() == [10, 12]
     assert out.attr.tolist() == ["a", "c"]
+
+
+def test_numeric_coercion_drops_nonnumeric(ray_session):
+    """Numeric stats on a string column coerce via float() and drop
+    non-numeric values (reference sql.py:120-122)."""
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": [1, 1, 1, 1],
+                       "pop_str": ["10", "x", "30", None],
+                       "o": [1, 2, 3, 4]})
+    # algebraic (partial) path
+    out = rel.groupby_aggregate(rd.from_pandas(df), "k",
+                                [("s", "pop_str", "sum"),
+                                 ("n", "pop_str", "count")]).to_pandas()
+    assert out.s.iloc[0] == 40.0
+    assert out.n.iloc[0] == 3  # count stays raw: non-missing, uncoerced
+    # holistic path
+    out2 = rel.groupby_aggregate(rd.from_pandas(df), "k",
+                                 [("m", "pop_str", "mean"),
+                                  ("first_raw", "pop_str", "first")],
+                                 order_col="o").to_pandas()
+    assert out2.m.iloc[0] == 20.0
+    assert out2.first_raw.iloc[0] == "10"  # non-numeric stats keep raw values
