@@ -771,6 +771,24 @@ FROM documents
 """
 
 
+def q_token_regex(sf_dir: str):
+    """Regex (BPE-ish) token counting — RE2 in both engines, counts
+    match exactly."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    ds = ds.map_batches(text.token_count_regex, batch_format="pyarrow",
+                        batch_size=8192)
+    return ds.select_columns(["doc_id", "n_tokens_re"])
+
+
+SQL_TOKEN_REGEX = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{text.BPE_TOKEN_PATTERN}')) AS BIGINT)
+         AS n_tokens_re
+FROM documents
+"""
+
+
 def q_word_topk(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     out = text.word_frequency(ds, top_k=20)
@@ -1174,6 +1192,7 @@ REGISTRY: dict[str, tuple] = {
     "rasterize": (q_rasterize, SQL_RASTERIZE),
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
+    "token_regex": (q_token_regex, SQL_TOKEN_REGEX),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "lang_stats": (q_lang_stats, SQL_LANG_STATS),
     "quality": (q_quality, SQL_QUALITY),

@@ -35,6 +35,20 @@ def token_count(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, pc.cast(n, pa.int64()))
 
 
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count_regex(batch: pa.Table, text_col: str = "text",
+                      out_col: str = "n_tokens_re",
+                      pattern: str = BPE_TOKEN_PATTERN) -> pa.Table:
+    """BPE-ish regex token count (word / number / punctuation runs) —
+    one RE2 pass per batch via pyarrow (the library-tokenizer slot for
+    training-data pipelines; the pattern mirrors GPT-2-style
+    pre-tokenization categories)."""
+    n = pc.count_substring_regex(batch[text_col], pattern)
+    return batch.append_column(out_col, pc.cast(n, pa.int64()))
+
+
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Length / stopword-ratio quality features (heuristic quality
     scoring for web text). Adds n_tokens, n_stop, stop_ratio.
