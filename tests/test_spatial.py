@@ -111,6 +111,24 @@ def test_shuffle_join_matches_broadcast(ray_session, zones):
         rd.from_pandas(pts), zds, predicate="within", rows_per_task=20).to_pandas()
     key = lambda df: sorted(zip(df.pid.astype(int), df.zone_id.astype(int)))
     assert key(sh) == key(bc)
+    # declared-dtype contract: the shuffle path must emit the SAME
+    # schema as the broadcast path (round-1 regression: untyped null
+    # padding promoted pk/zone_id to float64)
+    assert {c: str(sh[c].dtype) for c in bc.columns} == \
+        {c: str(bc[c].dtype) for c in bc.columns}
+
+
+def test_shuffle_join_rejects_unsupported(ray_session, zones):
+    import pytest
+    import ray.data as rd
+
+    pts = make_points(10)
+    zds = rd.from_pandas(zones)
+    with pytest.raises(ValueError):
+        spatial.spatial_join_shuffle(rd.from_pandas(pts), zds, how="left")
+    with pytest.raises(ValueError):
+        spatial.spatial_join_shuffle(rd.from_pandas(pts), zds,
+                                     predicate="touches")
 
 
 def test_spatial_agg_exact(ray_session, zones):
