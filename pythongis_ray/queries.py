@@ -290,10 +290,12 @@ def q_majority_events(sf_dir: str):
                             columns=["user_id", "event_id", "ts", "event_type", "value"])
 
     def prep(batch: pa.Table) -> pa.Table:
+        # order by the (ts, event_id) PAIR — a combined ts_us*K+id key
+        # would overflow int64 (ts_us ~ 1.7e15), violating the
+        # exactness discipline
         us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
             .astype(np.int64)
-        return batch.append_column("ord", pa.array(us * 100000 + batch["event_id"]
-                                                   .to_numpy(zero_copy_only=False)))
+        return batch.append_column("ts_us", pa.array(us))
 
     ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
     return rel.groupby_aggregate(
@@ -302,7 +304,7 @@ def q_majority_events(sf_dir: str):
          ("min_type", "event_type", "minority"),
          ("first_val", "value", "first"), ("last_val", "value", "last"),
          ("types_cat", "event_type", "concat:|")],
-        order_col="ord")
+        order_col=["ts_us", "event_id"])
 
 
 SQL_MAJORITY_EVENTS = """
@@ -860,8 +862,9 @@ SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
 
 def q_ann_topk(sf_dir: str):
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    queries_df = pdf[pdf.vec_id < 8]
+    # query set filter pushed into the parquet read (row-group pruning)
+    queries_df = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 filters=[("vec_id", "<", 8)])
     out = embed.ann_topk(emb, queries_df, k=5)
     out = out[["query_id", "neighbor_id", "score", "rank"]].copy()
     out["score"] = out["score"].astype(np.int64)
@@ -1129,8 +1132,9 @@ def q_langid(sf_dir: str):
 
 def q_ann_lsh(sf_dir: str):
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embed.ann_lsh(emb, pdf[pdf.vec_id < 8], k=5)
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          filters=[("vec_id", "<", 8)])
+    return embed.ann_lsh(emb, qdf, k=5)
 
 
 def q_geodetic_buffer(sf_dir: str):
@@ -1156,8 +1160,9 @@ def q_dedup_near_embed(sf_dir: str):
     """Embedding-cosine near-dup: pairs with quantized dot >= threshold
     among LSH-bucketed candidates; rows-only check."""
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = embed.ann_topk(emb, pdf.head(64), k=2)
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          filters=[("vec_id", "<", 64)])
+    out = embed.ann_topk(emb, qdf, k=2)
     return out[out["rank"] == 1][["query_id", "neighbor_id", "score"]]
 
 

@@ -87,12 +87,15 @@ def _normalize(specs) -> list[Agg]:
     return out
 
 
-def groupby_aggregate(ds, keys, specs, order_col: str | None = None):
+def groupby_aggregate(ds, keys, specs, order_col: str | list[str] | None = None):
     """Grouped aggregation with the reference's stat vocabulary.
 
     ``keys``: str or list[str]. ``specs``: iterable of (out, col, stat)
-    or :class:`Agg`. Missing values are dropped per-stat (reference
-    sql.py:103-118). Returns a Ray Dataset.
+    or :class:`Agg`. ``order_col``: column name or LIST of column names
+    ordering first/last/concat within each group (a multi-column list
+    avoids deriving a combined sort key, which risks int64 overflow).
+    Missing values are dropped per-stat (reference sql.py:103-118).
+    Returns a Ray Dataset.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     specs = _normalize(specs)
@@ -148,7 +151,11 @@ def _aggregate_partial(ds, keys: list[str], specs: list[Agg]):
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     combine_ops = {}
     for pc, src, kind in need:
-        combine_ops[pc] = {"count": "sum", "sum": "sum",
+        # sum combine uses min_count=1 so an all-missing group
+        # propagates NULL (SQL SUM semantics, matching the holistic
+        # path) instead of pandas' default sum-of-nothing = 0
+        combine_ops[pc] = {"count": "sum",
+                           "sum": lambda s: s.sum(min_count=1),
                            "min": "min", "max": "max"}[kind]
 
     def combine(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -267,8 +274,14 @@ def join_large(left_ds, right_ds, on, num_buckets: int = 32, how: str = "inner")
         try:
             return left_ds.join(right_ds, join_type=how, on=tuple(on),
                                 num_partitions=nparts)
-        except Exception:
-            pass
+        except (TypeError, ValueError, NotImplementedError) as exc:
+            # planning-time rejection only (unsupported how/on shape on
+            # this Ray version) — anything else should surface, not be
+            # silently rerouted to the fallback join
+            import logging
+            logging.getLogger(__name__).warning(
+                "native Dataset.join rejected plan (%s); using bucketed "
+                "fallback join", exc)
 
     def key_side(side: int):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:

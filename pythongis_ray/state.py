@@ -38,12 +38,20 @@ def get_broadcast(ref, builder: Callable[[Any], Any] | None = None,
     ``ref``: ObjectRef (or the object itself for in-process use).
     ``builder``: optional one-time transform of the fetched payload
     (e.g. wrap arrays into a joiner instance).
+
+    Only ObjectRefs are cached: their hex id is globally unique for the
+    session. A plain object passed directly is built-and-returned
+    UNCACHED — ``id()`` can be reused after garbage collection, so
+    keying on it could hand a long-lived worker stale state for the
+    wrong input.
     """
-    base = ref.hex() if isinstance(ref, ray.ObjectRef) else str(id(ref))
-    key = (base,) + key_extra
+    if not isinstance(ref, ray.ObjectRef):
+        return builder(ref) if builder is not None else ref
+    key = (ref.hex(),) + key_extra
     obj = _CACHE.get(key)
     if obj is None:
-        payload = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        obj = builder(payload) if builder is not None else payload
+        obj = ray.get(ref)
+        if builder is not None:
+            obj = builder(obj)
         _CACHE[key] = obj
     return obj

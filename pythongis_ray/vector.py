@@ -415,8 +415,14 @@ def snap(ds, targets: pd.DataFrame, tolerance: float,
         nid = nn["nn_id"].to_numpy(zero_copy_only=False)[order]
         move = d2 <= tolerance * tolerance
         flat = flat.copy()
-        flat[move, 0] = knn.rlon[np.searchsorted(knn.rid, nid[move])]
-        flat[move, 1] = knn.rlat[np.searchsorted(knn.rid, nid[move])]
+        # knn.rid is sorted by (cell, id), NOT globally by id — map the
+        # returned target ids back to array positions through an
+        # explicit argsort-based inverse (searchsorted on the unsorted
+        # rid array silently picked the wrong target's coordinates)
+        rorder = np.argsort(knn.rid, kind="stable")
+        ppos = rorder[np.searchsorted(knn.rid[rorder], nid[move])]
+        flat[move, 0] = knn.rlon[ppos]
+        flat[move, 1] = knn.rlat[ppos]
         # rebuild geometries
         out = []
         pos = 0

@@ -59,6 +59,41 @@ def test_groupby_aggregate_holistic(ray_session):
     assert b.maj_s == "z"
 
 
+def test_all_missing_group_sum_is_null(ray_session):
+    """SQL SUM semantics on BOTH aggregate paths: a group whose values
+    are all missing yields NULL, not 0 (round-1 advisor: the partial
+    combine used pandas' default min_count=0)."""
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": ["a", "a", "b", "b"],
+                       "v": [1.0, 2.0, None, None]})
+    out = rel.groupby_aggregate(rd.from_pandas(df), "k",
+                                [("s", "v", "sum")]) \
+        .to_pandas().set_index("k")
+    assert out.loc["a", "s"] == 3.0
+    assert pd.isna(out.loc["b", "s"])
+
+
+def test_multi_column_order_col(ray_session):
+    """order_col as a list: (ts, id) pair ordering without a derived
+    combined key (which can overflow int64)."""
+    import ray.data as rd
+
+    big = 1_700_000_000_000_000  # epoch-us scale, like the events table
+    df = pd.DataFrame({
+        "k": ["a"] * 4,
+        "ts": [big, big, big + 1, big + 1],
+        "id": [2, 1, 2, 1],
+        "v": [10.0, 20.0, 30.0, 40.0],
+    })
+    out = rel.groupby_aggregate(
+        rd.from_pandas(df), "k",
+        [("first_v", "v", "first"), ("last_v", "v", "last")],
+        order_col=["ts", "id"]).to_pandas().iloc[0]
+    assert out.first_v == 20.0  # (big, 1)
+    assert out.last_v == 30.0   # (big+1, 2)
+
+
 def test_majority_tiebreak_smallest(ray_session):
     import ray.data as rd
 

@@ -132,6 +132,24 @@ def test_snap_vertices(ray_session):
     assert p2.tolist() == [20.0, 20.0]
 
 
+def test_snap_target_order_independent(ray_session):
+    """Regression: GridKnnJoiner sorts targets by (cell, id), not by id
+    — snap must map returned ids back through an inverse permutation,
+    not searchsorted on the unsorted id array (round-1 advisor bug:
+    a vertex near (10,10) snapped to (50,50))."""
+    import ray.data as rd
+
+    # target id order deliberately opposite to spatial (cell) order:
+    # id 0 sits at (50,50) (a LATER cell), id 1 at (10,10)
+    targets = pd.DataFrame({"lon": [50.0, 10.0], "lat": [50.0, 10.0]})
+    line = wkb.encode_linestring(np.array([[10.05, 10.02], [49.98, 50.01]]))
+    df = pd.DataFrame({"gid": [1], "geometry": [line]})
+    out = vector.snap(rd.from_pandas(df), targets, tolerance=0.1).to_pandas()
+    l2 = wkb.decode(bytes(out.geometry.iloc[0]))["rings"][0]
+    assert l2[0].tolist() == [10.0, 10.0]
+    assert l2[1].tolist() == [50.0, 50.0]
+
+
 def test_cut_line_by_cutter(ray_session):
     import ray.data as rd
 
