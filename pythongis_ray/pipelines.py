@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from pythongis_ray import fixtures, pages, spatial
+from pythongis_ray import fixtures, pages, spatial  # noqa: F401
 
 
 def load_zones(sf_dir: str) -> pd.DataFrame:
@@ -28,29 +28,83 @@ def load_zones(sf_dir: str) -> pd.DataFrame:
 
 
 def flagship(sf_dir: str, replicate: int = 1, how: str = "inner"):
-    """pages → geocode → spatial join → (zone, lang) aggregate.
-    Returns a small aggregated Dataset (zone_id, name, lang, n_pages,
-    sum_tokens)."""
-    from ray.data.aggregate import Count, Sum
+    """pages → geocode → fused spatial-join+partial-aggregate →
+    125-key combine. Returns a small aggregated Dataset
+    (zone_id, name, lang, n_pages, sum_tokens).
+
+    Scale shape: token counting, the PIP join and the (zone, lang)
+    partial aggregate all happen INSIDE one map_batches over the pages
+    stream — no joined row ever hits the object store; the only
+    shuffle is a Sum-combine over zones×langs keys (one partial row
+    per (zone, lang, task)). At 10^12 pages the data moved after the
+    scan is O(zones × langs × tasks)."""
+    import ray
+
+    from pythongis_ray import state
+    from ray.data.aggregate import Sum
 
     ds = pages.pages_dataset(sf_dir, replicate=replicate)
-
-    def add_tokens(batch: pa.Table) -> pa.Table:
-        n = pc.add(pc.count_substring(batch["text"], " "), 1)
-        return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
-
-    ds = ds.map_batches(add_tokens, batch_format="pyarrow", batch_size=8192)
-    # heavy columns pruned before the join — html/text never enter the
-    # join or the aggregate (wide-row rule, SURVEY.md §7.5)
-    slim = ds.select_columns(["page_id", "lon", "lat", "lang", "n_tokens"])
     zones = load_zones(sf_dir)
-    joined = spatial.spatial_join(slim, zones[["zone_id", "name", "geometry"]],
-                                  predicate="within", how=how)
-    agg = joined.groupby(["zone_id", "name", "lang"]).aggregate(
-        Count(alias_name="n_pages"),
-        Sum("n_tokens", alias_name="sum_tokens"),
-    )
-    return agg
+    if how != "inner":
+        # unfused fallback: unmatched pages must survive into the
+        # aggregate with a NULL zone, so the joined rows are needed
+        joined = spatial.spatial_join(
+            ds.select_columns(["page_id", "lon", "lat", "lang", "text"]),
+            zones[["zone_id", "name", "geometry"]],
+            predicate="within", how=how)
+        from ray.data.aggregate import Count
+
+        def add_tokens(batch: pa.Table) -> pa.Table:
+            n = pc.add(pc.count_substring(batch["text"], " "), 1)
+            return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+        joined = joined.map_batches(add_tokens, batch_format="pyarrow")
+        return joined.groupby(["zone_id", "name", "lang"]).aggregate(
+            Count(alias_name="n_pages"), Sum("n_tokens", alias_name="sum_tokens"))
+
+    index = spatial.ZoneIndex.from_pandas(zones[["zone_id", "name", "geometry"]])
+    ref = ray.put(index)
+    nz = index.n_zones()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        idx: spatial.ZoneIndex = state.get_broadcast(ref, key_extra=("flag_idx",))
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        pidx, zidx = idx.match_points(lon, lat, "within")
+        if len(pidx) == 0:
+            return pd.DataFrame({"zone_idx": np.empty(0, np.int64),
+                                 "lang": np.empty(0, object),
+                                 "pp": np.empty(0, np.int64),
+                                 "pt": np.empty(0, np.int64)})
+        ntok = pc.add(pc.count_substring(batch["text"], " "), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        langs, lcode = np.unique(lang[pidx], return_inverse=True)
+        nl = len(langs)
+        key = zidx * nl + lcode
+        cnt = np.bincount(key, minlength=nz * nl)
+        tok = np.bincount(key, weights=ntok[pidx], minlength=nz * nl)
+        hit = np.flatnonzero(cnt)
+        return pd.DataFrame({"zone_idx": (hit // nl).astype(np.int64),
+                             "lang": langs[hit % nl],
+                             "pp": cnt[hit].astype(np.int64),
+                             "pt": tok[hit].astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    agg = parts.groupby(["zone_idx", "lang"]).aggregate(
+        Sum("pp", alias_name="n_pages"), Sum("pt", alias_name="sum_tokens"))
+
+    zid = zones["zone_id"].to_numpy(np.int64)
+    zname = zones["name"].to_numpy()
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        zi = b["zone_idx"].to_numpy(np.int64)
+        return pd.DataFrame({"zone_id": zid[zi], "name": zname[zi],
+                             "lang": b["lang"],
+                             "n_pages": b["n_pages"].astype(np.int64),
+                             "sum_tokens": b["sum_tokens"].astype(np.int64)})
+
+    return agg.map_batches(attach, batch_format="pandas")
 
 
 def flagship_wide_rejoin(sf_dir: str, replicate: int = 1):
