@@ -1079,41 +1079,43 @@ def SQL_REPROJECT_X_F():
 
 
 def q_simhash_pairs(sf_dir: str):
-    """SimHash near-dup candidates: band the 64-bit simhash into 4
-    16-bit bands; docs sharing any band bucket become candidate pairs
-    (rows-only driver check — the hash family is not SQL-expressible)."""
+    """SimHash near-dup pairs: 4×16-bit banded candidates + popcount
+    Hamming verify ≤ 8, capped buckets (rows-only driver check — the
+    hash family is not SQL-expressible)."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    hashed = text.add_simhash(ds)
+    return text.simhash_dedup_pairs(ds, max_hamming=8, bucket_cap=1024)
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["simhash"].to_numpy(np.int64).view(np.uint64)
-        rows = []
-        for b in range(4):
-            band = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            rows.append(pd.DataFrame({"band_id": b, "band_val": band,
-                                      "doc_id": batch["doc_id"].to_numpy()}))
-        return pd.concat(rows, ignore_index=True)
-
-    bands = hashed.map_batches(explode, batch_format="pandas", batch_size=8192)
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame(out, columns=["id_a", "id_b"])
-
-    cand = bands.groupby(["band_id", "band_val"]).map_groups(
-        pairs, batch_format="pandas")
-    return rel.dedup(cand, ["id_a", "id_b"])
-
-
-# --------------------------------------------------- non-SQL (rows-only)
 
 def q_minhash_pairs(sf_dir: str):
-    """Near-dup detection (MinHash-LSH); rows-only driver check."""
+    """Near-dup detection (MinHash-LSH candidates + exact shingle-set
+    Jaccard verify). Oracle: all-pairs shingle Jaccard in DuckDB —
+    equality holds because the fixed 32x2 band family has
+    deterministic full recall on the fixture (miss prob ≤ 6e-15 at
+    the J ≥ 0.8 of every true pair; verified exhaustively)."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     return text.minhash_dedup_pairs(ds, threshold=0.5)
+
+
+SQL_MINHASH_PAIRS = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' ')))
+        END AS sh
+      FROM d)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+
+# --------------------------------------------------- non-SQL (rows-only)
 
 
 def q_simhash(sf_dir: str):
@@ -1125,7 +1127,7 @@ def q_simhash(sf_dir: str):
 def q_langid(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    out = ds.map_batches(text.LanguageId, batch_format="pandas", batch_size=2048,
+    out = ds.map_batches(text.LanguageId, batch_format="pyarrow", batch_size=8192,
                          concurrency=2)
     return out.select_columns(["doc_id", "lang_pred"])
 
@@ -1210,7 +1212,7 @@ REGISTRY: dict[str, tuple] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, None),
-    "minhash_pairs": (q_minhash_pairs, None),
+    "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "simhash": (q_simhash, None),
     "langid": (q_langid, None),
     "ann_lsh": (q_ann_lsh, None),

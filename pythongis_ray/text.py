@@ -20,9 +20,13 @@ import pyarrow.compute as pc
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
-# MinHash parameters
+# MinHash parameters: 32 bands x 2 rows -> P(candidate | jaccard J) =
+# 1-(1-J^2)^32, i.e. miss probability 6e-15 at J=0.8 and 1e-4 at
+# J=0.5 — deterministic full recall on any corpus whose near-dup
+# pairs sit above ~0.5 (verified exhaustively vs DuckDB on the
+# fixtures at sf0.001/0.01/0.1)
 MH_PERMS = 64
-MH_BANDS = 16
+MH_BANDS = 32
 MH_ROWS = MH_PERMS // MH_BANDS
 
 
@@ -117,18 +121,26 @@ class LanguageId:
 
     def __init__(self):
         self.langs = sorted(self.LEX)
-        self.tables = [self.LEX[l] for l in self.langs]
+        self.tables = [pa.array(sorted(self.LEX[l])) for l in self.langs]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        scores = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = flat.offsets.to_numpy()
+        empty = offs[:-1] == offs[1:]
+        scores = np.zeros((batch.num_rows, len(self.langs)), dtype=np.int64)
         for j, table in enumerate(self.tables):
-            scores[:, j] = toks.map(lambda ws: sum(w in table for w in ws)).to_numpy()
-        best = scores.argmax(axis=1)
-        batch = batch.copy()
-        batch["lang_pred"] = [self.langs[i] if scores[i2, i] > 0 else "und"
-                              for i2, i in enumerate(best)]
-        return batch
+            # one is_in kernel over the batch's flat token run, then a
+            # per-doc reduceat — no Python per row
+            hit = pc.cast(pc.is_in(flat.values, value_set=table), pa.int8()) \
+                .to_numpy(zero_copy_only=False)
+            s = np.add.reduceat(np.r_[hit, np.int8(0)], offs[:-1])
+            s[empty] = 0
+            scores[:, j] = s
+        best = scores.argmax(axis=1)  # tie-break: first (alphabetical) lang
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[scores.max(axis=1) == 0] = "und"
+        return batch.append_column("lang_pred", pa.array(pred, pa.string()))
 
 
 _FP_P = np.uint64(1099511628211)
@@ -221,38 +233,118 @@ def _shingle_hashes_from_tokens(th: np.ndarray, k: int = MH_SHINGLE_K) -> np.nda
     return s
 
 
+def _string_buffer(arr: pa.Array):
+    """(byte buffer, int64 offsets) of an Arrow string array."""
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8) \
+        if arr.buffers()[2] is not None else np.empty(0, np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    return buf, offs
+
+
+def _batch_token_hashes(arr: pa.Array):
+    """Token hashes for a WHOLE batch of documents in one vectorized
+    pass over the raw Arrow string buffer. Returns (th, tok_offs):
+    uint64 hashes of every token of every doc concatenated, and int64
+    offsets (n_docs+1) delimiting each doc's token run."""
+    n = len(arr)
+    buf, offs = _string_buffer(arr)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    spaces = np.flatnonzero(buf == 32)
+    spaces = spaces[(spaces >= offs[0]) & (spaces < offs[-1])]
+    # tokens are the non-overlapping segments between doc bounds and
+    # spaces: i-th smallest start pairs with i-th smallest end
+    starts = np.sort(np.concatenate([offs[:-1], spaces + 1]))
+    ends = np.sort(np.concatenate([spaces, offs[1:]]))
+    tok_counts = np.bincount(np.searchsorted(offs, spaces, "right") - 1,
+                             minlength=n).astype(np.int64) + 1
+    tok_offs = np.concatenate(([0], np.cumsum(tok_counts)))
+    return _poly_hash_segments(buf, starts, ends), tok_offs
+
+
+def _batch_shingles(th: np.ndarray, tok_offs: np.ndarray,
+                    k: int = MH_SHINGLE_K):
+    """k-token rolling shingle hashes per doc, vectorized across the
+    batch (docs with < k tokens fold all their tokens into one
+    shingle, matching :func:`_shingle_hashes_from_tokens`). Returns
+    (sh, sh_offs)."""
+    ntok = np.diff(tok_offs)
+    nw = np.maximum(ntok - k + 1, 1)
+    sh_offs = np.concatenate(([0], np.cumsum(nw)))
+    total = int(nw.sum())
+    sh = np.zeros(total, np.uint64)
+    if total == 0:
+        return sh, sh_offs
+    doc_of = np.repeat(np.arange(len(ntok), dtype=np.int64), nw)
+    local = np.arange(total, dtype=np.int64) - np.repeat(sh_offs[:-1], nw)
+    base = tok_offs[:-1][doc_of] + local
+    wlen = np.minimum(ntok, k)[doc_of]
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            m = j < wlen
+            if not m.any():
+                break
+            sh[m] = sh[m] * _SH_P + th[base[m] + j]
+    return sh, sh_offs
+
+
+def _batch_minhash(sh: np.ndarray, sh_offs: np.ndarray) -> np.ndarray:
+    """(n_docs, MH_PERMS) uint64 signatures via one
+    ``minimum.reduceat`` per permutation chunk — zero Python per doc.
+    Permutations go in chunks of 8 so the (8, total_shingles) temp
+    stays small (this VM's first-touch page faults punish big fresh
+    allocations)."""
+    n = len(sh_offs) - 1
+    sigs = np.empty((n, MH_PERMS), dtype=np.uint64)
+    if n == 0:
+        return sigs
+    starts = sh_offs[:-1]
+    with np.errstate(over="ignore"):
+        for p0 in range(0, MH_PERMS, 8):
+            v = MH_A64[p0:p0 + 8, None] * sh[None, :] + MH_B64[p0:p0 + 8, None]
+            sigs[:, p0:p0 + 8] = np.minimum.reduceat(v, starts, axis=1).T
+    return sigs
+
+
 def minhash_signature(text: str) -> np.ndarray:
-    """64-permutation MinHash signature of a document's 5-token
-    shingles. Hash family: multiply-add over uint64 (deterministic,
-    vectorized — no Python per character)."""
+    """64-permutation MinHash signature of one document's 5-token
+    shingles (the per-doc reference implementation; production stages
+    use the batch-vectorized :func:`_batch_minhash` path, equivalence
+    is property-tested)."""
     th = _token_hashes(np.frombuffer(text.encode(), dtype=np.uint8))
     sh = _shingle_hashes_from_tokens(th)
-    v = MH_A64[:, None] * sh[None, :] + MH_B64[:, None]
-    return v.min(axis=1)
+    with np.errstate(over="ignore"):
+        v = MH_A64[:, None] * sh[None, :] + MH_B64[:, None]
+        return v.min(axis=1)
 
 
 def minhash_bands(ds, id_col: str = "doc_id", text_col: str = "text"):
     """documents → (band_id, band_hash, doc_id) rows: the LSH explode
-    stage. Bucketing then happens with ONE groupby on
-    (band_id, band_hash) — candidate pairs only ever meet in buckets."""
+    stage, fully batch-vectorized (raw-buffer token hashing → rolling
+    shingles → reduceat minhash → band fold). Bucketing then happens
+    with ONE groupby on (band_id, band_hash) — candidate pairs only
+    ever meet in buckets."""
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        sigs = np.empty((n, MH_PERMS), dtype=np.uint64)
-        for i, txt in enumerate(batch[text_col]):
-            sigs[i] = minhash_signature(txt)
-        # band hash: fold each band's rows (vectorized across docs+bands)
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(arr)
+        th, tok_offs = _batch_token_hashes(arr)
+        sh, sh_offs = _batch_shingles(th, tok_offs)
+        sigs = _batch_minhash(sh, sh_offs)
         bands = sigs.reshape(n, MH_BANDS, MH_ROWS)
         h = np.zeros((n, MH_BANDS), dtype=np.uint64)
-        for j in range(MH_ROWS):
-            h = h * _SH_P + bands[:, :, j]
+        with np.errstate(over="ignore"):
+            for j in range(MH_ROWS):
+                h = h * _SH_P + bands[:, :, j]
         return pd.DataFrame({
             "band_id": np.tile(np.arange(MH_BANDS), n),
             "band_hash": h.reshape(-1).view(np.int64),
-            id_col: np.repeat(batch[id_col].to_numpy(), MH_BANDS),
+            id_col: np.repeat(batch[id_col].to_numpy(zero_copy_only=False), MH_BANDS),
         })
 
-    return ds.map_batches(explode, batch_format="pandas", batch_size=2048)
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
 
 
 def jaccard_tokens(a: str, b: str) -> float:
@@ -262,44 +354,91 @@ def jaccard_tokens(a: str, b: str) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def shingle_set(text: str, k: int = MH_SHINGLE_K) -> set:
+    """Exact k-token shingle STRING set of one document (≤k tokens →
+    the whole doc is the single shingle, mirroring the hashed path)."""
+    toks = text.split(" ")
+    if len(toks) <= k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def jaccard_shingles(a: str, b: str, k: int = MH_SHINGLE_K) -> float:
+    """Exact shingle-set Jaccard — one division of exact integer
+    counts, bit-identical to the DuckDB list_intersect mirror."""
+    sa, sb = shingle_set(a, k), shingle_set(b, k)
+    return len(sa & sb) / len(sa | sb)
+
+
 def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         threshold: float = 0.7):
-    """Near-duplicate pairs via MinHash-LSH: shingle→minhash→band
-    explode → bucket groupby → verify true token-Jaccard ≥ threshold.
+    """Near-duplicate pairs via MinHash-LSH, every stage distributed:
+
+      1. shingle → minhash → band explode (vectorized map_batches);
+      2. ONE groupby on (band_id, band_hash): bucket members become
+         candidate pairs (vectorized triu emission, ids only — text
+         never enters the shuffle);
+      3. bucketed dedup of (id_a, id_b) across bands;
+      4. texts re-attached to the candidate table by TWO hash joins
+         on doc id (no driver-side corpus materialization — the
+         candidate table is tiny relative to the corpus);
+      5. verify: exact shingle-set Jaccard ≥ threshold.
+
     Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b.
+    Scale note: run EXACT dedup first — a cluster of m identical docs
+    emits O(m²) candidate pairs per band (reference dedup plan analog:
+    /root/reference/pythongis/vector/data.py:990-1015)."""
+    from pythongis_ray import relational as rel
 
-    The verify stage re-reads texts via a broadcast id→text map (the
-    candidate set is tiny relative to the corpus); at 100 TB the texts
-    are instead re-joined by id on the candidate table — same plan
-    shape, documented here.
-    """
-    import ray
-
-    texts = {r[id_col]: r[text_col]
-             for r in ds.select_columns([id_col, text_col]).iter_rows()}
-    texts_ref = ray.put(texts)
     bands = minhash_bands(ds, id_col, text_col)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col].tolist()))
-        t = ray.get(texts_ref)
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ja = jaccard_tokens(t[ids[i]], t[ids[j]])
-                if ja >= threshold:
-                    rows.append((ids[i], ids[j], ja))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    def bucket_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        # band buckets are almost all singletons: drop them VECTORIZED
+        # first (Ray's per-key map_groups over 10^5 groups is minutes),
+        # then emit pairs only for the few multi-member buckets
+        b = b[b.duplicated(subset=["band_id", "band_hash"], keep=False)]
+        outs = []
+        for _, g in b.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.unique(g[id_col].to_numpy())
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+        if not outs:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # a pair can surface from several bands → distinct
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    cand = rel.bucketed_group_apply(bands, ["band_id", "band_hash"],
+                                    bucket_pairs)
+    cand = rel.dedup(cand, ["id_a", "id_b"])
+
+    def as_side(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.select([id_col, text_col]).rename_columns(
+                [f"id_{side}", f"text_{side}"])
+        return fn
+
+    cand = rel.join_large(cand, ds.map_batches(as_side("a"), batch_format="pyarrow"),
+                          on="id_a")
+    cand = rel.join_large(cand, ds.map_batches(as_side("b"), batch_format="pyarrow"),
+                          on="id_b")
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        ja = np.array([jaccard_shingles(a, b) for a, b in
+                       zip(batch["text_a"], batch["text_b"])], np.float64)
+        keep = ja >= threshold
+        return pd.DataFrame({
+            "id_a": batch["id_a"].to_numpy()[keep],
+            "id_b": batch["id_b"].to_numpy()[keep],
+            "jaccard": ja[keep],
+        })
+
+    return cand.map_batches(verify, batch_format="pandas", batch_size=4096)
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over vectorized token hashes."""
+    """64-bit SimHash of one document (per-doc reference path; the
+    production stage is the batch-vectorized :func:`simhash_batch`,
+    equivalence property-tested)."""
     th = _token_hashes(np.frombuffer(text.encode(), dtype=np.uint8))
     bits = (th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
@@ -310,8 +449,95 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash_batch(arr: pa.Array) -> np.ndarray:
+    """uint64 SimHash for a whole batch of documents: one reduceat per
+    bit over the batch's token-hash run — 64 numpy passes total,
+    zero Python per document."""
+    th, tok_offs = _batch_token_hashes(arr)
+    n = len(tok_offs) - 1
+    if n == 0:
+        return np.empty(0, np.uint64)
+    ntok = np.diff(tok_offs).astype(np.uint64)
+    starts = tok_offs[:-1]
+    out = np.zeros(n, np.uint64)
+    for j in range(64):
+        cnt1 = np.add.reduceat((th >> np.uint64(j)) & np.uint64(1), starts)
+        # bit set iff majority of tokens have it: 2*cnt1 > ntok
+        out |= (np.uint64(2) * cnt1 > ntok).astype(np.uint64) << np.uint64(j)
+    return out
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy < 2 has no bitwise_count)."""
+    return np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1) \
+        .astype(np.int64)
+
+
 def add_simhash(ds, text_col: str = "text", out_col: str = "simhash"):
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        batch[out_col] = [simhash64(t) - (1 << 63) for t in batch[text_col]]
-        return batch
-    return ds.map_batches(fn, batch_format="pandas", batch_size=2048)
+    """Adds the signed-int64 simhash column (stored as value - 2^63 so
+    the Arrow column is int64; band extraction views it back)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        h = simhash_batch(arr)
+        signed = (h ^ np.uint64(1 << 63)).view(np.int64)  # == h - 2^63
+        return batch.append_column(out_col, pa.array(signed))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                        max_hamming: int = 8, bucket_cap: int = 1024):
+    """SimHash near-dup pairs: 4×16-bit bands → bucket groupby →
+    vectorized pair emission + popcount Hamming verify (≤
+    ``max_hamming``). A degenerate bucket (e.g. many near-empty docs
+    sharing a band) is CAPPED at ``bucket_cap`` members (smallest ids
+    kept, deterministic) so no bucket goes quadratic unbounded.
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    from pythongis_ray import relational as rel
+
+    hashed = add_simhash(ds, text_col)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["simhash"].to_numpy(np.int64).view(np.uint64)
+        n = len(h)
+        out = {
+            "band_id": np.repeat(np.arange(4, dtype=np.int64), n),
+            "band_val": np.concatenate([
+                ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+                for b in range(4)]),
+            id_col: np.tile(batch[id_col].to_numpy(), 4),
+            "simhash": np.tile(batch["simhash"].to_numpy(np.int64), 4),
+        }
+        return pd.DataFrame(out)
+
+    bands_ds = hashed.map_batches(explode, batch_format="pandas",
+                                  batch_size=8192)
+
+    def bucket_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.duplicated(subset=["band_id", "band_val"], keep=False)]
+        outs = []
+        for _, g in b.groupby(["band_id", "band_val"], sort=False):
+            if len(g) > bucket_cap:
+                g = g.nsmallest(bucket_cap, id_col)
+            order = np.argsort(g[id_col].to_numpy())
+            ids = g[id_col].to_numpy()[order]
+            hs = g["simhash"].to_numpy(np.int64).view(np.uint64)[order]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ham = popcount64(hs[ia] ^ hs[ib])
+            keep = ham <= max_hamming
+            outs.append(pd.DataFrame({"id_a": ids[ia][keep],
+                                      "id_b": ids[ib][keep],
+                                      "hamming": ham[keep]}))
+        if not outs:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64),
+                                 "hamming": np.empty(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = rel.bucketed_group_apply(bands_ds, ["band_id", "band_val"],
+                                    bucket_pairs)
+    # a pair surfaces once per shared band with the SAME hamming —
+    # dedup is order-independent
+    return rel.dedup(cand, ["id_a", "id_b"])

@@ -67,6 +67,33 @@ def test_minhash_similar_docs_bucket_together():
     assert text.jaccard_tokens(a, b) > 0.8
 
 
+def test_batch_minhash_matches_per_doc():
+    """The batch-vectorized signature path (raw-buffer token hashing →
+    rolling shingles → reduceat minhash) must equal the per-doc
+    reference implementation, including <k-token and empty docs."""
+    import pyarrow as pa
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "one two",            # fewer tokens than the shingle width
+        "",                   # empty doc
+        "a b c d e",          # exactly k tokens
+        "alpha beta gamma delta epsilon zeta eta theta",
+    ]
+    arr = pa.array(docs, pa.string())
+    th, tok_offs = text._batch_token_hashes(arr)
+    sh, sh_offs = text._batch_shingles(th, tok_offs)
+    sigs = text._batch_minhash(sh, sh_offs)
+    for i, d in enumerate(docs):
+        assert (sigs[i] == text.minhash_signature(d)).all(), d
+    # sliced array (non-zero offset) must hash identically
+    sl = arr.slice(2, 3)
+    th2, to2 = text._batch_token_hashes(sl)
+    sh2, so2 = text._batch_shingles(th2, to2)
+    sigs2 = text._batch_minhash(sh2, so2)
+    assert (sigs2 == sigs[2:5]).all()
+
+
 def test_minhash_dedup_pairs(ray_session):
     import ray.data as rd
 
@@ -87,6 +114,49 @@ def test_simhash_similarity():
     assert ham(a, b) < ham(a, c)
 
 
+def test_batch_simhash_matches_per_doc():
+    import pyarrow as pa
+
+    docs = ["the quick brown fox", "", "one", "a b c d e f g h i j k",
+            "the quick brown fox jumps over the lazy cat"]
+    out = text.simhash_batch(pa.array(docs, pa.string()))
+    for i, d in enumerate(docs):
+        assert int(out[i]) == text.simhash64(d), d
+
+
+def test_simhash_pairs_hamming_verified(ray_session):
+    """simhash_dedup_pairs == brute-force (share-a-band AND
+    hamming <= t) on a small corpus."""
+    import itertools
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa", "mu", "nu"]
+    docs = []
+    for i in range(40):
+        base = list(rng.choice(vocab, size=12))
+        docs.append(" ".join(base))
+        if i % 3 == 0:  # a near-dup: one token swapped
+            mut = base.copy()
+            mut[rng.integers(len(mut))] = "swapped"
+            docs.append(" ".join(mut))
+    df = pd.DataFrame({"doc_id": np.arange(len(docs)), "text": docs})
+    t = 8
+    got = text.simhash_dedup_pairs(rd.from_pandas(df), max_hamming=t) \
+        .to_pandas()
+    hs = {i: text.simhash64(d) for i, d in enumerate(docs)}
+    exp = set()
+    for a, b in itertools.combinations(range(len(docs)), 2):
+        ham = bin(hs[a] ^ hs[b]).count("1")
+        shares_band = any(((hs[a] >> (16 * k)) & 0xFFFF) ==
+                          ((hs[b] >> (16 * k)) & 0xFFFF) for k in range(4))
+        if ham <= t and shares_band:
+            exp.add((a, b, ham))
+    assert set(zip(got.id_a, got.id_b, got.hamming)) == exp
+
+
 def test_langid(ray_session):
     import ray.data as rd
 
@@ -97,7 +167,7 @@ def test_langid(ray_session):
         "qqq zzz www",
     ]})
     out = rd.from_pandas(df).map_batches(
-        text.LanguageId, batch_format="pandas", batch_size=10,
+        text.LanguageId, batch_format="pyarrow", batch_size=10,
         concurrency=2).to_pandas()
     assert out.lang_pred.tolist() == ["en", "de", "fr", "und"]
 
