@@ -220,6 +220,192 @@ def polygons_interiors_intersect(pa_: PreparedPolygon, pb: PreparedPolygon) -> b
     return False
 
 
+# -------------------------------------------------- polyline × polygon
+
+def polyline_polygon_relate(pts: np.ndarray, poly: PreparedPolygon):
+    """Exact relate flags for one polyline vs one polygon:
+    (any_contact, any_strict_in, any_strict_out, proper_cross).
+
+    any_contact: closure∩closure ≠ ∅ (vertex covered or any
+    segment touches/crosses any boundary edge);
+    any_strict_in / any_strict_out: a vertex strictly inside /
+    strictly outside;
+    proper_cross: a transversal segment×edge crossing (implies
+    interior points on both sides).
+
+    All tests are sign-of-cross-product — exact on the dyadic
+    lattice (see module docstring)."""
+    px, py = pts[:, 0], pts[:, 1]
+    strict_in = poly.contains_points(px, py)
+    cov = strict_in | poly.touches_points(px, py)
+    any_strict_in = bool(strict_in.any())
+    any_strict_out = bool((~cov).any())
+    any_contact = bool(cov.any())
+    proper_cross = False
+    if len(pts) >= 2:
+        # segment midpoints as extra interior/exterior witnesses: they
+        # resolve improper passages through polygon VERTICES (e.g. a
+        # segment slicing corner-to-corner with both endpoints
+        # outside). Midpoints of dyadic coords are dyadic → tests stay
+        # exact; a midpoint exactly on the boundary is classified
+        # boundary, never a false interior hit.
+        mx = (px[:-1] + px[1:]) * 0.5
+        my = (py[:-1] + py[1:]) * 0.5
+        m_in = poly.contains_points(mx, my)
+        m_cov = m_in | poly.touches_points(mx, my)
+        if m_in.any():
+            any_strict_in = True
+            any_contact = True
+        if (~m_cov).any():
+            any_strict_out = True
+    if len(pts) >= 2:
+        a0x, a0y = px[:-1][:, None], py[:-1][:, None]
+        a1x, a1y = px[1:][:, None], py[1:][:, None]
+        for ring in poly.rings:
+            b0x, b0y = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+            b1x, b1y = ring[1:, 0][None, :], ring[1:, 1][None, :]
+            if not any_contact and segments_intersect(
+                    a0x, a0y, a1x, a1y, b0x, b0y, b1x, b1y).any():
+                any_contact = True
+            d1 = (a1x - a0x) * (b0y - a0y) - (a1y - a0y) * (b0x - a0x)
+            d2 = (a1x - a0x) * (b1y - a0y) - (a1y - a0y) * (b1x - a0x)
+            d3 = (b1x - b0x) * (a0y - b0y) - (b1y - b0y) * (a0x - b0x)
+            d4 = (b1x - b0x) * (a1y - b0y) - (b1y - b0y) * (a1x - b0x)
+            proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) \
+                & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+            if proper.any():
+                proper_cross = True
+                any_contact = True
+    return any_contact, any_strict_in, any_strict_out, proper_cross
+
+
+def polyline_polygon_predicate(pts: np.ndarray, poly: PreparedPolygon,
+                               predicate: str) -> bool:
+    """Line×polygon predicate dispatch (reference line branch of the
+    join dispatch, /root/reference/pythongis/vector/manager.py:381-431).
+
+    Documented deviation: a line whose every vertex lies ON the
+    boundary but that passes through the interior between them is
+    classified `touches` (measure-zero on the lattice fixtures)."""
+    contact, s_in, s_out, proper = polyline_polygon_relate(pts, poly)
+    if predicate == "intersects":
+        return contact
+    if predicate == "disjoint":
+        return not contact
+    if predicate == "within":
+        return s_in and not s_out and not proper
+    if predicate == "crosses":
+        return proper or (s_in and s_out)
+    if predicate == "touches":
+        return contact and not s_in and not proper
+    raise ValueError(f"unsupported line predicate {predicate!r}")
+
+
+def is_axis_rect(ring: np.ndarray) -> tuple | None:
+    """(x0, y0, x1, y1) when the closed ring is an axis-aligned
+    rectangle, else None."""
+    if len(ring) != 5 or not np.array_equal(ring[0], ring[-1]):
+        return None
+    xs, ys = np.unique(ring[:4, 0]), np.unique(ring[:4, 1])
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    corners = {(x, y) for x, y in ring[:4]}
+    want = {(xs[0], ys[0]), (xs[0], ys[1]), (xs[1], ys[0]), (xs[1], ys[1])}
+    if corners != want:
+        return None
+    return float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1])
+
+
+def _clip_seg_rect(ax, ay, bx, by, x0, y0, x1, y1):
+    """Liang–Barsky clip of one segment to a closed rect. Returns
+    ((cx0, cy0), (cx1, cy1)) or None. Crossing coordinates on the
+    clipped axis are set to the rect BOUND exactly (no ax + t*dx
+    round-trip), so axis-aligned segments clip exactly."""
+    dx, dy = bx - ax, by - ay
+    t0, tag0 = 0.0, None            # (t, (axis, bound)) of entry/exit
+    t1, tag1 = 1.0, None
+    for p, q, axis, bound in ((-dx, ax - x0, "x", x0), (dx, x1 - ax, "x", x1),
+                              (-dy, ay - y0, "y", y0), (dy, y1 - ay, "y", y1)):
+        if p == 0:
+            if q < 0:
+                return None         # parallel and outside this bound
+            continue
+        t = q / p
+        if p < 0:                   # entering
+            if t > t1:
+                return None
+            if t > t0:
+                t0, tag0 = t, (axis, bound)
+        else:                       # leaving
+            if t < t0:
+                return None
+            if t < t1:
+                t1, tag1 = t, (axis, bound)
+    def pt(t, tag):
+        if tag is None:
+            return (ax, ay) if t == 0.0 else (bx, by)
+        axis, bound = tag
+        if axis == "x":
+            return bound, ay + t * dy
+        return ax + t * dx, bound
+    return pt(t0, tag0), pt(t1, tag1)
+
+
+def clip_polyline_rect(pts: np.ndarray, x0, y0, x1, y1) -> list[np.ndarray]:
+    """Clip a polyline to an axis-aligned rect → list of polyline
+    pieces (each (m,2), m ≥ 2; single-point grazes dropped). The
+    engine's line half of the spatial-join `clip` overlay
+    (/root/reference/pythongis/vector/manager.py:208-266)."""
+    pieces: list[list] = []
+    cur: list = []
+    for i in range(len(pts) - 1):
+        c = _clip_seg_rect(pts[i, 0], pts[i, 1], pts[i + 1, 0], pts[i + 1, 1],
+                           x0, y0, x1, y1)
+        if c is None or c[0] == c[1]:
+            if len(cur) >= 2:
+                pieces.append(cur)
+            cur = []
+            continue
+        (p, q) = c
+        if cur and cur[-1] == p:
+            cur.append(q)
+        else:
+            if len(cur) >= 2:
+                pieces.append(cur)
+            cur = [p, q]
+    if len(cur) >= 2:
+        pieces.append(cur)
+    return [np.asarray(p, np.float64) for p in pieces]
+
+
+def clip_polyline_rect_complement(pts: np.ndarray, x0, y0, x1, y1):
+    """Difference overlay: the polyline pieces OUTSIDE the rect.
+    Derived per segment: the sub-intervals of [0,1] not covered by the
+    clip (endpoints snapped to the exact crossing coordinates)."""
+    out: list[np.ndarray] = []
+    for i in range(len(pts) - 1):
+        a, b = pts[i], pts[i + 1]
+        c = _clip_seg_rect(a[0], a[1], b[0], b[1], x0, y0, x1, y1)
+        if c is None:
+            out.append(np.vstack([a, b]))
+            continue
+        (p, q) = c
+        pa_ = (float(a[0]), float(a[1]))
+        pb_ = (float(b[0]), float(b[1]))
+        if p != pa_:
+            out.append(np.asarray([pa_, p], np.float64))
+        if q != pb_:
+            out.append(np.asarray([q, pb_], np.float64))
+    # merge chains (consecutive pieces sharing endpoints)
+    merged: list[np.ndarray] = []
+    for piece in out:
+        if merged and tuple(merged[-1][-1]) == tuple(piece[0]):
+            merged[-1] = np.vstack([merged[-1], piece[1:]])
+        else:
+            merged.append(piece)
+    return merged
+
+
 # -------------------------------------------------------------- measures
 
 def ring_area(ring: np.ndarray) -> float:

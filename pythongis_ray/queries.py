@@ -989,21 +989,7 @@ def q_polyjoin(sf_dir: str):
     nation zone rectangles (axis-aligned ⇒ intersects ≡ bbox overlap,
     which the SQL oracle expresses exactly; boundary contact is
     impossible by lattice construction)."""
-    from pythongis_ray.geom import wkb as _wkb
-
-    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
-    k = sup["s_suppkey"].to_numpy().astype(np.int64) * 4 + 3
-    ix, iy = fixtures.geocode_units(k)
-    cx, cy = fixtures.units_to_deg(ix, iy)
-    hx = SUP_HALF_X / 1024.0
-    hy = SUP_HALF_Y / 1024.0
-    geoms = [
-        _wkb.encode_polygon([np.array([[x - hx, y - hy], [x + hx, y - hy],
-                                       [x + hx, y + hy], [x - hx, y + hy],
-                                       [x - hx, y - hy]])])
-        for x, y in zip(cx, cy)
-    ]
-    left = pd.DataFrame({"sup_id": k, "geometry": geoms})
+    left = supplier_rects(sf_dir)
     zones = pipelines.load_zones(sf_dir)
     ds = _rd().from_pandas(left)
     out = spatial.spatial_join_polygons(ds, zones[["zone_id", "geometry"]],
@@ -1021,6 +1007,212 @@ WITH sup AS (
   FROM ({sup_pts}) _sp
 ), z AS ({fixtures.SQL_ZONES_FROM_NATION})
 SELECT sup_id, zone_id FROM sup CROSS JOIN z
+WHERE sx0 < x1 AND x0 < sx1 AND sy0 < y1 AND y0 < sy1
+"""
+
+
+# ----------------------------------------------------- line-geometry set
+
+def lines_customer(sf_dir: str):
+    """customer → one diagonal segment per customer: A = geocode(ck),
+    B = A + hash-derived delta (±4°). Endpoints sit on INTEGER lattice
+    units while zone bounds sit on half-units, so no endpoint ever
+    touches a zone boundary; every orientation test is exact."""
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        from pythongis_ray.geom import wkb as _wkb
+        c = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = c * 4 + 1
+        ixa, iya = fixtures.geocode_units(ck)
+        dx = (ck * 48271) % 8192 - 4096
+        dy = (ck * 16807) % 8192 - 4096
+        ax, ay = fixtures.units_to_deg(ixa, iya)
+        bx, by = fixtures.units_to_deg(ixa + dx, iya + dy)
+        geoms = [_wkb.encode_linestring(np.array([[x1, y1], [x2, y2]]))
+                 for x1, y1, x2, y2 in zip(ax, ay, bx, by)]
+        return pa.table({"ck": pa.array(ck),
+                         "geometry": pa.array(geoms, pa.binary())})
+
+    return ds.map_batches(to_lines, batch_format="pyarrow", batch_size=16384)
+
+
+def SQL_LINES_CUSTOMER():
+    kp = _sql_keyed_points("customer", "c_custkey", 4, 1, "ck")
+    return f"""
+    SELECT ck, ix / 1024.0 - 180.0 AS ax, iy / 1024.0 - 90.0 AS ay,
+           (ix + (ck * 48271) % 8192 - 4096) / 1024.0 - 180.0 AS bx,
+           (iy + (ck * 16807) % 8192 - 4096) / 1024.0 - 90.0 AS by
+    FROM ({kp}) _sg
+    """
+
+
+def _sql_seg_rect_intersects() -> str:
+    """Closed SAT segment×rect test: bbox overlap AND rect corners not
+    strictly on one side of the segment line — exact and equal to the
+    engine's orientation-test predicate on the lattice."""
+    def s(cx, cy):
+        return f"((bx-ax)*(({cy})-ay) - (by-ay)*(({cx})-ax))"
+    s00, s10 = s("x0", "y0"), s("x1", "y0")
+    s11, s01 = s("x1", "y1"), s("x0", "y1")
+    # bbox overlap spelled with plain comparisons: DuckDB 1.0.0's
+    # greatest/least hit 'Operation requires a flat vector' inside
+    # this cross-join plan
+    return (f"(ax >= x0 OR bx >= x0) AND (ax <= x1 OR bx <= x1) AND "
+            f"(ay >= y0 OR by >= y0) AND (ay <= y1 OR by <= y1) AND "
+            f"NOT ({s00} > 0 AND {s10} > 0 AND {s11} > 0 AND {s01} > 0) AND "
+            f"NOT ({s00} < 0 AND {s10} < 0 AND {s11} < 0 AND {s01} < 0)")
+
+
+_SQL_SEG_IN_RECT = ("ax > x0 AND ax < x1 AND ay > y0 AND ay < y1 AND "
+                    "bx > x0 AND bx < x1 AND by > y0 AND by < y1")
+
+
+def q_line_join(sf_dir: str):
+    """Line×polygon spatial join, predicate=intersects (the reference's
+    line branch, manager.py:381-431 — e.g. railroads × countries)."""
+    lines = lines_customer(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    out = spatial.spatial_join_lines(lines, zones[["zone_id", "geometry"]],
+                                     predicate="intersects")
+    return out.select_columns(["ck", "zone_id"])
+
+
+def SQL_LINE_JOIN():
+    return f"""
+WITH seg AS ({SQL_LINES_CUSTOMER()}), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT ck, zone_id FROM seg CROSS JOIN z
+WHERE {_sql_seg_rect_intersects()}
+"""
+
+
+def q_line_crosses(sf_dir: str):
+    """Line×polygon crosses: interior points on both sides of the zone
+    boundary (fixture has no touch-degenerate contact, so crosses ≡
+    intersects ∧ ¬within — which is what the oracle states)."""
+    lines = lines_customer(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    out = spatial.spatial_join_lines(lines, zones[["zone_id", "geometry"]],
+                                     predicate="crosses")
+    return out.select_columns(["ck", "zone_id"])
+
+
+def SQL_LINE_CROSSES():
+    return f"""
+WITH seg AS ({SQL_LINES_CUSTOMER()}), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT ck, zone_id FROM seg CROSS JOIN z
+WHERE {_sql_seg_rect_intersects()} AND NOT ({_SQL_SEG_IN_RECT})
+"""
+
+
+def q_line_within(sf_dir: str):
+    lines = lines_customer(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    out = spatial.spatial_join_lines(lines, zones[["zone_id", "geometry"]],
+                                     predicate="within")
+    return out.select_columns(["ck", "zone_id"])
+
+
+def SQL_LINE_WITHIN():
+    return f"""
+WITH seg AS ({SQL_LINES_CUSTOMER()}), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT ck, zone_id FROM seg CROSS JOIN z
+WHERE {_SQL_SEG_IN_RECT}
+"""
+
+
+def hlines_customer(sf_dir: str):
+    """customer → one HORIZONTAL segment (A → A + 8000 units east):
+    the axis-aligned fixture whose rect clip is exact interval
+    arithmetic in both engines."""
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        from pythongis_ray.geom import wkb as _wkb
+        c = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hk = c * 8 + 5
+        ixa, iya = fixtures.geocode_units(hk)
+        ax, ay = fixtures.units_to_deg(ixa, iya)
+        bx, _ = fixtures.units_to_deg(ixa + 8000, iya)
+        geoms = [_wkb.encode_linestring(np.array([[x1, y1], [x2, y1]]))
+                 for x1, y1, x2 in zip(ax, ay, bx)]
+        return pa.table({"hk": pa.array(hk),
+                         "geometry": pa.array(geoms, pa.binary())})
+
+    return ds.map_batches(to_lines, batch_format="pyarrow", batch_size=16384)
+
+
+def q_line_clip(sf_dir: str):
+    """Spatial-join `clip` overlay rewrite for lines (reference
+    manager.py:208-266): intersection pieces + exact clipped length."""
+    lines = hlines_customer(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    out = spatial.spatial_join_lines(lines, zones[["zone_id", "geometry"]],
+                                     predicate="intersects",
+                                     clip="intersection")
+    return out.select_columns(["hk", "zone_id", "clip_len"])
+
+
+def SQL_LINE_CLIP():
+    kp = _sql_keyed_points("customer", "c_custkey", 8, 5, "hk")
+    return f"""
+WITH seg AS (
+  SELECT hk, ix / 1024.0 - 180.0 AS ax, iy / 1024.0 - 90.0 AS ay,
+         (ix + 8000) / 1024.0 - 180.0 AS bx
+  FROM ({kp}) _hs
+), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT hk, zone_id, least(bx, x1) - greatest(ax, x0) AS clip_len
+FROM seg CROSS JOIN z
+WHERE ay > y0 AND ay < y1 AND least(bx, x1) > greatest(ax, x0)
+"""
+
+
+def supplier_rects(sf_dir: str) -> pd.DataFrame:
+    """Supplier-derived axis-aligned rectangles (quarter-unit bounds —
+    never touch the half-unit zone bounds). Shared by polyjoin and the
+    polygon clip overlay."""
+    from pythongis_ray.geom import wkb as _wkb
+
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    k = sup["s_suppkey"].to_numpy().astype(np.int64) * 4 + 3
+    ix, iy = fixtures.geocode_units(k)
+    cx, cy = fixtures.units_to_deg(ix, iy)
+    hx = SUP_HALF_X / 1024.0
+    hy = SUP_HALF_Y / 1024.0
+    geoms = [
+        _wkb.encode_polygon([np.array([[x - hx, y - hy], [x + hx, y - hy],
+                                       [x + hx, y + hy], [x - hx, y + hy],
+                                       [x - hx, y - hy]])])
+        for x, y in zip(cx, cy)
+    ]
+    return pd.DataFrame({"sup_id": k, "geometry": geoms})
+
+
+def q_poly_clip(sf_dir: str):
+    """Polygon×polygon intersection overlay: clipped geometry + exact
+    area (reference clip branch, manager.py:208-266)."""
+    left = supplier_rects(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    ds = _rd().from_pandas(left)
+    out = spatial.spatial_join_polygons(ds, zones[["zone_id", "geometry"]],
+                                        predicate="intersects",
+                                        clip="intersection")
+    return out.select_columns(["sup_id", "zone_id", "clip_area"])
+
+
+def SQL_POLY_CLIP():
+    sup_pts = _sql_keyed_points("supplier", "s_suppkey", 4, 3, "sup_id")
+    return f"""
+WITH sup AS (
+  SELECT sup_id,
+         lon - {SUP_HALF_X} / 1024.0 AS sx0, lon + {SUP_HALF_X} / 1024.0 AS sx1,
+         lat - {SUP_HALF_Y} / 1024.0 AS sy0, lat + {SUP_HALF_Y} / 1024.0 AS sy1
+  FROM ({sup_pts}) _sp
+), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT sup_id, zone_id,
+       (least(sx1, x1) - greatest(sx0, x0))
+         * (least(sy1, y1) - greatest(sy0, y0)) AS clip_area
+FROM sup CROSS JOIN z
 WHERE sx0 < x1 AND x0 < sx1 AND sy0 < y1 AND y0 < sy1
 """
 
@@ -1209,6 +1401,11 @@ REGISTRY: dict[str, tuple] = {
     "median_events": (q_median_events, SQL_MEDIAN_EVENTS),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "polyjoin": (q_polyjoin, SQL_POLYJOIN),
+    "line_join": (q_line_join, SQL_LINE_JOIN),
+    "line_crosses": (q_line_crosses, SQL_LINE_CROSSES),
+    "line_within": (q_line_within, SQL_LINE_WITHIN),
+    "line_clip": (q_line_clip, SQL_LINE_CLIP),
+    "poly_clip": (q_poly_clip, SQL_POLY_CLIP),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, None),

@@ -661,20 +661,31 @@ def spatial_stats(points_ds, zones: pd.DataFrame, fieldmapping,
 
 def spatial_join_polygons(left_ds, zones: pd.DataFrame,
                           predicate: str = "intersects",
-                          geometry_col: str = "geometry", rsuffix: str = ""):
+                          geometry_col: str = "geometry", rsuffix: str = "",
+                          clip: str | None = None):
     """Polygon×polygon spatial join (left polygons stream; zone side
     broadcast). Predicates: intersects (boundaries count) |
     overlaps (interiors only — the reference's touch-only exclusion,
     analyzer.py:62-66). Candidates via bbox cell cover; refine with
     exact polygon tests. Left geometries are parsed per batch (the
     polygon side of web-scale joins is the small one; a polygon-heavy
-    LEFT at 10^9 scale would move parsing into the cell-shuffle path)."""
+    LEFT at 10^9 scale would move parsing into the cell-shuffle path).
+
+    ``clip='intersection'`` (reference overlay rewrite,
+    manager.py:208-266) adds ``clip_geometry`` (WKB of left∩zone) and
+    ``clip_area``: exact interval arithmetic when both sides are
+    axis-aligned rects, Sutherland–Hodgman against convex zones
+    otherwise; zero-area (touch-only) results are dropped."""
+    if clip not in (None, "intersection"):
+        raise ValueError(f"unsupported clip {clip!r}")
     index = ZoneIndex.from_pandas(zones, geometry_col=geometry_col)
     ref = ray.put(index)
 
     def fn(batch: pa.Table) -> pa.Table:
         idx: ZoneIndex = state.get_broadcast(ref, key_extra=("polyjoin",))
         pidx, zidx = [], []
+        clip_geoms: list = []
+        clip_areas: list = []
         for i, b in enumerate(batch[geometry_col].to_pylist()):
             if b is None:
                 continue
@@ -688,13 +699,135 @@ def spatial_join_polygons(left_ds, zones: pd.DataFrame,
                 hit = (algo.polygons_interiors_intersect(lp, zp)
                        if predicate == "overlaps"
                        else algo.polygons_intersect(lp, zp))
-                if hit:
-                    pidx.append(i)
-                    zidx.append(zi)
-        return _emit_joined(batch, np.asarray(pidx, np.int64),
-                            np.asarray(zidx, np.int64), idx, "inner", rsuffix)
+                if not hit:
+                    continue
+                if clip is not None:
+                    rl = algo.is_axis_rect(lp.rings[0])
+                    rz = algo.is_axis_rect(zp.rings[0])
+                    if rl is not None and rz is not None:
+                        cx0, cy0 = max(rl[0], rz[0]), max(rl[1], rz[1])
+                        cx1, cy1 = min(rl[2], rz[2]), min(rl[3], rz[3])
+                        if cx1 <= cx0 or cy1 <= cy0:
+                            continue
+                        ring = np.array([[cx0, cy0], [cx1, cy0], [cx1, cy1],
+                                         [cx0, cy1], [cx0, cy0]])
+                    else:
+                        ring = algo.clip_polygon_convex(lp.rings[0],
+                                                        zp.rings[0])
+                        if ring is None:
+                            continue
+                    area = algo.polygon_area([ring])
+                    if area == 0.0:
+                        continue
+                    clip_geoms.append(wkb.encode_polygon([ring]))
+                    clip_areas.append(area)
+                pidx.append(i)
+                zidx.append(zi)
+        out = _emit_joined(batch, np.asarray(pidx, np.int64),
+                           np.asarray(zidx, np.int64), idx, "inner", rsuffix)
+        if clip is not None:
+            out = out.append_column("clip_geometry",
+                                    pa.array(clip_geoms, pa.binary()))
+            out = out.append_column("clip_area",
+                                    pa.array(np.asarray(clip_areas, np.float64)))
+        return out
 
     return left_ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+LINE_PREDICATES = ("intersects", "within", "crosses", "touches", "disjoint")
+
+
+def spatial_join_lines(lines_ds, zones: pd.DataFrame,
+                       predicate: str = "intersects", how: str = "inner",
+                       geometry_col: str = "geometry", rsuffix: str = "",
+                       clip: str | None = None, batch_size: int = 4096):
+    """Line-left spatial join: LineString Dataset × broadcast polygon
+    layer — the reference's line branch of the join dispatch
+    (/root/reference/pythongis/vector/manager.py:381-431).
+
+    Predicates: intersects | within | crosses | touches | disjoint,
+    via exact orientation tests (geom.algo.polyline_polygon_predicate).
+    ``clip``: 'intersection' or 'difference' (reference overlay
+    rewrite, manager.py:208-266) — requires axis-aligned-rect zones
+    (exact Liang–Barsky with bound-snapped crossings); adds columns
+    ``clip_geometry`` (WKB LineString/MultiLineString of the pieces)
+    and ``clip_len`` (planar length, exact for axis-aligned segments).
+
+    Broadcast shape: zones parsed once into the ZoneIndex; the line
+    stream never shuffles. Candidates per line via its bbox cell
+    cover."""
+    if predicate not in LINE_PREDICATES:
+        raise ValueError(f"unsupported line predicate {predicate!r}")
+    if clip not in (None, "intersection", "difference"):
+        raise ValueError(f"unsupported clip {clip!r}")
+    if clip is not None and predicate != "intersects":
+        raise ValueError("clip overlay implies predicate='intersects'")
+    index = ZoneIndex.from_pandas(zones, geometry_col=geometry_col)
+    ref = ray.put(index)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        idx: ZoneIndex = state.get_broadcast(ref, key_extra=("linejoin",))
+        pidx, zidx = [], []
+        clip_geoms: list = []
+        clip_lens: list = []
+        matched = np.zeros(batch.num_rows, dtype=bool)
+        for i, b in enumerate(batch[geometry_col].to_pylist()):
+            if b is None:
+                continue
+            g = wkb.decode(bytes(b))
+            pts = g["rings"][0]
+            bb = (pts[:, 0].min(), pts[:, 1].min(),
+                  pts[:, 0].max(), pts[:, 1].max())
+            cand = set()
+            for c in grid.bbox_to_cells(*bb, res=idx.res):
+                cand.update(idx.cell_to_zones_map.get(int(c), ()))
+            hit_any = False
+            for zi in sorted(cand):
+                poly = idx.polys[zi]
+                if predicate == "disjoint":
+                    if algo.polyline_polygon_predicate(pts, poly, "intersects"):
+                        hit_any = True
+                        break
+                    continue
+                if not algo.polyline_polygon_predicate(pts, poly, predicate):
+                    continue
+                if clip is not None:
+                    rect = algo.is_axis_rect(poly.rings[0])
+                    if rect is None:
+                        raise NotImplementedError(
+                            "clip overlay requires axis-aligned rect zones")
+                    pieces = (algo.clip_polyline_rect(pts, *rect)
+                              if clip == "intersection"
+                              else algo.clip_polyline_rect_complement(pts, *rect))
+                    if not pieces:
+                        continue
+                    clip_geoms.append(
+                        wkb.encode_linestring(pieces[0]) if len(pieces) == 1
+                        else wkb.encode_multi(
+                            "MultiLineString", pieces))
+                    clip_lens.append(sum(algo.line_length(p) for p in pieces))
+                pidx.append(i)
+                zidx.append(zi)
+                hit_any = True
+            matched[i] = hit_any
+        if predicate == "disjoint":
+            return batch.take(pa.array(np.flatnonzero(~matched)))
+        out = _emit_joined(batch, np.asarray(pidx, np.int64),
+                           np.asarray(zidx, np.int64), idx, how, rsuffix)
+        if clip is not None:
+            # how='left' unsupported with clip (unmatched rows have no
+            # clip geometry); _emit_joined was called with inner rows
+            out = out.append_column("clip_geometry",
+                                    pa.array(clip_geoms, pa.binary()))
+            out = out.append_column("clip_len",
+                                    pa.array(np.asarray(clip_lens, np.float64)))
+        return out
+
+    if clip is not None and how != "inner":
+        raise ValueError("clip overlay supports how='inner' only")
+    return lines_ds.map_batches(fn, batch_format="pyarrow",
+                                batch_size=batch_size)
 
 
 class RadiusJoiner(GridKnnJoiner):

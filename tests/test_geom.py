@@ -181,3 +181,103 @@ class TestGeodesy:
         d = geodesy.vincenty_inverse_m(np.full(16, 10.0), np.full(16, 50.0),
                                        ring[:-1, 0], ring[:-1, 1])
         assert np.allclose(d, 50000.0, atol=0.01)
+
+
+class TestPolylinePredicates:
+    RECT = algo.PreparedPolygon([np.array([[0.0, 0.0], [10.0, 0.0],
+                                           [10.0, 10.0], [0.0, 10.0],
+                                           [0.0, 0.0]])])
+
+    def p(self, pts, pred):
+        return algo.polyline_polygon_predicate(np.asarray(pts, float),
+                                               self.RECT, pred)
+
+    def test_crossing_segment(self):
+        seg = [[-5.0, 5.0], [15.0, 5.0]]  # slices through
+        assert self.p(seg, "intersects") and self.p(seg, "crosses")
+        assert not self.p(seg, "within") and not self.p(seg, "touches")
+
+    def test_inside_segment(self):
+        seg = [[2.0, 2.0], [8.0, 8.0]]
+        assert self.p(seg, "intersects") and self.p(seg, "within")
+        assert not self.p(seg, "crosses") and not self.p(seg, "touches")
+
+    def test_outside_segment(self):
+        seg = [[20.0, 20.0], [30.0, 25.0]]
+        assert self.p(seg, "disjoint")
+        assert not self.p(seg, "intersects")
+
+    def test_half_in_half_out(self):
+        seg = [[5.0, 5.0], [15.0, 5.0]]
+        assert self.p(seg, "crosses") and self.p(seg, "intersects")
+        assert not self.p(seg, "within")
+
+    def test_touch_edge_from_outside(self):
+        seg = [[10.0, 5.0], [20.0, 5.0]]  # endpoint on right edge
+        assert self.p(seg, "touches") and self.p(seg, "intersects")
+        assert not self.p(seg, "crosses") and not self.p(seg, "within")
+
+    def test_collinear_along_edge(self):
+        seg = [[2.0, 0.0], [8.0, 0.0]]  # lies on bottom edge
+        assert self.p(seg, "touches") and self.p(seg, "intersects")
+        assert not self.p(seg, "crosses")
+
+    def test_corner_graze(self):
+        seg = [[-5.0, 15.0], [15.0, -5.0]]  # passes through (5,5)? no:
+        # line x+y=10 touches the corner (10,0)-(0,10) diagonal... it
+        # passes THROUGH the rect interior
+        assert self.p(seg, "crosses")
+        seg2 = [[10.0, 10.0], [20.0, 20.0]]  # endpoint at corner
+        assert self.p(seg2, "touches")
+
+    def test_multi_vertex_polyline(self):
+        line = [[-5.0, 5.0], [5.0, 5.0], [5.0, 15.0]]  # enters and exits
+        assert self.p(line, "crosses")
+
+
+class TestClipPolylineRect:
+    def test_horizontal_exact(self):
+        pts = np.array([[-5.0, 5.0], [15.0, 5.0]])
+        pieces = algo.clip_polyline_rect(pts, 0.0, 0.0, 10.0, 10.0)
+        assert len(pieces) == 1
+        assert pieces[0].tolist() == [[0.0, 5.0], [10.0, 5.0]]
+        assert algo.line_length(pieces[0]) == 10.0
+
+    def test_vertical_exact(self):
+        pts = np.array([[5.0, -3.0], [5.0, 4.0]])
+        pieces = algo.clip_polyline_rect(pts, 0.0, 0.0, 10.0, 10.0)
+        assert pieces[0].tolist() == [[5.0, 0.0], [5.0, 4.0]]
+
+    def test_fully_inside(self):
+        pts = np.array([[1.0, 1.0], [2.0, 3.0], [4.0, 2.0]])
+        pieces = algo.clip_polyline_rect(pts, 0.0, 0.0, 10.0, 10.0)
+        assert len(pieces) == 1 and pieces[0].shape == (3, 2)
+
+    def test_fully_outside(self):
+        pts = np.array([[20.0, 20.0], [30.0, 30.0]])
+        assert algo.clip_polyline_rect(pts, 0.0, 0.0, 10.0, 10.0) == []
+
+    def test_reentrant(self):
+        # exits the top then re-enters: two pieces
+        pts = np.array([[1.0, 9.0], [3.0, 13.0], [5.0, 9.0]])
+        pieces = algo.clip_polyline_rect(pts, 0.0, 0.0, 10.0, 10.0)
+        assert len(pieces) == 2
+
+    def test_complement_partitions_length(self):
+        pts = np.array([[-5.0, 5.0], [15.0, 5.0]])
+        inside = algo.clip_polyline_rect(pts, 0.0, 0.0, 10.0, 10.0)
+        outside = algo.clip_polyline_rect_complement(pts, 0.0, 0.0, 10.0, 10.0)
+        li = sum(algo.line_length(p) for p in inside)
+        lo = sum(algo.line_length(p) for p in outside)
+        assert li + lo == algo.line_length(pts) == 20.0
+        assert li == 10.0 and lo == 10.0
+
+
+class TestIsAxisRect:
+    def test_detects_rect(self):
+        r = np.array([[1.0, 2.0], [5.0, 2.0], [5.0, 7.0], [1.0, 7.0], [1.0, 2.0]])
+        assert algo.is_axis_rect(r) == (1.0, 2.0, 5.0, 7.0)
+
+    def test_rejects_diamond(self):
+        d = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0], [1.0, 0.0]])
+        assert algo.is_axis_rect(d) is None
