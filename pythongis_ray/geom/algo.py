@@ -406,6 +406,57 @@ def clip_polyline_rect_complement(pts: np.ndarray, x0, y0, x1, y1):
     return merged
 
 
+# ------------------------------------------------------------ rect union
+
+def merge_intervals(iv: np.ndarray) -> list[tuple[float, float]]:
+    """Union of 1-D closed intervals (n,2) → sorted disjoint list
+    (touching intervals merge). Exact: comparisons only."""
+    if len(iv) == 0:
+        return []
+    order = np.lexsort((iv[:, 1], iv[:, 0]))
+    out: list[list[float]] = []
+    for s, e in iv[order]:
+        if out and s <= out[-1][1]:
+            if e > out[-1][1]:
+                out[-1][1] = e
+        else:
+            out.append([float(s), float(e)])
+    return [(s, e) for s, e in out]
+
+
+def union_rects(rects: np.ndarray):
+    """Exact union of axis-aligned rects (n,4: x0,y0,x1,y1) by x-slab
+    sweep → (area, parts) where parts is a list of DISJOINT maximal
+    (x0, y0, x1, y1) rects (adjacent slabs with identical y-cover are
+    merged). Area is a sum of exact dyadic width×height products —
+    bit-reproducible and SQL-mirrorable. This is the GEOS-free
+    dissolve kernel (reference aggreg geometry union,
+    /root/reference/pythongis/vector/sql.py:129-137)."""
+    rects = np.asarray(rects, np.float64)
+    if len(rects) == 0:
+        return 0.0, []
+    xs = np.unique(np.concatenate([rects[:, 0], rects[:, 2]]))
+    area = 0.0
+    parts: list[tuple[float, float, float, float]] = []
+    prev_cover: tuple = ()
+    run_start = 0.0
+    prev_end = None
+    for i in range(len(xs) - 1):
+        xa, xb = float(xs[i]), float(xs[i + 1])
+        act = rects[(rects[:, 0] <= xa) & (rects[:, 2] >= xb)]
+        cover = tuple(merge_intervals(act[:, (1, 3)]))
+        area += sum((e - s) * (xb - xa) for s, e in cover)
+        if cover != prev_cover or prev_end != xa:
+            for s, e in prev_cover:
+                parts.append((run_start, s, prev_end, e))
+            prev_cover = cover
+            run_start = xa
+        prev_end = xb
+    for s, e in prev_cover:
+        parts.append((run_start, s, prev_end, e))
+    return area, parts
+
+
 # -------------------------------------------------------------- measures
 
 def ring_area(ring: np.ndarray) -> float:

@@ -147,6 +147,29 @@ def encode_points(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
     )
 
 
+_RECT_HDR = struct.pack("<BIII", 1, WKB_POLYGON, 1, 5)
+
+
+def encode_rects(x0, y0, x1, y1) -> np.ndarray:
+    """Vectorized: four (n,) float64 bounds → (n,) object array of
+    93-byte WKB rect polygons (one coord-matrix view + tobytes; no
+    per-row struct packing)."""
+    n = len(x0)
+    raw = np.empty((n, 93), dtype=np.uint8)
+    raw[:, :13] = np.frombuffer(_RECT_HDR, dtype=np.uint8)
+    coords = np.empty((n, 10), dtype="<f8")
+    coords[:, 0::8] = np.asarray(x0, "<f8")[:, None]   # cols 0, 8
+    coords[:, 1] = coords[:, 3] = y0
+    coords[:, 2] = coords[:, 4] = x1
+    coords[:, 5] = coords[:, 7] = y1
+    coords[:, 6] = x0
+    coords[:, 9] = y0
+    raw[:, 13:] = coords.view(np.uint8).reshape(n, 80)
+    flat = raw.tobytes()
+    return np.fromiter((flat[i * 93:(i + 1) * 93] for i in range(n)),
+                       dtype=object, count=n)
+
+
 def decode_points(wkbs) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized decode of a column of WKB *points* → (lon, lat).
 

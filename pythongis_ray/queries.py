@@ -1217,6 +1217,165 @@ WHERE sx0 < x1 AND x0 < sx1 AND sy0 < y1 AND y0 < sy1
 """
 
 
+# ------------------------------------------- rasterize / dissolve set
+
+def q_rasterize_poly(sf_dir: str):
+    """Rasterize POLYGONS with valuekey + per-cell conflict stats
+    (reference raster/manager.py:790-974): supplier rects burned by
+    center sampling onto the 1024-unit cell grid."""
+    from pythongis_ray import raster
+
+    left = supplier_rects(sf_dir)
+    left["val"] = (left["sup_id"] * 7) % 100
+    ds = _rd().from_pandas(left)
+    out = raster.rasterize_vector(
+        ds, value_col="val",
+        specs=[("n", "val", "count"), ("sum_val", "val", "sum"),
+               ("max_val", "val", "max")])
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_val", "max_val"):
+            b[c] = b[c].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+def SQL_RASTERIZE_POLY():
+    kp = _sql_keyed_points("supplier", "s_suppkey", 4, 3, "sup_id")
+    hx, hy = SUP_HALF_X, SUP_HALF_Y  # 4000.25 / 3000.25 units
+    return f"""
+WITH sup AS (
+  SELECT sup_id, (sup_id * 7) % 100 AS val, ix, iy FROM ({kp}) _sp
+), cx_cells AS (
+  SELECT sup_id, val, iy,
+         unnest(generate_series(
+           CAST(floor((ix - {hx} - 512) / 1024.0) AS BIGINT) + 1,
+           CAST(floor((ix + {hx} - 512) / 1024.0) AS BIGINT))) AS cx
+  FROM sup
+), cells AS (
+  SELECT sup_id, val, cx,
+         unnest(generate_series(
+           CAST(floor((iy - {hy} - 512) / 1024.0) AS BIGINT) + 1,
+           CAST(floor((iy + {hy} - 512) / 1024.0) AS BIGINT))) AS cy
+  FROM cx_cells
+)
+SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(val) AS BIGINT) AS sum_val,
+       CAST(MAX(val) AS BIGINT) AS max_val
+FROM cells GROUP BY cx, cy
+"""
+
+
+def q_rasterize_line(sf_dir: str):
+    """Rasterize LINES: a cell is burned iff the segment intersects
+    the closed cell square (exact SAT); horizontal fixture makes the
+    covered ranges pure integer arithmetic in the oracle."""
+    from pythongis_ray import raster
+
+    lines = hlines_customer(sf_dir)
+
+    def add_val(batch: pa.Table) -> pa.Table:
+        hk = batch["hk"].to_numpy(zero_copy_only=False)
+        return batch.append_column("val", pa.array(hk % 50))
+
+    ds = lines.map_batches(add_val, batch_format="pyarrow")
+    out = raster.rasterize_vector(
+        ds, value_col="val",
+        specs=[("n", "val", "count"), ("sum_val", "val", "sum")])
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_val"] = b["sum_val"].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+def SQL_RASTERIZE_LINE():
+    kp = _sql_keyed_points("customer", "c_custkey", 8, 5, "hk")
+    return f"""
+WITH seg AS (
+  SELECT hk, hk % 50 AS val, ix, iy FROM ({kp}) _hs
+), cx_cells AS (
+  SELECT hk, val, iy,
+         unnest(generate_series(
+           CAST(ceil(ix / 1024.0 - 1) AS BIGINT),
+           (ix + 8000) // 1024)) AS cx
+  FROM seg
+), cells AS (
+  SELECT hk, val, cx,
+         unnest(generate_series(
+           CAST(ceil(iy / 1024.0 - 1) AS BIGINT), iy // 1024)) AS cy
+  FROM cx_cells
+)
+SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(val) AS BIGINT) AS sum_val
+FROM cells GROUP BY cx, cy
+"""
+
+
+DIS_GRP_MOD = 8
+DIS_X_RANGE = 32768   # group x spread in units
+DIS_X_BASE = 100000
+DIS_Y_BASE = 50000
+DIS_Y_STEP = 8192
+
+
+def q_dissolve(sf_dir: str):
+    """Geometry union (dissolve) aggregation: supplier rects grouped
+    into 8 bands; within a band every rect shares the same y-extent,
+    so the exact 2-D sweep union equals height × 1-D x-interval union
+    — which the oracle computes with gaps-and-islands SQL."""
+    from pythongis_ray.geom import wkb as _wkb
+
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    k = sup["s_suppkey"].to_numpy().astype(np.int64)
+    grp = k % DIS_GRP_MOD
+    xcu = (k * 48271) % DIS_X_RANGE + DIS_X_BASE
+    ycu = DIS_Y_BASE + grp * DIS_Y_STEP
+    hx = SUP_HALF_X / 1024.0
+    hy = SUP_HALF_Y / 1024.0
+    cx, cy = fixtures.units_to_deg(xcu, ycu)
+    geoms = [
+        _wkb.encode_polygon([np.array([[x - hx, y - hy], [x + hx, y - hy],
+                                       [x + hx, y + hy], [x - hx, y + hy],
+                                       [x - hx, y - hy]])])
+        for x, y in zip(cx, cy)
+    ]
+    ds = _rd().from_pandas(pd.DataFrame({"grp": grp, "geometry": geoms}))
+    out = spatial.dissolve(ds, "grp")
+    return out.select_columns(["grp", "union_area", "n_parts"])
+
+
+def SQL_DISSOLVE():
+    return f"""
+WITH r AS (
+  SELECT s_suppkey % {DIS_GRP_MOD} AS grp,
+         ((s_suppkey * 48271) % {DIS_X_RANGE} + {DIS_X_BASE} - {SUP_HALF_X})
+           / 1024.0 - 180.0 AS x0,
+         ((s_suppkey * 48271) % {DIS_X_RANGE} + {DIS_X_BASE} + {SUP_HALF_X})
+           / 1024.0 - 180.0 AS x1
+  FROM supplier
+), o AS (
+  SELECT grp, x0, x1,
+         MAX(x1) OVER (PARTITION BY grp ORDER BY x0, x1
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM r
+), g AS (
+  SELECT grp, x0, x1,
+         SUM(CASE WHEN pm IS NULL OR x0 > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY grp ORDER BY x0, x1
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+), isl AS (
+  SELECT grp, island, MIN(x0) AS s, MAX(x1) AS e FROM g GROUP BY grp, island
+)
+SELECT grp, SUM((e - s) * (2 * {SUP_HALF_Y} / 1024.0)) AS union_area,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM isl GROUP BY grp
+"""
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization of the event log (5-minute gap)."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
@@ -1406,6 +1565,9 @@ REGISTRY: dict[str, tuple] = {
     "line_within": (q_line_within, SQL_LINE_WITHIN),
     "line_clip": (q_line_clip, SQL_LINE_CLIP),
     "poly_clip": (q_poly_clip, SQL_POLY_CLIP),
+    "rasterize_poly": (q_rasterize_poly, SQL_RASTERIZE_POLY),
+    "rasterize_line": (q_rasterize_line, SQL_RASTERIZE_LINE),
+    "dissolve": (q_dissolve, SQL_DISSOLVE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, None),

@@ -297,6 +297,125 @@ def rasterize_points(points_ds, res: int, t: int = TILE,
     return bucketed_group_apply(combined, ["cell_id"], to_tiles_bucket)
 
 
+def rasterize_vector(ds, value_col: str = "val", specs=None,
+                     cell_units: int = 1024, geometry_col: str = "geometry",
+                     order_col: str | None = None):
+    """Burn polygon / line features into the integer unit-lattice cell
+    grid with valuekey + per-cell conflict stats (reference
+    raster/manager.py:790-974: `valuekey`, `stat`, and `priority` —
+    priority maps to ``order_col`` + a 'first'/'last' stat).
+
+    Cell (cx, cy) spans ``[cx*cell_units, (cx+1)*cell_units)`` ×
+    ``[cy*cell_units, (cy+1)*cell_units)`` in lattice units
+    (lon = u/1024 − 180). Coverage rules, both exact on the lattice:
+
+    * Polygon: CENTER SAMPLING — burned iff the cell center is
+      strictly inside (axis-rect fast path is pure integer range
+      arithmetic; general polygons vectorize a PIP over the bbox cell
+      centers);
+    * LineString: burned iff a segment intersects the CLOSED cell
+      square (vectorized SAT: bbox overlap + corner orientation signs).
+
+    Per-batch burns feed ONE grouped aggregate over (cx, cy) with the
+    full aggreg stat vocabulary — the combine is bucketed, so the
+    shuffle moves partial rows, not pixels."""
+    from pythongis_ray import relational as rel
+    from pythongis_ray.geom import algo
+
+    specs = specs or [("n", value_col, "count")]
+    cu = float(cell_units)
+
+    def burn(batch: pa.Table) -> pd.DataFrame:
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        ovals = (batch[order_col].to_numpy(zero_copy_only=False)
+                 if order_col else None)
+        out_cx, out_cy, out_i = [], [], []
+        for i, b in enumerate(batch[geometry_col].to_pylist()):
+            if b is None:
+                continue
+            g = wkb.decode(bytes(b))
+            if g["type"] == "Polygon":
+                ring = g["rings"][0]
+                xu = (ring[:, 0] + 180.0) * 1024.0
+                yu = (ring[:, 1] + 90.0) * 1024.0
+                rect = algo.is_axis_rect(np.column_stack([xu, yu]))
+                # candidate cell-center range (strict interior)
+                cx_lo = int(np.floor((xu.min() - cu / 2) / cu)) + 1
+                cx_hi = int(np.floor((xu.max() - cu / 2) / cu))
+                cy_lo = int(np.floor((yu.min() - cu / 2) / cu)) + 1
+                cy_hi = int(np.floor((yu.max() - cu / 2) / cu))
+                if cx_hi < cx_lo or cy_hi < cy_lo:
+                    continue
+                cxs = np.arange(cx_lo, cx_hi + 1, dtype=np.int64)
+                cys = np.arange(cy_lo, cy_hi + 1, dtype=np.int64)
+                gx, gy = np.meshgrid(cxs, cys, indexing="ij")
+                gx, gy = gx.ravel(), gy.ravel()
+                if rect is None:
+                    # general polygon: strict PIP of the cell centers
+                    poly = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
+                    lon_c = (gx * cu + cu / 2) / 1024.0 - 180.0
+                    lat_c = (gy * cu + cu / 2) / 1024.0 - 90.0
+                    keep = poly.contains_points(lon_c, lat_c)
+                    gx, gy = gx[keep], gy[keep]
+                out_cx.append(gx)
+                out_cy.append(gy)
+                out_i.append(np.full(len(gx), i, dtype=np.int64))
+            elif g["type"] in ("LineString", "MultiLineString"):
+                for part in g["rings"]:
+                    xu = (part[:, 0] + 180.0) * 1024.0
+                    yu = (part[:, 1] + 90.0) * 1024.0
+                    for s in range(len(part) - 1):
+                        ax, ay, bx, by = xu[s], yu[s], xu[s + 1], yu[s + 1]
+                        cx_lo = int(np.ceil(min(ax, bx) / cu - 1.0))
+                        cx_hi = int(np.floor(max(ax, bx) / cu))
+                        cy_lo = int(np.ceil(min(ay, by) / cu - 1.0))
+                        cy_hi = int(np.floor(max(ay, by) / cu))
+                        cxs = np.arange(cx_lo, cx_hi + 1, dtype=np.int64)
+                        cys = np.arange(cy_lo, cy_hi + 1, dtype=np.int64)
+                        gx, gy = np.meshgrid(cxs, cys, indexing="ij")
+                        gx, gy = gx.ravel(), gy.ravel()
+                        # SAT: corners of each candidate cell vs the
+                        # segment line (closed; sign 0 = touching)
+                        x0c, y0c = gx * cu, gy * cu
+                        x1c, y1c = x0c + cu, y0c + cu
+                        dx, dy = bx - ax, by - ay
+                        s00 = dx * (y0c - ay) - dy * (x0c - ax)
+                        s10 = dx * (y0c - ay) - dy * (x1c - ax)
+                        s11 = dx * (y1c - ay) - dy * (x1c - ax)
+                        s01 = dx * (y1c - ay) - dy * (x0c - ax)
+                        pos = (s00 > 0) & (s10 > 0) & (s11 > 0) & (s01 > 0)
+                        neg = (s00 < 0) & (s10 < 0) & (s11 < 0) & (s01 < 0)
+                        keep = ~(pos | neg)
+                        gx, gy = gx[keep], gy[keep]
+                        out_cx.append(gx)
+                        out_cy.append(gy)
+                        out_i.append(np.full(len(gx), i, dtype=np.int64))
+            else:
+                raise ValueError(f"rasterize_vector: {g['type']} unsupported")
+        if not out_cx:
+            cols = {"cx": np.empty(0, np.int64), "cy": np.empty(0, np.int64),
+                    value_col: np.empty(0, object)}
+            if order_col:
+                cols[order_col] = np.empty(0, object)
+            return pd.DataFrame(cols)
+        cx = np.concatenate(out_cx)
+        cy = np.concatenate(out_cy)
+        fi = np.concatenate(out_i)
+        cols = {"cx": cx, "cy": cy, "_fi": fi, value_col: vals[fi]}
+        if order_col:
+            cols[order_col] = ovals[fi]
+        df = pd.DataFrame(cols)
+        # a multi-segment line can burn one cell twice — dedup PER
+        # FEATURE (not per value: distinct features sharing a value
+        # must both count) before the stats
+        df = df.drop_duplicates(subset=["cx", "cy", "_fi"])
+        return df.drop(columns=["_fi"])
+
+    parts = ds.map_batches(burn, batch_format="pyarrow", batch_size=4096)
+    return rel.groupby_aggregate(parts, ["cx", "cy"], specs,
+                                 order_col=order_col)
+
+
 def vectorize(ds, t: int = TILE):
     """Cells → one rectangle polygon per non-nodata pixel with
     col/row/x/y/val columns (reference vectorize one-rect-per-cell
@@ -307,7 +426,7 @@ def vectorize(ds, t: int = TILE):
     the per-cell rows carry (cell_id, col, row, val) so the grouping
     key structure is already in place."""
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        outs = []
         for cid, buf, nd in zip(batch["cell_id"], batch["tile"], batch["nodata"]):
             a = bytes_to_tile(buf, t)
             xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(
@@ -315,15 +434,23 @@ def vectorize(ds, t: int = TILE):
             px = (xmax - xmin) / t
             py = (ymax - ymin) / t
             yy, xx = np.nonzero(a != nd)
-            for y, x in zip(yy, xx):
-                x0, y0 = xmin + x * px, ymin + y * py
-                poly = wkb.encode_polygon([np.array(
-                    [[x0, y0], [x0 + px, y0], [x0 + px, y0 + py], [x0, y0 + py], [x0, y0]])])
-                rows.append({"cell_id": cid, "col": int(x), "row": int(y),
-                             "x": x0 + px / 2, "y": y0 + py / 2,
-                             "val": float(a[y, x]), "geometry": poly})
-        return pd.DataFrame(rows, columns=["cell_id", "col", "row", "x", "y",
-                                           "val", "geometry"])
+            if len(xx) == 0:
+                continue
+            # whole tile vectorized: corner arrays + one bulk WKB encode
+            x0 = xmin + xx * px
+            y0 = ymin + yy * py
+            outs.append(pd.DataFrame({
+                "cell_id": np.full(len(xx), cid, dtype=np.int64),
+                "col": xx.astype(np.int64), "row": yy.astype(np.int64),
+                "x": x0 + px / 2, "y": y0 + py / 2,
+                "val": a[yy, xx].astype(np.float64),
+                "geometry": wkb.encode_rects(x0, y0, x0 + px, y0 + py),
+            }))
+        if not outs:
+            return pd.DataFrame({c: [] for c in
+                                 ["cell_id", "col", "row", "x", "y", "val",
+                                  "geometry"]})
+        return pd.concat(outs, ignore_index=True)
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=64)
 

@@ -735,6 +735,46 @@ def spatial_join_polygons(left_ds, zones: pd.DataFrame,
     return left_ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
 
 
+def dissolve(ds, keys, geometry_col: str = "geometry"):
+    """Geometry union aggregation per key group (the reference's
+    aggreg geometry `union`/dissolve,
+    /root/reference/pythongis/vector/sql.py:129-137) — exact for
+    axis-aligned rect geometries via the lattice x-slab sweep
+    (geom.algo.union_rects; no GEOS in this environment). Emits one
+    row per key: MultiPolygon of the disjoint union parts +
+    ``union_area`` + ``n_parts``. Groups co-locate through the
+    bucketed hash shuffle; the per-group sweep is O(n log n)."""
+    from pythongis_ray import relational as rel
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in b.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rects = []
+            for buf in g[geometry_col]:
+                r = algo.is_axis_rect(wkb.decode(bytes(buf))["rings"][0])
+                if r is None:
+                    raise NotImplementedError(
+                        "dissolve requires axis-aligned rect geometries "
+                        "(GEOS-free union kernel)")
+                rects.append(r)
+            area, parts = algo.union_rects(np.asarray(rects))
+            geom = wkb.encode_multi("MultiPolygon", [
+                [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]
+                for x0, y0, x1, y1 in parts])
+            rows.append(dict(zip(keys, kv),
+                             union_area=area, n_parts=np.int64(len(parts)),
+                             geometry=geom))
+        cols = keys + ["union_area", "n_parts", "geometry"]
+        if not rows:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.DataFrame(rows, columns=cols)
+
+    return rel.bucketed_group_apply(ds, keys, per_bucket)
+
+
 LINE_PREDICATES = ("intersects", "within", "crosses", "touches", "disjoint")
 
 

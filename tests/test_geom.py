@@ -281,3 +281,53 @@ class TestIsAxisRect:
     def test_rejects_diamond(self):
         d = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0], [1.0, 0.0]])
         assert algo.is_axis_rect(d) is None
+
+
+class TestUnionRects:
+    def test_disjoint(self):
+        area, parts = algo.union_rects(np.array([[0, 0, 1, 1], [5, 5, 6, 7]],
+                                                float))
+        assert area == 1.0 + 2.0
+        assert len(parts) == 2
+
+    def test_overlapping_pair(self):
+        area, parts = algo.union_rects(np.array([[0, 0, 2, 2], [1, 0, 3, 2]],
+                                                float))
+        assert area == 6.0          # 3 wide x 2 tall
+        assert len(parts) == 1
+        assert parts[0] == (0.0, 0.0, 3.0, 2.0)
+
+    def test_touching_merge(self):
+        area, parts = algo.union_rects(np.array([[0, 0, 1, 1], [1, 0, 2, 1]],
+                                                float))
+        assert area == 2.0 and len(parts) == 1
+
+    def test_l_shape(self):
+        # vertical + horizontal bar: union area = 3 + 3 - 1 overlap
+        area, parts = algo.union_rects(np.array([[0, 0, 1, 3], [0, 0, 3, 1]],
+                                                float))
+        assert area == 5.0
+        assert sum((x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in parts) == 5.0
+
+    def test_nested(self):
+        area, parts = algo.union_rects(np.array([[0, 0, 4, 4], [1, 1, 2, 2]],
+                                                float))
+        assert area == 16.0 and len(parts) == 1
+
+    def test_montecarlo_area(self):
+        rng = np.random.default_rng(3)
+        rects = []
+        for _ in range(12):
+            x0, y0 = rng.integers(0, 20, 2)
+            rects.append([x0, y0, x0 + rng.integers(1, 8),
+                          y0 + rng.integers(1, 8)])
+        rects = np.asarray(rects, float)
+        area, parts = algo.union_rects(rects)
+        # exact check on the integer grid
+        cov = np.zeros((30, 30), bool)
+        for x0, y0, x1, y1 in rects.astype(int):
+            cov[x0:x1, y0:y1] = True
+        assert area == float(cov.sum())
+        # parts are disjoint and cover the same area
+        psum = sum((x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in parts)
+        assert psum == area
