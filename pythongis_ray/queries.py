@@ -284,6 +284,60 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_moving_median(sf_dir: str):
+    """Holistic trailing-window stat (full fieldmapping vocabulary in
+    moving_window — reference data.py:679-688)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({"event_id": batch["event_id"], "user_id": batch["user_id"],
+                         "ts_us": pa.array(us), "cents": pa.array(c)})
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+    out = rel.moving_window(ds, "user_id", ["ts_us", "event_id"], "cents", 5,
+                            "median", out_col="med5")
+    return out.select_columns(["event_id", "med5"])
+
+
+SQL_MOVING_MEDIAN = """
+SELECT event_id,
+       median(CAST(round(value*100) AS BIGINT)) OVER w AS med5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_moving_concat(sf_dir: str):
+    """Ordered trailing-window concat (holistic, order-dependent)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        return batch.append_column("ts_us", pa.array(us))
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    out = rel.moving_window(ds, "user_id", ["ts_us", "event_id"], "event_type",
+                            3, "concat:|", out_col="cat3")
+    return out.select_columns(["event_id", "cat3"])
+
+
+SQL_MOVING_CONCAT = """
+SELECT event_id,
+       string_agg(event_type, '|') OVER w AS cat3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_majority_events(sf_dir: str):
     """Holistic stats: majority/minority/first/last/concat per user."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
@@ -1531,6 +1585,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_docs": (q_dedup_docs, SQL_DEDUP_DOCS),
     "window_events": (q_window_events, SQL_WINDOW_EVENTS),
     "moving_avg": (q_moving_avg, SQL_MOVING_AVG),
+    "moving_median": (q_moving_median, SQL_MOVING_MEDIAN),
+    "moving_concat": (q_moving_concat, SQL_MOVING_CONCAT),
     "majority_events": (q_majority_events, SQL_MAJORITY_EVENTS),
     "merge_union": (q_merge_union, SQL_MERGE_UNION),
     "filter_revenue": (q_filter_revenue, SQL_FILTER_REVENUE),

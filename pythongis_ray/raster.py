@@ -68,6 +68,139 @@ def make_raster(fn, res: int = 4, bands: int = 1, t: int = TILE,
     return pd.DataFrame(rows)
 
 
+# ---------------------------------------------------------- GeoTIFF I/O
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+                   10: 8, 11: 4, 12: 8}
+_TIFF_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def _tiff_read_ifd(data: bytes, bo: str, ifd_off: int) -> dict:
+    import struct
+
+    (n,) = struct.unpack_from(bo + "H", data, ifd_off)
+    tags = {}
+    for i in range(n):
+        off = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, off)
+        size = _TIFF_TYPE_SIZE.get(typ, 1) * cnt
+        voff = off + 8 if size <= 4 else struct.unpack_from(bo + "I", data, off + 8)[0]
+        if typ == 2:
+            tags[tag] = data[voff:voff + cnt].split(b"\x00")[0].decode("ascii", "replace")
+        elif typ in _TIFF_TYPE_FMT:
+            vals = struct.unpack_from(bo + str(cnt) + _TIFF_TYPE_FMT[typ], data, voff)
+            tags[tag] = vals[0] if cnt == 1 else vals
+        elif typ == 5:  # RATIONAL
+            vals = struct.unpack_from(bo + str(2 * cnt) + "I", data, voff)
+            tags[tag] = tuple(vals[j] / vals[j + 1] for j in range(0, 2 * cnt, 2))
+    return tags
+
+
+def read_geotiff(path: str):
+    """Minimal GeoTIFF reader from the public TIFF 6.0 + GeoTIFF specs
+    (the reference reads these via PIL,
+    /root/reference/pythongis/raster/loader.py:35-524): UNCOMPRESSED
+    strips or tiles, 8/16/32-bit int/uint/float, 1 sample per pixel.
+    Georeferencing from ModelPixelScale+ModelTiepoint (33550/33922) or
+    ModelTransformation (34264); nodata from GDAL tag 42113.
+
+    Returns (array (h, w) float64, meta) where meta has ``transform``
+    = (x0, px, y0, py) with lon = x0 + (col+0.5)*px,
+    lat = y0 - (row+0.5)*py, and ``nodata``."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    bo = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    t = _tiff_read_ifd(data, bo, ifd_off)
+    w, h = int(t[256]), int(t[257])
+    comp = int(t.get(259, 1))
+    if comp != 1:
+        raise NotImplementedError(f"GeoTIFF compression {comp} unsupported "
+                                  "(uncompressed only — no codecs in env)")
+    bits = int(t[258]) if not isinstance(t.get(258), tuple) else int(t[258][0])
+    sfmt = int(t.get(339, 1)) if not isinstance(t.get(339), tuple) else int(t[339][0])
+    dt = {(1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+          (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
+          (3, 32): "f4", (3, 64): "f8"}.get((sfmt, bits))
+    if dt is None:
+        raise NotImplementedError(f"sample_format={sfmt} bits={bits}")
+    dtype = np.dtype(bo + dt)
+    arr = np.empty((h, w), dtype=dtype)
+    if 322 in t:  # tiled layout
+        tw, th = int(t[322]), int(t[323])
+        offs = t[324] if isinstance(t[324], tuple) else (t[324],)
+        i = 0
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                tile = np.frombuffer(data, dtype, tw * th, offs[i]) \
+                    .reshape(th, tw)
+                arr[ty:ty + th, tx:tx + tw] = \
+                    tile[:min(th, h - ty), :min(tw, w - tx)]
+                i += 1
+    else:  # strips
+        rps = int(t.get(278, h))
+        offs = t[273] if isinstance(t[273], tuple) else (t[273],)
+        for i, so in enumerate(offs):
+            r0 = i * rps
+            nr = min(rps, h - r0)
+            arr[r0:r0 + nr] = np.frombuffer(data, dtype, nr * w, so) \
+                .reshape(nr, w)
+    nodata = float(t[42113]) if 42113 in t else None
+    if 33550 in t and 33922 in t:
+        sx, sy = t[33550][0], abs(t[33550][1])
+        i_, j_, _, gx, gy, _ = t[33922][:6]
+        x0 = gx - i_ * sx
+        y0 = gy + j_ * sy
+        transform = (x0, sx, y0, sy)
+    elif 34264 in t:
+        m = t[34264]
+        # affine without rotation: x = m0*col + m3 ; y = m5*row + m7
+        transform = (m[3], m[0], m[7], -m[5])
+    else:
+        transform = (0.0, 1.0, float(h), 1.0)
+    return arr.astype(np.float64), {"transform": transform, "nodata": nodata,
+                                    "width": w, "height": h}
+
+
+def geotiff_to_tiles(path: str, res: int = 4, t: int = TILE,
+                     nodata: float = NODATA) -> pd.DataFrame:
+    """GeoTIFF → the engine's world tile table by nearest sampling of
+    each tile pixel center from the source grid (the from_file half of
+    reference raster loader; resample semantics = 'nearest')."""
+    arr, meta = read_geotiff(path)
+    x0, px, y0, py = meta["transform"]
+    src_nd = meta["nodata"]
+
+    def fill(lon2, lat2, band):
+        col = np.floor((lon2 - x0) / px).astype(np.int64)
+        row = np.floor((y0 - lat2) / py).astype(np.int64)
+        ok = (col >= 0) & (col < meta["width"]) & (row >= 0) & (row < meta["height"])
+        out = np.full(lon2.shape, nodata, dtype=np.float64)
+        v = arr[row[ok], col[ok]]
+        if src_nd is not None:
+            v = np.where(v == src_nd, nodata, v)
+        out[ok] = v
+        return out.astype(np.float32)
+
+    return make_raster(fill, res=res, t=t, nodata=nodata)
+
+
+def read_world_file(path: str):
+    """.wld/.tfw sidecar → (x0, px, y0, py) center-anchored transform
+    (reference world-file support, raster/loader.py 'worldfile')."""
+    vals = [float(tok) for tok in open(path).read().split()]
+    a, _, _, e, cx, cy = vals[:6]
+    return (cx - a / 2, a, cy - e / 2, -e)
+
+
+def write_world_file(path: str, transform):
+    x0, px, y0, py = transform
+    with open(path, "w") as f:
+        f.write(f"{px}\n0.0\n0.0\n{-py}\n{x0 + px / 2}\n{y0 - py / 2}\n")
+
+
 # ------------------------------------------------------------- band math
 
 _OPS = {

@@ -341,27 +341,68 @@ def moving_window(ds, group_key, order_cols, value_col, n: int, stat: str = "mea
                   out_col: str | None = None):
     """Per-row trailing window of n rows within each group, ordered by
     ``order_cols`` (reference moving_window, data.py:653-695 — one of
-    the explicitly order-dependent operators)."""
-    out_col = out_col or f"{value_col}_{stat}{n}"
+    the explicitly order-dependent operators). Supports the FULL
+    fieldmapping vocabulary: mean/sum/min/max/median/count +
+    first/last/majority/minority/concat[:delim] (reference passes any
+    aggreg stat through, data.py:679-688)."""
+    out_col = out_col or f"{value_col}_{stat.split(':')[0]}{n}"
     group_key = [group_key] if isinstance(group_key, str) else list(group_key)
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    base_stat, _, delim = stat.partition(":")
+    delim = delim or ","
+
+    def _window_matrix(v: np.ndarray, gid: np.ndarray):
+        """(rows, n) trailing-window matrix: row i holds the last n
+        values of i's group up to i (missing slots masked)."""
+        m = len(v)
+        idx = np.arange(m)[:, None] - np.arange(n - 1, -1, -1)[None, :]
+        valid = idx >= 0
+        idxc = np.clip(idx, 0, m - 1)
+        # a slot is valid only while still in the same group
+        valid &= gid[idxc] == gid[:, None]
+        return idxc, valid
 
     def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.sort_values(group_key + order_cols, kind="stable") \
             .reset_index(drop=True)
-        r = g.groupby(group_key, sort=False)[value_col].rolling(n, min_periods=1)
-        if stat == "mean":
-            # exact: integer rolling sum / count in one division
-            vals = (r.sum() / r.count()).to_numpy()
-        elif stat == "sum":
-            vals = r.sum().to_numpy()
-        elif stat == "min":
-            vals = r.min().to_numpy()
-        elif stat == "max":
-            vals = r.max().to_numpy()
+        if not len(g):
+            g[out_col] = []
+            return g
+        if base_stat in ("mean", "sum", "min", "max", "median", "count"):
+            r = g.groupby(group_key, sort=False)[value_col].rolling(
+                n, min_periods=1)
+            if base_stat == "mean":
+                # exact: integer rolling sum / count in one division
+                vals = (r.sum() / r.count()).to_numpy()
+            elif base_stat == "count":
+                vals = r.count().to_numpy().astype(np.int64)
+            else:
+                vals = getattr(r, base_stat)().to_numpy()
+            g[out_col] = vals
+            return g
+        # holistic window stats over an explicit trailing-window matrix
+        gid = pd.factorize(pd.util.hash_pandas_object(
+            g[group_key], index=False))[0]
+        v = g[value_col].to_numpy()
+        idxc, valid = _window_matrix(v, gid)
+        if base_stat == "first":
+            first_pos = np.argmax(valid, axis=1)
+            g[out_col] = v[idxc[np.arange(len(g)), first_pos]]
+        elif base_stat == "last":
+            g[out_col] = v
+        elif base_stat in ("majority", "minority"):
+            out = np.empty(len(g), dtype=object)
+            for i in range(len(g)):
+                w = v[idxc[i][valid[i]]]
+                u, c = np.unique(w, return_counts=True)
+                tgt = c.max() if base_stat == "majority" else c.min()
+                out[i] = sorted(u[c == tgt])[0]  # tie-break: smallest
+            g[out_col] = out
+        elif base_stat == "concat":
+            g[out_col] = [delim.join(str(x) for x in v[idxc[i][valid[i]]])
+                          for i in range(len(g))]
         else:
             raise ValueError(stat)
-        g[out_col] = vals
         return g
 
     return bucketed_group_apply(ds, group_key, per_bucket)

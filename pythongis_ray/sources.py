@@ -12,10 +12,16 @@ the canonical format (BASELINE input_hint); this module adds:
                                  loader.py:48,180-196)
   write_csv_with_geometry        CSV sink with geometry as GeoJSON text
 
-Shapefile/XLS/DTA are intentionally out of scope: their parsers
-(pyshp/xlrd/openpyxl) are not in this environment and the reference
-treats them as interchange formats, not engine semantics. The loader
-shape (format branch → batch parser → Dataset) is the same.
+  read_shapefile / shapefile_dataset   pure-python ESRI Shapefile
+                                 (.shp geometry + .dbf attributes)
+                                 reader — the format the reference's
+                                 loader.py:42-102 reads via pyshp;
+                                 spec is public (ESRI whitepaper).
+
+XLS/DTA are intentionally out of scope: their parsers (xlrd/openpyxl)
+are not in this environment and the reference treats them as
+interchange formats, not engine semantics. The loader shape (format
+branch → batch parser → Dataset) is the same.
 """
 
 from __future__ import annotations
@@ -106,6 +112,243 @@ def write_geojson(ds, path: str, geometry_col: str = "geometry"):
     with open(path, "w") as f:
         json.dump({"type": "FeatureCollection", "features": feats}, f)
     return len(feats)
+
+
+# ------------------------------------------------------------ Shapefile
+
+_SHP_POINT_TYPES = {1, 11, 21}
+_SHP_LINE_TYPES = {3, 13, 23}
+_SHP_POLY_TYPES = {5, 15, 25}
+_SHP_MPOINT_TYPES = {8, 18, 28}
+
+
+def _shp_record_to_wkb(buf: memoryview) -> bytes | None:
+    """One .shp record content → WKB (Z/M ordinates dropped)."""
+    import struct
+
+    (stype,) = struct.unpack_from("<i", buf, 0)
+    if stype == 0:
+        return None
+    if stype in _SHP_POINT_TYPES:
+        x, y = struct.unpack_from("<dd", buf, 4)
+        return wkb.encode_point(x, y)
+    if stype in _SHP_MPOINT_TYPES:
+        (n,) = struct.unpack_from("<i", buf, 36)
+        pts = np.frombuffer(buf, "<f8", 2 * n, 40).reshape(n, 2)
+        return wkb.encode_multi("MultiPoint", pts.tolist())
+    if stype in _SHP_LINE_TYPES or stype in _SHP_POLY_TYPES:
+        nparts, npoints = struct.unpack_from("<ii", buf, 36)
+        parts = np.frombuffer(buf, "<i4", nparts, 44).astype(np.int64)
+        pts = np.frombuffer(buf, "<f8", 2 * npoints, 44 + 4 * nparts) \
+            .reshape(npoints, 2)
+        bounds = np.concatenate([parts, [npoints]])
+        rings = [pts[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+        if stype in _SHP_LINE_TYPES:
+            if len(rings) == 1:
+                return wkb.encode_linestring(rings[0])
+            return wkb.encode_multi("MultiLineString", rings)
+        # polygon: ESRI ring-winding → exterior rings are CLOCKWISE;
+        # group each CCW ring (hole) with the preceding exterior
+        from pythongis_ray.geom import algo
+        polys: list[list[np.ndarray]] = []
+        for r in rings:
+            if algo.ring_area(r) <= 0 or not polys:  # CW = exterior
+                polys.append([r])
+            else:
+                polys[-1].append(r)
+        if len(polys) == 1:
+            return wkb.encode_polygon(polys[0])
+        return wkb.encode_multi("MultiPolygon", polys)
+    raise ValueError(f"unsupported shapefile shape type {stype}")
+
+
+def parse_shp(path: str) -> list[bytes | None]:
+    """.shp file → list of WKB geometries (None for null shapes).
+    File layout per the public ESRI whitepaper: 100-byte header, then
+    (big-endian record header, little-endian shape) records."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    (magic,) = struct.unpack_from(">i", data, 0)
+    if magic != 9994:
+        raise ValueError(f"{path}: not a shapefile (magic {magic})")
+    (flen_words,) = struct.unpack_from(">i", data, 24)
+    end = flen_words * 2
+    out: list[bytes | None] = []
+    off = 100
+    mv = memoryview(data)
+    while off < end:
+        (_, clen) = struct.unpack_from(">ii", data, off)
+        out.append(_shp_record_to_wkb(mv[off + 8:off + 8 + clen * 2]))
+        off += 8 + clen * 2
+    return out
+
+
+def parse_dbf(path: str, encoding: str = "latin-1") -> pd.DataFrame:
+    """.dbf (dBase III/IV) attribute table → DataFrame. Field types:
+    C→str, N/F→int/float, L→bool, D→str (yyyymmdd). Deleted rows
+    (flag '*') are skipped, matching pyshp/the reference loader."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    nrec, hsize, rsize = struct.unpack_from("<IHH", data, 4)
+    fields = []
+    off = 32
+    while data[off] != 0x0D:
+        name = data[off:off + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(data[off + 11])
+        flen = data[off + 16]
+        fdec = data[off + 17]
+        fields.append((name, ftype, flen, fdec))
+        off += 32
+    cols: dict[str, list] = {name: [] for name, *_ in fields}
+    for i in range(nrec):
+        roff = hsize + i * rsize
+        if data[roff:roff + 1] == b"*":
+            continue
+        p = roff + 1
+        for name, ftype, flen, fdec in fields:
+            raw = data[p:p + flen]
+            p += flen
+            if ftype in ("N", "F"):
+                s = raw.strip()
+                if not s or s in (b"*" * len(s),):
+                    cols[name].append(None)
+                elif ftype == "N" and fdec == 0 and b"." not in s:
+                    cols[name].append(int(s))
+                else:
+                    cols[name].append(float(s))
+            elif ftype == "L":
+                cols[name].append(raw in b"YyTt")
+            else:
+                cols[name].append(raw.decode(encoding, "replace").strip())
+    return pd.DataFrame(cols)
+
+
+def read_shapefile(path: str, encoding: str = "latin-1") -> pd.DataFrame:
+    """Shapefile → DataFrame with attribute columns + WKB ``geometry``.
+    ``path`` may end in .shp or be the basename; .dbf is joined when
+    present. Driver-side parse — shapefiles are the SMALL side of the
+    engine's joins (zone layers); a huge .shp would instead split by
+    .shx record offsets into parallel byte-range parses."""
+    import os
+
+    base = path[:-4] if path.lower().endswith(".shp") else path
+    geoms = parse_shp(base + ".shp")
+    dbf_path = base + ".dbf"
+    if os.path.exists(dbf_path):
+        df = parse_dbf(dbf_path, encoding)
+        if len(df) != len(geoms):
+            raise ValueError(f"{path}: .dbf rows {len(df)} != .shp "
+                             f"records {len(geoms)}")
+    else:
+        df = pd.DataFrame(index=range(len(geoms)))
+    df["geometry"] = geoms
+    return df
+
+
+def shapefile_dataset(path: str, encoding: str = "latin-1"):
+    """Shapefile → Ray Dataset (see :func:`read_shapefile`)."""
+    import ray.data as rd
+
+    return rd.from_pandas(read_shapefile(path, encoding))
+
+
+def write_shapefile(ds, path: str, geometry_col: str = "geometry"):
+    """Dataset → .shp/.shx/.dbf sink (point/line/polygon geometries;
+    attribute columns → DBF C/N fields). Interchange sink — driver
+    side, like the reference saver (vector/saver.py:24-100)."""
+    import struct
+
+    base = path[:-4] if path.lower().endswith(".shp") else path
+    pdf = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    geoms = [None if b is None else wkb.decode(bytes(b))
+             for b in pdf[geometry_col]]
+    kinds = {g["type"] for g in geoms if g is not None}
+    if kinds <= {"Point"}:
+        stype = 1
+    elif kinds <= {"LineString", "MultiLineString"}:
+        stype = 3
+    elif kinds <= {"Polygon", "MultiPolygon"}:
+        stype = 5
+    else:
+        raise ValueError(f"mixed geometry types {kinds}")
+    recs = []
+    for g in geoms:
+        if g is None:
+            recs.append(struct.pack("<i", 0))
+            continue
+        if stype == 1:
+            x, y = g["rings"][0][0]
+            recs.append(struct.pack("<idd", 1, x, y))
+        else:
+            rings = g["rings"]
+            pts = np.vstack(rings)
+            parts, acc = [], 0
+            for r in rings:
+                parts.append(acc)
+                acc += len(r)
+            bb = (pts[:, 0].min(), pts[:, 1].min(),
+                  pts[:, 0].max(), pts[:, 1].max())
+            recs.append(struct.pack(f"<i4dii{len(parts)}i", stype, *bb,
+                                    len(parts), len(pts), *parts)
+                        + pts.astype("<f8").tobytes())
+    # .shp + .shx
+    offsets, off = [], 50
+    for r in recs:
+        offsets.append(off)
+        off += 4 + len(r) // 2
+    allpts = np.vstack([np.vstack(g["rings"]) for g in geoms
+                        if g is not None]) if any(g is not None for g in geoms) \
+        else np.zeros((1, 2))
+    bbox = (allpts[:, 0].min(), allpts[:, 1].min(),
+            allpts[:, 0].max(), allpts[:, 1].max())
+    hdr = struct.pack(">iiiiiii", 9994, 0, 0, 0, 0, 0, off) \
+        + struct.pack("<ii4d4d", 1000, stype, *bbox, 0, 0, 0, 0)
+    with open(base + ".shp", "wb") as f:
+        f.write(hdr)
+        for i, r in enumerate(recs):
+            f.write(struct.pack(">ii", i + 1, len(r) // 2))
+            f.write(r)
+    shx_len = 50 + 4 * len(recs)
+    shx_hdr = struct.pack(">iiiiiii", 9994, 0, 0, 0, 0, 0, shx_len) \
+        + struct.pack("<ii4d4d", 1000, stype, *bbox, 0, 0, 0, 0)
+    with open(base + ".shx", "wb") as f:
+        f.write(shx_hdr)
+        for o, r in zip(offsets, recs):
+            f.write(struct.pack(">ii", o, len(r) // 2))
+    # .dbf
+    attr_cols = [c for c in pdf.columns if c != geometry_col]
+    fdescs, encoders = [], []
+    for c in attr_cols:
+        s = pdf[c]
+        if pd.api.types.is_integer_dtype(s):
+            flen, ftype = 18, b"N"
+            encoders.append(lambda v: b"" if v is None else str(int(v)).encode())
+        elif pd.api.types.is_float_dtype(s):
+            flen, ftype = 18, b"N"
+            encoders.append(lambda v: b"" if v is None or v != v
+                            else f"{v:.6f}".encode())
+        else:
+            flen, ftype = 64, b"C"
+            encoders.append(lambda v: b"" if v is None else str(v).encode("latin-1", "replace")[:64])
+        fdescs.append((c.encode("ascii")[:10], ftype, flen))
+    rsize = 1 + sum(f[2] for f in fdescs)
+    hsize = 32 + 32 * len(fdescs) + 1
+    with open(base + ".dbf", "wb") as f:
+        f.write(struct.pack("<BBBBIHH20x", 3, 24, 1, 1, len(pdf), hsize, rsize))
+        for name, ftype, flen in fdescs:
+            f.write(struct.pack("<11sc4xBB14x", name, ftype, flen, 0))
+        f.write(b"\x0d")
+        for _, row in pdf.iterrows():
+            f.write(b" ")
+            for (name, ftype, flen), enc, c in zip(fdescs, encoders, attr_cols):
+                v = enc(row[c])
+                f.write(v.ljust(flen)[:flen])
+        f.write(b"\x1a")
+    return len(recs)
 
 
 # ----------------------------------------------------------------- CSV

@@ -1,0 +1,84 @@
+"""Pure-python Shapefile reader/writer vs the reference's real
+Natural Earth test data (read-only) + round-trip property checks."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pythongis_ray import sources
+from pythongis_ray.geom import algo, wkb
+
+NE = "/root/reference/tests/data"
+
+
+@pytest.mark.skipif(not os.path.exists(f"{NE}/ne_10m_populated_places_simple.shp"),
+                    reason="reference data absent")
+def test_read_real_point_shapefile():
+    geoms = sources.parse_shp(f"{NE}/ne_10m_populated_places_simple.shp")
+    assert len(geoms) == 7322          # Natural Earth 10m populated places
+    lons, lats = wkb.decode_points([bytes(g) for g in geoms if g])
+    assert -180 <= lons.min() and lons.max() <= 180
+    assert -90 <= lats.min() and lats.max() <= 90
+
+
+@pytest.mark.skipif(not os.path.exists(f"{NE}/ne_10m_admin_0_countries.dbf"),
+                    reason="reference data absent")
+def test_read_real_dbf():
+    df = sources.parse_dbf(f"{NE}/ne_10m_admin_0_countries.dbf")
+    assert len(df) == 255
+    assert "NAME" in df.columns
+    assert "Afghanistan" in set(df["NAME"])
+    # numeric fields parsed as numbers
+    assert df["POP_EST"].dtype == np.float64 or df["POP_EST"].dtype == np.int64
+
+
+def test_point_roundtrip(tmp_path):
+    df = pd.DataFrame({
+        "name": ["a", "b"],
+        "pop": [10, 20],
+        "geometry": [wkb.encode_point(1.5, 2.5), wkb.encode_point(-3.0, 4.0)],
+    })
+    base = str(tmp_path / "pts")
+    sources.write_shapefile(df, base + ".shp")
+    back = sources.read_shapefile(base + ".shp")
+    assert back["name"].tolist() == ["a", "b"]
+    assert back["pop"].tolist() == [10, 20]
+    lons, lats = wkb.decode_points([bytes(b) for b in back["geometry"]])
+    assert lons.tolist() == [1.5, -3.0] and lats.tolist() == [2.5, 4.0]
+
+
+def test_polygon_roundtrip_with_hole(tmp_path):
+    outer = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0],
+                      [0.0, 0.0]])[::-1]  # CW exterior (ESRI winding)
+    hole = np.array([[2.0, 2.0], [4.0, 2.0], [4.0, 4.0], [2.0, 4.0],
+                     [2.0, 2.0]])  # CCW hole
+    df = pd.DataFrame({"gid": [7],
+                       "geometry": [wkb.encode_polygon([outer, hole])]})
+    base = str(tmp_path / "poly")
+    sources.write_shapefile(df, base + ".shp")
+    back = sources.read_shapefile(base + ".shp")
+    g = wkb.decode(bytes(back["geometry"].iloc[0]))
+    assert g["type"] == "Polygon" and len(g["rings"]) == 2
+    assert algo.polygon_area(g["rings"]) == 100.0 - 4.0
+
+
+def test_line_roundtrip(tmp_path):
+    line = wkb.encode_linestring(np.array([[0.0, 0.0], [5.0, 5.0], [10.0, 0.0]]))
+    df = pd.DataFrame({"gid": [1], "geometry": [line]})
+    base = str(tmp_path / "ln")
+    sources.write_shapefile(df, base + ".shp")
+    back = sources.read_shapefile(base + ".shp")
+    g = wkb.decode(bytes(back["geometry"].iloc[0]))
+    assert g["type"] == "LineString"
+    assert g["rings"][0].tolist() == [[0.0, 0.0], [5.0, 5.0], [10.0, 0.0]]
+
+
+def test_shapefile_dataset(ray_session, tmp_path):
+    df = pd.DataFrame({"v": [1, 2, 3],
+                       "geometry": [wkb.encode_point(float(i), float(i))
+                                    for i in range(3)]})
+    base = str(tmp_path / "ds")
+    sources.write_shapefile(df, base + ".shp")
+    ds = sources.shapefile_dataset(base + ".shp")
+    assert ds.count() == 3
