@@ -146,3 +146,55 @@ def geodetic_line_length_m(coords: np.ndarray) -> float:
         return 0.0
     d = vincenty_inverse_m(coords[:-1, 0], coords[:-1, 1], coords[1:, 0], coords[1:, 1])
     return float(np.sum(d))
+
+
+# ------------------------------------------------------- polygon area
+
+_E = np.sqrt(WGS84_F * (2.0 - WGS84_F))  # first eccentricity
+
+
+def _q(phi: np.ndarray) -> np.ndarray:
+    """Authalic q-function: q(φ) such that the ellipsoidal area between
+    the equator and parallel φ over Δλ is a²·Δλ·q/2 (standard map
+    projections formula, Snyder 3-12)."""
+    s = np.sin(phi)
+    e = _E
+    return (1.0 - e * e) * (s / (1.0 - e * e * s * s)
+                            - (1.0 / (2.0 * e)) * np.log((1.0 - e * s)
+                                                         / (1.0 + e * s)))
+
+
+_QP = float(_q(np.array([np.pi / 2]))[0])
+AUTHALIC_RADIUS_M = WGS84_A * np.sqrt(_QP / 2.0)
+
+
+def geodetic_ring_area_m2(ring: np.ndarray) -> float:
+    """Unsigned ellipsoidal area of one ring (closed, lon/lat degrees).
+
+    Edges are treated as linear in (λ, sin φ_authalic) — this makes
+    lat-lon-aligned quads ELLIPSOIDALLY EXACT (the area between two
+    parallels is a²Δλ(q1−q2)/2) and is the standard trapezoid
+    approximation for diagonal edges (the reference gets geodesic
+    edges from geographiclib PolygonArea,
+    /root/reference/pythongis/vector/geography.py:68-95; deviation is
+    O(edge length²/R²) of the small-edge area)."""
+    lam = np.radians(ring[:, 0].astype(np.float64))
+    phi = np.radians(ring[:, 1].astype(np.float64))
+    sin_auth = _q(phi) / _QP  # == sin(authalic latitude)
+    dlam = lam[1:] - lam[:-1]
+    # wrap antimeridian-crossing edges into (-π, π]
+    dlam = np.where(dlam > np.pi, dlam - 2 * np.pi,
+                    np.where(dlam < -np.pi, dlam + 2 * np.pi, dlam))
+    s = np.sum(dlam * (2.0 + sin_auth[:-1] + sin_auth[1:])) / 2.0
+    return abs(s) * AUTHALIC_RADIUS_M ** 2
+
+
+def geodetic_polygon_area_m2(rings) -> float:
+    """Ellipsoidal polygon area, holes subtracted (reference
+    Geography.area semantics, geography.py:81-95)."""
+    if not len(rings):
+        return 0.0
+    area = geodetic_ring_area_m2(rings[0])
+    for hole in rings[1:]:
+        area -= geodetic_ring_area_m2(hole)
+    return area

@@ -1563,6 +1563,28 @@ def q_geodetic_buffer(sf_dir: str):
     return cpts.map_batches(buf, batch_format="pyarrow", batch_size=2048)
 
 
+def q_geodetic_area(sf_dir: str):
+    """Ellipsoidal polygon areas of the supplier rects (rows-only:
+    the authalic-latitude formula uses sin/ln whose last ulp differs
+    across libm builds; exactness covered by unit tests)."""
+    from pythongis_ray import vector as vec
+
+    left = supplier_rects(sf_dir)
+    out = vec.geodetic_area(_rd().from_pandas(left))
+    return out.select_columns(["sup_id", "area_m2"])
+
+
+def q_resample_bilinear(sf_dir: str):
+    """Bilinear tile-grid resample (rows-only; exactness covered by
+    the linear-field reproduction unit test)."""
+    from pythongis_ray import raster
+
+    src = raster.make_raster(
+        lambda lon, lat, b: (lon + 2.0 * lat).astype(np.float32), res=2)
+    out = raster.resample_bilinear(_rd().from_pandas(src), 2, 3)
+    return out.select_columns(["cell_id", "band", "nodata"])
+
+
 def q_dedup_near_embed(sf_dir: str):
     """Embedding-cosine near-dup: pairs with quantized dot >= threshold
     among LSH-bucketed candidates; rows-only check."""
@@ -1632,6 +1654,8 @@ REGISTRY: dict[str, tuple] = {
     "langid": (q_langid, None),
     "ann_lsh": (q_ann_lsh, None),
     "geodetic_buffer": (q_geodetic_buffer, None),
+    "geodetic_area": (q_geodetic_area, None),
+    "resample_bilinear": (q_resample_bilinear, None),
     "dedup_near_embed": (q_dedup_near_embed, None),
 }
 

@@ -722,6 +722,109 @@ def resample_to_res(ds, src_res: int, dst_res: int, t: int = TILE):
                                 num_buckets=32)
 
 
+def resample_bilinear(ds, src_res: int, dst_res: int, t: int = TILE):
+    """Bilinear resample onto the tile grid at another resolution
+    (reference resample 'bilinear',
+    /root/reference/pythongis/raster/manager.py:560-650).
+
+    Distributed shape: every SOURCE tile is shipped to each
+    DESTINATION tile whose extent (±1 source pixel) it overlaps; one
+    groupby co-locates the sources per destination tile; the per-tile
+    kernel pastes them into a local mosaic indexed by GLOBAL source
+    pixel coordinates and evaluates the 4-tap interpolation of every
+    destination pixel center in one vectorized pass. Any nodata tap →
+    nodata (mask-union rule)."""
+    nx_s, ny_s = grid.cell_dims(src_res)
+    src_cell = grid.cell_size_deg(src_res)
+    psx = src_cell / t          # source pixel size (deg)
+    ncol = nx_s * t             # global source pixel columns
+    nrow = ny_s * t
+
+    def scatter(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, band, buf, nd in zip(batch["cell_id"], batch["band"],
+                                      batch["tile"], batch["nodata"]):
+            cu = np.array([cid], dtype=np.int64).view(np.uint64)
+            xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(cu))
+            # destination cells whose (extent grown by one src pixel)
+            # touches this source tile — including across the
+            # antimeridian (stencils wrap in longitude)
+            seen = set()
+            for shift in (-360.0, 0.0, 360.0):
+                x0s, x1s = xmin - psx + shift, xmax + psx + shift
+                if x1s < -180.0 or x0s > 180.0:
+                    continue
+                dcells = grid.bbox_to_cells(
+                    max(x0s, -180.0), max(ymin - psx, -90.0),
+                    min(x1s, 180.0), min(ymax + psx, 90.0), res=dst_res)
+                seen.update(int(c) for c in dcells.view(np.int64))
+            for dc in seen:
+                rows.append({"dcell": dc, "band": band,
+                             "scell": int(np.int64(cid)), "tile": buf,
+                             "nodata": nd})
+        return pd.DataFrame(rows,
+                            columns=["dcell", "band", "scell", "tile", "nodata"])
+
+    scattered = ds.map_batches(scatter, batch_format="pandas", batch_size=64)
+
+    def per_dst(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (dc, band), gg in g.groupby(["dcell", "band"], sort=False):
+            nd = float(gg["nodata"].iloc[0])
+            # global pixel-col range needed by this destination tile
+            du = np.array([dc], dtype=np.int64).view(np.uint64)
+            dxm, dym, dxx, dyx = (v[0] for v in grid.cell_bounds(du))
+            pdx = (dxx - dxm) / t
+            lon_c = dxm + (np.arange(t) + 0.5) * pdx
+            lat_c = dym + (np.arange(t) + 0.5) * (dyx - dym) / t
+            gx = (lon_c + 180.0) / psx - 0.5   # fractional global col
+            gy = (lat_c + 90.0) / psx - 0.5
+            x0 = np.floor(gx).astype(np.int64)
+            y0 = np.floor(gy).astype(np.int64)
+            fx = gx - x0
+            fy = gy - y0
+            c_lo, c_hi = int(x0.min()), int(x0.max()) + 1
+            r_lo, r_hi = int(y0.min()), int(y0.max()) + 1
+            mos = np.full((r_hi - r_lo + 1, c_hi - c_lo + 1), np.nan,
+                          dtype=np.float64)
+            for scell, buf in zip(gg["scell"], gg["tile"]):
+                a = bytes_to_tile(buf, t).astype(np.float64)
+                a[a == nd] = np.nan
+                su = np.array([scell], dtype=np.int64).view(np.uint64)
+                _, tx, ty = grid.unpack(su)
+                sr0 = int(ty[0]) * t
+                rs = slice(max(sr0, r_lo), min(sr0 + t, r_hi + 1))
+                # paste at the tile's column AND its ±world-width
+                # aliases so antimeridian-wrapping stencils resolve
+                for off in (-ncol, 0, ncol):
+                    sc0 = int(tx[0]) * t + off  # global col of tile col 0
+                    cs = slice(max(sc0, c_lo), min(sc0 + t, c_hi + 1))
+                    if cs.start < cs.stop and rs.start < rs.stop:
+                        mos[rs.start - r_lo:rs.stop - r_lo,
+                            cs.start - c_lo:cs.stop - c_lo] = \
+                            a[rs.start - sr0:rs.stop - sr0,
+                              cs.start - sc0:cs.stop - sc0]
+            # vectorized 4-tap gather over the (t, t) center grid
+            X0 = np.clip(x0 - c_lo, 0, mos.shape[1] - 1)
+            Y0 = np.clip(y0 - r_lo, 0, mos.shape[0] - 1)
+            X1 = np.clip(X0 + 1, 0, mos.shape[1] - 1)
+            Y1 = np.clip(Y0 + 1, 0, mos.shape[0] - 1)
+            fy2 = fy[:, None]
+            fx2 = fx[None, :]
+            v = (mos[np.ix_(Y0, X0)] * (1 - fy2) * (1 - fx2)
+                 + mos[np.ix_(Y0, X1)] * (1 - fy2) * fx2
+                 + mos[np.ix_(Y1, X0)] * fy2 * (1 - fx2)
+                 + mos[np.ix_(Y1, X1)] * fy2 * fx2)
+            out = np.where(np.isnan(v), nd, v).astype(np.float32)
+            rows.append({"cell_id": int(dc), "band": band,
+                         "tile": tile_to_bytes(out), "nodata": nd})
+        return pd.DataFrame(rows, columns=["cell_id", "band", "tile", "nodata"])
+
+    from pythongis_ray.relational import bucketed_group_apply
+
+    return bucketed_group_apply(scattered, ["dcell"], per_dst, num_buckets=32)
+
+
 # --------------------------------------------------- morphology (halo)
 
 def morphology(ds, op: str = "dilate", t: int = TILE):

@@ -66,6 +66,37 @@ def buffer_points(ds, radius, lon_col: str = "lon", lat_col: str = "lat",
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
 
 
+def geodetic_area(ds, geometry_col: str = "geometry",
+                  out_col: str = "area_m2"):
+    """Add the ellipsoidal polygon area in m² (reference
+    Geography.area via geographiclib,
+    /root/reference/pythongis/vector/geography.py:68-95; here the
+    authalic-latitude formula — exact for lat-lon-aligned quads,
+    trapezoid approximation for diagonal edges)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        areas = np.empty(batch.num_rows, np.float64)
+        for i, b in enumerate(batch[geometry_col].to_pylist()):
+            if b is None:
+                areas[i] = np.nan
+                continue
+            g = wkb.decode(bytes(b))
+            if g["type"] == "Polygon":
+                areas[i] = geodesy.geodetic_polygon_area_m2(g["rings"])
+            elif g["type"] == "MultiPolygon":
+                # group rings by part, exterior first per part
+                parts: dict[int, list] = {}
+                for r, p in zip(g["rings"], g["ring_part"]):
+                    parts.setdefault(p, []).append(r)
+                areas[i] = sum(geodesy.geodetic_polygon_area_m2(rs)
+                               for rs in parts.values())
+            else:
+                areas[i] = 0.0
+        return batch.append_column(out_col, pa.array(areas))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
 # ------------------------------------------------------- geometry maps
 
 def centroids(ds, geometry_col: str = "geometry"):

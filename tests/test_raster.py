@@ -284,3 +284,67 @@ def test_disperse_preserves_mass(ray_session):
     out = raster.disperse(pts, res=2, spread=1).to_pandas()
     total = sum(raster.bytes_to_tile(t).sum(dtype=np.float64) for t in out.tile)
     assert np.isclose(total, 160.0, rtol=1e-5)
+
+
+def test_resample_bilinear_reproduces_linear_field(ray_session):
+    import ray.data as rd
+
+    # bilinear interpolation of a field linear in (lon, lat) is exact
+    src = raster.make_raster(lambda lon, lat, b: (2.0 * lon + 3.0 * lat)
+                             .astype(np.float32), res=2)
+    ds = rd.from_pandas(src)
+    out = raster.resample_bilinear(ds, src_res=2, dst_res=3).to_pandas()
+    from pythongis_ray import grid
+    nx, ny = grid.cell_dims(3)
+    assert len(out) == nx * ny
+    t = raster.TILE
+    checked = 0
+    for _, row in out.iterrows():
+        cu = np.array([np.int64(row.cell_id)], np.uint64)
+        xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(cu))
+        if ymin < -80 or ymax > 80:
+            continue  # pole rows clamp the stencil
+        if xmin <= -179.0 or xmax >= 179.0:
+            continue  # the test FIELD is discontinuous at the seam
+        a = raster.bytes_to_tile(row.tile, t)
+        xs = xmin + (np.arange(t) + 0.5) * (xmax - xmin) / t
+        ys = ymin + (np.arange(t) + 0.5) * (ymax - ymin) / t
+        lon2, lat2 = np.meshgrid(xs, ys)
+        expect = (2.0 * lon2 + 3.0 * lat2).astype(np.float32)
+        assert np.allclose(a, expect, atol=1e-3), row.cell_id
+        checked += 1
+    assert checked > 10
+
+
+def test_resample_bilinear_nodata_propagates(ray_session):
+    import ray.data as rd
+
+    nd = raster.NODATA
+    src = raster.make_raster(
+        lambda lon, lat, b: np.where(lon < 0, nd, 5.0).astype(np.float32),
+        res=2)
+    out = raster.resample_bilinear(rd.from_pandas(src), 2, 3).to_pandas()
+    from pythongis_ray import grid
+    saw_nd = saw_val = False
+    for _, row in out.iterrows():
+        a = raster.bytes_to_tile(row.tile)
+        saw_nd |= bool((a == nd).any())
+        saw_val |= bool((a == 5.0).any())
+    assert saw_nd and saw_val
+
+
+def test_geodetic_area_rect(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray import vector
+    from pythongis_ray.geom import geodesy, wkb as _wkb
+
+    ring = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+                     [0.0, 0.0]])
+    df = pd.DataFrame({"gid": [1], "geometry": [_wkb.encode_polygon([ring])]})
+    out = vector.geodetic_area(rd.from_pandas(df)).to_pandas()
+    a = out.area_m2.iloc[0]
+    assert abs(a / 1e6 - 12308.46) < 0.5       # known 1x1-deg equator quad
+    # whole-earth closure via authalic surface
+    assert abs(4 * np.pi * geodesy.AUTHALIC_RADIUS_M ** 2
+               - 5.100656e14) < 1e9
