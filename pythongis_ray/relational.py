@@ -151,16 +151,22 @@ def _aggregate_partial(ds, keys: list[str], specs: list[Agg]):
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     combine_ops = {}
     for pc, src, kind in need:
-        # sum combine uses min_count=1 so an all-missing group
-        # propagates NULL (SQL SUM semantics, matching the holistic
-        # path) instead of pandas' default sum-of-nothing = 0
-        combine_ops[pc] = {"count": "sum",
-                           "sum": lambda s: s.sum(min_count=1),
+        combine_ops[pc] = {"count": "sum", "sum": "sum_min1",
                            "min": "min", "max": "max"}[kind]
 
     def combine(bucket: pd.DataFrame) -> pd.DataFrame:
-        g = bucket.groupby(keys, sort=False, dropna=False).agg(combine_ops) \
-            .reset_index()
+        gb = bucket.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for pc2, op in combine_ops.items():
+            if op == "sum_min1":
+                # min_count=1 → an all-missing group propagates NULL
+                # (SQL SUM semantics, matching the holistic path);
+                # stays on the cythonized sum kernel — a lambda in
+                # .agg() would run Python per group
+                cols[pc2] = gb[pc2].sum(min_count=1)
+            else:
+                cols[pc2] = getattr(gb[pc2], op)()
+        g = pd.DataFrame(cols).reset_index()
         out = g[keys].copy()
         for s in specs:
             st = "mean" if s.stat == "avg" else s.stat
