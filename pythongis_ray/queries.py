@@ -284,6 +284,60 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_hopping_window(sf_dir: str):
+    """Hopping event-time windows (2-minute windows, 1-minute hop —
+    every event lands in two windows)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"user_id": batch["user_id"], "ts_us": pa.array(us),
+                         "cents": pa.array(cents)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    out = rel.hopping_window(ds, "user_id", "ts_us",
+                             size=120_000_000, hop=60_000_000,
+                             specs=[("n_events", "cents", "count"),
+                                    ("sum_cents", "cents", "sum")])
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_cents"] = b["sum_cents"].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+SQL_HOPPING_WINDOW = """
+SELECT user_id, (epoch_us(ts) // 60000000 - k) * 60000000 AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) _k
+GROUP BY user_id, (epoch_us(ts) // 60000000 - k) * 60000000
+"""
+
+
+def q_embed_neardup(sf_dir: str):
+    """Exact embedding near-dup pairs: quantized dot ≥ 400000
+    (cosine ≈ 0.4 on the unit-normalized fixture embeddings)."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    return embed.neardup_pairs(emb, threshold=400_000)
+
+
+SQL_EMBED_NEARDUP = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS q
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_dot_product(a.q, b.q) AS BIGINT) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.q, b.q) >= 400000
+"""
+
+
 def q_moving_median(sf_dir: str):
     """Holistic trailing-window stat (full fieldmapping vocabulary in
     moving_window — reference data.py:679-688)."""
@@ -929,12 +983,12 @@ def q_ann_topk(sf_dir: str):
 SQL_ANN_TOPK = """
 WITH q AS (
   SELECT vec_id AS query_id,
-         list_transform(embedding, x -> round(x * 1000)) AS qe
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qe
   FROM embeddings WHERE vec_id < 8
 ), scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          CAST(list_dot_product(q.qe,
-              list_transform(e.embedding, x -> round(x * 1000))) AS BIGINT) AS score
+              list_transform(e.embedding, x -> round(CAST(x AS DOUBLE) * 1000))) AS BIGINT) AS score
   FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id
 ), ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -968,8 +1022,8 @@ def q_embed_label_stats(sf_dir: str):
 
 SQL_EMBED_LABEL_STATS = """
 SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(round(embedding[1] * 1000) AS BIGINT)) AS BIGINT) AS sum_d0,
-       CAST(SUM(CAST(round(embedding[1] * 1000) AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_d0
+       CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_d0,
+       CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_d0
 FROM embeddings GROUP BY label
 """
 
@@ -1606,6 +1660,8 @@ REGISTRY: dict[str, tuple] = {
     "distinct_flags": (q_distinct_flags, SQL_DISTINCT_FLAGS),
     "dedup_docs": (q_dedup_docs, SQL_DEDUP_DOCS),
     "window_events": (q_window_events, SQL_WINDOW_EVENTS),
+    "hopping_window": (q_hopping_window, SQL_HOPPING_WINDOW),
+    "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "moving_avg": (q_moving_avg, SQL_MOVING_AVG),
     "moving_median": (q_moving_median, SQL_MOVING_MEDIAN),
     "moving_concat": (q_moving_concat, SQL_MOVING_CONCAT),

@@ -414,6 +414,32 @@ def moving_window(ds, group_key, order_cols, value_col, n: int, stat: str = "mea
     return bucketed_group_apply(ds, group_key, per_bucket)
 
 
+def hopping_window(ds, group_key, ts_col: str, size: int, hop: int, specs,
+                   win_col: str = "win_start"):
+    """Hopping (sliding-by-hop) event-time windows: each row lands in
+    ``size/hop`` overlapping windows; emits one aggregate row per
+    (group, window-start). ``size`` must be a multiple of ``hop``;
+    with size == hop this degenerates to the tumbling window. The
+    replicate is a vectorized map_batches (no flat_map-per-row); the
+    aggregate is the normal partial/holistic path."""
+    if size % hop != 0:
+        raise ValueError("size must be a multiple of hop")
+    r = size // hop
+    group_key = [group_key] if isinstance(group_key, str) else list(group_key)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ts)
+        idx = np.repeat(np.arange(n, dtype=np.int64), r)
+        k = np.tile(np.arange(r, dtype=np.int64), n)
+        win = (ts[idx] // hop - k) * hop
+        out = batch.take(pa.array(idx))
+        return out.append_column(win_col, pa.array(win))
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow", batch_size=65536)
+    return groupby_aggregate(rep, group_key + [win_col], specs)
+
+
 def sessionize(ds, group_key, order_cols, ts_col: str, gap: int,
                out_col: str = "session_id"):
     """Gap-based sessionization: within each group (ordered by

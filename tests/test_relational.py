@@ -168,3 +168,27 @@ def test_split_by_class(ray_session):
     breaks = rel.equal_breaks(0, 50, 5)
     out = rel.split_by_class(rd.from_pandas(df), "v", breaks).to_pandas()
     assert out["class"].tolist() == [0, 0, 2, 4, 4]
+
+
+def test_hopping_window(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": ["a", "a", "a"], "ts": [5, 15, 25],
+                       "v": [1.0, 10.0, 100.0]})
+    out = rel.hopping_window(rd.from_pandas(df), "k", "ts", size=20, hop=10,
+                             specs=[("n", "v", "count"), ("s", "v", "sum")]) \
+        .to_pandas().sort_values("win_start").reset_index(drop=True)
+    # ts=5 -> windows starting -10, 0; ts=15 -> 0, 10; ts=25 -> 10, 20
+    assert out.win_start.tolist() == [-10, 0, 10, 20]
+    assert out.n.tolist() == [1, 2, 2, 1]
+    assert out.s.tolist() == [1.0, 11.0, 110.0, 100.0]
+
+
+def test_hopping_window_rejects_bad_hop(ray_session):
+    import pytest
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": ["a"], "ts": [0], "v": [1.0]})
+    with pytest.raises(ValueError):
+        rel.hopping_window(rd.from_pandas(df), "k", "ts", size=25, hop=10,
+                           specs=[("n", "v", "count")])

@@ -219,3 +219,20 @@ def test_label_centroids(ray_session):
         exp = mat[m].sum(axis=0) / m.sum()
         assert np.array_equal(np.asarray(r.centroid), exp)
         assert r.n == m.sum()
+
+
+def test_neardup_pairs_exact(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(8)
+    vecs = [base, base + rng.standard_normal(8) * 0.01,
+            rng.standard_normal(8), rng.standard_normal(8)]
+    vecs = [(v / np.linalg.norm(v)).astype(np.float32) for v in vecs]
+    df = pd.DataFrame({"vec_id": [0, 1, 2, 3], "embedding": [list(map(float, v)) for v in vecs]})
+    out = embed.neardup_pairs(rd.from_pandas(df), threshold=900_000) \
+        .to_pandas()
+    assert set(zip(out.id_a, out.id_b)) == {(0, 1)}
+    # score equals the brute-force quantized dot
+    q = [np.rint(np.asarray(v, np.float64) * 1000).astype(np.int64) for v in vecs]
+    assert out.score.iloc[0] == int(q[0] @ q[1])
