@@ -1639,6 +1639,18 @@ def q_resample_bilinear(sf_dir: str):
     return out.select_columns(["cell_id", "band", "nodata"])
 
 
+def q_warp_mercator(sf_dir: str):
+    """Raster mesh warp lonlat → WebMercator (rows-only: the mercator
+    inverse uses log/atan transcendentals; exactness covered by the
+    lon-field reproduction unit test)."""
+    from pythongis_ray import raster
+
+    src = raster.make_raster(lambda lon, lat, b: lon.astype(np.float32),
+                             res=2)
+    out = raster.warp_to_mercator(_rd().from_pandas(src), src_res=2, zoom=3)
+    return out.select_columns(["mcell", "band", "nodata"])
+
+
 def q_dedup_near_embed(sf_dir: str):
     """Embedding-cosine near-dup: pairs with quantized dot >= threshold
     among LSH-bucketed candidates; rows-only check."""
@@ -1712,6 +1724,7 @@ REGISTRY: dict[str, tuple] = {
     "geodetic_buffer": (q_geodetic_buffer, None),
     "geodetic_area": (q_geodetic_area, None),
     "resample_bilinear": (q_resample_bilinear, None),
+    "warp_mercator": (q_warp_mercator, None),
     "dedup_near_embed": (q_dedup_near_embed, None),
 }
 

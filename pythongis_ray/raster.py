@@ -771,50 +771,13 @@ def resample_bilinear(ds, src_res: int, dst_res: int, t: int = TILE):
         rows = []
         for (dc, band), gg in g.groupby(["dcell", "band"], sort=False):
             nd = float(gg["nodata"].iloc[0])
-            # global pixel-col range needed by this destination tile
             du = np.array([dc], dtype=np.int64).view(np.uint64)
             dxm, dym, dxx, dyx = (v[0] for v in grid.cell_bounds(du))
-            pdx = (dxx - dxm) / t
-            lon_c = dxm + (np.arange(t) + 0.5) * pdx
+            lon_c = dxm + (np.arange(t) + 0.5) * (dxx - dxm) / t
             lat_c = dym + (np.arange(t) + 0.5) * (dyx - dym) / t
-            gx = (lon_c + 180.0) / psx - 0.5   # fractional global col
-            gy = (lat_c + 90.0) / psx - 0.5
-            x0 = np.floor(gx).astype(np.int64)
-            y0 = np.floor(gy).astype(np.int64)
-            fx = gx - x0
-            fy = gy - y0
-            c_lo, c_hi = int(x0.min()), int(x0.max()) + 1
-            r_lo, r_hi = int(y0.min()), int(y0.max()) + 1
-            mos = np.full((r_hi - r_lo + 1, c_hi - c_lo + 1), np.nan,
-                          dtype=np.float64)
-            for scell, buf in zip(gg["scell"], gg["tile"]):
-                a = bytes_to_tile(buf, t).astype(np.float64)
-                a[a == nd] = np.nan
-                su = np.array([scell], dtype=np.int64).view(np.uint64)
-                _, tx, ty = grid.unpack(su)
-                sr0 = int(ty[0]) * t
-                rs = slice(max(sr0, r_lo), min(sr0 + t, r_hi + 1))
-                # paste at the tile's column AND its ±world-width
-                # aliases so antimeridian-wrapping stencils resolve
-                for off in (-ncol, 0, ncol):
-                    sc0 = int(tx[0]) * t + off  # global col of tile col 0
-                    cs = slice(max(sc0, c_lo), min(sc0 + t, c_hi + 1))
-                    if cs.start < cs.stop and rs.start < rs.stop:
-                        mos[rs.start - r_lo:rs.stop - r_lo,
-                            cs.start - c_lo:cs.stop - c_lo] = \
-                            a[rs.start - sr0:rs.stop - sr0,
-                              cs.start - sc0:cs.stop - sc0]
-            # vectorized 4-tap gather over the (t, t) center grid
-            X0 = np.clip(x0 - c_lo, 0, mos.shape[1] - 1)
-            Y0 = np.clip(y0 - r_lo, 0, mos.shape[0] - 1)
-            X1 = np.clip(X0 + 1, 0, mos.shape[1] - 1)
-            Y1 = np.clip(Y0 + 1, 0, mos.shape[0] - 1)
-            fy2 = fy[:, None]
-            fx2 = fx[None, :]
-            v = (mos[np.ix_(Y0, X0)] * (1 - fy2) * (1 - fx2)
-                 + mos[np.ix_(Y0, X1)] * (1 - fy2) * fx2
-                 + mos[np.ix_(Y1, X0)] * fy2 * (1 - fx2)
-                 + mos[np.ix_(Y1, X1)] * fy2 * fx2)
+            lon2, lat2 = np.meshgrid(lon_c, lat_c)
+            v = _mosaic_sample(list(zip(gg["scell"], gg["tile"])),
+                               lon2, lat2, nd, t, psx, ncol, "bilinear")
             out = np.where(np.isnan(v), nd, v).astype(np.float32)
             rows.append({"cell_id": int(dc), "band": band,
                          "tile": tile_to_bytes(out), "nodata": nd})
@@ -823,6 +786,144 @@ def resample_bilinear(ds, src_res: int, dst_res: int, t: int = TILE):
     from pythongis_ray.relational import bucketed_group_apply
 
     return bucketed_group_apply(scattered, ["dcell"], per_dst, num_buckets=32)
+
+
+def _mosaic_sample(tiles, lon2: np.ndarray, lat2: np.ndarray, nd: float,
+                   t: int, psx: float, ncol: int, method: str) -> np.ndarray:
+    """Sample arbitrary (lon, lat) positions from source tiles on the
+    shared lonlat pixel grid: paste the tiles into a local mosaic
+    indexed by GLOBAL source pixel coordinates (±world-width aliases
+    for antimeridian stencils), then gather 'nearest' or 4-tap
+    'bilinear' vectorized. Returns float64 with NaN where
+    nodata/uncovered."""
+    gx = (lon2 + 180.0) / psx - 0.5   # fractional global col
+    gy = (lat2 + 90.0) / psx - 0.5
+    if method == "nearest":
+        x0 = np.rint(gx).astype(np.int64)
+        y0 = np.rint(gy).astype(np.int64)
+        c_lo, c_hi = int(x0.min()), int(x0.max())
+        r_lo, r_hi = int(y0.min()), int(y0.max())
+    else:
+        x0 = np.floor(gx).astype(np.int64)
+        y0 = np.floor(gy).astype(np.int64)
+        c_lo, c_hi = int(x0.min()), int(x0.max()) + 1
+        r_lo, r_hi = int(y0.min()), int(y0.max()) + 1
+    mos = np.full((r_hi - r_lo + 1, c_hi - c_lo + 1), np.nan, dtype=np.float64)
+    for scell, buf in tiles:
+        a = bytes_to_tile(buf, t).astype(np.float64)
+        a[a == nd] = np.nan
+        su = np.array([scell], dtype=np.int64).view(np.uint64)
+        _, tx, ty = grid.unpack(su)
+        sr0 = int(ty[0]) * t
+        rs = slice(max(sr0, r_lo), min(sr0 + t, r_hi + 1))
+        for off in (-ncol, 0, ncol):
+            sc0 = int(tx[0]) * t + off      # global col of tile col 0
+            cs = slice(max(sc0, c_lo), min(sc0 + t, c_hi + 1))
+            if cs.start < cs.stop and rs.start < rs.stop:
+                mos[rs.start - r_lo:rs.stop - r_lo,
+                    cs.start - c_lo:cs.stop - c_lo] = \
+                    a[rs.start - sr0:rs.stop - sr0,
+                      cs.start - sc0:cs.stop - sc0]
+    X0 = np.clip(x0 - c_lo, 0, mos.shape[1] - 1)
+    Y0 = np.clip(y0 - r_lo, 0, mos.shape[0] - 1)
+    if method == "nearest":
+        return mos[Y0, X0]
+    X1 = np.clip(X0 + 1, 0, mos.shape[1] - 1)
+    Y1 = np.clip(Y0 + 1, 0, mos.shape[0] - 1)
+    fx = gx - x0
+    fy = gy - y0
+    return (mos[Y0, X0] * (1 - fy) * (1 - fx)
+            + mos[Y0, X1] * (1 - fy) * fx
+            + mos[Y1, X0] * fy * (1 - fx)
+            + mos[Y1, X1] * fy * fx)
+
+
+# ----------------------------------------------------- mercator warp
+
+MERC_R = 6378137.0
+MERC_MAX_LAT = 85.05112877980659
+
+
+def merc_forward(lon, lat):
+    x = np.radians(np.asarray(lon, np.float64)) * MERC_R
+    latc = np.clip(np.asarray(lat, np.float64), -MERC_MAX_LAT, MERC_MAX_LAT)
+    y = MERC_R * np.log(np.tan(np.pi / 4 + np.radians(latc) / 2))
+    return x, y
+
+
+def merc_inverse(x, y):
+    lon = np.degrees(np.asarray(x, np.float64) / MERC_R)
+    lat = np.degrees(2 * np.arctan(np.exp(np.asarray(y, np.float64) / MERC_R))
+                     - np.pi / 2)
+    return lon, lat
+
+
+def warp_to_mercator(ds, src_res: int, zoom: int = 3, t: int = TILE,
+                     method: str = "bilinear"):
+    """Raster mesh warp: lonlat tile grid → WebMercator tile pyramid
+    level ``zoom`` (the reference's raster reproject/warp path,
+    /root/reference/pythongis/raster/manager.py:560-650 — a per-pixel
+    PIL mesh there; here a destination-driven inverse mapping).
+
+    Distributed shape: each source tile ships to the mercator tiles
+    covering its projected bbox (+1 dst pixel); one groupby co-locates
+    them; the per-tile kernel inverse-projects the t×t destination
+    pixel centers and samples the assembled source mosaic
+    nearest/bilinear (``_mosaic_sample``). Output rows:
+    (mcell = ty·2^zoom + tx, band, tile, nodata); mercator pixel
+    (tx·t + i) has center x = −L + (tx·t + i + 0.5)·2L/(2^zoom·t),
+    L = πR."""
+    n = 1 << zoom
+    L = np.pi * MERC_R
+    tile_m = 2.0 * L / n
+    px_m = tile_m / t
+    nx_s, _ = grid.cell_dims(src_res)
+    psx = grid.cell_size_deg(src_res) / t
+    ncol = nx_s * t
+
+    def scatter(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, band, buf, nd in zip(batch["cell_id"], batch["band"],
+                                      batch["tile"], batch["nodata"]):
+            cu = np.array([cid], dtype=np.int64).view(np.uint64)
+            xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(cu))
+            if ymin >= MERC_MAX_LAT or ymax <= -MERC_MAX_LAT:
+                continue
+            x0m, y0m = merc_forward(xmin, ymin)
+            x1m, y1m = merc_forward(xmax, ymax)
+            tx_lo = max(0, int((x0m - px_m + L) // tile_m))
+            tx_hi = min(n - 1, int((x1m + px_m + L) // tile_m))
+            ty_lo = max(0, int((y0m - px_m + L) // tile_m))
+            ty_hi = min(n - 1, int((y1m + px_m + L) // tile_m))
+            for ty in range(ty_lo, ty_hi + 1):
+                for tx in range(tx_lo, tx_hi + 1):
+                    rows.append({"mcell": ty * n + tx, "band": band,
+                                 "scell": int(np.int64(cid)), "tile": buf,
+                                 "nodata": nd})
+        return pd.DataFrame(rows,
+                            columns=["mcell", "band", "scell", "tile", "nodata"])
+
+    scattered = ds.map_batches(scatter, batch_format="pandas", batch_size=64)
+
+    def per_dst(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (mc, band), gg in g.groupby(["mcell", "band"], sort=False):
+            nd = float(gg["nodata"].iloc[0])
+            tx, ty = int(mc) % n, int(mc) // n
+            xs = -L + (tx * t + np.arange(t) + 0.5) * px_m
+            ys = -L + (ty * t + np.arange(t) + 0.5) * px_m
+            xm, ym = np.meshgrid(xs, ys)
+            lon2, lat2 = merc_inverse(xm, ym)
+            v = _mosaic_sample(list(zip(gg["scell"], gg["tile"])),
+                               lon2, lat2, nd, t, psx, ncol, method)
+            out = np.where(np.isnan(v), nd, v).astype(np.float32)
+            rows.append({"mcell": int(mc), "band": band,
+                         "tile": tile_to_bytes(out), "nodata": nd})
+        return pd.DataFrame(rows, columns=["mcell", "band", "tile", "nodata"])
+
+    from pythongis_ray.relational import bucketed_group_apply
+
+    return bucketed_group_apply(scattered, ["mcell"], per_dst, num_buckets=32)
 
 
 # --------------------------------------------------- morphology (halo)

@@ -348,3 +348,45 @@ def test_geodetic_area_rect(ray_session):
     # whole-earth closure via authalic surface
     assert abs(4 * np.pi * geodesy.AUTHALIC_RADIUS_M ** 2
                - 5.100656e14) < 1e9
+
+
+def test_warp_to_mercator_lon_field(ray_session):
+    import ray.data as rd
+
+    # field = lon: bilinear sampling along lon is exact-linear, and the
+    # mercator inverse gives lon = degrees(x/R) — every dst pixel must
+    # read (approximately) its own longitude
+    src = raster.make_raster(lambda lon, lat, b: lon.astype(np.float32),
+                             res=2)
+    out = raster.warp_to_mercator(rd.from_pandas(src), src_res=2, zoom=3) \
+        .to_pandas()
+    n = 1 << 3
+    assert len(out) == n * n
+    L = np.pi * raster.MERC_R
+    px_m = 2 * L / (n * raster.TILE)
+    t = raster.TILE
+    bad = 0
+    for _, row in out.iterrows():
+        tx, ty = int(row.mcell) % n, int(row.mcell) // n
+        xs = -L + (tx * t + np.arange(t) + 0.5) * px_m
+        lon_exp = np.degrees(xs / raster.MERC_R)
+        a = raster.bytes_to_tile(row.tile, t)
+        # rows above |lat|>85 clamp out; compare covered rows only
+        ys = -L + (ty * t + np.arange(t) + 0.5) * px_m
+        _, lat_row = raster.merc_inverse(np.zeros(t), ys)
+        ok_rows = np.abs(lat_row) < 84.0
+        seam = (np.abs(lon_exp) > 178.0)  # antimeridian seam columns
+        sub = a[np.ix_(ok_rows, ~seam)]
+        exp = np.broadcast_to(lon_exp[~seam], sub.shape)
+        if not np.allclose(sub, exp, atol=0.05):
+            bad += 1
+    assert bad == 0
+
+
+def test_warp_roundtrip_forward_inverse():
+    lon = np.array([-179.0, -10.0, 0.0, 45.0, 179.0])
+    lat = np.array([-80.0, -45.0, 0.0, 60.0, 84.0])
+    x, y = raster.merc_forward(lon, lat)
+    lon2, lat2 = raster.merc_inverse(x, y)
+    assert np.allclose(lon, lon2, atol=1e-9)
+    assert np.allclose(lat, lat2, atol=1e-9)
