@@ -1229,6 +1229,66 @@ WHERE {_SQL_SEG_IN_RECT}
 """
 
 
+def seglines_supplier(sf_dir: str) -> pd.DataFrame:
+    """supplier → one diagonal segment per supplier (the small right
+    side of the line×line join)."""
+    from pythongis_ray.geom import wkb as _wkb
+
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64) * 8 + 7
+    ixa, iya = fixtures.geocode_units(sk)
+    dx = (sk * 48271) % 8192 - 4096
+    dy = (sk * 16807) % 8192 - 4096
+    ax, ay = fixtures.units_to_deg(ixa, iya)
+    bx, by = fixtures.units_to_deg(ixa + dx, iya + dy)
+    geoms = [_wkb.encode_linestring(np.array([[x1, y1], [x2, y2]]))
+             for x1, y1, x2, y2 in zip(ax, ay, bx, by)]
+    return pd.DataFrame({"sup_id": sk, "geometry": geoms})
+
+
+def q_line_line_join(sf_dir: str):
+    """Line×line spatial join: customer segments × broadcast supplier
+    segments, exact segment-intersection refine (incl. collinear /
+    endpoint touch terms — mirrored exactly in the oracle)."""
+    lines = lines_customer(sf_dir)
+    right = seglines_supplier(sf_dir)
+    out = spatial.spatial_join_line_line(lines, right)
+    return out.select_columns(["ck", "sup_id"])
+
+
+def SQL_LINE_LINE_JOIN():
+    kp = _sql_keyed_points("supplier", "s_suppkey", 8, 7, "sup_id")
+    d1 = "((bx-ax)*(cy-ay) - (by-ay)*(cx-ax))"
+    d2 = "((bx-ax)*(dy2-ay) - (by-ay)*(dx2-ax))"
+    d3 = "((dx2-cx)*(ay-cy) - (dy2-cy)*(ax-cx))"
+    d4 = "((dx2-cx)*(by-cy) - (dy2-cy)*(bx-cx))"
+
+    def touch(d, p1x, p1y, p2x, p2y, qx, qy):
+        # collinear + within-bbox: (q-p1)(q-p2) <= 0 per axis
+        return (f"({d} = 0 AND ({qx}-{p1x})*({qx}-{p2x}) <= 0 "
+                f"AND ({qy}-{p1y})*({qy}-{p2y}) <= 0)")
+
+    proper = (f"(({d1} > 0) <> ({d2} > 0)) AND (({d3} > 0) <> ({d4} > 0)) "
+              f"AND {d1} <> 0 AND {d2} <> 0 AND {d3} <> 0 AND {d4} <> 0")
+    touches = " OR ".join([
+        touch(d1, "ax", "ay", "bx", "by", "cx", "cy"),
+        touch(d2, "ax", "ay", "bx", "by", "dx2", "dy2"),
+        touch(d3, "cx", "cy", "dx2", "dy2", "ax", "ay"),
+        touch(d4, "cx", "cy", "dx2", "dy2", "bx", "by"),
+    ])
+    return f"""
+WITH seg AS ({SQL_LINES_CUSTOMER()}),
+rseg AS (
+  SELECT sup_id, ix / 1024.0 - 180.0 AS cx, iy / 1024.0 - 90.0 AS cy,
+         (ix + (sup_id * 48271) % 8192 - 4096) / 1024.0 - 180.0 AS dx2,
+         (iy + (sup_id * 16807) % 8192 - 4096) / 1024.0 - 90.0 AS dy2
+  FROM ({kp}) _rs
+)
+SELECT ck, sup_id FROM seg CROSS JOIN rseg
+WHERE ({proper}) OR ({touches})
+"""
+
+
 def hlines_customer(sf_dir: str):
     """customer → one HORIZONTAL segment (A → A + 8000 units east):
     the axis-aligned fixture whose rect clip is exact interval
@@ -1709,6 +1769,7 @@ REGISTRY: dict[str, tuple] = {
     "line_join": (q_line_join, SQL_LINE_JOIN),
     "line_crosses": (q_line_crosses, SQL_LINE_CROSSES),
     "line_within": (q_line_within, SQL_LINE_WITHIN),
+    "line_line_join": (q_line_line_join, SQL_LINE_LINE_JOIN),
     "line_clip": (q_line_clip, SQL_LINE_CLIP),
     "poly_clip": (q_poly_clip, SQL_POLY_CLIP),
     "rasterize_poly": (q_rasterize_poly, SQL_RASTERIZE_POLY),

@@ -775,6 +775,77 @@ def dissolve(ds, keys, geometry_col: str = "geometry"):
     return rel.bucketed_group_apply(ds, keys, per_bucket)
 
 
+def spatial_join_line_line(lines_ds, right: pd.DataFrame,
+                           geometry_col: str = "geometry",
+                           right_geom_col: str = "geometry",
+                           rsuffix: str = "_r", res: int = DEFAULT_INDEX_RES):
+    """Line×line spatial join (the reference's line-vs-line intersects
+    dispatch, /root/reference/pythongis/vector/manager.py:381-431):
+    left LineStrings stream; the small right line layer broadcasts as
+    segment arrays bucketed by cell. Candidates via shared bbox cells;
+    refine with the exact orientation/collinearity segment test
+    (geom.algo.segments_intersect). Emits left rows × matching right
+    rows (right attrs suffixed on collision)."""
+    segs_a, segs_b, seg_feat = [], [], []
+    for i, buf in enumerate(right[right_geom_col]):
+        g = wkb.decode(bytes(buf))
+        for part in g["rings"]:
+            if len(part) >= 2:
+                segs_a.append(part[:-1])
+                segs_b.append(part[1:])
+                seg_feat.append(np.full(len(part) - 1, i, dtype=np.int64))
+    A = np.vstack(segs_a) if segs_a else np.empty((0, 2))
+    B = np.vstack(segs_b) if segs_b else np.empty((0, 2))
+    F = np.concatenate(seg_feat) if seg_feat else np.empty(0, np.int64)
+    # cell buckets over right segment bboxes
+    cell_map: dict[int, list[int]] = {}
+    for j in range(len(A)):
+        bb = (min(A[j, 0], B[j, 0]), min(A[j, 1], B[j, 1]),
+              max(A[j, 0], B[j, 0]), max(A[j, 1], B[j, 1]))
+        for c in grid.bbox_to_cells(*bb, res=res):
+            cell_map.setdefault(int(c), []).append(j)
+    attrs = {c: right[c].to_numpy() for c in right.columns
+             if c != right_geom_col}
+    ref = ray.put({"A": A, "B": B, "F": F, "cells": cell_map, "attrs": attrs})
+
+    def fn(batch: pa.Table) -> pa.Table:
+        st = state.get_broadcast(ref, key_extra=("linelinejoin", res))
+        A_, B_, F_ = st["A"], st["B"], st["F"]
+        cmap = st["cells"]
+        pidx, ridx = [], []
+        for i, buf in enumerate(batch[geometry_col].to_pylist()):
+            if buf is None:
+                continue
+            pts = wkb.decode(bytes(buf))["rings"][0]
+            bb = (pts[:, 0].min(), pts[:, 1].min(),
+                  pts[:, 0].max(), pts[:, 1].max())
+            cand: set[int] = set()
+            for c in grid.bbox_to_cells(*bb, res=res):
+                cand.update(cmap.get(int(c), ()))
+            if not cand:
+                continue
+            j = np.fromiter(cand, dtype=np.int64)
+            hit = algo.segments_intersect(
+                pts[:-1, 0][:, None], pts[:-1, 1][:, None],
+                pts[1:, 0][:, None], pts[1:, 1][:, None],
+                A_[j, 0][None, :], A_[j, 1][None, :],
+                B_[j, 0][None, :], B_[j, 1][None, :])
+            feats = np.unique(F_[j[hit.any(axis=0)]])
+            for f in feats:
+                pidx.append(i)
+                ridx.append(int(f))
+        out = batch.take(pa.array(np.asarray(pidx, np.int64)))
+        for name, arr in attrs.items():
+            if name in batch.column_names:
+                name2 = name + rsuffix
+            else:
+                name2 = name
+            out = out.append_column(name2, pa.array(arr[np.asarray(ridx, np.int64)]))
+        return out
+
+    return lines_ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
 LINE_PREDICATES = ("intersects", "within", "crosses", "touches", "disjoint")
 
 

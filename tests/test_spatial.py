@@ -281,3 +281,29 @@ def test_wide_rejoin_byte_identity(ray_session):
     for pid, txt, html in zip(out.page_id, out.text, out.html):
         assert m[pid] == txt
         assert bytes(html) == b"<html><body>" + txt.encode() + b"</body></html>"
+
+
+def test_line_line_join(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray.geom import wkb as _wkb
+
+    def seg(a, b):
+        return _wkb.encode_linestring(np.array([a, b], float))
+
+    left = pd.DataFrame({
+        "lid": [0, 1, 2, 3],
+        "geometry": [
+            seg((0, 0), (10, 10)),     # crosses right 0
+            seg((0, 10), (10, 0)),     # crosses right 0 too
+            seg((20, 20), (30, 20)),   # disjoint
+            seg((5, 5), (5, 15)),      # endpoint ON right 0 (touch)
+        ],
+    })
+    right = pd.DataFrame({
+        "rid": [100, 200],
+        "geometry": [seg((0, 5), (10, 5)), seg((50, 50), (60, 50))],
+    })
+    out = spatial.spatial_join_line_line(
+        rd.from_pandas(left), right).to_pandas()
+    assert set(zip(out.lid, out.rid)) == {(0, 100), (1, 100), (3, 100)}
