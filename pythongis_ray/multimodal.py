@@ -80,24 +80,58 @@ class DecodeImage:
         return out.append_column("pixels", pa.array(tensors, pa.binary()))
 
 
+def _stack_uniform(batch: pa.Table, col: str):
+    """(n, h, w, c) uint8 stack when every image in the batch shares
+    the same shape (the overwhelmingly common case after resize /
+    from a uniform corpus) — one buffer concat, no per-row numpy.
+    Returns None for heterogeneous batches (caller falls back)."""
+    w = batch["meta_w"].to_numpy(zero_copy_only=False)
+    h = batch["meta_h"].to_numpy(zero_copy_only=False)
+    c = batch["meta_channels"].to_numpy(zero_copy_only=False)
+    if len(w) == 0 or (w != w[0]).any() or (h != h[0]).any() or (c != c[0]).any():
+        return None
+    arr = batch[col]
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if arr.null_count:
+        return None
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    if not np.all(np.diff(offs) == int(w[0]) * int(h[0]) * int(c[0])):
+        return None
+    data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0]:offs[-1]]
+    return data.reshape(len(arr), int(h[0]), int(w[0]), int(c[0]))
+
+
 class ResizeImage:
-    """Actor-pool stage: nearest-neighbour resize of decoded tensors
-    (pure numpy — real, not stubbed)."""
+    """Actor-pool stage: nearest-neighbour resize of decoded tensors.
+    Uniform batches resize as ONE (n, h, w, c) gather; mixed-shape
+    batches fall back to per-row."""
 
     def __init__(self, out_w: int = 16, out_h: int = 16):
         self.out_w = out_w
         self.out_h = out_h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for buf, w, h, c in zip(batch["pixels"].to_pylist(),
-                                batch["meta_w"].to_pylist(),
-                                batch["meta_h"].to_pylist(),
-                                batch["meta_channels"].to_pylist()):
-            a = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
-            yi = (np.arange(self.out_h) * h // self.out_h)
-            xi = (np.arange(self.out_w) * w // self.out_w)
-            out.append(a[yi][:, xi].tobytes())
+        stack = _stack_uniform(batch, "pixels")
+        if stack is not None:
+            n, h, w, c = stack.shape
+            yi = np.arange(self.out_h) * h // self.out_h
+            xi = np.arange(self.out_w) * w // self.out_w
+            small = stack[:, yi][:, :, xi]     # (n, oh, ow, c)
+            flat = np.ascontiguousarray(small).reshape(n, -1)
+            sz = flat.shape[1]
+            buf = flat.tobytes()
+            out = [buf[i * sz:(i + 1) * sz] for i in range(n)]
+        else:
+            out = []
+            for b, w, h, c in zip(batch["pixels"].to_pylist(),
+                                  batch["meta_w"].to_pylist(),
+                                  batch["meta_h"].to_pylist(),
+                                  batch["meta_channels"].to_pylist()):
+                a = np.frombuffer(b, dtype=np.uint8).reshape(h, w, c)
+                yi = np.arange(self.out_h) * h // self.out_h
+                xi = np.arange(self.out_w) * w // self.out_w
+                out.append(a[yi][:, xi].tobytes())
         t = batch.drop_columns(["pixels"])
         t = t.append_column("pixels", pa.array(out, pa.binary()))
         t = t.set_column(t.column_names.index("meta_w"), "meta_w",
@@ -109,13 +143,30 @@ class ResizeImage:
 class ImageFeatures:
     """Actor-pool stage: per-image feature vector (channel means/stds +
     a tiny intensity histogram) — the 'model inference' slot; a real
-    model would be loaded once in __init__."""
+    model would be loaded once in __init__. Uniform batches compute
+    every statistic in single whole-batch numpy passes (one bincount
+    for all histograms)."""
 
     def __init__(self, hist_bins: int = 8):
         self.bins = hist_bins
         self.edges = np.linspace(0, 256, hist_bins + 1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        stack = _stack_uniform(batch, "pixels")
+        if stack is not None:
+            n = stack.shape[0]
+            px = stack.reshape(n, -1, stack.shape[3]).astype(np.float64)
+            mu = px.mean(axis=1)                      # (n, c)
+            sd = px.std(axis=1)
+            step = 256 // self.bins
+            bin_of = (stack.reshape(n, -1) // step).astype(np.int64)
+            img_of = np.repeat(np.arange(n, dtype=np.int64), bin_of.shape[1])
+            hist = np.bincount(img_of * self.bins + bin_of.ravel(),
+                               minlength=n * self.bins) \
+                .reshape(n, self.bins) / bin_of.shape[1]
+            feats = np.concatenate([mu, sd, hist], axis=1)
+            return batch.append_column(
+                "features", pa.array(list(feats), pa.list_(pa.float64())))
         feats = []
         for buf, w, h, c in zip(batch["pixels"].to_pylist(),
                                 batch["meta_w"].to_pylist(),
@@ -128,6 +179,66 @@ class ImageFeatures:
             feats.append(np.concatenate([mu, sd, hist / a.size]).tolist())
         return batch.append_column("features",
                                    pa.array(feats, pa.list_(pa.float64())))
+
+
+class DecodeAudio:
+    """Actor-pool stage: audio payload → waveform column. Real decode
+    needs an audio codec (absent); ``fake=True`` interprets the raw
+    payload bytes as a little-endian int16 waveform (deterministic)."""
+
+    def __init__(self, fake: bool = True):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decode requires a codec library, not available in "
+                "this container — run with fake=True for the stub")
+        out = []
+        for payload in batch["payload"].to_pylist():
+            n = len(payload) // 2 * 2
+            out.append(payload[:n])
+        t = batch.drop_columns(["payload"])
+        return t.append_column("waveform", pa.array(out, pa.binary()))
+
+
+def audio_features(batch: pa.Table) -> pa.Table:
+    """Vectorized per-clip features over int16 waveforms: RMS, peak,
+    zero-crossing rate — computed with reduceat over the batch's
+    concatenated sample run (no Python per clip)."""
+    arr = batch["waveform"]
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0]:offs[-1]]
+    wave = data.view("<i2").astype(np.float64)
+    s0 = (offs[:-1] - offs[0]) // 2
+    s1 = (offs[1:] - offs[0]) // 2
+    ns = np.maximum(s1 - s0, 1)
+    sq = np.add.reduceat(np.r_[wave * wave, 0.0], np.minimum(s0, len(wave)))
+    sq[s0 == s1] = 0.0
+    rms = np.sqrt(sq / ns)
+    peak = np.maximum.reduceat(np.r_[np.abs(wave), 0.0],
+                               np.minimum(s0, len(wave)))
+    peak[s0 == s1] = 0.0
+    sign = np.signbit(wave)
+    flips = np.r_[(sign[1:] != sign[:-1]).astype(np.float64), 0.0, 0.0]
+    # zero out flips that straddle clip boundaries
+    flips[np.clip(s1 - 1, 0, len(flips) - 1)] = 0.0
+    zc = np.add.reduceat(flips, np.minimum(s0, len(flips) - 1))
+    zcr = zc / ns
+    batch = batch.append_column("rms", pa.array(rms))
+    batch = batch.append_column("peak", pa.array(peak))
+    return batch.append_column("zcr", pa.array(zcr))
+
+
+def audio_pipeline(ds, fake: bool = True, concurrency: int = 2):
+    """decode → vectorized feature extraction for audio clips."""
+    ds = ds.map_batches(DecodeAudio, fn_constructor_kwargs=dict(fake=fake),
+                        batch_format="pyarrow", batch_size=MEDIA_BATCH_ROWS,
+                        concurrency=concurrency, num_cpus=1)
+    return ds.map_batches(audio_features, batch_format="pyarrow",
+                          batch_size=MEDIA_BATCH_ROWS)
 
 
 def frame_sample(batch: pa.Table, every: int = 4) -> pa.Table:

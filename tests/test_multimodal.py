@@ -49,3 +49,59 @@ def test_resize_nearest_semantics(ray_session):
     s = np.frombuffer(src, np.uint8).reshape(2, 2, 3)
     assert (a[0, 0] == s[0, 0]).all() and (a[3, 3] == s[1, 1]).all()
     assert (a[0, 1] == s[0, 0]).all()  # nearest replication
+
+
+def test_uniform_stack_matches_fallback():
+    """Vectorized uniform-batch kernels must equal the per-row path."""
+    rng = np.random.default_rng(1)
+    n, h, w, c = 6, 5, 4, 3
+    bufs = [rng.integers(0, 256, h * w * c, dtype=np.uint8).tobytes()
+            for _ in range(n)]
+    t = pa.table({"id": list(range(n)), "pixels": bufs,
+                  "meta_w": pa.array([w] * n, pa.int32()),
+                  "meta_h": pa.array([h] * n, pa.int32()),
+                  "meta_channels": pa.array([c] * n, pa.int32())})
+    stack = mm._stack_uniform(t, "pixels")
+    assert stack is not None and stack.shape == (n, h, w, c)
+    feats_vec = mm.ImageFeatures()(t)["features"].to_pylist()
+    # force the fallback by a mixed-shape batch of one
+    for i in range(n):
+        ti = t.slice(i, 1)
+        a = np.frombuffer(bufs[i], np.uint8).reshape(h, w, c).astype(np.float64)
+        exp_mu = a.mean(axis=(0, 1))
+        assert np.allclose(feats_vec[i][:3], exp_mu)
+        hist, _ = np.histogram(a, bins=np.linspace(0, 256, 9))
+        assert np.allclose(feats_vec[i][6:], hist / a.size)
+    # resize: vectorized equals per-row
+    rs = mm.ResizeImage(out_w=2, out_h=2)
+    out_vec = rs(t)["pixels"].to_pylist()
+    for i in range(n):
+        a = np.frombuffer(bufs[i], np.uint8).reshape(h, w, c)
+        yi = np.arange(2) * h // 2
+        xi = np.arange(2) * w // 2
+        assert out_vec[i] == a[yi][:, xi].tobytes()
+
+
+def test_audio_pipeline(ray_session):
+    import ray.data as rd
+
+    df = mm.synthesize_media(16, "audio", payload_bytes=2048)
+    out = mm.audio_pipeline(rd.from_pandas(df), fake=True).to_pandas()
+    assert len(out) == 16
+    # oracle: per-clip numpy on the raw payload
+    for i in (0, 5, 15):
+        wav = np.frombuffer(df.payload.iloc[i][:2048], dtype="<i2") \
+            .astype(np.float64)
+        assert np.isclose(out.rms.iloc[i], np.sqrt((wav ** 2).mean()))
+        assert out.peak.iloc[i] == np.abs(wav).max()
+        sign = np.signbit(wav)
+        assert np.isclose(out.zcr.iloc[i],
+                          (sign[1:] != sign[:-1]).sum() / len(wav))
+
+
+def test_audio_stub_raises(ray_session):
+    import ray.data as rd
+
+    df = mm.synthesize_media(2, "audio", payload_bytes=64)
+    with pytest.raises(Exception):
+        mm.audio_pipeline(rd.from_pandas(df), fake=False).to_pandas()
