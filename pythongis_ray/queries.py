@@ -1544,6 +1544,109 @@ FROM isl GROUP BY grp
 """
 
 
+def q_dissolve_inter(sf_dir: str):
+    """Geometry intersection aggregation: pairs of supplier rects per
+    group; common-rect area (reference aggreg geomfunc intersection,
+    sql.py:129-137)."""
+    from pythongis_ray.geom import wkb as _wkb
+
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    k = sup["s_suppkey"].to_numpy().astype(np.int64)
+    grp = k % 50
+    xcu = (k * 48271) % 4096 + 200000
+    ycu = (k * 16807) % 4096 + 60000
+    hx = SUP_HALF_X / 1024.0
+    hy = SUP_HALF_Y / 1024.0
+    cx, cy = fixtures.units_to_deg(xcu, ycu)
+    geoms = [
+        _wkb.encode_polygon([np.array([[x - hx, y - hy], [x + hx, y - hy],
+                                       [x + hx, y + hy], [x - hx, y + hy],
+                                       [x - hx, y - hy]])])
+        for x, y in zip(cx, cy)
+    ]
+    ds = _rd().from_pandas(pd.DataFrame({"grp": grp, "geometry": geoms}))
+    out = spatial.dissolve(ds, "grp", geomfunc="intersection")
+    return out.select_columns(["grp", "inter_area"])
+
+
+def SQL_DISSOLVE_INTER():
+    return f"""
+WITH r AS (
+  SELECT s_suppkey % 50 AS grp,
+    ((s_suppkey*48271) % 4096 + 200000 - {SUP_HALF_X})/1024.0 - 180.0 AS x0,
+    ((s_suppkey*48271) % 4096 + 200000 + {SUP_HALF_X})/1024.0 - 180.0 AS x1,
+    ((s_suppkey*16807) % 4096 + 60000 - {SUP_HALF_Y})/1024.0 - 90.0 AS y0,
+    ((s_suppkey*16807) % 4096 + 60000 + {SUP_HALF_Y})/1024.0 - 90.0 AS y1
+  FROM supplier
+)
+SELECT grp, (MIN(x1) - MAX(x0)) * (MIN(y1) - MAX(y0)) AS inter_area
+FROM r GROUP BY grp
+HAVING MIN(x1) > MAX(x0) AND MIN(y1) > MAX(y0)
+"""
+
+
+def q_compute_grouped(sf_dir: str):
+    """Grouped stat written back to member rows (reference
+    VectorData.compute(by=, stat=), data.py:602-639)."""
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_returnflag", "l_quantity"])
+
+    def pk(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": pa.array(ok * 8 + ln),
+                         "l_returnflag": batch["l_returnflag"],
+                         "l_quantity": batch["l_quantity"]})
+
+    ds = ds.map_batches(pk, batch_format="pyarrow", batch_size=65536)
+    out = rel.compute_grouped(ds, "l_returnflag", "l_quantity", "mean",
+                              "grp_avg_qty")
+    return out.select_columns(["pk", "l_returnflag", "l_quantity",
+                               "grp_avg_qty"])
+
+
+SQL_COMPUTE_GROUPED = """
+SELECT l_orderkey * 8 + l_linenumber AS pk, l_returnflag, l_quantity,
+       CAST(SUM(l_quantity) OVER w AS DOUBLE) / COUNT(*) OVER w AS grp_avg_qty
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag)
+"""
+
+
+def q_join_collapse(sf_dir: str):
+    """Join with collapse fusion: per-customer order stats aggregated
+    BEFORE attaching (reference join collapse=True, data.py:1017-1114)."""
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"]) \
+        .rename(columns={"o_custkey": "c_custkey"})
+    orders["price_cents"] = np.rint(orders["o_totalprice"].to_numpy()
+                                    * 100.0).astype(np.int64)
+    out = rel.hash_join(cust, orders[["c_custkey", "price_cents"]],
+                        on="c_custkey", how="inner",
+                        collapse=[("n_orders", "price_cents", "count"),
+                                  ("sum_cents", "price_cents", "sum")])
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_orders"] = b["n_orders"].astype(np.int64)
+        b["sum_cents"] = b["sum_cents"].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+SQL_JOIN_COLLAPSE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization of the event log (5-minute gap)."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
@@ -1775,6 +1878,9 @@ REGISTRY: dict[str, tuple] = {
     "rasterize_poly": (q_rasterize_poly, SQL_RASTERIZE_POLY),
     "rasterize_line": (q_rasterize_line, SQL_RASTERIZE_LINE),
     "dissolve": (q_dissolve, SQL_DISSOLVE),
+    "dissolve_inter": (q_dissolve_inter, SQL_DISSOLVE_INTER),
+    "compute_grouped": (q_compute_grouped, SQL_COMPUTE_GROUPED),
+    "join_collapse": (q_join_collapse, SQL_JOIN_COLLAPSE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, None),

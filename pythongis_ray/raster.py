@@ -187,6 +187,60 @@ def geotiff_to_tiles(path: str, res: int = 4, t: int = TILE,
     return make_raster(fill, res=res, t=t, nodata=nodata)
 
 
+def write_geotiff(path: str, arr: np.ndarray, transform,
+                  nodata: float | None = None):
+    """Minimal GeoTIFF writer (single band, uncompressed one-strip,
+    float32/int32/uint8): ModelPixelScale + ModelTiepoint + GDAL
+    nodata tags — round-trips through :func:`read_geotiff` (reference
+    raster/saver.py:10-187 writes via PIL tiffinfo)."""
+    import struct
+
+    arr = np.asarray(arr)
+    h, w = arr.shape
+    if arr.dtype == np.float64:
+        arr = arr.astype(np.float32)
+    dt_map = {np.dtype("float32"): (32, 3), np.dtype("int32"): (32, 2),
+              np.dtype("uint8"): (8, 1), np.dtype("int16"): (16, 2),
+              np.dtype("uint16"): (16, 1)}
+    if arr.dtype not in dt_map:
+        raise NotImplementedError(f"dtype {arr.dtype}")
+    bits, sfmt = dt_map[arr.dtype]
+    x0, px, y0, py = transform
+    data = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+    nd_ascii = (f"{nodata}".encode() + b"\x00") if nodata is not None else b""
+    scale = struct.pack("<3d", px, py, 0.0)
+    tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, x0, y0, 0.0)
+    ntags = 12 if nodata is not None else 11
+    hdr_len = 8
+    ifd_len = 2 + ntags * 12 + 4
+    data_off = hdr_len + ifd_len
+    scale_off = data_off + len(data)
+    tie_off = scale_off + len(scale)
+    nd_off = tie_off + len(tiepoint)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, data_off), (278, 3, 1, h),
+        (279, 4, 1, len(data)), (339, 3, 1, sfmt),
+        (33550, 12, 3, scale_off),
+    ]
+    entries.append((33922, 12, 6, tie_off))
+    if nodata is not None:
+        entries.append((42113, 2, len(nd_ascii), nd_off))
+    entries.sort()
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        f.write(struct.pack("<H", len(entries)))
+        for tag, typ, cnt, val in entries:
+            f.write(struct.pack("<HHII", tag, typ, cnt, val))
+        f.write(struct.pack("<I", 0))
+        f.write(data)
+        f.write(scale)
+        f.write(tiepoint)
+        if nodata is not None:
+            f.write(nd_ascii)
+    return path
+
+
 def read_world_file(path: str):
     """.wld/.tfw sidecar → (x0, px, y0, py) center-anchored transform
     (reference world-file support, raster/loader.py 'worldfile')."""

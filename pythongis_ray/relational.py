@@ -247,15 +247,85 @@ def _aggregate_map_groups(ds, keys: list[str], specs: list[Agg], order_col):
     return bucketed_group_apply(ds, keys, per_bucket)
 
 
+def compute_grouped(ds, by, value_col: str, stat: str, out_col: str,
+                    order_col=None):
+    """Grouped stat written back onto every member row — the
+    reference's ``VectorData.compute(by=..., stat=...)`` window-
+    write-back (/root/reference/pythongis/vector/data.py:602-639).
+    Plan: grouped aggregate (partial/holistic path) → tiny result
+    broadcast-joined back on the keys. The group table is the ONLY
+    thing that moves besides the stream itself."""
+    by = [by] if isinstance(by, str) else list(by)
+    agg = groupby_aggregate(ds, by, [(out_col, value_col, stat)],
+                            order_col=order_col).to_pandas()
+    return hash_join(ds, agg, on=by)
+
+
+def aggreg_pandas(df: pd.DataFrame, keys, specs) -> pd.DataFrame:
+    """Driver/worker-side sql.aggreg over a pandas frame (used by the
+    join ``collapse`` fusion). Same vocabulary + determinism rules as
+    :func:`groupby_aggregate`."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    specs = _normalize(specs)
+    rows = []
+    for kv, g in df.groupby(keys, sort=False, dropna=False):
+        kv = kv if isinstance(kv, tuple) else (kv,)
+        row = dict(zip(keys, kv))
+        for s in specs:
+            st, _, delim = s.stat.partition(":")
+            delim = delim or ","
+            vals = g[s.col].dropna()
+            if st in ("sum", "min", "max", "mean", "avg", "median") \
+                    and vals.dtype == object:
+                vals = pd.to_numeric(vals, errors="coerce").dropna()
+            if st == "count":
+                row[s.out] = len(vals)
+            elif st == "sum":
+                row[s.out] = vals.sum() if len(vals) else None
+            elif st == "min":
+                row[s.out] = vals.min() if len(vals) else None
+            elif st == "max":
+                row[s.out] = vals.max() if len(vals) else None
+            elif st in ("mean", "avg"):
+                row[s.out] = (float(vals.sum()) / len(vals)
+                              if len(vals) else None)
+            elif st == "median":
+                row[s.out] = vals.median() if len(vals) else None
+            elif st == "first":
+                row[s.out] = vals.iloc[0] if len(vals) else None
+            elif st == "last":
+                row[s.out] = vals.iloc[-1] if len(vals) else None
+            elif st in ("majority", "minority"):
+                if not len(vals):
+                    row[s.out] = None
+                else:
+                    vc = vals.value_counts()
+                    tgt = vc.max() if st == "majority" else vc.min()
+                    row[s.out] = sorted(v for v, c in vc.items()
+                                        if c == tgt)[0]
+            elif st == "concat":
+                row[s.out] = delim.join(str(v) for v in vals)
+            else:
+                raise ValueError(s.stat)
+        rows.append(row)
+    cols = keys + [s.out for s in specs]
+    return pd.DataFrame(rows, columns=cols)
+
+
 # ----------------------------------------------------------------- joins
 
 def hash_join(left_ds, right: pd.DataFrame, on, how: str = "inner",
-              rsuffix: str = "_r"):
+              rsuffix: str = "_r", collapse=None):
     """Broadcast hash join: small right side shipped once via ray.put,
     pandas merge per batch. Duplicate right column names are DROPPED
     (reference rule, /root/reference/pythongis/vector/data.py:1040-1043)
-    unless they are join keys."""
+    unless they are join keys. ``collapse``: fieldmapping specs — the
+    reference's join ``collapse=True`` fusion (data.py:1017-1114):
+    matching right rows aggregate per key BEFORE attaching, so the
+    join stays 1:1."""
     on = [on] if isinstance(on, str) else list(on)
+    if collapse is not None:
+        right = aggreg_pandas(right, on, collapse)
     ref = ray.put(right)
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:

@@ -257,19 +257,27 @@ def spatial_join(points_ds, zones: pd.DataFrame | ZoneIndex, predicate: str = "i
                  how: str = "inner", lon_col: str = "lon", lat_col: str = "lat",
                  geometry_col: str | None = None, radius: float = 0.0,
                  rsuffix: str = "", batch_size: int = 65536, concurrency=None,
-                 compute: str = "tasks"):
+                 compute: str = "tasks", subkey=None):
     """Broadcast spatial join: Dataset of points × small polygon layer.
 
     The 100 TB shape: zones go through ``ray.put`` once; the Dataset
     streams through refine workers that hold the parsed index — either
     a dedicated actor pool (``compute="actors"``) or warm stateless
     tasks with a worker-side state cache (default; see state.py) —
-    no all-to-all shuffle, no driver materialization."""
+    no all-to-all shuffle, no driver materialization.
+
+    ``subkey``: optional extra pair predicate applied to the joined
+    batch (the reference's ``subkey`` option, manager.py:175-183):
+    a callable ``(pandas.DataFrame) -> bool mask`` evaluated inside
+    the refine stage (vectorize it!), keeping only pairs where the
+    attribute condition also holds."""
     index = zones if isinstance(zones, ZoneIndex) else ZoneIndex.from_pandas(zones)
     ref = ray.put(index)
     kw = dict(predicate=predicate, how=how, lon_col=lon_col, lat_col=lat_col,
               geometry_col=geometry_col, radius=radius, rsuffix=rsuffix)
-    if compute == "actors":
+    if subkey is not None and how != "inner":
+        raise ValueError("subkey requires how='inner'")
+    if compute == "actors" and subkey is None:
         return points_ds.map_batches(
             BroadcastSpatialJoiner,
             fn_constructor_kwargs=dict(index_ref=ref, **kw),
@@ -283,7 +291,11 @@ def spatial_join(points_ds, zones: pd.DataFrame | ZoneIndex, predicate: str = "i
         joiner = state.get_broadcast(
             ref, builder=lambda idx: BroadcastSpatialJoiner(idx, **kw),
             key_extra=key)
-        return joiner(batch)
+        out = joiner(batch)
+        if subkey is not None:
+            mask = np.asarray(subkey(out.to_pandas()), bool)
+            out = out.filter(pa.array(mask))
+        return out
 
     return points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
@@ -735,17 +747,23 @@ def spatial_join_polygons(left_ds, zones: pd.DataFrame,
     return left_ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
 
 
-def dissolve(ds, keys, geometry_col: str = "geometry"):
-    """Geometry union aggregation per key group (the reference's
-    aggreg geometry `union`/dissolve,
+def dissolve(ds, keys, geometry_col: str = "geometry",
+             geomfunc: str = "union"):
+    """Geometry aggregation per key group (the reference's aggreg
+    geometry functions `union`/dissolve and `intersection`,
     /root/reference/pythongis/vector/sql.py:129-137) — exact for
-    axis-aligned rect geometries via the lattice x-slab sweep
-    (geom.algo.union_rects; no GEOS in this environment). Emits one
-    row per key: MultiPolygon of the disjoint union parts +
-    ``union_area`` + ``n_parts``. Groups co-locate through the
-    bucketed hash shuffle; the per-group sweep is O(n log n)."""
+    axis-aligned rect geometries (no GEOS in this environment).
+
+    ``geomfunc='union'``: x-slab sweep union (geom.algo.union_rects);
+    emits MultiPolygon + ``union_area`` + ``n_parts``.
+    ``geomfunc='intersection'``: common rect of the group (max of
+    mins / min of maxes); groups with empty intersection are dropped;
+    emits Polygon + ``inter_area``.
+    Groups co-locate through the bucketed hash shuffle."""
     from pythongis_ray import relational as rel
 
+    if geomfunc not in ("union", "intersection"):
+        raise ValueError(f"unsupported geomfunc {geomfunc!r}")
     keys = [keys] if isinstance(keys, str) else list(keys)
 
     def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -758,16 +776,30 @@ def dissolve(ds, keys, geometry_col: str = "geometry"):
                 if r is None:
                     raise NotImplementedError(
                         "dissolve requires axis-aligned rect geometries "
-                        "(GEOS-free union kernel)")
+                        "(GEOS-free kernels)")
                 rects.append(r)
-            area, parts = algo.union_rects(np.asarray(rects))
-            geom = wkb.encode_multi("MultiPolygon", [
-                [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]
-                for x0, y0, x1, y1 in parts])
-            rows.append(dict(zip(keys, kv),
-                             union_area=area, n_parts=np.int64(len(parts)),
-                             geometry=geom))
-        cols = keys + ["union_area", "n_parts", "geometry"]
+            ra = np.asarray(rects)
+            if geomfunc == "union":
+                area, parts = algo.union_rects(ra)
+                geom = wkb.encode_multi("MultiPolygon", [
+                    [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1],
+                               [x0, y0]])]
+                    for x0, y0, x1, y1 in parts])
+                rows.append(dict(zip(keys, kv), union_area=area,
+                                 n_parts=np.int64(len(parts)), geometry=geom))
+            else:
+                x0, y0 = ra[:, 0].max(), ra[:, 1].max()
+                x1, y1 = ra[:, 2].min(), ra[:, 3].min()
+                if x1 <= x0 or y1 <= y0:
+                    continue
+                geom = wkb.encode_polygon([np.array(
+                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])])
+                rows.append(dict(zip(keys, kv),
+                                 inter_area=(x1 - x0) * (y1 - y0),
+                                 geometry=geom))
+        cols = keys + (["union_area", "n_parts", "geometry"]
+                       if geomfunc == "union"
+                       else ["inter_area", "geometry"])
         if not rows:
             return pd.DataFrame({c: [] for c in cols})
         return pd.DataFrame(rows, columns=cols)

@@ -63,3 +63,24 @@ def test_read_reference_world_file_tokens():
     vals = [float(tok) for tok in
             open(f"{NE}/_land_shallow_topo_2048.wld").read().split()]
     assert len(vals) == 6 and vals[2] == -180.0
+
+
+def test_write_geotiff_roundtrip(tmp_path):
+    a = (np.arange(12, dtype=np.float32).reshape(3, 4) * 1.5)
+    t = (10.0, 0.5, 60.0, 0.25)
+    p = str(tmp_path / "rt.tif")
+    raster.write_geotiff(p, a, t, nodata=-9.0)
+    back, meta = raster.read_geotiff(p)
+    assert np.array_equal(back, a.astype(np.float64))
+    assert meta["transform"] == t and meta["nodata"] == -9.0
+
+
+@pytest.mark.skipif(not os.path.exists(f"{NE}/pop2000.tif"),
+                    reason="reference data absent")
+def test_write_reference_raster_roundtrip(tmp_path):
+    src, smeta = raster.read_geotiff(f"{NE}/pop2000.tif")
+    p = str(tmp_path / "pop.tif")
+    raster.write_geotiff(p, src.astype(np.float32), smeta["transform"])
+    back, meta = raster.read_geotiff(p)
+    assert np.array_equal(back, src)
+    assert meta["transform"] == smeta["transform"]

@@ -307,3 +307,38 @@ def test_line_line_join(ray_session):
     out = spatial.spatial_join_line_line(
         rd.from_pandas(left), right).to_pandas()
     assert set(zip(out.lid, out.rid)) == {(0, 100), (1, 100), (3, 100)}
+
+
+def test_spatial_join_subkey(ray_session, zones):
+    import ray.data as rd
+
+    pts = make_points(600)
+    ds = rd.from_pandas(pts)
+    base = spatial.spatial_join(ds, zones, predicate="within").to_pandas()
+    # extra pair predicate: only even zone ids AND val < 50
+    sub = spatial.spatial_join(
+        ds, zones, predicate="within",
+        subkey=lambda df: (df.zone_id % 2 == 0) & (df.val < 50)).to_pandas()
+    exp = base[(base.zone_id % 2 == 0) & (base.val < 50)]
+    key = lambda d: sorted(zip(d.pid.astype(int), d.zone_id.astype(int)))
+    assert key(sub) == key(exp)
+
+
+def test_dissolve_intersection(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray.geom import wkb as _wkb
+
+    def rect(x0, y0, x1, y1):
+        return _wkb.encode_polygon([np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])])
+
+    df = pd.DataFrame({
+        "g": [1, 1, 2, 2],
+        "geometry": [rect(0, 0, 4, 4), rect(2, 2, 6, 6),   # overlap 2x2
+                     rect(0, 0, 1, 1), rect(5, 5, 6, 6)],  # disjoint
+    })
+    out = spatial.dissolve(rd.from_pandas(df), "g",
+                           geomfunc="intersection").to_pandas()
+    assert out.g.tolist() == [1]
+    assert out.inter_area.iloc[0] == 4.0
