@@ -1761,6 +1761,16 @@ def q_ann_lsh(sf_dir: str):
     return embed.ann_lsh(emb, qdf, k=5)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k (coarse k-means lists + nprobe probing);
+    rows-only — iterative float training is not SQL-expressible;
+    exactness at nprobe=n_centroids is unit-tested."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          filters=[("vec_id", "<", 8)])
+    return embed.ann_ivf(emb, qdf, k=5, n_centroids=16, nprobe=4)
+
+
 def q_geodetic_buffer(sf_dir: str):
     """Geodetic point buffers (Vincenty rings) around customer points."""
     cpts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
@@ -1888,6 +1898,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash": (q_simhash, None),
     "langid": (q_langid, None),
     "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
     "geodetic_buffer": (q_geodetic_buffer, None),
     "geodetic_area": (q_geodetic_area, None),
     "resample_bilinear": (q_resample_bilinear, None),

@@ -236,3 +236,22 @@ def test_neardup_pairs_exact(ray_session):
     # score equals the brute-force quantized dot
     q = [np.rint(np.asarray(v, np.float64) * 1000).astype(np.int64) for v in vecs]
     assert out.score.iloc[0] == int(q[0] @ q[1])
+
+
+def test_ann_ivf_recall_and_exactness_at_full_probe(ray_session):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    queries = pdf[pdf.vec_id < 4]
+    exact = embed.ann_topk(emb, queries, k=3)
+    # probing EVERY list must reproduce the exact result
+    full = embed.ann_ivf(emb, queries, k=3, n_centroids=8, nprobe=8)
+    key = lambda d: sorted(zip(d.query_id, d["rank"], d.neighbor_id))
+    assert key(full) == key(exact)
+    # small probe: valid shape, ranked, plausible recall
+    part = embed.ann_ivf(emb, queries, k=3, n_centroids=8, nprobe=2)
+    assert set(part.columns) == set(exact.columns)
+    overlap = len(set(zip(part.query_id, part.neighbor_id))
+                  & set(zip(exact.query_id, exact.neighbor_id)))
+    assert overlap >= len(exact) // 2
