@@ -434,6 +434,88 @@ FROM events e GROUP BY e.user_id
 """
 
 
+def q_global_rank(sf_dir: str):
+    """Distributed exact global row_number (two-pass range ranking)."""
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "cents": pa.array(c)})
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+    out = rel.add_global_rank(ds, ["cents", "o_orderkey"], out_col="rnk",
+                              descending=True)
+    return out.select_columns(["o_orderkey", "rnk"])
+
+
+SQL_GLOBAL_RANK = """
+SELECT o_orderkey,
+       ROW_NUMBER() OVER (ORDER BY CAST(round(o_totalprice*100) AS BIGINT)
+                          DESC, o_orderkey DESC) AS rnk
+FROM orders
+"""
+
+
+def q_running_sum(sf_dir: str):
+    """Per-user running sum of event value (unbounded-preceding
+    frame), exact integer cents."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        c = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts_us": pa.array(us), "cents": pa.array(c)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    out = rel.running_sum(ds, "user_id", ["ts_us", "event_id"], "cents",
+                          out_col="run_cents")
+    return out.select_columns(["event_id", "run_cents"])
+
+
+SQL_RUNNING_SUM = """
+SELECT event_id,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+FROM events
+"""
+
+
+def q_quantiles(sf_dir: str):
+    """Discrete quantiles per group (quantile_disc semantics:
+    sorted[floor((n-1)q)])."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "cents": pa.array(c)})
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+    return rel.groupby_aggregate(
+        ds, "event_type",
+        [("p25", "cents", "quantile:0.25"),
+         ("p75", "cents", "quantile:0.75")])
+
+
+SQL_QUANTILES = """
+SELECT event_type,
+       quantile_disc(CAST(round(value*100) AS BIGINT), 0.25) AS p25,
+       quantile_disc(CAST(round(value*100) AS BIGINT), 0.75) AS p75
+FROM events GROUP BY event_type
+"""
+
+
 def q_merge_union(sf_dir: str):
     """Union-all of two tables + groupby count (merge operator)."""
     o = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]) \
@@ -1852,6 +1934,9 @@ REGISTRY: dict[str, tuple] = {
     "moving_concat": (q_moving_concat, SQL_MOVING_CONCAT),
     "majority_events": (q_majority_events, SQL_MAJORITY_EVENTS),
     "merge_union": (q_merge_union, SQL_MERGE_UNION),
+    "global_rank": (q_global_rank, SQL_GLOBAL_RANK),
+    "running_sum": (q_running_sum, SQL_RUNNING_SUM),
+    "quantiles": (q_quantiles, SQL_QUANTILES),
     "filter_revenue": (q_filter_revenue, SQL_FILTER_REVENUE),
     "classify_quantity": (q_classify_quantity, SQL_CLASSIFY_QUANTITY),
     "spjoin_rect_pairs": (q_spjoin_rect_pairs, SQL_SPJOIN_RECT_PAIRS),

@@ -39,7 +39,8 @@ import pyarrow as pa
 import ray
 
 ALGEBRAIC = {"count", "sum", "min", "max", "mean", "avg"}
-HOLISTIC = {"first", "last", "majority", "minority", "concat", "median"}
+HOLISTIC = {"first", "last", "majority", "minority", "concat", "median",
+            "quantile"}
 
 NUM_BUCKETS = 64
 
@@ -203,10 +204,15 @@ def _aggregate_map_groups(ds, keys: list[str], specs: list[Agg], order_col):
         for s in specs:
             st = s.stat
             delim = ","
+            qq = 0.5
             if st.startswith("concat"):
                 parts = st.split(":", 1)
                 delim = parts[1] if len(parts) > 1 else ","
                 st = "concat"
+            elif st.startswith("quantile"):
+                parts = st.split(":", 1)
+                qq = float(parts[1]) if len(parts) > 1 else 0.5
+                st = "quantile"
             vals = g[s.col].dropna() if s.col else g[keys[0]]
             if st in ("sum", "min", "max", "mean", "avg", "median") \
                     and vals.dtype == object:
@@ -224,6 +230,16 @@ def _aggregate_map_groups(ds, keys: list[str], specs: list[Agg], order_col):
                 row[s.out] = [float(vals.sum()) / len(vals) if len(vals) else None]
             elif st == "median":
                 row[s.out] = [vals.median() if len(vals) else None]
+            elif st == "quantile":
+                # discrete quantile: sorted[ceil(q*n) - 1] — DuckDB
+                # quantile_disc semantics (probed at n=5..2000; the
+                # floor((n-1)q) convention differs at e.g. n=6, q=.75)
+                if not len(vals):
+                    row[s.out] = [None]
+                else:
+                    sv = vals.sort_values(kind="stable")
+                    i = max(0, int(np.ceil(qq * len(sv))) - 1)
+                    row[s.out] = [sv.iloc[i]]
             elif st == "first":
                 row[s.out] = [vals.iloc[0] if len(vals) else None]
             elif st == "last":
@@ -482,6 +498,86 @@ def moving_window(ds, group_key, order_cols, value_col, n: int, stat: str = "mea
         return g
 
     return bucketed_group_apply(ds, group_key, per_bucket)
+
+
+def running_sum(ds, group_key, order_cols, value_col: str,
+                out_col: str = "running_sum"):
+    """Per-row running (cumulative) sum within each group, ordered —
+    the unbounded-preceding window frame. Groups co-locate through the
+    bucketed hash shuffle; the cumsum inside each group is one
+    vectorized pandas pass."""
+    group_key = [group_key] if isinstance(group_key, str) else list(group_key)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(group_key + order_cols, kind="stable") \
+            .reset_index(drop=True)
+        g[out_col] = g.groupby(group_key, sort=False)[value_col].cumsum()
+        return g
+
+    return bucketed_group_apply(ds, group_key, per_bucket)
+
+
+def add_global_rank(ds, sort_cols, out_col: str = "rank",
+                    descending: bool = False, num_buckets: int = 64,
+                    sample_size: int = 8192):
+    """Distributed EXACT global row_number by ``sort_cols``:
+
+      1. a bounded key sample picks ~``num_buckets`` RANGE split
+         points (approximate splits only imbalance bucket sizes —
+         exactness never depends on them, because ranges are
+         contiguous and ties on the first key always land in one
+         bucket via one-sided searchsorted);
+      2. a counting pass reduces per-bucket row counts to the driver
+         (B numbers) → exclusive prefix offsets;
+      3. one groupby(range-bucket) sorts each bucket and assigns
+         ``offset + local index``.
+
+    The input is scanned twice (count + assign) — the standard
+    two-pass distributed ranking. ``descending`` applies to ALL sort
+    columns; the first column must be numeric (range bucketing
+    negates it for descending order)."""
+    sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    first = sort_cols[0]
+    samp = ds.select_columns([first]).limit(sample_size).to_pandas()[first] \
+        .to_numpy()
+    key = -samp if descending else samp
+    qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
+    splits = np.unique(np.quantile(key.astype(np.float64), qs))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch[first].to_numpy()
+        k = -k if descending else k
+        batch = batch.copy()
+        batch["_rb"] = np.searchsorted(splits, k.astype(np.float64),
+                                       side="right").astype(np.int64)
+        return batch
+
+    tagged = ds.map_batches(assign, batch_format="pandas", batch_size=65536)
+
+    def pcount(b: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(b["_rb"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"_rb": u, "n": c.astype(np.int64)})
+
+    cnt = tagged.map_batches(pcount, batch_format="pandas").to_pandas() \
+        .groupby("_rb")["n"].sum().sort_index()
+    offsets = np.zeros(len(splits) + 1, dtype=np.int64)
+    running = 0
+    for rb in range(len(splits) + 1):
+        offsets[rb] = running
+        running += int(cnt.get(rb, 0))
+    off_ref = ray.put(offsets)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        from pythongis_ray import state
+        offs = state.get_broadcast(off_ref, key_extra=("grank",))
+        rb = int(g["_rb"].iloc[0])
+        g = g.sort_values(sort_cols, ascending=not descending,
+                          kind="stable").reset_index(drop=True)
+        g[out_col] = offs[rb] + np.arange(1, len(g) + 1, dtype=np.int64)
+        return g.drop(columns=["_rb"])
+
+    return tagged.groupby("_rb").map_groups(per_group, batch_format="pandas")
 
 
 def hopping_window(ds, group_key, ts_col: str, size: int, hop: int, specs,

@@ -192,3 +192,43 @@ def test_hopping_window_rejects_bad_hop(ray_session):
     with pytest.raises(ValueError):
         rel.hopping_window(rd.from_pandas(df), "k", "ts", size=25, hop=10,
                            specs=[("n", "v", "count")])
+
+
+def test_running_sum(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": ["a", "a", "b", "a"], "o": [2, 1, 1, 3],
+                       "v": [10, 20, 5, 30]})
+    out = rel.running_sum(rd.from_pandas(df), "k", "o", "v") \
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    assert out.running_sum.tolist() == [20, 30, 60, 5]
+
+
+def test_global_rank_exact(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"id": np.arange(5000),
+                       "v": rng.integers(0, 300, 5000)})
+    out = rel.add_global_rank(rd.from_pandas(df), ["v", "id"],
+                              num_buckets=16).to_pandas()
+    exp = df.sort_values(["v", "id"], kind="stable").reset_index(drop=True)
+    exp["rank"] = np.arange(1, len(exp) + 1)
+    got = out.sort_values("rank").reset_index(drop=True)
+    assert got.id.tolist() == exp.id.tolist()
+    # descending too
+    outd = rel.add_global_rank(rd.from_pandas(df), ["v", "id"],
+                               descending=True, num_buckets=16).to_pandas()
+    expd = df.sort_values(["v", "id"], ascending=False, kind="stable")
+    assert outd.sort_values("rank").id.tolist() == expd.id.tolist()
+
+
+def test_quantile_stat(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": ["a"] * 6, "v": [10, 20, 30, 40, 50, 60]})
+    out = rel.groupby_aggregate(rd.from_pandas(df), "k",
+                                [("p25", "v", "quantile:0.25"),
+                                 ("p75", "v", "quantile:0.75")]).to_pandas()
+    # DuckDB quantile_disc convention: sorted[ceil(q*n)-1]
+    assert out.p25.iloc[0] == 20 and out.p75.iloc[0] == 50
