@@ -1802,6 +1802,32 @@ def q_minhash_pairs(sf_dir: str):
     return text.minhash_dedup_pairs(ds, threshold=0.5)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT shingle-Jaccard near-dup pairs (inverted-index
+    candidates, full recall by construction) — same oracle family as
+    minhash_pairs but at a threshold the banding can't guarantee."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.ngram_jaccard_pairs(ds, threshold=0.3)
+
+
+SQL_NGRAM_JACCARD = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' ')))
+        END AS sh
+      FROM d)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+"""
+
+
 SQL_MINHASH_PAIRS = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s AS (SELECT doc_id,
@@ -1980,6 +2006,7 @@ REGISTRY: dict[str, tuple] = {
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, None),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, None),
     "langid": (q_langid, None),
     "ann_lsh": (q_ann_lsh, None),

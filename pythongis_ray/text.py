@@ -435,6 +435,70 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     return cand.map_batches(verify, batch_format="pandas", batch_size=4096)
 
 
+def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                        threshold: float = 0.5):
+    """EXACT n-gram (5-token shingle) Jaccard near-dup pairs — full
+    recall by construction: candidates are every pair sharing ≥ 1
+    shingle (inverted-index explode → bucket groupby), then the exact
+    shingle-set Jaccard verifies. The exact baseline beside the
+    MinHash-LSH approximation (same verify, different candidate
+    generator); candidate volume is Σ bucket² over shared shingles,
+    so run exact dedup first on heavy-duplicate corpora."""
+    from pythongis_ray import relational as rel
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        th, tok_offs = _batch_token_hashes(arr)
+        sh, sh_offs = _batch_shingles(th, tok_offs)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(ids)), np.diff(sh_offs))
+        df = pd.DataFrame({"sh": sh.view(np.int64), id_col: ids[doc_of]})
+        return df.drop_duplicates()
+
+    bands = ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+
+    def bucket_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.duplicated(subset=["sh"], keep=False)]
+        outs = []
+        for _, g in b.groupby("sh", sort=False):
+            ids = np.unique(g[id_col].to_numpy())
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+        if not outs:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = rel.bucketed_group_apply(bands, ["sh"], bucket_pairs)
+    cand = rel.dedup(cand, ["id_a", "id_b"])
+
+    def as_side(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.select([id_col, text_col]).rename_columns(
+                [f"id_{side}", f"text_{side}"])
+        return fn
+
+    cand = rel.join_large(cand, ds.map_batches(as_side("a"),
+                                               batch_format="pyarrow"),
+                          on="id_a")
+    cand = rel.join_large(cand, ds.map_batches(as_side("b"),
+                                               batch_format="pyarrow"),
+                          on="id_b")
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        ja = np.array([jaccard_shingles(a, b) for a, b in
+                       zip(batch["text_a"], batch["text_b"])], np.float64)
+        keep = ja >= threshold
+        return pd.DataFrame({
+            "id_a": batch["id_a"].to_numpy()[keep],
+            "id_b": batch["id_b"].to_numpy()[keep],
+            "jaccard": ja[keep],
+        })
+
+    return cand.map_batches(verify, batch_format="pandas", batch_size=4096)
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash of one document (per-doc reference path; the
     production stage is the batch-vectorized :func:`simhash_batch`,
