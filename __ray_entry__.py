@@ -9,7 +9,8 @@ here (or in pythongis_ray) calls ray.init()/ray.shutdown().
   training-data ops); each takes sf_dir.
 - oracle_sql(): bit-exact DuckDB equivalents (see pythongis_ray/
   queries.py for the exactness contract); non-SQL-expressible ops
-  (minhash/simhash/LSH/langid/geodetic) are omitted → rows-only checks.
+  (simhash/LSH/IVF/langid/geodetic/warp — hash-family, iterative or
+  transcendental) are omitted → rows-only checks.
 """
 
 from __future__ import annotations
