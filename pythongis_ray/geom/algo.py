@@ -279,15 +279,25 @@ def polyline_polygon_relate(pts: np.ndarray, poly: PreparedPolygon):
     return any_contact, any_strict_in, any_strict_out, proper_cross
 
 
-def polyline_polygon_predicate(pts: np.ndarray, poly: PreparedPolygon,
+def polyline_polygon_predicate(parts, poly: PreparedPolygon,
                                predicate: str) -> bool:
     """Line×polygon predicate dispatch (reference line branch of the
     join dispatch, /root/reference/pythongis/vector/manager.py:381-431).
+    ``parts``: one (n,2) array or a LIST of them (MultiLineString) —
+    relate flags OR across parts.
 
     Documented deviation: a line whose every vertex lies ON the
     boundary but that passes through the interior between them is
     classified `touches` (measure-zero on the lattice fixtures)."""
-    contact, s_in, s_out, proper = polyline_polygon_relate(pts, poly)
+    if isinstance(parts, np.ndarray):
+        parts = [parts]
+    contact = s_in = s_out = proper = False
+    for pts in parts:
+        c, i, o, p = polyline_polygon_relate(pts, poly)
+        contact |= c
+        s_in |= i
+        s_out |= o
+        proper |= p
     if predicate == "intersects":
         return contact
     if predicate == "disjoint":

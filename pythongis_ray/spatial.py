@@ -43,6 +43,16 @@ from pythongis_ray import grid, state
 from pythongis_ray.geom import algo, wkb
 
 
+def _full_cover(bb, res: int):
+    """Cell cover of a bbox AT exactly ``res`` (no adaptive
+    coarsening): candidate-LOOKUP covers must key at the index
+    resolution — bbox_to_cells' coarsening (meant to bound cover
+    EXPLOSION in shuffle replication) would silently return zero
+    candidates for world-spanning geometries."""
+    nx, ny = grid.cell_dims(res)
+    return grid.bbox_to_cells(*bb, res=res, max_cells=nx * ny + 1)
+
+
 def _pool_size(concurrency=None) -> int:
     """Default actor-pool size: most of the node's CPUs, leaving head-room
     for the read/write stages so the pipeline doesn't serialize."""
@@ -85,7 +95,7 @@ class ZoneIndex:
         idx = cls(polys=polys, attrs={k: np.asarray(v) for k, v in attrs.items()}, res=res)
         pc, pz = [np.empty(0, np.uint64)], [np.empty(0, np.int64)]
         for zi, p in enumerate(polys):
-            cells = grid.bbox_to_cells(*p.bbox, res=res)
+            cells = _full_cover(p.bbox, res)
             pc.append(cells)
             pz.append(np.full(len(cells), zi, dtype=np.int64))
         idx._pair_cells = np.concatenate(pc)
@@ -704,7 +714,7 @@ def spatial_join_polygons(left_ds, zones: pd.DataFrame,
             g = wkb.decode(bytes(b))
             lp = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
             cand = set()
-            for c in grid.bbox_to_cells(*lp.bbox, res=idx.res):
+            for c in _full_cover(lp.bbox, idx.res):
                 cand.update(idx.cell_to_zones_map.get(int(c), ()))
             for zi in sorted(cand):
                 zp = idx.polys[zi]
@@ -834,7 +844,7 @@ def spatial_join_line_line(lines_ds, right: pd.DataFrame,
     for j in range(len(A)):
         bb = (min(A[j, 0], B[j, 0]), min(A[j, 1], B[j, 1]),
               max(A[j, 0], B[j, 0]), max(A[j, 1], B[j, 1]))
-        for c in grid.bbox_to_cells(*bb, res=res):
+        for c in _full_cover(bb, res):
             cell_map.setdefault(int(c), []).append(j)
     attrs = {c: right[c].to_numpy() for c in right.columns
              if c != right_geom_col}
@@ -848,18 +858,21 @@ def spatial_join_line_line(lines_ds, right: pd.DataFrame,
         for i, buf in enumerate(batch[geometry_col].to_pylist()):
             if buf is None:
                 continue
-            pts = wkb.decode(bytes(buf))["rings"][0]
-            bb = (pts[:, 0].min(), pts[:, 1].min(),
-                  pts[:, 0].max(), pts[:, 1].max())
+            parts = wkb.decode(bytes(buf))["rings"]
+            la = np.vstack([p[:-1] for p in parts if len(p) >= 2])
+            lb = np.vstack([p[1:] for p in parts if len(p) >= 2])
+            allp = np.vstack(parts)
+            bb = (allp[:, 0].min(), allp[:, 1].min(),
+                  allp[:, 0].max(), allp[:, 1].max())
             cand: set[int] = set()
-            for c in grid.bbox_to_cells(*bb, res=res):
+            for c in _full_cover(bb, res):
                 cand.update(cmap.get(int(c), ()))
             if not cand:
                 continue
             j = np.fromiter(cand, dtype=np.int64)
             hit = algo.segments_intersect(
-                pts[:-1, 0][:, None], pts[:-1, 1][:, None],
-                pts[1:, 0][:, None], pts[1:, 1][:, None],
+                la[:, 0][:, None], la[:, 1][:, None],
+                lb[:, 0][:, None], lb[:, 1][:, None],
                 A_[j, 0][None, :], A_[j, 1][None, :],
                 B_[j, 0][None, :], B_[j, 1][None, :])
             feats = np.unique(F_[j[hit.any(axis=0)]])
@@ -919,30 +932,34 @@ def spatial_join_lines(lines_ds, zones: pd.DataFrame,
             if b is None:
                 continue
             g = wkb.decode(bytes(b))
-            pts = g["rings"][0]
-            bb = (pts[:, 0].min(), pts[:, 1].min(),
-                  pts[:, 0].max(), pts[:, 1].max())
+            parts = g["rings"]          # 1 part (LineString) or many
+            allp = np.vstack(parts)
+            bb = (allp[:, 0].min(), allp[:, 1].min(),
+                  allp[:, 0].max(), allp[:, 1].max())
             cand = set()
-            for c in grid.bbox_to_cells(*bb, res=idx.res):
+            for c in _full_cover(bb, idx.res):
                 cand.update(idx.cell_to_zones_map.get(int(c), ()))
             hit_any = False
             for zi in sorted(cand):
                 poly = idx.polys[zi]
                 if predicate == "disjoint":
-                    if algo.polyline_polygon_predicate(pts, poly, "intersects"):
+                    if algo.polyline_polygon_predicate(parts, poly,
+                                                       "intersects"):
                         hit_any = True
                         break
                     continue
-                if not algo.polyline_polygon_predicate(pts, poly, predicate):
+                if not algo.polyline_polygon_predicate(parts, poly, predicate):
                     continue
                 if clip is not None:
                     rect = algo.is_axis_rect(poly.rings[0])
                     if rect is None:
                         raise NotImplementedError(
                             "clip overlay requires axis-aligned rect zones")
-                    pieces = (algo.clip_polyline_rect(pts, *rect)
-                              if clip == "intersection"
-                              else algo.clip_polyline_rect_complement(pts, *rect))
+                    clipper = (algo.clip_polyline_rect
+                               if clip == "intersection"
+                               else algo.clip_polyline_rect_complement)
+                    pieces = [pc for part in parts
+                              for pc in clipper(part, *rect)]
                     if not pieces:
                         continue
                     clip_geoms.append(

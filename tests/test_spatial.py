@@ -342,3 +342,21 @@ def test_dissolve_intersection(ray_session):
                            geomfunc="intersection").to_pandas()
     assert out.g.tolist() == [1]
     assert out.inter_area.iloc[0] == 4.0
+
+
+def test_line_join_multilinestring(ray_session, zones):
+    import ray.data as rd
+
+    from pythongis_ray.geom import wkb as _wkb
+
+    z = zones.iloc[0]
+    inside = np.array([[(z.x0 + z.x1) / 2, (z.y0 + z.y1) / 2],
+                       [(z.x0 + z.x1) / 2 + 0.1, (z.y0 + z.y1) / 2]])
+    faraway = np.array([[150.0, 80.0], [151.0, 80.0]])
+    # part 2 intersects zone 0 even though part 1 is far away
+    ml = _wkb.encode_multi("MultiLineString", [faraway, inside])
+    df = pd.DataFrame({"lid": [1], "geometry": [ml]})
+    out = spatial.spatial_join_lines(
+        rd.from_pandas(df), zones[["zone_id", "geometry"]],
+        predicate="intersects").to_pandas()
+    assert (1, int(z.zone_id)) in set(zip(out.lid, out.zone_id))
