@@ -135,3 +135,71 @@ def test_prepared_polygon_partition(int_pts):
     touch = poly.touches_points(px, py)
     assert not (inside & touch).any()
     assert np.array_equal(cov, inside | touch)
+
+
+rect_int = st.integers(min_value=0, max_value=24)
+
+
+@given(st.lists(st.tuples(rect_int, rect_int, st.integers(1, 8),
+                          st.integers(1, 8)), min_size=1, max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_union_rects_matches_grid(rs):
+    """union_rects area/parts vs an integer-grid rasterized oracle."""
+    rects = np.array([[x, y, x + w, y + h] for x, y, w, h in rs], float)
+    area, parts = algo.union_rects(rects)
+    cov = np.zeros((40, 40), bool)
+    for x0, y0, x1, y1 in rects.astype(int):
+        cov[x0:x1, y0:y1] = True
+    assert area == float(cov.sum())
+    # parts are disjoint and total the same area
+    pcov = np.zeros((40, 40), bool)
+    for x0, y0, x1, y1 in parts:
+        sl = pcov[int(x0):int(x1), int(y0):int(y1)]
+        assert not sl.any()          # disjoint
+        pcov[int(x0):int(x1), int(y0):int(y1)] = True
+    assert np.array_equal(pcov, cov)
+
+
+seg_c = st.floats(min_value=-20.0, max_value=30.0, allow_nan=False,
+                  width=64).map(lambda x: round(x, 3))
+
+
+@given(seg_c, seg_c, seg_c, seg_c)
+@settings(max_examples=120, deadline=None)
+def test_clip_partition_property(ax, ay, bx, by):
+    """clip(seg) + complement(seg) partition the segment's length
+    against rect [0,10]^2 (up to float addition)."""
+    pts = np.array([[ax, ay], [bx, by]])
+    total = algo.line_length(pts)
+    inside = sum(algo.line_length(p)
+                 for p in algo.clip_polyline_rect(pts, 0.0, 0.0, 10.0, 10.0))
+    outside = sum(algo.line_length(p) for p in
+                  algo.clip_polyline_rect_complement(pts, 0.0, 0.0, 10.0, 10.0))
+    assert abs((inside + outside) - total) < 1e-9 * max(1.0, total)
+    # any clipped point lies inside the (slightly grown) rect
+    for p in algo.clip_polyline_rect(pts, 0.0, 0.0, 10.0, 10.0):
+        assert (p[:, 0] >= -1e-9).all() and (p[:, 0] <= 10 + 1e-9).all()
+        assert (p[:, 1] >= -1e-9).all() and (p[:, 1] <= 10 + 1e-9).all()
+
+
+@given(seg_c, seg_c, seg_c, seg_c)
+@settings(max_examples=120, deadline=None)
+def test_line_predicate_partition(ax, ay, bx, by):
+    """Exactly one of within/crosses/touches/disjoint-ish holds in a
+    consistent way: intersects == not disjoint; within implies
+    intersects and not crosses."""
+    rect = algo.PreparedPolygon([np.array(
+        [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]])])
+    seg = np.array([[ax, ay], [bx, by]])
+    inter = algo.polyline_polygon_predicate(seg, rect, "intersects")
+    disj = algo.polyline_polygon_predicate(seg, rect, "disjoint")
+    within = algo.polyline_polygon_predicate(seg, rect, "within")
+    crosses = algo.polyline_polygon_predicate(seg, rect, "crosses")
+    touches = algo.polyline_polygon_predicate(seg, rect, "touches")
+    assert inter != disj
+    if within:
+        assert inter and not crosses and not touches
+    if crosses:
+        assert inter and not within
+    if touches:
+        assert inter and not within and not crosses
