@@ -642,6 +642,20 @@ def vectorize(ds, t: int = TILE):
     return ds.map_batches(fn, batch_format="pandas", batch_size=64)
 
 
+def vectorize_merged(ds, t: int = TILE):
+    """Contiguous same-value merge variant of vectorize (reference
+    raster/manager.py:976-1167 cascaded_union path): per-cell rects →
+    per-VALUE rect-union dissolve (exact lattice x-slab sweep; no
+    GEOS). Emits one row per value: MultiPolygon + union_area +
+    n_parts. Deviation: cells touching only at a corner become
+    separate parts (shapely's union would join them through the
+    point)."""
+    from pythongis_ray import spatial
+
+    rects = vectorize(ds, t).select_columns(["val", "geometry"])
+    return spatial.dissolve(rects, "val")
+
+
 def zonal_statistics(tiles_ds, zones: pd.DataFrame, t: int = TILE):
     """Per-zone raster stats on the shared grid: broadcast zone index,
     per-tile masked partials keyed by zone → groupby(zone) combine
@@ -776,9 +790,11 @@ def resample_to_res(ds, src_res: int, dst_res: int, t: int = TILE):
                                 num_buckets=32)
 
 
-def resample_bilinear(ds, src_res: int, dst_res: int, t: int = TILE):
-    """Bilinear resample onto the tile grid at another resolution
-    (reference resample 'bilinear',
+def resample_bilinear(ds, src_res: int, dst_res: int, t: int = TILE,
+                      method: str = "bilinear"):
+    """Bilinear (or ``method='bicubic'`` Catmull-Rom) resample onto the
+    tile grid at another resolution (reference resample
+    'bilinear'/'bicubic',
     /root/reference/pythongis/raster/manager.py:560-650).
 
     Distributed shape: every SOURCE tile is shipped to each
@@ -794,23 +810,25 @@ def resample_bilinear(ds, src_res: int, dst_res: int, t: int = TILE):
     ncol = nx_s * t             # global source pixel columns
     nrow = ny_s * t
 
+    halo = psx * (2.0 if method == "bicubic" else 1.0)
+
     def scatter(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for cid, band, buf, nd in zip(batch["cell_id"], batch["band"],
                                       batch["tile"], batch["nodata"]):
             cu = np.array([cid], dtype=np.int64).view(np.uint64)
             xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(cu))
-            # destination cells whose (extent grown by one src pixel)
-            # touches this source tile — including across the
-            # antimeridian (stencils wrap in longitude)
+            # destination cells whose (extent grown by the stencil
+            # halo: 1 src pixel bilinear, 2 bicubic) touches this
+            # source tile — including across the antimeridian
             seen = set()
             for shift in (-360.0, 0.0, 360.0):
-                x0s, x1s = xmin - psx + shift, xmax + psx + shift
+                x0s, x1s = xmin - halo + shift, xmax + halo + shift
                 if x1s < -180.0 or x0s > 180.0:
                     continue
                 dcells = grid.bbox_to_cells(
-                    max(x0s, -180.0), max(ymin - psx, -90.0),
-                    min(x1s, 180.0), min(ymax + psx, 90.0), res=dst_res)
+                    max(x0s, -180.0), max(ymin - halo, -90.0),
+                    min(x1s, 180.0), min(ymax + halo, 90.0), res=dst_res)
                 seen.update(int(c) for c in dcells.view(np.int64))
             for dc in seen:
                 rows.append({"dcell": dc, "band": band,
@@ -831,7 +849,7 @@ def resample_bilinear(ds, src_res: int, dst_res: int, t: int = TILE):
             lat_c = dym + (np.arange(t) + 0.5) * (dyx - dym) / t
             lon2, lat2 = np.meshgrid(lon_c, lat_c)
             v = _mosaic_sample(list(zip(gg["scell"], gg["tile"])),
-                               lon2, lat2, nd, t, psx, ncol, "bilinear")
+                               lon2, lat2, nd, t, psx, ncol, method)
             out = np.where(np.isnan(v), nd, v).astype(np.float32)
             rows.append({"cell_id": int(dc), "band": band,
                          "tile": tile_to_bytes(out), "nodata": nd})
@@ -857,6 +875,11 @@ def _mosaic_sample(tiles, lon2: np.ndarray, lat2: np.ndarray, nd: float,
         y0 = np.rint(gy).astype(np.int64)
         c_lo, c_hi = int(x0.min()), int(x0.max())
         r_lo, r_hi = int(y0.min()), int(y0.max())
+    elif method == "bicubic":
+        x0 = np.floor(gx).astype(np.int64)
+        y0 = np.floor(gy).astype(np.int64)
+        c_lo, c_hi = int(x0.min()) - 1, int(x0.max()) + 2
+        r_lo, r_hi = int(y0.min()) - 1, int(y0.max()) + 2
     else:
         x0 = np.floor(gx).astype(np.int64)
         y0 = np.floor(gy).astype(np.int64)
@@ -882,10 +905,28 @@ def _mosaic_sample(tiles, lon2: np.ndarray, lat2: np.ndarray, nd: float,
     Y0 = np.clip(y0 - r_lo, 0, mos.shape[0] - 1)
     if method == "nearest":
         return mos[Y0, X0]
-    X1 = np.clip(X0 + 1, 0, mos.shape[1] - 1)
-    Y1 = np.clip(Y0 + 1, 0, mos.shape[0] - 1)
     fx = gx - x0
     fy = gy - y0
+    if method == "bicubic":
+        # Catmull-Rom 4x4 tap (any NaN tap → NaN, nodata propagates)
+        def w(t):
+            return (-0.5 * t**3 + t**2 - 0.5 * t,
+                    1.5 * t**3 - 2.5 * t**2 + 1.0,
+                    -1.5 * t**3 + 2.0 * t**2 + 0.5 * t,
+                    0.5 * t**3 - 0.5 * t**2)
+        wx = w(fx)
+        wy = w(fy)
+        out = np.zeros_like(gx, dtype=np.float64)
+        for j in range(4):
+            Yj = np.clip(Y0 + j - 1, 0, mos.shape[0] - 1)
+            rowacc = np.zeros_like(gx, dtype=np.float64)
+            for i in range(4):
+                Xi = np.clip(X0 + i - 1, 0, mos.shape[1] - 1)
+                rowacc += wx[i] * mos[Yj, Xi]
+            out += wy[j] * rowacc
+        return out
+    X1 = np.clip(X0 + 1, 0, mos.shape[1] - 1)
+    Y1 = np.clip(Y0 + 1, 0, mos.shape[0] - 1)
     return (mos[Y0, X0] * (1 - fy) * (1 - fx)
             + mos[Y0, X1] * (1 - fy) * fx
             + mos[Y1, X0] * fy * (1 - fx)

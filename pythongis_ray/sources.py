@@ -351,6 +351,140 @@ def write_shapefile(ds, path: str, geometry_col: str = "geometry"):
     return len(recs)
 
 
+# ------------------------------------------------------------- XLSX/DTA
+
+def read_xlsx(path: str, sheet: int = 0, header: bool = True) -> pd.DataFrame:
+    """Minimal XLSX reader from the public OOXML spec via stdlib
+    zipfile + ElementTree (openpyxl/xlrd absent in this container;
+    the reference reads XLS via xlrd, loader.py:120-160). Supports
+    inline and shared strings, numeric cells, and a header row."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        shared = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{NS}si"):
+                shared.append("".join(t.text or ""
+                                      for t in si.iter(f"{NS}t")))
+        sheets = sorted(n for n in z.namelist()
+                        if n.startswith("xl/worksheets/sheet"))
+        root = ET.fromstring(z.read(sheets[sheet]))
+        rows = []
+        for r in root.iter(f"{NS}row"):
+            row = {}
+            for c in r.findall(f"{NS}c"):
+                ref = c.get("r") or ""
+                col = "".join(ch for ch in ref if ch.isalpha())
+                t = c.get("t")
+                v = c.find(f"{NS}v")
+                if t == "inlineStr":
+                    val = "".join(x.text or "" for x in c.iter(f"{NS}t"))
+                elif v is None:
+                    val = None
+                elif t == "s":
+                    val = shared[int(v.text)]
+                else:
+                    f = float(v.text)
+                    val = int(f) if f.is_integer() else f
+                row[col] = val
+            rows.append(row)
+    if not rows:
+        return pd.DataFrame()
+    cols = sorted({c for r in rows for c in r},
+                  key=lambda c: (len(c), c))  # A..Z, AA..
+    table = [[r.get(c) for c in cols] for r in rows]
+    if header:
+        names = [str(h) if h is not None else c
+                 for h, c in zip(table[0], cols)]
+        return pd.DataFrame(table[1:], columns=names)
+    return pd.DataFrame(table, columns=cols)
+
+
+def write_xlsx(df: pd.DataFrame, path: str):
+    """Minimal XLSX writer (inline strings; one sheet) — interchange
+    sink mirroring the reference's XLS saver (saver.py:101-149)."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell(ref, v):
+        if v is None or (isinstance(v, float) and v != v):
+            return ""
+        if isinstance(v, (int, float, np.integer, np.floating)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return (f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t>'
+                f"</is></c>")
+
+    def colname(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    body = []
+    header = "".join(cell(f"{colname(j)}1", c)
+                     for j, c in enumerate(df.columns))
+    body.append(f'<row r="1">{header}</row>')
+    for i, (_, row) in enumerate(df.iterrows(), start=2):
+        cells = "".join(cell(f"{colname(j)}{i}", v)
+                        for j, v in enumerate(row))
+        body.append(f'<row r="{i}">{cells}</row>')
+    sheet = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<worksheet xmlns="http://schemas.openxmlformats.org/'
+             'spreadsheetml/2006/main"><sheetData>'
+             + "".join(body) + "</sheetData></worksheet>")
+    ct = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+          '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+          'content-types"><Default Extension="rels" ContentType='
+          '"application/vnd.openxmlformats-package.relationships+xml"/>'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Override PartName="/xl/workbook.xml" ContentType="application/'
+          'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+          '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+          '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+          'worksheet+xml"/></Types>')
+    rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships"><Relationship Id="rId1" Type='
+            '"http://schemas.openxmlformats.org/officeDocument/2006/'
+            'relationships/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>")
+    wb = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+          '<workbook xmlns="http://schemas.openxmlformats.org/'
+          'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+          'openxmlformats.org/officeDocument/2006/relationships">'
+          '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>'
+          "</workbook>")
+    wb_rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+               '<Relationships xmlns="http://schemas.openxmlformats.org/'
+               'package/2006/relationships"><Relationship Id="rId1" Type='
+               '"http://schemas.openxmlformats.org/officeDocument/2006/'
+               'relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+               "</Relationships>")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return path
+
+
+def read_dta(path: str) -> pd.DataFrame:
+    """Stata DTA reader (pandas' built-in parser — no external dep;
+    reference loader.py:162-178 uses its own vendored parser)."""
+    return pd.read_stata(path)
+
+
+def write_dta(df: pd.DataFrame, path: str):
+    df.to_stata(path, write_index=False)
+    return path
+
+
 # ----------------------------------------------------------------- CSV
 
 def read_points_csv(path: str, xfield: str, yfield: str):

@@ -390,3 +390,54 @@ def test_warp_roundtrip_forward_inverse():
     lon2, lat2 = raster.merc_inverse(x, y)
     assert np.allclose(lon, lon2, atol=1e-9)
     assert np.allclose(lat, lat2, atol=1e-9)
+
+
+def test_resample_bicubic_reproduces_linear_field(ray_session):
+    import ray.data as rd
+
+    # Catmull-Rom interpolation of a linear field is exact
+    src = raster.make_raster(lambda lon, lat, b: (2.0 * lon + 3.0 * lat)
+                             .astype(np.float32), res=2)
+    out = raster.resample_bilinear(rd.from_pandas(src), 2, 3,
+                                   method="bicubic").to_pandas()
+    t = raster.TILE
+    checked = 0
+    for _, row in out.iterrows():
+        cu = np.array([np.int64(row.cell_id)], np.uint64)
+        xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(cu))
+        if ymin < -75 or ymax > 75 or xmin <= -178.0 or xmax >= 178.0:
+            continue  # pole clamp / seam discontinuity of the FIELD
+        a = raster.bytes_to_tile(row.tile, t)
+        xs = xmin + (np.arange(t) + 0.5) * (xmax - xmin) / t
+        ys = ymin + (np.arange(t) + 0.5) * (ymax - ymin) / t
+        lon2, lat2 = np.meshgrid(xs, ys)
+        expect = (2.0 * lon2 + 3.0 * lat2).astype(np.float32)
+        assert np.allclose(a, expect, atol=5e-3), row.cell_id
+        checked += 1
+    assert checked > 10
+
+
+def test_vectorize_merged(ray_session):
+    import ray.data as rd
+
+    nd = raster.NODATA
+
+    def two_blobs(lon2, lat2, b):
+        a = np.full_like(lon2, nd, dtype=np.float32)
+        a[(lon2 > -10) & (lon2 < 10) & (lat2 > -10) & (lat2 < 10)] = 7.0
+        a[(lon2 > 100) & (lon2 < 120) & (lat2 > 20) & (lat2 < 40)] = 9.0
+        return a
+
+    df = raster.make_raster(two_blobs, res=2)
+    out = raster.vectorize_merged(rd.from_pandas(df)).to_pandas() \
+        .sort_values("val").reset_index(drop=True)
+    assert out.val.tolist() == [7.0, 9.0]
+    # each contiguous block merges to ONE part whose area matches the
+    # pixel count x pixel area
+    t = raster.TILE
+    px_area = (grid.cell_size_deg(2) / t) ** 2
+    for _, r in out.iterrows():
+        npix = sum((raster.bytes_to_tile(b) == r.val).sum()
+                   for b in df.tile)
+        assert np.isclose(r.union_area, npix * px_area)
+        assert r.n_parts == 1

@@ -82,3 +82,25 @@ def test_shapefile_dataset(ray_session, tmp_path):
     sources.write_shapefile(df, base + ".shp")
     ds = sources.shapefile_dataset(base + ".shp")
     assert ds.count() == 3
+
+
+def test_xlsx_roundtrip(tmp_path):
+    df = pd.DataFrame({"name": ["alpha", "beta"], "n": [3, 4],
+                       "x": [1.5, -2.25]})
+    p = str(tmp_path / "t.xlsx")
+    sources.write_xlsx(df, p)
+    back = sources.read_xlsx(p)
+    assert back["name"].tolist() == ["alpha", "beta"]
+    assert back["n"].tolist() == [3, 4]
+    assert back["x"].tolist() == [1.5, -2.25]
+
+
+def test_dta_roundtrip(tmp_path):
+    df = pd.DataFrame({"k": [1, 2, 3], "s": ["a", "b", "c"],
+                       "v": [0.5, 1.5, 2.5]})
+    p = str(tmp_path / "t.dta")
+    sources.write_dta(df, p)
+    back = sources.read_dta(p)
+    assert back["k"].tolist() == [1, 2, 3]
+    assert back["s"].tolist() == ["a", "b", "c"]
+    assert back["v"].tolist() == [0.5, 1.5, 2.5]
