@@ -880,7 +880,7 @@ def spatial_join_line_line(lines_ds, right: pd.DataFrame,
                 pidx.append(i)
                 ridx.append(int(f))
         out = batch.take(pa.array(np.asarray(pidx, np.int64)))
-        for name, arr in attrs.items():
+        for name, arr in st["attrs"].items():   # broadcast, not closure
             if name in batch.column_names:
                 name2 = name + rsuffix
             else:

@@ -441,3 +441,29 @@ def test_vectorize_merged(ray_session):
                    for b in df.tile)
         assert np.isclose(r.union_area, npix * px_area)
         assert r.n_parts == 1
+
+
+def test_rasterize_vector_general_polygon(ray_session):
+    """Center-sampling burn of a NON-rect (diamond) polygon must equal
+    the closed-form |dx|+|dy| membership of each cell center."""
+    import ray.data as rd
+
+    from pythongis_ray.geom import wkb as _wkb
+
+    cx, cy = 10.0, 5.0
+    a, b = 3.0, 2.0
+    dia = _wkb.encode_polygon([np.array(
+        [[cx + a, cy], [cx, cy + b], [cx - a, cy], [cx, cy - b],
+         [cx + a, cy]])])
+    ds = rd.from_pandas(pd.DataFrame({"val": [7], "geometry": [dia]}))
+    out = raster.rasterize_vector(ds, value_col="val",
+                                  specs=[("n", "val", "count")]).to_pandas()
+    got = set(zip(out.cx, out.cy))
+    exp = set()
+    for gx in range(150, 250):
+        for gy in range(60, 140):
+            lon = (gx * 1024 + 512) / 1024.0 - 180.0
+            lat = (gy * 1024 + 512) / 1024.0 - 90.0
+            if abs(lon - cx) / a + abs(lat - cy) / b < 1.0:
+                exp.add((gx, gy))
+    assert got == exp and (out.n == 1).all()
