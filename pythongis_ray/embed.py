@@ -151,8 +151,16 @@ def train_ivf_centroids(ds, n_centroids: int = 16, emb_col: str = "embedding",
     """Deterministic coarse quantizer for IVF: Lloyd's k-means on a
     bounded sample (k-means++-style farthest-point seeding with a
     fixed RNG). The sample is the ONLY data pulled to the driver;
-    training cost is independent of corpus size."""
-    sample = ds.limit(sample_rows).to_pandas()
+    training cost is independent of corpus size. Sampling is a seeded
+    ``random_sample`` (not a prefix ``limit`` — a sorted/clustered
+    parquet would bias prefix centroids)."""
+    n = ds.count()
+    if n > sample_rows:
+        frac = min(1.0, sample_rows * 1.25 / n)
+        sample = (ds.random_sample(frac, seed=seed)
+                  .limit(sample_rows).to_pandas())
+    else:
+        sample = ds.to_pandas()
     X = np.vstack(sample[emb_col].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     cent = [X[int(rng.integers(len(X)))]]
@@ -231,6 +239,78 @@ def neardup_pairs(ds, threshold: int, id_col: str = "vec_id",
                              "score": scores[bi, cj]})
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
+
+
+def neardup_pairs_blocked(ds, threshold: int, id_col: str = "vec_id",
+                          emb_col: str = "embedding", scale: int = 1000,
+                          n_blocks: int = 8):
+    """Exact embedding near-duplicate pairs, distributed: all (a < b)
+    with quantized dot >= threshold, computed as a 1-Bucket-Theta
+    block self-join (Okcan & Riedewald, SIGMOD'11): rows hash into
+    ``n_blocks`` blocks; each row replicates to every block-pair task
+    (i, j), i <= j, via one vectorized map_batches; a
+    ``groupby(task)`` co-locates each pair of blocks exactly once and
+    the per-group matmul verifies exactly in int64.
+
+    Scale story: nothing materializes on the driver; shuffled bytes
+    are n x n_blocks rows; per-task memory is two blocks
+    (~2n/n_blocks rows); total compute is the inherent O(n^2) of the
+    EXACT all-pairs semantics, spread over B(B+1)/2 independent
+    tasks. Pick n_blocks ~ sqrt(cluster cores). For approximate
+    near-dup at billions of rows use `ann_lsh`/`ann_ivf` bucketing
+    instead (recall < 1). Replaces the round-2 broadcast version that
+    pulled the whole corpus to the driver."""
+    B = int(n_blocks)
+
+    def replicate(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = ((ids.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(7)
+               ).astype(np.int64) % B
+        # row in block b joins tasks (min(b,j), max(b,j)) for all j
+        j = np.arange(B, dtype=np.int64)
+        lo = np.minimum(blk[:, None], j[None, :])
+        hi = np.maximum(blk[:, None], j[None, :])
+        task = (lo * B + hi).ravel()
+        rep = np.repeat(np.arange(len(ids)), B)
+        emb = batch[emb_col].take(pa.array(rep))
+        return pd.DataFrame({
+            "task": task,
+            "_blk": np.repeat(blk, B),
+            id_col: np.repeat(ids, B),
+            emb_col: emb.to_pandas(),
+        })
+
+    def pairs_in_task(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": np.array([], np.int64),
+                              "id_b": np.array([], np.int64),
+                              "score": np.array([], np.int64)})
+        if len(g) < 2:
+            return empty
+        task = int(g["task"].iloc[0])
+        i, j = divmod(task, B)
+        ids = g[id_col].to_numpy(np.int64)
+        blk = g["_blk"].to_numpy(np.int64)
+        mat = quantize(np.vstack(g[emb_col].to_numpy()), scale)
+        if i == j:
+            scores = mat @ mat.T
+            hit = (scores >= threshold) & (ids[:, None] < ids[None, :])
+            ai, bj = np.nonzero(hit)
+            return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj],
+                                 "score": scores[ai, bj]})
+        ma, mb = blk == i, blk == j
+        if not ma.any() or not mb.any():
+            return empty
+        scores = mat[ma] @ mat[mb].T
+        hit = scores >= threshold
+        ai, bj = np.nonzero(hit)
+        a, b = ids[ma][ai], ids[mb][bj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "score": scores[ai, bj]})
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow", batch_size=4096)
+    return rep.groupby("task").map_groups(pairs_in_task,
+                                          batch_format="pandas")
 
 
 def label_centroids(ds, label_col: str = "label", emb_col: str = "embedding",

@@ -311,6 +311,134 @@ def polyline_polygon_predicate(parts, poly: PreparedPolygon,
     raise ValueError(f"unsupported line predicate {predicate!r}")
 
 
+# ------------------------------------- batched (flat-cohort) relate kernels
+#
+# These batch the per-feature relate loops across ALL features of a
+# zone cohort at once (the refine shape of the geometry-left joins):
+# one call tests every candidate polyline/polygon of a batch against
+# one zone polygon, with per-feature flags reduced by np.bincount.
+# Semantics are identical to the scalar polyline_polygon_relate /
+# polygons_intersect above (same sign-of-cross-product tests — exact
+# on the dyadic lattice).
+
+_PAIR_CHUNK = 4_000_000
+
+
+def _segments_vs_ring_accum(sa, sb, ring, touch_seg, proper_seg,
+                            chunk: int = _PAIR_CHUNK):
+    """Accumulate per-segment touch/proper-cross flags vs one ring's
+    edges (|=). Chunked over segments so the pairwise matrix stays
+    ≤ ``chunk`` cells."""
+    E = len(ring) - 1
+    S = len(sa)
+    if E <= 0 or S == 0:
+        return
+    b0x, b0y = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    b1x, b1y = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    step = max(1, chunk // E)
+    for s0 in range(0, S, step):
+        sl = slice(s0, min(S, s0 + step))
+        a0x, a0y = sa[sl, 0][:, None], sa[sl, 1][:, None]
+        a1x, a1y = sb[sl, 0][:, None], sb[sl, 1][:, None]
+        d1 = (a1x - a0x) * (b0y - a0y) - (a1y - a0y) * (b0x - a0x)
+        d2 = (a1x - a0x) * (b1y - a0y) - (a1y - a0y) * (b1x - a0x)
+        d3 = (b1x - b0x) * (a0y - b0y) - (b1y - b0y) * (a0x - b0x)
+        d4 = (b1x - b0x) * (a1y - b0y) - (b1y - b0y) * (a1x - b0x)
+        proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) \
+            & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+        def on(d, sx, sy, ex, ey, qx, qy):
+            return (d == 0) & (qx >= np.minimum(sx, ex)) \
+                & (qx <= np.maximum(sx, ex)) \
+                & (qy >= np.minimum(sy, ey)) & (qy <= np.maximum(sy, ey))
+
+        touch = proper \
+            | on(d1, a0x, a0y, a1x, a1y, b0x, b0y) \
+            | on(d2, a0x, a0y, a1x, a1y, b1x, b1y) \
+            | on(d3, b0x, b0y, b1x, b1y, a0x, a0y) \
+            | on(d4, b0x, b0y, b1x, b1y, a1x, a1y)
+        touch_seg[sl] |= touch.any(axis=1)
+        proper_seg[sl] |= proper.any(axis=1)
+
+
+def _any_per_group(mask, grp, n_grp):
+    return np.bincount(grp[mask], minlength=n_grp).astype(bool)
+
+
+def polylines_polygon_relate_flat(pts, pt_grp, sa, sb, seg_grp, n_grp,
+                                  poly: PreparedPolygon):
+    """Batched :func:`polyline_polygon_relate` over many polylines.
+
+    ``pts (M,2)`` / ``pt_grp (M,)``: all vertices of the cohort and
+    their group index in [0, n_grp); ``sa``/``sb`` (S,2) /
+    ``seg_grp (S,)``: the cohort's segments. Returns four (n_grp,)
+    bool arrays (contact, strict_in, strict_out, proper_cross) with
+    flags OR-ed across each group's parts (multi-part features simply
+    contribute more points/segments to their group)."""
+    px, py = pts[:, 0], pts[:, 1]
+    strict_pt = poly.contains_points(px, py)
+    cov_pt = strict_pt | poly.touches_points(px, py)
+    s_in = _any_per_group(strict_pt, pt_grp, n_grp)
+    s_out = _any_per_group(~cov_pt, pt_grp, n_grp)
+    contact = _any_per_group(cov_pt, pt_grp, n_grp)
+    proper = np.zeros(n_grp, dtype=bool)
+    if len(sa):
+        # segment midpoints: interior/exterior witnesses for improper
+        # vertex-to-vertex passages (see polyline_polygon_relate)
+        mx = (sa[:, 0] + sb[:, 0]) * 0.5
+        my = (sa[:, 1] + sb[:, 1]) * 0.5
+        m_in = poly.contains_points(mx, my)
+        m_cov = m_in | poly.touches_points(mx, my)
+        m_in_g = _any_per_group(m_in, seg_grp, n_grp)
+        s_in |= m_in_g
+        contact |= m_in_g
+        s_out |= _any_per_group(~m_cov, seg_grp, n_grp)
+        touch_seg = np.zeros(len(sa), dtype=bool)
+        proper_seg = np.zeros(len(sa), dtype=bool)
+        for ring in poly.rings:
+            _segments_vs_ring_accum(sa, sb, ring, touch_seg, proper_seg)
+        contact |= _any_per_group(touch_seg, seg_grp, n_grp)
+        proper = _any_per_group(proper_seg, seg_grp, n_grp)
+        contact |= proper
+    return contact, s_in, s_out, proper
+
+
+def points_vs_flat_polygons(qx, qy, sa, sb, seg_grp, n_grp,
+                            chunk: int = _PAIR_CHUNK):
+    """Even-odd PIP + boundary test of K query points against n_grp
+    polygons given as flat CLOSED-ring segments (sa→sb, labeled by
+    ``seg_grp``; WKB rings repeat the first point, so consecutive-pair
+    segments already include the closure edge). Returns
+    (inside (K, n_grp), on_boundary (K, n_grp)) — same crossing-number
+    formulation as points_in_ring (exact on the lattice)."""
+    K = len(qx)
+    S = len(sa)
+    inside = np.zeros((K, n_grp), dtype=bool)
+    onb = np.zeros((K, n_grp), dtype=bool)
+    if S == 0 or K == 0:
+        return inside, onb
+    crossn = np.zeros((K, n_grp), dtype=np.int64)
+    step = max(1, chunk // S)
+    for k0 in range(0, K, step):
+        ke = min(K, k0 + step)
+        px = np.asarray(qx[k0:ke], np.float64)[:, None]
+        py = np.asarray(qy[k0:ke], np.float64)[:, None]
+        ax, ay = sa[:, 0][None, :], sa[:, 1][None, :]
+        bx, by = sb[:, 0][None, :], sb[:, 1][None, :]
+        straddle = (ay > py) != (by > py)
+        t = (py - ay) * (bx - ax) - (px - ax) * (by - ay)
+        cross = straddle & ((t > 0) == (by > ay))
+        onseg = (((px - ax) * (by - ay) - (py - ay) * (bx - ax)) == 0) \
+            & (px >= np.minimum(ax, bx)) & (px <= np.maximum(ax, bx)) \
+            & (py >= np.minimum(ay, by)) & (py <= np.maximum(ay, by))
+        for k in range(k0, ke):
+            crossn[k] = np.bincount(seg_grp[cross[k - k0]], minlength=n_grp)
+            onb[k] = np.bincount(seg_grp[onseg[k - k0]],
+                                 minlength=n_grp).astype(bool)
+    inside = (crossn & 1).astype(bool)
+    return inside & ~onb, onb
+
+
 def is_axis_rect(ring: np.ndarray) -> tuple | None:
     """(x0, y0, x1, y1) when the closed ring is an axis-aligned
     rectangle, else None."""

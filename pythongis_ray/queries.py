@@ -322,10 +322,12 @@ GROUP BY user_id, (epoch_us(ts) // 60000000 - k) * 60000000
 
 def q_embed_neardup(sf_dir: str):
     """Exact embedding near-dup pairs: quantized dot ≥ 400000
-    (cosine ≈ 0.4 on the unit-normalized fixture embeddings)."""
+    (cosine ≈ 0.4 on the unit-normalized fixture embeddings).
+    Distributed 1-Bucket-Theta block self-join — no driver-side
+    corpus materialization (r2 used a whole-corpus broadcast)."""
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
-    return embed.neardup_pairs(emb, threshold=400_000)
+    return embed.neardup_pairs_blocked(emb, threshold=400_000)
 
 
 SQL_EMBED_NEARDUP = """

@@ -238,6 +238,23 @@ def test_neardup_pairs_exact(ray_session):
     assert out.score.iloc[0] == int(q[0] @ q[1])
 
 
+def test_neardup_pairs_blocked_matches_broadcast(ray_session):
+    """The distributed 1-Bucket-Theta self-join emits exactly the
+    broadcast baseline's pair set (each unordered pair met once)."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    want = embed.neardup_pairs(emb, threshold=400_000).to_pandas()
+    for nb in (1, 3, 8):
+        got = embed.neardup_pairs_blocked(
+            emb, threshold=400_000, n_blocks=nb).to_pandas()
+        a = want.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        b = got[["id_a", "id_b", "score"]] \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_ann_ivf_recall_and_exactness_at_full_probe(ray_session):
     import ray.data as rd
 
