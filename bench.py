@@ -129,6 +129,42 @@ def run_benchmarks() -> dict:
     # 10. event-time window aggregate
     timed("window_events", lambda: q.q_window_events(SF_DIR).count())
 
+    # 11. line×polygon join over 120k polylines — exercises the
+    # flat-cohort vectorized refine (r2 was per-feature Python at
+    # ~10^4 feats/s/core; r3 target ≥5x)
+    def line_join_bench():
+        import numpy as np
+        import pyarrow as pa
+
+        from pythongis_ray import fixtures
+        from pythongis_ray.geom import wkb as _wkb
+
+        n_lines = 120_000
+        base = rd.range(n_lines, override_num_blocks=NUM_CPUS * 2)
+
+        def to_lines(batch: pa.Table) -> pa.Table:
+            ck = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64) * 4 + 1
+            ixa, iya = fixtures.geocode_units(ck)
+            dx = (ck * 48271) % 8192 - 4096
+            dy = (ck * 16807) % 8192 - 4096
+            ax, ay = fixtures.units_to_deg(ixa, iya)
+            bx, by = fixtures.units_to_deg(ixa + dx, iya + dy)
+            geoms = [_wkb.encode_linestring(np.array([[x1, y1], [x2, y2]]))
+                     for x1, y1, x2, y2 in zip(ax, ay, bx, by)]
+            return pa.table({"ck": pa.array(ck),
+                             "geometry": pa.array(geoms, pa.binary())})
+
+        lines = base.map_batches(to_lines, batch_format="pyarrow",
+                                 batch_size=8192)
+        zones = pipelines.load_zones(SF_DIR)
+        return spatial.spatial_join_lines(
+            lines, zones[["zone_id", "geometry"]],
+            predicate="intersects").count()
+
+    ljoined = timed("line_join_120k", line_join_bench)
+    extras["line_join_pairs"] = ljoined
+    extras["line_join_lines_per_sec"] = round(120_000 / timings["line_join_120k"], 1)
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
@@ -211,16 +247,30 @@ def run_scaling() -> dict:
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(SCALE_LO), run(SCALE_HI)
-    eff = (lo["value"] / hi["value"]) / (SCALE_HI / SCALE_LO)
+    # 3 consecutive lo/hi pairs: a single contended pair can misread the
+    # engine by 30%+ on this shared host (VERDICT r2 measured 0.71 in a
+    # contended window vs 0.96 quiet) — the median over 3 pairs is the
+    # reported number, the per-pair values the spread.
+    n_pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "3"))
+    pairs = []
+    for _ in range(n_pairs):
+        lo, hi = run(SCALE_LO), run(SCALE_HI)
+        pairs.append({
+            f"sec_{SCALE_LO}": lo["value"],
+            f"sec_{SCALE_HI}": hi["value"],
+            f"pts_per_sec_{SCALE_LO}": lo["pts_per_sec"],
+            f"pts_per_sec_{SCALE_HI}": hi["pts_per_sec"],
+            "eff": round((lo["value"] / hi["value"]) / (SCALE_HI / SCALE_LO), 3),
+        })
+    effs = sorted(p["eff"] for p in pairs)
+    median_eff = effs[len(effs) // 2]
     return {
         "metric": f"scaling efficiency ({SCALE_LO} vs {SCALE_HI} cpus, fused "
-                  f"spatial join+aggregate over {lo['matched_points']} matched points)",
-        f"sec_{SCALE_LO}": lo["value"],
-        f"sec_{SCALE_HI}": hi["value"],
-        f"pts_per_sec_{SCALE_LO}": lo["pts_per_sec"],
-        f"pts_per_sec_{SCALE_HI}": hi["pts_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+                  f"spatial join+aggregate over {lo['matched_points']} matched points; "
+                  f"median of {n_pairs} consecutive pairs)",
+        "scaling_efficiency": median_eff,
+        "eff_spread": [effs[0], effs[-1]],
+        "pairs": pairs,
     }
 
 

@@ -133,10 +133,22 @@ def geodetic_point_buffer(lon: float, lat: float, radius_m: float, n: int = 32) 
     """Closed ring (n+1, 2) of Vincenty-direct destinations at equal
     bearings — the reference's geodetic point buffer semantics
     (/root/reference/pythongis/vector/_helpers.py:210-233)."""
+    return geodetic_point_buffers([lon], [lat], radius_m, n=n)[0]
+
+
+def geodetic_point_buffers(lon, lat, radius_m: float, n: int = 32) -> np.ndarray:
+    """Batched point buffers: (m,) points → (m, n+1, 2) closed rings
+    via ONE vectorized vincenty_direct over the full m×n bearing fan
+    (no per-point Python)."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    m = len(lon)
     bearings = np.linspace(0.0, 360.0, n, endpoint=False)
-    lons, lats = vincenty_direct(np.full(n, lon), np.full(n, lat), bearings, np.full(n, radius_m))
-    ring = np.column_stack([lons, lats])
-    return np.vstack([ring, ring[:1]])
+    xs, ys = vincenty_direct(np.repeat(lon, n), np.repeat(lat, n),
+                             np.tile(bearings, m),
+                             np.full(m * n, radius_m))
+    ring = np.stack([xs.reshape(m, n), ys.reshape(m, n)], axis=2)
+    return np.concatenate([ring, ring[:, :1]], axis=1)
 
 
 def geodetic_line_length_m(coords: np.ndarray) -> float:

@@ -170,6 +170,22 @@ def encode_rects(x0, y0, x1, y1) -> np.ndarray:
                        dtype=object, count=n)
 
 
+def encode_polygons_uniform(rings: np.ndarray) -> np.ndarray:
+    """Vectorized: (m, k, 2) float64 CLOSED rings → (m,) object array
+    of single-ring WKB polygons. One coord-matrix view + tobytes — no
+    per-row struct packing (the buffer-build pattern of encode_rects)."""
+    m, k, _ = rings.shape
+    rec = 13 + 16 * k
+    raw = np.empty((m, rec), dtype=np.uint8)
+    raw[:, :13] = np.frombuffer(
+        struct.pack("<BIII", 1, WKB_POLYGON, 1, k), np.uint8)
+    raw[:, 13:] = np.ascontiguousarray(rings, "<f8").view(np.uint8) \
+        .reshape(m, 16 * k)
+    flat = raw.tobytes()
+    return np.fromiter((flat[i * rec:(i + 1) * rec] for i in range(m)),
+                       dtype=object, count=m)
+
+
 def decode_points(wkbs) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized decode of a column of WKB *points* → (lon, lat).
 
@@ -224,6 +240,8 @@ def decode_flat(wkbs):
       ``ring_feat`` (P,)  int64   — owning row per ring
       ``ring_part`` (P,)  int64   — part index within the feature
                                     (MultiPolygon grouping; else 0)
+      ``ring_type`` (P,)  int64   — WKB code of the ring's (sub)geometry
+                                    (2 line, 3 polygon, 1 point)
       ``valid``     (N,)  bool    — False for null rows
 
     Rings appear grouped by feature in row order, so each feature's
@@ -243,13 +261,15 @@ def decode_flat(wkbs):
     ring_feat: list = []
     ring_part: list = []
     ring_len: list = []
+    ring_type: list = []
 
     for i, buf in enumerate(wkbs):
         if buf is None:
             valid[i] = False
             continue
         buf = bytes(buf)
-        _flat_feature(buf, 0, i, views, ring_feat, ring_part, ring_len)
+        _flat_feature(buf, 0, i, views, ring_feat, ring_part, ring_len,
+                      ring_type)
     pts = (np.concatenate(views) if views
            else np.empty((0, 2), np.float64))
     lens = np.asarray(ring_len, np.int64)
@@ -258,12 +278,13 @@ def decode_flat(wkbs):
         "ring_off": np.concatenate(([0], np.cumsum(lens))).astype(np.int64),
         "ring_feat": np.asarray(ring_feat, np.int64),
         "ring_part": np.asarray(ring_part, np.int64),
+        "ring_type": np.asarray(ring_type, np.int64),
         "valid": valid,
     }
 
 
 def _flat_feature(buf: bytes, off: int, i: int, views, ring_feat,
-                  ring_part, ring_len, part0: int = 0) -> int:
+                  ring_part, ring_len, ring_type, part0: int = 0) -> int:
     """Append one geometry's rings to the flat accumulators; → next
     offset. Sub-geometries of a Multi* get increasing part indices."""
     bo = "<" if buf[off] == 1 else ">"
@@ -275,6 +296,7 @@ def _flat_feature(buf: bytes, off: int, i: int, views, ring_feat,
         ring_feat.append(i)
         ring_part.append(part0)
         ring_len.append(1)
+        ring_type.append(code)
         return off + 16
     if code == WKB_LINESTRING:
         (npts,) = struct.unpack_from(bo + "I", buf, off)
@@ -283,6 +305,7 @@ def _flat_feature(buf: bytes, off: int, i: int, views, ring_feat,
         ring_feat.append(i)
         ring_part.append(part0)
         ring_len.append(npts)
+        ring_type.append(code)
         return off + 4 + 16 * npts
     if code == WKB_POLYGON:
         (nr,) = struct.unpack_from(bo + "I", buf, off)
@@ -294,6 +317,7 @@ def _flat_feature(buf: bytes, off: int, i: int, views, ring_feat,
             ring_feat.append(i)
             ring_part.append(part0)
             ring_len.append(npts)
+            ring_type.append(code)
             off += 4 + 16 * npts
         return off
     if code in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON):
@@ -301,7 +325,7 @@ def _flat_feature(buf: bytes, off: int, i: int, views, ring_feat,
         off += 4
         for p in range(nparts):
             off = _flat_feature(buf, off, i, views, ring_feat, ring_part,
-                                ring_len, part0 + p)
+                                ring_len, ring_type, part0 + p)
         return off
     raise ValueError(f"unsupported WKB geometry code {code}")
 

@@ -94,7 +94,9 @@ def _stack_uniform(batch: pa.Table, col: str):
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     if arr.null_count:
         return None
-    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+    off_dtype = (np.int64 if pa.types.is_large_binary(arr.type)
+                 or pa.types.is_large_string(arr.type) else np.int32)
+    offs = np.frombuffer(arr.buffers()[1], off_dtype)[
         arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
     if not np.all(np.diff(offs) == int(w[0]) * int(h[0]) * int(c[0])):
         return None
@@ -208,7 +210,9 @@ def audio_features(batch: pa.Table) -> pa.Table:
     concatenated sample run (no Python per clip)."""
     arr = batch["waveform"]
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+    off_dtype = (np.int64 if pa.types.is_large_binary(arr.type)
+                 or pa.types.is_large_string(arr.type) else np.int32)
+    offs = np.frombuffer(arr.buffers()[1], off_dtype)[
         arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0]:offs[-1]]
     wave = data.view("<i2").astype(np.float64)

@@ -1503,13 +1503,13 @@ WITH sup AS (
   SELECT sup_id, val, iy,
          unnest(generate_series(
            CAST(floor((ix - {hx} - 512) / 1024.0) AS BIGINT) + 1,
-           CAST(floor((ix + {hx} - 512) / 1024.0) AS BIGINT))) AS cx
+           CAST(ceil((ix + {hx} - 512) / 1024.0) AS BIGINT) - 1)) AS cx
   FROM sup
 ), cells AS (
   SELECT sup_id, val, cx,
          unnest(generate_series(
            CAST(floor((iy - {hy} - 512) / 1024.0) AS BIGINT) + 1,
-           CAST(floor((iy + {hy} - 512) / 1024.0) AS BIGINT))) AS cy
+           CAST(ceil((iy + {hy} - 512) / 1024.0) AS BIGINT) - 1)) AS cy
   FROM cx_cells
 )
 SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1888,13 +1888,12 @@ def q_geodetic_buffer(sf_dir: str):
     def buf(batch: pa.Table) -> pd.DataFrame:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = np.clip(batch["lat"].to_numpy(zero_copy_only=False), -85, 85)
-        rings = [geodesy.geodetic_point_buffer(x, y, 50_000.0, n=16)
-                 for x, y in zip(lon, lat)]
         from pythongis_ray.geom import wkb as _wkb
+        rings = geodesy.geodetic_point_buffers(lon, lat, 50_000.0, n=16)
         return pd.DataFrame({
             "ck": batch["ck"].to_numpy(zero_copy_only=False),
-            "buffer_wkb": [_wkb.encode_polygon([r]) for r in rings],
-            "ring_n": [len(r) for r in rings],
+            "buffer_wkb": _wkb.encode_polygons_uniform(rings),
+            "ring_n": np.full(len(lon), rings.shape[1], np.int64),
         })
 
     return cpts.map_batches(buf, batch_format="pyarrow", batch_size=2048)

@@ -512,73 +512,111 @@ def rasterize_vector(ds, value_col: str = "val", specs=None,
     specs = specs or [("n", value_col, "count")]
     cu = float(cell_units)
 
+    def _expand_ranges(lo_x, hi_x, lo_y, hi_y):
+        """Vectorized candidate expansion: per-row integer ranges →
+        (row_of_candidate, gx, gy) flat arrays."""
+        ncx = hi_x - lo_x + 1
+        ncy = hi_y - lo_y + 1
+        cnt = np.maximum(ncx, 0) * np.maximum(ncy, 0)
+        tot = int(cnt.sum())
+        if tot == 0:
+            e = np.empty(0, np.int64)
+            return e, e, e
+        rows = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+        cum = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        local = np.arange(tot, dtype=np.int64) - np.repeat(cum, cnt)
+        ncx_r = np.repeat(ncx, cnt)
+        gx = np.repeat(lo_x, cnt) + local % ncx_r
+        gy = np.repeat(lo_y, cnt) + local // ncx_r
+        return rows, gx, gy
+
     def burn(batch: pa.Table) -> pd.DataFrame:
         vals = batch[value_col].to_numpy(zero_copy_only=False)
         ovals = (batch[order_col].to_numpy(zero_copy_only=False)
                  if order_col else None)
         out_cx, out_cy, out_i = [], [], []
-        for i, b in enumerate(batch[geometry_col].to_pylist()):
+        geoms = batch[geometry_col].to_pylist()
+        line_rows: list[int] = []
+        for i, b in enumerate(geoms):
             if b is None:
                 continue
+            code = b[1] if b[0] == 1 else b[4]
+            if code in (wkb.WKB_LINESTRING, wkb.WKB_MULTILINESTRING):
+                line_rows.append(i)
+                continue
+            if code != wkb.WKB_POLYGON:
+                raise ValueError(
+                    f"rasterize_vector: geometry code {code} unsupported")
             g = wkb.decode(bytes(b))
-            if g["type"] == "Polygon":
-                ring = g["rings"][0]
-                xu = (ring[:, 0] + 180.0) * 1024.0
-                yu = (ring[:, 1] + 90.0) * 1024.0
-                rect = algo.is_axis_rect(np.column_stack([xu, yu]))
-                # candidate cell-center range (strict interior)
-                cx_lo = int(np.floor((xu.min() - cu / 2) / cu)) + 1
-                cx_hi = int(np.floor((xu.max() - cu / 2) / cu))
-                cy_lo = int(np.floor((yu.min() - cu / 2) / cu)) + 1
-                cy_hi = int(np.floor((yu.max() - cu / 2) / cu))
-                if cx_hi < cx_lo or cy_hi < cy_lo:
-                    continue
-                cxs = np.arange(cx_lo, cx_hi + 1, dtype=np.int64)
-                cys = np.arange(cy_lo, cy_hi + 1, dtype=np.int64)
-                gx, gy = np.meshgrid(cxs, cys, indexing="ij")
-                gx, gy = gx.ravel(), gy.ravel()
-                if rect is None:
-                    # general polygon: strict PIP of the cell centers
-                    poly = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
-                    lon_c = (gx * cu + cu / 2) / 1024.0 - 180.0
-                    lat_c = (gy * cu + cu / 2) / 1024.0 - 90.0
-                    keep = poly.contains_points(lon_c, lat_c)
-                    gx, gy = gx[keep], gy[keep]
-                out_cx.append(gx)
-                out_cy.append(gy)
-                out_i.append(np.full(len(gx), i, dtype=np.int64))
-            elif g["type"] in ("LineString", "MultiLineString"):
-                for part in g["rings"]:
-                    xu = (part[:, 0] + 180.0) * 1024.0
-                    yu = (part[:, 1] + 90.0) * 1024.0
-                    for s in range(len(part) - 1):
-                        ax, ay, bx, by = xu[s], yu[s], xu[s + 1], yu[s + 1]
-                        cx_lo = int(np.ceil(min(ax, bx) / cu - 1.0))
-                        cx_hi = int(np.floor(max(ax, bx) / cu))
-                        cy_lo = int(np.ceil(min(ay, by) / cu - 1.0))
-                        cy_hi = int(np.floor(max(ay, by) / cu))
-                        cxs = np.arange(cx_lo, cx_hi + 1, dtype=np.int64)
-                        cys = np.arange(cy_lo, cy_hi + 1, dtype=np.int64)
-                        gx, gy = np.meshgrid(cxs, cys, indexing="ij")
-                        gx, gy = gx.ravel(), gy.ravel()
-                        # SAT: corners of each candidate cell vs the
-                        # segment line (closed; sign 0 = touching)
-                        x0c, y0c = gx * cu, gy * cu
-                        x1c, y1c = x0c + cu, y0c + cu
-                        dx, dy = bx - ax, by - ay
-                        s00 = dx * (y0c - ay) - dy * (x0c - ax)
-                        s10 = dx * (y0c - ay) - dy * (x1c - ax)
-                        s11 = dx * (y1c - ay) - dy * (x1c - ax)
-                        s01 = dx * (y1c - ay) - dy * (x0c - ax)
-                        pos = (s00 > 0) & (s10 > 0) & (s11 > 0) & (s01 > 0)
-                        neg = (s00 < 0) & (s10 < 0) & (s11 < 0) & (s01 < 0)
-                        keep = ~(pos | neg)
-                        gx, gy = gx[keep], gy[keep]
-                        out_cx.append(gx)
-                        out_cy.append(gy)
-                        out_i.append(np.full(len(gx), i, dtype=np.int64))
-            else:
-                raise ValueError(f"rasterize_vector: {g['type']} unsupported")
+            ring = g["rings"][0]
+            xu = (ring[:, 0] + 180.0) * 1024.0
+            yu = (ring[:, 1] + 90.0) * 1024.0
+            rect = algo.is_axis_rect(np.column_stack([xu, yu]))
+            # candidate cell-center range, strict interior on BOTH
+            # bounds: lo = floor+1 excludes center == min edge,
+            # hi = ceil-1 excludes center == max edge (a plain floor
+            # would include a center exactly on the max bound,
+            # diverging from the strict PIP path below)
+            cx_lo = int(np.floor((xu.min() - cu / 2) / cu)) + 1
+            cx_hi = int(np.ceil((xu.max() - cu / 2) / cu)) - 1
+            cy_lo = int(np.floor((yu.min() - cu / 2) / cu)) + 1
+            cy_hi = int(np.ceil((yu.max() - cu / 2) / cu)) - 1
+            if cx_hi < cx_lo or cy_hi < cy_lo:
+                continue
+            cxs = np.arange(cx_lo, cx_hi + 1, dtype=np.int64)
+            cys = np.arange(cy_lo, cy_hi + 1, dtype=np.int64)
+            gx, gy = np.meshgrid(cxs, cys, indexing="ij")
+            gx, gy = gx.ravel(), gy.ravel()
+            if rect is None:
+                # general polygon: strict PIP of the cell centers
+                poly = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
+                lon_c = (gx * cu + cu / 2) / 1024.0 - 180.0
+                lat_c = (gy * cu + cu / 2) / 1024.0 - 90.0
+                keep = poly.contains_points(lon_c, lat_c)
+                gx, gy = gx[keep], gy[keep]
+            out_cx.append(gx)
+            out_cy.append(gy)
+            out_i.append(np.full(len(gx), i, dtype=np.int64))
+        if line_rows:
+            # ALL line features of the batch burn in one flat pass:
+            # segments concatenated via decode_flat, candidate cells
+            # expanded vectorized, one SAT test over every
+            # (segment, cell) candidate pair
+            flat = wkb.decode_flat([geoms[i] for i in line_rows])
+            pts, roff = flat["pts"], flat["ring_off"]
+            xu = (pts[:, 0] + 180.0) * 1024.0
+            yu = (pts[:, 1] + 90.0) * 1024.0
+            seg_keep = np.ones(len(pts), dtype=bool)
+            if len(pts):
+                seg_keep[roff[1:] - 1] = False
+            sidx = np.flatnonzero(seg_keep)
+            if len(sidx):
+                lmap = np.asarray(line_rows, np.int64)
+                seg_feat = lmap[np.repeat(flat["ring_feat"],
+                                          np.diff(roff))[sidx]]
+                ax, ay = xu[sidx], yu[sidx]
+                bx, by = xu[sidx + 1], yu[sidx + 1]
+                cx_lo = np.ceil(np.minimum(ax, bx) / cu - 1.0).astype(np.int64)
+                cx_hi = np.floor(np.maximum(ax, bx) / cu).astype(np.int64)
+                cy_lo = np.ceil(np.minimum(ay, by) / cu - 1.0).astype(np.int64)
+                cy_hi = np.floor(np.maximum(ay, by) / cu).astype(np.int64)
+                cs, gx, gy = _expand_ranges(cx_lo, cx_hi, cy_lo, cy_hi)
+                # SAT: corners of each candidate cell vs the segment
+                # line (closed; sign 0 = touching)
+                x0c, y0c = gx * cu, gy * cu
+                x1c, y1c = x0c + cu, y0c + cu
+                dx, dy = (bx - ax)[cs], (by - ay)[cs]
+                axc, ayc = ax[cs], ay[cs]
+                s00 = dx * (y0c - ayc) - dy * (x0c - axc)
+                s10 = dx * (y0c - ayc) - dy * (x1c - axc)
+                s11 = dx * (y1c - ayc) - dy * (x1c - axc)
+                s01 = dx * (y1c - ayc) - dy * (x0c - axc)
+                pos = (s00 > 0) & (s10 > 0) & (s11 > 0) & (s01 > 0)
+                neg = (s00 < 0) & (s10 < 0) & (s11 < 0) & (s01 < 0)
+                keep = ~(pos | neg)
+                out_cx.append(gx[keep])
+                out_cy.append(gy[keep])
+                out_i.append(seg_feat[cs[keep]])
         if not out_cx:
             cols = {"cx": np.empty(0, np.int64), "cy": np.empty(0, np.int64),
                     value_col: np.empty(0, object)}

@@ -681,6 +681,116 @@ def spatial_stats(points_ds, zones: pd.DataFrame, fieldmapping,
                                  order_col=order_col)
 
 
+def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated aranges: [s0..s0+l0) ++ [s1..s1+l1) ++ … — the
+    vectorized gather feed for flat-cohort refines."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.empty(0, np.int64)
+    cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return (np.arange(tot, dtype=np.int64) - np.repeat(cum, lens)
+            + np.repeat(starts, lens))
+
+
+class _FlatBatch:
+    """One batch of WKB geometries decoded to flat arrays plus the
+    per-feature index structure the vectorized refines gather from.
+
+    Derived once per batch: per-present-feature point ranges
+    (f_start/f_end into ``pts``), segment ranges (s_start/s_end into
+    ``sa_idx``: global point index of each segment start), ring ranges
+    (r_start/r_end into ``ring_off``), and per-feature bboxes."""
+
+    def __init__(self, geom_col, nrows: int):
+        flat = wkb.decode_flat(geom_col)
+        self.pts = flat["pts"]
+        self.ring_off = flat["ring_off"]
+        self.ring_feat = flat["ring_feat"]
+        self.ring_part = flat["ring_part"]
+        self.valid = flat["valid"]
+        self.nrows = nrows
+        ring_len = np.diff(self.ring_off)
+        self.pt_feat = np.repeat(self.ring_feat, ring_len)
+        if len(self.ring_feat):
+            self.feat_ids, first_ring = np.unique(self.ring_feat,
+                                                  return_index=True)
+        else:
+            self.feat_ids = np.empty(0, np.int64)
+            first_ring = np.empty(0, np.int64)
+        self.f_start = self.ring_off[first_ring]
+        self.f_end = np.append(self.f_start[1:],
+                               len(self.pts)).astype(np.int64)
+        self.r_start = np.searchsorted(self.ring_feat, self.feat_ids, "left")
+        self.r_end = np.searchsorted(self.ring_feat, self.feat_ids, "right")
+        # segments: consecutive point pairs within each ring
+        seg_keep = np.ones(len(self.pts), dtype=bool)
+        if len(self.pts):
+            seg_keep[self.ring_off[1:] - 1] = False
+        self.sa_idx = np.flatnonzero(seg_keep)
+        self.seg_feat = self.pt_feat[self.sa_idx]
+        self.s_start = np.searchsorted(self.seg_feat, self.feat_ids, "left")
+        self.s_end = np.searchsorted(self.seg_feat, self.feat_ids, "right")
+        if len(self.feat_ids):
+            xs, ys = self.pts[:, 0], self.pts[:, 1]
+            self.xmin = np.minimum.reduceat(xs, self.f_start)
+            self.xmax = np.maximum.reduceat(xs, self.f_start)
+            self.ymin = np.minimum.reduceat(ys, self.f_start)
+            self.ymax = np.maximum.reduceat(ys, self.f_start)
+        else:
+            self.xmin = self.xmax = self.ymin = self.ymax = \
+                np.empty(0, np.float64)
+
+    def candidate_pairs(self, idx: "ZoneIndex"):
+        """(local_feature_pos, zone) candidate pairs via the CSR cell
+        lookup over per-feature bbox covers, deduped. Local positions
+        index the present-feature arrays; ``feat_ids`` maps back to
+        batch rows."""
+        if not len(self.feat_ids):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        row_idx, cells = grid.bboxes_to_cells(self.xmin, self.ymin,
+                                              self.xmax, self.ymax,
+                                              res=idx.res)
+        _, cix, ciy = grid.unpack(cells)
+        li = ciy * idx._nx + cix
+        starts = idx.csr_off[li]
+        cnts = idx.csr_off[li + 1] - starts
+        tot = int(cnts.sum())
+        if tot == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        cf = np.repeat(row_idx, cnts)
+        cz = idx.csr_zones[_ranges(starts, cnts)]
+        nz = idx.n_zones()
+        key = np.unique(cf * nz + cz)
+        return key // nz, key % nz
+
+    def gather_points(self, fsel: np.ndarray):
+        """→ (point_rows (M',2) gather, group index per point)."""
+        plen = self.f_end[fsel] - self.f_start[fsel]
+        pidx = _ranges(self.f_start[fsel], plen)
+        grp = np.repeat(np.arange(len(fsel), dtype=np.int64), plen)
+        return self.pts[pidx], grp
+
+    def gather_segments(self, fsel: np.ndarray):
+        """→ (seg starts (S',2), seg ends (S',2), group per segment)."""
+        slen = self.s_end[fsel] - self.s_start[fsel]
+        sidx = _ranges(self.s_start[fsel], slen)
+        grp = np.repeat(np.arange(len(fsel), dtype=np.int64), slen)
+        gi = self.sa_idx[sidx]
+        return self.pts[gi], self.pts[gi + 1], grp
+
+    def feature_parts(self, local_pos: int) -> list[np.ndarray]:
+        """Ring/part coordinate arrays of one feature (for the scalar
+        clip path, which only runs on matched pairs)."""
+        return [self.pts[self.ring_off[r]:self.ring_off[r + 1]]
+                for r in range(self.r_start[local_pos],
+                               self.r_end[local_pos])]
+
+    def feature_ring_parts(self, local_pos: int) -> list[int]:
+        return [int(self.ring_part[r])
+                for r in range(self.r_start[local_pos],
+                               self.r_end[local_pos])]
+
+
 def spatial_join_polygons(left_ds, zones: pd.DataFrame,
                           predicate: str = "intersects",
                           geometry_col: str = "geometry", rsuffix: str = "",
@@ -705,48 +815,96 @@ def spatial_join_polygons(left_ds, zones: pd.DataFrame,
 
     def fn(batch: pa.Table) -> pa.Table:
         idx: ZoneIndex = state.get_broadcast(ref, key_extra=("polyjoin",))
-        pidx, zidx = [], []
+        fb = _FlatBatch(batch[geometry_col], batch.num_rows)
+        cf, cz = fb.candidate_pairs(idx)
+        hits_f: list = []
+        hits_z: list = []
+        zorder = np.argsort(cz, kind="stable")
+        zs, fs = cz[zorder], cf[zorder]
+        zb = np.flatnonzero(np.r_[True, zs[1:] != zs[:-1], True]) \
+            if len(zs) else np.zeros(1, np.int64)
+        strict = predicate == "overlaps"
+        for s0, e0 in zip(zb[:-1], zb[1:]):
+            zi = int(zs[s0])
+            fsel = fs[s0:e0]
+            poly = idx.polys[zi]
+            bx0, by0, bx1, by1 = poly.bbox
+            if strict:     # touch-only bbox contact can't overlap interiors
+                drop = (fb.xmax[fsel] <= bx0) | (bx1 <= fb.xmin[fsel]) \
+                    | (fb.ymax[fsel] <= by0) | (by1 <= fb.ymin[fsel])
+            else:
+                drop = (fb.xmax[fsel] < bx0) | (bx1 < fb.xmin[fsel]) \
+                    | (fb.ymax[fsel] < by0) | (by1 < fb.ymin[fsel])
+            fsel = fsel[~drop]
+            if not len(fsel):
+                continue
+            G = len(fsel)
+            gp, pgrp = fb.gather_points(fsel)
+            gsa, gsb, sgrp = fb.gather_segments(fsel)
+            # (a) any left vertex covered by / strictly inside the zone
+            vmask = (poly.contains_points(gp[:, 0], gp[:, 1]) if strict
+                     else poly.covers_points(gp[:, 0], gp[:, 1]))
+            hit = algo._any_per_group(vmask, pgrp, G)
+            # (b) edge contact: touching (intersects) / proper (overlaps)
+            touch_seg = np.zeros(len(gsa), dtype=bool)
+            proper_seg = np.zeros(len(gsa), dtype=bool)
+            for ring in poly.rings:
+                algo._segments_vs_ring_accum(gsa, gsb, ring,
+                                             touch_seg, proper_seg)
+            hit |= algo._any_per_group(proper_seg if strict else touch_seg,
+                                       sgrp, G)
+            # (c) zone-inside-left, only for still-unresolved features:
+            # with no edge contact the containment is all-or-nothing for
+            # 'intersects' (one probe vertex decides); 'overlaps' needs
+            # every exterior vertex (boundaries may still touch)
+            un = np.flatnonzero(~hit)
+            if len(un):
+                usel = fsel[un]
+                usa, usb, usgrp = fb.gather_segments(usel)
+                ring0 = poly.rings[0]
+                q = ring0[:-1] if strict else ring0[:1]
+                inside, _onb = algo.points_vs_flat_polygons(
+                    q[:, 0], q[:, 1], usa, usb, usgrp, len(usel))
+                hit[un] |= inside.any(axis=0)
+            hh = np.flatnonzero(hit)
+            hits_f.append(fsel[hh])
+            hits_z.append(np.full(len(hh), zi, dtype=np.int64))
+        pf_loc = np.concatenate(hits_f) if hits_f else np.empty(0, np.int64)
+        pz = np.concatenate(hits_z) if hits_z else np.empty(0, np.int64)
+        order = np.lexsort((pz, pf_loc))
+        pf_loc, pz = pf_loc[order], pz[order]
         clip_geoms: list = []
         clip_areas: list = []
-        for i, b in enumerate(batch[geometry_col].to_pylist()):
-            if b is None:
-                continue
-            g = wkb.decode(bytes(b))
-            lp = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
-            cand = set()
-            for c in _full_cover(lp.bbox, idx.res):
-                cand.update(idx.cell_to_zones_map.get(int(c), ()))
-            for zi in sorted(cand):
+        if clip is not None:
+            # scalar clip over MATCHED pairs only
+            keep_pair = np.ones(len(pf_loc), dtype=bool)
+            for n_, (fl, zi) in enumerate(zip(pf_loc, pz)):
+                lring0 = fb.feature_parts(int(fl))[0]
                 zp = idx.polys[zi]
-                hit = (algo.polygons_interiors_intersect(lp, zp)
-                       if predicate == "overlaps"
-                       else algo.polygons_intersect(lp, zp))
-                if not hit:
-                    continue
-                if clip is not None:
-                    rl = algo.is_axis_rect(lp.rings[0])
-                    rz = algo.is_axis_rect(zp.rings[0])
-                    if rl is not None and rz is not None:
-                        cx0, cy0 = max(rl[0], rz[0]), max(rl[1], rz[1])
-                        cx1, cy1 = min(rl[2], rz[2]), min(rl[3], rz[3])
-                        if cx1 <= cx0 or cy1 <= cy0:
-                            continue
-                        ring = np.array([[cx0, cy0], [cx1, cy0], [cx1, cy1],
-                                         [cx0, cy1], [cx0, cy0]])
-                    else:
-                        ring = algo.clip_polygon_convex(lp.rings[0],
-                                                        zp.rings[0])
-                        if ring is None:
-                            continue
-                    area = algo.polygon_area([ring])
-                    if area == 0.0:
+                rl = algo.is_axis_rect(lring0)
+                rz = algo.is_axis_rect(zp.rings[0])
+                if rl is not None and rz is not None:
+                    cx0, cy0 = max(rl[0], rz[0]), max(rl[1], rz[1])
+                    cx1, cy1 = min(rl[2], rz[2]), min(rl[3], rz[3])
+                    if cx1 <= cx0 or cy1 <= cy0:
+                        keep_pair[n_] = False
                         continue
-                    clip_geoms.append(wkb.encode_polygon([ring]))
-                    clip_areas.append(area)
-                pidx.append(i)
-                zidx.append(zi)
-        out = _emit_joined(batch, np.asarray(pidx, np.int64),
-                           np.asarray(zidx, np.int64), idx, "inner", rsuffix)
+                    ring = np.array([[cx0, cy0], [cx1, cy0], [cx1, cy1],
+                                     [cx0, cy1], [cx0, cy0]])
+                else:
+                    ring = algo.clip_polygon_convex(lring0, zp.rings[0])
+                    if ring is None:
+                        keep_pair[n_] = False
+                        continue
+                area = algo.polygon_area([ring])
+                if area == 0.0:
+                    keep_pair[n_] = False
+                    continue
+                clip_geoms.append(wkb.encode_polygon([ring]))
+                clip_areas.append(area)
+            pf_loc, pz = pf_loc[keep_pair], pz[keep_pair]
+        out = _emit_joined(batch, fb.feat_ids[pf_loc], pz, idx,
+                           "inner", rsuffix)
         if clip is not None:
             out = out.append_column("clip_geometry",
                                     pa.array(clip_geoms, pa.binary()))
@@ -828,64 +986,76 @@ def spatial_join_line_line(lines_ds, right: pd.DataFrame,
     refine with the exact orientation/collinearity segment test
     (geom.algo.segments_intersect). Emits left rows × matching right
     rows (right attrs suffixed on collision)."""
-    segs_a, segs_b, seg_feat = [], [], []
-    for i, buf in enumerate(right[right_geom_col]):
-        g = wkb.decode(bytes(buf))
-        for part in g["rings"]:
-            if len(part) >= 2:
-                segs_a.append(part[:-1])
-                segs_b.append(part[1:])
-                seg_feat.append(np.full(len(part) - 1, i, dtype=np.int64))
-    A = np.vstack(segs_a) if segs_a else np.empty((0, 2))
-    B = np.vstack(segs_b) if segs_b else np.empty((0, 2))
-    F = np.concatenate(seg_feat) if seg_feat else np.empty(0, np.int64)
-    # cell buckets over right segment bboxes
-    cell_map: dict[int, list[int]] = {}
-    for j in range(len(A)):
-        bb = (min(A[j, 0], B[j, 0]), min(A[j, 1], B[j, 1]),
-              max(A[j, 0], B[j, 0]), max(A[j, 1], B[j, 1]))
-        for c in _full_cover(bb, res):
-            cell_map.setdefault(int(c), []).append(j)
+    rflat = wkb.decode_flat(right[right_geom_col].to_numpy())
+    rpts, roff, rfeat = rflat["pts"], rflat["ring_off"], rflat["ring_feat"]
+    seg_keep = np.ones(len(rpts), dtype=bool)
+    if len(rpts):
+        seg_keep[roff[1:] - 1] = False
+    rsa = np.flatnonzero(seg_keep)
+    A = rpts[rsa]
+    B = rpts[rsa + 1] if len(rsa) else np.empty((0, 2))
+    F = np.repeat(rfeat, np.diff(roff))[rsa]
+    # CSR cell→right-segment buckets (vectorized lookup per batch)
+    nx, ny = grid.cell_dims(res)
+    if len(A):
+        seg_j, cells = grid.bboxes_to_cells(
+            np.minimum(A[:, 0], B[:, 0]), np.minimum(A[:, 1], B[:, 1]),
+            np.maximum(A[:, 0], B[:, 0]), np.maximum(A[:, 1], B[:, 1]),
+            res=res)
+        _, cix, ciy = grid.unpack(cells)
+        li = ciy * nx + cix
+        order = np.argsort(li, kind="stable")
+        csr_off = np.concatenate(
+            ([0], np.cumsum(np.bincount(li, minlength=nx * ny))))
+        csr_segs = seg_j[order]
+    else:
+        csr_off = np.zeros(nx * ny + 1, np.int64)
+        csr_segs = np.empty(0, np.int64)
     attrs = {c: right[c].to_numpy() for c in right.columns
              if c != right_geom_col}
-    ref = ray.put({"A": A, "B": B, "F": F, "cells": cell_map, "attrs": attrs})
+    ref = ray.put({"A": A, "B": B, "F": F, "off": csr_off,
+                   "segs": csr_segs, "attrs": attrs})
 
     def fn(batch: pa.Table) -> pa.Table:
         st = state.get_broadcast(ref, key_extra=("linelinejoin", res))
         A_, B_, F_ = st["A"], st["B"], st["F"]
-        cmap = st["cells"]
-        pidx, ridx = [], []
-        for i, buf in enumerate(batch[geometry_col].to_pylist()):
-            if buf is None:
-                continue
-            parts = wkb.decode(bytes(buf))["rings"]
-            la = np.vstack([p[:-1] for p in parts if len(p) >= 2])
-            lb = np.vstack([p[1:] for p in parts if len(p) >= 2])
-            allp = np.vstack(parts)
-            bb = (allp[:, 0].min(), allp[:, 1].min(),
-                  allp[:, 0].max(), allp[:, 1].max())
-            cand: set[int] = set()
-            for c in _full_cover(bb, res):
-                cand.update(cmap.get(int(c), ()))
-            if not cand:
-                continue
-            j = np.fromiter(cand, dtype=np.int64)
+        fb = _FlatBatch(batch[geometry_col], batch.num_rows)
+        gi = fb.sa_idx
+        la, lb = fb.pts[gi], (fb.pts[gi + 1] if len(gi)
+                              else np.empty((0, 2)))
+        lfeat = fb.seg_feat
+        pidx = np.empty(0, np.int64)
+        ridx = np.empty(0, np.int64)
+        if len(la) and len(A_):
+            # candidates at SEGMENT×SEGMENT granularity via the CSR
+            # buckets, then ONE aligned vectorized intersect pass
+            si, cells = grid.bboxes_to_cells(
+                np.minimum(la[:, 0], lb[:, 0]),
+                np.minimum(la[:, 1], lb[:, 1]),
+                np.maximum(la[:, 0], lb[:, 0]),
+                np.maximum(la[:, 1], lb[:, 1]), res=res)
+            _, cix, ciy = grid.unpack(cells)
+            li = ciy * nx + cix
+            starts = st["off"][li]
+            cnts = st["off"][li + 1] - starts
+            ls = np.repeat(si, cnts)
+            rs = st["segs"][_ranges(starts, cnts)]
+            key = np.unique(ls * len(A_) + rs)      # dedupe pair once
+            ls, rs = key // len(A_), key % len(A_)
             hit = algo.segments_intersect(
-                la[:, 0][:, None], la[:, 1][:, None],
-                lb[:, 0][:, None], lb[:, 1][:, None],
-                A_[j, 0][None, :], A_[j, 1][None, :],
-                B_[j, 0][None, :], B_[j, 1][None, :])
-            feats = np.unique(F_[j[hit.any(axis=0)]])
-            for f in feats:
-                pidx.append(i)
-                ridx.append(int(f))
-        out = batch.take(pa.array(np.asarray(pidx, np.int64)))
+                la[ls, 0], la[ls, 1], lb[ls, 0], lb[ls, 1],
+                A_[rs, 0], A_[rs, 1], B_[rs, 0], B_[rs, 1])
+            fkey = np.unique(lfeat[ls[hit]] * (int(F_.max()) + 1 if len(F_)
+                                               else 1) + F_[rs[hit]])
+            nrf = int(F_.max()) + 1 if len(F_) else 1
+            pidx, ridx = fkey // nrf, fkey % nrf
+        out = batch.take(pa.array(pidx))
         for name, arr in st["attrs"].items():   # broadcast, not closure
             if name in batch.column_names:
                 name2 = name + rsuffix
             else:
                 name2 = name
-            out = out.append_column(name2, pa.array(arr[np.asarray(ridx, np.int64)]))
+            out = out.append_column(name2, pa.array(arr[ridx]))
         return out
 
     return lines_ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
@@ -924,57 +1094,80 @@ def spatial_join_lines(lines_ds, zones: pd.DataFrame,
 
     def fn(batch: pa.Table) -> pa.Table:
         idx: ZoneIndex = state.get_broadcast(ref, key_extra=("linejoin",))
-        pidx, zidx = [], []
+        fb = _FlatBatch(batch[geometry_col], batch.num_rows)
+        cf, cz = fb.candidate_pairs(idx)
+        # zone-cohort refine: each candidate zone tests ALL its
+        # candidate polylines in one batched relate call
+        contact_any = np.zeros(batch.num_rows, dtype=bool)
+        hits_f: list = []
+        hits_z: list = []
+        zorder = np.argsort(cz, kind="stable")
+        zs, fs = cz[zorder], cf[zorder]
+        zb = np.flatnonzero(np.r_[True, zs[1:] != zs[:-1], True]) \
+            if len(zs) else np.zeros(1, np.int64)
+        for s0, e0 in zip(zb[:-1], zb[1:]):
+            zi = int(zs[s0])
+            fsel = fs[s0:e0]
+            poly = idx.polys[zi]
+            bx0, by0, bx1, by1 = poly.bbox
+            keep = ~((fb.xmax[fsel] < bx0) | (bx1 < fb.xmin[fsel])
+                     | (fb.ymax[fsel] < by0) | (by1 < fb.ymin[fsel]))
+            fsel = fsel[keep]
+            if not len(fsel):
+                continue
+            gp, pgrp = fb.gather_points(fsel)
+            gsa, gsb, sgrp = fb.gather_segments(fsel)
+            contact, s_in, s_out, proper = \
+                algo.polylines_polygon_relate_flat(
+                    gp, pgrp, gsa, gsb, sgrp, len(fsel), poly)
+            if predicate in ("intersects", "disjoint"):
+                m = contact
+            elif predicate == "within":
+                m = s_in & ~s_out & ~proper
+            elif predicate == "crosses":
+                m = proper | (s_in & s_out)
+            else:  # touches
+                m = contact & ~s_in & ~proper
+            hit = np.flatnonzero(m)
+            if predicate == "disjoint":
+                contact_any[fb.feat_ids[fsel[hit]]] = True
+                continue
+            hits_f.append(fsel[hit])
+            hits_z.append(np.full(len(hit), zi, dtype=np.int64))
+        if predicate == "disjoint":
+            # null-geometry rows are excluded (consistent with every
+            # other predicate — they can't satisfy any relate)
+            keep_rows = fb.valid & ~contact_any
+            return batch.take(pa.array(np.flatnonzero(keep_rows)))
+        pf_loc = np.concatenate(hits_f) if hits_f else np.empty(0, np.int64)
+        pz = np.concatenate(hits_z) if hits_z else np.empty(0, np.int64)
+        order = np.lexsort((pz, pf_loc))        # (feature, zone) order
+        pf_loc, pz = pf_loc[order], pz[order]
         clip_geoms: list = []
         clip_lens: list = []
-        matched = np.zeros(batch.num_rows, dtype=bool)
-        for i, b in enumerate(batch[geometry_col].to_pylist()):
-            if b is None:
-                continue
-            g = wkb.decode(bytes(b))
-            parts = g["rings"]          # 1 part (LineString) or many
-            allp = np.vstack(parts)
-            bb = (allp[:, 0].min(), allp[:, 1].min(),
-                  allp[:, 0].max(), allp[:, 1].max())
-            cand = set()
-            for c in _full_cover(bb, idx.res):
-                cand.update(idx.cell_to_zones_map.get(int(c), ()))
-            hit_any = False
-            for zi in sorted(cand):
-                poly = idx.polys[zi]
-                if predicate == "disjoint":
-                    if algo.polyline_polygon_predicate(parts, poly,
-                                                       "intersects"):
-                        hit_any = True
-                        break
+        if clip is not None:
+            # scalar clip only over MATCHED pairs (far fewer than
+            # candidates); mask drops zero-piece (touch-only) pairs
+            keep_pair = np.ones(len(pf_loc), dtype=bool)
+            for n_, (fl, zi) in enumerate(zip(pf_loc, pz)):
+                rect = algo.is_axis_rect(idx.polys[zi].rings[0])
+                if rect is None:
+                    raise NotImplementedError(
+                        "clip overlay requires axis-aligned rect zones")
+                clipper = (algo.clip_polyline_rect
+                           if clip == "intersection"
+                           else algo.clip_polyline_rect_complement)
+                pieces = [pc for part in fb.feature_parts(int(fl))
+                          for pc in clipper(part, *rect)]
+                if not pieces:
+                    keep_pair[n_] = False
                     continue
-                if not algo.polyline_polygon_predicate(parts, poly, predicate):
-                    continue
-                if clip is not None:
-                    rect = algo.is_axis_rect(poly.rings[0])
-                    if rect is None:
-                        raise NotImplementedError(
-                            "clip overlay requires axis-aligned rect zones")
-                    clipper = (algo.clip_polyline_rect
-                               if clip == "intersection"
-                               else algo.clip_polyline_rect_complement)
-                    pieces = [pc for part in parts
-                              for pc in clipper(part, *rect)]
-                    if not pieces:
-                        continue
-                    clip_geoms.append(
-                        wkb.encode_linestring(pieces[0]) if len(pieces) == 1
-                        else wkb.encode_multi(
-                            "MultiLineString", pieces))
-                    clip_lens.append(sum(algo.line_length(p) for p in pieces))
-                pidx.append(i)
-                zidx.append(zi)
-                hit_any = True
-            matched[i] = hit_any
-        if predicate == "disjoint":
-            return batch.take(pa.array(np.flatnonzero(~matched)))
-        out = _emit_joined(batch, np.asarray(pidx, np.int64),
-                           np.asarray(zidx, np.int64), idx, how, rsuffix)
+                clip_geoms.append(
+                    wkb.encode_linestring(pieces[0]) if len(pieces) == 1
+                    else wkb.encode_multi("MultiLineString", pieces))
+                clip_lens.append(sum(algo.line_length(p) for p in pieces))
+            pf_loc, pz = pf_loc[keep_pair], pz[keep_pair]
+        out = _emit_joined(batch, fb.feat_ids[pf_loc], pz, idx, how, rsuffix)
         if clip is not None:
             # how='left' unsupported with clip (unmatched rows have no
             # clip geometry); _emit_joined was called with inner rows

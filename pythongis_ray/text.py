@@ -100,8 +100,15 @@ def word_frequency(ds, text_col: str = "text", top_k: int | None = None):
         .rename("cnt").reset_index())
     if top_k is None:
         return freq
-    pdf = freq.to_pandas().sort_values(["cnt", "word"], ascending=[False, True],
-                                       kind="stable").head(top_k)
+    # per-block partial top-k, then a B×k driver merge — the driver
+    # never sees the full vocabulary table
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["cnt", "word"], ascending=[False, True],
+                             kind="stable").head(top_k)
+
+    parts_k = freq.map_batches(block_topk, batch_format="pandas").to_pandas()
+    pdf = parts_k.sort_values(["cnt", "word"], ascending=[False, True],
+                              kind="stable").head(top_k)
     return pdf.reset_index(drop=True)
 
 
@@ -234,10 +241,15 @@ def _shingle_hashes_from_tokens(th: np.ndarray, k: int = MH_SHINGLE_K) -> np.nda
 
 
 def _string_buffer(arr: pa.Array):
-    """(byte buffer, int64 offsets) of an Arrow string array."""
+    """(byte buffer, int64 offsets) of an Arrow string/binary array.
+    Handles both 32-bit (string/binary) and 64-bit (large_string/
+    large_binary) offset widths — misreading int64 offsets as int32
+    would silently produce garbage hashes."""
     buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8) \
         if arr.buffers()[2] is not None else np.empty(0, np.uint8)
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+    off_dtype = (np.int64 if pa.types.is_large_string(arr.type)
+                 or pa.types.is_large_binary(arr.type) else np.int32)
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
         arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
     return buf, offs
 

@@ -331,3 +331,60 @@ class TestUnionRects:
         # parts are disjoint and cover the same area
         psum = sum((x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in parts)
         assert psum == area
+
+
+class TestDecodeFlat:
+    def test_matches_scalar_decode(self):
+        geoms = [
+            wkb.encode_point(3.0, 4.0),
+            wkb.encode_linestring(np.array([[0.0, 0.0], [1.0, 2.0], [3.0, 1.0]])),
+            None,
+            wkb.encode_polygon([rect_ring(0, 0, 4, 4), rect_ring(1, 1, 2, 2)]),
+            wkb.encode_multi("MultiLineString",
+                             [np.array([[0.0, 0], [1, 1]]),
+                              np.array([[5.0, 5], [6, 5], [6, 6]])]),
+            wkb.encode_multi("MultiPolygon",
+                             [[rect_ring(0, 0, 1, 1)], [rect_ring(2, 2, 3, 3)]]),
+        ]
+        flat = wkb.decode_flat(geoms)
+        assert flat["valid"].tolist() == [True, True, False, True, True, True]
+        # reconstruct per-feature rings and compare to scalar decode
+        for i, g in enumerate(geoms):
+            if g is None:
+                continue
+            want = wkb.decode(g)
+            sel = np.flatnonzero(flat["ring_feat"] == i)
+            got_rings = [flat["pts"][flat["ring_off"][r]:flat["ring_off"][r + 1]]
+                         for r in sel]
+            assert len(got_rings) == len(want["rings"])
+            for a, b in zip(got_rings, want["rings"]):
+                np.testing.assert_array_equal(a, b)
+            assert [int(flat["ring_part"][r]) for r in sel] == list(want["ring_part"])
+
+    def test_arrow_input(self):
+        import pyarrow as pa
+        geoms = pa.array([wkb.encode_linestring(np.array([[0.0, 0], [2, 2]])),
+                          None], pa.binary())
+        flat = wkb.decode_flat(geoms)
+        assert flat["valid"].tolist() == [True, False]
+        np.testing.assert_array_equal(flat["pts"], [[0, 0], [2, 2]])
+
+    def test_points_vs_flat_polygons(self):
+        # two squares as flat closed-ring segments
+        rings = [rect_ring(0, 0, 2, 2), rect_ring(10, 10, 12, 12)]
+        pts = np.vstack(rings)
+        off = np.array([0, 5, 10])
+        keep = np.ones(10, bool)
+        keep[off[1:] - 1] = False
+        sa_idx = np.flatnonzero(keep)
+        sa, sb = pts[sa_idx], pts[sa_idx + 1]
+        grp = np.repeat([0, 1], 4)
+        qx = np.array([1.0, 11.0, 5.0, 0.0])
+        qy = np.array([1.0, 11.0, 5.0, 1.0])
+        inside, onb = algo.points_vs_flat_polygons(qx, qy, sa, sb, grp, 2)
+        np.testing.assert_array_equal(
+            inside, [[True, False], [False, True],
+                     [False, False], [False, False]])
+        np.testing.assert_array_equal(
+            onb, [[False, False], [False, False],
+                  [False, False], [True, False]])
