@@ -96,6 +96,187 @@ def _tiff_read_ifd(data: bytes, bo: str, ifd_off: int) -> dict:
     return tags
 
 
+# --------------------------------------------------------- TIFF codecs
+#
+# Pure-Python/zlib codecs from the public TIFF 6.0 spec so compressed
+# GeoTIFFs read without PIL (the reference gets these free via PIL,
+# /root/reference/pythongis/raster/loader.py:419-524). Deflate is
+# zlib; LZW uses libtiff's "early change" code widths; PackBits is
+# the Apple RLE. Predictor tag 317 value 2 (horizontal differencing)
+# is undone with one cumsum per segment.
+
+def _lzw_decode(buf: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, Clear=256, EOI=257, 9→12-bit
+    widths with libtiff early change)."""
+    out = bytearray()
+    CLEAR, EOI = 256, 257
+    width = 9
+    bitpos = 0
+    nbits = len(buf) * 8
+    table: list[bytes] = []
+    prev = b""
+
+    def read_code():
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return EOI
+        b0 = bitpos >> 3
+        shift = bitpos & 7
+        v = int.from_bytes(buf[b0:b0 + 4].ljust(4, b"\x00"), "big")
+        bitpos += width
+        return (v >> (32 - shift - width)) & ((1 << width) - 1)
+
+    while True:
+        code = read_code()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            code = read_code()
+            if code == EOI:
+                break
+            entry = table[code]
+            out += entry
+            prev = entry
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        table.append(prev + entry[:1])
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by one entry, so it widens at 2^n - 2 where the
+        # encoder widens at 2^n - 1 (libtiff LZWDecode rule)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encoder symmetric with :func:`_lzw_decode`."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+
+    def reset():
+        nonlocal width
+        width = 9
+        return {bytes([i]): i for i in range(256)}, 258
+
+    emit(CLEAR)
+    table, next_code = reset()
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1:
+            if width < 12:
+                width += 1
+            else:
+                emit(CLEAR)
+                table, next_code = reset()
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(buf: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    L = len(buf)
+    while i < L:
+        n = buf[i]
+        i += 1
+        if n < 128:
+            out += buf[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += buf[i:i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    L = len(data)
+    while i < L:
+        if i + 1 < L and data[i] == data[i + 1]:
+            j = i
+            while j + 1 < L and data[j] == data[j + 1] and j - i < 127:
+                j += 1
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+        else:
+            j = i
+            while j < L and j - i < 128:
+                if j + 2 < L and data[j] == data[j + 1] == data[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
+_TIFF_COMP_NONE = 1
+_TIFF_COMP_LZW = 5
+_TIFF_COMP_DEFLATE = 8
+_TIFF_COMP_DEFLATE_OLD = 32946
+_TIFF_COMP_PACKBITS = 32773
+
+
+def _tiff_decompress(seg: bytes, comp: int) -> bytes:
+    if comp == _TIFF_COMP_NONE:
+        return seg
+    if comp in (_TIFF_COMP_DEFLATE, _TIFF_COMP_DEFLATE_OLD):
+        import zlib
+        return zlib.decompress(seg)
+    if comp == _TIFF_COMP_LZW:
+        return _lzw_decode(seg)
+    if comp == _TIFF_COMP_PACKBITS:
+        return _packbits_decode(seg)
+    raise NotImplementedError(f"GeoTIFF compression {comp} unsupported")
+
+
+def _undo_predictor(a: np.ndarray, predictor: int) -> np.ndarray:
+    """Undo horizontal differencing (tag 317 value 2) in place-ish."""
+    if predictor in (0, 1):
+        return a
+    if predictor != 2:
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+    if not np.issubdtype(a.dtype, np.integer):
+        raise NotImplementedError("predictor=2 on non-integer samples")
+    u = a.view(np.dtype(f"u{a.dtype.itemsize}"))
+    np.cumsum(u, axis=1, dtype=u.dtype, out=u)
+    return a
+
+
 def read_geotiff(path: str):
     """Minimal GeoTIFF reader from the public TIFF 6.0 + GeoTIFF specs
     (the reference reads these via PIL,
@@ -116,9 +297,7 @@ def read_geotiff(path: str):
     t = _tiff_read_ifd(data, bo, ifd_off)
     w, h = int(t[256]), int(t[257])
     comp = int(t.get(259, 1))
-    if comp != 1:
-        raise NotImplementedError(f"GeoTIFF compression {comp} unsupported "
-                                  "(uncompressed only — no codecs in env)")
+    predictor = int(t.get(317, 1))
     bits = int(t[258]) if not isinstance(t.get(258), tuple) else int(t[258][0])
     sfmt = int(t.get(339, 1)) if not isinstance(t.get(339), tuple) else int(t[339][0])
     dt = {(1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
@@ -127,26 +306,45 @@ def read_geotiff(path: str):
     if dt is None:
         raise NotImplementedError(f"sample_format={sfmt} bits={bits}")
     dtype = np.dtype(bo + dt)
-    arr = np.empty((h, w), dtype=dtype)
+    native = dtype.newbyteorder("=")
+
+    def segment(so: int, nbytes: int, rows: int, cols: int) -> np.ndarray:
+        if comp == _TIFF_COMP_NONE:
+            a = np.frombuffer(data, dtype, rows * cols, so).reshape(rows, cols)
+            if predictor == 1:
+                return a
+            a = a.astype(native)
+        else:
+            raw = _tiff_decompress(data[so:so + nbytes], comp)
+            a = np.frombuffer(raw, dtype, rows * cols).reshape(rows, cols) \
+                .astype(native)
+        return _undo_predictor(a, predictor)
+
+    arr = np.empty((h, w), dtype=native)
     if 322 in t:  # tiled layout
         tw, th = int(t[322]), int(t[323])
         offs = t[324] if isinstance(t[324], tuple) else (t[324],)
+        cnts = (t.get(325) if isinstance(t.get(325), tuple)
+                else (t.get(325, len(data)),))
         i = 0
         for ty in range(0, h, th):
             for tx in range(0, w, tw):
-                tile = np.frombuffer(data, dtype, tw * th, offs[i]) \
-                    .reshape(th, tw)
+                tile = segment(offs[i],
+                               int(cnts[i] if i < len(cnts) else cnts[-1]),
+                               th, tw)
                 arr[ty:ty + th, tx:tx + tw] = \
                     tile[:min(th, h - ty), :min(tw, w - tx)]
                 i += 1
     else:  # strips
         rps = int(t.get(278, h))
         offs = t[273] if isinstance(t[273], tuple) else (t[273],)
+        cnts = (t.get(279) if isinstance(t.get(279), tuple)
+                else (t.get(279, len(data)),))
         for i, so in enumerate(offs):
             r0 = i * rps
             nr = min(rps, h - r0)
-            arr[r0:r0 + nr] = np.frombuffer(data, dtype, nr * w, so) \
-                .reshape(nr, w)
+            arr[r0:r0 + nr] = segment(so, int(cnts[i] if i < len(cnts)
+                                              else cnts[-1]), nr, w)
     nodata = float(t[42113]) if 42113 in t else None
     if 33550 in t and 33922 in t:
         sx, sy = t[33550][0], abs(t[33550][1])
@@ -187,11 +385,18 @@ def geotiff_to_tiles(path: str, res: int = 4, t: int = TILE,
     return make_raster(fill, res=res, t=t, nodata=nodata)
 
 
+_WRITE_COMP_CODES = {None: _TIFF_COMP_NONE, "none": _TIFF_COMP_NONE,
+                     "deflate": _TIFF_COMP_DEFLATE, "lzw": _TIFF_COMP_LZW,
+                     "packbits": _TIFF_COMP_PACKBITS}
+
+
 def write_geotiff(path: str, arr: np.ndarray, transform,
-                  nodata: float | None = None):
-    """Minimal GeoTIFF writer (single band, uncompressed one-strip,
-    float32/int32/uint8): ModelPixelScale + ModelTiepoint + GDAL
-    nodata tags — round-trips through :func:`read_geotiff` (reference
+                  nodata: float | None = None,
+                  compression: str | None = None):
+    """Minimal GeoTIFF writer (single band, one-strip,
+    float32/int32/uint8; ``compression``: None | 'deflate' | 'lzw' |
+    'packbits'): ModelPixelScale + ModelTiepoint + GDAL nodata tags —
+    round-trips through :func:`read_geotiff` (reference
     raster/saver.py:10-187 writes via PIL tiffinfo)."""
     import struct
 
@@ -205,9 +410,25 @@ def write_geotiff(path: str, arr: np.ndarray, transform,
     if arr.dtype not in dt_map:
         raise NotImplementedError(f"dtype {arr.dtype}")
     bits, sfmt = dt_map[arr.dtype]
+    comp_code = _WRITE_COMP_CODES[compression]
     x0, px, y0, py = transform
     data = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
-    nd_ascii = (f"{nodata}".encode() + b"\x00") if nodata is not None else b""
+    if comp_code == _TIFF_COMP_DEFLATE:
+        import zlib
+        data = zlib.compress(data)
+    elif comp_code == _TIFF_COMP_LZW:
+        data = _lzw_encode(data)
+    elif comp_code == _TIFF_COMP_PACKBITS:
+        data = _packbits_encode(data)
+    if nodata is not None:
+        nd_ascii = f"{nodata}".encode() + b"\x00"
+        if len(nd_ascii) <= 4:
+            # TIFF 6.0 inlines values ≤ 4 bytes in the entry's value
+            # field; pad so the value always lives at an offset and
+            # the reader's inline/offset rule stays consistent
+            nd_ascii += b"\x00" * (5 - len(nd_ascii))
+    else:
+        nd_ascii = b""
     scale = struct.pack("<3d", px, py, 0.0)
     tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, x0, y0, 0.0)
     ntags = 12 if nodata is not None else 11
@@ -218,7 +439,8 @@ def write_geotiff(path: str, arr: np.ndarray, transform,
     tie_off = scale_off + len(scale)
     nd_off = tie_off + len(tiepoint)
     entries = [
-        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits), (259, 3, 1, 1),
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
+        (259, 3, 1, comp_code),
         (262, 3, 1, 1), (273, 4, 1, data_off), (278, 3, 1, h),
         (279, 4, 1, len(data)), (339, 3, 1, sfmt),
         (33550, 12, 3, scale_off),

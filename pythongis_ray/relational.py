@@ -648,17 +648,28 @@ def merge(*datasets):
     (reference merge fills ``""`` — preserved only at legacy export,
     /root/reference/pythongis/vector/manager.py:536-565)."""
     all_cols: list[str] = []
+    types: dict[str, pa.DataType] = {}
     for d in datasets:
-        for c in d.schema().names:
+        sch = d.schema()
+        for c, t in zip(sch.names, sch.types):
             if c not in all_cols:
                 all_cols.append(c)
+                # Ray schemas of pandas-backed blocks report Python
+                # classes, not Arrow DataTypes — only a real DataType
+                # can drive a typed pad
+                types[c] = t if isinstance(t, pa.DataType) else None
 
     def pad(cols_present):
         missing = [c for c in all_cols if c not in cols_present]
 
         def fn(batch: pa.Table) -> pa.Table:
+            # pad with the DECLARED type of the column's owning side —
+            # an untyped pa.nulls() null-types the column and poisons
+            # the union's schema (the r1 shuffle dtype failure class)
             for m in missing:
-                batch = batch.append_column(m, pa.nulls(batch.num_rows))
+                batch = batch.append_column(
+                    m, pa.nulls(batch.num_rows, types[m])
+                    if types[m] is not None else pa.nulls(batch.num_rows))
             return batch.select(all_cols)
         return fn
 

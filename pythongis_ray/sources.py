@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from pythongis_ray.geom import wkb
+from pythongis_ray.geom import algo, wkb
 
 
 # ------------------------------------------------------------- GeoJSON
@@ -285,6 +285,23 @@ def write_shapefile(ds, path: str, geometry_col: str = "geometry"):
             recs.append(struct.pack("<idd", 1, x, y))
         else:
             rings = g["rings"]
+            if stype == 5:
+                # ESRI winding: exteriors CW, holes CCW. Engine-native
+                # rings (encode_rects, dissolve output) are CCW, and a
+                # conformant reader classifies by winding — so flip
+                # per ring here or MultiPolygon round-trips corrupt
+                # (later exteriors would read back as holes).
+                ring_part = g.get("ring_part") or [0] * len(rings)
+                seen_parts: set = set()
+                fixed = []
+                for rp, r in zip(ring_part, rings):
+                    is_ext = rp not in seen_parts
+                    seen_parts.add(rp)
+                    area = algo.ring_area(np.asarray(r, np.float64))
+                    if (is_ext and area > 0) or (not is_ext and area < 0):
+                        r = np.asarray(r)[::-1]
+                    fixed.append(np.asarray(r, np.float64))
+                rings = fixed
             pts = np.vstack(rings)
             parts, acc = [], 0
             for r in rings:

@@ -84,3 +84,51 @@ def test_write_reference_raster_roundtrip(tmp_path):
     back, meta = raster.read_geotiff(p)
     assert np.array_equal(back, src)
     assert meta["transform"] == smeta["transform"]
+
+
+@pytest.mark.skipif(not os.path.exists(f"{NE}/pop2000.tif"),
+                    reason="reference data absent")
+@pytest.mark.parametrize("comp", ["deflate", "lzw", "packbits"])
+def test_compressed_roundtrip_matches_uncompressed(tmp_path, comp):
+    """Recompress a reference pop raster with each codec; the decode
+    must be value-equal to the uncompressed read."""
+    want, meta = raster.read_geotiff(f"{NE}/pop2000.tif")
+    src = want.astype(np.float32)
+    p = str(tmp_path / f"pop_{comp}.tif")
+    raster.write_geotiff(p, src, meta["transform"], nodata=-9.0,
+                         compression=comp)
+    got, gmeta = raster.read_geotiff(p)
+    np.testing.assert_array_equal(got.astype(np.float32), src)
+    assert gmeta["transform"] == meta["transform"]
+    assert gmeta["nodata"] == -9.0
+    # the compressed file is genuinely compressed (not a stored copy)
+    if comp != "packbits":   # float noise rarely RLEs
+        assert os.path.getsize(p) < src.nbytes
+
+
+def test_codec_roundtrip_bytes():
+    rng = np.random.default_rng(7)
+    for data in (b"", b"\x00" * 1000, bytes(rng.integers(0, 4, 5000,
+                                                         dtype=np.uint8)),
+                 bytes(rng.integers(0, 256, 70000, dtype=np.uint8))):
+        assert raster._lzw_decode(raster._lzw_encode(data)) == data
+        assert raster._packbits_decode(raster._packbits_encode(data)) == data
+
+
+def test_predictor_undo():
+    a = np.array([[1, 2, 3, 250], [7, 255, 1, 2]], np.uint8)
+    d = a.copy()
+    d[:, 1:] = (a[:, 1:].astype(np.int64) - a[:, :-1].astype(np.int64)) \
+        .astype(np.uint8)
+    out = raster._undo_predictor(d.copy(), 2)
+    np.testing.assert_array_equal(out, a)
+
+
+def test_small_nodata_ascii_roundtrip(tmp_path):
+    """nodata=0.0 has a ≤4-byte ASCII — must round-trip (TIFF inline
+    rule)."""
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = str(tmp_path / "nd.tif")
+    raster.write_geotiff(p, a, (0.0, 1.0, 3.0, 1.0), nodata=0.0)
+    _, meta = raster.read_geotiff(p)
+    assert meta["nodata"] == 0.0

@@ -104,3 +104,38 @@ def test_dta_roundtrip(tmp_path):
     assert back["k"].tolist() == [1, 2, 3]
     assert back["s"].tolist() == ["a", "b", "c"]
     assert back["v"].tolist() == [0.5, 1.5, 2.5]
+
+
+def test_multipolygon_winding_roundtrip(tmp_path):
+    """A written MultiPolygon must read back as one MultiPolygon per
+    row (ESRI winding: exteriors CW, holes CCW) — CCW engine-native
+    exteriors must not come back as holes."""
+    import pandas as pd
+
+    from pythongis_ray.geom import algo
+
+    def ccw_rect(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                        np.float64)
+
+    mp = wkb.encode_multi("MultiPolygon",
+                          [[ccw_rect(0, 0, 2, 2)], [ccw_rect(5, 5, 7, 7)]])
+    hole_poly = wkb.encode_polygon([ccw_rect(10, 10, 20, 20),
+                                    ccw_rect(12, 12, 14, 14)])
+    df = pd.DataFrame({"fid": [1, 2], "geometry": [mp, hole_poly]})
+    base = str(tmp_path / "winding")
+    sources.write_shapefile(df, base + ".shp")
+    back = sources.read_shapefile(base + ".shp")
+    g0 = wkb.decode(bytes(back.geometry.iloc[0]))
+    assert g0["type"] == "MultiPolygon"
+    assert len(g0["rings"]) == 2
+    assert g0["ring_part"] == [0, 1] or list(g0["ring_part"]) == [0, 1]
+    # both parts are exteriors with positive area
+    areas = [abs(algo.ring_area(r)) for r in g0["rings"]]
+    assert sorted(areas) == [4.0, 4.0]
+    g1 = wkb.decode(bytes(back.geometry.iloc[1]))
+    assert g1["type"] == "Polygon"
+    assert len(g1["rings"]) == 2
+    # hole grouped with its exterior, not split into its own polygon
+    assert abs(abs(algo.ring_area(g1["rings"][0])) - 100.0) < 1e-9
+    assert abs(abs(algo.ring_area(g1["rings"][1])) - 4.0) < 1e-9
