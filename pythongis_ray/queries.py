@@ -1628,6 +1628,66 @@ FROM isl GROUP BY grp
 """
 
 
+def q_dissolve_poly(sf_dir: str):
+    """GENERAL-polygon dissolve: per-group exact union of 45°
+    diamonds via the rational slab sweep (geom.union). The fixture
+    places each group's diamonds along a line at step 1024 units with
+    half-diagonals r ≡ 1 (mod 4), so only consecutive diamonds can
+    overlap (r_i + r_j ≤ 2046 < 2048 rules out skip-pairs) and
+    touch-at-a-point is impossible (r_i + r_j ≡ 2 mod 4 ≠ 1024) —
+    union area reduces to inclusion–exclusion over consecutive pairs
+    in the rotated (u,v) = (x+y, x−y) frame, and component count to
+    counting gaps: both closed-form in the oracle. Exactness: vertex
+    coords are lattice units/1024, areas are N/2^21 → float-exact."""
+    from pythongis_ray.geom import wkb as _wkb
+
+    ds = _rd().read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        s = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = s % 8
+        pos = (s - 1) // 8
+        r = 401 + 4 * ((s * 7) % 156)
+        cxu = 10000 + pos * 1024
+        cyu = 20000 + grp * 8192
+        cx, cy = fixtures.units_to_deg(cxu, cyu)
+        rd_ = r / 1024.0
+        rings = np.empty((len(s), 5, 2), np.float64)
+        rings[:, 0] = np.column_stack([cx - rd_, cy])
+        rings[:, 1] = np.column_stack([cx, cy - rd_])
+        rings[:, 2] = np.column_stack([cx + rd_, cy])
+        rings[:, 3] = np.column_stack([cx, cy + rd_])
+        rings[:, 4] = rings[:, 0]
+        return pa.table({"grp": pa.array(grp),
+                         "geometry": pa.array(
+                             _wkb.encode_polygons_uniform(rings),
+                             pa.binary())})
+
+    dia = ds.map_batches(mk, batch_format="pyarrow", batch_size=16384)
+    out = spatial.dissolve(dia, "grp")
+    return out.select_columns(["grp", "union_area", "n_parts"])
+
+
+SQL_DISSOLVE_POLY = """
+WITH s AS (
+  SELECT s_suppkey % 8 AS grp, (s_suppkey - 1) // 8 AS pos,
+         401 + 4 * ((s_suppkey * 7) % 156) AS r
+  FROM supplier
+), p AS (
+  SELECT grp, r, LAG(r) OVER (PARTITION BY grp ORDER BY pos) AS rp FROM s
+)
+SELECT grp,
+  (CAST(SUM(4 * r * r) AS DOUBLE)
+   - CAST(SUM(CASE WHEN rp IS NOT NULL AND rp + r > 1024
+                   THEN (rp + r - 1024) * (rp + r - 1024)
+                   ELSE 0 END) AS DOUBLE)) / 2097152.0 AS union_area,
+  CAST(1 + SUM(CASE WHEN rp IS NOT NULL AND rp + r <= 1024
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_parts
+FROM p GROUP BY grp
+"""
+
+
 def q_dissolve_inter(sf_dir: str):
     """Geometry intersection aggregation: pairs of supplier rects per
     group; common-rect area (reference aggreg geomfunc intersection,
@@ -2000,6 +2060,7 @@ REGISTRY: dict[str, tuple] = {
     "rasterize_poly": (q_rasterize_poly, SQL_RASTERIZE_POLY),
     "rasterize_line": (q_rasterize_line, SQL_RASTERIZE_LINE),
     "dissolve": (q_dissolve, SQL_DISSOLVE),
+    "dissolve_poly": (q_dissolve_poly, SQL_DISSOLVE_POLY),
     "dissolve_inter": (q_dissolve_inter, SQL_DISSOLVE_INTER),
     "compute_grouped": (q_compute_grouped, SQL_COMPUTE_GROUPED),
     "join_collapse": (q_join_collapse, SQL_JOIN_COLLAPSE),

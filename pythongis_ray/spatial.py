@@ -922,17 +922,36 @@ def dissolve(ds, keys, geometry_col: str = "geometry",
     /root/reference/pythongis/vector/sql.py:129-137) — exact for
     axis-aligned rect geometries (no GEOS in this environment).
 
-    ``geomfunc='union'``: x-slab sweep union (geom.algo.union_rects);
-    emits MultiPolygon + ``union_area`` + ``n_parts``.
+    ``geomfunc='union'``: axis-rect groups take the x-slab sweep
+    (geom.algo.union_rects); any other polygons take the EXACT
+    rational slab-decomposition union (geom.union — GEOS-free
+    cascaded_union equivalent for measures; see its docstring for the
+    geometry-output contract). Emits MultiPolygon + ``union_area`` +
+    ``n_parts``.
     ``geomfunc='intersection'``: common rect of the group (max of
     mins / min of maxes); groups with empty intersection are dropped;
     emits Polygon + ``inter_area``.
     Groups co-locate through the bucketed hash shuffle."""
     from pythongis_ray import relational as rel
+    from pythongis_ray.geom import union as gunion
 
     if geomfunc not in ("union", "intersection"):
         raise ValueError(f"unsupported geomfunc {geomfunc!r}")
     keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def general_union_row(kv, geom_bufs):
+        polys = []
+        for buf in geom_bufs:
+            g = wkb.decode(bytes(buf))
+            rp = g.get("ring_part") or [0] * len(g["rings"])
+            by_part: dict[int, list] = {}
+            for p, r in zip(rp, g["rings"]):
+                by_part.setdefault(int(p), []).append(r)
+            polys.extend(by_part.values())
+        area, parts = gunion.union_polygons_exact(polys)
+        geom = wkb.encode_multi("MultiPolygon", parts)
+        return dict(zip(keys, kv), union_area=area,
+                    n_parts=np.int64(len(parts)), geometry=geom)
 
     def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -940,12 +959,20 @@ def dissolve(ds, keys, geometry_col: str = "geometry",
             kv = kv if isinstance(kv, tuple) else (kv,)
             rects = []
             for buf in g[geometry_col]:
-                r = algo.is_axis_rect(wkb.decode(bytes(buf))["rings"][0])
+                gg = wkb.decode(bytes(buf))
+                r = (algo.is_axis_rect(gg["rings"][0])
+                     if len(gg["rings"]) == 1 else None)
                 if r is None:
-                    raise NotImplementedError(
-                        "dissolve requires axis-aligned rect geometries "
-                        "(GEOS-free kernels)")
+                    rects = None
+                    break
                 rects.append(r)
+            if rects is None:
+                if geomfunc == "intersection":
+                    raise NotImplementedError(
+                        "dissolve intersection requires axis-rect "
+                        "geometries")
+                rows.append(general_union_row(kv, g[geometry_col]))
+                continue
             ra = np.asarray(rects)
             if geomfunc == "union":
                 area, parts = algo.union_rects(ra)

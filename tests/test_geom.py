@@ -388,3 +388,57 @@ class TestDecodeFlat:
         np.testing.assert_array_equal(
             onb, [[False, False], [False, False],
                   [False, False], [True, False]])
+
+
+class TestUnionPolygonsExact:
+    """geom.union: GEOS-free exact polygon union (rational slab sweep)."""
+
+    def d(self, cx, cy, r):
+        return np.array([[cx - r, cy], [cx, cy - r], [cx + r, cy],
+                         [cx, cy + r], [cx - r, cy]], np.float64)
+
+    def test_rect_overlap_area_matches_sweep(self):
+        from pythongis_ray.geom import union as gu
+        a, parts = gu.union_polygons_exact(
+            [[rect_ring(0, 0, 4, 4)], [rect_ring(2, 2, 6, 6)]])
+        ar, _ = algo.union_rects(np.array([[0, 0, 4, 4], [2, 2, 6, 6]]))
+        assert a == ar == 28.0
+        assert len(parts) == 1          # connected components
+
+    def test_disjoint_and_edge_sharing(self):
+        from pythongis_ray.geom import union as gu
+        a, parts = gu.union_polygons_exact(
+            [[rect_ring(0, 0, 1, 1)], [rect_ring(5, 5, 6, 6)]])
+        assert a == 2.0 and len(parts) == 2
+        a, parts = gu.union_polygons_exact(
+            [[rect_ring(0, 0, 2, 2)], [rect_ring(2, 0, 4, 2)]])
+        assert a == 8.0 and len(parts) == 1
+        # merged ring is the joint rect, collinear joints removed
+        np.testing.assert_array_equal(
+            parts[0][0], [[0, 0], [4, 0], [4, 2], [0, 2], [0, 0]])
+
+    def test_diamonds_closed_form(self):
+        from pythongis_ray.geom import union as gu
+        r1, r2, step = 3.0, 2.5, 4.0
+        a, parts = gu.union_polygons_exact(
+            [[self.d(0, 0, r1)], [self.d(step, 0, r2)]])
+        ov = r1 + r2 - step
+        assert a == 2 * r1 * r1 + 2 * r2 * r2 - ov * ov / 2
+        assert len(parts) == 1
+
+    def test_holes_even_odd(self):
+        from pythongis_ray.geom import union as gu
+        big = [rect_ring(0, 0, 10, 10), rect_ring(3, 3, 7, 7)]
+        a, parts = gu.union_polygons_exact([big])
+        assert a == 84.0 and len(parts) == 1
+        a, parts = gu.union_polygons_exact([big, [rect_ring(3, 3, 7, 7)]])
+        assert a == 100.0 and len(parts) == 1
+
+    def test_triangles_rational_crossings(self):
+        from pythongis_ray.geom import union as gu
+        t1 = np.array([[0, 0], [4, 0], [0, 4], [0, 0]], np.float64)
+        t2 = np.array([[1, 1], [5, 1], [5, 5], [1, 1]], np.float64)
+        a, parts = gu.union_polygons_exact([[t1], [t2]])
+        # 8 + 8 − overlap(1): exact rational even with non-lattice
+        # edge crossings
+        assert a == 15.0 and len(parts) == 1
