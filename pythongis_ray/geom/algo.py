@@ -143,6 +143,26 @@ def points_to_segments_sq(px, py, ax, ay, bx, by):
     return cx * cx + cy * cy
 
 
+def points_to_segments_sq_pairwise(px, py, ax, ay, bx, by):
+    """Aligned arrays → squared distance of point_i to segment_i.
+
+    Single-division formulation: the clamp decisions (dot ≤ 0,
+    dot ≥ |AB|²) and the endpoint distances are EXACT products/sums of
+    lattice values; only the interior case rounds, once, in
+    cross²/|AB|² — an expression a SQL oracle mirrors op-for-op, so
+    results are bit-identical across engines."""
+    dx, dy = bx - ax, by - ay
+    apx, apy = px - ax, py - ay
+    bpx, bpy = px - bx, py - by
+    L2 = dx * dx + dy * dy
+    dot = apx * dx + apy * dy
+    cross = apx * dy - apy * dx
+    da = apx * apx + apy * apy
+    db = bpx * bpx + bpy * bpy
+    mid = (cross * cross) / np.where(L2 == 0, 1.0, L2)
+    return np.where(dot <= 0, da, np.where(dot >= L2, db, mid))
+
+
 def points_to_ring_distance(px, py, ring):
     d2 = points_to_segments_sq(px, py, ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1])
     return np.sqrt(d2.min(axis=1))

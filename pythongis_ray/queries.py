@@ -1469,6 +1469,130 @@ WHERE sx0 < x1 AND x0 < sx1 AND sy0 < y1 AND y0 < sy1
 """
 
 
+def q_knn_lines(sf_dir: str):
+    """kNN join of customer points against a LINE layer (part-derived
+    horizontal segments) — the non-point extension of closest_point
+    (reference analyzer.py:289-310). Distance kernel is the
+    single-division point-to-segment form, mirrored op-for-op in the
+    oracle so even the one rounded division is bit-identical."""
+    from pythongis_ray.geom import wkb as _wkb
+
+    cpts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+    pp = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    sid = pp["p_partkey"].to_numpy().astype(np.int64) * 8 + 7
+    ix, iy = fixtures.geocode_units(sid)
+    ax, ay = fixtures.units_to_deg(ix, iy)
+    bx, _ = fixtures.units_to_deg(ix + 8000, iy)
+    geoms = [_wkb.encode_linestring(np.array([[x1, y1], [x2, y1]]))
+             for x1, y1, x2 in zip(ax, ay, bx)]
+    right = pd.DataFrame({"sid": sid, "geometry": geoms})
+    out = spatial.knn_join_geoms(cpts, right, k=2, id_col="sid")
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["ck", "nn_id", "nn_rank", "nn_dist_sq"]].copy()
+        b.columns = ["ck", "sid", "nn_rank", "dist_sq"]
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+def SQL_KNN_LINES():
+    return f"""
+WITH cpts AS ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")}),
+     sraw AS ({_sql_keyed_points("part", "p_partkey", 8, 7, "sid")}),
+     seg AS (
+  SELECT sid, lon AS axx, lat AS ayy,
+         (ix + 8000) / 1024.0 - 180.0 AS bxx, lat AS byy
+  FROM sraw),
+     d AS (
+  SELECT c.ck, s.sid,
+         CASE
+           WHEN (c.lon - axx) * (bxx - axx) + (c.lat - ayy) * (byy - ayy) <= 0
+             THEN (c.lon - axx) * (c.lon - axx) + (c.lat - ayy) * (c.lat - ayy)
+           WHEN (c.lon - axx) * (bxx - axx) + (c.lat - ayy) * (byy - ayy)
+                >= (bxx - axx) * (bxx - axx) + (byy - ayy) * (byy - ayy)
+             THEN (c.lon - bxx) * (c.lon - bxx) + (c.lat - byy) * (c.lat - byy)
+           ELSE ((c.lon - axx) * (byy - ayy) - (c.lat - ayy) * (bxx - axx))
+                * ((c.lon - axx) * (byy - ayy) - (c.lat - ayy) * (bxx - axx))
+                / ((bxx - axx) * (bxx - axx) + (byy - ayy) * (byy - ayy))
+         END AS dist_sq
+  FROM cpts c CROSS JOIN seg s),
+     r AS (
+  SELECT ck, sid, dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY ck ORDER BY dist_sq, sid) AS nn_rank
+  FROM d)
+SELECT ck, sid, CAST(nn_rank AS BIGINT) AS nn_rank, dist_sq
+FROM r WHERE nn_rank <= 2
+"""
+
+
+def q_poly_clip_diff(sf_dir: str):
+    """Polygon×polygon DIFFERENCE overlay (left − zone) via the exact
+    rational slab-sweep overlay kernel (reference difference branch,
+    manager.py:208-266). Fixture note: sup bounds sit at .25/.75 unit
+    fractions and zone bounds on half-units, so every intersecting
+    pair overlaps strictly (no touch-only) and the difference area is
+    the closed-form sup_area − overlap; fully-covered pairs (area 0)
+    are dropped by both sides."""
+    left = supplier_rects(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    ds = _rd().from_pandas(left)
+    out = spatial.spatial_join_polygons(ds, zones[["zone_id", "geometry"]],
+                                        predicate="intersects",
+                                        clip="difference")
+    return out.select_columns(["sup_id", "zone_id", "clip_area"])
+
+
+def SQL_POLY_CLIP_DIFF():
+    sup_pts = _sql_keyed_points("supplier", "s_suppkey", 4, 3, "sup_id")
+    return f"""
+WITH sup AS (
+  SELECT sup_id,
+         lon - {SUP_HALF_X} / 1024.0 AS sx0, lon + {SUP_HALF_X} / 1024.0 AS sx1,
+         lat - {SUP_HALF_Y} / 1024.0 AS sy0, lat + {SUP_HALF_Y} / 1024.0 AS sy1
+  FROM ({sup_pts}) _sp
+), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT sup_id, zone_id,
+       (sx1 - sx0) * (sy1 - sy0)
+         - (least(sx1, x1) - greatest(sx0, x0))
+         * (least(sy1, y1) - greatest(sy0, y0)) AS clip_area
+FROM sup CROSS JOIN z
+WHERE sx0 < x1 AND x0 < sx1 AND sy0 < y1 AND y0 < sy1
+  AND NOT (sx0 >= x0 AND sx1 <= x1 AND sy0 >= y0 AND sy1 <= y1)
+"""
+
+
+def q_poly_clip_union(sf_dir: str):
+    """Polygon×polygon UNION overlay per intersecting pair (exact
+    slab-sweep kernel); area = sup + zone − overlap, closed-form in
+    the oracle."""
+    left = supplier_rects(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    ds = _rd().from_pandas(left)
+    out = spatial.spatial_join_polygons(ds, zones[["zone_id", "geometry"]],
+                                        predicate="intersects",
+                                        clip="union")
+    return out.select_columns(["sup_id", "zone_id", "clip_area"])
+
+
+def SQL_POLY_CLIP_UNION():
+    sup_pts = _sql_keyed_points("supplier", "s_suppkey", 4, 3, "sup_id")
+    return f"""
+WITH sup AS (
+  SELECT sup_id,
+         lon - {SUP_HALF_X} / 1024.0 AS sx0, lon + {SUP_HALF_X} / 1024.0 AS sx1,
+         lat - {SUP_HALF_Y} / 1024.0 AS sy0, lat + {SUP_HALF_Y} / 1024.0 AS sy1
+  FROM ({sup_pts}) _sp
+), z AS ({fixtures.SQL_ZONES_FROM_NATION})
+SELECT sup_id, zone_id,
+       (sx1 - sx0) * (sy1 - sy0) + (x1 - x0) * (y1 - y0)
+         - (least(sx1, x1) - greatest(sx0, x0))
+         * (least(sy1, y1) - greatest(sy0, y0)) AS clip_area
+FROM sup CROSS JOIN z
+WHERE sx0 < x1 AND x0 < sx1 AND sy0 < y1 AND y0 < sy1
+"""
+
+
 # ------------------------------------------- rasterize / dissolve set
 
 def q_rasterize_poly(sf_dir: str):
@@ -2059,6 +2183,9 @@ REGISTRY: dict[str, tuple] = {
     "poly_clip": (q_poly_clip, SQL_POLY_CLIP),
     "rasterize_poly": (q_rasterize_poly, SQL_RASTERIZE_POLY),
     "rasterize_line": (q_rasterize_line, SQL_RASTERIZE_LINE),
+    "knn_lines": (q_knn_lines, SQL_KNN_LINES),
+    "poly_clip_diff": (q_poly_clip_diff, SQL_POLY_CLIP_DIFF),
+    "poly_clip_union": (q_poly_clip_union, SQL_POLY_CLIP_UNION),
     "dissolve": (q_dissolve, SQL_DISSOLVE),
     "dissolve_poly": (q_dissolve_poly, SQL_DISSOLVE_POLY),
     "dissolve_inter": (q_dissolve_inter, SQL_DISSOLVE_INTER),

@@ -803,12 +803,17 @@ def spatial_join_polygons(left_ds, zones: pd.DataFrame,
     polygon side of web-scale joins is the small one; a polygon-heavy
     LEFT at 10^9 scale would move parsing into the cell-shuffle path).
 
-    ``clip='intersection'`` (reference overlay rewrite,
-    manager.py:208-266) adds ``clip_geometry`` (WKB of left∩zone) and
-    ``clip_area``: exact interval arithmetic when both sides are
-    axis-aligned rects, Sutherland–Hodgman against convex zones
-    otherwise; zero-area (touch-only) results are dropped."""
-    if clip not in (None, "intersection"):
+    ``clip`` (reference overlay rewrite, manager.py:208-266) adds
+    ``clip_geometry`` (WKB) and ``clip_area``; zero-area (touch-only
+    / fully-covered-difference) pairs are dropped:
+
+    * ``'intersection'``: exact interval arithmetic when both sides
+      are axis-aligned rects, Sutherland–Hodgman against convex zones
+      otherwise;
+    * ``'difference'`` / ``'union'``: the EXACT rational slab-sweep
+      overlay (geom.union.overlay_exact) — any simple polygons,
+      holes included."""
+    if clip not in (None, "intersection", "difference", "union"):
         raise ValueError(f"unsupported clip {clip!r}")
     index = ZoneIndex.from_pandas(zones, geometry_col=geometry_col)
     ref = ray.put(index)
@@ -875,7 +880,29 @@ def spatial_join_polygons(left_ds, zones: pd.DataFrame,
         pf_loc, pz = pf_loc[order], pz[order]
         clip_geoms: list = []
         clip_areas: list = []
-        if clip is not None:
+        if clip in ("difference", "union"):
+            from pythongis_ray.geom import union as gunion
+            keep_pair = np.ones(len(pf_loc), dtype=bool)
+            for n_, (fl, zi) in enumerate(zip(pf_loc, pz)):
+                lparts = fb.feature_parts(int(fl))
+                lpp = fb.feature_ring_parts(int(fl))
+                by_part: dict[int, list] = {}
+                for p, r in zip(lpp, lparts):
+                    by_part.setdefault(p, []).append(r)
+                zp = idx.polys[zi]
+                zrp = zp.exterior_parts or [0] * len(zp.rings)
+                zby: dict[int, list] = {}
+                for p, r in zip(zrp, zp.rings):
+                    zby.setdefault(p, []).append(r)
+                area, parts = gunion.overlay_exact(
+                    list(by_part.values()), list(zby.values()), clip)
+                if area == 0.0 or not parts:
+                    keep_pair[n_] = False
+                    continue
+                clip_geoms.append(wkb.encode_multi("MultiPolygon", parts))
+                clip_areas.append(area)
+            pf_loc, pz = pf_loc[keep_pair], pz[keep_pair]
+        elif clip is not None:
             # scalar clip over MATCHED pairs only
             keep_pair = np.ones(len(pf_loc), dtype=bool)
             for n_, (fl, zi) in enumerate(zip(pf_loc, pz)):
@@ -1263,6 +1290,211 @@ def radius_join(points_ds, right: pd.DataFrame, radius: float,
         return joiner(batch)
 
     return points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+class GridKnnGeomJoiner:
+    """Grid-accelerated kNN join of points against a broadcast LINE /
+    POLYGON layer — the non-point extension of :class:`GridKnnJoiner`
+    (reference `closest_point` works on any geometry via shapely,
+    /root/reference/pythongis/vector/analyzer.py:289-310).
+
+    Right geometries decode once per actor into flat segments; each
+    segment registers in every cell its bbox covers (CSR). A left
+    point searches expanding Chebyshev rings; candidate segment
+    distances (exact single-division kernel) reduce to per-FEATURE
+    minima, and the ring stop bound is sound because any feature with
+    no segment in an explored cell lies entirely ≥ r·cell away.
+    ``polygons=True`` additionally zeroes the distance of features
+    that COVER the point (shapely distance semantics)."""
+
+    def __init__(self, right_ref, k: int = 1, lon_col: str = "lon",
+                 lat_col: str = "lat", out_prefix: str = "nn_",
+                 res: int | None = None, polygons: bool = False):
+        right = ray.get(right_ref) if isinstance(right_ref, ray.ObjectRef) \
+            else right_ref
+        flat = wkb.decode_flat(right["geoms"])
+        pts, roff = flat["pts"], flat["ring_off"]
+        seg_keep = np.ones(len(pts), dtype=bool)
+        if len(pts):
+            seg_keep[roff[1:] - 1] = False
+        si = np.flatnonzero(seg_keep)
+        self.A = pts[si]
+        self.B = pts[si + 1] if len(si) else np.empty((0, 2))
+        feat_of_seg = np.repeat(flat["ring_feat"], np.diff(roff))[si]
+        self.rid = np.asarray(right["id"], np.int64)
+        self.seg_rid = self.rid[feat_of_seg]
+        self.seg_feat = feat_of_seg
+        self.rattrs = {k2: np.asarray(v) for k2, v in right.items()
+                       if k2 not in ("geoms", "id")}
+        self.polygons = polygons
+        if polygons:
+            self.polys = []
+            for b in right["geoms"]:
+                g = wkb.decode(bytes(b))
+                self.polys.append(algo.PreparedPolygon(g["rings"],
+                                                       g.get("ring_part")))
+        m = max(1, len(self.A))
+        if res is None:
+            res = 2
+            while (2 << res) * (1 << res) < m // 2 and res < 10:
+                res += 1
+        self.res = res
+        self.nx, self.ny = grid.cell_dims(res)
+        self.cell_deg = grid.cell_size_deg(res)
+        # CSR cell→segments over bbox covers
+        if len(self.A):
+            seg_j, cells = grid.bboxes_to_cells(
+                np.minimum(self.A[:, 0], self.B[:, 0]),
+                np.minimum(self.A[:, 1], self.B[:, 1]),
+                np.maximum(self.A[:, 0], self.B[:, 0]),
+                np.maximum(self.A[:, 1], self.B[:, 1]), res=res)
+            _, cix, ciy = grid.unpack(cells)
+            li = ciy * self.nx + cix
+            order = np.argsort(li, kind="stable")
+            self.csr_off = np.concatenate(
+                ([0], np.cumsum(np.bincount(li, minlength=self.nx * self.ny))))
+            self.csr_segs = seg_j[order]
+        else:
+            self.csr_off = np.zeros(self.nx * self.ny + 1, np.int64)
+            self.csr_segs = np.empty(0, np.int64)
+        self.k = k
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.out_prefix = out_prefix
+
+    def _ring_candidates(self, lon, lat, r: int):
+        """→ (point_idx, seg_idx) deduped candidate pairs from the
+        (2r+1)² ring of cells around each point."""
+        ix = np.floor((lon + 180.0) / self.cell_deg).astype(np.int64) % self.nx
+        iy = np.clip(np.floor((lat + 90.0) / self.cell_deg).astype(np.int64),
+                     0, self.ny - 1)
+        xo = np.arange(-r, r + 1, dtype=np.int64)
+        if len(xo) > self.nx:
+            xo = np.arange(self.nx, dtype=np.int64) - self.nx // 2
+        yo = np.arange(-r, r + 1, dtype=np.int64)
+        ox, oy = np.meshgrid(xo, yo)
+        ox, oy = ox.ravel(), oy.ravel()
+        gx = np.mod(ix[:, None] + ox[None, :], self.nx)
+        gy = iy[:, None] + oy[None, :]
+        valid = (gy >= 0) & (gy < self.ny)
+        li = (np.clip(gy, 0, self.ny - 1) * self.nx + gx)
+        starts = self.csr_off[li]
+        cnts = np.where(valid, self.csr_off[li + 1] - starts, 0)
+        flat_cnt = cnts.ravel()
+        total = int(flat_cnt.sum())
+        if total == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        q = li.shape[1]
+        seg_row = np.repeat(np.arange(li.shape[0] * q), flat_cnt)
+        segs = self.csr_segs[_ranges(starts.ravel(), flat_cnt)]
+        pt = seg_row // q
+        key = np.unique(pt * max(1, len(self.A)) + segs)
+        return key // max(1, len(self.A)), key % max(1, len(self.A))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        n, k = len(lon), self.k
+        out_fid = np.full((n, k), -1, dtype=np.int64)
+        out_d = np.full((n, k), np.inf)
+        unresolved = np.arange(n)
+        r = 1
+        max_r = max(self.nx, self.ny)
+        while len(unresolved):
+            lo, la = lon[unresolved], lat[unresolved]
+            pt, sj = self._ring_candidates(lo, la, r)
+            if len(pt):
+                d2 = algo.points_to_segments_sq_pairwise(
+                    lo[pt], la[pt], self.A[sj, 0], self.A[sj, 1],
+                    self.B[sj, 0], self.B[sj, 1])
+                rid = self.seg_rid[sj]
+                if self.polygons:
+                    feats = self.seg_feat[sj]
+                    pos = d2 > 0
+                    for f in np.unique(feats[pos]):
+                        m_ = pos & (feats == f)
+                        cov = self.polys[f].covers_points(lo[pt[m_]],
+                                                          la[pt[m_]])
+                        idxs = np.flatnonzero(m_)[cov]
+                        d2[idxs] = 0.0
+                # per (point, feature-id) min distance: group by
+                # (pt, rid) with d2 ascending inside each group, keep
+                # the first (= min) row per group
+                order = np.lexsort((d2, rid, pt))
+                pt_s, rid_s, d2_s = pt[order], rid[order], d2[order]
+                first = np.r_[True, (pt_s[1:] != pt_s[:-1])
+                              | (rid_s[1:] != rid_s[:-1])]
+                pt_f, rid_f, d2_f = pt_s[first], rid_s[first], d2_s[first]
+                # top-k features per point (already (pt, d2, rid)-sorted
+                # within each point after re-sorting by d2)
+                order2 = np.lexsort((rid_f, d2_f, pt_f))
+                pt_f, rid_f, d2_f = pt_f[order2], rid_f[order2], d2_f[order2]
+                seg_cnt = np.bincount(pt_f, minlength=len(unresolved))
+                seg_start = np.zeros(len(unresolved), dtype=np.int64)
+                seg_start[1:] = np.cumsum(seg_cnt)[:-1]
+            else:
+                seg_cnt = np.zeros(len(unresolved), dtype=np.int64)
+                seg_start = np.zeros(len(unresolved), dtype=np.int64)
+                rid_f = np.empty(0, np.int64)
+                d2_f = np.empty(0)
+            kth = np.full(len(unresolved), np.inf)
+            has_k = seg_cnt >= k
+            kth[has_k] = d2_f[seg_start[has_k] + k - 1]
+            bound = (r * self.cell_deg) ** 2
+            done = has_k & (kth < bound)
+            if r >= max_r:
+                done = np.ones(len(unresolved), dtype=bool)
+            didx = np.flatnonzero(done)
+            for col in range(k):
+                sel = didx[seg_cnt[didx] > col]
+                out_fid[unresolved[sel], col] = rid_f[seg_start[sel] + col]
+                out_d[unresolved[sel], col] = d2_f[seg_start[sel] + col]
+            unresolved = unresolved[~done]
+            r *= 2
+        rank = np.tile(np.arange(1, k + 1, dtype=np.int64), n)
+        flat_fid = out_fid.ravel()
+        vld = flat_fid >= 0
+        left_take = np.repeat(np.arange(n, dtype=np.int64), k)[vld]
+        out = batch.take(pa.array(left_take))
+        out = out.append_column(self.out_prefix + "rank",
+                                pa.array(rank[vld]))
+        out = out.append_column(self.out_prefix + "id",
+                                pa.array(flat_fid[vld]))
+        out = out.append_column(self.out_prefix + "dist_sq",
+                                pa.array(out_d.ravel()[vld]))
+        # attrs align to right rows; map id → row position
+        id_order = np.argsort(self.rid, kind="stable")
+        pos_of = id_order[np.searchsorted(self.rid[id_order], flat_fid[vld])]
+        for name, arr in self.rattrs.items():
+            out = out.append_column(self.out_prefix + name,
+                                    pa.array(arr[pos_of]))
+        return out
+
+
+def knn_join_geoms(points_ds, right: pd.DataFrame, k: int = 1,
+                   id_col: str = "id", geometry_col: str = "geometry",
+                   lon_col: str = "lon", lat_col: str = "lat",
+                   out_prefix: str = "nn_", batch_size: int = 4096,
+                   polygons: bool = False):
+    """kNN join of a point Dataset against a broadcast LINE/POLYGON
+    layer (point-to-geometry distance; ties by right id ascending)."""
+    payload = {"geoms": [bytes(b) for b in right[geometry_col]],
+               "id": right[id_col].to_numpy()}
+    for c in right.columns:
+        if c not in (geometry_col, id_col):
+            payload[c] = right[c].to_numpy()
+    ref = ray.put(payload)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        joiner = state.get_broadcast(
+            ref, builder=lambda rp: GridKnnGeomJoiner(
+                rp, k=k, lon_col=lon_col, lat_col=lat_col,
+                out_prefix=out_prefix, polygons=polygons),
+            key_extra=("knng", k, lon_col, lat_col, out_prefix, polygons))
+        return joiner(batch)
+
+    return points_ds.map_batches(fn, batch_format="pyarrow",
+                                 batch_size=batch_size)
 
 
 # ------------------------------------------------------- shuffle join path

@@ -360,3 +360,64 @@ def test_line_join_multilinestring(ray_session, zones):
         rd.from_pandas(df), zones[["zone_id", "geometry"]],
         predicate="intersects").to_pandas()
     assert (1, int(z.zone_id)) in set(zip(out.lid, out.zone_id))
+
+
+def test_knn_join_geoms_matches_bruteforce(ray_session):
+    """Grid kNN against lines == brute-force per-feature min distance
+    (exact single-division kernel), ties by right id."""
+    import ray.data as rd
+
+    from pythongis_ray.geom import algo, wkb
+
+    rng = np.random.default_rng(3)
+    lines = []
+    for i in range(40):
+        npts = int(rng.integers(2, 5))
+        pts = rng.uniform(-20, 20, (npts, 2)).round(3)
+        lines.append(wkb.encode_linestring(pts))
+    right = pd.DataFrame({"lid": np.arange(40, dtype=np.int64),
+                          "geometry": lines})
+    px = rng.uniform(-25, 25, 300).round(3)
+    py = rng.uniform(-25, 25, 300).round(3)
+    left = pd.DataFrame({"pid": np.arange(300, dtype=np.int64),
+                         "lon": px, "lat": py})
+    out = spatial.knn_join_geoms(rd.from_pandas(left), right, k=3,
+                                 id_col="lid").to_pandas()
+    A, B, F = [], [], []
+    for i, b in enumerate(lines):
+        g = wkb.decode(b)["rings"][0]
+        A.append(g[:-1])
+        B.append(g[1:])
+        F.append(np.full(len(g) - 1, i))
+    A, B, F = np.vstack(A), np.vstack(B), np.concatenate(F)
+    for _, row in out.iterrows():
+        d2 = algo.points_to_segments_sq_pairwise(
+            np.full(len(A), row.lon), np.full(len(A), row.lat),
+            A[:, 0], A[:, 1], B[:, 0], B[:, 1])
+        per = np.full(40, np.inf)
+        np.minimum.at(per, F, d2)
+        order = np.lexsort((np.arange(40), per))
+        r = int(row.nn_rank) - 1
+        assert row.nn_id == order[r]
+        assert row.nn_dist_sq == per[order[r]]
+
+
+def test_knn_join_geoms_polygon_containment(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray.geom import wkb
+
+    polys = [wkb.encode_polygon([np.array([[0, 0], [10, 0], [10, 10],
+                                           [0, 10], [0, 0]], float)]),
+             wkb.encode_polygon([np.array([[20, 20], [24, 20], [24, 24],
+                                           [20, 24], [20, 20]], float)])]
+    rp = pd.DataFrame({"lid": np.array([7, 9], np.int64),
+                       "geometry": polys})
+    lp = pd.DataFrame({"pid": [0, 1], "lon": [5.0, 30.0],
+                       "lat": [5.0, 30.0]})
+    o2 = spatial.knn_join_geoms(rd.from_pandas(lp), rp, k=1, id_col="lid",
+                                polygons=True).to_pandas()
+    assert o2[o2.pid == 0].nn_dist_sq.iloc[0] == 0.0
+    assert o2[o2.pid == 0].nn_id.iloc[0] == 7
+    assert o2[o2.pid == 1].nn_id.iloc[0] == 9
+    assert o2[o2.pid == 1].nn_dist_sq.iloc[0] == 72.0
