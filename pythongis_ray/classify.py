@@ -115,6 +115,132 @@ def jenks_sample(values, k: int, sample: int = 1000, seed: int = 42) -> list[flo
     return sorted(breaks)
 
 
+def pretty(values=None, k: int = 5, start=None, end=None) -> list[float]:
+    """'Pretty' legend breaks — behavior-parity with the reference's
+    port of R's pretty() (classypie/breaks.py:150-243; the classInt
+    default): pick a unit of {1,2,5,10}·10^m so ~k intervals span the
+    data, snap bounds out to unit multiples, then clamp the end
+    breaks to the data range. Quirks preserved deliberately for
+    output parity: the 1e-07 epsilons and the ceil-before-divide in
+    the final count."""
+    import math
+
+    lo = float(min(values)) if start is None else float(start)
+    hi = float(max(values)) if end is None else float(end)
+    min_n = int(k / 3)
+    h = 1.5                      # high-unit bias
+    h5 = 0.5 + 1.5 * h           # factor-5 bias
+    span = hi - lo
+    if span == 0 and hi == 0:
+        cell, tiny = 1.0, True
+    else:
+        cell = max(abs(lo), abs(hi))
+        u = 1 + (1.0 / (1 + h)) if h5 >= 1.5 * h + 0.5 \
+            else 1 + (1.5 / (1 + h5))
+        tiny = span < cell * u * max(1.0, k) * 1e-07 * 3.0
+    if tiny:
+        if cell > 10:
+            cell = (9 + cell / 10) * 0.75
+        if min_n > 1:
+            cell = cell / min_n
+    else:
+        cell = span
+        if k > 1:
+            cell = cell / k
+    cell = max(cell, 20 * 1e-07)
+    base = 10.0 ** math.floor(math.log10(cell))
+    unit = base
+    if (2 * base) - cell < h * (cell - unit):
+        unit = 2.0 * base
+        if (5 * base) - cell < h5 * (cell - unit):
+            unit = 5.0 * base
+            if (10 * base) - cell < h * (cell - unit):
+                unit = 10.0 * base
+    ns = math.floor(lo / unit + 1e-07)
+    nu = math.ceil(hi / unit - 1e-07)
+    while ns * unit > lo + (1e-07 * unit):
+        ns -= 1
+    while nu * unit < hi - (1e-07 * unit):
+        nu += 1
+    cnt = math.floor(0.5 + nu - ns)
+    if cnt < min_n:
+        pad = min_n - cnt
+        if ns >= 0:
+            nu = nu + pad / 2
+            ns = ns - pad / 2 + pad % 2
+        else:
+            ns = ns - pad / 2
+            nu = nu + pad / 2 + pad % 2
+    gmin = ns * unit
+    gmax = nu * unit
+    count = int(math.ceil(gmax - gmin) / unit)
+    res = [gmin + i * unit for i in range(count + 1)]
+    if res[0] < lo:
+        res[0] = lo
+    if res[-1] > hi:
+        res[-1] = hi
+    return res
+
+
+def _jenks_exact(v: np.ndarray, k: int) -> list[float]:
+    """Exact Fisher–Jenks DP over ALL (sorted) values, emitting breaks
+    in the reference's convention: break i = LAST value of class i
+    (classypie getbreaks, breaks.py:294-345). O(n²·k)."""
+    n = len(v)
+    csum = np.concatenate(([0.0], np.cumsum(v)))
+    csq = np.concatenate(([0.0], np.cumsum(v * v)))
+
+    def sse(i, j):
+        cnt = j - i
+        s = csum[j] - csum[i]
+        return (csq[j] - csq[i]) - s * s / cnt
+
+    cost = np.full((n + 1, k + 1), np.inf)
+    back = np.zeros((n + 1, k + 1), dtype=np.int64)
+    cost[0, 0] = 0.0
+    for j in range(1, k + 1):
+        for i in range(j, n + 1):
+            for m in range(j - 1, i):
+                c = cost[m, j - 1] + sse(m, i)
+                if c < cost[i, j]:
+                    cost[i, j] = c
+                    back[i, j] = m
+    breaks = [0.0] * (k + 1)
+    breaks[k] = float(v[-1])
+    breaks[0] = float(v[0])
+    i = n
+    for j in range(k, 1, -1):
+        m = back[i, j]
+        breaks[j - 1] = float(v[m - 1])
+        i = m
+    return breaks
+
+
+def natural(values, k: int = 5, maxsize: int = 1000, samples: int = 3,
+            seed: int = 42) -> list[float]:
+    """Full-data natural (Jenks) breaks — reference semantics
+    (classypie/breaks.py:271-374): exact DP when n ≤ maxsize; above,
+    the mean of ``samples`` subsample runs with the data bounds
+    pinned. Deviation: the subsampling RNG is SEEDED (deterministic
+    engine contract) where the reference uses an unseeded
+    random.sample."""
+    v = np.sort(np.asarray(values, np.float64))
+    v = v[~np.isnan(v)]
+    n = len(v)
+    if n <= k:
+        return [float(x) for x in v] + [float(v[-1])]
+    if n <= maxsize:
+        return _jenks_exact(v, k)
+    rng = np.random.default_rng(seed)
+    runs = []
+    for _ in range(samples):
+        s = np.sort(rng.choice(v, maxsize, replace=False))
+        s[0] = v[0]
+        s[-1] = v[-1]
+        runs.append(_jenks_exact(s, k))
+    return [float(np.mean(col)) for col in zip(*runs)]
+
+
 ALGORITHMS = {
     "equal": equal,
     "quantile": quantile,
@@ -122,6 +248,8 @@ ALGORITHMS = {
     "stdev": stdev,
     "headtail": headtail,
     "natural": jenks_sample,
+    "natural_full": natural,
+    "pretty": pretty,
 }
 
 

@@ -131,3 +131,47 @@ class TestSources:
         files = [f for f in os.listdir(out_dir) if f.endswith(".csv")]
         body = open(os.path.join(out_dir, files[0])).read()
         assert "Point" in body and "1.5" in body
+
+
+class TestPrettyNaturalBreaks:
+    """Parity with the reference classypie breaks (expected values
+    generated by running /root/reference/pythongis/classypie/breaks.py
+    on these inputs)."""
+
+    def test_pretty_reference_outputs(self):
+        from pythongis_ray import classify
+        assert classify.pretty(list(range(0, 101)), 5) == \
+            [0.0, 20.0, 40.0, 60.0, 80.0, 100.0]
+        assert classify.pretty([0.3, 2.7, 5.1, 9.9, 14.2, 20.0], 4) == \
+            [0.3, 5.0, 10.0, 15.0, 20.0]
+        assert classify.pretty([-37.5, -12.0, 0.0, 8.8, 123.4], 5) == \
+            [-37.5, 0.0, 50.0, 100.0, 123.4]
+        assert classify.pretty([1000, 2000, 3000, 50000], 6) == \
+            [1000, 10000.0, 20000.0, 30000.0, 40000.0, 50000.0]
+        # quirk case: the reference's ceil-before-divide count blows up
+        # the break list for sub-unit spans — preserved for parity
+        quirk = classify.pretty([0.001, 0.005, 0.0099], 3)
+        assert quirk[0] == 0.001 and quirk[-1] == 0.0099
+        assert len(quirk) == 201 and quirk[1] == 0.005 and quirk[2] == 0.01
+
+    def test_natural_full_reference_outputs(self):
+        from pythongis_ray import classify
+        assert classify.natural(
+            [1, 2, 3, 4, 5, 10, 11, 12, 13, 30, 31, 32, 33, 100, 101],
+            4) == [1.0, 5.0, 13.0, 33.0, 101.0]
+        assert classify.natural(
+            sorted([12.1, 3.4, 5.6, 18.2, 19.0, 2.2, 8.8, 9.1, 25.0,
+                    26.1, 2.5]), 3) == [2.2, 5.6, 12.1, 26.1]
+        # n <= classes degenerates to the value list + repeated max
+        assert classify.natural([5, 6, 7], 5) == [5.0, 6.0, 7.0, 7.0]
+
+    def test_natural_large_is_deterministic(self):
+        import numpy as np
+
+        from pythongis_ray import classify
+        rng = np.random.default_rng(1)
+        v = rng.normal(0, 10, 5000)
+        a = classify.natural(v, 5, maxsize=500)
+        b = classify.natural(v, 5, maxsize=500)
+        assert a == b and len(a) == 6
+        assert a[0] == v.min() and a[-1] == v.max()
