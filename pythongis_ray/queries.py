@@ -2083,6 +2083,31 @@ def q_geodetic_buffer(sf_dir: str):
     return cpts.map_batches(buf, batch_format="pyarrow", batch_size=2048)
 
 
+def q_reproject_utm(sf_dir: str):
+    """Per-point UTM projection (Snyder ellipsoidal TM, geom/proj.py):
+    each point projects in its own 6° zone. Rows-only: the series uses
+    transcendentals whose last ulp varies across libm builds."""
+    from pythongis_ray.geom import proj as _proj
+    from pythongis_ray import vector as vec   # noqa: F401  (API surface)
+
+    cpts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = np.clip(batch["lat"].to_numpy(zero_copy_only=False), -79.9, 83.9)
+        zone = np.clip(np.floor((lon + 180.0) / 6.0).astype(np.int64) + 1,
+                       1, 60)
+        x = np.empty(len(lon))
+        y = np.empty(len(lon))
+        for z in np.unique(zone):
+            m = zone == z
+            x[m], y[m] = _proj.utm_forward(lon[m], lat[m], int(z))
+        return pa.table({"ck": batch["ck"], "zone": pa.array(zone),
+                         "easting": pa.array(x), "northing": pa.array(y)})
+
+    return cpts.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
 def q_geodetic_area(sf_dir: str):
     """Ellipsoidal polygon areas of the supplier rects (rows-only:
     the authalic-latitude formula uses sin/ln whose last ulp differs
@@ -2201,6 +2226,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
     "geodetic_buffer": (q_geodetic_buffer, None),
+    "reproject_utm": (q_reproject_utm, None),
     "geodetic_area": (q_geodetic_area, None),
     "resample_bilinear": (q_resample_bilinear, None),
     "warp_mercator": (q_warp_mercator, None),

@@ -248,22 +248,51 @@ def webmercator_to_lonlat(x: np.ndarray, y: np.ndarray):
 
 def reproject(ds, direction: str = "to_webmercator",
               lon_col: str = "lon", lat_col: str = "lat",
-              x_col: str = "x", y_col: str = "y"):
-    """Vectorized coordinate reprojection stage."""
+              x_col: str = "x", y_col: str = "y",
+              zone: int = 31, lon0: float = 10.0, lat0: float = 52.0):
+    """Vectorized coordinate reprojection stage. Directions:
+    ``to_webmercator``/``from_webmercator`` (spherical),
+    ``to_utm``/``from_utm`` (Snyder ellipsoidal TM, ``zone``;
+    inverse assumes northern hemisphere unless a ``northern`` column
+    is present), ``to_laea``/``from_laea`` (ellipsoidal equal-area
+    centred at ``lon0``/``lat0``). The general-CRS engine of the
+    reference is pyproj (absent here); these cover the common
+    projected workflows (web tiles, metric zones, equal-area
+    statistics)."""
+    from pythongis_ray.geom import proj as _proj
 
     def fwd(batch: pa.Table) -> pa.Table:
-        x, y = lonlat_to_webmercator(batch[lon_col].to_numpy(zero_copy_only=False),
-                                     batch[lat_col].to_numpy(zero_copy_only=False))
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        if direction == "to_webmercator":
+            x, y = lonlat_to_webmercator(lon, lat)
+        elif direction == "to_utm":
+            x, y = _proj.utm_forward(lon, lat, zone)
+        else:  # to_laea
+            x, y = _proj.laea_forward(lon, lat, lon0, lat0)
         batch = batch.append_column(x_col, pa.array(x))
         return batch.append_column(y_col, pa.array(y))
 
     def inv(batch: pa.Table) -> pa.Table:
-        lon, lat = webmercator_to_lonlat(batch[x_col].to_numpy(zero_copy_only=False),
-                                         batch[y_col].to_numpy(zero_copy_only=False))
+        x = batch[x_col].to_numpy(zero_copy_only=False)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        if direction == "from_webmercator":
+            lon, lat = webmercator_to_lonlat(x, y)
+        elif direction == "from_utm":
+            northern = (batch["northern"].to_numpy(zero_copy_only=False)
+                        if "northern" in batch.column_names else True)
+            lon, lat = _proj.utm_inverse(x, y, zone, northern=northern)
+        else:  # from_laea
+            lon, lat = _proj.laea_inverse(x, y, lon0, lat0)
         batch = batch.append_column(lon_col, pa.array(lon))
         return batch.append_column(lat_col, pa.array(lat))
 
-    return ds.map_batches(fwd if direction == "to_webmercator" else inv,
+    if direction == "to_lonlat":     # legacy name for the inverse
+        direction = "from_webmercator"
+    if direction not in ("to_webmercator", "to_utm", "to_laea",
+                         "from_webmercator", "from_utm", "from_laea"):
+        raise ValueError(f"unsupported direction {direction!r}")
+    return ds.map_batches(fwd if direction.startswith("to_") else inv,
                           batch_format="pyarrow", batch_size=65536)
 
 

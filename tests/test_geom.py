@@ -442,3 +442,52 @@ class TestUnionPolygonsExact:
         # 8 + 8 − overlap(1): exact rational even with non-lattice
         # edge crossings
         assert a == 15.0 and len(parts) == 1
+
+
+class TestProjections:
+    """geom.proj: Snyder-series UTM + ellipsoidal LAEA (no pyproj in
+    env). Expected values cross-checked against an independent
+    6th-order Krüger (Karney) transverse-Mercator series — the two
+    formulations agree to ~0.4 mm."""
+
+    def test_utm_known_point(self):
+        from pythongis_ray.geom import proj
+        x, y = proj.utm_forward(np.array([2.2945]), np.array([48.8584]), 31)
+        assert abs(x[0] - 448252.0014) < 0.01
+        assert abs(y[0] - 5411954.910) < 0.01
+
+    def test_utm_central_meridian_and_south(self):
+        from pythongis_ray.geom import proj
+        x, y = proj.utm_forward(np.array([3.0]), np.array([45.0]), 31)
+        assert abs(x[0] - 500000.0) < 1e-6
+        xs, ys = proj.utm_forward(np.array([3.0]), np.array([-45.0]), 31)
+        assert ys[0] > 4e6    # false northing applied
+
+    def test_utm_roundtrip(self):
+        from pythongis_ray.geom import proj
+        rng = np.random.default_rng(0)
+        lon = rng.uniform(0.5, 5.5, 1000)
+        lat = rng.uniform(-79, 84, 1000)
+        x, y = proj.utm_forward(lon, lat, 31)
+        lon2, lat2 = proj.utm_inverse(x, y, 31, northern=lat >= 0)
+        assert np.abs(lon2 - lon).max() < 1e-8
+        assert np.abs(lat2 - lat).max() < 1e-8
+
+    def test_laea_roundtrip_and_equal_area(self):
+        from pythongis_ray.geom import geodesy, proj
+        rng = np.random.default_rng(1)
+        lon = rng.uniform(-30, 50, 1000)
+        lat = rng.uniform(20, 75, 1000)
+        x, y = proj.laea_forward(lon, lat, 10.0, 52.0)
+        lon2, lat2 = proj.laea_inverse(x, y, 10.0, 52.0)
+        assert np.abs(lon2 - lon).max() < 1e-8
+        assert np.abs(lat2 - lat).max() < 1e-8
+        # the defining property: planar area == ellipsoidal area
+        # (straight LAEA chords vs ellipsoidal edges differ at
+        # O(edge²), so use a small square)
+        ring = np.array([[10.0, 48.0], [10.1, 48.0], [10.1, 48.1],
+                         [10.0, 48.1], [10.0, 48.0]])
+        ell = geodesy.geodetic_polygon_area_m2([ring])
+        xs, ys = proj.laea_forward(ring[:, 0], ring[:, 1], 10.0, 52.0)
+        planar = 0.5 * abs(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+        assert abs(planar - ell) / ell < 2e-6
