@@ -566,6 +566,76 @@ def clip_polyline_rect_complement(pts: np.ndarray, x0, y0, x1, y1):
 
 # ------------------------------------------------------------ rect union
 
+def clip_polyline_polygon(pts: np.ndarray, poly: PreparedPolygon,
+                          mode: str = "intersection") -> list:
+    """Clip a polyline against an ARBITRARY polygon (holes included):
+    ``mode='intersection'`` keeps the pieces inside the closed
+    polygon, ``'difference'`` the pieces outside. Exact split points:
+    segment×edge crossing parameters are solved in Fractions (float64
+    lattice inputs convert exactly), pieces classify by a covers-test
+    of their midpoint, and consecutive kept pieces re-chain into
+    maximal polylines. The general companion of the rect fast paths
+    (clip_polyline_rect / _complement); reference overlay rewrite
+    /root/reference/pythongis/vector/manager.py:208-266."""
+    from fractions import Fraction as Fr
+
+    if mode not in ("intersection", "difference"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    edges = []
+    for ring in poly.rings:
+        for k in range(len(ring) - 1):
+            edges.append((Fr(float(ring[k, 0])), Fr(float(ring[k, 1])),
+                          Fr(float(ring[k + 1, 0])), Fr(float(ring[k + 1, 1]))))
+    pieces: list[list] = []
+    cur: list = []
+    for i in range(len(pts) - 1):
+        ax, ay = Fr(float(pts[i, 0])), Fr(float(pts[i, 1]))
+        bx, by = Fr(float(pts[i + 1, 0])), Fr(float(pts[i + 1, 1]))
+        dx, dy = bx - ax, by - ay
+        ts = [Fr(0), Fr(1)]
+        for ex0, ey0, ex1, ey1 in edges:
+            fx, fy = ex1 - ex0, ey1 - ey0
+            den = dx * fy - dy * fx
+            if den == 0:
+                # parallel: collinear overlap splits at edge endpoints
+                if (ex0 - ax) * dy - (ey0 - ay) * dx == 0:
+                    L2 = dx * dx + dy * dy
+                    if L2 > 0:
+                        for qx, qy in ((ex0, ey0), (ex1, ey1)):
+                            t = ((qx - ax) * dx + (qy - ay) * dy) / L2
+                            if 0 < t < 1:
+                                ts.append(t)
+                continue
+            t = ((ex0 - ax) * fy - (ey0 - ay) * fx) / den
+            u = ((ex0 - ax) * dy - (ey0 - ay) * dx) / den
+            if 0 < t < 1 and 0 <= u <= 1:
+                ts.append(t)
+        ts = sorted(set(ts))
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            tm = (t0 + t1) / 2
+            mx = float(ax + dx * tm)
+            my = float(ay + dy * tm)
+            cov = bool(poly.covers_points(np.array([mx]),
+                                          np.array([my]))[0])
+            keep = cov if mode == "intersection" else not cov
+            p = (float(ax + dx * t0), float(ay + dy * t0))
+            q = (float(ax + dx * t1), float(ay + dy * t1))
+            if not keep or p == q:
+                if len(cur) >= 2:
+                    pieces.append(cur)
+                cur = []
+                continue
+            if cur and cur[-1] == p:
+                cur.append(q)
+            else:
+                if len(cur) >= 2:
+                    pieces.append(cur)
+                cur = [p, q]
+    if len(cur) >= 2:
+        pieces.append(cur)
+    return [np.asarray(p, np.float64) for p in pieces]
+
+
 def merge_intervals(iv: np.ndarray) -> list[tuple[float, float]]:
     """Union of 1-D closed intervals (n,2) → sorted disjoint list
     (touching intervals merge). Exact: comparisons only."""

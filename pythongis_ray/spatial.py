@@ -966,7 +966,7 @@ def dissolve(ds, keys, geometry_col: str = "geometry",
         raise ValueError(f"unsupported geomfunc {geomfunc!r}")
     keys = [keys] if isinstance(keys, str) else list(keys)
 
-    def general_union_row(kv, geom_bufs):
+    def _decode_group(geom_bufs):
         polys = []
         for buf in geom_bufs:
             g = wkb.decode(bytes(buf))
@@ -975,10 +975,30 @@ def dissolve(ds, keys, geometry_col: str = "geometry",
             for p, r in zip(rp, g["rings"]):
                 by_part.setdefault(int(p), []).append(r)
             polys.extend(by_part.values())
-        area, parts = gunion.union_polygons_exact(polys)
+        return polys
+
+    def general_union_row(kv, geom_bufs):
+        area, parts = gunion.union_polygons_exact(_decode_group(geom_bufs))
         geom = wkb.encode_multi("MultiPolygon", parts)
         return dict(zip(keys, kv), union_area=area,
                     n_parts=np.int64(len(parts)), geometry=geom)
+
+    def general_intersection_row(kv, geom_bufs):
+        # fold pairwise through the exact overlay; a part with holes
+        # round-trips as its even-odd trapezoid decomposition
+        polys = _decode_group(geom_bufs)
+        cur = [polys[0]]
+        area = None
+        for p in polys[1:]:
+            area, cur = gunion.overlay_exact(cur, [p], "intersection")
+            if not cur:
+                return None
+        if area is None:    # single-member group
+            area, cur = gunion.union_polygons_exact(cur)
+        if not cur:
+            return None
+        geom = wkb.encode_multi("MultiPolygon", cur)
+        return dict(zip(keys, kv), inter_area=area, geometry=geom)
 
     def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -994,11 +1014,11 @@ def dissolve(ds, keys, geometry_col: str = "geometry",
                     break
                 rects.append(r)
             if rects is None:
-                if geomfunc == "intersection":
-                    raise NotImplementedError(
-                        "dissolve intersection requires axis-rect "
-                        "geometries")
-                rows.append(general_union_row(kv, g[geometry_col]))
+                row = (general_union_row(kv, g[geometry_col])
+                       if geomfunc == "union"
+                       else general_intersection_row(kv, g[geometry_col]))
+                if row is not None:
+                    rows.append(row)
                 continue
             ra = np.asarray(rects)
             if geomfunc == "union":
@@ -1204,15 +1224,20 @@ def spatial_join_lines(lines_ds, zones: pd.DataFrame,
             # candidates); mask drops zero-piece (touch-only) pairs
             keep_pair = np.ones(len(pf_loc), dtype=bool)
             for n_, (fl, zi) in enumerate(zip(pf_loc, pz)):
-                rect = algo.is_axis_rect(idx.polys[zi].rings[0])
-                if rect is None:
-                    raise NotImplementedError(
-                        "clip overlay requires axis-aligned rect zones")
-                clipper = (algo.clip_polyline_rect
-                           if clip == "intersection"
-                           else algo.clip_polyline_rect_complement)
-                pieces = [pc for part in fb.feature_parts(int(fl))
-                          for pc in clipper(part, *rect)]
+                poly_z = idx.polys[zi]
+                rect = (algo.is_axis_rect(poly_z.rings[0])
+                        if len(poly_z.rings) == 1 else None)
+                if rect is not None:
+                    clipper = (algo.clip_polyline_rect
+                               if clip == "intersection"
+                               else algo.clip_polyline_rect_complement)
+                    pieces = [pc for part in fb.feature_parts(int(fl))
+                              for pc in clipper(part, *rect)]
+                else:
+                    # general zones: exact rational split-and-classify
+                    pieces = [pc for part in fb.feature_parts(int(fl))
+                              for pc in algo.clip_polyline_polygon(
+                                  part, poly_z, clip)]
                 if not pieces:
                     keep_pair[n_] = False
                     continue

@@ -491,3 +491,46 @@ class TestProjections:
         xs, ys = proj.laea_forward(ring[:, 0], ring[:, 1], 10.0, 52.0)
         planar = 0.5 * abs(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
         assert abs(planar - ell) / ell < 2e-6
+
+
+class TestClipPolylinePolygon:
+    def test_matches_rect_fast_path(self):
+        rng = np.random.default_rng(9)
+        poly = algo.PreparedPolygon([rect_ring(-4, -4, 4, 4)])
+        for _ in range(60):
+            pts = rng.uniform(-8, 8, (rng.integers(2, 6), 2)).round(2)
+            for mode, rectfn in (
+                    ("intersection", algo.clip_polyline_rect),
+                    ("difference", algo.clip_polyline_rect_complement)):
+                want = rectfn(pts, -4, -4, 4, 4)
+                got = algo.clip_polyline_polygon(pts, poly, mode)
+                assert len(want) == len(got), (mode, pts)
+                for a, b in zip(want, got):
+                    np.testing.assert_allclose(a, b, atol=1e-12)
+
+    def test_diamond_zone_closed_form(self):
+        d = np.array([[-4.0, 0], [0, -4], [4, 0], [0, 4], [-4, 0]])
+        poly = algo.PreparedPolygon([d])
+        # horizontal line through the middle: inside piece is [-4, 4]
+        line = np.array([[-10.0, 0.0], [10.0, 0.0]])
+        inside = algo.clip_polyline_polygon(line, poly, "intersection")
+        assert len(inside) == 1
+        np.testing.assert_array_equal(inside[0], [[-4, 0], [4, 0]])
+        outside = algo.clip_polyline_polygon(line, poly, "difference")
+        assert len(outside) == 2
+        np.testing.assert_array_equal(outside[0], [[-10, 0], [-4, 0]])
+        np.testing.assert_array_equal(outside[1], [[4, 0], [10, 0]])
+        # total length is conserved
+        tot = sum(algo.line_length(p) for p in inside + outside)
+        assert tot == 20.0
+
+    def test_hole_splits_interior_piece(self):
+        poly = algo.PreparedPolygon([rect_ring(0, 0, 10, 10),
+                                     rect_ring(4, 4, 6, 6)])
+        line = np.array([[-2.0, 5.0], [12.0, 5.0]])
+        inside = algo.clip_polyline_polygon(line, poly, "intersection")
+        assert [p.tolist() for p in inside] == \
+            [[[0, 5], [4, 5]], [[6, 5], [10, 5]]]
+        outside = algo.clip_polyline_polygon(line, poly, "difference")
+        assert [p.tolist() for p in outside] == \
+            [[[-2, 5], [0, 5]], [[4, 5], [6, 5]], [[10, 5], [12, 5]]]

@@ -421,3 +421,51 @@ def test_knn_join_geoms_polygon_containment(ray_session):
     assert o2[o2.pid == 0].nn_id.iloc[0] == 7
     assert o2[o2.pid == 1].nn_id.iloc[0] == 9
     assert o2[o2.pid == 1].nn_dist_sq.iloc[0] == 72.0
+
+
+def test_dissolve_general_intersection_diamonds(ray_session):
+    """General (non-rect) dissolve intersection folds through the
+    exact overlay; empty-intersection groups are dropped."""
+    import ray.data as rd
+
+    from pythongis_ray.geom import wkb
+
+    def diamond(cx, cy, r):
+        return np.array([[cx - r, cy], [cx, cy - r], [cx + r, cy],
+                         [cx, cy + r], [cx - r, cy]], float)
+
+    geoms = [wkb.encode_polygon([diamond(0, 0, 3)]),
+             wkb.encode_polygon([diamond(2, 0, 3)]),
+             wkb.encode_polygon([diamond(0, 0, 1)]),
+             wkb.encode_polygon([diamond(10, 0, 1)])]
+    df = pd.DataFrame({"grp": [0, 0, 1, 1], "geometry": geoms})
+    out = spatial.dissolve(rd.from_pandas(df), "grp",
+                           geomfunc="intersection").to_pandas()
+    assert len(out) == 1 and out.grp.iloc[0] == 0
+    assert out.inter_area.iloc[0] == 8.0
+
+
+def test_line_clip_general_zone(ray_session):
+    """Line clip overlay against a NON-rect (diamond) zone via the
+    exact rational split-and-classify path."""
+    import ray.data as rd
+
+    from pythongis_ray.geom import algo, wkb
+
+    zone = wkb.encode_polygon([np.array([[-4.0, 0], [0, -4], [4, 0],
+                                         [0, 4], [-4, 0]])])
+    zones = pd.DataFrame({"zone_id": [1], "geometry": [zone]})
+    lines = pd.DataFrame({
+        "lid": [0],
+        "geometry": [wkb.encode_linestring(
+            np.array([[-10.0, 0.0], [10.0, 0.0]]))]})
+    out = spatial.spatial_join_lines(rd.from_pandas(lines), zones,
+                                     predicate="intersects",
+                                     clip="intersection").to_pandas()
+    assert len(out) == 1 and out.clip_len.iloc[0] == 8.0
+    g = wkb.decode(bytes(out.clip_geometry.iloc[0]))
+    np.testing.assert_array_equal(g["rings"][0], [[-4, 0], [4, 0]])
+    out2 = spatial.spatial_join_lines(rd.from_pandas(lines), zones,
+                                      predicate="intersects",
+                                      clip="difference").to_pandas()
+    assert len(out2) == 1 and out2.clip_len.iloc[0] == 12.0
