@@ -463,6 +463,84 @@ def write_geotiff(path: str, arr: np.ndarray, transform,
     return path
 
 
+# ------------------------------------------------------- .prj sidecars
+
+_WKT_WGS84 = ('GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+              '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+              'UNIT["degree",0.0174532925199433]]')
+
+
+def crs_wkt(crs: str) -> str:
+    """Canonical CRS token → WKT1 for a .prj sidecar. Tokens:
+    ``wgs84`` | ``webmercator`` | ``utm:<zone>[N|S]`` |
+    ``laea:<lon0>,<lat0>`` — the projections this engine actually
+    computes (vector.reproject / geom.proj); the reference writes
+    arbitrary pyproj CRSes (absent here)."""
+    if crs == "wgs84":
+        return _WKT_WGS84
+    if crs == "webmercator":
+        return ('PROJCS["WGS 84 / Pseudo-Mercator",' + _WKT_WGS84 + ","
+                'PROJECTION["Mercator_1SP"],'
+                'PARAMETER["central_meridian",0],'
+                'PARAMETER["scale_factor",1],'
+                'PARAMETER["false_easting",0],'
+                'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    if crs.startswith("utm:"):
+        z = crs[4:].rstrip("NS")
+        south = crs.endswith("S")
+        from pythongis_ray.geom import proj as _proj
+        lon0 = _proj.utm_zone_lon0(int(z))
+        return (f'PROJCS["WGS 84 / UTM zone {z}{"S" if south else "N"}",'
+                + _WKT_WGS84 + ',PROJECTION["Transverse_Mercator"],'
+                'PARAMETER["latitude_of_origin",0],'
+                f'PARAMETER["central_meridian",{lon0:g}],'
+                'PARAMETER["scale_factor",0.9996],'
+                'PARAMETER["false_easting",500000],'
+                f'PARAMETER["false_northing",{10000000 if south else 0}],'
+                'UNIT["metre",1]]')
+    if crs.startswith("laea:"):
+        lon0, lat0 = (float(v) for v in crs[5:].split(","))
+        return ('PROJCS["Lambert Azimuthal Equal Area",' + _WKT_WGS84 + ","
+                'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+                f'PARAMETER["latitude_of_center",{lat0:g}],'
+                f'PARAMETER["longitude_of_center",{lon0:g}],'
+                'PARAMETER["false_easting",0],'
+                'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    raise ValueError(f"unsupported crs token {crs!r}")
+
+
+def write_prj(path: str, crs: str) -> str:
+    with open(path, "w") as f:
+        f.write(crs_wkt(crs))
+    return path
+
+
+def read_prj(path: str) -> str:
+    """.prj WKT → canonical CRS token (recognizes the engine's CRSes;
+    raises on anything else so callers fail loudly instead of
+    silently misprojecting)."""
+    import re
+
+    wkt = open(path).read()
+    if "Pseudo-Mercator" in wkt or "Mercator_1SP" in wkt:
+        return "webmercator"
+    m = re.search(r"UTM zone (\d+)(N|S)", wkt)
+    if m:
+        return f"utm:{m.group(1)}{m.group(2)}"
+    if "Transverse_Mercator" in wkt:
+        cm = re.search(r'central_meridian"?\s*,\s*(-?[\d.]+)', wkt)
+        zone = int(round((float(cm.group(1)) + 183.0) / 6.0))
+        south = re.search(r'false_northing"?\s*,\s*10000000', wkt)
+        return f"utm:{zone}{'S' if south else 'N'}"
+    if "Lambert_Azimuthal_Equal_Area" in wkt:
+        lat0 = re.search(r'latitude_of_center"?\s*,\s*(-?[\d.]+)', wkt)
+        lon0 = re.search(r'longitude_of_center"?\s*,\s*(-?[\d.]+)', wkt)
+        return f"laea:{float(lon0.group(1)):g},{float(lat0.group(1)):g}"
+    if "GEOGCS" in wkt and "WGS" in wkt and "PROJCS" not in wkt:
+        return "wgs84"
+    raise ValueError(f"unrecognized .prj CRS in {path}")
+
+
 def read_world_file(path: str):
     """.wld/.tfw sidecar → (x0, px, y0, py) center-anchored transform
     (reference world-file support, raster/loader.py 'worldfile')."""

@@ -256,13 +256,18 @@ def shapefile_dataset(path: str, encoding: str = "latin-1"):
     return rd.from_pandas(read_shapefile(path, encoding))
 
 
-def write_shapefile(ds, path: str, geometry_col: str = "geometry"):
+def write_shapefile(ds, path: str, geometry_col: str = "geometry",
+                    crs: str | None = "wgs84"):
     """Dataset → .shp/.shx/.dbf sink (point/line/polygon geometries;
-    attribute columns → DBF C/N fields). Interchange sink — driver
-    side, like the reference saver (vector/saver.py:24-100)."""
+    attribute columns → DBF C/N fields; ``crs`` token → .prj sidecar,
+    None to skip). Interchange sink — driver side, like the reference
+    saver (vector/saver.py:24-100)."""
     import struct
 
     base = path[:-4] if path.lower().endswith(".shp") else path
+    if crs is not None:
+        from pythongis_ray import raster as _raster
+        _raster.write_prj(base + ".prj", crs)
     pdf = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
     geoms = [None if b is None else wkb.decode(bytes(b))
              for b in pdf[geometry_col]]

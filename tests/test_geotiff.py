@@ -132,3 +132,19 @@ def test_small_nodata_ascii_roundtrip(tmp_path):
     raster.write_geotiff(p, a, (0.0, 1.0, 3.0, 1.0), nodata=0.0)
     _, meta = raster.read_geotiff(p)
     assert meta["nodata"] == 0.0
+
+
+def test_prj_sidecar_roundtrip(tmp_path):
+    """.prj write → read recognizes every engine CRS token."""
+    for crs in ("wgs84", "webmercator", "utm:31N", "utm:33S",
+                "laea:10,52"):
+        p = str(tmp_path / f"{crs.replace(':', '_').replace(',', '_')}.prj")
+        raster.write_prj(p, crs)
+        assert raster.read_prj(p) == crs
+    # a foreign CRS fails loudly instead of silently misprojecting
+    p = str(tmp_path / "foreign.prj")
+    with open(p, "w") as f:
+        f.write('PROJCS["NAD83 / Conus Albers",'
+                'PROJECTION["Albers_Conic_Equal_Area"]]')
+    with pytest.raises(ValueError):
+        raster.read_prj(p)
