@@ -1558,6 +1558,241 @@ def plan_salts(cell_counts: pd.DataFrame, rows_per_task: int = 50_000) -> dict[i
             for c, n in zip(hot["cell"], hot["n"])}
 
 
+def spatial_join_lines_shuffle(lines_ds, zones_ds,
+                               predicate: str = "intersects",
+                               res: int = DEFAULT_INDEX_RES,
+                               num_buckets: int = 64,
+                               rows_per_task: int = 50_000,
+                               geometry_col: str = "geometry",
+                               zone_geom_col: str = "geometry"):
+    """Shuffle spatial join for large×large LINE-left inputs — the
+    geometry-left extension of :func:`spatial_join_shuffle` (broadcast
+    line joins need the zone side in the object store; this path
+    shuffles both).
+
+    Phase 0 probes line COVER-cell counts → salt plan. Phase 1
+    explodes line bbox covers (one row per (line, cover cell), salted
+    on hot cells) and zone covers (replicated across salts). Phase 2
+    co-locates with one ``groupby(bucket)``; inside a bucket each
+    unique zone relates against its candidate-line cohort via the
+    batched flat kernels.
+
+    A (line, zone) pair shares possibly MANY cover cells and would be
+    emitted once per shared cell; instead of a dedup shuffle, each
+    pair is claimed only by its canonical cell — the smallest cell id
+    of the intersection of the two bbox covers, computed O(1) from
+    the two index ranges. Exactly-once emission with zero extra data
+    movement. (Covers assume no antimeridian-crossing bboxes, as
+    everywhere in the engine.)
+    """
+    if predicate not in ("intersects", "within", "crosses", "touches"):
+        raise ValueError(f"unsupported predicate {predicate!r}")
+    nx, ny = grid.cell_dims(res)
+    step = grid.cell_size_deg(res)
+
+    def cover_counts(batch: pa.Table) -> pd.DataFrame:
+        fb = _FlatBatch(batch[geometry_col], batch.num_rows)
+        if not len(fb.feat_ids):
+            return pd.DataFrame({"cell": np.empty(0, np.int64),
+                                 "n": np.empty(0, np.int64)})
+        _, cells = grid.bboxes_to_cells(fb.xmin, fb.ymin, fb.xmax,
+                                        fb.ymax, res=res)
+        u, c = np.unique(cells, return_counts=True)
+        return pd.DataFrame({"cell": u.view(np.int64),
+                             "n": c.astype(np.int64)})
+
+    from pythongis_ray.relational import bucketed_group_apply
+
+    parts = lines_ds.map_batches(cover_counts, batch_format="pyarrow",
+                                 batch_size=8192)
+    counts = bucketed_group_apply(
+        parts, ["cell"],
+        lambda b: b.groupby("cell", sort=False)["n"].sum()
+        .reset_index()).to_pandas()
+    counts["cell"] = counts["cell"].to_numpy().view(np.uint64)
+    salts = plan_salts(counts, rows_per_task)
+    salts_ref = ray.put(salts)
+
+    def _salt_factors(cells_i64: np.ndarray, salt_map) -> np.ndarray:
+        fac = np.ones(len(cells_i64), dtype=np.int64)
+        if salt_map:
+            hot = np.fromiter(salt_map.keys(), dtype=np.int64)
+            hfac = np.fromiter(salt_map.values(), dtype=np.int64)
+            order = np.argsort(hot)
+            hot, hfac = hot[order], hfac[order]
+            pos = np.clip(np.searchsorted(hot, cells_i64), 0, len(hot) - 1)
+            m = hot[pos] == cells_i64
+            fac[m] = hfac[pos[m]]
+        return fac
+
+    def key_lines(batch: pa.Table) -> pa.Table:
+        fb = _FlatBatch(batch[geometry_col], batch.num_rows)
+        if not len(fb.feat_ids):
+            empty = batch.slice(0, 0)
+            empty = empty.append_column("_cell", pa.array([], pa.int64()))
+            empty = empty.append_column("_bucket", pa.array([], pa.int64()))
+            return empty.append_column("_side", pa.array([], pa.int8()))
+        row_idx, cells = grid.bboxes_to_cells(fb.xmin, fb.ymin, fb.xmax,
+                                              fb.ymax, res=res)
+        salt_map = state.get_broadcast(salts_ref, key_extra=("lsalts",))
+        fac = _salt_factors(cells.view(np.int64), salt_map)
+        salt = (np.arange(len(cells), dtype=np.int64) % fac).astype(np.uint64)
+        out = batch.take(pa.array(fb.feat_ids[row_idx]))
+        bucket = ((cells * np.uint64(0x9E3779B97F4A7C15) + salt)
+                  % np.uint64(num_buckets)).astype(np.int64)
+        out = out.append_column("_cell", pa.array(cells.view(np.int64)))
+        out = out.append_column("_bucket", pa.array(bucket))
+        return out.append_column("_side",
+                                 pa.array(np.zeros(out.num_rows, np.int8)))
+
+    def explode_zones(batch: pa.Table) -> pa.Table:
+        geoms = batch[zone_geom_col].to_pylist()
+        salt_map = state.get_broadcast(salts_ref, key_extra=("lsalts",))
+        bb = np.array([wkb.bbox(bytes(g)) for g in geoms], np.float64) \
+            if geoms else np.empty((0, 4))
+        if len(bb) == 0:
+            empty = batch.slice(0, 0)
+            empty = empty.append_column("_cell", pa.array([], pa.int64()))
+            empty = empty.append_column("_bucket", pa.array([], pa.int64()))
+            return empty.append_column("_side", pa.array([], pa.int8()))
+        rws, cls = grid.bboxes_to_cells(bb[:, 0], bb[:, 1], bb[:, 2],
+                                        bb[:, 3], res=res)
+        fac = _salt_factors(cls.view(np.int64), salt_map)
+        rows_rep = np.repeat(rws, fac)
+        cells_np = np.repeat(cls, fac)
+        cum = np.concatenate(([0], np.cumsum(fac)[:-1]))
+        salts_np = (np.arange(int(fac.sum()), dtype=np.int64)
+                    - np.repeat(cum, fac)).astype(np.uint64)
+        out = batch.take(pa.array(rows_rep))
+        bucket = ((cells_np * np.uint64(0x9E3779B97F4A7C15) + salts_np)
+                  % np.uint64(num_buckets)).astype(np.int64)
+        out = out.append_column("_cell", pa.array(cells_np.view(np.int64)))
+        out = out.append_column("_bucket", pa.array(bucket))
+        return out.append_column("_side",
+                                 pa.array(np.ones(out.num_rows, np.int8)))
+
+    left_keyed = lines_ds.map_batches(key_lines, batch_format="pyarrow",
+                                      batch_size=8192)
+    right_keyed = zones_ds.map_batches(explode_zones, batch_format="pyarrow",
+                                       batch_size=4096)
+    lschema = getattr(left_keyed.schema(), "base_schema", left_keyed.schema())
+    rschema = getattr(right_keyed.schema(), "base_schema",
+                      right_keyed.schema())
+    lcols = set(lschema.names)
+    rcols = set(rschema.names)
+
+    def pad(missing, other_schema):
+        types = {m: other_schema.field(m).type for m in missing}
+
+        def fn(batch: pa.Table) -> pa.Table:
+            for m in sorted(missing):
+                batch = batch.append_column(
+                    m, pa.nulls(batch.num_rows, types[m]))
+            return batch
+        return fn
+
+    if rcols - lcols:
+        left_keyed = left_keyed.map_batches(pad(rcols - lcols, rschema),
+                                            batch_format="pyarrow")
+    if lcols - rcols:
+        right_keyed = right_keyed.map_batches(pad(lcols - rcols, lschema),
+                                              batch_format="pyarrow")
+    both = left_keyed.union(right_keyed)
+
+    zone_attr_cols = [c for c in zones_ds.schema().names
+                      if c != zone_geom_col]
+    left_cols = [c for c in lines_ds.schema().names]
+
+    def _ixy_ranges(xmin, ymin, xmax, ymax):
+        ix0 = np.floor((np.asarray(xmin) + 180.0) / step).astype(np.int64)
+        ix1 = np.floor((np.asarray(xmax) + 180.0) / step).astype(np.int64)
+        iy0 = np.clip(np.floor((np.asarray(ymin) + 90.0) / step)
+                      .astype(np.int64), 0, ny - 1)
+        iy1 = np.clip(np.floor((np.asarray(ymax) + 90.0) / step)
+                      .astype(np.int64), 0, ny - 1)
+        return ix0, ix1, iy0, iy1
+
+    def refine(group: pd.DataFrame) -> pd.DataFrame:
+        lns = group[group["_side"] == 0].reset_index(drop=True)
+        zns = group[group["_side"] == 1].reset_index(drop=True)
+        if len(lns) == 0 or len(zns) == 0:
+            return pd.DataFrame({c: [] for c in left_cols + zone_attr_cols})
+        fb = _FlatBatch(lns[geometry_col].to_numpy(), len(lns))
+        lx0, lx1, ly0, ly1 = _ixy_ranges(fb.xmin, fb.ymin, fb.xmax, fb.ymax)
+        lcell = lns["_cell"].to_numpy(np.int64)   # one row per cover cell
+        lorder = np.argsort(lcell, kind="stable")
+        lcell_s = lcell[lorder]
+        geo_first: dict[bytes, list[int]] = {}
+        for i, gb in enumerate(zns[zone_geom_col]):
+            geo_first.setdefault(bytes(gb), []).append(i)
+        outs = []
+        for gb, rows_idx in geo_first.items():
+            zcells = np.unique(zns["_cell"].to_numpy(np.int64)[rows_idx])
+            s0 = np.searchsorted(lcell_s, zcells, "left")
+            s1 = np.searchsorted(lcell_s, zcells, "right")
+            if (s1 - s0).sum() == 0:
+                continue
+            cand = np.concatenate([lorder[a:b]
+                                   for a, b in zip(s0, s1) if b > a])
+            g = wkb.decode(gb)
+            poly = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
+            zbx0, zby0, zbx1, zby1 = poly.bbox
+            zx0, zx1, zy0, zy1 = _ixy_ranges(zbx0, zby0, zbx1, zby1)
+            # canonical cell: smallest shared cover cell of the pair
+            # (pack order is iy-major, ix-minor)
+            loc = cand  # local feature pos == row index in lns (1 row
+            #             per cover cell; feat_ids may skip null rows)
+            # map cover rows to present-feature positions
+            pos = np.searchsorted(fb.feat_ids, loc)
+            sx0 = np.maximum(lx0[pos], zx0)
+            sy0 = np.maximum(ly0[pos], zy0)
+            can = grid.pack(res, sx0, sy0).view(np.int64)
+            keep = lcell[loc] == can
+            cand = cand[keep]
+            if not len(cand):
+                continue
+            pos = pos[keep]
+            gp, pgrp = fb.gather_points(pos)
+            gsa, gsb, sgrp = fb.gather_segments(pos)
+            contact, s_in, s_out, proper = \
+                algo.polylines_polygon_relate_flat(
+                    gp, pgrp, gsa, gsb, sgrp, len(pos), poly)
+            if predicate == "intersects":
+                m = contact
+            elif predicate == "within":
+                m = s_in & ~s_out & ~proper
+            elif predicate == "crosses":
+                m = proper | (s_in & s_out)
+            else:
+                m = contact & ~s_in & ~proper
+            hit = cand[m]
+            if len(hit):
+                zrow = zns.iloc[rows_idx[0]]
+                o = lns.iloc[hit][left_cols].reset_index(drop=True)
+                for c2 in zone_attr_cols:
+                    o[c2] = zrow[c2]
+                outs.append(o)
+        if not outs:
+            return pd.DataFrame({c: [] for c in left_cols + zone_attr_cols})
+        return pd.concat(outs, ignore_index=True)
+
+    joined = both.groupby("_bucket").map_groups(refine, batch_format="pandas")
+    out_fields = [lschema.field(c) for c in left_cols] + \
+        [rschema.field(c) for c in zone_attr_cols]
+    target = pa.schema(out_fields)
+
+    def cast_out(batch: pa.Table) -> pa.Table:
+        cols = []
+        for f in target:
+            col = batch[f.name]
+            if col.type != f.type:
+                col = pc.cast(col, f.type)
+            cols.append(col)
+        return pa.table(dict(zip(target.names, cols)), schema=target)
+
+    return joined.map_batches(cast_out, batch_format="pyarrow")
+
+
 def spatial_join_shuffle(points_ds, zones_ds, predicate: str = "intersects",
                          res: int = DEFAULT_INDEX_RES, num_buckets: int = 64,
                          rows_per_task: int = 50_000,

@@ -469,3 +469,43 @@ def test_line_clip_general_zone(ray_session):
                                       predicate="intersects",
                                       clip="difference").to_pandas()
     assert len(out2) == 1 and out2.clip_len.iloc[0] == 12.0
+
+
+def test_lines_shuffle_matches_broadcast(ray_session):
+    """The big-x-big line shuffle join must emit exactly the broadcast
+    join's pair set — once per pair (canonical-cell rule), across
+    multi-cell lines, hash-collided buckets and salted hot cells."""
+    import ray.data as rd
+
+    from pythongis_ray.geom import wkb
+
+    rng = np.random.default_rng(11)
+    n = 400
+    ax = rng.uniform(-60, 60, n).round(2)
+    ay = rng.uniform(-40, 40, n).round(2)
+    bx = (ax + rng.uniform(-15, 15, n)).round(2)
+    by = (ay + rng.uniform(-15, 15, n)).round(2)
+    lines = pd.DataFrame({
+        "lid": np.arange(n, dtype=np.int64),
+        "geometry": [wkb.encode_linestring(np.array([[x1, y1], [x2, y2]]))
+                     for x1, y1, x2, y2 in zip(ax, ay, bx, by)]})
+    zx = rng.uniform(-60, 60, 30).round(2)
+    zy = rng.uniform(-40, 40, 30).round(2)
+    zones = pd.DataFrame({
+        "zone_id": np.arange(30, dtype=np.int64),
+        "geometry": [wkb.encode_polygon([np.array(
+            [[x, y], [x + 8, y], [x + 8, y + 6], [x, y + 6], [x, y]])])
+            for x, y in zip(zx, zy)]})
+    for pred in ("intersects", "within", "crosses"):
+        want = spatial.spatial_join_lines(
+            rd.from_pandas(lines), zones, predicate=pred) \
+            .to_pandas()[["lid", "zone_id"]]
+        got = spatial.spatial_join_lines_shuffle(
+            rd.from_pandas(lines), rd.from_pandas(zones), predicate=pred,
+            num_buckets=16, rows_per_task=50) \
+            .to_pandas()[["lid", "zone_id"]]
+        a = set(map(tuple, want.to_numpy()))
+        b = set(map(tuple, got.to_numpy()))
+        assert a == b, (pred, len(a), len(b),
+                        list(a - b)[:5], list(b - a)[:5])
+        assert len(got) == len(b)       # exactly-once emission
