@@ -1278,6 +1278,25 @@ WHERE {_sql_seg_rect_intersects()}
 """
 
 
+def q_line_join_shuffle(sf_dir: str):
+    """Same join as line_join but through the large×large SHUFFLE
+    path (cover explosion + salted buckets + canonical-cell
+    exactly-once emission) — the driver-checked proof that both
+    plans agree bit-for-bit."""
+    import ray.data as _rd2
+
+    lines = lines_customer(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    out = spatial.spatial_join_lines_shuffle(
+        lines, _rd2.from_pandas(zones[["zone_id", "geometry"]]),
+        predicate="intersects", rows_per_task=20_000)
+    return out.select_columns(["ck", "zone_id"])
+
+
+def SQL_LINE_JOIN_SHUFFLE():
+    return SQL_LINE_JOIN()
+
+
 def q_line_crosses(sf_dir: str):
     """Line×polygon crosses: interior points on both sides of the zone
     boundary (fixture has no touch-degenerate contact, so crosses ≡
@@ -2209,6 +2228,7 @@ REGISTRY: dict[str, tuple] = {
     "rasterize_poly": (q_rasterize_poly, SQL_RASTERIZE_POLY),
     "rasterize_line": (q_rasterize_line, SQL_RASTERIZE_LINE),
     "knn_lines": (q_knn_lines, SQL_KNN_LINES),
+    "line_join_shuffle": (q_line_join_shuffle, SQL_LINE_JOIN_SHUFFLE),
     "poly_clip_diff": (q_poly_clip_diff, SQL_POLY_CLIP_DIFF),
     "poly_clip_union": (q_poly_clip_union, SQL_POLY_CLIP_UNION),
     "dissolve": (q_dissolve, SQL_DISSOLVE),

@@ -1559,25 +1559,47 @@ def plan_salts(cell_counts: pd.DataFrame, rows_per_task: int = 50_000) -> dict[i
 
 
 def spatial_join_lines_shuffle(lines_ds, zones_ds,
-                               predicate: str = "intersects",
-                               res: int = DEFAULT_INDEX_RES,
-                               num_buckets: int = 64,
-                               rows_per_task: int = 50_000,
-                               geometry_col: str = "geometry",
-                               zone_geom_col: str = "geometry"):
-    """Shuffle spatial join for large×large LINE-left inputs — the
+                               predicate: str = "intersects", **kw):
+    """Shuffle spatial join for large×large LINE-left inputs — see
+    :func:`_spatial_join_geoms_shuffle`."""
+    if predicate not in ("intersects", "within", "crosses", "touches"):
+        raise ValueError(f"unsupported predicate {predicate!r}")
+    return _spatial_join_geoms_shuffle(lines_ds, zones_ds, "lines",
+                                       predicate, **kw)
+
+
+def spatial_join_polygons_shuffle(left_ds, zones_ds,
+                                  predicate: str = "intersects", **kw):
+    """Shuffle spatial join for large×large POLYGON-left inputs — see
+    :func:`_spatial_join_geoms_shuffle`. Predicates: intersects |
+    overlaps (interiors-only, the reference touch exclusion)."""
+    if predicate not in ("intersects", "overlaps"):
+        raise ValueError(f"unsupported predicate {predicate!r}")
+    return _spatial_join_geoms_shuffle(left_ds, zones_ds, "polygons",
+                                       predicate, **kw)
+
+
+def _spatial_join_geoms_shuffle(lines_ds, zones_ds, geom_kind: str,
+                                predicate: str,
+                                res: int = DEFAULT_INDEX_RES,
+                                num_buckets: int = 64,
+                                rows_per_task: int = 50_000,
+                                geometry_col: str = "geometry",
+                                zone_geom_col: str = "geometry"):
+    """Shuffle spatial join for large×large GEOMETRY-left inputs — the
     geometry-left extension of :func:`spatial_join_shuffle` (broadcast
-    line joins need the zone side in the object store; this path
+    geometry joins need the zone side in the object store; this path
     shuffles both).
 
-    Phase 0 probes line COVER-cell counts → salt plan. Phase 1
-    explodes line bbox covers (one row per (line, cover cell), salted
-    on hot cells) and zone covers (replicated across salts). Phase 2
-    co-locates with one ``groupby(bucket)``; inside a bucket each
-    unique zone relates against its candidate-line cohort via the
-    batched flat kernels.
+    Phase 0 probes left COVER-cell counts → salt plan. Phase 1
+    explodes left bbox covers (one row per (feature, cover cell),
+    salted on hot cells) and zone covers (replicated across salts).
+    Phase 2 co-locates with one ``groupby(bucket)``; inside a bucket
+    each unique zone relates against its candidate cohort via the
+    batched flat kernels (polyline relate for lines; the
+    vertex/edge/probe polygon tests for polygons).
 
-    A (line, zone) pair shares possibly MANY cover cells and would be
+    A (left, zone) pair shares possibly MANY cover cells and would be
     emitted once per shared cell; instead of a dedup shuffle, each
     pair is claimed only by its canonical cell — the smallest cell id
     of the intersection of the two bbox covers, computed O(1) from
@@ -1585,8 +1607,6 @@ def spatial_join_lines_shuffle(lines_ds, zones_ds,
     movement. (Covers assume no antimeridian-crossing bboxes, as
     everywhere in the engine.)
     """
-    if predicate not in ("intersects", "within", "crosses", "touches"):
-        raise ValueError(f"unsupported predicate {predicate!r}")
     nx, ny = grid.cell_dims(res)
     step = grid.cell_size_deg(res)
 
@@ -1754,17 +1774,39 @@ def spatial_join_lines_shuffle(lines_ds, zones_ds,
             pos = pos[keep]
             gp, pgrp = fb.gather_points(pos)
             gsa, gsb, sgrp = fb.gather_segments(pos)
-            contact, s_in, s_out, proper = \
-                algo.polylines_polygon_relate_flat(
-                    gp, pgrp, gsa, gsb, sgrp, len(pos), poly)
-            if predicate == "intersects":
-                m = contact
-            elif predicate == "within":
-                m = s_in & ~s_out & ~proper
-            elif predicate == "crosses":
-                m = proper | (s_in & s_out)
+            if geom_kind == "lines":
+                contact, s_in, s_out, proper = \
+                    algo.polylines_polygon_relate_flat(
+                        gp, pgrp, gsa, gsb, sgrp, len(pos), poly)
+                if predicate == "intersects":
+                    m = contact
+                elif predicate == "within":
+                    m = s_in & ~s_out & ~proper
+                elif predicate == "crosses":
+                    m = proper | (s_in & s_out)
+                else:
+                    m = contact & ~s_in & ~proper
             else:
-                m = contact & ~s_in & ~proper
+                strict = predicate == "overlaps"
+                G = len(pos)
+                vmask = (poly.contains_points(gp[:, 0], gp[:, 1]) if strict
+                         else poly.covers_points(gp[:, 0], gp[:, 1]))
+                m = algo._any_per_group(vmask, pgrp, G)
+                touch_seg = np.zeros(len(gsa), dtype=bool)
+                proper_seg = np.zeros(len(gsa), dtype=bool)
+                for ring in poly.rings:
+                    algo._segments_vs_ring_accum(gsa, gsb, ring,
+                                                 touch_seg, proper_seg)
+                m |= algo._any_per_group(
+                    proper_seg if strict else touch_seg, sgrp, G)
+                un = np.flatnonzero(~m)
+                if len(un):
+                    usa, usb, usgrp = fb.gather_segments(pos[un])
+                    ring0 = poly.rings[0]
+                    q = ring0[:-1] if strict else ring0[:1]
+                    inside, _onb = algo.points_vs_flat_polygons(
+                        q[:, 0], q[:, 1], usa, usb, usgrp, len(un))
+                    m[un] |= inside.any(axis=0)
             hit = cand[m]
             if len(hit):
                 zrow = zns.iloc[rows_idx[0]]

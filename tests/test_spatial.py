@@ -509,3 +509,43 @@ def test_lines_shuffle_matches_broadcast(ray_session):
         assert a == b, (pred, len(a), len(b),
                         list(a - b)[:5], list(b - a)[:5])
         assert len(got) == len(b)       # exactly-once emission
+
+
+def test_polygons_shuffle_matches_broadcast(ray_session):
+    """Polygon-left big×big shuffle join == broadcast polygon join
+    for intersects and overlaps."""
+    import ray.data as rd
+
+    from pythongis_ray.geom import wkb
+
+    rng = np.random.default_rng(13)
+    n = 300
+    px = rng.uniform(-60, 60, n).round(2)
+    py = rng.uniform(-40, 40, n).round(2)
+    pw = rng.uniform(1, 12, n).round(2)
+    ph = rng.uniform(1, 10, n).round(2)
+    polys = pd.DataFrame({
+        "pid": np.arange(n, dtype=np.int64),
+        "geometry": [wkb.encode_polygon([np.array(
+            [[x, y], [x + w, y], [x + w, y + h], [x, y + h], [x, y]])])
+            for x, y, w, h in zip(px, py, pw, ph)]})
+    zx = rng.uniform(-60, 60, 25).round(2)
+    zy = rng.uniform(-40, 40, 25).round(2)
+    zones = pd.DataFrame({
+        "zone_id": np.arange(25, dtype=np.int64),
+        "geometry": [wkb.encode_polygon([np.array(
+            [[x, y], [x + 9, y], [x + 9, y + 7], [x, y + 7], [x, y]])])
+            for x, y in zip(zx, zy)]})
+    for pred in ("intersects", "overlaps"):
+        want = spatial.spatial_join_polygons(
+            rd.from_pandas(polys), zones, predicate=pred) \
+            .to_pandas()[["pid", "zone_id"]]
+        got = spatial.spatial_join_polygons_shuffle(
+            rd.from_pandas(polys), rd.from_pandas(zones), predicate=pred,
+            num_buckets=16, rows_per_task=40) \
+            .to_pandas()[["pid", "zone_id"]]
+        a = set(map(tuple, want.to_numpy()))
+        b = set(map(tuple, got.to_numpy()))
+        assert a == b, (pred, len(a), len(b),
+                        list(a - b)[:5], list(b - a)[:5])
+        assert len(got) == len(b)
