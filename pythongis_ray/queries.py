@@ -1545,6 +1545,58 @@ FROM r WHERE nn_rank <= 2
 """
 
 
+def q_dwithin_lines(sf_dir: str):
+    """Distance join of customer points against the part-derived line
+    layer: all segments within 2.0 planar degrees (reference
+    spatial_join distance+radius on any geometry; non-point analog of
+    dwithin). Same bit-exact single-division distance kernel as
+    knn_lines."""
+    from pythongis_ray.geom import wkb as _wkb
+
+    cpts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+    pp = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    sid = pp["p_partkey"].to_numpy().astype(np.int64) * 8 + 7
+    ix, iy = fixtures.geocode_units(sid)
+    ax, ay = fixtures.units_to_deg(ix, iy)
+    bx, _ = fixtures.units_to_deg(ix + 8000, iy)
+    geoms = [_wkb.encode_linestring(np.array([[x1, y1], [x2, y1]]))
+             for x1, y1, x2 in zip(ax, ay, bx)]
+    right = pd.DataFrame({"sid": sid, "geometry": geoms})
+    out = spatial.radius_join_geoms(cpts, right, radius=2.0, id_col="sid")
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["ck", "nn_id", "nn_dist_sq"]].copy()
+        b.columns = ["ck", "sid", "dist_sq"]
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+def SQL_DWITHIN_LINES():
+    return f"""
+WITH cpts AS ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")}),
+     sraw AS ({_sql_keyed_points("part", "p_partkey", 8, 7, "sid")}),
+     seg AS (
+  SELECT sid, lon AS axx, lat AS ayy,
+         (ix + 8000) / 1024.0 - 180.0 AS bxx, lat AS byy
+  FROM sraw),
+     d AS (
+  SELECT c.ck, s.sid,
+         CASE
+           WHEN (c.lon - axx) * (bxx - axx) + (c.lat - ayy) * (byy - ayy) <= 0
+             THEN (c.lon - axx) * (c.lon - axx) + (c.lat - ayy) * (c.lat - ayy)
+           WHEN (c.lon - axx) * (bxx - axx) + (c.lat - ayy) * (byy - ayy)
+                >= (bxx - axx) * (bxx - axx) + (byy - ayy) * (byy - ayy)
+             THEN (c.lon - bxx) * (c.lon - bxx) + (c.lat - byy) * (c.lat - byy)
+           ELSE ((c.lon - axx) * (byy - ayy) - (c.lat - ayy) * (bxx - axx))
+                * ((c.lon - axx) * (byy - ayy) - (c.lat - ayy) * (bxx - axx))
+                / ((bxx - axx) * (bxx - axx) + (byy - ayy) * (byy - ayy))
+         END AS dist_sq
+  FROM cpts c CROSS JOIN seg s)
+SELECT ck, sid, dist_sq FROM d WHERE dist_sq <= 4.0
+"""
+
+
 def q_poly_clip_diff(sf_dir: str):
     """Polygon×polygon DIFFERENCE overlay (left − zone) via the exact
     rational slab-sweep overlay kernel (reference difference branch,
@@ -2229,6 +2281,7 @@ REGISTRY: dict[str, tuple] = {
     "rasterize_line": (q_rasterize_line, SQL_RASTERIZE_LINE),
     "knn_lines": (q_knn_lines, SQL_KNN_LINES),
     "line_join_shuffle": (q_line_join_shuffle, SQL_LINE_JOIN_SHUFFLE),
+    "dwithin_lines": (q_dwithin_lines, SQL_DWITHIN_LINES),
     "poly_clip_diff": (q_poly_clip_diff, SQL_POLY_CLIP_DIFF),
     "poly_clip_union": (q_poly_clip_union, SQL_POLY_CLIP_UNION),
     "dissolve": (q_dissolve, SQL_DISSOLVE),

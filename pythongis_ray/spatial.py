@@ -1496,6 +1496,85 @@ class GridKnnGeomJoiner:
         return out
 
 
+class RadiusGeomJoiner(GridKnnGeomJoiner):
+    """Distance join against a line/polygon layer: all right features
+    within ``radius`` (planar degrees) of each left point — the
+    non-point extension of :class:`RadiusJoiner` (reference
+    `spatial_join` distance+radius on any geometry,
+    /root/reference/pythongis/vector/manager.py:268-379). One fixed
+    Chebyshev ring covers the radius; exact per-feature min d² ≤ r²
+    filter."""
+
+    def __init__(self, right_ref, radius: float, **kw):
+        super().__init__(right_ref, k=1, **kw)
+        self.radius = float(radius)
+        self.r_cells = int(np.ceil(self.radius / self.cell_deg)) + 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        pt, sj = self._ring_candidates(lon, lat, self.r_cells)
+        if len(pt):
+            d2 = algo.points_to_segments_sq_pairwise(
+                lon[pt], lat[pt], self.A[sj, 0], self.A[sj, 1],
+                self.B[sj, 0], self.B[sj, 1])
+            rid = self.seg_rid[sj]
+            if self.polygons:
+                feats = self.seg_feat[sj]
+                pos = d2 > 0
+                for f in np.unique(feats[pos]):
+                    m_ = pos & (feats == f)
+                    cov = self.polys[f].covers_points(lon[pt[m_]],
+                                                      lat[pt[m_]])
+                    d2[np.flatnonzero(m_)[cov]] = 0.0
+            order = np.lexsort((d2, rid, pt))
+            pt_s, rid_s, d2_s = pt[order], rid[order], d2[order]
+            first = np.r_[True, (pt_s[1:] != pt_s[:-1])
+                          | (rid_s[1:] != rid_s[:-1])]
+            keep = first & (d2_s <= self.radius * self.radius)
+            pt_k, rid_k, d2_k = pt_s[keep], rid_s[keep], d2_s[keep]
+        else:
+            pt_k = rid_k = np.empty(0, np.int64)
+            d2_k = np.empty(0)
+        out = batch.take(pa.array(pt_k))
+        out = out.append_column(self.out_prefix + "id", pa.array(rid_k))
+        out = out.append_column(self.out_prefix + "dist_sq",
+                                pa.array(d2_k))
+        id_order = np.argsort(self.rid, kind="stable")
+        pos_of = id_order[np.searchsorted(self.rid[id_order], rid_k)]
+        for name, arr in self.rattrs.items():
+            out = out.append_column(self.out_prefix + name,
+                                    pa.array(arr[pos_of]))
+        return out
+
+
+def radius_join_geoms(points_ds, right: pd.DataFrame, radius: float,
+                      id_col: str = "id", geometry_col: str = "geometry",
+                      lon_col: str = "lon", lat_col: str = "lat",
+                      out_prefix: str = "nn_", batch_size: int = 4096,
+                      polygons: bool = False):
+    """All right line/polygon features within ``radius`` of each left
+    point (broadcast right side)."""
+    payload = {"geoms": [bytes(b) for b in right[geometry_col]],
+               "id": right[id_col].to_numpy()}
+    for c in right.columns:
+        if c not in (geometry_col, id_col):
+            payload[c] = right[c].to_numpy()
+    ref = ray.put(payload)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        joiner = state.get_broadcast(
+            ref, builder=lambda rp: RadiusGeomJoiner(
+                rp, radius, lon_col=lon_col, lat_col=lat_col,
+                out_prefix=out_prefix, polygons=polygons),
+            key_extra=("radg", radius, lon_col, lat_col, out_prefix,
+                       polygons))
+        return joiner(batch)
+
+    return points_ds.map_batches(fn, batch_format="pyarrow",
+                                 batch_size=batch_size)
+
+
 def knn_join_geoms(points_ds, right: pd.DataFrame, k: int = 1,
                    id_col: str = "id", geometry_col: str = "geometry",
                    lon_col: str = "lon", lat_col: str = "lat",

@@ -549,3 +549,50 @@ def test_polygons_shuffle_matches_broadcast(ray_session):
         assert a == b, (pred, len(a), len(b),
                         list(a - b)[:5], list(b - a)[:5])
         assert len(got) == len(b)
+
+
+def test_radius_join_geoms_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray.geom import algo, wkb
+
+    rng = np.random.default_rng(17)
+    lines = []
+    for i in range(30):
+        pts = rng.uniform(-20, 20, (int(rng.integers(2, 4)), 2)).round(2)
+        lines.append(wkb.encode_linestring(pts))
+    right = pd.DataFrame({"lid": np.arange(30, dtype=np.int64),
+                          "geometry": lines})
+    px = rng.uniform(-25, 25, 200).round(2)
+    py = rng.uniform(-25, 25, 200).round(2)
+    left = pd.DataFrame({"pid": np.arange(200, dtype=np.int64),
+                         "lon": px, "lat": py})
+    R = 3.0
+    out = spatial.radius_join_geoms(rd.from_pandas(left), right, radius=R,
+                                    id_col="lid").to_pandas()
+    A, B, F = [], [], []
+    for i, b in enumerate(lines):
+        g = wkb.decode(b)["rings"][0]
+        A.append(g[:-1])
+        B.append(g[1:])
+        F.append(np.full(len(g) - 1, i))
+    A, B, F = np.vstack(A), np.vstack(B), np.concatenate(F)
+    got = set(map(tuple, out[["pid", "nn_id"]].to_numpy()))
+    want = set()
+    for p in range(200):
+        d2 = algo.points_to_segments_sq_pairwise(
+            np.full(len(A), px[p]), np.full(len(A), py[p]),
+            A[:, 0], A[:, 1], B[:, 0], B[:, 1])
+        per = np.full(30, np.inf)
+        np.minimum.at(per, F, d2)
+        for f in np.flatnonzero(per <= R * R):
+            want.add((p, f))
+    assert got == want
+    # reported distance is the exact per-feature min
+    for _, row in out.iterrows():
+        d2 = algo.points_to_segments_sq_pairwise(
+            np.full(len(A), row.lon), np.full(len(A), row.lat),
+            A[:, 0], A[:, 1], B[:, 0], B[:, 1])
+        per = np.full(30, np.inf)
+        np.minimum.at(per, F, d2)
+        assert row.nn_dist_sq == per[int(row.nn_id)]
