@@ -57,11 +57,12 @@ def run_benchmarks() -> dict:
         .map_batches(_warm, batch_size=1).count()
 
     def timed(name, fn):
-        # best-of-2 per stage: this VM's host-level memory-bandwidth
-        # noise produces 2-4x outliers on single runs; min is the
-        # standard robust estimator of machine capability
+        # best-of-3 per stage: this VM's host-level memory-bandwidth
+        # noise produces 2-4x outliers on single runs (and sometimes
+        # back-to-back pairs); min is the standard robust estimator
+        # of machine capability under external noise
         best, out = None, None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             out = fn()
             dt = time.monotonic() - t0

@@ -954,7 +954,10 @@ def dissolve(ds, keys, geometry_col: str = "geometry",
     rational slab-decomposition union (geom.union — GEOS-free
     cascaded_union equivalent for measures; see its docstring for the
     geometry-output contract). Emits MultiPolygon + ``union_area`` +
-    ``n_parts``.
+    ``n_parts``. NOTE on ``n_parts`` semantics: the rect fast path
+    counts the DISJOINT-RECT DECOMPOSITION (oracle-locked legacy);
+    the general path counts CONNECTED COMPONENTS (shapely
+    semantics) — identical whenever the rects don't overlap/abut.
     ``geomfunc='intersection'``: common rect of the group (max of
     mins / min of maxes); groups with empty intersection are dropped;
     emits Polygon + ``inter_area``.
@@ -1664,7 +1667,8 @@ def _spatial_join_geoms_shuffle(lines_ds, zones_ds, geom_kind: str,
                                 num_buckets: int = 64,
                                 rows_per_task: int = 50_000,
                                 geometry_col: str = "geometry",
-                                zone_geom_col: str = "geometry"):
+                                zone_geom_col: str = "geometry",
+                                checkpoint_dir: str | None = None):
     """Shuffle spatial join for large×large GEOMETRY-left inputs — the
     geometry-left extension of :func:`spatial_join_shuffle` (broadcast
     geometry joins need the zone side in the object store; this path
@@ -1797,6 +1801,28 @@ def _spatial_join_geoms_shuffle(lines_ds, zones_ds, geom_kind: str,
         right_keyed = right_keyed.map_batches(pad(lcols - rcols, lschema),
                                               batch_format="pyarrow")
     both = left_keyed.union(right_keyed)
+
+    if checkpoint_dir is not None:
+        # materialized, resumable stage boundary between phase 1 and
+        # the refine shuffle (same contract as spatial_join_shuffle)
+        from pythongis_ray import checkpoint as ckpt
+
+        def add_key(batch: pa.Table) -> pa.Table:
+            return batch.append_column("_ckpt_key", batch["_bucket"])
+
+        ckpt.write_partitioned(
+            both.map_batches(add_key, batch_format="pyarrow"),
+            checkpoint_dir, key_col="_ckpt_key",
+            num_partitions=num_buckets, resume=True)
+        import ray.data as rd
+
+        def strip_ckpt_cols(b: pa.Table) -> pa.Table:
+            drop = [c for c in ("_ckpt_key", "_part", "part")
+                    if c in b.column_names]
+            return b.drop_columns(drop)
+
+        both = rd.read_parquet(checkpoint_dir) \
+            .map_batches(strip_ckpt_cols, batch_format="pyarrow")
 
     zone_attr_cols = [c for c in zones_ds.schema().names
                       if c != zone_geom_col]

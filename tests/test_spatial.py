@@ -596,3 +596,43 @@ def test_radius_join_geoms_matches_bruteforce(ray_session):
         per = np.full(30, np.inf)
         np.minimum.at(per, F, d2)
         assert row.nn_dist_sq == per[int(row.nn_id)]
+
+
+def test_lines_shuffle_checkpoint_resume(ray_session, tmp_path):
+    """Killing after the phase-1 checkpoint and re-running with the
+    same dir reproduces the identical pair set (resume skips the
+    completed partitions)."""
+    import ray.data as rd
+
+    from pythongis_ray.geom import wkb
+
+    rng = np.random.default_rng(21)
+    n = 120
+    ax = rng.uniform(-40, 40, n).round(2)
+    ay = rng.uniform(-30, 30, n).round(2)
+    lines = pd.DataFrame({
+        "lid": np.arange(n, dtype=np.int64),
+        "geometry": [wkb.encode_linestring(
+            np.array([[x, y], [x + 6, y + 4]]))
+            for x, y in zip(ax, ay)]})
+    zones = pd.DataFrame({
+        "zone_id": np.arange(10, dtype=np.int64),
+        "geometry": [wkb.encode_polygon([np.array(
+            [[x, y], [x + 12, y], [x + 12, y + 9], [x, y + 9], [x, y]])])
+            for x, y in zip(rng.uniform(-40, 40, 10).round(2),
+                            rng.uniform(-30, 30, 10).round(2))]})
+    ck = str(tmp_path / "ck")
+    first = spatial.spatial_join_lines_shuffle(
+        rd.from_pandas(lines), rd.from_pandas(zones), num_buckets=8,
+        checkpoint_dir=ck).to_pandas()
+    # second run resumes from the existing checkpoint
+    second = spatial.spatial_join_lines_shuffle(
+        rd.from_pandas(lines), rd.from_pandas(zones), num_buckets=8,
+        checkpoint_dir=ck).to_pandas()
+    a = sorted(map(tuple, first[["lid", "zone_id"]].to_numpy()))
+    b = sorted(map(tuple, second[["lid", "zone_id"]].to_numpy()))
+    assert a == b
+    want = spatial.spatial_join_lines(
+        rd.from_pandas(lines), zones).to_pandas()
+    c = sorted(map(tuple, want[["lid", "zone_id"]].to_numpy()))
+    assert a == c
