@@ -98,7 +98,15 @@ def pages_dataset(sf_dir: str, replicate: int = 1, geocode: bool = True,
     ds = ds.map_batches(lambda b: synthesize_pages(b, replicate),
                         batch_format="pyarrow", batch_size=bs)
     if geocode:
-        ds = ds.map_batches(geocode_pages, batch_format="pyarrow", batch_size=8192)
+        # batch_size=None → one batch per upstream block. Ray fuses
+        # the map chain and bundles INPUT blocks to satisfy the
+        # LARGEST requested batch size in the chain: a fixed 8192
+        # here swallowed the whole sf0.1 input into ONE task
+        # (5000 docs < 8192), serializing everything on one core.
+        # With None, bundling follows the synthesis batch (bs input
+        # docs → bs×replicate pages ≈ 8k-row natural batches).
+        ds = ds.map_batches(geocode_pages, batch_format="pyarrow",
+                            batch_size=None)
     if columns:
         ds = ds.select_columns(columns)
     return ds

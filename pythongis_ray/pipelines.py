@@ -90,21 +90,32 @@ def flagship(sf_dir: str, replicate: int = 1, how: str = "inner"):
                              "pp": cnt[hit].astype(np.int64),
                              "pt": tok[hit].astype(np.int64)})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
-    agg = parts.groupby(["zone_idx", "lang"]).aggregate(
-        Sum("pp", alias_name="n_pages"), Sum("pt", alias_name="sum_tokens"))
+    # batch_size=None: one batch per upstream block, so the fused
+    # chain's task bundling follows the synthesis batch size (a fixed
+    # batch here would re-bundle the small doc input into one task —
+    # see pages.pages_dataset)
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    # two-level aggregate: the per-batch partials above are already
+    # combined, so the final combine input is a BOUNDED
+    # (batches × zones × langs) table — pull it and reduce vectorized
+    # on the driver (Ray 2.49's sort-based aggregate costs seconds
+    # even at 125 keys; at cluster scale this final table is
+    # tasks × keys rows, the canonical two-level-agg driver load)
+    pdf = parts.to_pandas()
+    agg = (pdf.groupby(["zone_idx", "lang"], sort=True)[["pp", "pt"]]
+           .sum().reset_index())
 
     zid = zones["zone_id"].to_numpy(np.int64)
     zname = zones["name"].to_numpy()
+    zi = agg["zone_idx"].to_numpy(np.int64)
+    out = pd.DataFrame({"zone_id": zid[zi], "name": zname[zi],
+                        "lang": agg["lang"],
+                        "n_pages": agg["pp"].astype(np.int64),
+                        "sum_tokens": agg["pt"].astype(np.int64)})
+    import ray.data as rd
 
-    def attach(b: pd.DataFrame) -> pd.DataFrame:
-        zi = b["zone_idx"].to_numpy(np.int64)
-        return pd.DataFrame({"zone_id": zid[zi], "name": zname[zi],
-                             "lang": b["lang"],
-                             "n_pages": b["n_pages"].astype(np.int64),
-                             "sum_tokens": b["sum_tokens"].astype(np.int64)})
-
-    return agg.map_batches(attach, batch_format="pandas")
+    return rd.from_pandas(out)
 
 
 def flagship_wide_rejoin(sf_dir: str, replicate: int = 1):

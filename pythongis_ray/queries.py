@@ -800,12 +800,16 @@ def fused_geocode_zonal(sf_dir: str, replicate: int = 1,
                              "pcnt": pcnt[m].astype(np.int64)})
 
     parts = ds.map_batches(fused, batch_format="pyarrow", batch_size=batch_size)
-    agg = parts.groupby("zone_idx").aggregate(
-        Sum("psum", alias_name="sum_val"), Sum("pcnt", alias_name="cnt"))
-    out = agg.to_pandas()
-    out.insert(0, "zone_id",
-               zones["zone_id"].to_numpy()[out["zone_idx"].to_numpy()])
-    return out.drop(columns=["zone_idx"]).sort_values("zone_id") \
+    # two-level aggregate: per-batch partials → bounded
+    # (batches × 25 zones) driver reduce (Ray's sort aggregate costs
+    # ~seconds even at 25 keys; exact int sums are order-free)
+    pdf = parts.to_pandas()
+    agg = pdf.groupby("zone_idx", sort=True)[["psum", "pcnt"]].sum() \
+        .reset_index()
+    agg.columns = ["zone_idx", "sum_val", "cnt"]
+    agg.insert(0, "zone_id",
+               zones["zone_id"].to_numpy()[agg["zone_idx"].to_numpy()])
+    return agg.drop(columns=["zone_idx"]).sort_values("zone_id") \
         .reset_index(drop=True)
 
 
