@@ -1040,10 +1040,13 @@ def zonal_statistics(tiles_ds, zones: pd.DataFrame, t: int = TILE):
         return st(batch)
 
     parts = tiles_ds.map_batches(partial_fn, batch_format="pandas", batch_size=64)
-    agg = parts.groupby("zone_idx").aggregate(
-        Sum("psum", alias_name="sum_val"), Sum("pcnt", alias_name="cnt"),
-        Min("pmin", alias_name="min_val"), Max("pmax", alias_name="max_val"))
-    out = agg.to_pandas()
+    # two-level aggregate: bounded (batches × zones) partial table →
+    # one vectorized driver reduce (Ray's sort aggregate costs
+    # seconds even at tens of keys)
+    pdf = parts.to_pandas()
+    out = pdf.groupby("zone_idx", sort=True).agg(
+        sum_val=("psum", "sum"), cnt=("pcnt", "sum"),
+        min_val=("pmin", "min"), max_val=("pmax", "max")).reset_index()
     zid = zones["zone_id"].to_numpy()
     out.insert(0, "zone_id", zid[out["zone_idx"].to_numpy()])
     out = out.drop(columns=["zone_idx"])

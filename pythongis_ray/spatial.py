@@ -397,13 +397,12 @@ def spatial_agg(points_ds, zones: pd.DataFrame, value_col: str,
 
     partials = points_ds.map_batches(partial_fn, batch_format="pyarrow",
                                      batch_size=65536)
-    agg = partials.groupby("zone_idx").aggregate(
-        Sum("psum", alias_name="sum_val"),
-        Sum("pcnt", alias_name="cnt"),
-        Min("pmin", alias_name="min_val"),
-        Max("pmax", alias_name="max_val"),
-    )
-    out = agg.to_pandas()
+    # two-level aggregate: bounded (batches × zones) table → one
+    # vectorized driver reduce (exact int sums are order-free)
+    pdf = partials.to_pandas()
+    out = pdf.groupby("zone_idx", sort=True).agg(
+        sum_val=("psum", "sum"), cnt=("pcnt", "sum"),
+        min_val=("pmin", "min"), max_val=("pmax", "max")).reset_index()
     zid = zones[zone_id_col].to_numpy()
     out.insert(0, zone_id_col, zid[out["zone_idx"].to_numpy()])
     out = out.drop(columns=["zone_idx"])
