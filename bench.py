@@ -181,7 +181,12 @@ def run_benchmarks() -> dict:
 
 SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "4"))
 SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-SCALE_REPLICATE = int(os.environ.get("GRAFT_SCALE_REPLICATE", "128"))
+# 256: the fused headline got ~2x faster in round 3 (two-level
+# aggregate + chunked big tasks), so the job size doubles to keep
+# W >> the ~0.5-1 s fixed pipeline setup that would otherwise
+# dominate the 16-cpu leg (Amdahl; a scaling measurement of the
+# ENGINE must not be a measurement of executor startup)
+SCALE_REPLICATE = int(os.environ.get("GRAFT_SCALE_REPLICATE", "256"))
 
 
 def run_headline() -> dict:

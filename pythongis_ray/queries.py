@@ -766,23 +766,23 @@ def fused_geocode_zonal(sf_dir: str, replicate: int = 1,
     from ray.data.aggregate import Sum
 
     if batch_size is None:
-        # hold per-task output near 128k points regardless of replicate
-        # (large fresh numpy temporaries hit this sandbox's mmap/page-
-        # fault tax; ~10 MB working sets stay in the allocator's reuse
-        # pool — see CLAUDE.md)
-        batch_size = max(256, 131072 // max(1, replicate))
+        # FEW, BIG tasks: per-task dispatch costs ~4 ms of driver-side
+        # serial time on this VM, so hundreds of tasks add seconds of
+        # non-scaling overhead. Large batches are safe because the
+        # kernel below chunks INTERNALLY at ~128k points — repeated
+        # same-size allocations migrate into glibc's heap reuse pool
+        # after the first chunks, dodging the first-touch fault tax
+        # that made one huge flat allocation slow (see CLAUDE.md).
+        batch_size = 8192
+    chunk_rows = max(256, 131072 // max(1, replicate))
     zones = pipelines.load_zones(sf_dir)
     index = spatial.ZoneIndex.from_pandas(zones[["zone_id", "geometry"]])
     ref = ray.put(index)
     ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_linenumber", "l_quantity"])
 
-    def fused(batch: pa.Table) -> pd.DataFrame:
-        idx: spatial.ZoneIndex = _state.get_broadcast(ref, key_extra=("fz",))
-        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def _chunk(idx, ok, ln, qty, psum_acc, pcnt_acc):
         pk = ok * 8 + ln
-        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
         if replicate > 1:
             i2 = np.repeat(np.arange(len(pk), dtype=np.int64), replicate)
             rep = np.tile(np.arange(replicate, dtype=np.int64), len(pk))
@@ -792,8 +792,20 @@ def fused_geocode_zonal(sf_dir: str, replicate: int = 1,
         lon, lat = fixtures.units_to_deg(ix, iy)
         pidx, zidx = idx.match_points(lon, lat, "within")
         nz = idx.n_zones()
-        psum = np.bincount(zidx, weights=qty[pidx], minlength=nz)
-        pcnt = np.bincount(zidx, minlength=nz)
+        psum_acc += np.bincount(zidx, weights=qty[pidx], minlength=nz)
+        pcnt_acc += np.bincount(zidx, minlength=nz)
+
+    def fused(batch: pa.Table) -> pd.DataFrame:
+        idx: spatial.ZoneIndex = _state.get_broadcast(ref, key_extra=("fz",))
+        nz = idx.n_zones()
+        ok_a = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln_a = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty_a = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        psum = np.zeros(nz, np.float64)
+        pcnt = np.zeros(nz, np.int64)
+        for s in range(0, len(ok_a), chunk_rows):
+            e = min(len(ok_a), s + chunk_rows)
+            _chunk(idx, ok_a[s:e], ln_a[s:e], qty_a[s:e], psum, pcnt)
         m = pcnt > 0
         return pd.DataFrame({"zone_idx": np.flatnonzero(m).astype(np.int64),
                              "psum": psum[m].astype(np.int64),
