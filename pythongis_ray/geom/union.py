@@ -63,18 +63,38 @@ def _edges_of(layers):
 
 def _crossing_xs(edges, xs):
     """Add every pairwise edge-crossing x (strictly inside both
-    x-ranges) to the slab boundary set."""
+    x-ranges) to the slab boundary set. A vectorized float bbox
+    prefilter narrows the O(E²) pair set before any exact Fraction
+    work (floats bound the rationals exactly here — the endpoints ARE
+    floats), so groups with hundreds of edges stay fast."""
     n = len(edges)
+    if n < 2:
+        return xs
+    fx0 = np.array([float(e[0]) for e in edges])
+    fx1 = np.array([float(e[2]) for e in edges])
+    fy_lo = np.array([min(float(e[1]), float(e[3])) for e in edges])
+    fy_hi = np.array([max(float(e[1]), float(e[3])) for e in edges])
+    slopes = [None] * n
     for i in range(n):
+        cand = np.flatnonzero(
+            (np.minimum(fx1[i], fx1[i + 1:]) > np.maximum(fx0[i], fx0[i + 1:]))
+            & (fy_lo[i] <= fy_hi[i + 1:]) & (fy_lo[i + 1:] <= fy_hi[i])
+        ) + i + 1
+        if not len(cand):
+            continue
         ax0, ay0, ax1, ay1 = edges[i][:4]
-        si = (ay1 - ay0) / (ax1 - ax0)
-        for j in range(i + 1, n):
+        if slopes[i] is None:
+            slopes[i] = (ay1 - ay0) / (ax1 - ax0)
+        si = slopes[i]
+        for j in cand:
             bx0, by0, bx1, by1 = edges[j][:4]
             lo = max(ax0, bx0)
             hi = min(ax1, bx1)
             if hi <= lo:
                 continue
-            sj = (by1 - by0) / (bx1 - bx0)
+            if slopes[j] is None:
+                slopes[j] = (by1 - by0) / (bx1 - bx0)
+            sj = slopes[j]
             if si == sj:
                 continue
             x = (by0 - ay0 + si * ax0 - sj * bx0) / (si - sj)
