@@ -203,3 +203,55 @@ def test_line_predicate_partition(ax, ay, bx, by):
         assert inter and not within
     if touches:
         assert inter and not within and not crosses
+
+
+# ---------------------------------------------- overlay algebra invariants
+
+_rect_vals = st.integers(min_value=-40, max_value=40)
+
+
+def _rects_strategy(n_max):
+    return st.lists(
+        st.tuples(_rect_vals, _rect_vals,
+                  st.integers(min_value=1, max_value=12),
+                  st.integers(min_value=1, max_value=12)),
+        min_size=1, max_size=n_max)
+
+
+def _as_polys(rects):
+    out = []
+    for x, y, w, h in rects:
+        out.append([np.array([[x, y], [x + w, y], [x + w, y + h],
+                              [x, y + h], [x, y]], np.float64)])
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(_rects_strategy(4), _rects_strategy(4))
+def test_overlay_inclusion_exclusion(ra, rb):
+    """area(A∪B) + area(A∩B) == area(A) + area(B), and
+    area(A−B) == area(A) − area(A∩B) — exact (integer rects)."""
+    from pythongis_ray.geom import union as gu
+
+    A, B = _as_polys(ra), _as_polys(rb)
+    a_area, _ = gu.union_polygons_exact(A)
+    b_area, _ = gu.union_polygons_exact(B)
+    u_area, _ = gu.overlay_exact(A, B, "union")
+    i_area, _ = gu.overlay_exact(A, B, "intersection")
+    d_area, _ = gu.overlay_exact(A, B, "difference")
+    assert u_area + i_area == a_area + b_area
+    assert d_area == a_area - i_area
+
+
+@settings(max_examples=60, deadline=None)
+@given(_rects_strategy(5))
+def test_union_matches_rect_sweep(rects):
+    """General slab-sweep union area == the axis-rect sweep's area on
+    pure rect inputs."""
+    from pythongis_ray.geom import union as gu
+
+    polys = _as_polys(rects)
+    a, _ = gu.union_polygons_exact(polys)
+    want, _ = algo.union_rects(np.array(
+        [[x, y, x + w, y + h] for x, y, w, h in rects], np.float64))
+    assert a == want
