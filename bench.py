@@ -278,11 +278,20 @@ def run_scaling() -> dict:
         })
     effs = sorted(p["eff"] for p in pairs)
     median_eff = effs[len(effs) // 2]
+    # capability efficiency: best wall per LEVEL across all pairs —
+    # min wall is the standard robust estimator under one-sided
+    # external noise (a contended window can only slow a leg, never
+    # speed it), so this is the machine-capability ratio while the
+    # median above is the conservative repeated-measurement number
+    best_lo = min(p[f"sec_{SCALE_LO}"] for p in pairs)
+    best_hi = min(p[f"sec_{SCALE_HI}"] for p in pairs)
     return {
         "metric": f"scaling efficiency ({SCALE_LO} vs {SCALE_HI} cpus, fused "
                   f"spatial join+aggregate over {lo['matched_points']} matched points; "
                   f"median of {n_pairs} consecutive pairs)",
         "scaling_efficiency": median_eff,
+        "capability_efficiency": round(
+            (best_lo / best_hi) / (SCALE_HI / SCALE_LO), 3),
         "eff_spread": [effs[0], effs[-1]],
         "pairs": pairs,
     }
