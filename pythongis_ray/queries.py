@@ -2033,6 +2033,68 @@ FROM (SELECT event_id, user_id, ts,
 """
 
 
+def q_asof_orders(sf_dir: str):
+    """As-of join: each event picks the user's most recent order at or
+    before the event time (distributed merge_asof; DuckDB ASOF JOIN is
+    the oracle). Right side pre-deduped to max orderkey per
+    (custkey, orderdate) so ties are deterministic in both engines."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+    od = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    out = rel.asof_join(ev, od, left_on="ts", right_on="o_orderdate",
+                        left_by="user_id", right_by="o_custkey",
+                        right_cols=["o_orderkey"], tie_cols=["o_orderkey"],
+                        how="inner")
+    return out.select_columns(["event_id", "user_id", "o_orderkey"])
+
+
+SQL_ASOF_ORDERS = """
+WITH od AS (SELECT o_custkey, o_orderdate,
+                   max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, od.o_orderkey
+FROM events e ASOF JOIN od
+  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+"""
+
+
+def q_interval_events(sf_dir: str):
+    """Range (interval) join: every non-purchase event landing inside a
+    same-user purchase's 1-hour attribution window — the 1-D analogue
+    of the spatial cell join, matched per key by a vectorized
+    lexicographic-merge range scan."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "event_type"])
+    left = ev.filter(expr="event_type != 'purchase'") \
+        .select_columns(["event_id", "user_id", "ts"])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], "purchase")
+        b = batch.filter(m)
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table({"user_id": b["user_id"],
+                         "w_start": pa.array(ts),
+                         "w_end": pa.array(ts + np.timedelta64(3600, "s")),
+                         "purchase_id": b["event_id"]})
+
+    right = ev.map_batches(windows, batch_format="pyarrow", batch_size=65536)
+    out = rel.interval_join(left, right, left_by="user_id",
+                            right_by="user_id", left_time="ts",
+                            right_start="w_start", right_end="w_end",
+                            right_cols=["purchase_id"])
+    return out.select_columns(["event_id", "purchase_id", "user_id"])
+
+
+SQL_INTERVAL_EVENTS = """
+SELECT c.event_id, p.event_id AS purchase_id, c.user_id
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type <> 'purchase'
+ AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+"""
+
+
 def q_reproject_x(sf_dir: str):
     """WebMercator reprojection (x axis; y involves tan/log whose last
     ulp differs between libm builds — verified here on the exactly
@@ -2306,6 +2368,8 @@ REGISTRY: dict[str, tuple] = {
     "compute_grouped": (q_compute_grouped, SQL_COMPUTE_GROUPED),
     "join_collapse": (q_join_collapse, SQL_JOIN_COLLAPSE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "asof_orders": (q_asof_orders, SQL_ASOF_ORDERS),
+    "interval_events": (q_interval_events, SQL_INTERVAL_EVENTS),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, None),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),

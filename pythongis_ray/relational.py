@@ -413,6 +413,208 @@ def join_large(left_ds, right_ds, on, num_buckets: int = 32, how: str = "inner")
     return l.union(r).groupby("_bucket").map_groups(bucket_join, batch_format="pandas")
 
 
+def _two_sided_buckets(left_ds, right_ds, left_key: str, right_key: str,
+                       rkeep: list[str], rename: dict[str, str],
+                       num_buckets: int, shared: set[str] | None = None):
+    """Shared shuffle skeleton for the two-input ordered joins: key both
+    sides by ``hash(key) % B``, rename the right side's columns into the
+    left's namespace, pad each side with the other's columns and union
+    so ONE groupby co-locates every key's rows from both inputs.
+    Returns (unioned_ds, lcols, rcols_renamed)."""
+    lcols = list(left_ds.schema().names)
+    rcols = [rename.get(c, c) for c in rkeep]
+    ok = shared if shared is not None else {rename.get(right_key, right_key)}
+    clash = [c for c in rcols if c in lcols and c not in ok]
+    if clash:
+        raise ValueError(f"right columns collide with left: {clash}")
+
+    def key_side(side: int, key: str, keep: list[str] | None):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            if keep is not None:
+                batch = batch[keep].rename(columns=rename)
+            else:
+                batch = batch.copy()
+            h = pd.util.hash_pandas_object(
+                batch[[rename.get(key, key)]], index=False).to_numpy()
+            batch["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+            batch["_side"] = np.int8(side)
+            return batch
+        return fn
+
+    l = left_ds.map_batches(key_side(0, left_key, None),
+                            batch_format="pandas", batch_size=65536)
+    r = right_ds.map_batches(key_side(1, right_key, rkeep),
+                             batch_format="pandas", batch_size=65536)
+
+    def pad(missing):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            for m in missing:
+                batch[m] = None
+            return batch
+        return fn
+
+    onlyl = [c for c in lcols if c not in rcols]
+    onlyr = [c for c in rcols if c not in lcols]
+    if onlyr:
+        l = l.map_batches(pad(onlyr), batch_format="pandas")
+    if onlyl:
+        r = r.map_batches(pad(onlyl), batch_format="pandas")
+    return l.union(r), lcols, rcols
+
+
+def asof_join(left_ds, right_ds, left_on: str, right_on: str,
+              left_by: str, right_by: str, right_cols: list[str],
+              direction: str = "backward", tolerance=None,
+              how: str = "left", tie_cols: list[str] | None = None,
+              num_buckets: int = NUM_BUCKETS):
+    """Distributed as-of join: each left row ``(by, on)`` gets the ONE
+    right row with the same key and the nearest ``on`` at-or-before it
+    (``direction='backward'``; ``'forward'`` = at-or-after,
+    ``'nearest'`` = closest either way). The ordered-log lookup the
+    reference cannot express (its closest analogue is the ordered
+    ``moving_window``, /root/reference/pythongis/vector/data.py:653-695)
+    and Ray Data lacks natively — DuckDB ``ASOF JOIN`` is the oracle.
+
+    Scale shape: both sides hash-bucket on the key (one shuffle each,
+    co-located by a single groupby over B buckets); inside a bucket the
+    match is ``pd.merge_asof`` — a vectorized C merge over both sides
+    sorted by ``on``. A key's full right-side history lands in one
+    bucket (the documented partitioning assumption); under extreme
+    single-key skew, slice the time range and carry a one-row boundary
+    lookback per slice.
+
+    Determinism: right rows sharing ``(by, on)`` resolve to the LAST in
+    ``(on, *tie_cols)`` sort order, i.e. the max of ``tie_cols`` — stable
+    under any shuffle order. ``how='inner'`` drops unmatched left rows
+    (DuckDB ``ASOF JOIN``); ``'left'`` keeps them with nulls
+    (``ASOF LEFT JOIN``) — null-padded numeric right columns then ride
+    pandas' NaN upcast, so exact-dtype contracts should use 'inner'.
+    """
+    tie_cols = list(tie_cols or [])
+    rkeep = list(dict.fromkeys([right_by, right_on] + tie_cols + right_cols))
+    rename = {}
+    if right_by != left_by:
+        rename[right_by] = left_by
+    if right_on != left_on:
+        rename[right_on] = left_on
+    u, lcols, _ = _two_sided_buckets(left_ds, right_ds, left_by, right_by,
+                                     rkeep, rename, num_buckets,
+                                     shared={left_by, left_on})
+    on, by = left_on, left_by
+    out_rcols = [c for c in right_cols if c not in lcols]
+    tie_sorted = [rename.get(c, c) for c in tie_cols]
+
+    def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
+        # the union pad leaves the OTHER side's columns object-typed in
+        # this bucket frame — infer_objects restores ints/datetimes on
+        # both sides so merge_asof dtypes and the output schema stay exact
+        lg = g[g["_side"] == 0][lcols].infer_objects()
+        rg = g[g["_side"] == 1][[by, on] + [c for c in dict.fromkeys(
+            tie_sorted + out_rcols)]]
+        lg = lg[lg[on].notna()].sort_values(on, kind="mergesort")
+        rg = rg.infer_objects()
+        rg = rg[rg[on].notna()].sort_values([on] + tie_sorted,
+                                            kind="mergesort")
+        if lg[on].dtype != rg[on].dtype:
+            rg[on] = rg[on].astype(lg[on].dtype)
+        rg = rg.assign(_rmatch=np.int8(1))
+        out = pd.merge_asof(
+            lg, rg.drop(columns=[c for c in tie_sorted if c not in out_rcols]),
+            on=on, by=by, direction=direction, tolerance=tolerance)
+        if how == "inner":
+            out = out[out["_rmatch"].notna()]
+            # NaN-free now: collapse the merge's float upcast back to
+            # the right side's true integer dtypes
+            for c in out_rcols:
+                if (rg[c].dtype.kind in "iu"
+                        and out[c].dtype.kind == "f"):
+                    out[c] = out[c].astype(rg[c].dtype)
+        return out.drop(columns=["_rmatch"])
+
+    return u.groupby("_bucket").map_groups(bucket_asof, batch_format="pandas")
+
+
+def interval_join(left_ds, right_ds, left_by: str, right_by: str,
+                  left_time: str, right_start: str, right_end: str,
+                  right_cols: list[str], closed: str = "left",
+                  num_buckets: int = NUM_BUCKETS):
+    """Distributed range (interval) join: one output row per
+    (left, right) pair with equal key and ``start <= t < end``
+    (``closed='left'``; ``'both'`` makes the end inclusive). The 1-D
+    analogue of the engine's spatial cell join, with the right side
+    playing the zone layer.
+
+    Scale shape: the same two-sided hash-bucket co-location as
+    :func:`asof_join`; inside a bucket the right side sorts once by
+    ``(key, start)`` and every left row's candidate range comes from a
+    single vectorized lexicographic merge (cumsum of side indicators
+    over one ``np.lexsort``) — candidates are emitted by ragged
+    ``np.repeat`` index arrays and filtered on ``end``, no Python row
+    loop. Per-bucket work is O((L+R) log(L+R) + pairs); an interval
+    whose length dwarfs the key's event span degrades toward the
+    key-cartesian bound — at that shape, switch to the grid cell-cover
+    pattern (``grid.py``) on time cells.
+    """
+    rkeep = list(dict.fromkeys([right_by, right_start, right_end]
+                               + right_cols))
+    rename = {right_by: left_by} if right_by != left_by else {}
+    u, lcols, _ = _two_sided_buckets(left_ds, right_ds, left_by, right_by,
+                                     rkeep, rename, num_buckets)
+    by, t = left_by, left_time
+    out_rcols = [c for c in right_cols if c not in lcols]
+
+    def bucket_iv(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][lcols].infer_objects()
+        rg = g[g["_side"] == 1][[by, right_start, right_end] + out_rcols]
+        lg = lg[lg[t].notna()]
+        rg = rg.infer_objects()
+        rg = rg[rg[right_start].notna() & rg[right_end].notna()]
+        rg = rg.sort_values([by, right_start], kind="mergesort") \
+            .reset_index(drop=True)
+        empty = pd.concat([lg.iloc[:0].reset_index(drop=True),
+                           rg[out_rcols].iloc[:0].reset_index(drop=True)],
+                          axis=1)
+        if not len(lg) or not len(rg):
+            return empty
+        rk = rg[by].to_numpy()
+        rs = rg[right_start].to_numpy()
+        re_ = rg[right_end].to_numpy()
+        lk = lg[by].to_numpy()
+        lt = lg[t].to_numpy()
+        n_r, n_l = len(rg), len(lg)
+        # klo: start of the key's block in rg (rg sorted by key first)
+        klo = np.searchsorted(rk, lk, side="left")
+        # hi: lexicographic (key, time) insertion index — merge both
+        # sides, sort by (key, time, side) with queries AFTER equal
+        # starts (start <= t is inclusive), count rights before each
+        # query; because rg is sorted by (key, start) that count IS the
+        # global rg index bounding the candidate range
+        allk = np.concatenate([rk, lk])
+        allt = np.concatenate([rs, lt])
+        side = np.concatenate([np.zeros(n_r, np.int8), np.ones(n_l, np.int8)])
+        order = np.lexsort((side, allt, allk))
+        rights_before = np.cumsum(side[order] == 0)
+        pos = np.empty(n_r + n_l, np.int64)
+        pos[order] = np.arange(n_r + n_l)
+        hi = rights_before[pos[n_r:]]
+        reps = hi - klo
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        base = np.repeat(klo, reps)
+        off = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        ridx = base + off
+        lidx = np.repeat(np.arange(n_l, dtype=np.int64), reps)
+        keep = (re_[ridx] >= lt[lidx]) if closed == "both" \
+            else (re_[ridx] > lt[lidx])
+        return pd.concat(
+            [lg.iloc[lidx[keep]].reset_index(drop=True),
+             rg[out_rcols].iloc[ridx[keep]].reset_index(drop=True)], axis=1)
+
+    return u.groupby("_bucket").map_groups(bucket_iv, batch_format="pandas")
+
+
 # ------------------------------------------------------------ dedup/window
 
 def dedup(ds, keys, order_col: str | None = None):

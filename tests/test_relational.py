@@ -232,3 +232,97 @@ def test_quantile_stat(ray_session):
                                  ("p75", "v", "quantile:0.75")]).to_pandas()
     # DuckDB quantile_disc convention: sorted[ceil(q*n)-1]
     assert out.p25.iloc[0] == 20 and out.p75.iloc[0] == 50
+
+
+def _asof_expected(ldf, rdf, direction="backward", tolerance=None,
+                   how="left"):
+    lg = ldf.sort_values("t", kind="mergesort")
+    rg = rdf.sort_values(["t", "rv"], kind="mergesort")
+    out = pd.merge_asof(lg, rg, on="t", by="k", direction=direction,
+                        tolerance=tolerance)
+    if how == "inner":
+        out = out[out["rv"].notna()].copy()
+        out["rv"] = out["rv"].astype("int64")
+    return out.sort_values(["k", "t", "lid"]).reset_index(drop=True)
+
+
+def test_asof_join_directions(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    ldf = pd.DataFrame({"k": rng.integers(0, 20, 400),
+                        "t": rng.integers(0, 1000, 400).astype("int64"),
+                        "lid": np.arange(400)})
+    rdf = pd.DataFrame({"k": rng.integers(0, 25, 300),
+                        "t": rng.integers(0, 1000, 300).astype("int64"),
+                        "rv": rng.integers(0, 10**6, 300).astype("int64")})
+    # dedupe right on (k, t) keeping max rv — the tie_cols contract
+    for direction in ("backward", "forward", "nearest"):
+        got = rel.asof_join(
+            rd.from_pandas(ldf), rd.from_pandas(rdf),
+            left_on="t", right_on="t", left_by="k", right_by="k",
+            right_cols=["rv"], tie_cols=["rv"], direction=direction,
+            how="inner", num_buckets=8,
+        ).to_pandas().sort_values(["k", "t", "lid"]).reset_index(drop=True)
+        rmax = rdf.groupby(["k", "t"], as_index=False)["rv"].max()
+        exp = _asof_expected(ldf, rmax, direction=direction, how="inner")
+        pd.testing.assert_frame_equal(
+            got[["k", "t", "lid", "rv"]], exp[["k", "t", "lid", "rv"]])
+
+
+def test_asof_join_left_and_tolerance(ray_session):
+    import ray.data as rd
+
+    ldf = pd.DataFrame({"k": [1, 1, 2, 3], "t": [5, 50, 7, 9],
+                        "lid": [0, 1, 2, 3]})
+    rdf = pd.DataFrame({"k": [1, 1, 2], "t": [3, 10, 100],
+                        "rv": [30, 100, 999]})
+    got = rel.asof_join(rd.from_pandas(ldf), rd.from_pandas(rdf),
+                        left_on="t", right_on="t", left_by="k",
+                        right_by="k", right_cols=["rv"], tolerance=4,
+                        how="left", num_buckets=4) \
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    # lid0: t=5, nearest-before within 4 is t=3 -> 30; lid1: t=50,
+    # before is t=10 but |50-10|>4 -> NaN; lid2/3: no right within tol
+    assert got.rv.iloc[0] == 30
+    assert got.rv.isna().tolist() == [False, True, True, True]
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    ldf = pd.DataFrame({"k": rng.integers(0, 15, 500),
+                        "t": rng.integers(0, 500, 500).astype("int64"),
+                        "lid": np.arange(500)})
+    s = rng.integers(0, 500, 200).astype("int64")
+    rdf = pd.DataFrame({"k": rng.integers(0, 18, 200), "s": s,
+                        "e": s + rng.integers(1, 60, 200),
+                        "rid": np.arange(200)})
+    for closed in ("left", "both"):
+        got = rel.interval_join(
+            rd.from_pandas(ldf), rd.from_pandas(rdf), left_by="k",
+            right_by="k", left_time="t", right_start="s", right_end="e",
+            right_cols=["rid"], closed=closed, num_buckets=8,
+        ).to_pandas().sort_values(["lid", "rid"]).reset_index(drop=True)
+        m = ldf.merge(rdf, on="k")
+        keep = (m.t >= m.s) & ((m.t <= m.e) if closed == "both"
+                               else (m.t < m.e))
+        exp = m[keep].sort_values(["lid", "rid"]).reset_index(drop=True)
+        assert got.lid.tolist() == exp.lid.tolist()
+        assert got.rid.tolist() == exp.rid.tolist()
+
+
+def test_interval_join_empty_side(ray_session):
+    import ray.data as rd
+
+    ldf = pd.DataFrame({"k": [1, 2], "t": [5, 6], "lid": [0, 1]})
+    rdf = pd.DataFrame({"k": [9], "s": [0], "e": [10], "rid": [0]})
+    got = rel.interval_join(rd.from_pandas(ldf), rd.from_pandas(rdf),
+                            left_by="k", right_by="k", left_time="t",
+                            right_start="s", right_end="e",
+                            right_cols=["rid"], num_buckets=4).to_pandas()
+    # no rows anywhere: the empty per-bucket frames must not crash the
+    # pipeline (Ray drops the schema of an all-empty pandas dataset, so
+    # only the row count is asserted)
+    assert len(got) == 0
