@@ -110,3 +110,16 @@ def pages_dataset(sf_dir: str, replicate: int = 1, geocode: bool = True,
     if columns:
         ds = ds.select_columns(columns)
     return ds
+
+
+def extract_text(batch: pa.Table, html_col: str = "html",
+                 out_col: str = "text_extracted") -> pa.Table:
+    """HTML → text extraction: strip every ``<...>`` tag from the html
+    payload with ONE RE2 kernel over the whole batch (the CC
+    pipeline's extraction step reduced to its tag-strip core — no
+    parser libs in this container). The north-rule invariant is that
+    the result is byte-identical to the carried ``text`` column per
+    url; tests and the `extract_text` oracle assert it."""
+    s = pc.cast(batch[html_col], pa.string())
+    stripped = pc.replace_substring_regex(s, "<[^>]*>", "")
+    return batch.append_column(out_col, stripped)

@@ -2301,6 +2301,173 @@ def q_dedup_near_embed(sf_dir: str):
     return out[out["rank"] == 1][["query_id", "neighbor_id", "score"]]
 
 
+# -------------------------------------------------------------- web ops
+
+def q_extract_text(sf_dir: str):
+    """HTML → text extraction over the synthesized pages table; the
+    north-rule invariant (extracted text byte-identical to the carried
+    `text` per url) is what the value hash checks."""
+    from pythongis_ray import pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False)
+    ds = ds.map_batches(pages.extract_text, batch_format="pyarrow",
+                        batch_size=4096)
+    return ds.select_columns(["url", "text_extracted"])
+
+
+SQL_EXTRACT_TEXT = """
+SELECT 'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       regexp_replace('<html><body>' || text || '</body></html>',
+                      '<[^>]*>', '', 'g') AS text_extracted
+FROM documents
+"""
+
+
+def q_url_hosts(sf_dir: str):
+    """Per-host page counts via the vectorized URL parser (both
+    engines parse the SAME constructed url strings with the same RE2
+    class, so host extraction parity is what's checked)."""
+    from pythongis_ray import pages, urltools
+
+    ds = pages.pages_dataset(sf_dir, geocode=False,
+                             columns=["page_id", "url"])
+    ds = ds.map_batches(
+        lambda b: urltools.add_url_parts(b, parts=("host",)),
+        batch_format="pyarrow", batch_size=8192)
+    return rel.groupby_aggregate(ds, "url_host",
+                                 [("n_pages", "page_id", "count")])
+
+
+SQL_URL_HOSTS = """
+WITH p AS (
+  SELECT 'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents)
+SELECT regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)
+         AS url_host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM p GROUP BY 1
+"""
+
+
+def q_url_canon(sf_dir: str):
+    """URL canonicalization + exact canonical dedup: every doc yields
+    two deterministic spellings of the same logical URL (an upper-cased
+    host:443 + utm params + fragment + trailing-slash variant, and the
+    clean form); canonicalization must collapse each pair to one key
+    with count 2 — the first dedup pass of a web-corpus build."""
+    from pythongis_ray import urltools
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def two_forms(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        site = pc.cast(pa.array(did % 50), pa.string())
+        pid = pc.cast(pa.array(did), pa.string())
+        ref = pc.cast(pa.array(did % 7), pa.string())
+        n = len(did)
+        messy = pc.binary_join_element_wise(
+            pa.array(["HTTPS://Site"] * n), site,
+            pa.array([".Example:443/p/"] * n), pid,
+            pa.array(["/?utm_source=feed&ref="] * n), ref,
+            pa.array(["#s"] * n), "")
+        clean = pc.binary_join_element_wise(
+            pa.array(["https://site"] * n), site,
+            pa.array([".example/p/"] * n), pid,
+            pa.array(["?ref="] * n), ref, "")
+        return pa.table({"url": pa.concat_arrays([messy, clean])})
+
+    ds = ds.map_batches(two_forms, batch_format="pyarrow", batch_size=8192)
+    ds = ds.map_batches(urltools.add_canonical_url, batch_format="pyarrow",
+                        batch_size=16384)
+    return rel.groupby_aggregate(ds, "url_canon",
+                                 [("n_spellings", "url", "count")])
+
+
+SQL_URL_CANON = """
+WITH forms AS (
+  SELECT 'HTTPS://Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example:443/p/'
+           || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&ref='
+           || CAST(doc_id % 7 AS VARCHAR) || '#s' AS url FROM documents
+  UNION ALL
+  SELECT 'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) || '?ref='
+           || CAST(doc_id % 7 AS VARCHAR) FROM documents),
+parts AS (
+  SELECT lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(url, '://([^/?#:]*)', 1)) AS host,
+         regexp_extract(url, '://[^/?#:]*:?([0-9]*)', 1) AS port,
+         regexp_extract(url, '://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM forms),
+canon AS (
+  SELECT scheme || '://' || host
+      || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END
+      || CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path, '/+$', '') END
+      || CASE WHEN regexp_replace(regexp_replace(
+                     query, '(^|&)utm_[^&]*', '', 'g'), '^&', '') = ''
+              THEN ''
+              ELSE '?' || regexp_replace(regexp_replace(
+                     query, '(^|&)utm_[^&]*', '', 'g'), '^&', '') END
+         AS url_canon
+  FROM parts)
+SELECT url_canon, CAST(COUNT(*) AS BIGINT) AS n_spellings
+FROM canon GROUP BY 1
+"""
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style duplicate word-bigram statistics per document."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(text.repetition_stats, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+SQL_REPETITION = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+       FROM toks, UNNEST(range(1, len(l))) AS t(i)),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (SELECT doc_id, SUM(c) AS n_ngrams,
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_ngrams,
+               MAX(c) AS top_count
+        FROM cnt GROUP BY 1)
+SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(dup_ngrams AS BIGINT) AS dup_ngrams,
+       CAST(top_count AS BIGINT) AS top_count,
+       CAST(dup_ngrams AS DOUBLE) / n_ngrams AS dup_frac
+FROM agg
+"""
+
+
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination: corpus docs sharing a 4-token shingle
+    with the benchmark subset (doc_id % 101 == 0), with the count of
+    contaminated shingle occurrences."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.decontaminate(ds, n=4, bench_mod=101)
+
+
+SQL_DECONTAM = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT doc_id, array_to_string(l[i:i+3], ' ') AS g
+       FROM toks, UNNEST(range(1, len(l) - 2)) AS t(i)),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 101 = 0),
+hits AS (SELECT s.doc_id, COUNT(*) AS n_hits
+         FROM sh s JOIN bench b USING (g)
+         WHERE s.doc_id % 101 <> 0 GROUP BY 1)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_contaminated FROM hits
+"""
+
+
 # ------------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -2370,6 +2537,11 @@ REGISTRY: dict[str, tuple] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_orders": (q_asof_orders, SQL_ASOF_ORDERS),
     "interval_events": (q_interval_events, SQL_INTERVAL_EVENTS),
+    "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
+    "url_hosts": (q_url_hosts, SQL_URL_HOSTS),
+    "url_canon": (q_url_canon, SQL_URL_CANON),
+    "repetition": (q_repetition, SQL_REPETITION),
+    "decontam": (q_decontam, SQL_DECONTAM),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, None),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),

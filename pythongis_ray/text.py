@@ -617,3 +617,125 @@ def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     # a pair surfaces once per shared band with the SAME hamming —
     # dedup is order-independent
     return rel.dedup(cand, ["id_a", "id_b"])
+
+
+# ------------------------------------------------------ repetition / decontam
+
+def repetition_stats(batch: pa.Table, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2) -> pa.Table:
+    """Gopher-style repetition signals per document: over the doc's
+    n-token word n-grams, the total count, the count of occurrences
+    belonging to an n-gram seen more than once in the doc, the top
+    n-gram's occurrence count, and dup_frac = dup/total (one division
+    of exact integer counts). Repeated-n-gram fraction is the standard
+    repetitious-text filter in web-corpus pipelines (Gopher §A.1.1).
+
+    Fully batch-vectorized: one raw-buffer token-hash pass
+    (:func:`_batch_token_hashes`), rolling shingle combine, then a
+    single lexsort over (doc, hash) with run-length counting — no
+    Python per row. Docs with fewer than ``n`` tokens are dropped
+    (they have no n-gram; mirrors the SQL unnest semantics). n-grams
+    are compared by 64-bit hash; a cross-n-gram collision within one
+    doc (~2^-64 per pair) would merge two counts.
+    """
+    col = batch[text_col]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    th, tok_offs = _batch_token_hashes(arr)
+    sh, sh_offs = _batch_shingles(th, tok_offs, k=n)
+    ntok = np.diff(tok_offs)
+    nsh = np.diff(sh_offs)
+    ndocs = len(ntok)
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), nsh)
+    # mask out the folded pseudo-shingle of docs with < n tokens
+    valid_doc = ntok >= n
+    keep = valid_doc[doc_of]
+    sh, doc_of = sh[keep], doc_of[keep]
+    order = np.lexsort((sh, doc_of))
+    s, d = sh[order], doc_of[order]
+    new = np.ones(len(s), dtype=bool)
+    if len(s) > 1:
+        new[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+    run_id = np.cumsum(new) - 1
+    run_len = np.bincount(run_id)
+    elem_dup = run_len[run_id] > 1
+    n_ngrams = np.bincount(d, minlength=ndocs)[valid_doc].astype(np.int64)
+    dup_ngrams = np.bincount(d, weights=elem_dup, minlength=ndocs)[
+        valid_doc].astype(np.int64)
+    run_doc = d[new]
+    top = np.zeros(ndocs, np.int64)
+    if len(run_doc):
+        first = np.searchsorted(run_doc, np.arange(ndocs))
+        has = np.zeros(ndocs, dtype=bool)
+        has[run_doc] = True
+        safe = np.minimum(first, len(run_len) - 1)
+        top[has] = np.maximum.reduceat(run_len, safe)[has]
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[valid_doc]
+    return pa.table({
+        id_col: pa.array(ids),
+        "n_ngrams": pa.array(n_ngrams),
+        "dup_ngrams": pa.array(dup_ngrams),
+        "top_count": pa.array(top[valid_doc]),
+        "dup_frac": pa.array(dup_ngrams.astype(np.float64) / n_ngrams),
+    })
+
+
+def decontaminate(ds, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 4, bench_mod: int = 101):
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one n-token shingle with the benchmark set (here the
+    deterministic subset ``id % bench_mod == 0`` standing in for an
+    eval benchmark), returning (id, n_contaminated) for flagged docs —
+    the standard pre-training decontamination pass.
+
+    Scale shape: the benchmark side is SMALL by nature (eval sets are
+    KBs against a 100-TB corpus), so its distinct shingle hashes are
+    reduced per-batch, unioned on the driver (bounded by the benchmark
+    vocabulary, not the corpus), sorted, and broadcast once via
+    ``ray.put``; the corpus streams through one map_batches whose
+    membership test is a single ``np.isin`` against the sorted
+    broadcast array. No corpus materialization, no shuffle. Shingles
+    are compared by 64-bit polynomial hash (equal strings always hash
+    equal, so no false negatives; a false positive needs a 2^-64
+    collision).
+    """
+    import ray
+
+    from pythongis_ray import state
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(ids % bench_mod == 0))
+        col = b[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        th, tok_offs = _batch_token_hashes(arr)
+        sh, sh_offs = _batch_shingles(th, tok_offs, k=n)
+        keep = (np.diff(tok_offs) >= n)[
+            np.repeat(np.arange(len(b), dtype=np.int64), np.diff(sh_offs))]
+        u = np.unique(sh[keep])
+        return pa.table({"h": pa.array(u.view(np.int64))})
+
+    parts = ds.map_batches(bench_hashes, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    bench = np.unique(parts["h"].to_numpy().view(np.uint64))
+    ref = ray.put(bench)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bh = state.get_broadcast(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(ids % bench_mod != 0))
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        col = b[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        th, tok_offs = _batch_token_hashes(arr)
+        sh, sh_offs = _batch_shingles(th, tok_offs, k=n)
+        nsh = np.diff(sh_offs)
+        doc_of = np.repeat(np.arange(len(b), dtype=np.int64), nsh)
+        keep = (np.diff(tok_offs) >= n)[doc_of]
+        hit = np.zeros(len(sh), dtype=np.int64)
+        hit[keep] = np.isin(sh[keep], bh)
+        cnt = np.bincount(doc_of, weights=hit, minlength=len(b)).astype(np.int64)
+        m = cnt > 0
+        return pa.table({id_col: pa.array(ids[m]),
+                         "n_contaminated": pa.array(cnt[m])})
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=8192)

@@ -1,0 +1,120 @@
+"""Web-corpus ops: URL parsing/canonicalization, HTML tag-strip
+extraction, repetition stats, decontamination.
+
+Reference has no URL/web analogue (pure-geo engine); these are the
+CC-pipeline operators the north rule's webtext payload needs. All
+kernels are batch-vectorized Arrow/RE2 — tests pin the documented
+canonicalization contract and cross-check the numpy repetition kernel
+against a per-doc pure-Python counter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pythongis_ray import pages, text, urltools
+from tests.conftest import SF_DIR
+
+
+def test_parse_urls_components():
+    p = urltools.parse_urls(pa.array([
+        "https://Ex.COM:8443/a/b?x=1&y=2#frag",
+        "http://ex.com/",
+        "ftp://h",
+        "not a url",
+    ]))
+    assert p["scheme"].to_pylist() == ["https", "http", "ftp", ""]
+    assert p["host"].to_pylist() == ["Ex.COM", "ex.com", "h", ""]
+    assert p["port"].to_pylist() == ["8443", "", "", ""]
+    assert p["path"].to_pylist() == ["/a/b", "/", "", ""]
+    assert p["query"].to_pylist() == ["x=1&y=2", "", "", ""]
+    assert p["fragment"].to_pylist() == ["frag", "", "", ""]
+
+
+def test_canonicalize_contract():
+    cases = {
+        # scheme+host lowered, default port stripped, fragment dropped
+        "HTTPS://WWW.Ex.COM:443/Path#f": "https://www.ex.com/Path",
+        "http://a.b:80/x": "http://a.b/x",
+        # non-default port kept
+        "http://a.b:8080/x": "http://a.b:8080/x",
+        # utm params removed; emptied query drops '?'
+        "https://a.b/p?utm_source=s&utm_c=1": "https://a.b/p",
+        "https://a.b/p?utm_source=s&keep=1": "https://a.b/p?keep=1",
+        "https://a.b/p?keep=1&utm_x=2": "https://a.b/p?keep=1",
+        # trailing slash stripped off non-root; empty path -> '/'
+        "https://a.b/p///": "https://a.b/p",
+        "https://a.b": "https://a.b/",
+        "https://a.b///": "https://a.b/",
+        "garbage": None,
+    }
+    out = urltools.canonicalize_urls(pa.array(list(cases))).to_pylist()
+    assert out == list(cases.values())
+
+
+def test_canonical_dedup_collapses_spellings():
+    messy = "HTTPS://Site7.Example:443/p/123/?utm_source=feed&ref=3#s"
+    clean = "https://site7.example/p/123?ref=3"
+    out = urltools.canonicalize_urls(pa.array([messy, clean])).to_pylist()
+    assert out[0] == out[1] == clean
+
+
+def test_extract_text_byte_identity(ray_session):
+    ds = pages.pages_dataset(SF_DIR, geocode=False)
+    t = ds.map_batches(pages.extract_text, batch_format="pyarrow",
+                       batch_size=1024).take_all()
+    assert len(t) > 0
+    for row in t:
+        assert row["text_extracted"] == row["text"]
+
+
+def _ref_repetition(texts, n=2):
+    rows = []
+    for i, t_ in enumerate(texts):
+        toks = t_.split(" ")
+        if len(toks) < n:
+            continue
+        grams = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+        from collections import Counter
+
+        c = Counter(grams)
+        total = sum(c.values())
+        dup = sum(v for v in c.values() if v > 1)
+        rows.append((i, total, dup, max(c.values())))
+    return rows
+
+
+def test_repetition_stats_matches_python_counter():
+    texts = [
+        "a b a b a b c",
+        "x y z",
+        "q",                      # < n tokens: dropped
+        "r r r r",
+        "one two three four five",
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+    out = text.repetition_stats(batch).to_pydict()
+    ref = _ref_repetition(texts)
+    assert out["doc_id"] == [r[0] for r in ref]
+    assert out["n_ngrams"] == [r[1] for r in ref]
+    assert out["dup_ngrams"] == [r[2] for r in ref]
+    assert out["top_count"] == [r[3] for r in ref]
+    np.testing.assert_allclose(
+        out["dup_frac"], [r[2] / r[1] for r in ref])
+
+
+def test_decontaminate_flags_shingle_overlap(ray_session):
+    import ray.data as rd
+
+    # doc 0 is "benchmark" (0 % 3 == 0); doc 1 shares the 2-shingle
+    # "b c"; doc 2 shares nothing
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b c d", "x b c y b c", "p q r s"]),
+    })
+    ds = rd.from_arrow(tbl)
+    out = text.decontaminate(ds, n=2, bench_mod=3).take_all()
+    assert out == [{"doc_id": 1, "n_contaminated": 2}]
