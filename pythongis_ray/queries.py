@@ -2468,6 +2468,146 @@ SELECT doc_id, CAST(n_hits AS BIGINT) AS n_contaminated FROM hits
 """
 
 
+def q_dedup_components(sf_dir: str):
+    """Near-dup CLUSTERING: MinHash-LSH pairs → distributed
+    connected components (hash-min label propagation, graph.py) →
+    one component id per clustered doc + the keep flag (component
+    representative = min doc_id). Pairwise near-dup alone
+    under-deletes transitive chains; this is the step that turns
+    pairs into a dedup decision."""
+    from pythongis_ray import graph
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    pairs = text.minhash_dedup_pairs(ds, threshold=0.5)
+    comp = graph.connected_components(
+        pairs.select_columns(["id_a", "id_b"]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        lab = batch["component"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(node),
+                         "component": pa.array(lab),
+                         "keep": pa.array((node == lab).astype(np.int64))})
+
+    return comp.map_batches(finish, batch_format="pyarrow",
+                            batch_size=65536)
+
+
+SQL_DEDUP_COMPONENTS = """
+WITH RECURSIVE
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' ')))
+        END AS sh
+      FROM d),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+SELECT src AS doc_id, MIN(dst) AS component,
+       CAST(src = MIN(dst) AS BIGINT) AS keep
+FROM reach GROUP BY src
+"""
+
+
+def q_line_dedup(sf_dir: str):
+    """Cross-document line-level dedup (C4-style): disjoint 10-token
+    lines, keep-first by (doc_id, line_idx); per-doc kept/total
+    counts."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.line_dedup(ds, line_len=10)
+
+
+SQL_LINE_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+lines AS (
+  SELECT doc_id, ci AS line_idx,
+         array_to_string(l[ci*10+1 : ci*10+10], ' ') AS line,
+         doc_id * 1048576 + ci AS rnk
+  FROM toks, UNNEST(range(0, (len(l) + 9) // 10)) AS t(ci)),
+flagged AS (
+  SELECT doc_id,
+         CASE WHEN rnk = MIN(rnk) OVER (PARTITION BY line)
+              THEN 1 ELSE 0 END AS kept
+  FROM lines)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(kept) AS BIGINT) AS n_kept
+FROM flagged GROUP BY doc_id
+"""
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction over deterministically-augmented doc text (every
+    doc gets a constructed email/phone/IP so both engines scrub the
+    SAME strings); value hash checks the scrubbed text and the match
+    counts."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pc.cast(pa.array(did), pa.string())
+        d50 = pc.cast(pa.array(did % 50), pa.string())
+        d90 = pc.cast(pa.array(did % 90 + 10), pa.string())
+        d200 = pc.cast(pa.array(did % 200), pa.string())
+        d250 = pc.cast(pa.array(did % 250), pa.string())
+        n = len(did)
+        t = pc.binary_join_element_wise(
+            batch["text"], pa.array([" contact user"] * n), d,
+            pa.array(["@mail"] * n), d50,
+            pa.array([".example call 555-0"] * n), d90,
+            pa.array([" from 10."] * n), d200,
+            pa.array([".0."] * n), d250, "")
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    ds = ds.map_batches(augment, batch_format="pyarrow", batch_size=8192)
+    ds = ds.map_batches(text.pii_scrub, batch_format="pyarrow",
+                        batch_size=8192)
+    return ds.select_columns(["doc_id", "text_scrubbed",
+                              "n_emails", "n_phones", "n_ips"])
+
+
+SQL_PII_SCRUB = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail' || CAST(doc_id % 50 AS VARCHAR)
+              || '.example call 555-0' || CAST(doc_id % 90 + 10 AS VARCHAR)
+              || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 250 AS VARCHAR) AS t
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\b555-[0-9]{2,4}\\b', '<PHONE>', 'g'),
+      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')
+    AS text_scrubbed,
+  CAST(len(regexp_extract_all(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(t, '\\b555-[0-9]{2,4}\\b')) AS BIGINT)
+    AS n_phones,
+  CAST(len(regexp_extract_all(t,
+      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT)
+    AS n_ips
+FROM aug
+"""
+
+
 # ------------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -2542,6 +2682,9 @@ REGISTRY: dict[str, tuple] = {
     "url_canon": (q_url_canon, SQL_URL_CANON),
     "repetition": (q_repetition, SQL_REPETITION),
     "decontam": (q_decontam, SQL_DECONTAM),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, None),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),

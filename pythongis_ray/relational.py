@@ -353,13 +353,17 @@ def hash_join(left_ds, right: pd.DataFrame, on, how: str = "inner",
     return left_ds.map_batches(fn, batch_format="pandas", batch_size=65536)
 
 
-def join_large(left_ds, right_ds, on, num_buckets: int = 32, how: str = "inner"):
+def join_large(left_ds, right_ds, on, num_buckets: int = 32, how: str = "inner",
+               native: bool = True):
     """Partitioned hash join for two large Datasets: both sides keyed by
     hash(key) % B, co-located by one groupby, merged per bucket
     (the portable large×large pattern; Ray's native ``Dataset.join`` is
-    used instead when available)."""
+    used instead when available). ``native=False`` forces the bucketed
+    fallback — iterative algorithms (graph.py) prefer it because the
+    native join spawns a fresh aggregator actor pool per call, a
+    multi-second fixed cost paid every round."""
     on = [on] if isinstance(on, str) else list(on)
-    if hasattr(left_ds, "join"):
+    if native and hasattr(left_ds, "join"):
         # hash-shuffle join spawns one aggregator actor per partition —
         # cap partitions at the CPU count so the pool fits the cluster
         nparts = max(2, min(num_buckets, int(ray.cluster_resources().get("CPU", 4))))

@@ -118,3 +118,37 @@ def test_decontaminate_flags_shingle_overlap(ray_session):
     ds = rd.from_arrow(tbl)
     out = text.decontaminate(ds, n=2, bench_mod=3).take_all()
     assert out == [{"doc_id": 1, "n_contaminated": 2}]
+
+
+def test_pii_scrub_kernel():
+    batch = pa.table({"text": pa.array([
+        "mail bob.smith+x@sub.example.org now",
+        "call 555-0142 or 555-01",
+        "host 10.2.3.4 and 192.168.0.255 up",
+        "clean text",
+    ])})
+    out = text.pii_scrub(batch).to_pydict()
+    assert out["text_scrubbed"] == [
+        "mail <EMAIL> now",
+        "call <PHONE> or <PHONE>",
+        "host <IP> and <IP> up",
+        "clean text",
+    ]
+    assert out["n_emails"] == [1, 0, 0, 0]
+    assert out["n_phones"] == [0, 2, 0, 0]
+    assert out["n_ips"] == [0, 0, 2, 0]
+
+
+def test_line_dedup_keep_first(ray_session):
+    import ray.data as rd
+
+    # line_len=2: doc0 lines ["a b","c d"], doc1 ["a b","e f"],
+    # doc2 ["c d","a b","g"] — "a b" kept only in doc0, "c d" in doc0
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b c d", "a b e f", "c d a b g"]),
+    })
+    out = text.line_dedup(rd.from_arrow(tbl), line_len=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_lines"].tolist() == [2, 2, 3]
+    assert out["n_kept"].tolist() == [2, 1, 1]
