@@ -166,6 +166,38 @@ def run_benchmarks() -> dict:
     extras["line_join_pairs"] = ljoined
     extras["line_join_lines_per_sec"] = round(120_000 / timings["line_join_120k"], 1)
 
+    # 12. cross-doc line dedup over a 250k-doc corpus (documents x50,
+    # ids offset per replica) — one explode + one hash-bucketed
+    # keep-first shuffle over ~1.5M line rows; the web-corpus dedup
+    # pass at bench scale. The corpus is generated IN PARALLEL from
+    # rd.range + a broadcast of the 5000 base texts (~1.5 MB): a
+    # single-source map would serialize the whole explode chain.
+    def line_dedup_bench():
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pythongis_ray import state
+
+        R = 50
+        base = pq.read_table(f"{SF_DIR}/documents.parquet",
+                             columns=["text"])["text"].combine_chunks()
+        nb = len(base)
+        ref = ray.put(base)
+
+        def gen(batch: pa.Table) -> pa.Table:
+            texts = state.get_broadcast(ref)
+            ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"doc_id": pa.array(ids),
+                             "text": texts.take(pa.array(ids % nb))})
+
+        ds = rd.range(R * nb, override_num_blocks=NUM_CPUS * 2) \
+            .map_batches(gen, batch_format="pyarrow", batch_size=4096)
+        return text.line_dedup(ds).count()
+
+    ndocs = timed("line_dedup_250k", line_dedup_bench)
+    extras["line_dedup_docs_per_sec"] = round(ndocs / timings["line_dedup_250k"], 1)
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {

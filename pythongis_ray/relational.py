@@ -43,6 +43,7 @@ HOLISTIC = {"first", "last", "majority", "minority", "concat", "median",
             "quantile"}
 
 NUM_BUCKETS = 64
+BUCKET_BATCH_SIZE = 8192
 
 
 def bucketed_group_apply(ds, keys: list[str], fn, num_buckets: int = NUM_BUCKETS):
@@ -66,7 +67,15 @@ def bucketed_group_apply(ds, keys: list[str], fn, num_buckets: int = NUM_BUCKETS
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns=["_bucket"]))
 
-    return (ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+    # batch_size here also bounds the fused chain's input bundle size:
+    # Ray fuses upstream MapBatches into one task whose input bundle
+    # must reach the LARGEST batch_size in the chain, so a big value
+    # collapses small-row-count inputs into one task (observed: a
+    # 5000-doc corpus ran its whole explode+hash chain serially at
+    # 65536). 8192 keeps ≥30-way task parallelism at bench scale and
+    # per-task temporaries under the glibc mmap threshold.
+    return (ds.map_batches(add_bucket, batch_format="pandas",
+                           batch_size=BUCKET_BATCH_SIZE)
             .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
 
 
