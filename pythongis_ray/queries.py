@@ -2550,6 +2550,35 @@ FROM flagged GROUP BY doc_id
 """
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 TF-IDF terms per document (raw-ratio idf; exact-integer
+    product + one division so score doubles are bit-identical across
+    engines)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.tfidf_topk(ds, k=3)
+
+
+SQL_TFIDF_TOPK = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, UNNEST(l) AS word FROM toks),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, d.df,
+         CAST(t.tf * (SELECT n_docs FROM n) AS DOUBLE) / d.df AS score
+  FROM tf t JOIN df d USING (word)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, word ASC) AS rnk
+  FROM scored)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction over deterministically-augmented doc text (every
     doc gets a constructed email/phone/IP so both engines scrub the
@@ -2685,6 +2714,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, None),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),

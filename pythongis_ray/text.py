@@ -846,3 +846,64 @@ def pii_scrub(batch: pa.Table, text_col: str = "text",
                       ("n_ips", pc.cast(n_ip, pa.int64()))):
         batch = batch.append_column(name, arr)
     return batch
+
+
+# ------------------------------------------------------------------ tf-idf
+
+def tfidf_topk(ds, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 3):
+    """Per-document top-k TF-IDF terms: score = tf * n_docs / df
+    (raw-count idf ratio — kept as ONE exact-integer product and ONE
+    division so both engines produce bit-identical doubles; a log idf
+    would differ in the last ulp between libm implementations).
+
+    Plan (all streaming): per-batch Arrow group_by gives FINAL
+    (doc, word, tf) rows — a document never spans batches, so tf needs
+    no cross-batch combine; df = one bucketed count over the tf rows;
+    tf ⋈ df on word (partitioned hash join); per-doc top-k inside a
+    hash-bucketed grouped sort. Ties break word-ascending. The tf
+    stream is consumed twice (df pass + join side) and recomputed from
+    lineage rather than materialized — two corpus passes instead of an
+    object-store-sized pin."""
+    from pythongis_ray import relational as rel
+
+    n_docs = ds.count()
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        nw = np.diff(flat.offsets.to_numpy(zero_copy_only=False))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        t = pa.table({id_col: pa.array(np.repeat(ids, nw)),
+                      "word": flat.values})
+        return t.group_by([id_col, "word"]).aggregate([("word", "count")]) \
+            .rename_columns([id_col, "word", "tf"])
+
+    tf = ds.map_batches(tf_batch, batch_format="pyarrow", batch_size=4096)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("word").aggregate([("tf", "count")]) \
+            .rename_columns(["word", "pdf"])
+
+    dfreq = rel.bucketed_group_apply(
+        tf.map_batches(df_partial, batch_format="pyarrow", batch_size=8192),
+        ["word"],
+        lambda b: b.groupby("word", sort=False)["pdf"].sum()
+        .rename("df").reset_index())
+
+    joined = rel.join_large(tf, dfreq, on="word")
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.copy()
+        b["score"] = (b["tf"].to_numpy(np.int64) * n_docs).astype(np.float64) \
+            / b["df"].to_numpy(np.int64).astype(np.float64)
+        b = b.sort_values([id_col, "score", "word"],
+                          ascending=[True, False, True], kind="stable")
+        g = b.groupby(id_col, sort=False)
+        b["rank"] = g.cumcount() + 1
+        out = b[b["rank"] <= k]
+        return out[[id_col, "word", "tf", "df", "score", "rank"]].astype(
+            {"tf": np.int64, "df": np.int64, "rank": np.int64})
+
+    return rel.bucketed_group_apply(joined, [id_col], topk)

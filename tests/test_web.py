@@ -152,3 +152,20 @@ def test_line_dedup_keep_first(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert out["n_lines"].tolist() == [2, 2, 3]
     assert out["n_kept"].tolist() == [2, 1, 1]
+
+
+def test_tfidf_topk_small(ray_session):
+    import ray.data as rd
+
+    # 3 docs; "rare" appears once in doc2 only -> df=1, top score there
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a a b", "a b b", "a rare b"]),
+    })
+    out = text.tfidf_topk(rd.from_arrow(tbl), k=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc0: tf(a)=2 df(a)=3 -> 2; tf(b)=1 df=3 -> 1 => 'a'
+    # doc2: rare tf=1 df=1 -> 3.0 beats a/b at 1.0
+    assert out["word"].tolist() == ["a", "b", "rare"]
+    assert out["score"].tolist() == [2.0, 2.0, 3.0]
+    assert out["rank"].tolist() == [1, 1, 1]
