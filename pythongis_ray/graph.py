@@ -4,7 +4,7 @@ The one the dedup plan needs: connected components, to turn a
 near-duplicate PAIR table (MinHash/SimHash/embedding candidates) into
 CLUSTERS so a corpus keeps exactly one representative per duplicate
 group — pairwise output alone under-deletes transitively-linked dups
-(a~b, b~c but a!~b by the pair list). The reference has no graph ops
+(a~b, b~c but a!~c by the pair list). The reference has no graph ops
 (its dedup is exact keep-first, /root/reference/pythongis/vector/
 data.py:990-1015); this is the web-corpus extension.
 
@@ -15,11 +15,19 @@ each endpoint's current label across every edge and takes the min;
 converges in O(diameter) rounds. Near-dup graphs are unions of
 near-cliques (LSH buckets emit all pairs), so the diameter — and the
 round count — is small in practice; ``max_iters`` bounds pathological
-chains. Each round is two partitioned hash joins (edge endpoints ×
-label table) plus one hash-bucketed min-combine — all streaming
-shuffles, nothing driver-side. The label table (nodes that appear in
-any edge — candidate dups only, far smaller than the corpus) is
-materialized once per round to cut the iterative lineage.
+chains.
+
+Each round is exactly TWO hash-bucketed shuffles, nothing driver-side:
+
+  1. scatter: edge rows keyed by each endpoint + label rows, grouped
+     by node — every edge meets its endpoint's label in one bucket
+     and emits that label to the OTHER endpoint;
+  2. gather: messages grouped by destination node — min-combine plus
+     the convergence flag (the old label rides along).
+
+The label table (nodes that appear in any edge — candidate dups only,
+far smaller than the corpus) is materialized once per round to cut
+the iterative lineage.
 """
 
 from __future__ import annotations
@@ -29,6 +37,8 @@ import pandas as pd
 import pyarrow as pa
 
 from pythongis_ray import relational as rel
+
+_NO_LABEL = np.iinfo(np.int64).min
 
 
 def connected_components(edges, src: str = "id_a", dst: str = "id_b",
@@ -41,8 +51,7 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
     def to_labels(batch: pa.Table) -> pa.Table:
         a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = np.concatenate([a, b])
-        return pa.table({"node": pa.array(np.unique(n))})
+        return pa.table({"node": pa.array(np.unique(np.concatenate([a, b])))})
 
     nodes = edges.map_batches(to_labels, batch_format="pyarrow",
                               batch_size=65536)
@@ -53,51 +62,63 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
         lambda b: b.append_column("label", b["node"]),
         batch_format="pyarrow", batch_size=65536).materialize()
 
-    def min_combine(bucket: pd.DataFrame) -> pd.DataFrame:
+    def doubled(batch: pa.Table) -> pa.Table:
+        """Each undirected edge keyed by BOTH endpoints: (key, other)."""
+        a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(np.concatenate([a, b])),
+                         "other": pa.array(np.concatenate([b, a]))})
+
+    # static across rounds; materialize once so rounds don't re-explode
+    keyed_edges = edges.map_batches(doubled, batch_format="pyarrow",
+                                    batch_size=65536).materialize()
+
+    def scatter(bucket: pd.DataFrame) -> pd.DataFrame:
+        """One bucket holds every edge row keyed here plus the key
+        nodes' label rows (other == _NO_LABEL). Emits the key's label
+        to each neighbor, plus the self row (old label riding along
+        for the convergence check)."""
+        is_lbl = bucket["other"].to_numpy() == _NO_LABEL
+        lbl = bucket[is_lbl]
+        # edge rows carry a _NO_LABEL placeholder 'label' (union schema
+        # compat) — drop it so the merge brings in the real one
+        e = bucket[~is_lbl].drop(columns=["label"])
+        m = e.merge(lbl[["key", "label"]], on="key", how="left")
+        msgs = pd.DataFrame({
+            "node": m["other"].to_numpy(),
+            "label": m["label"].to_numpy(),
+            "old": np.full(len(m), _NO_LABEL),
+        })
+        self_rows = pd.DataFrame({
+            "node": lbl["key"].to_numpy(),
+            "label": lbl["label"].to_numpy(),
+            "old": lbl["label"].to_numpy(),
+        })
+        return pd.concat([msgs, self_rows], ignore_index=True)
+
+    def gather(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby("node", sort=False).agg(
-            new=("label", "min"), old=("is_old_lbl", "max"))
-        g = g.reset_index()
-        g["changed"] = (g["new"] != g["old"]).astype(np.int64)
-        return g.rename(columns={"new": "label"})[
-            ["node", "label", "old", "changed"]]
+            label=("label", "min"), old=("old", "max")).reset_index()
+        g["changed"] = (g["label"] != g["old"]).astype(np.int64)
+        return g[["node", "label", "changed"]]
 
     for _ in range(max_iters):
-        # annotate each edge endpoint with its current label
-        la = labels.map_batches(
-            lambda b: b.rename_columns([src, "label_src"]),
+        lbl_rows = labels.map_batches(
+            lambda b: b.append_column(
+                "other", pa.array(np.full(b.num_rows, _NO_LABEL))
+            ).select(["node", "other", "label"]).rename_columns(
+                ["key", "other", "label"]),
             batch_format="pyarrow", batch_size=65536)
-        lb = labels.map_batches(
-            lambda b: b.rename_columns([dst, "label_dst"]),
+        edge_rows = keyed_edges.map_batches(
+            lambda b: b.append_column(
+                "label", pa.array(np.full(b.num_rows, _NO_LABEL))),
             batch_format="pyarrow", batch_size=65536)
-        ann = rel.join_large(rel.join_large(edges, la, on=src, native=False),
-                             lb, on=dst, native=False)
-
-        def msgs(batch: pa.Table) -> pa.Table:
-            a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
-            b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-            sl = batch["label_src"].to_numpy(zero_copy_only=False)
-            dl = batch["label_dst"].to_numpy(zero_copy_only=False)
-            m = np.minimum(sl, dl).astype(np.int64)
-            return pa.table({
-                "node": pa.array(np.concatenate([a, b])),
-                "label": pa.array(np.concatenate([m, m])),
-                # edge messages never carry the old label
-                "is_old_lbl": pa.array(
-                    np.full(2 * len(a), np.iinfo(np.int64).min)),
-            })
-
-        def self_msgs(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "is_old_lbl", batch["label"])
-
-        stream = ann.map_batches(msgs, batch_format="pyarrow",
-                                 batch_size=65536).union(
-            labels.map_batches(self_msgs, batch_format="pyarrow",
-                               batch_size=65536))
-        combined = rel.bucketed_group_apply(
-            stream, ["node"], min_combine).materialize()
+        msgs = rel.bucketed_group_apply(edge_rows.union(lbl_rows),
+                                        ["key"], scatter)
+        combined = rel.bucketed_group_apply(msgs, ["node"],
+                                            gather).materialize()
         n_changed = combined.sum("changed")
-        labels = combined.drop_columns(["old", "changed"]).materialize()
+        labels = combined.drop_columns(["changed"]).materialize()
         if not n_changed:
             return labels.map_batches(
                 lambda b: b.rename_columns(["node", "component"]),
