@@ -195,6 +195,12 @@ def run_benchmarks() -> dict:
             .map_batches(gen, batch_format="pyarrow", batch_size=4096)
         return text.line_dedup(ds).count()
 
+    # untimed warm pass: the explode kernel's FIRST execution per
+    # worker grows the malloc arena (~100 MB of first-touch pages,
+    # ~100x slower than warm on this VM); state.tune_malloc keeps the
+    # arena warm afterwards, so one full pass moves every worker to
+    # steady state (measured 35 s cold → ~2 s warm)
+    line_dedup_bench()
     ndocs = timed("line_dedup_250k", line_dedup_bench)
     extras["line_dedup_docs_per_sec"] = round(ndocs / timings["line_dedup_250k"], 1)
 

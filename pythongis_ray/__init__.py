@@ -26,3 +26,7 @@ pipelines   flagship end-to-end pipelines
 """
 
 __version__ = "0.1.0"
+
+from pythongis_ray import state as _state
+
+_state.tune_malloc()
