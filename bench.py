@@ -85,6 +85,24 @@ def run_benchmarks() -> dict:
     extras["spjoin_joined_rows"] = joined_rows
     extras["spjoin_rows_per_sec"] = round(joined_rows / timings["spjoin_points"], 1)
 
+    # join-only throughput: the stage above re-synthesizes the 4.8M
+    # points every run (read + to_points is ~3/4 of its wall time), so
+    # it understates the JOIN. Materialize the points once, then time
+    # join+count alone — this is the number comparable to the metric's
+    # "spatial-join throughput (joined rows/sec)".
+    pts_mat = q.points_lineitem(SF_DIR, replicate=8).materialize()
+    zones_m = pipelines.load_zones(SF_DIR)
+    best = None
+    for _ in range(3):
+        t0 = time.monotonic()
+        spatial.spatial_join(pts_mat, zones_m[["zone_id", "geometry"]],
+                             predicate="within", batch_size=16384).count()
+        dt = time.monotonic() - t0
+        best = dt if best is None or dt < best else best
+    extras["spjoin_join_only_sec"] = round(best, 3)
+    extras["spjoin_join_only_rows_per_sec"] = round(joined_rows / best, 1)
+    del pts_mat
+
     # 2. same join through the salted shuffle path; rows_per_task set so
     # the power-law city cells genuinely exceed the threshold and take
     # the salted-split branch (~12.7k rows in the hottest cell at sf0.1)
