@@ -9,7 +9,7 @@ here (or in pythongis_ray) calls ray.init()/ray.shutdown().
   training-data ops); each takes sf_dir.
 - oracle_sql(): bit-exact DuckDB equivalents (see pythongis_ray/
   queries.py for the exactness contract); non-SQL-expressible ops
-  (simhash/LSH/IVF/langid/geodetic/warp — hash-family, iterative or
+  (simhash/LSH/IVF/geodetic/warp — hash-family, iterative or
   transcendental) are omitted → rows-only checks.
 """
 

@@ -2189,7 +2189,29 @@ def q_simhash(sf_dir: str):
     return text.add_simhash(ds).select_columns(["doc_id", "simhash"])
 
 
+SQL_LANGID = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, UNNEST(l) AS word FROM toks),
+sc AS (SELECT doc_id,
+  COUNT(*) FILTER (word IN ('der','die','das','und','ist','nicht')) AS de,
+  COUNT(*) FILTER (word IN ('the','and','of','to','a','in','is')) AS en,
+  COUNT(*) FILTER (word IN ('el','la','los','y','es','una')) AS es,
+  COUNT(*) FILTER (word IN ('le','la','les','et','est','une')) AS fr
+  FROM w GROUP BY 1)
+SELECT doc_id,
+  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+       WHEN en >= es AND en >= fr THEN 'en'
+       WHEN es >= fr THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM sc
+"""
+
+
 def q_langid(sf_dir: str):
+    """Stopword-table language ID (actor pool; one is_in kernel per
+    language per batch). Oracle-paired: the count-argmax with
+    alphabetical-first tie-break is plain SQL (SQL_LANGID)."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     out = ds.map_batches(text.LanguageId, batch_format="pyarrow", batch_size=8192,
@@ -2720,7 +2742,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, None),
-    "langid": (q_langid, None),
+    "langid": (q_langid, SQL_LANGID),
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
     "geodetic_buffer": (q_geodetic_buffer, None),
