@@ -9,7 +9,7 @@ here (or in pythongis_ray) calls ray.init()/ray.shutdown().
   training-data ops); each takes sf_dir.
 - oracle_sql(): bit-exact DuckDB equivalents (see pythongis_ray/
   queries.py for the exactness contract); non-SQL-expressible ops
-  (simhash/LSH/IVF/geodetic/warp — hash-family, iterative or
+  (LSH/IVF/geodetic/warp — seeded projections, iterative or
   transcendental) are omitted → rows-only checks.
 """
 

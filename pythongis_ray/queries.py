@@ -2119,11 +2119,63 @@ def SQL_REPROJECT_X_F():
 
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs: 4×16-bit banded candidates + popcount
-    Hamming verify ≤ 8, capped buckets (rows-only driver check — the
-    hash family is not SQL-expressible)."""
+    Hamming verify ≤ 8, capped buckets. Oracle: the engine's 64-bit
+    polynomial token hash replayed in DuckDB HUGEINT arithmetic
+    (fold h = h*P + byte mod 2^64 per char), per-bit majority vote,
+    banded self-join + bit_count Hamming — bit-exact because every
+    step is integer. The ``bucket_cap`` guard is a no-op below 1024
+    bucket members (true at every test sf), so the SQL omits it."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     return text.simhash_dedup_pairs(ds, max_hamming=8, bucket_cap=1024)
+
+
+# shared SQL prelude: uint64 SimHash per doc replayed in HUGEINT
+# (token hash = fold h*P + byte mod 2^64 over chars — same P and
+# semantics as text._poly_hash_segments; bit j of the simhash set iff
+# a strict majority of token OCCURRENCES have bit j set)
+_SQL_SIMHASH_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, UNNEST(l) AS word FROM toks),
+h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(word, '')]),
+        (acc, x) -> (acc * 1099511628211 + x)
+                    % CAST('18446744073709551616' AS HUGEINT)) AS th
+      FROM w),
+bitpow(bit, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL SELECT bit + 1, p * 2 FROM bitpow WHERE bit < 63),
+bits AS (SELECT h.doc_id, b.bit, b.p, (h.th // b.p) % 2 AS v
+         FROM h CROSS JOIN bitpow b),
+agg AS (SELECT doc_id, bit, ANY_VALUE(p) AS p, SUM(v) AS cnt1,
+               COUNT(*) AS ntok
+        FROM bits GROUP BY doc_id, bit),
+sh AS (SELECT doc_id,
+         SUM(CASE WHEN 2 * cnt1 > ntok THEN p
+                  ELSE CAST(0 AS HUGEINT) END) AS u
+       FROM agg GROUP BY doc_id)
+"""
+
+SQL_SIMHASH_PAIRS = """
+WITH RECURSIVE
+""" + _SQL_SIMHASH_CTE + """,
+sv AS (SELECT doc_id, u,
+         CAST(u - CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS s
+       FROM sh),
+bands AS (SELECT doc_id, bp.bb AS band_id,
+                 CAST((u // CAST(bp.p AS HUGEINT)) % 65536 AS BIGINT)
+                   AS band_val, s
+          FROM sv CROSS JOIN (VALUES (0, 1), (1, 65536),
+                                     (2, 4294967296),
+                                     (3, 281474976710656)) bp(bb, p)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.s AS sa, b.s AS sb
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+"""
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -2184,9 +2236,22 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 
 def q_simhash(sf_dir: str):
+    """Per-doc 64-bit SimHash (stored signed as value - 2^63). Oracle:
+    the same polynomial-hash + bit-majority computation in DuckDB
+    HUGEINT arithmetic (see SQL_SIMHASH_PAIRS prelude)."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     return text.add_simhash(ds).select_columns(["doc_id", "simhash"])
+
+
+SQL_SIMHASH = """
+WITH RECURSIVE
+""" + _SQL_SIMHASH_CTE + """
+SELECT doc_id,
+       CAST(u - CAST('9223372036854775808' AS HUGEINT) AS BIGINT)
+         AS simhash
+FROM sh
+"""
 
 
 SQL_LANGID = """
@@ -2314,13 +2379,38 @@ def q_warp_mercator(sf_dir: str):
 
 
 def q_dedup_near_embed(sf_dir: str):
-    """Embedding-cosine near-dup: pairs with quantized dot >= threshold
-    among LSH-bucketed candidates; rows-only check."""
+    """Nearest-neighbor (rank-1) per query over the quantized-dot
+    metric — the per-doc "closest near-dup" view of the embedding
+    dedup plan. Oracle: same int64-quantized dot + deterministic
+    (score DESC, neighbor_id) ordering as SQL_ANN_TOPK."""
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
     qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           filters=[("vec_id", "<", 64)])
     out = embed.ann_topk(emb, qdf, k=2)
-    return out[out["rank"] == 1][["query_id", "neighbor_id", "score"]]
+    out = out[out["rank"] == 1][["query_id", "neighbor_id", "score"]].copy()
+    out["score"] = out["score"].astype(np.int64)
+    return out
+
+
+SQL_DEDUP_NEAR_EMBED = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qe
+  FROM embeddings WHERE vec_id < 64
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qe,
+              list_transform(e.embedding,
+                             x -> round(CAST(x AS DOUBLE) * 1000)))
+              AS BIGINT) AS score
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, score FROM ranked WHERE rnk = 1
+"""
 
 
 # -------------------------------------------------------------- web ops
@@ -2738,10 +2828,10 @@ REGISTRY: dict[str, tuple] = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
-    "simhash_pairs": (q_simhash_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "simhash": (q_simhash, None),
+    "simhash": (q_simhash, SQL_SIMHASH),
     "langid": (q_langid, SQL_LANGID),
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
@@ -2750,7 +2840,7 @@ REGISTRY: dict[str, tuple] = {
     "geodetic_area": (q_geodetic_area, None),
     "resample_bilinear": (q_resample_bilinear, None),
     "warp_mercator": (q_warp_mercator, None),
-    "dedup_near_embed": (q_dedup_near_embed, None),
+    "dedup_near_embed": (q_dedup_near_embed, SQL_DEDUP_NEAR_EMBED),
 }
 
 
