@@ -255,3 +255,74 @@ def test_union_matches_rect_sweep(rects):
     want, _ = algo.union_rects(np.array(
         [[x, y, x + w, y + h] for x, y, w, h in rects], np.float64))
     assert a == want
+
+
+# ---------------------------------------------------------- web-text kernels
+
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=30).map(lambda w: " ".join(w))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_repetition_stats_property(texts):
+    import pyarrow as pa
+
+    from collections import Counter
+
+    from pythongis_ray import text as t
+
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+    out = t.repetition_stats(batch).to_pydict()
+    got = {d: (a, b, c) for d, a, b, c in zip(
+        out["doc_id"], out["n_ngrams"], out["dup_ngrams"], out["top_count"])}
+    for i, txt in enumerate(texts):
+        toks = txt.split(" ")
+        if len(toks) < 2:
+            assert i not in got
+            continue
+        c = Counter(" ".join(toks[j:j + 2]) for j in range(len(toks) - 1))
+        total = sum(c.values())
+        dup = sum(v for v in c.values() if v > 1)
+        assert got[i] == (total, dup, max(c.values()))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["http", "https", "ftp"]), min_size=1, max_size=1),
+    st.text(alphabet="aB.c9-", min_size=1, max_size=8),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.text(alphabet="/ab2.", max_size=8),
+    st.sampled_from(["", "?x=1", "?utm_a=1", "?utm_a=1&k=2", "?k=2&utm_b=9"]),
+    st.sampled_from(["", "#f", "#a/b?c"]))
+def test_canonicalize_idempotent(scheme, host, port, path, query, frag):
+    import pyarrow as pa
+
+    from pythongis_ray import urltools
+
+    url = f"{scheme[0]}://{host}{port}{path}{query}{frag}"
+    once = urltools.canonicalize_urls(pa.array([url])).to_pylist()[0]
+    assert once is not None
+    twice = urltools.canonicalize_urls(pa.array([once])).to_pylist()[0]
+    assert twice == once  # canonical form is a fixed point
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_doc.filter(lambda s: s != ""), min_size=1, max_size=6),
+       st.integers(min_value=1, max_value=4))
+def test_line_rows_conservation(texts, line_len):
+    """Every token lands in exactly one line; line counts are
+    ceil(ntok/len); ranks are unique."""
+    import pyarrow as pa
+
+    from pythongis_ray import text as t
+
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+    rows = t._batch_line_rows(batch, "doc_id", "text", line_len).to_pydict()
+    for i, txt in enumerate(texts):
+        ntok = len(txt.split(" "))
+        want = -(-ntok // line_len)
+        assert sum(1 for d in rows["doc_id"] if d == i) == want
+    assert len(set(rows["rank"])) == len(rows["rank"])
