@@ -2749,6 +2749,47 @@ FROM aug
 """
 
 
+def q_kmv_distinct(sf_dir: str):
+    """Approximate distinct-token count via a mergeable K-Minimum-
+    Values sketch (k=16 so the ESTIMATOR path runs on the 31-word
+    fixture vocabulary). Deterministic given the token hash, so the
+    oracle replays hash + formula exactly."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return text.kmv_distinct(ds, k=16)
+
+
+SQL_KMV_DISTINCT = """
+WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+w AS (SELECT UNNEST(l) AS word FROM toks),
+h0 AS (SELECT DISTINCT list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(word, '')]),
+        (acc, x) -> (acc * 1099511628211 + x)
+                    % CAST('18446744073709551616' AS HUGEINT)) AS th0
+      FROM w),
+-- (th0 * MIX) mod 2^64 without INT128 overflow: split th0 into
+-- 32-bit halves (every intermediate < 2^97)
+h AS (SELECT ((((th0 // 4294967296)
+                * CAST('11400714819323198485' AS HUGEINT)) % 4294967296)
+               * 4294967296
+              + (th0 % 4294967296)
+                * CAST('11400714819323198485' AS HUGEINT))
+             % CAST('18446744073709551616' AS HUGEINT) AS th FROM h0),
+ord AS (SELECT th FROM h ORDER BY th LIMIT 16),
+agg AS (SELECT MAX(th) AS kth, COUNT(*) AS n FROM ord)
+SELECT CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+            ELSE CAST(15 * CAST('18446744073709551616' AS HUGEINT)
+                      AS DOUBLE) / CAST(kth AS DOUBLE) END AS est,
+       CASE WHEN n < 16 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(kth - CASE WHEN kth >=
+                     CAST('9223372036854775808' AS HUGEINT)
+                   THEN CAST('18446744073709551616' AS HUGEINT)
+                   ELSE 0 END AS BIGINT) END AS kth_hash,
+       CAST(n AS BIGINT) AS n_seen
+FROM agg
+"""
+
+
 # ------------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -2827,6 +2868,7 @@ REGISTRY: dict[str, tuple] = {
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),

@@ -907,3 +907,54 @@ def tfidf_topk(ds, id_col: str = "doc_id", text_col: str = "text",
             {"tf": np.int64, "df": np.int64, "rank": np.int64})
 
     return rel.bucketed_group_apply(joined, [id_col], topk)
+
+
+# ---------------------------------------------------------------- sketches
+
+KMV_MIX = np.uint64(11400714819323198485)  # 0x9E3779B97F4A7C15, odd
+
+
+def kmv_distinct(ds, text_col: str = "text", k: int = 256):
+    """Approximate COUNT(DISTINCT token) via a K-Minimum-Values sketch
+    (Bar-Yossef et al. 2002): keep the k smallest distinct 64-bit token
+    hashes; estimate = (k-1) * 2^64 / h_k where h_k is the k-th
+    smallest. The sketch is MERGEABLE — each batch contributes its own
+    k-minima (one np.partition, no shuffle), partials concatenate and
+    re-partition to k on the driver (k rows per batch, trivially
+    bounded) — so distinct counting never needs the global
+    dedup-shuffle an exact count does. Deterministic given the hash
+    function, hence DuckDB-oracle-able: the SQL replays the same
+    polynomial hash and formula bit-for-bit.
+
+    Returns a 1-row pa.Table: (est DOUBLE, kth_hash BIGINT, n_seen
+    BIGINT=k) — or the EXACT distinct count when fewer than k distinct
+    hashes exist (est = n, kth_hash = -1 sentinel).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, _ = _batch_token_hashes(arr)
+        # the raw polynomial hash is NOT uniform for short tokens
+        # (len<3 chars never wraps 2^64); a multiply-shift mix by a
+        # fixed odd constant uniformizes the ORDER (KMV only needs
+        # order) and stays one HUGEINT multiply in the SQL mirror
+        with np.errstate(over="ignore"):
+            th = th * KMV_MIX
+        u = np.unique(th)  # sorted
+        return pa.table({"h": pa.array(u[:k].view(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192).take_all()
+    allh = np.unique(np.array([r["h"] for r in parts],
+                              dtype=np.int64).view(np.uint64))
+    if len(allh) < k:
+        est, kth = float(len(allh)), -1
+    else:
+        kth_u = allh[k - 1]
+        est = (k - 1) * (2.0 ** 64) / float(kth_u)
+        kth = int(kth_u.view(np.int64)) if hasattr(kth_u, "view") \
+            else int(np.uint64(kth_u).view(np.int64))
+    return pa.table({"est": pa.array([est], pa.float64()),
+                     "kth_hash": pa.array([int(kth)], pa.int64()),
+                     "n_seen": pa.array([min(len(allh), k)], pa.int64())})

@@ -169,3 +169,21 @@ def test_tfidf_topk_small(ray_session):
     assert out["word"].tolist() == ["a", "b", "rare"]
     assert out["score"].tolist() == [2.0, 2.0, 3.0]
     assert out["rank"].tolist() == [1, 1, 1]
+
+
+def test_kmv_distinct_exact_and_estimate(ray_session):
+    import ray.data as rd
+
+    # vocab smaller than k -> exact path
+    tbl = pa.table({"text": pa.array(["a b c", "b c d", "a d"])})
+    out = text.kmv_distinct(rd.from_arrow(tbl), k=16).to_pydict()
+    assert out["est"] == [4.0] and out["kth_hash"] == [-1]
+    assert out["n_seen"] == [4]
+
+    # vocab larger than k -> estimator within 50% on 200 distinct
+    words = [f"w{i}" for i in range(200)]
+    docs = [" ".join(words[i:i + 20]) for i in range(0, 200, 20)]
+    out = text.kmv_distinct(rd.from_arrow(
+        pa.table({"text": pa.array(docs)})), k=64).to_pydict()
+    assert out["n_seen"] == [64]
+    assert 100 <= out["est"][0] <= 400
