@@ -85,9 +85,9 @@ def main(argv=None) -> int:
 
         metrics = checkpoint.write_partitioned(
             _as_dataset(result), args.out, args.key,
-            num_partitions=args.partitions)
+            num_partitions=args.partitions)  # DataFrame, one row/partition
         done = len(metrics)
-        rows = int(sum(m["rows"] for m in metrics))
+        rows = int(metrics["rows"].sum()) if done else 0
         print(f"{args.name}: {rows} rows in {done} new partitions -> "
               f"{args.out} ({time.monotonic() - t0:.2f}s; rerun with the "
               f"same --out resumes from the manifest)")

@@ -1,0 +1,26 @@
+"""CLI smoke: run + resumable --out through a subprocess (the
+`ray job submit` shape — the CLI owns its own Ray session there)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+
+def test_cli_run_out_and_resume(tmp_path):
+    out = str(tmp_path / "tok")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    cmd = [sys.executable, "-m", "pythongis_ray", "run", "doc_tokens",
+           "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+           "--key", "doc_id", "--partitions", "4"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=240,
+                        cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "4 new partitions" in r1.stdout
+    assert sorted(os.listdir(out))[1:] == [f"part={i}" for i in range(4)]
+    # rerun resumes from the manifest: nothing new written
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=240,
+                        cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "0 rows in 0 new partitions" in r2.stdout
