@@ -2749,6 +2749,32 @@ FROM aug
 """
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact duplicated-substring spans: rolling 8-token windows
+    occurring >1x corpus-wide; per-doc window count + union-of-spans
+    covered-token count (the Lee-et-al exact-substring dedup pass)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.dup_spans(ds, w=8)
+
+
+SQL_DUP_SPANS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, i, array_to_string(l[i:i+7], ' ') AS g,
+             len(l) AS ntok
+      FROM toks, UNNEST(range(1, len(l) - 6)) AS t(i)),
+dup AS (SELECT g FROM w GROUP BY g HAVING COUNT(*) > 1),
+hits AS (SELECT w.doc_id, w.i, w.ntok FROM w JOIN dup USING (g)),
+cov AS (SELECT doc_id, COUNT(DISTINCT j) AS n_cov
+        FROM hits, UNNEST(range(i, i + 8)) AS t(j) GROUP BY doc_id)
+SELECT h.doc_id, CAST(ANY_VALUE(h.ntok) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+       CAST(ANY_VALUE(c.n_cov) AS BIGINT) AS n_tokens_covered
+FROM hits h JOIN cov c USING (doc_id)
+GROUP BY h.doc_id
+"""
+
+
 def q_kmv_distinct(sf_dir: str):
     """Approximate distinct-token count via a mergeable K-Minimum-
     Values sketch (k=16 so the ESTIMATOR path runs on the 31-word
@@ -2869,6 +2895,7 @@ REGISTRY: dict[str, tuple] = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),

@@ -958,3 +958,86 @@ def kmv_distinct(ds, text_col: str = "text", k: int = 256):
     return pa.table({"est": pa.array([est], pa.float64()),
                      "kth_hash": pa.array([int(kth)], pa.int64()),
                      "n_seen": pa.array([min(len(allh), k)], pa.int64())})
+
+
+def dup_spans(ds, id_col: str = "doc_id", text_col: str = "text",
+              w: int = 8):
+    """Exact duplicated-substring spans (the Lee et al. 2022
+    "Deduplicating Training Data" exact-substring pass, windowed):
+    every rolling ``w``-token window whose text occurs MORE THAN ONCE
+    corpus-wide (any doc, any position, self-repeats included) marks
+    its tokens as duplicated; returns, per document with at least one
+    duplicated window, (doc_id, n_tokens, n_dup_windows,
+    n_tokens_covered) where coverage is the UNION of window spans.
+
+    Plan: vectorized window-hash explode → ONE bucketed count keeps
+    hashes with count > 1 → partitioned hash join back to the window
+    rows (the dup-hash table is corpus-scale, so a broadcast is NOT
+    safe — unlike decontaminate's benchmark side) → per-doc coverage
+    via a difference array + cumsum in a bucketed grouped apply.
+    Windows compare by 64-bit rolling hash (equal windows always
+    collide; a false dup needs a 2^-64 collision).
+    """
+    from pythongis_ray import relational as rel
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, tok_offs = _batch_token_hashes(arr)
+        sh, sh_offs = _batch_shingles(th, tok_offs, k=w)
+        ntok = np.diff(tok_offs)
+        nsh = np.diff(sh_offs)
+        doc_of = np.repeat(np.arange(len(ntok), dtype=np.int64), nsh)
+        # docs with < w tokens have one folded pseudo-shingle: drop it
+        # (mirrors the SQL range() emptiness)
+        keep = (ntok >= w)[doc_of]
+        pos = np.arange(len(sh), dtype=np.int64) \
+            - np.repeat(sh_offs[:-1], nsh)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "h": pa.array(sh[keep].view(np.int64)),
+            id_col: pa.array(ids[doc_of[keep]]),
+            "pos": pa.array(pos[keep]),
+            "ntok": pa.array(ntok[doc_of[keep]]),
+        })
+
+    wins = ds.map_batches(explode, batch_format="pyarrow", batch_size=8192)
+
+    def count_keep_dups(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = bucket.groupby("h", sort=False).size()
+        return c[c > 1].rename("dup_n").reset_index()[["h"]]
+
+    dups = rel.bucketed_group_apply(wins.select_columns(["h"]),
+                                    ["h"], count_keep_dups)
+    hits = rel.join_large(wins, dups, on="h")
+
+    def coverage(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values([id_col, "pos"], kind="stable")
+        ids = b[id_col].to_numpy(np.int64)
+        pos = b["pos"].to_numpy(np.int64)
+        ntok = b["ntok"].to_numpy(np.int64)
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        doc_idx = np.cumsum(new) - 1
+        doc_ids = ids[new]
+        doc_ntok = ntok[new]
+        # one global difference array, docs laid out back to back
+        base = np.concatenate(([0], np.cumsum(doc_ntok + 1)))[:-1]
+        diff = np.zeros(int((doc_ntok + 1).sum()) + 1, np.int64)
+        start = base[doc_idx] + pos
+        end = np.minimum(pos + w, ntok)  # clip (always fits, but safe)
+        np.add.at(diff, start, 1)
+        np.add.at(diff, base[doc_idx] + end, -1)
+        covered_all = np.cumsum(diff[:-1]) > 0
+        # per-doc covered-token count (the +1 gap slot is never covered)
+        cuts = np.concatenate((base, [len(covered_all)]))
+        sums = np.add.reduceat(covered_all.astype(np.int64), cuts[:-1])
+        return pd.DataFrame({
+            id_col: doc_ids,
+            "n_tokens": doc_ntok,
+            "n_dup_windows": np.bincount(doc_idx).astype(np.int64),
+            "n_tokens_covered": sums.astype(np.int64),
+        })
+
+    return rel.bucketed_group_apply(hits, [id_col], coverage)

@@ -187,3 +187,21 @@ def test_kmv_distinct_exact_and_estimate(ray_session):
         pa.table({"text": pa.array(docs)})), k=64).to_pydict()
     assert out["n_seen"] == [64]
     assert 100 <= out["est"][0] <= 400
+
+
+def test_dup_spans_coverage(ray_session):
+    import ray.data as rd
+
+    # w=2: dup windows are "a b" (docs 0,1) and "c d" (twice in doc 2,
+    # a self-repeat at positions 0 and 2 -> union covers 4 tokens)
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a b x", "y a b", "c d c d", "unique words only"]),
+    })
+    out = text.dup_spans(rd.from_arrow(tbl), w=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_dup_windows"].tolist() == [1, 1, 2]
+    # doc0: tokens a,b covered (2); doc1: a,b (2); doc2: all 4
+    assert out["n_tokens_covered"].tolist() == [2, 2, 4]
+    assert out["n_tokens"].tolist() == [3, 3, 4]
