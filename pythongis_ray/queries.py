@@ -2749,6 +2749,36 @@ FROM aug
 """
 
 
+def q_pmi_bigrams(sf_dir: str):
+    """Top-20 bigram associations by exact-integer PMI ratio
+    (c(ab)*N / (c(a)*c(b)), min_count 5)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.pmi_bigrams(ds, k=20, min_count=5)
+
+
+SQL_PMI_BIGRAMS = """
+WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+bg AS (SELECT l[i] AS w1, l[i+1] AS w2
+       FROM toks, UNNEST(range(1, len(l))) AS t(i)),
+bi AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+uni AS (SELECT word, COUNT(*) AS c
+        FROM (SELECT UNNEST(l) AS word FROM toks) GROUP BY 1),
+n AS (SELECT COUNT(*) AS nn FROM bg),
+sc AS (SELECT b.w1, b.w2, b.n_ab, a.c AS n_a, c2.c AS n_b,
+              CAST(b.n_ab * (SELECT nn FROM n) AS DOUBLE)
+                / CAST(a.c * c2.c AS DOUBLE) AS score
+       FROM bi b JOIN uni a ON b.w1 = a.word
+                 JOIN uni c2 ON b.w2 = c2.word
+       WHERE b.n_ab >= 5),
+ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, w1, w2)
+                       AS rnk FROM sc)
+SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b, score, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 20
+"""
+
+
 def q_dup_spans(sf_dir: str):
     """Exact duplicated-substring spans: rolling 8-token windows
     occurring >1x corpus-wide; per-doc window count + union-of-spans
@@ -2896,6 +2926,7 @@ REGISTRY: dict[str, tuple] = {
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),

@@ -1041,3 +1041,74 @@ def dup_spans(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return rel.bucketed_group_apply(hits, [id_col], coverage)
+
+
+def pmi_bigrams(ds, text_col: str = "text", k: int = 20,
+                min_count: int = 5):
+    """Top-k word bigrams by (unnormalized) PMI ratio:
+    score = c(ab) * N / (c(a) * c(b)) with N = total bigram count —
+    kept as ONE exact-integer product ratio evaluated in a single
+    double division on each side (numerator and denominator each fit
+    int64 at any realistic count), so both engines order identically.
+    ``min_count`` drops rare bigrams (the standard PMI noise guard).
+
+    Plan: bigram + unigram counts ride the SAME explode pass (partial
+    counts per batch, one bucketed combine each), two small hash joins
+    attach c(a), c(b), and the top-k is a per-block partial + B×k
+    driver merge (vocabulary-bounded, same shape as word_frequency).
+    Returns a pandas DataFrame (w1, w2, n_ab, n_a, n_b, score, rank).
+    """
+    from pythongis_ray import relational as rel
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        nw = np.diff(flat.offsets.to_numpy(zero_copy_only=False))
+        words = flat.values
+        n = len(words)
+        keep = np.ones(n - 1, dtype=bool) if n else np.zeros(0, bool)
+        # mask pairs that straddle a document boundary
+        ends = np.cumsum(nw)[:-1] - 1
+        keep[ends[ends < n - 1]] = False
+        t = pa.table({"w1": words.slice(0, n - 1).filter(pa.array(keep)),
+                      "w2": words.slice(1, n - 1).filter(pa.array(keep))})
+        return t.group_by(["w1", "w2"]).aggregate([("w1", "count")]) \
+            .rename_columns(["w1", "w2", "pcnt"])
+
+    bi = rel.bucketed_group_apply(
+        ds.map_batches(bigram_partial, batch_format="pyarrow",
+                       batch_size=8192),
+        ["w1", "w2"],
+        lambda b: b.groupby(["w1", "w2"], sort=False)["pcnt"].sum()
+        .rename("n_ab").reset_index())
+    uni = word_frequency(ds, text_col)  # (word, cnt)
+
+    n_total = int(sum(r["n_ab"] for r in
+                      bi.map_batches(
+                          lambda b: pd.DataFrame(
+                              {"n_ab": [b["n_ab"].sum()]}),
+                          batch_format="pandas").take_all()))
+
+    u1 = uni.map_batches(lambda b: b.rename(
+        columns={"word": "w1", "cnt": "n_a"}), batch_format="pandas")
+    u2 = uni.map_batches(lambda b: b.rename(
+        columns={"word": "w2", "cnt": "n_b"}), batch_format="pandas")
+    j = rel.join_large(rel.join_large(bi, u1, on="w1"), u2, on="w2")
+
+    def score_block(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_ab"] >= min_count].copy()
+        num = b["n_ab"].to_numpy(np.int64) * n_total
+        den = b["n_a"].to_numpy(np.int64) * b["n_b"].to_numpy(np.int64)
+        b["score"] = num.astype(np.float64) / den.astype(np.float64)
+        return b.sort_values(["score", "w1", "w2"],
+                             ascending=[False, True, True],
+                             kind="stable").head(k)
+
+    parts = j.map_batches(score_block, batch_format="pandas").to_pandas()
+    out = parts.sort_values(["score", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="stable").head(k).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["w1", "w2", "n_ab", "n_a", "n_b", "score", "rank"]].astype(
+        {"n_ab": np.int64, "n_a": np.int64, "n_b": np.int64})
