@@ -144,3 +144,78 @@ def flagship_joined_pages(sf_dir: str, replicate: int = 1):
     zones = load_zones(sf_dir)
     return spatial.spatial_join(
         ds, zones[["zone_id", "name", "geometry"]], predicate="within", how="left")
+
+
+def corpus_build(docs_ds):
+    """The full web-corpus BUILD: quality filter → exact dedup →
+    near-dup cluster removal → PII scrub, composed from the individual
+    operators (each independently oracle-checked) into one streaming
+    pipeline. Returns kept docs as (doc_id, n_tokens, text_final).
+
+    Stages (every predicate integer-exact so the composed DuckDB
+    oracle matches bit-for-bit):
+
+      1. quality: keep docs with stopword ratio ≥ 5% — evaluated as
+         ``n_stop * 20 >= n_tokens`` (no float);
+      2. exact dedup: keep the min-doc_id row per content fingerprint;
+      3. near-dup: MinHash-LSH pairs (J ≥ 0.5) over the survivors →
+         distributed connected components → drop every cluster member
+         except the min-id representative;
+      4. PII scrub of the surviving text (identity on clean text).
+    """
+    from pythongis_ray import graph, relational as rel, text
+
+    # 1. quality filter (integer predicate)
+    def qual(batch: pa.Table) -> pa.Table:
+        b = text.quality_score(batch)
+        ns = b["n_stop"].to_numpy(zero_copy_only=False)
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ns * 20 >= nt)) \
+            .select(["doc_id", "text", "n_tokens"])
+
+    survivors = docs_ds.map_batches(qual, batch_format="pyarrow",
+                                    batch_size=4096)
+
+    # 2. exact dedup: keep-first (min doc_id) per content fingerprint
+    survivors = survivors.map_batches(text.fingerprint,
+                                      batch_format="pyarrow",
+                                      batch_size=4096)
+    survivors = rel.dedup(survivors, ["fp"], order_col="doc_id") \
+        .drop_columns(["fp"]).materialize()
+
+    # 3. near-dup clusters among survivors; keep representatives.
+    # (materialize above: the pair+CC stage and the final filter both
+    # consume the survivor set — pin it once instead of recomputing.)
+    pairs = text.minhash_dedup_pairs(survivors, threshold=0.5)
+    comp = graph.connected_components(
+        pairs.select_columns(["id_a", "id_b"]))
+    comp = comp.map_batches(
+        lambda b: b.rename_columns(["doc_id", "component"]),
+        batch_format="pyarrow", batch_size=65536)
+    joined = rel.join_large(survivors, comp, on="doc_id", how="left")
+
+    def keep_rep(batch: pa.Table) -> pa.Table:
+        comp_col = batch["component"]
+        if isinstance(comp_col, pa.ChunkedArray):
+            comp_col = comp_col.combine_chunks()
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # unmatched left rows surface as null (or NaN after a pandas
+        # hop) — normalize through cast+fill before comparing
+        filled = pc.fill_null(pc.cast(comp_col, pa.float64()), -1.0) \
+            .to_numpy(zero_copy_only=False)
+        keep = pa.array(np.isnan(filled) | (filled == -1.0)
+                        | (filled == did))
+        return batch.filter(keep).select(["doc_id", "text", "n_tokens"])
+
+    kept = joined.map_batches(keep_rep, batch_format="pyarrow",
+                              batch_size=8192)
+
+    # 4. PII scrub → final text
+    def scrub(batch: pa.Table) -> pa.Table:
+        b = text.pii_scrub(batch)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": b["n_tokens"],
+                         "text_final": b["text_scrubbed"]})
+
+    return kept.map_batches(scrub, batch_format="pyarrow",
+                            batch_size=8192)

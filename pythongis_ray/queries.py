@@ -2749,6 +2749,65 @@ FROM aug
 """
 
 
+def q_corpus_build(sf_dir: str):
+    """Full web-corpus build (quality filter → exact dedup → near-dup
+    cluster removal → PII scrub) composed end-to-end; the oracle
+    composes the same stages as CTEs."""
+    from pythongis_ray import pipelines
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return pipelines.corpus_build(ds)
+
+
+SQL_CORPUS_BUILD = """
+WITH RECURSIVE
+docs0 AS (SELECT doc_id, text, string_split(text, ' ') AS l
+          FROM documents),
+q AS (SELECT doc_id, text, len(l) AS ntok,
+        len(list_filter(l, x -> x IN ('the','a','and','of','to','in',
+                                      'is','on','for','with'))) AS nstop
+      FROM docs0),
+qual AS (SELECT doc_id, text, ntok FROM q WHERE nstop * 20 >= ntok),
+ex AS (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY text),
+surv AS (SELECT q2.doc_id, q2.text, q2.ntok
+         FROM qual q2 JOIN ex USING (doc_id)),
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM surv),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' ')))
+        END AS sh
+      FROM d),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component
+         FROM reach GROUP BY src),
+kept AS (SELECT s2.doc_id, s2.text, s2.ntok
+         FROM surv s2 LEFT JOIN comp c USING (doc_id)
+         WHERE c.component IS NULL OR c.component = s2.doc_id)
+SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\b555-[0-9]{2,4}\\b', '<PHONE>', 'g'),
+      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')
+    AS text_final
+FROM kept
+"""
+
+
 def q_pmi_bigrams(sf_dir: str):
     """Top-20 bigram associations by exact-integer PMI ratio
     (c(ab)*N / (c(a)*c(b)), min_count 5)."""
@@ -2927,6 +2986,7 @@ REGISTRY: dict[str, tuple] = {
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
+    "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
