@@ -664,11 +664,14 @@ def repetition_stats(batch: pa.Table, id_col: str = "doc_id",
     run_doc = d[new]
     top = np.zeros(ndocs, np.int64)
     if len(run_doc):
-        first = np.searchsorted(run_doc, np.arange(ndocs))
-        has = np.zeros(ndocs, dtype=bool)
-        has[run_doc] = True
-        safe = np.minimum(first, len(run_len) - 1)
-        top[has] = np.maximum.reduceat(run_len, safe)[has]
+        # per-doc max run length: reduceat over the doc-change
+        # boundaries of the (doc-sorted) run list. (A searchsorted
+        # per doc index here is WRONG: clamping its out-of-range
+        # entries corrupts the preceding segment when trailing docs
+        # have no runs — caught by the hypothesis property test.)
+        seg = np.concatenate(
+            ([0], np.flatnonzero(run_doc[1:] != run_doc[:-1]) + 1))
+        top[run_doc[seg]] = np.maximum.reduceat(run_len, seg)
     ids = batch[id_col].to_numpy(zero_copy_only=False)[valid_doc]
     return pa.table({
         id_col: pa.array(ids),
