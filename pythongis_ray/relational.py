@@ -915,3 +915,19 @@ def equal_breaks(lo: float, hi: float, k: int) -> list[float]:
     step = (hi - lo) / k
     return [lo + i * step for i in range(k + 1)]
 
+
+
+def with_empty_schema(ds, schema: pa.Schema):
+    """Union a zero-row TYPED block into ``ds`` so downstream joins
+    see a schema even when the dataset produced no blocks.
+
+    Why: ``groupby().map_groups`` with ZERO groups yields a dataset
+    with no blocks and no schema; Ray's native join then fails at
+    execution ("No match for key field") instead of returning empty.
+    Candidate tables (near-dup pairs, duplicated-window hashes) are
+    legitimately empty on clean corpora, so every join whose input
+    comes from a grouped apply needs this guard. The extra block has
+    no rows — plans and results are unchanged otherwise."""
+    import ray.data as rd
+
+    return ds.union(rd.from_arrow(schema.empty_table()))

@@ -422,6 +422,8 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     cand = rel.bucketed_group_apply(bands, ["band_id", "band_hash"],
                                     bucket_pairs)
     cand = rel.dedup(cand, ["id_a", "id_b"])
+    cand = rel.with_empty_schema(cand, pa.schema([("id_a", pa.int64()),
+                                                  ("id_b", pa.int64())]))
 
     def as_side(side: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -429,10 +431,12 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                 [f"id_{side}", f"text_{side}"])
         return fn
 
+    # native=False: cand is legitimately empty on a no-near-dup corpus
+    # and the native join crashes on schema-less empties
     cand = rel.join_large(cand, ds.map_batches(as_side("a"), batch_format="pyarrow"),
-                          on="id_a")
+                          on="id_a", native=False)
     cand = rel.join_large(cand, ds.map_batches(as_side("b"), batch_format="pyarrow"),
-                          on="id_b")
+                          on="id_b", native=False)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         ja = np.array([jaccard_shingles(a, b) for a, b in
@@ -1006,6 +1010,11 @@ def dup_spans(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     wins = ds.map_batches(explode, batch_format="pyarrow", batch_size=8192)
+    # all-empty output batches are dropped by Ray, losing the schema —
+    # guard BOTH join sides (see rel.with_empty_schema)
+    from pythongis_ray.relational import with_empty_schema as _wes
+    wins = _wes(wins, pa.schema([("h", pa.int64()), (id_col, pa.int64()),
+                                 ("pos", pa.int64()), ("ntok", pa.int64())]))
 
     def count_keep_dups(bucket: pd.DataFrame) -> pd.DataFrame:
         c = bucket.groupby("h", sort=False).size()
@@ -1013,7 +1022,11 @@ def dup_spans(ds, id_col: str = "doc_id", text_col: str = "text",
 
     dups = rel.bucketed_group_apply(wins.select_columns(["h"]),
                                     ["h"], count_keep_dups)
-    hits = rel.join_large(wins, dups, on="h")
+    dups = rel.with_empty_schema(dups, pa.schema([("h", pa.int64())]))
+    # native Dataset.join drops the schema when a side is all-empty
+    # (zero-row blocks never flow through its hash shuffle) — the
+    # bucketed fallback reads schema from metadata and returns empty
+    hits = rel.join_large(wins, dups, on="h", native=False)
 
     def coverage(bucket: pd.DataFrame) -> pd.DataFrame:
         b = bucket.sort_values([id_col, "pos"], kind="stable")

@@ -326,3 +326,38 @@ def test_line_rows_conservation(texts, line_len):
         want = -(-ntok // line_len)
         assert sum(1 for d in rows["doc_id"] if d == i) == want
     assert len(set(rows["rank"])) == len(rows["rank"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abc"), min_size=0, max_size=12)
+                .map(lambda w: " ".join(w)), min_size=1, max_size=5),
+       st.integers(min_value=2, max_value=4))
+def test_dup_spans_matches_bruteforce(ray_session, texts, w):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pythongis_ray import text as t
+
+    out = t.dup_spans(rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})), w=w).to_pandas()
+    got = {r.doc_id: (r.n_tokens, r.n_dup_windows, r.n_tokens_covered)
+           for r in out.itertuples()}
+
+    from collections import Counter
+    wins = []
+    for i, txt in enumerate(texts):
+        toks = txt.split(" ")
+        wins += [(i, p, tuple(toks[p:p + w]))
+                 for p in range(len(toks) - w + 1)]
+    cnt = Counter(g for _, _, g in wins)
+    want = {}
+    for i, txt in enumerate(texts):
+        toks = txt.split(" ")
+        dups = [p for d, p, g in wins if d == i and cnt[g] > 1]
+        if dups:
+            cov = set()
+            for p in dups:
+                cov |= set(range(p, p + w))
+            want[i] = (len(toks), len(dups), len(cov))
+    assert got == want
