@@ -205,3 +205,38 @@ def test_dup_spans_coverage(ray_session):
     # doc0: tokens a,b covered (2); doc1: a,b (2); doc2: all 4
     assert out["n_tokens_covered"].tolist() == [2, 2, 4]
     assert out["n_tokens"].tolist() == [3, 3, 4]
+
+
+def test_corpus_build_no_neardups(ray_session):
+    """A corpus with zero near-dup pairs must pass through the
+    cluster-removal stage untouched (empty component table)."""
+    import ray.data as rd
+
+    from pythongis_ray import pipelines
+
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array([
+                        "the quick fox is here now",
+                        "a completely different sentence for sure",
+                        "of all other words in existence"])})
+    out = pipelines.corpus_build(rd.from_arrow(tbl)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2]
+    assert (out["text_final"] == out["text_final"]).all()
+
+
+def test_corpus_build_removes_dups_and_clusters(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray import pipelines
+
+    base = "the quick brown fox is jumping over a lazy dog in summer"
+    near = base + " extra"
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": pa.array([
+                        base,             # representative
+                        base,             # exact dup -> removed
+                        near,             # near-dup -> removed
+                        "numbers numbers numbers numbers numbers",  # no stopwords -> quality-filtered
+                    ])})
+    out = pipelines.corpus_build(rd.from_arrow(tbl)).to_pandas()
+    assert out["doc_id"].tolist() == [0]
