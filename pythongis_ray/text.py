@@ -488,6 +488,8 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     cand = rel.bucketed_group_apply(bands, ["sh"], bucket_pairs)
     cand = rel.dedup(cand, ["id_a", "id_b"])
+    cand = rel.with_empty_schema(cand, pa.schema([("id_a", pa.int64()),
+                                                  ("id_b", pa.int64())]))
 
     def as_side(side: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -495,12 +497,13 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                 [f"id_{side}", f"text_{side}"])
         return fn
 
+    # native=False: cand is legitimately empty on an all-distinct corpus
     cand = rel.join_large(cand, ds.map_batches(as_side("a"),
                                                batch_format="pyarrow"),
-                          on="id_a")
+                          on="id_a", native=False)
     cand = rel.join_large(cand, ds.map_batches(as_side("b"),
                                                batch_format="pyarrow"),
-                          on="id_b")
+                          on="id_b", native=False)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         ja = np.array([jaccard_shingles(a, b) for a, b in
@@ -1110,7 +1113,11 @@ def pmi_bigrams(ds, text_col: str = "text", k: int = 20,
         columns={"word": "w1", "cnt": "n_a"}), batch_format="pandas")
     u2 = uni.map_batches(lambda b: b.rename(
         columns={"word": "w2", "cnt": "n_b"}), batch_format="pandas")
-    j = rel.join_large(rel.join_large(bi, u1, on="w1"), u2, on="w2")
+    bi = rel.with_empty_schema(bi, pa.schema([
+        ("w1", pa.string()), ("w2", pa.string()), ("n_ab", pa.int64())]))
+    # native=False: bi is empty when no doc has two tokens
+    j = rel.join_large(rel.join_large(bi, u1, on="w1", native=False),
+                       u2, on="w2", native=False)
 
     def score_block(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["n_ab"] >= min_count].copy()
@@ -1122,6 +1129,15 @@ def pmi_bigrams(ds, text_col: str = "text", k: int = 20,
                              kind="stable").head(k)
 
     parts = j.map_batches(score_block, batch_format="pandas").to_pandas()
+    if parts.empty or "score" not in parts.columns:
+        # no bigram reached min_count: typed empty result
+        return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object),
+                             "n_ab": pd.Series([], dtype=np.int64),
+                             "n_a": pd.Series([], dtype=np.int64),
+                             "n_b": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64),
+                             "rank": pd.Series([], dtype=np.int64)})
     out = parts.sort_values(["score", "w1", "w2"],
                             ascending=[False, True, True],
                             kind="stable").head(k).reset_index(drop=True)
