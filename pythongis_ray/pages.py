@@ -31,10 +31,19 @@ EPOCH_2024 = 1704067200_000000  # 2024-01-01 in microseconds
 N_SITES = 50
 
 
-def synthesize_pages(batch: pa.Table, replicate: int = 1) -> pa.Table:
+def synthesize_pages(batch: pa.Table, replicate: int = 1,
+                     links: bool = False) -> pa.Table:
     """documents batch → pages batch. With ``replicate`` > 1 each doc
     yields `replicate` pages with distinct page ids/urls (deterministic
-    upsampling for benchmarks; ids = doc_id * replicate + r)."""
+    upsampling for benchmarks; ids = doc_id * replicate + r).
+
+    With ``links=True`` each page's html additionally carries three
+    deterministic outlinks as empty-anchor tags placed after the text:
+    page p links to pages p>>1, p>>2, p>>3 (its "ancestors" — a
+    tree-shaped web where low ids are hubs; page 0 self-loops). The
+    anchors are EMPTY (``<a href="..."></a>``) so extract_text still
+    yields byte-identical `text` — the north-rule invariant holds with
+    links on. SQL replay of the j-th target: ``doc_id // 2**j``."""
     doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     text = batch["text"]
     lang = batch["lang"]
@@ -56,11 +65,21 @@ def synthesize_pages(batch: pa.Table, replicate: int = 1) -> pa.Table:
         "")
     warc_ts = pa.array((EPOCH_2024 + page_id * 37_000_000).view(np.int64),
                        type=pa.timestamp("us"))
-    html = pc.binary_join_element_wise(
-        pa.array([b"<html><body>"] * len(page_id), pa.binary()),
-        pc.cast(text, pa.binary()),
-        pa.array([b"</body></html>"] * len(page_id), pa.binary()),
-        b"")
+    segs = [pa.array([b"<html><body>"] * len(page_id), pa.binary()),
+            pc.cast(text, pa.binary())]
+    if links:
+        for j in (1, 2, 3):
+            t = page_id >> j
+            segs += [
+                pa.array([b'<a href="https://site'] * n, pa.binary()),
+                pc.cast(pc.cast(pa.array(t % N_SITES), pa.string()),
+                        pa.binary()),
+                pa.array([b".example/"] * n, pa.binary()),
+                pc.cast(pc.cast(pa.array(t), pa.string()), pa.binary()),
+                pa.array([b'"></a>'] * n, pa.binary()),
+            ]
+    segs.append(pa.array([b"</body></html>"] * len(page_id), pa.binary()))
+    html = pc.binary_join_element_wise(*segs, b"")
     return pa.table({
         "page_id": pa.array(page_id),
         "url": url,
@@ -85,7 +104,7 @@ def geocode_pages(batch: pa.Table, res: int = grid.DEFAULT_RES) -> pa.Table:
 
 
 def pages_dataset(sf_dir: str, replicate: int = 1, geocode: bool = True,
-                  columns: list[str] | None = None):
+                  columns: list[str] | None = None, links: bool = False):
     """read documents.parquet → pages Dataset (lazy, streaming)."""
     import ray.data as rd
 
@@ -95,7 +114,7 @@ def pages_dataset(sf_dir: str, replicate: int = 1, geocode: bool = True,
     # rows AND bytes by R, so the input batch shrinks by R (wide-row
     # memory rule — html ~1 KB/row must not produce GB-sized blocks)
     bs = max(256, 8192 // max(1, replicate))
-    ds = ds.map_batches(lambda b: synthesize_pages(b, replicate),
+    ds = ds.map_batches(lambda b: synthesize_pages(b, replicate, links=links),
                         batch_format="pyarrow", batch_size=bs)
     if geocode:
         # batch_size=None → one batch per upstream block. Ray fuses
@@ -123,3 +142,55 @@ def extract_text(batch: pa.Table, html_col: str = "html",
     s = pc.cast(batch[html_col], pa.string())
     stripped = pc.replace_substring_regex(s, "<[^>]*>", "")
     return batch.append_column(out_col, stripped)
+
+
+def extract_links(batch: pa.Table, html_col: str = "html",
+                  src_col: str = "page_id") -> pa.Table:
+    """html → outlink edge table ``(src_page, dst_page, dst_url)``.
+
+    The link-graph construction step of a web-corpus pipeline (the
+    reference has no graph surface; this feeds graph.pagerank /
+    graph.connected_components). Fully vectorized: ONE
+    ``split_pattern('href="')`` kernel explodes every doc into
+    href-delimited pieces, numpy offset arithmetic drops each doc's
+    pre-href prefix and maps pieces back to their source row, and ONE
+    ``extract_regex`` kernel per field pulls the quoted url and its
+    trailing page id — zero Python per row/link. Pages without links
+    (or hrefs without a numeric tail) simply emit no edges."""
+    col = batch[html_col]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    src = batch[src_col]
+    src_arr = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+    s = pc.cast(arr, pa.string())
+    lists = pc.split_pattern(s, 'href="')
+    counts = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    total = int(counts.sum())
+    empty = pa.table({"src_page": pa.array([], pa.int64()),
+                      "dst_page": pa.array([], pa.int64()),
+                      "dst_url": pa.array([], pa.string())})
+    if total == 0:
+        return empty
+    flat = pc.list_flatten(lists)
+    parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    keep = np.ones(total, dtype=bool)
+    keep[starts] = False  # first piece per doc = everything before a href
+    idx = np.nonzero(keep)[0]
+    if len(idx) == 0:
+        return empty
+    tails = flat.take(pa.array(idx))
+    parent = parent[keep]
+    urls = pc.struct_field(pc.extract_regex(tails, r'^(?P<u>[^"]*)"'), "u")
+    dst = pc.struct_field(pc.extract_regex(urls, r"/(?P<d>[0-9]+)$"), "d")
+    ok = pc.and_kleene(pc.is_valid(urls), pc.is_valid(dst))
+    ok_np = ok.to_numpy(zero_copy_only=False).astype(bool)
+    if not ok_np.all():
+        sel = pa.array(np.nonzero(ok_np)[0])
+        urls, dst, parent = urls.take(sel), dst.take(sel), parent[ok_np]
+    src_np = src_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "src_page": pa.array(src_np[parent]),
+        "dst_page": pc.cast(dst, pa.int64()),
+        "dst_url": urls,
+    })

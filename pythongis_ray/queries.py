@@ -2905,6 +2905,164 @@ FROM agg
 """
 
 
+# ----------------------------------------------------- web graph ops
+
+def q_link_graph(sf_dir: str):
+    """Outlink edge-list extraction from raw html: pages are
+    synthesized WITH deterministic ancestor links (p → p>>1,p>>2,p>>3
+    as empty-anchor hrefs), and the engine re-extracts them from the
+    html bytes with split+regex kernels (pages.extract_links). The
+    oracle regenerates the targets arithmetically — a hash match means
+    the regex extraction recovered the exact edge multiset."""
+    from pythongis_ray import pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    ds = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                        batch_size=4096)
+    return ds.select_columns(["src_page", "dst_page"])
+
+
+SQL_LINK_GRAPH = """
+SELECT CAST(doc_id AS BIGINT) AS src_page,
+       CAST(doc_id // 2 AS BIGINT) AS dst_page FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 4 AS BIGINT) FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 8 AS BIGINT) FROM documents
+"""
+
+
+def q_pagerank(sf_dir: str):
+    """Integer PageRank (5 rounds) over the html-extracted link graph:
+    end-to-end web-authority pipeline (synthesize → regex-extract edges
+    → iterative scatter/gather mass propagation). Bit-exact vs 5
+    chained LEFT-JOIN CTEs in DuckDB because all arithmetic is int64
+    floor division (see graph.pagerank)."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    pr = graph.pagerank(edges, src="src_page", dst="dst_page", iters=5)
+    return pr.map_batches(
+        lambda b: pa.table({
+            "node": pc.cast(b["node"], pa.int64()),
+            "mass": pc.cast(b["mass"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_pagerank(iters: int = 5) -> str:
+    head = """
+WITH e AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST(doc_id // 2 AS BIGINT) AS dst FROM documents
+  UNION ALL SELECT doc_id, doc_id // 4 FROM documents
+  UNION ALL SELECT doc_id, doc_id // 8 FROM documents),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+m0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes)"""
+    step = """,
+m{k} AS (
+  SELECT n.node,
+         CAST(150000 + COALESCE(SUM((85 * m.mass) // (100 * o.od)), 0)
+              AS BIGINT) AS mass
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN od o ON o.src = e.src
+  LEFT JOIN m{p} m ON m.node = e.src
+  GROUP BY n.node)"""
+    body = "".join(step.format(k=k, p=k - 1) for k in range(1, iters + 1))
+    return head + body + f"\nSELECT node, mass FROM m{iters}"
+
+
+def q_host_cap(sf_dir: str, cap: int = 5):
+    """Per-host document cap (MassiveText-style max-docs-per-domain):
+    parse the host out of each url, keep the `cap` earliest pages per
+    host by (warc_ts, page_id). One bucketed shuffle on host; within a
+    bucket the head-per-group is a vectorized sorted groupby."""
+    from pythongis_ray import pages, urltools
+
+    ds = pages.pages_dataset(sf_dir, geocode=False,
+                             columns=["page_id", "url", "warc_ts"])
+    ds = ds.map_batches(
+        lambda b: urltools.add_url_parts(b, parts=("host",)),
+        batch_format="pyarrow", batch_size=8192)
+
+    def head_per_host(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url_host", "warc_ts", "page_id"], kind="stable")
+        kept = g.groupby("url_host", sort=False).head(cap)
+        return kept[["page_id", "url_host"]]
+
+    return rel.bucketed_group_apply(ds, ["url_host"], head_per_host)
+
+
+SQL_HOST_CAP = """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS page_id,
+         'site' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS url_host,
+         doc_id * 37000000 AS ts_us
+  FROM documents),
+r AS (SELECT page_id, url_host,
+             ROW_NUMBER() OVER (PARTITION BY url_host
+                                ORDER BY ts_us, page_id) AS rn
+      FROM p)
+SELECT page_id, url_host FROM r WHERE rn <= 5
+"""
+
+
+def q_sample_stratified(sf_dir: str, k: int = 20):
+    """Deterministic stratified sampling: rank every page within its
+    language stratum by the 64-bit polynomial hash of its URL
+    (content-addressed, reproducible on any cluster size) and keep the
+    k smallest per stratum — the quota-sampling step of a multilingual
+    corpus build. The oracle replays the byte-level hash in HUGEINT
+    SQL and the same signed ordering."""
+    from pythongis_ray import pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False,
+                             columns=["page_id", "url", "lang"])
+    ds = ds.map_batches(
+        lambda b: text.fingerprint(b, text_col="url", out_col="h"),
+        batch_format="pyarrow", batch_size=8192)
+
+    def top_per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "h", "page_id"], kind="stable")
+        kept = g.groupby("lang", sort=False).head(k)
+        return kept[["lang", "page_id", "h"]]
+
+    return rel.bucketed_group_apply(ds, ["lang"], top_per_lang)
+
+
+SQL_SAMPLE_STRATIFIED = """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS page_id, lang,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h0 AS (
+  SELECT page_id, lang,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+            [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(url, '')]),
+            (acc, x) -> (acc * 1099511628211 + x)
+                        % CAST('18446744073709551616' AS HUGEINT)) AS uh
+  FROM p),
+hs AS (
+  SELECT page_id, lang,
+         CAST(uh - CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+                     THEN CAST('18446744073709551616' AS HUGEINT)
+                     ELSE 0 END AS BIGINT) AS h
+  FROM h0),
+r AS (SELECT lang, page_id, h,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY h, page_id) AS rn
+      FROM hs)
+SELECT lang, page_id, h FROM r WHERE rn <= 20
+"""
+
+
 # ------------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -3001,6 +3159,10 @@ REGISTRY: dict[str, tuple] = {
     "resample_bilinear": (q_resample_bilinear, None),
     "warp_mercator": (q_warp_mercator, None),
     "dedup_near_embed": (q_dedup_near_embed, SQL_DEDUP_NEAR_EMBED),
+    "link_graph": (q_link_graph, SQL_LINK_GRAPH),
+    "pagerank": (q_pagerank, _sql_pagerank),
+    "host_cap": (q_host_cap, SQL_HOST_CAP),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
 }
 
 
