@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pythongis_ray import relational as rel
 
@@ -227,3 +228,42 @@ def pagerank(edges, src: str = "src", dst: str = "dst", iters: int = 5,
         mass = rel.bucketed_group_apply(msgs, ["node"],
                                         gather).materialize()
     return mass
+
+
+def triangle_count(edges, src: str = "src", dst: str = "dst"):
+    """Directed-path triangle count: instances of u→v, v→w with a
+    closing edge u→w (multi-edges multiply, matching the SQL 3-way
+    join exactly). The classic two-join formulation: a bucketed
+    equi-join builds wedges (u,v,w), a second join on the composite
+    (u,w) key probes for closing edges, and the count is the result
+    cardinality — every step a hash-partitioned Dataset op, nothing
+    driver-side but the final scalar. At cluster scale the standard
+    degree-ordering optimization (orient edges low→high degree) would
+    bound wedge fan-out on hot nodes; the synthetic web graph's
+    out-degree is a constant 3 so it is omitted here.
+    """
+    def as_uv(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pc.cast(batch[src], pa.int64()),
+            "v": pc.cast(batch[dst], pa.int64())})
+
+    def as_vw(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pc.cast(batch[src], pa.int64()),
+            "w": pc.cast(batch[dst], pa.int64())})
+
+    def as_uw(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pc.cast(batch[src], pa.int64()),
+            "w": pc.cast(batch[dst], pa.int64())})
+
+    e_uv = edges.map_batches(as_uv, batch_format="pyarrow", batch_size=65536)
+    e_vw = edges.map_batches(as_vw, batch_format="pyarrow", batch_size=65536)
+    e_uw = edges.map_batches(as_uw, batch_format="pyarrow", batch_size=65536)
+    wedges = rel.join_large(e_uv, e_vw, on="v", num_buckets=16)
+    closed = rel.join_large(
+        wedges.map_batches(lambda b: b.select(["u", "w"]),
+                           batch_format="pyarrow", batch_size=65536),
+        e_uw, on=["u", "w"], num_buckets=16)
+    n = closed.count()
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})

@@ -2953,13 +2953,22 @@ def q_pagerank(sf_dir: str):
         batch_format="pyarrow", batch_size=65536)
 
 
-def _sql_pagerank(iters: int = 5) -> str:
-    head = """
-WITH e AS (
+_SQL_PAGE_EDGES = """
   SELECT CAST(doc_id AS BIGINT) AS src,
          CAST(doc_id // 2 AS BIGINT) AS dst FROM documents
   UNION ALL SELECT doc_id, doc_id // 4 FROM documents
-  UNION ALL SELECT doc_id, doc_id // 8 FROM documents),
+  UNION ALL SELECT doc_id, doc_id // 8 FROM documents"""
+
+_SQL_HOST_EDGES = """
+  SELECT CAST(doc_id % 50 AS BIGINT) AS src,
+         CAST((doc_id // 2) % 50 AS BIGINT) AS dst FROM documents
+  UNION ALL SELECT doc_id % 50, (doc_id // 4) % 50 FROM documents
+  UNION ALL SELECT doc_id % 50, (doc_id // 8) % 50 FROM documents"""
+
+
+def _sql_pagerank(iters: int = 5, edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    head = f"""
+WITH e AS ({edges_sql}),
 od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),
 nodes AS (SELECT DISTINCT src AS node FROM e
           UNION SELECT DISTINCT dst FROM e),
@@ -2976,6 +2985,56 @@ m{k} AS (
   GROUP BY n.node)"""
     body = "".join(step.format(k=k, p=k - 1) for k in range(1, iters + 1))
     return head + body + f"\nSELECT node, mass FROM m{iters}"
+
+
+def q_pagerank_hosts(sf_dir: str):
+    """Host-level PageRank: collapse the page link graph to a host
+    graph (site(u) → site(v), multiplicity preserved — the standard
+    domain-authority rollup) and run the same integer mass
+    propagation. Exercises graph-op composition: extraction → edge
+    projection → iterative scatter/gather, all streaming."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+
+    def to_hosts(batch: pa.Table) -> pa.Table:
+        s = batch["src_page"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dst_page"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(s % pages.N_SITES),
+                         "dst": pa.array(d % pages.N_SITES)})
+
+    host_edges = edges.map_batches(to_hosts, batch_format="pyarrow",
+                                   batch_size=65536)
+    pr = graph.pagerank(host_edges, iters=5)
+    return pr.map_batches(
+        lambda b: pa.table({
+            "node": pc.cast(b["node"], pa.int64()),
+            "mass": pc.cast(b["mass"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def q_triangle_count(sf_dir: str):
+    """Directed-path triangle count over the html-extracted link graph
+    (two bucketed equi-joins; the 3-way-join SQL mirror counts the
+    identical multiset)."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    return graph.triangle_count(edges, src="src_page", dst="dst_page")
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH e AS ({_SQL_PAGE_EDGES})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e a JOIN e b ON b.src = a.dst
+         JOIN e c ON c.src = a.src AND c.dst = b.dst
+"""
 
 
 def q_host_cap(sf_dir: str, cap: int = 5):
@@ -3161,6 +3220,9 @@ REGISTRY: dict[str, tuple] = {
     "dedup_near_embed": (q_dedup_near_embed, SQL_DEDUP_NEAR_EMBED),
     "link_graph": (q_link_graph, SQL_LINK_GRAPH),
     "pagerank": (q_pagerank, _sql_pagerank),
+    "pagerank_hosts": (q_pagerank_hosts,
+                       lambda: _sql_pagerank(edges_sql=_SQL_HOST_EDGES)),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "host_cap": (q_host_cap, SQL_HOST_CAP),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
 }

@@ -89,3 +89,28 @@ def test_pagerank_dangling_and_hubs(ray_session):
     assert got.set_index("node")["mass"].to_dict() == ref
     m = got.set_index("node")["mass"]
     assert m[1] > m[33]  # two-child internal node beats a leaf
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    edge_list = [(p, p >> 1) for p in range(1, 32)] \
+        + [(p, p >> 2) for p in range(1, 32)] + [(3, 1), (3, 1)]
+    n_ref = sum(1 for (a, b) in edge_list for (b2, c) in edge_list
+                if b2 == b for (a2, c2) in edge_list
+                if a2 == a and c2 == c)
+    edges = rd.from_pandas(pd.DataFrame(edge_list, columns=["src", "dst"]))
+    out = graph.triangle_count(edges)
+    assert out["n_triangles"][0].as_py() == n_ref
+
+
+def test_pagerank_hosts_small_graph(ray_session):
+    """Host rollup: 6 pages on 3 hosts (page % 3), exact vs reference."""
+    import ray.data as rd
+
+    edge_list = [(p, p >> 1) for p in range(1, 6)]
+    host_edges = [(a % 3, b % 3) for a, b in edge_list]
+    edges = rd.from_pandas(pd.DataFrame(host_edges, columns=["src", "dst"]))
+    got = graph.pagerank(edges, iters=2).to_pandas() \
+        .set_index("node")["mass"].to_dict()
+    assert got == _pagerank_reference(host_edges, 2)
