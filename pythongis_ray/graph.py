@@ -168,8 +168,11 @@ def pagerank(edges, src: str = "src", dst: str = "dst", iters: int = 5,
         b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"key": pa.array(a), "other": pa.array(b)})
 
+    # materialize the compact (src, dst) pairs ONCE: upstream lineage
+    # (html synthesis + link extraction) would otherwise re-execute for
+    # the outdeg aggregate, the join probe AND the node scan below
     e = edges.map_batches(as_edges, batch_format="pyarrow",
-                          batch_size=65536)
+                          batch_size=65536).materialize()
 
     # outdeg per source (multiplicity), partial-agg + bucketed combine
     od = rel.groupby_aggregate(e, "key", [("od", "other", "count")])
@@ -267,3 +270,162 @@ def triangle_count(edges, src: str = "src", dst: str = "dst"):
         e_uw, on=["u", "w"], num_buckets=16)
     n = closed.count()
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+# ---------------------------------------------------------------- pregel
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(ids: np.ndarray, nb: int) -> np.ndarray:
+    """Deterministic shard assignment for int64 node ids (Fibonacci
+    multiplicative hash — internal partitioning only, never mirrored
+    in SQL)."""
+    return ((ids.astype(np.int64).view(np.uint64) * _GOLD)
+            % np.uint64(nb)).astype(np.int64)
+
+
+def _group_sum(ids: np.ndarray, vals: np.ndarray):
+    """Exact int64 per-id sums (sort + reduceat; bincount's float
+    weights would lose exactness past 2^53)."""
+    if len(ids) == 0:
+        return ids, vals
+    o = np.argsort(ids, kind="stable")
+    ids, vals = ids[o], vals[o]
+    first = np.concatenate(([True], ids[1:] != ids[:-1]))
+    starts = np.nonzero(first)[0]
+    return ids[starts], np.add.reduceat(vals, starts)
+
+
+class _PregelShard:
+    """One graph partition for iterative vertex programs: holds the
+    edges whose SOURCE hashes here plus the state of the nodes that
+    hash here (same hash → a node's out-edges and its state are
+    co-resident, so a round reads state locally and ships only
+    pre-combined messages). This is the raw-actor escape hatch the
+    Dataset API can't express: the edge table must stay RESIDENT
+    across rounds — re-shuffling it every round (the union+groupby
+    formulation above) moves O(E) per round where messages are only
+    O(nodes-touched)."""
+
+    def __init__(self, b: int, nb: int):
+        self.b, self.nb = b, nb
+        self._src, self._dst = [], []
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+        self._src.append(src)
+        self._dst.append(dst)
+        return len(src)
+
+    def node_exchange(self):
+        """Route every referenced dst id to its owner shard so nodes
+        with only in-links get registered (num_returns=nb)."""
+        self.src = (np.concatenate(self._src) if self._src
+                    else np.empty(0, np.int64))
+        self.dst = (np.concatenate(self._dst) if self._dst
+                    else np.empty(0, np.int64))
+        self._src = self._dst = None
+        d = np.unique(self.dst)
+        db = _bucket_of(d, self.nb)
+        return tuple(d[db == t] for t in range(self.nb))
+
+    def init(self, init_mass: int, d_num: int, d_den: int,
+             base_mass: int, *incoming) -> int:
+        self.d_num, self.d_den = np.int64(d_num), np.int64(d_den)
+        self.base = np.int64(base_mass)
+        self.owned = np.unique(np.concatenate([self.src, *incoming]))
+        # per-edge outdeg + owned-index of each edge's source
+        us, inv, cnt = np.unique(self.src, return_inverse=True,
+                                 return_counts=True)
+        edge_od = cnt[inv]
+        edge_src = np.searchsorted(self.owned, self.src)
+        # pre-split edges by destination shard (stable sort ONCE)
+        db = _bucket_of(self.dst, self.nb)
+        o = np.argsort(db, kind="stable")
+        self.e_dst = self.dst[o]
+        self.e_src_idx = edge_src[o]
+        self.e_od = edge_od[o]
+        self.splits = np.searchsorted(db[o], np.arange(self.nb + 1))
+        self.src = self.dst = None
+        self.mass = np.full(len(self.owned), init_mass, np.int64)
+        return len(self.owned)
+
+    def scatter(self):
+        """Per-edge contributions, locally pre-combined per dst, split
+        per destination shard (num_returns=nb)."""
+        contrib = (self.d_num * self.mass[self.e_src_idx]) \
+            // (self.d_den * self.e_od)
+        out = []
+        for t in range(self.nb):
+            sl = slice(self.splits[t], self.splits[t + 1])
+            out.append(_group_sum(self.e_dst[sl], contrib[sl]))
+        return tuple(out)
+
+    def gather(self, *msgs) -> int:
+        total = np.full(len(self.owned), self.base, np.int64)
+        for ids, sums in msgs:
+            if len(ids):
+                total[np.searchsorted(self.owned, ids)] += sums
+        self.mass = total
+        return len(total)
+
+    def result(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.owned),
+                         "mass": pa.array(self.mass)})
+
+
+def pagerank_actors(edges, src: str = "src", dst: str = "dst",
+                    iters: int = 5, init_mass: int = 1_000_000,
+                    base_mass: int = 150_000, d_num: int = 85,
+                    d_den: int = 100, num_shards: int | None = None):
+    """Integer PageRank on a resident actor-sharded graph (same exact
+    semantics as ``pagerank``; see its docstring for the arithmetic
+    contract). One streaming pass routes edge blocks directly into
+    shard actors (the load IS the shuffle — no sort), then each round
+    is a pure message exchange: every shard pushes O(distinct dsts)
+    pre-combined int64 sums to its peers via ``num_returns`` object
+    refs, so the driver only routes refs and the static O(E) edge
+    arrays never move again. This is the Pregel/GraphX layout; the
+    Dataset formulation in ``pagerank`` re-shuffles edges every round
+    and is kept as the shuffle-only fallback."""
+    import ray
+    import ray.data as rd
+
+    nb = num_shards or max(2, min(16, int(
+        ray.cluster_resources().get("CPU", 4)) // 2))
+    nb = max(2, nb)  # num_returns routing assumes >=2 shards
+    Shard = ray.remote(_PregelShard)
+    shards = [Shard.remote(b, nb) for b in range(nb)]
+
+    def route(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = _bucket_of(s, nb)
+        acks = []
+        for t in range(nb):
+            m = sb == t
+            if m.any():
+                acks.append(shards[t].add_edges.remote(s[m], d[m]))
+        import ray as _ray
+        _ray.get(acks)  # backpressure: don't outrun the shards
+        return pa.table({"n": pa.array([len(s)], pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow",
+                      batch_size=65536).count()
+
+    ex = [sh.node_exchange.options(num_returns=nb).remote()
+          for sh in shards]
+    ray.get([shards[t].init.remote(init_mass, d_num, d_den, base_mass,
+                                   *[ex[b][t] for b in range(nb)])
+             for t in range(nb)])
+    for _ in range(iters):
+        sc = [sh.scatter.options(num_returns=nb).remote() for sh in shards]
+        ray.get([shards[t].gather.remote(*[sc[b][t] for b in range(nb)])
+                 for t in range(nb)])
+    # materialize BEFORE killing the pool (each shard actor reserves a
+    # CPU; a leaked pool starves the next pipeline's map tasks)
+    out = rd.from_arrow_refs(
+        [sh.result.remote() for sh in shards]).materialize()
+    for sh in shards:
+        ray.kill(sh)
+    return out

@@ -2945,7 +2945,8 @@ def q_pagerank(sf_dir: str):
                              columns=["page_id", "html"])
     edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
                            batch_size=4096)
-    pr = graph.pagerank(edges, src="src_page", dst="dst_page", iters=5)
+    pr = graph.pagerank_actors(edges, src="src_page", dst="dst_page",
+                               iters=5)
     return pr.map_batches(
         lambda b: pa.table({
             "node": pc.cast(b["node"], pa.int64()),
@@ -3008,7 +3009,7 @@ def q_pagerank_hosts(sf_dir: str):
 
     host_edges = edges.map_batches(to_hosts, batch_format="pyarrow",
                                    batch_size=65536)
-    pr = graph.pagerank(host_edges, iters=5)
+    pr = graph.pagerank_actors(host_edges, iters=5)
     return pr.map_batches(
         lambda b: pa.table({
             "node": pc.cast(b["node"], pa.int64()),

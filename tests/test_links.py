@@ -114,3 +114,20 @@ def test_pagerank_hosts_small_graph(ray_session):
     got = graph.pagerank(edges, iters=2).to_pandas() \
         .set_index("node")["mass"].to_dict()
     assert got == _pagerank_reference(host_edges, 2)
+
+
+def test_pagerank_actors_matches_dataset_engine(ray_session):
+    """Both engines (resident-shard Pregel vs shuffle-per-round
+    Dataset) produce the identical integer mass table."""
+    import ray.data as rd
+
+    edge_list = [(p, p >> 1) for p in range(1, 40)] \
+        + [(p, (p * 7) % 11) for p in range(40)]
+    ref = _pagerank_reference(edge_list, 3)
+    edges = rd.from_pandas(pd.DataFrame(edge_list, columns=["src", "dst"]))
+    a = graph.pagerank_actors(edges, iters=3).to_pandas() \
+        .set_index("node")["mass"].to_dict()
+    b = graph.pagerank(edges, iters=3).to_pandas() \
+        .set_index("node")["mass"].to_dict()
+    assert a == ref
+    assert b == ref
