@@ -222,6 +222,27 @@ def run_benchmarks() -> dict:
     ndocs = timed("line_dedup_250k", line_dedup_bench)
     extras["line_dedup_docs_per_sec"] = round(ndocs / timings["line_dedup_250k"], 1)
 
+    # 13. integer PageRank over the html-extracted link graph at x64
+    # (320k pages → 960k edges, 5 rounds) on the resident-shard Pregel
+    # engine: one streaming load routes edge blocks into actors, then
+    # rounds exchange only pre-combined message arrays. End-to-end
+    # timed: synthesis → href regex extraction → load → 5 rounds.
+    def pagerank_bench():
+        from pythongis_ray import graph, pages
+
+        R = 64
+        ds = pages.pages_dataset(SF_DIR, replicate=R, geocode=False,
+                                 links=True, columns=["page_id", "html"])
+        e = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+        return graph.pagerank_actors(e, src="src_page", dst="dst_page",
+                                     iters=5).count()
+
+    pr_nodes = timed("pagerank_960k_edges", pagerank_bench)
+    extras["pagerank_nodes"] = pr_nodes
+    extras["pagerank_edge_iters_per_sec"] = round(
+        pr_nodes * 3 * 5 / timings["pagerank_960k_edges"], 1)
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
