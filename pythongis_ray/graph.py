@@ -43,11 +43,20 @@ _NO_LABEL = np.iinfo(np.int64).min
 
 
 def connected_components(edges, src: str = "id_a", dst: str = "id_b",
-                         max_iters: int = 50):
+                         max_iters: int = 50, engine: str = "actors"):
     """Edge Dataset (src, dst) → Dataset (node, component) where
     ``component`` is the minimum node id reachable from ``node``
     (undirected). Only nodes appearing in at least one edge are
-    returned. Raises if ``max_iters`` rounds don't converge."""
+    returned. Raises if ``max_iters`` rounds don't converge.
+
+    ``engine="actors"`` (default) runs on the resident-shard Pregel
+    layout (see connected_components_actors — edges loaded once,
+    rounds exchange label minima only); ``engine="dataset"`` keeps the
+    portable shuffle-per-round formulation below. Both reach the same
+    unique fixed point."""
+    if engine == "actors":
+        return connected_components_actors(edges, src=src, dst=dst,
+                                           max_iters=max_iters)
 
     def to_labels(batch: pa.Table) -> pa.Table:
         a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -424,6 +433,130 @@ def pagerank_actors(edges, src: str = "src", dst: str = "dst",
                  for t in range(nb)])
     # materialize BEFORE killing the pool (each shard actor reserves a
     # CPU; a leaked pool starves the next pipeline's map tasks)
+    out = rd.from_arrow_refs(
+        [sh.result.remote() for sh in shards]).materialize()
+    for sh in shards:
+        ray.kill(sh)
+    return out
+
+
+def _group_min(ids: np.ndarray, vals: np.ndarray):
+    """Per-id minima (sort + minimum.reduceat), exact int64."""
+    if len(ids) == 0:
+        return ids, vals
+    o = np.argsort(ids, kind="stable")
+    ids, vals = ids[o], vals[o]
+    first = np.concatenate(([True], ids[1:] != ids[:-1]))
+    starts = np.nonzero(first)[0]
+    return ids[starts], np.minimum.reduceat(vals, starts)
+
+
+class _CCShard:
+    """Resident partition for hash-min label propagation: holds the
+    (doubled) edges whose KEY endpoint hashes here plus those nodes'
+    current labels. Every node with an edge appears as a key on its
+    owner shard (edges are doubled at load), so no node exchange is
+    needed. Rounds ship only per-destination pre-combined minima."""
+
+    def __init__(self, b: int, nb: int):
+        self.b, self.nb = b, nb
+        self._key, self._other = [], []
+
+    def add_edges(self, key: np.ndarray, other: np.ndarray) -> int:
+        self._key.append(key)
+        self._other.append(other)
+        return len(key)
+
+    def init(self) -> int:
+        key = (np.concatenate(self._key) if self._key
+               else np.empty(0, np.int64))
+        other = (np.concatenate(self._other) if self._other
+                 else np.empty(0, np.int64))
+        self._key = self._other = None
+        self.owned = np.unique(key)
+        e_key = np.searchsorted(self.owned, key)
+        ob = _bucket_of(other, self.nb)
+        o = np.argsort(ob, kind="stable")
+        self.e_other = other[o]
+        self.e_key_idx = e_key[o]
+        self.splits = np.searchsorted(ob[o], np.arange(self.nb + 1))
+        self.labels = self.owned.copy()
+        return len(self.owned)
+
+    def scatter(self):
+        lab = self.labels[self.e_key_idx]
+        out = []
+        for t in range(self.nb):
+            sl = slice(self.splits[t], self.splits[t + 1])
+            out.append(_group_min(self.e_other[sl], lab[sl]))
+        return tuple(out)
+
+    def gather(self, *msgs) -> int:
+        new = self.labels.copy()
+        for ids, ml in msgs:
+            if len(ids):
+                idx = np.searchsorted(self.owned, ids)
+                np.minimum.at(new, idx, ml)
+        changed = int((new != self.labels).sum())
+        self.labels = new
+        return changed
+
+    def result(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.owned),
+                         "component": pa.array(self.labels)})
+
+
+def connected_components_actors(edges, src: str = "id_a",
+                                dst: str = "id_b", max_iters: int = 50,
+                                num_shards: int | None = None):
+    """Hash-min connected components on a resident actor-sharded graph
+    — identical fixed point as ``connected_components`` (the minimum
+    reachable id is unique), but the doubled edge table is loaded into
+    shard actors ONCE and each round exchanges only per-shard
+    pre-combined label minima, instead of re-shuffling O(E) edge rows
+    twice per round. Convergence = a round with zero label changes."""
+    import ray
+    import ray.data as rd
+
+    nb = num_shards or max(2, min(16, int(
+        ray.cluster_resources().get("CPU", 4)) // 2))
+    nb = max(2, nb)
+    Shard = ray.remote(_CCShard)
+    shards = [Shard.remote(b, nb) for b in range(nb)]
+
+    def route(batch: pa.Table) -> pa.Table:
+        a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.concatenate([a, b])      # doubled: both directions
+        other = np.concatenate([b, a])
+        kb = _bucket_of(key, nb)
+        acks = []
+        for t in range(nb):
+            m = kb == t
+            if m.any():
+                acks.append(shards[t].add_edges.remote(key[m], other[m]))
+        import ray as _ray
+        _ray.get(acks)
+        return pa.table({"n": pa.array([len(a)], pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow",
+                      batch_size=65536).count()
+    ray.get([sh.init.remote() for sh in shards])
+
+    converged = False
+    for _ in range(max_iters):
+        sc = [sh.scatter.options(num_returns=nb).remote() for sh in shards]
+        changed = ray.get(
+            [shards[t].gather.remote(*[sc[b][t] for b in range(nb)])
+             for t in range(nb)])
+        if sum(changed) == 0:
+            converged = True
+            break
+    if not converged:
+        for sh in shards:
+            ray.kill(sh)
+        raise RuntimeError(f"connected_components: no convergence "
+                           f"in {max_iters} rounds")
     out = rd.from_arrow_refs(
         [sh.result.remote() for sh in shards]).materialize()
     for sh in shards:
