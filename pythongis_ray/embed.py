@@ -114,9 +114,21 @@ N_PLANES = 16
 
 
 def lsh_bucket_ids(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    """Random-hyperplane signature → int bucket id."""
+    """Random-hyperplane signature → int bucket id. With int64 inputs
+    (quantized embeddings × quantized planes) the signs are exact
+    integer predicates, so bucket assignment is bit-stable and
+    replayable in SQL."""
     signs = (mat @ planes.T) > 0
     return (signs.astype(np.int64) << np.arange(planes.shape[0], dtype=np.int64)).sum(axis=1)
+
+
+def lsh_planes(n_planes: int, d: int, seed: int = 42,
+               scale: int = 1000) -> np.ndarray:
+    """Deterministic quantized hyperplanes (shared by the engine and
+    the generated SQL oracle literals)."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((n_planes, d)) * scale) \
+        .astype(np.int64)
 
 
 def ann_lsh(ds, queries: pd.DataFrame, k: int = 5, id_col: str = "vec_id",
@@ -126,17 +138,18 @@ def ann_lsh(ds, queries: pd.DataFrame, k: int = 5, id_col: str = "vec_id",
     The 100-TB shape: bucket the corpus ONCE (cheap map_batches),
     then only matching buckets are scanned per query. Recall < 1 by
     construction — this is the documented approximate scale path;
-    `ann_topk` is the exact baseline."""
-    rng = np.random.default_rng(seed)
+    `ann_topk` is the exact baseline. Hyperplanes AND embeddings are
+    quantized to int64 so every sign test is exact — the whole
+    approximate pipeline hash-matches its DuckDB replay."""
     d = len(queries[emb_col].iloc[0])
-    planes = rng.standard_normal((n_planes, d))
+    planes = lsh_planes(n_planes, d, seed)
     planes_ref = ray.put(planes)
-    qmat = np.vstack(queries[emb_col].to_numpy()).astype(np.float64)
+    qmat = quantize(np.vstack(queries[emb_col].to_numpy()))
     qbuckets = set(lsh_bucket_ids(qmat, planes).tolist())
     qb_ref = ray.put(qbuckets)
 
     def bucket_filter(batch: pa.Table) -> pa.Table:
-        mat = _as_matrix(batch[emb_col]).astype(np.float64)
+        mat = quantize(_as_matrix(batch[emb_col]))
         b = lsh_bucket_ids(mat, ray.get(planes_ref))
         keep = np.isin(b, np.fromiter(ray.get(qb_ref), dtype=np.int64))
         return batch.filter(pa.array(keep))

@@ -6,7 +6,8 @@ on the driver's parquet tables; the SQL string computes the *same* result
 in DuckDB — bit-exact by construction (integer arithmetic + dyadic
 lattice coordinates + single-division means; see fixtures.py).
 
-Entries without SQL (minhash/simhash/LSH/langid/geodetic) are
+Entries without SQL (IVF training, geodetic/projection
+transcendentals, raster warp/resample value paths) are
 non-SQL-expressible; the driver records rows-only checks for those.
 """
 
@@ -2285,10 +2286,62 @@ def q_langid(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-k, fully oracle-paired: quantized
+    int64 hyperplane signs make bucket assignment exact, so the SQL
+    replay (plane literals + list_dot_product sign bits + the same
+    quantized re-rank) reproduces the identical candidate set AND
+    ranking."""
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
     qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           filters=[("vec_id", "<", 8)])
-    return embed.ann_lsh(emb, qdf, k=5)
+    out = embed.ann_lsh(emb, qdf, k=5)
+    out = out[["query_id", "neighbor_id", "score", "rank"]].copy()
+    out["score"] = out["score"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
+def _sql_ann_lsh(k: int = 5, n_planes: int = 16, dim: int = 64) -> str:
+    """Replays ann_lsh end-to-end: the plane literals are the SAME
+    deterministic quantized hyperplanes the engine builds
+    (embed.lsh_planes, seed 42); per-term products stay < 2^31 so
+    list_dot_product's doubles are exact."""
+    from pythongis_ray import embed as _embed
+
+    planes = _embed.lsh_planes(n_planes, dim)
+    rows = ",\n    ".join(
+        f"({j}, [{', '.join(map(str, planes[j].tolist()))}])"
+        for j in range(n_planes))
+    return f"""
+WITH planes(j, p) AS (VALUES
+    {rows}),
+eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> round(CAST(x AS DOUBLE) * 1000)) AS e
+  FROM embeddings),
+buck AS (
+  SELECT eq.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(eq.e, p.p) > 0
+                  THEN 1 << p.j ELSE 0 END) AS BIGINT) AS b
+  FROM eq CROSS JOIN planes p GROUP BY eq.vec_id),
+qb AS (SELECT DISTINCT b FROM buck WHERE vec_id < 8),
+cand AS (
+  SELECT eq.vec_id, eq.e FROM eq
+  JOIN buck ON buck.vec_id = eq.vec_id
+  JOIN qb ON qb.b = buck.b),
+q AS (SELECT vec_id AS query_id, e AS qe FROM eq WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qe, c.e) AS BIGINT) AS score
+  FROM q CROSS JOIN cand c WHERE c.vec_id != q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_ann_ivf(sf_dir: str):
@@ -3211,7 +3264,7 @@ REGISTRY: dict[str, tuple] = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
     "langid": (q_langid, SQL_LANGID),
-    "ann_lsh": (q_ann_lsh, None),
+    "ann_lsh": (q_ann_lsh, _sql_ann_lsh),
     "ann_ivf": (q_ann_ivf, None),
     "geodetic_buffer": (q_geodetic_buffer, None),
     "reproject_utm": (q_reproject_utm, None),
