@@ -382,11 +382,59 @@ class _PregelShard:
         return pa.table({"node": pa.array(self.owned),
                          "mass": pa.array(self.mass)})
 
+    def checkpoint(self, cdir: str, rnd: int) -> int:
+        """Atomic per-shard state snapshot (tmp + rename, same
+        discipline as checkpoint.write_partition)."""
+        import os
+        import pyarrow.parquet as pq
+
+        d = os.path.join(cdir, f"round_{rnd:04d}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".shard_{self.b}.parquet.tmp")
+        pq.write_table(self.result(), tmp)
+        os.replace(tmp, os.path.join(d, f"shard_{self.b}.parquet"))
+        return len(self.owned)
+
+    def restore(self, cdir: str, rnd: int) -> int:
+        import os
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(cdir, f"round_{rnd:04d}",
+                                       f"shard_{self.b}.parquet"))
+        node = t["node"].to_numpy().astype(np.int64)
+        if not np.array_equal(node, self.owned):
+            raise ValueError(
+                f"pagerank checkpoint shard {self.b}: node layout "
+                f"mismatch (different edges or shard count?)")
+        self.mass = t["mass"].to_numpy().astype(np.int64)
+        return rnd
+
+
+def _complete_rounds(cdir: str, nb: int) -> list[int]:
+    """Rounds whose _DONE marker AND all shard files exist."""
+    import os
+    import re
+
+    out = []
+    if not os.path.isdir(cdir):
+        return out
+    for name in os.listdir(cdir):
+        m = re.fullmatch(r"round_(\d{4})", name)
+        if not m:
+            continue
+        d = os.path.join(cdir, name)
+        if os.path.exists(os.path.join(d, "_DONE")) and all(
+                os.path.exists(os.path.join(d, f"shard_{b}.parquet"))
+                for b in range(nb)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
 
 def pagerank_actors(edges, src: str = "src", dst: str = "dst",
                     iters: int = 5, init_mass: int = 1_000_000,
                     base_mass: int = 150_000, d_num: int = 85,
-                    d_den: int = 100, num_shards: int | None = None):
+                    d_den: int = 100, num_shards: int | None = None,
+                    checkpoint_dir: str | None = None):
     """Integer PageRank on a resident actor-sharded graph (same exact
     semantics as ``pagerank``; see its docstring for the arithmetic
     contract). One streaming pass routes edge blocks directly into
@@ -403,6 +451,24 @@ def pagerank_actors(edges, src: str = "src", dst: str = "dst",
     nb = num_shards or max(2, min(16, int(
         ray.cluster_resources().get("CPU", 4)) // 2))
     nb = max(2, nb)  # num_returns routing assumes >=2 shards
+    if checkpoint_dir:
+        # validate/write run parameters BEFORE spawning or loading —
+        # a mismatched resume must fail fast, not after the edge load
+        import json
+        import os
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        meta_path = os.path.join(checkpoint_dir, "meta.json")
+        meta = {"num_shards": nb, "d_num": int(d_num), "d_den": int(d_den),
+                "init_mass": init_mass, "base_mass": base_mass}
+        if os.path.exists(meta_path):
+            if json.load(open(meta_path)) != meta:
+                raise ValueError("pagerank checkpoint_dir was written "
+                                 "with different parameters/shard count")
+        else:
+            tmp = meta_path + ".tmp"
+            json.dump(meta, open(tmp, "w"))
+            os.replace(tmp, meta_path)
     Shard = ray.remote(_PregelShard)
     shards = [Shard.remote(b, nb) for b in range(nb)]
 
@@ -424,13 +490,50 @@ def pagerank_actors(edges, src: str = "src", dst: str = "dst",
 
     ex = [sh.node_exchange.options(num_returns=nb).remote()
           for sh in shards]
-    ray.get([shards[t].init.remote(init_mass, d_num, d_den, base_mass,
-                                   *[ex[b][t] for b in range(nb)])
-             for t in range(nb)])
-    for _ in range(iters):
+    n_owned = ray.get(
+        [shards[t].init.remote(init_mass, d_num, d_den, base_mass,
+                               *[ex[b][t] for b in range(nb)])
+         for t in range(nb)])
+
+    # round-level checkpoint/resume (north-rule: a killed run resumes
+    # mid-iteration; per-partition lineage + metrics land in Parquet).
+    # State is ONLY the tiny (node, mass) table — the edge arrays are
+    # rebuilt from the (deterministic) input on restart, so a round_k
+    # snapshot + the same inputs reproduce rounds k+1..N bit-exactly.
+    start = 0
+    if checkpoint_dir:
+        done = [r for r in _complete_rounds(checkpoint_dir, nb)
+                if r <= iters]
+        if done:
+            start = max(done)
+            ray.get([sh.restore.remote(checkpoint_dir, start)
+                     for sh in shards])
+
+    for rnd in range(start + 1, iters + 1):
+        t0 = None
+        if checkpoint_dir:
+            import time as _time
+            t0 = _time.monotonic()
         sc = [sh.scatter.options(num_returns=nb).remote() for sh in shards]
         ray.get([shards[t].gather.remote(*[sc[b][t] for b in range(nb)])
                  for t in range(nb)])
+        if checkpoint_dir:
+            import os
+            import time as _time
+
+            import pyarrow.parquet as _pq
+
+            wall = _time.monotonic() - t0
+            ray.get([sh.checkpoint.remote(checkpoint_dir, rnd)
+                     for sh in shards])
+            d = os.path.join(checkpoint_dir, f"round_{rnd:04d}")
+            _pq.write_table(pa.table({
+                "round": pa.array(np.full(nb, rnd, np.int64)),
+                "shard": pa.array(np.arange(nb, dtype=np.int64)),
+                "n_nodes": pa.array(np.asarray(n_owned, np.int64)),
+                "round_wall_s": pa.array(np.full(nb, wall, np.float64)),
+            }), os.path.join(d, "metrics.parquet"))
+            open(os.path.join(d, "_DONE"), "w").close()
     # materialize BEFORE killing the pool (each shard actor reserves a
     # CPU; a leaked pool starves the next pipeline's map tasks)
     out = rd.from_arrow_refs(

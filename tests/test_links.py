@@ -131,3 +131,43 @@ def test_pagerank_actors_matches_dataset_engine(ray_session):
         .set_index("node")["mass"].to_dict()
     assert a == ref
     assert b == ref
+
+
+def test_pagerank_checkpoint_resume(ray_session, tmp_path):
+    """Kill-after-round-2 resume: a fresh call with the same
+    checkpoint_dir restores round 2 and completes to the identical
+    mass table as an uninterrupted run."""
+    import os
+
+    import ray.data as rd
+
+    edge_list = [(p, p >> 1) for p in range(1, 64)] + [(5, 60), (60, 7)]
+    edges = rd.from_pandas(pd.DataFrame(edge_list, columns=["src", "dst"]))
+    cdir = str(tmp_path / "pr_ckpt")
+
+    # "crashed" run: only 2 of 5 rounds
+    graph.pagerank_actors(edges, iters=2, checkpoint_dir=cdir)
+    assert os.path.exists(f"{cdir}/round_0002/_DONE")
+    assert os.path.exists(f"{cdir}/round_0002/metrics.parquet")
+
+    # resumed run completes rounds 3..5 from the snapshot
+    resumed = graph.pagerank_actors(edges, iters=5, checkpoint_dir=cdir) \
+        .to_pandas().set_index("node")["mass"].to_dict()
+    direct = graph.pagerank_actors(edges, iters=5).to_pandas() \
+        .set_index("node")["mass"].to_dict()
+    assert resumed == direct == _pagerank_reference(edge_list, 5)
+    # lineage: all 5 round snapshots + metrics present after resume
+    for r in range(1, 6):
+        assert os.path.exists(f"{cdir}/round_{r:04d}/_DONE")
+
+
+def test_pagerank_checkpoint_param_mismatch(ray_session, tmp_path):
+    import ray.data as rd
+
+    edges = rd.from_pandas(pd.DataFrame([(1, 2), (2, 1)],
+                                        columns=["src", "dst"]))
+    cdir = str(tmp_path / "pr_ckpt2")
+    graph.pagerank_actors(edges, iters=1, checkpoint_dir=cdir)
+    with pytest.raises(ValueError, match="different parameters"):
+        graph.pagerank_actors(edges, iters=1, d_num=80,
+                              checkpoint_dir=cdir)
