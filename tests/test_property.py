@@ -361,3 +361,79 @@ def test_dup_spans_matches_bruteforce(ray_session, texts, w):
                 cov |= set(range(p, p + w))
             want[i] = (len(toks), len(dups), len(cov))
     assert got == want
+
+
+# ------------------------------------------------------ graph kernels
+
+from pythongis_ray.graph import _bucket_of, _group_min, _group_sum  # noqa: E402
+
+ids_vals = st.lists(
+    st.tuples(st.integers(min_value=-2**40, max_value=2**40),
+              st.integers(min_value=-2**40, max_value=2**40)),
+    min_size=0, max_size=64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ids_vals)
+def test_group_sum_matches_dict_reference(pairs):
+    ids = np.array([p[0] for p in pairs], dtype=np.int64)
+    vals = np.array([p[1] for p in pairs], dtype=np.int64)
+    gi, gv = _group_sum(ids, vals)
+    ref = {}
+    for i, v in pairs:
+        ref[i] = ref.get(i, 0) + v
+    assert dict(zip(gi.tolist(), gv.tolist())) == ref
+    assert np.all(np.diff(gi) > 0)  # sorted unique ids
+
+
+@settings(max_examples=200, deadline=None)
+@given(ids_vals)
+def test_group_min_matches_dict_reference(pairs):
+    ids = np.array([p[0] for p in pairs], dtype=np.int64)
+    vals = np.array([p[1] for p in pairs], dtype=np.int64)
+    gi, gv = _group_min(ids, vals)
+    ref = {}
+    for i, v in pairs:
+        ref[i] = min(ref.get(i, v), v)
+    assert dict(zip(gi.tolist(), gv.tolist())) == ref
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                min_size=1, max_size=128),
+       st.integers(min_value=2, max_value=32))
+def test_bucket_of_total_and_stable(nodes, nb):
+    ids = np.array(nodes, dtype=np.int64)
+    b = _bucket_of(ids, nb)
+    assert ((b >= 0) & (b < nb)).all()
+    # same id → same bucket (shard ownership must be a function)
+    assert (_bucket_of(ids, nb) == b).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(
+    st.text(alphabet=st.characters(blacklist_characters='"<>',
+                                   min_codepoint=32, max_codepoint=126),
+            max_size=20),
+    st.lists(st.integers(min_value=0, max_value=10**6), max_size=4)),
+    min_size=1, max_size=16))
+def test_extract_links_recovers_embedded_hrefs(docs):
+    """Arbitrary surrounding text: the extractor recovers exactly the
+    embedded (src, dst) multiset, in order."""
+    import pyarrow as pa
+
+    from pythongis_ray import pages
+
+    htmls, expected = [], []
+    for i, (noise, targets) in enumerate(docs):
+        h = "<p>" + noise
+        for t in targets:
+            h += f'<a href="https://site{t % 50}.example/{t}"></a>' + noise
+            expected.append((i, t))
+        htmls.append(h.encode())
+    batch = pa.table({
+        "page_id": pa.array(range(len(docs)), pa.int64()),
+        "html": pa.array(htmls, pa.binary())})
+    out = pages.extract_links(batch)
+    got = list(zip(out["src_page"].to_pylist(), out["dst_page"].to_pylist()))
+    assert got == expected
