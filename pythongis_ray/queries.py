@@ -2958,6 +2958,33 @@ FROM agg
 """
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """Full Common-Crawl-shaped ingestion loop: synthesize pages →
+    write gzipped WARC files (distributed sink) → re-ingest with the
+    Content-Length-driven parser → extract text from the re-read html.
+    The extract_text oracle hash-matching proves urls, µs timestamps
+    AND payload bytes survived the format round trip exactly."""
+    import shutil
+    import tempfile
+
+    from pythongis_ray import pages, sources
+
+    d = tempfile.mkdtemp(prefix="warc_q_", dir="/tmp")
+    try:
+        ds = pages.pages_dataset(sf_dir, geocode=False,
+                                 columns=["url", "warc_ts", "html"])
+        sources.write_warc(ds, d, compress=True)
+        back = sources.read_warc(d)
+        out = back.map_batches(pages.extract_text, batch_format="pyarrow",
+                               batch_size=2048)
+        return out.select_columns(["url", "text_extracted"]).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_WARC_ROUNDTRIP = SQL_EXTRACT_TEXT
+
+
 # ----------------------------------------------------- web graph ops
 
 def q_link_graph(sf_dir: str):
@@ -3272,6 +3299,7 @@ REGISTRY: dict[str, tuple] = {
     "resample_bilinear": (q_resample_bilinear, None),
     "warp_mercator": (q_warp_mercator, None),
     "dedup_near_embed": (q_dedup_near_embed, SQL_DEDUP_NEAR_EMBED),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "link_graph": (q_link_graph, SQL_LINK_GRAPH),
     "pagerank": (q_pagerank, _sql_pagerank),
     "pagerank_hosts": (q_pagerank_hosts,

@@ -538,3 +538,142 @@ def write_csv_with_geometry(ds, dir_path: str, geometry_col: str = "geometry"):
 
     return ds.map_batches(stringify, batch_format="pandas",
                           batch_size=8192).write_csv(dir_path)
+
+
+# ---------------------------------------------------------------- WARC
+
+# Minimal WARC/1.0 response-record reader/writer — the Common-Crawl
+# interchange format the north-star pipeline ingests. Writer is a
+# distributed sink (one file per block, vectorized record assembly —
+# the concatenated record column's Arrow data buffer IS the file
+# body); reader parses files Content-Length-driven (the only correct
+# framing: payloads may contain any delimiter) with a per-record
+# cursor, like the shapefile record parser. Dates carry microseconds
+# (WARC/1.1-style fractional seconds) so `warc_ts` round-trips
+# bit-exactly.
+
+def _warc_file_name(urls, n: int) -> str:
+    from pythongis_ray import text as _text
+
+    h = _text._poly_hash_segments(
+        np.frombuffer(urls[0].as_py().encode(), dtype=np.uint8),
+        np.array([0]), np.array([len(urls[0].as_py().encode())]))[0]
+    return f"part-{int(h):016x}-{n}"
+
+
+def write_warc(ds, dir_path: str, url_col: str = "url",
+               ts_col: str = "warc_ts", payload_col: str = "html",
+               compress: bool = False) -> int:
+    """Dataset → directory of .warc[.gz] files (one per block; block
+    names are content-derived so re-runs overwrite, not duplicate —
+    the resumable-sink discipline of checkpoint.py). Returns the
+    number of records written."""
+    import os
+
+    import pyarrow.compute as pc
+
+    os.makedirs(dir_path, exist_ok=True)
+
+    def sink(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        urls = batch[url_col].combine_chunks() if isinstance(
+            batch[url_col], pa.ChunkedArray) else batch[url_col]
+        payload = batch[payload_col]
+        us = batch[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        dates = np.char.add(us.astype(str), "Z")
+        lens = pc.binary_length(payload).to_numpy(zero_copy_only=False)
+        rec = pc.binary_join_element_wise(
+            pa.array([b"WARC/1.0\r\nWARC-Type: response\r\n"
+                      b"WARC-Target-URI: "] * n, pa.binary()),
+            pc.cast(urls, pa.binary()),
+            pa.array([b"\r\nWARC-Date: "] * n, pa.binary()),
+            pa.array(dates.astype(bytes), pa.binary()),
+            pa.array([b"\r\nContent-Length: "] * n, pa.binary()),
+            pc.cast(pc.cast(pa.array(lens.astype(np.int64)), pa.string()),
+                    pa.binary()),
+            pa.array([b"\r\n\r\n"] * n, pa.binary()),
+            pc.cast(payload, pa.binary()),
+            pa.array([b"\r\n\r\n"] * n, pa.binary()),
+            b"").combine_chunks()
+        # the concatenation of all records == the array's data buffer
+        offs = np.frombuffer(rec.buffers()[1], dtype=np.int32)[
+            rec.offset:rec.offset + n + 1]
+        body = rec.buffers()[2][offs[0]:offs[-1]]
+        name = _warc_file_name(urls, n)
+        if compress:
+            import gzip
+            data = gzip.compress(bytes(body), mtime=0)
+            path = os.path.join(dir_path, name + ".warc.gz")
+        else:
+            data = body
+            path = os.path.join(dir_path, name + ".warc")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    counts = ds.map_batches(sink, batch_format="pyarrow",
+                            batch_size=2048).to_pandas()
+    return int(counts["n"].sum())
+
+
+def parse_warc_bytes(data: bytes) -> pa.Table:
+    """One WARC file's bytes → (url, warc_ts, html) table.
+    Content-Length-driven cursor; raises on malformed framing."""
+    urls, dates, payloads = [], [], []
+    pos, total = 0, len(data)
+    while pos < total:
+        if data[pos:pos + 8] != b"WARC/1.0":
+            raise ValueError(f"WARC: bad record header at byte {pos}")
+        hend = data.find(b"\r\n\r\n", pos)
+        if hend < 0:
+            raise ValueError("WARC: unterminated header block")
+        headers = {}
+        for line in data[pos:hend].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b": ")
+            headers[k] = v
+        clen = int(headers[b"Content-Length"])
+        body = data[hend + 4:hend + 4 + clen]
+        if len(body) != clen:
+            raise ValueError("WARC: truncated payload")
+        urls.append(headers[b"WARC-Target-URI"].decode())
+        dates.append(headers[b"WARC-Date"].decode().rstrip("Z"))
+        payloads.append(body)
+        pos = hend + 4 + clen + 4  # payload + \r\n\r\n separator
+    ts = np.array(dates, dtype="datetime64[us]")
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(ts),
+        "html": pa.array(payloads, pa.binary()),
+    })
+
+
+def read_warc(dir_or_paths):
+    """Directory (or path list) of .warc[.gz] files → Dataset
+    (url, warc_ts, html). Files stream as independent blocks
+    (read_binary_files), each parsed in one map task — per-file
+    parallelism, nothing driver-side."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(dir_or_paths, include_paths=True)
+
+    def parse(batch: pd.DataFrame) -> pa.Table:
+        tables = []
+        for _path, data in zip(batch["path"], batch["bytes"]):
+            data = bytes(data)
+            # magic-byte sniff, NOT extension: Ray's read_binary_files
+            # already auto-decompresses *.gz via the Arrow filesystem,
+            # so extension-based logic would double-decompress
+            if data[:2] == b"\x1f\x8b":
+                import gzip
+                data = gzip.decompress(data)
+            tables.append(parse_warc_bytes(data))
+        if not tables:
+            return parse_warc_bytes(b"")
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(parse, batch_format="pandas", batch_size=4)
