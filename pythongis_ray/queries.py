@@ -2958,6 +2958,36 @@ FROM agg
 """
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental crawl dedup: the even-id half of `documents` plays
+    the already-accepted corpus, the odd-id half the new snapshot;
+    keep new docs with unseen content (min-id representative +
+    in-snapshot copy count). One 16-byte/row shuffle — old text never
+    moves (text.dedup_incremental)."""
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def half(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(ids % 2 == parity))
+        return fn
+
+    old = docs.map_batches(half(0), batch_format="pyarrow", batch_size=8192)
+    new = docs.map_batches(half(1), batch_format="pyarrow", batch_size=8192)
+    return text.dedup_incremental(new, old)
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH oldt AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+newt AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM newt WHERE text NOT IN (SELECT text FROM oldt)
+GROUP BY text
+"""
+
+
 def q_warc_roundtrip(sf_dir: str):
     """Full Common-Crawl-shaped ingestion loop: synthesize pages →
     write gzipped WARC files (distributed sink) → re-ingest with the
@@ -3300,6 +3330,7 @@ REGISTRY: dict[str, tuple] = {
     "warp_mercator": (q_warp_mercator, None),
     "dedup_near_embed": (q_dedup_near_embed, SQL_DEDUP_NEAR_EMBED),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "link_graph": (q_link_graph, SQL_LINK_GRAPH),
     "pagerank": (q_pagerank, _sql_pagerank),
     "pagerank_hosts": (q_pagerank_hosts,

@@ -1144,3 +1144,49 @@ def pmi_bigrams(ds, text_col: str = "text", k: int = 20,
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out[["w1", "w2", "n_ab", "n_a", "n_b", "score", "rank"]].astype(
         {"n_ab": np.int64, "n_a": np.int64, "n_b": np.int64})
+
+
+def dedup_incremental(new_ds, old_ds, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Incremental exact dedup for an append-only crawl: keep only the
+    NEW documents whose content fingerprint does not appear in the
+    EXISTING corpus, one representative (min id) per new fingerprint —
+    the production ingestion pattern (each crawl snapshot dedups
+    against everything already accepted, without re-reading old text).
+
+    ONE bucketed shuffle over (fp, id) pairs: existing-corpus rows
+    ride as fp-only sentinels (id = -1, 16 bytes/row — the old TEXT
+    never moves), new rows carry their id; per fp-group, any sentinel
+    kills the group, else the min-id representative survives with its
+    copy count. Emits (doc_id, n_copies).
+    """
+    from pythongis_ray.relational import bucketed_group_apply
+
+    def old_rows(batch: pa.Table) -> pa.Table:
+        b = fingerprint(batch, text_col=text_col)
+        n = b.num_rows
+        return pa.table({"fp": b["fp"],
+                         "id": pa.array(np.full(n, -1, np.int64))})
+
+    def new_rows(batch: pa.Table) -> pa.Table:
+        b = fingerprint(batch, text_col=text_col)
+        return pa.table({
+            "fp": b["fp"],
+            "id": pa.array(b[id_col].to_numpy(
+                zero_copy_only=False).astype(np.int64))})
+
+    old = old_ds.map_batches(old_rows, batch_format="pyarrow",
+                             batch_size=4096)
+    new = new_ds.map_batches(new_rows, batch_format="pyarrow",
+                             batch_size=4096)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("fp", sort=False)["id"].agg(["min", "count"]) \
+            .reset_index()
+        keep = g["min"] >= 0  # a sentinel (-1) marks an already-seen fp
+        out = g[keep]
+        return pd.DataFrame({
+            "doc_id": out["min"].to_numpy(np.int64),
+            "n_copies": out["count"].to_numpy(np.int64)})
+
+    return bucketed_group_apply(new.union(old), ["fp"], combine)

@@ -240,3 +240,30 @@ def test_corpus_build_removes_dups_and_clusters(ray_session):
                     ])})
     out = pipelines.corpus_build(rd.from_arrow(tbl)).to_pandas()
     assert out["doc_id"].tolist() == [0]
+
+
+def test_dedup_incremental_reference(ray_session):
+    """Engine vs plain-python reference on a corpus with cross-half
+    duplicates."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pythongis_ray import text as t
+
+    texts = ["alpha", "beta", "gamma", "alpha", "delta", "beta",
+             "epsilon", "zeta", "epsilon", "eta"]
+    df = pd.DataFrame({"doc_id": range(10), "text": texts})
+    old_df = df[df.doc_id % 2 == 0]
+    new_df = df[df.doc_id % 2 == 1]
+    out = t.dedup_incremental(rd.from_pandas(new_df),
+                              rd.from_pandas(old_df)).to_pandas()
+    seen = set(old_df.text)
+    ref = {}
+    for _, r in new_df.iterrows():
+        if r.text in seen:
+            continue
+        k = ref.setdefault(r.text, [r.doc_id, 0])
+        k[1] += 1
+    expect = sorted((v[0], v[1]) for v in ref.values())
+    got = sorted(zip(out.doc_id, out.n_copies))
+    assert got == expect
