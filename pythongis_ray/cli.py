@@ -62,11 +62,49 @@ def main(argv=None) -> int:
     runp.add_argument("--key")
     runp.add_argument("--partitions", type=int, default=16)
     runp.add_argument("--limit", type=int, default=5)
+    prp = sub.add_parser("pagerank")
+    prp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    prp.add_argument("--iters", type=int, default=5)
+    prp.add_argument("--replicate", type=int, default=1,
+                     help="deterministic page upsampling factor")
+    prp.add_argument("--checkpoint-dir",
+                     help="round-level snapshots; a killed job "
+                          "re-submitted with the same dir resumes at "
+                          "the last complete round")
+    prp.add_argument("--out")
+    prp.add_argument("--partitions", type=int, default=16)
     args = ap.parse_args(argv)
 
     if args.cmd == "list":
         for name, (_, sql) in sorted(q.REGISTRY.items()):
             print(("* " if sql else "  ") + name)
+        return 0
+
+    if args.cmd == "pagerank":
+        _ensure_ray()
+        from pythongis_ray import graph, pages
+
+        t0 = time.monotonic()
+        ds = pages.pages_dataset(args.sf_dir, replicate=args.replicate,
+                                 geocode=False, links=True,
+                                 columns=["page_id", "html"])
+        edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                               batch_size=4096)
+        pr = graph.pagerank_actors(edges, src="src_page", dst="dst_page",
+                                   iters=args.iters,
+                                   checkpoint_dir=args.checkpoint_dir)
+        if args.out:
+            from pythongis_ray import checkpoint
+
+            metrics = checkpoint.write_partitioned(
+                pr, args.out, "node", num_partitions=args.partitions)
+            rows = int(metrics["rows"].sum()) if len(metrics) else 0
+            print(f"pagerank: {rows} rows -> {args.out} "
+                  f"({time.monotonic() - t0:.2f}s)")
+        else:
+            n = pr.count()
+            print(f"pagerank: {n} nodes, {args.iters} rounds "
+                  f"({time.monotonic() - t0:.2f}s)")
         return 0
 
     if args.name not in q.REGISTRY:

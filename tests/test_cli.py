@@ -24,3 +24,21 @@ def test_cli_run_out_and_resume(tmp_path):
                         cwd="/root/repo")
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "0 rows in 0 new partitions" in r2.stdout
+
+
+def test_cli_pagerank_with_checkpoint(ray_session, tmp_path, capsys):
+    from pythongis_ray import cli
+
+    cdir = str(tmp_path / "pr")
+    rc = cli.main(["pagerank", "--sf-dir", "/root/testdata/sf0.001",
+                   "--iters", "2", "--checkpoint-dir", cdir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pagerank: 500 nodes, 2 rounds" in out
+    import os
+    assert os.path.exists(f"{cdir}/round_0002/_DONE")
+    # re-submit with more rounds resumes (round 1-2 restored, 3 run)
+    rc = cli.main(["pagerank", "--sf-dir", "/root/testdata/sf0.001",
+                   "--iters", "3", "--checkpoint-dir", cdir])
+    assert rc == 0
+    assert os.path.exists(f"{cdir}/round_0003/_DONE")
