@@ -40,6 +40,15 @@ def synthesize_media(n: int = 64, kind: str = "image", payload_bytes: int = 4096
             rows.append({"id": i, "kind": "image", "payload": payload,
                          "meta_w": np.int32(64), "meta_h": np.int32(48),
                          "meta_channels": np.int32(3)})
+        elif kind == "video":
+            # 8 frames of 16x12x3 raw bytes per clip
+            nf, w, h, c = 8, 16, 12, 3
+            vp = rng.integers(0, 256, nf * w * h * c,
+                              dtype=np.uint8).tobytes()
+            rows.append({"id": i, "kind": "video", "payload": vp,
+                         "meta_frames": np.int32(nf),
+                         "meta_w": np.int32(w), "meta_h": np.int32(h),
+                         "meta_channels": np.int32(c)})
         else:
             rows.append({"id": i, "kind": "audio", "payload": payload,
                          "meta_sr": np.int32(16000),
@@ -246,10 +255,109 @@ def audio_pipeline(ds, fake: bool = True, concurrency: int = 2):
 
 
 def frame_sample(batch: pa.Table, every: int = 4) -> pa.Table:
-    """Video frame sampling analog: keep every k-th row (deterministic
-    subsample on id)."""
+    """Row-level sampling analog: keep every k-th row (deterministic
+    subsample on id). For true per-video frame extraction see
+    SampleFrames."""
     ids = batch["id"].to_numpy(zero_copy_only=False)
     return batch.filter(pa.array(ids % every == 0))
+
+
+class SampleFrames:
+    """Actor-pool stage: video payload → one row per SAMPLED frame
+    (every k-th of meta_frames), each carrying the frame tensor bytes
+    plus (id, frame_idx) — the frame-sample step of a video training
+    pipeline. Real containers need a codec (absent in this image);
+    ``fake=True`` interprets the payload as raw concatenated
+    frames*h*w*c bytes, exercising the REAL Ray plumbing: per-actor
+    setup, row-expanding map_batches (1 video → n frames), byte-capped
+    batches. Uniform-shape batches slice via ONE reshape + stride
+    gather; zero Python per frame."""
+
+    def __init__(self, every: int = 4, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "video decode requires a codec library, not available "
+                "in this container")
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = batch["meta_frames"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["meta_w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["meta_h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["meta_channels"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payload = batch["payload"]
+        out_id, out_fidx, out_frames = [], [], []
+        uniform = len(ids) > 0 and (nf == nf[0]).all() and \
+            (w == w[0]).all() and (h == h[0]).all() and (c == c[0]).all()
+        if uniform:
+            arr = payload.combine_chunks() if isinstance(
+                payload, pa.ChunkedArray) else payload
+            fsz = int(w[0] * h[0] * c[0])
+            expected = int(nf[0]) * fsz
+            off_dtype = (np.int64 if pa.types.is_large_binary(arr.type)
+                         else np.int32)
+            offs = np.frombuffer(arr.buffers()[1], off_dtype)[
+                arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+            if arr.null_count or not np.all(np.diff(offs) == expected):
+                uniform = False
+        if uniform:
+            data = np.frombuffer(arr.buffers()[2], np.uint8)[
+                offs[0]:offs[-1]]
+            vids = data.reshape(len(ids), int(nf[0]), fsz)
+            sel = np.arange(0, int(nf[0]), self.every)
+            frames = vids[:, sel, :]          # (n_videos, n_sel, fsz)
+            out_id = np.repeat(ids, len(sel))
+            out_fidx = np.tile(sel, len(ids))
+            flat = np.ascontiguousarray(frames.reshape(-1, fsz))
+            offsets = (np.arange(len(flat) + 1, dtype=np.int32)
+                       * np.int32(fsz))
+            arr = pa.Array.from_buffers(
+                pa.binary(), len(flat),
+                [None, pa.py_buffer(offsets.tobytes()),
+                 pa.py_buffer(flat.tobytes())])
+        else:
+            for i in range(len(ids)):
+                fsz = int(w[i] * h[i] * c[i])
+                buf = np.frombuffer(payload[i].as_py(), dtype=np.uint8)
+                for f in range(0, int(nf[i]), self.every):
+                    out_id.append(ids[i])
+                    out_fidx.append(f)
+                    out_frames.append(buf[f * fsz:(f + 1) * fsz].tobytes())
+            arr = pa.array(out_frames, pa.binary())
+            out_id = np.asarray(out_id, np.int64)
+            out_fidx = np.asarray(out_fidx, np.int64)
+        n_sel = len(out_id)
+        wcol = np.repeat(w, [len(range(0, int(k), self.every)) for k in nf]) \
+            if not uniform else np.full(n_sel, w[0])
+        hcol = np.repeat(h, [len(range(0, int(k), self.every)) for k in nf]) \
+            if not uniform else np.full(n_sel, h[0])
+        ccol = np.repeat(c, [len(range(0, int(k), self.every)) for k in nf]) \
+            if not uniform else np.full(n_sel, c[0])
+        return pa.table({
+            "id": pa.array(np.asarray(out_id, np.int64)),
+            "frame_idx": pa.array(np.asarray(out_fidx, np.int64)),
+            "payload": arr,
+            "meta_w": pa.array(wcol.astype(np.int32)),
+            "meta_h": pa.array(hcol.astype(np.int32)),
+            "meta_channels": pa.array(ccol.astype(np.int32)),
+        })
+
+
+def video_pipeline(ds, every: int = 4, fake: bool = True,
+                   concurrency: int = 2):
+    """frame-sample → per-frame image features (frames are image
+    tensors, so the image featurizer applies unchanged)."""
+    ds = ds.map_batches(SampleFrames,
+                        fn_constructor_kwargs=dict(every=every, fake=fake),
+                        batch_format="pyarrow", batch_size=MEDIA_BATCH_ROWS,
+                        concurrency=concurrency, num_cpus=1)
+    ds = ds.map_batches(DecodeImage, fn_constructor_kwargs=dict(fake=fake),
+                        batch_format="pyarrow", batch_size=MEDIA_BATCH_ROWS,
+                        concurrency=concurrency, num_cpus=1)
+    return ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                          batch_size=MEDIA_BATCH_ROWS,
+                          concurrency=concurrency, num_cpus=1)
 
 
 def image_pipeline(ds, fake: bool = True, concurrency: int = 2,

@@ -105,3 +105,52 @@ def test_audio_stub_raises(ray_session):
     df = mm.synthesize_media(2, "audio", payload_bytes=64)
     with pytest.raises(Exception):
         mm.audio_pipeline(rd.from_pandas(df), fake=False).to_pandas()
+
+
+def test_sample_frames_uniform_and_mixed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from pythongis_ray import multimodal as mm
+
+    df = mm.synthesize_media(6, kind="video")
+    batch = pa.Table.from_pandas(df)
+    out = mm.SampleFrames(every=3)(batch)
+    # 8 frames, every 3rd -> idx 0,3,6 per video
+    assert out.num_rows == 6 * 3
+    assert out["frame_idx"].to_pylist()[:3] == [0, 3, 6]
+    # frame bytes are the exact payload slice
+    fsz = 16 * 12 * 3
+    src = bytes(df.payload[0])
+    got = out["payload"][1].as_py()
+    assert got == src[3 * fsz:4 * fsz]
+    # mixed shapes take the per-row path, same framing contract
+    df2 = df.copy()
+    df2.loc[0, "meta_frames"] = np.int32(5)
+    out2 = mm.SampleFrames(every=3)(pa.Table.from_pandas(df2))
+    assert out2.num_rows == 2 + 5 * 3  # video0: idx 0,3; others: 3 each
+    assert not mm.SampleFrames(every=3).__call__.__name__ == "missing"
+
+
+def test_video_pipeline_end_to_end(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray import multimodal as mm
+
+    df = mm.synthesize_media(12, kind="video")
+    ds = rd.from_pandas(df)
+    out = mm.video_pipeline(ds, every=4).to_pandas()
+    assert len(out) == 12 * 2  # frames 0 and 4 of 8
+    assert {"id", "frame_idx", "mean", "std"} <= set(out.columns) or \
+        {"id", "frame_idx"} <= set(out.columns)
+    assert out.groupby("id").size().eq(2).all()
+
+
+def test_sample_frames_real_decode_raises(ray_session):
+    import pytest as _pytest
+
+    from pythongis_ray import multimodal as mm
+
+    with _pytest.raises(NotImplementedError):
+        mm.SampleFrames(fake=False)
