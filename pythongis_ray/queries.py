@@ -3098,6 +3098,14 @@ m{k} AS (
     return head + body + f"\nSELECT node, mass FROM m{iters}"
 
 
+def _sql_pagerank_ctes(iters: int = 5,
+                       edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    """The pagerank CTE chain without the final SELECT — for composed
+    oracles that join the mass table against other CTEs."""
+    full = _sql_pagerank(iters, edges_sql)
+    return full[:full.rindex("\nSELECT ")]
+
+
 def q_pagerank_hosts(sf_dir: str):
     """Host-level PageRank: collapse the page link graph to a host
     graph (site(u) → site(v), multiplicity preserved — the standard
@@ -3145,6 +3153,89 @@ WITH e AS ({_SQL_PAGE_EDGES})
 SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM e a JOIN e b ON b.src = a.dst
          JOIN e c ON c.src = a.src AND c.dst = b.dst
+"""
+
+
+def q_host_report(sf_dir: str):
+    """Composed per-host corpus analytics — the "domain report" a
+    curation team reads: page count, exact token/stopword sums, a
+    ratio-of-sums quality signal (ONE division of exact integers, so
+    it hash-matches), and the host's integer PageRank authority. Joins
+    three independently-computed distributed tables (URL-parsed host
+    aggregate ⋈ link-graph PageRank) on the 50-row host key."""
+    from pythongis_ray import graph, pages, urltools
+
+    ds = pages.pages_dataset(sf_dir, geocode=False,
+                             columns=["page_id", "url", "text"])
+    ds = ds.map_batches(
+        lambda b: urltools.add_url_parts(b, parts=("host",)),
+        batch_format="pyarrow", batch_size=8192)
+
+    def score_and_key(b: pa.Table) -> pa.Table:
+        b = text.quality_score(b)
+        site = pc.struct_field(
+            pc.extract_regex(b["url_host"], r"^site(?P<s>[0-9]+)\."), "s")
+        return pa.table({
+            "host": pc.cast(site, pa.int64()),
+            "page_id": b["page_id"],
+            "n_tokens": b["n_tokens"],
+            "n_stop": b["n_stop"]})
+
+    scored = ds.map_batches(score_and_key, batch_format="pyarrow",
+                            batch_size=8192)
+    agg = rel.groupby_aggregate(scored, "host", [
+        ("n_pages", "page_id", "count"),
+        ("sum_tokens", "n_tokens", "sum"),
+        ("sum_stop", "n_stop", "sum")])
+
+    link_pages = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                                     columns=["page_id", "html"])
+    edges = link_pages.map_batches(pages.extract_links,
+                                   batch_format="pyarrow", batch_size=4096)
+
+    def to_hosts(batch: pa.Table) -> pa.Table:
+        s = batch["src_page"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dst_page"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(s % pages.N_SITES),
+                         "dst": pa.array(d % pages.N_SITES)})
+
+    pr = graph.pagerank_actors(
+        edges.map_batches(to_hosts, batch_format="pyarrow",
+                          batch_size=65536), iters=5)
+    pr_df = pr.to_pandas().rename(columns={"node": "host"})  # 50 rows
+    joined = rel.hash_join(agg, pr_df, on="host")
+
+    def finish(b: pa.Table) -> pa.Table:
+        st = b["sum_stop"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tk = b["sum_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "host": pc.cast(b["host"], pa.int64()),
+            "n_pages": pc.cast(b["n_pages"], pa.int64()),
+            "sum_tokens": pc.cast(b["sum_tokens"], pa.int64()),
+            "sum_stop": pc.cast(b["sum_stop"], pa.int64()),
+            "stop_ratio": pa.array(st / tk),
+            "mass": pc.cast(b["mass"], pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              batch_size=8192)
+
+
+def _sql_host_report() -> str:
+    stops = tuple(text.STOPWORDS)
+    return _sql_pagerank_ctes(edges_sql=_SQL_HOST_EDGES) + f""",
+qual AS (
+  SELECT doc_id % 50 AS host,
+         CAST(COUNT(*) AS BIGINT) AS n_pages,
+         CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+              AS BIGINT) AS sum_tokens,
+         CAST(SUM(len(list_filter(string_split(text, ' '),
+              w -> w IN {stops!r}))) AS BIGINT) AS sum_stop
+  FROM documents GROUP BY 1)
+SELECT CAST(q.host AS BIGINT) AS host, q.n_pages, q.sum_tokens,
+       q.sum_stop,
+       CAST(q.sum_stop AS DOUBLE) / q.sum_tokens AS stop_ratio,
+       m.mass
+FROM qual q JOIN m5 m ON m.node = q.host
 """
 
 
@@ -3337,6 +3428,7 @@ REGISTRY: dict[str, tuple] = {
                        lambda: _sql_pagerank(edges_sql=_SQL_HOST_EDGES)),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "host_cap": (q_host_cap, SQL_HOST_CAP),
+    "host_report": (q_host_report, _sql_host_report),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
 }
 
