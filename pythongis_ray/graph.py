@@ -57,6 +57,9 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
     if engine == "actors":
         return connected_components_actors(edges, src=src, dst=dst,
                                            max_iters=max_iters)
+    if engine != "dataset":
+        raise ValueError(f"unknown engine {engine!r} "
+                         "(expected 'actors' or 'dataset')")
 
     def to_labels(batch: pa.Table) -> pa.Table:
         a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -294,6 +297,14 @@ def _bucket_of(ids: np.ndarray, nb: int) -> np.ndarray:
             % np.uint64(nb)).astype(np.int64)
 
 
+def _batch_token(a: np.ndarray, b: np.ndarray) -> int:
+    """Deterministic content token for an edge block (retry dedup)."""
+    with np.errstate(over="ignore"):
+        return int((np.uint64(len(a))
+                    ^ (a.view(np.uint64).sum() * _GOLD)
+                    ^ (b.view(np.uint64).sum() * np.uint64(0x9E3779B1))))
+
+
 def _group_sum(ids: np.ndarray, vals: np.ndarray):
     """Exact int64 per-id sums (sort + reduceat; bincount's float
     weights would lose exactness past 2^53)."""
@@ -320,8 +331,16 @@ class _PregelShard:
     def __init__(self, b: int, nb: int):
         self.b, self.nb = b, nb
         self._src, self._dst = [], []
+        self._seen_tokens = set()
 
-    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+    def add_edges(self, token: int, src: np.ndarray,
+                  dst: np.ndarray) -> int:
+        # idempotence under Ray task retry: a re-executed route task
+        # re-sends the same arrays; the content token dedups them so a
+        # retry can't double the outdegrees/mass contributions
+        if token in self._seen_tokens:
+            return len(src)
+        self._seen_tokens.add(token)
         self._src.append(src)
         self._dst.append(dst)
         return len(src)
@@ -419,7 +438,7 @@ def _complete_rounds(cdir: str, nb: int) -> list[int]:
     if not os.path.isdir(cdir):
         return out
     for name in os.listdir(cdir):
-        m = re.fullmatch(r"round_(\d{4})", name)
+        m = re.fullmatch(r"round_(\d{4,})", name)
         if not m:
             continue
         d = os.path.join(cdir, name)
@@ -471,6 +490,22 @@ def pagerank_actors(edges, src: str = "src", dst: str = "dst",
             os.replace(tmp, meta_path)
     Shard = ray.remote(_PregelShard)
     shards = [Shard.remote(b, nb) for b in range(nb)]
+    try:
+        return _pagerank_rounds(edges, shards, nb, src, dst, iters,
+                                init_mass, base_mass, d_num, d_den,
+                                checkpoint_dir)
+    finally:
+        # ALWAYS release the pool — each shard reserves a CPU and a
+        # leaked pool (e.g. a restore() mismatch mid-run) starves
+        # every later pipeline in the session (see CLAUDE.md)
+        for sh in shards:
+            ray.kill(sh)
+
+
+def _pagerank_rounds(edges, shards, nb, src, dst, iters, init_mass,
+                     base_mass, d_num, d_den, checkpoint_dir):
+    import ray
+    import ray.data as rd
 
     def route(batch: pa.Table) -> pa.Table:
         s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -480,7 +515,8 @@ def pagerank_actors(edges, src: str = "src", dst: str = "dst",
         for t in range(nb):
             m = sb == t
             if m.any():
-                acks.append(shards[t].add_edges.remote(s[m], d[m]))
+                acks.append(shards[t].add_edges.remote(
+                    _batch_token(s[m], d[m]), s[m], d[m]))
         import ray as _ray
         _ray.get(acks)  # backpressure: don't outrun the shards
         return pa.table({"n": pa.array([len(s)], pa.int64())})
@@ -534,13 +570,9 @@ def pagerank_actors(edges, src: str = "src", dst: str = "dst",
                 "round_wall_s": pa.array(np.full(nb, wall, np.float64)),
             }), os.path.join(d, "metrics.parquet"))
             open(os.path.join(d, "_DONE"), "w").close()
-    # materialize BEFORE killing the pool (each shard actor reserves a
-    # CPU; a leaked pool starves the next pipeline's map tasks)
-    out = rd.from_arrow_refs(
+    # materialize BEFORE the caller's finally kills the pool
+    return rd.from_arrow_refs(
         [sh.result.remote() for sh in shards]).materialize()
-    for sh in shards:
-        ray.kill(sh)
-    return out
 
 
 def _group_min(ids: np.ndarray, vals: np.ndarray):
@@ -564,8 +596,15 @@ class _CCShard:
     def __init__(self, b: int, nb: int):
         self.b, self.nb = b, nb
         self._key, self._other = [], []
+        self._seen_tokens = set()
 
-    def add_edges(self, key: np.ndarray, other: np.ndarray) -> int:
+    def add_edges(self, token: int, key: np.ndarray,
+                  other: np.ndarray) -> int:
+        # hash-min is idempotent, but dedup anyway so retried route
+        # tasks don't inflate shard memory with duplicate edge arrays
+        if token in self._seen_tokens:
+            return len(key)
+        self._seen_tokens.add(token)
         self._key.append(key)
         self._other.append(other)
         return len(key)
@@ -626,6 +665,16 @@ def connected_components_actors(edges, src: str = "id_a",
     nb = max(2, nb)
     Shard = ray.remote(_CCShard)
     shards = [Shard.remote(b, nb) for b in range(nb)]
+    try:
+        return _cc_rounds(edges, shards, nb, src, dst, max_iters)
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def _cc_rounds(edges, shards, nb, src, dst, max_iters):
+    import ray
+    import ray.data as rd
 
     def route(batch: pa.Table) -> pa.Table:
         a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -637,7 +686,8 @@ def connected_components_actors(edges, src: str = "id_a",
         for t in range(nb):
             m = kb == t
             if m.any():
-                acks.append(shards[t].add_edges.remote(key[m], other[m]))
+                acks.append(shards[t].add_edges.remote(
+                    _batch_token(key[m], other[m]), key[m], other[m]))
         import ray as _ray
         _ray.get(acks)
         return pa.table({"n": pa.array([len(a)], pa.int64())})
@@ -656,12 +706,8 @@ def connected_components_actors(edges, src: str = "id_a",
             converged = True
             break
     if not converged:
-        for sh in shards:
-            ray.kill(sh)
         raise RuntimeError(f"connected_components: no convergence "
                            f"in {max_iters} rounds")
-    out = rd.from_arrow_refs(
+    # materialize BEFORE the caller's finally kills the pool
+    return rd.from_arrow_refs(
         [sh.result.remote() for sh in shards]).materialize()
-    for sh in shards:
-        ray.kill(sh)
-    return out

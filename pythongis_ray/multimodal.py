@@ -310,12 +310,21 @@ class SampleFrames:
             out_id = np.repeat(ids, len(sel))
             out_fidx = np.tile(sel, len(ids))
             flat = np.ascontiguousarray(frames.reshape(-1, fsz))
-            offsets = (np.arange(len(flat) + 1, dtype=np.int32)
-                       * np.int32(fsz))
-            arr = pa.Array.from_buffers(
-                pa.binary(), len(flat),
-                [None, pa.py_buffer(offsets.tobytes()),
-                 pa.py_buffer(flat.tobytes())])
+            total = len(flat) * fsz
+            if total > np.iinfo(np.int32).max:
+                offsets = (np.arange(len(flat) + 1, dtype=np.int64)
+                           * np.int64(fsz))
+                arr = pa.Array.from_buffers(
+                    pa.large_binary(), len(flat),
+                    [None, pa.py_buffer(offsets.tobytes()),
+                     pa.py_buffer(flat.tobytes())])
+            else:
+                offsets = (np.arange(len(flat) + 1, dtype=np.int32)
+                           * np.int32(fsz))
+                arr = pa.Array.from_buffers(
+                    pa.binary(), len(flat),
+                    [None, pa.py_buffer(offsets.tobytes()),
+                     pa.py_buffer(flat.tobytes())])
         else:
             for i in range(len(ids)):
                 fsz = int(w[i] * h[i] * c[i])
@@ -328,12 +337,13 @@ class SampleFrames:
             out_id = np.asarray(out_id, np.int64)
             out_fidx = np.asarray(out_fidx, np.int64)
         n_sel = len(out_id)
-        wcol = np.repeat(w, [len(range(0, int(k), self.every)) for k in nf]) \
-            if not uniform else np.full(n_sel, w[0])
-        hcol = np.repeat(h, [len(range(0, int(k), self.every)) for k in nf]) \
-            if not uniform else np.full(n_sel, h[0])
-        ccol = np.repeat(c, [len(range(0, int(k), self.every)) for k in nf]) \
-            if not uniform else np.full(n_sel, c[0])
+        if uniform:
+            wcol = np.full(n_sel, w[0])
+            hcol = np.full(n_sel, h[0])
+            ccol = np.full(n_sel, c[0])
+        else:
+            reps = -(-nf // self.every)  # ceil: sampled frames/video
+            wcol, hcol, ccol = (np.repeat(v, reps) for v in (w, h, c))
         return pa.table({
             "id": pa.array(np.asarray(out_id, np.int64)),
             "frame_idx": pa.array(np.asarray(out_fidx, np.int64)),

@@ -161,6 +161,10 @@ def extract_links(batch: pa.Table, html_col: str = "html",
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     src = batch[src_col]
     src_arr = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+    if arr.null_count:
+        valid = pc.is_valid(arr)
+        arr = arr.filter(valid)          # null html → no edges, not a crash
+        src_arr = src_arr.filter(valid)
     s = pc.cast(arr, pa.string())
     lists = pc.split_pattern(s, 'href="')
     counts = pc.list_value_length(lists).to_numpy(
@@ -194,3 +198,17 @@ def extract_links(batch: pa.Table, html_col: str = "html",
         "dst_page": pc.cast(dst, pa.int64()),
         "dst_url": urls,
     })
+
+
+def host_edges(edges):
+    """Project a page-level edge Dataset to host-level (site(u) →
+    site(v), multiplicity preserved) — shared by the host-PageRank
+    queries; the SQL mirror is queries._SQL_HOST_EDGES."""
+    def to_hosts(batch: pa.Table) -> pa.Table:
+        s = batch["src_page"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dst_page"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(s % N_SITES),
+                         "dst": pa.array(d % N_SITES)})
+
+    return edges.map_batches(to_hosts, batch_format="pyarrow",
+                             batch_size=65536)

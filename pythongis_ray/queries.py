@@ -3118,16 +3118,7 @@ def q_pagerank_hosts(sf_dir: str):
                              columns=["page_id", "html"])
     edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
                            batch_size=4096)
-
-    def to_hosts(batch: pa.Table) -> pa.Table:
-        s = batch["src_page"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch["dst_page"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"src": pa.array(s % pages.N_SITES),
-                         "dst": pa.array(d % pages.N_SITES)})
-
-    host_edges = edges.map_batches(to_hosts, batch_format="pyarrow",
-                                   batch_size=65536)
-    pr = graph.pagerank_actors(host_edges, iters=5)
+    pr = graph.pagerank_actors(pages.host_edges(edges), iters=5)
     return pr.map_batches(
         lambda b: pa.table({
             "node": pc.cast(b["node"], pa.int64()),
@@ -3192,16 +3183,7 @@ def q_host_report(sf_dir: str):
                                      columns=["page_id", "html"])
     edges = link_pages.map_batches(pages.extract_links,
                                    batch_format="pyarrow", batch_size=4096)
-
-    def to_hosts(batch: pa.Table) -> pa.Table:
-        s = batch["src_page"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch["dst_page"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"src": pa.array(s % pages.N_SITES),
-                         "dst": pa.array(d % pages.N_SITES)})
-
-    pr = graph.pagerank_actors(
-        edges.map_batches(to_hosts, batch_format="pyarrow",
-                          batch_size=65536), iters=5)
+    pr = graph.pagerank_actors(pages.host_edges(edges), iters=5)
     pr_df = pr.to_pandas().rename(columns={"node": "host"})  # 50 rows
     joined = rel.hash_join(agg, pr_df, on="host")
 

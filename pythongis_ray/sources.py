@@ -614,11 +614,22 @@ def write_warc(ds, dir_path: str, url_col: str = "url",
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, path)
-        return pa.table({"n": pa.array([n], pa.int64())})
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "file": pa.array([os.path.basename(path)])})
 
-    counts = ds.map_batches(sink, batch_format="pyarrow",
-                            batch_size=2048).to_pandas()
-    return int(counts["n"].sum())
+    out = ds.map_batches(sink, batch_format="pyarrow",
+                         batch_size=2048).to_pandas()
+    # manifest: THIS run's files. Re-runs with different batching
+    # produce different part names; read_warc prefers the manifest so
+    # stale parts from an earlier differently-batched run are ignored
+    # (same discipline as checkpoint.py's partition manifest).
+    import json
+
+    mtmp = os.path.join(dir_path, "_MANIFEST.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump({"files": sorted(out["file"].tolist())}, f)
+    os.replace(mtmp, os.path.join(dir_path, "_MANIFEST.json"))
+    return int(out["n"].sum())
 
 
 def parse_warc_bytes(data: bytes) -> pa.Table:
@@ -659,6 +670,14 @@ def read_warc(dir_or_paths):
     parallelism, nothing driver-side."""
     import ray.data as rd
 
+    if isinstance(dir_or_paths, str):
+        import json
+        import os
+
+        mpath = os.path.join(dir_or_paths, "_MANIFEST.json")
+        if os.path.exists(mpath):
+            names = json.load(open(mpath))["files"]
+            dir_or_paths = [os.path.join(dir_or_paths, n) for n in names]
     ds = rd.read_binary_files(dir_or_paths, include_paths=True)
 
     def parse(batch: pd.DataFrame) -> pa.Table:

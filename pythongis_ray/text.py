@@ -1170,10 +1170,11 @@ def dedup_incremental(new_ds, old_ds, text_col: str = "text",
 
     def new_rows(batch: pa.Table) -> pa.Table:
         b = fingerprint(batch, text_col=text_col)
-        return pa.table({
-            "fp": b["fp"],
-            "id": pa.array(b[id_col].to_numpy(
-                zero_copy_only=False).astype(np.int64))})
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("dedup_incremental requires non-negative "
+                             f"{id_col} (id -1 is the seen-sentinel)")
+        return pa.table({"fp": b["fp"], "id": pa.array(ids)})
 
     old = old_ds.map_batches(old_rows, batch_format="pyarrow",
                              batch_size=4096)

@@ -171,3 +171,22 @@ def test_pagerank_checkpoint_param_mismatch(ray_session, tmp_path):
     with pytest.raises(ValueError, match="different parameters"):
         graph.pagerank_actors(edges, iters=1, d_num=80,
                               checkpoint_dir=cdir)
+
+
+def test_extract_links_null_html(ray_session):
+    batch = pa.table({
+        "page_id": pa.array([1, 2, 3], pa.int64()),
+        "html": pa.array([b'<a href="https://site0.example/7"></a>',
+                          None, b"plain"], pa.binary()),
+    })
+    out = pages.extract_links(batch)
+    assert out["src_page"].to_pylist() == [1]
+    assert out["dst_page"].to_pylist() == [7]
+
+
+def test_cc_engine_typo_raises(ray_session):
+    import ray.data as rd
+
+    edges = rd.from_pandas(pd.DataFrame([(1, 2)], columns=["id_a", "id_b"]))
+    with pytest.raises(ValueError, match="unknown engine"):
+        graph.connected_components(edges, engine="actor")

@@ -19,7 +19,8 @@ def test_warc_roundtrip_bit_exact(ray_session, tmp_path, compress):
     n = sources.write_warc(ds, d, compress=compress)
     assert n == 500
     suffix = ".warc.gz" if compress else ".warc"
-    assert all(p.endswith(suffix) for p in glob.glob(f"{d}/*"))
+    parts = [p for p in glob.glob(f"{d}/*") if not p.endswith(".json")]
+    assert parts and all(p.endswith(suffix) for p in parts)
     back = sources.read_warc(d).to_pandas() \
         .sort_values("url").reset_index(drop=True)
     orig = ds.to_pandas().sort_values("url").reset_index(drop=True)
@@ -71,3 +72,23 @@ def test_warc_parser_rejects_malformed(ray_session):
     out = sources.parse_warc_bytes(rec * 2)
     assert out.num_rows == 2
     assert out["html"][1].as_py() == tricky
+
+
+def test_warc_manifest_hides_stale_parts(ray_session, tmp_path):
+    """A re-run with different batching must not resurrect old part
+    files: read_warc follows the latest manifest."""
+    import os
+
+    d = str(tmp_path / "warc")
+    ds = pages.pages_dataset(SF, geocode=False,
+                             columns=["url", "warc_ts", "html"])
+    sources.write_warc(ds, d)
+    # plant a stale part that is NOT in the manifest
+    stale = os.path.join(d, "part-deadbeef-1.warc")
+    with open(stale, "wb") as f:
+        f.write(b"WARC/1.0\r\nWARC-Target-URI: https://stale/1\r\n"
+                b"WARC-Date: 2020-01-01T00:00:00\r\n"
+                b"Content-Length: 1\r\n\r\nx\r\n\r\n")
+    back = sources.read_warc(d).to_pandas()
+    assert len(back) == 500
+    assert not back.url.str.contains("stale").any()
