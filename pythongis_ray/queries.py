@@ -3306,6 +3306,165 @@ SELECT lang, page_id, h FROM r WHERE rn <= 20
 """
 
 
+# ------------------------------------- sketches / filters (late round 3)
+
+
+def q_cms_topk(sf_dir: str):
+    """Count-Min-sketch heavy hitters: a mergeable depth x width
+    integer sketch (text.cms_sketch) built by per-batch partial cell
+    counts + one tiny groupby-sum, point-estimated for the exact
+    top-40 words. est >= cnt is the CM one-sided guarantee; both
+    sides (slot arithmetic AND estimates) replay bit-exact in DuckDB
+    HUGEINT (split-multiply mod 2^64, top-10-bit slots)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    cand = text.word_frequency(ds, top_k=40)
+    sketch = text.cms_sketch(ds).to_pandas()  # depth*width rows, bounded
+    est = text.cms_estimate(sketch, cand["word"].tolist())
+    return pd.DataFrame({"word": cand["word"].to_numpy(),
+                         "cnt": cand["cnt"].to_numpy(np.int64),
+                         "est": est})
+
+
+def _sql_cms_topk() -> str:
+    """Replays the sketch exactly: FNV-1a-style token hash (the
+    engine's _poly_hash_segments) in HUGEINT, then slot_d(th) =
+    (th * M_d mod 2^64) >> 54 via the 32-bit split-multiply (products
+    stay < 2^97 < HUGEINT max)."""
+    from pythongis_ray import text as _t
+
+    mults = ",\n    ".join(
+        f"({d}, {int(m) >> 32}, {int(m) & 0xFFFFFFFF})"
+        for d, m in enumerate(_t.CMS_MULTS.tolist()))
+    slot = ("CAST(((th * mlo + ((th * mhi) % 4294967296) * 4294967296)"
+            " % CAST('18446744073709551616' AS HUGEINT))"
+            " // CAST('18014398509481984' AS HUGEINT) AS BIGINT)")
+    return f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+cnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+h AS (SELECT word, c,
+        list_reduce(list_prepend(CAST(0 AS HUGEINT),
+            [CAST(ascii(ch) AS HUGEINT) FOR ch IN string_split(word, '')]),
+            (acc, x) -> (acc * 1099511628211 + x)
+                        % CAST('18446744073709551616' AS HUGEINT)) AS th
+      FROM cnt),
+mults(d, mhi, mlo) AS (VALUES
+    {mults}),
+cells AS (SELECT m.d, {slot} AS slot, SUM(h.c) AS v
+          FROM h CROSS JOIN mults m GROUP BY 1, 2),
+cand AS (SELECT word, c, th FROM h ORDER BY c DESC, word LIMIT 40),
+cs AS (SELECT cand.word, cand.c, m.d, {slot} AS slot
+       FROM cand CROSS JOIN mults m),
+est AS (SELECT cs.word, cs.c, MIN(cells.v) AS e
+        FROM cs JOIN cells ON cells.d = cs.d AND cells.slot = cs.slot
+        GROUP BY cs.word, cs.c)
+SELECT word, CAST(c AS BIGINT) AS cnt, CAST(e AS BIGINT) AS est
+FROM est ORDER BY cnt DESC, word
+"""
+
+
+def q_quality_lr(sf_dir: str):
+    """Linear quality-classifier filter (the fastText-scorer slot of a
+    web-corpus pipeline): integer milli-weight score per doc, keep
+    score >= threshold. One pyarrow kernel per feature."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    ds = ds.map_batches(text.quality_lr, batch_format="pyarrow",
+                        batch_size=8192)
+    ds = ds.filter(expr=f"score >= {text.QLR_THRESHOLD}")
+    return ds.select_columns(["doc_id", "score"])
+
+
+def _sql_quality_lr() -> str:
+    from pythongis_ray import text as _t
+
+    w = _t.QLR_WEIGHTS
+    stop = tuple(_t.STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+    len(list_filter(string_split(text, ' '), x -> x IN {stop!r})) AS n_stop,
+    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+      AS n_punct,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      AS n_digit,
+    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+      AS n_upper
+  FROM documents)
+SELECT doc_id,
+       CAST({w['bias']} + {w['n_tokens']} * n_tokens
+            + {w['n_stop']} * n_stop + {w['n_punct']} * n_punct
+            + {w['n_digit']} * n_digit + {w['n_upper']} * n_upper
+         AS BIGINT) AS score
+FROM f
+WHERE {w['bias']} + {w['n_tokens']} * n_tokens + {w['n_stop']} * n_stop
+      + {w['n_punct']} * n_punct + {w['n_digit']} * n_digit
+      + {w['n_upper']} * n_upper >= {_t.QLR_THRESHOLD}
+"""
+
+
+URL_BLOCKLIST = ("adsnet", "site13.example", "sub1.site5.shop")
+
+
+def q_url_filter(sf_dir: str):
+    """Domain-blocklist URL filter (the UT1-blocklist slot of a
+    web-corpus pipeline): synthesize deterministic varied hosts, parse
+    them back with the vectorized URL parser, drop any host equal to a
+    blocklist entry or ending in '.' + entry (registrable-domain
+    suffix semantics). The blocklist is a tiny broadcast side — the
+    filter is a per-batch mask, no shuffle."""
+    from pythongis_ray import urltools
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tld = np.array(["example", "test", "adsnet", "shop"])[did % 4]
+        host = pc.binary_join_element_wise(
+            pc.cast(pa.array(np.char.add("sub", (did % 3).astype(str))),
+                    pa.string()),
+            pc.cast(pa.array(np.char.add("site", (did % 50).astype(str))),
+                    pa.string()),
+            pa.array(tld), ".")
+        url = pc.binary_join_element_wise(
+            pa.array(np.full(len(did), "https:/", dtype=object)),
+            host,
+            pc.cast(pa.array(np.char.add("p", did.astype(str))), pa.string()),
+            "/")
+        return batch.append_column("url", url)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        host = urltools.parse_urls(batch["url"])["host"]
+        mask = pa.array(np.zeros(len(batch), dtype=bool))
+        for entry in URL_BLOCKLIST:
+            mask = pc.or_(mask, pc.equal(host, entry))
+            mask = pc.or_(mask, pc.ends_with(host, "." + entry))
+        batch = batch.append_column("url_host", host)
+        return batch.filter(pc.invert(mask))
+
+    ds = ds.map_batches(synth, batch_format="pyarrow", batch_size=8192)
+    ds = ds.map_batches(flt, batch_format="pyarrow", batch_size=8192)
+    return ds.select_columns(["doc_id", "url_host"])
+
+
+def _sql_url_filter() -> str:
+    conds = " OR ".join(
+        f"host = '{e}' OR ends_with(host, '.{e}')" for e in URL_BLOCKLIST)
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+    'sub' || CAST(doc_id % 3 AS VARCHAR) || '.site'
+      || CAST(doc_id % 50 AS VARCHAR) || '.'
+      || (CASE doc_id % 4 WHEN 0 THEN 'example' WHEN 1 THEN 'test'
+          WHEN 2 THEN 'adsnet' ELSE 'shop' END) AS host
+  FROM documents)
+SELECT doc_id, host AS url_host FROM p
+WHERE NOT ({conds})
+"""
+
+
 # ------------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -3388,6 +3547,9 @@ REGISTRY: dict[str, tuple] = {
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),
+    "cms_topk": (q_cms_topk, _sql_cms_topk()),
+    "quality_lr": (q_quality_lr, _sql_quality_lr()),
+    "url_filter": (q_url_filter, _sql_url_filter()),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),

@@ -1191,3 +1191,260 @@ def dedup_incremental(new_ds, old_ds, text_col: str = "text",
             "n_copies": out["count"].to_numpy(np.int64)})
 
     return bucketed_group_apply(new.union(old), ["fp"], combine)
+
+
+# ------------------------------------------------------- Count-Min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH_BITS = 10
+CMS_WIDTH = 1 << CMS_WIDTH_BITS
+# odd 64-bit multiplicative-hash constants (splitmix64 / murmur finalizers)
+CMS_MULTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53],
+                     dtype=np.uint64)
+
+
+def cms_slots(th: np.ndarray) -> np.ndarray:
+    """(depth, n) slot ids: the top CMS_WIDTH_BITS bits of
+    th * M_d mod 2^64 (multiplicative hashing — high product bits are
+    the well-mixed ones). Exact integer arithmetic, so the DuckDB
+    replay (HUGEINT split-multiply) lands in identical slots."""
+    with np.errstate(over="ignore"):
+        prod = th[None, :].astype(np.uint64) * CMS_MULTS[:, None]
+    return (prod >> np.uint64(64 - CMS_WIDTH_BITS)).astype(np.int64)
+
+
+def cms_sketch(ds, text_col: str = "text"):
+    """Mergeable Count-Min sketch over the whitespace-token stream
+    (Cormode & Muthukrishnan 2005): each batch emits its partial
+    (depth, slot) cell counts; the global sketch is one tiny
+    groupby-sum over <= depth*width keys. Sketches of disjoint shards
+    merge by cell-wise addition — the property that makes CM a
+    streaming combiner at corpus scale: state is depth*width cells
+    regardless of vocabulary size, and no shuffle ever carries more
+    than depth*width rows per block."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[text_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        th, _ = _batch_token_hashes(arr)
+        sl = cms_slots(th)
+        ds_, slots_, cnts_ = [], [], []
+        for d in range(CMS_DEPTH):
+            c = np.bincount(sl[d], minlength=CMS_WIDTH)
+            nz = np.flatnonzero(c)
+            ds_.append(np.full(len(nz), d, np.int64))
+            slots_.append(nz.astype(np.int64))
+            cnts_.append(c[nz].astype(np.int64))
+        return pa.table({"d": np.concatenate(ds_),
+                         "slot": np.concatenate(slots_),
+                         "pcnt": np.concatenate(cnts_)})
+
+    sk = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    return bucketed_group_apply(
+        sk, ["d", "slot"],
+        lambda b: b.groupby(["d", "slot"], sort=False)["pcnt"].sum()
+        .rename("cnt").reset_index())
+
+
+def hash_token(word: str) -> int:
+    """Scalar mirror of _poly_hash_segments for driver-side candidate
+    hashing (tiny lists only)."""
+    h = 0
+    for b in word.encode("utf-8"):
+        h = (h * 1099511628211 + b) % (1 << 64)
+    return h
+
+
+def cms_estimate(sketch_df: pd.DataFrame, words: list) -> np.ndarray:
+    """CM point estimates (min over depth rows) for a small candidate
+    word list against a materialized sketch table. est >= true count
+    always (one-sided error); the sketch table is depth*width rows,
+    so pulling it to the driver is bounded by the sketch, not the
+    corpus."""
+    cell = {(int(d), int(s)): int(c) for d, s, c in
+            zip(sketch_df["d"], sketch_df["slot"], sketch_df["cnt"])}
+    if not words:
+        return np.empty(0, np.int64)
+    th = np.array([hash_token(w) for w in words], dtype=np.uint64)
+    sl = cms_slots(th)
+    return np.array([min(cell.get((d, int(sl[d, i])), 0)
+                         for d in range(CMS_DEPTH))
+                     for i in range(len(words))], dtype=np.int64)
+
+
+# ------------------------------------------------- linear quality scorer
+
+QLR_WEIGHTS = {
+    # milli-unit integer weights (the fastText-classifier slot of a
+    # web-corpus pipeline, kept linear + integer so SQL replays exactly)
+    "bias": -290,
+    "n_tokens": 3,
+    "n_stop": 40,
+    "n_punct": -25,
+    "n_digit": -8,
+    "n_upper": -5,
+}
+QLR_THRESHOLD = 0
+QLR_PUNCT_RE = r"[.,!?;:]"
+
+
+def _stopword_counts(t) -> np.ndarray:
+    """Per-document stopword occurrence counts (vectorized reduceat
+    over the flattened token list)."""
+    toks = pc.split_pattern(t, " ")
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    stop = pc.is_in(flat.values, value_set=pa.array(list(STOPWORDS)))
+    stop_i = pc.cast(stop, pa.int8()).to_numpy(zero_copy_only=False)
+    offs = flat.offsets.to_numpy()
+    nstop = np.add.reduceat(np.r_[stop_i, 0], offs[:-1])
+    nstop[offs[:-1] == offs[1:]] = 0
+    return nstop.astype(np.int64)
+
+
+def quality_lr(batch: pa.Table, text_col: str = "text",
+               score_col: str = "score") -> pa.Table:
+    """Linear quality classifier: integer character/token-class
+    features x fixed integer milli-weights -> exact integer score.
+    Every feature is a count and every weight an integer literal, so
+    the DuckDB replay is bit-exact. One pyarrow kernel per feature —
+    no per-row Python."""
+    t = batch[text_col]
+    feats = {
+        "n_tokens": pc.cast(pc.add(pc.count_substring(t, " "), 1),
+                            pa.int64()).to_numpy(zero_copy_only=False),
+        "n_stop": _stopword_counts(t),
+        "n_punct": pc.cast(pc.count_substring_regex(t, QLR_PUNCT_RE),
+                           pa.int64()).to_numpy(zero_copy_only=False),
+        "n_digit": pc.cast(pc.count_substring_regex(t, "[0-9]"),
+                           pa.int64()).to_numpy(zero_copy_only=False),
+        "n_upper": pc.cast(pc.count_substring_regex(t, "[A-Z]"),
+                           pa.int64()).to_numpy(zero_copy_only=False),
+    }
+    score = np.full(len(batch), QLR_WEIGHTS["bias"], np.int64)
+    for name, arr in feats.items():
+        score += QLR_WEIGHTS[name] * arr
+    return batch.append_column(score_col, pa.array(score))
+
+
+# ------------------------------------------- content-defined chunking
+
+CDC_WINDOW = 8          # rolling-hash window (bytes)
+CDC_DIVISOR = 64        # boundary when H % DIVISOR == 0 (~64-byte chunks)
+
+
+def _cdc_window_hashes(buf: np.ndarray) -> np.ndarray:
+    """H[p] = poly hash of the CDC_WINDOW bytes ending at p (valid for
+    p >= CDC_WINDOW-1), over the WHOLE concatenated batch buffer —
+    CDC_WINDOW shifted multiply-adds, no per-position Python."""
+    w = CDC_WINDOW
+    n = len(buf)
+    H = np.zeros(n, dtype=np.uint64)
+    if n < w:
+        return H
+    pw = _fp_powers(w)
+    vals = buf.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(w):
+            H[w - 1:] += vals[j:n - w + 1 + j] * pw[w - 1 - j]
+    return H
+
+
+def cdc_chunk_table(batch: pa.Table, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """Content-defined chunking (FastCDC-style, Muthitacharoen LBFS
+    2001): a chunk boundary falls AFTER byte p whenever the rolling
+    window hash H(p) % CDC_DIVISOR == 0 (never at a doc's last byte —
+    no empty tail chunks). Boundaries move with content, so an
+    insertion reshifts only the chunks it touches — the property that
+    makes chunk-level dedup catch partially-overlapping documents
+    that whole-doc fingerprints miss. Emits one row per chunk:
+    (doc_id, ch) with ch the signed chunk poly-hash."""
+    arr = batch[text_col]
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    buf, offs = _string_buffer(arr)
+    if len(ids) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "ch": pa.array([], pa.int64())})
+    H = _cdc_window_hashes(buf)
+    pos = np.arange(offs[0], offs[-1], dtype=np.int64)
+    # doc of each in-bounds byte (empty docs hold no positions, and
+    # 'right' search lands shared boundary bytes in the later doc)
+    doc_of = np.searchsorted(offs, pos, "right") - 1
+    # window must fit inside the doc; boundary never at the last byte
+    valid = ((pos - np.int64(CDC_WINDOW - 1) >= offs[doc_of])
+             & (pos < offs[doc_of + 1] - 1))
+    b = pos[valid & (H[pos] % np.uint64(CDC_DIVISOR) == 0)]
+    starts = np.sort(np.concatenate([offs[:-1][offs[:-1] < offs[1:]],
+                                     b + 1]))
+    ends = np.sort(np.concatenate([b + 1,
+                                   offs[1:][offs[:-1] < offs[1:]]]))
+    ch = _poly_hash_segments(buf, starts, ends)
+    # non-empty chunk -> owning doc: strictly-increasing offsets around
+    # it make 'right'-1 exact even with empty docs in between
+    cdoc = np.searchsorted(offs, starts, "right") - 1
+    out_ids = ids[cdoc]
+    out_ch = ch.view(np.int64)
+    # empty docs still get one zero-length chunk row (hash 0) so every
+    # doc appears in the output
+    empty = np.flatnonzero(offs[:-1] == offs[1:])
+    if len(empty):
+        out_ids = np.concatenate([out_ids, ids[empty]])
+        out_ch = np.concatenate([out_ch, np.zeros(len(empty), np.int64)])
+    return pa.table({
+        id_col: pa.array(out_ids),
+        "ch": pa.array(out_ch),
+    })
+
+
+def cdc_shared_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc CDC dedup stats: n_chunks and n_shared (chunks whose
+    hash occurs in >= 2 distinct docs). One explode + one bucketed
+    combine keyed by chunk hash + one join back — every stage is
+    bounded by the chunk stream, never the corpus cross-product."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    chunks = ds.map_batches(cdc_chunk_table, batch_format="pyarrow",
+                            batch_size=4096,
+                            fn_kwargs={"id_col": id_col,
+                                       "text_col": text_col})
+
+    def per_hash(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("ch", sort=False)[id_col].nunique().rename("ndocs") \
+            .reset_index()
+        return g
+
+    hcnt = bucketed_group_apply(chunks, ["ch"], per_hash)
+
+    # join back via a bucketed combine (Dataset.join spawns an actor
+    # pool per call — too heavy for this small keyed join): sentinel
+    # rows (id = -1) carry each hash's distinct-doc count
+    merged = chunks.union(hcnt.map_batches(
+        lambda b: pd.DataFrame({id_col: np.full(len(b), -1, np.int64),
+                                "ch": b["ch"].to_numpy(np.int64),
+                                "ndocs": b["ndocs"].to_numpy(np.int64)}),
+        batch_format="pandas"))
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        nd = b[b[id_col] == -1].set_index("ch")["ndocs"]
+        rows = b[b[id_col] != -1]
+        shared = rows["ch"].map(nd).to_numpy(np.int64) >= 2
+        g = pd.DataFrame({id_col: rows[id_col].to_numpy(np.int64),
+                          "shared": shared.astype(np.int64)})
+        out = g.groupby(id_col, sort=False)["shared"] \
+            .agg(["count", "sum"]).reset_index()
+        return pd.DataFrame({id_col: out[id_col].to_numpy(np.int64),
+                             "pn": out["count"].to_numpy(np.int64),
+                             "ps": out["sum"].to_numpy(np.int64)})
+
+    part = bucketed_group_apply(merged, ["ch"], stats)
+    # pn/ps are per-(ch-bucket) partials; final per-doc combine
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(id_col, sort=False)[["pn", "ps"]].sum().reset_index()
+        return pd.DataFrame({id_col: g[id_col].to_numpy(np.int64),
+                             "n_chunks": g["pn"].to_numpy(np.int64),
+                             "n_shared": g["ps"].to_numpy(np.int64)})
+
+    return bucketed_group_apply(part, [id_col], fin)

@@ -272,3 +272,78 @@ def test_ann_ivf_recall_and_exactness_at_full_probe(ray_session):
     overlap = len(set(zip(part.query_id, part.neighbor_id))
                   & set(zip(exact.query_id, exact.neighbor_id)))
     assert overlap >= len(exact) // 2
+
+
+def test_cms_sketch_one_sided_and_mergeable(ray_session, docs):
+    """CM estimates dominate true counts for EVERY word (not just the
+    registered candidates), and two shard sketches merged cell-wise
+    equal the full-corpus sketch."""
+    from collections import Counter
+
+    sk = text.cms_sketch(docs).to_pandas()
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    true = Counter(w for t in pdf.text for w in t.split(" "))
+    words = sorted(true)
+    est = text.cms_estimate(sk, words)
+    for w, e in zip(words, est):
+        assert e >= true[w]
+    # total mass per depth row equals the token stream length
+    assert (sk.groupby("d")["cnt"].sum() == sum(true.values())).all()
+    # mergeability: shard sketches add cell-wise to the full sketch
+    import ray.data as rd
+
+    half = len(pdf) // 2
+    a = text.cms_sketch(rd.from_pandas(pdf.iloc[:half])).to_pandas()
+    b = text.cms_sketch(rd.from_pandas(pdf.iloc[half:])).to_pandas()
+    merged = (
+        pd.concat([a, b]).groupby(["d", "slot"])["cnt"].sum().reset_index()
+    )
+    full = sk.sort_values(["d", "slot"]).reset_index(drop=True)
+    merged = merged.sort_values(["d", "slot"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, merged)
+
+
+def test_cms_slots_match_scalar_hash(ray_session):
+    words = ["the", "zebra", "", "Straße"]
+    th = np.array([text.hash_token(w) for w in words], dtype=np.uint64)
+    sl = text.cms_slots(th)
+    assert sl.shape == (text.CMS_DEPTH, len(words))
+    assert ((sl >= 0) & (sl < text.CMS_WIDTH)).all()
+    # independent recompute of the split-multiply the SQL oracle uses
+    for d in range(text.CMS_DEPTH):
+        m = int(text.CMS_MULTS[d])
+        for i, w in enumerate(words):
+            h = text.hash_token(w)
+            mixed = (h * (m & 0xFFFFFFFF)
+                     + ((h * (m >> 32)) % (1 << 32)) * (1 << 32)) % (1 << 64)
+            assert sl[d, i] == mixed >> (64 - text.CMS_WIDTH_BITS)
+
+
+def test_quality_lr_exact(ray_session, docs):
+    out = docs.map_batches(text.quality_lr,
+                           batch_format="pyarrow").to_pandas()
+    w = text.QLR_WEIGHTS
+    for _, row in out.head(20).iterrows():
+        t = row.text
+        toks = t.split(" ")
+        exp = (w["bias"] + w["n_tokens"] * len(toks)
+               + w["n_stop"] * sum(x in text.STOPWORDS for x in toks)
+               + w["n_punct"] * sum(c in ".,!?;:" for c in t)
+               + w["n_digit"] * sum(c.isdigit() for c in t)
+               + w["n_upper"] * sum("A" <= c <= "Z" for c in t))
+        assert row.score == exp
+    assert out.score.dtype == np.int64
+
+
+def test_url_filter_semantics(ray_session):
+    from pythongis_ray.queries import q_url_filter, URL_BLOCKLIST
+
+    out = q_url_filter(SF).to_pandas()
+    assert len(out) > 0
+    for h in out.url_host:
+        for e in URL_BLOCKLIST:
+            assert h != e and not h.endswith("." + e)
+    # blocked hosts actually existed: an adsnet page must have been dropped
+    pdf = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert (pdf.doc_id % 4 == 2).any()
+    assert len(out) < len(pdf)
