@@ -3404,6 +3404,62 @@ WHERE {w['bias']} + {w['n_tokens']} * n_tokens + {w['n_stop']} * n_stop
 """
 
 
+def q_cdc_shared(sf_dir: str):
+    """Content-defined-chunking dedup stats: rolling-hash chunk
+    boundaries (FastCDC/LBFS style) catch PARTIALLY overlapping docs
+    that whole-doc fingerprints miss. Per doc: total chunks and
+    chunks shared with >= 1 other doc."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.cdc_shared_stats(ds)
+
+
+def _sql_cdc_shared() -> str:
+    """Replays the chunker: the boundary test H(q) % 64 == 0 only
+    needs mod-64 arithmetic (64 divides 2^64, so P^j mod 64 suffices —
+    plain BIGINTs); chunk hashes group via the full HUGEINT poly
+    hash."""
+    P = 1099511628211
+    m = [pow(P, j, 64) for j in range(8)]   # P^j mod 64
+    bexpr = " + ".join(f"bm[q-{7 - j}]*{m[7 - j]}" if m[7 - j] != 1
+                       else f"bm[q-{7 - j}]" for j in range(8)) \
+        .replace("bm[q-0]", "bm[q]")
+    return f"""
+WITH c0 AS (
+  SELECT doc_id, text, length(text) AS L,
+         [ascii(ch) % 64 FOR ch IN string_split(text, '')] AS bm
+  FROM documents),
+bd AS (
+  SELECT doc_id, text, L,
+         list_filter(range(8, L), q -> ({bexpr}) % 64 = 0) AS qs
+  FROM c0),
+cuts AS (
+  SELECT doc_id, text,
+         list_concat(list_concat([CAST(0 AS BIGINT)], qs),
+                     [CAST(L AS BIGINT)]) AS cs
+  FROM bd),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(cs)),
+                i -> substring(text, CAST(cs[i] + 1 AS INT),
+                               CAST(cs[i + 1] - cs[i] AS INT)))) AS chunk
+  FROM cuts),
+h AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             [CAST(ascii(ch) AS HUGEINT) FOR ch IN string_split(chunk, '')]),
+             (acc, x) -> (acc * 1099511628211 + x)
+                         % CAST('18446744073709551616' AS HUGEINT)) AS ch
+  FROM chunks),
+nd AS (SELECT ch, COUNT(DISTINCT doc_id) AS ndocs FROM h GROUP BY ch)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) FILTER (nd.ndocs >= 2) AS BIGINT) AS n_shared
+FROM h JOIN nd ON nd.ch = h.ch
+GROUP BY h.doc_id
+"""
+
+
 URL_BLOCKLIST = ("adsnet", "site13.example", "sub1.site5.shop")
 
 
@@ -3550,6 +3606,7 @@ REGISTRY: dict[str, tuple] = {
     "cms_topk": (q_cms_topk, _sql_cms_topk()),
     "quality_lr": (q_quality_lr, _sql_quality_lr()),
     "url_filter": (q_url_filter, _sql_url_filter()),
+    "cdc_shared": (q_cdc_shared, _sql_cdc_shared()),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),

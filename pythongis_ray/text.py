@@ -1400,10 +1400,13 @@ def cdc_chunk_table(batch: pa.Table, id_col: str = "doc_id",
 
 
 def cdc_shared_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Per-doc CDC dedup stats: n_chunks and n_shared (chunks whose
-    hash occurs in >= 2 distinct docs). One explode + one bucketed
-    combine keyed by chunk hash + one join back — every stage is
-    bounded by the chunk stream, never the corpus cross-product."""
+    """Per-doc CDC dedup stats: n_chunks and n_shared (chunk
+    occurrences whose hash appears in >= 2 distinct docs). Two
+    bucketed shuffles: hash-bucket the chunk stream by ch (every
+    occurrence of a hash meets in exactly one bucket, so the
+    distinct-doc count AND the per-doc partials come out of the same
+    pass), then one small per-doc combine — never a corpus
+    cross-product."""
     from pythongis_ray.relational import bucketed_group_apply
 
     chunks = ds.map_batches(cdc_chunk_table, batch_format="pyarrow",
@@ -1412,35 +1415,18 @@ def cdc_shared_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
                                        "text_col": text_col})
 
     def per_hash(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("ch", sort=False)[id_col].nunique().rename("ndocs") \
-            .reset_index()
-        return g
-
-    hcnt = bucketed_group_apply(chunks, ["ch"], per_hash)
-
-    # join back via a bucketed combine (Dataset.join spawns an actor
-    # pool per call — too heavy for this small keyed join): sentinel
-    # rows (id = -1) carry each hash's distinct-doc count
-    merged = chunks.union(hcnt.map_batches(
-        lambda b: pd.DataFrame({id_col: np.full(len(b), -1, np.int64),
-                                "ch": b["ch"].to_numpy(np.int64),
-                                "ndocs": b["ndocs"].to_numpy(np.int64)}),
-        batch_format="pandas"))
-
-    def stats(b: pd.DataFrame) -> pd.DataFrame:
-        nd = b[b[id_col] == -1].set_index("ch")["ndocs"]
-        rows = b[b[id_col] != -1]
-        shared = rows["ch"].map(nd).to_numpy(np.int64) >= 2
-        g = pd.DataFrame({id_col: rows[id_col].to_numpy(np.int64),
-                          "shared": shared.astype(np.int64)})
-        out = g.groupby(id_col, sort=False)["shared"] \
+        nd = b.groupby("ch", sort=False)[id_col].nunique()
+        shared = (b["ch"].map(nd).to_numpy(np.int64) >= 2).astype(np.int64)
+        g = pd.DataFrame({id_col: b[id_col].to_numpy(np.int64),
+                          "shared": shared}) \
+            .groupby(id_col, sort=False)["shared"] \
             .agg(["count", "sum"]).reset_index()
-        return pd.DataFrame({id_col: out[id_col].to_numpy(np.int64),
-                             "pn": out["count"].to_numpy(np.int64),
-                             "ps": out["sum"].to_numpy(np.int64)})
+        return pd.DataFrame({id_col: g[id_col].to_numpy(np.int64),
+                             "pn": g["count"].to_numpy(np.int64),
+                             "ps": g["sum"].to_numpy(np.int64)})
 
-    part = bucketed_group_apply(merged, ["ch"], stats)
-    # pn/ps are per-(ch-bucket) partials; final per-doc combine
+    part = bucketed_group_apply(chunks, ["ch"], per_hash)
+
     def fin(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby(id_col, sort=False)[["pn", "ps"]].sum().reset_index()
         return pd.DataFrame({id_col: g[id_col].to_numpy(np.int64),

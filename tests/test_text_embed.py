@@ -347,3 +347,63 @@ def test_url_filter_semantics(ray_session):
     pdf = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
     assert (pdf.doc_id % 4 == 2).any()
     assert len(out) < len(pdf)
+
+
+def _cdc_ref_chunks(s: str):
+    P, M = 1099511628211, 1 << 64
+    b = s.encode()
+    bounds = []
+    for p in range(7, len(b) - 1):
+        h = 0
+        for j in range(8):
+            h = (h * P + b[p - 7 + j]) % M
+        if h % 64 == 0:
+            bounds.append(p)
+    cuts = [0] + [p + 1 for p in bounds] + [len(b)]
+    return [s[cuts[i]:cuts[i + 1]] for i in range(len(cuts) - 1)]
+
+
+def test_cdc_chunks_match_reference(ray_session, docs):
+    """Vectorized chunker == per-byte Python reference, and the
+    shift property: inserting a prefix re-chunks only the head."""
+    import ray.data as rd
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    out = rd.from_pandas(pdf).map_batches(
+        text.cdc_chunk_table, batch_format="pyarrow",
+        batch_size=64).to_pandas()
+    P, M = 1099511628211, 1 << 64
+
+    def polyh(s):
+        h = 0
+        for c in s.encode():
+            h = (h * P + c) % M
+        return h - (M if False else 0)
+
+    rows = []
+    for _, r in pdf.iterrows():
+        for c in _cdc_ref_chunks(r.text):
+            h = polyh(c)
+            rows.append((r.doc_id, h - (M if h >= 1 << 63 else 0)))
+    ref = pd.DataFrame(rows, columns=["doc_id", "ch"])
+    a = out.sort_values(["doc_id", "ch"]).reset_index(drop=True)
+    b = ref.sort_values(["doc_id", "ch"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # content-defined shift property: a long doc keeps most chunk
+    # hashes when text is PREPENDED (fixed-size blocks would lose all)
+    t = pdf.loc[pdf.text.str.len().idxmax(), "text"]
+    orig = set(polyh(c) for c in _cdc_ref_chunks(t))
+    shifted = set(polyh(c) for c in _cdc_ref_chunks("PREFIX " + t))
+    assert len(orig & shifted) >= len(orig) * 0.5
+
+
+def test_cdc_shared_stats(ray_session, docs):
+    import ray.data as rd
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    st = text.cdc_shared_stats(rd.from_pandas(pdf)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(st) == len(pdf)
+    assert (st.n_shared <= st.n_chunks).all()
+    assert st.n_chunks.sum() == sum(
+        len(_cdc_ref_chunks(t)) for t in pdf.text)
