@@ -27,6 +27,9 @@ def _as_matrix(col) -> np.ndarray:
     """list<float> Arrow column → (n, d) float matrix, zero-copy when
     the layout is fixed-length."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ExtensionArray):  # Ray ArrowTensorArray
+        return np.asarray(arr.to_numpy(zero_copy_only=False).tolist(),
+                          dtype=np.float64)
     flat = arr.values.to_numpy(zero_copy_only=False)
     offs = arr.offsets.to_numpy()
     d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
@@ -352,3 +355,70 @@ def label_centroids(ds, label_col: str = "label", emb_col: str = "embedding",
                              "centroid": [(s / n).tolist()], "n": [n]})
 
     return parts.groupby(label_col).map_groups(combine, batch_format="pandas")
+
+
+# ------------------------------------------------- distributed k-means
+
+def kmeans_fit(ds, k: int = 8, iters: int = 4, emb_col: str = "embedding",
+               id_col: str = "vec_id", scale: int = 1000) -> np.ndarray:
+    """Full-corpus distributed Lloyd's k-means with BIT-REPRODUCIBLE
+    rounds: embeddings quantize to int64, per-batch partials carry
+    exact integer (sum-vector, count) per centroid, the driver's
+    update is one division of exact sums — so the result is identical
+    for ANY partitioning / batch order (integer addition commutes;
+    float summation wouldn't). Init is the k smallest ``id_col`` rows
+    (deterministic, no RNG). Each round ships only k x (d+1) numbers
+    per block to the driver; the corpus is streamed, never pulled.
+
+    At cluster scale: centroids broadcast once per round via ray.put;
+    the combine is a driver-side sum of per-block partials (k rows
+    each) — no shuffle at all."""
+    seed = ds.filter(expr=f"{id_col} < {k}").to_pandas() \
+        .sort_values(id_col).head(k)
+    C = quantize(np.vstack(seed[emb_col].to_numpy()), scale) \
+        .astype(np.float64)
+    for _ in range(iters):
+        C_ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            Cl = state.get_broadcast(C_ref, key_extra=("km",))
+            mat = quantize(_as_matrix(batch[emb_col]), scale)
+            X = mat.astype(np.float64)
+            d2 = ((X ** 2).sum(axis=1)[:, None] - 2.0 * (X @ Cl.T)
+                  + (Cl ** 2).sum(axis=1)[None, :])
+            assign = np.argmin(d2, axis=1)
+            sums = np.zeros((len(Cl), mat.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, mat)
+            cnt = np.bincount(assign, minlength=len(Cl)).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            return pd.DataFrame({
+                "cid": nz.astype(np.int64),
+                "psum": [sums[i].tolist() for i in nz],
+                "pcnt": cnt[nz]})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=4096).to_pandas()
+        g = parts.groupby("cid")
+        for cid, grp in g:
+            s = np.sum(np.vstack(grp["psum"].to_numpy()).astype(np.int64),
+                       axis=0)
+            n = int(grp["pcnt"].sum())
+            C[int(cid)] = s.astype(np.float64) / n
+    return C
+
+
+def kmeans_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
+                  out_col: str = "cluster", scale: int = 1000):
+    """Adds the nearest-centroid id per row (ties -> lowest id)."""
+    C_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        Cl = state.get_broadcast(C_ref, key_extra=("kma",))
+        X = quantize(_as_matrix(batch[emb_col]), scale).astype(np.float64)
+        d2 = ((X ** 2).sum(axis=1)[:, None] - 2.0 * (X @ Cl.T)
+              + (Cl ** 2).sum(axis=1)[None, :])
+        return batch.append_column(out_col,
+                                   pa.array(np.argmin(d2, axis=1)
+                                            .astype(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)

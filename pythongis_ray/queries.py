@@ -3404,6 +3404,70 @@ WHERE {w['bias']} + {w['n_tokens']} * n_tokens + {w['n_stop']} * n_stop
 """
 
 
+def q_embed_clusters(sf_dir: str):
+    """Distributed full-corpus k-means (semantic clustering, the
+    SemDeDup/cluster-balancing slot): integer-sum Lloyd rounds are
+    bit-reproducible for any partitioning; assignment is one matmul
+    per batch against broadcast centroids. Rows-only — iterative
+    training is not SQL-expressible; determinism + parity with a
+    single-machine reference are unit-tested (test_kmeans_*)."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    C = embed.kmeans_fit(emb, k=8, iters=4)
+    out = embed.kmeans_assign(emb, C)
+    return out.select_columns(["vec_id", "cluster"])
+
+
+PACK_BUDGET = 2048
+
+
+def q_pack_shards(sf_dir: str):
+    """Sequence packing for training (GPT-style, docs split across
+    context windows): within each lang stream, docs in doc_id order
+    get an exclusive running token offset; shard_id = offset //
+    budget, offset_in_shard = offset % budget. The running sum is the
+    distributed bucketed-cumsum (groups co-locate once); packing per
+    lang-shard is how a real pipeline writes tokenizer-ready
+    partitioned output."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(text.token_count, batch_format="pyarrow",
+                        batch_size=8192)
+    ds = ds.drop_columns(["text"])
+    out = rel.running_sum(ds, "lang", ["doc_id"], "n_tokens",
+                          out_col="run_tokens")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        run = batch["run_tokens"].to_numpy(zero_copy_only=False)
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        off = run - nt
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "shard_id": pa.array(off // PACK_BUDGET),
+            "offset_in_shard": pa.array(off % PACK_BUDGET),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           batch_size=65536)
+
+
+SQL_PACK_SHARDS = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         length(text) - length(replace(text, ' ', '')) + 1 AS nt
+  FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - nt AS off
+  FROM t)
+SELECT doc_id, lang,
+       CAST(off // {PACK_BUDGET} AS BIGINT) AS shard_id,
+       CAST(off % {PACK_BUDGET} AS BIGINT) AS offset_in_shard
+FROM r
+"""
+
+
 def q_cdc_shared(sf_dir: str):
     """Content-defined-chunking dedup stats: rolling-hash chunk
     boundaries (FastCDC/LBFS style) catch PARTIALLY overlapping docs
@@ -3607,6 +3671,8 @@ REGISTRY: dict[str, tuple] = {
     "quality_lr": (q_quality_lr, _sql_quality_lr()),
     "url_filter": (q_url_filter, _sql_url_filter()),
     "cdc_shared": (q_cdc_shared, _sql_cdc_shared()),
+    "pack_shards": (q_pack_shards, SQL_PACK_SHARDS),
+    "embed_clusters": (q_embed_clusters, None),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),

@@ -407,3 +407,43 @@ def test_cdc_shared_stats(ray_session, docs):
     assert (st.n_shared <= st.n_chunks).all()
     assert st.n_chunks.sum() == sum(
         len(_cdc_ref_chunks(t)) for t in pdf.text)
+
+
+def test_kmeans_bit_reproducible_vs_reference(ray_session):
+    """Distributed integer-sum Lloyd == single-machine numpy Lloyd,
+    bit-exact, regardless of partitioning."""
+    import ray.data as rd
+
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    for nblocks in (1, 7):
+        ds = rd.from_pandas(pdf).repartition(nblocks)
+        C = embed.kmeans_fit(ds, k=4, iters=3)
+        # reference: same init (vec_id < k sorted), same integer sums
+        seed = pdf[pdf.vec_id < 4].sort_values("vec_id")
+        R = embed.quantize(np.vstack(seed.embedding.to_numpy())) \
+            .astype(np.float64)
+        X = embed.quantize(np.vstack(pdf.embedding.to_numpy()))
+        Xf = X.astype(np.float64)
+        for _ in range(3):
+            d2 = ((Xf ** 2).sum(1)[:, None] - 2 * (Xf @ R.T)
+                  + (R ** 2).sum(1)[None, :])
+            a = np.argmin(d2, axis=1)
+            for c in range(4):
+                m = a == c
+                if m.any():
+                    R[c] = X[m].sum(axis=0).astype(np.float64) / m.sum()
+        assert np.array_equal(C, R), f"mismatch at nblocks={nblocks}"
+
+
+def test_kmeans_assign_nearest(ray_session):
+    import ray.data as rd
+
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ds = rd.from_pandas(pdf)
+    C = embed.kmeans_fit(ds, k=4, iters=2)
+    out = embed.kmeans_assign(ds, C).to_pandas()
+    X = embed.quantize(np.vstack(out.embedding.to_numpy())) \
+        .astype(np.float64)
+    d2 = ((X ** 2).sum(1)[:, None] - 2 * (X @ C.T) + (C ** 2).sum(1)[None, :])
+    assert np.array_equal(out.cluster.to_numpy(), np.argmin(d2, axis=1))
+    assert out.cluster.nunique() > 1
