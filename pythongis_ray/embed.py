@@ -359,34 +359,54 @@ def label_centroids(ds, label_col: str = "label", emb_col: str = "embedding",
 
 # ------------------------------------------------- distributed k-means
 
+def _round_half_away(x):
+    """round-half-away-from-zero (SQL ROUND semantics; numpy's rint is
+    half-to-even, which would diverge from a DuckDB replay)."""
+    return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+
+def _int_assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin_i ||x - C_i||^2 over int64 lattice points, ties -> lowest
+    i. Computed in float64 BLAS, which is EXACT here: every product
+    and partial sum is an integer < 2^53 (|values| <= ~1e6 after
+    quantize, d <= few hundred), so the matmul result is the exact
+    integer regardless of summation order — float speed with integer
+    semantics."""
+    assert np.abs(X).max(initial=0) < 1 << 20 and np.abs(C).max() < 1 << 20
+    Xf, Cf = X.astype(np.float64), C.astype(np.float64)
+    d2 = ((Xf ** 2).sum(axis=1)[:, None] - 2.0 * (Xf @ Cf.T)
+          + (Cf ** 2).sum(axis=1)[None, :])
+    return np.argmin(d2, axis=1)          # first min = lowest centroid id
+
+
 def kmeans_fit(ds, k: int = 8, iters: int = 4, emb_col: str = "embedding",
                id_col: str = "vec_id", scale: int = 1000) -> np.ndarray:
-    """Full-corpus distributed Lloyd's k-means with BIT-REPRODUCIBLE
-    rounds: embeddings quantize to int64, per-batch partials carry
-    exact integer (sum-vector, count) per centroid, the driver's
-    update is one division of exact sums — so the result is identical
-    for ANY partitioning / batch order (integer addition commutes;
-    float summation wouldn't). Init is the k smallest ``id_col`` rows
-    (deterministic, no RNG). Each round ships only k x (d+1) numbers
-    per block to the driver; the corpus is streamed, never pulled.
+    """Full-corpus distributed Lloyd's k-means on the INTEGER LATTICE,
+    bit-reproducible AND SQL-replayable: embeddings quantize to int64;
+    per-batch partials carry exact integer (sum-vector, count) per
+    centroid; the driver's update rounds sum/count half-away-from-zero
+    back onto the lattice. Every round is therefore identical for ANY
+    partitioning / batch order (integer addition commutes), and a
+    DuckDB chained-CTE replay reproduces each round bit-exactly (sums
+    of integer-valued doubles stay < 2^53 hence exact; division and
+    ROUND are single correctly-rounded ops). Init is the k smallest
+    ``id_col`` rows (deterministic, no RNG); empty clusters keep their
+    previous centroid. Returns (k, d) int64 centroids.
 
     At cluster scale: centroids broadcast once per round via ray.put;
-    the combine is a driver-side sum of per-block partials (k rows
-    each) — no shuffle at all."""
+    each block ships only <=k x (d+1) integers of partials; the
+    corpus streams, never pulled to the driver; the combine is a
+    driver-side sum over n_blocks x k tiny rows — no shuffle at all."""
     seed = ds.filter(expr=f"{id_col} < {k}").to_pandas() \
         .sort_values(id_col).head(k)
-    C = quantize(np.vstack(seed[emb_col].to_numpy()), scale) \
-        .astype(np.float64)
+    C = quantize(np.vstack(seed[emb_col].to_numpy()), scale)
     for _ in range(iters):
         C_ref = ray.put(C)
 
         def partial(batch: pa.Table) -> pd.DataFrame:
             Cl = state.get_broadcast(C_ref, key_extra=("km",))
             mat = quantize(_as_matrix(batch[emb_col]), scale)
-            X = mat.astype(np.float64)
-            d2 = ((X ** 2).sum(axis=1)[:, None] - 2.0 * (X @ Cl.T)
-                  + (Cl ** 2).sum(axis=1)[None, :])
-            assign = np.argmin(d2, axis=1)
+            assign = _int_assign(mat, Cl)
             sums = np.zeros((len(Cl), mat.shape[1]), dtype=np.int64)
             np.add.at(sums, assign, mat)
             cnt = np.bincount(assign, minlength=len(Cl)).astype(np.int64)
@@ -398,27 +418,63 @@ def kmeans_fit(ds, k: int = 8, iters: int = 4, emb_col: str = "embedding",
 
         parts = ds.map_batches(partial, batch_format="pyarrow",
                                batch_size=4096).to_pandas()
-        g = parts.groupby("cid")
-        for cid, grp in g:
+        C = C.copy()
+        for cid, grp in parts.groupby("cid"):
             s = np.sum(np.vstack(grp["psum"].to_numpy()).astype(np.int64),
                        axis=0)
             n = int(grp["pcnt"].sum())
-            C[int(cid)] = s.astype(np.float64) / n
+            C[int(cid)] = _round_half_away(s.astype(np.float64) / n)
     return C
 
 
 def kmeans_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
                   out_col: str = "cluster", scale: int = 1000):
-    """Adds the nearest-centroid id per row (ties -> lowest id)."""
-    C_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    """Adds the nearest-centroid id per row (exact int64 distances on
+    the quantized lattice; ties -> lowest centroid id)."""
+    C_ref = ray.put(np.asarray(centroids, dtype=np.int64))
 
     def fn(batch: pa.Table) -> pa.Table:
         Cl = state.get_broadcast(C_ref, key_extra=("kma",))
-        X = quantize(_as_matrix(batch[emb_col]), scale).astype(np.float64)
-        d2 = ((X ** 2).sum(axis=1)[:, None] - 2.0 * (X @ Cl.T)
-              + (Cl ** 2).sum(axis=1)[None, :])
+        mat = quantize(_as_matrix(batch[emb_col]), scale)
         return batch.append_column(out_col,
-                                   pa.array(np.argmin(d2, axis=1)
+                                   pa.array(_int_assign(mat, Cl)
                                             .astype(np.int64)))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def semdedup(ds, centroids: np.ndarray, threshold: int,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             scale: int = 1000):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means clustering as the blocking stage, then
+    EXACT pairwise similarity only WITHIN each cluster; a row is
+    dropped when a lower-id row in its cluster has quantized dot
+    >= threshold (the deterministic keep-first policy). Emits
+    (id, cluster, kept).
+
+    Scale story: the cluster id is the ONLY shuffle key (one groupby);
+    per-group work is an O(c^2) int-exact matmul where c is the
+    cluster size — SemDeDup's own contract is that k grows with the
+    corpus so c = n/k stays bounded (the paper uses 50k clusters for
+    LAION-440M). For a skewed giant cluster, sub-block it with
+    `neardup_pairs_blocked` keyed by (cluster, block-pair)."""
+    labeled = kmeans_assign(ds, centroids, emb_col=emb_col, scale=scale)
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = quantize(np.vstack(g[emb_col].to_numpy())[order], scale)
+        Xf = mat.astype(np.float64)
+        scores = Xf @ Xf.T                       # exact (ints < 2^53)
+        dup = (scores >= float(threshold)) & np.tri(len(ids), k=-1,
+                                                    dtype=bool)
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster": np.full(len(ids), int(g["cluster"].iloc[0]),
+                               np.int64),
+            "kept": (~dup.any(axis=1)).astype(np.int64)})
+
+    return labeled.groupby("cluster").map_groups(mark,
+                                                 batch_format="pandas")

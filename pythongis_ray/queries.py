@@ -3404,17 +3404,90 @@ WHERE {w['bias']} + {w['n_tokens']} * n_tokens + {w['n_stop']} * n_stop
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 4
+SEMDEDUP_THRESHOLD = 400_000
+
+
 def q_embed_clusters(sf_dir: str):
     """Distributed full-corpus k-means (semantic clustering, the
-    SemDeDup/cluster-balancing slot): integer-sum Lloyd rounds are
-    bit-reproducible for any partitioning; assignment is one matmul
-    per batch against broadcast centroids. Rows-only — iterative
-    training is not SQL-expressible; determinism + parity with a
-    single-machine reference are unit-tested (test_kmeans_*)."""
+    SemDeDup/cluster-balancing slot). Integer-LATTICE Lloyd: rounds
+    quantize centroids back to int64 (round-half-away), so training is
+    bit-reproducible for any partitioning AND the whole iterative
+    fit replays in DuckDB as chained CTEs (assign window + per-dim
+    ROUND(SUM/COUNT) update per round — the pagerank-oracle trick
+    applied to k-means). Assignment is one exact matmul per batch
+    against broadcast centroids."""
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    C = embed.kmeans_fit(emb, k=8, iters=4)
+    C = embed.kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
     out = embed.kmeans_assign(emb, C)
     return out.select_columns(["vec_id", "cluster"])
+
+
+def _sql_kmeans_ctes(k: int, iters: int, dim: int = 64,
+                     scale: int = 1000) -> str:
+    """CTE chain replaying embed.kmeans_fit + kmeans_assign exactly:
+    c0 = quantized embeddings of vec_id < k; round r assigns by
+    integer distance (list_dot_product of integer-valued doubles is
+    exact below 2^53; ties -> lowest centroid id via ORDER BY d2, i)
+    and updates c{r+1} = per-dim ROUND(SUM/COUNT) — identical to the
+    engine's _round_half_away(s/n) because both divide the same exact
+    integers once; empty clusters carry their centroid forward. The
+    final CTE ``af`` holds (vec_id, e, cluster) under c{iters}."""
+    upd = ", ".join(f"ROUND(SUM(e[{j + 1}]) / COUNT(*))"
+                    for j in range(dim))
+    parts = [f"""eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> round(CAST(x AS DOUBLE) * {scale})) AS e
+  FROM embeddings),
+c0 AS (SELECT vec_id AS i, e AS c FROM eq WHERE vec_id < {k})"""]
+    for r in range(iters + 1):
+        parts.append(f"""a{r} AS (
+  SELECT vec_id, e, i AS cluster FROM (
+    SELECT eq.vec_id, eq.e, c.i,
+           ROW_NUMBER() OVER (PARTITION BY eq.vec_id ORDER BY
+             list_dot_product(eq.e, eq.e)
+             - 2 * list_dot_product(eq.e, c.c)
+             + list_dot_product(c.c, c.c), c.i) AS rn
+    FROM eq CROSS JOIN c{r} c) WHERE rn = 1)""")
+        if r < iters:
+            parts.append(f"""c{r + 1} AS (
+  SELECT cluster AS i, [{upd}] AS c FROM a{r} GROUP BY cluster
+  UNION ALL
+  SELECT c.i, c.c FROM c{r} c
+  WHERE c.i NOT IN (SELECT cluster FROM a{r}))""")
+    parts.append(f"af AS (SELECT * FROM a{iters})")
+    return ",\n".join(parts)
+
+
+SQL_EMBED_CLUSTERS = f"""
+WITH {_sql_kmeans_ctes(KMEANS_K, KMEANS_ITERS)}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM af
+"""
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (k-means blocking + exact within-cluster near-dup,
+    keep-first): the flagship semantic-dedup slot. Fully
+    oracle-paired: the SQL replays the integer-lattice k-means fit,
+    the final assignment, and the EXISTS(lower-id neighbor with
+    quantized dot >= t) drop rule."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    C = embed.kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return embed.semdedup(emb, C, threshold=SEMDEDUP_THRESHOLD)
+
+
+SQL_SEMDEDUP = f"""
+WITH {_sql_kmeans_ctes(KMEANS_K, KMEANS_ITERS)}
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN EXISTS (
+                SELECT 1 FROM af b
+                WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+                  AND list_dot_product(a.e, b.e) >= {SEMDEDUP_THRESHOLD})
+            THEN 0 ELSE 1 END AS BIGINT) AS kept
+FROM af a
+"""
 
 
 PACK_BUDGET = 2048
@@ -3672,7 +3745,8 @@ REGISTRY: dict[str, tuple] = {
     "url_filter": (q_url_filter, _sql_url_filter()),
     "cdc_shared": (q_cdc_shared, _sql_cdc_shared()),
     "pack_shards": (q_pack_shards, SQL_PACK_SHARDS),
-    "embed_clusters": (q_embed_clusters, None),
+    "embed_clusters": (q_embed_clusters, SQL_EMBED_CLUSTERS),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "reproject_x": (q_reproject_x, SQL_REPROJECT_X_F),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),

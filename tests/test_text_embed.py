@@ -420,18 +420,19 @@ def test_kmeans_bit_reproducible_vs_reference(ray_session):
         C = embed.kmeans_fit(ds, k=4, iters=3)
         # reference: same init (vec_id < k sorted), same integer sums
         seed = pdf[pdf.vec_id < 4].sort_values("vec_id")
-        R = embed.quantize(np.vstack(seed.embedding.to_numpy())) \
-            .astype(np.float64)
+        R = embed.quantize(np.vstack(seed.embedding.to_numpy()))
         X = embed.quantize(np.vstack(pdf.embedding.to_numpy()))
-        Xf = X.astype(np.float64)
         for _ in range(3):
-            d2 = ((Xf ** 2).sum(1)[:, None] - 2 * (Xf @ R.T)
-                  + (R ** 2).sum(1)[None, :])
+            Xf, Rf = X.astype(np.float64), R.astype(np.float64)
+            d2 = ((Xf ** 2).sum(1)[:, None] - 2 * (Xf @ Rf.T)
+                  + (Rf ** 2).sum(1)[None, :])
             a = np.argmin(d2, axis=1)
+            R = R.copy()
             for c in range(4):
                 m = a == c
                 if m.any():
-                    R[c] = X[m].sum(axis=0).astype(np.float64) / m.sum()
+                    R[c] = embed._round_half_away(
+                        X[m].sum(axis=0).astype(np.float64) / m.sum())
         assert np.array_equal(C, R), f"mismatch at nblocks={nblocks}"
 
 
@@ -442,8 +443,29 @@ def test_kmeans_assign_nearest(ray_session):
     ds = rd.from_pandas(pdf)
     C = embed.kmeans_fit(ds, k=4, iters=2)
     out = embed.kmeans_assign(ds, C).to_pandas()
-    X = embed.quantize(np.vstack(out.embedding.to_numpy())) \
-        .astype(np.float64)
-    d2 = ((X ** 2).sum(1)[:, None] - 2 * (X @ C.T) + (C ** 2).sum(1)[None, :])
-    assert np.array_equal(out.cluster.to_numpy(), np.argmin(d2, axis=1))
+    X = embed.quantize(np.vstack(out.embedding.to_numpy()))
+    assert np.array_equal(out.cluster.to_numpy(), embed._int_assign(X, C))
     assert out.cluster.nunique() > 1
+
+
+def test_semdedup_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ds = rd.from_pandas(pdf).repartition(5)
+    C = embed.kmeans_fit(ds, k=4, iters=2)
+    out = embed.semdedup(ds, C, threshold=350_000).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    # brute force: same assignment, then pairwise dots within cluster
+    X = embed.quantize(np.vstack(
+        pdf.sort_values("vec_id").embedding.to_numpy()))
+    ids = np.sort(pdf.vec_id.to_numpy())
+    a = embed._int_assign(X, C)
+    S = X.astype(np.float64) @ X.astype(np.float64).T
+    dup = (S >= 350_000.0) & (a[:, None] == a[None, :]) \
+        & (ids[None, :] < ids[:, None])
+    kept = ~dup.any(axis=1)
+    assert np.array_equal(out.vec_id.to_numpy(), ids)
+    assert np.array_equal(out.cluster.to_numpy(), a)
+    assert np.array_equal(out.kept.to_numpy().astype(bool), kept)
+    assert 0 < kept.sum() < len(ids)
