@@ -3306,6 +3306,108 @@ SELECT lang, page_id, h FROM r WHERE rn <= 20
 """
 
 
+def _sql_polyhash(expr: str) -> str:
+    """HUGEINT replay of text.fingerprint's unsigned 64-bit polynomial
+    hash (acc*P + byte mod 2^64) over an ASCII string expression."""
+    return f"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
+            [CAST(ascii(c) AS HUGEINT) FOR c IN string_split({expr}, '')]),
+            (acc, x) -> (acc * 1099511628211 + x)
+                        % CAST('18446744073709551616' AS HUGEINT))"""
+
+
+SPLIT_TRAIN_PCT, SPLIT_VALID_PCT = 90, 95
+
+
+def _uhash_col(batch: pa.Table, col: str) -> np.ndarray:
+    """Unsigned view of text.fingerprint over a string column."""
+    h = text.fingerprint(batch, text_col=col, out_col="_h")["_h"]
+    return h.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+
+
+def q_split_holdout(sf_dir: str):
+    """Leakage-free train/valid/test split: the split key is the
+    HOST's content hash, so every page of a site lands in the same
+    split (near-duplicate pages cluster within hosts — a doc-level
+    random split would leak them across train/test; cf. C4/The Pile
+    dedup-aware eval splits). Deterministic, cluster-size-independent:
+    bucket = host_hash mod 100 on the UNSIGNED hash (DuckDB's C-style
+    % never sees a negative). No shuffle at all — one map_batches."""
+    from pythongis_ray import pages, urltools
+
+    ds = pages.pages_dataset(sf_dir, geocode=False,
+                             columns=["page_id", "url"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = urltools.add_url_parts(batch, parts=("host",))
+        uh = _uhash_col(batch, "url_host")
+        bucket = (uh % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < SPLIT_TRAIN_PCT, "train",
+                         np.where(bucket < SPLIT_VALID_PCT, "valid",
+                                  "test"))
+        return pa.table({"page_id": batch["page_id"],
+                         "host": batch["url_host"],
+                         "bucket": pa.array(bucket),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=16384)
+
+
+SQL_SPLIT_HOLDOUT = f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS page_id,
+         'site' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host
+  FROM documents),
+h0 AS (
+  SELECT page_id, host, {_sql_polyhash('host')} AS uh FROM p)
+SELECT page_id, host, CAST(uh % 100 AS BIGINT) AS bucket,
+       CASE WHEN uh % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN uh % 100 < {SPLIT_VALID_PCT} THEN 'valid'
+            ELSE 'test' END AS split
+FROM h0
+"""
+
+
+MIXTURE_PERMILLE = {"de": 800, "en": 500, "es": 900, "fr": 800,
+                    "zh": 1000}
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic mixture (temperature) sampling: each language
+    stream keeps a configured per-mille rate of its pages — the
+    up/down-weighting step that balances a multilingual training mix.
+    Acceptance is content-addressed (url hash mod 1000 < rate), so
+    the SAME pages are kept on any cluster size / partitioning, and
+    reruns are idempotent. One map_batches, no shuffle."""
+    from pythongis_ray import pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False,
+                             columns=["page_id", "url", "lang"])
+    def fn(batch: pa.Table) -> pa.Table:
+        uh = _uhash_col(batch, "url")
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        rates = pd.Series(lang).map(MIXTURE_PERMILLE).fillna(1000) \
+            .to_numpy(np.uint64)
+        keep = (uh % np.uint64(1000)) < rates
+        return pa.table({"page_id": batch["page_id"].filter(pa.array(keep)),
+                         "lang": batch["lang"].filter(pa.array(keep))})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=16384)
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS page_id, lang,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h0 AS (SELECT page_id, lang, {_sql_polyhash('url')} AS uh FROM p)
+SELECT page_id, lang FROM h0
+WHERE uh % 1000 < CASE lang
+    {' '.join(f"WHEN '{l}' THEN {r}" for l, r in sorted(MIXTURE_PERMILLE.items()))}
+    ELSE 1000 END
+"""
+
+
 # ------------------------------------- sketches / filters (late round 3)
 
 
@@ -3771,6 +3873,8 @@ REGISTRY: dict[str, tuple] = {
     "host_cap": (q_host_cap, SQL_HOST_CAP),
     "host_report": (q_host_report, _sql_host_report),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "split_holdout": (q_split_holdout, SQL_SPLIT_HOLDOUT),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
 }
 
 

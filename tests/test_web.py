@@ -267,3 +267,39 @@ def test_dedup_incremental_reference(ray_session):
     expect = sorted((v[0], v[1]) for v in ref.values())
     got = sorted(zip(out.doc_id, out.n_copies))
     assert got == expect
+
+
+def test_split_holdout_leakage_free(ray_session):
+    """Every page of a host lands in the same split; splits are
+    deterministic across runs and partitionings."""
+    from pythongis_ray import queries as q
+
+    out = q.q_split_holdout(SF_DIR).to_pandas()
+    per_host = out.groupby("host")["split"].nunique()
+    assert (per_host == 1).all()
+    assert set(out.split.unique()) <= {"train", "valid", "test"}
+    assert (out.bucket == out.bucket).all() and out.bucket.between(0, 99).all()
+    again = q.q_split_holdout(SF_DIR).to_pandas()
+    m = out.sort_values("page_id").reset_index(drop=True)
+    a = again.sort_values("page_id").reset_index(drop=True)
+    assert m.equals(a)
+
+
+def test_mixture_sample_rates(ray_session):
+    """Kept fraction per language tracks the configured per-mille rate
+    (content-addressed: exact membership is deterministic)."""
+    import pandas as pd
+
+    from pythongis_ray import queries as q
+
+    out = q.q_mixture_sample(SF_DIR).to_pandas()
+    full = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    kept = out.groupby("lang").size()
+    tot = full.groupby("lang").size()
+    for lang, rate in q.MIXTURE_PERMILLE.items():
+        if lang not in tot.index:
+            continue
+        frac = kept.get(lang, 0) / tot[lang]
+        assert abs(frac - rate / 1000) < 0.2, (lang, frac, rate)
+    assert len(out) < len(full)
