@@ -2688,6 +2688,83 @@ FROM reach GROUP BY src
 """
 
 
+def q_canonical_docs(sf_dir: str):
+    """Quality-aware canonical selection per near-dup cluster: rather
+    than keep-FIRST (dedup_components), each cluster keeps its
+    longest member (ties -> lowest doc_id) — the
+    keep-the-best-version policy of production dedup (e.g. CCNet
+    keeps the highest-LM-score copy). Pipeline: MinHash-LSH pairs →
+    connected components → distributed hash join with per-doc token
+    counts → per-component argmax. One rollup row per cluster."""
+    from pythongis_ray import graph
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    pairs = text.minhash_dedup_pairs(ds, threshold=0.5)
+    comp = graph.connected_components(
+        pairs.select_columns(["id_a", "id_b"]))
+    comp = comp.map_batches(
+        lambda b: b.rename_columns(["doc_id", "component"]),
+        batch_format="pyarrow", batch_size=65536)
+    toks = ds.map_batches(text.token_count, batch_format="pyarrow",
+                          batch_size=8192).select_columns(
+                              ["doc_id", "n_tokens"])
+    joined = rel.join_large(comp, toks, on="doc_id")
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["component", "n_tokens", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+        top = g.groupby("component", sort=False).head(1)
+        size = g.groupby("component", sort=False).size()
+        return pd.DataFrame({
+            "component": top["component"].to_numpy(np.int64),
+            "canonical_id": top["doc_id"].to_numpy(np.int64),
+            "canonical_tokens": top["n_tokens"].to_numpy(np.int64),
+            "n_docs": size.loc[top["component"]].to_numpy(np.int64)})
+
+    return rel.bucketed_group_apply(joined, ["component"], best)
+
+
+SQL_CANONICAL_DOCS = """
+WITH RECURSIVE
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' ')))
+        END AS sh
+      FROM d),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component
+         FROM reach GROUP BY src),
+t AS (SELECT doc_id,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+j AS (SELECT c.component, c.doc_id, t.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                 ORDER BY t.n_tokens DESC, c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_docs
+      FROM comp c JOIN t ON t.doc_id = c.doc_id)
+SELECT component, doc_id AS canonical_id,
+       n_tokens AS canonical_tokens, CAST(n_docs AS BIGINT) AS n_docs
+FROM j WHERE rn = 1
+"""
+
+
 def q_line_dedup(sf_dir: str):
     """Cross-document line-level dedup (C4-style): disjoint 10-token
     lines, keep-first by (doc_id, line_idx); per-doc kept/total
@@ -3394,6 +3471,62 @@ def q_mixture_sample(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=16384)
 
 
+SHUFFLE_SHARD_ROWS = 128
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global training shuffle: order the corpus by the
+    64-bit url content hash (a pseudorandom but reproducible
+    permutation — same result on any cluster size, unlike
+    ``ds.random_shuffle``), then cut the permuted order into
+    fixed-size shards: (shard_id, pos) is exactly where each doc
+    lands in the tokenizer-ready output. Uses the two-pass
+    distributed range ranking (count pass + assign pass, no global
+    sort materialization)."""
+    from pythongis_ray import pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False,
+                             columns=["page_id", "url"])
+    ds = ds.map_batches(
+        lambda b: text.fingerprint(b, text_col="url", out_col="h"),
+        batch_format="pyarrow", batch_size=16384)
+    ds = ds.select_columns(["page_id", "h"])
+    out = rel.add_global_rank(ds, ["h", "page_id"], out_col="rnk")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = batch["rnk"].to_numpy(zero_copy_only=False) - 1
+        return pa.table({
+            "page_id": batch["page_id"], "h": batch["h"],
+            "shard_id": pa.array(r // SHUFFLE_SHARD_ROWS),
+            "pos": pa.array(r % SHUFFLE_SHARD_ROWS)})
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           batch_size=65536)
+
+
+SQL_SHUFFLE_SHARDS = f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS page_id,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h0 AS (SELECT page_id, {_sql_polyhash('url')} AS uh FROM p),
+hs AS (
+  SELECT page_id,
+         CAST(uh - CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+                     THEN CAST('18446744073709551616' AS HUGEINT)
+                     ELSE 0 END AS BIGINT) AS h
+  FROM h0),
+r AS (SELECT page_id, h,
+             ROW_NUMBER() OVER (ORDER BY h, page_id) - 1 AS rk
+      FROM hs)
+SELECT page_id, h,
+       CAST(rk // {SHUFFLE_SHARD_ROWS} AS BIGINT) AS shard_id,
+       CAST(rk % {SHUFFLE_SHARD_ROWS} AS BIGINT) AS pos
+FROM r
+"""
+
+
 SQL_MIXTURE_SAMPLE = f"""
 WITH p AS (
   SELECT CAST(doc_id AS BIGINT) AS page_id, lang,
@@ -3835,6 +3968,7 @@ REGISTRY: dict[str, tuple] = {
     "repetition": (q_repetition, SQL_REPETITION),
     "decontam": (q_decontam, SQL_DECONTAM),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
@@ -3874,6 +4008,7 @@ REGISTRY: dict[str, tuple] = {
     "host_report": (q_host_report, _sql_host_report),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "split_holdout": (q_split_holdout, SQL_SPLIT_HOLDOUT),
+    "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
 }
 
