@@ -231,6 +231,45 @@ def ann_ivf(ds, queries: pd.DataFrame, k: int = 5, n_centroids: int = 16,
     return ann_topk(cand, queries, k=k, id_col=id_col, emb_col=emb_col)
 
 
+def ann_ivf_int(ds, queries: pd.DataFrame, k: int = 5,
+                n_centroids: int = 16, nprobe: int = 4, iters: int = 4,
+                id_col: str = "vec_id", emb_col: str = "embedding",
+                scale: int = 1000) -> pd.DataFrame:
+    """IVF approximate top-k on the INTEGER LATTICE, fully
+    SQL-replayable: the coarse quantizer is ``kmeans_fit`` (distributed
+    Lloyd's with int64 centroids, bit-reproducible for any
+    partitioning), probe selection and list assignment are exact
+    integer distance tests (ties -> lowest centroid id), and the final
+    re-rank is the exact quantized top-k. Candidates = union of the
+    queries' ``nprobe`` nearest lists (same union-candidate contract as
+    ``ann_lsh``). ``ann_ivf`` remains the float-trained variant; this
+    one trades a prefix-seeded init for a DuckDB-checkable pipeline.
+
+    Scale: training streams the corpus (k x (d+1) integer partials per
+    block, no shuffle); probing is one broadcast-filter map_batches; the
+    re-rank scans only the probed fraction (~nprobe/n_centroids)."""
+    C = kmeans_fit(ds, k=n_centroids, iters=iters, emb_col=emb_col,
+                   id_col=id_col, scale=scale)
+    qmat = quantize(np.vstack(queries[emb_col].to_numpy()), scale)
+    Qf, Cf = qmat.astype(np.float64), C.astype(np.float64)
+    qd = ((Qf ** 2).sum(axis=1)[:, None] - 2.0 * (Qf @ Cf.T)
+          + (Cf ** 2).sum(axis=1)[None, :])      # exact ints < 2^53
+    order = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+    probe_ref = ray.put(np.unique(order).astype(np.int64))
+    C_ref = ray.put(C)
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        Cl = state.get_broadcast(C_ref, key_extra=("ivfi_c",))
+        pl = state.get_broadcast(probe_ref, key_extra=("ivfi_p",))
+        mat = quantize(_as_matrix(batch[emb_col]), scale)
+        return batch.filter(pa.array(np.isin(_int_assign(mat, Cl), pl)))
+
+    cand = ds.map_batches(bucket_filter, batch_format="pyarrow",
+                          batch_size=4096)
+    return ann_topk(cand, queries, k=k, id_col=id_col, emb_col=emb_col,
+                    scale=scale)
+
+
 def neardup_pairs(ds, threshold: int, id_col: str = "vec_id",
                   emb_col: str = "embedding", scale: int = 1000):
     """Exact embedding near-duplicate pairs: all (a < b) with quantized

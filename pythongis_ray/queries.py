@@ -1056,6 +1056,35 @@ FROM documents
 """
 
 
+LM_VOCAB = 256
+
+
+def q_lm_surprisal(sf_dir: str):
+    """Corpus-trained unigram LM surprisal (the CCNet perplexity-filter
+    slot): train pass = distributed word counts -> top-V vocab + total;
+    score pass = broadcast table lookup + integer bit-length surprisal
+    per token, summed per doc. Fully oracle-paired: the per-token score
+    is LENGTH(bin(total // count)) — exact integers on both sides."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.lm_surprisal(ds, vocab_size=LM_VOCAB)
+
+
+SQL_LM_SURPRISAL = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+cnt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY word),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+top AS (SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT {LM_VOCAB}),
+s AS (SELECT w.doc_id,
+             LENGTH(bin((SELECT t FROM tot) // COALESCE(top.c, 1))) AS bits
+      FROM w LEFT JOIN top ON top.word = w.word)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(bits) AS BIGINT) AS surprisal_bits
+FROM s GROUP BY doc_id
+"""
+
+
 def q_doc_topk_chars(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "n_chars"])
@@ -2352,6 +2381,62 @@ def q_ann_ivf(sf_dir: str):
     qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           filters=[("vec_id", "<", 8)])
     return embed.ann_ivf(emb, qdf, k=5, n_centroids=16, nprobe=4)
+
+
+IVF_INT_CENTROIDS = 16
+IVF_INT_NPROBE = 4
+IVF_INT_ITERS = 4
+
+
+def q_ann_ivf_int(sf_dir: str):
+    """IVF approximate top-k with an integer-lattice k-means coarse
+    quantizer (embed.ann_ivf_int): distributed Lloyd training,
+    exact-integer probe selection + list assignment, exact quantized
+    re-rank. Fully oracle-paired — the SQL replays the iterative fit
+    (chained CTEs), the nprobe probe lists, the candidate union, and
+    the final ranking bit-exactly."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          filters=[("vec_id", "<", 8)])
+    out = embed.ann_ivf_int(emb, qdf, k=5, n_centroids=IVF_INT_CENTROIDS,
+                            nprobe=IVF_INT_NPROBE, iters=IVF_INT_ITERS)
+    out = out[["query_id", "neighbor_id", "score", "rank"]].copy()
+    out["score"] = out["score"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
+def _sql_ann_ivf_int(k: int = 5) -> str:
+    """Replays ann_ivf_int end-to-end: the kmeans CTE chain yields the
+    trained centroids c{iters} and the final assignment ``af``; probe
+    lists rank centroids by exact integer distance (ties -> lowest id),
+    candidates are the union of probed lists, and the re-rank matches
+    TopKDot (score DESC, neighbor_id; self excluded)."""
+    it = IVF_INT_ITERS
+    return f"""
+WITH {_sql_kmeans_ctes(IVF_INT_CENTROIDS, it)},
+q AS (SELECT vec_id AS query_id, e AS qe FROM eq WHERE vec_id < 8),
+qprobe AS (
+  SELECT query_id, i FROM (
+    SELECT q.query_id, c.i,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qe, q.qe)
+             - 2 * list_dot_product(q.qe, c.c)
+             + list_dot_product(c.c, c.c), c.i) AS rn
+    FROM q CROSS JOIN c{it} c) WHERE rn <= {IVF_INT_NPROBE}),
+probe AS (SELECT DISTINCT i FROM qprobe),
+cand AS (SELECT a.vec_id, a.e FROM af a JOIN probe p ON p.i = a.cluster),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qe, c.e) AS BIGINT) AS score
+  FROM q CROSS JOIN cand c WHERE c.vec_id != q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_geodetic_buffer(sf_dir: str):
@@ -3933,6 +4018,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "token_regex": (q_token_regex, SQL_TOKEN_REGEX),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
+    "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
     "lang_stats": (q_lang_stats, SQL_LANG_STATS),
     "quality": (q_quality, SQL_QUALITY),
     "doc_topk_chars": (q_doc_topk_chars, SQL_DOC_TOPK_CHARS),
@@ -3991,6 +4077,7 @@ REGISTRY: dict[str, tuple] = {
     "langid": (q_langid, SQL_LANGID),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh),
     "ann_ivf": (q_ann_ivf, None),
+    "ann_ivf_int": (q_ann_ivf_int, _sql_ann_ivf_int),
     "geodetic_buffer": (q_geodetic_buffer, None),
     "reproject_utm": (q_reproject_utm, None),
     "geodetic_area": (q_geodetic_area, None),

@@ -112,6 +112,92 @@ def word_frequency(ds, text_col: str = "text", top_k: int | None = None):
     return pdf.reset_index(drop=True)
 
 
+def _bit_length_i64(q: np.ndarray) -> np.ndarray:
+    """Exact bit length of positive int64 values (== LENGTH(bin(q)) in
+    DuckDB): a 6-step vectorized binary search — no float log2, whose
+    last-ulp behavior at exact powers of two differs across libm
+    builds."""
+    q = q.astype(np.uint64).copy()
+    bits = np.zeros(q.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = q >= (np.uint64(1) << np.uint64(s))
+        bits[m] += s
+        q[m] >>= np.uint64(s)
+    return bits + 1
+
+
+def lm_surprisal(ds, vocab_size: int = 4096, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Corpus-trained unigram-LM surprisal score — the CCNet-style
+    perplexity-filter slot (Wenzek et al. 2020), made exactly
+    SQL-replayable. Two streaming passes:
+
+    1. TRAIN: global word counts (per-batch partial counts → bucketed
+       hash combine), from which the total token count and the top-V
+       vocabulary (ties: count desc, word asc) derive. Only
+       vocab-bounded tables ever reach the driver; the corpus itself
+       streams. The tiny freq table is materialized once so the two
+       consumers (total + top-V) don't re-run the corpus pass.
+    2. SCORE: the (word -> count) table broadcasts once (`ray.put` +
+       worker-side cache); each batch is one Arrow split + one
+       `index_in` lookup + one reduceat — no per-row Python.
+
+    The per-token surprisal is the INTEGER bit length of
+    total // count (OOV -> count 1): a quantized -log2 p(token) that
+    is bit-exact in both numpy and DuckDB (`LENGTH(bin(t // c))`),
+    unlike float log-probabilities whose summation order matters.
+    High bits-per-token = rare/garbled text; low = boilerplate.
+    Emits (doc_id, n_tokens, surprisal_bits)."""
+    import ray
+
+    from pythongis_ray import state
+    from pythongis_ray.relational import bucketed_group_apply
+
+    parts = words_exploded(ds, text_col)
+    freq = bucketed_group_apply(
+        parts, ["word"],
+        lambda b: b.groupby("word", sort=False)["pcnt"].sum()
+        .rename("cnt").reset_index()).materialize()
+    total = int(sum(
+        r["s"] for r in freq.map_batches(
+            lambda b: pd.DataFrame({"s": [int(b["cnt"].sum())]}),
+            batch_format="pandas").take_all()))
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["cnt", "word"], ascending=[False, True],
+                             kind="stable").head(vocab_size)
+
+    top = freq.map_batches(block_topk, batch_format="pandas").to_pandas() \
+        .sort_values(["cnt", "word"], ascending=[False, True],
+                     kind="stable").head(vocab_size)
+    ref = ray.put({"vocab": pa.array(top["word"].to_numpy(object)),
+                   "cnt": top["cnt"].to_numpy(np.int64),
+                   "total": total})
+
+    def score(batch: pa.Table) -> pa.Table:
+        lm = state.get_broadcast(ref, key_extra=("lm_surprisal",))
+        toks = pc.split_pattern(batch[text_col], " ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        idx = pc.fill_null(pc.index_in(flat.values, value_set=lm["vocab"]),
+                           -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.where(idx >= 0, lm["cnt"][np.maximum(idx, 0)], np.int64(1))
+        bits = _bit_length_i64(np.int64(lm["total"]) // cnt)
+        off = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # slice to [off[0], off[-1]) — a sliced ListArray's values buffer
+        # can extend past the last offset, which would pollute the final
+        # reduceat segment
+        seg = bits[off[0]:off[-1]]
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(np.diff(off)),
+            "surprisal_bits": pa.array(
+                np.add.reduceat(seg, (off - off[0])[:-1]).astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
 class LanguageId:
     """Heuristic language-ID actor: per-language stopword tables
     compiled once per actor; per batch, vectorized token membership

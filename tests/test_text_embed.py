@@ -274,6 +274,48 @@ def test_ann_ivf_recall_and_exactness_at_full_probe(ray_session):
     assert overlap >= len(exact) // 2
 
 
+def test_lm_surprisal_matches_bruteforce(ray_session, docs):
+    """Engine LM score == brute-force: total token count, top-V vocab
+    (count desc, word asc ties), OOV -> count 1, per-token surprisal =
+    bit_length(total // count), summed per doc."""
+    from collections import Counter
+
+    V = 16   # far below the corpus vocab so OOV is exercised
+    out = text.lm_surprisal(docs, vocab_size=V).to_pandas() \
+        .set_index("doc_id").sort_index()
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    c = Counter(w for t in pdf.text for w in t.split(" "))
+    total = sum(c.values())
+    top = dict(sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    for _, row in pdf.head(40).iterrows():
+        toks = row.text.split(" ")
+        bits = sum((total // top.get(w, 1)).bit_length() for w in toks)
+        assert out.loc[row.doc_id, "n_tokens"] == len(toks)
+        assert out.loc[row.doc_id, "surprisal_bits"] == bits
+
+
+def test_ann_ivf_int_full_probe_exact_and_deterministic(ray_session):
+    """Integer-lattice IVF: probing every list reproduces the exact
+    top-k, and two runs produce identical output (bit-reproducible
+    training — no RNG, integer partials)."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    queries = pdf[pdf.vec_id < 4]
+    exact = embed.ann_topk(emb, queries, k=3)
+    full = embed.ann_ivf_int(emb, queries, k=3, n_centroids=8, nprobe=8,
+                             iters=2)
+    key = lambda d: sorted(zip(d.query_id, d["rank"], d.neighbor_id))
+    assert key(full) == key(exact)
+    part1 = embed.ann_ivf_int(emb, queries, k=3, n_centroids=8, nprobe=2,
+                              iters=2)
+    part2 = embed.ann_ivf_int(emb, queries, k=3, n_centroids=8, nprobe=2,
+                              iters=2)
+    assert key(part1) == key(part2)
+    assert set(part1.columns) == set(exact.columns)
+
+
 def test_cms_sketch_one_sided_and_mergeable(ray_session, docs):
     """CM estimates dominate true counts for EVERY word (not just the
     registered candidates), and two shard sketches merged cell-wise
