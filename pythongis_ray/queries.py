@@ -1085,6 +1085,23 @@ FROM s GROUP BY doc_id
 """
 
 
+BPE_MERGES = 48
+
+
+def q_bpe_tokens(sf_dir: str):
+    """BPE tokenizer training + encoding (the tokenizer slot): one
+    streaming pass builds the word-frequency table, merge learning
+    iterates driver-side on that vocab-bounded table, and the encode
+    pass counts BPE tokens per doc with a per-actor encode cache.
+    Rows-only: iterative data-dependent merge application is not
+    SQL-expressible; encode parity is brute-force-tested
+    (test_bpe_matches_reference_implementation)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    merges = text.bpe_learn(ds, n_merges=BPE_MERGES)
+    return text.bpe_token_counts(ds, merges)
+
+
 def q_doc_topk_chars(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "n_chars"])
@@ -4019,6 +4036,7 @@ REGISTRY: dict[str, tuple] = {
     "token_regex": (q_token_regex, SQL_TOKEN_REGEX),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
+    "bpe_tokens": (q_bpe_tokens, None),
     "lang_stats": (q_lang_stats, SQL_LANG_STATS),
     "quality": (q_quality, SQL_QUALITY),
     "doc_topk_chars": (q_doc_topk_chars, SQL_DOC_TOPK_CHARS),

@@ -198,6 +198,133 @@ def lm_surprisal(ds, vocab_size: int = 4096, text_col: str = "text",
     return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
 
 
+def bpe_learn(ds, n_merges: int = 64, vocab_words: int = 32768,
+              text_col: str = "text") -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016,
+    arXiv:1508.07909) — the tokenizer-training slot of a training-data
+    pipeline. The distributed part is ONE streaming pass building the
+    word-frequency table (per-batch partial counts → bucketed hash
+    combine → per-block top-V + tiny driver merge, so the driver never
+    holds the full vocabulary); merge learning then iterates on that
+    vocab-bounded (word, count) table driver-side — the same contract
+    as ``kmeans_fit``'s centroid update: per-round work is bounded by
+    the vocabulary, the corpus is never re-read.
+
+    Deterministic: pair selection ties break lexicographically; the
+    word table is capped at the top ``vocab_words`` words (count desc,
+    word asc), which bounds driver memory at 100-TB scale where the
+    raw vocabulary is unbounded junk (the standard practice — rare
+    words contribute negligible pair mass). Returns merges in learned
+    order; symbols never span words."""
+    freq = word_frequency(ds, text_col, top_k=vocab_words)
+    words = [tuple(w) for w in freq["word"].tolist()]
+    counts = freq["cnt"].to_numpy(np.int64)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_cnt: dict[tuple[str, str], int] = {}
+        for syms, c in zip(words, counts):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_cnt[p] = pair_cnt.get(p, 0) + int(c)
+        if not pair_cnt:
+            break
+        best = min(pair_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new = best[0] + best[1]
+        out = []
+        for syms in words:
+            j, acc = 0, []
+            while j < len(syms):
+                if (j + 1 < len(syms)
+                        and syms[j] == best[0] and syms[j + 1] == best[1]):
+                    acc.append(new)
+                    j += 2
+                else:
+                    acc.append(syms[j])
+                    j += 1
+            out.append(tuple(acc))
+        words = out
+    return merges
+
+
+class BpeEncoder:
+    """Actor-pool stage applying learned BPE merges: per batch, encode
+    each DISTINCT word once (the encode cache persists across batches
+    in actor state — Zipf makes the hit rate ~99% after warmup), then
+    scatter token counts back per document with one reduceat. The
+    per-distinct-word loop is vocabulary-bounded, not corpus-bounded."""
+
+    def __init__(self, merges: list[tuple[str, str]],
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.rank = {tuple(m): i for i, m in enumerate(merges)}
+        self.text_col, self.id_col = text_col, id_col
+        self.cache: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        hit = self.cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        while len(syms) > 1:
+            ranks = [r for i in range(len(syms) - 1)
+                     if (r := self.rank.get((syms[i], syms[i + 1])))
+                     is not None]
+            if not ranks:
+                break
+            r0 = min(ranks)
+            out, j = [], 0
+            while j < len(syms):
+                if (j + 1 < len(syms)
+                        and self.rank.get((syms[j], syms[j + 1])) == r0):
+                    out.append(syms[j] + syms[j + 1])
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        n = len(syms)
+        if len(self.cache) < 1 << 20:
+            self.cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[self.text_col], " ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        uniq, inv = np.unique(
+            flat.values.to_numpy(zero_copy_only=False), return_inverse=True)
+        lens = np.fromiter((self._encode_len(w) for w in uniq),
+                           dtype=np.int64, count=len(uniq))
+        per_tok = lens[inv]
+        off = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = per_tok[off[0]:off[-1]]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_words": pa.array(np.diff(off)),
+            "n_bpe_tokens": pa.array(
+                np.add.reduceat(seg, (off - off[0])[:-1]).astype(np.int64)),
+        })
+
+
+def bpe_token_counts(ds, merges: list[tuple[str, str]],
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """documents → (doc_id, n_words, n_bpe_tokens) under learned
+    merges. Actor pool so the encode cache amortizes across batches."""
+    import ray
+
+    merges_ref = ray.put([tuple(m) for m in merges])
+
+    from pythongis_ray import state
+
+    def fn(batch: pa.Table) -> pa.Table:
+        enc = state.get_broadcast(
+            merges_ref, builder=lambda m: BpeEncoder(m, text_col, id_col),
+            key_extra=("bpe", text_col, id_col))
+        return enc(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
 class LanguageId:
     """Heuristic language-ID actor: per-language stopword tables
     compiled once per actor; per batch, vectorized token membership

@@ -294,6 +294,67 @@ def test_lm_surprisal_matches_bruteforce(ray_session, docs):
         assert out.loc[row.doc_id, "surprisal_bits"] == bits
 
 
+def _ref_bpe_learn(word_counts, n_merges):
+    """Independent reference BPE (Sennrich et al. algorithm 1)."""
+    words = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        nw = {}
+        for syms, c in words.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best:
+                    out.append(syms[j] + syms[j + 1]); j += 2
+                else:
+                    out.append(syms[j]); j += 1
+            nw[tuple(out)] = nw.get(tuple(out), 0) + c
+        words = nw
+    return merges
+
+
+def _ref_bpe_encode_len(word, rank):
+    syms = list(word)
+    while len(syms) > 1:
+        cand = [(rank[(a, b)], i) for i, (a, b) in
+                enumerate(zip(syms, syms[1:])) if (a, b) in rank]
+        if not cand:
+            break
+        r0 = min(r for r, _ in cand)
+        out, j = [], 0
+        while j < len(syms):
+            if j + 1 < len(syms) and rank.get((syms[j], syms[j + 1])) == r0:
+                out.append(syms[j] + syms[j + 1]); j += 2
+            else:
+                out.append(syms[j]); j += 1
+        syms = out
+    return len(syms)
+
+
+def test_bpe_matches_reference_implementation(ray_session, docs):
+    from collections import Counter
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    wc = Counter(w for t in pdf.text for w in t.split(" "))
+    merges = text.bpe_learn(docs, n_merges=24, vocab_words=1 << 20)
+    assert merges == _ref_bpe_learn(dict(wc), 24)
+    rank = {m: i for i, m in enumerate(merges)}
+    out = text.bpe_token_counts(docs, merges).to_pandas() \
+        .set_index("doc_id").sort_index()
+    for _, row in pdf.head(25).iterrows():
+        toks = row.text.split(" ")
+        want = sum(_ref_bpe_encode_len(w, rank) for w in toks)
+        assert out.loc[row.doc_id, "n_words"] == len(toks)
+        assert out.loc[row.doc_id, "n_bpe_tokens"] == want
+
+
 def test_ann_ivf_int_full_probe_exact_and_deterministic(ray_session):
     """Integer-lattice IVF: probing every list reproduces the exact
     top-k, and two runs produce identical output (bit-reproducible
