@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from pythongis_ray import embed, fixtures, pipelines, relational as rel, spatial, text
+from pythongis_ray import embed, fixtures, grid, pipelines, relational as rel, spatial, text
 from pythongis_ray.geom import geodesy
 
 # --------------------------------------------------------------- helpers
@@ -1082,6 +1082,96 @@ s AS (SELECT w.doc_id,
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(bits) AS BIGINT) AS surprisal_bits
 FROM s GROUP BY doc_id
+"""
+
+
+PYR_BASE_RES = 9
+PYR_MIN_RES = 5
+
+
+def q_cell_pyramid(sf_dir: str):
+    """Tile-pyramid build — the web-map/tile-server aggregation path:
+    ONE streaming pass computes per-batch partial counts at the base
+    cell resolution (the corpus is touched exactly once); every coarser
+    level then derives from the PREVIOUS level's cell table by integer
+    parent-cell arithmetic + a cell-bounded combine (4:1 per step, the
+    classic pyramid recurrence). At 100 TB the base pass is the only
+    corpus-sized work; each rollup shuffles at most 2^(2r+1) rows.
+    Emits (res, cell_ix, cell_iy, n_points) for res 9..5. Exact on the
+    fixture lattice: cell indices are integer divisions of the dyadic
+    lattice units, mirrored 1:1 in SQL."""
+    cpts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+
+    def base_cells(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        cell = grid.point_to_cell(lon, lat, res=PYR_BASE_RES)
+        u, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(u.view(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = cpts.map_batches(base_cells, batch_format="pyarrow",
+                             batch_size=65536)
+    combine = lambda b: (b.groupby("cell", sort=False)["n"].sum()
+                         .reset_index())
+    # each level feeds BOTH the output union and the next rollup; Ray
+    # Datasets re-execute per consumer, so materialize the (tiny,
+    # cell-bounded) level tables — otherwise the corpus base pass
+    # re-runs once per level
+    level = rel.bucketed_group_apply(parts, ["cell"], combine).materialize()
+    levels = [level]
+    for _ in range(PYR_BASE_RES - PYR_MIN_RES):
+        def up(batch: pa.Table) -> pa.Table:
+            cell = batch["cell"].to_numpy(zero_copy_only=False) \
+                .view(np.uint64)
+            p = grid.parent(cell).view(np.int64)
+            n = batch["n"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(p, return_inverse=True)
+            s = np.zeros(len(u), np.int64)
+            np.add.at(s, inv, n)
+            return pa.table({"cell": pa.array(u), "n": pa.array(s)})
+
+        level = rel.bucketed_group_apply(
+            level.map_batches(up, batch_format="pyarrow",
+                              batch_size=65536),
+            ["cell"], combine).materialize()
+        levels.append(level)
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False).view(np.uint64)
+        res, ix, iy = grid.unpack(cell)
+        return pa.table({
+            "res": pa.array(res.astype(np.int64)),
+            "cell_ix": pa.array(ix.astype(np.int64)),
+            "cell_iy": pa.array(iy.astype(np.int64)),
+            "n_points": batch["n"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           batch_size=65536)
+
+
+def _sql_cell_pyramid() -> str:
+    """Replays the pyramid: base-level cell indices are exact integer
+    divisions of the lattice units (cell width at res r =
+    LX / 2^(r+1) = 184320 / 2^r units, integral for r <= 12); coarser
+    levels are ix >> steps (equivalently a direct division — the
+    recurrence and the direct formula agree exactly)."""
+    per_level = []
+    for r in range(PYR_MIN_RES, PYR_BASE_RES + 1):
+        ux = fixtures.LX // (2 << r)    # units per cell side at res r
+        per_level.append(f"""
+SELECT {r} AS res, ix // {ux} AS cell_ix, iy // {ux} AS cell_iy,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM cpts GROUP BY 2, 3""")
+    body = "\nUNION ALL".join(per_level)
+    return f"""
+WITH cpts AS ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")})
+{body}
 """
 
 
@@ -4037,6 +4127,7 @@ REGISTRY: dict[str, tuple] = {
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
     "bpe_tokens": (q_bpe_tokens, None),
+    "cell_pyramid": (q_cell_pyramid, _sql_cell_pyramid),
     "lang_stats": (q_lang_stats, SQL_LANG_STATS),
     "quality": (q_quality, SQL_QUALITY),
     "doc_topk_chars": (q_doc_topk_chars, SQL_DOC_TOPK_CHARS),

@@ -65,3 +65,23 @@ def test_bboxes_to_cells_cover():
 def test_cover_scalar_coarsens():
     cells = grid.bbox_to_cells(-170, -80, 170, 80, res=10, max_cells=64)
     assert len(cells) <= 64
+
+
+def test_cell_pyramid_levels_consistent(ray_session):
+    """Every pyramid level sums to the point count, and each parent
+    cell's count equals the sum of its children's."""
+    from pythongis_ray import queries
+
+    out = queries.get_queries()["cell_pyramid"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    n_pts = out[out.res == queries.PYR_BASE_RES].n_points.sum()
+    for r in range(queries.PYR_MIN_RES, queries.PYR_BASE_RES + 1):
+        assert out[out.res == r].n_points.sum() == n_pts
+    for r in range(queries.PYR_MIN_RES + 1, queries.PYR_BASE_RES + 1):
+        child = out[out.res == r].copy()
+        child["pix"] = child.cell_ix // 2
+        child["piy"] = child.cell_iy // 2
+        rolled = child.groupby(["pix", "piy"]).n_points.sum()
+        parent = out[out.res == r - 1].set_index(["cell_ix", "cell_iy"]) \
+            .n_points
+        assert rolled.sort_index().equals(parent.sort_index())
