@@ -2804,6 +2804,40 @@ FROM agg
 """
 
 
+def q_quality_funnel(sf_dir: str):
+    """Filter-funnel verdict per doc (first failing rule or 'kept'):
+    the per-stage rejection report of a production corpus build, as
+    one fused streaming pass (token/stopword counts + Gopher bigram
+    repetition in the same batch). Integer predicates only — replays
+    bit-exactly in SQL."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(text.quality_funnel, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+SQL_QUALITY_FUNNEL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+f AS (SELECT doc_id, len(l) AS n_tokens,
+             len(list_filter(l, w -> w IN {tuple(text.STOPWORDS)!r})) AS n_stop
+      FROM toks),
+bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+       FROM toks, UNNEST(range(1, len(l))) AS t(i)),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (SELECT doc_id, SUM(c) AS n_ngrams,
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_ngrams
+        FROM cnt GROUP BY 1)
+SELECT f.doc_id,
+       CASE WHEN f.n_tokens < {text.FUNNEL_MIN_TOKENS} THEN 'too_short'
+            WHEN f.n_stop * {text.FUNNEL_STOP_DENOM} < f.n_tokens
+                 THEN 'low_stopword'
+            WHEN COALESCE(a.dup_ngrams, 0) * {text.FUNNEL_REP_NUM}
+                 > COALESCE(a.n_ngrams, 1) THEN 'repetitive'
+            ELSE 'kept' END AS verdict
+FROM f LEFT JOIN agg a ON a.doc_id = f.doc_id
+"""
+
+
 def q_decontam(sf_dir: str):
     """Benchmark decontamination: corpus docs sharing a 4-token shingle
     with the benchmark subset (doc_id % 101 == 0), with the count of
@@ -4161,6 +4195,7 @@ REGISTRY: dict[str, tuple] = {
     "url_hosts": (q_url_hosts, SQL_URL_HOSTS),
     "url_canon": (q_url_canon, SQL_URL_CANON),
     "repetition": (q_repetition, SQL_REPETITION),
+    "quality_funnel": (q_quality_funnel, SQL_QUALITY_FUNNEL),
     "decontam": (q_decontam, SQL_DECONTAM),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),

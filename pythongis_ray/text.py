@@ -839,6 +839,45 @@ def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     return rel.dedup(cand, ["id_a", "id_b"])
 
 
+FUNNEL_MIN_TOKENS = 16
+FUNNEL_STOP_DENOM = 50   # reject if n_stop * 50 < n_tokens  (< 2% stopwords)
+FUNNEL_REP_NUM = 2       # reject if dup_ngrams * 2 > n_ngrams (> 50% dup mass)
+
+
+def quality_funnel(batch: pa.Table, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_tokens: int = FUNNEL_MIN_TOKENS,
+                   stop_denom: int = FUNNEL_STOP_DENOM,
+                   rep_num: int = FUNNEL_REP_NUM) -> pa.Table:
+    """Filter-funnel verdict per document — the pipeline-observability
+    stage every production corpus build runs: each doc gets the FIRST
+    rule it fails (too_short → low_stopword → repetitive) or 'kept'.
+    Grouping the output by verdict gives the per-stage rejection
+    report. All three rules are exact integer predicates (no float
+    thresholds), so the funnel replays bit-exactly in SQL.
+
+    One fused pass: token/stopword counts and the Gopher repeated-
+    bigram mass are computed in the same batch (the corpus is read
+    once); docs with < 2 tokens have no bigram and pass rule 3."""
+    q = quality_score(batch, text_col)
+    ntok = q["n_tokens"].to_numpy(zero_copy_only=False)
+    nstop = q["n_stop"].to_numpy(zero_copy_only=False)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    rep = repetition_stats(batch, id_col, text_col, n=2)
+    dup = np.zeros(len(ids), np.int64)
+    ngr = np.ones(len(ids), np.int64)
+    pos = pd.Index(ids).get_indexer(
+        rep[id_col].to_numpy(zero_copy_only=False))
+    dup[pos] = rep["dup_ngrams"].to_numpy(zero_copy_only=False)
+    ngr[pos] = rep["n_ngrams"].to_numpy(zero_copy_only=False)
+    verdict = np.full(len(ids), "kept", object)
+    verdict[dup * rep_num > ngr] = "repetitive"
+    verdict[nstop * stop_denom < ntok] = "low_stopword"
+    verdict[ntok < min_tokens] = "too_short"
+    return pa.table({id_col: batch[id_col],
+                     "verdict": pa.array(verdict, pa.string())})
+
+
 # ------------------------------------------------------ repetition / decontam
 
 def repetition_stats(batch: pa.Table, id_col: str = "doc_id",

@@ -294,6 +294,24 @@ def test_lm_surprisal_matches_bruteforce(ray_session, docs):
         assert out.loc[row.doc_id, "surprisal_bits"] == bits
 
 
+def test_quality_funnel_first_failing_rule(ray_session):
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "short text",                                    # too_short
+            " ".join(["x y"] * 20),                         # no stopwords
+            " ".join(["the quick fox"] * 12),   # repetitive, has stopwords
+            "the quick brown fox jumps over a lazy dog and "
+            "then it runs to the old mill by the river bank",  # kept
+        ])})
+    out = text.quality_funnel(tbl).to_pandas().set_index("doc_id")
+    assert out.loc[0, "verdict"] == "too_short"
+    assert out.loc[1, "verdict"] == "low_stopword"
+    # doc 2: 36 tokens, stopword 'the' 12/36 >= 2%, bigram dup mass high
+    assert out.loc[2, "verdict"] == "repetitive"
+    assert out.loc[3, "verdict"] == "kept"
+
+
 def _ref_bpe_learn(word_counts, n_merges):
     """Independent reference BPE (Sennrich et al. algorithm 1)."""
     words = {tuple(w): c for w, c in word_counts.items()}
