@@ -192,6 +192,65 @@ class ImageFeatures:
                                    pa.array(feats, pa.list_(pa.float64())))
 
 
+class PerceptualHash:
+    """Actor-pool stage: decoded pixels → 64-bit average hash (aHash):
+    grayscale by integer channel sum, 8×8 block sums (image truncated
+    to the largest multiple of 8 per axis), bit_i = 64·block_i >
+    total — an integer predicate, no float division, so the hash is
+    bit-stable. A few flipped payload bytes flip few blocks → small
+    Hamming distance: the image analogue of SimHash, feeding the same
+    banded near-dup machinery (text.hash_neardup_pairs)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        stack = _stack_uniform(batch, "pixels")
+        if stack is not None:
+            ph = self._hash_stack(stack)
+        else:
+            hs = []
+            for buf, w, h, c in zip(batch["pixels"].to_pylist(),
+                                    batch["meta_w"].to_pylist(),
+                                    batch["meta_h"].to_pylist(),
+                                    batch["meta_channels"].to_pylist()):
+                a = np.frombuffer(buf, dtype=np.uint8).reshape(1, h, w, c)
+                hs.append(self._hash_stack(a)[0])
+            ph = np.array(hs, np.uint64)
+        return batch.append_column("phash", pa.array(ph.view(np.int64)))
+
+    @staticmethod
+    def _hash_stack(stack: np.ndarray) -> np.ndarray:
+        n, h, w, _ = stack.shape
+        gray = stack.astype(np.int64).sum(axis=3)          # (n, h, w)
+        hh, ww = h - h % 8, w - w % 8
+        gray = gray[:, :hh, :ww]
+        blocks = gray.reshape(n, 8, hh // 8, 8, ww // 8).sum(axis=(2, 4))
+        g = blocks.reshape(n, 64)
+        bits = (g * 64 > g.sum(axis=1, keepdims=True)).astype(np.uint64)
+        return (bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
+
+
+def image_neardup_pairs(media_ds, max_hamming: int = 6,
+                        bucket_cap: int = 1024, concurrency: int = 2):
+    """Image near-duplicate pairs over a media table: fake-decode →
+    perceptual hash (one vectorized stack op per uniform batch) →
+    banded-Hamming candidate buckets → exact popcount verify — the
+    image-dedup slot of a multimodal corpus build. Emits
+    (id_a, id_b, hamming). The decode stage is the stubbed codec
+    boundary; everything downstream is real and corpus-scale (the
+    only shuffle is the 16-bit band groupby)."""
+    from pythongis_ray import text as _text
+
+    px = media_ds.map_batches(DecodeImage, batch_size=MEDIA_BATCH_ROWS,
+                              batch_format="pyarrow",
+                              concurrency=concurrency,
+                              fn_constructor_kwargs={"fake": True})
+    hashed = px.map_batches(PerceptualHash, batch_size=MEDIA_BATCH_ROWS,
+                            batch_format="pyarrow",
+                            concurrency=concurrency)
+    return _text.hash_neardup_pairs(hashed, "phash", "id",
+                                    max_hamming=max_hamming,
+                                    bucket_cap=bucket_cap)
+
+
 class DecodeAudio:
     """Actor-pool stage: audio payload → waveform column. Real decode
     needs an audio codec (absent); ``fake=True`` interprets the raw

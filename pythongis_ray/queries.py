@@ -1178,6 +1178,28 @@ WITH cpts AS ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")})
 BPE_MERGES = 48
 
 
+def q_image_neardup(sf_dir: str):
+    """Image near-dup pairs over a deterministic synthetic media table
+    (decode stub → perceptual aHash → banded-Hamming buckets → popcount
+    verify). Rows-only: the media table is synthesized in-process (the
+    container has no image codecs and the driver registers no media
+    parquet); exactness vs an independent reference aHash + brute-force
+    Hamming is unit-tested (test_image_neardup_pairs_matches_bruteforce)."""
+    import pandas as _pd
+
+    from pythongis_ray import multimodal as mm
+
+    df = mm.synthesize_media(192, "image", payload_bytes=4096)
+    dups = df.head(24).copy()
+    dups["id"] = dups["id"] + 1000
+    dups["payload"] = [
+        bytes([(b + 1) % 256 if j == 17 else b for j, b in enumerate(p)])
+        for p in dups["payload"]]
+    full = _pd.concat([df, dups], ignore_index=True)
+    out = mm.image_neardup_pairs(_rd().from_pandas(full), max_hamming=6)
+    return out
+
+
 def q_bpe_tokens(sf_dir: str):
     """BPE tokenizer training + encoding (the tokenizer slot): one
     streaming pass builds the word-frequency table, merge learning
@@ -4161,6 +4183,7 @@ REGISTRY: dict[str, tuple] = {
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
     "bpe_tokens": (q_bpe_tokens, None),
+    "image_neardup": (q_image_neardup, None),
     "cell_pyramid": (q_cell_pyramid, _sql_cell_pyramid),
     "lang_stats": (q_lang_stats, SQL_LANG_STATS),
     "quality": (q_quality, SQL_QUALITY),

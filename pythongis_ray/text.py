@@ -791,12 +791,28 @@ def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     sharing a band) is CAPPED at ``bucket_cap`` members (smallest ids
     kept, deterministic) so no bucket goes quadratic unbounded.
     Returns (id_a, id_b, hamming) with id_a < id_b."""
+    hashed = add_simhash(ds, text_col)
+    return hash_neardup_pairs(hashed, "simhash", id_col,
+                              max_hamming=max_hamming,
+                              bucket_cap=bucket_cap)
+
+
+def hash_neardup_pairs(ds, hash_col: str, id_col: str,
+                       max_hamming: int = 8, bucket_cap: int = 1024):
+    """Generic banded-Hamming near-dup pairs over ANY 64-bit
+    fingerprint column (SimHash for text, perceptual hash for images):
+    4×16-bit bands → bucket groupby → vectorized triu pair emission +
+    popcount verify. Recall: a pair is caught iff ≥ 1 band matches
+    exactly; by pigeonhole every pair at Hamming ≤ 3 is guaranteed
+    (3 flipped bits touch ≤ 3 of the 4 bands), and beyond that recall
+    degrades gracefully as flips spread across bands — the standard
+    banded-fingerprint trade (Manku et al. 2007 use the same scheme
+    with more tables for higher guaranteed radius).
+    Emits (id_a, id_b, hamming), id_a < id_b."""
     from pythongis_ray import relational as rel
 
-    hashed = add_simhash(ds, text_col)
-
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["simhash"].to_numpy(np.int64).view(np.uint64)
+        h = batch[hash_col].to_numpy(np.int64).view(np.uint64)
         n = len(h)
         out = {
             "band_id": np.repeat(np.arange(4, dtype=np.int64), n),
@@ -804,12 +820,12 @@ def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                 ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
                 for b in range(4)]),
             id_col: np.tile(batch[id_col].to_numpy(), 4),
-            "simhash": np.tile(batch["simhash"].to_numpy(np.int64), 4),
+            hash_col: np.tile(batch[hash_col].to_numpy(np.int64), 4),
         }
         return pd.DataFrame(out)
 
-    bands_ds = hashed.map_batches(explode, batch_format="pandas",
-                                  batch_size=8192)
+    bands_ds = ds.map_batches(explode, batch_format="pandas",
+                              batch_size=8192)
 
     def bucket_pairs(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b.duplicated(subset=["band_id", "band_val"], keep=False)]
@@ -819,7 +835,7 @@ def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                 g = g.nsmallest(bucket_cap, id_col)
             order = np.argsort(g[id_col].to_numpy())
             ids = g[id_col].to_numpy()[order]
-            hs = g["simhash"].to_numpy(np.int64).view(np.uint64)[order]
+            hs = g[hash_col].to_numpy(np.int64).view(np.uint64)[order]
             ia, ib = np.triu_indices(len(ids), k=1)
             ham = popcount64(hs[ia] ^ hs[ib])
             keep = ham <= max_hamming

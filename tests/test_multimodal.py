@@ -154,3 +154,57 @@ def test_sample_frames_real_decode_raises(ray_session):
 
     with _pytest.raises(NotImplementedError):
         mm.SampleFrames(fake=False)
+
+
+def _ref_ahash(payload: bytes, w: int, h: int, c: int) -> int:
+    """Independent reference aHash over the fake decode."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(-(w * h * c) // len(raw))
+    img = np.tile(raw, reps)[: w * h * c].reshape(h, w, c)
+    gray = img.astype(np.int64).sum(axis=2)
+    hh, ww = h - h % 8, w - w % 8
+    gray = gray[:hh, :ww]
+    bh, bw = hh // 8, ww // 8
+    blocks = [gray[by * bh:(by + 1) * bh, bx * bw:(bx + 1) * bw].sum()
+              for by in range(8) for bx in range(8)]
+    tot = sum(blocks)
+    bits = 0
+    for i, b in enumerate(blocks):
+        if b * 64 > tot:
+            bits |= 1 << i
+    return bits
+
+
+def test_image_neardup_pairs_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    df = mm.synthesize_media(24, "image", payload_bytes=4096)
+    # plant near-dups: copies of images 0..5 with one payload byte bumped
+    dups = df.head(6).copy()
+    dups["id"] = dups["id"] + 100
+    dups["payload"] = [
+        bytes([(b + 1) % 256 if j == 17 else b for j, b in enumerate(p)])
+        for p in dups["payload"]]
+    full = __import__("pandas").concat([df, dups], ignore_index=True)
+
+    out = mm.image_neardup_pairs(rd.from_pandas(full), max_hamming=6) \
+        .to_pandas()
+    got = {(a, b): h for a, b, h in zip(out.id_a, out.id_b, out.hamming)}
+
+    hashes = {row.id: _ref_ahash(row.payload, row.meta_w, row.meta_h,
+                                 row.meta_channels)
+              for row in full.itertuples()}
+    want = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            x = hashes[a] ^ hashes[b]
+            ham = bin(x).count("1")
+            bands_share = any(((hashes[a] >> (16 * k)) & 0xFFFF)
+                              == ((hashes[b] >> (16 * k)) & 0xFFFF)
+                              for k in range(4))
+            if ham <= 6 and bands_share:
+                want[(a, b)] = ham
+    assert got == want
+    # the planted one-byte dups must actually be near their originals
+    assert sum(1 for (a, b) in want if b == a + 100) >= 4
