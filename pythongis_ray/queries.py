@@ -1259,6 +1259,57 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_knn_classify(sf_dir: str):
+    """k-NN classification (the embedding-space 'model inference'
+    slot): majority label of the 5 exact nearest neighbors per query
+    (ties -> smallest label). The distributed part is the exact
+    quantized top-k (per-batch partial top-k, driver combine over
+    nq*k rows); the label fetch is a k*nq-bounded filtered read and
+    the vote is a driver-side fold over those same rows."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          filters=[("vec_id", "<", 8)])
+    nn = embed.ann_topk(emb, qdf, k=5)
+    lab = pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"],
+        filters=[("vec_id", "in", sorted(set(nn.neighbor_id.tolist())))])
+    m = nn.merge(lab, left_on="neighbor_id", right_on="vec_id")
+    votes = m.groupby(["query_id", "label"]).size().reset_index(name="v")
+    votes = votes.sort_values(["query_id", "v", "label"],
+                              ascending=[True, False, True], kind="stable")
+    out = votes.groupby("query_id", sort=True).head(1)
+    return pd.DataFrame({
+        "query_id": out["query_id"].to_numpy(np.int64),
+        "pred_label": out["label"].to_numpy(np.int64),
+    })
+
+
+SQL_KNN_CLASSIFY = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qe
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qe,
+              list_transform(e.embedding, x -> round(CAST(x AS DOUBLE) * 1000))) AS BIGINT) AS score
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+), votes AS (
+  SELECT r.query_id, e2.label, COUNT(*) AS v
+  FROM ranked r JOIN embeddings e2 ON e2.vec_id = r.neighbor_id
+  WHERE r.rank <= 5 GROUP BY 1, 2
+)
+SELECT query_id, CAST(label AS BIGINT) AS pred_label FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY v DESC, label) AS rn
+  FROM votes) WHERE rn = 1
+"""
+
+
 def q_embed_label_stats(sf_dir: str):
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -2826,6 +2877,50 @@ FROM agg
 """
 
 
+FEATHASH_DIMS = 16
+
+
+def q_feature_hash(sf_dir: str):
+    """Hashing-trick doc features in long form (doc_id, dim, cnt>0):
+    stateless featurization, one token-hash pass + bincount per batch.
+    Oracle: the engine's polynomial token hash replayed in DuckDB
+    HUGEINT arithmetic (same CTE family as the SimHash oracle)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = text.feature_hash_vectors(ds, dims=FEATHASH_DIMS)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        vec = batch["vec"]
+        vec = vec.combine_chunks() if isinstance(vec, pa.ChunkedArray) \
+            else vec
+        flat = vec.values.to_numpy(zero_copy_only=False)
+        n = len(ids)
+        did = np.repeat(ids, FEATHASH_DIMS)
+        dim = np.tile(np.arange(FEATHASH_DIMS, dtype=np.int64), n)
+        m = flat > 0
+        return pa.table({"doc_id": pa.array(did[m]),
+                         "dim": pa.array(dim[m]),
+                         "cnt": pa.array(flat[m])})
+
+    return out.map_batches(explode, batch_format="pyarrow",
+                           batch_size=8192)
+
+
+SQL_FEATURE_HASH = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, UNNEST(l) AS word FROM toks),
+h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(word, '')]),
+        (acc, x) -> (acc * 1099511628211 + x)
+                    % CAST('18446744073709551616' AS HUGEINT)) AS th
+      FROM w)
+SELECT doc_id, CAST(th % {FEATHASH_DIMS} AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM h GROUP BY 1, 2
+"""
+
+
 def q_quality_funnel(sf_dir: str):
     """Filter-funnel verdict per doc (first failing rule or 'kept'):
     the per-stage rejection report of a production corpus build, as
@@ -4189,6 +4284,7 @@ REGISTRY: dict[str, tuple] = {
     "quality": (q_quality, SQL_QUALITY),
     "doc_topk_chars": (q_doc_topk_chars, SQL_DOC_TOPK_CHARS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "embed_label_stats": (q_embed_label_stats, SQL_EMBED_LABEL_STATS),
     "median_events": (q_median_events, SQL_MEDIAN_EVENTS),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
@@ -4219,6 +4315,7 @@ REGISTRY: dict[str, tuple] = {
     "url_canon": (q_url_canon, SQL_URL_CANON),
     "repetition": (q_repetition, SQL_REPETITION),
     "quality_funnel": (q_quality_funnel, SQL_QUALITY_FUNNEL),
+    "feature_hash": (q_feature_hash, SQL_FEATURE_HASH),
     "decontam": (q_decontam, SQL_DECONTAM),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),

@@ -855,6 +855,32 @@ def hash_neardup_pairs(ds, hash_col: str, id_col: str,
     return rel.dedup(cand, ["id_a", "id_b"])
 
 
+def feature_hash_vectors(ds, dims: int = 16, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """Hashing-trick document vectors (Weinberger et al. 2009): dim =
+    token_hash % dims, value = count — the fast featurization slot for
+    linear classifiers over web text. One raw-buffer token-hash pass +
+    one bincount per batch; no vocabulary, no training state, so the
+    stage is stateless and embarrassingly parallel at any scale.
+    Emits (id, vec list<int64>[dims])."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, tok_offs = _batch_token_hashes(arr)
+        ntok = np.diff(tok_offs)
+        doc_of = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+        d = (th % np.uint64(dims)).astype(np.int64)
+        cnt = np.bincount(doc_of * dims + d,
+                          minlength=len(ntok) * dims) \
+            .reshape(-1, dims).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "vec": pa.array(cnt.tolist(), pa.list_(pa.int64()))})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
 FUNNEL_MIN_TOKENS = 16
 FUNNEL_STOP_DENOM = 50   # reject if n_stop * 50 < n_tokens  (< 2% stopwords)
 FUNNEL_REP_NUM = 2       # reject if dup_ngrams * 2 > n_ngrams (> 50% dup mass)
