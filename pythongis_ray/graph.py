@@ -711,3 +711,325 @@ def _cc_rounds(edges, shards, nb, src, dst, max_iters):
     # materialize BEFORE the caller's finally kills the pool
     return rd.from_arrow_refs(
         [sh.result.remote() for sh in shards]).materialize()
+
+
+class _HitsShard:
+    """Resident partition for HITS (Kleinberg 1999) hubs & authorities:
+    holds TWO edge layouts — forward edges keyed by src (authority
+    scatter: hub mass flows src→dst) and reversed edges keyed by dst
+    (hub scatter: authority mass flows dst→src) — plus the (hub, auth)
+    state of the nodes hashing here. Each half-round ships only
+    per-destination pre-combined int64 sums; the driver injects the
+    GLOBAL max-based divisor for integer normalization (values stay
+    ≤ ~2·scale, so per-node message sums stay far below 2^63 up to
+    ~10^12 in-links per node at scale=10^6)."""
+
+    def __init__(self, b: int, nb: int):
+        self.b, self.nb = b, nb
+        self._fs, self._fd = [], []   # forward (src, dst), keyed by src
+        self._rs, self._rd = [], []   # reverse (dst, src), keyed by dst
+        self._seen = set()
+
+    def add_edges(self, kind: str, token: int, key: np.ndarray,
+                  other: np.ndarray) -> int:
+        if (kind, token) in self._seen:
+            return len(key)
+        self._seen.add((kind, token))
+        (self._fs if kind == "f" else self._rs).append(key)
+        (self._fd if kind == "f" else self._rd).append(other)
+        return len(key)
+
+    def node_exchange(self):
+        """Route every referenced other-end id to its owner shard."""
+        self.fs = (np.concatenate(self._fs) if self._fs
+                   else np.empty(0, np.int64))
+        self.fd = (np.concatenate(self._fd) if self._fd
+                   else np.empty(0, np.int64))
+        self.rs = (np.concatenate(self._rs) if self._rs
+                   else np.empty(0, np.int64))
+        self.rd = (np.concatenate(self._rd) if self._rd
+                   else np.empty(0, np.int64))
+        self._fs = self._fd = self._rs = self._rd = None
+        ends = np.unique(np.concatenate([self.fd, self.rd]))
+        eb = _bucket_of(ends, self.nb)
+        return tuple(ends[eb == t] for t in range(self.nb))
+
+    def init(self, scale: int, *incoming) -> int:
+        self.scale = np.int64(scale)
+        self.owned = np.unique(np.concatenate(
+            [self.fs, self.rs, *incoming]))
+        # forward layout: contribution h[owned_idx(src)] routed to dst
+        self.f_idx = np.searchsorted(self.owned, self.fs)
+        db = _bucket_of(self.fd, self.nb)
+        o = np.argsort(db, kind="stable")
+        self.f_dst = self.fd[o]
+        self.f_idx = self.f_idx[o]
+        self.f_splits = np.searchsorted(db[o], np.arange(self.nb + 1))
+        # reverse layout: contribution a[owned_idx(dst)] routed to src
+        self.r_idx = np.searchsorted(self.owned, self.rs)
+        sb = _bucket_of(self.rd, self.nb)
+        o = np.argsort(sb, kind="stable")
+        self.r_dst = self.rd[o]
+        self.r_idx = self.r_idx[o]
+        self.r_splits = np.searchsorted(sb[o], np.arange(self.nb + 1))
+        self.fs = self.fd = self.rs = self.rd = None
+        self.hub = np.full(len(self.owned), scale, np.int64)
+        self.auth = np.full(len(self.owned), scale, np.int64)
+        return len(self.owned)
+
+    def _scatter(self, vals, e_idx, e_dst, splits):
+        contrib = vals[e_idx]
+        out = []
+        for t in range(self.nb):
+            sl = slice(splits[t], splits[t + 1])
+            out.append(_group_sum(e_dst[sl], contrib[sl]))
+        return tuple(out)
+
+    def scatter_fwd(self):
+        return self._scatter(self.hub, self.f_idx, self.f_dst,
+                             self.f_splits)
+
+    def scatter_rev(self):
+        return self._scatter(self.auth, self.r_idx, self.r_dst,
+                             self.r_splits)
+
+    def gather_raw(self, *msgs) -> int:
+        """Accumulate raw sums; return the local max for the driver's
+        global normalization divisor."""
+        total = np.zeros(len(self.owned), np.int64)
+        for ids, sums in msgs:
+            if len(ids):
+                total[np.searchsorted(self.owned, ids)] += sums
+        self.raw = total
+        return int(total.max(initial=0))
+
+    def finish_auth(self, divisor: int) -> int:
+        self.auth = self.raw // np.int64(divisor)
+        self.raw = None
+        return len(self.owned)
+
+    def finish_hub(self, divisor: int) -> int:
+        self.hub = self.raw // np.int64(divisor)
+        self.raw = None
+        return len(self.owned)
+
+    def result(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.owned),
+                         "hub": pa.array(self.hub),
+                         "auth": pa.array(self.auth)})
+
+
+def hits_actors(edges, src: str = "src", dst: str = "dst",
+                iters: int = 5, scale: int = 1_000_000,
+                num_shards: int | None = None):
+    """Integer HITS on the resident shard pool: per round, authority =
+    per-node sum of in-neighbor hub scores normalized by the global
+    divisor max(1, max_raw // scale), then hub = sum of out-neighbor
+    (new) authority scores, same normalization — all int64 floor
+    arithmetic, bit-reproducible for any partitioning and replayable
+    in DuckDB as chained CTEs (the pagerank-oracle pattern plus a MAX
+    subquery per half-round). Returns (node, hub, auth)."""
+    import ray
+    import ray.data as rd
+
+    nb = num_shards or max(2, min(16, int(
+        ray.cluster_resources().get("CPU", 4)) // 2))
+    nb = max(2, nb)
+    Shard = ray.remote(_HitsShard)
+    shards = [Shard.remote(b, nb) for b in range(nb)]
+    try:
+        return _hits_rounds(edges, shards, nb, src, dst, iters, scale)
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def _hits_rounds(edges, shards, nb, src, dst, iters, scale):
+    import ray
+    import ray.data as rd
+
+    def route(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        acks = []
+        sb = _bucket_of(s, nb)
+        for t in range(nb):
+            m = sb == t
+            if m.any():
+                acks.append(shards[t].add_edges.remote(
+                    "f", _batch_token(s[m], d[m]), s[m], d[m]))
+        db = _bucket_of(d, nb)
+        for t in range(nb):
+            m = db == t
+            if m.any():
+                acks.append(shards[t].add_edges.remote(
+                    "r", _batch_token(d[m], s[m]), d[m], s[m]))
+        import ray as _ray
+        _ray.get(acks)
+        return pa.table({"n": pa.array([len(s)], pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow",
+                      batch_size=65536).count()
+    ex = [sh.node_exchange.options(num_returns=nb).remote()
+          for sh in shards]
+    ray.get([shards[t].init.remote(scale, *[ex[b][t] for b in range(nb)])
+             for t in range(nb)])
+
+    for _ in range(iters):
+        sc = [sh.scatter_fwd.options(num_returns=nb).remote()
+              for sh in shards]
+        mx = ray.get(
+            [shards[t].gather_raw.remote(*[sc[b][t] for b in range(nb)])
+             for t in range(nb)])
+        d_a = max(1, max(mx) // scale)
+        ray.get([sh.finish_auth.remote(d_a) for sh in shards])
+        sc = [sh.scatter_rev.options(num_returns=nb).remote()
+              for sh in shards]
+        mx = ray.get(
+            [shards[t].gather_raw.remote(*[sc[b][t] for b in range(nb)])
+             for t in range(nb)])
+        d_h = max(1, max(mx) // scale)
+        ray.get([sh.finish_hub.remote(d_h) for sh in shards])
+    # materialize BEFORE the caller's finally kills the pool
+    return rd.from_arrow_refs(
+        [sh.result.remote() for sh in shards]).materialize()
+
+
+BFS_INF = np.int64(1) << np.int64(40)   # unreachable sentinel (2^40)
+
+
+class _BfsShard:
+    """Resident partition for directed BFS / hop distance from a seed
+    set: holds the out-edges whose SRC hashes here (contribution
+    dist[src]+1 routed to dst) plus the distances of every node that
+    hashes here (dst-only nodes are claimed via node_exchange, as in
+    _HitsShard). Messages are per-destination pre-combined minima;
+    sources still at BFS_INF are masked out of the scatter — a
+    bit-exact optimization, since INF+1 can never lower any
+    distance ≤ INF."""
+
+    def __init__(self, b: int, nb: int):
+        self.b, self.nb = b, nb
+        self._src, self._dst = [], []
+        self._seen = set()
+
+    def add_edges(self, token: int, src: np.ndarray,
+                  dst: np.ndarray) -> int:
+        if token in self._seen:
+            return len(src)
+        self._seen.add(token)
+        self._src.append(src)
+        self._dst.append(dst)
+        return len(src)
+
+    def node_exchange(self):
+        self.src = (np.concatenate(self._src) if self._src
+                    else np.empty(0, np.int64))
+        self.dst = (np.concatenate(self._dst) if self._dst
+                    else np.empty(0, np.int64))
+        self._src = self._dst = None
+        ends = np.unique(self.dst)
+        eb = _bucket_of(ends, self.nb)
+        return tuple(ends[eb == t] for t in range(self.nb))
+
+    def init(self, seed_mod: int, *incoming) -> int:
+        self.owned = np.unique(np.concatenate([self.src, *incoming]))
+        self.e_src_idx = np.searchsorted(self.owned, self.src)
+        db = _bucket_of(self.dst, self.nb)
+        o = np.argsort(db, kind="stable")
+        self.e_dst = self.dst[o]
+        self.e_src_idx = self.e_src_idx[o]
+        self.splits = np.searchsorted(db[o], np.arange(self.nb + 1))
+        self.src = self.dst = None
+        self.dist = np.where(self.owned % seed_mod == 0,
+                             np.int64(0), BFS_INF)
+        return int((self.dist == 0).sum())
+
+    def scatter(self):
+        d = self.dist[self.e_src_idx]
+        out = []
+        for t in range(self.nb):
+            sl = slice(self.splits[t], self.splits[t + 1])
+            live = d[sl] < BFS_INF
+            out.append(_group_min(self.e_dst[sl][live],
+                                  d[sl][live] + np.int64(1)))
+        return tuple(out)
+
+    def gather(self, *msgs) -> int:
+        new = self.dist.copy()
+        for ids, md in msgs:
+            if len(ids):
+                idx = np.searchsorted(self.owned, ids)
+                np.minimum.at(new, idx, md)
+        changed = int((new != self.dist).sum())
+        self.dist = new
+        return changed
+
+    def result(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.owned),
+                         "dist": pa.array(self.dist)})
+
+
+def bfs_actors(edges, src: str = "src", dst: str = "dst",
+               seed_mod: int = 97, iters: int = 8,
+               num_shards: int | None = None):
+    """Hop distance from the seed set {node : node % seed_mod == 0}
+    following edge direction, capped at ``iters`` rounds (nodes
+    farther than that — or unreachable — keep the BFS_INF sentinel).
+    Fixed round count makes the result an exact replay of a chained
+    min-plus LEFT-JOIN CTE in DuckDB, independent of sharding.
+    Reference analogue: link-distance crawls in web-graph analysis
+    (no direct reference op; the graph layer generalizes
+    /root/reference/pythongis/vector/sql.py's per-group folds to
+    iterative whole-graph folds)."""
+    import ray
+    import ray.data as rd
+
+    nb = num_shards or max(2, min(16, int(
+        ray.cluster_resources().get("CPU", 4)) // 2))
+    nb = max(2, nb)
+    Shard = ray.remote(_BfsShard)
+    shards = [Shard.remote(b, nb) for b in range(nb)]
+    try:
+        return _bfs_rounds(edges, shards, nb, src, dst, seed_mod, iters)
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def _bfs_rounds(edges, shards, nb, src, dst, seed_mod, iters):
+    import ray
+    import ray.data as rd
+
+    def route(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = _bucket_of(s, nb)
+        acks = []
+        for t in range(nb):
+            m = sb == t
+            if m.any():
+                acks.append(shards[t].add_edges.remote(
+                    _batch_token(s[m], d[m]), s[m], d[m]))
+        import ray as _ray
+        _ray.get(acks)
+        return pa.table({"n": pa.array([len(s)], pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow",
+                      batch_size=65536).count()
+    ex = [sh.node_exchange.options(num_returns=nb).remote()
+          for sh in shards]
+    ray.get([shards[t].init.remote(seed_mod,
+                                   *[ex[b][t] for b in range(nb)])
+             for t in range(nb)])
+
+    for _ in range(iters):
+        sc = [sh.scatter.options(num_returns=nb).remote()
+              for sh in shards]
+        changed = ray.get(
+            [shards[t].gather.remote(*[sc[b][t] for b in range(nb)])
+             for t in range(nb)])
+        if sum(changed) == 0:
+            break   # fixed point ≤ iters rounds: identical to running all
+    return rd.from_arrow_refs(
+        [sh.result.remote() for sh in shards]).materialize()

@@ -3526,6 +3526,116 @@ def _sql_pagerank_ctes(iters: int = 5,
     return full[:full.rindex("\nSELECT ")]
 
 
+HITS_ITERS = 4
+HITS_SCALE = 1_000_000
+
+
+def q_hits(sf_dir: str):
+    """Integer HITS hubs & authorities (4 rounds) over the
+    html-extracted link graph, on the resident-shard engine: per
+    round, authority = sum of in-neighbor hub scores, hub = sum of
+    out-neighbor NEW authority scores, each normalized by the global
+    integer divisor max(1, max_raw // scale). Bit-exact vs chained
+    LEFT-JOIN CTEs + MAX subqueries in DuckDB."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    out = graph.hits_actors(edges, src="src_page", dst="dst_page",
+                            iters=HITS_ITERS, scale=HITS_SCALE)
+    return out.map_batches(
+        lambda b: pa.table({
+            "node": pc.cast(b["node"], pa.int64()),
+            "hub": pc.cast(b["hub"], pa.int64()),
+            "auth": pc.cast(b["auth"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_hits(iters: int = HITS_ITERS, scale: int = HITS_SCALE,
+              edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    head = f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+s0 AS (SELECT node, CAST({scale} AS BIGINT) AS h,
+             CAST({scale} AS BIGINT) AS a FROM nodes)"""
+    step = """,
+ar{k} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(SUM(s.h), 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN s{p} s ON s.node = e.src GROUP BY n.node),
+a{k} AS MATERIALIZED (
+  SELECT node, CAST(v // GREATEST(1, (SELECT MAX(v) FROM ar{k})
+                                     // {scale}) AS BIGINT) AS a
+  FROM ar{k}),
+hr{k} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(SUM(a.a), 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN e ON e.src = n.node
+  LEFT JOIN a{k} a ON a.node = e.dst GROUP BY n.node),
+s{k} AS MATERIALIZED (
+  SELECT h.node,
+         CAST(h.v // GREATEST(1, (SELECT MAX(v) FROM hr{k})
+                                 // {scale}) AS BIGINT) AS h, a.a
+  FROM hr{k} h JOIN a{k} a ON a.node = h.node)"""
+    body = "".join(step.format(k=k, p=k - 1, scale=scale)
+                   for k in range(1, iters + 1))
+    return (head + body
+            + f"\nSELECT node, h AS hub, a AS auth FROM s{iters}")
+
+
+BFS_SEED_MOD = 97
+BFS_ITERS = 8
+
+
+def q_link_distance(sf_dir: str):
+    """Directed hop distance from the seed pages {page_id % 97 == 0}
+    along the extracted link graph, capped at 8 rounds (unreachable /
+    deeper nodes keep the 2^40 sentinel) — crawl-frontier depth
+    analysis on the resident-shard min-plus engine. Exact replay of
+    a chained min-plus LEFT-JOIN CTE in DuckDB."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    out = graph.bfs_actors(edges, src="src_page", dst="dst_page",
+                           seed_mod=BFS_SEED_MOD, iters=BFS_ITERS)
+    return out.map_batches(
+        lambda b: pa.table({
+            "node": pc.cast(b["node"], pa.int64()),
+            "dist": pc.cast(b["dist"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_bfs(iters: int = BFS_ITERS, seed_mod: int = BFS_SEED_MOD,
+             edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    inf = 1 << 40
+    head = f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+d0 AS MATERIALIZED (
+  SELECT node, CAST(CASE WHEN node % {seed_mod} = 0 THEN 0
+                         ELSE {inf} END AS BIGINT) AS dist
+  FROM nodes)"""
+    step = f""",
+d{{k}} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(LEAST(MIN(dn.dist),
+                    COALESCE(MIN(ds.dist + 1), {inf})) AS BIGINT)
+           AS dist
+  FROM nodes n JOIN d{{p}} dn ON dn.node = n.node
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN d{{p}} ds ON ds.node = e.src
+  GROUP BY n.node)"""
+    body = "".join(step.format(k=k, p=k - 1)
+                   for k in range(1, iters + 1))
+    return head + body + f"\nSELECT node, dist FROM d{iters}"
+
+
 def q_pagerank_hosts(sf_dir: str):
     """Host-level PageRank: collapse the page link graph to a host
     graph (site(u) → site(v), multiplicity preserved — the standard
@@ -4352,6 +4462,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "link_graph": (q_link_graph, SQL_LINK_GRAPH),
     "pagerank": (q_pagerank, _sql_pagerank),
+    "hits": (q_hits, _sql_hits),
+    "link_distance": (q_link_distance, _sql_bfs),
     "pagerank_hosts": (q_pagerank_hosts,
                        lambda: _sql_pagerank(edges_sql=_SQL_HOST_EDGES)),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),

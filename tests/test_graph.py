@@ -70,3 +70,113 @@ def test_connected_components_actors_empty_edges(ray_session):
     # Ray's to_pandas drops columns at 0 rows; the Dataset schema is
     # what downstream consumers (corpus_build guards) rely on
     assert out.schema().names == ["node", "component"]
+
+
+def _hits_reference(src, dst, iters, scale):
+    nodes = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    h = np.full(len(nodes), scale, np.int64)
+    a = np.full(len(nodes), scale, np.int64)
+    for _ in range(iters):
+        raw = np.zeros(len(nodes), np.int64)
+        np.add.at(raw, di, h[si])
+        a = raw // max(1, int(raw.max(initial=0)) // scale)
+        raw = np.zeros(len(nodes), np.int64)
+        np.add.at(raw, si, a[di])
+        h = raw // max(1, int(raw.max(initial=0)) // scale)
+    return nodes, h, a
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(3, 40, 60), (11, 500, 2000)])
+def test_hits_matches_serial_replay(ray_session, seed, n_nodes, n_edges):
+    """hits_actors is bit-identical to a serial numpy replay of the
+    integer HITS recurrence for any sharding (global divisor is
+    injected by the driver, so partitioning cannot change results)."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    edges = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    out = graph.hits_actors(rd.from_arrow(edges), iters=3,
+                            scale=10_000, num_shards=3).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    nodes, h, a = _hits_reference(src, dst, 3, 10_000)
+    assert out["node"].to_numpy().tolist() == nodes.tolist()
+    assert out["hub"].to_numpy().tolist() == h.tolist()
+    assert out["auth"].to_numpy().tolist() == a.tolist()
+
+
+def test_hits_hub_authority_split(ray_session):
+    """A pure hub (points at everything, no in-links) ends with auth 0
+    and the max hub score; the pure authorities end with hub 0."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    src = np.array([0, 0, 0, 0], np.int64)
+    dst = np.array([1, 2, 3, 4], np.int64)
+    out = graph.hits_actors(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})),
+        iters=2, scale=1000, num_shards=2).to_pandas()
+    row0 = out[out["node"] == 0].iloc[0]
+    assert row0["auth"] == 0 and row0["hub"] == out["hub"].max()
+    assert (out[out["node"] != 0]["hub"] == 0).all()
+    assert (out[out["node"] != 0]["auth"] > 0).all()
+
+
+def _bfs_reference(src, dst, seed_mod, iters):
+    INF = 1 << 40
+    nodes = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    dist = np.where(nodes % seed_mod == 0, 0, INF).astype(np.int64)
+    for _ in range(iters):
+        new = dist.copy()
+        np.minimum.at(new, di, dist[si] + 1)
+        dist = new
+    return nodes, dist
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,iters",
+                         [(5, 60, 90, 4), (13, 400, 1200, 8)])
+def test_bfs_matches_serial_replay(ray_session, seed, n_nodes,
+                                   n_edges, iters):
+    """bfs_actors distances are bit-identical to a serial min-plus
+    replay with the same fixed round cap, for any sharding."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    out = graph.bfs_actors(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})),
+        seed_mod=7, iters=iters, num_shards=3).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    nodes, dist = _bfs_reference(src, dst, 7, iters)
+    assert out["node"].to_numpy().tolist() == nodes.tolist()
+    assert out["dist"].to_numpy().tolist() == dist.tolist()
+
+
+def test_bfs_chain_directed(ray_session):
+    """Directedness: on the chain 0→1→…→5 with only node 0 a seed,
+    dist is the hop index; the round cap truncates deeper nodes."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    n = 6
+    edges = pa.table({"src": pa.array(np.arange(n - 1)),
+                      "dst": pa.array(np.arange(1, n))})
+    out = graph.bfs_actors(rd.from_arrow(edges), seed_mod=1000,
+                           iters=3, num_shards=2).to_pandas()
+    got = dict(zip(out["node"], out["dist"]))
+    assert got[0] == 0 and got[1] == 1 and got[2] == 2 and got[3] == 3
+    assert got[4] == int(graph.BFS_INF) and got[5] == int(graph.BFS_INF)
