@@ -1014,6 +1014,45 @@ GROUP BY word ORDER BY cnt DESC, word LIMIT 20
 """
 
 
+def q_lm_score(sf_dir: str):
+    """Bigram-LM quality scoring: the corpus trains its own integer
+    conditional-frequency bigram model, each doc scores the sum of
+    floor(C(w1,w2)·10^6 / C(w1)) over consecutive space-split token
+    pairs — the KenLM-style LM quality filter, exact in int64."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = text.lm_score(ds)
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "lm_score": pc.cast(b["lm_score"], pa.int64()),
+            "n_bigrams": pc.cast(b["n_bigrams"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+SQL_LM_SCORE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pairs AS MATERIALIZED (
+  SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr
+        FROM toks)),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pairs GROUP BY w1, w2),
+model AS MATERIALIZED (
+  SELECT w1, w2,
+         (c * {text.LM_SCALE}) // (SUM(c) OVER (PARTITION BY w1)) AS r
+  FROM c12),
+scored AS (SELECT p.doc_id, SUM(m.r) AS score, COUNT(*) AS nb
+           FROM pairs p JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
+           GROUP BY p.doc_id)
+SELECT d.doc_id, CAST(COALESCE(s.score, 0) AS BIGINT) AS lm_score,
+       CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_lang_stats(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["lang", "n_chars"])
@@ -4384,6 +4423,7 @@ REGISTRY: dict[str, tuple] = {
     "rasterize": (q_rasterize, SQL_RASTERIZE),
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
     "token_regex": (q_token_regex, SQL_TOKEN_REGEX),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),

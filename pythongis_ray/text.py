@@ -1728,3 +1728,107 @@ def cdc_shared_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
                              "n_shared": g["ps"].to_numpy(np.int64)})
 
     return bucketed_group_apply(part, [id_col], fin)
+
+
+# --- bigram language-model quality scoring -------------------------------
+
+LM_SCALE = 1_000_000
+
+
+def bigrams_exploded(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """documents → one row per consecutive space-split token pair
+    (id, w1, w2), fully vectorized: one split_pattern kernel, then the
+    pair mask is "every flat position except each doc's last token".
+    The flat values/offsets trick mirrors words_exploded."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        flat = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        offs = np.asarray(flat.offsets)
+        vals = flat.values
+        n = len(vals)
+        lens = offs[1:] - offs[:-1]
+        keep = np.ones(max(n - 1, 0), bool)
+        last = offs[1:] - 1              # last-token position per doc
+        last = last[(lens > 0) & (last < n - 1)]
+        keep[last] = False
+        idx = np.nonzero(keep)[0]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, np.maximum(lens - 1, 0))),
+            "w1": vals.take(pa.array(idx, pa.int64())),
+            "w2": vals.take(pa.array(idx + 1, pa.int64())),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+def bigram_model(pairs_ds, scale: int = LM_SCALE):
+    """Train the conditional-frequency bigram model over an exploded
+    pair table: r(w1,w2) = floor(C(w1,w2)·scale / C(w1)) with
+    C(w1) = Σ_w2 C(w1,w2). One per-batch partial count, then ONE
+    hash-bucketed combine keyed by w1 — the denominator is a
+    groupby-transform inside the bucket, so no second shuffle or join
+    is needed (all rows sharing w1 land in one bucket)."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["w1", "w2"]).group_by(["w1", "w2"]) \
+            .aggregate([([], "count_all")])
+        return t.rename_columns(["w1", "w2", "pcnt"])
+
+    parts = pairs_ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=65536)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["w1", "w2"], sort=False)["pcnt"].sum()
+             .reset_index(name="c12"))
+        c1 = g.groupby("w1", sort=False)["c12"].transform("sum")
+        g["r"] = (g["c12"].to_numpy(np.int64) * np.int64(scale)
+                  ) // c1.to_numpy(np.int64)
+        return g[["w1", "w2", "r"]]
+
+    return bucketed_group_apply(parts, ["w1"], per_bucket)
+
+
+def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
+             scale: int = LM_SCALE):
+    """Per-document bigram-LM quality score: the corpus trains its own
+    conditional bigram model (self-scoring, the KenLM-style quality
+    filter shape), then each doc scores Σ r(w1,w2) over its pairs —
+    all int64, so the result is an exact DuckDB replay. Two passes
+    over the pair table (train, score); the score join is a
+    partitioned large×large hash join on (w1, w2); docs with <2
+    tokens score (0, 0). Scale note: r ≤ scale=10^6 and scores are
+    per-doc sums, so int64 holds to ~10^12 pairs per doc."""
+    from pythongis_ray.relational import bucketed_group_apply, join_large
+
+    pairs = bigrams_exploded(ds, text_col, id_col)
+    model = bigram_model(pairs, scale)
+    joined = join_large(pairs, model, on=["w1", "w2"])
+
+    def per_doc(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(id_col, sort=False)["r"].agg(["sum", "count"])
+        return pd.DataFrame({
+            id_col: g.index.to_numpy(np.int64),
+            "lm_score": g["sum"].to_numpy(np.int64),
+            "n_bigrams": g["count"].to_numpy(np.int64)})
+
+    scored = bucketed_group_apply(joined.select_columns([id_col, "r"]),
+                                  [id_col], per_doc)
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        nt = pc.list_value_length(
+            pc.split_pattern(batch[text_col], " "))
+        m = pc.less(nt, 2)
+        ids = pc.filter(batch[id_col], m)
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({id_col: pc.cast(ids, pa.int64()),
+                         "lm_score": pa.array(z),
+                         "n_bigrams": pa.array(z)})
+
+    zero_docs = ds.map_batches(zeros, batch_format="pyarrow",
+                               batch_size=8192)
+    return scored.union(zero_docs)

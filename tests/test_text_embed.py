@@ -590,3 +590,35 @@ def test_semdedup_vs_bruteforce(ray_session):
     assert np.array_equal(out.cluster.to_numpy(), a)
     assert np.array_equal(out.kept.to_numpy().astype(bool), kept)
     assert 0 < kept.sum() < len(ids)
+
+
+def test_lm_score_vs_bruteforce(ray_session):
+    """lm_score matches a dict-based serial bigram model exactly,
+    including <2-token docs scoring (0, 0)."""
+    import ray.data as rd
+
+    from pythongis_ray import text as T
+
+    docs = ["a b a b c", "a b", "x", "", "b c b c", "a a a",
+            "c a b c a"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+        "text": pa.array(docs)}))
+    out = (T.lm_score(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    from collections import Counter
+    c12, c1 = Counter(), Counter()
+    for d in docs:
+        t = d.split(" ")
+        for w1, w2 in zip(t, t[1:]):
+            c12[(w1, w2)] += 1
+            c1[w1] += 1
+    for i, d in enumerate(docs):
+        t = d.split(" ")
+        prs = list(zip(t, t[1:]))
+        want = sum(c12[p] * T.LM_SCALE // c1[p[0]] for p in prs)
+        row = out.iloc[i]
+        assert row["doc_id"] == i
+        assert row["lm_score"] == want, (i, d)
+        assert row["n_bigrams"] == len(prs)
