@@ -1033,3 +1033,170 @@ def _bfs_rounds(edges, shards, nb, src, dst, seed_mod, iters):
             break   # fixed point ≤ iters rounds: identical to running all
     return rd.from_arrow_refs(
         [sh.result.remote() for sh in shards]).materialize()
+
+
+WALK_MUL = np.int64(2654435761)          # Knuth multiplicative hash
+WALK_ADD = np.int64(40503)
+WALK_MOD = np.int64(2147483647)          # 2^31 - 1
+_WALK_CUR_MOD = np.int64(1) << np.int64(31)
+
+
+def _walk_choice(cur: np.ndarray, step: int) -> np.ndarray:
+    """Deterministic per-(node, step) pseudo-random draw in
+    [0, 2^31-1): ((cur mod 2^31)·MUL + step·ADD) mod (2^31-1).
+    (cur mod 2^31)·MUL ≤ 2^31·2.66e9 < 2^63, so int64 is exact and
+    the same expression replays verbatim in DuckDB BIGINT."""
+    return ((cur % _WALK_CUR_MOD) * WALK_MUL
+            + np.int64(step) * WALK_ADD) % WALK_MOD
+
+
+class _WalkShard:
+    """Resident partition for deterministic random walks: holds the
+    DISTINCT sorted out-adjacency (CSR keyed by src) of the nodes
+    hashing here plus the walkers currently AT those nodes. Each
+    round every walker steps to out-neighbor[h(cur, k) mod deg]
+    (dead ends stay put) and is routed to the next node's owner;
+    each shard appends the (start, step, node) rows it hosts."""
+
+    def __init__(self, b: int, nb: int):
+        self.b, self.nb = b, nb
+        self._src, self._dst = [], []
+        self._seen = set()
+
+    def add_edges(self, token: int, src: np.ndarray,
+                  dst: np.ndarray) -> int:
+        if token in self._seen:
+            return len(src)
+        self._seen.add(token)
+        self._src.append(src)
+        self._dst.append(dst)
+        return len(src)
+
+    def node_exchange(self):
+        self.src = (np.concatenate(self._src) if self._src
+                    else np.empty(0, np.int64))
+        self.dst = (np.concatenate(self._dst) if self._dst
+                    else np.empty(0, np.int64))
+        self._src = self._dst = None
+        ends = np.unique(self.dst)
+        eb = _bucket_of(ends, self.nb)
+        return tuple(ends[eb == t] for t in range(self.nb))
+
+    def init(self, *incoming):
+        # distinct (src, dst), sorted by (src, dst) → CSR
+        pair = np.unique(np.stack([self.src, self.dst], axis=1), axis=0)
+        s, d = ((pair[:, 0], pair[:, 1]) if len(pair)
+                else (np.empty(0, np.int64), np.empty(0, np.int64)))
+        self.owned = np.unique(np.concatenate([self.src, *incoming]))
+        self.src = self.dst = None
+        self.nbrs = d
+        # CSR bounds: run of owned[i] in s is [indptr[i], indptr[i+1])
+        # (every s value is owned, so the next node's start closes it)
+        self.indptr = np.searchsorted(s, self.owned)
+        self.indptr = np.concatenate(
+            [self.indptr, [len(s)]]).astype(np.int64)
+        # walkers start at every owned node
+        self.w_start = self.owned.copy()
+        self.w_cur = self.owned.copy()
+        self.out = [pa.table({
+            "start": pa.array(self.owned),
+            "step": pa.array(np.zeros(len(self.owned), np.int64)),
+            "node": pa.array(self.owned)})]
+        return len(self.owned)
+
+    def step(self, k: int):
+        """Advance resident walkers one round; return per-target-shard
+        (start, next) arrays."""
+        if len(self.w_cur) == 0:
+            empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+            return tuple(empty for _ in range(self.nb))
+        idx = np.searchsorted(self.owned, self.w_cur)
+        lo = self.indptr[idx]
+        deg = self.indptr[idx + 1] - lo
+        h = _walk_choice(self.w_cur, k)
+        nxt = self.w_cur.copy()
+        m = deg > 0
+        nxt[m] = self.nbrs[lo[m] + h[m] % deg[m]]
+        tb = _bucket_of(nxt, self.nb)
+        self.w_start_pending = self.w_start
+        self.w_start = self.w_cur = None
+        out = []
+        for t in range(self.nb):
+            sl = tb == t
+            out.append((self.w_start_pending[sl], nxt[sl]))
+        return tuple(out)
+
+    def land(self, k: int, *msgs) -> int:
+        starts = [s for s, _ in msgs]
+        curs = [c for _, c in msgs]
+        self.w_start = (np.concatenate(starts) if starts
+                        else np.empty(0, np.int64))
+        self.w_cur = (np.concatenate(curs) if curs
+                      else np.empty(0, np.int64))
+        self.out.append(pa.table({
+            "start": pa.array(self.w_start),
+            "step": pa.array(np.full(len(self.w_start), k, np.int64)),
+            "node": pa.array(self.w_cur)}))
+        return len(self.w_cur)
+
+    def result(self) -> pa.Table:
+        return pa.concat_tables(self.out)
+
+
+def random_walks(edges, src: str = "src", dst: str = "dst",
+                 length: int = 4, num_shards: int | None = None):
+    """DeepWalk-style sampling corpus: one deterministic walk of
+    ``length`` steps from EVERY node, stepping to the h(cur, k)-th
+    distinct out-neighbor (sorted by id; dead ends stay put). Output
+    is (start, step, node), (length+1) rows per start node —
+    bit-reproducible for any sharding and an exact DuckDB replay
+    (ROW_NUMBER adjacency + chained LEFT-JOIN CTEs). This is the
+    sampling stage a graph-embedding (DeepWalk/node2vec) training
+    pipeline runs at corpus scale."""
+    import ray
+    import ray.data as rd
+
+    nb = num_shards or max(2, min(16, int(
+        ray.cluster_resources().get("CPU", 4)) // 2))
+    nb = max(2, nb)
+    Shard = ray.remote(_WalkShard)
+    shards = [Shard.remote(b, nb) for b in range(nb)]
+    try:
+        return _walk_rounds(edges, shards, nb, src, dst, length)
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def _walk_rounds(edges, shards, nb, src, dst, length):
+    import ray
+    import ray.data as rd
+
+    def route(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = _bucket_of(s, nb)
+        acks = []
+        for t in range(nb):
+            m = sb == t
+            if m.any():
+                acks.append(shards[t].add_edges.remote(
+                    _batch_token(s[m], d[m]), s[m], d[m]))
+        import ray as _ray
+        _ray.get(acks)
+        return pa.table({"n": pa.array([len(s)], pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow",
+                      batch_size=65536).count()
+    ex = [sh.node_exchange.options(num_returns=nb).remote()
+          for sh in shards]
+    ray.get([shards[t].init.remote(*[ex[b][t] for b in range(nb)])
+             for t in range(nb)])
+
+    for k in range(1, length + 1):
+        sc = [sh.step.options(num_returns=nb).remote(k)
+              for sh in shards]
+        ray.get([shards[t].land.remote(k, *[sc[b][t] for b in range(nb)])
+                 for t in range(nb)])
+    return rd.from_arrow_refs(
+        [sh.result.remote() for sh in shards]).materialize()

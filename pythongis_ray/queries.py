@@ -3675,6 +3675,59 @@ d{{k}} AS MATERIALIZED (
     return head + body + f"\nSELECT node, dist FROM d{iters}"
 
 
+WALK_LEN = 4
+
+
+def q_random_walks(sf_dir: str):
+    """DeepWalk-style sampling corpus over the extracted link graph:
+    one deterministic 4-step walk per node, next hop = the
+    h(cur, k)-th distinct out-neighbor sorted by id (dead ends stay
+    put). Bit-reproducible for any sharding; exact DuckDB replay via
+    ROW_NUMBER adjacency + chained LEFT-JOIN CTEs."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    out = graph.random_walks(edges, src="src_page", dst="dst_page",
+                             length=WALK_LEN)
+    return out.map_batches(
+        lambda b: pa.table({
+            "start": pc.cast(b["start"], pa.int64()),
+            "step": pc.cast(b["step"], pa.int64()),
+            "node": pc.cast(b["node"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_random_walks(length: int = WALK_LEN,
+                      edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    head = f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+adj AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS pos,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM (SELECT DISTINCT src, dst FROM e)),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+w0 AS MATERIALIZED (SELECT node AS start, node AS cur FROM nodes)"""
+    step = """,
+w{k} AS MATERIALIZED (
+  SELECT w.start, COALESCE(a.dst, w.cur) AS cur
+  FROM w{p} w LEFT JOIN adj a
+    ON a.src = w.cur
+   AND a.pos = ((w.cur % 2147483648) * 2654435761
+                + {k} * 40503) % 2147483647 % a.deg)"""
+    body = "".join(step.format(k=k, p=k - 1)
+                   for k in range(1, length + 1))
+    tail = "\nUNION ALL ".join(
+        f"SELECT CAST(start AS BIGINT) AS start, "
+        f"CAST({k} AS BIGINT) AS step, CAST(cur AS BIGINT) AS node "
+        f"FROM w{k}" for k in range(length + 1))
+    return head + body + "\n" + tail
+
+
 def q_pagerank_hosts(sf_dir: str):
     """Host-level PageRank: collapse the page link graph to a host
     graph (site(u) → site(v), multiplicity preserved — the standard
@@ -4504,6 +4557,7 @@ REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, _sql_pagerank),
     "hits": (q_hits, _sql_hits),
     "link_distance": (q_link_distance, _sql_bfs),
+    "random_walks": (q_random_walks, _sql_random_walks),
     "pagerank_hosts": (q_pagerank_hosts,
                        lambda: _sql_pagerank(edges_sql=_SQL_HOST_EDGES)),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),

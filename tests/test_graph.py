@@ -180,3 +180,44 @@ def test_bfs_chain_directed(ray_session):
     got = dict(zip(out["node"], out["dist"]))
     assert got[0] == 0 and got[1] == 1 and got[2] == 2 and got[3] == 3
     assert got[4] == int(graph.BFS_INF) and got[5] == int(graph.BFS_INF)
+
+
+def _walks_reference(src, dst, length):
+    nodes = np.unique(np.concatenate([src, dst]))
+    adj = {}
+    for s, d in sorted(set(zip(src.tolist(), dst.tolist()))):
+        adj.setdefault(s, []).append(d)
+    rows = {(int(n), 0, int(n)) for n in nodes}
+    cur = {int(n): int(n) for n in nodes}
+    for k in range(1, length + 1):
+        for start in cur:
+            c = cur[start]
+            nb = adj.get(c)
+            if nb:
+                h = ((c % 2**31) * 2654435761 + k * 40503) % (2**31 - 1)
+                c = nb[h % len(nb)]
+            cur[start] = c
+            rows.add((start, k, c))
+    return rows
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(2, 30, 50), (9, 300, 900)])
+def test_random_walks_match_serial_replay(ray_session, seed,
+                                          n_nodes, n_edges):
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    out = graph.random_walks(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})),
+        length=4, num_shards=3).to_pandas()
+    got = set(zip(out["start"].tolist(), out["step"].tolist(),
+                  out["node"].tolist()))
+    want = _walks_reference(src, dst, 4)
+    assert got == want
+    n_nodes_real = len(np.unique(np.concatenate([src, dst])))
+    assert len(out) == n_nodes_real * 5   # one row per (start, step)
