@@ -3728,6 +3728,73 @@ w{k} AS MATERIALIZED (
     return head + body + "\n" + tail
 
 
+SKIPGRAM_WINDOW = 2
+
+
+def q_walk_skipgrams(sf_dir: str):
+    """Skip-gram (center, context) pair counts with window 2 over the
+    deterministic walk corpus — the training-pair generation stage of
+    a DeepWalk/node2vec embedding pipeline. Pairs are built inside
+    start-keyed hash buckets (each walk is length+1 rows, so groups
+    are tiny and the pairing is one shifted-compare per offset), then
+    combined by (center, context)."""
+    from pythongis_ray import graph, pages
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    walks = graph.random_walks(edges, src="src_page", dst="dst_page",
+                               length=WALK_LEN)
+
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["start", "step"], kind="stable")
+        start = b["start"].to_numpy(np.int64)
+        node = b["node"].to_numpy(np.int64)
+        cs, xs = [], []
+        for d in range(1, SKIPGRAM_WINDOW + 1):
+            m = start[d:] == start[:-d]
+            a, c = node[:-d][m], node[d:][m]
+            cs.append(a); xs.append(c)       # forward context
+            cs.append(c); xs.append(a)       # backward context
+        if not cs:
+            return pd.DataFrame({"center": [], "context": [],
+                                 "pcnt": []}).astype(np.int64)
+        df = pd.DataFrame({"center": np.concatenate(cs),
+                           "context": np.concatenate(xs)})
+        return (df.groupby(["center", "context"], sort=False)
+                .size().rename("pcnt").reset_index())
+
+    parts = bucketed_group_apply(walks, ["start"], pair_bucket)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["center", "context"], sort=False)["pcnt"].sum()
+             .reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    out = bucketed_group_apply(parts, ["center", "context"], combine)
+    return out.map_batches(
+        lambda b: pa.table({
+            "center": pc.cast(b["center"], pa.int64()),
+            "context": pc.cast(b["context"], pa.int64()),
+            "cnt": pc.cast(b["cnt"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_walk_skipgrams() -> str:
+    return f"""
+WITH walks AS MATERIALIZED ({_sql_random_walks()})
+SELECT a.node AS center, b.node AS context,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM walks a JOIN walks b
+  ON a.start = b.start AND a.step <> b.step
+ AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
+GROUP BY a.node, b.node
+"""
+
+
 def q_pagerank_hosts(sf_dir: str):
     """Host-level PageRank: collapse the page link graph to a host
     graph (site(u) → site(v), multiplicity preserved — the standard
@@ -4558,6 +4625,7 @@ REGISTRY: dict[str, tuple] = {
     "hits": (q_hits, _sql_hits),
     "link_distance": (q_link_distance, _sql_bfs),
     "random_walks": (q_random_walks, _sql_random_walks),
+    "walk_skipgrams": (q_walk_skipgrams, _sql_walk_skipgrams),
     "pagerank_hosts": (q_pagerank_hosts,
                        lambda: _sql_pagerank(edges_sql=_SQL_HOST_EDGES)),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
