@@ -1053,6 +1053,83 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+SEARCH_TERMS = ("hash", "vector", "stream")
+SEARCH_SCALE = 1_000_000
+SEARCH_K = 20
+
+
+def q_search_topk(sf_dir: str):
+    """Keyword retrieval: integer tf-idf top-k for a fixed query
+    (idf = floor(10^6·N / df), score = Σ tf·idf, ties by doc_id).
+    Pass 1 computes per-doc term frequencies with one vectorized
+    equality kernel per term (cumsum-diff per-doc sums); the df/N
+    reduction ships ONE row per block to the driver (block-count
+    bounded, not corpus bounded); pass 2 scores and takes a
+    distributed sort-limit top-k."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        offs = np.asarray(flat.offsets)
+        vals = flat.values
+        cols = {"doc_id": pc.cast(batch["doc_id"], pa.int64())}
+        for t in SEARCH_TERMS:
+            eq = pc.equal(vals, t).to_numpy(zero_copy_only=False)
+            c = np.concatenate([[0], np.cumsum(eq.astype(np.int64))])
+            cols[f"tf_{t}"] = pa.array(c[offs[1:]] - c[offs[:-1]])
+        return pa.table(cols)
+
+    tfs = ds.map_batches(tf_batch, batch_format="pyarrow",
+                         batch_size=8192)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row = {"n": [len(batch)]}
+        for t in SEARCH_TERMS:
+            row[f"df_{t}"] = [int(pc.sum(pc.greater(
+                batch[f"tf_{t}"], 0)).as_py() or 0)]
+        return pa.table(row)
+
+    tot = tfs.map_batches(partial, batch_format="pyarrow",
+                          batch_size=8192).to_pandas().sum()
+    n_docs = int(tot["n"])
+    idf = {t: (SEARCH_SCALE * n_docs) // int(tot[f"df_{t}"])
+           for t in SEARCH_TERMS if int(tot[f"df_{t}"]) > 0}
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = np.zeros(len(batch), np.int64)
+        for t, w in idf.items():
+            s += batch[f"tf_{t}"].to_numpy(zero_copy_only=False) \
+                 * np.int64(w)
+        keep = s > 0
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64())
+            .filter(pa.array(keep)),
+            "score": pa.array(s[keep])})
+
+    out = tfs.map_batches(score, batch_format="pyarrow",
+                          batch_size=65536)
+    return out.sort([("score"), ("doc_id")],
+                    descending=[True, False]).limit(SEARCH_K)
+
+
+SQL_SEARCH_TOPK = f"""
+WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM p
+       WHERE w IN ('hash', 'vector', 'stream') GROUP BY doc_id, w),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+idf AS (SELECT w, ({SEARCH_SCALE} * (SELECT COUNT(*) FROM documents))
+               // df AS idf FROM df),
+s AS (SELECT t.doc_id, SUM(t.tf * i.idf) AS score
+      FROM tf t JOIN idf i USING (w) GROUP BY t.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT {SEARCH_K}
+"""
+
+
 def q_lang_stats(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["lang", "n_chars"])
@@ -4544,6 +4621,7 @@ REGISTRY: dict[str, tuple] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "search_topk": (q_search_topk, SQL_SEARCH_TOPK),
     "token_regex": (q_token_regex, SQL_TOKEN_REGEX),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
