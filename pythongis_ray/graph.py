@@ -358,10 +358,20 @@ class _PregelShard:
         return tuple(d[db == t] for t in range(self.nb))
 
     def init(self, init_mass: int, d_num: int, d_den: int,
-             base_mass: int, *incoming) -> int:
+             base_mass: int, seed_mod: int | None, *incoming) -> int:
         self.d_num, self.d_den = np.int64(d_num), np.int64(d_den)
-        self.base = np.int64(base_mass)
         self.owned = np.unique(np.concatenate([self.src, *incoming]))
+        # personalized (TrustRank) teleport: base/init mass only on the
+        # seed set {node % seed_mod == 0}; None = uniform PageRank
+        if seed_mod:
+            seeds = self.owned % np.int64(seed_mod) == 0
+            self.base_vec = np.where(seeds, np.int64(base_mass),
+                                     np.int64(0))
+            init_vec = np.where(seeds, np.int64(init_mass), np.int64(0))
+        else:
+            self.base_vec = np.full(len(self.owned), base_mass,
+                                    np.int64)
+            init_vec = np.full(len(self.owned), init_mass, np.int64)
         # per-edge outdeg + owned-index of each edge's source
         us, inv, cnt = np.unique(self.src, return_inverse=True,
                                  return_counts=True)
@@ -375,7 +385,7 @@ class _PregelShard:
         self.e_od = edge_od[o]
         self.splits = np.searchsorted(db[o], np.arange(self.nb + 1))
         self.src = self.dst = None
-        self.mass = np.full(len(self.owned), init_mass, np.int64)
+        self.mass = init_vec
         return len(self.owned)
 
     def scatter(self):
@@ -390,7 +400,7 @@ class _PregelShard:
         return tuple(out)
 
     def gather(self, *msgs) -> int:
-        total = np.full(len(self.owned), self.base, np.int64)
+        total = self.base_vec.copy()
         for ids, sums in msgs:
             if len(ids):
                 total[np.searchsorted(self.owned, ids)] += sums
@@ -453,7 +463,8 @@ def pagerank_actors(edges, src: str = "src", dst: str = "dst",
                     iters: int = 5, init_mass: int = 1_000_000,
                     base_mass: int = 150_000, d_num: int = 85,
                     d_den: int = 100, num_shards: int | None = None,
-                    checkpoint_dir: str | None = None):
+                    checkpoint_dir: str | None = None,
+                    seed_mod: int | None = None):
     """Integer PageRank on a resident actor-sharded graph (same exact
     semantics as ``pagerank``; see its docstring for the arithmetic
     contract). One streaming pass routes edge blocks directly into
@@ -479,7 +490,8 @@ def pagerank_actors(edges, src: str = "src", dst: str = "dst",
         os.makedirs(checkpoint_dir, exist_ok=True)
         meta_path = os.path.join(checkpoint_dir, "meta.json")
         meta = {"num_shards": nb, "d_num": int(d_num), "d_den": int(d_den),
-                "init_mass": init_mass, "base_mass": base_mass}
+                "init_mass": init_mass, "base_mass": base_mass,
+                "seed_mod": seed_mod}
         if os.path.exists(meta_path):
             if json.load(open(meta_path)) != meta:
                 raise ValueError("pagerank checkpoint_dir was written "
@@ -493,7 +505,7 @@ def pagerank_actors(edges, src: str = "src", dst: str = "dst",
     try:
         return _pagerank_rounds(edges, shards, nb, src, dst, iters,
                                 init_mass, base_mass, d_num, d_den,
-                                checkpoint_dir)
+                                checkpoint_dir, seed_mod)
     finally:
         # ALWAYS release the pool — each shard reserves a CPU and a
         # leaked pool (e.g. a restore() mismatch mid-run) starves
@@ -503,7 +515,8 @@ def pagerank_actors(edges, src: str = "src", dst: str = "dst",
 
 
 def _pagerank_rounds(edges, shards, nb, src, dst, iters, init_mass,
-                     base_mass, d_num, d_den, checkpoint_dir):
+                     base_mass, d_num, d_den, checkpoint_dir,
+                     seed_mod=None):
     import ray
     import ray.data as rd
 
@@ -528,7 +541,7 @@ def _pagerank_rounds(edges, shards, nb, src, dst, iters, init_mass,
           for sh in shards]
     n_owned = ray.get(
         [shards[t].init.remote(init_mass, d_num, d_den, base_mass,
-                               *[ex[b][t] for b in range(nb)])
+                               seed_mod, *[ex[b][t] for b in range(nb)])
          for t in range(nb)])
 
     # round-level checkpoint/resume (north-rule: a killed run resumes

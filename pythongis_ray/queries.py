@@ -3642,6 +3642,56 @@ def _sql_pagerank_ctes(iters: int = 5,
     return full[:full.rindex("\nSELECT ")]
 
 
+TR_SEED_MOD = 97
+
+
+def q_trustrank(sf_dir: str):
+    """TrustRank (Gyöngyi et al. 2004): personalized PageRank whose
+    teleport mass lands ONLY on the trusted seed set
+    {page_id % 97 == 0} — the classic link-spam demotion score. Same
+    integer mass-propagation engine as pagerank with per-node
+    base/init vectors."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    pr = graph.pagerank_actors(edges, src="src_page", dst="dst_page",
+                               iters=5, seed_mod=TR_SEED_MOD)
+    return pr.map_batches(
+        lambda b: pa.table({
+            "node": pc.cast(b["node"], pa.int64()),
+            "mass": pc.cast(b["mass"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_trustrank(iters: int = 5, seed_mod: int = TR_SEED_MOD,
+                   edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    head = f"""
+WITH e AS ({edges_sql}),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+m0 AS (SELECT node,
+       CAST(CASE WHEN node % {seed_mod} = 0 THEN 1000000 ELSE 0 END
+            AS BIGINT) AS mass FROM nodes)"""
+    step = f""",
+m{{k}} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node % {seed_mod} = 0 THEN 150000 ELSE 0 END
+              + COALESCE(SUM((85 * m.mass) // (100 * o.od)), 0)
+              AS BIGINT) AS mass
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN od o ON o.src = e.src
+  LEFT JOIN m{{p}} m ON m.node = e.src
+  GROUP BY n.node)"""
+    body = "".join(step.format(k=k, p=k - 1)
+                   for k in range(1, iters + 1))
+    return head + body + f"\nSELECT node, mass FROM m{iters}"
+
+
 HITS_ITERS = 4
 HITS_SCALE = 1_000_000
 
@@ -4701,6 +4751,7 @@ REGISTRY: dict[str, tuple] = {
     "link_graph": (q_link_graph, SQL_LINK_GRAPH),
     "pagerank": (q_pagerank, _sql_pagerank),
     "hits": (q_hits, _sql_hits),
+    "trustrank": (q_trustrank, _sql_trustrank),
     "link_distance": (q_link_distance, _sql_bfs),
     "random_walks": (q_random_walks, _sql_random_walks),
     "walk_skipgrams": (q_walk_skipgrams, _sql_walk_skipgrams),

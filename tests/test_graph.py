@@ -221,3 +221,35 @@ def test_random_walks_match_serial_replay(ray_session, seed,
     assert got == want
     n_nodes_real = len(np.unique(np.concatenate([src, dst])))
     assert len(out) == n_nodes_real * 5   # one row per (start, step)
+
+
+def test_trustrank_personalized_teleport(ray_session):
+    """seed_mod gates BOTH the init and the teleport mass: a node
+    unreachable from the seed set ends at exactly 0; results match a
+    serial integer replay."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    # 0 (seed, via seed_mod=5) → 1 → 2 ; isolated pair 3 → 4
+    src = np.array([0, 1, 3], np.int64)
+    dst = np.array([1, 2, 4], np.int64)
+    out = graph.pagerank_actors(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})),
+        iters=3, seed_mod=5, num_shards=2).to_pandas()
+    got = dict(zip(out["node"], out["mass"]))
+
+    nodes = np.arange(5)
+    mass = {int(n): (1_000_000 if n % 5 == 0 else 0) for n in nodes}
+    adj = {0: [1], 1: [2], 3: [4]}
+    od = {k: len(v) for k, v in adj.items()}
+    for _ in range(3):
+        new = {int(n): (150_000 if n % 5 == 0 else 0) for n in nodes}
+        for s, ds_ in adj.items():
+            for d in ds_:
+                new[d] += (85 * mass[s]) // (100 * od[s])
+        mass = new
+    assert got == mass
+    assert got[3] == 0 and got[4] == 0      # untrusted island demoted
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
