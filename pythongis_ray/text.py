@@ -1735,34 +1735,37 @@ def cdc_shared_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
 LM_SCALE = 1_000_000
 
 
-def bigrams_exploded(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """documents → one row per consecutive space-split token pair
+def _explode_bigrams(batch: pa.Table, text_col: str,
+                     id_col: str) -> pa.Table:
+    """One batch → one row per consecutive space-split token pair
     (id, w1, w2), fully vectorized: one split_pattern kernel, then the
     pair mask is "every flat position except each doc's last token".
     The flat values/offsets trick mirrors words_exploded."""
+    toks = pc.split_pattern(batch[text_col], " ")
+    flat = (toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray) else toks)
+    offs = np.asarray(flat.offsets)
+    vals = flat.values
+    n = len(vals)
+    lens = offs[1:] - offs[:-1]
+    keep = np.ones(max(n - 1, 0), bool)
+    last = offs[1:] - 1              # last-token position per doc
+    last = last[(lens > 0) & (last < n - 1)]
+    keep[last] = False
+    idx = np.nonzero(keep)[0]
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, np.maximum(lens - 1, 0))),
+        "w1": vals.take(pa.array(idx, pa.int64())),
+        "w2": vals.take(pa.array(idx + 1, pa.int64())),
+    })
 
-    def explode(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch[text_col], " ")
-        flat = (toks.combine_chunks()
-                if isinstance(toks, pa.ChunkedArray) else toks)
-        offs = np.asarray(flat.offsets)
-        vals = flat.values
-        n = len(vals)
-        lens = offs[1:] - offs[:-1]
-        keep = np.ones(max(n - 1, 0), bool)
-        last = offs[1:] - 1              # last-token position per doc
-        last = last[(lens > 0) & (last < n - 1)]
-        keep[last] = False
-        idx = np.nonzero(keep)[0]
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return pa.table({
-            id_col: pa.array(np.repeat(ids, np.maximum(lens - 1, 0))),
-            "w1": vals.take(pa.array(idx, pa.int64())),
-            "w2": vals.take(pa.array(idx + 1, pa.int64())),
-        })
 
-    return ds.map_batches(explode, batch_format="pyarrow",
-                          batch_size=8192)
+def bigrams_exploded(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """documents → the (id, w1, w2) pair table (see _explode_bigrams)."""
+    return ds.map_batches(
+        lambda b: _explode_bigrams(b, text_col, id_col),
+        batch_format="pyarrow", batch_size=8192)
 
 
 def bigram_model(pairs_ds, scale: int = LM_SCALE):
@@ -1798,26 +1801,56 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     """Per-document bigram-LM quality score: the corpus trains its own
     conditional bigram model (self-scoring, the KenLM-style quality
     filter shape), then each doc scores Σ r(w1,w2) over its pairs —
-    all int64, so the result is an exact DuckDB replay. Two passes
-    over the pair table (train, score); the score join is a
-    partitioned large×large hash join on (w1, w2); docs with <2
-    tokens score (0, 0). Scale note: r ≤ scale=10^6 and scores are
-    per-doc sums, so int64 holds to ~10^12 pairs per doc."""
-    from pythongis_ray.relational import bucketed_group_apply, join_large
+    all int64, so the result is an exact DuckDB replay.
 
-    pairs = bigrams_exploded(ds, text_col, id_col)
-    model = bigram_model(pairs, scale)
-    joined = join_large(pairs, model, on=["w1", "w2"])
+    ONE pass over the corpus: the exploded pairs are compressed to
+    per-doc (w1, w2, c) counts batch-locally (doc-local grouping
+    needs no shuffle), then a single w1-keyed hash-bucket pass BOTH
+    trains the model slice (every global occurrence of a bucket's w1
+    lands in that bucket, so C(w1,w2)/C(w1) are exact there) AND
+    scores its rows via an in-bucket merge — no pair-table re-read,
+    no large×large join. A final doc-keyed combine sums the bucket
+    partials; docs with <2 tokens union in as (0, 0). Scale note:
+    r ≤ scale=10^6 and scores are per-doc sums, so int64 holds to
+    ~10^12 pairs per doc."""
+    from pythongis_ray.relational import bucketed_group_apply
 
-    def per_doc(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(id_col, sort=False)["r"].agg(["sum", "count"])
+    def doc_pairs(batch: pa.Table) -> pa.Table:
+        t = _explode_bigrams(batch, text_col, id_col)
+        g = t.group_by([id_col, "w1", "w2"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([id_col, "w1", "w2", "c"])
+
+    tfp = ds.map_batches(doc_pairs, batch_format="pyarrow",
+                         batch_size=8192)
+
+    def per_w1_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b.groupby(["w1", "w2"], sort=False)["c"].sum()
+             .reset_index(name="c12"))
+        c1 = m.groupby("w1", sort=False)["c12"].transform("sum")
+        m["r"] = (m["c12"].to_numpy(np.int64) * np.int64(scale)
+                  ) // c1.to_numpy(np.int64)
+        j = b.merge(m[["w1", "w2", "r"]], on=["w1", "w2"], how="left")
+        c = j["c"].to_numpy(np.int64)
+        j["part_score"] = c * j["r"].to_numpy(np.int64)
+        j["part_nb"] = c
+        g = (j.groupby(id_col, sort=False)[["part_score", "part_nb"]]
+             .sum())
         return pd.DataFrame({
             id_col: g.index.to_numpy(np.int64),
-            "lm_score": g["sum"].to_numpy(np.int64),
-            "n_bigrams": g["count"].to_numpy(np.int64)})
+            "part_score": g["part_score"].to_numpy(np.int64),
+            "part_nb": g["part_nb"].to_numpy(np.int64)})
 
-    scored = bucketed_group_apply(joined.select_columns([id_col, "r"]),
-                                  [id_col], per_doc)
+    parts = bucketed_group_apply(tfp, ["w1"], per_w1_bucket)
+
+    def per_doc(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(id_col, sort=False)[["part_score", "part_nb"]].sum()
+        return pd.DataFrame({
+            id_col: g.index.to_numpy(np.int64),
+            "lm_score": g["part_score"].to_numpy(np.int64),
+            "n_bigrams": g["part_nb"].to_numpy(np.int64)})
+
+    scored = bucketed_group_apply(parts, [id_col], per_doc)
 
     def zeros(batch: pa.Table) -> pa.Table:
         nt = pc.list_value_length(
