@@ -622,3 +622,27 @@ def test_lm_score_vs_bruteforce(ray_session):
         assert row["doc_id"] == i
         assert row["lm_score"] == want, (i, d)
         assert row["n_bigrams"] == len(prs)
+
+
+def test_bigram_model_standalone(ray_session):
+    """bigram_model (the exportable model-table op) matches the dict
+    brute force; bigrams_exploded emits exactly the consecutive
+    pairs."""
+    import ray.data as rd
+
+    from pythongis_ray import text as T
+
+    docs = ["a b a", "b a b", "c", ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+        "text": pa.array(docs)}))
+    pairs = T.bigrams_exploded(ds).to_pandas()
+    want_pairs = sorted([(0, "a", "b"), (0, "b", "a"),
+                         (1, "b", "a"), (1, "a", "b")])
+    got_pairs = sorted(zip(pairs.doc_id, pairs.w1, pairs.w2))
+    assert got_pairs == want_pairs
+
+    model = T.bigram_model(T.bigrams_exploded(ds)).to_pandas()
+    got = {(r.w1, r.w2): r.r for r in model.itertuples()}
+    # C(a,b)=2 C(a)=2 ; C(b,a)=2 C(b)=2
+    assert got == {("a", "b"): T.LM_SCALE, ("b", "a"): T.LM_SCALE}
