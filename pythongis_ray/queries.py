@@ -3642,6 +3642,78 @@ def _sql_pagerank_ctes(iters: int = 5,
     return full[:full.rindex("\nSELECT ")]
 
 
+def q_cocitation(sf_dir: str):
+    """Co-citation pairs (Small 1973): unordered target pairs
+    {a < b} cited by a common source, with the number of co-citing
+    sources — the link-structure similarity measure behind
+    'related pages'. Distinct edges bucket by src (out-degree-bounded
+    groups → triangular pair emission is tiny per group), then a
+    (a, b)-keyed combine counts co-citing sources."""
+    from pythongis_ray import pages
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+
+    def dedup_batch(batch: pa.Table) -> pa.Table:
+        t = pa.table({"src": pc.cast(batch["src_page"], pa.int64()),
+                      "dst": pc.cast(batch["dst_page"], pa.int64())})
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    de = edges.map_batches(dedup_batch, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def per_src(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates(["src", "dst"])
+        b = b.sort_values(["src", "dst"], kind="stable")
+        src = b["src"].to_numpy(np.int64)
+        dst = b["dst"].to_numpy(np.int64)
+        outs = []
+        # within each src run, emit all (dst_i, dst_j) i<j; out-degree
+        # is link-count bounded (3 here), so offsets 1..max_deg-1
+        d = 1
+        while True:
+            m = src[d:] == src[:-d]
+            if not m.any():
+                break
+            outs.append((dst[:-d][m], dst[d:][m]))
+            d += 1
+        if not outs:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "pcnt": np.empty(0, np.int64)})
+        a = np.concatenate([o[0] for o in outs])
+        c = np.concatenate([o[1] for o in outs])
+        df = pd.DataFrame({"a": a, "b": c})
+        return (df.groupby(["a", "b"], sort=False).size()
+                .rename("pcnt").reset_index())
+
+    parts = bucketed_group_apply(de, ["src"], per_src)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["a", "b"], sort=False)["pcnt"].sum()
+             .reset_index(name="n_cociting"))
+        return g
+
+    out = bucketed_group_apply(parts, ["a", "b"], combine)
+    return out.map_batches(
+        lambda b: pa.table({
+            "a": pc.cast(b["a"], pa.int64()),
+            "b": pc.cast(b["b"], pa.int64()),
+            "n_cociting": pc.cast(b["n_cociting"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+SQL_COCITATION = f"""
+WITH de AS (SELECT DISTINCT src, dst FROM ({_SQL_PAGE_EDGES}))
+SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_cociting
+FROM de x JOIN de y ON x.src = y.src AND x.dst < y.dst
+GROUP BY x.dst, y.dst
+"""
+
+
 TR_SEED_MOD = 97
 
 
@@ -4752,6 +4824,7 @@ REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, _sql_pagerank),
     "hits": (q_hits, _sql_hits),
     "trustrank": (q_trustrank, _sql_trustrank),
+    "cocitation": (q_cocitation, SQL_COCITATION),
     "link_distance": (q_link_distance, _sql_bfs),
     "random_walks": (q_random_walks, _sql_random_walks),
     "walk_skipgrams": (q_walk_skipgrams, _sql_walk_skipgrams),
