@@ -3642,6 +3642,63 @@ def _sql_pagerank_ctes(iters: int = 5,
     return full[:full.rindex("\nSELECT ")]
 
 
+HOST_TOPK = 2
+
+
+def q_host_top_pages(sf_dir: str):
+    """Per-group top-k (the windowed-rank shape): the 2 highest-
+    PageRank pages of every host, ties by page id. Ranking runs
+    inside host-keyed hash buckets — one in-bucket lexsort + head —
+    so no global sort and no driver materialization of the rank."""
+    from pythongis_ray import graph, pages
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    pr = graph.pagerank_actors(edges, src="src_page", dst="dst_page",
+                               iters=5)
+
+    def add_host(b: pa.Table) -> pa.Table:
+        node = pc.cast(b["node"], pa.int64())
+        host = node.to_numpy(zero_copy_only=False) % 50
+        return pa.table({"host": pa.array(host), "page": node,
+                         "mass": pc.cast(b["mass"], pa.int64())})
+
+    keyed = pr.map_batches(add_host, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def per_host(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["host", "mass", "page"],
+                          ascending=[True, False, True], kind="stable")
+        g = b.groupby("host", sort=False)
+        out = g.head(HOST_TOPK).copy()
+        out["rnk"] = (out.groupby("host", sort=False).cumcount() + 1) \
+            .astype(np.int64)
+        return out[["host", "page", "mass", "rnk"]]
+
+    return bucketed_group_apply(keyed, ["host"], per_host) \
+        .map_batches(lambda b: pa.table({
+            "host": pc.cast(b["host"], pa.int64()),
+            "page": pc.cast(b["page"], pa.int64()),
+            "mass": pc.cast(b["mass"], pa.int64()),
+            "rnk": pc.cast(b["rnk"], pa.int64())}),
+            batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_host_top_pages() -> str:
+    return _sql_pagerank_ctes() + f""",
+ranked AS (
+  SELECT node % 50 AS host, node AS page, mass,
+         ROW_NUMBER() OVER (PARTITION BY node % 50
+                            ORDER BY mass DESC, node) AS rnk
+  FROM m5)
+SELECT CAST(host AS BIGINT) AS host, CAST(page AS BIGINT) AS page,
+       CAST(mass AS BIGINT) AS mass, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {HOST_TOPK}"""
+
+
 def q_cocitation(sf_dir: str):
     """Co-citation pairs (Small 1973): unordered target pairs
     {a < b} cited by a common source, with the number of co-citing
@@ -4825,6 +4882,7 @@ REGISTRY: dict[str, tuple] = {
     "hits": (q_hits, _sql_hits),
     "trustrank": (q_trustrank, _sql_trustrank),
     "cocitation": (q_cocitation, SQL_COCITATION),
+    "host_top_pages": (q_host_top_pages, _sql_host_top_pages),
     "link_distance": (q_link_distance, _sql_bfs),
     "random_walks": (q_random_walks, _sql_random_walks),
     "walk_skipgrams": (q_walk_skipgrams, _sql_walk_skipgrams),
