@@ -3642,6 +3642,61 @@ def _sql_pagerank_ctes(iters: int = 5,
     return full[:full.rindex("\nSELECT ")]
 
 
+def q_neighbor_agg(sf_dir: str):
+    """One-hop neighborhood attribute aggregation (the GNN
+    feature-propagation prep stage): for every page with in-links,
+    the count of in-neighbors and the exact sum of their n_chars.
+    Attribute table joins onto the edge sources via the partitioned
+    hash join, then a dst-keyed bucketed combine — two shuffles of
+    the (narrow) edge table, the wide doc table never moves."""
+    from pythongis_ray import pages
+    from pythongis_ray.relational import bucketed_group_apply, join_large
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    edges = edges.map_batches(
+        lambda b: pa.table({
+            "src": pc.cast(b["src_page"], pa.int64()),
+            "dst": pc.cast(b["dst_page"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+    attrs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    attrs = attrs.map_batches(
+        lambda b: pa.table({
+            "src": pc.cast(b["doc_id"], pa.int64()),
+            "src_chars": pc.cast(b["n_chars"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+    joined = join_large(edges, attrs, on="src")
+
+    def per_dst(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("dst", sort=False)["src_chars"].agg(
+            ["count", "sum"])
+        return pd.DataFrame({
+            "page": g.index.to_numpy(np.int64),
+            "n_in": g["count"].to_numpy(np.int64),
+            "sum_chars": g["sum"].to_numpy(np.int64)})
+
+    out = bucketed_group_apply(joined.select_columns(
+        ["dst", "src_chars"]), ["dst"], per_dst)
+    return out.map_batches(
+        lambda b: pa.table({
+            "page": pc.cast(b["page"], pa.int64()),
+            "n_in": pc.cast(b["n_in"], pa.int64()),
+            "sum_chars": pc.cast(b["sum_chars"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+SQL_NEIGHBOR_AGG = f"""
+WITH e AS ({_SQL_PAGE_EDGES})
+SELECT e.dst AS page, CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+FROM e JOIN documents d ON d.doc_id = e.src
+GROUP BY e.dst
+"""
+
+
 HOST_TOPK = 2
 
 
@@ -4883,6 +4938,7 @@ REGISTRY: dict[str, tuple] = {
     "trustrank": (q_trustrank, _sql_trustrank),
     "cocitation": (q_cocitation, SQL_COCITATION),
     "host_top_pages": (q_host_top_pages, _sql_host_top_pages),
+    "neighbor_agg": (q_neighbor_agg, SQL_NEIGHBOR_AGG),
     "link_distance": (q_link_distance, _sql_bfs),
     "random_walks": (q_random_walks, _sql_random_walks),
     "walk_skipgrams": (q_walk_skipgrams, _sql_walk_skipgrams),
