@@ -1213,3 +1213,155 @@ def _walk_rounds(edges, shards, nb, src, dst, length):
                  for t in range(nb)])
     return rd.from_arrow_refs(
         [sh.result.remote() for sh in shards]).materialize()
+
+
+class _KCoreShard:
+    """Resident partition for k-core peeling: holds the DOUBLED
+    distinct edges whose KEY endpoint hashes here (CSR), an alive
+    mask per owned node and an alive mask per edge-other. Each round
+    kills owned nodes whose alive-degree < k and ships ONLY the dead
+    ids to the shards owning the reverse edges (message volume =
+    edges of dying nodes — O(E) summed over the whole peel, not per
+    round)."""
+
+    def __init__(self, b: int, nb: int):
+        self.b, self.nb = b, nb
+        self._key, self._other = [], []
+        self._seen = set()
+
+    def add_edges(self, token: int, key: np.ndarray,
+                  other: np.ndarray) -> int:
+        if token in self._seen:
+            return len(key)
+        self._seen.add(token)
+        self._key.append(key)
+        self._other.append(other)
+        return len(key)
+
+    def init(self) -> int:
+        key = (np.concatenate(self._key) if self._key
+               else np.empty(0, np.int64))
+        other = (np.concatenate(self._other) if self._other
+                 else np.empty(0, np.int64))
+        self._key = self._other = None
+        # distinct (key, other) — global dedup holds because every
+        # copy of an edge keyed by this node hashes to this shard
+        pair = (np.unique(np.stack([key, other], axis=1), axis=0)
+                if len(key) else np.empty((0, 2), np.int64))
+        key, other = pair[:, 0], pair[:, 1]
+        self.owned = np.unique(key)
+        o = np.argsort(key, kind="stable")    # already sorted, cheap
+        self.e_other = other[o]
+        self.indptr = np.concatenate(
+            [np.searchsorted(key[o], self.owned),
+             [len(key)]]).astype(np.int64)
+        self.alive = np.ones(len(self.owned), bool)
+        self.e_other_alive = np.ones(len(self.e_other), bool)
+        return len(self.owned)
+
+    def peel(self, k: int):
+        """Kill owned alive nodes with alive-degree < k; return the
+        dead ids routed per owner shard of the reverse edges."""
+        deg = self._alive_deg()
+        dead = self.alive & (deg < k)
+        self.alive[dead] = False
+        # notify the owners of the REVERSE edges: for each dying
+        # node's edge (dead → other), other's owner shard holds
+        # (other → dead) and must mark it. Message volume = edges of
+        # dying nodes, O(E) summed over the whole peel.
+        idx = np.nonzero(dead)[0]
+        starts = self.indptr[idx]
+        counts = self.indptr[idx + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            empty = np.empty(0, np.int64)
+            return tuple(empty for _ in range(self.nb))
+        base = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.repeat(starts - base, counts) + np.arange(total)
+        others = self.e_other[pos]
+        deads = np.repeat(self.owned[idx], counts)
+        tb = _bucket_of(others, self.nb)
+        return tuple(np.unique(deads[tb == t]) for t in range(self.nb))
+
+    def mark_dead(self, *msgs) -> int:
+        allv = [m for m in msgs if len(m)]
+        if not allv:
+            return 0
+        dead = np.unique(np.concatenate(allv))
+        hit = np.isin(self.e_other, dead)
+        self.e_other_alive[hit] = False
+        return int(len(dead))
+
+    def _alive_deg(self) -> np.ndarray:
+        """Per-owned-node count of alive others (exact cumsum-diff
+        over the CSR segments — handles empty segments)."""
+        c = np.concatenate(
+            [[0], np.cumsum(self.e_other_alive.astype(np.int64))])
+        return c[self.indptr[1:]] - c[self.indptr[:-1]]
+
+    def result(self, k: int) -> pa.Table:
+        deg = self._alive_deg()
+        m = self.alive
+        return pa.table({"node": pa.array(self.owned[m]),
+                         "deg_core": pa.array(deg[m])})
+
+
+def kcore(edges, src: str = "src", dst: str = "dst", k: int = 2,
+          max_rounds: int = 16, num_shards: int | None = None):
+    """k-core membership of the UNDIRECTED distinct-edge graph:
+    iteratively remove nodes with fewer than k alive neighbors
+    (simultaneous rounds) until a fixed point or ``max_rounds``;
+    returns surviving (node, deg_core). Fixed simultaneous rounds
+    make the result an exact replay of chained degree-filter CTEs in
+    DuckDB regardless of sharding; the early exit on a no-death
+    round is bit-exact (monotone fixed point). Self-loops count once
+    toward degree (distinct doubled pairs)."""
+    import ray
+    import ray.data as rd
+
+    nb = num_shards or max(2, min(16, int(
+        ray.cluster_resources().get("CPU", 4)) // 2))
+    nb = max(2, nb)
+    Shard = ray.remote(_KCoreShard)
+    shards = [Shard.remote(b, nb) for b in range(nb)]
+    try:
+        return _kcore_rounds(edges, shards, nb, src, dst, k, max_rounds)
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def _kcore_rounds(edges, shards, nb, src, dst, k, max_rounds):
+    import ray
+    import ray.data as rd
+
+    def route(batch: pa.Table) -> pa.Table:
+        a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.concatenate([a, b])
+        other = np.concatenate([b, a])
+        kb = _bucket_of(key, nb)
+        acks = []
+        for t in range(nb):
+            m = kb == t
+            if m.any():
+                acks.append(shards[t].add_edges.remote(
+                    _batch_token(key[m], other[m]), key[m], other[m]))
+        import ray as _ray
+        _ray.get(acks)
+        return pa.table({"n": pa.array([len(a)], pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow",
+                      batch_size=65536).count()
+    ray.get([sh.init.remote() for sh in shards])
+
+    for _ in range(max_rounds):
+        sc = [sh.peel.options(num_returns=nb).remote(k)
+              for sh in shards]
+        n_dead = ray.get(
+            [shards[t].mark_dead.remote(*[sc[b][t] for b in range(nb)])
+             for t in range(nb)])
+        if sum(n_dead) == 0:
+            break
+    return rd.from_arrow_refs(
+        [sh.result.remote(k) for sh in shards]).materialize()

@@ -3642,6 +3642,56 @@ def _sql_pagerank_ctes(iters: int = 5,
     return full[:full.rindex("\nSELECT ")]
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 10
+
+
+def q_kcore(sf_dir: str):
+    """2-core of the undirected distinct-edge link graph (iterative
+    peeling, 10 simultaneous rounds — enough for this graph's fixed
+    point, and the SQL replays the SAME cap so truncation can never
+    diverge): surviving pages with their core degree. The classic
+    link-farm / fringe-page filter."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    out = graph.kcore(edges, src="src_page", dst="dst_page",
+                      k=KCORE_K, max_rounds=KCORE_ROUNDS)
+    return out.map_batches(
+        lambda b: pa.table({
+            "node": pc.cast(b["node"], pa.int64()),
+            "deg_core": pc.cast(b["deg_core"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_kcore(k: int = KCORE_K, rounds: int = KCORE_ROUNDS,
+               edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    head = f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+de AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM e
+    UNION ALL SELECT dst, src FROM e)),
+a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM de)"""
+    step = f""",
+a{{k}} AS MATERIALIZED (
+  SELECT de.u AS node
+  FROM de JOIN a{{p}} s ON s.node = de.u
+          JOIN a{{p}} o ON o.node = de.v
+  GROUP BY de.u HAVING COUNT(*) >= {k})"""
+    body = "".join(step.format(k=r, p=r - 1)
+                   for r in range(1, rounds + 1))
+    return head + body + f"""
+SELECT CAST(de.u AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS deg_core
+FROM de JOIN a{rounds} s ON s.node = de.u
+        JOIN a{rounds} o ON o.node = de.v
+GROUP BY de.u"""
+
+
 def q_neighbor_agg(sf_dir: str):
     """One-hop neighborhood attribute aggregation (the GNN
     feature-propagation prep stage): for every page with in-links,
@@ -4939,6 +4989,7 @@ REGISTRY: dict[str, tuple] = {
     "cocitation": (q_cocitation, SQL_COCITATION),
     "host_top_pages": (q_host_top_pages, _sql_host_top_pages),
     "neighbor_agg": (q_neighbor_agg, SQL_NEIGHBOR_AGG),
+    "kcore": (q_kcore, _sql_kcore),
     "link_distance": (q_link_distance, _sql_bfs),
     "random_walks": (q_random_walks, _sql_random_walks),
     "walk_skipgrams": (q_walk_skipgrams, _sql_walk_skipgrams),

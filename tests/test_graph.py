@@ -253,3 +253,63 @@ def test_trustrank_personalized_teleport(ray_session):
     assert got == mass
     assert got[3] == 0 and got[4] == 0      # untrusted island demoted
     assert got[0] > 0 and got[1] > 0 and got[2] > 0
+
+
+def _kcore_reference(src, dst, k, rounds):
+    de = set()
+    for a, b in zip(src.tolist(), dst.tolist()):
+        de.add((a, b)); de.add((b, a))
+    alive = {u for u, _ in de}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in de:
+            if u in alive and v in alive:
+                deg[u] = deg.get(u, 0) + 1
+        new = {u for u in alive if deg.get(u, 0) >= k}
+        if new == alive:
+            break
+        alive = new
+    deg = {}
+    for u, v in de:
+        if u in alive and v in alive:
+            deg[u] = deg.get(u, 0) + 1
+    return {u: deg.get(u, 0) for u in alive}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,k",
+                         [(4, 40, 55, 2), (17, 300, 500, 3)])
+def test_kcore_matches_serial_peel(ray_session, seed, n_nodes,
+                                   n_edges, k):
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    out = graph.kcore(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})),
+        k=k, max_rounds=50, num_shards=3).to_pandas()
+    got = ({} if len(out) == 0 else
+           dict(zip(out["node"].tolist(), out["deg_core"].tolist())))
+    assert got == _kcore_reference(src, dst, k, 50)
+
+
+def test_kcore_peels_chain_keeps_clique(ray_session):
+    """A 4-clique survives k=3 peeling; a pendant chain hanging off
+    it is fully peeled away."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    cl = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    src = np.array([a for a, _ in cl + chain], np.int64)
+    dst = np.array([b for _, b in cl + chain], np.int64)
+    out = graph.kcore(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})),
+        k=3, max_rounds=20, num_shards=2).to_pandas()
+    assert sorted(out["node"].tolist()) == [0, 1, 2, 3]
+    assert (out["deg_core"] == 3).all()
