@@ -1365,3 +1365,153 @@ def _kcore_rounds(edges, shards, nb, src, dst, k, max_rounds):
             break
     return rd.from_arrow_refs(
         [sh.result.remote(k) for sh in shards]).materialize()
+
+
+def _group_mode_min(node: np.ndarray, lbl: np.ndarray,
+                    cnt: np.ndarray):
+    """Per-node argmax label by count, ties to the SMALLEST label:
+    lexsort by (node, -count, label) and take each node's first row.
+    Exact and deterministic for int64 inputs."""
+    o = np.lexsort((lbl, -cnt, node))
+    n, l = node[o], lbl[o]
+    first = np.concatenate(([True], n[1:] != n[:-1]))
+    return n[first], l[first]
+
+
+def _group_sum2(a: np.ndarray, b: np.ndarray, v: np.ndarray):
+    """Sum v per (a, b) pair (lexsort + reduceat), exact int64."""
+    if len(a) == 0:
+        return a, b, v
+    o = np.lexsort((b, a))
+    a, b, v = a[o], b[o], v[o]
+    first = np.concatenate(
+        ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    starts = np.nonzero(first)[0]
+    return a[starts], b[starts], np.add.reduceat(v, starts)
+
+
+class _LpaShard:
+    """Resident partition for synchronous label propagation
+    (community detection): doubled distinct edges keyed by node, the
+    node's current label resident. Each round ships per-destination
+    (label, count) pairs PRE-COMBINED per shard — volume is
+    O(distinct (dst, label)), not O(E) — and each node adopts its
+    neighbors' majority label, ties to the smallest label id."""
+
+    def __init__(self, b: int, nb: int):
+        self.b, self.nb = b, nb
+        self._key, self._other = [], []
+        self._seen = set()
+
+    def add_edges(self, token: int, key: np.ndarray,
+                  other: np.ndarray) -> int:
+        if token in self._seen:
+            return len(key)
+        self._seen.add(token)
+        self._key.append(key)
+        self._other.append(other)
+        return len(key)
+
+    def init(self) -> int:
+        key = (np.concatenate(self._key) if self._key
+               else np.empty(0, np.int64))
+        other = (np.concatenate(self._other) if self._other
+                 else np.empty(0, np.int64))
+        self._key = self._other = None
+        pair = (np.unique(np.stack([key, other], axis=1), axis=0)
+                if len(key) else np.empty((0, 2), np.int64))
+        key, other = pair[:, 0], pair[:, 1]
+        self.owned = np.unique(key)
+        self.e_key_idx = np.searchsorted(self.owned, key)
+        ob = _bucket_of(other, self.nb)
+        o = np.argsort(ob, kind="stable")
+        self.e_other = other[o]
+        self.e_key_idx = self.e_key_idx[o]
+        self.splits = np.searchsorted(ob[o], np.arange(self.nb + 1))
+        self.labels = self.owned.copy()
+        return len(self.owned)
+
+    def scatter(self):
+        lab = self.labels[self.e_key_idx]
+        out = []
+        for t in range(self.nb):
+            sl = slice(self.splits[t], self.splits[t + 1])
+            out.append(_group_sum2(self.e_other[sl], lab[sl],
+                                   np.ones(self.splits[t + 1]
+                                           - self.splits[t], np.int64)))
+        return tuple(out)
+
+    def gather(self, *msgs) -> int:
+        nodes = np.concatenate([m[0] for m in msgs])
+        lbls = np.concatenate([m[1] for m in msgs])
+        cnts = np.concatenate([m[2] for m in msgs])
+        if len(nodes) == 0:
+            return 0
+        a, b, v = _group_sum2(nodes, lbls, cnts)
+        n, l = _group_mode_min(a, b, v)
+        new = self.labels.copy()
+        new[np.searchsorted(self.owned, n)] = l
+        changed = int((new != self.labels).sum())
+        self.labels = new
+        return changed
+
+    def result(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.owned),
+                         "community": pa.array(self.labels)})
+
+
+def label_propagation(edges, src: str = "src", dst: str = "dst",
+                      rounds: int = 3, num_shards: int | None = None):
+    """Synchronous label propagation communities (Raghavan et al.
+    2007, made deterministic): every node starts as its own label;
+    each of the FIXED ``rounds`` simultaneous rounds adopts the
+    majority label among neighbors, ties broken toward the smallest
+    label id. Fixed rounds + deterministic ties = bit-reproducible
+    for any sharding and an exact DuckDB replay (grouped counts +
+    ROW_NUMBER per round)."""
+    import ray
+    import ray.data as rd
+
+    nb = num_shards or max(2, min(16, int(
+        ray.cluster_resources().get("CPU", 4)) // 2))
+    nb = max(2, nb)
+    Shard = ray.remote(_LpaShard)
+    shards = [Shard.remote(b, nb) for b in range(nb)]
+    try:
+        return _lpa_rounds(edges, shards, nb, src, dst, rounds)
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def _lpa_rounds(edges, shards, nb, src, dst, rounds):
+    import ray
+    import ray.data as rd
+
+    def route(batch: pa.Table) -> pa.Table:
+        a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.concatenate([a, b])
+        other = np.concatenate([b, a])
+        kb = _bucket_of(key, nb)
+        acks = []
+        for t in range(nb):
+            m = kb == t
+            if m.any():
+                acks.append(shards[t].add_edges.remote(
+                    _batch_token(key[m], other[m]), key[m], other[m]))
+        import ray as _ray
+        _ray.get(acks)
+        return pa.table({"n": pa.array([len(a)], pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow",
+                      batch_size=65536).count()
+    ray.get([sh.init.remote() for sh in shards])
+
+    for _ in range(rounds):
+        sc = [sh.scatter.options(num_returns=nb).remote()
+              for sh in shards]
+        ray.get([shards[t].gather.remote(*[sc[b][t] for b in range(nb)])
+                 for t in range(nb)])
+    return rd.from_arrow_refs(
+        [sh.result.remote() for sh in shards]).materialize()

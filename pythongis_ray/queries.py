@@ -3642,6 +3642,56 @@ def _sql_pagerank_ctes(iters: int = 5,
     return full[:full.rindex("\nSELECT ")]
 
 
+LPA_ROUNDS = 3
+
+
+def q_communities(sf_dir: str):
+    """Synchronous label-propagation communities over the undirected
+    link graph (3 fixed rounds, majority label with smallest-id
+    ties) — deterministic LPA, the standard web community detector.
+    Exact DuckDB replay: grouped label counts + ROW_NUMBER per
+    round."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    out = graph.label_propagation(edges, src="src_page",
+                                  dst="dst_page", rounds=LPA_ROUNDS)
+    return out.map_batches(
+        lambda b: pa.table({
+            "node": pc.cast(b["node"], pa.int64()),
+            "community": pc.cast(b["community"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_lpa(rounds: int = LPA_ROUNDS,
+             edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    head = f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+de AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM e
+    UNION ALL SELECT dst, src FROM e)),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM de)"""
+    step = """,
+c{k} AS MATERIALIZED (
+  SELECT de.u AS node, l.lbl AS lbl, CAST(COUNT(*) AS BIGINT) AS c
+  FROM de JOIN l{p} l ON l.node = de.v GROUP BY de.u, l.lbl),
+l{k} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl) AS rn
+    FROM c{k}) WHERE rn = 1)"""
+    body = "".join(step.format(k=r, p=r - 1)
+                   for r in range(1, rounds + 1))
+    return head + body + f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+FROM l{rounds}"""
+
+
 KCORE_K = 2
 KCORE_ROUNDS = 10
 
@@ -4990,6 +5040,7 @@ REGISTRY: dict[str, tuple] = {
     "host_top_pages": (q_host_top_pages, _sql_host_top_pages),
     "neighbor_agg": (q_neighbor_agg, SQL_NEIGHBOR_AGG),
     "kcore": (q_kcore, _sql_kcore),
+    "communities": (q_communities, _sql_lpa),
     "link_distance": (q_link_distance, _sql_bfs),
     "random_walks": (q_random_walks, _sql_random_walks),
     "walk_skipgrams": (q_walk_skipgrams, _sql_walk_skipgrams),

@@ -313,3 +313,60 @@ def test_kcore_peels_chain_keeps_clique(ray_session):
         k=3, max_rounds=20, num_shards=2).to_pandas()
     assert sorted(out["node"].tolist()) == [0, 1, 2, 3]
     assert (out["deg_core"] == 3).all()
+
+
+def _lpa_reference(src, dst, rounds):
+    de = set()
+    for a, b in zip(src.tolist(), dst.tolist()):
+        de.add((a, b)); de.add((b, a))
+    adj = {}
+    for u, v in de:
+        adj.setdefault(u, []).append(v)
+    lab = {u: u for u in adj}
+    for _ in range(rounds):
+        new = {}
+        for u, nbrs in adj.items():
+            cnt = {}
+            for v in nbrs:
+                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
+            best = min(cnt, key=lambda l: (-cnt[l], l))
+            new[u] = best
+        lab = new
+    return lab
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(6, 40, 60), (21, 400, 900)])
+def test_label_propagation_matches_serial(ray_session, seed,
+                                          n_nodes, n_edges):
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    out = graph.label_propagation(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})),
+        rounds=3, num_shards=3).to_pandas()
+    got = dict(zip(out["node"].tolist(), out["community"].tolist()))
+    assert got == _lpa_reference(src, dst, 3)
+
+
+def test_label_propagation_two_cliques(ray_session):
+    """Two 3-cliques joined by one bridge edge: each clique converges
+    to its minimum id."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    ed = [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12), (2, 10)]
+    src = np.array([a for a, _ in ed], np.int64)
+    dst = np.array([b for _, b in ed], np.int64)
+    out = graph.label_propagation(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})),
+        rounds=4, num_shards=2).to_pandas()
+    got = dict(zip(out["node"].tolist(), out["community"].tolist()))
+    assert got == _lpa_reference(src, dst, 4)
+    assert got[0] == got[1] == got[2] == 0    # left clique keeps 0
