@@ -370,3 +370,44 @@ def test_label_propagation_two_cliques(ray_session):
     got = dict(zip(out["node"].tolist(), out["community"].tolist()))
     assert got == _lpa_reference(src, dst, 4)
     assert got[0] == got[1] == got[2] == 0    # left clique keeps 0
+
+
+def test_graph_ops_invariant_to_shard_count(ray_session):
+    """Every resident-shard op returns BIT-IDENTICAL tables at any
+    num_shards — the determinism contract the SQL oracles rely on."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    rng = np.random.default_rng(42)
+    src = rng.integers(0, 200, 600).astype(np.int64)
+    dst = rng.integers(0, 200, 600).astype(np.int64)
+
+    def edges():
+        return rd.from_arrow(pa.table({"src": pa.array(src),
+                                       "dst": pa.array(dst)}))
+
+    ops = {
+        "pagerank": lambda e, nb: graph.pagerank_actors(
+            e, iters=3, num_shards=nb),
+        "trustrank": lambda e, nb: graph.pagerank_actors(
+            e, iters=3, seed_mod=7, num_shards=nb),
+        "hits": lambda e, nb: graph.hits_actors(
+            e, iters=2, scale=10_000, num_shards=nb),
+        "bfs": lambda e, nb: graph.bfs_actors(
+            e, seed_mod=11, iters=5, num_shards=nb),
+        "walks": lambda e, nb: graph.random_walks(
+            e, length=3, num_shards=nb),
+        "kcore": lambda e, nb: graph.kcore(
+            e, k=2, max_rounds=30, num_shards=nb),
+        "lpa": lambda e, nb: graph.label_propagation(
+            e, rounds=3, num_shards=nb),
+    }
+    for name, fn in ops.items():
+        frames = []
+        for nb in (2, 5):
+            df = fn(edges(), nb).to_pandas()
+            df = df.sort_values(list(df.columns),
+                                kind="stable").reset_index(drop=True)
+            frames.append(df)
+        assert frames[0].equals(frames[1]), name
