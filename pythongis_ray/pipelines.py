@@ -186,7 +186,8 @@ def corpus_build(docs_ds):
     # 3. near-dup clusters among survivors; keep representatives.
     # (materialize above: the pair+CC stage and the final filter both
     # consume the survivor set — pin it once instead of recomputing.)
-    pairs = text.minhash_dedup_pairs(survivors, threshold=0.5)
+    pairs = text.minhash_dedup_pairs(survivors,
+                                     threshold=0.5).materialize()
     comp = graph.connected_components(
         pairs.select_columns(["id_a", "id_b"]))
     comp = comp.map_batches(

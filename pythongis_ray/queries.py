@@ -3103,7 +3103,7 @@ def q_dedup_components(sf_dir: str):
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    pairs = text.minhash_dedup_pairs(ds, threshold=0.5)
+    pairs = text.minhash_dedup_pairs(ds, threshold=0.5).materialize()
     comp = graph.connected_components(
         pairs.select_columns(["id_a", "id_b"]))
 
@@ -3159,7 +3159,10 @@ def q_canonical_docs(sf_dir: str):
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    pairs = text.minhash_dedup_pairs(ds, threshold=0.5)
+    # the verified pair table is tiny (near-dup candidates only);
+    # materializing it stops Ray fusing the small-batch verify chain
+    # into the CC route map (bundle-size collapse, ~2x wall time)
+    pairs = text.minhash_dedup_pairs(ds, threshold=0.5).materialize()
     comp = graph.connected_components(
         pairs.select_columns(["id_a", "id_b"]))
     comp = comp.map_batches(
