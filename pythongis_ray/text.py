@@ -595,6 +595,52 @@ def jaccard_shingles(a: str, b: str, k: int = MH_SHINGLE_K) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _attach_pair_texts(cand, ds, id_col: str, text_col: str):
+    """Re-attach texts to a candidate-PAIR table (id_a, id_b): the
+    candidate table is tiny by construction (LSH bands / shared
+    shingles), so materialize it, broadcast just the candidate ID
+    SET, and make the re-attach ONE streaming semi-join filter over
+    the corpus — texts of non-candidates never move (the naive shape
+    bucket-shuffles the full wide corpus twice, ~8× this cost).
+    Returns the joined (id_a, id_b, text_a, text_b) Dataset, or None
+    when there are no candidates."""
+    from pythongis_ray import relational as rel
+
+    cand = cand.materialize()
+    cand_pd = cand.to_pandas()            # candidate pairs only
+    if len(cand_pd) == 0:
+        return None
+    need = np.unique(np.concatenate([
+        cand_pd["id_a"].to_numpy(np.int64),
+        cand_pd["id_b"].to_numpy(np.int64)]))
+    import ray as _ray
+
+    need_ref = _ray.put(need)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        from pythongis_ray import state
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = np.isin(ids, state.get_broadcast(
+            need_ref, key_extra=("pair_need",)))
+        return batch.select([id_col, text_col]).filter(pa.array(m))
+
+    small = ds.map_batches(filt, batch_format="pyarrow",
+                           batch_size=8192).materialize()
+
+    def as_side(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.select([id_col, text_col]).rename_columns(
+                [f"id_{side}", f"text_{side}"])
+        return fn
+
+    # native=False: both sides here are tiny and may be single-block
+    out = rel.join_large(cand, small.map_batches(
+        as_side("a"), batch_format="pyarrow"), on="id_a", native=False)
+    return rel.join_large(out, small.map_batches(
+        as_side("b"), batch_format="pyarrow"), on="id_b", native=False)
+
+
 def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         threshold: float = 0.7):
     """Near-duplicate pairs via MinHash-LSH, every stage distributed:
@@ -637,52 +683,13 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     cand = rel.dedup(cand, ["id_a", "id_b"])
     cand = rel.with_empty_schema(cand, pa.schema([("id_a", pa.int64()),
                                                   ("id_b", pa.int64())]))
-    # the candidate table is tiny by LSH construction (see scale note
-    # above) — materialize it and broadcast just the candidate ID SET
-    # so the text re-attach is ONE streaming semi-join filter over the
-    # corpus (texts of non-candidates never move; the old shape
-    # bucket-shuffled the full wide corpus twice, ~8x this cost)
-    cand = cand.materialize()
-    cand_pd = cand.to_pandas()            # candidate pairs only
-    if len(cand_pd) == 0:                 # no-near-dup corpus
+    cand = _attach_pair_texts(cand, ds, id_col, text_col)
+    if cand is None:                      # no-near-dup corpus
         import ray.data as _rd
         return _rd.from_arrow(pa.table({
             "id_a": pa.array([], pa.int64()),
             "id_b": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64())}))
-    need = np.unique(np.concatenate([
-        cand_pd["id_a"].to_numpy(np.int64),
-        cand_pd["id_b"].to_numpy(np.int64)]))
-    import ray as _ray
-
-    need_ref = _ray.put(need)
-
-    def filt(batch: pa.Table) -> pa.Table:
-        from pythongis_ray import state
-        ids = batch[id_col].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        m = np.isin(ids, state.get_broadcast(
-            need_ref, key_extra=("mh_need",)))
-        return batch.select([id_col, text_col]) \
-            .filter(pa.array(m))
-
-    small = ds.map_batches(filt, batch_format="pyarrow",
-                           batch_size=8192).materialize()
-
-    def as_side(side: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            return batch.select([id_col, text_col]).rename_columns(
-                [f"id_{side}", f"text_{side}"])
-        return fn
-
-    # native=False: cand is legitimately empty on a no-near-dup corpus
-    # and the native join crashes on schema-less empties
-    cand = rel.join_large(cand, small.map_batches(as_side("a"),
-                                                  batch_format="pyarrow"),
-                          on="id_a", native=False)
-    cand = rel.join_large(cand, small.map_batches(as_side("b"),
-                                                  batch_format="pyarrow"),
-                          on="id_b", native=False)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         ja = np.array([jaccard_shingles(a, b) for a, b in
@@ -736,20 +743,13 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     cand = rel.dedup(cand, ["id_a", "id_b"])
     cand = rel.with_empty_schema(cand, pa.schema([("id_a", pa.int64()),
                                                   ("id_b", pa.int64())]))
-
-    def as_side(side: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            return batch.select([id_col, text_col]).rename_columns(
-                [f"id_{side}", f"text_{side}"])
-        return fn
-
-    # native=False: cand is legitimately empty on an all-distinct corpus
-    cand = rel.join_large(cand, ds.map_batches(as_side("a"),
-                                               batch_format="pyarrow"),
-                          on="id_a", native=False)
-    cand = rel.join_large(cand, ds.map_batches(as_side("b"),
-                                               batch_format="pyarrow"),
-                          on="id_b", native=False)
+    cand = _attach_pair_texts(cand, ds, id_col, text_col)
+    if cand is None:                      # all-distinct corpus
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         ja = np.array([jaccard_shingles(a, b) for a, b in
