@@ -362,12 +362,86 @@ def read_geotiff(path: str):
                                     "width": w, "height": h}
 
 
+def read_ascii_grid(path: str):
+    """ESRI ASCII grid reader (reference semantics,
+    /root/reference/pythongis/raster/loader.py:88-218): ncols/nrows,
+    xllcorner|xllcenter, yllcorner|yllcenter, cellsize, optional
+    nodata_value (default -9999.0); cells are whitespace-separated
+    and NOT necessarily one row per line. Returns (array (h, w)
+    float64, meta) with the same contract as ``read_geotiff``:
+    transform = (x0, px, y0, py), lon = x0 + (col+0.5)*px,
+    lat = y0 - (row+0.5)*py."""
+    with open(path) as f:
+        text = f.read()
+    toks = text.split()
+    hdr: dict[str, float] = {}
+    i = 0
+    while i + 1 < len(toks):
+        key = toks[i].lower()
+        if key in ("ncols", "nrows", "xllcorner", "xllcenter",
+                   "yllcorner", "yllcenter", "cellsize",
+                   "nodata_value"):
+            hdr[key] = float(toks[i + 1])
+            i += 2
+        else:
+            break
+    w, h = int(hdr["ncols"]), int(hdr["nrows"])
+    cs = float(hdr["cellsize"])
+    nodata = hdr.get("nodata_value", -9999.0)
+    vals = np.array(toks[i:], dtype=np.float64)
+    if len(vals) != w * h:
+        raise ValueError(f"ascii grid: expected {w*h} cells, "
+                         f"got {len(vals)}")
+    # normalize corner/center anchors into the x0/y0 edge convention
+    if "xllcorner" in hdr:
+        x0 = hdr["xllcorner"]
+    else:
+        x0 = hdr["xllcenter"] - cs / 2.0
+    if "yllcorner" in hdr:
+        y0 = hdr["yllcorner"] + h * cs
+    else:
+        y0 = hdr["yllcenter"] - cs / 2.0 + h * cs
+    arr = vals.reshape(h, w)
+    return arr, {"transform": (x0, cs, y0, cs), "nodata": nodata,
+                 "width": w, "height": h}
+
+
+def write_ascii_grid(path: str, arr: np.ndarray, transform,
+                     nodata: float = -9999.0):
+    """ESRI ASCII grid writer (XLLCORNER/YLLCORNER convention —
+    byte-exact round trip through %.17g). Mirrors the reference's
+    square-cell requirement (saver.py:65)."""
+    x0, px, y0, py = transform
+    if px != py:
+        raise ValueError("ascii grid requires square cells "
+                         "(xscale == yscale)")
+    h, w = arr.shape
+    with open(path, "w") as f:
+        f.write(f"NCOLS {w}\nNROWS {h}\n")
+        f.write(f"XLLCORNER {x0!r}\nYLLCORNER {y0 - h * py!r}\n")
+        f.write(f"CELLSIZE {px!r}\nNODATA_VALUE {nodata!r}\n")
+        for row in arr:
+            f.write(" ".join(f"{v:.17g}" for v in row) + "\n")
+
+
+def ascii_grid_to_tiles(path: str, res: int = 4, t: int = TILE,
+                        nodata: float = NODATA) -> pd.DataFrame:
+    """ASCII grid → the engine's world tile table (same nearest
+    sampling as geotiff_to_tiles)."""
+    return _grid_to_tiles(read_ascii_grid(path), res, t, nodata)
+
+
 def geotiff_to_tiles(path: str, res: int = 4, t: int = TILE,
                      nodata: float = NODATA) -> pd.DataFrame:
     """GeoTIFF → the engine's world tile table by nearest sampling of
     each tile pixel center from the source grid (the from_file half of
     reference raster loader; resample semantics = 'nearest')."""
-    arr, meta = read_geotiff(path)
+    return _grid_to_tiles(read_geotiff(path), res, t, nodata)
+
+
+def _grid_to_tiles(arr_meta, res: int, t: int,
+                   nodata: float) -> pd.DataFrame:
+    arr, meta = arr_meta
     x0, px, y0, py = meta["transform"]
     src_nd = meta["nodata"]
 

@@ -148,3 +148,58 @@ def test_prj_sidecar_roundtrip(tmp_path):
                 'PROJECTION["Albers_Conic_Equal_Area"]]')
     with pytest.raises(ValueError):
         raster.read_prj(p)
+
+
+def test_ascii_grid_roundtrip_and_geotiff_parity(tmp_path):
+    """ESRI ASCII grid: %.17g round trip is exact; the same grid read
+    via ASCII and via GeoTIFF yields identical array + transform;
+    center-anchor headers normalize to the same edge convention."""
+    from pythongis_ray import raster as R
+
+    rng = np.random.default_rng(3)
+    # float32-exact values so the GeoTIFF (f4) path is lossless too
+    arr = (np.round(rng.normal(size=(7, 5)) * 100, 3)
+           .astype(np.float32).astype(np.float64))
+    arr[0, 0] = -9999.0
+    transform = (10.0, 0.25, 60.0, 0.25)
+
+    asc = str(tmp_path / "g.asc")
+    tif = str(tmp_path / "g.tif")
+    R.write_ascii_grid(asc, arr, transform, nodata=-9999.0)
+    R.write_geotiff(tif, arr.astype(np.float64), transform,
+                    nodata=-9999.0)
+    a1, m1 = R.read_ascii_grid(asc)
+    a2, m2 = R.read_geotiff(tif)
+    assert np.array_equal(a1, arr) and np.array_equal(a2, arr)
+    assert m1["transform"] == transform == m2["transform"]
+    assert m1["nodata"] == -9999.0
+
+    # center-anchored header variant → same normalized transform
+    hdr = (f"ncols 5\nnrows 7\nxllcenter {10.0 + 0.125}\n"
+           f"yllcenter {60.0 - 7*0.25 + 0.125}\ncellsize 0.25\n")
+    body = "\n".join(" ".join(f"{v:.17g}" for v in row) for row in arr)
+    p2 = tmp_path / "c.asc"
+    p2.write_text(hdr + body + "\n")
+    a3, m3 = R.read_ascii_grid(str(p2))
+    assert np.array_equal(a3, arr)
+    assert m3["transform"] == transform
+    assert m3["nodata"] == -9999.0          # default when header absent
+
+
+def test_ascii_grid_to_tiles_matches_geotiff(tmp_path):
+    import pandas as pd
+
+    from pythongis_ray import raster as R
+
+    rng = np.random.default_rng(5)
+    arr = (np.round(rng.uniform(0, 50, size=(16, 16)), 2)
+           .astype(np.float32).astype(np.float64))
+    transform = (-20.0, 0.5, 30.0, 0.5)
+    asc = str(tmp_path / "t.asc")
+    tif = str(tmp_path / "t.tif")
+    R.write_ascii_grid(asc, arr, transform)
+    R.write_geotiff(tif, arr.astype(np.float64), transform)
+    ta = R.ascii_grid_to_tiles(asc, res=2)
+    tt = R.geotiff_to_tiles(tif, res=2)
+    pd.testing.assert_frame_equal(
+        ta.reset_index(drop=True), tt.reset_index(drop=True))
