@@ -696,3 +696,163 @@ def read_warc(dir_or_paths):
         return pa.concat_tables(tables)
 
     return ds.map_batches(parse, batch_format="pandas", batch_size=4)
+
+
+# --- GeoPackage (OGC 12-128r19) — stdlib sqlite3, no GDAL -----------------
+
+_GPKG_SRS = (
+    ("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
+    ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
+    ("WGS 84 geodetic", 4326, "EPSG", 4326,
+     'GEOGCS["WGS 84",DATUM["WGS_1984",'
+     'SPHEROID["WGS 84",6378137,298.257223563]],'
+     'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]', None),
+)
+
+
+def _gpkg_parse_blob(blob: bytes) -> bytes | None:
+    """GeoPackageBinary → plain WKB (header: magic 'GP', version,
+    flags [bit0 endianness of srs_id, bits1-3 envelope indicator,
+    bit5 empty-geometry], int32 srs_id, optional envelope doubles)."""
+    import struct
+
+    if blob is None or len(blob) < 8 or blob[:2] != b"GP":
+        return None
+    flags = blob[3]
+    if flags & 0x20:            # empty-geometry flag
+        return None
+    env = (flags >> 1) & 0x07
+    n_env = {0: 0, 1: 4, 2: 6, 3: 6, 4: 8}.get(env)
+    if n_env is None:
+        raise ValueError(f"gpkg: invalid envelope indicator {env}")
+    return blob[8 + 8 * n_env:]
+
+
+def read_geopackage(path: str, layer: str | None = None):
+    """GeoPackage feature layer → Dataset with attribute columns +
+    ``geometry`` (plain WKB). ``layer=None`` picks the single feature
+    layer (raises if ambiguous). Driver-side sqlite read (a .gpkg is
+    one local sqlite file — not splittable); rows stream as blocks
+    after the parse, like read_geojson."""
+    import sqlite3
+
+    import ray.data as rd
+
+    con = sqlite3.connect(path)
+    try:
+        layers = [r[0] for r in con.execute(
+            "SELECT table_name FROM gpkg_contents "
+            "WHERE data_type = 'features'")]
+        if layer is None:
+            if len(layers) != 1:
+                raise ValueError(f"gpkg has {len(layers)} feature "
+                                 f"layers {layers}; pass layer=")
+            layer = layers[0]
+        elif layer not in layers:
+            raise ValueError(f"gpkg layer {layer!r} not in {layers}")
+        (gcol,) = next(con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns "
+            "WHERE table_name = ?", (layer,)))
+        cols = [r[1] for r in con.execute(f'PRAGMA table_info("{layer}")')]
+        rows = con.execute(
+            f'SELECT {", ".join(chr(34)+c+chr(34) for c in cols)} '
+            f'FROM "{layer}"').fetchall()
+    finally:
+        con.close()
+    df = pd.DataFrame(rows, columns=cols)
+    df["geometry"] = [_gpkg_parse_blob(b) for b in df[gcol]]
+    if gcol != "geometry":
+        df = df.drop(columns=[gcol])
+    return rd.from_pandas(df)
+
+
+def write_geopackage(ds, path: str, layer: str = "features",
+                     geometry_col: str = "geometry",
+                     geometry_type: str = "GEOMETRY", srs_id: int = 4326):
+    """Dataset → one GeoPackage feature layer (minimal conformant
+    file: gpkg_spatial_ref_sys / gpkg_contents / gpkg_geometry_columns
+    + the feature table; application_id 'GPKG'). Driver-side sqlite
+    write — the interchange sink, like write_geojson."""
+    import os
+    import sqlite3
+
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
+        con.execute("PRAGMA user_version = 10300")
+        con.execute("""CREATE TABLE gpkg_spatial_ref_sys (
+            srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+            organization TEXT NOT NULL,
+            organization_coordsys_id INTEGER NOT NULL,
+            definition TEXT NOT NULL, description TEXT)""")
+        con.executemany(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+            [(n, i, o, oi, d or "undefined", None)
+             for n, i, o, oi, d, _ in _GPKG_SRS])
+        con.execute("""CREATE TABLE gpkg_contents (
+            table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL,
+            identifier TEXT UNIQUE, description TEXT DEFAULT '',
+            last_change DATETIME, min_x DOUBLE, min_y DOUBLE,
+            max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)""")
+        con.execute("""CREATE TABLE gpkg_geometry_columns (
+            table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+            geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+            z TINYINT NOT NULL, m TINYINT NOT NULL,
+            PRIMARY KEY (table_name, column_name))""")
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, "
+            "identifier, srs_id) VALUES (?, 'features', ?, ?)",
+            (layer, layer, srs_id))
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
+            (layer, "geom", geometry_type, srs_id))
+
+        first = True
+        n = 0
+        import struct
+
+        hdr = b"GP\x00\x01" + struct.pack("<i", srs_id)  # no envelope
+        for batch in ds.iter_batches(batch_size=4096,
+                                     batch_format="pandas"):
+            attrs = [c for c in batch.columns if c != geometry_col]
+            if first:
+                defs = ", ".join(
+                    f'"{c}" {_gpkg_sql_type(batch[c])}' for c in attrs)
+                con.execute(
+                    f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY '
+                    f'AUTOINCREMENT, geom BLOB'
+                    + (", " + defs if defs else "") + ")")
+                first = False
+            ph = ", ".join("?" for _ in range(len(attrs) + 1))
+            acols = ", ".join(f'"{c}"' for c in attrs)
+            vals = [
+                (hdr + bytes(row[geometry_col])
+                 if row[geometry_col] is not None else None,
+                 *[_py(row[c]) for c in attrs])
+                for _, row in batch.iterrows()]
+            con.executemany(
+                f'INSERT INTO "{layer}" (geom'
+                + (", " + acols if acols else "")
+                + f") VALUES ({ph})", vals)
+            n += len(vals)
+        if first:   # empty dataset: still emit the (schema-less) table
+            con.execute(f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY '
+                        f'KEY AUTOINCREMENT, geom BLOB)')
+        con.commit()
+    finally:
+        con.close()
+    return n
+
+
+def _gpkg_sql_type(col: pd.Series) -> str:
+    if pd.api.types.is_integer_dtype(col):
+        return "INTEGER"
+    if pd.api.types.is_float_dtype(col):
+        return "DOUBLE"
+    return "TEXT"
+
+
+def _py(v):
+    return v.item() if hasattr(v, "item") else v

@@ -139,3 +139,55 @@ def test_multipolygon_winding_roundtrip(tmp_path):
     # hole grouped with its exterior, not split into its own polygon
     assert abs(abs(algo.ring_area(g1["rings"][0])) - 100.0) < 1e-9
     assert abs(abs(algo.ring_area(g1["rings"][1])) - 4.0) < 1e-9
+
+
+def test_geopackage_roundtrip(ray_session, tmp_path):
+    """GeoPackage write → read round trip: attributes + WKB geometry
+    byte-identical; the GP blob header (magic/flags/srs) parses; a
+    conformant gpkg_contents/geometry_columns registry is emitted."""
+    import sqlite3
+
+    import ray.data as rd
+
+    from pythongis_ray import sources
+    from pythongis_ray.geom import wkb as _wkb
+
+    pts = [_wkb.encode_point(float(i), float(-i)) for i in range(5)]
+    df = pd.DataFrame({"name": [f"n{i}" for i in range(5)],
+                       "val": np.arange(5, dtype=np.int64),
+                       "score": np.arange(5) * 0.5,
+                       "geometry": pts})
+    p = str(tmp_path / "t.gpkg")
+    n = sources.write_geopackage(rd.from_pandas(df), p, layer="pts",
+                                 geometry_type="POINT")
+    assert n == 5
+
+    con = sqlite3.connect(p)
+    (dt,) = con.execute("SELECT data_type FROM gpkg_contents "
+                        "WHERE table_name='pts'").fetchone()
+    assert dt == "features"
+    (blob,) = con.execute("SELECT geom FROM pts WHERE fid=1").fetchone()
+    assert blob[:2] == b"GP"
+    con.close()
+
+    out = sources.read_geopackage(p).to_pandas()
+    out = out.sort_values("val").reset_index(drop=True)
+    assert out["name"].tolist() == df["name"].tolist()
+    assert out["val"].tolist() == df["val"].tolist()
+    assert out["score"].tolist() == df["score"].tolist()
+    assert [bytes(b) for b in out["geometry"]] == pts
+
+
+def test_geopackage_layer_selection(ray_session, tmp_path):
+    import ray.data as rd
+
+    from pythongis_ray import sources
+    from pythongis_ray.geom import wkb as _wkb
+
+    df = pd.DataFrame({"geometry": [_wkb.encode_point(1.0, 2.0)]})
+    p = str(tmp_path / "one.gpkg")
+    sources.write_geopackage(rd.from_pandas(df), p, layer="only")
+    # single layer: layer=None resolves it
+    assert sources.read_geopackage(p).count() == 1
+    with pytest.raises(ValueError):
+        sources.read_geopackage(p, layer="nope")
