@@ -1014,6 +1014,40 @@ GROUP BY word ORDER BY cnt DESC, word LIMIT 20
 """
 
 
+def q_gopher_rules(sf_dir: str):
+    """The remaining Gopher quality rules (mean-word-length bounds,
+    stopword variety ≥ 2, type-token ratio) as exact integer
+    predicates — one stateless map_batches pass."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(text.gopher_rules, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+SQL_GOPHER_RULES = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+           FROM documents),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT wd) AS BIGINT) AS n_distinct,
+         CAST(COUNT(DISTINCT CASE WHEN wd IN {tuple(text.STOPWORDS)!r}
+                             THEN wd END) AS BIGINT) AS n_stop_distinct
+  FROM w GROUP BY doc_id),
+base AS (SELECT doc_id,
+                CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha
+         FROM documents)
+SELECT a.doc_id, a.n_tokens, a.n_distinct, a.n_stop_distinct,
+       CAST(CASE WHEN 3 * a.n_tokens <= b.n_alpha
+                  AND b.n_alpha <= 10 * a.n_tokens
+                 THEN 1 ELSE 0 END AS BIGINT) AS ok_wordlen,
+       CAST(CASE WHEN a.n_stop_distinct >= 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS ok_stopvariety,
+       CAST(CASE WHEN 2 * a.n_distinct >= a.n_tokens
+                 THEN 1 ELSE 0 END AS BIGINT) AS ok_ttr
+FROM agg a JOIN base b USING (doc_id)
+"""
+
+
 def q_lm_score(sf_dir: str):
     """Bigram-LM quality scoring: the corpus trains its own integer
     conditional-frequency bigram model, each doc scores the sum of
@@ -4958,6 +4992,7 @@ REGISTRY: dict[str, tuple] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "search_topk": (q_search_topk, SQL_SEARCH_TOPK),
     "token_regex": (q_token_regex, SQL_TOKEN_REGEX),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),

@@ -1898,3 +1898,57 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     zero_docs = ds.map_batches(zeros, batch_format="pyarrow",
                                batch_size=8192)
     return scored.union(zero_docs)
+
+
+def gopher_rules(batch: pa.Table, id_col: str = "doc_id",
+                 text_col: str = "text") -> pa.Table:
+    """The remaining Gopher §A.1 document-quality rules as exact
+    integer predicates (complementing quality_funnel's length/
+    stopword/repetition rules): mean-word-length bounds
+    (3 ≤ mean ≤ 10 as cross-multiplications), stopword VARIETY
+    (≥ 2 distinct stopwords present), and type-token ratio
+    (distinct words ≥ half the tokens). Emits the signals plus 0/1
+    flags; one split kernel + dictionary-encode per batch, per-doc
+    distincts via a single lexsort run-length — no Python per row."""
+    toks = pc.split_pattern(batch[text_col], " ")
+    flat = (toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray) else toks)
+    offs = np.asarray(flat.offsets)
+    vals = flat.values
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    n = len(batch)
+    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    enc = pc.dictionary_encode(vals)
+    codes = np.asarray(enc.indices).astype(np.int64)
+
+    def distinct_per_doc(d, c):
+        if len(d) == 0:
+            return np.zeros(n, np.int64)
+        o = np.lexsort((c, d))
+        d2, c2 = d[o], c[o]
+        new = np.concatenate(
+            ([True], (d2[1:] != d2[:-1]) | (c2[1:] != c2[:-1])))
+        return np.bincount(d2[new], minlength=n).astype(np.int64)
+
+    n_distinct = distinct_per_doc(doc, codes)
+    stop_mask = pc.is_in(
+        vals, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False)
+    n_stop_distinct = distinct_per_doc(doc[stop_mask],
+                                       codes[stop_mask])
+    n_alpha = (pc.utf8_length(batch[text_col]).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+        - pc.count_substring(batch[text_col], " ").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    ok_wordlen = ((3 * lens <= n_alpha)
+                  & (n_alpha <= 10 * lens)).astype(np.int64)
+    ok_stopvariety = (n_stop_distinct >= 2).astype(np.int64)
+    ok_ttr = (2 * n_distinct >= lens).astype(np.int64)
+    return pa.table({
+        id_col: pc.cast(batch[id_col], pa.int64()),
+        "n_tokens": pa.array(lens),
+        "n_distinct": pa.array(n_distinct),
+        "n_stop_distinct": pa.array(n_stop_distinct),
+        "ok_wordlen": pa.array(ok_wordlen),
+        "ok_stopvariety": pa.array(ok_stopvariety),
+        "ok_ttr": pa.array(ok_ttr)})
