@@ -3531,6 +3531,58 @@ FROM agg
 """
 
 
+def q_kmv_by_host(sf_dir: str):
+    """Per-host approximate distinct-token counts (grouped KMV, k=16)
+    — the distinct-URLs-per-domain shape at sketch cost: O(hosts×k)
+    moves through the combine, never the distinct values."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: pa.table({
+            "host": pa.array(
+                b["doc_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) % 50),
+            "text": b["text"]}),
+        batch_format="pyarrow", batch_size=8192)
+    return text.kmv_distinct_by(ds, "host", k=16)
+
+
+SQL_KMV_BY_HOST = """
+WITH w AS (SELECT doc_id % 50 AS host,
+                  UNNEST(string_split(text, ' ')) AS word
+           FROM documents),
+h0 AS (SELECT DISTINCT host,
+        list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(word, '')]),
+        (acc, x) -> (acc * 1099511628211 + x)
+                    % CAST('18446744073709551616' AS HUGEINT)) AS th0
+      FROM w),
+h AS (SELECT host, ((((th0 // 4294967296)
+                * CAST('11400714819323198485' AS HUGEINT)) % 4294967296)
+               * 4294967296
+              + (th0 % 4294967296)
+                * CAST('11400714819323198485' AS HUGEINT))
+             % CAST('18446744073709551616' AS HUGEINT) AS th FROM h0),
+hd AS (SELECT DISTINCT host, th FROM h),
+ord AS (SELECT host, th,
+               ROW_NUMBER() OVER (PARTITION BY host ORDER BY th) AS rn
+        FROM hd),
+agg AS (SELECT host, MAX(th) AS kth, COUNT(*) AS n
+        FROM ord WHERE rn <= 16 GROUP BY host)
+SELECT CAST(host AS BIGINT) AS host,
+       CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+            ELSE CAST(15 * CAST('18446744073709551616' AS HUGEINT)
+                      AS DOUBLE) / CAST(kth AS DOUBLE) END AS est,
+       CASE WHEN n < 16 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(kth - CASE WHEN kth >=
+                     CAST('9223372036854775808' AS HUGEINT)
+                   THEN CAST('18446744073709551616' AS HUGEINT)
+                   ELSE 0 END AS BIGINT) END AS kth_hash,
+       CAST(n AS BIGINT) AS n_seen
+FROM agg
+"""
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental crawl dedup: the even-id half of `documents` plays
     the already-accepted corpus, the odd-id half the new snapshot;
@@ -5043,6 +5095,7 @@ REGISTRY: dict[str, tuple] = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "kmv_by_host": (q_kmv_by_host, SQL_KMV_BY_HOST),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),

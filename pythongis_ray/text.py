@@ -1952,3 +1952,70 @@ def gopher_rules(batch: pa.Table, id_col: str = "doc_id",
         "ok_wordlen": pa.array(ok_wordlen),
         "ok_stopvariety": pa.array(ok_stopvariety),
         "ok_ttr": pa.array(ok_ttr)})
+
+
+def kmv_distinct_by(ds, key_col: str, text_col: str = "text",
+                    k: int = 256):
+    """Per-GROUP approximate distinct-token counts via mergeable KMV
+    sketches — the grouped-cardinality shape (distinct URLs per host,
+    distinct tokens per language) that stays O(groups × k) through
+    the shuffle instead of O(distinct values): each batch contributes
+    per-group k-minima (one lexsort), a key-bucketed combine merges
+    them. Same hash/mix/estimator contract as :func:`kmv_distinct`
+    (exactly SQL-replayable); groups with fewer than k distinct
+    hashes report the exact count with kth_hash = -1."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, offs = _batch_token_hashes(arr)
+        with np.errstate(over="ignore"):
+            th = th * KMV_MIX
+        keys = batch[key_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        g = np.repeat(keys, lens)
+        if len(g) == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        o = np.lexsort((th, g))
+        g2, t2 = g[o], th[o]
+        new = np.concatenate(
+            ([True], (g2[1:] != g2[:-1]) | (t2[1:] != t2[:-1])))
+        g2, t2 = g2[new], t2[new]
+        # rank within group over the (sorted) distinct run
+        starts = np.concatenate(([True], g2[1:] != g2[:-1]))
+        sidx = np.nonzero(starts)[0]
+        rank = np.arange(len(g2)) - np.repeat(
+            sidx, np.diff(np.concatenate((sidx, [len(g2)]))))
+        m = rank < k
+        return pa.table({key_col: pa.array(g2[m]),
+                         "h": pa.array(t2[m].view(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, grp in b.groupby(key_col, sort=False):
+            u = np.unique(grp["h"].to_numpy(np.int64).view(np.uint64))
+            if len(u) < k:
+                est, kth = float(len(u)), -1
+            else:
+                u = u[:k]
+                est = (k - 1) * (2.0 ** 64) / float(u[k - 1])
+                kth = int(u[k - 1].view(np.int64))
+            out.append((key, est, kth, min(len(u), k)))
+        return pd.DataFrame(out, columns=[key_col, "est", "kth_hash",
+                                          "n_seen"])
+
+    res = bucketed_group_apply(parts, [key_col], combine)
+    return res.map_batches(
+        lambda b: pa.table({
+            key_col: pc.cast(b[key_col], pa.int64()),
+            "est": pc.cast(b["est"], pa.float64()),
+            "kth_hash": pc.cast(b["kth_hash"], pa.int64()),
+            "n_seen": pc.cast(b["n_seen"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
