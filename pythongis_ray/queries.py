@@ -943,6 +943,84 @@ FROM pts GROUP BY ix // 1024, iy // 1024
 """
 
 
+def q_slope_grid(sf_dir: str):
+    """Terrain-style slope over the sparse point-density grid
+    (realizes the reference's empty `slope` stub,
+    /root/reference/pythongis/raster/analyzer.py:655): squared
+    central-difference gradient (E−W)² + (S−N)² per cell, defined
+    only where all four neighbors exist. The sparse-stencil shape:
+    each cell EMITS its value to its four neighbors (5 tagged rows),
+    one (cx, cy)-bucketed combine assembles the stencil — neighbor
+    access without a dense array or a sort."""
+    pts = points_lineitem(sf_dir)
+
+    # 8° cells (8192 units): dense enough at sf0.001 that interior
+    # cells have all four neighbors (a 1° stencil grid is empty there)
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grid_ds = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                    [("n", "cx", "count")])
+
+    # tag = where the SOURCE sits relative to the TARGET:
+    # 0=center 1=east 2=west 3=south(y+1) 4=north(y-1)
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        v = b["n"].to_numpy(np.int64)
+        tx = np.concatenate([cx, cx - 1, cx + 1, cx, cx])
+        ty = np.concatenate([cy, cy, cy, cy - 1, cy + 1])
+        tag = np.repeat(np.arange(5, dtype=np.int64), len(b))
+        return pd.DataFrame({"cx": tx, "cy": ty, "tag": tag,
+                             "v": np.tile(v, 5)})
+
+    tagged = grid_ds.map_batches(emit, batch_format="pandas",
+                                 batch_size=65536)
+
+    def stencil(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.pivot_table(index=["cx", "cy"], columns="tag",
+                          values="v", aggfunc="sum")
+        p = p.reindex(columns=range(5))
+        ok = p.notna().all(axis=1)
+        p = p[ok]
+        e = p[1].to_numpy(np.int64)
+        w = p[2].to_numpy(np.int64)
+        s = p[3].to_numpy(np.int64)
+        n_ = p[4].to_numpy(np.int64)
+        idx = p.index.to_frame(index=False)
+        return pd.DataFrame({
+            "cx": idx["cx"].to_numpy(np.int64),
+            "cy": idx["cy"].to_numpy(np.int64),
+            "slope_sq": (e - w) ** 2 + (s - n_) ** 2})
+
+    out = rel.bucketed_group_apply(tagged, ["cx", "cy"], stencil)
+    return rel.with_empty_schema(out, pa.schema(
+        [("cx", pa.int64()), ("cy", pa.int64()),
+         ("slope_sq", pa.int64())]))
+
+
+def SQL_SLOPE_GRID():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY ix // 8192, iy // 8192)
+SELECT c.cx, c.cy,
+       CAST((e.n - w.n) * (e.n - w.n)
+            + (s.n - n_.n) * (s.n - n_.n) AS BIGINT) AS slope_sq
+FROM g c
+JOIN g e  ON e.cx = c.cx + 1 AND e.cy = c.cy
+JOIN g w  ON w.cx = c.cx - 1 AND w.cy = c.cy
+JOIN g n_ ON n_.cx = c.cx AND n_.cy = c.cy - 1
+JOIN g s  ON s.cx = c.cx AND s.cy = c.cy + 1
+"""
+
+
 def q_flagship(sf_dir: str):
     """The headline pipeline: pages → geocode → spatial join → agg."""
     return pipelines.flagship(sf_dir)
@@ -5041,6 +5119,7 @@ REGISTRY: dict[str, tuple] = {
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "upscale": (q_upscale, SQL_UPSCALE),
     "rasterize": (q_rasterize, SQL_RASTERIZE),
+    "slope_grid": (q_slope_grid, SQL_SLOPE_GRID),
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
