@@ -646,3 +646,48 @@ def test_bigram_model_standalone(ray_session):
     got = {(r.w1, r.w2): r.r for r in model.itertuples()}
     # C(a,b)=2 C(a)=2 ; C(b,a)=2 C(b)=2
     assert got == {("a", "b"): T.LM_SCALE, ("b", "a"): T.LM_SCALE}
+
+
+def test_gopher_rules_vs_bruteforce(ray_session):
+    from pythongis_ray import text as T
+
+    docs = ["the a and of to in is on for with extra words here",
+            "zz zz zz zz", "one", "", "the the the a a xyzzy",
+            "abcdefghijk lmnopqrstuv wxyzabcdefg"]
+    batch = pa.table({"doc_id": pa.array(np.arange(len(docs)),
+                                         pa.int64()),
+                      "text": pa.array(docs)})
+    out = T.gopher_rules(batch).to_pandas()
+    for i, d in enumerate(docs):
+        toks = d.split(" ")
+        r = out.iloc[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct"] == len(set(toks))
+        stops = {t for t in toks if t in T.STOPWORDS}
+        assert r["n_stop_distinct"] == len(stops)
+        n_alpha = len(d.replace(" ", ""))
+        assert r["ok_wordlen"] == int(3 * len(toks) <= n_alpha
+                                      <= 10 * len(toks))
+        assert r["ok_stopvariety"] == int(len(stops) >= 2)
+        assert r["ok_ttr"] == int(2 * len(set(toks)) >= len(toks))
+
+
+def test_kmv_by_host_exact_below_k(ray_session):
+    """With k larger than any group's distinct-token count, every
+    group reports its EXACT distinct count (kth_hash = -1)."""
+    import ray.data as rd
+
+    from pythongis_ray import text as T
+
+    docs = ["a b c", "a b", "x y z w", "x x x", "p q", "p q r"]
+    hosts = [0, 0, 1, 1, 2, 2]
+    ds = rd.from_arrow(pa.table({
+        "host": pa.array(hosts, pa.int64()),
+        "text": pa.array(docs)}))
+    out = (T.kmv_distinct_by(ds, "host", k=64).to_pandas()
+           .sort_values("host").reset_index(drop=True))
+    want = {0: 3, 1: 4, 2: 3}
+    assert out["host"].tolist() == [0, 1, 2]
+    assert out["est"].tolist() == [float(want[h]) for h in (0, 1, 2)]
+    assert (out["kth_hash"] == -1).all()
+    assert out["n_seen"].tolist() == [3, 4, 3]
