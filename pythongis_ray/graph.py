@@ -43,7 +43,8 @@ _NO_LABEL = np.iinfo(np.int64).min
 
 
 def connected_components(edges, src: str = "id_a", dst: str = "id_b",
-                         max_iters: int = 50, engine: str = "actors"):
+                         max_iters: int = 50, engine: str = "actors",
+                         checkpoint_dir: str | None = None):
     """Edge Dataset (src, dst) → Dataset (node, component) where
     ``component`` is the minimum node id reachable from ``node``
     (undirected). Only nodes appearing in at least one edge are
@@ -56,7 +57,8 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
     unique fixed point."""
     if engine == "actors":
         return connected_components_actors(edges, src=src, dst=dst,
-                                           max_iters=max_iters)
+                                           max_iters=max_iters,
+                                           checkpoint_dir=checkpoint_dir)
     if engine != "dataset":
         raise ValueError(f"unknown engine {engine!r} "
                          "(expected 'actors' or 'dataset')")
@@ -660,10 +662,38 @@ class _CCShard:
         return pa.table({"node": pa.array(self.owned),
                          "component": pa.array(self.labels)})
 
+    def checkpoint(self, cdir: str, rnd: int) -> int:
+        import os
+
+        import pyarrow.parquet as pq
+
+        d = os.path.join(cdir, f"round_{rnd:04d}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".shard_{self.b}.parquet.tmp")
+        pq.write_table(self.result(), tmp)
+        os.replace(tmp, os.path.join(d, f"shard_{self.b}.parquet"))
+        return len(self.owned)
+
+    def restore(self, cdir: str, rnd: int) -> int:
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(cdir, f"round_{rnd:04d}",
+                                       f"shard_{self.b}.parquet"))
+        node = t["node"].to_numpy().astype(np.int64)
+        if not np.array_equal(node, self.owned):
+            raise ValueError(
+                f"cc checkpoint shard {self.b}: node layout mismatch "
+                f"(different edges or shard count?)")
+        self.labels = t["component"].to_numpy().astype(np.int64)
+        return rnd
+
 
 def connected_components_actors(edges, src: str = "id_a",
                                 dst: str = "id_b", max_iters: int = 50,
-                                num_shards: int | None = None):
+                                num_shards: int | None = None,
+                                checkpoint_dir: str | None = None):
     """Hash-min connected components on a resident actor-sharded graph
     — identical fixed point as ``connected_components`` (the minimum
     reachable id is unique), but the doubled edge table is loaded into
@@ -676,16 +706,33 @@ def connected_components_actors(edges, src: str = "id_a",
     nb = num_shards or max(2, min(16, int(
         ray.cluster_resources().get("CPU", 4)) // 2))
     nb = max(2, nb)
+    if checkpoint_dir:
+        import json
+        import os
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        meta_path = os.path.join(checkpoint_dir, "meta.json")
+        meta = {"num_shards": nb, "algo": "cc_hashmin"}
+        if os.path.exists(meta_path):
+            if json.load(open(meta_path)) != meta:
+                raise ValueError("cc checkpoint_dir was written with "
+                                 "different parameters/shard count")
+        else:
+            tmp = meta_path + ".tmp"
+            json.dump(meta, open(tmp, "w"))
+            os.replace(tmp, meta_path)
     Shard = ray.remote(_CCShard)
     shards = [Shard.remote(b, nb) for b in range(nb)]
     try:
-        return _cc_rounds(edges, shards, nb, src, dst, max_iters)
+        return _cc_rounds(edges, shards, nb, src, dst, max_iters,
+                          checkpoint_dir)
     finally:
         for sh in shards:
             ray.kill(sh)
 
 
-def _cc_rounds(edges, shards, nb, src, dst, max_iters):
+def _cc_rounds(edges, shards, nb, src, dst, max_iters,
+               checkpoint_dir=None):
     import ray
     import ray.data as rd
 
@@ -707,14 +754,45 @@ def _cc_rounds(edges, shards, nb, src, dst, max_iters):
 
     edges.map_batches(route, batch_format="pyarrow",
                       batch_size=65536).count()
-    ray.get([sh.init.remote() for sh in shards])
+    n_owned = ray.get([sh.init.remote() for sh in shards])
+
+    start = 0
+    if checkpoint_dir:
+        done = [r for r in _complete_rounds(checkpoint_dir, nb)
+                if r <= max_iters]
+        if done:
+            start = max(done)
+            ray.get([sh.restore.remote(checkpoint_dir, start)
+                     for sh in shards])
 
     converged = False
-    for _ in range(max_iters):
+    for rnd in range(start + 1, max_iters + 1):
+        t0 = None
+        if checkpoint_dir:
+            import time as _time
+            t0 = _time.monotonic()
         sc = [sh.scatter.options(num_returns=nb).remote() for sh in shards]
         changed = ray.get(
             [shards[t].gather.remote(*[sc[b][t] for b in range(nb)])
              for t in range(nb)])
+        if checkpoint_dir:
+            import os
+            import time as _time
+
+            import pyarrow.parquet as _pq
+
+            wall = _time.monotonic() - t0
+            ray.get([sh.checkpoint.remote(checkpoint_dir, rnd)
+                     for sh in shards])
+            d = os.path.join(checkpoint_dir, f"round_{rnd:04d}")
+            _pq.write_table(pa.table({
+                "round": pa.array(np.full(nb, rnd, np.int64)),
+                "shard": pa.array(np.arange(nb, dtype=np.int64)),
+                "n_nodes": pa.array(np.asarray(n_owned, np.int64)),
+                "n_changed": pa.array(np.asarray(changed, np.int64)),
+                "round_wall_s": pa.array(np.full(nb, wall, np.float64)),
+            }), os.path.join(d, "metrics.parquet"))
+            open(os.path.join(d, "_DONE"), "w").close()
         if sum(changed) == 0:
             converged = True
             break

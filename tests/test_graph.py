@@ -411,3 +411,42 @@ def test_graph_ops_invariant_to_shard_count(ray_session):
                                 kind="stable").reset_index(drop=True)
             frames.append(df)
         assert frames[0].equals(frames[1]), name
+
+
+def test_cc_checkpoint_resume(ray_session, tmp_path):
+    """Kill-after-round-2 resume of connected components: a fresh
+    call with the same checkpoint_dir restores the newest complete
+    round and converges to the identical component table as an
+    uninterrupted run."""
+    import os
+
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    # chain of 40 + a cross edge: several propagation rounds needed
+    edge_list = [(i, i + 1) for i in range(40)] + [(39, 2)]
+    src = np.array([a for a, _ in edge_list], np.int64)
+    dst = np.array([b for _, b in edge_list], np.int64)
+
+    def edges():
+        return rd.from_arrow(pa.table({"id_a": pa.array(src),
+                                       "id_b": pa.array(dst)}))
+
+    cdir = str(tmp_path / "cc_ckpt")
+    # "crashed" run: capped at 2 rounds (far from convergence) —
+    # the cap raises, but rounds 1-2 are durably checkpointed
+    with pytest.raises(RuntimeError, match="no convergence"):
+        graph.connected_components_actors(edges(), max_iters=2,
+                                          checkpoint_dir=cdir)
+    assert os.path.exists(f"{cdir}/round_0002/_DONE")
+    assert os.path.exists(f"{cdir}/round_0002/metrics.parquet")
+
+    resumed = graph.connected_components_actors(
+        edges(), max_iters=50, checkpoint_dir=cdir).to_pandas()
+    got = dict(zip(resumed["node"], resumed["component"]))
+    assert got == _uf_components(edge_list)
+    # per-round lineage metrics carry the change counts
+    import pyarrow.parquet as pq
+    m = pq.read_table(f"{cdir}/round_0001/metrics.parquet").to_pandas()
+    assert (m["n_changed"].sum()) > 0
