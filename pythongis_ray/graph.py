@@ -62,6 +62,11 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
     if engine != "dataset":
         raise ValueError(f"unknown engine {engine!r} "
                          "(expected 'actors' or 'dataset')")
+    if checkpoint_dir is not None:
+        raise ValueError("checkpoint_dir is only supported by "
+                         "engine='actors' — the dataset fallback "
+                         "would silently drop the resumability "
+                         "request")
 
     def to_labels(batch: pa.Table) -> pa.Table:
         a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -300,11 +305,16 @@ def _bucket_of(ids: np.ndarray, nb: int) -> np.ndarray:
 
 
 def _batch_token(a: np.ndarray, b: np.ndarray) -> int:
-    """Deterministic content token for an edge block (retry dedup)."""
-    with np.errstate(over="ignore"):
-        return int((np.uint64(len(a))
-                    ^ (a.view(np.uint64).sum() * _GOLD)
-                    ^ (b.view(np.uint64).sum() * np.uint64(0x9E3779B1))))
+    """Content token for retry-idempotent edge ingest: a 64-bit
+    blake2b over both arrays' bytes — order- and content-exact, so
+    two different blocks can't collide the way the old sum-based
+    checksum could (equal length + equal per-column sums)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    h.update(np.ascontiguousarray(a).tobytes())
+    h.update(np.ascontiguousarray(b).tobytes())
+    return int.from_bytes(h.digest(), "little")
 
 
 def _group_sum(ids: np.ndarray, vals: np.ndarray):
@@ -757,6 +767,7 @@ def _cc_rounds(edges, shards, nb, src, dst, max_iters,
     n_owned = ray.get([sh.init.remote() for sh in shards])
 
     start = 0
+    converged = False
     if checkpoint_dir:
         done = [r for r in _complete_rounds(checkpoint_dir, nb)
                 if r <= max_iters]
@@ -764,9 +775,23 @@ def _cc_rounds(edges, shards, nb, src, dst, max_iters,
             start = max(done)
             ray.get([sh.restore.remote(checkpoint_dir, start)
                      for sh in shards])
+            # the metrics table records each round's label-change
+            # count: a restored round with zero changes IS the fixed
+            # point (otherwise a resume at start == max_iters would
+            # spuriously raise despite a valid converged snapshot)
+            import os
 
-    converged = False
+            import pyarrow.parquet as _pq
+
+            m = _pq.read_table(os.path.join(
+                checkpoint_dir, f"round_{start:04d}",
+                "metrics.parquet"))
+            if int(pc.sum(m["n_changed"]).as_py() or 0) == 0:
+                converged = True
+
     for rnd in range(start + 1, max_iters + 1):
+        if converged:
+            break
         t0 = None
         if checkpoint_dir:
             import time as _time

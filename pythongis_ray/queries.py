@@ -1194,8 +1194,11 @@ def q_search_topk(sf_dir: str):
             cols[f"tf_{t}"] = pa.array(c[offs[1:]] - c[offs[:-1]])
         return pa.table(cols)
 
+    # two consumers (df reduction, scoring) — materialize the NARROW
+    # tf table (4 int columns) so the wide corpus isn't re-read and
+    # re-tokenized per consumer
     tfs = ds.map_batches(tf_batch, batch_format="pyarrow",
-                         batch_size=8192)
+                         batch_size=8192).materialize()
 
     def partial(batch: pa.Table) -> pa.Table:
         row = {"n": [len(batch)]}

@@ -416,9 +416,19 @@ def write_ascii_grid(path: str, arr: np.ndarray, transform,
         raise ValueError("ascii grid requires square cells "
                          "(xscale == yscale)")
     h, w = arr.shape
+    # the format stores the BOTTOM edge but the engine's transform
+    # anchors on the top edge: pick the representable yll whose
+    # yll + h*cs reconstructs y0 EXACTLY (the naive y0 - h*py can be
+    # 1 ulp off after the reader adds h*cs back)
+    yll = y0 - h * py
+    if yll + h * py != y0:
+        for _ in range(4):
+            yll = np.nextafter(yll, yll + (y0 - (yll + h * py)))
+            if yll + h * py == y0:
+                break
     with open(path, "w") as f:
         f.write(f"NCOLS {w}\nNROWS {h}\n")
-        f.write(f"XLLCORNER {x0!r}\nYLLCORNER {y0 - h * py!r}\n")
+        f.write(f"XLLCORNER {x0!r}\nYLLCORNER {yll!r}\n")
         f.write(f"CELLSIZE {px!r}\nNODATA_VALUE {nodata!r}\n")
         for row in arr:
             f.write(" ".join(f"{v:.17g}" for v in row) + "\n")

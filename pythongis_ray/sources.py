@@ -719,7 +719,12 @@ def _gpkg_parse_blob(blob: bytes) -> bytes | None:
     if blob is None or len(blob) < 8 or blob[:2] != b"GP":
         return None
     flags = blob[3]
-    if flags & 0x20:            # empty-geometry flag
+    # OGC 12-128r19 flag byte: bit 5 = ExtendedGeoPackageBinary,
+    # bit 4 = empty geometry, bits 1-3 envelope, bit 0 byte order
+    if flags & 0x20:
+        raise ValueError("gpkg: ExtendedGeoPackageBinary geometry "
+                         "not supported")
+    if flags & 0x10:            # empty-geometry flag
         return None
     env = (flags >> 1) & 0x07
     n_env = {0: 0, 1: 4, 2: 6, 3: 6, 4: 8}.get(env)

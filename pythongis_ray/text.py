@@ -1852,12 +1852,34 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
         t = _explode_bigrams(batch, text_col, id_col)
         g = t.group_by([id_col, "w1", "w2"]).aggregate(
             [([], "count_all")])
-        return g.rename_columns([id_col, "w1", "w2", "c"])
+        g = g.rename_columns([id_col, "w1", "w2", "c"])
+        # <2-token docs produce no pair; emit them here as null-w1
+        # sentinel rows (a real token is never null) so the zeros
+        # union doesn't need a SECOND corpus scan
+        nt = pc.list_value_length(pc.split_pattern(batch[text_col],
+                                                   " "))
+        short = pc.filter(batch[id_col], pc.less(nt, 2))
+        if len(short):
+            z = pa.table({
+                id_col: short,
+                "w1": pa.array([None] * len(short), pa.string()),
+                "w2": pa.array([None] * len(short), pa.string()),
+                "c": pa.array(np.zeros(len(short), np.int64))})
+            g = pa.concat_tables([g.cast(z.schema), z])
+        return g
 
     tfp = ds.map_batches(doc_pairs, batch_format="pyarrow",
                          batch_size=8192)
 
     def per_w1_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        znull = b["w1"].isna()
+        zeros = b[znull]
+        b = b[~znull]
+        if len(b) == 0:
+            return pd.DataFrame({
+                id_col: zeros[id_col].to_numpy(np.int64),
+                "part_score": np.zeros(len(zeros), np.int64),
+                "part_nb": np.zeros(len(zeros), np.int64)})
         m = (b.groupby(["w1", "w2"], sort=False)["c"].sum()
              .reset_index(name="c12"))
         c1 = m.groupby("w1", sort=False)["c12"].transform("sum")
@@ -1869,10 +1891,17 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
         j["part_nb"] = c
         g = (j.groupby(id_col, sort=False)[["part_score", "part_nb"]]
              .sum())
-        return pd.DataFrame({
+        out = pd.DataFrame({
             id_col: g.index.to_numpy(np.int64),
             "part_score": g["part_score"].to_numpy(np.int64),
             "part_nb": g["part_nb"].to_numpy(np.int64)})
+        if len(zeros):
+            out = pd.concat([out, pd.DataFrame({
+                id_col: zeros[id_col].to_numpy(np.int64),
+                "part_score": np.zeros(len(zeros), np.int64),
+                "part_nb": np.zeros(len(zeros), np.int64)})],
+                ignore_index=True)
+        return out
 
     parts = bucketed_group_apply(tfp, ["w1"], per_w1_bucket)
 
@@ -1883,21 +1912,7 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
             "lm_score": g["part_score"].to_numpy(np.int64),
             "n_bigrams": g["part_nb"].to_numpy(np.int64)})
 
-    scored = bucketed_group_apply(parts, [id_col], per_doc)
-
-    def zeros(batch: pa.Table) -> pa.Table:
-        nt = pc.list_value_length(
-            pc.split_pattern(batch[text_col], " "))
-        m = pc.less(nt, 2)
-        ids = pc.filter(batch[id_col], m)
-        z = np.zeros(len(ids), np.int64)
-        return pa.table({id_col: pc.cast(ids, pa.int64()),
-                         "lm_score": pa.array(z),
-                         "n_bigrams": pa.array(z)})
-
-    zero_docs = ds.map_batches(zeros, batch_format="pyarrow",
-                               batch_size=8192)
-    return scored.union(zero_docs)
+    return bucketed_group_apply(parts, [id_col], per_doc)
 
 
 def gopher_rules(batch: pa.Table, id_col: str = "doc_id",

@@ -203,3 +203,17 @@ def test_ascii_grid_to_tiles_matches_geotiff(tmp_path):
     tt = R.geotiff_to_tiles(tif, res=2)
     pd.testing.assert_frame_equal(
         ta.reset_index(drop=True), tt.reset_index(drop=True))
+
+
+def test_ascii_grid_y_origin_ulp_roundtrip(tmp_path):
+    """Non-dyadic cellsize × height: the writer nudges yllcorner so
+    the reader's yll + h*cs reconstructs the top edge EXACTLY."""
+    from pythongis_ray import raster as R
+
+    arr = np.arange(21, dtype=np.float64).reshape(7, 3)
+    transform = (10.0, 0.1, 60.05, 0.1)   # 0.1 is not dyadic
+    p = str(tmp_path / "u.asc")
+    R.write_ascii_grid(p, arr, transform)
+    a, m = R.read_ascii_grid(p)
+    assert np.array_equal(a, arr)
+    assert m["transform"] == transform

@@ -450,3 +450,34 @@ def test_cc_checkpoint_resume(ray_session, tmp_path):
     import pyarrow.parquet as pq
     m = pq.read_table(f"{cdir}/round_0001/metrics.parquet").to_pandas()
     assert (m["n_changed"].sum()) > 0
+
+
+def test_cc_checkpoint_resume_after_convergence(ray_session, tmp_path):
+    """Re-running with the same checkpoint_dir after the run already
+    converged returns the identical table instead of raising — the
+    zero-change round recorded in the metrics IS the fixed point."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    edge_list = [(1, 2), (2, 3), (7, 8)]
+    src = np.array([a for a, _ in edge_list], np.int64)
+    dst = np.array([b for _, b in edge_list], np.int64)
+
+    def edges():
+        return rd.from_arrow(pa.table({"id_a": pa.array(src),
+                                       "id_b": pa.array(dst)}))
+
+    cdir = str(tmp_path / "cc_ckpt_conv")
+    first = graph.connected_components_actors(
+        edges(), max_iters=50, checkpoint_dir=cdir).to_pandas()
+    import os
+    import re
+    last = max(int(re.search(r"(\d+)", d).group(1))
+               for d in os.listdir(cdir) if d.startswith("round_"))
+    # resume with max_iters == the converged round: must NOT raise
+    again = graph.connected_components_actors(
+        edges(), max_iters=last, checkpoint_dir=cdir).to_pandas()
+    a = dict(zip(first["node"], first["component"]))
+    b = dict(zip(again["node"], again["component"]))
+    assert a == b == _uf_components(edge_list)

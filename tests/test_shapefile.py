@@ -191,3 +191,22 @@ def test_geopackage_layer_selection(ray_session, tmp_path):
     assert sources.read_geopackage(p).count() == 1
     with pytest.raises(ValueError):
         sources.read_geopackage(p, layer="nope")
+
+
+def test_geopackage_flag_bits():
+    """OGC GPB flag byte: bit 4 (0x10) = empty geometry → None;
+    bit 5 (0x20) = extended GPB → explicit error, never silent."""
+    import struct
+
+    from pythongis_ray.sources import _gpkg_parse_blob
+
+    base = b"GP\x00"
+    srs = struct.pack("<i", 4326)
+    wkb = b"\x01\x01\x00\x00\x00" + b"\x00" * 16
+    assert _gpkg_parse_blob(base + bytes([0x01]) + srs + wkb) == wkb
+    assert _gpkg_parse_blob(base + bytes([0x11]) + srs) is None
+    with pytest.raises(ValueError, match="Extended"):
+        _gpkg_parse_blob(base + bytes([0x21]) + srs + wkb)
+    # envelope indicator 1 (xy bounds): 4 doubles skipped
+    env = struct.pack("<4d", 0, 1, 0, 1)
+    assert _gpkg_parse_blob(base + bytes([0x03]) + srs + env + wkb) == wkb
