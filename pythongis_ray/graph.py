@@ -490,9 +490,7 @@ def pagerank_actors(edges, src: str = "src", dst: str = "dst",
     import ray
     import ray.data as rd
 
-    nb = num_shards or max(2, min(16, int(
-        ray.cluster_resources().get("CPU", 4)) // 2))
-    nb = max(2, nb)  # num_returns routing assumes >=2 shards
+    nb = _shard_count(num_shards)
     if checkpoint_dir:
         # validate/write run parameters BEFORE spawning or loading —
         # a mismatched resume must fail fast, not after the edge load
@@ -532,22 +530,7 @@ def _pagerank_rounds(edges, shards, nb, src, dst, iters, init_mass,
     import ray
     import ray.data as rd
 
-    def route(batch: pa.Table) -> pa.Table:
-        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-        sb = _bucket_of(s, nb)
-        acks = []
-        for t in range(nb):
-            m = sb == t
-            if m.any():
-                acks.append(shards[t].add_edges.remote(
-                    _batch_token(s[m], d[m]), s[m], d[m]))
-        import ray as _ray
-        _ray.get(acks)  # backpressure: don't outrun the shards
-        return pa.table({"n": pa.array([len(s)], pa.int64())})
-
-    edges.map_batches(route, batch_format="pyarrow",
-                      batch_size=65536).count()
+    _route_edges(edges, shards, nb, src, dst, mode="directed")
 
     ex = [sh.node_exchange.options(num_returns=nb).remote()
           for sh in shards]
@@ -598,6 +581,60 @@ def _pagerank_rounds(edges, shards, nb, src, dst, iters, init_mass,
     # materialize BEFORE the caller's finally kills the pool
     return rd.from_arrow_refs(
         [sh.result.remote() for sh in shards]).materialize()
+
+
+def _shard_count(num_shards) -> int:
+    """Default shard-pool size: half the advertised CPUs, 2..16."""
+    import ray
+
+    nb = num_shards or max(2, min(16, int(
+        ray.cluster_resources().get("CPU", 4)) // 2))
+    return max(2, nb)
+
+
+def _route_edges(edges, shards, nb: int, src: str, dst: str,
+                 mode: str = "directed") -> None:
+    """Stream the edge Dataset INTO the shard pool (the load is the
+    only time O(E) bytes move). mode: 'directed' keys each edge by
+    src; 'doubled' keys by both endpoints (undirected algorithms);
+    'both' ships the forward layout keyed by src AND the reversed
+    layout keyed by dst with a kind tag (HITS). Retry-idempotent via
+    the blake2b content token; ray.get on the acks applies
+    backpressure so the stream can't outrun the shards."""
+    import ray as _ray
+
+    def route(batch: pa.Table) -> pa.Table:
+        a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        acks = []
+
+        def send(key, other, kind=None):
+            kb = _bucket_of(key, nb)
+            for t in range(nb):
+                m = kb == t
+                if m.any():
+                    tok = _batch_token(key[m], other[m])
+                    if kind is None:
+                        acks.append(shards[t].add_edges.remote(
+                            tok, key[m], other[m]))
+                    else:
+                        acks.append(shards[t].add_edges.remote(
+                            kind, tok, key[m], other[m]))
+
+        if mode == "directed":
+            send(a, b)
+        elif mode == "doubled":
+            send(np.concatenate([a, b]), np.concatenate([b, a]))
+        elif mode == "both":
+            send(a, b, kind="f")
+            send(b, a, kind="r")
+        else:
+            raise ValueError(mode)
+        _ray.get(acks)
+        return pa.table({"n": pa.array([len(a)], pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow",
+                      batch_size=65536).count()
 
 
 def _group_min(ids: np.ndarray, vals: np.ndarray):
@@ -713,9 +750,7 @@ def connected_components_actors(edges, src: str = "id_a",
     import ray
     import ray.data as rd
 
-    nb = num_shards or max(2, min(16, int(
-        ray.cluster_resources().get("CPU", 4)) // 2))
-    nb = max(2, nb)
+    nb = _shard_count(num_shards)
     if checkpoint_dir:
         import json
         import os
@@ -746,24 +781,7 @@ def _cc_rounds(edges, shards, nb, src, dst, max_iters,
     import ray
     import ray.data as rd
 
-    def route(batch: pa.Table) -> pa.Table:
-        a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = np.concatenate([a, b])      # doubled: both directions
-        other = np.concatenate([b, a])
-        kb = _bucket_of(key, nb)
-        acks = []
-        for t in range(nb):
-            m = kb == t
-            if m.any():
-                acks.append(shards[t].add_edges.remote(
-                    _batch_token(key[m], other[m]), key[m], other[m]))
-        import ray as _ray
-        _ray.get(acks)
-        return pa.table({"n": pa.array([len(a)], pa.int64())})
-
-    edges.map_batches(route, batch_format="pyarrow",
-                      batch_size=65536).count()
+    _route_edges(edges, shards, nb, src, dst, mode="doubled")
     n_owned = ray.get([sh.init.remote() for sh in shards])
 
     start = 0
@@ -948,9 +966,7 @@ def hits_actors(edges, src: str = "src", dst: str = "dst",
     import ray
     import ray.data as rd
 
-    nb = num_shards or max(2, min(16, int(
-        ray.cluster_resources().get("CPU", 4)) // 2))
-    nb = max(2, nb)
+    nb = _shard_count(num_shards)
     Shard = ray.remote(_HitsShard)
     shards = [Shard.remote(b, nb) for b in range(nb)]
     try:
@@ -964,28 +980,7 @@ def _hits_rounds(edges, shards, nb, src, dst, iters, scale):
     import ray
     import ray.data as rd
 
-    def route(batch: pa.Table) -> pa.Table:
-        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-        acks = []
-        sb = _bucket_of(s, nb)
-        for t in range(nb):
-            m = sb == t
-            if m.any():
-                acks.append(shards[t].add_edges.remote(
-                    "f", _batch_token(s[m], d[m]), s[m], d[m]))
-        db = _bucket_of(d, nb)
-        for t in range(nb):
-            m = db == t
-            if m.any():
-                acks.append(shards[t].add_edges.remote(
-                    "r", _batch_token(d[m], s[m]), d[m], s[m]))
-        import ray as _ray
-        _ray.get(acks)
-        return pa.table({"n": pa.array([len(s)], pa.int64())})
-
-    edges.map_batches(route, batch_format="pyarrow",
-                      batch_size=65536).count()
+    _route_edges(edges, shards, nb, src, dst, mode="both")
     ex = [sh.node_exchange.options(num_returns=nb).remote()
           for sh in shards]
     ray.get([shards[t].init.remote(scale, *[ex[b][t] for b in range(nb)])
@@ -1101,9 +1096,7 @@ def bfs_actors(edges, src: str = "src", dst: str = "dst",
     import ray
     import ray.data as rd
 
-    nb = num_shards or max(2, min(16, int(
-        ray.cluster_resources().get("CPU", 4)) // 2))
-    nb = max(2, nb)
+    nb = _shard_count(num_shards)
     Shard = ray.remote(_BfsShard)
     shards = [Shard.remote(b, nb) for b in range(nb)]
     try:
@@ -1117,22 +1110,7 @@ def _bfs_rounds(edges, shards, nb, src, dst, seed_mod, iters):
     import ray
     import ray.data as rd
 
-    def route(batch: pa.Table) -> pa.Table:
-        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-        sb = _bucket_of(s, nb)
-        acks = []
-        for t in range(nb):
-            m = sb == t
-            if m.any():
-                acks.append(shards[t].add_edges.remote(
-                    _batch_token(s[m], d[m]), s[m], d[m]))
-        import ray as _ray
-        _ray.get(acks)
-        return pa.table({"n": pa.array([len(s)], pa.int64())})
-
-    edges.map_batches(route, batch_format="pyarrow",
-                      batch_size=65536).count()
+    _route_edges(edges, shards, nb, src, dst, mode="directed")
     ex = [sh.node_exchange.options(num_returns=nb).remote()
           for sh in shards]
     ray.get([shards[t].init.remote(seed_mod,
@@ -1272,9 +1250,7 @@ def random_walks(edges, src: str = "src", dst: str = "dst",
     import ray
     import ray.data as rd
 
-    nb = num_shards or max(2, min(16, int(
-        ray.cluster_resources().get("CPU", 4)) // 2))
-    nb = max(2, nb)
+    nb = _shard_count(num_shards)
     Shard = ray.remote(_WalkShard)
     shards = [Shard.remote(b, nb) for b in range(nb)]
     try:
@@ -1288,22 +1264,7 @@ def _walk_rounds(edges, shards, nb, src, dst, length):
     import ray
     import ray.data as rd
 
-    def route(batch: pa.Table) -> pa.Table:
-        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-        sb = _bucket_of(s, nb)
-        acks = []
-        for t in range(nb):
-            m = sb == t
-            if m.any():
-                acks.append(shards[t].add_edges.remote(
-                    _batch_token(s[m], d[m]), s[m], d[m]))
-        import ray as _ray
-        _ray.get(acks)
-        return pa.table({"n": pa.array([len(s)], pa.int64())})
-
-    edges.map_batches(route, batch_format="pyarrow",
-                      batch_size=65536).count()
+    _route_edges(edges, shards, nb, src, dst, mode="directed")
     ex = [sh.node_exchange.options(num_returns=nb).remote()
           for sh in shards]
     ray.get([shards[t].init.remote(*[ex[b][t] for b in range(nb)])
@@ -1422,9 +1383,7 @@ def kcore(edges, src: str = "src", dst: str = "dst", k: int = 2,
     import ray
     import ray.data as rd
 
-    nb = num_shards or max(2, min(16, int(
-        ray.cluster_resources().get("CPU", 4)) // 2))
-    nb = max(2, nb)
+    nb = _shard_count(num_shards)
     Shard = ray.remote(_KCoreShard)
     shards = [Shard.remote(b, nb) for b in range(nb)]
     try:
@@ -1438,24 +1397,7 @@ def _kcore_rounds(edges, shards, nb, src, dst, k, max_rounds):
     import ray
     import ray.data as rd
 
-    def route(batch: pa.Table) -> pa.Table:
-        a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = np.concatenate([a, b])
-        other = np.concatenate([b, a])
-        kb = _bucket_of(key, nb)
-        acks = []
-        for t in range(nb):
-            m = kb == t
-            if m.any():
-                acks.append(shards[t].add_edges.remote(
-                    _batch_token(key[m], other[m]), key[m], other[m]))
-        import ray as _ray
-        _ray.get(acks)
-        return pa.table({"n": pa.array([len(a)], pa.int64())})
-
-    edges.map_batches(route, batch_format="pyarrow",
-                      batch_size=65536).count()
+    _route_edges(edges, shards, nb, src, dst, mode="doubled")
     ray.get([sh.init.remote() for sh in shards])
 
     for _ in range(max_rounds):
@@ -1575,9 +1517,7 @@ def label_propagation(edges, src: str = "src", dst: str = "dst",
     import ray
     import ray.data as rd
 
-    nb = num_shards or max(2, min(16, int(
-        ray.cluster_resources().get("CPU", 4)) // 2))
-    nb = max(2, nb)
+    nb = _shard_count(num_shards)
     Shard = ray.remote(_LpaShard)
     shards = [Shard.remote(b, nb) for b in range(nb)]
     try:
@@ -1591,24 +1531,7 @@ def _lpa_rounds(edges, shards, nb, src, dst, rounds):
     import ray
     import ray.data as rd
 
-    def route(batch: pa.Table) -> pa.Table:
-        a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = np.concatenate([a, b])
-        other = np.concatenate([b, a])
-        kb = _bucket_of(key, nb)
-        acks = []
-        for t in range(nb):
-            m = kb == t
-            if m.any():
-                acks.append(shards[t].add_edges.remote(
-                    _batch_token(key[m], other[m]), key[m], other[m]))
-        import ray as _ray
-        _ray.get(acks)
-        return pa.table({"n": pa.array([len(a)], pa.int64())})
-
-    edges.map_batches(route, batch_format="pyarrow",
-                      batch_size=65536).count()
+    _route_edges(edges, shards, nb, src, dst, mode="doubled")
     ray.get([sh.init.remote() for sh in shards])
 
     for _ in range(rounds):
