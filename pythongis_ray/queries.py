@@ -988,20 +988,27 @@ def q_slope_grid(sf_dir: str):
         p = p.reindex(columns=range(5))
         ok = p.notna().all(axis=1)
         p = p[ok]
+        c = p[0].to_numpy(np.int64)
         e = p[1].to_numpy(np.int64)
         w = p[2].to_numpy(np.int64)
         s = p[3].to_numpy(np.int64)
         n_ = p[4].to_numpy(np.int64)
         idx = p.index.to_frame(index=False)
+        # aspect: direction of steepest DESCENT among the 4 drops,
+        # first-index tie-break (E, W, N, S); -1 for pits/flats
+        drops = np.stack([c - e, c - w, c - n_, c - s])
+        aspect = np.argmax(drops, axis=0).astype(np.int64)
+        aspect[drops.max(axis=0) <= 0] = -1
         return pd.DataFrame({
             "cx": idx["cx"].to_numpy(np.int64),
             "cy": idx["cy"].to_numpy(np.int64),
-            "slope_sq": (e - w) ** 2 + (s - n_) ** 2})
+            "slope_sq": (e - w) ** 2 + (s - n_) ** 2,
+            "aspect": aspect})
 
     out = rel.bucketed_group_apply(tagged, ["cx", "cy"], stencil)
     return rel.with_empty_schema(out, pa.schema(
         [("cx", pa.int64()), ("cy", pa.int64()),
-         ("slope_sq", pa.int64())]))
+         ("slope_sq", pa.int64()), ("aspect", pa.int64())]))
 
 
 def SQL_SLOPE_GRID():
@@ -1012,7 +1019,16 @@ g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
       FROM pts GROUP BY ix // 8192, iy // 8192)
 SELECT c.cx, c.cy,
        CAST((e.n - w.n) * (e.n - w.n)
-            + (s.n - n_.n) * (s.n - n_.n) AS BIGINT) AS slope_sq
+            + (s.n - n_.n) * (s.n - n_.n) AS BIGINT) AS slope_sq,
+       CAST(CASE
+         WHEN GREATEST(c.n - e.n, c.n - w.n,
+                       c.n - n_.n, c.n - s.n) <= 0 THEN -1
+         WHEN c.n - e.n >= c.n - w.n AND c.n - e.n >= c.n - n_.n
+          AND c.n - e.n >= c.n - s.n THEN 0
+         WHEN c.n - w.n >= c.n - n_.n
+          AND c.n - w.n >= c.n - s.n THEN 1
+         WHEN c.n - n_.n >= c.n - s.n THEN 2
+         ELSE 3 END AS BIGINT) AS aspect
 FROM g c
 JOIN g e  ON e.cx = c.cx + 1 AND e.cy = c.cy
 JOIN g w  ON w.cx = c.cx - 1 AND w.cy = c.cy
