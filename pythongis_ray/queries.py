@@ -3737,6 +3737,56 @@ def q_warc_roundtrip(sf_dir: str):
 SQL_WARC_ROUNDTRIP = SQL_EXTRACT_TEXT
 
 
+def q_gpkg_roundtrip(sf_dir: str):
+    """Vector interchange loop: customer points → GeoPackage (stdlib
+    sqlite3 sink) → read back → decode WKB to exact lattice units.
+    A hash match proves keys, GP-binary headers and coordinate
+    doubles survived the format byte-exactly (the lattice makes
+    lon→units reconstruction exact in float64)."""
+    import shutil
+    import tempfile
+
+    from pythongis_ray import sources
+    from pythongis_ray.geom import wkb as _wkb
+
+    pts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+
+    def to_geom(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ck": batch["ck"].to_numpy(np.int64),
+            "geometry": list(_wkb.encode_points(
+                batch["lon"].to_numpy(np.float64),
+                batch["lat"].to_numpy(np.float64)))})
+
+    d = tempfile.mkdtemp(prefix="gpkg_q_", dir="/tmp")
+    try:
+        g = pts.map_batches(to_geom, batch_format="pandas",
+                            batch_size=8192)
+        sources.write_geopackage(g, f"{d}/pts.gpkg", layer="pts",
+                                 geometry_type="POINT")
+        back = sources.read_geopackage(f"{d}/pts.gpkg")
+
+        def decode(batch: pd.DataFrame) -> pa.Table:
+            x, y = _wkb.decode_points(batch["geometry"].tolist())
+            ix = np.rint((x + 180.0) * 1024.0).astype(np.int64)
+            iy = np.rint((y + 90.0) * 1024.0).astype(np.int64)
+            return pa.table({
+                "ck": pa.array(batch["ck"].to_numpy(np.int64)),
+                "ix": pa.array(ix), "iy": pa.array(iy)})
+
+        return back.map_batches(decode, batch_format="pandas",
+                                batch_size=8192).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def SQL_GPKG_ROUNDTRIP():
+    return f"""
+SELECT ck, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy
+FROM ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")}) _g
+"""
+
+
 # ----------------------------------------------------- web graph ops
 
 def q_link_graph(sf_dir: str):
@@ -5220,6 +5270,7 @@ REGISTRY: dict[str, tuple] = {
     "warp_mercator": (q_warp_mercator, None),
     "dedup_near_embed": (q_dedup_near_embed, SQL_DEDUP_NEAR_EMBED),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "gpkg_roundtrip": (q_gpkg_roundtrip, SQL_GPKG_ROUNDTRIP),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "link_graph": (q_link_graph, SQL_LINK_GRAPH),
     "pagerank": (q_pagerank, _sql_pagerank),
