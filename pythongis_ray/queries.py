@@ -1037,6 +1037,36 @@ JOIN g s  ON s.cx = c.cx AND s.cy = c.cy + 1
 """
 
 
+def q_asc_roundtrip(sf_dir: str):
+    """Raster interchange loop: point-density grid → dense ESRI ASCII
+    grid file → read back → re-sparsify. A hash match against the
+    plain rasterize oracle proves header georef and %.17g cell values
+    survive the text format exactly. The densify/write is
+    driver-side but GRID-bounded (360×180 cells), not corpus-bounded."""
+    import shutil
+    import tempfile
+
+    from pythongis_ray import raster as R
+
+    cells = q_rasterize(sf_dir).to_pandas()
+    w, h = 360, 180
+    arr = np.full((h, w), -9999.0, np.float64)
+    arr[179 - cells["cy"].to_numpy(np.int64),
+        cells["cx"].to_numpy(np.int64)] = cells["n"].to_numpy(np.int64)
+    d = tempfile.mkdtemp(prefix="asc_q_", dir="/tmp")
+    try:
+        R.write_ascii_grid(f"{d}/g.asc", arr, (-180.0, 1.0, 90.0, 1.0))
+        back, meta = R.read_ascii_grid(f"{d}/g.asc")
+        assert meta["transform"] == (-180.0, 1.0, 90.0, 1.0)
+        rr, cc = np.nonzero(back != meta["nodata"])
+        return pa.table({
+            "cx": pa.array(cc.astype(np.int64)),
+            "cy": pa.array((179 - rr).astype(np.int64)),
+            "n": pa.array(back[rr, cc].astype(np.int64))})
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_flagship(sf_dir: str):
     """The headline pipeline: pages → geocode → spatial join → agg."""
     return pipelines.flagship(sf_dir)
@@ -5189,6 +5219,7 @@ REGISTRY: dict[str, tuple] = {
     "upscale": (q_upscale, SQL_UPSCALE),
     "rasterize": (q_rasterize, SQL_RASTERIZE),
     "slope_grid": (q_slope_grid, SQL_SLOPE_GRID),
+    "asc_roundtrip": (q_asc_roundtrip, SQL_RASTERIZE),
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
