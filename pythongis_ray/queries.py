@@ -4405,6 +4405,55 @@ w{k} AS MATERIALIZED (
     return head + body + "\n" + tail
 
 
+REDIR_HOPS = 8
+_SQL_REDIRECT_EDGES = """
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST(doc_id // 2 AS BIGINT) AS dst
+  FROM documents WHERE doc_id % 7 = 0"""
+
+
+def q_resolve_redirects(sf_dir: str):
+    """Canonical-URL redirect resolution: pages {id % 7 == 0}
+    redirect to id//2; every page IN THE REDIRECT GRAPH (a source or
+    a target) chases its chain up to 8 hops
+    (non-redirecting pages stay put — including chains that EXIT the
+    redirect set early, and the 0→0 self-loop). A functional graph
+    is a walk graph with out-degree ≤ 1, so this IS the resident-
+    shard walk engine (hop choice h mod 1 = the single target);
+    step 8 of each walk is the resolved target."""
+    from pythongis_ray import graph
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def redirects(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = d % 7 == 0
+        return pa.table({"src": pa.array(d[m]),
+                         "dst": pa.array(d[m] // 2)})
+
+    edges = ds.map_batches(redirects, batch_format="pyarrow",
+                           batch_size=65536)
+    walks = graph.random_walks(edges, length=REDIR_HOPS)
+    return walks.map_batches(
+        lambda b: pa.table({
+            "page": pc.cast(pc.filter(
+                b["start"], pc.equal(b["step"], REDIR_HOPS)),
+                pa.int64()),
+            "final": pc.cast(pc.filter(
+                b["node"], pc.equal(b["step"], REDIR_HOPS)),
+                pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_resolve_redirects() -> str:
+    sql = _sql_random_walks(length=REDIR_HOPS,
+                            edges_sql=_SQL_REDIRECT_EDGES)
+    return (f"WITH walks AS MATERIALIZED ({sql})\n"
+            f"SELECT start AS page, node AS final FROM walks "
+            f"WHERE step = {REDIR_HOPS}")
+
+
 SKIPGRAM_WINDOW = 2
 
 
@@ -5314,6 +5363,7 @@ REGISTRY: dict[str, tuple] = {
     "communities": (q_communities, _sql_lpa),
     "link_distance": (q_link_distance, _sql_bfs),
     "random_walks": (q_random_walks, _sql_random_walks),
+    "resolve_redirects": (q_resolve_redirects, _sql_resolve_redirects),
     "walk_skipgrams": (q_walk_skipgrams, _sql_walk_skipgrams),
     "pagerank_hosts": (q_pagerank_hosts,
                        lambda: _sql_pagerank(edges_sql=_SQL_HOST_EDGES)),
