@@ -5231,6 +5231,73 @@ WHERE NOT ({conds})
 """
 
 
+PHRASE = ("part", "filter")  # frequent corpus bigram at every SF
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact consecutive-token phrase retrieval: one vectorized scan
+    probing the raw-buffer token-hash stream for the phrase chain
+    (text.phrase_search). Positional semantics — the inverted-index
+    probe a search engine would run, expressed as a streaming batch
+    transform."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.phrase_search(ds, list(PHRASE))
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+p AS (SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk) - {len(PHRASE) - 1})) AS i
+      FROM t WHERE len(tk) >= {len(PHRASE)})
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(i) - 1 AS BIGINT) AS first_pos
+FROM p
+WHERE {' AND '.join(f"tk[i+{j}] = '{w}'" for j, w in enumerate(PHRASE))}
+GROUP BY doc_id
+"""
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Bloom-prefiltered exact semi-join: orders placed by
+    BUILDING-segment customers. The customer key set becomes a
+    128 KiB broadcast bitmap; only probe-side survivors (matches +
+    ~fp-rate false positives) enter the verify shuffle — the pattern
+    that makes a 100-TB-side semi-join affordable when the raw build
+    keys are too wide to broadcast."""
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        total = np.rint(np.asarray(tp, np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "total_cents": pa.array(total),
+        })
+
+    big = orders.map_batches(cents, batch_format="pyarrow",
+                             batch_size=65536)
+    cust = _rd().read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]).filter(
+            expr="c_mktsegment == 'BUILDING'")
+    return rel.bloom_semi_join(big, cust, key="o_custkey",
+                               small_key="c_custkey")
+
+
+SQL_BLOOM_SEMIJOIN = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+"""
+
+
 # ------------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -5374,6 +5441,8 @@ REGISTRY: dict[str, tuple] = {
     "split_holdout": (q_split_holdout, SQL_SPLIT_HOLDOUT),
     "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
 }
 
 

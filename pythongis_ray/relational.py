@@ -931,3 +931,108 @@ def with_empty_schema(ds, schema: pa.Schema):
     import ray.data as rd
 
     return ds.union(rd.from_arrow(schema.empty_table()))
+
+# ---------------------------------------------------- bloom semi-join
+
+# odd 64-bit mixing constants (splitmix64 / murmur3 finalizers)
+_BLOOM_M1 = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_M2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_positions(keys: np.ndarray, nhash: int,
+                     log2_bits: int) -> np.ndarray:
+    """(nhash, n) bit positions via multiplicative double hashing:
+    pos_j = top log2_bits bits of (k*M1 + j*((k*M2)|1)) mod 2^64.
+    Exact integer arithmetic — the same key always sets the same bits
+    on every worker."""
+    x = keys.astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = x * _BLOOM_M1
+        h2 = (x * _BLOOM_M2) | np.uint64(1)
+        j = np.arange(nhash, dtype=np.uint64)[:, None]
+        pos = (h1[None, :] + j * h2[None, :]) >> np.uint64(64 - log2_bits)
+    return pos.astype(np.int64)
+
+
+def bloom_build(ds, key_col: str, nhash: int = 4,
+                log2_bits: int = 20) -> np.ndarray:
+    """Distributed Bloom-filter build over a key column.
+
+    Each batch emits its DISTINCT set-bit positions (≤ nhash × batch
+    keys int64s, deduped batch-locally), and the driver folds the
+    position stream into one fixed-size bitmap — so the reduce payload
+    is bounded by the build side's key count and the bitmap by
+    2^log2_bits bits (128 KiB at the default 20), never by the probe
+    side. At cluster scale the same fold is a tree reduce of
+    fixed-size bitmaps; the driver loop here is the two-level version
+    of it and moves only positions, not rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.unique(_bloom_positions(k, nhash, log2_bits))
+        return pa.table({"pos": pa.array(pos, pa.int64())})
+
+    bits = np.zeros(1 << max(log2_bits - 3, 0), np.uint8)
+    stream = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536)
+    for b in stream.iter_batches(batch_format="pyarrow"):
+        p = b["pos"].to_numpy()
+        np.bitwise_or.at(bits, p >> 3,
+                         (np.uint8(1) << (p & 7).astype(np.uint8)))
+    return bits
+
+
+def bloom_check(bits: np.ndarray, keys: np.ndarray, nhash: int = 4,
+                log2_bits: int = 20) -> np.ndarray:
+    """Vectorized membership probe: True where ALL nhash bits are set
+    (superset of true members — one-sided error)."""
+    pos = _bloom_positions(keys, nhash, log2_bits)
+    m = np.ones(len(keys), bool)
+    for d in range(nhash):
+        pd_ = pos[d]
+        m &= (bits[pd_ >> 3] &
+              (np.uint8(1) << (pd_ & 7).astype(np.uint8))) != 0
+    return m
+
+
+def bloom_semi_join(big, small, key: str, small_key: str | None = None,
+                    nhash: int = 4, log2_bits: int = 20):
+    """Exact semi-join with a Bloom prefilter (the classic distributed
+    pattern when the build side's raw keys are too wide to broadcast
+    but its bitmap is not): build a 2^log2_bits-bit filter over the
+    small side's keys, broadcast it once (``ray.put`` +
+    ``state.get_broadcast`` — one deserialize per worker), drop every
+    big-side row whose key fails the probe, then run ONE bucketed hash
+    semi-join of the survivors (true matches + ~fp-rate false
+    positives) against the key set for exactness. The all-to-all
+    shuffle carries survivors only — at a 1% hit rate that is ~100×
+    less data than joining the raw big side. Result is exact (the
+    Bloom probe is a superset; the verify join removes false
+    positives), so the DuckDB oracle is a plain ``IN`` subquery."""
+    from pythongis_ray import state
+
+    skc = small_key or key
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch[skc].cast(pa.int64())
+        return pa.table({key: col})
+
+    keys_ds = small.map_batches(project, batch_format="pyarrow",
+                                batch_size=65536)
+    # the verify join needs unique build keys (inner join == semi only
+    # then); dedup is bucket-local + tiny
+    keys_ds = bucketed_group_apply(
+        keys_ds, [key],
+        lambda b: b.drop_duplicates(subset=[key]))
+    keys_ds = keys_ds.materialize()
+
+    bits = bloom_build(keys_ds, key, nhash=nhash, log2_bits=log2_bits)
+    ref = ray.put(bits)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        bm = state.get_broadcast(ref)
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(bloom_check(bm, k, nhash, log2_bits)))
+
+    cand = big.map_batches(filt, batch_format="pyarrow", batch_size=16384)
+    return join_large(cand, keys_ds, on=key)

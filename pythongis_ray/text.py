@@ -2034,3 +2034,55 @@ def kmv_distinct_by(ds, key_col: str, text_col: str = "text",
             "kth_hash": pc.cast(b["kth_hash"], pa.int64()),
             "n_seen": pc.cast(b["n_seen"], pa.int64())}),
         batch_format="pyarrow", batch_size=65536)
+
+# ----------------------------------------------------- phrase search
+
+def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Exact consecutive-token phrase retrieval (positional match).
+
+    One vectorized scan: per batch the raw-buffer token-hash stream
+    (:func:`_batch_token_hashes`) is probed for the phrase's first
+    token and the k-1 following hashes are chain-compared in place —
+    no postings shuffle, no per-row Python. A window only counts when
+    it lies entirely inside one document (checked against the doc
+    token offsets). Emits one row per matching doc: occurrence count
+    and first token position (0-based).
+
+    Scale note: for ONE phrase this scan moves strictly less data
+    than building (term, doc, pos) postings; at repeated-query scale
+    you materialize the postings once (same explode) and run the
+    identical chain test on just the phrase terms' posting lists.
+    Token equality is by 64-bit polynomial hash (collision odds
+    ~2^-64 per comparison; the same hash the dedup family replays in
+    SQL)."""
+    ph = np.array([hash_token(w) for w in phrase], dtype=np.uint64)
+    k = len(ph)
+    if k == 0:
+        raise ValueError("empty phrase")
+
+    def scan(batch: pa.Table) -> pa.Table:
+        arr = batch[text_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        th, tok_offs = _batch_token_hashes(arr)
+        cand = np.flatnonzero(th == ph[0])
+        cand = cand[cand + k <= len(th)]
+        ok = np.ones(len(cand), bool)
+        for j in range(1, k):
+            ok &= th[cand + j] == ph[j]
+        cand = cand[ok]
+        doc = np.searchsorted(tok_offs, cand, "right") - 1
+        inside = cand + k <= tok_offs[doc + 1]
+        cand, doc = cand[inside], doc[inside]
+        # cand ascending => per-doc first index is the minimal position
+        ud, first_i, ncnt = np.unique(doc, return_index=True,
+                                      return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(ids[ud], pa.int64()),
+            "n_matches": pa.array(ncnt.astype(np.int64)),
+            "first_pos": pa.array(
+                (cand[first_i] - tok_offs[ud]).astype(np.int64)),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)

@@ -1,5 +1,6 @@
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from pythongis_ray import relational as rel
@@ -326,3 +327,42 @@ def test_interval_join_empty_side(ray_session):
     # pipeline (Ray drops the schema of an all-empty pandas dataset, so
     # only the row count is asserted)
     assert len(got) == 0
+
+
+def test_bloom_check_superset_and_fp_rate(ray_session):
+    from pythongis_ray import relational as rel
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(10**9, 5000, replace=False).astype(np.int64)
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(members)}))
+    bits = rel.bloom_build(ds, "k", nhash=4, log2_bits=20)
+    # every member passes (no false negatives)
+    assert rel.bloom_check(bits, members).all()
+    # false-positive rate near (1 - e^{-kn/m})^k ~ 1.2e-5 at these params
+    probe = rng.choice(10**9, 20000, replace=False).astype(np.int64)
+    probe = probe[~np.isin(probe, members)]
+    fp = rel.bloom_check(bits, probe).mean()
+    assert fp < 0.01
+
+
+def test_bloom_semi_join_exact(ray_session):
+    from pythongis_ray import relational as rel
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    big_keys = rng.integers(0, 300, 5000).astype(np.int64)
+    big = rd.from_arrow(pa.table({
+        "k": pa.array(big_keys),
+        "v": pa.array(np.arange(5000, dtype=np.int64))}))
+    small_keys = np.unique(rng.integers(0, 300, 80)).astype(np.int64)
+    # duplicate keys on the small side must not duplicate output rows
+    dup = np.concatenate([small_keys, small_keys[:10]])
+    small = rd.from_arrow(pa.table({"sk": pa.array(dup)}))
+    out = rel.bloom_semi_join(big, small, key="k", small_key="sk") \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    exp_mask = np.isin(big_keys, small_keys)
+    assert len(out) == int(exp_mask.sum())
+    assert (out.v.to_numpy() == np.arange(5000)[exp_mask]).all()
+    assert set(out.columns) == {"k", "v"}

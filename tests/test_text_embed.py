@@ -691,3 +691,44 @@ def test_kmv_by_host_exact_below_k(ray_session):
     assert out["est"].tolist() == [float(want[h]) for h in (0, 1, 2)]
     assert (out["kth_hash"] == -1).all()
     assert out["n_seen"].tolist() == [3, 4, 3]
+
+
+def test_phrase_search_vs_bruteforce(ray_session, docs):
+    phrase = ["part", "filter"]
+    out = text.phrase_search(docs, phrase).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    exp = []
+    for did, t in zip(pdf.doc_id, pdf.text):
+        toks = t.split(" ")
+        hits = [i for i in range(len(toks) - len(phrase) + 1)
+                if toks[i:i + len(phrase)] == phrase]
+        if hits:
+            exp.append((did, len(hits), hits[0]))
+    exp = sorted(exp)
+    assert len(out) == len(exp) > 0
+    assert list(zip(out.doc_id, out.n_matches, out.first_pos)) == exp
+
+
+def test_phrase_search_doc_boundary(ray_session):
+    """A phrase straddling two docs must NOT match; repeated and
+    overlapping occurrences within one doc all count."""
+    import ray.data as rd
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "x y a b",          # ends with the phrase prefix 'a b'
+            "c z z",            # starts with the suffix 'c' -> no match
+            "a b c q a b c",    # two occurrences
+            "a a a",            # overlapping occurrences of 'a a'
+        ]),
+    })
+    ds = rd.from_arrow(tbl)
+    out = text.phrase_search(ds, ["a", "b", "c"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(zip(out.doc_id, out.n_matches, out.first_pos)) == \
+        [(3, 2, 0)]
+    out2 = text.phrase_search(ds, ["a", "a"]).to_pandas()
+    assert list(zip(out2.doc_id, out2.n_matches, out2.first_pos)) == \
+        [(4, 2, 0)]
