@@ -517,3 +517,101 @@ def semdedup(ds, centroids: np.ndarray, threshold: int,
 
     return labeled.groupby("cluster").map_groups(mark,
                                                  batch_format="pandas")
+
+
+# ---------------------------------------------- product quantization
+
+def pq_fit(ds, m: int = 4, k: int = 8, iters: int = 2,
+           emb_col: str = "embedding", id_col: str = "vec_id",
+           scale: int = 1000) -> list[np.ndarray]:
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the d-dim space splits
+    into ``m`` contiguous subspaces, each trained with its own
+    integer-lattice k-means. All m sub-fits share ONE streaming pass
+    per round — a single map_batches emits (subspace, centroid)
+    partials — so training costs the same corpus I/O as one k-means
+    regardless of m. Arithmetic is the :func:`kmeans_fit` contract
+    (int64 lattice, exact partial sums, round-half-away update), so
+    the whole fit replays bit-exactly in DuckDB for ANY partitioning
+    (queries.SQL_PQ_TOPK). Returns m (k, d/m) int64 codebooks."""
+    seed = ds.filter(expr=f"{id_col} < {k}").to_pandas() \
+        .sort_values(id_col).head(k)
+    full = quantize(np.vstack(seed[emb_col].to_numpy()), scale)
+    d = full.shape[1]
+    if d % m:
+        raise ValueError("embedding dim must divide into m subspaces")
+    sub = d // m
+    C = [full[:, j * sub:(j + 1) * sub].copy() for j in range(m)]
+    for _ in range(iters):
+        C_ref = ray.put([c.copy() for c in C])
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            Cl = state.get_broadcast(C_ref, key_extra=("pq",))
+            mat = quantize(_as_matrix(batch[emb_col]), scale)
+            sj, cids, psums, pcnts = [], [], [], []
+            for j in range(m):
+                X = mat[:, j * sub:(j + 1) * sub]
+                assign = _int_assign(X, Cl[j])
+                sums = np.zeros((k, sub), dtype=np.int64)
+                np.add.at(sums, assign, X)
+                cnt = np.bincount(assign, minlength=k).astype(np.int64)
+                nz = np.flatnonzero(cnt)
+                sj.extend([j] * len(nz))
+                cids.extend(nz.tolist())
+                psums.extend(sums[i].tolist() for i in nz)
+                pcnts.extend(cnt[nz].tolist())
+            return pd.DataFrame({"sub": np.array(sj, np.int64),
+                                 "cid": np.array(cids, np.int64),
+                                 "psum": psums,
+                                 "pcnt": np.array(pcnts, np.int64)})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=4096).to_pandas()
+        C = [c.copy() for c in C]
+        for (j, cid), grp in parts.groupby(["sub", "cid"]):
+            s = np.sum(np.vstack(grp["psum"].to_numpy()).astype(np.int64),
+                       axis=0)
+            n = int(grp["pcnt"].sum())
+            C[int(j)][int(cid)] = _round_half_away(s.astype(np.float64) / n)
+    return C
+
+
+def pq_search(ds, codebooks: list[np.ndarray], query: np.ndarray,
+              k_top: int = 10, emb_col: str = "embedding",
+              id_col: str = "vec_id", scale: int = 1000) -> pd.DataFrame:
+    """Asymmetric-distance PQ top-k: the query stays exact; every
+    corpus vector is scored as sum_j LUT[j, code_j] where
+    LUT[j, c] = ||q_j - C_j[c]||^2 (int64-exact) — the codes are the
+    vector's per-subspace nearest codewords. Per batch: m tiny
+    assigns + one LUT gather + a deterministic partial top-k
+    (lexsort by (d2, id) so boundary ties resolve identically
+    everywhere); the driver merges <= k_top x n_blocks candidate rows.
+    This is the memory shape that makes 100-TB ANN feasible: corpus
+    vectors compress from d floats to m bytes, the LUT is m x k ints
+    broadcast once, and raw vectors never leave their block."""
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    q = np.asarray(query, dtype=np.int64)
+    lut = np.stack([
+        ((codebooks[j].astype(np.float64)
+          - q[j * sub:(j + 1) * sub].astype(np.float64)) ** 2)
+        .sum(axis=1) for j in range(m)]).astype(np.int64)
+    refs = ray.put((codebooks, lut))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        Cb, L = state.get_broadcast(refs, key_extra=("pqs",))
+        mat = quantize(_as_matrix(batch[emb_col]), scale)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = np.zeros(len(ids), np.int64)
+        for j in range(m):
+            assign = _int_assign(mat[:, j * sub:(j + 1) * sub], Cb[j])
+            d2 += L[j][assign]
+        order = np.lexsort((ids, d2))[:k_top]
+        return pd.DataFrame({"vec_id": ids[order], "d2": d2[order]})
+
+    cand = ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=8192).to_pandas()
+    cand = cand.sort_values(["d2", "vec_id"], kind="stable") \
+        .head(k_top).reset_index(drop=True)
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand

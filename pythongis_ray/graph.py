@@ -1043,13 +1043,20 @@ class _BfsShard:
         eb = _bucket_of(ends, self.nb)
         return tuple(ends[eb == t] for t in range(self.nb))
 
-    def init(self, seed_mod: int, *incoming) -> int:
+    def init(self, seed_mod: int, *incoming, weight_mod=None) -> int:
         self.owned = np.unique(np.concatenate([self.src, *incoming]))
         self.e_src_idx = np.searchsorted(self.owned, self.src)
         db = _bucket_of(self.dst, self.nb)
         o = np.argsort(db, kind="stable")
         self.e_dst = self.dst[o]
         self.e_src_idx = self.e_src_idx[o]
+        # deterministic per-edge weight w = (src+dst) % weight_mod + 1
+        # (a pure function of the edge, so duplicate edges agree and
+        # the DuckDB replay computes the identical expression inline);
+        # None keeps the unit-weight BFS path bit-for-bit unchanged.
+        self.e_w = (None if weight_mod is None else
+                    ((self.src + self.dst) % np.int64(weight_mod)
+                     + np.int64(1))[o])
         self.splits = np.searchsorted(db[o], np.arange(self.nb + 1))
         self.src = self.dst = None
         self.dist = np.where(self.owned % seed_mod == 0,
@@ -1062,8 +1069,10 @@ class _BfsShard:
         for t in range(self.nb):
             sl = slice(self.splits[t], self.splits[t + 1])
             live = d[sl] < BFS_INF
+            w = (np.int64(1) if self.e_w is None
+                 else self.e_w[sl][live])
             out.append(_group_min(self.e_dst[sl][live],
-                                  d[sl][live] + np.int64(1)))
+                                  d[sl][live] + w))
         return tuple(out)
 
     def gather(self, *msgs) -> int:
@@ -1083,12 +1092,17 @@ class _BfsShard:
 
 def bfs_actors(edges, src: str = "src", dst: str = "dst",
                seed_mod: int = 97, iters: int = 8,
-               num_shards: int | None = None):
+               num_shards: int | None = None,
+               weight_mod: int | None = None):
     """Hop distance from the seed set {node : node % seed_mod == 0}
     following edge direction, capped at ``iters`` rounds (nodes
     farther than that — or unreachable — keep the BFS_INF sentinel).
-    Fixed round count makes the result an exact replay of a chained
-    min-plus LEFT-JOIN CTE in DuckDB, independent of sharding.
+    With ``weight_mod`` set, edges carry the deterministic integer
+    weight ``(src + dst) % weight_mod + 1`` and the propagation is
+    min-plus over weighted paths (Bellman-Ford rounds on the same
+    resident-shard engine — SSSP, not just hop count). Fixed round
+    count makes either result an exact replay of a chained min-plus
+    LEFT-JOIN CTE in DuckDB, independent of sharding.
     Reference analogue: link-distance crawls in web-graph analysis
     (no direct reference op; the graph layer generalizes
     /root/reference/pythongis/vector/sql.py's per-group folds to
@@ -1100,13 +1114,15 @@ def bfs_actors(edges, src: str = "src", dst: str = "dst",
     Shard = ray.remote(_BfsShard)
     shards = [Shard.remote(b, nb) for b in range(nb)]
     try:
-        return _bfs_rounds(edges, shards, nb, src, dst, seed_mod, iters)
+        return _bfs_rounds(edges, shards, nb, src, dst, seed_mod, iters,
+                           weight_mod)
     finally:
         for sh in shards:
             ray.kill(sh)
 
 
-def _bfs_rounds(edges, shards, nb, src, dst, seed_mod, iters):
+def _bfs_rounds(edges, shards, nb, src, dst, seed_mod, iters,
+                weight_mod=None):
     import ray
     import ray.data as rd
 
@@ -1114,7 +1130,8 @@ def _bfs_rounds(edges, shards, nb, src, dst, seed_mod, iters):
     ex = [sh.node_exchange.options(num_returns=nb).remote()
           for sh in shards]
     ray.get([shards[t].init.remote(seed_mod,
-                                   *[ex[b][t] for b in range(nb)])
+                                   *[ex[b][t] for b in range(nb)],
+                                   weight_mod=weight_mod)
              for t in range(nb)])
 
     for _ in range(iters):

@@ -4998,7 +4998,8 @@ def q_embed_clusters(sf_dir: str):
 
 
 def _sql_kmeans_ctes(k: int, iters: int, dim: int = 64,
-                     scale: int = 1000) -> str:
+                     scale: int = 1000, suffix: str = "",
+                     span: tuple[int, int] | None = None) -> str:
     """CTE chain replaying embed.kmeans_fit + kmeans_assign exactly:
     c0 = quantized embeddings of vec_id < k; round r assigns by
     integer distance (list_dot_product of integer-valued doubles is
@@ -5006,31 +5007,43 @@ def _sql_kmeans_ctes(k: int, iters: int, dim: int = 64,
     and updates c{r+1} = per-dim ROUND(SUM/COUNT) — identical to the
     engine's _round_half_away(s/n) because both divide the same exact
     integers once; empty clusters carry their centroid forward. The
-    final CTE ``af`` holds (vec_id, e, cluster) under c{iters}."""
+    final CTE ``af`` holds (vec_id, e, cluster) under c{iters}.
+
+    ``suffix`` renames every CTE (eq{suffix}, c{r}{suffix}, …) and
+    ``span=(lo, hi)`` trains on the sub-vector embedding[lo:hi)
+    (DuckDB 1-based inclusive slice) — together they replay one
+    subspace of embed.pq_fit, and m chains side by side replay the
+    whole product-quantizer fit."""
+    if span is None:
+        emb, sdim = "embedding", dim
+    else:
+        lo, hi = span
+        emb, sdim = f"embedding[{lo + 1}:{hi}]", hi - lo
     upd = ", ".join(f"ROUND(SUM(e[{j + 1}]) / COUNT(*))"
-                    for j in range(dim))
-    parts = [f"""eq AS (
+                    for j in range(sdim))
+    s = suffix
+    parts = [f"""eq{s} AS (
   SELECT vec_id,
-         list_transform(embedding,
+         list_transform({emb},
                         x -> round(CAST(x AS DOUBLE) * {scale})) AS e
   FROM embeddings),
-c0 AS (SELECT vec_id AS i, e AS c FROM eq WHERE vec_id < {k})"""]
+c0{s} AS (SELECT vec_id AS i, e AS c FROM eq{s} WHERE vec_id < {k})"""]
     for r in range(iters + 1):
-        parts.append(f"""a{r} AS (
+        parts.append(f"""a{r}{s} AS (
   SELECT vec_id, e, i AS cluster FROM (
-    SELECT eq.vec_id, eq.e, c.i,
-           ROW_NUMBER() OVER (PARTITION BY eq.vec_id ORDER BY
-             list_dot_product(eq.e, eq.e)
-             - 2 * list_dot_product(eq.e, c.c)
+    SELECT eq{s}.vec_id, eq{s}.e, c.i,
+           ROW_NUMBER() OVER (PARTITION BY eq{s}.vec_id ORDER BY
+             list_dot_product(eq{s}.e, eq{s}.e)
+             - 2 * list_dot_product(eq{s}.e, c.c)
              + list_dot_product(c.c, c.c), c.i) AS rn
-    FROM eq CROSS JOIN c{r} c) WHERE rn = 1)""")
+    FROM eq{s} CROSS JOIN c{r}{s} c) WHERE rn = 1)""")
         if r < iters:
-            parts.append(f"""c{r + 1} AS (
-  SELECT cluster AS i, [{upd}] AS c FROM a{r} GROUP BY cluster
+            parts.append(f"""c{r + 1}{s} AS (
+  SELECT cluster AS i, [{upd}] AS c FROM a{r}{s} GROUP BY cluster
   UNION ALL
-  SELECT c.i, c.c FROM c{r} c
-  WHERE c.i NOT IN (SELECT cluster FROM a{r}))""")
-    parts.append(f"af AS (SELECT * FROM a{iters})")
+  SELECT c.i, c.c FROM c{r}{s} c
+  WHERE c.i NOT IN (SELECT cluster FROM a{r}{s}))""")
+    parts.append(f"af{s} AS (SELECT * FROM a{iters}{s})")
     return ",\n".join(parts)
 
 
@@ -5298,6 +5311,264 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer
 """
 
 
+def q_windowed_distinct(sf_dir: str):
+    """Hopping-window COUNT DISTINCT: unique users per event_type per
+    2-minute window hopping by 1 minute — the streaming-analytics
+    staple (batch-local Arrow dedup combiner, ONE bucketed shuffle on
+    (group, window), vectorized unique count per bucket)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "user_id": pc.cast(batch["user_id"], pa.int64()),
+                         "ts_us": pa.array(us)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    return rel.windowed_distinct(ds, "event_type", "ts_us",
+                                 size=120_000_000, hop=60_000_000,
+                                 user_col="user_id", out_col="n_users")
+
+
+SQL_WINDOWED_DISTINCT = """
+SELECT event_type, (epoch_us(ts) // 60000000 - k) * 60000000 AS win_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) _k
+GROUP BY event_type, (epoch_us(ts) // 60000000 - k) * 60000000
+"""
+
+
+PROX_A, PROX_B, PROX_WINDOW = "hash", "join", 3
+
+
+def q_proximity(sf_dir: str):
+    """Proximity retrieval: docs where PROX_A occurs within 3 token
+    positions of PROX_B, with match count and minimum gap — the
+    positional-search companion to phrase_search, one vectorized scan
+    (nearest-B per A via a single searchsorted)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.proximity_search(ds, PROX_A, PROX_B, PROX_WINDOW)
+
+
+SQL_PROXIMITY = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+p AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t),
+w AS (SELECT doc_id, i, tk[i] AS tok FROM p),
+aa AS (SELECT doc_id, i FROM w WHERE tok = '{PROX_A}'),
+bb AS (SELECT doc_id, i FROM w WHERE tok = '{PROX_B}'),
+m AS (SELECT aa.doc_id, aa.i, MIN(ABS(aa.i - bb.i)) AS gap
+      FROM aa JOIN bb ON aa.doc_id = bb.doc_id GROUP BY aa.doc_id, aa.i)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(gap) AS BIGINT) AS min_gap
+FROM m WHERE gap <= {PROX_WINDOW} GROUP BY doc_id
+"""
+
+
+def q_related_pages(sf_dir: str):
+    """Related-pages by co-citation Jaccard (the link-structure
+    similarity behind 'similar results'): for each co-cited pair
+    {a < b}, the overlap n_cociting over the union of their distinct
+    citing sets, as exact ppm (single integer division — bit-equal in
+    DuckDB). Distinct edges materialize ONCE and feed both branches
+    (pair emission bucketed by src; in-degrees bucketed by dst); the
+    tiny pair table re-attaches degrees via two partitioned joins."""
+    from pythongis_ray import pages
+    from pythongis_ray.relational import bucketed_group_apply, join_large
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+
+    def dedup_batch(batch: pa.Table) -> pa.Table:
+        t = pa.table({"src": pc.cast(batch["src_page"], pa.int64()),
+                      "dst": pc.cast(batch["dst_page"], pa.int64())})
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    # consumed by two branches -> materialize once (else each branch
+    # re-executes the whole synth+extract lineage; CLAUDE.md gotcha 3)
+    de = edges.map_batches(dedup_batch, batch_format="pyarrow",
+                           batch_size=65536).materialize()
+
+    def per_src(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates(["src", "dst"])
+        b = b.sort_values(["src", "dst"], kind="stable")
+        src = b["src"].to_numpy(np.int64)
+        dst = b["dst"].to_numpy(np.int64)
+        outs = []
+        d = 1
+        while True:
+            msk = src[d:] == src[:-d]
+            if not msk.any():
+                break
+            outs.append((dst[:-d][msk], dst[d:][msk]))
+            d += 1
+        if not outs:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "pcnt": np.empty(0, np.int64)})
+        df = pd.DataFrame({"a": np.concatenate([o[0] for o in outs]),
+                           "b": np.concatenate([o[1] for o in outs])})
+        return (df.groupby(["a", "b"], sort=False).size()
+                .rename("pcnt").reset_index())
+
+    parts = bucketed_group_apply(de, ["src"], per_src)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["a", "b"], sort=False)["pcnt"].sum()
+                .reset_index(name="n_cociting"))
+
+    pairs = bucketed_group_apply(parts, ["a", "b"], combine)
+
+    def per_dst(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.drop_duplicates(["src", "dst"]).groupby("dst", sort=False)
+             .size().rename("deg").reset_index())
+        g["deg"] = g["deg"].astype(np.int64)
+        return g
+
+    deg = bucketed_group_apply(de, ["dst"], per_dst)
+    deg_a = deg.map_batches(
+        lambda b: b.rename(columns={"dst": "a", "deg": "deg_a"}),
+        batch_format="pandas")
+    deg_b = deg.map_batches(
+        lambda b: b.rename(columns={"dst": "b", "deg": "deg_b"}),
+        batch_format="pandas")
+    out = join_large(join_large(pairs, deg_a, on="a"), deg_b, on="b")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_cociting"].astype(np.int64)
+        da = b["deg_a"].astype(np.int64)
+        db_ = b["deg_b"].astype(np.int64)
+        return pd.DataFrame({
+            "a": b["a"].astype(np.int64), "b": b["b"].astype(np.int64),
+            "n_cociting": n, "deg_a": da, "deg_b": db_,
+            "jac_ppm": (n * 1_000_000) // (da + db_ - n)})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_RELATED_PAGES = f"""
+WITH de AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_SQL_PAGE_EDGES})),
+co AS (SELECT x.dst AS a, y.dst AS b, COUNT(*) AS n
+       FROM de x JOIN de y ON x.src = y.src AND x.dst < y.dst
+       GROUP BY x.dst, y.dst),
+deg AS (SELECT dst AS node, COUNT(*) AS d FROM de GROUP BY dst)
+SELECT co.a, co.b, CAST(co.n AS BIGINT) AS n_cociting,
+       CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+       CAST(co.n * 1000000 // (da.d + db.d - co.n) AS BIGINT) AS jac_ppm
+FROM co JOIN deg da ON co.a = da.node JOIN deg db ON co.b = db.node
+"""
+
+
+PQ_M, PQ_K, PQ_ITERS, PQ_TOPK, PQ_QID, PQ_DIM = 4, 8, 2, 10, 0, 64
+
+
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ANN (Jegou et al. 2011): m=4 subspace
+    codebooks trained in ONE streaming pass per round, corpus scored
+    by the asymmetric-distance LUT (query exact, vectors as m codes),
+    deterministic partial top-k per block + tiny driver merge. The
+    full fit AND search replay bit-exactly in DuckDB (4 k-means CTE
+    chains + the same l2 arithmetic)."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    C = embed.pq_fit(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    qrow = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           filters=[("vec_id", "==", PQ_QID)])
+    q = embed.quantize(np.vstack(qrow["embedding"].to_numpy()), 1000)[0]
+    return embed.pq_search(emb, C, q, k_top=PQ_TOPK)
+
+
+def _sql_pq_topk() -> str:
+    sub = PQ_DIM // PQ_M
+    chains = ",\n".join(
+        _sql_kmeans_ctes(PQ_K, PQ_ITERS, dim=PQ_DIM, suffix=f"_s{j}",
+                         span=(j * sub, (j + 1) * sub))
+        for j in range(PQ_M))
+    qq = ",\n".join(
+        f"qq{j} AS (SELECT e FROM eq_s{j} WHERE vec_id = {PQ_QID})"
+        for j in range(PQ_M))
+    dist = "\n         + ".join(
+        f"(list_dot_product(qq{j}.e, qq{j}.e)"
+        f" - 2 * list_dot_product(qq{j}.e, cf{j}.c)"
+        f" + list_dot_product(cf{j}.c, cf{j}.c))"
+        for j in range(PQ_M))
+    joins = "\n  ".join(
+        f"JOIN af_s{j} a{j} ON a{j}.vec_id = a0.vec_id" if j else "af_s0 a0"
+        for j in range(PQ_M)) + "\n  " + "\n  ".join(
+        f"JOIN c{PQ_ITERS}_s{j} cf{j} ON cf{j}.i = a{j}.cluster"
+        for j in range(PQ_M)) + "\n  " + "\n  ".join(
+        f"CROSS JOIN qq{j}" for j in range(PQ_M))
+    return f"""
+WITH {chains},
+{qq},
+d AS (
+  SELECT a0.vec_id, CAST({dist} AS BIGINT) AS d2
+  FROM {joins})
+SELECT vec_id, d2,
+       CAST(ROW_NUMBER() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank
+FROM d ORDER BY d2, vec_id LIMIT {PQ_TOPK}
+"""
+
+
+WSP_ITERS, WSP_WMOD = 10, 7
+
+
+def q_weighted_distance(sf_dir: str):
+    """Single-source-set weighted shortest paths (Bellman-Ford rounds
+    of min-plus on the resident-shard engine): distance from the seed
+    pages along the link graph under the deterministic edge weight
+    (src+dst) % 7 + 1, capped at 10 rounds — the SSSP generalization
+    of link_distance; crawl-cost / latency modelling over the same
+    exchange schedule."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    out = graph.bfs_actors(edges, src="src_page", dst="dst_page",
+                           seed_mod=BFS_SEED_MOD, iters=WSP_ITERS,
+                           weight_mod=WSP_WMOD)
+    return out.map_batches(
+        lambda b: pa.table({
+            "node": pc.cast(b["node"], pa.int64()),
+            "dist": pc.cast(b["dist"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_bfs_weighted(iters: int = WSP_ITERS,
+                      seed_mod: int = BFS_SEED_MOD,
+                      wmod: int = WSP_WMOD,
+                      edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    inf = 1 << 40
+    head = f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+d0 AS MATERIALIZED (
+  SELECT node, CAST(CASE WHEN node % {seed_mod} = 0 THEN 0
+                         ELSE {inf} END AS BIGINT) AS dist
+  FROM nodes)"""
+    step = f""",
+d{{k}} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(LEAST(MIN(dn.dist),
+                    COALESCE(MIN(ds.dist + ((e.src + e.dst) % {wmod})
+                                 + 1), {inf})) AS BIGINT)
+           AS dist
+  FROM nodes n JOIN d{{p}} dn ON dn.node = n.node
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN d{{p}} ds ON ds.node = e.src
+  GROUP BY n.node)"""
+    body = "".join(step.format(k=k, p=k - 1)
+                   for k in range(1, iters + 1))
+    return head + body + f"\nSELECT node, dist FROM d{iters}"
+
+
 # ------------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -5443,6 +5714,11 @@ REGISTRY: dict[str, tuple] = {
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
+    "windowed_distinct": (q_windowed_distinct, SQL_WINDOWED_DISTINCT),
+    "proximity": (q_proximity, SQL_PROXIMITY),
+    "related_pages": (q_related_pages, SQL_RELATED_PAGES),
+    "pq_topk": (q_pq_topk, _sql_pq_topk()),
+    "weighted_distance": (q_weighted_distance, _sql_bfs_weighted()),
 }
 
 

@@ -1036,3 +1036,47 @@ def bloom_semi_join(big, small, key: str, small_key: str | None = None,
 
     cand = big.map_batches(filt, batch_format="pyarrow", batch_size=16384)
     return join_large(cand, keys_ds, on=key)
+
+# ------------------------------------------- windowed count-distinct
+
+def windowed_distinct(ds, group_key, ts_col: str, size: int, hop: int,
+                      user_col: str, out_col: str = "n_distinct",
+                      win_col: str = "win_start"):
+    """Hopping-window COUNT DISTINCT (unique users per sliding window
+    per group) — the streaming-analytics staple Ray Data has no
+    built-in for. Each row replicates into ``size/hop`` windows
+    vectorized; the batch then dedupes (group, window, user) locally
+    with one Arrow group_by (the combiner — the shuffle payload is
+    bounded by the batch's distinct triples, not its rows); ONE
+    hash-bucketed shuffle keyed on (group, window) counts uniques per
+    group with a vectorized pandas pass. Distinct state never touches
+    the driver and is bounded per bucket by the window's unique-user
+    count."""
+    if size % hop != 0:
+        raise ValueError("size must be a multiple of hop")
+    r = size // hop
+    keys = [group_key] if isinstance(group_key, str) else list(group_key)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ts)
+        idx = np.repeat(np.arange(n, dtype=np.int64), r)
+        k = np.tile(np.arange(r, dtype=np.int64), n)
+        win = (ts[idx] // hop - k) * hop
+        take = pa.array(idx)
+        cols = {c: batch[c].take(take) for c in keys + [user_col]}
+        cols[win_col] = pa.array(win)
+        return pa.table(cols).group_by(
+            keys + [win_col, user_col]).aggregate([])
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow",
+                         batch_size=65536)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.drop_duplicates(keys + [win_col, user_col])
+             .groupby(keys + [win_col], sort=False)
+             .size().rename(out_col).reset_index())
+        g[out_col] = g[out_col].astype(np.int64)
+        return g
+
+    return bucketed_group_apply(rep, keys + [win_col], per_bucket)

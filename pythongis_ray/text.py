@@ -2086,3 +2086,58 @@ def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
         })
 
     return ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)
+
+
+def proximity_search(ds, term_a: str, term_b: str, window: int,
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """Proximity retrieval: docs where TERM_A occurs within ``window``
+    token positions of TERM_B (the other half of positional search,
+    next to :func:`phrase_search`). Same single-scan raw-buffer
+    machinery: per batch the token-hash stream yields the A and B
+    position lists; each A's nearest B is found with ONE searchsorted
+    (left/right neighbors checked, same-doc masked), so the cost is
+    O(tokens + occ_A log occ_B) with zero per-row Python. Emits per
+    doc the count of in-range A occurrences and the minimum
+    token-index gap."""
+    ha = np.uint64(hash_token(term_a))
+    hb = np.uint64(hash_token(term_b))
+    w = np.int64(window)
+    INF = np.int64(1) << np.int64(62)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        arr = batch[text_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        th, tok_offs = _batch_token_hashes(arr)
+        pos_a = np.flatnonzero(th == ha).astype(np.int64)
+        pos_b = np.flatnonzero(th == hb).astype(np.int64)
+        empty = pa.table({
+            "doc_id": pa.array(np.empty(0, np.int64)),
+            "n_matches": pa.array(np.empty(0, np.int64)),
+            "min_gap": pa.array(np.empty(0, np.int64))})
+        if not len(pos_a) or not len(pos_b):
+            return empty
+        doc_a = np.searchsorted(tok_offs, pos_a, "right") - 1
+        doc_b = np.searchsorted(tok_offs, pos_b, "right") - 1
+        j = np.searchsorted(pos_b, pos_a)
+        jr = np.minimum(j, len(pos_b) - 1)
+        gap_r = np.where((j < len(pos_b)) & (doc_b[jr] == doc_a),
+                         pos_b[jr] - pos_a, INF)
+        jl = np.maximum(j - 1, 0)
+        gap_l = np.where((j > 0) & (doc_b[jl] == doc_a),
+                         pos_a - pos_b[jl], INF)
+        gap = np.minimum(gap_l, gap_r)
+        m = gap <= w
+        if not m.any():
+            return empty
+        d, g = doc_a[m], gap[m]
+        # doc_a is nondecreasing (positions ascend) -> unique gives runs
+        ud, first_i = np.unique(d, return_index=True)
+        cnt = np.diff(np.r_[first_i, len(d)])
+        return pa.table({
+            "doc_id": pa.array(ids[ud]),
+            "n_matches": pa.array(cnt.astype(np.int64)),
+            "min_gap": pa.array(np.minimum.reduceat(g, first_i)
+                                .astype(np.int64))})
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)

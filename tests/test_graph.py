@@ -481,3 +481,40 @@ def test_cc_checkpoint_resume_after_convergence(ray_session, tmp_path):
     a = dict(zip(first["node"], first["component"]))
     b = dict(zip(again["node"], again["component"]))
     assert a == b == _uf_components(edge_list)
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,iters",
+                         [(3, 40, 80, 6), (11, 250, 700, 10)])
+def test_weighted_bfs_matches_serial_replay(ray_session, seed, n_nodes,
+                                            n_edges, iters):
+    """Weighted min-plus (SSSP Bellman-Ford rounds) is bit-identical
+    to a serial synchronous replay with the same round cap and the
+    same deterministic edge weight (src+dst) % wmod + 1."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    wmod = 5
+    out = graph.bfs_actors(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})),
+        seed_mod=7, iters=iters, num_shards=3, weight_mod=wmod) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+
+    INF = int(graph.BFS_INF)
+    nodes = np.unique(np.concatenate([src, dst]))
+    dist = {int(n): (0 if n % 7 == 0 else INF) for n in nodes}
+    w = ((src + dst) % wmod + 1).tolist()
+    for _ in range(iters):
+        new = dict(dist)
+        for s, d, wt in zip(src.tolist(), dst.tolist(), w):
+            if dist[s] < INF:
+                new[d] = min(new[d], dist[s] + wt)
+        if new == dist:
+            break
+        dist = new
+    assert out["node"].tolist() == sorted(dist)
+    assert out["dist"].tolist() == [dist[n] for n in sorted(dist)]

@@ -366,3 +366,34 @@ def test_bloom_semi_join_exact(ray_session):
     assert len(out) == int(exp_mask.sum())
     assert (out.v.to_numpy() == np.arange(5000)[exp_mask]).all()
     assert set(out.columns) == {"k", "v"}
+
+
+def test_windowed_distinct_matches_pandas(ray_session):
+    """Hopping-window COUNT DISTINCT == pandas expand/dedup/nunique."""
+    import ray.data as rd
+
+    from pythongis_ray import relational as rel
+
+    rng = np.random.default_rng(5)
+    n = 600
+    df = pd.DataFrame({
+        "grp": rng.choice(["a", "b", "c"], n),
+        "ts": rng.integers(0, 1000, n).astype(np.int64),
+        "user": rng.integers(0, 25, n).astype(np.int64)})
+    ds = rd.from_pandas(df).repartition(4)
+    got = rel.windowed_distinct(ds, "grp", "ts", size=100, hop=50,
+                                user_col="user", out_col="nu") \
+        .to_pandas().sort_values(["grp", "win_start"]) \
+        .reset_index(drop=True)
+
+    rows = []
+    for k in (0, 1):
+        e = df.copy()
+        e["win_start"] = (e["ts"] // 50 - k) * 50
+        rows.append(e)
+    exp = (pd.concat(rows).groupby(["grp", "win_start"])["user"]
+           .nunique().rename("nu").reset_index()
+           .sort_values(["grp", "win_start"]).reset_index(drop=True))
+    assert got["grp"].tolist() == exp["grp"].tolist()
+    assert got["win_start"].tolist() == exp["win_start"].tolist()
+    assert got["nu"].tolist() == exp["nu"].tolist()

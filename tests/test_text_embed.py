@@ -732,3 +732,84 @@ def test_phrase_search_doc_boundary(ray_session):
     out2 = text.phrase_search(ds, ["a", "a"]).to_pandas()
     assert list(zip(out2.doc_id, out2.n_matches, out2.first_pos)) == \
         [(4, 2, 0)]
+
+
+def test_proximity_search_matches_brute_force(ray_session):
+    """Vectorized nearest-B probe == per-doc brute force over all
+    (A, B) position pairs, including gap boundary and cross-doc
+    isolation (the batch-wide hash stream must not match across doc
+    boundaries)."""
+    import ray.data as rd
+
+    from pythongis_ray import text as T
+
+    docs = ["aa bb cc", "aa x x x bb", "bb aa", "cc cc", "aa", "bb",
+            "aa x x bb x aa bb", "x aa x x x x bb x"]
+    ids = list(range(len(docs)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(docs)})).repartition(3)
+    w = 3
+    got = T.proximity_search(ds, "aa", "bb", w).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    exp = []
+    for i, d in enumerate(docs):
+        tk = d.split(" ")
+        pa_ = [j for j, t in enumerate(tk) if t == "aa"]
+        pb_ = [j for j, t in enumerate(tk) if t == "bb"]
+        gaps = [min(abs(a - b) for b in pb_) for a in pa_ if pb_]
+        hits = [g for g in gaps if g <= w]
+        if hits:
+            exp.append((i, len(hits), min(hits)))
+    exp = pd.DataFrame(exp, columns=["doc_id", "n_matches", "min_gap"])
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_matches"].tolist() == exp["n_matches"].tolist()
+    assert got["min_gap"].tolist() == exp["min_gap"].tolist()
+
+
+def test_pq_fit_m1_equals_kmeans_fit(ray_session):
+    """Product quantization at m=1 IS k-means: the fused one-pass
+    multi-subspace trainer must reproduce kmeans_fit bit-for-bit."""
+    import ray.data as rd
+
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ds = rd.from_pandas(pdf).repartition(5)
+    C1 = embed.pq_fit(ds, m=1, k=4, iters=3)
+    C2 = embed.kmeans_fit(ds, k=4, iters=3)
+    assert len(C1) == 1 and np.array_equal(C1[0], C2)
+
+
+def test_pq_fit_partition_invariant_and_search_exact(ray_session):
+    """pq_fit is bit-identical for any partitioning, and pq_search's
+    LUT top-k equals a serial ADC scan with the same codebooks."""
+    import ray.data as rd
+
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    cb = None
+    for nblocks in (1, 7):
+        ds = rd.from_pandas(pdf).repartition(nblocks)
+        C = embed.pq_fit(ds, m=4, k=4, iters=2)
+        if cb is None:
+            cb = C
+        else:
+            assert all(np.array_equal(a, b) for a, b in zip(cb, C))
+
+    X = embed.quantize(np.vstack(pdf.embedding.to_numpy()))
+    ids = pdf.vec_id.to_numpy(np.int64)
+    q = X[np.flatnonzero(ids == 0)[0]]
+    sub = X.shape[1] // 4
+    d2 = np.zeros(len(ids), np.int64)
+    for j in range(4):
+        Xs = X[:, j * sub:(j + 1) * sub]
+        code = embed._int_assign(Xs, cb[j])
+        lut = ((cb[j].astype(np.float64)
+                - q[j * sub:(j + 1) * sub]) ** 2).sum(1).astype(np.int64)
+        d2 += lut[code]
+    order = np.lexsort((ids, d2))[:7]
+    exp = pd.DataFrame({"vec_id": ids[order], "d2": d2[order]})
+
+    got = embed.pq_search(rd.from_pandas(pdf).repartition(6), cb, q,
+                          k_top=7)
+    assert got["vec_id"].tolist() == exp["vec_id"].tolist()
+    assert got["d2"].tolist() == exp["d2"].tolist()
+    assert got["rank"].tolist() == list(range(1, 8))
