@@ -5569,6 +5569,133 @@ d{{k}} AS MATERIALIZED (
     return head + body + f"\nSELECT node, dist FROM d{iters}"
 
 
+def q_hll_hosts(sf_dir: str):
+    """Per-host HyperLogLog distinct-token estimates: fixed 64-register
+    sketches whose merge is elementwise MAX (any combine order), with
+    the α·m²/Σ2^(−M) estimate computed as ONE exact integer division —
+    the constant-state counterpart to kmv_by_host."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: pa.table({
+            "host": pa.array(
+                b["doc_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) % 50),
+            "text": b["text"]}),
+        batch_format="pyarrow", batch_size=8192)
+    return text.hll_distinct_by(ds, "host")
+
+
+SQL_HLL_HOSTS = """
+WITH w AS (SELECT doc_id % 50 AS host,
+                  UNNEST(string_split(text, ' ')) AS word
+           FROM documents),
+h0 AS (SELECT DISTINCT host,
+        list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(word, '')]),
+        (acc, x) -> (acc * 1099511628211 + x)
+                    % CAST('18446744073709551616' AS HUGEINT)) AS th0
+      FROM w),
+h AS (SELECT host, ((((th0 // 4294967296)
+                * CAST('11400714819323198485' AS HUGEINT)) % 4294967296)
+               * 4294967296
+              + (th0 % 4294967296)
+                * CAST('11400714819323198485' AS HUGEINT))
+             % CAST('18446744073709551616' AS HUGEINT) AS th FROM h0),
+tb AS (SELECT host,
+              CAST(th % CAST('9223372036854775808' AS HUGEINT) AS BIGINT)
+                AS t FROM h),
+rr AS (SELECT host, t % 64 AS reg,
+              CASE WHEN t // 64 = 0 THEN 56
+                   ELSE LEAST(bit_count(((t // 64) & -(t // 64)) - 1)
+                              + 1, 56) END AS rho
+       FROM tb),
+mx AS (SELECT host, reg, MAX(rho) AS mr FROM rr GROUP BY host, reg),
+s AS (SELECT host,
+             SUM(CAST(power(2, 56 - mr) AS HUGEINT))
+               + (64 - COUNT(*)) * CAST(power(2, 56) AS HUGEINT) AS ss,
+             COUNT(*) AS nz
+      FROM mx GROUP BY host)
+SELECT CAST(host AS BIGINT) AS host,
+       CAST((CAST(2904064 AS HUGEINT)
+             * CAST(power(2, 56) AS HUGEINT)) // (1000 * ss) AS BIGINT)
+         AS est,
+       CAST(nz AS BIGINT) AS n_regs
+FROM s
+"""
+
+
+def q_mutual_links(sf_dir: str):
+    """Reciprocal host links (mutual-citation / link-exchange spam
+    signal): host pairs {a < b} linked in BOTH directions on the
+    host-projected graph, with per-direction edge multiplicities.
+    One bucketed count shuffle, then canonical-pair co-location —
+    each pair meets in exactly one bucket with ≤ 2 rows."""
+    from pythongis_ray import pages
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    he = pages.host_edges(edges)
+
+    def cnt_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(batch["src"], pa.int64()),
+            "dst": pc.cast(batch["dst"], pa.int64()),
+        }).group_by(["src", "dst"]).aggregate([("src", "count")]) \
+            .rename_columns(["src", "dst", "n"])
+
+    pre = he.map_batches(cnt_batch, batch_format="pyarrow",
+                         batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["src", "dst"], sort=False)["n"].sum()
+                .reset_index())
+
+    cnt = bucketed_group_apply(pre, ["src", "dst"], combine)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["src"] != b["dst"]]
+        lo = np.minimum(b["src"].to_numpy(np.int64),
+                        b["dst"].to_numpy(np.int64))
+        hi = np.maximum(b["src"].to_numpy(np.int64),
+                        b["dst"].to_numpy(np.int64))
+        return pd.DataFrame({"a": lo, "b": hi,
+                             "fwd": (b["src"].to_numpy(np.int64) == lo),
+                             "n": b["n"].to_numpy(np.int64)})
+
+    cn = cnt.map_batches(canon, batch_format="pandas")
+
+    def pair(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["a", "b"], sort=False)
+        out = []
+        for (a, bb), grp in g:
+            if grp["fwd"].nunique() == 2:
+                n_ab = int(grp.loc[grp["fwd"], "n"].iloc[0])
+                n_ba = int(grp.loc[~grp["fwd"], "n"].iloc[0])
+                out.append((a, bb, n_ab, n_ba))
+        return pd.DataFrame(out, columns=["a", "b", "n_ab", "n_ba"]) \
+            .astype(np.int64) if out else \
+            pd.DataFrame({"a": np.empty(0, np.int64),
+                          "b": np.empty(0, np.int64),
+                          "n_ab": np.empty(0, np.int64),
+                          "n_ba": np.empty(0, np.int64)})
+
+    return bucketed_group_apply(cn, ["a", "b"], pair)
+
+
+SQL_MUTUAL_LINKS = f"""
+WITH he AS (SELECT src, dst, COUNT(*) AS n FROM ({_SQL_HOST_EDGES})
+            GROUP BY src, dst)
+SELECT x.src AS a, x.dst AS b, CAST(x.n AS BIGINT) AS n_ab,
+       CAST(y.n AS BIGINT) AS n_ba
+FROM he x JOIN he y ON x.src = y.dst AND x.dst = y.src
+WHERE x.src < x.dst
+"""
+
+
 # ------------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -5719,6 +5846,8 @@ REGISTRY: dict[str, tuple] = {
     "related_pages": (q_related_pages, SQL_RELATED_PAGES),
     "pq_topk": (q_pq_topk, _sql_pq_topk()),
     "weighted_distance": (q_weighted_distance, _sql_bfs_weighted()),
+    "hll_hosts": (q_hll_hosts, SQL_HLL_HOSTS),
+    "mutual_links": (q_mutual_links, SQL_MUTUAL_LINKS),
 }
 
 

@@ -2141,3 +2141,88 @@ def proximity_search(ds, term_a: str, term_b: str, window: int,
                                 .astype(np.int64))})
 
     return ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)
+
+# ------------------------------------------------- HyperLogLog sketch
+
+HLL_LOG2M = 6            # 64 registers
+HLL_RHO_CAP = 56         # register ceiling: keeps Σ 2^(cap-M) ≤ 2^62
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 709, 1000   # α₆₄ ≈ 0.709 as a rational
+
+
+def hll_distinct_by(ds, key_col: str, text_col: str = "text"):
+    """Per-group HyperLogLog distinct-token estimate (Flajolet et al.
+    2007) with FIXED per-group state: 64 six-bit registers, vs KMV's
+    k hashes — the sketch whose merge is a plain elementwise MAX, so
+    any tree/shuffle combine order gives the identical registers.
+    Registers use the trailing-zero rank of the KMV-mixed token hash
+    (exact integer ops on both sides; no float log anywhere): the
+    low 6 bits pick the register, ρ = tz(hash >> 6) + 1 capped at 56.
+    The estimate is the classic α·m²/Σ2^(−M_r) computed as ONE exact
+    integer division (α as 709/1000, the sum scaled by 2^56), so the
+    whole sketch — partials, merge, finalize — replays bit-exactly in
+    DuckDB HUGEINT. Shuffle payload: ≤ 64 rows per (group, batch).
+
+    This is the RAW estimator (no linear-counting small-range
+    correction — that needs a transcendental ln, which would break
+    the bit-exact SQL replay): accurate to ~13% for n ≳ 3m distinct
+    values, biased high below that; use kmv_distinct_by when groups
+    can be tiny."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    m = 1 << HLL_LOG2M
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, offs = _batch_token_hashes(arr)
+        with np.errstate(over="ignore"):
+            th = th * KMV_MIX
+        keys = batch[key_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = np.repeat(keys, offs[1:] - offs[:-1])
+        if len(g) == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "reg": pa.array([], pa.int64()),
+                             "mr": pa.array([], pa.int64())})
+        tb = (th & np.uint64((1 << 63) - 1)).astype(np.int64)
+        reg = tb & np.int64(m - 1)
+        rest = tb >> np.int64(HLL_LOG2M)
+        low = rest & -rest               # lowest set bit (0 if rest==0)
+        # frexp on an exact power of two returns (0.5, tz+1) — pure
+        # integer semantics, no log2 rounding hazard
+        _, expo = np.frexp(low.astype(np.float64))
+        rho = np.where(rest == 0, np.int64(HLL_RHO_CAP),
+                       np.minimum(expo.astype(np.int64),
+                                  np.int64(HLL_RHO_CAP)))
+        comp = g * np.int64(m) + reg
+        uc, inv = np.unique(comp, return_inverse=True)
+        mr = np.zeros(len(uc), np.int64)
+        np.maximum.at(mr, inv, rho)
+        return pa.table({key_col: pa.array(uc // m),
+                         "reg": pa.array(uc % m),
+                         "mr": pa.array(mr)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, grp in b.groupby(key_col, sort=False):
+            mx = grp.groupby("reg")["mr"].max()
+            # Python-int arithmetic: Σ over ALL m registers (absent
+            # register → M=0 → 2^cap), then one exact floor division
+            s = sum(1 << (HLL_RHO_CAP - int(v)) for v in mx) \
+                + (m - len(mx)) * (1 << HLL_RHO_CAP)
+            est = (HLL_ALPHA_NUM * m * m * (1 << HLL_RHO_CAP)) \
+                // (HLL_ALPHA_DEN * s)
+            out.append((key, est, len(mx)))
+        return pd.DataFrame(out, columns=[key_col, "est", "n_regs"])
+
+    res = bucketed_group_apply(parts, [key_col], finalize)
+    return res.map_batches(
+        lambda b: pa.table({
+            key_col: pc.cast(b[key_col], pa.int64()),
+            "est": pc.cast(b["est"], pa.int64()),
+            "n_regs": pc.cast(b["n_regs"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)

@@ -813,3 +813,38 @@ def test_pq_fit_partition_invariant_and_search_exact(ray_session):
     assert got["vec_id"].tolist() == exp["vec_id"].tolist()
     assert got["d2"].tolist() == exp["d2"].tolist()
     assert got["rank"].tolist() == list(range(1, 8))
+
+
+def test_hll_partition_invariant_and_sane(ray_session):
+    """HLL registers merge by MAX — the estimate must be bit-identical
+    for any partitioning, and within HLL's error band (~13% at m=64;
+    assert 35%) of the true per-group distinct count."""
+    import ray.data as rd
+
+    from pythongis_ray import text as T
+
+    rng = np.random.default_rng(17)
+    docs, keys, truth = [], [], {}
+    for g in range(3):
+        vocab = [f"w{g}_{i}" for i in range(500 + 400 * g)]
+        truth[g] = len(vocab)
+        for _ in range(40):
+            docs.append(" ".join(rng.choice(vocab, 60)))
+            keys.append(g)
+    # ensure full vocab appears
+    for g in range(3):
+        docs.append(" ".join(f"w{g}_{i}" for i in range(truth[g])))
+        keys.append(g)
+    t = pa.table({"host": pa.array(keys, pa.int64()),
+                  "text": pa.array(docs)})
+    prev = None
+    for nblocks in (1, 6):
+        out = T.hll_distinct_by(rd.from_arrow(t).repartition(nblocks),
+                                "host").to_pandas() \
+            .sort_values("host").reset_index(drop=True)
+        if prev is not None:
+            assert out["est"].tolist() == prev["est"].tolist()
+        prev = out
+    for g in range(3):
+        est = int(prev.loc[prev.host == g, "est"].iloc[0])
+        assert abs(est - truth[g]) / truth[g] < 0.35, (g, est, truth[g])
