@@ -1558,3 +1558,197 @@ def _lpa_rounds(edges, shards, nb, src, dst, rounds):
                  for t in range(nb)])
     return rd.from_arrow_refs(
         [sh.result.remote() for sh in shards]).materialize()
+
+
+# ------------------------------------------- strongly connected comps
+
+class _SccShard:
+    """Resident partition for strongly connected components via
+    forward min-coloring + backward same-color anchoring (the
+    distributed coloring algorithm of Orzan 2004 / Slota et al.,
+    with FIXED round caps so the whole run replays as chained CTEs):
+    per outer round, (1) undecided nodes propagate the minimum color
+    along forward edges for ≤ inner rounds; (2) roots (col == id)
+    anchor; (3) anchoring spreads ≤ inner rounds along REVERSE edges
+    but only onto nodes of the SAME color — an anchored node is
+    therefore mutually reachable with its root, so every emitted
+    group is strongly connected BY CONSTRUCTION (caps can only split
+    a large-diameter SCC across outer rounds, never merge two);
+    (4) anchored nodes are decided with scc = color, colors reset.
+    Holds both edge layouts (the _HitsShard pattern); color messages
+    are per-destination pre-combined minima, anchor messages are
+    deduped (target, color) pairs."""
+
+    def __init__(self, b: int, nb: int):
+        self.b, self.nb = b, nb
+        self._fs, self._fd = [], []   # forward (src, dst), keyed by src
+        self._rs, self._rd = [], []   # reverse (dst, src), keyed by dst
+        self._seen = set()
+
+    def add_edges(self, kind: str, token: int, key: np.ndarray,
+                  other: np.ndarray) -> int:
+        if (kind, token) in self._seen:
+            return len(key)
+        self._seen.add((kind, token))
+        (self._fs if kind == "f" else self._rs).append(key)
+        (self._fd if kind == "f" else self._rd).append(other)
+        return len(key)
+
+    def node_exchange(self):
+        self.fs = (np.concatenate(self._fs) if self._fs
+                   else np.empty(0, np.int64))
+        self.fd = (np.concatenate(self._fd) if self._fd
+                   else np.empty(0, np.int64))
+        self.rs = (np.concatenate(self._rs) if self._rs
+                   else np.empty(0, np.int64))
+        self.rd = (np.concatenate(self._rd) if self._rd
+                   else np.empty(0, np.int64))
+        self._fs = self._fd = self._rs = self._rd = None
+        ends = np.unique(np.concatenate([self.fd, self.rd]))
+        eb = _bucket_of(ends, self.nb)
+        return tuple(ends[eb == t] for t in range(self.nb))
+
+    def init(self, *incoming) -> int:
+        self.owned = np.unique(np.concatenate(
+            [self.fs, self.rs, *incoming]))
+        self.f_idx = np.searchsorted(self.owned, self.fs)
+        db = _bucket_of(self.fd, self.nb)
+        o = np.argsort(db, kind="stable")
+        self.f_dst = self.fd[o]
+        self.f_idx = self.f_idx[o]
+        self.f_splits = np.searchsorted(db[o], np.arange(self.nb + 1))
+        self.r_idx = np.searchsorted(self.owned, self.rs)
+        sb = _bucket_of(self.rd, self.nb)
+        o = np.argsort(sb, kind="stable")
+        self.r_dst = self.rd[o]
+        self.r_idx = self.r_idx[o]
+        self.r_splits = np.searchsorted(sb[o], np.arange(self.nb + 1))
+        self.fs = self.fd = self.rs = self.rd = None
+        self.col = self.owned.copy()
+        self.dec = np.zeros(len(self.owned), bool)
+        self.anch = np.zeros(len(self.owned), bool)
+        self.scc = np.full(len(self.owned), np.int64(-1))
+        return len(self.owned)
+
+    def scatter_col(self):
+        c = self.col[self.f_idx]
+        live = ~self.dec[self.f_idx]
+        out = []
+        for t in range(self.nb):
+            sl = slice(self.f_splits[t], self.f_splits[t + 1])
+            m = live[sl]
+            out.append(_group_min(self.f_dst[sl][m], c[sl][m]))
+        return tuple(out)
+
+    def gather_col(self, *msgs) -> int:
+        new = self.col.copy()
+        for ids, mc in msgs:
+            if len(ids):
+                idx = np.searchsorted(self.owned, ids)
+                np.minimum.at(new, idx, mc)
+        new = np.where(self.dec, self.col, new)
+        changed = int((new != self.col).sum())
+        self.col = new
+        return changed
+
+    def mark_roots(self) -> int:
+        self.anch = (~self.dec) & (self.col == self.owned)
+        return int(self.anch.sum())
+
+    def scatter_anch(self):
+        live = self.anch[self.r_idx]
+        out = []
+        for t in range(self.nb):
+            sl = slice(self.r_splits[t], self.r_splits[t + 1])
+            m = live[sl]
+            u = self.r_dst[sl][m]
+            c = self.col[self.r_idx[sl][m]]
+            if len(u):
+                o = np.lexsort((c, u))
+                u, c = u[o], c[o]
+                keep = np.concatenate(
+                    ([True], (u[1:] != u[:-1]) | (c[1:] != c[:-1])))
+                u, c = u[keep], c[keep]
+            out.append((u, c))
+        return tuple(out)
+
+    def gather_anch(self, *msgs) -> int:
+        changed = 0
+        for ids, cols in msgs:
+            if len(ids):
+                idx = np.searchsorted(self.owned, ids)
+                upd = (~self.dec[idx]) & (~self.anch[idx]) \
+                    & (self.col[idx] == cols)
+                if upd.any():
+                    self.anch[idx[upd]] = True
+                    changed += int(upd.sum())
+        return changed
+
+    def finish_outer(self) -> int:
+        a = self.anch
+        self.scc = np.where(a, self.col, self.scc)
+        self.dec = self.dec | a
+        self.col = np.where(self.dec, self.col, self.owned)
+        self.anch = np.zeros(len(self.owned), bool)
+        return int((~self.dec).sum())
+
+    def result(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.owned),
+                         "scc": pa.array(self.scc)})
+
+
+def scc_actors(edges, src: str = "src", dst: str = "dst",
+               outer: int = 4, inner: int = 8,
+               num_shards: int | None = None):
+    """Strongly connected components (web bow-tie structure, spam
+    rings): ``outer`` coloring rounds of ``inner``-capped forward
+    min-color propagation + backward same-color anchoring on the
+    resident shard pool. Deterministic for any sharding; nodes not
+    decided within the caps keep scc = -1 (sound: every emitted
+    group is strongly connected; exact when inner covers each class
+    diameter and outer covers the root chain — the link_distance
+    round-cap contract). Early exits at fixpoints are bit-exact."""
+    import ray
+    import ray.data as rd
+
+    nb = _shard_count(num_shards)
+    Shard = ray.remote(_SccShard)
+    shards = [Shard.remote(b, nb) for b in range(nb)]
+    try:
+        return _scc_rounds(edges, shards, nb, src, dst, outer, inner)
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def _scc_rounds(edges, shards, nb, src, dst, outer, inner):
+    import ray
+    import ray.data as rd
+
+    _route_edges(edges, shards, nb, src, dst, mode="both")
+    ex = [sh.node_exchange.options(num_returns=nb).remote()
+          for sh in shards]
+    ray.get([shards[t].init.remote(*[ex[b][t] for b in range(nb)])
+             for t in range(nb)])
+
+    for _ in range(outer):
+        for _ in range(inner):
+            sc = [sh.scatter_col.options(num_returns=nb).remote()
+                  for sh in shards]
+            ch = ray.get([shards[t].gather_col.remote(
+                *[sc[b][t] for b in range(nb)]) for t in range(nb)])
+            if sum(ch) == 0:
+                break
+        ray.get([sh.mark_roots.remote() for sh in shards])
+        for _ in range(inner):
+            sc = [sh.scatter_anch.options(num_returns=nb).remote()
+                  for sh in shards]
+            ch = ray.get([shards[t].gather_anch.remote(
+                *[sc[b][t] for b in range(nb)]) for t in range(nb)])
+            if sum(ch) == 0:
+                break
+        und = ray.get([sh.finish_outer.remote() for sh in shards])
+        if sum(und) == 0:
+            break
+    return rd.from_arrow_refs(
+        [sh.result.remote() for sh in shards]).materialize()

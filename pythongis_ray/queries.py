@@ -5696,6 +5696,90 @@ WHERE x.src < x.dst
 """
 
 
+SCC_OUTER, SCC_INNER = 4, 8
+
+
+def q_scc_hosts(sf_dir: str):
+    """Strongly connected components of the host graph (the web
+    bow-tie / spam-ring structure): Orzan-style forward min-coloring
+    + backward same-color anchoring on the resident-shard engine,
+    4 outer × 8 inner capped rounds. Every emitted group is strongly
+    connected by construction; nodes undecided within the caps keep
+    scc = -1. Exact chained-CTE replay in DuckDB (the link_distance
+    round-cap contract applied to a two-phase iterative algorithm)."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    out = graph.scc_actors(pages.host_edges(edges),
+                           outer=SCC_OUTER, inner=SCC_INNER)
+    return out.map_batches(
+        lambda b: pa.table({
+            "node": pc.cast(b["node"], pa.int64()),
+            "scc": pc.cast(b["scc"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_scc(outer: int = SCC_OUTER, inner: int = SCC_INNER,
+             edges_sql: str = _SQL_HOST_EDGES) -> str:
+    """Replay of graph.scc_actors: per outer round, ``inner`` levels
+    of forward MIN-color (undecided senders/receivers only), root
+    marking (col == node), ``inner`` levels of backward anchoring
+    gated on color equality, then decide+reset. Engine early exits
+    are at fixpoints, so running every capped level here is
+    bit-identical."""
+    parts = [f"""e AS MATERIALIZED (SELECT DISTINCT src, dst
+                 FROM ({edges_sql})),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+s0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS dec, CAST(-1 AS BIGINT) AS scc,
+         node AS col
+  FROM nodes)"""]
+    for o in range(outer):
+        cur = f"s{o}"
+        for k in range(1, inner + 1):
+            parts.append(f"""f{o}_{k} AS MATERIALIZED (
+  SELECT n.node, n.dec, n.scc,
+         CAST(CASE WHEN n.dec = 1 THEN n.col
+              ELSE LEAST(n.col, COALESCE(MIN(CASE WHEN p.dec = 0
+                   THEN p.col END), n.col)) END AS BIGINT) AS col
+  FROM {cur} n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN {cur} p ON p.node = e.src
+  GROUP BY n.node, n.dec, n.scc, n.col)""")
+            cur = f"f{o}_{k}"
+        parts.append(f"""b{o}_0 AS MATERIALIZED (
+  SELECT node, dec, scc, col,
+         CAST(CASE WHEN dec = 0 AND col = node THEN 1 ELSE 0 END
+              AS BIGINT) AS anch
+  FROM {cur})""")
+        cur = f"b{o}_0"
+        for k in range(1, inner + 1):
+            parts.append(f"""b{o}_{k} AS MATERIALIZED (
+  SELECT n.node, n.dec, n.scc, n.col,
+         CAST(CASE WHEN n.anch = 1 THEN 1
+              WHEN n.dec = 0 AND COALESCE(MAX(CASE WHEN w.anch = 1
+                   AND w.col = n.col THEN 1 ELSE 0 END), 0) = 1 THEN 1
+              ELSE 0 END AS BIGINT) AS anch
+  FROM {cur} n
+  LEFT JOIN e ON e.src = n.node
+  LEFT JOIN {cur} w ON w.node = e.dst
+  GROUP BY n.node, n.dec, n.scc, n.col, n.anch)""")
+            cur = f"b{o}_{k}"
+        parts.append(f"""s{o + 1} AS MATERIALIZED (
+  SELECT node,
+         CAST(CASE WHEN anch = 1 THEN 1 ELSE dec END AS BIGINT) AS dec,
+         CAST(CASE WHEN anch = 1 THEN col ELSE scc END AS BIGINT) AS scc,
+         CAST(CASE WHEN anch = 1 OR dec = 1 THEN col ELSE node END
+              AS BIGINT) AS col
+  FROM {cur})""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, scc FROM s{outer}")
+
+
 # ------------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -5848,6 +5932,7 @@ REGISTRY: dict[str, tuple] = {
     "weighted_distance": (q_weighted_distance, _sql_bfs_weighted()),
     "hll_hosts": (q_hll_hosts, SQL_HLL_HOSTS),
     "mutual_links": (q_mutual_links, SQL_MUTUAL_LINKS),
+    "scc_hosts": (q_scc_hosts, _sql_scc()),
 }
 
 

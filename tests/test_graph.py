@@ -518,3 +518,100 @@ def test_weighted_bfs_matches_serial_replay(ray_session, seed, n_nodes,
         dist = new
     assert out["node"].tolist() == sorted(dist)
     assert out["dist"].tolist() == [dist[n] for n in sorted(dist)]
+
+
+def _tarjan_min_labels(src, dst):
+    """Iterative Tarjan; label = min member id of each SCC."""
+    adj = {}
+    nodes = set()
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(s, []).append(d)
+        nodes.add(s)
+        nodes.add(d)
+    index, low, onstk, stk = {}, {}, set(), []
+    label, cnt = {}, [0]
+
+    for start in nodes:
+        if start in index:
+            continue
+        work = [(start, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = cnt[0]
+                cnt[0] += 1
+                stk.append(v)
+                onstk.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return label
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges",
+                         [(1, 25, 60), (8, 120, 420), (21, 60, 75)])
+def test_scc_matches_tarjan(ray_session, seed, n_nodes, n_edges):
+    """With caps covering the graph (inner/outer = n), every node is
+    decided and scc(v) == min member of v's Tarjan SCC."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    out = graph.scc_actors(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})),
+        outer=n_nodes, inner=n_nodes, num_shards=3).to_pandas()
+    got = dict(zip(out["node"], out["scc"]))
+    exp = _tarjan_min_labels(src, dst)
+    assert got == exp
+
+
+def test_scc_capped_groups_are_strongly_connected(ray_session):
+    """Under-capped rounds may leave nodes undecided (-1) or split a
+    big SCC, but every emitted group must be a strongly connected
+    SUBSET of one Tarjan SCC."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    # one big cycle 0→1→…→19→0 (diameter 19) + tail
+    n = 20
+    src = np.r_[np.arange(n), [25]].astype(np.int64)
+    dst = np.r_[(np.arange(n) + 1) % n, [0]].astype(np.int64)
+    out = graph.scc_actors(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})),
+        outer=2, inner=4, num_shards=2).to_pandas()
+    exp = _tarjan_min_labels(src, dst)
+    for _, row in out.iterrows():
+        if row["scc"] != -1:
+            # same Tarjan component as the claimed root
+            assert exp[int(row["node"])] == exp[int(row["scc"])]
