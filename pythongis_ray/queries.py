@@ -5780,6 +5780,137 @@ s0 AS MATERIALIZED (
             + f"\nSELECT node, scc FROM s{outer}")
 
 
+def q_quality_gate(sf_dir: str):
+    """Per-language quantile quality gate (the CCNet-style 'keep the
+    top decile per language' filter): pass 1 reduces the corpus to a
+    narrow (doc_id, lang, n_tokens) table; per-lang p90 thresholds
+    come from one tiny grouped quantile; the thresholds broadcast as
+    a dict and the filter is a vectorized lookup — aggregate →
+    broadcast → filter, no second shuffle, page bodies read once."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = text.quality_score(batch)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "lang": batch["lang"],
+                         "n_tokens": t["n_tokens"]})
+
+    # two consumers (threshold agg + filter) — materialize the NARROW
+    # score table, not the corpus
+    q = ds.map_batches(score, batch_format="pyarrow",
+                       batch_size=8192).materialize()
+    thr = rel.groupby_aggregate(
+        q, "lang", [("thr", "n_tokens", "quantile:0.9")]).to_pandas()
+    tmap = dict(zip(thr["lang"], thr["thr"].astype(np.int64)))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        t = np.array([tmap[x] for x in langs], np.int64)
+        keep = batch["n_tokens"].to_numpy(zero_copy_only=False) > t
+        out = batch.filter(pa.array(keep))
+        return out.append_column("thr", pa.array(t[keep]))
+
+    return q.map_batches(gate, batch_format="pyarrow", batch_size=65536)
+
+
+SQL_QUALITY_GATE = """
+WITH q AS (SELECT doc_id, lang,
+        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+          AS n_tokens FROM documents),
+t AS (SELECT lang, CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) AS thr
+      FROM q GROUP BY lang)
+SELECT q.doc_id, q.lang, q.n_tokens, t.thr
+FROM q JOIN t USING (lang) WHERE q.n_tokens > t.thr
+"""
+
+
+def q_crawl_diff(sf_dir: str):
+    """Crawl snapshot diff (added / removed / changed pages between
+    two crawls): each side reduces to (doc_id, fp) — 16 bytes/page —
+    so the classifying full-outer co-location never ships page
+    bodies. Snapshots synthesize deterministically from documents
+    (old = ids %7≠0; new = ids %11≠0, text‖' v2' when %13=0); the
+    oracle compares raw texts — same contract as dedup_docs (fp
+    equality ≡ text equality modulo 2^-64 collisions)."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def sides(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = batch["text"]
+        texts = texts.combine_chunks() if isinstance(
+            texts, pa.ChunkedArray) else texts
+        out_id, out_fp, out_side = [], [], []
+        # old snapshot: unmodified text
+        m = ids % 7 != 0
+        t = text.fingerprint(pa.table({"doc_id": pa.array(ids[m]),
+                                       "text": texts.filter(pa.array(m))}))
+        out_id.append(t["doc_id"].to_numpy(zero_copy_only=False))
+        out_fp.append(t["fp"].to_numpy(zero_copy_only=False))
+        out_side.append(np.zeros(len(t), np.int64))
+        # new snapshot: ids %13==0 carry edited bodies
+        m = ids % 11 != 0
+        edited = pc.if_else(
+            pa.array(ids % 13 == 0),
+            pc.binary_join_element_wise(texts, pa.scalar("v2"), " "),
+            texts)
+        if isinstance(edited, pa.ChunkedArray):
+            edited = edited.combine_chunks()
+        t = text.fingerprint(pa.table({"doc_id": pa.array(ids[m]),
+                                       "text": edited.filter(pa.array(m))}))
+        out_id.append(t["doc_id"].to_numpy(zero_copy_only=False))
+        out_fp.append(t["fp"].to_numpy(zero_copy_only=False))
+        out_side.append(np.ones(len(t), np.int64))
+        return pa.table({"doc_id": pa.array(np.concatenate(out_id)),
+                         "fp": pa.array(np.concatenate(out_fp)),
+                         "side": pa.array(np.concatenate(out_side))})
+
+    both = docs.map_batches(sides, batch_format="pyarrow",
+                            batch_size=8192)
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["doc_id", "side"], kind="stable")
+        ids = g["doc_id"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int64)
+        fp = g["fp"].to_numpy(np.int64)
+        first = np.concatenate(([True], ids[1:] != ids[:-1]))
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.r_[starts, len(ids)])
+        uid = ids[starts]
+        one = cnt == 1
+        added = one & (side[starts] == 1)
+        removed = one & (side[starts] == 0)
+        pair = starts[cnt == 2]
+        changed_ids = ids[pair][fp[pair] != fp[pair + 1]]
+        out_id = np.concatenate([uid[added], uid[removed], changed_ids])
+        out_st = np.concatenate([
+            np.repeat("added", added.sum()),
+            np.repeat("removed", removed.sum()),
+            np.repeat("changed", len(changed_ids))])
+        return pd.DataFrame({"doc_id": out_id, "status": out_st})
+
+    return bucketed_group_apply(both, ["doc_id"], classify)
+
+
+SQL_CRAWL_DIFF = """
+WITH oldc AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+newc AS (SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                     ELSE text END AS text
+         FROM documents WHERE doc_id % 11 <> 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+"""
+
+
 # ------------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -5933,6 +6064,8 @@ REGISTRY: dict[str, tuple] = {
     "hll_hosts": (q_hll_hosts, SQL_HLL_HOSTS),
     "mutual_links": (q_mutual_links, SQL_MUTUAL_LINKS),
     "scc_hosts": (q_scc_hosts, _sql_scc()),
+    "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
+    "crawl_diff": (q_crawl_diff, SQL_CRAWL_DIFF),
 }
 
 
