@@ -5911,6 +5911,160 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
 """
 
 
+def _events_us(sf_dir: str, cols=("user_id", "ts", "event_type")):
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=list(cols))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        out = {c: batch[c] for c in cols if c != "ts"}
+        out["ts_us"] = pa.array(us)
+        return pa.table(out)
+
+    return ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+
+def q_transitions(sf_dir: str):
+    """Clickstream transition matrix: per user (ordered by event
+    time), counts of each (event_type → next event_type) pair — the
+    navigation-graph building block of web analytics. One bucketed
+    shuffle co-locates each user's log; pairs fold to per-bucket
+    partials so the final (a, b) combine moves ≤ 25 rows per bucket.
+    (user_id, ts) is unique in the fixture, so the order is total."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _events_us(sf_dir)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["user_id", "ts_us"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame({"a": et[:-1][same], "b": et[1:][same]})
+        return (df.groupby(["a", "b"], sort=False).size()
+                .rename("n").reset_index())
+
+    parts = bucketed_group_apply(ds, ["user_id"], per_bucket)
+    out = rel.groupby_aggregate(parts, ["a", "b"], [("n", "n", "sum")])
+    return out.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"],
+                            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+SQL_TRANSITIONS = """
+WITH t AS (SELECT user_id, event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts) AS nxt
+           FROM events)
+SELECT event_type AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS n
+FROM t WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+"""
+
+
+FUNNEL = ("view", "click", "purchase")
+
+
+def q_funnel(sf_dir: str):
+    """Ordered funnel (view → click → purchase): users reaching each
+    stage, where stage k requires an event strictly AFTER the user's
+    earliest stage-(k-1) completion time — the classic event-sequence
+    analytic. One shuffle co-locates each user's log; the stage walk
+    is a per-user searchsorted chain; per-bucket partial counts sum
+    to a single row."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _events_us(sf_dir)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["user_id", "ts_us"], kind="stable")
+        counts = np.zeros(len(FUNNEL), np.int64)
+        for _, grp in g.groupby("user_id", sort=False):
+            ts = grp["ts_us"].to_numpy(np.int64)
+            et = grp["event_type"].to_numpy()
+            t = -np.int64(1) << 62
+            for k, stage in enumerate(FUNNEL):
+                st = ts[et == stage]
+                nxt = st[st > t]
+                if len(nxt) == 0:
+                    break
+                t = nxt[0]
+                counts[k] += 1
+        return pd.DataFrame({"stage": np.arange(len(FUNNEL), dtype=np.int64),
+                             "n": counts})
+
+    parts = bucketed_group_apply(ds, ["user_id"], per_bucket)
+    out = rel.groupby_aggregate(parts, "stage", [("n_users", "n", "sum")])
+    return out.map_batches(
+        lambda b: pa.table({"stage": pc.cast(b["stage"], pa.int64()),
+                            "n_users": pc.cast(b["n_users"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+SQL_FUNNEL = f"""
+WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = '{FUNNEL[0]}' GROUP BY user_id),
+s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s0 ON s0.user_id = e.user_id
+       WHERE e.event_type = '{FUNNEL[1]}' AND e.ts > s0.t
+       GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = '{FUNNEL[2]}' AND e.ts > s1.t
+       GROUP BY e.user_id)
+SELECT 0 AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT) FROM s1
+UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
+"""
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention: users grouped by first-seen week, counted in
+    each later activity week (offset from cohort) — the canonical
+    retention triangle. ONE shuffle co-locates each user's log; the
+    per-user (cohort, offset) rows are already distinct, so the final
+    count is a plain sum combine."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    DAY = 86_400_000_000
+    ds = _events_us(sf_dir, cols=("user_id", "ts"))
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["user_id", "ts_us"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        day = g["ts_us"].to_numpy(np.int64) // DAY
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        cohort = np.repeat(day[first] // 7,
+                           np.diff(np.r_[np.flatnonzero(first), len(u)]))
+        wk = day // 7 - cohort
+        df = pd.DataFrame({"cohort_week": cohort, "week_offset": wk,
+                           "u": u}).drop_duplicates()
+        return (df.groupby(["cohort_week", "week_offset"], sort=False)
+                .size().rename("n").reset_index())
+
+    parts = bucketed_group_apply(ds, ["user_id"], per_bucket)
+    out = rel.groupby_aggregate(parts, ["cohort_week", "week_offset"],
+                                [("n_users", "n", "sum")])
+    return out.map_batches(
+        lambda b: pa.table({
+            "cohort_week": pc.cast(b["cohort_week"], pa.int64()),
+            "week_offset": pc.cast(b["week_offset"], pa.int64()),
+            "n_users": pc.cast(b["n_users"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+SQL_RETENTION = """
+WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, MIN(day) // 7 AS cohort FROM d GROUP BY user_id),
+a AS (SELECT DISTINCT d.user_id, f.cohort, d.day // 7 - f.cohort AS wk
+      FROM d JOIN f USING (user_id))
+SELECT cohort AS cohort_week, wk AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort, wk
+"""
+
+
 # ------------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -6066,6 +6220,9 @@ REGISTRY: dict[str, tuple] = {
     "scc_hosts": (q_scc_hosts, _sql_scc()),
     "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
     "crawl_diff": (q_crawl_diff, SQL_CRAWL_DIFF),
+    "transitions": (q_transitions, SQL_TRANSITIONS),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "retention": (q_retention, SQL_RETENTION),
 }
 
 
