@@ -6067,6 +6067,459 @@ FROM a GROUP BY cohort, wk
 
 # ------------------------------------------------------------- registry
 
+# ----------------------------------------------- analytics batch (late r3)
+
+
+def q_rollup_cube(sf_dir: str):
+    """OLAP grouping-sets rollup from ONE corpus pass: the finest
+    (lang, source) cell table is the only corpus-sized work; every
+    coarser set — (lang), (source), () — re-aggregates that tiny
+    cell-bounded table, never the input. '*' marks a rolled-up
+    dimension. Reference analogue: sql.aggreg run once per key set
+    (reference pythongis/vector/sql.py:96-127) re-scans the data per
+    set; here one scan + three cell-bounded combines cover all four."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "lang": b["lang"].to_pandas(),
+            "source": b["source"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        g = (df.groupby(["lang", "source"], sort=False)["n_chars"]
+             .agg(n_docs="count", sum_chars="sum").reset_index())
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["sum_chars"] = g["sum_chars"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def combine(keys):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            g = (b.groupby(keys, sort=False)[["n_docs", "sum_chars"]]
+                 .sum().reset_index())
+            g["n_docs"] = g["n_docs"].astype(np.int64)
+            g["sum_chars"] = g["sum_chars"].astype(np.int64)
+            return g
+        return fn
+
+    # finest level feeds three consumers (output + two rollups) and the
+    # lang level feeds two -> materialize the tiny cell tables
+    finest = rel.bucketed_group_apply(parts, ["lang", "source"],
+                                      combine(["lang", "source"])) \
+        .materialize()
+    by_lang = rel.bucketed_group_apply(finest, ["lang"], combine(["lang"])) \
+        .materialize()
+    by_source = rel.bucketed_group_apply(finest, ["source"],
+                                         combine(["source"]))
+    tot_in = by_lang.map_batches(lambda b: b.assign(_all=np.int64(0)),
+                                 batch_format="pandas")
+    total = rel.bucketed_group_apply(tot_in, ["_all"], combine(["_all"]))
+
+    def pad(dsx, drop=(), lang_all=False, source_all=False):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.drop(columns=list(drop), errors="ignore")
+            if lang_all:
+                b = b.assign(lang="*")
+            if source_all:
+                b = b.assign(source="*")
+            return b[["lang", "source", "n_docs", "sum_chars"]]
+        return dsx.map_batches(f, batch_format="pandas")
+
+    return pad(finest).union(
+        pad(by_lang, source_all=True),
+        pad(by_source, lang_all=True),
+        pad(total, drop=("_all",), lang_all=True, source_all=True))
+
+
+SQL_ROLLUP_CUBE = """
+SELECT COALESCE(lang, '*') AS lang, COALESCE(source, '*') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+"""
+
+
+def q_regress_hour(sf_dir: str):
+    """Grouped EXACT linear regression (cents-value vs hour-of-day per
+    event_type): one streamed pass emits per-batch integer moment
+    partials (n, Σx, Σy, Σx², Σxy); a key-bucketed combine reduces
+    them; the slope ships as an exact integer numerator/denominator
+    pair (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) so the oracle hash-matches
+    without any float division. int64 is ample here (x ≤ 23, cents
+    ≤ ~5·10⁴); a 100-TB run would widen the moment partials to
+    int128 / two-limb accumulation."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        x = (us // 3_600_000_000) % 24
+        y = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "n": np.ones(len(x), np.int64), "sx": x,
+                           "sy": y, "sxx": x * x, "sxy": x * y})
+        return df.groupby("event_type", sort=False).sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby("event_type", sort=False)[
+            ["n", "sx", "sy", "sxx", "sxy"]].sum().reset_index())
+        out = pd.DataFrame({
+            "event_type": g["event_type"],
+            "n": g["n"].astype(np.int64),
+            "sx": g["sx"].astype(np.int64),
+            "sy": g["sy"].astype(np.int64),
+            "slope_num": (g["n"] * g["sxy"] - g["sx"] * g["sy"])
+            .astype(np.int64),
+            "slope_den": (g["n"] * g["sxx"] - g["sx"] * g["sx"])
+            .astype(np.int64)})
+        return out
+
+    return rel.bucketed_group_apply(parts, ["event_type"], combine)
+
+
+SQL_REGRESS_HOUR = """
+WITH p AS (SELECT event_type,
+                  (epoch_us(ts) // 3600000000) % 24 AS x,
+                  CAST(round(value * 100) AS BIGINT) AS y
+           FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+         AS slope_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+         AS slope_den
+FROM p GROUP BY event_type
+"""
+
+
+def q_skyline(sf_dir: str):
+    """Skyline (Pareto frontier) of users on (n_events, sum_cents),
+    maximize both: per-user integer aggregates stream through a
+    key-bucketed combine; per-block local frontiers prune everything
+    a single block can already dominate; one final single-group refine
+    over the tiny candidate antichain. Oracle = the classic NOT EXISTS
+    dominance anti-join."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        y = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+            "n_events": np.ones(len(y), np.int64), "sum_cents": y})
+        return df.groupby("user_id", sort=False).sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby("user_id", sort=False)[["n_events", "sum_cents"]]
+             .sum().reset_index())
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["sum_cents"] = g["sum_cents"].astype(np.int64)
+        return g
+
+    users = rel.bucketed_group_apply(parts, ["user_id"], combine)
+    return rel.skyline(users, "n_events", "sum_cents")
+
+
+SQL_SKYLINE = """
+WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS sum_cents
+           FROM events GROUP BY user_id)
+SELECT user_id, n_events, sum_cents FROM u a
+WHERE NOT EXISTS (
+  SELECT 1 FROM u b
+  WHERE b.n_events >= a.n_events AND b.sum_cents >= a.sum_cents
+    AND (b.n_events > a.n_events OR b.sum_cents > a.sum_cents))
+"""
+
+
+BM25_SCALE, BM25_K = 1000, 10
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 retrieval (k1=6/5, b=3/4) in EXACT integer arithmetic:
+    with rational idf = ⌊SCALE·N/df⌋ and avgdl = T/N kept as the exact
+    ratio of two corpus sums, the per-term score
+    idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) clears denominators to
+    ⌊idf·tf·22·T / (10·tf·T + 3·T + 9·dl·N)⌋ — one floor division per
+    (doc, term), summed per doc; bit-equal in DuckDB HUGEINT. Same
+    scan discipline as q_search_topk: tf+dl in one tokenize pass over
+    a materialized NARROW table, block-bounded df/N/T reduction,
+    distributed sort-limit top-k. Magnitudes: idf ≤ SCALE·N, so the
+    numerator stays < 2^63 at every test sf (documented bound)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        offs = np.asarray(flat.offsets)
+        vals = flat.values
+        cols = {"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "dl": pa.array((offs[1:] - offs[:-1]).astype(np.int64))}
+        for t in SEARCH_TERMS:
+            eq = pc.equal(vals, t).to_numpy(zero_copy_only=False)
+            c = np.concatenate([[0], np.cumsum(eq.astype(np.int64))])
+            cols[f"tf_{t}"] = pa.array(c[offs[1:]] - c[offs[:-1]])
+        return pa.table(cols)
+
+    tfs = ds.map_batches(tf_batch, batch_format="pyarrow",
+                         batch_size=8192).materialize()
+
+    def reduce_stats(batch: pa.Table) -> pa.Table:
+        row = {"n": [len(batch)],
+               "t": [int(pc.sum(batch["dl"]).as_py() or 0)]}
+        for t in SEARCH_TERMS:
+            row[f"df_{t}"] = [int(pc.sum(pc.greater(
+                batch[f"tf_{t}"], 0)).as_py() or 0)]
+        return pa.table(row)
+
+    tot = tfs.map_batches(reduce_stats, batch_format="pyarrow",
+                          batch_size=8192).to_pandas().sum()
+    n_docs, t_tokens = int(tot["n"]), int(tot["t"])
+    idf = {t: (BM25_SCALE * n_docs) // int(tot[f"df_{t}"])
+           for t in SEARCH_TERMS if int(tot[f"df_{t}"]) > 0}
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch["dl"].to_numpy(zero_copy_only=False)
+        s = np.zeros(len(batch), np.int64)
+        hit = np.zeros(len(batch), bool)
+        den_base = 3 * t_tokens + 9 * dl * n_docs
+        for t, w in idf.items():
+            tf = batch[f"tf_{t}"].to_numpy(zero_copy_only=False)
+            den = 10 * tf * t_tokens + den_base
+            s += np.where(tf > 0, (w * tf * 22 * t_tokens) // den, 0)
+            hit |= tf > 0
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64())
+            .filter(pa.array(hit)),
+            "score": pa.array(s[hit])})
+
+    out = tfs.map_batches(score, batch_format="pyarrow", batch_size=65536)
+    return out.sort([("score"), ("doc_id")],
+                    descending=[True, False]).limit(BM25_K)
+
+
+SQL_BM25_TOPK = f"""
+WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM p
+       GROUP BY doc_id),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM p
+       WHERE w IN {SEARCH_TERMS!r} GROUP BY doc_id, w),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+g AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS t),
+idf AS (SELECT w, ({BM25_SCALE} * (SELECT n FROM g)) // df AS idf
+        FROM df),
+s AS (SELECT tf.doc_id,
+             SUM(CAST(i.idf AS HUGEINT) * tf.tf * 22 * (SELECT t FROM g)
+                 // (10 * tf.tf * (SELECT t FROM g)
+                     + 3 * (SELECT t FROM g)
+                     + 9 * dl.dl * (SELECT n FROM g))) AS score
+      FROM tf JOIN idf i USING (w) JOIN dl USING (doc_id)
+      GROUP BY tf.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
+AA_SCALE = 1_000_000
+
+
+def q_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction over the citation graph: for each
+    co-cited pair {a<b}, Σ over common citing pages z of
+    ⌊SCALE / bitlen(outdeg(z))⌋ — the integer-log2 surrogate for
+    1/log deg (bitlen via frexp, no float log; the same surrogate the
+    lm_surprisal oracle uses as LENGTH(bin(x))). The citing page's
+    out-degree is its src-group size, so the weight rides the existing
+    per-src pair emission — no extra degree join or shuffle beyond
+    related_pages' plan."""
+    from pythongis_ray import pages
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+
+    def dedup_batch(batch: pa.Table) -> pa.Table:
+        t = pa.table({"src": pc.cast(batch["src_page"], pa.int64()),
+                      "dst": pc.cast(batch["dst_page"], pa.int64())})
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    de = edges.map_batches(dedup_batch, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def per_src(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates(["src", "dst"])
+        b = b.sort_values(["src", "dst"], kind="stable")
+        src = b["src"].to_numpy(np.int64)
+        dst = b["dst"].to_numpy(np.int64)
+        od = b.groupby("src", sort=False)["dst"].transform("size") \
+            .to_numpy(np.int64)
+        # bit length via frexp: exact for any int64 magnitude
+        _, exp = np.frexp(od.astype(np.float64))
+        w = AA_SCALE // exp.astype(np.int64)
+        outs = []
+        d = 1
+        while True:
+            msk = src[d:] == src[:-d]
+            if not msk.any():
+                break
+            outs.append((dst[:-d][msk], dst[d:][msk], w[:-d][msk]))
+            d += 1
+        if not outs:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "aa": np.empty(0, np.int64)})
+        df = pd.DataFrame({"a": np.concatenate([o[0] for o in outs]),
+                           "b": np.concatenate([o[1] for o in outs]),
+                           "aa": np.concatenate([o[2] for o in outs])})
+        return (df.groupby(["a", "b"], sort=False)["aa"].sum()
+                .reset_index())
+
+    parts = bucketed_group_apply(de, ["src"], per_src)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["a", "b"], sort=False)["aa"].sum()
+             .reset_index(name="aa_score"))
+        g["aa_score"] = g["aa_score"].astype(np.int64)
+        return g
+
+    return bucketed_group_apply(parts, ["a", "b"], combine)
+
+
+SQL_ADAMIC_ADAR = f"""
+WITH de AS MATERIALIZED (SELECT DISTINCT src, dst
+                         FROM ({_SQL_PAGE_EDGES})),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM de GROUP BY src)
+SELECT x.dst AS a, y.dst AS b,
+       CAST(SUM({AA_SCALE} // LENGTH(bin(od.d))) AS BIGINT) AS aa_score
+FROM de x JOIN de y ON x.src = y.src AND x.dst < y.dst
+JOIN od ON od.src = x.src
+GROUP BY x.dst, y.dst
+"""
+
+
+ZORDER_BITS, ZORDER_SHARD = 19, 4096
+
+
+def q_zorder_shards(sf_dir: str):
+    """Z-order (Morton) locality sharding — the space-filling-curve
+    repartitioner that keeps spatially-near features in the same
+    output shard (the scale story for re-using ONE partitioning across
+    chained spatial stages): interleave the 19-bit lattice unit
+    coordinates, exact global rank by (morton, pk) via the two-pass
+    range ranking, fixed-size shard = rank // {ZORDER_SHARD}. All
+    integer — the oracle replays the interleave as 38 mask-shift terms
+    and the rank as ROW_NUMBER."""
+    pts = points_lineitem(sf_dir)
+
+    def morton(b: pa.Table) -> pa.Table:
+        ix = b["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = b["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.zeros(len(ix), np.int64)
+        for bit in range(ZORDER_BITS):
+            m |= ((ix >> bit) & 1) << (2 * bit)
+            m |= ((iy >> bit) & 1) << (2 * bit + 1)
+        return pa.table({"pk": b["pk"], "morton": pa.array(m)})
+
+    ranked = rel.add_global_rank(
+        pts.map_batches(morton, batch_format="pyarrow", batch_size=65536),
+        ["morton", "pk"], out_col="rank")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pk": b["pk"].astype(np.int64),
+            "morton": b["morton"].astype(np.int64),
+            "shard": ((b["rank"].astype(np.int64) - 1)
+                      // ZORDER_SHARD).astype(np.int64)})
+
+    return ranked.map_batches(finish, batch_format="pandas")
+
+
+def _sql_zorder_shards() -> str:
+    terms = " + ".join(
+        f"((ix // {1 << b}) % 2) * {1 << (2 * b)}"
+        f" + ((iy // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(ZORDER_BITS))
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+m AS (SELECT pk, CAST({terms} AS BIGINT) AS morton FROM pts)
+SELECT pk, morton,
+       CAST((ROW_NUMBER() OVER (ORDER BY morton, pk) - 1)
+            // {ZORDER_SHARD} AS BIGINT) AS shard
+FROM m
+"""
+
+
+def q_mad_events(sf_dir: str):
+    """Median absolute deviation per group (robust dispersion — the
+    outlier-tolerant cousin of stdev): pass 1 reduces the exact
+    discrete per-group median (group-bounded table to the driver, the
+    idf pattern); pass 2 re-streams deviations |v − med| through the
+    same holistic quantile. Both medians use the ceil(q·n)−1 discrete
+    convention, bit-equal to DuckDB quantile_disc."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "cents": pa.array(c)})
+
+    dsc = ds.map_batches(cents, batch_format="pyarrow",
+                         batch_size=65536).materialize()
+    med = rel.groupby_aggregate(
+        dsc, "event_type", [("med", "cents", "quantile:0.5")]).to_pandas()
+    mdict = dict(zip(med["event_type"], med["med"].astype(np.int64)))
+
+    def dev(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pandas()
+        m = et.map(mdict).to_numpy(np.int64)
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": batch["event_type"],
+                         "med_cents": pa.array(m),
+                         "adev": pa.array(np.abs(c - m))})
+
+    devs = dsc.map_batches(dev, batch_format="pyarrow", batch_size=65536)
+    out = rel.groupby_aggregate(devs, "event_type",
+                                [("med_cents", "med_cents", "first"),
+                                 ("mad_cents", "adev", "quantile:0.5")])
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        b["med_cents"] = b["med_cents"].astype(np.int64)
+        b["mad_cents"] = b["mad_cents"].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+SQL_MAD_EVENTS = """
+WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+m AS (SELECT event_type, quantile_disc(c, 0.5) AS med FROM v
+      GROUP BY event_type)
+SELECT v.event_type, CAST(ANY_VALUE(m.med) AS BIGINT) AS med_cents,
+       CAST(quantile_disc(abs(v.c - m.med), 0.5) AS BIGINT) AS mad_cents
+FROM v JOIN m USING (event_type) GROUP BY v.event_type
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -6223,6 +6676,13 @@ REGISTRY: dict[str, tuple] = {
     "transitions": (q_transitions, SQL_TRANSITIONS),
     "funnel": (q_funnel, SQL_FUNNEL),
     "retention": (q_retention, SQL_RETENTION),
+    "rollup_cube": (q_rollup_cube, SQL_ROLLUP_CUBE),
+    "regress_hour": (q_regress_hour, SQL_REGRESS_HOUR),
+    "skyline": (q_skyline, SQL_SKYLINE),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
+    "zorder_shards": (q_zorder_shards, _sql_zorder_shards),
+    "mad_events": (q_mad_events, SQL_MAD_EVENTS),
 }
 
 

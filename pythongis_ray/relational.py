@@ -1080,3 +1080,49 @@ def windowed_distinct(ds, group_key, ts_col: str, size: int, hop: int,
         return g
 
     return bucketed_group_apply(rep, keys + [win_col], per_bucket)
+
+
+def pareto_front_frame(df: pd.DataFrame, xc: str, yc: str) -> pd.DataFrame:
+    """Maximal (non-dominated) rows of a frame under 2-D dominance:
+    b dominates a iff b.x >= a.x and b.y >= a.y with at least one
+    strict. Duplicated frontier points all survive (neither dominates
+    the other). Vectorized: sort by (x desc, y desc); a row survives
+    iff its y equals its x-group max AND that max strictly exceeds the
+    running max over all strictly-greater x."""
+    if not len(df):
+        return df
+    d = df.sort_values([xc, yc], ascending=False, kind="stable")
+    x = d[xc].to_numpy()
+    y = d[yc].to_numpy()
+    newx = np.empty(len(x), dtype=bool)
+    newx[0] = True
+    newx[1:] = x[1:] != x[:-1]
+    gidx = np.cumsum(newx) - 1        # x-group index per row
+    gm = y[newx]                      # per-group max y (y desc in group)
+    prev = np.empty(len(gm), dtype=y.dtype)
+    if np.issubdtype(y.dtype, np.integer):
+        prev[0] = np.iinfo(y.dtype).min
+    else:
+        prev[0] = -np.inf
+    np.maximum.accumulate(gm[:-1], out=prev[1:])
+    keep = (y == gm[gidx]) & (gm[gidx] > prev[gidx])
+    return d[keep]
+
+
+def skyline(ds, xc: str, yc: str):
+    """Distributed 2-D skyline (Pareto frontier, maximize both axes).
+
+    Stage 1 prunes each block to its local frontier — a row dominated
+    inside any block is dominated globally, so only per-block frontier
+    candidates (output bounded by the frontier's antichain width, tiny
+    for correlated data) reach stage 2, which refines the concatenated
+    candidates in ONE group. The corpus streams once; nothing
+    corpus-sized is materialized. Custom operator (no Ray Data
+    counterpart); oracle = NOT EXISTS dominance anti-join."""
+    local = ds.map_batches(lambda b: pareto_front_frame(b, xc, yc),
+                           batch_format="pandas", batch_size=65536)
+    tagged = local.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                               batch_format="pandas")
+    return tagged.groupby("_one").map_groups(
+        lambda g: pareto_front_frame(g.drop(columns=["_one"]), xc, yc),
+        batch_format="pandas")

@@ -1,0 +1,196 @@
+"""Late-r3 analytics batch: grouping-sets rollup, grouped exact linear
+regression, skyline/Pareto frontier, integer BM25, Adamic-Adar link
+prediction, Z-order locality sharding, grouped MAD.
+
+Each op is oracle-paired in queries.py (DuckDB hash-match at sf0.01 via
+tools/check_oracle.py); these tests cross-check the kernels against
+independent brute-force Python references so a blindspot shared by the
+engine and its SQL replay can't hide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pythongis_ray import queries as q, relational as rel
+from tests.conftest import SF_DIR
+
+
+# --------------------------------------------------------------- skyline
+
+def _brute_skyline(df, xc, yc):
+    keep = []
+    rows = df[[xc, yc]].to_numpy()
+    for i, (ax, ay) in enumerate(rows):
+        dominated = False
+        for j, (bx, by) in enumerate(rows):
+            if bx >= ax and by >= ay and (bx > ax or by > ay):
+                dominated = True
+                break
+        keep.append(not dominated)
+    return df[np.array(keep)]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pareto_front_frame_bruteforce(seed):
+    rng = np.random.default_rng(seed)
+    n = 200
+    df = pd.DataFrame({"x": rng.integers(0, 20, n),
+                       "y": rng.integers(0, 20, n),
+                       "tag": np.arange(n)})
+    got = rel.pareto_front_frame(df, "x", "y")
+    want = _brute_skyline(df, "x", "y")
+    assert sorted(got["tag"]) == sorted(want["tag"])
+
+
+def test_pareto_front_duplicates_survive():
+    df = pd.DataFrame({"x": [5, 5, 3, 5], "y": [7, 7, 9, 6],
+                       "tag": [0, 1, 2, 3]})
+    got = rel.pareto_front_frame(df, "x", "y")
+    # both (5,7) copies survive (neither strictly dominates the other);
+    # (3,9) survives; (5,6) is dominated by (5,7)
+    assert sorted(got["tag"]) == [0, 1, 2]
+
+
+def test_skyline_distributed_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"x": rng.integers(0, 50, 500).astype(np.int64),
+                       "y": rng.integers(0, 50, 500).astype(np.int64),
+                       "tag": np.arange(500, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(8)
+    got = rel.skyline(ds, "x", "y").to_pandas()
+    want = _brute_skyline(df, "x", "y")
+    assert sorted(got["tag"]) == sorted(want["tag"])
+
+
+# ---------------------------------------------------------------- morton
+
+def _brute_morton(ix: int, iy: int) -> int:
+    m = 0
+    for b in range(19):
+        m |= ((ix >> b) & 1) << (2 * b)
+        m |= ((iy >> b) & 1) << (2 * b + 1)
+    return m
+
+
+def test_zorder_shards_bruteforce(ray_session):
+    out = q.q_zorder_shards(SF_DIR).to_pandas()
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    want = {int(r.pk): _brute_morton(int(r.ix), int(r.iy))
+            for r in pts.itertuples()}
+    got = dict(zip(out["pk"].astype(int), out["morton"].astype(int)))
+    assert got == want
+    # shards are contiguous ranges of the morton-sorted order
+    srt = out.sort_values(["morton", "pk"]).reset_index(drop=True)
+    expect_shard = np.arange(len(srt)) // q.ZORDER_SHARD
+    assert (srt["shard"].to_numpy() == expect_shard).all()
+
+
+# ------------------------------------------------------------------ bm25
+
+def test_bm25_topk_bruteforce(ray_session):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = docs["text"].str.split(" ")
+    dl = toks.map(len).to_numpy(np.int64)
+    n = len(docs)
+    t = int(dl.sum())
+    scores = {}
+    for term in q.SEARCH_TERMS:
+        tf = toks.map(lambda ws: sum(1 for w in ws if w == term)) \
+            .to_numpy(np.int64)
+        df_ = int((tf > 0).sum())
+        if df_ == 0:
+            continue
+        idf = (q.BM25_SCALE * n) // df_
+        for i in np.nonzero(tf)[0]:
+            num = idf * int(tf[i]) * 22 * t
+            den = 10 * int(tf[i]) * t + 3 * t + 9 * int(dl[i]) * n
+            did = int(docs["doc_id"].iloc[i])
+            scores[did] = scores.get(did, 0) + num // den
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:q.BM25_K]
+    got = q.q_bm25_topk(SF_DIR).to_pandas()
+    assert list(zip(got["doc_id"].astype(int),
+                    got["score"].astype(int))) == want
+
+
+# ----------------------------------------------------------- adamic-adar
+
+def test_adamic_adar_bruteforce(ray_session):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id"])
+    edges = set()
+    for did in docs["doc_id"].astype(int):
+        for j in (2, 4, 8):
+            edges.add((did, did // j))
+    out_adj: dict[int, set] = {}
+    for s, d in edges:
+        out_adj.setdefault(s, set()).add(d)
+    want: dict[tuple, int] = {}
+    for s, dsts in out_adj.items():
+        od = len(dsts)
+        w = q.AA_SCALE // od.bit_length()
+        dl = sorted(dsts)
+        for i in range(len(dl)):
+            for j in range(i + 1, len(dl)):
+                k = (dl[i], dl[j])
+                want[k] = want.get(k, 0) + w
+    got = q.q_adamic_adar(SF_DIR).to_pandas()
+    got_d = {(int(r.a), int(r.b)): int(r.aa_score)
+             for r in got.itertuples()}
+    assert got_d == want
+
+
+# ------------------------------------------------- rollup / regress / mad
+
+def test_rollup_cube_internal_consistency(ray_session):
+    out = q.q_rollup_cube(SF_DIR).to_pandas()
+    finest = out[(out["lang"] != "*") & (out["source"] != "*")]
+    by_lang = out[(out["lang"] != "*") & (out["source"] == "*")]
+    total = out[(out["lang"] == "*") & (out["source"] == "*")]
+    assert len(total) == 1
+    assert int(total["n_docs"].iloc[0]) == int(finest["n_docs"].sum())
+    assert int(total["sum_chars"].iloc[0]) == int(finest["sum_chars"].sum())
+    fl = finest.groupby("lang")[["n_docs", "sum_chars"]].sum()
+    bl = by_lang.set_index("lang")[["n_docs", "sum_chars"]]
+    assert fl.sort_index().equals(bl.sort_index())
+
+
+def test_regress_hour_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    x = ((ev["ts"].astype("datetime64[us]").astype(np.int64)
+          // 3_600_000_000) % 24).to_numpy()
+    y = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    ref = {}
+    for et in ev["event_type"].unique():
+        m = (ev["event_type"] == et).to_numpy()
+        n, sx, sy = int(m.sum()), int(x[m].sum()), int(y[m].sum())
+        sxx, sxy = int((x[m] * x[m]).sum()), int((x[m] * y[m]).sum())
+        ref[et] = (n, sx, sy, n * sxy - sx * sy, n * sxx - sx * sx)
+    got = q.q_regress_hour(SF_DIR).to_pandas()
+    for r in got.itertuples():
+        assert ref[r.event_type] == (int(r.n), int(r.sx), int(r.sy),
+                                     int(r.slope_num), int(r.slope_den))
+    assert len(got) == len(ref)
+
+
+def test_mad_events_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "value"])
+    c = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+
+    def qdisc(v):
+        sv = np.sort(v)
+        return int(sv[max(0, int(np.ceil(0.5 * len(sv))) - 1)])
+
+    got = q.q_mad_events(SF_DIR).to_pandas()
+    for r in got.itertuples():
+        m = (ev["event_type"] == r.event_type).to_numpy()
+        med = qdisc(c[m])
+        assert int(r.med_cents) == med
+        assert int(r.mad_cents) == qdisc(np.abs(c[m] - med))
