@@ -6520,6 +6520,126 @@ FROM v JOIN m USING (event_type) GROUP BY v.event_type
 """
 
 
+def q_typo_pairs(sf_dir: str):
+    """Edit-distance-<=1 URL self-join (typo-squat / near-URL
+    detection): SymSpell deletion-key candidates (complete for
+    lev<=1 by the deletion-neighborhood argument, text.edit1_keys) +
+    the exact vectorized verify — no all-pairs stage anywhere; work is
+    bounded by Σ per-key-bucket sizes. The oracle IS the all-pairs
+    levenshtein join, so candidate completeness is hash-checked, not
+    assumed."""
+    from pythongis_ray import pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, columns=["url"])
+    out = text.edit1_pairs(ds, "url")
+    return out.map_batches(
+        lambda b: pa.table({"url_a": b["a"], "url_b": b["b"]}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+SQL_TYPO_PAIRS = """
+WITH u AS (SELECT DISTINCT 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.example/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents)
+SELECT a.url AS url_a, b.url AS url_b
+FROM u a JOIN u b ON a.url < b.url
+WHERE abs(length(a.url) - length(b.url)) <= 1
+  AND levenshtein(a.url, b.url) <= 1
+"""
+
+
+def q_delta_encode(sf_dir: str):
+    """Per-user event-time delta encoding (the LAG window op /
+    inter-arrival-time feature): one user-keyed co-location, in-bucket
+    lexsort + shift. Each user's FIRST event has no predecessor and is
+    dropped (null-free output keeps the driver's value-hash stable;
+    the oracle filters LAG IS NOT NULL identically)."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _events_us(sf_dir, cols=("event_id", "user_id", "ts"))
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        delta = np.empty(len(g), np.int64)
+        delta[0] = 0
+        delta[1:] = ts[1:] - ts[:-1]
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[~first],
+            "user_id": u[~first],
+            "delta_us": delta[~first]})
+
+    return bucketed_group_apply(ds, ["user_id"], per_bucket)
+
+
+SQL_DELTA_ENCODE = """
+SELECT event_id, user_id, delta_us FROM (
+  SELECT event_id, user_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+  FROM events)
+WHERE delta_us IS NOT NULL
+"""
+
+
+def q_percentile_rank(sf_dir: str):
+    """Exact per-group percentile rank in ppm: (RANK−1)·10⁶ //
+    max(n−1, 1), RANK = count of strictly-smaller + 1 (tie-sharing).
+    Groups co-locate in one bucketed shuffle; within a group the rank
+    is one sort + one one-sided searchsorted — no per-row Python. At
+    group cardinalities beyond a worker's heap this becomes the
+    two-pass range ranking (rel.add_global_rank) per group."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"event_id": pc.cast(batch["event_id"], pa.int64()),
+                         "event_type": batch["event_type"],
+                         "c": pa.array(c)})
+
+    dsc = ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in b.groupby("event_type", sort=False):
+            c = g["c"].to_numpy(np.int64)
+            sc = np.sort(c)
+            rank = np.searchsorted(sc, c, side="left").astype(np.int64) + 1
+            den = max(len(c) - 1, 1)
+            outs.append(pd.DataFrame({
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "event_type": et,
+                "pr_ppm": (rank - 1) * 1_000_000 // den}))
+        if not outs:
+            return pd.DataFrame({"event_id": np.empty(0, np.int64),
+                                 "event_type": np.empty(0, object),
+                                 "pr_ppm": np.empty(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(dsc, ["event_type"], per_bucket)
+
+
+SQL_PERCENTILE_RANK = """
+WITH v AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events)
+SELECT event_id, event_type,
+       CAST((RANK() OVER (PARTITION BY event_type ORDER BY c) - 1)
+            * 1000000
+            // GREATEST(COUNT(*) OVER (PARTITION BY event_type) - 1, 1)
+            AS BIGINT) AS pr_ppm
+FROM v
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -6683,6 +6803,9 @@ REGISTRY: dict[str, tuple] = {
     "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
     "zorder_shards": (q_zorder_shards, _sql_zorder_shards),
     "mad_events": (q_mad_events, SQL_MAD_EVENTS),
+    "typo_pairs": (q_typo_pairs, SQL_TYPO_PAIRS),
+    "delta_encode": (q_delta_encode, SQL_DELTA_ENCODE),
+    "percentile_rank": (q_percentile_rank, SQL_PERCENTILE_RANK),
 }
 
 

@@ -2226,3 +2226,163 @@ def hll_distinct_by(ds, key_col: str, text_col: str = "text"):
             "est": pc.cast(b["est"], pa.int64()),
             "n_regs": pc.cast(b["n_regs"], pa.int64())}),
         batch_format="pyarrow", batch_size=65536)
+
+
+# --------------------------------------------------- edit-distance-1 join
+
+_FP_PINV = np.uint64(pow(int(_FP_P), -1, 1 << 64))  # P odd -> invertible
+
+
+def edit1_keys(arr: pa.Array):
+    """SymSpell-style candidate keys for an edit-distance-<=1 self-join:
+    for each string s, the polynomial hash of s itself plus the hash of
+    every single-character deletion of s. Two strings with
+    levenshtein <= 1 ALWAYS share a key (equal -> same full hash;
+    deletion -> the shorter IS a deletion of the longer; substitution
+    -> deleting the substituted position from both yields the same
+    string); sharing a key does NOT imply distance <= 1 (e.g. 'ab' /
+    'ba'), so candidates must be verified (see lev1_mask). Fully
+    vectorized over the raw Arrow buffer: the deletion hash at
+    position i is pref_w(i)*P^-1 + (H - pref_w(i) - s[i]*P^(L-1-i))
+    where pref_w is the within-row exclusive prefix of the full-hash
+    terms — one cumsum over the flat byte buffer, zero Python per row.
+
+    Returns (keys uint64, row_idx int64): one key row per (string,
+    position) plus one per string."""
+    n = len(arr)
+    buf, offs = _string_buffer(arr)
+    lens = offs[1:] - offs[:-1]
+    if n == 0 or int(lens.sum()) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    total = int(lens.sum())
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    base = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    rel = np.arange(total, dtype=np.int64) - np.repeat(base, lens)
+    exp = np.repeat(lens, lens) - 1 - rel
+    src = np.repeat(offs[:-1], lens) + rel
+    pw = _fp_powers(int(lens.max()) + 1)
+    with np.errstate(over="ignore"):
+        vals = buf[src].astype(np.uint64) * pw[exp]
+        cum = np.cumsum(vals)
+        # within-row EXCLUSIVE prefix of the weighted terms
+        pref = cum - vals
+        row_start = np.repeat(cum[base] - vals[base], lens)
+        pref = pref - row_start
+        full = np.add.reduceat(vals, base).astype(np.uint64)
+        del_keys = pref * _FP_PINV + (np.repeat(full, lens) - pref - vals)
+    keys = np.concatenate([full, del_keys])
+    rows = np.concatenate([np.arange(n, dtype=np.int64), row])
+    return keys, rows
+
+
+def lev1_mask(aa: pa.Array, bb: pa.Array) -> np.ndarray:
+    """Vectorized exact levenshtein(a,b) <= 1 verify for candidate
+    pairs: same length -> Hamming <= 1 (an edit-distance-1 edit
+    between equal-length strings must be a substitution); length
+    diff 1 -> longest-common-prefix + longest-common-suffix >= the
+    shorter length (the single-deletion criterion); anything else ->
+    False. Works on zero-padded byte matrices (padding bytes compare
+    equal on both sides, so they never add mismatches)."""
+    la_off = _string_buffer(aa)
+    lb_off = _string_buffer(bb)
+    bufa, offa = la_off
+    bufb, offb = lb_off
+    la = offa[1:] - offa[:-1]
+    lb = offb[1:] - offb[:-1]
+    n = len(la)
+    if n == 0:
+        return np.zeros(0, bool)
+    W = int(max(la.max(), lb.max()))
+    pos = np.arange(W, dtype=np.int64)
+
+    def left_mat(buf, offs, lens):
+        idx = offs[:-1, None] + pos[None, :]
+        valid = pos[None, :] < lens[:, None]
+        m = np.zeros((len(lens), W), np.uint8)
+        m[valid] = buf[idx[valid]]
+        return m
+
+    def right_mat(buf, offs, lens):
+        idx = offs[1:, None] - W + pos[None, :]
+        valid = pos[None, :] >= W - lens[:, None]
+        m = np.zeros((len(lens), W), np.uint8)
+        m[valid] = buf[idx[valid]]
+        return m
+
+    A, B = left_mat(bufa, offa, la), left_mat(bufb, offb, lb)
+    mm = A != B
+    ham = mm.sum(axis=1)
+    same = la == lb
+    ok = same & (ham <= 1)
+    d1 = np.abs(la - lb) == 1
+    if d1.any():
+        anym = mm.any(axis=1)
+        prefix = np.where(anym, mm.argmax(axis=1), W)
+        Ar, Br = right_mat(bufa, offa, la), right_mat(bufb, offb, lb)
+        mr = (Ar != Br)[:, ::-1]
+        anyr = mr.any(axis=1)
+        suffix = np.where(anyr, mr.argmax(axis=1), W)
+        ok |= d1 & (prefix + suffix >= np.minimum(la, lb))
+    return ok
+
+
+def edit1_pairs(ds, str_col: str):
+    """Distributed edit-distance-<=1 self-join over the DISTINCT values
+    of ``str_col`` (the typo-squat / near-URL detection shape): explode
+    SymSpell deletion keys (edit1_keys), co-locate per key, emit
+    candidate pairs within equal-key runs (canonical a < b string
+    order), dedup pairs once, verify with the exact vectorized
+    lev<=1 kernel. Strings ride the key rows — right for SHORT keys
+    like URLs/words (<= ~100B); for long payloads re-attach by id via
+    _attach_pair_texts instead. Returns (a, b) string pairs."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        arr = batch[str_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        # batch-local distinct first: keys per string ~ len(s)
+        arr = pc.unique(arr)
+        keys, rows = edit1_keys(arr)
+        s = arr.to_pandas()
+        return pd.DataFrame({"key": keys.view(np.int64),
+                             "s": s.iloc[rows].to_numpy()})
+
+    kd = ds.map_batches(explode, batch_format="pyarrow", batch_size=8192)
+
+    def per_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates(["key", "s"])
+        b = b.sort_values(["key", "s"], kind="stable")
+        k = b["key"].to_numpy(np.int64)
+        s = b["s"].to_numpy()
+        outs = []
+        d = 1
+        while True:
+            msk = k[d:] == k[:-d]
+            if not msk.any():
+                break
+            outs.append((s[:-d][msk], s[d:][msk]))
+            d += 1
+        if not outs:
+            return pd.DataFrame({"a": np.empty(0, object),
+                                 "b": np.empty(0, object)})
+        df = pd.DataFrame({"a": np.concatenate([o[0] for o in outs]),
+                           "b": np.concatenate([o[1] for o in outs])})
+        return df.drop_duplicates()
+
+    cand = bucketed_group_apply(kd, ["key"], per_key)
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["a", "b"])
+
+    pairs = bucketed_group_apply(cand, ["a", "b"], dedup)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["a"].combine_chunks() if isinstance(
+            batch["a"], pa.ChunkedArray) else batch["a"]
+        b = batch["b"].combine_chunks() if isinstance(
+            batch["b"], pa.ChunkedArray) else batch["b"]
+        keep = pa.array(lev1_mask(a, b))
+        return pa.table({"a": a.filter(keep), "b": b.filter(keep)})
+
+    return pairs.map_batches(verify, batch_format="pyarrow",
+                             batch_size=65536)

@@ -194,3 +194,97 @@ def test_mad_events_bruteforce(ray_session):
         med = qdisc(c[m])
         assert int(r.med_cents) == med
         assert int(r.mad_cents) == qdisc(np.abs(c[m] - med))
+
+
+# ------------------------------------------------------- edit-1 join
+
+def _lev(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def test_lev1_mask_bruteforce():
+    import pyarrow as pa
+
+    from pythongis_ray import text
+
+    rng = np.random.default_rng(3)
+    words = ["abc", "abd", "ab", "abcd", "bbc", "acb", "ba", "abce",
+             "xabc", "aabc", "abcc", "a", "", "zz", "z"]
+    pairs = [(words[i], words[j]) for i in range(len(words))
+             for j in range(len(words))]
+    a = pa.array([p[0] for p in pairs])
+    b = pa.array([p[1] for p in pairs])
+    got = text.lev1_mask(a, b)
+    want = np.array([_lev(x, y) <= 1 for x, y in pairs])
+    assert (got == want).all()
+
+
+def test_edit1_keys_completeness():
+    import pyarrow as pa
+
+    from pythongis_ray import text
+
+    words = ["spark", "spars", "spak", "sparks", "park", "spurk",
+             "other", "spark "]
+    keys, rows = text.edit1_keys(pa.array(words))
+    keysets = [set(keys[rows == i].tolist()) for i in range(len(words))]
+    for i in range(len(words)):
+        for j in range(i + 1, len(words)):
+            if _lev(words[i], words[j]) <= 1:
+                assert keysets[i] & keysets[j], (words[i], words[j])
+
+
+def test_typo_pairs_bruteforce(ray_session):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id"])
+    urls = sorted({f"https://site{d % 50}.example/{d}"
+                   for d in docs["doc_id"].astype(int)})
+    want = {(a, b) for i, a in enumerate(urls) for b in urls[i + 1:]
+            if abs(len(a) - len(b)) <= 1 and _lev(a, b) <= 1}
+    got = q.q_typo_pairs(SF_DIR).to_pandas()
+    got_set = set(zip(got["url_a"], got["url_b"]))
+    assert got_set == want
+    assert len(want) > 0  # fixture is non-degenerate
+
+
+# --------------------------------------------- delta / percentile rank
+
+def test_delta_encode_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    want = ev.groupby("user_id")["ts_us"].diff()
+    got = q.q_delta_encode(SF_DIR).to_pandas() \
+        .set_index("event_id")["delta_us"]
+    n_first = ev["user_id"].nunique()
+    assert len(got) == len(ev) - n_first  # first events dropped
+    for eid, w in zip(ev["event_id"], want):
+        if pd.isna(w):
+            assert eid not in got.index
+        else:
+            assert int(got.loc[eid]) == int(w)
+
+
+def test_percentile_rank_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    c = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    got = q.q_percentile_rank(SF_DIR).to_pandas() \
+        .set_index("event_id")["pr_ppm"]
+    for et in ev["event_type"].unique():
+        m = (ev["event_type"] == et).to_numpy()
+        vals = c[m]
+        sc = np.sort(vals)
+        rank = np.searchsorted(sc, vals, side="left") + 1
+        want = (rank - 1) * 1_000_000 // max(len(vals) - 1, 1)
+        for eid, w in zip(ev["event_id"].to_numpy()[m], want):
+            assert int(got.loc[eid]) == int(w)
