@@ -6640,6 +6640,254 @@ FROM v
 """
 
 
+_IVL_TILE_US = 86_400_000_000          # 1-day tiles
+_IVL_ORDER_SPAN = 3 * 86_400_000_000   # order window: 3 days
+_IVL_EVENT_SPAN = 3_600_000_000        # event window: 1 hour
+# orders live in 1995-2001 but events in 2024 — fold each order date
+# onto the events' month by integer arithmetic (exact in both engines)
+_IVL_EPOCH_2024 = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
+
+
+def q_interval_overlap(sf_dir: str):
+    """Interval-×-interval overlap join (both sides are RANGES — the
+    1-D analogue of the polygon×polygon spatial join, and the same
+    plan: cover explosion + canonical-cell exactly-once emission):
+    each interval replicates to the day tiles it covers, pairs meet
+    per (user, tile) in ONE bucketed shuffle, overlap is verified
+    exactly, and a pair is emitted only in the tile containing
+    max(starts) — the overlap's first instant — so no dedup pass is
+    needed. Reports the exact overlap duration in µs."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+    od = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_orderdate"])
+
+    def cover(ids, users, starts, spans, side):
+        ends = starts + spans
+        t0 = starts // _IVL_TILE_US
+        t1 = (ends - 1) // _IVL_TILE_US
+        reps = (t1 - t0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
+        k = np.arange(int(reps.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        return pd.DataFrame({
+            "user": users[idx], "tile": t0[idx] + k,
+            "side": np.full(len(idx), side, np.int64),
+            "id": ids[idx], "s": starts[idx], "e": ends[idx]})
+
+    def ev_cover(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return cover(b["event_id"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64),
+                     b["user_id"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64),
+                     ts, _IVL_EVENT_SPAN, 0)
+
+    def od_cover(b: pa.Table) -> pd.DataFrame:
+        ts = b["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ts = _IVL_EPOCH_2024 + ts % (30 * _IVL_TILE_US)
+        return cover(b["o_orderkey"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64),
+                     b["o_custkey"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64),
+                     ts, _IVL_ORDER_SPAN, 1)
+
+    both = ev.map_batches(ev_cover, batch_format="pyarrow",
+                          batch_size=65536).union(
+        od.map_batches(od_cover, batch_format="pyarrow",
+                       batch_size=65536))
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[b["side"] == 0]
+        o = b[b["side"] == 1]
+        m = a.merge(o, on=["user", "tile"], suffixes=("_a", "_b"))
+        if not len(m):
+            return pd.DataFrame({"event_id": np.empty(0, np.int64),
+                                 "o_orderkey": np.empty(0, np.int64),
+                                 "overlap_us": np.empty(0, np.int64)})
+        sa = m["s_a"].to_numpy(np.int64)
+        ea = m["e_a"].to_numpy(np.int64)
+        sb = m["s_b"].to_numpy(np.int64)
+        eb = m["e_b"].to_numpy(np.int64)
+        lo = np.maximum(sa, sb)
+        hi = np.minimum(ea, eb)
+        keep = (lo < hi) & (lo // _IVL_TILE_US
+                            == m["tile"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "event_id": m["id_a"].to_numpy(np.int64)[keep],
+            "o_orderkey": m["id_b"].to_numpy(np.int64)[keep],
+            "overlap_us": (hi - lo)[keep]})
+
+    return bucketed_group_apply(both, ["user", "tile"], per_bucket)
+
+
+SQL_INTERVAL_OVERLAP = f"""
+WITH o2 AS (SELECT o_orderkey, o_custkey,
+                   {_IVL_EPOCH_2024} + epoch_us(o_orderdate)
+                     % {30 * _IVL_TILE_US} AS os
+            FROM orders)
+SELECT e.event_id, o.o_orderkey,
+       least(epoch_us(e.ts) + {_IVL_EVENT_SPAN},
+             o.os + {_IVL_ORDER_SPAN})
+       - greatest(epoch_us(e.ts), o.os) AS overlap_us
+FROM events e JOIN o2 o ON e.user_id = o.o_custkey
+WHERE epoch_us(e.ts) < o.os + {_IVL_ORDER_SPAN}
+  AND o.os < epoch_us(e.ts) + {_IVL_EVENT_SPAN}
+"""
+
+
+def q_twap(sf_dir: str):
+    """Per-user time-weighted average value (the TWAP shape): each
+    event's cents weight is its holding time until the user's next
+    event; ships as the exact integer pair (Σ cents·Δus, Σ Δus) —
+    ratio-of-sums, no float. One user-keyed co-location; users with a
+    single event carry (0, 0)."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"user_id": pc.cast(b["user_id"], pa.int64()),
+                         "ts_us": pa.array(us), "cents": pa.array(c)})
+
+    dsp = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["user_id", "ts_us"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        same = np.empty(len(g), bool)
+        same[:-1] = u[1:] == u[:-1]
+        same[-1] = False
+        dt = np.zeros(len(g), np.int64)
+        dt[:-1] = ts[1:] - ts[:-1]
+        dt[~same] = 0
+        df = pd.DataFrame({"user_id": u, "twap_num": c * dt,
+                           "twap_den": dt})
+        out = df.groupby("user_id", sort=False).sum().reset_index()
+        out["twap_num"] = out["twap_num"].astype(np.int64)
+        out["twap_den"] = out["twap_den"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(dsp, ["user_id"], per_bucket)
+
+
+SQL_TWAP = """
+WITH t AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+                  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts) - epoch_us(ts)
+                    AS dt
+           FROM events)
+SELECT user_id,
+       CAST(COALESCE(SUM(c * dt), 0) AS BIGINT) AS twap_num,
+       CAST(COALESCE(SUM(dt), 0) AS BIGINT) AS twap_den
+FROM t GROUP BY user_id
+"""
+
+
+KMV_HOST_K = 16
+
+
+def q_host_overlap(sf_dir: str):
+    """Pairwise host-vocabulary overlap from mergeable KMV sketches
+    (audience-overlap / shared-vocabulary estimation WITHOUT moving
+    corpora): per-host k-minima sketch rows (text.kmv_sketch_by,
+    O(hosts×k) through the one shuffle), then every host pair's
+    Jaccard estimate = |both ∩ union-k-minima| / |union-k-minima| as
+    exact integer ppm. The pair stage touches only the tiny sketch
+    table; SQL replays the sketches with the same hash chain as
+    kmv_by_host and the pair algebra relationally."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def add_host(b: pa.Table) -> pa.Table:
+        h = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 50
+        return pa.table({"host": pa.array(h), "text": b["text"]})
+
+    dsh = ds.map_batches(add_host, batch_format="pyarrow", batch_size=8192)
+    sk = text.kmv_sketch_by(dsh, "host", k=KMV_HOST_K)
+
+    def pair_stage(g: pd.DataFrame) -> pd.DataFrame:
+        sketches = {int(h): np.sort(grp["h"].to_numpy(np.int64)
+                                    .view(np.uint64))
+                    for h, grp in g.groupby("host", sort=False)}
+        hosts = sorted(sketches)
+        rows = []
+        for i, ha in enumerate(hosts):
+            for hb in hosts[i + 1:]:
+                sa, sb = sketches[ha], sketches[hb]
+                uni = np.union1d(sa, sb)
+                r = min(KMV_HOST_K, len(uni))
+                merged = uni[:r]
+                common = np.intersect1d(sa, sb)
+                c = int(np.isin(merged, common).sum())
+                rows.append((ha, hb, c, r, c * 1_000_000 // r))
+        return pd.DataFrame(rows, columns=["host_a", "host_b",
+                                           "n_common", "r", "jac_ppm"])
+
+    tagged = sk.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                            batch_format="pandas")
+    return tagged.groupby("_one").map_groups(
+        lambda g: pair_stage(g.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+SQL_HOST_OVERLAP = f"""
+WITH w AS (SELECT doc_id % 50 AS host,
+                  UNNEST(string_split(text, ' ')) AS word
+           FROM documents),
+h0 AS (SELECT DISTINCT host,
+        list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(word, '')]),
+        (acc, x) -> (acc * 1099511628211 + x)
+                    % CAST('18446744073709551616' AS HUGEINT)) AS th0
+      FROM w),
+h AS (SELECT host, ((((th0 // 4294967296)
+                * CAST('11400714819323198485' AS HUGEINT)) % 4294967296)
+               * 4294967296
+              + (th0 % 4294967296)
+                * CAST('11400714819323198485' AS HUGEINT))
+             % CAST('18446744073709551616' AS HUGEINT) AS th FROM h0),
+hd AS (SELECT DISTINCT host, th FROM h),
+ord AS (SELECT host, th,
+               ROW_NUMBER() OVER (PARTITION BY host ORDER BY th) AS rn
+        FROM hd),
+sk AS (SELECT host, th FROM ord WHERE rn <= {KMV_HOST_K}),
+hosts AS (SELECT DISTINCT host FROM sk),
+pairs AS (SELECT a.host AS ha, b.host AS hb
+          FROM hosts a JOIN hosts b ON a.host < b.host),
+bo AS (SELECT p.ha, p.hb, s.th FROM pairs p JOIN sk s ON s.host = p.ha
+       UNION
+       SELECT p.ha, p.hb, s.th FROM pairs p JOIN sk s ON s.host = p.hb),
+uni AS (SELECT ha, hb, th,
+               ROW_NUMBER() OVER (PARTITION BY ha, hb ORDER BY th) AS rn
+        FROM bo),
+m AS (SELECT ha, hb, th FROM uni WHERE rn <= {KMV_HOST_K}),
+rr AS (SELECT ha, hb, COUNT(*) AS r FROM m GROUP BY ha, hb),
+cc AS (SELECT m.ha, m.hb, COUNT(*) AS n_common
+       FROM m JOIN sk sa ON sa.host = m.ha AND sa.th = m.th
+              JOIN sk sb ON sb.host = m.hb AND sb.th = m.th
+       GROUP BY m.ha, m.hb)
+SELECT CAST(rr.ha AS BIGINT) AS host_a, CAST(rr.hb AS BIGINT) AS host_b,
+       CAST(COALESCE(cc.n_common, 0) AS BIGINT) AS n_common,
+       CAST(rr.r AS BIGINT) AS r,
+       CAST(COALESCE(cc.n_common, 0) * 1000000 // rr.r AS BIGINT)
+         AS jac_ppm
+FROM rr LEFT JOIN cc ON cc.ha = rr.ha AND cc.hb = rr.hb
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -6806,6 +7054,9 @@ REGISTRY: dict[str, tuple] = {
     "typo_pairs": (q_typo_pairs, SQL_TYPO_PAIRS),
     "delta_encode": (q_delta_encode, SQL_DELTA_ENCODE),
     "percentile_rank": (q_percentile_rank, SQL_PERCENTILE_RANK),
+    "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
+    "twap": (q_twap, SQL_TWAP),
+    "host_overlap": (q_host_overlap, SQL_HOST_OVERLAP),
 }
 
 

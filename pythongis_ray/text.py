@@ -2386,3 +2386,57 @@ def edit1_pairs(ds, str_col: str):
 
     return pairs.map_batches(verify, batch_format="pyarrow",
                              batch_size=65536)
+
+
+def kmv_sketch_by(ds, key_col: str, text_col: str = "text", k: int = 16):
+    """Per-group KMV sketch TABLE — the k smallest distinct mixed
+    token hashes per group, as rows (key, h) — the mergeable-state
+    form of :func:`kmv_distinct_by` (same hash/mix contract, exactly
+    SQL-replayable). Set algebra on sketches (union / intersection /
+    Jaccard between groups) composes from these rows; the table is
+    O(groups × k) regardless of corpus size."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, offs = _batch_token_hashes(arr)
+        with np.errstate(over="ignore"):
+            th = th * KMV_MIX
+        keys = batch[key_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        g = np.repeat(keys, lens)
+        if len(g) == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        o = np.lexsort((th, g))
+        g2, t2 = g[o], th[o]
+        new = np.concatenate(
+            ([True], (g2[1:] != g2[:-1]) | (t2[1:] != t2[:-1])))
+        g2, t2 = g2[new], t2[new]
+        starts = np.concatenate(([True], g2[1:] != g2[:-1]))
+        sidx = np.nonzero(starts)[0]
+        rank = np.arange(len(g2)) - np.repeat(
+            sidx, np.diff(np.concatenate((sidx, [len(g2)]))))
+        m = rank < k
+        return pa.table({key_col: pa.array(g2[m]),
+                         "h": pa.array(t2[m].view(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, grp in b.groupby(key_col, sort=False):
+            u = np.unique(grp["h"].to_numpy(np.int64).view(np.uint64))[:k]
+            out.append(pd.DataFrame({key_col: np.full(len(u), key,
+                                                      np.int64),
+                                     "h": u.view(np.int64)}))
+        if not out:
+            return pd.DataFrame({key_col: np.empty(0, np.int64),
+                                 "h": np.empty(0, np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(parts, [key_col], combine)

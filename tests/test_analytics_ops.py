@@ -288,3 +288,76 @@ def test_percentile_rank_bruteforce(ray_session):
         want = (rank - 1) * 1_000_000 // max(len(vals) - 1, 1)
         for eid, w in zip(ev["event_id"].to_numpy()[m], want):
             assert int(got.loc[eid]) == int(w)
+
+
+# ------------------------------------------ interval / twap / kmv overlap
+
+def test_interval_overlap_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    od = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+    ets = ev["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    ots = od["o_orderdate"].astype("datetime64[us]").astype(np.int64) \
+        .to_numpy()
+    ots = q._IVL_EPOCH_2024 + ots % (30 * q._IVL_TILE_US)
+    want = set()
+    od_by_user = {}
+    for i in range(len(od)):
+        od_by_user.setdefault(int(od["o_custkey"].iloc[i]), []).append(i)
+    for i in range(len(ev)):
+        for j in od_by_user.get(int(ev["user_id"].iloc[i]), []):
+            lo = max(ets[i], ots[j])
+            hi = min(ets[i] + q._IVL_EVENT_SPAN,
+                     ots[j] + q._IVL_ORDER_SPAN)
+            if lo < hi:
+                want.add((int(ev["event_id"].iloc[i]),
+                          int(od["o_orderkey"].iloc[j]), int(hi - lo)))
+    got = q.q_interval_overlap(SF_DIR).to_pandas()
+    got_set = set(zip(got["event_id"].astype(int),
+                      got["o_orderkey"].astype(int),
+                      got["overlap_us"].astype(int)))
+    assert got_set == want
+    assert len(got) == len(got_set)  # exactly-once emission
+    assert len(want) > 0
+
+
+def test_twap_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    ev["c"] = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    got = q.q_twap(SF_DIR).to_pandas().set_index("user_id")
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values("ts_us")
+        dt = np.diff(g["ts_us"].to_numpy())
+        num = int((g["c"].to_numpy()[:-1] * dt).sum())
+        den = int(dt.sum())
+        assert int(got.loc[uid, "twap_num"]) == num
+        assert int(got.loc[uid, "twap_den"]) == den
+
+
+def test_kmv_sketch_pair_algebra(ray_session):
+    # overlap estimate from sketches is exact when both sets are small
+    # (< k distinct tokens): jac_ppm == exact jaccard in ppm
+    import ray.data as rd
+
+    from pythongis_ray import text
+
+    df = pd.DataFrame({
+        "host": np.array([0, 0, 1, 1, 2], np.int64),
+        "text": ["a b c", "c d", "c d e", "f", "x y z"]})
+    sk = text.kmv_sketch_by(rd.from_pandas(df), "host", k=16).to_pandas()
+    sets = {0: {"a", "b", "c", "d"}, 1: {"c", "d", "e", "f"},
+            2: {"x", "y", "z"}}
+    for h in sets:
+        assert len(sk[sk["host"] == h]) == len(sets[h])
+    # pair algebra on the tiny sketches (k exceeds every set size, so
+    # the estimate degrades to the exact jaccard)
+    sk_sets = {h: set(g["h"]) for h, g in sk.groupby("host")}
+    for a, b in [(0, 1), (0, 2), (1, 2)]:
+        exact = len(sets[a] & sets[b]) * 1_000_000 // len(sets[a] | sets[b])
+        c = len(sk_sets[a] & sk_sets[b])
+        r = min(16, len(sk_sets[a] | sk_sets[b]))
+        assert c * 1_000_000 // r == exact
