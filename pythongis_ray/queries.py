@@ -6888,6 +6888,147 @@ FROM rr LEFT JOIN cc ON cc.ha = rr.ha AND cc.hb = rr.hb
 """
 
 
+# D8 neighbor order (direction index is the deterministic tie-break:
+# E, W, N(y+1), S(y-1), then the four diagonals)
+_D8 = ((1, 0), (-1, 0), (0, 1), (0, -1),
+       (1, 1), (1, -1), (-1, 1), (-1, -1))
+FLOW_ROUNDS = 4
+
+
+def q_flow_acc(sf_dir: str):
+    """D8 flow accumulation over the terrain grid (realizes the
+    hydrology op downstream of the reference's empty `slope` stub,
+    /root/reference/pythongis/raster/analyzer.py:655): each cell
+    drains to its strictly-lowest D8 neighbor (elevation = point
+    density; ties broken by the fixed direction order), and
+    acc_R(v) = cells within R={FLOW_ROUNDS} steps upstream of v,
+    incl. itself — the bounded-rounds contract every iterative oracle
+    here uses (pagerank/BFS). The corpus-sized work (density grid) is
+    one streamed pass + one cell-bucketed stencil combine; the flow
+    graph and the R accumulation rounds act on the CELL-BOUNDED table
+    (≤ #cells rows, set by resolution, not corpus), so the final
+    single-group pass is bounded exactly like the kmv driver merge.
+    SQL replays flow choice (ROW_NUMBER over (elev, dir)) and each
+    round as a chained LEFT-JOIN CTE."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grid_ds = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                    [("n", "cx", "count")])
+
+    # tag d in 0..7: "my neighbor at +_D8[d] has value v"; tag 8: own
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        v = b["n"].to_numpy(np.int64)
+        txs, tys, tags = [cx], [cy], [np.full(len(b), 8, np.int64)]
+        for d, (dx, dy) in enumerate(_D8):
+            txs.append(cx - dx)
+            tys.append(cy - dy)
+            tags.append(np.full(len(b), d, np.int64))
+        return pd.DataFrame({"cx": np.concatenate(txs),
+                             "cy": np.concatenate(tys),
+                             "tag": np.concatenate(tags),
+                             "v": np.tile(v, 9)})
+
+    tagged = grid_ds.map_batches(emit, batch_format="pandas",
+                                 batch_size=65536)
+
+    def stencil(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.pivot_table(index=["cx", "cy"], columns="tag",
+                          values="v", aggfunc="sum")
+        p = p.reindex(columns=range(9))
+        p = p[p[8].notna()]          # real cells only
+        own = p[8].to_numpy(np.int64)
+        big = np.int64(1) << 62
+        keys = np.full((len(p), 8), big, np.int64)
+        for d in range(8):
+            bn = p[d].to_numpy(np.float64)
+            has = ~np.isnan(bn)
+            lower = has & (bn < own)
+            keys[lower, d] = bn[lower].astype(np.int64) * 8 + d
+        best = keys.min(axis=1)
+        has_flow = best < big
+        d_star = keys.argmin(axis=1)
+        cx = p.index.get_level_values(0).to_numpy(np.int64)
+        cy = p.index.get_level_values(1).to_numpy(np.int64)
+        dx = np.array([d[0] for d in _D8], np.int64)[d_star]
+        dy = np.array([d[1] for d in _D8], np.int64)[d_star]
+        return pd.DataFrame({
+            "cx": cx, "cy": cy, "has_flow": has_flow,
+            "tx": np.where(has_flow, cx + dx, cx),
+            "ty": np.where(has_flow, cy + dy, cy)})
+
+    cells = rel.bucketed_group_apply(tagged, ["cx", "cy"], stencil)
+
+    def rounds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cx", "cy"], kind="stable") \
+            .reset_index(drop=True)
+        key = g["cx"].to_numpy(np.int64) * (np.int64(1) << 32) \
+            + g["cy"].to_numpy(np.int64)
+        tkey = g["tx"].to_numpy(np.int64) * (np.int64(1) << 32) \
+            + g["ty"].to_numpy(np.int64)
+        tidx = np.searchsorted(key, tkey)
+        hf = g["has_flow"].to_numpy(bool)
+        a = np.ones(len(g), np.int64)
+        for _ in range(FLOW_ROUNDS):
+            new = np.ones(len(g), np.int64)
+            np.add.at(new, tidx[hf], a[hf])
+            a = new
+        return pd.DataFrame({"cx": g["cx"].to_numpy(np.int64),
+                             "cy": g["cy"].to_numpy(np.int64),
+                             "acc": a})
+
+    one = cells.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                            batch_format="pandas")
+    return one.groupby("_one").map_groups(
+        lambda g: rounds(g.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+def _sql_flow_acc() -> str:
+    dirs = ", ".join(f"({d}, {dx}, {dy})"
+                     for d, (dx, dy) in enumerate(_D8))
+    rounds = []
+    prev = "a0"
+    for r in range(1, FLOW_ROUNDS + 1):
+        rounds.append(f"""
+a{r} AS MATERIALIZED (
+  SELECT c.cx, c.cy, 1 + COALESCE(SUM(p.a), 0) AS a
+  FROM cells c LEFT JOIN
+    (SELECT f.tx, f.ty, {prev}.a FROM {prev}
+     JOIN flow f ON f.cx = {prev}.cx AND f.cy = {prev}.cy) p
+    ON p.tx = c.cx AND p.ty = c.cy
+  GROUP BY c.cx, c.cy)""")
+        prev = f"a{r}"
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+cells AS MATERIALIZED (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+        CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+cand AS (SELECT a.cx, a.cy, b.n AS bn, d.d AS d,
+                a.cx + d.dx AS tx, a.cy + d.dy AS ty
+         FROM cells a
+         CROSS JOIN (VALUES {dirs}) d(d, dx, dy)
+         JOIN cells b ON b.cx = a.cx + d.dx AND b.cy = a.cy + d.dy
+         WHERE b.n < a.n),
+flow AS MATERIALIZED (SELECT cx, cy, tx, ty FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY cx, cy
+                                      ORDER BY bn, d) AS rn
+         FROM cand) WHERE rn = 1),
+a0 AS MATERIALIZED (SELECT cx, cy, CAST(1 AS BIGINT) AS a FROM cells),
+{",".join(rounds)[1:]}
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(a AS BIGINT) AS acc FROM a{FLOW_ROUNDS}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -7057,6 +7198,7 @@ REGISTRY: dict[str, tuple] = {
     "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
     "twap": (q_twap, SQL_TWAP),
     "host_overlap": (q_host_overlap, SQL_HOST_OVERLAP),
+    "flow_acc": (q_flow_acc, _sql_flow_acc),
 }
 
 

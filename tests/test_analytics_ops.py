@@ -361,3 +361,30 @@ def test_kmv_sketch_pair_algebra(ray_session):
         c = len(sk_sets[a] & sk_sets[b])
         r = min(16, len(sk_sets[a] | sk_sets[b]))
         assert c * 1_000_000 // r == exact
+
+
+def test_flow_acc_bruteforce(ray_session):
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    cells = (pts.assign(cx=pts["ix"] // 8192, cy=pts["iy"] // 8192)
+             .groupby(["cx", "cy"]).size().rename("n").reset_index())
+    elev = {(int(r.cx), int(r.cy)): int(r.n) for r in cells.itertuples()}
+    flow = {}
+    for (cx, cy), n in elev.items():
+        best = None
+        for d, (dx, dy) in enumerate(q._D8):
+            bn = elev.get((cx + dx, cy + dy))
+            if bn is not None and bn < n:
+                k = (bn, d)
+                if best is None or k < best[0]:
+                    best = (k, (cx + dx, cy + dy))
+        if best:
+            flow[(cx, cy)] = best[1]
+    a = {c: 1 for c in elev}
+    for _ in range(q.FLOW_ROUNDS):
+        new = {c: 1 for c in elev}
+        for c, tgt in flow.items():
+            new[tgt] += a[c]
+        a = new
+    got = q.q_flow_acc(SF_DIR).to_pandas()
+    got_d = {(int(r.cx), int(r.cy)): int(r.acc) for r in got.itertuples()}
+    assert got_d == a
