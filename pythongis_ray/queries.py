@@ -7029,6 +7029,102 @@ SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
 """
 
 
+HIST_BIN_CENTS = 5000
+
+
+def q_histogram(sf_dir: str):
+    """Per-group equal-width histogram (reference summarystats
+    histogram shape, raster/data.py:689 / vector describe): fixed
+    origin-0 width-{HIST_BIN_CENTS} cents bins, counts folded
+    per-batch so the shuffle moves one row per (batch, group, bin)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "bin": c // HIST_BIN_CENTS})
+        g = (df.groupby(["event_type", "bin"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["event_type", "bin"], sort=False)["n"].sum()
+             .reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return rel.bucketed_group_apply(parts, ["event_type", "bin"], combine)
+
+
+SQL_HISTOGRAM = f"""
+SELECT event_type,
+       CAST(round(value * 100) AS BIGINT) // {HIST_BIN_CENTS} AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_describe_stats(sf_dir: str):
+    """summarystats / describe with EXACT dispersion (reference
+    vector describe + Band.summarystats): per group n, min, max, sum
+    and the sample variance as the exact integer pair
+    (n·Σx² − (Σx)², n·(n−1)) — no float accumulation anywhere, so the
+    oracle hash-matches; var = num/den is one division away."""
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        x = b["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({"flag": b["l_returnflag"].to_pandas(),
+                           "n": np.ones(len(x), np.int64),
+                           "sx": x, "sxx": x * x, "mn": x, "mx": x})
+        return (df.groupby("flag", sort=False)
+                .agg(n=("n", "sum"), sx=("sx", "sum"),
+                     sxx=("sxx", "sum"), mn=("mn", "min"),
+                     mx=("mx", "max")).reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby("flag", sort=False)
+             .agg(n=("n", "sum"), sx=("sx", "sum"), sxx=("sxx", "sum"),
+                  mn=("mn", "min"), mx=("mx", "max")).reset_index())
+        out = pd.DataFrame({
+            "flag": g["flag"],
+            "n": g["n"].astype(np.int64),
+            "min_qty": g["mn"].astype(np.int64),
+            "max_qty": g["mx"].astype(np.int64),
+            "sum_qty": g["sx"].astype(np.int64),
+            "var_num": (g["n"] * g["sxx"] - g["sx"] * g["sx"])
+            .astype(np.int64),
+            "var_den": (g["n"] * (g["n"] - 1)).astype(np.int64)})
+        return out
+
+    return rel.bucketed_group_apply(parts, ["flag"], combine)
+
+
+SQL_DESCRIBE_STATS = """
+WITH x AS (SELECT l_returnflag AS flag,
+                  CAST(l_quantity AS BIGINT) AS v FROM lineitem)
+SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(v) AS BIGINT) AS min_qty,
+       CAST(MAX(v) AS BIGINT) AS max_qty,
+       CAST(SUM(v) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) * SUM(v * v) - SUM(v) * SUM(v) AS BIGINT)
+         AS var_num,
+       CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT) AS var_den
+FROM x GROUP BY flag
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -7199,6 +7295,8 @@ REGISTRY: dict[str, tuple] = {
     "twap": (q_twap, SQL_TWAP),
     "host_overlap": (q_host_overlap, SQL_HOST_OVERLAP),
     "flow_acc": (q_flow_acc, _sql_flow_acc),
+    "histogram": (q_histogram, SQL_HISTOGRAM),
+    "describe_stats": (q_describe_stats, SQL_DESCRIBE_STATS),
 }
 
 

@@ -388,3 +388,38 @@ def test_flow_acc_bruteforce(ray_session):
     got = q.q_flow_acc(SF_DIR).to_pandas()
     got_d = {(int(r.cx), int(r.cy)): int(r.acc) for r in got.itertuples()}
     assert got_d == a
+
+
+def test_histogram_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "value"])
+    c = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    want = (pd.DataFrame({"event_type": ev["event_type"],
+                          "bin": c // q.HIST_BIN_CENTS})
+            .groupby(["event_type", "bin"]).size())
+    got = q.q_histogram(SF_DIR).to_pandas() \
+        .set_index(["event_type", "bin"])["n"]
+    assert len(got) == len(want)
+    for k, v in want.items():
+        assert int(got.loc[k]) == int(v)
+
+
+def test_describe_stats_bruteforce(ray_session):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    x = li["l_quantity"].to_numpy().astype(np.int64)
+    got = q.q_describe_stats(SF_DIR).to_pandas().set_index("flag")
+    for f in li["l_returnflag"].unique():
+        m = (li["l_returnflag"] == f).to_numpy()
+        v = x[m]
+        n = len(v)
+        r = got.loc[f]
+        assert (int(r["n"]), int(r["min_qty"]), int(r["max_qty"]),
+                int(r["sum_qty"])) == (n, int(v.min()), int(v.max()),
+                                       int(v.sum()))
+        assert int(r["var_num"]) == n * int((v * v).sum()) \
+            - int(v.sum()) ** 2
+        assert int(r["var_den"]) == n * (n - 1)
+        # sanity: num/den equals the float sample variance
+        assert abs(int(r["var_num"]) / int(r["var_den"])
+                   - v.var(ddof=1)) < 1e-6
