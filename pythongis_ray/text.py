@@ -2269,6 +2269,10 @@ def edit1_keys(arr: pa.Array):
         row_start = np.repeat(cum[base] - vals[base], lens)
         pref = pref - row_start
         full = np.add.reduceat(vals, base).astype(np.uint64)
+        # reduceat yields vals[base[i]] (not 0) when row i is empty —
+        # zero those so "" hashes to 0 == the deletion hash any
+        # 1-char string emits (keeps ("", "x") pairs candidate-complete)
+        full[lens == 0] = np.uint64(0)
         del_keys = pref * _FP_PINV + (np.repeat(full, lens) - pref - vals)
     keys = np.concatenate([full, del_keys])
     rows = np.concatenate([np.arange(n, dtype=np.int64), row])

@@ -437,3 +437,70 @@ def test_extract_links_recovers_embedded_hrefs(docs):
     out = pages.extract_links(batch)
     got = list(zip(out["src_page"].to_pylist(), out["dst_page"].to_pylist()))
     assert got == expected
+
+
+# ------------------------- late-r3 analytics kernels (property tests)
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[len(b)]
+
+
+_word = st.text(alphabet="abc", min_size=0, max_size=6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_word, _word), min_size=1, max_size=30))
+def test_lev1_mask_matches_dp(pairs):
+    import pyarrow as pa
+
+    from pythongis_ray import text
+
+    a = pa.array([p[0] for p in pairs], pa.string())
+    b = pa.array([p[1] for p in pairs], pa.string())
+    got = text.lev1_mask(a, b)
+    want = np.array([_lev_ref(x, y) <= 1 for x, y in pairs])
+    assert (got == want).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_word, min_size=1, max_size=25))
+def test_edit1_keys_complete_for_lev1(words):
+    import pyarrow as pa
+
+    from pythongis_ray import text
+
+    uw = sorted(set(words))  # includes "" — lev("", "x") == 1 pairs
+    if not uw:
+        return
+    keys, rows = text.edit1_keys(pa.array(uw, pa.string()))
+    ksets = [set(keys[rows == i].tolist()) for i in range(len(uw))]
+    for i in range(len(uw)):
+        for j in range(i + 1, len(uw)):
+            if _lev_ref(uw[i], uw[j]) <= 1:
+                assert ksets[i] & ksets[j], (uw[i], uw[j])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(-10, 10), st.integers(-10, 10)),
+                min_size=1, max_size=60))
+def test_pareto_front_matches_bruteforce(pts):
+    import pandas as pd
+
+    from pythongis_ray import relational as rel
+
+    df = pd.DataFrame(pts, columns=["x", "y"]).astype(np.int64)
+    df["tag"] = np.arange(len(df))
+    got = set(rel.pareto_front_frame(df, "x", "y")["tag"])
+    want = set()
+    for i, (ax, ay) in enumerate(pts):
+        if not any(bx >= ax and by >= ay and (bx > ax or by > ay)
+                   for bx, by in pts):
+            want.add(i)
+    assert got == want
