@@ -7125,6 +7125,72 @@ FROM x GROUP BY flag
 """
 
 
+def q_mosaic(sf_dir: str):
+    """Mosaic paste with the 'last' priority rule (reference mosaic,
+    /root/reference/pythongis/raster/manager.py:23-63): two per-cell
+    density layers — lineitem points under, customer points over —
+    resolved per cell by the raster.mosaic machinery (union-all +
+    per-cell pick; a cell-bounded groupby, never the inputs). Oracle
+    = FULL OUTER JOIN with priority COALESCE."""
+    from pythongis_ray import raster
+
+    def layer(pts):
+        def cellify(batch: pa.Table) -> pa.Table:
+            ix = batch["ix"].to_numpy(zero_copy_only=False)
+            iy = batch["iy"].to_numpy(zero_copy_only=False)
+            return pa.table({"cx": pa.array(ix // 1024),
+                             "cy": pa.array(iy // 1024)})
+
+        cells = pts.map_batches(cellify, batch_format="pyarrow",
+                                batch_size=65536)
+        g = rel.groupby_aggregate(cells, ["cx", "cy"],
+                                  [("n", "cx", "count")])
+
+        def key(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["cell_id"] = b["cx"].astype(np.int64) * (1 << 32) \
+                + b["cy"].astype(np.int64)
+            b["band"] = np.int64(0)
+            b["n"] = b["n"].astype(np.int64)
+            return b
+
+        return g.map_batches(key, batch_format="pandas")
+
+    cpts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+
+    def add_units(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        ix = np.rint((lon + 180.0) * 1024).astype(np.int64)
+        iy = np.rint((lat + 90.0) * 1024).astype(np.int64)
+        return pa.table({"ix": pa.array(ix), "iy": pa.array(iy)})
+
+    under = layer(points_lineitem(sf_dir))
+    over = layer(cpts.map_batches(add_units, batch_format="pyarrow",
+                                  batch_size=65536))
+    out = raster.mosaic([under, over], rule="last")
+    return out.map_batches(
+        lambda b: pa.table({"cx": pc.cast(b["cx"], pa.int64()),
+                            "cy": pc.cast(b["cy"], pa.int64()),
+                            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_mosaic() -> str:
+    return f"""
+WITH la AS (SELECT ix // 1024 AS cx, iy // 1024 AS cy,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ({SQL_PTS_LINEITEM()}) GROUP BY 1, 2),
+lb AS (SELECT ix // 1024 AS cx, iy // 1024 AS cy,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")})
+       GROUP BY 1, 2)
+SELECT COALESCE(b.cx, a.cx) AS cx, COALESCE(b.cy, a.cy) AS cy,
+       COALESCE(b.n, a.n) AS n
+FROM la a FULL OUTER JOIN lb b ON a.cx = b.cx AND a.cy = b.cy
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -7297,6 +7363,7 @@ REGISTRY: dict[str, tuple] = {
     "flow_acc": (q_flow_acc, _sql_flow_acc),
     "histogram": (q_histogram, SQL_HISTOGRAM),
     "describe_stats": (q_describe_stats, SQL_DESCRIBE_STATS),
+    "mosaic": (q_mosaic, _sql_mosaic),
 }
 
 

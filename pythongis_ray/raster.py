@@ -806,12 +806,17 @@ def mosaic(datasets, rule: str = "first"):
     for d in tagged[1:]:
         u = u.union(d)
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("_src", kind="stable")
-        row = g.iloc[:1] if rule == "first" else g.iloc[-1:]
-        return row.drop(columns=["_src"])
+    # vectorized per-bucket pick (sort + keyed drop_duplicates) — the
+    # sort-based groupby().map_groups iterates cells in Python and is
+    # minutes at 10^4+ cells (CLAUDE.md Ray 2.49 gotcha)
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        srt = b.sort_values(["cell_id", "band", "_src"], kind="stable")
+        keep = "first" if rule == "first" else "last"
+        return srt.drop_duplicates(subset=["cell_id", "band"],
+                                   keep=keep).drop(columns=["_src"])
 
-    return u.groupby(["cell_id", "band"]).map_groups(pick, batch_format="pandas")
+    from pythongis_ray.relational import bucketed_group_apply
+    return bucketed_group_apply(u, ["cell_id", "band"], pick)
 
 
 # -------------------------------------------------------- raster⟷vector
