@@ -243,6 +243,18 @@ def run_benchmarks() -> dict:
     extras["pagerank_edge_iters_per_sec"] = round(
         pr_nodes * 3 * 5 / timings["pagerank_960k_edges"], 1)
 
+    # 14. interval×interval overlap join (cover explosion + canonical
+    # tile, ONE bucketed shuffle) — the 1-D polygon-join analogue
+    npairs = timed("interval_overlap",
+                   lambda: q.q_interval_overlap(SF_DIR).count())
+    extras["interval_pairs"] = npairs
+
+    # 15. edit-distance-1 URL self-join (SymSpell deletion keys +
+    # exact vectorized verify; no all-pairs stage)
+    ntypo = timed("typo_pairs_5k",
+                  lambda: q.q_typo_pairs(SF_DIR).count())
+    extras["typo_pairs"] = ntypo
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
