@@ -7191,6 +7191,77 @@ FROM la a FULL OUTER JOIN lb b ON a.cx = b.cx AND a.cy = b.cy
 """
 
 
+def q_concat_events(sf_dir: str):
+    """Ordered per-group string aggregation (reference fieldmapping
+    'concat', vector/sql.py stat vocabulary): each user's event types
+    concatenated in (ts, event_id) order — the order-dependent holistic
+    the reference supports and Ray Data lacks natively. One user-keyed
+    co-location; in-bucket lexsort + one join per group run."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _events_us(sf_dir, cols=("event_id", "user_id", "ts",
+                                  "event_type"))
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="stable")
+        out = (g.groupby("user_id", sort=False)["event_type"]
+               .agg(",".join).rename("seq").reset_index())
+        out["user_id"] = out["user_id"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(ds, ["user_id"], per_bucket)
+
+
+SQL_CONCAT_EVENTS = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+FROM events GROUP BY user_id
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """Keyed anti-join (reference spatial 'disjoint' relational
+    analogue / NOT EXISTS): customers with NO events. Right side
+    pre-deduped per batch so only distinct keys move; one bucketed
+    co-location emits left keys with no right rows."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+
+    def left(b: pa.Table) -> pa.Table:
+        k = pc.cast(b["c_custkey"], pa.int64())
+        return pa.table({"key": k,
+                         "side": pa.array(np.zeros(len(b), np.int64))})
+
+    def right(b: pa.Table) -> pa.Table:
+        t = pa.table({"key": pc.cast(b["user_id"], pa.int64())})
+        t = t.group_by(["key"]).aggregate([])
+        return t.append_column(
+            "side", pa.array(np.ones(len(t), np.int64)))
+
+    u = cust.map_batches(left, batch_format="pyarrow",
+                         batch_size=65536).union(
+        ev.map_batches(right, batch_format="pyarrow", batch_size=65536))
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        has_right = set(b.loc[b["side"] == 1, "key"])
+        lk = b.loc[b["side"] == 0, "key"]
+        keep = lk[~lk.isin(has_right)]
+        return pd.DataFrame({"c_custkey": keep.to_numpy(np.int64)})
+
+    return bucketed_group_apply(u, ["key"], per_bucket)
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -7364,6 +7435,8 @@ REGISTRY: dict[str, tuple] = {
     "histogram": (q_histogram, SQL_HISTOGRAM),
     "describe_stats": (q_describe_stats, SQL_DESCRIBE_STATS),
     "mosaic": (q_mosaic, _sql_mosaic),
+    "concat_events": (q_concat_events, SQL_CONCAT_EVENTS),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
 }
 
 

@@ -423,3 +423,26 @@ def test_describe_stats_bruteforce(ray_session):
         # sanity: num/den equals the float sample variance
         assert abs(int(r["var_num"]) / int(r["var_den"])
                    - v.var(ddof=1)) < 1e-6
+
+
+def test_concat_events_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    want = ev.groupby("user_id")["event_type"].agg(",".join)
+    got = q.q_concat_events(SF_DIR).to_pandas().set_index("user_id")["seq"]
+    assert len(got) == len(want)
+    for uid, w in want.items():
+        assert got.loc[uid] == w
+
+
+def test_anti_join_bruteforce(ray_session):
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_custkey"])
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    want = set(cust["c_custkey"].astype(int)) - set(ev["user_id"]
+                                                    .astype(int))
+    got = set(q.q_anti_join(SF_DIR).to_pandas()["c_custkey"].astype(int))
+    assert got == want
