@@ -7262,6 +7262,130 @@ WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
 """
 
 
+def q_upsert_merge(sf_dir: str):
+    """CDC upsert / MERGE INTO: a base snapshot (even-id docs) absorbs
+    a change stream (odd-id docs mapped onto even keys; op = delete
+    when n_chars % 7 == 0, else upsert; seq = doc_id orders changes
+    per key). One key-bucketed co-location resolves each key to its
+    final state — base rows only move once, the winner per key is a
+    vectorized keyed drop-last after lexsort. Oracle replays with
+    ROW_NUMBER OVER (key ORDER BY seq DESC)."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def split(b: pa.Table) -> pd.DataFrame:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        even = did % 2 == 0
+        base = pd.DataFrame({"key": did[even], "val": nch[even],
+                             "seq": np.full(int(even.sum()), -1,
+                                            np.int64),
+                             "op": np.zeros(int(even.sum()), np.int64)})
+        odd = ~even
+        ch = pd.DataFrame({"key": did[odd] - 1, "val": nch[odd] * 1000,
+                           "seq": did[odd],
+                           "op": np.where(nch[odd] % 7 == 0, 2, 1)
+                           .astype(np.int64)})
+        return pd.concat([base, ch], ignore_index=True)
+
+    u = ds.map_batches(split, batch_format="pyarrow", batch_size=65536)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["key", "seq"], kind="stable")
+        last = g.drop_duplicates(subset=["key"], keep="last")
+        live = last[last["op"] != 2]
+        return pd.DataFrame({"key": live["key"].to_numpy(np.int64),
+                             "val": live["val"].to_numpy(np.int64)})
+
+    return bucketed_group_apply(u, ["key"], per_bucket)
+
+
+SQL_UPSERT_MERGE = """
+WITH base AS (SELECT doc_id AS key, CAST(n_chars AS BIGINT) AS val,
+                     CAST(-1 AS BIGINT) AS seq, 0 AS op
+              FROM documents WHERE doc_id % 2 = 0),
+ch AS (SELECT doc_id - 1 AS key, CAST(n_chars * 1000 AS BIGINT) AS val,
+              CAST(doc_id AS BIGINT) AS seq,
+              CASE WHEN n_chars % 7 = 0 THEN 2 ELSE 1 END AS op
+       FROM documents WHERE doc_id % 2 = 1),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                   ORDER BY seq DESC) AS rn FROM u)
+SELECT key, val FROM w WHERE rn = 1 AND op != 2
+"""
+
+
+BASKET_K = 20
+
+
+def q_basket_pairs(sf_dir: str):
+    """Market-basket pair mining (frequent itemset pairs): co-purchase
+    counts of part pairs within an order, top-{BASKET_K}. Pair
+    emission is bounded by basket size² inside the order-keyed bucket
+    (baskets are ≤7 lineitems); the (a,b) combine and a distributed
+    sort-limit finish. Same plan family as cocitation — the retail
+    shape of it."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        t = pa.table({"ok": pc.cast(b["l_orderkey"], pa.int64()),
+                      "pk": pc.cast(b["l_partkey"], pa.int64())})
+        return t.group_by(["ok", "pk"]).aggregate([])
+
+    de = ds.map_batches(dedup_batch, batch_format="pyarrow",
+                        batch_size=65536)
+
+    def per_order(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates(["ok", "pk"])
+        b = b.sort_values(["ok", "pk"], kind="stable")
+        ok = b["ok"].to_numpy(np.int64)
+        pk = b["pk"].to_numpy(np.int64)
+        outs = []
+        d = 1
+        while True:
+            msk = ok[d:] == ok[:-d]
+            if not msk.any():
+                break
+            outs.append((pk[:-d][msk], pk[d:][msk]))
+            d += 1
+        if not outs:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "n": np.empty(0, np.int64)})
+        df = pd.DataFrame({"a": np.concatenate([o[0] for o in outs]),
+                           "b": np.concatenate([o[1] for o in outs])})
+        g = df.groupby(["a", "b"], sort=False).size().rename("n") \
+            .reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = bucketed_group_apply(de, ["ok"], per_order)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["a", "b"], sort=False)["n"].sum().reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    pairs = bucketed_group_apply(parts, ["a", "b"], combine)
+    return pairs.sort([("n"), ("a"), ("b")],
+                      descending=[True, False, False]).limit(BASKET_K)
+
+
+SQL_BASKET_PAIRS = f"""
+WITH de AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem)
+SELECT x.pk AS a, y.pk AS b, CAST(COUNT(*) AS BIGINT) AS n
+FROM de x JOIN de y ON x.ok = y.ok AND x.pk < y.pk
+GROUP BY x.pk, y.pk
+ORDER BY n DESC, a, b LIMIT {BASKET_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -7437,6 +7561,8 @@ REGISTRY: dict[str, tuple] = {
     "mosaic": (q_mosaic, _sql_mosaic),
     "concat_events": (q_concat_events, SQL_CONCAT_EVENTS),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
+    "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
 }
 
 

@@ -446,3 +446,36 @@ def test_anti_join_bruteforce(ray_session):
                                                     .astype(int))
     got = set(q.q_anti_join(SF_DIR).to_pandas()["c_custkey"].astype(int))
     assert got == want
+
+
+def test_upsert_merge_bruteforce(ray_session):
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "n_chars"])
+    state = {int(r.doc_id): int(r.n_chars)
+             for r in d.itertuples() if r.doc_id % 2 == 0}
+    for r in sorted(d.itertuples(), key=lambda r: r.doc_id):
+        if r.doc_id % 2 == 1:
+            k = int(r.doc_id) - 1
+            if r.n_chars % 7 == 0:
+                state.pop(k, None)
+            else:
+                state[k] = int(r.n_chars) * 1000
+    got = q.q_upsert_merge(SF_DIR).to_pandas()
+    got_d = dict(zip(got["key"].astype(int), got["val"].astype(int)))
+    assert got_d == state
+
+
+def test_basket_pairs_bruteforce(ray_session):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    cnt: dict = {}
+    for ok, g in li.groupby("l_orderkey"):
+        pks = sorted(set(g["l_partkey"].astype(int)))
+        for i in range(len(pks)):
+            for j in range(i + 1, len(pks)):
+                k = (pks[i], pks[j])
+                cnt[k] = cnt.get(k, 0) + 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:q.BASKET_K]
+    got = q.q_basket_pairs(SF_DIR).to_pandas()
+    assert [((int(r.a), int(r.b)), int(r.n))
+            for r in got.itertuples()] == want
