@@ -7386,6 +7386,62 @@ ORDER BY n DESC, a, b LIMIT {BASKET_K}
 """
 
 
+def q_areal_interp(sf_dir: str):
+    """Dasymetric areal interpolation (the reference's mass-preserving
+    `disperse`, raster/manager.py, as a distributed pipeline): each
+    zone's value redistributes to its 1° cells proportional to point
+    density — alloc = value·n_cell // n_zone, exact floor division.
+    Corpus-sized work is the existing broadcast PIP join + one
+    (zone, cell) combine; zone totals derive from the tiny cell table
+    (the rollup pattern), and the allocation re-attaches them via a
+    broadcast dict (zone-bounded)."""
+    pts = points_lineitem(sf_dir)
+    zones = pipelines.load_zones(sf_dir)
+    joined = spatial.spatial_join(pts, zones[["zone_id", "geometry"]],
+                                  predicate="within")
+
+    def cellify(b: pa.Table) -> pa.Table:
+        ix = b["ix"].to_numpy(zero_copy_only=False)
+        iy = b["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"zone_id": pc.cast(b["zone_id"], pa.int64()),
+                         "cx": pa.array(ix // 1024),
+                         "cy": pa.array(iy // 1024)})
+
+    cells = joined.map_batches(cellify, batch_format="pyarrow",
+                               batch_size=65536)
+    cc = rel.groupby_aggregate(cells, ["zone_id", "cx", "cy"],
+                               [("n", "zone_id", "count")]).materialize()
+    zt = cc.groupby("zone_id").sum("n").to_pandas()
+    tot = dict(zip(zt["zone_id"].astype(np.int64),
+                   zt["sum(n)"].astype(np.int64)))
+
+    def alloc(b: pd.DataFrame) -> pd.DataFrame:
+        z = b["zone_id"].to_numpy(np.int64)
+        n = b["n"].to_numpy(np.int64)
+        t = pd.Series(z).map(tot).to_numpy(np.int64)
+        return pd.DataFrame({
+            "zone_id": z, "cx": b["cx"].to_numpy(np.int64),
+            "cy": b["cy"].to_numpy(np.int64), "n": n,
+            "alloc": (z + 1) * 1_000_000 * n // t})
+
+    return cc.map_batches(alloc, batch_format="pandas")
+
+
+def SQL_AREAL_INTERP():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}), z AS ({fixtures.SQL_ZONES_FROM_NATION}),
+j AS (SELECT ix, iy, zone_id FROM pts JOIN z
+      ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1),
+cc AS (SELECT zone_id, ix // 1024 AS cx, iy // 1024 AS cy,
+              CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1, 2, 3),
+zt AS (SELECT zone_id, SUM(n) AS t FROM cc GROUP BY 1)
+SELECT cc.zone_id, cc.cx, cc.cy, cc.n,
+       CAST((cc.zone_id + 1) * 1000000 * cc.n // zt.t AS BIGINT)
+         AS alloc
+FROM cc JOIN zt USING (zone_id)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -7563,6 +7619,7 @@ REGISTRY: dict[str, tuple] = {
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
     "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
+    "areal_interp": (q_areal_interp, SQL_AREAL_INTERP),
 }
 
 

@@ -479,3 +479,16 @@ def test_basket_pairs_bruteforce(ray_session):
     got = q.q_basket_pairs(SF_DIR).to_pandas()
     assert [((int(r.a), int(r.b)), int(r.n))
             for r in got.itertuples()] == want
+
+
+def test_areal_interp_mass_preserving(ray_session):
+    out = q.q_areal_interp(SF_DIR).to_pandas()
+    # per zone: cell counts sum to the zone total; allocation is the
+    # exact floor share and sums to <= value with deficit < n_cells
+    for z, g in out.groupby("zone_id"):
+        t = int(g["n"].sum())
+        val = (int(z) + 1) * 1_000_000
+        allocs = g["alloc"].astype(int)
+        assert all(int(a) == val * int(n) // t
+                   for a, n in zip(allocs, g["n"]))
+        assert 0 <= val - int(allocs.sum()) < len(g)
