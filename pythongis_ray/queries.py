@@ -7442,6 +7442,133 @@ FROM cc JOIN zt USING (zone_id)
 """
 
 
+def q_smooth_grid(sf_dir: str):
+    """3×3 box smoothing over the sparse density grid (reference
+    analyzer.smooth, raster/analyzer.py:269-434, radius-1 kernel on
+    the sparse-cell representation): every cell emits its count to its
+    9-neighborhood, ONE cell-bucketed combine sums contributions, and
+    only real cells (center marker present) survive — the same
+    emit/stencil plan as slope/flow, so no dense array and no sort."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 1024),
+                         "cy": pa.array(iy // 1024)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grid_ds = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                    [("n", "cx", "count")])
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        v = b["n"].to_numpy(np.int64)
+        txs, tys, ctr = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                txs.append(cx + dx)
+                tys.append(cy + dy)
+                ctr.append(np.full(len(b), int(dx == 0 and dy == 0),
+                                   np.int64))
+        return pd.DataFrame({"cx": np.concatenate(txs),
+                             "cy": np.concatenate(tys),
+                             "is_center": np.concatenate(ctr),
+                             "v": np.tile(v, 9)})
+
+    tagged = grid_ds.map_batches(emit, batch_format="pandas",
+                                 batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["cx", "cy"], sort=False)
+             .agg(box_sum=("v", "sum"), ctr=("is_center", "max"))
+             .reset_index())
+        g = g[g["ctr"] == 1]
+        return pd.DataFrame({"cx": g["cx"].to_numpy(np.int64),
+                             "cy": g["cy"].to_numpy(np.int64),
+                             "box_sum": g["box_sum"]
+                             .to_numpy(np.int64)})
+
+    return rel.bucketed_group_apply(tagged, ["cx", "cy"], combine)
+
+
+SQL_SMOOTH_GRID = f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+cells AS MATERIALIZED (SELECT ix // 1024 AS cx, iy // 1024 AS cy,
+        CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2)
+SELECT a.cx, a.cy, CAST(SUM(b.n) AS BIGINT) AS box_sum
+FROM cells a JOIN cells b
+  ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+ AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+GROUP BY a.cx, a.cy
+"""
+
+
+def q_dist_cells(sf_dir: str):
+    """Distance transform on the sparse grid (reference
+    analyzer.distance, raster/analyzer.py:485-607): per occupied 1°
+    cell, the exact MIN SQUARED lattice distance from the cell center
+    to any of 25 broadcast facility points — integer arithmetic end to
+    end (cell center = cx·1024+512 units), so unlike the float tile
+    variant this replays bit-exactly. Facilities broadcast once
+    (ray.put + worker cache); one vectorized min per batch."""
+    import ray as _ray
+
+    from pythongis_ray import state as _state
+
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 1024),
+                         "cy": pa.array(iy // 1024)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grid_ds = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                    [("n", "cx", "count")])
+
+    fac = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey"])
+    fac = fac[fac["c_custkey"] < 100]
+    fk = fac["c_custkey"].to_numpy(np.int64) * 4 + 1
+    fix_, fiy = fixtures.geocode_units(fk)
+    ref = _ray.put({"ix": fix_, "iy": fiy})
+
+    def dist(b: pd.DataFrame) -> pd.DataFrame:
+        p = _state.get_broadcast(ref, key_extra=("distcells",))
+        ccx = b["cx"].to_numpy(np.int64) * 1024 + 512
+        ccy = b["cy"].to_numpy(np.int64) * 1024 + 512
+        dx = ccx[:, None] - p["ix"][None, :]
+        dy = ccy[:, None] - p["iy"][None, :]
+        d2 = (dx * dx + dy * dy).min(axis=1)
+        return pd.DataFrame({"cx": b["cx"].to_numpy(np.int64),
+                             "cy": b["cy"].to_numpy(np.int64),
+                             "d2_min": d2})
+
+    return grid_ds.map_batches(dist, batch_format="pandas",
+                               batch_size=65536)
+
+
+def SQL_DIST_CELLS():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+cells AS (SELECT ix // 1024 AS cx, iy // 1024 AS cy FROM pts
+          GROUP BY 1, 2),
+fac AS (SELECT ix AS fx, iy AS fy
+        FROM ({_sql_keyed_points("customer", "c_custkey", 4, 1, "fk")})
+        WHERE fk < 401)
+SELECT c.cx, c.cy,
+       MIN((c.cx * 1024 + 512 - f.fx) * (c.cx * 1024 + 512 - f.fx)
+           + (c.cy * 1024 + 512 - f.fy) * (c.cy * 1024 + 512 - f.fy))
+         AS d2_min
+FROM cells c CROSS JOIN fac f GROUP BY c.cx, c.cy
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -7620,6 +7747,8 @@ REGISTRY: dict[str, tuple] = {
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
     "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
     "areal_interp": (q_areal_interp, SQL_AREAL_INTERP),
+    "smooth_grid": (q_smooth_grid, SQL_SMOOTH_GRID),
+    "dist_cells": (q_dist_cells, SQL_DIST_CELLS),
 }
 
 

@@ -492,3 +492,37 @@ def test_areal_interp_mass_preserving(ray_session):
         assert all(int(a) == val * int(n) // t
                    for a, n in zip(allocs, g["n"]))
         assert 0 <= val - int(allocs.sum()) < len(g)
+
+
+def test_smooth_grid_bruteforce(ray_session):
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    cells = (pts.assign(cx=pts["ix"] // 1024, cy=pts["iy"] // 1024)
+             .groupby(["cx", "cy"]).size().rename("n"))
+    elev = cells.to_dict()
+    got = q.q_smooth_grid(SF_DIR).to_pandas()
+    assert len(got) == len(elev)
+    for r in got.itertuples():
+        want = sum(elev.get((r.cx + dx, r.cy + dy), 0)
+                   for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        assert int(r.box_sum) == want
+
+
+def test_dist_cells_bruteforce(ray_session):
+    from pythongis_ray import fixtures
+
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    cells = sorted({(int(x), int(y)) for x, y in
+                    zip(pts["ix"] // 1024, pts["iy"] // 1024)})
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_custkey"])
+    fk = cust[cust["c_custkey"] < 100]["c_custkey"] \
+        .to_numpy(np.int64) * 4 + 1
+    fx, fy = fixtures.geocode_units(fk)
+    got = q.q_dist_cells(SF_DIR).to_pandas()
+    got_d = {(int(r.cx), int(r.cy)): int(r.d2_min)
+             for r in got.itertuples()}
+    for cx, cy in cells:
+        ccx, ccy = cx * 1024 + 512, cy * 1024 + 512
+        want = min(int((ccx - a) ** 2 + (ccy - b) ** 2)
+                   for a, b in zip(fx, fy))
+        assert got_d[(cx, cy)] == want
