@@ -258,7 +258,7 @@ def run_benchmarks() -> dict:
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
-        "metric": "headline pipeline suite wall time (spatial join + flagship + 8 ops)",
+        "metric": "headline pipeline suite wall time (15 stages: spatial joins, flagship, graph, dedup, windows)",
         "value": total,
         "unit": "sec",
         "queries": timings,
