@@ -2,9 +2,10 @@
 
 Runs the headline pipelines over $GRAFT_SF_DIR (default sf0.1) with a
 fresh local Ray at $RAY_GRAFT_CPUS (default 32) and prints ONE JSON
-line. `--scaling` runs the fused headline job in two fresh subprocesses
-at num_cpus=4 and num_cpus=16 (N vs 4N — BASELINE.md documents why this
-host's 32 vCPUs are ~16 effective cores) on the same input and reports
+line. `--scaling` runs the fused headline job in fresh subprocesses
+at num_cpus=2 and num_cpus=8 (N vs 4N on distinct physical cores —
+BASELINE.md documents why this host's 32 vCPUs are ~16 effective
+cores), 3 consecutive pairs, on the same input and reports
 both throughputs + scaling efficiency (the in-sandbox stand-in for the
 N-vs-4N-node criterion in BASELINE.json).
 """
