@@ -7569,6 +7569,120 @@ FROM cells c CROSS JOIN fac f GROUP BY c.cx, c.cy
 """
 
 
+IDX_PARTS = 16
+
+
+def q_indexed_search(sf_dir: str):
+    """Build-once / query-many retrieval: materialize a PARTITIONED
+    on-disk inverted index (postings (word, doc_id, tf) routed by
+    word-hash through the resumable checkpoint sink), then answer the
+    query from the INDEX with partition-PRUNED reads — only the
+    partitions owning the query terms' hashes are opened, the web-
+    scale search serving shape. Scoring contract identical to
+    search_topk, so the corpus-side SQL oracles the entire index
+    round trip (build → prune → read → score)."""
+    import shutil
+    import tempfile
+
+    from pythongis_ray import checkpoint as ckpt
+    from pythongis_ray.relational import bucketed_group_apply
+    from pythongis_ray.text import _poly_hash_segments, _string_buffer
+
+    out = tempfile.mkdtemp(prefix="pgr_idx_")
+    try:
+        docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+
+        def explode(batch: pa.Table) -> pd.DataFrame:
+            toks = pc.split_pattern(batch["text"], " ")
+            flat = (toks.combine_chunks()
+                    if isinstance(toks, pa.ChunkedArray) else toks)
+            offs = np.asarray(flat.offsets)
+            did = batch["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            lens = offs[1:] - offs[:-1]
+            df = pd.DataFrame({
+                "doc_id": np.repeat(did, lens),
+                "word": flat.values.to_pandas()})
+            g = (df.groupby(["doc_id", "word"], sort=False).size()
+                 .rename("tf").reset_index())
+            warr = pa.array(g["word"], pa.string())
+            buf, woffs = _string_buffer(warr)
+            wh = _poly_hash_segments(buf, woffs[:-1], woffs[1:])
+            g["whash"] = wh.view(np.int64)
+            g["tf"] = g["tf"].astype(np.int64)
+            return g
+
+        postings = docs.map_batches(explode, batch_format="pyarrow",
+                                    batch_size=4096)
+        ckpt.write_partitioned(postings, out, key_col="whash",
+                               num_partitions=IDX_PARTS, resume=False)
+
+        # ---- query side: partition-pruned read of the term postings
+        n_docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=["doc_id"]).count()
+        th = {}
+        for t in SEARCH_TERMS:
+            b = np.frombuffer(t.encode(), np.uint8)
+            th[t] = int(_poly_hash_segments(
+                b, np.array([0]), np.array([len(b)]))[0].view(np.int64))
+        need = sorted({int(ckpt.partition_of(
+            np.array([h], np.int64), IDX_PARTS)[0])
+            for h in th.values()})
+        import glob as _glob
+        files = [f for p in need
+                 for f in sorted(_glob.glob(f"{out}/part={p}/*.parquet"))]
+        idx = _rd().read_parquet(files)
+
+        def keep_terms(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b["word"],
+                         value_set=pa.array(list(SEARCH_TERMS)))
+            return pa.table({
+                "word": b["word"].filter(m),
+                "doc_id": pc.cast(b["doc_id"], pa.int64()).filter(m),
+                "tf": pc.cast(b["tf"], pa.int64()).filter(m)})
+
+        rel_rows = idx.map_batches(keep_terms, batch_format="pyarrow",
+                                   batch_size=65536).materialize()
+
+        def dfp(b: pa.Table) -> pd.DataFrame:
+            g = (b.to_pandas().groupby("word", sort=False)["doc_id"]
+                 .size().rename("df").reset_index())
+            g["df"] = g["df"].astype(np.int64)
+            return g
+
+        dfs = rel_rows.map_batches(dfp, batch_format="pyarrow",
+                                   batch_size=65536).to_pandas() \
+            .groupby("word")["df"].sum()
+        idf = {t: (SEARCH_SCALE * n_docs) // int(dfs[t])
+               for t in SEARCH_TERMS if t in dfs.index and dfs[t] > 0}
+
+        def score(b: pd.DataFrame) -> pd.DataFrame:
+            w = b["word"].map(idf).to_numpy(np.int64)
+            s = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                              "score": b["tf"].to_numpy(np.int64) * w})
+            g = s.groupby("doc_id", sort=False)["score"].sum() \
+                .reset_index()
+            g["score"] = g["score"].astype(np.int64)
+            return g
+
+        parts = rel_rows.map_batches(score, batch_format="pandas",
+                                     batch_size=65536)
+
+        def combine(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby("doc_id", sort=False)["score"].sum() \
+                .reset_index()
+            g["score"] = g["score"].astype(np.int64)
+            return g
+
+        scored = bucketed_group_apply(parts, ["doc_id"], combine)
+        return scored.sort([("score"), ("doc_id")],
+                           descending=[True, False]) \
+            .limit(SEARCH_K).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -7749,6 +7863,7 @@ REGISTRY: dict[str, tuple] = {
     "areal_interp": (q_areal_interp, SQL_AREAL_INTERP),
     "smooth_grid": (q_smooth_grid, SQL_SMOOTH_GRID),
     "dist_cells": (q_dist_cells, SQL_DIST_CELLS),
+    "indexed_search": (q_indexed_search, SQL_SEARCH_TOPK),
 }
 
 

@@ -526,3 +526,32 @@ def test_dist_cells_bruteforce(ray_session):
         want = min(int((ccx - a) ** 2 + (ccy - b) ** 2)
                    for a, b in zip(fx, fy))
         assert got_d[(cx, cy)] == want
+
+
+def test_indexed_search_matches_direct(ray_session):
+    # the index round trip (build -> prune -> read -> score) must
+    # reproduce the direct corpus-side retrieval bit for bit
+    direct = q.q_search_topk(SF_DIR).to_pandas()
+    via_idx = q.q_indexed_search(SF_DIR)
+    assert list(zip(direct["doc_id"].astype(int),
+                    direct["score"].astype(int))) == \
+        list(zip(via_idx["doc_id"].astype(int),
+                 via_idx["score"].astype(int)))
+
+
+def test_index_partition_pruning():
+    # the query terms hash into strictly fewer partitions than exist,
+    # so the pruned read provably skips most of the index
+    import numpy as np
+
+    from pythongis_ray import checkpoint as ckpt
+    from pythongis_ray.text import _poly_hash_segments
+
+    parts = set()
+    for t in q.SEARCH_TERMS:
+        b = np.frombuffer(t.encode(), np.uint8)
+        h = int(_poly_hash_segments(
+            b, np.array([0]), np.array([len(b)]))[0].view(np.int64))
+        parts.add(int(ckpt.partition_of(
+            np.array([h], np.int64), q.IDX_PARTS)[0]))
+    assert len(parts) <= len(q.SEARCH_TERMS) < q.IDX_PARTS
