@@ -7683,6 +7683,57 @@ def q_indexed_search(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_ohlc_bars(sf_dir: str):
+    """Time-bar downsampling (OHLC candles, the financial resample
+    shape): per (event_type, hour) the opening / highest / lowest /
+    closing cents value, open/close ordered by (ts, event_id) so ties
+    are total. One (type, bar)-bucketed co-location; open/close are a
+    lexsort + keyed first/last, high/low vectorized min/max."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "ts",
+                                     "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "bar": pa.array(us // 3_600_000_000),
+                         "ts_us": pa.array(us),
+                         "event_id": pc.cast(b["event_id"], pa.int64()),
+                         "c": pa.array(c)})
+
+    dsp = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["event_type", "bar", "ts_us", "event_id"],
+                          kind="stable")
+        gb = g.groupby(["event_type", "bar"], sort=False)["c"]
+        out = gb.agg(open="first", high="max", low="min",
+                     close="last").reset_index()
+        for col in ("bar", "open", "high", "low", "close"):
+            out[col] = out[col].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(dsp, ["event_type", "bar"], per_bucket)
+
+
+SQL_OHLC_BARS = """
+WITH v AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bar,
+                  epoch_us(ts) AS ts_us, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events)
+SELECT event_type, bar,
+       CAST(arg_min(c, ts_us) AS BIGINT) AS "open",
+       CAST(MAX(c) AS BIGINT) AS high, CAST(MIN(c) AS BIGINT) AS low,
+       CAST(arg_max(c, ts_us) AS BIGINT) AS "close"
+FROM v GROUP BY event_type, bar
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -7864,6 +7915,7 @@ REGISTRY: dict[str, tuple] = {
     "smooth_grid": (q_smooth_grid, SQL_SMOOTH_GRID),
     "dist_cells": (q_dist_cells, SQL_DIST_CELLS),
     "indexed_search": (q_indexed_search, SQL_SEARCH_TOPK),
+    "ohlc_bars": (q_ohlc_bars, SQL_OHLC_BARS),
 }
 
 

@@ -555,3 +555,21 @@ def test_index_partition_pruning():
         parts.add(int(ckpt.partition_of(
             np.array([h], np.int64), q.IDX_PARTS)[0]))
     assert len(parts) <= len(q.SEARCH_TERMS) < q.IDX_PARTS
+
+
+def test_ohlc_bars_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "event_type", "ts",
+                                  "value"])
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    ev["c"] = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    ev["bar"] = ev["ts_us"] // 3_600_000_000
+    ev = ev.sort_values(["event_type", "bar", "ts_us", "event_id"])
+    want = (ev.groupby(["event_type", "bar"])["c"]
+            .agg(open="first", high="max", low="min", close="last"))
+    got = q.q_ohlc_bars(SF_DIR).to_pandas() \
+        .set_index(["event_type", "bar"]).sort_index()
+    assert len(got) == len(want)
+    for k in want.index:
+        for col in ("open", "high", "low", "close"):
+            assert int(got.loc[k, col]) == int(want.loc[k, col])
