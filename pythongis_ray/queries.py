@@ -7734,6 +7734,54 @@ FROM v GROUP BY event_type, bar
 """
 
 
+def q_global_median(sf_dir: str):
+    """EXACT global order statistics WITHOUT a global sort — the
+    distributed selection algorithm: cents values live on a bounded
+    integer domain, so per-batch bincount partials reduce to ONE
+    value-frequency table (domain-bounded, not corpus-bounded), and
+    the k-th elements come from a cumulative scan of that table.
+    Sorting 10^12 rows for one quantile is the anti-pattern; counting
+    ships O(|domain|) state instead. Returns the discrete p25/p50/p75
+    over ALL events (quantile_disc convention, ceil(q·n)−1)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["value"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        u, cnt = np.unique(c, return_counts=True)
+        return pd.DataFrame({"c": u, "n": cnt.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("c", sort=False)["n"].sum().reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    freq = rel.bucketed_group_apply(parts, ["c"], combine).to_pandas()
+    freq = freq.sort_values("c").reset_index(drop=True)
+    cum = freq["n"].cumsum().to_numpy(np.int64)
+    n = int(cum[-1])
+    vals = freq["c"].to_numpy(np.int64)
+
+    def kth(q_: float) -> int:
+        k = max(0, int(np.ceil(q_ * n)) - 1)
+        return int(vals[int(np.searchsorted(cum, k + 1))])
+
+    return pd.DataFrame({"p25": [kth(0.25)], "p50": [kth(0.5)],
+                         "p75": [kth(0.75)]}).astype(np.int64)
+
+
+SQL_GLOBAL_MEDIAN = """
+SELECT quantile_disc(CAST(round(value * 100) AS BIGINT), 0.25) AS p25,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) AS p75
+FROM events
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -7916,6 +7964,7 @@ REGISTRY: dict[str, tuple] = {
     "dist_cells": (q_dist_cells, SQL_DIST_CELLS),
     "indexed_search": (q_indexed_search, SQL_SEARCH_TOPK),
     "ohlc_bars": (q_ohlc_bars, SQL_OHLC_BARS),
+    "global_median": (q_global_median, SQL_GLOBAL_MEDIAN),
 }
 
 

@@ -573,3 +573,15 @@ def test_ohlc_bars_bruteforce(ray_session):
     for k in want.index:
         for col in ("open", "high", "low", "close"):
             assert int(got.loc[k, col]) == int(want.loc[k, col])
+
+
+def test_global_median_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["value"])
+    c = np.sort(np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64))
+
+    def qd(q_):
+        return int(c[max(0, int(np.ceil(q_ * len(c))) - 1)])
+
+    got = q.q_global_median(SF_DIR)
+    assert (int(got["p25"][0]), int(got["p50"][0]),
+            int(got["p75"][0])) == (qd(0.25), qd(0.5), qd(0.75))
