@@ -504,3 +504,44 @@ def test_pareto_front_matches_bruteforce(pts):
                    for bx, by in pts):
             want.add(i)
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50)),
+                min_size=1, max_size=40),
+       st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50),
+                          st.integers(0, 999)),
+                min_size=1, max_size=40))
+def test_asof_join_matches_pandas(lrows, rrows):
+    """Differential: the bucketed distributed asof_join must equal a
+    single pd.merge_asof over the whole (deduped) data — catches
+    partition-boundary and dtype bugs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pythongis_ray import relational as rel
+
+    ld = pd.DataFrame(lrows, columns=["k", "t"]).astype(np.int64)
+    ld["lid"] = np.arange(len(ld), dtype=np.int64)
+    # dedup right (k, t) to the max payload — the documented tie rule
+    rdf = pd.DataFrame(rrows, columns=["k", "t", "v"]).astype(np.int64)
+    rdf = rdf.groupby(["k", "t"], as_index=False)["v"].max()
+
+    got = rel.asof_join(
+        rd.from_pandas(ld).repartition(3),
+        rd.from_pandas(rdf).repartition(3),
+        left_on="t", right_on="t", left_by="k", right_by="k",
+        right_cols=["v"], tie_cols=["v"], how="inner",
+        num_buckets=4).to_pandas()
+
+    want = pd.merge_asof(ld.sort_values("t", kind="mergesort"),
+                         rdf.sort_values("t", kind="mergesort"),
+                         on="t", by="k", direction="backward")
+    want = want[want["v"].notna()]
+    if len(want) == 0:
+        assert len(got) == 0
+        return
+    g = got.sort_values("lid").reset_index(drop=True)
+    w = want.sort_values("lid").reset_index(drop=True)
+    assert list(g["lid"]) == list(w["lid"])
+    assert [int(x) for x in g["v"]] == [int(x) for x in w["v"]]
