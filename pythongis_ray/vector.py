@@ -100,23 +100,73 @@ def geodetic_area(ds, geometry_col: str = "geometry",
 # ------------------------------------------------------- geometry maps
 
 def centroids(ds, geometry_col: str = "geometry"):
-    """Add lon/lat centroid columns for a polygon WKB column."""
+    """Add lon/lat centroid columns for a WKB geometry column.
+
+    Fully batch-vectorized over :func:`wkb.decode_flat` (the flat-
+    cohort plan the join refines use): per-ring shoelace moments are
+    one ``np.add.reduceat`` each, per-feature combination is
+    ``np.add.at`` scatter — no per-feature Python or WKB dict
+    building. Semantics match ``algo.polygon_centroid`` (holes and
+    later rings subtract, zero-area features fall back to the vertex
+    mean — which is also the Point/LineString path)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        xs, ys = [], []
-        for b in batch[geometry_col].to_pylist():
-            g = wkb.decode(bytes(b))
-            if g["type"] == "Point":
-                xs.append(float(g["rings"][0][0, 0]))
-                ys.append(float(g["rings"][0][0, 1]))
-            elif g["type"] in ("Polygon", "MultiPolygon"):
-                cx, cy = algo.polygon_centroid(g["rings"])
-                xs.append(cx)
-                ys.append(cy)
-            else:
-                pts = np.vstack(g["rings"])
-                xs.append(float(pts[:, 0].mean()))
-                ys.append(float(pts[:, 1].mean()))
+        n = batch.num_rows
+        f = wkb.decode_flat(batch[geometry_col])
+        pts, off = f["pts"], f["ring_off"]
+        feat, rtype = f["ring_feat"], f["ring_type"]
+        lens = off[1:] - off[:-1]
+        nring = len(feat)
+        xs = np.full(n, np.nan)
+        ys = np.full(n, np.nan)
+        cx_acc = np.zeros(n)
+        cy_acc = np.zeros(n)
+        ar_acc = np.zeros(n)
+        if nring:
+            is_last = np.zeros(len(pts), bool)
+            is_last[off[1:] - 1] = True
+            src = np.nonzero(~is_last)[0]
+            x, y = pts[src, 0], pts[src, 1]
+            xn, yn = pts[src + 1, 0], pts[src + 1, 1]
+            cr = x * yn - xn * y
+            nseg = np.maximum(lens - 1, 0)
+            red = np.concatenate(([0], np.cumsum(nseg)))[:-1]
+            segged = nseg > 0
+            a_r = np.zeros(nring)
+            gxn = np.zeros(nring)
+            gyn = np.zeros(nring)
+            if segged.any() and len(cr):
+                a_r[segged] = 0.5 * np.add.reduceat(cr, red[segged])
+                gxn[segged] = np.add.reduceat((x + xn) * cr, red[segged])
+                gyn[segged] = np.add.reduceat((y + yn) * cr, red[segged])
+            # polygon rings with nonzero area contribute; the FIRST
+            # ring of a feature adds, every later ring subtracts
+            # (algo.polygon_centroid's convention)
+            poly = (rtype == 3) & (a_r != 0)
+            first = np.concatenate(([True], feat[1:] != feat[:-1]))
+            sign = np.where(first, 1.0, -1.0)
+            a_safe = np.where(a_r == 0, 1.0, a_r)
+            gx = gxn / (6.0 * a_safe)
+            gy = gyn / (6.0 * a_safe)
+            w = np.where(poly, sign * np.abs(a_r), 0.0)
+            np.add.at(cx_acc, feat, w * gx)
+            np.add.at(cy_acc, feat, w * gy)
+            np.add.at(ar_acc, feat, w)
+            good = ar_acc != 0
+            xs[good] = cx_acc[good] / ar_acc[good]
+            ys[good] = cy_acc[good] / ar_acc[good]
+            # fallback: vertex mean (points, lines, zero-area polys)
+            need = f["valid"] & ~good
+            if need.any():
+                prow = np.repeat(feat, lens)
+                sx = np.zeros(n)
+                sy = np.zeros(n)
+                cnt = np.zeros(n)
+                np.add.at(sx, prow, pts[:, 0])
+                np.add.at(sy, prow, pts[:, 1])
+                np.add.at(cnt, prow, 1.0)
+                xs[need] = sx[need] / cnt[need]
+                ys[need] = sy[need] / cnt[need]
         batch = batch.append_column("lon", pa.array(xs))
         return batch.append_column("lat", pa.array(ys))
 
@@ -125,18 +175,16 @@ def centroids(ds, geometry_col: str = "geometry"):
 
 def to_vertices(ds, geometry_col: str = "geometry"):
     """Explode each geometry into one row per vertex (flat-map shape:
-    more output rows than input)."""
+    more output rows than input). Vectorized: one flat decode, one
+    repeat, one take."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        idx, vx, vy = [], [], []
-        for i, b in enumerate(batch[geometry_col].to_pylist()):
-            pts = np.vstack(wkb.decode(bytes(b))["rings"])
-            idx.extend([i] * len(pts))
-            vx.extend(pts[:, 0].tolist())
-            vy.extend(pts[:, 1].tolist())
+        f = wkb.decode_flat(batch[geometry_col])
+        lens = f["ring_off"][1:] - f["ring_off"][:-1]
+        idx = np.repeat(f["ring_feat"], lens)
         out = batch.drop_columns([geometry_col]).take(pa.array(idx))
-        out = out.append_column("vx", pa.array(vx))
-        return out.append_column("vy", pa.array(vy))
+        out = out.append_column("vx", pa.array(f["pts"][:, 0]))
+        return out.append_column("vy", pa.array(f["pts"][:, 1]))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
 

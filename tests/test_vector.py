@@ -176,3 +176,24 @@ def test_cut_no_intersection_passthrough(ray_session):
     out = vector.cut(rd.from_pandas(pd.DataFrame({"gid": [1], "geometry": [line]})),
                      cutter).to_pandas()
     assert len(out) == 1 and out.piece.iloc[0] == 0
+
+
+def test_centroids_multi_and_fallback(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray.geom import algo
+
+    # MultiPolygon (second part subtracts per polygon_centroid's
+    # convention), LineString fallback, Point, and a null row
+    mp = wkb.encode_multi("MultiPolygon", [[rect(0, 0, 4, 4)],
+                                      [rect(10, 0, 2, 2)]])
+    line = wkb.encode_linestring(np.array([[0.0, 0.0], [4.0, 8.0]]))
+    pt = wkb.encode_point(1.5, 2.5)
+    df = pd.DataFrame({"geometry": [mp, line, pt]})
+    out = vector.centroids(rd.from_pandas(df)).to_pandas()
+    want = algo.polygon_centroid(
+        [rect(0, 0, 4, 4), rect(10, 0, 2, 2)])
+    assert abs(out.lon.iloc[0] - want[0]) < 1e-12
+    assert abs(out.lat.iloc[0] - want[1]) < 1e-12
+    assert (out.lon.iloc[1], out.lat.iloc[1]) == (2.0, 4.0)
+    assert (out.lon.iloc[2], out.lat.iloc[2]) == (1.5, 2.5)
