@@ -7782,6 +7782,114 @@ FROM events
 """
 
 
+def q_gini(sf_dir: str):
+    """Per-group Gini inequality coefficient as an EXACT integer
+    ratio: with values sorted ascending, G = Σ(2i−n−1)·x₍ᵢ₎ /
+    (n·Σx) — the numerator is one weighted sum over the in-bucket
+    sort, no |xᵢ−xⱼ| pair space. Ships (gini_num, gini_den); the
+    oracle replays with ROW_NUMBER."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "c": pa.array(c)})
+
+    dsc = ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in b.groupby("event_type", sort=False):
+            x = np.sort(g["c"].to_numpy(np.int64))
+            n = len(x)
+            i = np.arange(1, n + 1, dtype=np.int64)
+            num = int(((2 * i - n - 1) * x).sum())
+            outs.append((et, num, n * int(x.sum())))
+        return pd.DataFrame(outs, columns=["event_type", "gini_num",
+                                           "gini_den"])
+
+    return bucketed_group_apply(dsc, ["event_type"], per_bucket)
+
+
+SQL_GINI = """
+WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c)
+               AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v)
+SELECT event_type,
+       CAST(SUM((2 * i - n - 1) * c) AS BIGINT) AS gini_num,
+       CAST(ANY_VALUE(n) * SUM(c) AS BIGINT) AS gini_den
+FROM r GROUP BY event_type
+"""
+
+
+def q_host_entropy(sf_dir: str):
+    """Vocabulary-diversity score per host — the integer entropy
+    surrogate the lm_surprisal oracle established: per host,
+    Σ_w c_w · bitlen(n_host // c_w) (word-frequency surprisal in whole
+    bits, exact integers; diverse vocabularies score high, a
+    one-word host scores n·1). One explode pass with per-batch (host,
+    word) combine, one bucketed shuffle."""
+    from pythongis_ray.relational import bucketed_group_apply
+    from pythongis_ray.text import _bit_length_i64
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(b["text"], " ")
+        flat = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        offs = np.asarray(flat.offsets)
+        host = (b["doc_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) % 50)
+        df = pd.DataFrame({"host": np.repeat(host, offs[1:] - offs[:-1]),
+                           "word": flat.values.to_pandas()})
+        g = (df.groupby(["host", "word"], sort=False).size()
+             .rename("c").reset_index())
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(explode, batch_format="pyarrow",
+                           batch_size=8192)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["host", "word"], sort=False)["c"].sum()
+             .reset_index())
+        outs = []
+        for h, grp in g.groupby("host", sort=False):
+            c = grp["c"].to_numpy(np.int64)
+            n = int(c.sum())
+            bits = _bit_length_i64(n // c)
+            outs.append((h, n, int((c * bits).sum())))
+        return pd.DataFrame(outs, columns=["host", "n_tokens",
+                                           "surprisal_bits"])
+
+    return bucketed_group_apply(parts, ["host"], per_bucket)
+
+
+SQL_HOST_ENTROPY = """
+WITH w AS (SELECT doc_id % 50 AS host,
+                  unnest(string_split(text, ' ')) AS word
+           FROM documents),
+cnt AS (SELECT host, word, CAST(COUNT(*) AS BIGINT) AS c FROM w
+        GROUP BY host, word),
+tot AS (SELECT host, CAST(SUM(c) AS BIGINT) AS n FROM cnt
+        GROUP BY host)
+SELECT cnt.host, CAST(ANY_VALUE(tot.n) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * LENGTH(bin(tot.n // c))) AS BIGINT)
+         AS surprisal_bits
+FROM cnt JOIN tot USING (host) GROUP BY cnt.host
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -7965,6 +8073,8 @@ REGISTRY: dict[str, tuple] = {
     "indexed_search": (q_indexed_search, SQL_SEARCH_TOPK),
     "ohlc_bars": (q_ohlc_bars, SQL_OHLC_BARS),
     "global_median": (q_global_median, SQL_GLOBAL_MEDIAN),
+    "gini": (q_gini, SQL_GINI),
+    "host_entropy": (q_host_entropy, SQL_HOST_ENTROPY),
 }
 
 

@@ -585,3 +585,34 @@ def test_global_median_bruteforce(ray_session):
     got = q.q_global_median(SF_DIR)
     assert (int(got["p25"][0]), int(got["p50"][0]),
             int(got["p75"][0])) == (qd(0.25), qd(0.5), qd(0.75))
+
+
+def test_gini_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "value"])
+    c = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    got = q.q_gini(SF_DIR).to_pandas().set_index("event_type")
+    for et in ev["event_type"].unique():
+        x = np.sort(c[(ev["event_type"] == et).to_numpy()])
+        n = len(x)
+        # O(n^2) definition: sum of absolute pairwise differences
+        num_pairs = int(np.abs(x[:, None] - x[None, :]).sum())
+        r = got.loc[et]
+        # identity: sorted-weight numerator * 2 == pairwise sum
+        assert 2 * int(r["gini_num"]) == num_pairs
+        assert int(r["gini_den"]) == n * int(x.sum())
+
+
+def test_host_entropy_bruteforce(ray_session):
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"])
+    got = q.q_host_entropy(SF_DIR).to_pandas().set_index("host")
+    from collections import Counter
+    byhost: dict = {}
+    for did, t in zip(d["doc_id"].astype(int), d["text"]):
+        byhost.setdefault(did % 50, Counter()).update(t.split(" "))
+    for h, cnt in byhost.items():
+        n = sum(cnt.values())
+        bits = sum(c * (n // c).bit_length() for c in cnt.values())
+        assert int(got.loc[h, "n_tokens"]) == n
+        assert int(got.loc[h, "surprisal_bits"]) == bits
