@@ -7890,6 +7890,127 @@ FROM cnt JOIN tot USING (host) GROUP BY cnt.host
 """
 
 
+def q_ab_test(sf_dir: str):
+    """A/B contingency analysis: users split by hash parity
+    (variant = user_id % 2), conversion = did the user ever purchase.
+    Emits the 2×2 table plus the exact odds-ratio integer pair
+    (conv_a·nonconv_b, conv_b·nonconv_a) — no float statistics, the
+    downstream test does the one division. One user-keyed combine."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        conv = pc.equal(b["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"user_id": u, "conv": conv})
+        return (df.groupby("user_id", sort=False)["conv"].max()
+                .reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def per_user(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id", sort=False)["conv"].max().reset_index()
+        g["variant"] = (g["user_id"] % 2).astype(np.int64)
+        out = (g.groupby("variant")["conv"]
+               .agg(n_users="count", n_conv="sum").reset_index())
+        out["n_users"] = out["n_users"].astype(np.int64)
+        out["n_conv"] = out["n_conv"].astype(np.int64)
+        return out
+
+    tiny = bucketed_group_apply(parts, ["user_id"], per_user)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby("variant")[["n_users", "n_conv"]].sum()
+             .reset_index().sort_values("variant"))
+        a_conv = int(g.loc[g["variant"] == 0, "n_conv"].sum())
+        a_non = int(g.loc[g["variant"] == 0, "n_users"].sum()) - a_conv
+        b_conv = int(g.loc[g["variant"] == 1, "n_conv"].sum())
+        b_non = int(g.loc[g["variant"] == 1, "n_users"].sum()) - b_conv
+        g["or_num"] = np.int64(a_conv * b_non)
+        g["or_den"] = np.int64(b_conv * a_non)
+        for c in ("variant", "n_users", "n_conv"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    one = tiny.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                           batch_format="pandas")
+    return one.groupby("_one").map_groups(
+        lambda gg: finish(gg.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+SQL_AB_TEST = """
+WITH u AS (SELECT user_id, user_id % 2 AS variant,
+                  CAST(MAX(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+           FROM events GROUP BY user_id),
+t AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM u GROUP BY variant),
+o AS (SELECT
+        (SELECT n_conv FROM t WHERE variant = 0)
+          * (SELECT n_users - n_conv FROM t WHERE variant = 1) AS or_num,
+        (SELECT n_conv FROM t WHERE variant = 1)
+          * (SELECT n_users - n_conv FROM t WHERE variant = 0) AS or_den)
+SELECT variant, n_users, n_conv,
+       CAST((SELECT or_num FROM o) AS BIGINT) AS or_num,
+       CAST((SELECT or_den FROM o) AS BIGINT) AS or_den
+FROM t
+"""
+
+
+def q_profile_events(sf_dir: str):
+    """Data-profiling audit (the pipeline-health table every ingest
+    needs): one streamed pass reduces row/null/domain stats — n_rows,
+    nulls per column, distinct event types, ts range, value-cents
+    range — to a single row of block-bounded partials."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        ets = pc.unique(b["event_type"]).to_pylist()
+        return pd.DataFrame({
+            "n_rows": [len(b)],
+            "n_null_props": [int(b["props"].null_count)],
+            "n_null_value": [int(b["value"].null_count)],
+            "ts_min": [int(us.min())], "ts_max": [int(us.max())],
+            "c_min": [int(c.min())], "c_max": [int(c.max())],
+            "ets": [",".join(sorted(ets))]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    ets = sorted({e for row in parts["ets"] for e in row.split(",")})
+    return pd.DataFrame({
+        "n_rows": [np.int64(parts["n_rows"].sum())],
+        "n_null_props": [np.int64(parts["n_null_props"].sum())],
+        "n_null_value": [np.int64(parts["n_null_value"].sum())],
+        "n_event_types": [np.int64(len(ets))],
+        "ts_min": [np.int64(parts["ts_min"].min())],
+        "ts_max": [np.int64(parts["ts_max"].max())],
+        "c_min": [np.int64(parts["c_min"].min())],
+        "c_max": [np.int64(parts["c_max"].max())]})
+
+
+SQL_PROFILE_EVENTS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(props) AS BIGINT) AS n_null_props,
+       CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_null_value,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS ts_min,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS ts_max,
+       CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c_min,
+       CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c_max
+FROM events
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -8075,6 +8196,8 @@ REGISTRY: dict[str, tuple] = {
     "global_median": (q_global_median, SQL_GLOBAL_MEDIAN),
     "gini": (q_gini, SQL_GINI),
     "host_entropy": (q_host_entropy, SQL_HOST_ENTROPY),
+    "ab_test": (q_ab_test, SQL_AB_TEST),
+    "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
 }
 
 

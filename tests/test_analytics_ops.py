@@ -616,3 +616,21 @@ def test_host_entropy_bruteforce(ray_session):
         bits = sum(c * (n // c).bit_length() for c in cnt.values())
         assert int(got.loc[h, "n_tokens"]) == n
         assert int(got.loc[h, "surprisal_bits"]) == bits
+
+
+def test_ab_test_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "event_type"])
+    conv = (ev.assign(c=(ev["event_type"] == "purchase").astype(int))
+            .groupby("user_id")["c"].max())
+    va = conv[conv.index % 2 == 0]
+    vb = conv[conv.index % 2 == 1]
+    got = q.q_ab_test(SF_DIR).to_pandas().set_index("variant")
+    assert (int(got.loc[0, "n_users"]), int(got.loc[0, "n_conv"])) \
+        == (len(va), int(va.sum()))
+    assert (int(got.loc[1, "n_users"]), int(got.loc[1, "n_conv"])) \
+        == (len(vb), int(vb.sum()))
+    assert int(got.loc[0, "or_num"]) == int(va.sum()) \
+        * (len(vb) - int(vb.sum()))
+    assert int(got.loc[0, "or_den"]) == int(vb.sum()) \
+        * (len(va) - int(va.sum()))
