@@ -8011,6 +8011,199 @@ FROM events
 """
 
 
+_Q3_CUT = np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64)
+
+
+def q_q3_revenue(sf_dir: str):
+    """TPC-H Q3 shape (the canonical 3-way analytic join): BUILDING-
+    segment customers ⋈ pre-cut orders ⋈ post-cut lineitems, top-10
+    orders by revenue. Dimensions broadcast (customer keys never
+    shuffle); lineitem revenue folds to per-order partials BEFORE the
+    one big×big partitioned join; revenue is exact integer
+    cents·percent (price_c · (100 − disc_pct)) so the oracle
+    hash-matches."""
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    ck = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]] \
+        .rename(columns={"c_custkey": "o_custkey"})
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate",
+                                         "o_orderpriority"])
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        us = b["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = pa.array(us < _Q3_CUT)
+        return pa.table({
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64())
+            .filter(keep),
+            "o_custkey": pc.cast(b["o_custkey"], pa.int64())
+            .filter(keep),
+            "odate_us": pa.array(us[us < _Q3_CUT]),
+            "o_orderpriority": b["o_orderpriority"].filter(keep)})
+
+    o2 = rel.hash_join(orders.map_batches(ofilter, batch_format="pyarrow",
+                                          batch_size=65536), ck,
+                       on="o_custkey")
+
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice",
+                                     "l_discount", "l_shipdate"])
+
+    def lrev(b: pa.Table) -> pd.DataFrame:
+        us = b["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = us > _Q3_CUT
+        pc_ = np.rint(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)[keep]
+        dp = np.rint(b["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)[keep]
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        df = pd.DataFrame({"o_orderkey": ok,
+                           "rev": pc_ * (100 - dp)})
+        return df.groupby("o_orderkey", sort=False)["rev"].sum() \
+            .reset_index()
+
+    lp = li.map_batches(lrev, batch_format="pyarrow", batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_orderkey", sort=False)["rev"].sum().reset_index()
+        g["rev"] = g["rev"].astype(np.int64)
+        return g
+
+    lc = rel.bucketed_group_apply(lp, ["o_orderkey"], combine)
+    joined = rel.join_large(lc, o2.select_columns(
+        ["o_orderkey", "odate_us", "o_orderpriority"]), on="o_orderkey")
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype(np.int64),
+            "revenue_cp": b["rev"].astype(np.int64),
+            "odate_us": b["odate_us"].astype(np.int64),
+            "o_orderpriority": b["o_orderpriority"]})
+
+    out = joined.map_batches(fix, batch_format="pandas")
+    return out.sort([("revenue_cp"), ("odate_us"), ("o_orderkey")],
+                    descending=[True, False, False]).limit(10)
+
+
+SQL_Q3_REVENUE = """
+WITH li AS (SELECT l_orderkey AS o_orderkey,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS revenue_cp
+            FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey),
+o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us,
+             o_orderpriority
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o.o_orderkey, CAST(li.revenue_cp AS BIGINT) AS revenue_cp,
+       CAST(o.odate_us AS BIGINT) AS odate_us, o.o_orderpriority
+FROM o JOIN li USING (o_orderkey)
+ORDER BY revenue_cp DESC, odate_us, o_orderkey LIMIT 10
+"""
+
+
+_Q5_LO = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+_Q5_HI = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+
+def q_q5_region(sf_dir: str):
+    """TPC-H Q5 shape (the 6-table star join): revenue per ASIA nation
+    where customer AND supplier share the nation, 1996 orders. Every
+    dimension (region→nation→customer, supplier) broadcasts; the ONE
+    all-to-all is orders⋈lineitem, keyed once on the order key.
+    Revenue in exact cents·percent."""
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    n2 = nat.merge(reg[reg["r_name"] == "ASIA"], left_on="n_regionkey",
+                   right_on="r_regionkey")[["n_nationkey", "n_name"]]
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    cust = cust.merge(n2, left_on="c_nationkey",
+                      right_on="n_nationkey")[
+        ["c_custkey", "c_nationkey", "n_name"]] \
+        .rename(columns={"c_custkey": "o_custkey"})
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]) \
+        .rename(columns={"s_suppkey": "l_suppkey"})
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        us = b["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = pa.array((us >= _Q5_LO) & (us < _Q5_HI))
+        return pa.table({
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64())
+            .filter(keep),
+            "o_custkey": pc.cast(b["o_custkey"], pa.int64())
+            .filter(keep)})
+
+    o2 = rel.hash_join(orders.map_batches(ofilter, batch_format="pyarrow",
+                                          batch_size=65536),
+                       cust, on="o_custkey")
+
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_extendedprice", "l_discount"])
+
+    def lprep(b: pa.Table) -> pa.Table:
+        pc_ = np.rint(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        dp = np.rint(b["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "o_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+            "l_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+            "rev": pa.array(pc_ * (100 - dp))})
+
+    lp = li.map_batches(lprep, batch_format="pyarrow", batch_size=65536)
+    lp = rel.hash_join(lp, supp, on="l_suppkey")
+    joined = rel.join_large(lp, o2, on="o_orderkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s_nationkey"] == b["c_nationkey"]]
+        g = b.groupby("n_name", sort=False)["rev"].sum().reset_index()
+        return g
+
+    parts = joined.map_batches(partial, batch_format="pandas",
+                               batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("n_name", sort=False)["rev"].sum() \
+            .reset_index(name="revenue_cp")
+        g["revenue_cp"] = g["revenue_cp"].astype(np.int64)
+        return g
+
+    return rel.bucketed_group_apply(parts, ["n_name"], combine)
+
+
+SQL_Q5_REGION = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cp
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -8198,6 +8391,8 @@ REGISTRY: dict[str, tuple] = {
     "host_entropy": (q_host_entropy, SQL_HOST_ENTROPY),
     "ab_test": (q_ab_test, SQL_AB_TEST),
     "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
+    "q3_revenue": (q_q3_revenue, SQL_Q3_REVENUE),
+    "q5_region": (q_q5_region, SQL_Q5_REGION),
 }
 
 
