@@ -6482,8 +6482,11 @@ def q_mad_events(sf_dir: str):
         return pa.table({"event_type": batch["event_type"],
                          "cents": pa.array(c)})
 
+    # two passes over a CORPUS-sized (if narrow) table: re-execute the
+    # cheap cents lineage per pass rather than materializing it — at
+    # 10^12 rows a pinned intermediate spills, a re-read doesn't
     dsc = ds.map_batches(cents, batch_format="pyarrow",
-                         batch_size=65536).materialize()
+                         batch_size=65536)
     med = rel.groupby_aggregate(
         dsc, "event_type", [("med", "cents", "quantile:0.5")]).to_pandas()
     mdict = dict(zip(med["event_type"], med["med"].astype(np.int64)))
