@@ -8207,6 +8207,126 @@ GROUP BY n_name
 """
 
 
+def q_drawdown(sf_dir: str):
+    """Maximum drawdown per user (the order-dependent running-extreme
+    window: largest peak-to-trough drop of the cents sequence in time
+    order). In-bucket lexsort + one np.maximum.accumulate — the
+    running max the reference's moving_window cannot express (its
+    windows are fixed-width). Exact integers; SQL replays with a
+    ROWS UNBOUNDED PRECEDING running MAX."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"user_id": pc.cast(b["user_id"], pa.int64()),
+                         "ts_us": pa.array(us),
+                         "event_id": pc.cast(b["event_id"], pa.int64()),
+                         "c": pa.array(c)})
+
+    dsp = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        # per-user running max via a reset trick: offset each user's
+        # values by k*OFF so accumulate never crosses users
+        grp = np.cumsum(first) - 1
+        OFF = np.int64(1) << 40
+        runmax = np.maximum.accumulate(c + grp * OFF) - grp * OFF
+        dd = runmax - c
+        out = pd.DataFrame({"user_id": u, "dd": dd})
+        res = out.groupby("user_id", sort=False)["dd"].max() \
+            .reset_index(name="max_drawdown")
+        res["max_drawdown"] = res["max_drawdown"].astype(np.int64)
+        return res
+
+    return bucketed_group_apply(dsp, ["user_id"], per_bucket)
+
+
+SQL_DRAWDOWN = """
+WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+r AS (SELECT user_id,
+             MAX(c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) - c AS dd
+      FROM v)
+SELECT user_id, CAST(MAX(dd) AS BIGINT) AS max_drawdown
+FROM r GROUP BY user_id
+"""
+
+
+def q_bounce_rate(sf_dir: str):
+    """Composed streaming pipeline: gap-sessionize the event log (the
+    oracle replays the full sessionize CTE) then report per event-free
+    global counts — sessions, single-event 'bounce' sessions, and the
+    exact bounce ratio in ppm. Session sizes fold inside the
+    sessionize output's user buckets; the final combine is one row."""
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "session_id": b["session_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        g = (df.groupby(["user_id", "session_id"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    # sessionize co-locates users, so a (user, session)'s rows land in
+    # one output bucket — batch partials then a keyed combine are exact
+    parts = q_sessionize(sf_dir).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["user_id", "session_id"], sort=False)["n"].sum()
+             .reset_index())
+        return pd.DataFrame({
+            "n_sessions": [np.int64(len(g))],
+            "n_bounce": [np.int64((g["n"] == 1).sum())]})
+
+    tiny = rel.bucketed_group_apply(parts, ["user_id"], combine)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ns = int(b["n_sessions"].sum())
+        nb = int(b["n_bounce"].sum())
+        return pd.DataFrame({"n_sessions": [np.int64(ns)],
+                             "n_bounce": [np.int64(nb)],
+                             "bounce_ppm": [np.int64(
+                                 nb * 1_000_000 // max(ns, 1))]})
+
+    one = tiny.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                           batch_format="pandas")
+    return one.groupby("_one").map_groups(
+        lambda g: finish(g.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+SQL_BOUNCE_RATE = f"""
+WITH s AS ({SQL_SESSIONIZE}),
+g AS (SELECT user_id, session_id, COUNT(*) AS n FROM s
+      GROUP BY user_id, session_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS bounce_ppm
+FROM g
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -8396,6 +8516,8 @@ REGISTRY: dict[str, tuple] = {
     "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
     "q3_revenue": (q_q3_revenue, SQL_Q3_REVENUE),
     "q5_region": (q_q5_region, SQL_Q5_REGION),
+    "drawdown": (q_drawdown, SQL_DRAWDOWN),
+    "bounce_rate": (q_bounce_rate, SQL_BOUNCE_RATE),
 }
 
 

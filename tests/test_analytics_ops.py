@@ -634,3 +634,15 @@ def test_ab_test_bruteforce(ray_session):
         * (len(vb) - int(vb.sum()))
     assert int(got.loc[0, "or_den"]) == int(vb.sum()) \
         * (len(va) - int(va.sum()))
+
+
+def test_drawdown_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    ev["c"] = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    got = q.q_drawdown(SF_DIR).to_pandas().set_index("user_id")
+    for uid, g in ev.groupby("user_id"):
+        c = g.sort_values(["ts_us", "event_id"])["c"].to_numpy()
+        want = int((np.maximum.accumulate(c) - c).max())
+        assert int(got.loc[uid, "max_drawdown"]) == want
