@@ -8327,6 +8327,113 @@ FROM g
 """
 
 
+def q_ntile10(sf_dir: str):
+    """NTILE(10) decile assignment per group (equi-count binning for
+    calibration curves / decile reports): DuckDB NTILE semantics —
+    the first n mod 10 tiles get ⌈n/10⌉ rows over the (c, event_id)
+    total order. In-bucket lexsort position arithmetic, no per-row
+    Python."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"event_id": pc.cast(b["event_id"], pa.int64()),
+                         "event_type": b["event_type"],
+                         "c": pa.array(c)})
+
+    dsc = ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in b.groupby("event_type", sort=False):
+            g = g.sort_values(["c", "event_id"], kind="stable")
+            n = len(g)
+            big, rem = n // 10, n % 10
+            pos = np.arange(n, dtype=np.int64)
+            cut = rem * (big + 1)
+            tile = np.where(pos < cut, pos // max(big + 1, 1),
+                            rem + (pos - cut) // max(big, 1)) + 1
+            outs.append(pd.DataFrame({
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "event_type": et, "decile": tile.astype(np.int64)}))
+        if not outs:
+            return pd.DataFrame({"event_id": np.empty(0, np.int64),
+                                 "event_type": np.empty(0, object),
+                                 "decile": np.empty(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(dsc, ["event_type"], per_bucket)
+
+
+SQL_NTILE10 = """
+WITH v AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events)
+SELECT event_id, event_type,
+       CAST(NTILE(10) OVER (PARTITION BY event_type
+                            ORDER BY c, event_id) AS BIGINT) AS decile
+FROM v
+"""
+
+
+def q_pivot_hours(sf_dir: str):
+    """Pivot (long → wide): hour-of-day × event-type count matrix as
+    one wide row per hour — the reporting reshape. Counts fold
+    per-batch; the pivot happens on the tiny (hour, type) table."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+    ets = ("view", "click", "purchase", "signup", "error")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"hour": (us // 3_600_000_000) % 24,
+                           "event_type": b["event_type"].to_pandas()})
+        g = (df.groupby(["hour", "event_type"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def per_hour(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["hour", "event_type"], sort=False)["n"].sum()
+             .reset_index())
+        rows = []
+        for h, grp in g.groupby("hour", sort=False):
+            d = dict(zip(grp["event_type"], grp["n"]))
+            rows.append([np.int64(h)] + [np.int64(d.get(e, 0))
+                                         for e in ets])
+        return pd.DataFrame(rows, columns=["hour"]
+                            + [f"n_{e}" for e in ets])
+
+    return bucketed_group_apply(parts, ["hour"], per_hour)
+
+
+SQL_PIVOT_HOURS = """
+WITH v AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+                  event_type FROM events)
+SELECT hour,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error
+FROM v GROUP BY hour
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -8518,6 +8625,8 @@ REGISTRY: dict[str, tuple] = {
     "q5_region": (q_q5_region, SQL_Q5_REGION),
     "drawdown": (q_drawdown, SQL_DRAWDOWN),
     "bounce_rate": (q_bounce_rate, SQL_BOUNCE_RATE),
+    "ntile10": (q_ntile10, SQL_NTILE10),
+    "pivot_hours": (q_pivot_hours, SQL_PIVOT_HOURS),
 }
 
 
