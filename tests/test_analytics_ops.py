@@ -646,3 +646,53 @@ def test_drawdown_bruteforce(ray_session):
         c = g.sort_values(["ts_us", "event_id"])["c"].to_numpy()
         want = int((np.maximum.accumulate(c) - c).max())
         assert int(got.loc[uid, "max_drawdown"]) == want
+
+
+def test_ntile10_sizes_and_order(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    got = q.q_ntile10(SF_DIR).to_pandas()
+    c = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    ev = ev.assign(c=c)
+    m = got.merge(ev[["event_id", "c"]], on="event_id")
+    for et, g in m.groupby("event_type"):
+        n = len(g)
+        sizes = g.groupby("decile").size()
+        big, rem = n // 10, n % 10
+        # NTILE: first (n mod 10) tiles one larger
+        for d in range(1, 11):
+            assert sizes.get(d, 0) == big + (1 if d <= rem else 0)
+        # deciles are monotone in value
+        order = g.sort_values(["c", "event_id"])["decile"].to_numpy()
+        assert (np.diff(order) >= 0).all()
+
+
+def test_pivot_hours_consistency(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "ts"])
+    got = q.q_pivot_hours(SF_DIR).to_pandas()
+    cols = [c for c in got.columns if c.startswith("n_")]
+    assert int(got[cols].to_numpy().sum()) == len(ev)
+    hours = ((ev["ts"].astype("datetime64[us]").astype(np.int64)
+              // 3_600_000_000) % 24)
+    vc = hours.value_counts()
+    for r in got.itertuples():
+        assert int(sum(getattr(r, c) for c in cols)) == int(vc[r.hour])
+
+
+def test_bounce_rate_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    ns = nb = 0
+    for _, g in ev.groupby("user_id"):
+        t = np.sort(g["ts_us"].to_numpy())
+        brk = np.concatenate(([True], np.diff(t) > 300_000_000))
+        sizes = np.diff(np.concatenate(
+            (np.nonzero(brk)[0], [len(t)])))
+        ns += len(sizes)
+        nb += int((sizes == 1).sum())
+    got = q.q_bounce_rate(SF_DIR).to_pandas()
+    assert (int(got["n_sessions"][0]), int(got["n_bounce"][0])) \
+        == (ns, nb)
+    assert int(got["bounce_ppm"][0]) == nb * 1_000_000 // max(ns, 1)
