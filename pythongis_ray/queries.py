@@ -8434,6 +8434,120 @@ FROM v GROUP BY hour
 """
 
 
+def q_daily_growth(sf_dir: str):
+    """Daily unique visitors + day-over-day delta: exact distinct
+    users per day (one (day, user) dedup shuffle), then the LAG delta
+    computed on the tiny day-bounded series — the dashboard staple."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        t = pa.table({"day": pa.array(us // 86_400_000_000),
+                      "user_id": pc.cast(b["user_id"], pa.int64())})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(prep, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def per_day(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.drop_duplicates(["day", "user_id"])
+             .groupby("day", sort=False).size()
+             .rename("n_users").reset_index())
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    daily = bucketed_group_apply(pairs, ["day"], per_day)
+
+    def growth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="stable").reset_index(drop=True)
+        d = g["n_users"].to_numpy(np.int64)
+        delta = np.zeros(len(g), np.int64)
+        delta[1:] = d[1:] - d[:-1]
+        keep = np.ones(len(g), bool)
+        keep[0] = False
+        return pd.DataFrame({"day": g["day"].to_numpy(np.int64)[keep],
+                             "n_users": d[keep],
+                             "delta": delta[keep]})
+
+    one = daily.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                            batch_format="pandas")
+    return one.groupby("_one").map_groups(
+        lambda g: growth(g.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+SQL_DAILY_GROWTH = """
+WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM events GROUP BY 1),
+g AS (SELECT day, n_users,
+             n_users - LAG(n_users) OVER (ORDER BY day) AS delta
+      FROM d)
+SELECT CAST(day AS BIGINT) AS day, n_users,
+       CAST(delta AS BIGINT) AS delta
+FROM g WHERE delta IS NOT NULL
+"""
+
+
+def q_top_hours(sf_dir: str):
+    """Top-with-ties (DENSE_RANK <= 3): busiest hours of day by event
+    count, ties all included — the ranking contract LIMIT cannot
+    express. Counts fold per batch; the rank runs on the 24-row
+    table."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        h = (us // 3_600_000_000) % 24
+        u, c = np.unique(h, return_counts=True)
+        return pd.DataFrame({"hour": u, "n": c.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("hour", sort=False)["n"].sum().reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    hourly = bucketed_group_apply(parts, ["hour"], combine)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "hour"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+        uniq = g["n"].drop_duplicates().to_numpy()
+        dr = {int(v): i + 1 for i, v in enumerate(uniq)}
+        g["rnk"] = g["n"].map(dr).astype(np.int64)
+        g = g[g["rnk"] <= 3]
+        return pd.DataFrame({"hour": g["hour"].to_numpy(np.int64),
+                             "n": g["n"].to_numpy(np.int64),
+                             "rnk": g["rnk"].to_numpy(np.int64)})
+
+    one = hourly.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                             batch_format="pandas")
+    return one.groupby("_one").map_groups(
+        lambda g: rank(g.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+SQL_TOP_HOURS = """
+WITH h AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+r AS (SELECT hour, n,
+             CAST(DENSE_RANK() OVER (ORDER BY n DESC) AS BIGINT) AS rnk
+      FROM h)
+SELECT CAST(hour AS BIGINT) AS hour, n, rnk FROM r WHERE rnk <= 3
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -8627,6 +8741,8 @@ REGISTRY: dict[str, tuple] = {
     "bounce_rate": (q_bounce_rate, SQL_BOUNCE_RATE),
     "ntile10": (q_ntile10, SQL_NTILE10),
     "pivot_hours": (q_pivot_hours, SQL_PIVOT_HOURS),
+    "daily_growth": (q_daily_growth, SQL_DAILY_GROWTH),
+    "top_hours": (q_top_hours, SQL_TOP_HOURS),
 }
 
 
