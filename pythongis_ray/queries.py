@@ -8548,6 +8548,115 @@ SELECT CAST(hour AS BIGINT) AS hour, n, rnk FROM r WHERE rnk <= 3
 """
 
 
+def q_streaks(sf_dir: str):
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days (the classic streak analytic). Distinct (user, day) pairs
+    co-locate once; inside the bucket the island id is day − rank
+    (pure integer arithmetic over the sorted distinct days), and the
+    streak is the max island size. SQL replays with ROW_NUMBER."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        t = pa.table({"user_id": pc.cast(b["user_id"], pa.int64()),
+                      "day": pa.array(us // 86_400_000_000)})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    pairs = ds.map_batches(prep, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.drop_duplicates(["user_id", "day"]) \
+            .sort_values(["user_id", "day"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        grp = np.cumsum(first) - 1
+        # rank within user over sorted distinct days
+        pos = np.arange(len(g), dtype=np.int64)
+        start = np.zeros(len(g), np.int64)
+        start[first] = pos[first]
+        start = np.maximum.accumulate(start)
+        rank = pos - start
+        island = d - rank
+        df = pd.DataFrame({"user_id": u, "island": island})
+        sz = (df.groupby(["user_id", "island"], sort=False).size()
+              .rename("n").reset_index())
+        out = sz.groupby("user_id", sort=False)["n"].max() \
+            .reset_index(name="max_streak")
+        out["max_streak"] = out["max_streak"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(pairs, ["user_id"], per_bucket)
+
+
+SQL_STREAKS = """
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day FROM events),
+r AS (SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS island
+      FROM d),
+s AS (SELECT user_id, island, COUNT(*) AS n FROM r
+      GROUP BY user_id, island)
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS max_streak
+FROM s GROUP BY user_id
+"""
+
+
+def q_above_mean(sf_dir: str):
+    """Correlated-aggregate comparison WITHOUT division: per user,
+    how many events exceed that user's mean value — the predicate is
+    cross-multiplied to c·n > Σc (exact integers), so no float mean
+    ever exists. One co-location computes the group sums and the
+    comparison in the same pass."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"user_id": pc.cast(b["user_id"], pa.int64()),
+                         "c": pa.array(c)})
+
+    dsc = ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id", sort=False)["c"]
+        n = g.transform("size").to_numpy(np.int64)
+        s = g.transform("sum").to_numpy(np.int64)
+        above = (b["c"].to_numpy(np.int64) * n > s)
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(np.int64),
+                           "above": above.astype(np.int64)})
+        out = (df.groupby("user_id", sort=False)["above"]
+               .agg(n_events="count", n_above="sum").reset_index())
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["n_above"] = out["n_above"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(dsc, ["user_id"], per_bucket)
+
+
+SQL_ABOVE_MEAN = """
+WITH v AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s FROM v GROUP BY user_id)
+SELECT v.user_id, CAST(ANY_VALUE(g.n) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN v.c * g.n > g.s THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above
+FROM v JOIN g USING (user_id) GROUP BY v.user_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -8743,6 +8852,8 @@ REGISTRY: dict[str, tuple] = {
     "pivot_hours": (q_pivot_hours, SQL_PIVOT_HOURS),
     "daily_growth": (q_daily_growth, SQL_DAILY_GROWTH),
     "top_hours": (q_top_hours, SQL_TOP_HOURS),
+    "streaks": (q_streaks, SQL_STREAKS),
+    "above_mean": (q_above_mean, SQL_ABOVE_MEAN),
 }
 
 

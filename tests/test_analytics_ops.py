@@ -696,3 +696,31 @@ def test_bounce_rate_bruteforce(ray_session):
     assert (int(got["n_sessions"][0]), int(got["n_bounce"][0])) \
         == (ns, nb)
     assert int(got["bounce_ppm"][0]) == nb * 1_000_000 // max(ns, 1)
+
+
+def test_streaks_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "ts"])
+    days = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000)
+    got = q.q_streaks(SF_DIR).to_pandas().set_index("user_id")
+    for uid in ev["user_id"].unique():
+        d = np.sort(np.unique(days[(ev["user_id"] == uid).to_numpy()]))
+        best = cur = 1
+        for i in range(1, len(d)):
+            cur = cur + 1 if d[i] == d[i - 1] + 1 else 1
+            best = max(best, cur)
+        assert int(got.loc[int(uid), "max_streak"]) == best
+
+
+def test_above_mean_bruteforce(ray_session):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "value"])
+    c = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    got = q.q_above_mean(SF_DIR).to_pandas().set_index("user_id")
+    for uid in ev["user_id"].unique():
+        m = (ev["user_id"] == uid).to_numpy()
+        v = c[m]
+        want = int((v * len(v) > v.sum()).sum())
+        assert int(got.loc[int(uid), "n_above"]) == want
+        assert int(got.loc[int(uid), "n_events"]) == len(v)
