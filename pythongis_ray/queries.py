@@ -8657,6 +8657,263 @@ FROM v JOIN g USING (user_id) GROUP BY v.user_id
 """
 
 
+_Q4_LO = np.datetime64("1996-07-01T00:00:00", "us").astype(np.int64)
+_Q4_HI = np.datetime64("1996-10-01T00:00:00", "us").astype(np.int64)
+
+
+def q_q4_priority(sf_dir: str):
+    """TPC-H Q4 shape (the EXISTS semi-join): count Q3-1996 orders per
+    priority that have at least one lineitem shipped AFTER the order
+    date. The correlated EXISTS folds to a per-order MAX(l_shipdate)
+    partial computed inside map_batches BEFORE the one shuffle — the
+    probe side ships one int64 per order, not one row per lineitem
+    (reference join semantics: /root/reference/pythongis/vector/
+    sql.py:26-76, re-expressed as pre-aggregated semi-join)."""
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+
+    def lmax(b: pa.Table) -> pd.DataFrame:
+        us = b["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({"o_orderkey": ok, "max_ship_us": us})
+        return df.groupby("o_orderkey", sort=False)["max_ship_us"] \
+            .max().reset_index()
+
+    lp = li.map_batches(lmax, batch_format="pyarrow", batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_orderkey", sort=False)["max_ship_us"].max() \
+            .reset_index()
+        g["max_ship_us"] = g["max_ship_us"].astype(np.int64)
+        return g
+
+    lc = rel.bucketed_group_apply(lp, ["o_orderkey"], combine)
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate",
+                                         "o_orderpriority"])
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        us = b["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = (us >= _Q4_LO) & (us < _Q4_HI)
+        return pa.table({
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64())
+            .filter(pa.array(keep)),
+            "odate_us": pa.array(us[keep]),
+            "o_orderpriority": b["o_orderpriority"]
+            .filter(pa.array(keep))})
+
+    o2 = orders.map_batches(ofilter, batch_format="pyarrow",
+                            batch_size=65536)
+    joined = rel.join_large(lc, o2, on="o_orderkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["max_ship_us"] > b["odate_us"]]
+        return b.groupby("o_orderpriority", sort=False).size() \
+            .reset_index(name="n")
+
+    parts = joined.map_batches(partial, batch_format="pandas",
+                               batch_size=65536)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_orderpriority", sort=False)["n"].sum() \
+            .reset_index(name="order_count")
+        g["order_count"] = g["order_count"].astype(np.int64)
+        return g
+
+    return rel.bucketed_group_apply(parts, ["o_orderpriority"], fin)
+
+
+SQL_Q4_PRIORITY = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+_Q10_LO = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+_Q10_HI = np.datetime64("1996-04-01T00:00:00", "us").astype(np.int64)
+
+
+def q_q10_returns(sf_dir: str):
+    """TPC-H Q10 shape (returned-item revenue): top-20 customers by
+    exact cents·percent revenue over 'R'-flagged lineitems of Q1-1996
+    orders, nation name attached. Lineitem revenue folds to per-order
+    partials before the single big×big join; customer→nation is a
+    broadcast attach on the tiny post-aggregate result."""
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        us = b["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = pa.array((us >= _Q10_LO) & (us < _Q10_HI))
+        return pa.table({
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64())
+            .filter(keep),
+            "o_custkey": pc.cast(b["o_custkey"], pa.int64())
+            .filter(keep)})
+
+    o2 = orders.map_batches(ofilter, batch_format="pyarrow",
+                            batch_size=65536)
+
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_returnflag",
+                                     "l_extendedprice", "l_discount"])
+
+    def lrev(b: pa.Table) -> pd.DataFrame:
+        keep = pc.equal(b["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False)
+        cents = np.rint(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)[keep]
+        dp = np.rint(b["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)[keep]
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        df = pd.DataFrame({"o_orderkey": ok,
+                           "rev": cents * (100 - dp)})
+        return df.groupby("o_orderkey", sort=False)["rev"].sum() \
+            .reset_index()
+
+    lp = li.map_batches(lrev, batch_format="pyarrow", batch_size=65536)
+
+    def lcomb(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_orderkey", sort=False)["rev"].sum().reset_index()
+        g["rev"] = g["rev"].astype(np.int64)
+        return g
+
+    lc = rel.bucketed_group_apply(lp, ["o_orderkey"], lcomb)
+    joined = rel.join_large(lc, o2, on="o_orderkey")
+
+    def cpart(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_custkey", sort=False)["rev"].sum() \
+            .reset_index()
+
+    parts = joined.map_batches(cpart, batch_format="pandas",
+                               batch_size=65536)
+
+    def ccomb(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", sort=False)["rev"].sum() \
+            .reset_index(name="revenue_cp")
+        g["revenue_cp"] = g["revenue_cp"].astype(np.int64)
+        return g
+
+    percust = rel.bucketed_group_apply(parts, ["o_custkey"], ccomb)
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    cn = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    cn = cn[["c_custkey", "n_name"]] \
+        .rename(columns={"c_custkey": "o_custkey"})
+    out = rel.hash_join(percust, cn, on="o_custkey")
+    return out.sort([("revenue_cp"), ("o_custkey")],
+                    descending=[True, False]).limit(20)
+
+
+SQL_Q10_RETURNS = """
+SELECT c_custkey AS o_custkey,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cp,
+       ANY_VALUE(n_name) AS n_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey
+ORDER BY revenue_cp DESC, o_custkey LIMIT 20
+"""
+
+
+def q_q18_large(sf_dir: str):
+    """TPC-H Q18 shape (HAVING on a join-side aggregate): orders whose
+    total lineitem quantity exceeds 150, with customer key, order date
+    and exact total-price cents, largest first. The HAVING filter runs
+    where the quantity sum is produced — only qualifying order keys
+    (a tiny fraction) ever reach the orders join."""
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+
+    def lq(b: pa.Table) -> pd.DataFrame:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({"o_orderkey": ok, "qty": q})
+        return df.groupby("o_orderkey", sort=False)["qty"].sum() \
+            .reset_index()
+
+    lp = li.map_batches(lq, batch_format="pyarrow", batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_orderkey", sort=False)["qty"].sum().reset_index()
+        g = g[g["qty"] > 150]
+        g["qty"] = g["qty"].astype(np.int64)
+        return g.rename(columns={"qty": "total_qty"})
+
+    lc = rel.bucketed_group_apply(lp, ["o_orderkey"], combine)
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate", "o_totalprice"])
+
+    def oprep(b: pa.Table) -> pa.Table:
+        us = b["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(b["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            "odate_us": pa.array(us),
+            "totalprice_c": pa.array(cents)})
+
+    o2 = orders.map_batches(oprep, batch_format="pyarrow",
+                            batch_size=65536)
+    joined = rel.join_large(lc, o2, on="o_orderkey")
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype(np.int64),
+            "o_custkey": b["o_custkey"].astype(np.int64),
+            "odate_us": b["odate_us"].astype(np.int64),
+            "totalprice_c": b["totalprice_c"].astype(np.int64),
+            "total_qty": b["total_qty"].astype(np.int64)})
+
+    out = joined.map_batches(fix, batch_format="pandas")
+    return out.sort([("totalprice_c"), ("odate_us"), ("o_orderkey")],
+                    descending=[True, False, False]).limit(100)
+
+
+SQL_Q18_LARGE = """
+WITH lq AS (SELECT l_orderkey AS o_orderkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+       lq.total_qty
+FROM orders JOIN lq USING (o_orderkey)
+ORDER BY totalprice_c DESC, odate_us, o_orderkey LIMIT 100
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -8854,6 +9111,9 @@ REGISTRY: dict[str, tuple] = {
     "top_hours": (q_top_hours, SQL_TOP_HOURS),
     "streaks": (q_streaks, SQL_STREAKS),
     "above_mean": (q_above_mean, SQL_ABOVE_MEAN),
+    "q4_priority": (q_q4_priority, SQL_Q4_PRIORITY),
+    "q10_returns": (q_q10_returns, SQL_Q10_RETURNS),
+    "q18_large": (q_q18_large, SQL_Q18_LARGE),
 }
 
 

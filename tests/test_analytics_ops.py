@@ -724,3 +724,54 @@ def test_above_mean_bruteforce(ray_session):
         want = int((v * len(v) > v.sum()).sum())
         assert int(got.loc[int(uid), "n_above"]) == want
         assert int(got.loc[int(uid), "n_events"]) == len(v)
+
+
+# ----------------------------------------------------- TPC-H Q4/Q10/Q18
+
+def test_q4_priority_bruteforce(ray_session):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    od = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                         columns=["o_orderkey", "o_orderdate",
+                                  "o_orderpriority"])
+    mx = li.groupby("l_orderkey")["l_shipdate"].max()
+    od = od[(od["o_orderdate"] >= "1996-07-01")
+            & (od["o_orderdate"] < "1996-10-01")].copy()
+    od["mx"] = od["o_orderkey"].map(mx)
+    od = od[od["mx"] > od["o_orderdate"]]
+    want = od.groupby("o_orderpriority").size()
+    got = q.q_q4_priority(SF_DIR).to_pandas() \
+        .set_index("o_orderpriority")["order_count"]
+    assert len(got) == len(want)
+    for k, v in want.items():
+        assert int(got[k]) == int(v)
+
+
+def test_q10_returns_bruteforce(ray_session):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    od = od[(od["o_orderdate"] >= "1996-01-01")
+            & (od["o_orderdate"] < "1996-04-01")]
+    li = li[li["l_returnflag"] == "R"].copy()
+    li["rev"] = (np.rint(li["l_extendedprice"] * 100).astype(np.int64)
+                 * (100 - np.rint(li["l_discount"] * 100).astype(np.int64)))
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    want = j.groupby("o_custkey")["rev"].sum().sort_values(
+        ascending=False)
+    got = q.q_q10_returns(SF_DIR).to_pandas()
+    assert len(got) == min(20, len(want))
+    assert int(got["revenue_cp"].iloc[0]) == int(want.iloc[0])
+    assert set(got["revenue_cp"]) <= set(want.values)
+
+
+def test_q18_large_bruteforce(ray_session):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    s = li.groupby("l_orderkey")["l_quantity"].sum()
+    want_keys = set(s[s > 150].index.astype(int))
+    got = q.q_q18_large(SF_DIR).to_pandas()
+    assert set(got["o_orderkey"].astype(int)) <= want_keys
+    assert len(got) == min(100, len(want_keys))
+    # totalprice ordering holds
+    tp = got["totalprice_c"].to_numpy()
+    assert (tp[:-1] >= tp[1:]).all()
