@@ -1037,6 +1037,165 @@ JOIN g s  ON s.cx = c.cx AND s.cy = c.cy + 1
 """
 
 
+def q_tri_grid(sf_dir: str):
+    """Terrain Ruggedness Index over the sparse density grid (Riley
+    1999: Σ|z−z_k| over the 8-neighborhood), defined only where all
+    eight neighbors exist — the first DIAGONAL stencil (slope/flow use
+    the 4-neighborhood). Same sparse-stencil shape as slope_grid:
+    every cell emits its value to its 8 neighbors plus itself (9
+    tagged rows), one (cx,cy)-bucketed combine assembles the window;
+    no dense array, no sort. Exact integers end to end."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grid_ds = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                    [("n", "cx", "count")])
+
+    _OFF = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+            (1, 1), (1, -1), (-1, 1), (-1, -1)]
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        v = b["n"].to_numpy(np.int64)
+        tx = np.concatenate([cx + dx for dx, _ in _OFF])
+        ty = np.concatenate([cy + dy for _, dy in _OFF])
+        tag = np.repeat(np.arange(9, dtype=np.int64), len(b))
+        return pd.DataFrame({"cx": tx, "cy": ty, "tag": tag,
+                             "v": np.tile(v, 9)})
+
+    tagged = grid_ds.map_batches(emit, batch_format="pandas",
+                                 batch_size=65536)
+
+    def stencil(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.pivot_table(index=["cx", "cy"], columns="tag",
+                          values="v", aggfunc="sum")
+        p = p.reindex(columns=range(9))
+        p = p[p.notna().all(axis=1)]
+        c = p[0].to_numpy(np.int64)
+        tri = np.zeros(len(p), np.int64)
+        for t in range(1, 9):
+            tri += np.abs(p[t].to_numpy(np.int64) - c)
+        idx = p.index.to_frame(index=False)
+        return pd.DataFrame({
+            "cx": idx["cx"].to_numpy(np.int64),
+            "cy": idx["cy"].to_numpy(np.int64),
+            "tri": tri})
+
+    out = rel.bucketed_group_apply(tagged, ["cx", "cy"], stencil)
+    return rel.with_empty_schema(out, pa.schema(
+        [("cx", pa.int64()), ("cy", pa.int64()), ("tri", pa.int64())]))
+
+
+def SQL_TRI_GRID():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY ix // 8192, iy // 8192)
+SELECT c.cx, c.cy,
+       CAST(ABS(a1.n - c.n) + ABS(a2.n - c.n) + ABS(a3.n - c.n)
+          + ABS(a4.n - c.n) + ABS(a5.n - c.n) + ABS(a6.n - c.n)
+          + ABS(a7.n - c.n) + ABS(a8.n - c.n) AS BIGINT) AS tri
+FROM g c
+JOIN g a1 ON a1.cx = c.cx + 1 AND a1.cy = c.cy
+JOIN g a2 ON a2.cx = c.cx - 1 AND a2.cy = c.cy
+JOIN g a3 ON a3.cx = c.cx AND a3.cy = c.cy + 1
+JOIN g a4 ON a4.cx = c.cx AND a4.cy = c.cy - 1
+JOIN g a5 ON a5.cx = c.cx + 1 AND a5.cy = c.cy + 1
+JOIN g a6 ON a6.cx = c.cx + 1 AND a6.cy = c.cy - 1
+JOIN g a7 ON a7.cx = c.cx - 1 AND a7.cy = c.cy + 1
+JOIN g a8 ON a8.cx = c.cx - 1 AND a8.cy = c.cy - 1
+"""
+
+
+def q_focal_majority(sf_dir: str):
+    """3×3 focal majority (mode) filter over the sparse density grid —
+    the classic categorical-raster smoother the reference's
+    morphology/recode family gestures at. Each cell broadcasts its
+    value to the 9 window positions; per target cell the mode of
+    received values wins, ties broken by SMALLEST value; only cells
+    that themselves exist in the grid are emitted (no halo). One
+    bucketed shuffle, vectorized mode via pandas value counts."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grid_ds = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                    [("n", "cx", "count")])
+
+    _OFF = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+            (1, 1), (1, -1), (-1, 1), (-1, -1)]
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        v = b["n"].to_numpy(np.int64)
+        tx = np.concatenate([cx + dx for dx, _ in _OFF])
+        ty = np.concatenate([cy + dy for _, dy in _OFF])
+        # tag 0 marks "this target is the source itself" (center row):
+        # targets without a center row are halo cells, dropped
+        tag = np.repeat(
+            np.array([0] + [1] * 8, dtype=np.int64), len(b))
+        return pd.DataFrame({"cx": tx, "cy": ty, "tag": tag,
+                             "v": np.tile(v, 9)})
+
+    tagged = grid_ds.map_batches(emit, batch_format="pandas",
+                                 batch_size=65536)
+
+    def mode(b: pd.DataFrame) -> pd.DataFrame:
+        has_center = b[b["tag"] == 0][["cx", "cy"]]
+        cnt = (b.groupby(["cx", "cy", "v"], sort=False).size()
+               .reset_index(name="k"))
+        cnt = cnt.merge(has_center, on=["cx", "cy"])
+        cnt = cnt.sort_values(["cx", "cy", "k", "v"],
+                              ascending=[True, True, False, True])
+        top = cnt.drop_duplicates(["cx", "cy"], keep="first")
+        return pd.DataFrame({
+            "cx": top["cx"].to_numpy(np.int64),
+            "cy": top["cy"].to_numpy(np.int64),
+            "mode_val": top["v"].to_numpy(np.int64),
+            "mode_n": top["k"].to_numpy(np.int64)})
+
+    out = rel.bucketed_group_apply(tagged, ["cx", "cy"], mode)
+    return rel.with_empty_schema(out, pa.schema(
+        [("cx", pa.int64()), ("cy", pa.int64()),
+         ("mode_val", pa.int64()), ("mode_n", pa.int64())]))
+
+
+def SQL_FOCAL_MAJORITY():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY ix // 8192, iy // 8192),
+off(dx, dy) AS (VALUES (0,0),(1,0),(-1,0),(0,1),(0,-1),
+                       (1,1),(1,-1),(-1,1),(-1,-1)),
+nb AS (SELECT c.cx, c.cy, s.n AS v
+       FROM g c JOIN off o ON TRUE
+       JOIN g s ON s.cx = c.cx + o.dx AND s.cy = c.cy + o.dy),
+cnt AS (SELECT cx, cy, v, CAST(COUNT(*) AS BIGINT) AS k
+        FROM nb GROUP BY cx, cy, v)
+SELECT cx, cy, CAST(v AS BIGINT) AS mode_val, k AS mode_n
+FROM cnt
+QUALIFY ROW_NUMBER() OVER (PARTITION BY cx, cy
+                           ORDER BY k DESC, v) = 1
+"""
+
+
 def q_asc_roundtrip(sf_dir: str):
     """Raster interchange loop: point-density grid → dense ESRI ASCII
     grid file → read back → re-sparsify. A hash match against the
@@ -9114,6 +9273,8 @@ REGISTRY: dict[str, tuple] = {
     "q4_priority": (q_q4_priority, SQL_Q4_PRIORITY),
     "q10_returns": (q_q10_returns, SQL_Q10_RETURNS),
     "q18_large": (q_q18_large, SQL_Q18_LARGE),
+    "tri_grid": (q_tri_grid, SQL_TRI_GRID),
+    "focal_majority": (q_focal_majority, SQL_FOCAL_MAJORITY),
 }
 
 

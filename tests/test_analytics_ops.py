@@ -775,3 +775,51 @@ def test_q18_large_bruteforce(ray_session):
     # totalprice ordering holds
     tp = got["totalprice_c"].to_numpy()
     assert (tp[:-1] >= tp[1:]).all()
+
+
+# ------------------------------------------------- focal stencil ops
+
+def _density_grid():
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber"])
+    from pythongis_ray import fixtures
+    pk = (li["l_orderkey"].to_numpy(np.int64) * 8
+          + li["l_linenumber"].to_numpy(np.int64))
+    ix, iy = fixtures.geocode_units(pk)
+    cx, cy = ix // 8192, iy // 8192
+    dense = {}
+    for x, y in zip(cx, cy):
+        dense[(x, y)] = dense.get((x, y), 0) + 1
+    return dense
+
+
+def test_tri_grid_bruteforce(ray_session):
+    dense = _density_grid()
+    got = q.q_tri_grid(SF_DIR).to_pandas()
+    want = {}
+    offs = [(1, 0), (-1, 0), (0, 1), (0, -1),
+            (1, 1), (1, -1), (-1, 1), (-1, -1)]
+    for (x, y), c in dense.items():
+        if all((x + dx, y + dy) in dense for dx, dy in offs):
+            want[(x, y)] = sum(abs(dense[(x + dx, y + dy)] - c)
+                               for dx, dy in offs)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[(int(r["cx"]), int(r["cy"]))] == int(r["tri"])
+
+
+def test_focal_majority_bruteforce(ray_session):
+    from collections import Counter
+    dense = _density_grid()
+    got = q.q_focal_majority(SF_DIR).to_pandas()
+    assert len(got) == len(dense)
+    for _, r in got.iterrows():
+        x, y = int(r["cx"]), int(r["cy"])
+        vals = [dense[(x + dx, y + dy)]
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                if (x + dx, y + dy) in dense]
+        cnt = Counter(vals)
+        best_k = max(cnt.values())
+        best_v = min(v for v, k in cnt.items() if k == best_k)
+        assert int(r["mode_val"]) == best_v
+        assert int(r["mode_n"]) == best_k
