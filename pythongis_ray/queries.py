@@ -9073,6 +9073,53 @@ ORDER BY totalprice_c DESC, odate_us, o_orderkey LIMIT 100
 """
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights for target-distribution data
+    selection (Xie et al. 2023): hashed token-bucket frequency-ratio
+    score per document against the English subset as the target.
+    Two streaming passes (256-row bucket partials folded driver-side,
+    then a broadcast integer weight table scored with one reduceat per
+    batch) — see text.dsir_importance. All-integer (add-one smoothed
+    ratio with cleared denominators), so the DuckDB replay of the
+    64-bit polynomial token hash is bit-exact."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+    return text.dsir_importance(ds, target_langs=("en",))
+
+
+# the `h` CTE replays text._poly_hash_segments (fold h*P + byte mod
+# 2^64) exactly as in _SQL_SIMHASH_CTE; bucket = th % 256; weight
+# w[b] = 16384*(ct+1)*Nr // ((cr+1)*Nt) in HUGEINT (floor division of
+# positive exact integers == Python int // used engine-side).
+SQL_DSIR_WEIGHTS = """
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+              FROM documents),
+w AS (SELECT doc_id, lang, UNNEST(l) AS word FROM toks),
+h AS (SELECT doc_id, lang,
+        list_reduce(list_prepend(CAST(0 AS HUGEINT),
+          [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(word, '')]),
+          (acc, x) -> (acc * 1099511628211 + x)
+                      % CAST('18446744073709551616' AS HUGEINT))
+        % 256 AS b
+      FROM w),
+bc AS (SELECT b, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+              COUNT(*) AS cr
+       FROM h GROUP BY b),
+allb AS (SELECT g.range AS b, COALESCE(bc.ct, 0) AS ct,
+                COALESCE(bc.cr, 0) AS cr
+         FROM range(0, 256) g LEFT JOIN bc ON bc.b = g.range),
+tot AS (SELECT SUM(ct) + 256 AS nt, SUM(cr) + 256 AS nr FROM allb),
+wt AS (SELECT b, CAST(16384 AS HUGEINT) * (ct + 1)
+                 * CAST(t.nr AS HUGEINT)
+                 // ((cr + 1) * CAST(t.nt AS HUGEINT)) AS wv
+       FROM allb, tot t)
+SELECT h.doc_id, CAST(SUM(wt.wv) AS BIGINT) AS dsir_score,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM h JOIN wt ON wt.b = h.b
+GROUP BY h.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -9275,6 +9322,7 @@ REGISTRY: dict[str, tuple] = {
     "q18_large": (q_q18_large, SQL_Q18_LARGE),
     "tri_grid": (q_tri_grid, SQL_TRI_GRID),
     "focal_majority": (q_focal_majority, SQL_FOCAL_MAJORITY),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
 }
 
 

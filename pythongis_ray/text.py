@@ -2444,3 +2444,84 @@ def kmv_sketch_by(ds, key_col: str, text_col: str = "text", k: int = 16):
         return pd.concat(out, ignore_index=True)
 
     return bucketed_group_apply(parts, [key_col], combine)
+
+
+DSIR_BUCKETS = 256
+DSIR_SCALE = 16384
+
+
+def dsir_importance(ds, target_langs=("en",), buckets: int = DSIR_BUCKETS,
+                    scale: int = DSIR_SCALE, id_col: str = "doc_id",
+                    text_col: str = "text", lang_col: str = "lang"):
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    via Importance Resampling): score each raw document by how much it
+    resembles a TARGET distribution, via hashed token-bucket frequency
+    ratios. Two streaming passes:
+
+    pass 1 — per-batch bucket counts (target vs raw), pre-aggregated
+    inside map_batches to a ``buckets``-row partial, folded on the
+    driver (batches-bounded, never corpus-bounded);
+    pass 2 — a broadcast ``w[buckets]`` integer weight table scores
+    every doc with one ``reduceat`` over its token run.
+
+    The weight is the add-one-smoothed frequency ratio cleared of
+    divisions: ``w[b] = scale*(ct[b]+1)*Nr // ((cr[b]+1)*Nt)`` with
+    ``Nt/Nr`` the smoothed token totals — exact integers, so the SQL
+    oracle hash-matches (DSIR's log-ratio replaced by the ratio
+    itself; ranking is monotone within a doc-length class). Returns
+    (id, dsir_score, n_tokens)."""
+    import ray
+
+    from pythongis_ray import state
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, tok_offs = _batch_token_hashes(arr)
+        ntok = np.diff(tok_offs)
+        is_t = pc.is_in(batch[lang_col],
+                        value_set=pa.array(list(target_langs))) \
+            .to_numpy(zero_copy_only=False)
+        tok_t = np.repeat(is_t, ntok)
+        bkt = (th % np.uint64(buckets)).astype(np.int64)
+        ct = np.bincount(bkt[tok_t], minlength=buckets)
+        cr = np.bincount(bkt, minlength=buckets)
+        return pa.table({"b": pa.array(np.arange(buckets, dtype=np.int64)),
+                         "ct": pa.array(ct.astype(np.int64)),
+                         "cr": pa.array(cr.astype(np.int64))})
+
+    parts = ds.select_columns([text_col, lang_col]) \
+        .map_batches(count_partial, batch_format="pyarrow",
+                     batch_size=8192).to_pandas()
+    tot = parts.groupby("b", sort=True)[["ct", "cr"]].sum()
+    ct = tot["ct"].to_numpy(np.int64)
+    cr = tot["cr"].to_numpy(np.int64)
+    nt = int(ct.sum()) + buckets
+    nr = int(cr.sum()) + buckets
+    # exact Python-int weights (no int64 overflow at any corpus size)
+    w = np.array([scale * (int(c) + 1) * nr // ((int(r) + 1) * nt)
+                  for c, r in zip(ct, cr)], np.int64)
+    wref = ray.put(w)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dsir_score": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        wa = state.get_broadcast(wref, key_extra=("dsir",))
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, tok_offs = _batch_token_hashes(arr)
+        bkt = (th % np.uint64(buckets)).astype(np.int64)
+        tw = wa[bkt]
+        ntok = np.diff(tok_offs)
+        sc = np.add.reduceat(tw, tok_offs[:-1])
+        sc[ntok == 0] = 0
+        return pa.table({id_col: pc.cast(batch[id_col], pa.int64()),
+                         "dsir_score": pa.array(sc.astype(np.int64)),
+                         "n_tokens": pa.array(ntok.astype(np.int64))})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(score, batch_format="pyarrow", batch_size=8192)

@@ -848,3 +848,63 @@ def test_hll_partition_invariant_and_sane(ray_session):
     for g in range(3):
         est = int(prev.loc[prev.host == g, "est"].iloc[0])
         assert abs(est - truth[g]) / truth[g] < 0.35, (g, est, truth[g])
+
+
+def test_dsir_importance_vs_bruteforce(ray_session):
+    """dsir_importance matches a serial dict-based replay of the
+    hashed-bucket frequency-ratio weighting (add-one smoothing,
+    cleared denominators), including empty docs and block-count
+    invariance of the two-pass fold."""
+    import ray.data as rd
+
+    from pythongis_ray import text as T
+
+    rng = np.random.default_rng(7)
+    vocab_en = [f"the{i}" for i in range(40)]
+    vocab_xx = [f"zz{i}" for i in range(40)]
+    docs, langs = [], []
+    for i in range(60):
+        en = i % 3 == 0
+        v = vocab_en if en else vocab_xx
+        # mix in some shared vocabulary so ratios are non-trivial
+        words = list(rng.choice(v, 12)) + list(rng.choice(vocab_en[:5], 3))
+        docs.append(" ".join(words))
+        langs.append("en" if en else "xx")
+    docs.append("")            # empty doc: one empty token, hash 0
+    langs.append("xx")
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                  "text": pa.array(docs),
+                  "lang": pa.array(langs)})
+
+    def tok_hash(w):
+        h = 0
+        for ch in w.encode():
+            h = (h * 1099511628211 + ch) % (1 << 64)
+        return h
+
+    B, S = T.DSIR_BUCKETS, T.DSIR_SCALE
+    ct = [0] * B
+    cr = [0] * B
+    for d, lg in zip(docs, langs):
+        for w in d.split(" "):
+            b = tok_hash(w) % B
+            cr[b] += 1
+            if lg == "en":
+                ct[b] += 1
+    nt = sum(ct) + B
+    nr = sum(cr) + B
+    wt = [S * (c + 1) * nr // ((r + 1) * nt) for c, r in zip(ct, cr)]
+
+    prev = None
+    for nblocks in (1, 5):
+        out = T.dsir_importance(rd.from_arrow(t).repartition(nblocks)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        if prev is not None:
+            assert out.equals(prev)
+        prev = out
+    for i, d in enumerate(docs):
+        toks = d.split(" ")
+        want = sum(wt[tok_hash(w) % B] for w in toks)
+        row = prev.iloc[i]
+        assert row["n_tokens"] == len(toks)
+        assert row["dsir_score"] == want, (i, d)
