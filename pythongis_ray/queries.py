@@ -9120,6 +9120,53 @@ GROUP BY h.doc_id
 """
 
 
+def q_nb_lang(sf_dir: str):
+    """Hashed linear language classifier (the fastText-style lang-ID /
+    quality-filter slot): train per-class token-bucket frequency-ratio
+    weights on the corpus's own labels, score every doc against every
+    class, argmax with ties to the smallest label — see
+    text.nb_classify. All-integer, so the DuckDB replay (per-class
+    DSIR-style weights + ROW_NUMBER argmax) is bit-exact."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+    return text.nb_classify(ds, label_col="lang")
+
+
+SQL_NB_LANG = """
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+              FROM documents),
+w AS (SELECT doc_id, lang, UNNEST(l) AS word FROM toks),
+h AS (SELECT doc_id, lang,
+        list_reduce(list_prepend(CAST(0 AS HUGEINT),
+          [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(word, '')]),
+          (acc, x) -> (acc * 1099511628211 + x)
+                      % CAST('18446744073709551616' AS HUGEINT))
+        % 256 AS b
+      FROM w),
+bc AS (SELECT b, COUNT(*) AS cr FROM h GROUP BY b),
+cls AS (SELECT lang AS cand, COUNT(*) + 256 AS ntl FROM h GROUP BY lang),
+bcl AS (SELECT lang AS cand, b, COUNT(*) AS cl FROM h GROUP BY lang, b),
+tot AS (SELECT SUM(cr) + 256 AS nr FROM bc),
+combos AS (SELECT c.cand, g.range AS b, c.ntl,
+                  COALESCE(bcl.cl, 0) AS cl, COALESCE(bc.cr, 0) AS cr
+           FROM cls c CROSS JOIN range(0, 256) g
+           LEFT JOIN bcl ON bcl.cand = c.cand AND bcl.b = g.range
+           LEFT JOIN bc ON bc.b = g.range),
+wt AS (SELECT cand, b, CAST(16384 AS HUGEINT) * (cl + 1)
+                       * CAST(t.nr AS HUGEINT)
+                       // ((cr + 1) * CAST(ntl AS HUGEINT)) AS wv
+       FROM combos, tot t),
+sc AS (SELECT h.doc_id, w.cand, SUM(w.wv) AS s
+       FROM h JOIN wt w ON w.b = h.b GROUP BY h.doc_id, w.cand),
+pick AS (SELECT doc_id, cand,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, cand ASC) AS rn
+         FROM sc)
+SELECT d.doc_id, d.lang, p.cand AS pred_lang
+FROM documents d JOIN pick p ON p.doc_id = d.doc_id AND p.rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -9323,6 +9370,7 @@ REGISTRY: dict[str, tuple] = {
     "tri_grid": (q_tri_grid, SQL_TRI_GRID),
     "focal_majority": (q_focal_majority, SQL_FOCAL_MAJORITY),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "nb_lang": (q_nb_lang, SQL_NB_LANG),
 }
 
 

@@ -2525,3 +2525,82 @@ def dsir_importance(ds, target_langs=("en",), buckets: int = DSIR_BUCKETS,
 
     return ds.select_columns([id_col, text_col]) \
         .map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+def nb_classify(ds, label_col: str = "lang", buckets: int = DSIR_BUCKETS,
+                scale: int = DSIR_SCALE, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """fastText-style hashed linear classifier (the lang-ID / quality-
+    filter slot): train per-class token-bucket weights on the corpus's
+    own labels, then score every doc against every class and argmax.
+
+    Same two-pass streaming shape as :func:`dsir_importance` but with
+    one weight row per class: pass 1 folds per-(class, bucket) token
+    counts (each batch emits at most n_classes*buckets pre-aggregated
+    rows); pass 2 broadcasts the (L, buckets) int64 weight matrix and
+    scores a batch with ONE axis-1 reduceat, argmax with ties going to
+    the lexicographically smallest class label.
+
+    Per-class weight is the class-conditional frequency ratio with
+    cleared denominators (all exact integers, so the DuckDB replay
+    hash-matches): ``w_L[b] = scale*(c_L[b]+1)*Nr // ((cr[b]+1)*Nt_L)``
+    where ``Nt_L = sum_b c_L + buckets`` and ``Nr = sum_b cr +
+    buckets``. Returns (id, label, pred_label)."""
+    import pandas as pd
+    import ray
+
+    from pythongis_ray import state
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, tok_offs = _batch_token_hashes(arr)
+        ntok = np.diff(tok_offs)
+        labs = batch[label_col].to_pandas().to_numpy(object)
+        codes, uniq = pd.factorize(np.repeat(labs, ntok))
+        bkt = (th % np.uint64(buckets)).astype(np.int64)
+        c = np.bincount(codes * buckets + bkt,
+                        minlength=len(uniq) * buckets)
+        return pa.table({
+            "lab": pa.array(np.repeat(uniq, buckets)),
+            "b": pa.array(np.tile(np.arange(buckets, dtype=np.int64),
+                                  len(uniq))),
+            "c": pa.array(c.astype(np.int64))})
+
+    parts = ds.select_columns([text_col, label_col]) \
+        .map_batches(count_partial, batch_format="pyarrow",
+                     batch_size=8192).to_pandas()
+    tot = parts.groupby(["lab", "b"], sort=True)["c"].sum().unstack(
+        fill_value=0).reindex(columns=range(buckets), fill_value=0)
+    labs = list(tot.index)           # sorted class labels
+    cl = tot.to_numpy(np.int64)      # (L, buckets)
+    cr = cl.sum(axis=0)
+    nr = int(cr.sum()) + buckets
+    ntl = cl.sum(axis=1) + buckets   # (L,)
+    w = np.array([[scale * (int(c) + 1) * nr // ((int(r) + 1) * int(n))
+                   for c, r in zip(crow, cr)]
+                  for crow, n in zip(cl, ntl)], np.int64)
+    wref = ray.put((labs, w))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             label_col: pa.array([], pa.string()),
+                             "pred_" + label_col: pa.array([], pa.string())})
+        labs_w, wa = state.get_broadcast(wref, key_extra=("nbcls",))
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, tok_offs = _batch_token_hashes(arr)
+        bkt = (th % np.uint64(buckets)).astype(np.int64)
+        # (L, n_docs) class scores in one pass; ties -> first (lowest
+        # label, matching SQL ORDER BY s DESC, cand ASC)
+        sc = np.add.reduceat(wa[:, bkt], tok_offs[:-1], axis=1)
+        pred = np.asarray(labs_w, object)[np.argmax(sc, axis=0)]
+        return pa.table({id_col: pc.cast(batch[id_col], pa.int64()),
+                         label_col: batch[label_col],
+                         "pred_" + label_col: pa.array(pred, pa.string())})
+
+    return ds.select_columns([id_col, text_col, label_col]) \
+        .map_batches(score, batch_format="pyarrow", batch_size=8192)

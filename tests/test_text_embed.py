@@ -908,3 +908,66 @@ def test_dsir_importance_vs_bruteforce(ray_session):
         row = prev.iloc[i]
         assert row["n_tokens"] == len(toks)
         assert row["dsir_score"] == want, (i, d)
+
+
+def test_nb_classify_vs_bruteforce(ray_session):
+    """nb_classify matches a serial dict replay of the per-class
+    hashed frequency-ratio weights, including the argmax tie-break to
+    the lexicographically smallest label and block-count invariance."""
+    import ray.data as rd
+
+    from pythongis_ray import text as T
+
+    rng = np.random.default_rng(11)
+    vocabs = {"de": [f"der{i}" for i in range(30)],
+              "en": [f"the{i}" for i in range(30)],
+              "fr": [f"les{i}" for i in range(30)]}
+    shared = [f"sh{i}" for i in range(10)]
+    docs, labs = [], []
+    for i in range(90):
+        lg = ("de", "en", "fr")[i % 3]
+        words = list(rng.choice(vocabs[lg], 10)) + list(rng.choice(shared, 5))
+        docs.append(" ".join(words))
+        labs.append(lg)
+    docs.append("sh0 sh1")     # ambiguous doc exercises the tie path
+    labs.append("en")
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                  "text": pa.array(docs), "lang": pa.array(labs)})
+
+    def tok_hash(w):
+        h = 0
+        for ch in w.encode():
+            h = (h * 1099511628211 + ch) % (1 << 64)
+        return h
+
+    B, S = T.DSIR_BUCKETS, T.DSIR_SCALE
+    classes = sorted(set(labs))
+    cl = {L: [0] * B for L in classes}
+    cr = [0] * B
+    for d, lg in zip(docs, labs):
+        for w in d.split(" "):
+            b = tok_hash(w) % B
+            cr[b] += 1
+            cl[lg][b] += 1
+    nr = sum(cr) + B
+    wt = {}
+    for L in classes:
+        ntl = sum(cl[L]) + B
+        wt[L] = [S * (c + 1) * nr // ((r + 1) * ntl)
+                 for c, r in zip(cl[L], cr)]
+
+    prev = None
+    for nblocks in (1, 4):
+        out = T.nb_classify(rd.from_arrow(t).repartition(nblocks)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        if prev is not None:
+            assert out.equals(prev)
+        prev = out
+    n_right = 0
+    for i, d in enumerate(docs):
+        scores = {L: sum(wt[L][tok_hash(w) % B] for w in d.split(" "))
+                  for L in classes}
+        best = min(classes, key=lambda L: (-scores[L], L))
+        assert prev.iloc[i]["pred_lang"] == best, (i, d, scores)
+        n_right += best == labs[i]
+    assert n_right / len(docs) > 0.9   # the classifier actually works
