@@ -9167,6 +9167,47 @@ FROM documents d JOIN pick p ON p.doc_id = d.doc_id AND p.rn = 1
 """
 
 
+def q_dup_shingles(sf_dir: str):
+    """Exact duplicated-substring contamination (Lee et al. 2022
+    measure): per doc, total 5-token shingle positions and how many
+    carry a shingle shared with another document — see
+    text.dup_shingle_stats. Oracle: full shingle-hash replay in
+    DuckDB (token-hash fold then shingle fold with P=1000003, both
+    mod 2^64 in HUGEINT) + the same two group-bys."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.dup_shingle_stats(ds, k=5)
+
+
+SQL_DUP_SHINGLES = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+hw AS (SELECT doc_id,
+         [list_reduce(list_prepend(CAST(0 AS HUGEINT),
+            [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(w, '')]),
+            (a, x) -> (a * 1099511628211 + x)
+                      % CAST('18446744073709551616' AS HUGEINT))
+          FOR w IN toks] AS thl,
+         len(toks) AS n
+       FROM d),
+sh AS (SELECT doc_id,
+         [list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             thl[i + 1 : i + least(n, 5)]),
+             (a, x) -> (a * 1000003 + x)
+                       % CAST('18446744073709551616' AS HUGEINT))
+          FOR i IN range(greatest(n - 4, 1))] AS shs
+       FROM hw),
+ps AS (SELECT doc_id, UNNEST(shs) AS s FROM sh),
+pm AS (SELECT doc_id, s, COUNT(*) AS m FROM ps GROUP BY doc_id, s),
+dup AS (SELECT s FROM pm GROUP BY s HAVING COUNT(*) >= 2),
+nd AS (SELECT pm.doc_id, SUM(pm.m) AS n_dup
+       FROM pm JOIN dup USING (s) GROUP BY pm.doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ps GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup
+FROM tot t LEFT JOIN nd ON nd.doc_id = t.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -9371,6 +9412,7 @@ REGISTRY: dict[str, tuple] = {
     "focal_majority": (q_focal_majority, SQL_FOCAL_MAJORITY),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "nb_lang": (q_nb_lang, SQL_NB_LANG),
+    "dup_shingles": (q_dup_shingles, SQL_DUP_SHINGLES),
 }
 
 

@@ -2604,3 +2604,66 @@ def nb_classify(ds, label_col: str = "lang", buckets: int = DSIR_BUCKETS,
 
     return ds.select_columns([id_col, text_col, label_col]) \
         .map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+def dup_shingle_stats(ds, k: int = MH_SHINGLE_K, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Exact duplicated-substring contamination stats (the measure
+    behind Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): per document, how many of its k-token
+    shingle positions carry a shingle that also appears in at least
+    one OTHER document.
+
+    Three streaming stages, two hash shuffles (both inherent — dup
+    detection is corpus-global): (1) map-side explode to per-(doc,
+    shingle) multiplicity rows (one lexsort per batch, no Python per
+    row); (2) bucketed group by shingle flags cross-doc duplicates
+    in place; (3) bucketed group by doc folds multiplicities back to
+    (doc_id, n_shingles, n_dup). No stage is corpus-bounded on the
+    driver. Shingle identity is the 64-bit rolling hash of token
+    hashes (collision odds ~n^2/2^65)."""
+    import pandas as pd
+
+    from pythongis_ray.relational import bucketed_group_apply
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return pd.DataFrame({"doc_id": np.array([], np.int64),
+                                 "s": np.array([], np.int64),
+                                 "m": np.array([], np.int64)})
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, tok_offs = _batch_token_hashes(arr)
+        sh, sh_offs = _batch_shingles(th, tok_offs, k)
+        ids = pc.cast(batch[id_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        did = np.repeat(ids, np.diff(sh_offs))
+        s = sh.view(np.int64)
+        order = np.lexsort((s, did))
+        dd, ss = did[order], s[order]
+        new = np.concatenate(([True],
+                              (dd[1:] != dd[:-1]) | (ss[1:] != ss[:-1])))
+        starts = np.flatnonzero(new)
+        m = np.diff(np.concatenate((starts, [len(ss)])))
+        return pd.DataFrame({"doc_id": dd[starts], "s": ss[starts],
+                             "m": m.astype(np.int64)})
+
+    pairs = ds.select_columns([id_col, text_col]) \
+        .map_batches(explode, batch_format="pyarrow", batch_size=4096)
+
+    def flag_dups(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are per (doc, shingle), so group size == n distinct docs
+        nd = g.groupby("s")["doc_id"].transform("size").to_numpy()
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "m": g["m"].to_numpy(),
+                             "dm": g["m"].to_numpy() * (nd >= 2)})
+
+    flagged = bucketed_group_apply(pairs, ["s"], flag_dups)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", sort=False).agg(
+            n_shingles=("m", "sum"), n_dup=("dm", "sum")).reset_index()
+        return out.astype(np.int64)
+
+    return bucketed_group_apply(flagged, ["doc_id"], per_doc)

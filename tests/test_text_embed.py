@@ -971,3 +971,53 @@ def test_nb_classify_vs_bruteforce(ray_session):
         assert prev.iloc[i]["pred_lang"] == best, (i, d, scores)
         n_right += best == labs[i]
     assert n_right / len(docs) > 0.9   # the classifier actually works
+
+
+def test_dup_shingle_stats_vs_bruteforce(ray_session):
+    """dup_shingle_stats matches a serial set-based replay: shingles
+    (as token tuples) shared across >=2 docs count toward n_dup with
+    their within-doc multiplicity; doc-internal repeats alone don't."""
+    import ray.data as rd
+
+    from pythongis_ray import text as T
+
+    docs = [
+        "a b c d e f g",          # shares 'a b c d e' with doc 1
+        "a b c d e x y",
+        "p q r s t",              # unique
+        "m m m m m m",            # internal repeats only (m>=2 per s)
+        "z",                      # short doc -> single folded shingle
+        "z",                      # exact dup of doc 4
+        "m m m m m m",            # cross-doc dup of doc 3
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+
+    k = 3
+    shl = []
+    for d in docs:
+        toks = d.split(" ")
+        if len(toks) <= k:
+            shl.append([tuple(toks)])
+        else:
+            shl.append([tuple(toks[i:i + k])
+                        for i in range(len(toks) - k + 1)])
+    docs_of = {}
+    for i, shs in enumerate(shl):
+        for s in set(shs):
+            docs_of.setdefault(s, set()).add(i)
+
+    prev = None
+    for nblocks in (1, 3):
+        out = T.dup_shingle_stats(rd.from_arrow(t).repartition(nblocks),
+                                  k=k) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        if prev is not None:
+            assert out.equals(prev)
+        prev = out
+    for i, shs in enumerate(shl):
+        want_dup = sum(1 for s in shs if len(docs_of[s]) >= 2)
+        row = prev.iloc[i]
+        assert row["doc_id"] == i
+        assert row["n_shingles"] == len(shs)
+        assert row["n_dup"] == want_dup, (i, docs[i])
