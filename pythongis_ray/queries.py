@@ -9208,6 +9208,98 @@ FROM tot t LEFT JOIN nd ON nd.doc_id = t.doc_id
 """
 
 
+def q_moran(sf_dir: str):
+    """Global Moran's I spatial autocorrelation of the point-density
+    grid (queen 8-adjacency, binary weights). Reported as the exact
+    integer quadruple (n_cells, w_sum, num, den) with deviations
+    cleared of the mean division: d_i = N*n_i - S, so
+    I = N*num / (w_sum*den) and num = sum over ordered adjacent
+    observed pairs of d_i*d_j, den = sum d_i^2.
+
+    Distributed as the same sparse 8-neighbor stencil as tri_grid:
+    each observed cell emits its deviation to its neighbors, one
+    (cx,cy)-bucketed combine pairs incoming deviations with the
+    resident cell's own, and the driver folds one tiny partial row
+    per bucket. int64 holds num to ~9e18 (fine through sf0.1; a
+    100TB run would move the partials to object/int128)."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    cells = pts.map_batches(cellify, batch_format="pyarrow",
+                            batch_size=65536)
+    grid = rel.groupby_aggregate(cells, ["cx", "cy"],
+                                 [("n", "cx", "count")]).materialize()
+
+    tp = grid.map_batches(
+        lambda b: pa.table({"nc": pa.array([b.num_rows], pa.int64()),
+                            "s": pa.array([int(pc.sum(b["n"]).as_py())],
+                                          pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    nc, s = int(tp["nc"].sum()), int(tp["s"].sum())
+
+    _OFF = [(1, 0), (-1, 0), (0, 1), (0, -1),
+            (1, 1), (1, -1), (-1, 1), (-1, -1)]
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        d = nc * b["n"].to_numpy(np.int64) - s
+        tx = np.concatenate([cx] + [cx + dx for dx, _ in _OFF])
+        ty = np.concatenate([cy] + [cy + dy for _, dy in _OFF])
+        tag = np.repeat(np.arange(9, dtype=np.int64), len(b))
+        return pd.DataFrame({"cx": tx, "cy": ty, "tag": tag,
+                             "v": np.tile(d, 9)})
+
+    tagged = grid.map_batches(emit, batch_format="pandas",
+                              batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        own = b[b["tag"] == 0].set_index(["cx", "cy"])["v"]
+        inc = b[b["tag"] != 0].groupby(["cx", "cy"])["v"]
+        insum = inc.sum().reindex(own.index, fill_value=0)
+        k = inc.size().reindex(own.index, fill_value=0)
+        d = own.to_numpy(np.int64)
+        return pd.DataFrame({
+            "num_p": [int((d * insum.to_numpy(np.int64)).sum())],
+            "w_p": [int(k.to_numpy(np.int64).sum())],
+            "den_p": [int((d * d).sum())]})
+
+    parts = rel.bucketed_group_apply(tagged, ["cx", "cy"],
+                                     combine).to_pandas()
+    return pa.table({
+        "n_cells": pa.array([nc], pa.int64()),
+        "w_sum": pa.array([int(parts["w_p"].sum())], pa.int64()),
+        "num": pa.array([int(parts["num_p"].sum())], pa.int64()),
+        "den": pa.array([int(parts["den_p"].sum())], pa.int64())})
+
+
+def SQL_MORAN():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy, COUNT(*) AS n
+      FROM pts GROUP BY 1, 2),
+t AS (SELECT COUNT(*) AS nc, SUM(n) AS s FROM g),
+d AS (SELECT cx, cy,
+             CAST(t.nc AS HUGEINT) * n - CAST(t.s AS HUGEINT) AS d
+      FROM g, t),
+pr AS (SELECT a.d AS da, b.d AS db FROM d a JOIN d b
+       ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+          AND NOT (a.cx = b.cx AND a.cy = b.cy)),
+ag AS (SELECT COUNT(*) AS w_sum, SUM(da * db) AS num FROM pr),
+dd AS (SELECT SUM(d * d) AS den FROM d)
+SELECT CAST(t.nc AS BIGINT) AS n_cells,
+       CAST(ag.w_sum AS BIGINT) AS w_sum,
+       CAST(ag.num AS BIGINT) AS num,
+       CAST(dd.den AS BIGINT) AS den
+FROM t, ag, dd
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -9413,6 +9505,7 @@ REGISTRY: dict[str, tuple] = {
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "nb_lang": (q_nb_lang, SQL_NB_LANG),
     "dup_shingles": (q_dup_shingles, SQL_DUP_SHINGLES),
+    "moran_i": (q_moran, SQL_MORAN),
 }
 
 

@@ -823,3 +823,38 @@ def test_focal_majority_bruteforce(ray_session):
         best_v = min(v for v, k in cnt.items() if k == best_k)
         assert int(r["mode_val"]) == best_v
         assert int(r["mode_n"]) == best_k
+
+
+def test_moran_i_vs_bruteforce(ray_session):
+    """moran_i matches a serial numpy replay (queen adjacency over
+    the observed density cells, cleared-denominator deviations)."""
+    from pythongis_ray import queries as q
+
+    got = q.q_moran(SF_DIR).to_pandas()
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    cx, cy = pts["ix"].to_numpy() // 8192, pts["iy"].to_numpy() // 8192
+    key = cx * (1 << 32) + cy
+    uk, n = np.unique(key, return_counts=True)
+    nc, s = len(uk), int(n.sum())
+    d = {k: nc * int(c) - s for k, c in zip(uk, n)}
+    num = w = 0
+    for k, dv in d.items():
+        kx, ky = k >> 32, k & 0xFFFFFFFF
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                other = d.get(((kx + dx) << 32) + (ky + dy))
+                if other is not None:
+                    num += dv * other
+                    w += 1
+    den = sum(v * v for v in d.values())
+    row = got.iloc[0]
+    assert row["n_cells"] == nc
+    assert row["w_sum"] == w
+    assert row["num"] == num
+    assert row["den"] == den
+    # hash-geocoded points are spatially random: I should sit near the
+    # null expectation -1/(N-1), i.e. |I| << 1
+    assert den > 0 and w > 0
+    assert abs(nc * num / (w * den)) < 0.2
