@@ -763,3 +763,34 @@ def clip_polygon_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarra
         return None
     arr = np.asarray(out, np.float64)
     return np.vstack([arr, arr[:1]])
+
+
+def convex_hull_ccw(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull of integer lattice points,
+    returned as an (m, 2) int64 vertex array in CCW order with NO
+    repeated closing vertex and no collinear interior vertices
+    (strict turns only — every retained edge is maximal). Degenerate
+    inputs: 1 point -> that point; all-collinear -> the two extreme
+    points. All predicates are exact int64 cross products (lattice
+    coords < 2^20, so products < 2^41)."""
+    pts = np.unique(np.asarray(pts, np.int64), axis=0)  # sorts (x, y)
+    n = len(pts)
+    if n <= 2:
+        return pts
+
+    def chain(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2:
+                ox, oy = h[-2]
+                ax, ay = h[-1]
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                    h.pop()
+                else:
+                    break
+            h.append((int(p[0]), int(p[1])))
+        return h
+
+    lower = chain(pts)
+    upper = chain(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], np.int64)

@@ -9300,6 +9300,86 @@ FROM t, ag, dd
 """
 
 
+def q_convex_hull(sf_dir: str):
+    """Per-zone convex hull of supplier points (zones = s_suppkey%5,
+    a scale-independent synthetic partition so every test scale has
+    multi-point zones), emitted as the set
+    of DIRECTED hull edges in CCW orientation (x1,y1)->(x2,y2) —
+    a canonical, order-free encoding the driver can hash. Monotone
+    chain per zone (geom/algo.convex_hull_ccw: exact int64 cross
+    products on the lattice, strict turns so every edge is maximal;
+    2-point and all-collinear zones degenerate to the two directed
+    extreme edges). Zones are small by construction, so the hull runs
+    inside one bucketed group per nation; the oracle is the O(n^3)
+    edge characterization: (a,b) is a CCW hull edge iff every other
+    zone point is strictly left or collinear-strictly-between."""
+    from pythongis_ray.geom import algo
+
+    ds = _rd().read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey"])
+
+    def to_pts(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ix, iy = fixtures.geocode_units(k * 4 + 3)
+        return pa.table({"nk": pa.array(k % 5), "x": pa.array(ix),
+                         "y": pa.array(iy)})
+
+    pts = ds.map_batches(to_pts, batch_format="pyarrow",
+                         batch_size=65536)
+
+    def hulls(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nk, gg in g.groupby("nk", sort=False):
+            h = algo.convex_hull_ccw(
+                np.column_stack([gg["x"].to_numpy(np.int64),
+                                 gg["y"].to_numpy(np.int64)]))
+            m = len(h)
+            if m < 2:
+                continue
+            nxt = np.roll(np.arange(m), -1)
+            rows.append(pd.DataFrame({
+                "nk": np.full(m, nk, np.int64),
+                "x1": h[:, 0], "y1": h[:, 1],
+                "x2": h[nxt, 0], "y2": h[nxt, 1]}))
+        if not rows:
+            return pd.DataFrame({c: np.array([], np.int64)
+                                 for c in ("nk", "x1", "y1", "x2", "y2")})
+        return pd.concat(rows, ignore_index=True)
+
+    out = rel.bucketed_group_apply(pts, ["nk"], hulls)
+    return rel.with_empty_schema(out, pa.schema(
+        [(c, pa.int64()) for c in ("nk", "x1", "y1", "x2", "y2")]))
+
+
+def SQL_CONVEX_HULL():
+    src = "(SELECT s_suppkey*4+3 AS sup_id, s_suppkey % 5 AS nk FROM supplier)"
+    g = fixtures.sql_geocode("sup_id").replace("__SRC__", src)
+    return f"""
+WITH gp AS ({g}),
+p AS (SELECT DISTINCT CAST(nk AS BIGINT) AS nk, ix AS x, iy AS y FROM gp),
+e AS (SELECT a.nk, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      FROM p a JOIN p b
+        ON a.nk = b.nk AND NOT (a.x = b.x AND a.y = b.y))
+SELECT nk, x1, y1, x2, y2 FROM e
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.nk = e.nk
+    AND NOT (q.x = e.x1 AND q.y = e.y1)
+    AND NOT (q.x = e.x2 AND q.y = e.y2)
+    AND NOT (
+      (e.x2 - e.x1) * (q.y - e.y1) - (e.y2 - e.y1) * (q.x - e.x1) > 0
+      OR ((e.x2 - e.x1) * (q.y - e.y1)
+            - (e.y2 - e.y1) * (q.x - e.x1) = 0
+          AND (q.x - e.x1) * (e.x2 - e.x1)
+                + (q.y - e.y1) * (e.y2 - e.y1) > 0
+          AND (q.x - e.x1) * (e.x2 - e.x1)
+                + (q.y - e.y1) * (e.y2 - e.y1)
+              < (e.x2 - e.x1) * (e.x2 - e.x1)
+                + (e.y2 - e.y1) * (e.y2 - e.y1))))
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -9506,6 +9586,7 @@ REGISTRY: dict[str, tuple] = {
     "nb_lang": (q_nb_lang, SQL_NB_LANG),
     "dup_shingles": (q_dup_shingles, SQL_DUP_SHINGLES),
     "moran_i": (q_moran, SQL_MORAN),
+    "convex_hull": (q_convex_hull, SQL_CONVEX_HULL),
 }
 
 

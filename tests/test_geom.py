@@ -534,3 +534,63 @@ class TestClipPolylinePolygon:
         outside = algo.clip_polyline_polygon(line, poly, "difference")
         assert [p.tolist() for p in outside] == \
             [[[-2, 5], [0, 5]], [[4, 5], [6, 5]], [[10, 5], [12, 5]]]
+
+
+def test_convex_hull_ccw_vs_bruteforce():
+    """Monotone-chain hull matches the O(n^3) edge characterization
+    (all other points strictly left or collinear-strictly-between),
+    is CCW, and handles degenerate inputs."""
+    import numpy as np
+
+    from pythongis_ray.geom import algo
+
+    rng = np.random.default_rng(3)
+
+    def hull_edges_brute(pts):
+        pts = np.unique(pts, axis=0)
+        edges = set()
+        for a in map(tuple, pts):
+            for b in map(tuple, pts):
+                if a == b:
+                    continue
+                ok = True
+                for q in map(tuple, pts):
+                    if q in (a, b):
+                        continue
+                    cr = ((b[0] - a[0]) * (q[1] - a[1])
+                          - (b[1] - a[1]) * (q[0] - a[0]))
+                    if cr > 0:
+                        continue
+                    if cr == 0:
+                        dot = ((q[0] - a[0]) * (b[0] - a[0])
+                               + (q[1] - a[1]) * (b[1] - a[1]))
+                        l2 = ((b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2)
+                        if 0 < dot < l2:
+                            continue
+                    ok = False
+                    break
+                if ok:
+                    edges.add((a, b))
+        return edges
+
+    cases = [
+        rng.integers(0, 50, (30, 2)),          # many interior + dup risk
+        rng.integers(0, 6, (40, 2)),           # heavy duplicates/collinear
+        np.array([[0, 0]]),                    # single point
+        np.array([[2, 3], [7, 1]]),            # two points
+        np.array([[0, 0], [2, 2], [5, 5], [9, 9]]),   # all collinear
+        np.array([[0, 0], [4, 0], [8, 0], [4, 3]]),   # collinear hull edge
+    ]
+    for pts in cases:
+        h = algo.convex_hull_ccw(pts)
+        m = len(h)
+        got = set()
+        if m >= 2:
+            for i in range(m):
+                a, b = tuple(h[i]), tuple(h[(i + 1) % m])
+                got.add((a, b))
+        assert got == hull_edges_brute(pts), pts
+        if m >= 3:   # CCW: twice signed area positive
+            x, y = h[:, 0], h[:, 1]
+            a2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+            assert a2 > 0
