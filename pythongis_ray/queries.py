@@ -9380,6 +9380,67 @@ WHERE NOT EXISTS (
 """
 
 
+def q_tree_rollup(sf_dir: str):
+    """Hierarchy rollup: subtree sum/count for EVERY node of the
+    implicit binary tree over customers (node = c_custkey+1, parent =
+    node>>1), value = acctbal cents. Instead of depth-many bottom-up
+    rounds, each leaf explodes its ≤log2(N) ancestor chain map-side
+    (node>>j — the same shift-ancestor trick as the synthesized page
+    links) and ONE bucketed hash groupby sums per node; a per-batch
+    partial combine collapses the shared high ancestors before the
+    shuffle, so shuffle volume stays ~2 rows per input row."""
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_acctbal"])
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) + 1
+        cents = np.rint(batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        nodes, vals = [], []
+        j = 0
+        cur = k
+        while True:
+            m = cur >= 1
+            if not m.any():
+                break
+            nodes.append(cur[m])
+            vals.append(cents[m])
+            cur = k >> (j + 1)
+            j += 1
+        df = pd.DataFrame({"node": np.concatenate(nodes),
+                           "cents": np.concatenate(vals)})
+        part = df.groupby("node", sort=False)["cents"] \
+            .agg(["sum", "size"]).reset_index()
+        return pd.DataFrame({"node": part["node"].to_numpy(np.int64),
+                             "cents": part["sum"].to_numpy(np.int64),
+                             "n": part["size"].to_numpy(np.int64)})
+
+    tagged = ds.map_batches(explode, batch_format="pyarrow",
+                            batch_size=16384)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", sort=False).agg(
+            subtree_cents=("cents", "sum"),
+            subtree_n=("n", "sum")).reset_index()
+        return out.astype(np.int64)
+
+    return rel.bucketed_group_apply(tagged, ["node"], combine)
+
+
+SQL_TREE_ROLLUP = """
+WITH c AS (SELECT c_custkey + 1 AS k,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+anc AS (SELECT k >> CAST(j.range AS INTEGER) AS node, cents
+        FROM c CROSS JOIN range(0, 40) j
+        WHERE (k >> CAST(j.range AS INTEGER)) >= 1)
+SELECT node, CAST(SUM(cents) AS BIGINT) AS subtree_cents,
+       CAST(COUNT(*) AS BIGINT) AS subtree_n
+FROM anc GROUP BY node
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -9587,6 +9648,7 @@ REGISTRY: dict[str, tuple] = {
     "dup_shingles": (q_dup_shingles, SQL_DUP_SHINGLES),
     "moran_i": (q_moran, SQL_MORAN),
     "convex_hull": (q_convex_hull, SQL_CONVEX_HULL),
+    "tree_rollup": (q_tree_rollup, SQL_TREE_ROLLUP),
 }
 
 

@@ -858,3 +858,32 @@ def test_moran_i_vs_bruteforce(ray_session):
     # null expectation -1/(N-1), i.e. |I| << 1
     assert den > 0 and w > 0
     assert abs(nc * num / (w * den)) < 0.2
+
+
+def test_tree_rollup_vs_bruteforce(ray_session):
+    """tree_rollup matches a serial recursion over the implicit
+    binary tree (node = custkey+1, parent = node>>1): every node's
+    subtree sum/count includes itself and all descendants."""
+    from pythongis_ray import queries as q
+
+    got = q.q_tree_rollup(SF_DIR).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+    cents = {int(k) + 1: int(np.rint(v * 100.0))
+             for k, v in zip(cust["c_custkey"], cust["c_acctbal"])}
+    sums, cnts = {}, {}
+    for k, c in cents.items():
+        node = k
+        while node >= 1:
+            sums[node] = sums.get(node, 0) + c
+            cnts[node] = cnts.get(node, 0) + 1
+            node >>= 1
+    assert len(got) == len(sums)
+    for _, row in got.iterrows():
+        n = int(row["node"])
+        assert row["subtree_cents"] == sums[n]
+        assert row["subtree_n"] == cnts[n]
+    # root holds the global total
+    tot = got.loc[got["node"] == 1]
+    assert int(tot["subtree_n"].iloc[0]) == len(cust)
