@@ -9441,6 +9441,172 @@ FROM anc GROUP BY node
 """
 
 
+def q_autocorr(sf_dir: str):
+    """Lag-1 serial autocorrelation of the value series per
+    event_type, time-ordered by (ts, event_id), as EXACT integer
+    moments with the mean divisions cleared: over the m = n-1
+    consecutive pairs (h=head, t=tail), num = m*Σht − Σh·Σt and
+    den_h/den_t the matching centered second moments, so
+    r = num/sqrt(den_h*den_t). Per-key series are grouped and sorted
+    inside one bucketed shuffle (the sessionize partitioning
+    assumption: one key's series fits a worker)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "event_id",
+                                     "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gg in g.groupby("event_type", sort=False):
+            gg = gg.sort_values(["ts", "event_id"], kind="stable")
+            x = np.rint(gg["value"].to_numpy() * 100.0).astype(np.int64)
+            n = len(x)
+            if n < 2:
+                continue
+            h, t = x[:-1], x[1:]
+            m = n - 1
+            sh, st = int(h.sum()), int(t.sum())
+            rows.append({
+                "event_type": et, "n": n,
+                "num": m * int((h * t).sum()) - sh * st,
+                "den_h": m * int((h * h).sum()) - sh * sh,
+                "den_t": m * int((t * t).sum()) - st * st})
+        cols = ("event_type", "n", "num", "den_h", "den_t")
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype=object if c ==
+                                              "event_type" else np.int64)
+                                 for c in cols})
+        return pd.DataFrame(rows, columns=list(cols))
+
+    return rel.bucketed_group_apply(ds, ["event_type"], per_type)
+
+
+SQL_AUTOCORR = """
+WITH x AS (SELECT event_type, ts, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+lagd AS (SELECT event_type,
+                LAG(c) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS h,
+                c AS t
+         FROM x),
+pr AS (SELECT * FROM lagd WHERE h IS NOT NULL),
+ag AS (SELECT event_type, COUNT(*) AS m,
+              SUM(h) AS sh, SUM(t) AS st,
+              SUM(h * t) AS sht, SUM(h * h) AS shh, SUM(t * t) AS stt
+       FROM pr GROUP BY event_type)
+SELECT event_type, CAST(m + 1 AS BIGINT) AS n,
+       CAST(m * sht - sh * st AS BIGINT) AS num,
+       CAST(m * shh - sh * sh AS BIGINT) AS den_h,
+       CAST(m * stt - st * st AS BIGINT) AS den_t
+FROM ag
+"""
+
+
+def q_label_centroids(sf_dir: str):
+    """Exact per-label centroid accumulators of the quantized
+    embedding matrix in long format (label, dim, vsum, n): the
+    training-side of a nearest-centroid classifier, kept as integer
+    sums (centroid = vsum/n deferred). Per-batch partials fold 10×64
+    rows, then one tiny groupby — shuffle volume is
+    O(labels × dim × batches), never O(rows)."""
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = embed.quantize(embed._as_matrix(batch["embedding"]), 1000)
+        codes, uniq = pd.factorize(lab)
+        acc = np.zeros((len(uniq), mat.shape[1]), np.int64)
+        np.add.at(acc, codes, mat)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        L, D = len(uniq), mat.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(np.asarray(uniq, np.int64), D),
+            "dim": np.tile(np.arange(D, dtype=np.int64), L),
+            "vsum": acc.reshape(-1),
+            "n": np.repeat(cnt, D)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=4096)
+    return rel.groupby_aggregate(parts, ["label", "dim"],
+                                 [("vsum", "vsum", "sum"),
+                                  ("n", "n", "sum")])
+
+
+SQL_LABEL_CENTROIDS = """
+WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+                  UNNEST(embedding) AS x,
+                  generate_subscripts(embedding, 1) - 1 AS dim
+           FROM embeddings)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+            AS BIGINT) AS vsum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY label, dim
+"""
+
+
+LATE_W_US = 300_000_000
+
+
+def q_late_events(sf_dir: str):
+    """Streaming watermark / allowed-lateness accounting: events
+    arrive in a deterministic hash-shuffled order (arrival key =
+    (event_id mod p)*1103515245 mod p, p=2^31-1, a bijection simulating out-of-order
+    delivery), the watermark per event_type is the running max event
+    time over arrival order, and an event is LATE when it trails the
+    watermark by more than 300s. Reports (event_type, n, n_late,
+    max_late_us). Per-key arrival replay inside one bucketed
+    shuffle."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "event_id"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gg in g.groupby("event_type", sort=False):
+            eid = gg["event_id"].to_numpy(np.int64)
+            ts = gg["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            order = np.argsort((eid % 2147483647) * 1103515245 % 2147483647,
+                               kind="stable")
+            ts = ts[order]
+            wm = np.maximum.accumulate(ts)
+            # first arrival has no watermark (SQL wm IS NULL): seed
+            # with its own ts so delay=0 and it can never be late
+            prev_wm = np.concatenate(([ts[0]], wm[:-1]))
+            delay = prev_wm - ts
+            late = delay > LATE_W_US
+            rows.append({
+                "event_type": et, "n": len(ts),
+                "n_late": int(late.sum()),
+                "max_late_us": int(delay[late].max()) if late.any()
+                else 0})
+        cols = ("event_type", "n", "n_late", "max_late_us")
+        return pd.DataFrame(rows, columns=list(cols))
+
+    return rel.bucketed_group_apply(ds, ["event_type"], per_type)
+
+
+SQL_LATE_EVENTS = """
+WITH a AS (SELECT event_type, epoch_us(ts) AS tus,
+                  ((event_id % 2147483647) * 1103515245) % 2147483647 AS ak
+           FROM events),
+w AS (SELECT event_type, tus,
+             MAX(tus) OVER (PARTITION BY event_type ORDER BY ak
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS wm
+      FROM a),
+f AS (SELECT event_type, tus, wm,
+             (wm IS NOT NULL AND wm - tus > 300000000) AS late
+      FROM w)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (late) AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN late THEN wm - tus END), 0)
+            AS BIGINT) AS max_late_us
+FROM f GROUP BY event_type
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -9649,6 +9815,9 @@ REGISTRY: dict[str, tuple] = {
     "moran_i": (q_moran, SQL_MORAN),
     "convex_hull": (q_convex_hull, SQL_CONVEX_HULL),
     "tree_rollup": (q_tree_rollup, SQL_TREE_ROLLUP),
+    "autocorr": (q_autocorr, SQL_AUTOCORR),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "late_events": (q_late_events, SQL_LATE_EVENTS),
 }
 
 

@@ -887,3 +887,66 @@ def test_tree_rollup_vs_bruteforce(ray_session):
     # root holds the global total
     tot = got.loc[got["node"] == 1]
     assert int(tot["subtree_n"].iloc[0]) == len(cust)
+
+
+def test_autocorr_vs_bruteforce(ray_session):
+    """autocorr matches serial numpy moments over the (ts, event_id)
+    ordered series, and num/den reproduce np.corrcoef."""
+    got = q.q_autocorr(SF_DIR).to_pandas() \
+        .set_index("event_type")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "ts", "event_id",
+                                  "value"])
+    for et, gg in ev.groupby("event_type"):
+        gg = gg.sort_values(["ts", "event_id"])
+        x = np.rint(gg["value"].to_numpy() * 100.0).astype(np.int64)
+        h, t = x[:-1], x[1:]
+        m = len(h)
+        num = m * int((h * t).sum()) - int(h.sum()) * int(t.sum())
+        den_h = m * int((h * h).sum()) - int(h.sum()) ** 2
+        den_t = m * int((t * t).sum()) - int(t.sum()) ** 2
+        row = got.loc[et]
+        assert (int(row["n"]), int(row["num"]),
+                int(row["den_h"]), int(row["den_t"])) == \
+            (len(x), num, den_h, den_t)
+        import math
+        r = num / math.sqrt(float(den_h) * float(den_t))
+        assert abs(r - np.corrcoef(h, t)[0, 1]) < 1e-9
+
+
+def test_label_centroids_vs_bruteforce(ray_session):
+    got = q.q_label_centroids(SF_DIR).to_pandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["label", "embedding"])
+    mat = np.rint(np.vstack(emb["embedding"].to_numpy())
+                  .astype(np.float64) * 1000).astype(np.int64)
+    lab = emb["label"].to_numpy(np.int64)
+    for (L, d), g in got.groupby(["label", "dim"]):
+        m = lab == L
+        assert int(g["vsum"].iloc[0]) == int(mat[m, d].sum())
+        assert int(g["n"].iloc[0]) == int(m.sum())
+    assert len(got) == len(np.unique(lab)) * mat.shape[1]
+
+
+def test_late_events_vs_bruteforce(ray_session):
+    got = q.q_late_events(SF_DIR).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "ts", "event_id"])
+    for et, gg in ev.groupby("event_type"):
+        ak = (gg["event_id"].to_numpy(np.int64) % 2147483647) \
+            * 1103515245 % 2147483647
+        ts = gg["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        ts = ts[np.argsort(ak)]
+        wm = None
+        n_late = 0
+        max_late = 0
+        for v in ts:
+            if wm is not None and wm - v > q.LATE_W_US:
+                n_late += 1
+                max_late = max(max_late, int(wm - v))
+            wm = v if wm is None else max(wm, v)
+        row = got.loc[et]
+        assert (int(row["n"]), int(row["n_late"]),
+                int(row["max_late_us"])) == (len(ts), n_late, max_late)
+    # the shuffled arrival makes lateness non-vacuous
+    assert int(got["n_late"].sum()) > 0
