@@ -794,3 +794,75 @@ def convex_hull_ccw(pts: np.ndarray) -> np.ndarray:
     lower = chain(pts)
     upper = chain(pts[::-1])
     return np.asarray(lower[:-1] + upper[:-1], np.int64)
+
+
+def min_enclosing_circle(pts: np.ndarray):
+    """Exact minimum enclosing circle of integer lattice points.
+
+    Returns ``(cxn, cyn, cd, r2_floor)``: the center as a reduced
+    fraction (cxn/cd, cyn/cd) with cd > 0, and floor(r^2) — every
+    intermediate is an exact Python int, no float ever enters.
+
+    Method: candidates are restricted to convex-hull vertices (the
+    MEC's support points are hull vertices). A diameter (pair) circle
+    is the MEC iff it encloses all vertices; a circumcircle (triple)
+    is the MEC iff it encloses all vertices AND its center lies in
+    the closed triangle (the classical optimality condition: center
+    in conv(touching points)). All valid candidates describe the same
+    unique circle; the lexicographically-first (pairs before triples,
+    then by support coordinates) is evaluated — mirrored verbatim by
+    the SQL oracle."""
+    from math import gcd
+
+    P = np.unique(np.asarray(pts, np.int64), axis=0)
+    if len(P) == 1:
+        return int(P[0, 0]), int(P[0, 1]), 1, 0
+    H = convex_hull_ccw(P)
+    hv = sorted((int(x), int(y)) for x, y in H)
+
+    def reduce_out(cxn, cyn, cd, r2n, r2d):
+        g = gcd(gcd(cxn, cyn), cd)
+        return cxn // g, cyn // g, cd // g, r2n // r2d
+
+    def feasible(cxn, cyn, cd, r2n):
+        return all((qx * cd - cxn) ** 2 + (qy * cd - cyn) ** 2 <= r2n
+                   for qx, qy in hv)
+
+    for i in range(len(hv)):          # pairs, lex order
+        ax, ay = hv[i]
+        for j in range(i + 1, len(hv)):
+            bx, by = hv[j]
+            cxn, cyn, cd = ax + bx, ay + by, 2
+            r2n = (ax - bx) ** 2 + (ay - by) ** 2
+            if feasible(cxn, cyn, cd, r2n):
+                return reduce_out(cxn, cyn, cd, r2n, 4)
+
+    for i in range(len(hv)):          # triples, lex order
+        ax, ay = hv[i]
+        for j in range(i + 1, len(hv)):
+            bx, by = hv[j]
+            for k in range(j + 1, len(hv)):
+                cx, cy = hv[k]
+                d0 = 2 * ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+                if d0 == 0:
+                    continue
+                b2 = (bx - ax) ** 2 + (by - ay) ** 2
+                c2 = (cx - ax) ** 2 + (cy - ay) ** 2
+                uxn = (cy - ay) * b2 - (by - ay) * c2
+                uyn = (bx - ax) * c2 - (cx - ax) * b2
+                if d0 < 0:
+                    d0, uxn, uyn = -d0, -uxn, -uyn
+                cxn, cyn, cd = ax * d0 + uxn, ay * d0 + uyn, d0
+                r2n = uxn ** 2 + uyn ** 2
+                if not feasible(cxn, cyn, cd, r2n):
+                    continue
+                s1 = (bx - ax) * (cyn - ay * cd) \
+                    - (by - ay) * (cxn - ax * cd)
+                s2 = (cx - bx) * (cyn - by * cd) \
+                    - (cy - by) * (cxn - bx * cd)
+                s3 = (ax - cx) * (cyn - cy * cd) \
+                    - (ay - cy) * (cxn - cx * cd)
+                if (s1 >= 0 and s2 >= 0 and s3 >= 0) or \
+                        (s1 <= 0 and s2 <= 0 and s3 <= 0):
+                    return reduce_out(cxn, cyn, cd, r2n, d0 * d0)
+    raise AssertionError("no MEC candidate found (impossible)")

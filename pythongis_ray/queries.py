@@ -9607,6 +9607,140 @@ FROM f GROUP BY event_type
 """
 
 
+def q_mec(sf_dir: str):
+    """Per-zone minimum enclosing circle of supplier points (zones =
+    suppkey%5 as in convex_hull), reported exactly: center as the
+    reduced fraction (cxn/cd, cyn/cd) and floor(r^2) — see
+    geom/algo.min_enclosing_circle. Candidates live on hull vertices;
+    a pair (diameter) candidate is the MEC iff feasible, a triple
+    circumcircle iff feasible with its center in the closed triangle
+    (optimality: center in conv(touching points)); all valid
+    candidates are the same unique circle and both sides pick the
+    lexicographically first."""
+    from pythongis_ray.geom import algo
+
+    ds = _rd().read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey"])
+
+    def to_pts(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ix, iy = fixtures.geocode_units(k * 4 + 3)
+        return pa.table({"nk": pa.array(k % 5), "x": pa.array(ix),
+                         "y": pa.array(iy)})
+
+    pts = ds.map_batches(to_pts, batch_format="pyarrow",
+                         batch_size=65536)
+
+    def mecs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nk, gg in g.groupby("nk", sort=False):
+            cxn, cyn, cd, r2f = algo.min_enclosing_circle(
+                np.column_stack([gg["x"].to_numpy(np.int64),
+                                 gg["y"].to_numpy(np.int64)]))
+            rows.append({"nk": int(nk), "cxn": cxn, "cyn": cyn,
+                         "cd": cd, "r2_floor": r2f})
+        cols = ("nk", "cxn", "cyn", "cd", "r2_floor")
+        return pd.DataFrame(rows, columns=list(cols)).astype(np.int64)
+
+    return rel.bucketed_group_apply(pts, ["nk"], mecs)
+
+
+def SQL_MEC():
+    src = "(SELECT s_suppkey*4+3 AS sup_id, s_suppkey % 5 AS nk FROM supplier)"
+    g = fixtures.sql_geocode("sup_id").replace("__SRC__", src)
+    return f"""
+WITH gp AS ({g}),
+p AS (SELECT DISTINCT CAST(nk AS BIGINT) AS nk, ix AS x, iy AS y FROM gp),
+he AS (
+  SELECT a.nk, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM p a JOIN p b ON a.nk = b.nk AND NOT (a.x = b.x AND a.y = b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p q
+    WHERE q.nk = a.nk
+      AND NOT (q.x = a.x AND q.y = a.y)
+      AND NOT (q.x = b.x AND q.y = b.y)
+      AND NOT (
+        (b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x) > 0
+        OR ((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x) = 0
+            AND (q.x - a.x) * (b.x - a.x)
+                  + (q.y - a.y) * (b.y - a.y) > 0
+            AND (q.x - a.x) * (b.x - a.x)
+                  + (q.y - a.y) * (b.y - a.y)
+                < (b.x - a.x) * (b.x - a.x)
+                  + (b.y - a.y) * (b.y - a.y))))),
+hv AS (SELECT DISTINCT nk, x1 AS x, y1 AS y FROM he),
+pr AS (SELECT a.nk, 0 AS kind,
+              a.x AS ax, a.y AS ay, b.x AS bx, b.y AS byy,
+              CAST(0 AS BIGINT) AS cpx, CAST(0 AS BIGINT) AS cpy,
+              CAST(a.x + b.x AS HUGEINT) AS cxn,
+              CAST(a.y + b.y AS HUGEINT) AS cyn,
+              CAST(2 AS HUGEINT) AS cd,
+              CAST((a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) AS HUGEINT) AS r2n,
+              CAST(4 AS HUGEINT) AS r2d
+       FROM hv a JOIN hv b ON a.nk = b.nk
+            AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
+tr0 AS (SELECT a.nk, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS byy,
+               c.x AS cpx, c.y AS cpy,
+               CAST(2 * ((b.x - a.x) * (c.y - a.y)
+                         - (b.y - a.y) * (c.x - a.x)) AS HUGEINT) AS d0,
+               CAST((b.x - a.x) * (b.x - a.x)
+                    + (b.y - a.y) * (b.y - a.y) AS HUGEINT) AS b2,
+               CAST((c.x - a.x) * (c.x - a.x)
+                    + (c.y - a.y) * (c.y - a.y) AS HUGEINT) AS c2
+        FROM hv a
+        JOIN hv b ON a.nk = b.nk
+             AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+        JOIN hv c ON b.nk = c.nk
+             AND (b.x < c.x OR (b.x = c.x AND b.y < c.y))),
+tr1 AS (SELECT nk, ax, ay, bx, byy, cpx, cpy,
+               abs(d0) AS dd,
+               CASE WHEN d0 < 0 THEN -1 ELSE 1 END
+                 * ((cpy - ay) * b2 - (byy - ay) * c2) AS uxn,
+               CASE WHEN d0 < 0 THEN -1 ELSE 1 END
+                 * ((bx - ax) * c2 - (cpx - ax) * b2) AS uyn
+        FROM tr0 WHERE d0 <> 0),
+tr2 AS (SELECT nk, 1 AS kind, ax, ay, bx, byy, cpx, cpy,
+               ax * dd + uxn AS cxn, ay * dd + uyn AS cyn, dd AS cd,
+               uxn * uxn + uyn * uyn AS r2n, dd * dd AS r2d
+        FROM tr1),
+tr3 AS (SELECT * FROM tr2
+        WHERE ((bx - ax) * (cyn - ay * cd)
+                 - (byy - ay) * (cxn - ax * cd) >= 0
+               AND (cpx - bx) * (cyn - byy * cd)
+                 - (cpy - byy) * (cxn - bx * cd) >= 0
+               AND (ax - cpx) * (cyn - cpy * cd)
+                 - (ay - cpy) * (cxn - cpx * cd) >= 0)
+           OR ((bx - ax) * (cyn - ay * cd)
+                 - (byy - ay) * (cxn - ax * cd) <= 0
+               AND (cpx - bx) * (cyn - byy * cd)
+                 - (cpy - byy) * (cxn - bx * cd) <= 0
+               AND (ax - cpx) * (cyn - cpy * cd)
+                 - (ay - cpy) * (cxn - cpx * cd) <= 0)),
+cand AS (SELECT * FROM pr UNION ALL SELECT * FROM tr3),
+feas AS (SELECT * FROM cand WHERE NOT EXISTS (
+           SELECT 1 FROM hv q WHERE q.nk = cand.nk
+             AND (q.x * cand.cd - cand.cxn) * (q.x * cand.cd - cand.cxn)
+               + (q.y * cand.cd - cand.cyn) * (q.y * cand.cd - cand.cyn)
+               > cand.r2n)),
+pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY nk
+           ORDER BY kind, ax, ay, bx, byy, cpx, cpy) AS rn FROM feas)
+SELECT nk,
+       CAST(cxn AS BIGINT)
+         // gcd(gcd(CAST(cxn AS BIGINT), CAST(cyn AS BIGINT)),
+               CAST(cd AS BIGINT)) AS cxn,
+       CAST(cyn AS BIGINT)
+         // gcd(gcd(CAST(cxn AS BIGINT), CAST(cyn AS BIGINT)),
+               CAST(cd AS BIGINT)) AS cyn,
+       CAST(cd AS BIGINT)
+         // gcd(gcd(CAST(cxn AS BIGINT), CAST(cyn AS BIGINT)),
+               CAST(cd AS BIGINT)) AS cd,
+       CAST(r2n // r2d AS BIGINT) AS r2_floor
+FROM pick WHERE rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -9818,6 +9952,7 @@ REGISTRY: dict[str, tuple] = {
     "autocorr": (q_autocorr, SQL_AUTOCORR),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "late_events": (q_late_events, SQL_LATE_EVENTS),
+    "min_circle": (q_mec, SQL_MEC),
 }
 
 

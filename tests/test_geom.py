@@ -594,3 +594,52 @@ def test_convex_hull_ccw_vs_bruteforce():
             x, y = h[:, 0], h[:, 1]
             a2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
             assert a2 > 0
+
+
+def test_min_enclosing_circle_vs_bruteforce():
+    """MEC kernel matches an O(n^4) Fraction-exact reference (all
+    pair/triple circles, min feasible) on random lattice inputs plus
+    degenerate cases."""
+    import itertools
+    from fractions import Fraction
+
+    import numpy as np
+
+    from pythongis_ray.geom import algo
+
+    def brute(pts):
+        pts = [tuple(map(int, p))
+               for p in np.unique(np.asarray(pts), axis=0)]
+        cands = []
+        for a, b in itertools.combinations(pts, 2):
+            cands.append((Fraction(a[0] + b[0], 2),
+                          Fraction(a[1] + b[1], 2),
+                          Fraction((a[0] - b[0]) ** 2
+                                   + (a[1] - b[1]) ** 2, 4)))
+        for a, b, c in itertools.combinations(pts, 3):
+            d0 = 2 * ((b[0] - a[0]) * (c[1] - a[1])
+                      - (b[1] - a[1]) * (c[0] - a[0]))
+            if d0 == 0:
+                continue
+            b2 = (b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2
+            c2 = (c[0] - a[0]) ** 2 + (c[1] - a[1]) ** 2
+            ux = Fraction((c[1] - a[1]) * b2 - (b[1] - a[1]) * c2, d0)
+            uy = Fraction((b[0] - a[0]) * c2 - (c[0] - a[0]) * b2, d0)
+            cands.append((a[0] + ux, a[1] + uy, ux * ux + uy * uy))
+        best = None
+        for cx, cy, r2 in cands:
+            if all((x - cx) ** 2 + (y - cy) ** 2 <= r2 for x, y in pts):
+                if best is None or r2 < best[2]:
+                    best = (cx, cy, r2)
+        return best
+
+    rng = np.random.default_rng(5)
+    for _ in range(30):
+        pts = rng.integers(0, 60, (int(rng.integers(2, 12)), 2))
+        cxn, cyn, cd, r2f = algo.min_enclosing_circle(pts)
+        bx, by, br2 = brute(pts)
+        assert Fraction(cxn, cd) == bx and Fraction(cyn, cd) == by, pts
+        assert r2f == br2.numerator // br2.denominator, pts
+    assert algo.min_enclosing_circle(np.array([[3, 4]])) == (3, 4, 1, 0)
+    assert algo.min_enclosing_circle(
+        np.array([[0, 0], [2, 2], [6, 6]])) == (3, 3, 1, 18)
