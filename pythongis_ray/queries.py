@@ -9741,6 +9741,206 @@ FROM pick WHERE rn = 1
 """
 
 
+# marching-squares segment table: config (4 bits, b0=BL b1=BR b2=TR
+# b3=TL, bit set = corner above level) -> crossed-edge pairs, edges
+# 0=bottom 1=right 2=top 3=left, e1<e2; saddles 5/10 resolved
+# deterministically as two separating segments.
+MS_SEGS = {1: [(0, 3)], 2: [(0, 1)], 3: [(1, 3)], 4: [(1, 2)],
+           5: [(0, 3), (1, 2)], 6: [(0, 2)], 7: [(2, 3)],
+           8: [(2, 3)], 9: [(0, 2)], 10: [(0, 1), (2, 3)],
+           11: [(1, 2)], 12: [(1, 3)], 13: [(0, 1)], 14: [(0, 3)]}
+
+
+def q_contours(sf_dir: str):
+    """Marching-squares contour of the point-density grid at level
+    L = 2*mean = 2S/N (S = total points, N = observed cells; "above"
+    is the strict integer test z*N > 2S, missing cells are 0).
+    Crossing points are EXACT rationals t = (2S - z_lo*N)/((z_hi -
+    z_lo)*N), emitted as reduced fractions in global grid
+    coordinates: one row per segment (qx, qy, e1, e2, x1n, x1d, y1n,
+    y1d, x2n, x2d, y2n, y2d). Same sparse stencil as tri_grid: each
+    observed cell posts itself to its 4 incident squares, one
+    bucketed combine assembles corners and runs the vectorized
+    16-config table."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    cells = pts.map_batches(cellify, batch_format="pyarrow",
+                            batch_size=65536)
+    grid = rel.groupby_aggregate(cells, ["cx", "cy"],
+                                 [("n", "cx", "count")]).materialize()
+    tp = grid.map_batches(
+        lambda b: pa.table({"nc": pa.array([b.num_rows], pa.int64()),
+                            "s": pa.array([int(pc.sum(b["n"]).as_py())],
+                                          pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    nc, s = int(tp["nc"].sum()), int(tp["s"].sum())
+
+    _CORNERS = [(0, 0), (1, 0), (1, 1), (0, 1)]
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        v = b["n"].to_numpy(np.int64)
+        qx = np.concatenate([cx - ox for ox, _ in _CORNERS])
+        qy = np.concatenate([cy - oy for _, oy in _CORNERS])
+        tag = np.repeat(np.arange(4, dtype=np.int64), len(b))
+        return pd.DataFrame({"qx": qx, "qy": qy, "tag": tag,
+                             "v": np.tile(v, 4)})
+
+    tagged = grid.map_batches(emit, batch_format="pandas",
+                              batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.pivot_table(index=["qx", "qy"], columns="tag",
+                          values="v", aggfunc="sum") \
+            .reindex(columns=range(4)).fillna(0)
+        idx = p.index.to_frame(index=False)
+        qx = idx["qx"].to_numpy(np.int64)
+        qy = idx["qy"].to_numpy(np.int64)
+        z = [p[t].to_numpy(np.int64) for t in range(4)]
+        above = [zi * nc > 2 * s for zi in z]
+        cfg = (above[0] * 1 + above[1] * 2 + above[2] * 4
+               + above[3] * 8)
+
+        # per-edge crossing fraction num/den (sign-canonical, den>0)
+        def frac(z_lo, z_hi):
+            num = 2 * s - z_lo * nc
+            den = (z_hi - z_lo) * nc
+            neg = den < 0
+            num = np.where(neg, -num, num)
+            den = np.where(neg, -den, den)
+            return num, den
+
+        ef = [frac(z[0], z[1]), frac(z[1], z[2]),
+              frac(z[3], z[2]), frac(z[0], z[3])]
+
+        def edge_pt(e):
+            num, den = ef[e]
+            den = np.where(den == 0, 1, den)  # only read on crossings
+            if e == 0:
+                xn, xd = qx * den + num, den
+                yn, yd = qy, np.ones_like(qy)
+            elif e == 1:
+                xn, xd = qx + 1, np.ones_like(qx)
+                yn, yd = qy * den + num, den
+            elif e == 2:
+                xn, xd = qx * den + num, den
+                yn, yd = qy + 1, np.ones_like(qy)
+            else:
+                xn, xd = qx, np.ones_like(qx)
+                yn, yd = qy * den + num, den
+            gx = np.gcd(np.abs(xn), xd)
+            gy = np.gcd(np.abs(yn), yd)
+            return xn // gx, xd // gx, yn // gy, yd // gy
+
+        ep = [edge_pt(e) for e in range(4)]
+        cols = ("qx", "qy", "e1", "e2", "x1n", "x1d", "y1n", "y1d",
+                "x2n", "x2d", "y2n", "y2d")
+        rows = []
+        for c, segs in MS_SEGS.items():
+            m = cfg == c
+            if not m.any():
+                continue
+            for e1, e2 in segs:
+                a, bb = ep[e1], ep[e2]
+                rows.append(pd.DataFrame({
+                    "qx": qx[m], "qy": qy[m],
+                    "e1": np.full(m.sum(), e1, np.int64),
+                    "e2": np.full(m.sum(), e2, np.int64),
+                    "x1n": a[0][m], "x1d": a[1][m],
+                    "y1n": a[2][m], "y1d": a[3][m],
+                    "x2n": bb[0][m], "x2d": bb[1][m],
+                    "y2n": bb[2][m], "y2d": bb[3][m]}))
+        if not rows:
+            return pd.DataFrame({c_: np.array([], np.int64)
+                                 for c_ in cols})
+        return pd.concat(rows, ignore_index=True)[list(cols)]
+
+    out = rel.bucketed_group_apply(tagged, ["qx", "qy"], combine)
+    return rel.with_empty_schema(out, pa.schema(
+        [(c, pa.int64()) for c in
+         ("qx", "qy", "e1", "e2", "x1n", "x1d", "y1n", "y1d",
+          "x2n", "x2d", "y2n", "y2d")]))
+
+
+def SQL_CONTOURS():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy, COUNT(*) AS n
+      FROM pts GROUP BY 1, 2),
+t AS (SELECT COUNT(*) AS nc, SUM(n) AS s FROM g),
+sqs AS (SELECT DISTINCT g.cx - o.ox AS qx, g.cy - o.oy AS qy
+        FROM g CROSS JOIN (VALUES (0, 0), (1, 0), (1, 1), (0, 1))
+                          o(ox, oy)),
+sq AS (SELECT sqs.qx, sqs.qy,
+              COALESCE(g00.n, 0) AS z0, COALESCE(g10.n, 0) AS z1,
+              COALESCE(g11.n, 0) AS z2, COALESCE(g01.n, 0) AS z3,
+              t.nc, t.s
+       FROM sqs
+       LEFT JOIN g g00 ON g00.cx = sqs.qx AND g00.cy = sqs.qy
+       LEFT JOIN g g10 ON g10.cx = sqs.qx + 1 AND g10.cy = sqs.qy
+       LEFT JOIN g g11 ON g11.cx = sqs.qx + 1 AND g11.cy = sqs.qy + 1
+       LEFT JOIN g g01 ON g01.cx = sqs.qx AND g01.cy = sqs.qy + 1
+       CROSS JOIN t),
+cf AS (SELECT *,
+         CASE WHEN z0 * nc > 2 * s THEN 1 ELSE 0 END
+         + CASE WHEN z1 * nc > 2 * s THEN 2 ELSE 0 END
+         + CASE WHEN z2 * nc > 2 * s THEN 4 ELSE 0 END
+         + CASE WHEN z3 * nc > 2 * s THEN 8 ELSE 0 END AS cfg
+       FROM sq),
+ed AS (SELECT *,
+         CAST(CASE WHEN (z1 - z0) < 0 THEN -(2 * s - z0 * nc)
+              ELSE 2 * s - z0 * nc END AS BIGINT) AS n0,
+         CAST(abs((z1 - z0) * nc) AS BIGINT) AS d0,
+         CAST(CASE WHEN (z2 - z1) < 0 THEN -(2 * s - z1 * nc)
+              ELSE 2 * s - z1 * nc END AS BIGINT) AS n1,
+         CAST(abs((z2 - z1) * nc) AS BIGINT) AS d1,
+         CAST(CASE WHEN (z2 - z3) < 0 THEN -(2 * s - z3 * nc)
+              ELSE 2 * s - z3 * nc END AS BIGINT) AS n2,
+         CAST(abs((z2 - z3) * nc) AS BIGINT) AS d2,
+         CAST(CASE WHEN (z3 - z0) < 0 THEN -(2 * s - z0 * nc)
+              ELSE 2 * s - z0 * nc END AS BIGINT) AS n3,
+         CAST(abs((z3 - z0) * nc) AS BIGINT) AS d3
+       FROM cf),
+segt(cfg, e1, e2) AS (VALUES
+  (1,0,3),(2,0,1),(3,1,3),(4,1,2),(5,0,3),(5,1,2),(6,0,2),(7,2,3),
+  (8,2,3),(9,0,2),(10,0,1),(10,2,3),(11,1,2),(12,1,3),(13,0,1),
+  (14,0,3)),
+segs AS (SELECT ed.*, segt.e1, segt.e2
+         FROM ed JOIN segt ON segt.cfg = ed.cfg),
+pts2 AS (SELECT qx, qy, e1, e2,
+  CASE e1 WHEN 0 THEN qx * d0 + n0 WHEN 1 THEN qx + 1
+          WHEN 2 THEN qx * d2 + n2 ELSE qx END AS x1n0,
+  CASE e1 WHEN 0 THEN d0 WHEN 2 THEN d2 ELSE 1 END AS x1d0,
+  CASE e1 WHEN 0 THEN qy WHEN 1 THEN qy * d1 + n1
+          WHEN 2 THEN qy + 1 ELSE qy * d3 + n3 END AS y1n0,
+  CASE e1 WHEN 1 THEN d1 WHEN 3 THEN d3 ELSE 1 END AS y1d0,
+  CASE e2 WHEN 0 THEN qx * d0 + n0 WHEN 1 THEN qx + 1
+          WHEN 2 THEN qx * d2 + n2 ELSE qx END AS x2n0,
+  CASE e2 WHEN 0 THEN d0 WHEN 2 THEN d2 ELSE 1 END AS x2d0,
+  CASE e2 WHEN 0 THEN qy WHEN 1 THEN qy * d1 + n1
+          WHEN 2 THEN qy + 1 ELSE qy * d3 + n3 END AS y2n0,
+  CASE e2 WHEN 1 THEN d1 WHEN 3 THEN d3 ELSE 1 END AS y2d0
+  FROM segs)
+SELECT qx, qy, CAST(e1 AS BIGINT) AS e1, CAST(e2 AS BIGINT) AS e2,
+       x1n0 // gcd(abs(x1n0), x1d0) AS x1n,
+       x1d0 // gcd(abs(x1n0), x1d0) AS x1d,
+       y1n0 // gcd(abs(y1n0), y1d0) AS y1n,
+       y1d0 // gcd(abs(y1n0), y1d0) AS y1d,
+       x2n0 // gcd(abs(x2n0), x2d0) AS x2n,
+       x2d0 // gcd(abs(x2n0), x2d0) AS x2d,
+       y2n0 // gcd(abs(y2n0), y2d0) AS y2n,
+       y2d0 // gcd(abs(y2n0), y2d0) AS y2d
+FROM pts2
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -9953,6 +10153,7 @@ REGISTRY: dict[str, tuple] = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "late_events": (q_late_events, SQL_LATE_EVENTS),
     "min_circle": (q_mec, SQL_MEC),
+    "contours": (q_contours, SQL_CONTOURS),
 }
 
 

@@ -950,3 +950,59 @@ def test_late_events_vs_bruteforce(ray_session):
                 int(row["max_late_us"])) == (len(ts), n_late, max_late)
     # the shuffled arrival makes lateness non-vacuous
     assert int(got["n_late"].sum()) > 0
+
+
+def test_contours_vs_bruteforce(ray_session):
+    """contours matches a serial dict-based marching-squares replay
+    (Fraction-exact crossing points, same saddle resolution)."""
+    from fractions import Fraction
+
+    got = q.q_contours(SF_DIR).to_pandas()
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    cx = pts["ix"].to_numpy() // 8192
+    cy = pts["iy"].to_numpy() // 8192
+    cells = {}
+    for x, y in zip(cx, cy):
+        cells[(int(x), int(y))] = cells.get((int(x), int(y)), 0) + 1
+    nc, s = len(cells), sum(cells.values())
+
+    want = set()
+    sq = {(x - ox, y - oy) for x, y in cells
+          for ox in (0, 1) for oy in (0, 1)}
+    for qx, qy in sq:
+        z = [cells.get((qx, qy), 0), cells.get((qx + 1, qy), 0),
+             cells.get((qx + 1, qy + 1), 0), cells.get((qx, qy + 1), 0)]
+        cfg = sum((1 << i) for i in range(4) if z[i] * nc > 2 * s)
+        if cfg not in q.MS_SEGS:
+            continue
+
+        def ept(e):
+            if e == 0:
+                t = Fraction(2 * s - z[0] * nc, (z[1] - z[0]) * nc)
+                return (qx + t, Fraction(qy))
+            if e == 1:
+                t = Fraction(2 * s - z[1] * nc, (z[2] - z[1]) * nc)
+                return (Fraction(qx + 1), qy + t)
+            if e == 2:
+                t = Fraction(2 * s - z[3] * nc, (z[2] - z[3]) * nc)
+                return (qx + t, Fraction(qy + 1))
+            t = Fraction(2 * s - z[0] * nc, (z[3] - z[0]) * nc)
+            return (Fraction(qx), qy + t)
+
+        for e1, e2 in q.MS_SEGS[cfg]:
+            p1, p2 = ept(e1), ept(e2)
+            want.add((qx, qy, e1, e2, p1[0], p1[1], p2[0], p2[1]))
+
+    got_set = set()
+    for r in got.itertuples():
+        got_set.add((int(r.qx), int(r.qy), int(r.e1), int(r.e2),
+                     Fraction(int(r.x1n), int(r.x1d)),
+                     Fraction(int(r.y1n), int(r.y1d)),
+                     Fraction(int(r.x2n), int(r.x2d)),
+                     Fraction(int(r.y2n), int(r.y2d))))
+    assert got_set == want
+    assert len(got_set) > 10   # the level actually cuts the grid
+    # every crossing sits on its square's boundary
+    for qx, qy, e1, e2, x1, y1, x2, y2 in got_set:
+        for (x, y) in ((x1, y1), (x2, y2)):
+            assert qx <= x <= qx + 1 and qy <= y <= qy + 1
