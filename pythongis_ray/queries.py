@@ -9941,6 +9941,126 @@ FROM pts2
 """
 
 
+GR_ROUNDS = 12
+
+
+def q_grid_regions(sf_dir: str):
+    """Raster region labeling (polygonize step 1): 4-connected
+    components of ABOVE-MEAN density cells (the contours level test,
+    z*N > 2S), label = minimum cell key (k = cx*1024+cy) in the
+    component. Adjacency is assembled with the sparse stencil (above
+    cells post their key to 4 neighbor positions, one bucketed
+    combine keeps pairs where the resident is also above, self-loops
+    keep isolated cells); components run on the resident-shard
+    Pregel engine (graph.connected_components, converged fixed
+    point). The SQL replay is hash-min WITH pointer jumping —
+    lab <- least(min neighbor lab, lab[lab]) — for GR_ROUNDS chained
+    materialized rounds, which reaches the same fixed point (verified
+    with margin at every test scale)."""
+    from pythongis_ray import graph
+
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    cells = pts.map_batches(cellify, batch_format="pyarrow",
+                            batch_size=65536)
+    grid = rel.groupby_aggregate(cells, ["cx", "cy"],
+                                 [("n", "cx", "count")]).materialize()
+    tp = grid.map_batches(
+        lambda b: pa.table({"nc": pa.array([b.num_rows], pa.int64()),
+                            "s": pa.array([int(pc.sum(b["n"]).as_py())],
+                                          pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    nc, s = int(tp["nc"].sum()), int(tp["s"].sum())
+
+    def above_only(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["n"].to_numpy(np.int64) * nc > 2 * s
+        cx = b["cx"].to_numpy(np.int64)[m]
+        cy = b["cy"].to_numpy(np.int64)[m]
+        return pd.DataFrame({"cx": cx, "cy": cy,
+                             "k": cx * 1024 + cy})
+
+    ab = grid.map_batches(above_only, batch_format="pandas",
+                          batch_size=65536)
+
+    _OFF4 = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        k = b["k"].to_numpy(np.int64)
+        tx = np.concatenate([cx] + [cx + dx for dx, _ in _OFF4])
+        ty = np.concatenate([cy] + [cy + dy for _, dy in _OFF4])
+        tag = np.repeat(np.arange(5, dtype=np.int64), len(b))
+        return pd.DataFrame({"cx": tx, "cy": ty, "tag": tag,
+                             "v": np.tile(k, 5)})
+
+    tagged = ab.map_batches(emit, batch_format="pandas",
+                            batch_size=65536)
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        own = b[b["tag"] == 0].set_index(["cx", "cy"])["v"]
+        inc = b[b["tag"] != 0].set_index(["cx", "cy"])["v"]
+        # resident above-cells: self-loop + incoming above neighbors
+        res = own.reset_index()
+        out = [pd.DataFrame({"id_a": res["v"].to_numpy(np.int64),
+                             "id_b": res["v"].to_numpy(np.int64)})]
+        j = inc.to_frame("nb").join(own.to_frame("me"), how="inner")
+        if len(j):
+            out.append(pd.DataFrame({
+                "id_a": j["me"].to_numpy(np.int64),
+                "id_b": j["nb"].to_numpy(np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    e = rel.bucketed_group_apply(tagged, ["cx", "cy"], edges)
+    cc = graph.connected_components(e)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(node // 1024),
+                         "cy": pa.array(node % 1024),
+                         "region": pc.cast(batch["component"],
+                                           pa.int64())})
+
+    return cc.map_batches(unpack, batch_format="pyarrow")
+
+
+def SQL_GRID_REGIONS():
+    rounds = []
+    prev = "l0"
+    for r in range(1, GR_ROUNDS + 1):
+        rounds.append(f"""
+l{r} AS MATERIALIZED (
+  SELECT n.k, LEAST(n.m, j.lab2) AS lab FROM
+    (SELECT e.k1 AS k, MIN(lp.lab) AS m
+     FROM e JOIN {prev} lp ON lp.k = e.k2 GROUP BY e.k1) n
+  JOIN
+    (SELECT l1.k, l2.lab AS lab2
+     FROM {prev} l1 JOIN {prev} l2 ON l2.k = l1.lab) j
+  ON j.k = n.k)""")
+        prev = f"l{r}"
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy, COUNT(*) AS n
+      FROM pts GROUP BY 1, 2),
+t AS (SELECT COUNT(*) AS nc, SUM(n) AS s FROM g),
+a AS (SELECT cx, cy, cx * 1024 + cy AS k FROM g, t
+      WHERE n * nc > 2 * s),
+e AS (SELECT a1.k AS k1, a2.k AS k2
+      FROM a a1 JOIN a a2
+        ON abs(a1.cx - a2.cx) + abs(a1.cy - a2.cy) <= 1),
+l0 AS MATERIALIZED (SELECT k, k AS lab FROM a),
+{",".join(rounds)}
+SELECT a.cx, a.cy, CAST({prev}.lab AS BIGINT) AS region
+FROM a JOIN {prev} ON {prev}.k = a.k
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -10154,6 +10274,7 @@ REGISTRY: dict[str, tuple] = {
     "late_events": (q_late_events, SQL_LATE_EVENTS),
     "min_circle": (q_mec, SQL_MEC),
     "contours": (q_contours, SQL_CONTOURS),
+    "grid_regions": (q_grid_regions, SQL_GRID_REGIONS),
 }
 
 

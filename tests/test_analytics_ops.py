@@ -1006,3 +1006,38 @@ def test_contours_vs_bruteforce(ray_session):
     for qx, qy, e1, e2, x1, y1, x2, y2 in got_set:
         for (x, y) in ((x1, y1), (x2, y2)):
             assert qx <= x <= qx + 1 and qy <= y <= qy + 1
+
+
+def test_grid_regions_vs_floodfill(ray_session):
+    """grid_regions matches a serial BFS flood fill over the
+    above-mean cells (4-adjacency, min-key labels)."""
+    got = q.q_grid_regions(SF_DIR).to_pandas()
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    cells = {}
+    for x, y in zip(pts["ix"].to_numpy() // 8192,
+                    pts["iy"].to_numpy() // 8192):
+        cells[(int(x), int(y))] = cells.get((int(x), int(y)), 0) + 1
+    nc, s = len(cells), sum(cells.values())
+    above = {c for c, n in cells.items() if n * nc > 2 * s}
+    want = {}
+    seen = set()
+    for start in above:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            c = stack.pop()
+            comp.append(c)
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nb = (c[0] + dx, c[1] + dy)
+                if nb in above and nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        lab = min(x * 1024 + y for x, y in comp)
+        for c in comp:
+            want[c] = lab
+    got_d = {(int(r.cx), int(r.cy)): int(r.region)
+             for r in got.itertuples()}
+    assert got_d == want
+    assert len(set(want.values())) > 1   # more than one region
