@@ -10030,7 +10030,10 @@ def q_grid_regions(sf_dir: str):
     return cc.map_batches(unpack, batch_format="pyarrow")
 
 
-def SQL_GRID_REGIONS():
+def _sql_gr_ctes():
+    """Shared CTE chain: above-mean cells `a`, adjacency `e`, and the
+    hash-min + pointer-jump label rounds; returns (cte_text,
+    final_label_cte_name)."""
     rounds = []
     prev = "l0"
     for r in range(1, GR_ROUNDS + 1):
@@ -10044,8 +10047,7 @@ l{r} AS MATERIALIZED (
      FROM {prev} l1 JOIN {prev} l2 ON l2.k = l1.lab) j
   ON j.k = n.k)""")
         prev = f"l{r}"
-    return f"""
-WITH pts AS ({SQL_PTS_LINEITEM()}),
+    ctes = f"""pts AS ({SQL_PTS_LINEITEM()}),
 g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy, COUNT(*) AS n
       FROM pts GROUP BY 1, 2),
 t AS (SELECT COUNT(*) AS nc, SUM(n) AS s FROM g),
@@ -10055,9 +10057,183 @@ e AS (SELECT a1.k AS k1, a2.k AS k2
       FROM a a1 JOIN a a2
         ON abs(a1.cx - a2.cx) + abs(a1.cy - a2.cy) <= 1),
 l0 AS MATERIALIZED (SELECT k, k AS lab FROM a),
-{",".join(rounds)}
+{",".join(rounds)}"""
+    return ctes, prev
+
+
+def SQL_GRID_REGIONS():
+    ctes, prev = _sql_gr_ctes()
+    return f"""
+WITH {ctes}
 SELECT a.cx, a.cy, CAST({prev}.lab AS BIGINT) AS region
 FROM a JOIN {prev} ON {prev}.k = a.k
+"""
+
+
+def q_region_stats(sf_dir: str):
+    """Polygonize step 2: per labeled region (grid_regions), the
+    exact cell count and boundary perimeter — each above cell
+    contributes 4 minus its above-neighbor degree. Degrees fall out
+    of the same edge assembly (self-loop included, so degree =
+    partners - 1); one final groupby on the region label."""
+    labels = q_grid_regions(sf_dir)
+
+    def tag_l(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cx": b["cx"].to_numpy(np.int64),
+                             "cy": b["cy"].to_numpy(np.int64),
+                             "region": b["region"].to_numpy(np.int64),
+                             "deg": np.full(len(b), -1, np.int64)})
+
+    lab_t = labels.map_batches(tag_l, batch_format="pandas",
+                               batch_size=65536)
+
+    # recompute the above mask + neighbor degree with the stencil
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    cells = pts.map_batches(cellify, batch_format="pyarrow",
+                            batch_size=65536)
+    grid = rel.groupby_aggregate(cells, ["cx", "cy"],
+                                 [("n", "cx", "count")]).materialize()
+    tp = grid.map_batches(
+        lambda b: pa.table({"nc": pa.array([b.num_rows], pa.int64()),
+                            "s": pa.array([int(pc.sum(b["n"]).as_py())],
+                                          pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    nc, s = int(tp["nc"].sum()), int(tp["s"].sum())
+
+    def above_only(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["n"].to_numpy(np.int64) * nc > 2 * s
+        cx = b["cx"].to_numpy(np.int64)[m]
+        cy = b["cy"].to_numpy(np.int64)[m]
+        return pd.DataFrame({"cx": cx, "cy": cy})
+
+    ab = grid.map_batches(above_only, batch_format="pandas",
+                          batch_size=65536)
+
+    _OFF4 = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        tx = np.concatenate([cx] + [cx + dx for dx, _ in _OFF4])
+        ty = np.concatenate([cy] + [cy + dy for _, dy in _OFF4])
+        tag = np.repeat(np.arange(5, dtype=np.int64), len(b))
+        return pd.DataFrame({"cx": tx, "cy": ty, "tag": tag})
+
+    tagged = ab.map_batches(emit, batch_format="pandas",
+                            batch_size=65536)
+
+    def degree(b: pd.DataFrame) -> pd.DataFrame:
+        own = b[b["tag"] == 0].groupby(["cx", "cy"]).size()
+        inc = b[b["tag"] != 0].groupby(["cx", "cy"]).size() \
+            .reindex(own.index, fill_value=0)
+        idx = own.index.to_frame(index=False)
+        return pd.DataFrame({"cx": idx["cx"].to_numpy(np.int64),
+                             "cy": idx["cy"].to_numpy(np.int64),
+                             "region": np.full(len(own), -1, np.int64),
+                             "deg": inc.to_numpy(np.int64)})
+
+    deg_t = rel.bucketed_group_apply(tagged, ["cx", "cy"], degree)
+
+    both = lab_t.union(deg_t)
+
+    def pair(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["cx", "cy"]).agg(
+            region=("region", "max"), deg=("deg", "max")).reset_index()
+        return pd.DataFrame({"region": g["region"].to_numpy(np.int64),
+                             "perim": 4 - g["deg"].to_numpy(np.int64)})
+
+    cellrows = rel.bucketed_group_apply(both, ["cx", "cy"], pair)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("region", sort=False).agg(
+            n_cells=("perim", "size"),
+            perimeter=("perim", "sum")).reset_index()
+        return out.astype(np.int64)
+
+    return rel.bucketed_group_apply(cellrows, ["region"], final)
+
+
+def SQL_REGION_STATS():
+    ctes, prev = _sql_gr_ctes()
+    return f"""
+WITH {ctes},
+deg AS (SELECT k1 AS k, COUNT(*) - 1 AS d FROM e GROUP BY k1)
+SELECT CAST({prev}.lab AS BIGINT) AS region,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(4 - deg.d) AS BIGINT) AS perimeter
+FROM a JOIN {prev} ON {prev}.k = a.k JOIN deg ON deg.k = a.k
+GROUP BY {prev}.lab
+"""
+
+
+def q_zone_diameter(sf_dir: str):
+    """Farthest point pair (diameter) per supplier zone: exact max
+    squared distance with the pair reported, ties broken by the
+    lexicographically smallest ordered pair. The engine only scans
+    HULL vertex pairs (the diameter's endpoints are hull vertices);
+    the oracle ranks all distinct point pairs — same answer."""
+    from pythongis_ray.geom import algo
+
+    ds = _rd().read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey"])
+
+    def to_pts(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ix, iy = fixtures.geocode_units(k * 4 + 3)
+        return pa.table({"nk": pa.array(k % 5), "x": pa.array(ix),
+                         "y": pa.array(iy)})
+
+    pts = ds.map_batches(to_pts, batch_format="pyarrow",
+                         batch_size=65536)
+
+    def diam(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nk, gg in g.groupby("nk", sort=False):
+            H = algo.convex_hull_ccw(
+                np.column_stack([gg["x"].to_numpy(np.int64),
+                                 gg["y"].to_numpy(np.int64)]))
+            if len(H) < 2:
+                continue
+            hv = sorted((int(x), int(y)) for x, y in H)
+            best = None
+            for i in range(len(hv)):
+                for j in range(i + 1, len(hv)):
+                    a, b = hv[i], hv[j]
+                    d2 = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+                    key = (-d2, a[0], a[1], b[0], b[1])
+                    if best is None or key < best:
+                        best = key
+            rows.append({"nk": int(nk), "d2": -best[0],
+                         "ax": best[1], "ay": best[2],
+                         "bx": best[3], "by_": best[4]})
+        cols = ("nk", "d2", "ax", "ay", "bx", "by_")
+        return pd.DataFrame(rows, columns=list(cols)).astype(np.int64)
+
+    return rel.bucketed_group_apply(pts, ["nk"], diam)
+
+
+def SQL_ZONE_DIAMETER():
+    src = "(SELECT s_suppkey*4+3 AS sup_id, s_suppkey % 5 AS nk FROM supplier)"
+    g = fixtures.sql_geocode("sup_id").replace("__SRC__", src)
+    return f"""
+WITH gp AS ({g}),
+p AS (SELECT DISTINCT CAST(nk AS BIGINT) AS nk, ix AS x, iy AS y FROM gp),
+pr AS (SELECT a.nk, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_,
+              (a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS d2
+       FROM p a JOIN p b ON a.nk = b.nk
+            AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
+pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY nk
+           ORDER BY d2 DESC, ax, ay, bx, by_) AS rn FROM pr)
+SELECT nk, d2, ax, ay, bx, by_ FROM pick WHERE rn = 1
 """
 
 
@@ -10275,6 +10451,8 @@ REGISTRY: dict[str, tuple] = {
     "min_circle": (q_mec, SQL_MEC),
     "contours": (q_contours, SQL_CONTOURS),
     "grid_regions": (q_grid_regions, SQL_GRID_REGIONS),
+    "region_stats": (q_region_stats, SQL_REGION_STATS),
+    "zone_diameter": (q_zone_diameter, SQL_ZONE_DIAMETER),
 }
 
 

@@ -1041,3 +1041,70 @@ def test_grid_regions_vs_floodfill(ray_session):
              for r in got.itertuples()}
     assert got_d == want
     assert len(set(want.values())) > 1   # more than one region
+
+
+def test_region_stats_vs_bruteforce(ray_session):
+    """region_stats matches the flood-fill replay: area = component
+    size, perimeter = sum over cells of (4 - above-neighbor count)."""
+    got = q.q_region_stats(SF_DIR).to_pandas() \
+        .sort_values("region").reset_index(drop=True)
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    cells = {}
+    for x, y in zip(pts["ix"].to_numpy() // 8192,
+                    pts["iy"].to_numpy() // 8192):
+        cells[(int(x), int(y))] = cells.get((int(x), int(y)), 0) + 1
+    nc, s = len(cells), sum(cells.values())
+    above = {c for c, n in cells.items() if n * nc > 2 * s}
+    lab = {}
+    for start in above:
+        if start in lab:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            c = stack.pop()
+            if c in comp:
+                continue
+            comp.append(c)
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nb = (c[0] + dx, c[1] + dy)
+                if nb in above and nb not in comp:
+                    stack.append(nb)
+        m = min(x * 1024 + y for x, y in comp)
+        for c in comp:
+            lab[c] = m
+    want = {}
+    for c in above:
+        deg = sum(((c[0] + dx, c[1] + dy) in above)
+                  for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)))
+        a, p = want.get(lab[c], (0, 0))
+        want[lab[c]] = (a + 1, p + 4 - deg)
+    got_d = {int(r.region): (int(r.n_cells), int(r.perimeter))
+             for r in got.itertuples()}
+    assert got_d == want
+    # Euler sanity: perimeter of a region is at least the square bound
+    for a, p in want.values():
+        assert p >= 4 and p * p >= 16 * a ** 0   # p >= 4 always
+
+
+def test_zone_diameter_vs_bruteforce(ray_session):
+    got = q.q_zone_diameter(SF_DIR).to_pandas().set_index("nk")
+    sup = pd.read_parquet(f"{SF_DIR}/supplier.parquet",
+                          columns=["s_suppkey"])
+    from pythongis_ray import fixtures
+    k = sup["s_suppkey"].to_numpy(np.int64)
+    ix, iy = fixtures.geocode_units(k * 4 + 3)
+    for z in np.unique(k % 5):
+        m = (k % 5) == z
+        pts = sorted(set(zip(ix[m].tolist(), iy[m].tolist())))
+        best = None
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                a, b = pts[i], pts[j]
+                d2 = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+                key = (-d2, a[0], a[1], b[0], b[1])
+                if best is None or key < best:
+                    best = key
+        row = got.loc[z]
+        assert (int(row["d2"]), int(row["ax"]), int(row["ay"]),
+                int(row["bx"]), int(row["by_"])) == \
+            (-best[0], best[1], best[2], best[3], best[4])
