@@ -10237,6 +10237,248 @@ SELECT nk, d2, ax, ay, bx, by_ FROM pick WHERE rn = 1
 """
 
 
+def q_zone_width(sf_dir: str):
+    """Minimum width per supplier zone (rotating-calipers result):
+    min over hull edges of the max point distance to the edge line,
+    compared EXACTLY as fractions cross^2/len^2 via
+    cross-multiplication. Output is the argmin directed hull edge
+    (lex tie-break) plus floor(width^2). Engine scans hull edges ×
+    hull vertices; the oracle maxes cross^2 over all zone points
+    (same value — cross is linear, extremes at hull vertices)."""
+    from pythongis_ray.geom import algo
+
+    ds = _rd().read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey"])
+
+    def to_pts(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ix, iy = fixtures.geocode_units(k * 4 + 3)
+        return pa.table({"nk": pa.array(k % 5), "x": pa.array(ix),
+                         "y": pa.array(iy)})
+
+    pts = ds.map_batches(to_pts, batch_format="pyarrow",
+                         batch_size=65536)
+
+    def width(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nk, gg in g.groupby("nk", sort=False):
+            H = algo.convex_hull_ccw(
+                np.column_stack([gg["x"].to_numpy(np.int64),
+                                 gg["y"].to_numpy(np.int64)]))
+            m = len(H)
+            if m < 2:
+                continue
+            hv = [(int(x), int(y)) for x, y in H]
+            best = None
+            for i in range(m):
+                a, b = hv[i], hv[(i + 1) % m]
+                len2 = (b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2
+                mc2 = max(((b[0] - a[0]) * (qy - a[1])
+                           - (b[1] - a[1]) * (qx - a[0])) ** 2
+                          for qx, qy in hv)
+                cand = (mc2, len2, a[0], a[1], b[0], b[1])
+                if best is None:
+                    best = cand
+                    continue
+                lhs = cand[0] * best[1]
+                rhs = best[0] * cand[1]
+                if lhs < rhs or (lhs == rhs
+                                 and cand[2:] < best[2:]):
+                    best = cand
+            rows.append({"nk": int(nk), "ax": best[2], "ay": best[3],
+                         "bx": best[4], "by_": best[5],
+                         "w2_floor": best[0] // best[1]})
+        cols = ("nk", "ax", "ay", "bx", "by_", "w2_floor")
+        return pd.DataFrame(rows, columns=list(cols)).astype(np.int64)
+
+    return rel.bucketed_group_apply(pts, ["nk"], width)
+
+
+def SQL_ZONE_WIDTH():
+    src = "(SELECT s_suppkey*4+3 AS sup_id, s_suppkey % 5 AS nk FROM supplier)"
+    g = fixtures.sql_geocode("sup_id").replace("__SRC__", src)
+    return f"""
+WITH gp AS ({g}),
+p AS (SELECT DISTINCT CAST(nk AS BIGINT) AS nk, ix AS x, iy AS y FROM gp),
+he AS (
+  SELECT a.nk, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_
+  FROM p a JOIN p b ON a.nk = b.nk AND NOT (a.x = b.x AND a.y = b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p q
+    WHERE q.nk = a.nk
+      AND NOT (q.x = a.x AND q.y = a.y)
+      AND NOT (q.x = b.x AND q.y = b.y)
+      AND NOT (
+        (b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x) > 0
+        OR ((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x) = 0
+            AND (q.x - a.x) * (b.x - a.x)
+                  + (q.y - a.y) * (b.y - a.y) > 0
+            AND (q.x - a.x) * (b.x - a.x)
+                  + (q.y - a.y) * (b.y - a.y)
+                < (b.x - a.x) * (b.x - a.x)
+                  + (b.y - a.y) * (b.y - a.y))))),
+ew AS (SELECT he.nk, he.ax, he.ay, he.bx, he.by_,
+              CAST((he.bx - he.ax) * (he.bx - he.ax)
+                   + (he.by_ - he.ay) * (he.by_ - he.ay)
+                   AS HUGEINT) AS len2,
+              (SELECT MAX(CAST((he.bx - he.ax) * (q.y - he.ay)
+                               - (he.by_ - he.ay) * (q.x - he.ax)
+                               AS HUGEINT)
+                          * CAST((he.bx - he.ax) * (q.y - he.ay)
+                                 - (he.by_ - he.ay) * (q.x - he.ax)
+                                 AS HUGEINT))
+               FROM p q WHERE q.nk = he.nk) AS mc2
+       FROM he)
+SELECT e1.nk, e1.ax, e1.ay, e1.bx, e1.by_,
+       CAST(e1.mc2 // e1.len2 AS BIGINT) AS w2_floor
+FROM ew e1
+WHERE NOT EXISTS (
+  SELECT 1 FROM ew e2
+  WHERE e2.nk = e1.nk
+    AND (e2.mc2 * e1.len2 < e1.mc2 * e2.len2
+         OR (e2.mc2 * e1.len2 = e1.mc2 * e2.len2
+             AND (e2.ax, e2.ay, e2.bx, e2.by_)
+                 < (e1.ax, e1.ay, e1.bx, e1.by_))))
+"""
+
+
+SC_ROUNDS = 5
+
+
+def q_set_cover(sf_dir: str):
+    """Greedy max-coverage corpus selection (the data-curation pick:
+    which K sources together cover the most distinct vocabulary).
+    K=5 greedy rounds: each picks the not-yet-picked source with the
+    most still-uncovered distinct token hashes (ties to the smallest
+    source string) and marks its vocabulary covered. Pairs (source,
+    token-hash) are distinct-reduced in one bucketed shuffle and kept
+    distributed; each round is a bucketed anti-join (uncovered
+    filter) + a ≤n_sources-row gains fold on the driver. Token
+    identity is the 64-bit polynomial hash replayed by the oracle, so
+    grouping is bit-identical."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        col = batch["text"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, tok_offs = text._batch_token_hashes(arr)
+        src = batch["source"].to_pandas().to_numpy(object)
+        d = pd.DataFrame({"source": np.repeat(src, np.diff(tok_offs)),
+                          "wh": th.view(np.int64)})
+        return d.drop_duplicates(ignore_index=True)
+
+    raw = ds.map_batches(explode, batch_format="pyarrow",
+                         batch_size=4096)
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(ignore_index=True)
+
+    pairs = rel.bucketed_group_apply(raw, ["source", "wh"],
+                                     distinct).materialize()
+    srcs = sorted(pairs.groupby("source").count()
+                  .to_pandas()["source"].tolist())
+
+    covered = None
+    picked: list[str] = []
+    out = []
+    for rnd in range(1, SC_ROUNDS + 1):
+        if covered is None:
+            unc = pairs
+        else:
+            def tag_p(b: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({"wh": b["wh"].to_numpy(np.int64),
+                                     "source": b["source"]})
+
+            def tag_c(b: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "wh": b["wh"].to_numpy(np.int64),
+                    "source": pd.Series([None] * len(b),
+                                        dtype=object)})
+
+            both = pairs.map_batches(tag_p, batch_format="pandas") \
+                .union(covered.map_batches(tag_c,
+                                           batch_format="pandas"))
+
+            def anti(g: pd.DataFrame) -> pd.DataFrame:
+                cov = g.loc[g["source"].isna(), "wh"].unique()
+                keep = g[g["source"].notna()
+                         & ~g["wh"].isin(cov).to_numpy()]
+                return pd.DataFrame({
+                    "source": keep["source"].to_numpy(object),
+                    "wh": keep["wh"].to_numpy(np.int64)})
+
+            unc = rel.bucketed_group_apply(both, ["wh"], anti)
+        gdf = unc.groupby("source").count().to_pandas()
+        gains = gdf.set_index("source")["count()"] \
+            if "source" in gdf.columns else pd.Series(dtype=np.int64)
+        cand = [(int(-gains.get(s, 0)), s) for s in srcs
+                if s not in picked]
+        gneg, pick = min(cand)
+        picked.append(pick)
+        out.append((rnd, pick, -gneg))
+        def only_pick(b: pd.DataFrame, _p=pick) -> pd.DataFrame:
+            return b.loc[b["source"] == _p, ["wh"]]
+
+        newcov = pairs.map_batches(only_pick, batch_format="pandas")
+        covered = newcov if covered is None \
+            else covered.union(newcov)
+
+        def dedup_wh(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(ignore_index=True)
+
+        covered = rel.bucketed_group_apply(covered, ["wh"],
+                                           dedup_wh).materialize()
+    return pa.table({
+        "rnd": pa.array([r for r, _, _ in out], pa.int64()),
+        "source": pa.array([s for _, s, _ in out], pa.string()),
+        "gain": pa.array([g for _, _, g in out], pa.int64())})
+
+
+def SQL_SET_COVER():
+    hdr = """
+WITH toks AS (SELECT source, string_split(text, ' ') AS l
+              FROM documents),
+w AS (SELECT source, UNNEST(l) AS word FROM toks),
+h AS (SELECT DISTINCT source,
+        list_reduce(list_prepend(CAST(0 AS HUGEINT),
+          [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(word, '')]),
+          (acc, x) -> (acc * 1099511628211 + x)
+                      % CAST('18446744073709551616' AS HUGEINT)) AS wh
+      FROM w),
+srcs AS (SELECT DISTINCT source FROM documents)"""
+    parts = [hdr]
+    picked_union = None
+    prev_cov = None
+    picks = []
+    for r in range(1, SC_ROUNDS + 1):
+        unc = "h" if prev_cov is None else \
+            f"(SELECT * FROM h WHERE wh NOT IN (SELECT wh FROM {prev_cov}))"
+        notpicked = "" if picked_union is None else \
+            f"WHERE s.source NOT IN ({picked_union})"
+        parts.append(f"""
+g{r} AS MATERIALIZED (
+  SELECT s.source, COALESCE(c.g, 0) AS g
+  FROM srcs s LEFT JOIN
+    (SELECT source, COUNT(*) AS g FROM {unc} GROUP BY source) c
+    ON c.source = s.source
+  {notpicked}),
+k{r} AS MATERIALIZED (
+  SELECT source, g FROM g{r} ORDER BY g DESC, source LIMIT 1),
+c{r} AS MATERIALIZED (
+  SELECT DISTINCT wh FROM h WHERE source IN (SELECT source FROM k{r})
+  {"UNION SELECT wh FROM " + prev_cov if prev_cov else ""})""")
+        picks.append(f"SELECT CAST({r} AS BIGINT) AS rnd, source, CAST(g AS BIGINT) "
+                     f"AS gain FROM k{r}")
+        pk = f"SELECT source FROM k{r}"
+        picked_union = pk if picked_union is None \
+            else f"{picked_union} UNION {pk}"
+        prev_cov = f"c{r}"
+    return ",".join(parts) + "\n" + " UNION ALL ".join(picks)
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -10453,6 +10695,8 @@ REGISTRY: dict[str, tuple] = {
     "grid_regions": (q_grid_regions, SQL_GRID_REGIONS),
     "region_stats": (q_region_stats, SQL_REGION_STATS),
     "zone_diameter": (q_zone_diameter, SQL_ZONE_DIAMETER),
+    "zone_width": (q_zone_width, SQL_ZONE_WIDTH),
+    "set_cover": (q_set_cover, SQL_SET_COVER),
 }
 
 

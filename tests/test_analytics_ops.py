@@ -1108,3 +1108,60 @@ def test_zone_diameter_vs_bruteforce(ray_session):
         assert (int(row["d2"]), int(row["ax"]), int(row["ay"]),
                 int(row["bx"]), int(row["by_"])) == \
             (-best[0], best[1], best[2], best[3], best[4])
+
+
+def test_zone_width_vs_bruteforce(ray_session):
+    """zone_width matches an exact-Fraction rotating-calipers brute
+    force over all directed hull edges."""
+    from fractions import Fraction
+
+    from pythongis_ray import fixtures
+    from pythongis_ray.geom import algo
+
+    got = q.q_zone_width(SF_DIR).to_pandas().set_index("nk")
+    sup = pd.read_parquet(f"{SF_DIR}/supplier.parquet",
+                          columns=["s_suppkey"])
+    k = sup["s_suppkey"].to_numpy(np.int64)
+    ix, iy = fixtures.geocode_units(k * 4 + 3)
+    for z in np.unique(k % 5):
+        m = (k % 5) == z
+        H = algo.convex_hull_ccw(np.column_stack([ix[m], iy[m]]))
+        hv = [(int(x), int(y)) for x, y in H]
+        best = None
+        for i in range(len(hv)):
+            a, b = hv[i], hv[(i + 1) % len(hv)]
+            len2 = (b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2
+            mc2 = max(((b[0] - a[0]) * (qy - a[1])
+                       - (b[1] - a[1]) * (qx - a[0])) ** 2
+                      for qx, qy in hv)
+            key = (Fraction(mc2, len2), a[0], a[1], b[0], b[1], mc2, len2)
+            if best is None or key < best:
+                best = key
+        row = got.loc[z]
+        assert (int(row["ax"]), int(row["ay"]), int(row["bx"]),
+                int(row["by_"])) == best[1:5]
+        assert int(row["w2_floor"]) == best[5] // best[6]
+
+
+def test_set_cover_vs_bruteforce(ray_session):
+    """set_cover matches a serial greedy over distinct (source, word)
+    sets, including zero-gain rounds and tie-breaks."""
+    got = q.q_set_cover(SF_DIR).to_pandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["source", "text"])
+    vocab = {}
+    for src, txt in zip(docs["source"], docs["text"]):
+        vocab.setdefault(src, set()).update(txt.split(" "))
+    covered: set = set()
+    picked = []
+    want = []
+    for rnd in range(1, q.SC_ROUNDS + 1):
+        cand = sorted((-len(v - covered), s)
+                      for s, v in vocab.items() if s not in picked)
+        gneg, pick = cand[0]
+        picked.append(pick)
+        want.append((rnd, pick, -gneg))
+        covered |= vocab[pick]
+    assert [(int(r.rnd), r.source, int(r.gain))
+            for r in got.itertuples()] == want
+    assert want[0][2] > want[1][2] >= want[-1][2] >= 0
