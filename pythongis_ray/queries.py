@@ -10479,6 +10479,155 @@ c{r} AS MATERIALIZED (
     return ",".join(parts) + "\n" + " UNION ALL ".join(picks)
 
 
+def q_od_matrix(sf_dir: str):
+    """Origin-destination flow matrix (movement analytics): events
+    are geocoded (event_id*4+1 on the shared lattice), coarsened to
+    64x64-unit zones, and each user's time-ordered consecutive event
+    pair contributes one (zone_from, zone_to) flow. Per-user
+    sequences sort inside one bucketed shuffle (sessionize
+    assumption); pair counts pre-aggregate map-side before the final
+    small groupby."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, gg in g.groupby("user_id", sort=False):
+            gg = gg.sort_values(["ts", "event_id"], kind="stable")
+            eid = gg["event_id"].to_numpy(np.int64)
+            ix, iy = fixtures.geocode_units(eid * 4 + 1)
+            z = (ix // 65536) * 64 + iy // 65536
+            if len(z) < 2:
+                continue
+            out.append(pd.DataFrame({"zf": z[:-1], "zt": z[1:]}))
+        if not out:
+            return pd.DataFrame({"zf": np.array([], np.int64),
+                                 "zt": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        d = pd.concat(out, ignore_index=True)
+        part = d.groupby(["zf", "zt"], sort=False).size() \
+            .reset_index(name="n")
+        return part.astype(np.int64)
+
+    parts = rel.bucketed_group_apply(ds, ["user_id"], per_user)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["zf", "zt"], sort=False)["n"].sum() \
+            .reset_index().astype(np.int64)
+
+    return rel.bucketed_group_apply(parts, ["zf", "zt"], fold)
+
+
+def SQL_OD_MATRIX():
+    src = "(SELECT user_id, ts, event_id, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+z AS (SELECT user_id, ts, event_id,
+             (ix // 65536) * 64 + iy // 65536 AS zone
+      FROM ge),
+tr AS (SELECT user_id,
+              LAG(zone) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS zf,
+              zone AS zt
+       FROM z)
+SELECT zf, zt, CAST(COUNT(*) AS BIGINT) AS n
+FROM tr WHERE zf IS NOT NULL GROUP BY zf, zt
+"""
+
+
+QT_CAP = 64      # split a node while it holds more than this
+QT_DEPTH = 10    # hard depth cap
+
+
+def q_quadtree_leaves(sf_dir: str):
+    """Adaptive quadtree decomposition of the point set: a node
+    splits while it holds more than QT_CAP points, down to QT_DEPTH.
+    Output is the leaf set (d, kx, ky, n) where (kx, ky) = (ix >>
+    (19-d), iy >> (19-d)). Leaf test needs only the PARENT count
+    (counts are monotone along the chain): leaf iff d=0 and n<=cap,
+    or parent>cap and (n<=cap or d=depth_cap). Two shuffles total:
+    per-batch partial counts over the 11-level ancestor explode, then
+    a parent-to-child count broadcast stencil — never a per-level
+    round."""
+    pts = points_lineitem(sf_dir)
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        frames = []
+        for d in range(QT_DEPTH + 1):
+            kx = ix >> (19 - d)
+            ky = iy >> (19 - d)
+            part = pd.DataFrame({"kx": kx, "ky": ky}) \
+                .groupby(["kx", "ky"], sort=False).size() \
+                .reset_index(name="n")
+            part.insert(0, "d", d)
+            frames.append(part)
+        return pd.concat(frames, ignore_index=True).astype(np.int64)
+
+    parts = pts.map_batches(explode, batch_format="pyarrow",
+                            batch_size=65536)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["d", "kx", "ky"], sort=False)["n"].sum() \
+            .reset_index().astype(np.int64)
+
+    cnt = rel.bucketed_group_apply(parts, ["d", "kx", "ky"], fold) \
+        .materialize()
+
+    def stencil(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["d"].to_numpy(np.int64)
+        kx = b["kx"].to_numpy(np.int64)
+        ky = b["ky"].to_numpy(np.int64)
+        n = b["n"].to_numpy(np.int64)
+        rows = [pd.DataFrame({"d": d, "kx": kx, "ky": ky,
+                              "tag": 0, "v": n})]
+        m = d < QT_DEPTH
+        for cx in (0, 1):
+            for cy in (0, 1):
+                rows.append(pd.DataFrame({
+                    "d": d[m] + 1, "kx": 2 * kx[m] + cx,
+                    "ky": 2 * ky[m] + cy, "tag": 1, "v": n[m]}))
+        return pd.concat(rows, ignore_index=True)
+
+    tagged = cnt.map_batches(stencil, batch_format="pandas",
+                             batch_size=65536)
+
+    def leaves(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["tag"] == 0].set_index(["d", "kx", "ky"])["v"]
+        par = g[g["tag"] == 1].groupby(["d", "kx", "ky"])["v"].max() \
+            .reindex(own.index, fill_value=0)
+        idx = own.index.to_frame(index=False)
+        d = idx["d"].to_numpy(np.int64)
+        n = own.to_numpy(np.int64)
+        pn = par.to_numpy(np.int64)
+        keep = ((d == 0) & (n <= QT_CAP)) | \
+            ((pn > QT_CAP) & ((n <= QT_CAP) | (d == QT_DEPTH)))
+        return pd.DataFrame({"d": d[keep],
+                             "kx": idx["kx"].to_numpy(np.int64)[keep],
+                             "ky": idx["ky"].to_numpy(np.int64)[keep],
+                             "n": n[keep]})
+
+    return rel.bucketed_group_apply(tagged, ["d", "kx", "ky"], leaves)
+
+
+def SQL_QUADTREE():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+lv AS (SELECT dd.range AS d, ix >> CAST(19 - dd.range AS INTEGER) AS kx,
+              iy >> CAST(19 - dd.range AS INTEGER) AS ky
+       FROM pts CROSS JOIN range(0, {QT_DEPTH + 1}) dd),
+cnt AS (SELECT d, kx, ky, COUNT(*) AS n FROM lv GROUP BY 1, 2, 3),
+j AS (SELECT c.d, c.kx, c.ky, c.n, p.n AS pn
+      FROM cnt c LEFT JOIN cnt p
+        ON p.d = c.d - 1 AND p.kx = c.kx // 2 AND p.ky = c.ky // 2)
+SELECT d, kx, ky, CAST(n AS BIGINT) AS n FROM j
+WHERE (d = 0 AND n <= {QT_CAP})
+   OR (pn > {QT_CAP} AND (n <= {QT_CAP} OR d = {QT_DEPTH}))
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -10697,6 +10846,8 @@ REGISTRY: dict[str, tuple] = {
     "zone_diameter": (q_zone_diameter, SQL_ZONE_DIAMETER),
     "zone_width": (q_zone_width, SQL_ZONE_WIDTH),
     "set_cover": (q_set_cover, SQL_SET_COVER),
+    "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
+    "quadtree_leaves": (q_quadtree_leaves, SQL_QUADTREE),
 }
 
 

@@ -1165,3 +1165,54 @@ def test_set_cover_vs_bruteforce(ray_session):
     assert [(int(r.rnd), r.source, int(r.gain))
             for r in got.itertuples()] == want
     assert want[0][2] > want[1][2] >= want[-1][2] >= 0
+
+
+def test_od_matrix_vs_bruteforce(ray_session):
+    from pythongis_ray import fixtures
+
+    got = q.q_od_matrix(SF_DIR).to_pandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    want = {}
+    for _, gg in ev.groupby("user_id"):
+        gg = gg.sort_values(["ts", "event_id"])
+        eid = gg["event_id"].to_numpy(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        z = (ix // 65536) * 64 + iy // 65536
+        for a, b in zip(z[:-1], z[1:]):
+            want[(int(a), int(b))] = want.get((int(a), int(b)), 0) + 1
+    got_d = {(int(r.zf), int(r.zt)): int(r.n) for r in got.itertuples()}
+    assert got_d == want
+    assert sum(want.values()) == len(ev) - ev["user_id"].nunique()
+
+
+def test_quadtree_leaves_vs_bruteforce(ray_session):
+    got = q.q_quadtree_leaves(SF_DIR).to_pandas()
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    ix = pts["ix"].to_numpy(np.int64)
+    iy = pts["iy"].to_numpy(np.int64)
+
+    def count(d, kx, ky):
+        return int(((ix >> (19 - d) == kx)
+                    & (iy >> (19 - d) == ky)).sum())
+
+    want = set()
+
+    def rec(d, kx, ky):
+        n = count(d, kx, ky)
+        if n == 0:
+            return
+        if n <= q.QT_CAP or d == q.QT_DEPTH:
+            want.add((d, kx, ky, n))
+            return
+        for cx in (0, 1):
+            for cy in (0, 1):
+                rec(d + 1, 2 * kx + cx, 2 * ky + cy)
+
+    rec(0, 0, 0)
+    got_s = {(int(r.d), int(r.kx), int(r.ky), int(r.n))
+             for r in got.itertuples()}
+    assert got_s == want
+    # leaves partition all points exactly once
+    assert sum(n for _, _, _, n in want) == len(pts)
+    assert len({d for d, _, _, _ in want}) > 1   # genuinely adaptive
