@@ -10628,6 +10628,168 @@ WHERE (d = 0 AND n <= {QT_CAP})
 """
 
 
+def q_st_trend(sf_dir: str):
+    """Space-time trend (emerging-hotspot step): per geocoded event
+    zone, the exact integer least-squares slope of DAILY event counts
+    over the global day range (absent days count 0, so sparse zones
+    are not biased). Reported like regress_hour: (zone, n_days, sx,
+    sy, slope_num = n*Sxy - Sx*Sy, slope_den = n*Sxx - Sx^2) with
+    x = day index from the global min day. Counts shuffle once with
+    map-side partials; the day range is two driver scalars."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def zday(batch: pa.Table) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        z = (ix // 65536) * 64 + iy // 65536
+        day = ts // 86_400_000_000
+        part = pd.DataFrame({"zone": z, "day": day}) \
+            .groupby(["zone", "day"], sort=False).size() \
+            .reset_index(name="n")
+        return part.astype(np.int64)
+
+    parts = ds.map_batches(zday, batch_format="pyarrow",
+                           batch_size=65536)
+    cnt = rel.bucketed_group_apply(
+        parts, ["zone", "day"],
+        lambda g: g.groupby(["zone", "day"], sort=False)["n"].sum()
+        .reset_index().astype(np.int64)).materialize()
+
+    dd = cnt.map_batches(
+        lambda b: pa.table({"lo": pa.array([int(pc.min(b["day"]).as_py())],
+                                           pa.int64()),
+                            "hi": pa.array([int(pc.max(b["day"]).as_py())],
+                                           pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    dmin, dmax = int(dd["lo"].min()), int(dd["hi"].max())
+    nd = dmax - dmin + 1
+
+    def trend(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for zone, gg in g.groupby("zone", sort=False):
+            y = np.zeros(nd, np.int64)
+            y[gg["day"].to_numpy(np.int64) - dmin] = \
+                gg["n"].to_numpy(np.int64)
+            x = np.arange(nd, dtype=np.int64)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxx, sxy = int((x * x).sum()), int((x * y).sum())
+            rows.append({"zone": int(zone), "n_days": nd,
+                         "sx": sx, "sy": sy,
+                         "slope_num": nd * sxy - sx * sy,
+                         "slope_den": nd * sxx - sx * sx})
+        cols = ("zone", "n_days", "sx", "sy", "slope_num", "slope_den")
+        return pd.DataFrame(rows, columns=list(cols)).astype(np.int64)
+
+    return rel.bucketed_group_apply(cnt, ["zone"], trend)
+
+
+def SQL_ST_TREND():
+    src = "(SELECT event_id, ts, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+zd AS (SELECT (ix // 65536) * 64 + iy // 65536 AS zone,
+              epoch_us(ts) // 86400000000 AS day
+       FROM ge),
+cnt AS (SELECT zone, day, COUNT(*) AS n FROM zd GROUP BY 1, 2),
+dd AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM cnt),
+zs AS (SELECT DISTINCT zone FROM cnt),
+fl AS (SELECT zs.zone, dr.range AS x,
+                COALESCE(cnt.n, 0) AS y
+         FROM zs CROSS JOIN dd
+         CROSS JOIN range(0, 4096) dr
+         LEFT JOIN cnt ON cnt.zone = zs.zone
+                      AND cnt.day = dd.dmin + dr.range
+         WHERE dr.range <= dd.dmax - dd.dmin)
+SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+         AS slope_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+         AS slope_den
+FROM fl GROUP BY zone
+"""
+
+
+def q_gi_star(sf_dir: str):
+    """Getis-Ord-style local hotspot flags on the density grid: per
+    observed cell, the 3x3 local sum (observed cells only), the
+    neighborhood size k, and an exact hot flag local_sum * N > 2 * k
+    * S (local mean more than twice the global). Same stencil as
+    tri_grid; the division never happens."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    cells = pts.map_batches(cellify, batch_format="pyarrow",
+                            batch_size=65536)
+    grid = rel.groupby_aggregate(cells, ["cx", "cy"],
+                                 [("n", "cx", "count")]).materialize()
+    tp = grid.map_batches(
+        lambda b: pa.table({"nc": pa.array([b.num_rows], pa.int64()),
+                            "s": pa.array([int(pc.sum(b["n"]).as_py())],
+                                          pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    nc, s = int(tp["nc"].sum()), int(tp["s"].sum())
+
+    _OFF9 = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+             (1, 1), (1, -1), (-1, 1), (-1, -1)]
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        v = b["n"].to_numpy(np.int64)
+        tx = np.concatenate([cx + dx for dx, _ in _OFF9])
+        ty = np.concatenate([cy + dy for _, dy in _OFF9])
+        tag = np.repeat(np.arange(9, dtype=np.int64), len(b))
+        return pd.DataFrame({"cx": tx, "cy": ty, "tag": tag,
+                             "v": np.tile(v, 9)})
+
+    tagged = grid.map_batches(emit, batch_format="pandas",
+                              batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        own = b[b["tag"] == 0].set_index(["cx", "cy"])["v"]
+        allv = b.groupby(["cx", "cy"])["v"]
+        ls = allv.sum().reindex(own.index)
+        k = allv.size().reindex(own.index)
+        idx = own.index.to_frame(index=False)
+        lsum = ls.to_numpy(np.int64)
+        kk = k.to_numpy(np.int64)
+        hot = (lsum * nc > 2 * kk * s).astype(np.int64)
+        return pd.DataFrame({"cx": idx["cx"].to_numpy(np.int64),
+                             "cy": idx["cy"].to_numpy(np.int64),
+                             "local_sum": lsum, "k": kk, "hot": hot})
+
+    return rel.bucketed_group_apply(tagged, ["cx", "cy"], combine)
+
+
+def SQL_GI_STAR():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy, COUNT(*) AS n
+      FROM pts GROUP BY 1, 2),
+t AS (SELECT COUNT(*) AS nc, SUM(n) AS s FROM g),
+nb AS (SELECT a.cx, a.cy, SUM(b.n) AS local_sum, COUNT(*) AS k
+       FROM g a JOIN g b
+         ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       GROUP BY a.cx, a.cy)
+SELECT nb.cx, nb.cy, CAST(nb.local_sum AS BIGINT) AS local_sum,
+       CAST(nb.k AS BIGINT) AS k,
+       CAST(CASE WHEN nb.local_sum * t.nc > 2 * nb.k * t.s
+                 THEN 1 ELSE 0 END AS BIGINT) AS hot
+FROM nb, t
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -10848,6 +11010,8 @@ REGISTRY: dict[str, tuple] = {
     "set_cover": (q_set_cover, SQL_SET_COVER),
     "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
     "quadtree_leaves": (q_quadtree_leaves, SQL_QUADTREE),
+    "st_trend": (q_st_trend, SQL_ST_TREND),
+    "gi_star": (q_gi_star, SQL_GI_STAR),
 }
 
 

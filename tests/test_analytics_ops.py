@@ -1216,3 +1216,51 @@ def test_quadtree_leaves_vs_bruteforce(ray_session):
     # leaves partition all points exactly once
     assert sum(n for _, _, _, n in want) == len(pts)
     assert len({d for d, _, _, _ in want}) > 1   # genuinely adaptive
+
+
+def test_st_trend_vs_bruteforce(ray_session):
+    from pythongis_ray import fixtures
+
+    got = q.q_st_trend(SF_DIR).to_pandas().set_index("zone")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "ts"])
+    eid = ev["event_id"].to_numpy(np.int64)
+    ix, iy = fixtures.geocode_units(eid * 4 + 1)
+    z = (ix // 65536) * 64 + iy // 65536
+    day = ev["ts"].to_numpy("datetime64[us]").astype(np.int64) \
+        // 86_400_000_000
+    dmin, dmax = int(day.min()), int(day.max())
+    nd = dmax - dmin + 1
+    x = np.arange(nd, dtype=np.int64)
+    for zone in np.unique(z):
+        y = np.bincount(day[z == zone] - dmin, minlength=nd) \
+            .astype(np.int64)
+        sx, sy = int(x.sum()), int(y.sum())
+        row = got.loc[zone]
+        assert (int(row["n_days"]), int(row["sx"]), int(row["sy"])) \
+            == (nd, sx, sy)
+        assert int(row["slope_num"]) == nd * int((x * y).sum()) - sx * sy
+        assert int(row["slope_den"]) == nd * int((x * x).sum()) - sx * sx
+    assert len(got) == len(np.unique(z))
+
+
+def test_gi_star_vs_bruteforce(ray_session):
+    got = q.q_gi_star(SF_DIR).to_pandas()
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    cells = {}
+    for x, y in zip(pts["ix"].to_numpy() // 8192,
+                    pts["iy"].to_numpy() // 8192):
+        cells[(int(x), int(y))] = cells.get((int(x), int(y)), 0) + 1
+    nc, s = len(cells), sum(cells.values())
+    n_hot = 0
+    for r in got.itertuples():
+        c = (int(r.cx), int(r.cy))
+        nbrs = [(c[0] + dx, c[1] + dy)
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        ls = sum(cells.get(nb, 0) for nb in nbrs)
+        k = sum(nb in cells for nb in nbrs)
+        assert (int(r.local_sum), int(r.k)) == (ls, k)
+        assert int(r.hot) == int(ls * nc > 2 * k * s)
+        n_hot += int(r.hot)
+    assert len(got) == len(cells)
+    assert 0 < n_hot < len(cells)   # flags are informative
