@@ -10790,6 +10790,147 @@ FROM nb, t
 """
 
 
+def q_haar_pyramid(sf_dir: str):
+    """Unnormalized 2-D Haar wavelet pyramid of the density grid
+    (virtual 64x64, absent cells are 0 and contribute nothing):
+    for each level d=0..5 and block (px,py) = (cx>>(6-d), cy>>(6-d)),
+    the four integer coefficients a=Σn, h=Σn·sx, v=Σn·sy, dd=Σn·sx·sy
+    with sx = 1-2*((cx>>(5-d))&1). ONE shuffle: every cell emits its
+    6 signed level contributions map-side (pre-aggregated per batch),
+    a bucketed combine folds per block."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    cells = pts.map_batches(cellify, batch_format="pyarrow",
+                            batch_size=65536)
+    grid = rel.groupby_aggregate(cells, ["cx", "cy"],
+                                 [("n", "cx", "count")])
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        n = b["n"].to_numpy(np.int64)
+        frames = []
+        for d in range(6):
+            sx = 1 - 2 * ((cx >> (5 - d)) & 1)
+            sy = 1 - 2 * ((cy >> (5 - d)) & 1)
+            part = pd.DataFrame({
+                "d": d, "px": cx >> (6 - d), "py": cy >> (6 - d),
+                "a": n, "h": n * sx, "v": n * sy, "dd": n * sx * sy})
+            frames.append(part.groupby(["d", "px", "py"], sort=False)
+                          .sum().reset_index())
+        return pd.concat(frames, ignore_index=True).astype(np.int64)
+
+    tagged = grid.map_batches(emit, batch_format="pandas",
+                              batch_size=65536)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["d", "px", "py"], sort=False)[
+            ["a", "h", "v", "dd"]].sum().reset_index().astype(np.int64)
+
+    return rel.bucketed_group_apply(tagged, ["d", "px", "py"], fold)
+
+
+def SQL_HAAR():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy, COUNT(*) AS n
+      FROM pts GROUP BY 1, 2),
+lv AS (SELECT dd.range AS d,
+              cx >> CAST(6 - dd.range AS INTEGER) AS px,
+              cy >> CAST(6 - dd.range AS INTEGER) AS py,
+              n,
+              1 - 2 * ((cx >> CAST(5 - dd.range AS INTEGER)) & 1) AS sx,
+              1 - 2 * ((cy >> CAST(5 - dd.range AS INTEGER)) & 1) AS sy
+       FROM g CROSS JOIN range(0, 6) dd)
+SELECT d, px, py,
+       CAST(SUM(n) AS BIGINT) AS a,
+       CAST(SUM(n * sx) AS BIGINT) AS h,
+       CAST(SUM(n * sy) AS BIGINT) AS v,
+       CAST(SUM(n * sx * sy) AS BIGINT) AS dd
+FROM lv GROUP BY d, px, py
+"""
+
+
+TRIPLE_K = 50
+
+
+def q_basket_triples(sf_dir: str):
+    """Frequent 3-itemsets (A-priori level 3 of basket_pairs): sorted
+    part triples co-purchased within an order, global top-{TRIPLE_K}
+    by (n DESC, a, b, c). Triple emission stays vectorized — the pair
+    gap trick extended to gap pairs (d1 < d2 over the sorted basket
+    run, unbounded like basket_pairs), no per-row Python; a (a,b,c)
+    bucketed combine and
+    a distributed sort-limit finish."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        t = pa.table({"ok": pc.cast(b["l_orderkey"], pa.int64()),
+                      "pk": pc.cast(b["l_partkey"], pa.int64())})
+        return t.group_by(["ok", "pk"]).aggregate([])
+
+    de = ds.map_batches(dedup_batch, batch_format="pyarrow",
+                        batch_size=65536)
+
+    def per_order(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates(["ok", "pk"])
+        b = b.sort_values(["ok", "pk"], kind="stable")
+        ok = b["ok"].to_numpy(np.int64)
+        pk = b["pk"].to_numpy(np.int64)
+        outs = []
+        d2 = 2
+        while len(ok) > d2:
+            same = ok[d2:] == ok[:-d2]
+            if not same.any():
+                break
+            for d1 in range(1, d2):
+                m = same
+                outs.append((pk[:-d2][m], pk[d1:len(pk) - d2 + d1][m],
+                             pk[d2:][m]))
+            d2 += 1
+        cols = ("a", "b", "c")
+        if not outs:
+            return pd.DataFrame({k: np.empty(0, np.int64)
+                                 for k in cols + ("n",)})
+        df = pd.DataFrame({"a": np.concatenate([o[0] for o in outs]),
+                           "b": np.concatenate([o[1] for o in outs]),
+                           "c": np.concatenate([o[2] for o in outs])})
+        g = df.groupby(["a", "b", "c"], sort=False).size() \
+            .rename("n").reset_index()
+        return g.astype(np.int64)
+
+    parts = bucketed_group_apply(de, ["ok"], per_order)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["a", "b", "c"], sort=False)["n"].sum() \
+            .reset_index().astype(np.int64)
+
+    trips = bucketed_group_apply(parts, ["a", "b", "c"], combine)
+    return trips.sort([("n"), ("a"), ("b"), ("c")],
+                      descending=[True, False, False, False]) \
+        .limit(TRIPLE_K)
+
+
+SQL_BASKET_TRIPLES = f"""
+WITH de AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem)
+SELECT x.pk AS a, y.pk AS b, z.pk AS c, CAST(COUNT(*) AS BIGINT) AS n
+FROM de x JOIN de y ON x.ok = y.ok AND x.pk < y.pk
+          JOIN de z ON y.ok = z.ok AND y.pk < z.pk
+GROUP BY x.pk, y.pk, z.pk
+ORDER BY n DESC, a, b, c LIMIT {TRIPLE_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -11012,6 +11153,8 @@ REGISTRY: dict[str, tuple] = {
     "quadtree_leaves": (q_quadtree_leaves, SQL_QUADTREE),
     "st_trend": (q_st_trend, SQL_ST_TREND),
     "gi_star": (q_gi_star, SQL_GI_STAR),
+    "haar_pyramid": (q_haar_pyramid, SQL_HAAR),
+    "basket_triples": (q_basket_triples, SQL_BASKET_TRIPLES),
 }
 
 

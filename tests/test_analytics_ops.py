@@ -1264,3 +1264,55 @@ def test_gi_star_vs_bruteforce(ray_session):
         n_hot += int(r.hot)
     assert len(got) == len(cells)
     assert 0 < n_hot < len(cells)   # flags are informative
+
+
+def test_haar_pyramid_vs_bruteforce(ray_session):
+    """haar_pyramid matches a dense-numpy Haar transform of the
+    64x64-padded grid at every level, and level-0 'a' is the total."""
+    got = q.q_haar_pyramid(SF_DIR).to_pandas()
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    dense = np.zeros((64, 64), np.int64)
+    for x, y in zip(pts["ix"].to_numpy() // 8192,
+                    pts["iy"].to_numpy() // 8192):
+        dense[int(x), int(y)] += 1
+    want = {}
+    for d in range(6):
+        blk = 1 << (6 - d)
+        half = blk // 2
+        for px in range(64 // blk):
+            for py in range(64 // blk):
+                sub = dense[px * blk:(px + 1) * blk,
+                            py * blk:(py + 1) * blk]
+                sx = np.where(np.arange(blk) // half == 0, 1, -1)
+                a = int(sub.sum())
+                if a == 0 and not sub.any():
+                    # engine only emits blocks containing points
+                    continue
+                h = int((sub * sx[:, None]).sum())
+                v = int((sub * sx[None, :]).sum())
+                dd = int((sub * sx[:, None] * sx[None, :]).sum())
+                want[(d, px, py)] = (a, h, v, dd)
+    got_d = {(int(r.d), int(r.px), int(r.py)):
+             (int(r.a), int(r.h), int(r.v), int(r.dd))
+             for r in got.itertuples()}
+    assert got_d == want
+    assert got_d[(0, 0, 0)][0] == len(pts)
+
+
+def test_basket_triples_vs_bruteforce(ray_session):
+    import itertools
+
+    got = q.q_basket_triples(SF_DIR).to_pandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"]) \
+        .drop_duplicates()
+    want = {}
+    for _, g in li.groupby("l_orderkey"):
+        for t in itertools.combinations(sorted(g["l_partkey"]
+                                               .unique()), 3):
+            want[t] = want.get(t, 0) + 1
+    ws = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:q.TRIPLE_K]
+    gs = [((int(r.a), int(r.b), int(r.c)), int(r.n))
+          for r in got.itertuples()]
+    assert gs == ws
+    assert gs[0][1] >= 2   # at least one genuinely repeated triple
