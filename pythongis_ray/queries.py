@@ -10931,6 +10931,157 @@ ORDER BY n DESC, a, b, c LIMIT {TRIPLE_K}
 """
 
 
+def q_outliers(sf_dir: str):
+    """Exact 3-sigma outlier detection per event_type: event i is an
+    outlier iff n*(n*x_i - S)^2 > 9 * n * (n*SS - S^2), i.e.
+    (x_i - mean)^2 > 9*variance with every division cleared (x in
+    integer cents). Two passes: a tiny per-type moment fold, then a
+    broadcast-scalar flag pass. Returns per-type totals plus the
+    outlier event ids (deterministic complete set, not a sample)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "event_id",
+                                     "value"])
+
+    def moments(b: pa.Table) -> pd.DataFrame:
+        et = b["event_type"].to_pandas().to_numpy(object)
+        c = np.rint(b["value"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        d = pd.DataFrame({"event_type": et, "c": c})
+        g = d.groupby("event_type", sort=False)["c"] \
+            .agg(n="size", s="sum", ss=lambda v: int((v.to_numpy()
+                                                      ** 2).sum()))
+        return g.reset_index()
+
+    parts = ds.map_batches(moments, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    tot = parts.groupby("event_type")[["n", "s", "ss"]].sum()
+    stats = {et: (int(r["n"]), int(r["s"]), int(r["ss"]))
+             for et, r in tot.iterrows()}
+    import ray
+
+    from pythongis_ray import state
+    sref = ray.put(stats)
+
+    def flag(b: pa.Table) -> pd.DataFrame:
+        st = state.get_broadcast(sref, key_extra=("outl",))
+        et = b["event_type"].to_pandas().to_numpy(object)
+        eid = b["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = np.rint(b["value"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        n = np.array([st[e][0] for e in et], np.int64)
+        s = np.array([st[e][1] for e in et], np.int64)
+        ss = np.array([st[e][2] for e in et], np.int64)
+        dev = n * c - s
+        # object dtype: dev^2*n can exceed int64 at large n
+        lhs = dev.astype(object) ** 2 * n.astype(object)
+        rhs = 9 * n.astype(object) * (n.astype(object) * ss
+                                      - s.astype(object) ** 2)
+        keep = np.array([a > b_ for a, b_ in zip(lhs, rhs)], bool)
+        return pd.DataFrame({"event_type": et[keep],
+                             "event_id": eid[keep]})
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          batch_size=65536)
+
+
+SQL_OUTLIERS = """
+WITH x AS (SELECT event_type, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+m AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s,
+             SUM(c * c) AS ss
+      FROM x GROUP BY event_type)
+SELECT x.event_type, x.event_id
+FROM x JOIN m USING (event_type)
+WHERE CAST(m.n AS HUGEINT) * (m.n * x.c - m.s) * (m.n * x.c - m.s)
+      > 9 * CAST(m.n AS HUGEINT) * (m.n * m.ss - m.s * m.s)
+"""
+
+
+def q_changepoint(sf_dir: str):
+    """CUSUM change-point per event_type over the daily count series
+    (global day range, zeros included): dev_k = nd*P_k - k*S for the
+    prefix of the first k days; report the k maximizing |dev| (ties
+    to the smallest k) with the signed dev — all exact integers.
+    Shares the st_trend layout: one counts shuffle + two day-range
+    scalars."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def tday(b: pa.Table) -> pd.DataFrame:
+        et = b["event_type"].to_pandas().to_numpy(object)
+        day = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        part = pd.DataFrame({"event_type": et, "day": day}) \
+            .groupby(["event_type", "day"], sort=False).size() \
+            .reset_index(name="n")
+        return part
+
+    parts = ds.map_batches(tday, batch_format="pyarrow",
+                           batch_size=65536)
+    cnt = rel.bucketed_group_apply(
+        parts, ["event_type", "day"],
+        lambda g: g.groupby(["event_type", "day"], sort=False)["n"]
+        .sum().reset_index()).materialize()
+
+    dd = cnt.map_batches(
+        lambda b: pa.table({"lo": pa.array([int(pc.min(b["day"]).as_py())],
+                                           pa.int64()),
+                            "hi": pa.array([int(pc.max(b["day"]).as_py())],
+                                           pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    dmin, dmax = int(dd["lo"].min()), int(dd["hi"].max())
+    nd = dmax - dmin + 1
+
+    def cusum(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gg in g.groupby("event_type", sort=False):
+            y = np.zeros(nd, np.int64)
+            y[gg["day"].to_numpy(np.int64) - dmin] = \
+                gg["n"].to_numpy(np.int64)
+            s = int(y.sum())
+            pk = np.cumsum(y)[:-1]          # prefixes k=1..nd-1
+            k = np.arange(1, nd, dtype=np.int64)
+            dev = nd * pk - k * s
+            i = int(np.lexsort((k, -np.abs(dev)))[0])
+            rows.append({"event_type": et, "k_star": int(k[i]),
+                         "dev": int(dev[i]), "n_days": nd})
+        cols = ("event_type", "k_star", "dev", "n_days")
+        return pd.DataFrame(rows, columns=list(cols))
+
+    return rel.bucketed_group_apply(cnt, ["event_type"], cusum)
+
+
+def SQL_CHANGEPOINT():
+    return """
+WITH zd AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+            FROM events),
+cnt AS (SELECT event_type, day, COUNT(*) AS n FROM zd GROUP BY 1, 2),
+dd AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM cnt),
+et AS (SELECT DISTINCT event_type FROM cnt),
+fl AS (SELECT et.event_type, dr.range AS x, COALESCE(cnt.n, 0) AS y,
+              dd.dmax - dd.dmin + 1 AS nd
+       FROM et CROSS JOIN dd
+       CROSS JOIN range(0, 4096) dr
+       LEFT JOIN cnt ON cnt.event_type = et.event_type
+                    AND cnt.day = dd.dmin + dr.range
+       WHERE dr.range <= dd.dmax - dd.dmin),
+pr AS (SELECT event_type, x + 1 AS k, nd,
+              SUM(y) OVER (PARTITION BY event_type ORDER BY x) AS pk,
+              SUM(y) OVER (PARTITION BY event_type) AS s
+       FROM fl),
+dev AS (SELECT event_type, k, nd, nd * pk - k * s AS dev
+        FROM pr WHERE k < nd),
+pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+           ORDER BY abs(dev) DESC, k) AS rn FROM dev)
+SELECT event_type, CAST(k AS BIGINT) AS k_star,
+       CAST(dev AS BIGINT) AS dev, CAST(nd AS BIGINT) AS n_days
+FROM pick WHERE rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -11155,6 +11306,8 @@ REGISTRY: dict[str, tuple] = {
     "gi_star": (q_gi_star, SQL_GI_STAR),
     "haar_pyramid": (q_haar_pyramid, SQL_HAAR),
     "basket_triples": (q_basket_triples, SQL_BASKET_TRIPLES),
+    "outliers": (q_outliers, SQL_OUTLIERS),
+    "changepoint": (q_changepoint, SQL_CHANGEPOINT),
 }
 
 

@@ -1316,3 +1316,46 @@ def test_basket_triples_vs_bruteforce(ray_session):
           for r in got.itertuples()]
     assert gs == ws
     assert gs[0][1] >= 2   # at least one genuinely repeated triple
+
+
+def test_outliers_vs_bruteforce(ray_session):
+    got = q.q_outliers(SF_DIR).to_pandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "event_id", "value"])
+    c = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    want = set()
+    for et, g in ev.groupby("event_type"):
+        m = (ev["event_type"] == et).to_numpy()
+        x = c[m]
+        n, s, ss = len(x), int(x.sum()), int((x.astype(object) ** 2).sum())
+        for eid, xi in zip(ev["event_id"].to_numpy(np.int64)[m], x):
+            if n * (n * int(xi) - s) ** 2 > 9 * n * (n * ss - s * s):
+                want.add((et, int(eid)))
+    got_s = {(r.event_type, int(r.event_id)) for r in got.itertuples()}
+    assert got_s == want
+    assert 0 < len(want) < len(ev)   # flags informative
+
+
+def test_changepoint_vs_bruteforce(ray_session):
+    got = q.q_changepoint(SF_DIR).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "ts"])
+    day = ev["ts"].to_numpy("datetime64[us]").astype(np.int64) \
+        // 86_400_000_000
+    dmin, dmax = int(day.min()), int(day.max())
+    nd = dmax - dmin + 1
+    for et in ev["event_type"].unique():
+        y = np.bincount(day[(ev["event_type"] == et).to_numpy()]
+                        - dmin, minlength=nd).astype(np.int64)
+        s = int(y.sum())
+        best = None
+        pk = 0
+        for k in range(1, nd):
+            pk += int(y[k - 1])
+            dev = nd * pk - k * s
+            key = (-abs(dev), k)
+            if best is None or key < best[0]:
+                best = (key, k, dev)
+        row = got.loc[et]
+        assert (int(row["k_star"]), int(row["dev"]),
+                int(row["n_days"])) == (best[1], best[2], nd)
