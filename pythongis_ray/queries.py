@@ -11082,6 +11082,47 @@ FROM pick WHERE rn = 1
 """
 
 
+def q_chunk_docs(sf_dir: str):
+    """RAG-prep chunking of documents: 64-token windows at stride 48
+    with replayable rolling chunk hashes — see text.chunk_tokens.
+    Chunk hash is the shingle fold (acc*1000003 + token_hash mod
+    2^64) replayed over list slices in DuckDB."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.chunk_tokens(ds)
+
+
+SQL_CHUNK_DOCS = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+hw AS (SELECT doc_id,
+         [list_reduce(list_prepend(CAST(0 AS HUGEINT),
+            [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(w, '')]),
+            (a, x) -> (a * 1099511628211 + x)
+                      % CAST('18446744073709551616' AS HUGEINT))
+          FOR w IN toks] AS thl,
+         len(toks) AS n
+       FROM d),
+ch AS (SELECT doc_id, ci.range AS chunk_id,
+              ci.range * {text.CHUNK_T} AS start_tok,
+              least(n - ci.range * {text.CHUNK_T}, {text.CHUNK_W})
+                AS n_tokens,
+              thl, n
+       FROM hw CROSS JOIN range(0, 4096) ci
+       WHERE ci.range * {text.CHUNK_T} < n),
+hh AS (SELECT doc_id, chunk_id, start_tok, n_tokens,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             thl[start_tok + 1 : start_tok + n_tokens]),
+             (a, x) -> (a * 1000003 + x)
+                       % CAST('18446744073709551616' AS HUGEINT)) AS h
+       FROM ch)
+SELECT doc_id, chunk_id, start_tok, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN h - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE h END AS BIGINT) AS chunk_hash
+FROM hh
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -11308,6 +11349,7 @@ REGISTRY: dict[str, tuple] = {
     "basket_triples": (q_basket_triples, SQL_BASKET_TRIPLES),
     "outliers": (q_outliers, SQL_OUTLIERS),
     "changepoint": (q_changepoint, SQL_CHANGEPOINT),
+    "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
 }
 
 

@@ -2667,3 +2667,57 @@ def dup_shingle_stats(ds, k: int = MH_SHINGLE_K, id_col: str = "doc_id",
         return out.astype(np.int64)
 
     return bucketed_group_apply(flagged, ["doc_id"], per_doc)
+
+
+CHUNK_W = 64
+CHUNK_T = 48
+
+
+def chunk_tokens(ds, window: int = CHUNK_W, stride: int = CHUNK_T,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """RAG-prep chunking: overlapping token windows (chunk i covers
+    tokens [i*stride, min(i*stride+window, ntok)), included while
+    i*stride < ntok) with a replayable 64-bit rolling hash of each
+    chunk's token-hash run (fold acc*P + th mod 2^64, P = 1000003 —
+    the shingle fold). Fully vectorized across the batch: one
+    window-bounded fold loop of `window` vectorized steps, no Python
+    per row. Returns (id, chunk_id, start_tok, n_tokens,
+    chunk_hash)."""
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "start_tok": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_hash": pa.array([], pa.int64())})
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, tok_offs = _batch_token_hashes(arr)
+        ntok = np.diff(tok_offs)
+        nch = (ntok + stride - 1) // stride      # i*stride < ntok
+        ids = pc.cast(batch[id_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(ntok), dtype=np.int64), nch)
+        coffs = np.concatenate(([0], np.cumsum(nch)))
+        cid = np.arange(int(nch.sum()), dtype=np.int64) \
+            - np.repeat(coffs[:-1], nch)
+        start = cid * stride
+        wlen = np.minimum(ntok[doc_of] - start, window)
+        base = tok_offs[:-1][doc_of] + start
+        h = np.zeros(len(cid), np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(window):
+                m = j < wlen
+                if not m.any():
+                    break
+                h[m] = h[m] * _SH_P + th[base[m] + j]
+        return pa.table({id_col: pa.array(ids[doc_of]),
+                         "chunk_id": pa.array(cid),
+                         "start_tok": pa.array(start),
+                         "n_tokens": pa.array(wlen.astype(np.int64)),
+                         "chunk_hash": pa.array(h.view(np.int64))})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(chunks, batch_format="pyarrow", batch_size=8192)

@@ -1021,3 +1021,48 @@ def test_dup_shingle_stats_vs_bruteforce(ray_session):
         assert row["doc_id"] == i
         assert row["n_shingles"] == len(shs)
         assert row["n_dup"] == want_dup, (i, docs[i])
+
+
+def test_chunk_tokens_vs_bruteforce(ray_session):
+    """chunk_tokens matches a serial replay: window/stride coverage,
+    short trailing chunks, single-token and empty docs."""
+    import ray.data as rd
+
+    from pythongis_ray import text as T
+
+    docs = ["", "one",
+            " ".join(f"w{i}" for i in range(200)),
+            " ".join(f"v{i}" for i in range(64)),
+            " ".join(f"u{i}" for i in range(65))]
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    out = T.chunk_tokens(rd.from_arrow(t), window=64, stride=48) \
+        .to_pandas().sort_values(["doc_id", "chunk_id"]) \
+        .reset_index(drop=True)
+
+    def tok_hash(w):
+        h = 0
+        for ch in w.encode():
+            h = (h * 1099511628211 + ch) % (1 << 64)
+        return h
+
+    want = []
+    for did, d in enumerate(docs):
+        toks = d.split(" ")
+        n = len(toks)
+        i = 0
+        while i * 48 < n:
+            st = i * 48
+            wl = min(64, n - st)
+            h = 0
+            for w in toks[st:st + wl]:
+                h = (h * 1000003 + tok_hash(w)) % (1 << 64)
+            sh = h - (1 << 64) if h >= (1 << 63) else h
+            want.append((did, i, st, wl, sh))
+            i += 1
+    got = [(int(r.doc_id), int(r.chunk_id), int(r.start_tok),
+            int(r.n_tokens), int(r.chunk_hash))
+           for r in out.itertuples()]
+    assert got == want
+    # doc 2 (200 tokens): chunks at 0,48,96,144,192 with last len 8
+    assert [w for w in want if w[0] == 2][-1][3] == 8
