@@ -11123,6 +11123,58 @@ FROM hh
 """
 
 
+def q_common_span(sf_dir: str):
+    """Longest common consecutive token run per SimHash near-dup
+    candidate pair (the plagiarism-span measure) — see
+    text.common_span_pairs. Oracle: the simhash candidate CTEs plus
+    a token-position match grid and diagonal gaps-and-islands."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.common_span_pairs(ds, max_hamming=8)
+
+
+SQL_COMMON_SPAN = """
+WITH RECURSIVE
+""" + _SQL_SIMHASH_CTE + """,
+sv AS (SELECT doc_id, u,
+         CAST(u - CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS s
+       FROM sh),
+bands AS (SELECT doc_id, bp.bb AS band_id,
+                 CAST((u // CAST(bp.p AS HUGEINT)) % 65536 AS BIGINT)
+                   AS band_val, s
+          FROM sv CROSS JOIN (VALUES (0, 1), (1, 65536),
+                                     (2, 4294967296),
+                                     (3, 281474976710656)) bp(bb, p)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.s AS sa, b.s AS sb
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id),
+cp AS (SELECT id_a, id_b FROM cand
+       WHERE bit_count(xor(sa, sb)) <= 8),
+tp AS (SELECT doc_id, generate_subscripts(l, 1) AS i,
+              UNNEST(l) AS word
+       FROM toks),
+tph AS (SELECT doc_id, i,
+          list_reduce(list_prepend(CAST(0 AS HUGEINT),
+            [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(word, '')]),
+            (acc, x) -> (acc * 1099511628211 + x)
+                        % CAST('18446744073709551616' AS HUGEINT)) AS th
+        FROM tp),
+mm AS (SELECT c.id_a, c.id_b, a.i AS pa, b.i AS pb
+       FROM cp c JOIN tph a ON a.doc_id = c.id_a
+                 JOIN tph b ON b.doc_id = c.id_b AND b.th = a.th),
+isl AS (SELECT id_a, id_b, pa - pb AS dg, pa,
+               pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb
+                                       ORDER BY pa) AS grp
+        FROM mm),
+runs AS (SELECT id_a, id_b, COUNT(*) AS rl
+         FROM isl GROUP BY id_a, id_b, dg, grp)
+SELECT id_a, id_b, CAST(MAX(rl) AS BIGINT) AS lcs_run
+FROM runs GROUP BY id_a, id_b
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -11350,6 +11402,7 @@ REGISTRY: dict[str, tuple] = {
     "outliers": (q_outliers, SQL_OUTLIERS),
     "changepoint": (q_changepoint, SQL_CHANGEPOINT),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
+    "common_span": (q_common_span, SQL_COMMON_SPAN),
 }
 
 

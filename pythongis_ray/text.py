@@ -2721,3 +2721,76 @@ def chunk_tokens(ds, window: int = CHUNK_W, stride: int = CHUNK_T,
 
     return ds.select_columns([id_col, text_col]) \
         .map_batches(chunks, batch_format="pyarrow", batch_size=8192)
+
+
+def common_span_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                      max_hamming: int = 8):
+    """Plagiarism-span measure: for every SimHash near-dup candidate
+    pair, the length of the LONGEST COMMON CONSECUTIVE TOKEN RUN
+    (diagonal islands over the (i, j) token-match grid). Candidates
+    come from :func:`simhash_dedup_pairs`; texts re-attach through
+    the broadcast-id streaming semi-join; the per-pair grid is
+    match-sparse (positions found by one sorted searchsorted pass,
+    runs by one lexsort) — pairs with no shared token are dropped,
+    matching the oracle's inner join. Returns (id_a, id_b,
+    lcs_run)."""
+    pairs = simhash_dedup_pairs(ds, id_col=id_col, text_col=text_col,
+                                max_hamming=max_hamming)
+    joined = _attach_pair_texts(pairs, ds, id_col, text_col)
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("lcs_run", pa.int64())])
+    if joined is None:
+        import ray.data as rd
+        return rd.from_arrow(schema.empty_table())
+
+    def spans(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        ca = batch["text_a"].combine_chunks() \
+            if isinstance(batch["text_a"], pa.ChunkedArray) \
+            else batch["text_a"]
+        cb = batch["text_b"].combine_chunks() \
+            if isinstance(batch["text_b"], pa.ChunkedArray) \
+            else batch["text_b"]
+        tha, offa = _batch_token_hashes(ca)
+        thb, offb = _batch_token_hashes(cb)
+        ia = pc.cast(batch["id_a"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ib = pc.cast(batch["id_b"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        out_a, out_b, out_l = [], [], []
+        for r in range(batch.num_rows):
+            A = tha[offa[r]:offa[r + 1]]
+            B = thb[offb[r]:offb[r + 1]]
+            order = np.argsort(B, kind="stable")
+            Bs = B[order]
+            lo = np.searchsorted(Bs, A, "left")
+            hi = np.searchsorted(Bs, A, "right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            i_idx = np.repeat(np.arange(len(A), dtype=np.int64), cnt)
+            flat = np.concatenate([np.arange(l, h)
+                                   for l, h in zip(lo, hi) if h > l])
+            j_idx = order[flat]
+            d = i_idx - j_idx
+            o2 = np.lexsort((i_idx, d))
+            ds_, is_ = d[o2], i_idx[o2]
+            newrun = np.concatenate(([True],
+                                     (ds_[1:] != ds_[:-1])
+                                     | (is_[1:] != is_[:-1] + 1)))
+            rid = np.cumsum(newrun)
+            runlen = np.bincount(rid)
+            out_a.append(int(ia[r]))
+            out_b.append(int(ib[r]))
+            out_l.append(int(runlen.max()))
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "lcs_run": pa.array(out_l, pa.int64())})
+
+    from pythongis_ray import relational as rel
+
+    return rel.with_empty_schema(
+        joined.map_batches(spans, batch_format="pyarrow",
+                           batch_size=1024), schema)

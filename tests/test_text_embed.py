@@ -1066,3 +1066,42 @@ def test_chunk_tokens_vs_bruteforce(ray_session):
     assert got == want
     # doc 2 (200 tokens): chunks at 0,48,96,144,192 with last len 8
     assert [w for w in want if w[0] == 2][-1][3] == 8
+
+
+def test_common_span_vs_bruteforce(ray_session):
+    """common_span_pairs finds the exact longest shared token run on
+    crafted near-duplicate docs (serial DP reference)."""
+    import ray.data as rd
+
+    from pythongis_ray import text as T
+
+    base = " ".join(f"w{i}" for i in range(60))
+    toks = base.split(" ")
+    # doc1 = doc0 with one token swapped at position 40 -> runs 40, 19
+    d1 = " ".join(toks[:40] + ["XX"] + toks[41:])
+    # doc2 = doc0 shifted copy: tokens 10.. plus tail padding
+    d2 = " ".join(toks[10:] + [f"z{i}" for i in range(10)])
+    docs = [base, d1, d2, "completely different unrelated words here"]
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    out = T.common_span_pairs(rd.from_arrow(t), max_hamming=20) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def lcs_run(a, b):
+        A, B = a.split(" "), b.split(" ")
+        best = 0
+        for i in range(len(A)):
+            for j in range(len(B)):
+                k = 0
+                while i + k < len(A) and j + k < len(B) \
+                        and A[i + k] == B[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    assert len(out) >= 2   # the near-dup pairs got candidates
+    for r in out.itertuples():
+        assert int(r.lcs_run) == lcs_run(docs[int(r.id_a)],
+                                         docs[int(r.id_b)])
+    d01 = out[(out.id_a == 0) & (out.id_b == 1)]
+    assert len(d01) == 1 and int(d01["lcs_run"].iloc[0]) == 40
