@@ -11175,6 +11175,106 @@ FROM runs GROUP BY id_a, id_b
 """
 
 
+def q_morph_open(sf_dir: str):
+    """Binary morphological OPENING of the occupancy footprint (cells
+    with at least one point; 3x3 square element): erosion keeps a
+    cell iff its full 3x3 neighborhood is occupied, dilation then
+    unions the 3x3 neighborhoods of the eroded cells — two sparse
+    stencil passes, each one bucketed shuffle. Opening is
+    anti-extensive (result ⊆ footprint), so the output is every
+    footprint cell with an in_opened flag — 0 marks the thin
+    structures and boundary spurs the opening removed."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    cells = pts.map_batches(cellify, batch_format="pyarrow",
+                            batch_size=65536)
+    grid = rel.groupby_aggregate(cells, ["cx", "cy"],
+                                 [("n", "cx", "count")])
+
+    def footprint(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cx": b["cx"].to_numpy(np.int64),
+                             "cy": b["cy"].to_numpy(np.int64)})
+
+    mask = grid.map_batches(footprint, batch_format="pandas",
+                            batch_size=65536).materialize()
+
+    _OFF9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def emit9(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        tx = np.concatenate([cx + dx for dx, _ in _OFF9])
+        ty = np.concatenate([cy + dy for _, dy in _OFF9])
+        own = np.concatenate([np.full(len(b), int(dx == 0 and dy == 0),
+                                      np.int64)
+                              for dx, dy in _OFF9])
+        return pd.DataFrame({"cx": tx, "cy": ty, "own": own})
+
+    t1 = mask.map_batches(emit9, batch_format="pandas",
+                          batch_size=65536)
+
+    def erode(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["cx", "cy"])["own"].agg(["size", "max"])
+        keep = agg[(agg["size"] == 9) & (agg["max"] == 1)]
+        idx = keep.index.to_frame(index=False)
+        return pd.DataFrame({"cx": idx["cx"].to_numpy(np.int64),
+                             "cy": idx["cy"].to_numpy(np.int64)})
+
+    eroded = rel.bucketed_group_apply(t1, ["cx", "cy"], erode)
+    t2 = eroded.map_batches(emit9, batch_format="pandas",
+                            batch_size=65536)
+
+    def dilate(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["cx", "cy"])
+        return pd.DataFrame({"cx": u["cx"].to_numpy(np.int64),
+                             "cy": u["cy"].to_numpy(np.int64),
+                             "tag": np.ones(len(u), np.int64)})
+
+    opened = rel.bucketed_group_apply(t2, ["cx", "cy"], dilate)
+
+    def tag_m(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cx": b["cx"].to_numpy(np.int64),
+                             "cy": b["cy"].to_numpy(np.int64),
+                             "tag": np.zeros(len(b), np.int64)})
+
+    both = opened.union(mask.map_batches(tag_m, batch_format="pandas"))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["cx", "cy"])["tag"].agg(["max", "min"])
+        keep = agg[agg["min"] == 0]      # footprint cells only
+        idx = keep.index.to_frame(index=False)
+        return pd.DataFrame({
+            "cx": idx["cx"].to_numpy(np.int64),
+            "cy": idx["cy"].to_numpy(np.int64),
+            "in_opened": (keep["max"] == 1).to_numpy(np.int64)})
+
+    return rel.bucketed_group_apply(both, ["cx", "cy"], finish)
+
+
+def SQL_MORPH_OPEN():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+a AS (SELECT DISTINCT ix // 8192 AS cx, iy // 8192 AS cy FROM pts),
+er AS (SELECT a1.cx, a1.cy FROM a a1
+       WHERE 9 = (SELECT COUNT(*) FROM a a2
+                  WHERE abs(a2.cx - a1.cx) <= 1
+                    AND abs(a2.cy - a1.cy) <= 1)),
+op AS (SELECT DISTINCT er.cx + o.dx AS cx, er.cy + o.dy AS cy
+       FROM er CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                  (0,1),(1,-1),(1,0),(1,1)) o(dx, dy))
+SELECT a.cx, a.cy,
+       CAST(CASE WHEN op.cx IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS in_opened
+FROM a LEFT JOIN op ON a.cx = op.cx AND a.cy = op.cy
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -11403,6 +11503,7 @@ REGISTRY: dict[str, tuple] = {
     "changepoint": (q_changepoint, SQL_CHANGEPOINT),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "common_span": (q_common_span, SQL_COMMON_SPAN),
+    "morph_open": (q_morph_open, SQL_MORPH_OPEN),
 }
 
 

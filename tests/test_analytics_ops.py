@@ -1359,3 +1359,23 @@ def test_changepoint_vs_bruteforce(ray_session):
         row = got.loc[et]
         assert (int(row["k_star"]), int(row["dev"]),
                 int(row["n_days"])) == (best[1], best[2], nd)
+
+
+def test_morph_open_vs_bruteforce(ray_session):
+    """morph_open matches a serial erode-then-dilate over the
+    occupancy footprint, including the was_above regrowth flag."""
+    got = q.q_morph_open(SF_DIR).to_pandas()
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    mask = set(zip((pts["ix"].to_numpy() // 8192).tolist(),
+                   (pts["iy"].to_numpy() // 8192).tolist()))
+    n9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    er = {c for c in mask
+          if all((c[0] + dx, c[1] + dy) in mask for dx, dy in n9)}
+    op = {(c[0] + dx, c[1] + dy) for c in er for dx, dy in n9}
+    assert op <= mask                   # opening is anti-extensive
+    want = {c: int(c in op) for c in mask}
+    got_d = {(int(r.cx), int(r.cy)): int(r.in_opened)
+             for r in got.itertuples()}
+    assert got_d == want
+    assert 0 < len(er) < len(mask)      # erosion did remove boundary
+    assert 0 < sum(want.values()) < len(mask)
