@@ -11275,6 +11275,138 @@ FROM a LEFT JOIN op ON a.cx = op.cx AND a.cy = op.cy
 """
 
 
+def q_line_of_sight(sf_dir: str):
+    """Inter-city line-of-sight over the density DEM: for every pair
+    of the 6 densest cells (ties lex), the sight line between cell
+    centers is blocked by any WALL cell (density n*N > 4*S, endpoint
+    cells excluded) whose closed square intersects the segment. The
+    intersection predicate is the exact integer SAT test on doubled
+    coordinates (bbox overlap + all-four-corners-on-one-side line
+    test) — identical in the oracle. Wall cells stream through one
+    map_batches against the 15 broadcast pairs; the driver folds
+    per-pair blocker counts."""
+    import ray
+
+    from pythongis_ray import state
+
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    cells = pts.map_batches(cellify, batch_format="pyarrow",
+                            batch_size=65536)
+    grid = rel.groupby_aggregate(cells, ["cx", "cy"],
+                                 [("n", "cx", "count")]).materialize()
+    tp = grid.map_batches(
+        lambda b: pa.table({"nc": pa.array([b.num_rows], pa.int64()),
+                            "s": pa.array([int(pc.sum(b["n"]).as_py())],
+                                          pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    nc, s = int(tp["nc"].sum()), int(tp["s"].sum())
+
+    top = grid.sort([("n"), ("cx"), ("cy")],
+                    descending=[True, False, False]).limit(6) \
+        .to_pandas()
+    cities = sorted((int(r.cx), int(r.cy)) for r in top.itertuples())
+    pairs = [(a, b) for i, a in enumerate(cities)
+             for b in cities[i + 1:]]
+    pref = ray.put(pairs)
+
+    def blockers(b: pd.DataFrame) -> pd.DataFrame:
+        prs = state.get_broadcast(pref, key_extra=("los",))
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        n = b["n"].to_numpy(np.int64)
+        wall = n * nc > 4 * s
+        wx, wy = cx[wall], cy[wall]
+        rows = []
+        for pi, (a, c) in enumerate(prs):
+            p0x, p0y = 2 * a[0] + 1, 2 * a[1] + 1
+            p1x, p1y = 2 * c[0] + 1, 2 * c[1] + 1
+            m = ~(((wx == a[0]) & (wy == a[1]))
+                  | ((wx == c[0]) & (wy == c[1])))
+            bx0, by0 = 2 * wx[m], 2 * wy[m]
+            bx1, by1 = bx0 + 2, by0 + 2
+            bb = ~((max(p0x, p1x) < bx0) | (min(p0x, p1x) > bx1)
+                   | (max(p0y, p1y) < by0) | (min(p0y, p1y) > by1))
+            dx, dy = p1x - p0x, p1y - p0y
+
+            def f(qx, qy):
+                return dx * (qy - p0y) - dy * (qx - p0x)
+
+            f1 = f(bx0, by0)
+            f2 = f(bx1, by0)
+            f3 = f(bx0, by1)
+            f4 = f(bx1, by1)
+            allpos = (f1 > 0) & (f2 > 0) & (f3 > 0) & (f4 > 0)
+            allneg = (f1 < 0) & (f2 < 0) & (f3 < 0) & (f4 < 0)
+            hit = bb & ~allpos & ~allneg
+            rows.append({"pi": pi, "nb": int(hit.sum())})
+        return pd.DataFrame(rows, columns=["pi", "nb"])
+
+    parts = grid.map_batches(blockers, batch_format="pandas",
+                             batch_size=65536).to_pandas()
+    nb = parts.groupby("pi")["nb"].sum()
+    return pa.table({
+        "ax": pa.array([a[0] for a, _ in pairs], pa.int64()),
+        "ay": pa.array([a[1] for a, _ in pairs], pa.int64()),
+        "bx": pa.array([c[0] for _, c in pairs], pa.int64()),
+        "by_": pa.array([c[1] for _, c in pairs], pa.int64()),
+        "n_blockers": pa.array([int(nb.get(i, 0))
+                                for i in range(len(pairs))], pa.int64()),
+        "blocked": pa.array([int(nb.get(i, 0) > 0)
+                             for i in range(len(pairs))], pa.int64())})
+
+
+def SQL_LINE_OF_SIGHT():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy, COUNT(*) AS n
+      FROM pts GROUP BY 1, 2),
+t AS (SELECT COUNT(*) AS nc, SUM(n) AS s FROM g),
+top6 AS (SELECT cx, cy FROM g ORDER BY n DESC, cx, cy LIMIT 6),
+prs AS (SELECT a.cx AS acx, a.cy AS acy, b.cx AS bcx, b.cy AS bcy
+        FROM top6 a JOIN top6 b
+          ON a.cx < b.cx OR (a.cx = b.cx AND a.cy < b.cy)),
+walls AS (SELECT cx, cy FROM g, t WHERE n * nc > 4 * s),
+hits AS (SELECT p.acx, p.acy, p.bcx, p.bcy, COUNT(w.cx) AS nb
+         FROM prs p LEFT JOIN walls w
+           ON NOT (w.cx = p.acx AND w.cy = p.acy)
+          AND NOT (w.cx = p.bcx AND w.cy = p.bcy)
+          AND NOT (greatest(2*p.acx+1, 2*p.bcx+1) < 2*w.cx
+                   OR least(2*p.acx+1, 2*p.bcx+1) > 2*w.cx + 2
+                   OR greatest(2*p.acy+1, 2*p.bcy+1) < 2*w.cy
+                   OR least(2*p.acy+1, 2*p.bcy+1) > 2*w.cy + 2)
+          AND NOT (
+            ((2*p.bcx - 2*p.acx) * (2*w.cy - 2*p.acy - 1)
+             - (2*p.bcy - 2*p.acy) * (2*w.cx - 2*p.acx - 1) > 0
+             AND (2*p.bcx - 2*p.acx) * (2*w.cy - 2*p.acy - 1)
+             - (2*p.bcy - 2*p.acy) * (2*w.cx + 2 - 2*p.acx - 1) > 0
+             AND (2*p.bcx - 2*p.acx) * (2*w.cy + 2 - 2*p.acy - 1)
+             - (2*p.bcy - 2*p.acy) * (2*w.cx - 2*p.acx - 1) > 0
+             AND (2*p.bcx - 2*p.acx) * (2*w.cy + 2 - 2*p.acy - 1)
+             - (2*p.bcy - 2*p.acy) * (2*w.cx + 2 - 2*p.acx - 1) > 0)
+            OR
+            ((2*p.bcx - 2*p.acx) * (2*w.cy - 2*p.acy - 1)
+             - (2*p.bcy - 2*p.acy) * (2*w.cx - 2*p.acx - 1) < 0
+             AND (2*p.bcx - 2*p.acx) * (2*w.cy - 2*p.acy - 1)
+             - (2*p.bcy - 2*p.acy) * (2*w.cx + 2 - 2*p.acx - 1) < 0
+             AND (2*p.bcx - 2*p.acx) * (2*w.cy + 2 - 2*p.acy - 1)
+             - (2*p.bcy - 2*p.acy) * (2*w.cx - 2*p.acx - 1) < 0
+             AND (2*p.bcx - 2*p.acx) * (2*w.cy + 2 - 2*p.acy - 1)
+             - (2*p.bcy - 2*p.acy) * (2*w.cx + 2 - 2*p.acx - 1) < 0))
+         GROUP BY p.acx, p.acy, p.bcx, p.bcy)
+SELECT acx AS ax, acy AS ay, bcx AS bx, bcy AS by_,
+       CAST(nb AS BIGINT) AS n_blockers,
+       CAST(CASE WHEN nb > 0 THEN 1 ELSE 0 END AS BIGINT) AS blocked
+FROM hits
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -11504,6 +11636,7 @@ REGISTRY: dict[str, tuple] = {
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "common_span": (q_common_span, SQL_COMMON_SPAN),
     "morph_open": (q_morph_open, SQL_MORPH_OPEN),
+    "line_of_sight": (q_line_of_sight, SQL_LINE_OF_SIGHT),
 }
 
 

@@ -1379,3 +1379,72 @@ def test_morph_open_vs_bruteforce(ray_session):
     assert got_d == want
     assert 0 < len(er) < len(mask)      # erosion did remove boundary
     assert 0 < sum(want.values()) < len(mask)
+
+
+def test_line_of_sight_vs_bruteforce(ray_session):
+    """line_of_sight matches a Fraction-exact segment sampler: a wall
+    blocks iff the continuous segment between centers passes through
+    its closed square (checked with fine rational sampling plus the
+    same SAT predicate as an independent cross-check)."""
+    from fractions import Fraction
+
+    got = q.q_line_of_sight(SF_DIR).to_pandas()
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    cells = {}
+    for x, y in zip(pts["ix"].to_numpy() // 8192,
+                    pts["iy"].to_numpy() // 8192):
+        cells[(int(x), int(y))] = cells.get((int(x), int(y)), 0) + 1
+    nc, s = len(cells), sum(cells.values())
+    top = sorted(cells.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+    cities = sorted(c for c, _ in top)
+    walls = {c for c, n in cells.items() if n * nc > 4 * s}
+
+    def seg_hits_box(a, b, w):
+        p0 = (2 * a[0] + 1, 2 * a[1] + 1)
+        p1 = (2 * b[0] + 1, 2 * b[1] + 1)
+        bx0, by0, bx1, by1 = 2 * w[0], 2 * w[1], 2 * w[0] + 2, 2 * w[1] + 2
+        if max(p0[0], p1[0]) < bx0 or min(p0[0], p1[0]) > bx1 \
+                or max(p0[1], p1[1]) < by0 or min(p0[1], p1[1]) > by1:
+            return False
+        dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+        fs = [dx * (qy - p0[1]) - dy * (qx - p0[0])
+              for qx, qy in ((bx0, by0), (bx1, by0),
+                             (bx0, by1), (bx1, by1))]
+        return not (all(f > 0 for f in fs) or all(f < 0 for f in fs))
+
+    def seg_hits_box_sample(a, b, w):
+        # independent check: dense rational sampling of the segment
+        p0 = (Fraction(2 * a[0] + 1), Fraction(2 * a[1] + 1))
+        p1 = (Fraction(2 * b[0] + 1), Fraction(2 * b[1] + 1))
+        N = 2000
+        for k in range(N + 1):
+            t = Fraction(k, N)
+            x = p0[0] + t * (p1[0] - p0[0])
+            y = p0[1] + t * (p1[1] - p0[1])
+            if 2 * w[0] <= x <= 2 * w[0] + 2 \
+                    and 2 * w[1] <= y <= 2 * w[1] + 2:
+                return True
+        return False
+
+    idx = {}
+    for i, a in enumerate(cities):
+        for b in cities[i + 1:]:
+            nb = 0
+            for w in walls:
+                if w in (a, b):
+                    continue
+                hit = seg_hits_box(a, b, w)
+                if hit:
+                    nb += 1
+                    # sampling can only confirm, not refute (tangent
+                    # touches may fall between samples)
+                if seg_hits_box_sample(a, b, w):
+                    assert hit
+            idx[(a, b)] = nb
+    for r in got.itertuples():
+        k = ((int(r.ax), int(r.ay)), (int(r.bx), int(r.by_)))
+        assert int(r.n_blockers) == idx[k]
+        assert int(r.blocked) == int(idx[k] > 0)
+    assert len(got) == 15
+    vals = {int(r.blocked) for r in got.itertuples()}
+    assert vals == {0, 1}   # some pairs blocked, some clear
