@@ -11407,6 +11407,204 @@ FROM hits
 """
 
 
+def q_winsor_mean(sf_dir: str):
+    """Winsorized robust mean per event_type: clamp value cents to
+    the discrete P10/P90 (the mad_events quantile convention,
+    sv[max(0, ceil(p*n)-1)]) and report the exact clamped integer sum
+    — the mean stays a deferred single division. One bucketed
+    per-type sort."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gg in g.groupby("event_type", sort=False):
+            c = np.rint(gg["value"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            sv = np.sort(c)
+            n = len(sv)
+            p10 = int(sv[max(0, -(-n // 10) - 1)])
+            p90 = int(sv[max(0, -(-(9 * n) // 10) - 1)])
+            w = np.clip(c, p10, p90)
+            rows.append({"event_type": et, "n": n,
+                         "p10_cents": p10, "p90_cents": p90,
+                         "wsum_cents": int(w.sum())})
+        cols = ("event_type", "n", "p10_cents", "p90_cents",
+                "wsum_cents")
+        return pd.DataFrame(rows, columns=list(cols))
+
+    return rel.bucketed_group_apply(ds, ["event_type"], per_type)
+
+
+SQL_WINSOR_MEAN = """
+WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+m AS (SELECT event_type, quantile_disc(c, 0.1) AS p10,
+             quantile_disc(c, 0.9) AS p90
+      FROM v GROUP BY event_type)
+SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ANY_VALUE(m.p10) AS BIGINT) AS p10_cents,
+       CAST(ANY_VALUE(m.p90) AS BIGINT) AS p90_cents,
+       CAST(SUM(least(greatest(v.c, m.p10), m.p90)) AS BIGINT)
+         AS wsum_cents
+FROM v JOIN m USING (event_type) GROUP BY v.event_type
+"""
+
+
+def q_capacity_assign(sf_dir: str):
+    """Capacitated facility allocation: customers go to their nearest
+    of the 6 densest cells (squared lattice distance, ties to the
+    lower city index), each city capped at C = n_customers // 6; the
+    overflow (per-city rank by (d2, custkey) beyond C) retries its
+    SECOND-nearest city against the capacity left from round 1;
+    still-unassigned get city -1. Two bucketed rank shuffles plus a
+    6-number capacity fold — the global greedy is replaced by this
+    deterministic 2-round spec so both engines replay it exactly.
+    Returns (ck, city, rnd)."""
+    import ray
+
+    from pythongis_ray import state
+
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    grid = rel.groupby_aggregate(
+        pts.map_batches(cellify, batch_format="pyarrow",
+                        batch_size=65536),
+        ["cx", "cy"], [("n", "cx", "count")])
+    top = grid.sort([("n"), ("cx"), ("cy")],
+                    descending=[True, False, False]).limit(6) \
+        .to_pandas()
+    cities = sorted((int(r.cx), int(r.cy)) for r in top.itertuples())
+    # city reference point = center of the cell in lattice units
+    cpts = np.array([[cx * 8192 + 4096, cy * 8192 + 4096]
+                     for cx, cy in cities], np.int64)
+    cref = ray.put(cpts)
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+    ncust = cust.count()
+    cap = ncust // 6
+
+    def dists(batch: pa.Table) -> pd.DataFrame:
+        cp = state.get_broadcast(cref, key_extra=("capassign",))
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ix, iy = fixtures.geocode_units(k * 4 + 1)
+        d2 = (ix[:, None] - cp[None, :, 0]) ** 2 \
+            + (iy[:, None] - cp[None, :, 1]) ** 2
+        order = np.argsort(d2, axis=1, kind="stable")
+        i1, i2 = order[:, 0], order[:, 1]
+        r = np.arange(len(k))
+        return pd.DataFrame({"ck": k * 4 + 1,
+                             "ci1": i1.astype(np.int64),
+                             "d1": d2[r, i1], "ci2": i2.astype(np.int64),
+                             "d2_": d2[r, i2]})
+
+    dd = cust.map_batches(dists, batch_format="pyarrow",
+                          batch_size=65536)
+
+    def rank1(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for ci, gg in g.groupby("ci1", sort=False):
+            gg = gg.sort_values(["d1", "ck"], kind="stable")
+            pos = np.arange(1, len(gg) + 1, dtype=np.int64)
+            out.append(gg.assign(pos=pos))
+        return pd.concat(out, ignore_index=True)
+
+    r1 = rel.bucketed_group_apply(dd, ["ci1"], rank1).materialize()
+
+    acounts = r1.map_batches(
+        lambda b: b.loc[b["pos"] <= cap].groupby("ci1").size()
+        .reset_index(name="m"),
+        batch_format="pandas").to_pandas()
+    used = acounts.groupby("ci1")["m"].sum() if len(acounts) else {}
+    rem = {ci: cap - int(used.get(ci, 0)) for ci in range(6)}
+    rref = ray.put(rem)
+
+    def emit1(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[b["pos"] <= cap]
+        return pd.DataFrame({"ck": a["ck"].to_numpy(np.int64),
+                             "city": a["ci1"].to_numpy(np.int64),
+                             "rnd": np.ones(len(a), np.int64)})
+
+    part1 = r1.map_batches(emit1, batch_format="pandas")
+
+    def spill(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["pos"] > cap][["ck", "ci2", "d2_"]]
+
+    sp = r1.map_batches(spill, batch_format="pandas")
+
+    def rank2(g: pd.DataFrame) -> pd.DataFrame:
+        rm = state.get_broadcast(rref, key_extra=("caprem",))
+        out = []
+        for ci, gg in g.groupby("ci2", sort=False):
+            gg = gg.sort_values(["d2_", "ck"], kind="stable")
+            pos2 = np.arange(1, len(gg) + 1, dtype=np.int64)
+            ok = pos2 <= rm[int(ci)]
+            out.append(pd.DataFrame({
+                "ck": gg["ck"].to_numpy(np.int64),
+                "city": np.where(ok, int(ci), -1).astype(np.int64),
+                "rnd": np.where(ok, 2, 0).astype(np.int64)}))
+        if not out:
+            return pd.DataFrame({c: np.array([], np.int64)
+                                 for c in ("ck", "city", "rnd")})
+        return pd.concat(out, ignore_index=True)
+
+    part2 = rel.bucketed_group_apply(sp, ["ci2"], rank2)
+    return part1.union(part2)
+
+
+def SQL_CAPACITY_ASSIGN():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS gx, iy // 8192 AS gy, COUNT(*) AS n
+      FROM pts GROUP BY 1, 2),
+top6 AS (SELECT gx, gy FROM g ORDER BY n DESC, gx, gy LIMIT 6),
+cities AS (SELECT gx * 8192 + 4096 AS px, gy * 8192 + 4096 AS py,
+                  ROW_NUMBER() OVER (ORDER BY gx, gy) - 1 AS ci
+           FROM top6),
+cap AS (SELECT COUNT(*) // 6 AS c FROM customer),
+cp AS ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")}),
+d AS (SELECT cp.ck, c.ci,
+             (cp.ix - c.px) * (cp.ix - c.px)
+               + (cp.iy - c.py) * (cp.iy - c.py) AS d2,
+             ROW_NUMBER() OVER (PARTITION BY cp.ck
+                                ORDER BY (cp.ix - c.px) * (cp.ix - c.px)
+                                       + (cp.iy - c.py) * (cp.iy - c.py),
+                                         c.ci) AS rnk
+      FROM cp CROSS JOIN cities c),
+r1 AS (SELECT ck, ci, d2,
+              ROW_NUMBER() OVER (PARTITION BY ci ORDER BY d2, ck)
+                AS pos
+       FROM d WHERE rnk = 1),
+a1 AS (SELECT ck, ci AS city, 1 AS rnd FROM r1, cap
+       WHERE pos <= cap.c),
+rem AS (SELECT c.ci, cap.c - COUNT(r1.ck) AS r
+        FROM cities c CROSS JOIN cap
+        LEFT JOIN r1 ON r1.ci = c.ci AND r1.pos <= cap.c
+        GROUP BY c.ci, cap.c),
+sp AS (SELECT r1.ck, d.ci AS ci2, d.d2 AS d22
+       FROM r1 CROSS JOIN cap
+       JOIN d ON d.ck = r1.ck AND d.rnk = 2
+       WHERE r1.pos > cap.c),
+r2 AS (SELECT sp.*, rem.r,
+              ROW_NUMBER() OVER (PARTITION BY sp.ci2
+                                 ORDER BY sp.d22, sp.ck) AS pos2
+       FROM sp JOIN rem ON rem.ci = sp.ci2),
+a2 AS (SELECT ck, CASE WHEN pos2 <= r THEN ci2 ELSE -1 END AS city,
+              CASE WHEN pos2 <= r THEN 2 ELSE 0 END AS rnd
+       FROM r2)
+SELECT ck, CAST(city AS BIGINT) AS city, CAST(rnd AS BIGINT) AS rnd
+FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -11637,6 +11835,8 @@ REGISTRY: dict[str, tuple] = {
     "common_span": (q_common_span, SQL_COMMON_SPAN),
     "morph_open": (q_morph_open, SQL_MORPH_OPEN),
     "line_of_sight": (q_line_of_sight, SQL_LINE_OF_SIGHT),
+    "winsor_mean": (q_winsor_mean, SQL_WINSOR_MEAN),
+    "capacity_assign": (q_capacity_assign, SQL_CAPACITY_ASSIGN),
 }
 
 

@@ -1448,3 +1448,71 @@ def test_line_of_sight_vs_bruteforce(ray_session):
     assert len(got) == 15
     vals = {int(r.blocked) for r in got.itertuples()}
     assert vals == {0, 1}   # some pairs blocked, some clear
+
+
+def test_winsor_mean_vs_bruteforce(ray_session):
+    got = q.q_winsor_mean(SF_DIR).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "value"])
+    for et, g in ev.groupby("event_type"):
+        c = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        sv = np.sort(c)
+        n = len(sv)
+        p10 = int(sv[max(0, -(-n // 10) - 1)])
+        p90 = int(sv[max(0, -(-(9 * n) // 10) - 1)])
+        row = got.loc[et]
+        assert (int(row["n"]), int(row["p10_cents"]),
+                int(row["p90_cents"]), int(row["wsum_cents"])) == \
+            (n, p10, p90, int(np.clip(c, p10, p90).sum()))
+        assert p10 < p90
+
+
+def test_capacity_assign_vs_bruteforce(ray_session):
+    from pythongis_ray import fixtures
+
+    got = q.q_capacity_assign(SF_DIR).to_pandas()
+    pts = q.points_lineitem(SF_DIR).to_pandas()
+    cells = {}
+    for x, y in zip(pts["ix"].to_numpy() // 8192,
+                    pts["iy"].to_numpy() // 8192):
+        cells[(int(x), int(y))] = cells.get((int(x), int(y)), 0) + 1
+    top = sorted(cells.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+    cities = sorted(c for c, _ in top)
+    cpts = [(cx * 8192 + 4096, cy * 8192 + 4096) for cx, cy in cities]
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_custkey"])
+    keys = cust["c_custkey"].to_numpy(np.int64)
+    ix, iy = fixtures.geocode_units(keys * 4 + 1)
+    cap = len(keys) // 6
+    rows = []
+    for k, x, y in zip(keys * 4 + 1, ix, iy):
+        ds2 = [(int((x - px) ** 2 + (y - py) ** 2), ci)
+               for ci, (px, py) in enumerate(cpts)]
+        ds2.sort()
+        rows.append((int(k), ds2[0][1], ds2[0][0], ds2[1][1], ds2[1][0]))
+    byc = {}
+    for k, c1, d1, c2, d2 in rows:
+        byc.setdefault(c1, []).append((d1, k, c2, d2))
+    want = {}
+    remaining = {ci: cap for ci in range(6)}
+    spills = []
+    for ci, lst in byc.items():
+        lst.sort()
+        for pos, (d1, k, c2, d2) in enumerate(lst, 1):
+            if pos <= cap:
+                want[k] = (ci, 1)
+                remaining[ci] -= 1
+            else:
+                spills.append((c2, d2, k))
+    by2 = {}
+    for c2, d2, k in spills:
+        by2.setdefault(c2, []).append((d2, k))
+    for c2, lst in by2.items():
+        lst.sort()
+        for pos, (d2, k) in enumerate(lst, 1):
+            want[k] = (c2, 2) if pos <= remaining[c2] else (-1, 0)
+    got_d = {int(r.ck): (int(r.city), int(r.rnd))
+             for r in got.itertuples()}
+    assert got_d == want
+    rnds = pd.Series([v[1] for v in want.values()]).value_counts()
+    assert rnds.get(1, 0) > 0 and (rnds.get(2, 0) + rnds.get(0, 0)) > 0
