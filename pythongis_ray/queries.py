@@ -11605,6 +11605,197 @@ FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
 """
 
 
+def q_flow_raster(sf_dir: str):
+    """Flow-map rasterization: the top-10 OD flows (od_matrix zones,
+    ties lex) are burned onto the 64x64-unit zone grid — every zone
+    cell whose closed square intersects the center-to-center segment
+    (the line_of_sight SAT predicate on doubled coords) accumulates
+    that flow's count. Output (zx, zy, flow). Candidate cells come
+    from each pair's bbox (vectorized meshgrid per pair — bounded by
+    extent, not data)."""
+    od = q_od_matrix(sf_dir).to_pandas()
+    od = od[od["zf"] != od["zt"]]
+    od = od.sort_values(["n", "zf", "zt"],
+                        ascending=[False, True, True]).head(10)
+
+    acc: dict = {}
+    for r in od.itertuples():
+        za = (int(r.zf) // 64, int(r.zf) % 64)
+        zb = (int(r.zt) // 64, int(r.zt) % 64)
+        n = int(r.n)
+        p0 = (2 * za[0] + 1, 2 * za[1] + 1)
+        p1 = (2 * zb[0] + 1, 2 * zb[1] + 1)
+        x0, x1 = sorted((za[0], zb[0]))
+        y0, y1 = sorted((za[1], zb[1]))
+        gx, gy = np.meshgrid(np.arange(x0, x1 + 1),
+                             np.arange(y0, y1 + 1), indexing="ij")
+        gx, gy = gx.ravel(), gy.ravel()
+        bx0, by0 = 2 * gx, 2 * gy
+        bx1, by1 = bx0 + 2, by0 + 2
+        bb = ~((max(p0[0], p1[0]) < bx0) | (min(p0[0], p1[0]) > bx1)
+               | (max(p0[1], p1[1]) < by0) | (min(p0[1], p1[1]) > by1))
+        dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+
+        def f(qx, qy):
+            return dx * (qy - p0[1]) - dy * (qx - p0[0])
+
+        f1, f2 = f(bx0, by0), f(bx1, by0)
+        f3, f4 = f(bx0, by1), f(bx1, by1)
+        allpos = (f1 > 0) & (f2 > 0) & (f3 > 0) & (f4 > 0)
+        allneg = (f1 < 0) & (f2 < 0) & (f3 < 0) & (f4 < 0)
+        hit = bb & ~allpos & ~allneg
+        for x, y in zip(gx[hit], gy[hit]):
+            acc[(int(x), int(y))] = acc.get((int(x), int(y)), 0) + n
+    ks = sorted(acc)
+    return pa.table({"zx": pa.array([k[0] for k in ks], pa.int64()),
+                     "zy": pa.array([k[1] for k in ks], pa.int64()),
+                     "flow": pa.array([acc[k] for k in ks],
+                                      pa.int64())})
+
+
+def SQL_FLOW_RASTER():
+    od = SQL_OD_MATRIX().strip()
+    return f"""
+WITH od AS ({od}),
+top10 AS (SELECT zf, zt, n FROM od WHERE zf <> zt
+          ORDER BY n DESC, zf, zt LIMIT 10),
+seg AS (SELECT zf // 64 AS ax, zf % 64 AS ay,
+               zt // 64 AS bx, zt % 64 AS by_, n
+        FROM top10),
+cand AS (SELECT s.*, gx.range AS zx, gy.range AS zy
+         FROM seg s
+         CROSS JOIN range(0, 64) gx CROSS JOIN range(0, 64) gy
+         WHERE gx.range BETWEEN least(s.ax, s.bx)
+                            AND greatest(s.ax, s.bx)
+           AND gy.range BETWEEN least(s.ay, s.by_)
+                            AND greatest(s.ay, s.by_)),
+hit AS (SELECT zx, zy, n FROM cand
+        WHERE NOT (greatest(2*ax+1, 2*bx+1) < 2*zx
+                   OR least(2*ax+1, 2*bx+1) > 2*zx + 2
+                   OR greatest(2*ay+1, 2*by_+1) < 2*zy
+                   OR least(2*ay+1, 2*by_+1) > 2*zy + 2)
+          AND NOT (
+            ((2*bx-2*ax) * (2*zy-2*ay-1) - (2*by_-2*ay) * (2*zx-2*ax-1) > 0
+             AND (2*bx-2*ax) * (2*zy-2*ay-1)
+                 - (2*by_-2*ay) * (2*zx+2-2*ax-1) > 0
+             AND (2*bx-2*ax) * (2*zy+2-2*ay-1)
+                 - (2*by_-2*ay) * (2*zx-2*ax-1) > 0
+             AND (2*bx-2*ax) * (2*zy+2-2*ay-1)
+                 - (2*by_-2*ay) * (2*zx+2-2*ax-1) > 0)
+            OR
+            ((2*bx-2*ax) * (2*zy-2*ay-1) - (2*by_-2*ay) * (2*zx-2*ax-1) < 0
+             AND (2*bx-2*ax) * (2*zy-2*ay-1)
+                 - (2*by_-2*ay) * (2*zx+2-2*ax-1) < 0
+             AND (2*bx-2*ax) * (2*zy+2-2*ay-1)
+                 - (2*by_-2*ay) * (2*zx-2*ax-1) < 0
+             AND (2*bx-2*ax) * (2*zy+2-2*ay-1)
+                 - (2*by_-2*ay) * (2*zx+2-2*ax-1) < 0)))
+SELECT zx, zy, CAST(SUM(n) AS BIGINT) AS flow
+FROM hit GROUP BY zx, zy
+"""
+
+
+def q_kd_partition(sf_dir: str):
+    """Balanced kd-tree partitioning of customer points (the spatial
+    load-balancing shard assignment): three alternating median splits
+    (x, then y per half, then x per quarter; discrete median =
+    sorted[ceil(n/2)-1], point goes left iff coord <= median) give
+    every point a leaf id 0..7. Each round is ONE histogram fold —
+    per-leaf coordinate bincounts are extent-bounded (2^19), so the
+    medians come from a driver-side cumulative scan of partials,
+    never a per-leaf sort. Returns (ck, leaf)."""
+    import ray
+
+    from pythongis_ray import state
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+
+    def to_pts(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ix, iy = fixtures.geocode_units(k * 4 + 1)
+        return pa.table({"ck": pa.array(k * 4 + 1),
+                         "x": pa.array(ix), "y": pa.array(iy)})
+
+    pts = cust.map_batches(to_pts, batch_format="pyarrow",
+                           batch_size=65536).materialize()
+
+    LX2 = 1 << 19
+    splits: dict = {}     # (depth, leaf-prefix) -> median
+
+    for d in range(3):
+        sref = ray.put(dict(splits))
+
+        def hist(batch: pa.Table, _d=d, _s=sref) -> pd.DataFrame:
+            sp = state.get_broadcast(_s, key_extra=("kd", _d))
+            x = batch["x"].to_numpy(zero_copy_only=False)
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            lab = np.zeros(len(x), np.int64)
+            for dd in range(_d):
+                coord = x if dd % 2 == 0 else y
+                med = np.array([sp[(dd, int(p))]
+                                for p in range(1 << dd)], np.int64)
+                b = (coord > med[lab]).astype(np.int64)
+                lab = lab * 2 + b
+            coord = x if _d % 2 == 0 else y
+            c = np.bincount(lab * LX2 + coord,
+                            minlength=(1 << _d) * LX2)
+            nz = np.flatnonzero(c)
+            return pd.DataFrame({"k": nz.astype(np.int64),
+                                 "c": c[nz].astype(np.int64)})
+
+        parts = pts.map_batches(hist, batch_format="pyarrow",
+                                batch_size=65536).to_pandas()
+        agg = parts.groupby("k")["c"].sum()
+        for p in range(1 << d):
+            sel = agg[(agg.index >= p * LX2)
+                      & (agg.index < (p + 1) * LX2)]
+            n = int(sel.sum())
+            target = -(-n // 2)          # ceil(n/2)
+            cum = sel.cumsum()
+            med_key = int(cum.index[np.searchsorted(
+                cum.to_numpy(), target)])
+            splits[(d, p)] = med_key - p * LX2
+
+    fref = ray.put(dict(splits))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        sp = state.get_broadcast(fref, key_extra=("kdf",))
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        lab = np.zeros(len(x), np.int64)
+        for dd in range(3):
+            coord = x if dd % 2 == 0 else y
+            med = np.array([sp[(dd, int(p))] for p in range(1 << dd)],
+                           np.int64)
+            b = (coord > med[lab]).astype(np.int64)
+            lab = lab * 2 + b
+        return pa.table({"ck": batch["ck"],
+                         "leaf": pa.array(lab)})
+
+    return pts.map_batches(assign, batch_format="pyarrow",
+                           batch_size=65536)
+
+
+def SQL_KD_PARTITION():
+    return f"""
+WITH cp AS ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")}),
+p AS (SELECT ck, ix AS x, iy AS y FROM cp),
+m1 AS (SELECT quantile_disc(x, 0.5) AS mx FROM p),
+l1 AS (SELECT p.*, CASE WHEN p.x <= m1.mx THEN 0 ELSE 1 END AS b1
+       FROM p, m1),
+m2 AS (SELECT b1, quantile_disc(y, 0.5) AS my FROM l1 GROUP BY b1),
+l2 AS (SELECT l1.*, CASE WHEN l1.y <= m2.my THEN 0 ELSE 1 END AS b2
+       FROM l1 JOIN m2 USING (b1)),
+m3 AS (SELECT b1, b2, quantile_disc(x, 0.5) AS mx2 FROM l2
+       GROUP BY b1, b2),
+l3 AS (SELECT l2.*, CASE WHEN l2.x <= m3.mx2 THEN 0 ELSE 1 END AS b3
+       FROM l2 JOIN m3 USING (b1, b2))
+SELECT ck, CAST(b1 * 4 + b2 * 2 + b3 AS BIGINT) AS leaf FROM l3
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -11837,6 +12028,8 @@ REGISTRY: dict[str, tuple] = {
     "line_of_sight": (q_line_of_sight, SQL_LINE_OF_SIGHT),
     "winsor_mean": (q_winsor_mean, SQL_WINSOR_MEAN),
     "capacity_assign": (q_capacity_assign, SQL_CAPACITY_ASSIGN),
+    "flow_raster": (q_flow_raster, SQL_FLOW_RASTER),
+    "kd_partition": (q_kd_partition, SQL_KD_PARTITION),
 }
 
 

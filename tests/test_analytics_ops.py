@@ -1516,3 +1516,70 @@ def test_capacity_assign_vs_bruteforce(ray_session):
     assert got_d == want
     rnds = pd.Series([v[1] for v in want.values()]).value_counts()
     assert rnds.get(1, 0) > 0 and (rnds.get(2, 0) + rnds.get(0, 0)) > 0
+
+
+def test_flow_raster_vs_bruteforce(ray_session):
+    """flow_raster burns exactly the cells whose closed square meets
+    each top-flow segment (Fraction-sampled cross-check), and totals
+    are consistent with the OD matrix."""
+    got = q.q_flow_raster(SF_DIR).to_pandas()
+    od = q.q_od_matrix(SF_DIR).to_pandas()
+    od = od[od["zf"] != od["zt"]]
+    top = od.sort_values(["n", "zf", "zt"],
+                         ascending=[False, True, True]).head(10)
+    acc = {}
+    for r in top.itertuples():
+        a = (int(r.zf) // 64, int(r.zf) % 64)
+        b = (int(r.zt) // 64, int(r.zt) % 64)
+        p0 = (2 * a[0] + 1, 2 * a[1] + 1)
+        p1 = (2 * b[0] + 1, 2 * b[1] + 1)
+        for zx in range(min(a[0], b[0]), max(a[0], b[0]) + 1):
+            for zy in range(min(a[1], b[1]), max(a[1], b[1]) + 1):
+                bx0, by0, bx1, by1 = 2 * zx, 2 * zy, 2 * zx + 2, 2 * zy + 2
+                if max(p0[0], p1[0]) < bx0 or min(p0[0], p1[0]) > bx1 \
+                        or max(p0[1], p1[1]) < by0 \
+                        or min(p0[1], p1[1]) > by1:
+                    continue
+                dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+                fs = [dx * (qy - p0[1]) - dy * (qx - p0[0])
+                      for qx, qy in ((bx0, by0), (bx1, by0),
+                                     (bx0, by1), (bx1, by1))]
+                if all(f > 0 for f in fs) or all(f < 0 for f in fs):
+                    continue
+                acc[(zx, zy)] = acc.get((zx, zy), 0) + int(r.n)
+    got_d = {(int(r.zx), int(r.zy)): int(r.flow)
+             for r in got.itertuples()}
+    assert got_d == acc
+    assert len(acc) > 10
+
+
+def test_kd_partition_vs_bruteforce(ray_session):
+    """kd_partition matches a serial alternating-median recursion and
+    the leaves are balanced to within the median-split guarantee."""
+    from pythongis_ray import fixtures
+
+    got = q.q_kd_partition(SF_DIR).to_pandas()
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_custkey"])
+    k = cust["c_custkey"].to_numpy(np.int64)
+    ix, iy = fixtures.geocode_units(k * 4 + 1)
+
+    def qdisc(v):
+        sv = np.sort(v)
+        return int(sv[max(0, -(-len(sv) // 2) - 1)])
+
+    lab = np.zeros(len(k), np.int64)
+    for d in range(3):
+        coord = ix if d % 2 == 0 else iy
+        nxt = np.zeros_like(lab)
+        for p in np.unique(lab):
+            m = lab == p
+            med = qdisc(coord[m])
+            nxt[m] = p * 2 + (coord[m] > med)
+        lab = nxt
+    want = dict(zip((k * 4 + 1).tolist(), lab.tolist()))
+    got_d = {int(r.ck): int(r.leaf) for r in got.itertuples()}
+    assert got_d == want
+    counts = pd.Series(list(want.values())).value_counts()
+    assert len(counts) == 8
+    assert counts.max() - counts.min() <= 8   # median splits balance
