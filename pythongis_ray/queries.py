@@ -11796,6 +11796,142 @@ SELECT ck, CAST(b1 * 4 + b2 * 2 + b3 AS BIGINT) AS leaf FROM l3
 """
 
 
+RRF_C = 60
+RRF_SCALE = 1_000_000
+
+
+def q_rrf_fuse(sf_dir: str):
+    """Reciprocal-rank fusion of the two retrieval pipelines (integer
+    BM25 top-k and the inverted-index tf-idf top-k): each list is
+    ranked by (score DESC, doc_id) and a doc's fused score is
+    sum over lists of RRF_SCALE // (RRF_C + rank) — the classic RRF
+    with the division floored so everything stays integer. Top-10 by
+    (fused DESC, doc_id)."""
+    b = q_bm25_topk(sf_dir).to_pandas() \
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+    s = q_search_topk(sf_dir)
+    s = (s.to_pandas() if hasattr(s, "to_pandas") else s) \
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+    fused: dict = {}
+    for lst in (b, s):
+        for rank, did in enumerate(lst["doc_id"].astype(int), 1):
+            fused[did] = fused.get(did, 0) + RRF_SCALE // (RRF_C + rank)
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in top], pa.int64()),
+        "rrf": pa.array([v for _, v in top], pa.int64())})
+
+
+def SQL_RRF_FUSE():
+    b = get_oracle_sql_one("bm25_topk")
+    s = get_oracle_sql_one("indexed_search")
+    return f"""
+WITH bl AS ({b}),
+sl AS ({s}),
+br AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+         AS rnk FROM bl),
+sr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+         AS rnk FROM sl),
+u AS (SELECT * FROM br UNION ALL SELECT * FROM sr),
+f AS (SELECT doc_id, SUM({RRF_SCALE} // ({RRF_C} + rnk)) AS rrf
+      FROM u GROUP BY doc_id)
+SELECT doc_id, CAST(rrf AS BIGINT) AS rrf
+FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+def get_oracle_sql_one(name: str) -> str:
+    fn, sql = REGISTRY[name]
+    return (sql() if callable(sql) else sql).strip().rstrip(";")
+
+
+RING_VNODES = 64
+
+
+def q_hash_ring(sf_dir: str):
+    """Consistent-hash ring assignment (the distributed-systems
+    placement op): {RING_VNODES} virtual nodes hash the literal
+    strings 'node<i>' with the corpus token hash followed by one
+    Knuth multiplicative mixing step (the raw fold keeps suffix
+    digits in the low bits and clusters the ring); every distinct
+    event_type||'-'||user_id key routes to the successor vnode
+    (smallest vnode hash >= key hash, wrapping to the global min).
+    Returns per key: (key, vnode). Vnode table is broadcast; keys
+    stream."""
+    import ray
+
+    from pythongis_ray import state
+
+    def _h(sx: str) -> int:
+        h = 0
+        for ch in sx.encode():
+            h = (h * 1099511628211 + ch) % (1 << 64)
+        return (h * 2862933555777941757) % (1 << 64)
+
+    vn = sorted((_h(f"node{i}"), i) for i in range(RING_VNODES))
+    vh = np.array([h for h, _ in vn], np.uint64)
+    vi = np.array([i for _, i in vn], np.int64)
+    vref = ray.put((vh, vi))
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    def keys(b: pa.Table) -> pd.DataFrame:
+        et = b["event_type"].to_pandas().to_numpy(object)
+        uid = b["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = np.array([f"{e}-{u}" for e, u in zip(et, uid)], object)
+        return pd.DataFrame({"key": k}).drop_duplicates()
+
+    raw = ds.map_batches(keys, batch_format="pyarrow",
+                         batch_size=65536)
+    uniq = rel.bucketed_group_apply(
+        raw, ["key"], lambda g: g.drop_duplicates(ignore_index=True))
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        vhh, vii = state.get_broadcast(vref, key_extra=("ring",))
+        ks = b["key"].to_numpy(object)
+        hs = np.array([_h(s) for s in ks], np.uint64)
+        pos = np.searchsorted(vhh, hs, "left")
+        pos[pos == len(vhh)] = 0
+        return pd.DataFrame({"key": ks,
+                             "vnode": vii[pos].astype(np.int64)})
+
+    return uniq.map_batches(route, batch_format="pandas",
+                            batch_size=65536)
+
+
+def SQL_HASH_RING():
+    return f"""
+WITH vn AS (SELECT v.range AS i,
+              (list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                [CAST(ascii(c) AS HUGEINT)
+                 FOR c IN string_split('node' || CAST(v.range AS VARCHAR),
+                                       '')]),
+                (a, x) -> (a * 1099511628211 + x)
+                          % CAST('18446744073709551616' AS HUGEINT))
+               * 2862933555777941757)
+              % CAST('18446744073709551616' AS HUGEINT) AS h
+            FROM range(0, {RING_VNODES}) v),
+k AS (SELECT DISTINCT event_type || '-' || CAST(user_id AS VARCHAR)
+        AS key FROM events),
+kh AS (SELECT key,
+         (list_reduce(list_prepend(CAST(0 AS HUGEINT),
+           [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(key, '')]),
+           (a, x) -> (a * 1099511628211 + x)
+                     % CAST('18446744073709551616' AS HUGEINT))
+          * 2862933555777941757)
+         % CAST('18446744073709551616' AS HUGEINT) AS h
+       FROM k),
+succ AS (SELECT kh.key,
+           COALESCE((SELECT MIN(vn.h) FROM vn WHERE vn.h >= kh.h),
+                    (SELECT MIN(h) FROM vn)) AS vh
+         FROM kh)
+SELECT succ.key, CAST(vn.i AS BIGINT) AS vnode
+FROM succ JOIN vn ON vn.h = succ.vh
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -12030,6 +12166,8 @@ REGISTRY: dict[str, tuple] = {
     "capacity_assign": (q_capacity_assign, SQL_CAPACITY_ASSIGN),
     "flow_raster": (q_flow_raster, SQL_FLOW_RASTER),
     "kd_partition": (q_kd_partition, SQL_KD_PARTITION),
+    "rrf_fuse": (q_rrf_fuse, SQL_RRF_FUSE),
+    "hash_ring": (q_hash_ring, SQL_HASH_RING),
 }
 
 

@@ -1583,3 +1583,49 @@ def test_kd_partition_vs_bruteforce(ray_session):
     counts = pd.Series(list(want.values())).value_counts()
     assert len(counts) == 8
     assert counts.max() - counts.min() <= 8   # median splits balance
+
+
+def test_rrf_fuse_vs_bruteforce(ray_session):
+    got = q.q_rrf_fuse(SF_DIR).to_pandas()
+    b = q.q_bm25_topk(SF_DIR).to_pandas() \
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+    s = q.q_search_topk(SF_DIR)
+    s = (s.to_pandas() if hasattr(s, "to_pandas") else s) \
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+    fused = {}
+    for lst in (b, s):
+        for rank, did in enumerate(lst["doc_id"].astype(int), 1):
+            fused[did] = fused.get(did, 0) \
+                + q.RRF_SCALE // (q.RRF_C + rank)
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(int(r.doc_id), int(r.rrf))
+            for r in got.itertuples()] == want
+    # docs in both lists fuse higher than singletons at equal rank
+    both = set(b["doc_id"].astype(int)) & set(s["doc_id"].astype(int))
+    if both:
+        assert want[0][0] in both
+
+
+def test_hash_ring_vs_bruteforce(ray_session):
+    got = q.q_hash_ring(SF_DIR).to_pandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def _h(sx):
+        h = 0
+        for ch in sx.encode():
+            h = (h * 1099511628211 + ch) % (1 << 64)
+        return (h * 2862933555777941757) % (1 << 64)
+
+    vn = sorted((_h(f"node{i}"), i) for i in range(q.RING_VNODES))
+    keys = {f"{e}-{u}" for e, u in zip(ev["event_type"],
+                                       ev["user_id"].astype(int))}
+    want = {}
+    for kx in keys:
+        h = _h(kx)
+        succ = next((i for vh, i in vn if vh >= h), vn[0][1])
+        want[kx] = succ
+    got_d = {r.key: int(r.vnode) for r in got.itertuples()}
+    assert got_d == want
+    # the ring actually spreads keys across many vnodes
+    assert len(set(want.values())) > q.RING_VNODES // 4
