@@ -11932,6 +11932,133 @@ FROM succ JOIN vn ON vn.h = succ.vh
 """
 
 
+def q_skyline_depth(sf_dir: str):
+    """Onion peeling (Pareto depth): the first three skyline layers
+    of users on (n_events, sum_cents), maximizing both — layer 1 is
+    the skyline, layer 2 the skyline of the rest, etc. Each peel
+    reuses the distributed block-local-frontier skyline; the removed
+    frontier is an antichain (tiny), so the between-layer filter is a
+    broadcast id set, never a shuffle. Returns (user_id, n_events,
+    sum_cents, layer)."""
+    import ray
+
+    from pythongis_ray import state
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        y = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+            "n_events": np.ones(len(y), np.int64), "sum_cents": y})
+        return df.groupby("user_id", sort=False).sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    cur = rel.bucketed_group_apply(
+        parts, ["user_id"],
+        lambda g: g.groupby("user_id", sort=False).sum()
+        .reset_index().astype(np.int64)).materialize()
+
+    outs = []
+    for layer in (1, 2, 3):
+        front = rel.skyline(cur, "n_events", "sum_cents").materialize()
+        fp = front.to_pandas()
+
+        def tag(b: pd.DataFrame, _l=layer) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "n_events": b["n_events"].to_numpy(np.int64),
+                "sum_cents": b["sum_cents"].to_numpy(np.int64),
+                "layer": np.full(len(b), _l, np.int64)})
+
+        outs.append(front.map_batches(tag, batch_format="pandas"))
+        if layer == 3:
+            break
+        fref = ray.put(fp["user_id"].to_numpy(np.int64))
+
+        def drop(b: pd.DataFrame, _r=fref, _l=layer) -> pd.DataFrame:
+            gone = state.get_broadcast(_r, key_extra=("peel", _l))
+            return b[~b["user_id"].isin(gone).to_numpy()]
+
+        cur = cur.map_batches(drop, batch_format="pandas") \
+            .materialize()
+    out = outs[0].union(outs[1]).union(outs[2])
+    return out
+
+
+SQL_SKYLINE_DEPTH = """
+WITH x AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                  CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                       AS BIGINT) AS sum_cents
+           FROM events GROUP BY user_id),
+l1 AS (SELECT * FROM x a WHERE NOT EXISTS (
+         SELECT 1 FROM x b
+         WHERE b.n_events >= a.n_events AND b.sum_cents >= a.sum_cents
+           AND (b.n_events > a.n_events OR b.sum_cents > a.sum_cents))),
+r1 AS (SELECT x.* FROM x
+       WHERE NOT EXISTS (SELECT 1 FROM l1
+                         WHERE l1.user_id = x.user_id)),
+l2 AS (SELECT * FROM r1 a WHERE NOT EXISTS (
+         SELECT 1 FROM r1 b
+         WHERE b.n_events >= a.n_events AND b.sum_cents >= a.sum_cents
+           AND (b.n_events > a.n_events OR b.sum_cents > a.sum_cents))),
+r2 AS (SELECT r1.* FROM r1
+       WHERE NOT EXISTS (SELECT 1 FROM l2
+                         WHERE l2.user_id = r1.user_id)),
+l3 AS (SELECT * FROM r2 a WHERE NOT EXISTS (
+         SELECT 1 FROM r2 b
+         WHERE b.n_events >= a.n_events AND b.sum_cents >= a.sum_cents
+           AND (b.n_events > a.n_events OR b.sum_cents > a.sum_cents)))
+SELECT user_id, n_events, sum_cents, CAST(1 AS BIGINT) AS layer FROM l1
+UNION ALL
+SELECT user_id, n_events, sum_cents, CAST(2 AS BIGINT) FROM l2
+UNION ALL
+SELECT user_id, n_events, sum_cents, CAST(3 AS BIGINT) FROM l3
+"""
+
+
+def q_flow_direction(sf_dir: str):
+    """Net flow direction per origin zone (directional statistics of
+    the OD matrix): integer vector sums sdx = Σ n*(bx-ax),
+    sdy = Σ n*(by-ay) over outgoing flows (self-flows excluded) plus
+    the outgoing total — the mean direction stays a deferred
+    division/atan2."""
+    od = q_od_matrix(sf_dir)
+
+    def direct(b: pd.DataFrame) -> pd.DataFrame:
+        zf = b["zf"].to_numpy(np.int64)
+        zt = b["zt"].to_numpy(np.int64)
+        n = b["n"].to_numpy(np.int64)
+        m = zf != zt
+        zf, zt, n = zf[m], zt[m], n[m]
+        dx = (zt // 64) - (zf // 64)
+        dy = (zt % 64) - (zf % 64)
+        d = pd.DataFrame({"zf": zf, "n": n, "sdx": n * dx,
+                          "sdy": n * dy})
+        return d.groupby("zf", sort=False).sum().reset_index() \
+            .astype(np.int64)
+
+    parts = od.map_batches(direct, batch_format="pandas",
+                           batch_size=65536)
+    return rel.bucketed_group_apply(
+        parts, ["zf"],
+        lambda g: g.groupby("zf", sort=False).sum().reset_index()
+        .astype(np.int64))
+
+
+def SQL_FLOW_DIRECTION():
+    return f"""
+WITH od AS ({SQL_OD_MATRIX().strip()})
+SELECT zf, CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(n * ((zt // 64) - (zf // 64))) AS BIGINT) AS sdx,
+       CAST(SUM(n * ((zt % 64) - (zf % 64))) AS BIGINT) AS sdy
+FROM od WHERE zf <> zt GROUP BY zf
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -12168,6 +12295,8 @@ REGISTRY: dict[str, tuple] = {
     "kd_partition": (q_kd_partition, SQL_KD_PARTITION),
     "rrf_fuse": (q_rrf_fuse, SQL_RRF_FUSE),
     "hash_ring": (q_hash_ring, SQL_HASH_RING),
+    "skyline_depth": (q_skyline_depth, SQL_SKYLINE_DEPTH),
+    "flow_direction": (q_flow_direction, SQL_FLOW_DIRECTION),
 }
 
 

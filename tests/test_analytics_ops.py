@@ -1629,3 +1629,49 @@ def test_hash_ring_vs_bruteforce(ray_session):
     assert got_d == want
     # the ring actually spreads keys across many vnodes
     assert len(set(want.values())) > q.RING_VNODES // 4
+
+
+def test_skyline_depth_vs_bruteforce(ray_session):
+    got = q.q_skyline_depth(SF_DIR).to_pandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "value"])
+    c = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    agg = pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                        "n": 1, "s": c}).groupby("u").sum()
+    pts = {int(u): (int(r["n"]), int(r["s"]))
+           for u, r in agg.iterrows()}
+    want = {}
+    remaining = dict(pts)
+    for layer in (1, 2, 3):
+        front = []
+        for u, (x, y) in remaining.items():
+            dom = any(bx >= x and by >= y and (bx > x or by > y)
+                      for v, (bx, by) in remaining.items() if v != u)
+            if not dom:
+                front.append(u)
+        for u in front:
+            want[u] = (pts[u][0], pts[u][1], layer)
+            del remaining[u]
+    got_d = {int(r.user_id): (int(r.n_events), int(r.sum_cents),
+                              int(r.layer)) for r in got.itertuples()}
+    assert got_d == want
+    layers = pd.Series([v[2] for v in want.values()]).value_counts()
+    assert set(layers.index) == {1, 2, 3}
+
+
+def test_flow_direction_vs_bruteforce(ray_session):
+    got = q.q_flow_direction(SF_DIR).to_pandas().set_index("zf")
+    od = q.q_od_matrix(SF_DIR).to_pandas()
+    od = od[od["zf"] != od["zt"]]
+    want = {}
+    for r in od.itertuples():
+        dx = (int(r.zt) // 64) - (int(r.zf) // 64)
+        dy = (int(r.zt) % 64) - (int(r.zf) % 64)
+        n0, sx, sy = want.get(int(r.zf), (0, 0, 0))
+        want[int(r.zf)] = (n0 + int(r.n), sx + int(r.n) * dx,
+                           sy + int(r.n) * dy)
+    for zf, (n0, sx, sy) in want.items():
+        row = got.loc[zf]
+        assert (int(row["n"]), int(row["sdx"]), int(row["sdy"])) == \
+            (n0, sx, sy)
+    assert len(got) == len(want)
