@@ -1752,3 +1752,96 @@ def _scc_rounds(edges, shards, nb, src, dst, outer, inner):
             break
     return rd.from_arrow_refs(
         [sh.result.remote() for sh in shards]).materialize()
+
+
+def _truss_support(e):
+    """Per-edge triangle support over a CANONICAL (u<v, distinct)
+    edge Dataset: enumerate triangles a<b<c via wedge join (b) +
+    closing-edge probe ((a,c) composite key), then count each
+    triangle once toward all three of its edges. Edges in no
+    triangle do not appear (support 0). Returns Dataset
+    (u, v, support). Uses the bucketed fallback join — the native
+    Dataset.join spawns a fresh actor pool per call, too costly for
+    the peeling loop."""
+    ab = e.map_batches(lambda b: pa.table({"a": b["u"], "b": b["v"]}),
+                       batch_format="pyarrow", batch_size=65536)
+    bc = e.map_batches(lambda b: pa.table({"b": b["u"], "c": b["v"]}),
+                       batch_format="pyarrow", batch_size=65536)
+    ac = e.map_batches(lambda b: pa.table({"a": b["u"], "c": b["v"]}),
+                       batch_format="pyarrow", batch_size=65536)
+    wedges = rel.join_large(ab, bc, on="b", num_buckets=16, native=False)
+    tri = rel.join_large(
+        wedges.map_batches(lambda b: b.select(["a", "b", "c"]),
+                           batch_format="pyarrow", batch_size=65536),
+        ac, on=["a", "c"], num_buckets=16, native=False)
+
+    def emit_roles(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": np.concatenate([a, b, a]).astype(np.int64),
+            "v": np.concatenate([b, c, c]).astype(np.int64)})
+
+    roles = tri.map_batches(emit_roles, batch_format="pyarrow",
+                            batch_size=65536)
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["u", "v"], sort=False).size()
+        out = c.reset_index()
+        out.columns = ["u", "v", "support"]
+        return out.astype(np.int64)
+
+    supp = rel.bucketed_group_apply(roles, ["u", "v"], count)
+    return rel.with_empty_schema(supp, pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("support", pa.int64())]))
+
+
+def ktruss(edges, src: str = "src", dst: str = "dst", k: int = 4,
+           max_rounds: int = 4):
+    """k-truss of the undirected distinct-edge graph (Cohen 2008):
+    iteratively delete edges supported by fewer than k-2 triangles
+    (simultaneous rounds) until a fixed point or ``max_rounds``;
+    returns surviving edges with their final support. The community-
+    core / spam-ring detector one notch stricter than k-core.
+
+    Simultaneous rounds with a FIXED cap make the result an exact
+    replay of chained triangle-filter CTEs in DuckDB; the early exit
+    on a no-death round is bit-exact (edge deletion is monotone, so
+    once a round removes nothing every later round is identical).
+    Each round is two hash-partitioned joins + one bucketed count —
+    the per-round state is only the narrow surviving edge list,
+    re-materialized so the peeling loop never re-executes lineage."""
+    def canon(batch: pa.Table) -> pa.Table:
+        u = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": np.minimum(u, v), "v": np.maximum(u, v)})
+
+    e = edges.map_batches(canon, batch_format="pyarrow", batch_size=65536)
+    e = rel.dedup(e, ["u", "v"])
+    e = rel.with_empty_schema(e, pa.schema(
+        [("u", pa.int64()), ("v", pa.int64())])).materialize()
+    n_edges = e.count()
+
+    thresh = k - 2
+    for _ in range(max_rounds):
+        supp = _truss_support(e)
+        e = supp.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["support"], thresh))
+            .select(["u", "v"]),
+            batch_format="pyarrow", batch_size=65536).materialize()
+        n_new = e.count()
+        if n_new == 0:
+            # all later rounds (and the final support pass) are empty
+            import ray.data as rd
+            return rd.from_arrow(pa.table({
+                "u": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "support": pa.array([], pa.int64())}))
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+
+    return _truss_support(e)

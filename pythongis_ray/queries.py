@@ -12059,6 +12059,211 @@ FROM od WHERE zf <> zt GROUP BY zf
 """
 
 
+def q_ppjoin(sf_dir: str):
+    """Prefix-filtered set-similarity self-join (AllPairs/PPJoin,
+    Bayardo WWW'07) over 5-token shingle sets at Jaccard >= 0.4 —
+    the sparse-index alternative beside ngram_jaccard's full inverted
+    index and minhash's LSH: each doc indexes only its n-ceil(t*n)+1
+    rarest shingles (global df-ascending order), buckets apply the
+    min>=t*max length filter, exact verify on the tiny candidate set.
+    Reference near-dup analogue: duplicates-by-geometry grouping
+    (/root/reference/pythongis/vector/data.py:990)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.ppjoin_pairs(ds, threshold=0.4)
+
+
+SQL_PPJOIN = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' ')))
+        END AS sh
+      FROM d)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+"""
+
+
+SNM_WINDOW = 5
+
+
+def q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995):
+    ONE exact global rank by the blocking key (n_chars, doc_id), then
+    candidate pairs are rows within rank distance w=5. Distribution:
+    the two-pass range ranking (rel.add_global_rank) → rows bucketed
+    by rank block; each block's first w rows are REPLICATED into the
+    previous block as halo (ghost) rows so boundary pairs are emitted
+    exactly once, by the earlier row's home block — ranks are dense,
+    so in-block matching is pure position arithmetic, no search."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    ranked = rel.add_global_rank(ds, ["n_chars", "doc_id"], out_col="rn")
+    W, BLK = SNM_WINDOW, 512
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        rn = b["rn"].to_numpy(np.int64)
+        home = (rn - 1) // BLK
+        halo = ((rn - 1) % BLK < W) & (home > 0)
+        out = pd.DataFrame({
+            "doc_id": np.concatenate([b["doc_id"].to_numpy(np.int64),
+                                      b["doc_id"].to_numpy(np.int64)[halo]]),
+            "n_chars": np.concatenate([b["n_chars"].to_numpy(np.int64),
+                                       b["n_chars"].to_numpy(np.int64)[halo]]),
+            "rn": np.concatenate([rn, rn[halo]]),
+            "_blk": np.concatenate([home, home[halo] - 1]),
+            "_home": np.concatenate([np.ones(len(rn), bool),
+                                     np.zeros(int(halo.sum()), bool)]),
+        })
+        return out
+
+    routed = ranked.map_batches(route, batch_format="pandas",
+                                batch_size=65536)
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        # one hash bucket may hold SEVERAL rank blocks (and a row's
+        # home + halo copies live in adjacent blocks) — pair strictly
+        # within each block so every pair is emitted exactly once
+        outs = []
+        for _, g in bucket.groupby("_blk", sort=False):
+            g = g.sort_values("rn", kind="stable").reset_index(drop=True)
+            rn = g["rn"].to_numpy(np.int64)
+            ids = g["doc_id"].to_numpy(np.int64)
+            nc = g["n_chars"].to_numpy(np.int64)
+            home = g["_home"].to_numpy(bool)
+            for gap in range(1, W + 1):
+                if gap >= len(rn):
+                    break
+                a = np.arange(len(rn) - gap)
+                b = a + gap
+                keep = home[a] & (rn[b] == rn[a] + gap)
+                outs.append(pd.DataFrame({
+                    "id_a": ids[a][keep], "id_b": ids[b][keep],
+                    "gap": np.full(int(keep.sum()), gap, np.int64),
+                    "cdiff": np.abs(nc[b][keep] - nc[a][keep]),
+                }))
+        if not outs:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64),
+                                 "gap": np.empty(0, np.int64),
+                                 "cdiff": np.empty(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    out = rel.bucketed_group_apply(routed, ["_blk"], pairs)
+    return rel.with_empty_schema(out, pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("gap", pa.int64()), ("cdiff", pa.int64())]))
+
+
+SQL_SNM_PAIRS = f"""
+WITH r AS (SELECT doc_id, n_chars,
+                  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+           FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(b.rn - a.rn AS BIGINT) AS gap,
+       CAST(ABS(b.n_chars - a.n_chars) AS BIGINT) AS cdiff
+FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNM_WINDOW}
+"""
+
+
+def q_weighted_sample(sf_dir: str, k: int = 25):
+    """Bottom-k weighted priority sampling (Cohen & Kaplan 2007,
+    integer variant): priority = (uhash(doc_id)//2) // weight with
+    weight = n_chars, global k smallest win — long documents are
+    proportionally more likely to be drawn, yet the draw is
+    deterministic, mergeable and cluster-size-independent (each
+    block keeps its local k smallest; the driver merges B×k rows).
+    The oracle replays the byte-level hash and the same floor
+    divisions in HUGEINT SQL."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def pri(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b2 = pa.table({"s": pc.cast(batch["doc_id"], pa.string())})
+        uh = _uhash_col(b2, "s")
+        prio = ((uh >> np.uint64(1)).astype(np.int64) // w)
+        t = pa.table({"doc_id": ids, "n_chars": w, "priority": prio})
+        # local partial top-k: only each block's k smallest survive
+        df = t.to_pandas().sort_values(["priority", "doc_id"]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(pri, batch_format="pyarrow", batch_size=8192)
+    return parts.sort(["priority", "doc_id"]).limit(k)
+
+
+def SQL_WEIGHTED_SAMPLE():
+    uh = _sql_polyhash("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH h AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(n_chars AS BIGINT) AS n_chars,
+                  {uh} AS uh
+           FROM documents)
+SELECT doc_id, n_chars,
+       CAST((uh // 2) // n_chars AS BIGINT) AS priority
+FROM h ORDER BY priority, doc_id LIMIT 25
+"""
+
+
+KTRUSS_K, KTRUSS_ROUNDS = 4, 3
+
+
+def q_ktruss(sf_dir: str):
+    """4-truss of the undirected page link graph (Cohen 2008):
+    iteratively drop edges in fewer than 2 triangles, 3 simultaneous
+    rounds (the SQL replays the SAME cap, so truncation can never
+    diverge); surviving edges with their final support. The stricter
+    sibling of q_kcore for mining cohesive communities / link
+    farms."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    return graph.ktruss(edges, src="src_page", dst="dst_page",
+                        k=KTRUSS_K, max_rounds=KTRUSS_ROUNDS)
+
+
+def _sql_ktruss(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS,
+                edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    head = f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM ({edges_sql}) WHERE src <> dst)"""
+    step = """,
+t{r} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e{p} e1 JOIN e{p} e2 ON e2.u = e1.v
+       JOIN e{p} e3 ON e3.u = e1.u AND e3.v = e2.v),
+e{r} AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT a AS u, b AS v FROM t{r}
+    UNION ALL SELECT b, c FROM t{r}
+    UNION ALL SELECT a, c FROM t{r})
+  GROUP BY u, v HAVING COUNT(*) >= {t})"""
+    body = "".join(step.format(r=r, p=r - 1, t=k - 2)
+                   for r in range(1, rounds + 1))
+    return head + body + f""",
+tf AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e{rounds} e1 JOIN e{rounds} e2 ON e2.u = e1.v
+       JOIN e{rounds} e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM (SELECT a AS u, b AS v FROM tf
+      UNION ALL SELECT b, c FROM tf
+      UNION ALL SELECT a, c FROM tf)
+GROUP BY u, v"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -12297,6 +12502,10 @@ REGISTRY: dict[str, tuple] = {
     "hash_ring": (q_hash_ring, SQL_HASH_RING),
     "skyline_depth": (q_skyline_depth, SQL_SKYLINE_DEPTH),
     "flow_direction": (q_flow_direction, SQL_FLOW_DIRECTION),
+    "ppjoin": (q_ppjoin, SQL_PPJOIN),
+    "snm_pairs": (q_snm_pairs, SQL_SNM_PAIRS),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "ktruss": (q_ktruss, _sql_ktruss),
 }
 
 

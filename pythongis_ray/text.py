@@ -2794,3 +2794,111 @@ def common_span_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     return rel.with_empty_schema(
         joined.map_batches(spans, batch_format="pyarrow",
                            batch_size=1024), schema)
+
+
+def ppjoin_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                 threshold: float = 0.4):
+    """Prefix-filtered set-similarity self-join (AllPairs / PPJoin,
+    Bayardo et al. WWW'07, Xiao et al. WWW'08) over 5-token shingle
+    sets — the classic sparse alternative to LSH for Jaccard >= t.
+
+    Candidate generation differs from :func:`ngram_jaccard_pairs`
+    (which indexes EVERY shingle): under a global rarest-first order
+    (document frequency asc, shingle hash tiebreak), a doc with n
+    distinct shingles only indexes its first ``p = n - ceil(t*n) + 1``
+    shingles. Any pair with Jaccard >= t has overlap >= ceil(t*max(na,
+    nb)), so it must collide inside both prefixes — completeness holds
+    for ANY common total order; df-ascending merely makes the indexed
+    lists short (rare shingles first). Buckets also apply the length
+    filter min(na,nb) >= t*max(na,nb) before emitting a pair.
+
+    Distribution: shingle explode (vectorized raw-buffer hashing) →
+    df count (one hash-bucketed combine over the shingle table) →
+    partitioned join re-attaching df → per-doc prefix select (one
+    doc-keyed co-location) → per-shingle candidate pairs → exact
+    verify on the texts of the tiny candidate set. Nothing touches
+    the driver except the candidate pairs.
+    """
+    from pythongis_ray import relational as rel
+
+    t_ppm = int(round(threshold * 1_000_000))
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        th, tok_offs = _batch_token_hashes(arr)
+        sh, sh_offs = _batch_shingles(th, tok_offs)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(ids)), np.diff(sh_offs))
+        df = pd.DataFrame({"sh": sh.view(np.int64), id_col: ids[doc_of]})
+        df = df.drop_duplicates()
+        df["n"] = df.groupby(id_col, sort=False)["sh"] \
+            .transform("size").to_numpy(np.int64)
+        return df
+
+    toks = ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+    toks = toks.materialize()  # consumed twice (df count + join)
+
+    def count_df(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("sh", sort=False).size()
+        return pd.DataFrame({"sh": c.index.to_numpy(np.int64),
+                             "df": c.to_numpy(np.int64)})
+
+    dfreq = rel.bucketed_group_apply(toks.select_columns(["sh"]),
+                                     ["sh"], count_df)
+    joined = rel.join_large(toks, dfreq, on="sh")
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "df", "sh"], kind="stable")
+        r = g.groupby(id_col, sort=False).cumcount().to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        p = n - (-((-t_ppm * n) // 1_000_000)) + 1
+        return g.loc[r < p, ["sh", id_col, "n"]]
+
+    pref = rel.bucketed_group_apply(joined, [id_col], prefix)
+
+    def bucket_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.duplicated(subset=["sh"], keep=False)]
+        outs = []
+        for _, g in b.groupby("sh", sort=False):
+            g = g.drop_duplicates(subset=[id_col])
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy(np.int64)
+            ns = g["n"].to_numpy(np.int64)
+            o = np.argsort(ids)
+            ids, ns = ids[o], ns[o]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            na, nb = ns[ia], ns[ib]
+            keep = (np.minimum(na, nb) * 1_000_000
+                    >= t_ppm * np.maximum(na, nb))
+            outs.append(pd.DataFrame({"id_a": ids[ia][keep],
+                                      "id_b": ids[ib][keep]}))
+        if not outs:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = rel.bucketed_group_apply(pref, ["sh"], bucket_pairs)
+    cand = rel.dedup(cand, ["id_a", "id_b"])
+    cand = rel.with_empty_schema(cand, pa.schema([("id_a", pa.int64()),
+                                                  ("id_b", pa.int64())]))
+    cand = _attach_pair_texts(cand, ds, id_col, text_col)
+    if cand is None:
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        ja = np.array([jaccard_shingles(a, b) for a, b in
+                       zip(batch["text_a"], batch["text_b"])], np.float64)
+        keep = ja >= threshold
+        return pd.DataFrame({
+            "id_a": batch["id_a"].to_numpy()[keep],
+            "id_b": batch["id_b"].to_numpy()[keep],
+            "jaccard": ja[keep],
+        })
+
+    return cand.map_batches(verify, batch_format="pandas", batch_size=4096)

@@ -615,3 +615,54 @@ def test_scc_capped_groups_are_strongly_connected(ray_session):
         if row["scc"] != -1:
             # same Tarjan component as the claimed root
             assert exp[int(row["node"])] == exp[int(row["scc"])]
+
+
+def _brute_ktruss(pairs, k, rounds):
+    """Simultaneous-round edge peeling on canonical (u<v) edge sets."""
+    E = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+
+    def support(E):
+        s = {}
+        Es = sorted(E)
+        for a, b in Es:
+            for x, c in Es:
+                if x == b and (a, c) in E:        # a<b<c triangle
+                    for e in ((a, b), (b, c), (a, c)):
+                        s[e] = s.get(e, 0) + 1
+        return s
+
+    for _ in range(rounds):
+        s = support(E)
+        nE = {e for e in E if s.get(e, 0) >= k - 2}
+        if nE == E:
+            break
+        E = nE
+    return {e: s for e, s in support(E).items()}
+
+
+def test_ktruss_matches_bruteforce(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from pythongis_ray import graph
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 30, 400)
+    dst = rng.integers(0, 30, 400)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                 "dst": pa.array(dst, pa.int64())}))
+    out = graph.ktruss(ds, k=4, max_rounds=4).to_pandas()
+    got = {(int(r.u), int(r.v)): int(r.support) for r in out.itertuples()}
+    exp = _brute_ktruss(zip(src.tolist(), dst.tolist()), 4, 4)
+    assert got == exp
+
+
+def test_ktruss_triangle_free_graph_empty(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from pythongis_ray import graph
+
+    # a path graph has no triangles: every edge dies in round 1
+    ds = rd.from_arrow(pa.table({"src": pa.array(range(9), pa.int64()),
+                                 "dst": pa.array(range(1, 10), pa.int64())}))
+    out = graph.ktruss(ds, k=3, max_rounds=2).to_pandas()
+    assert len(out) == 0

@@ -1105,3 +1105,73 @@ def test_common_span_vs_bruteforce(ray_session):
                                          docs[int(r.id_b)])
     d01 = out[(out.id_a == 0) & (out.id_b == 1)]
     assert len(d01) == 1 and int(d01["lcs_run"].iloc[0]) == 40
+
+
+def test_ppjoin_matches_bruteforce(ray_session, docs):
+    """Prefix-filtered candidates must reach the exact all-pairs
+    shingle-Jaccard result (full recall of the prefix lemma)."""
+    t = 0.4
+    out = text.ppjoin_pairs(docs, threshold=t).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    exp = []
+    rows = list(zip(pdf.doc_id, pdf.text))
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            ja = text.jaccard_shingles(a[1], b[1])
+            if ja >= t:
+                lo, hi = sorted((int(a[0]), int(b[0])))
+                exp.append((lo, hi, ja))
+    exp = sorted(exp)
+    assert list(zip(out.id_a, out.id_b, out.jaccard)) == exp
+
+
+def test_ppjoin_prefix_shorter_than_full_index(ray_session):
+    """The point of PPJoin: with a high threshold most of each doc's
+    shingles are NOT indexed (prefix length n - ceil(t*n) + 1)."""
+    import ray.data as rd
+
+    txts = ["w%d x%d y%d z%d q%d r%d s%d t%d" % ((i,) * 8)
+            for i in range(20)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array(txts, pa.string())}))
+    out = text.ppjoin_pairs(ds, threshold=0.9).to_pandas()
+    assert len(out) == 0  # all-distinct corpus, no candidates survive
+
+
+def test_snm_pairs_bruteforce(ray_session):
+    from pythongis_ray.queries import q_snm_pairs, SNM_WINDOW
+
+    out = q_snm_pairs(SF).to_pandas() \
+        .sort_values(["id_a", "id_b", "gap"]).reset_index(drop=True)
+    pdf = pd.read_parquet(f"{SF}/documents.parquet") \
+        .sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    exp = []
+    for i in range(len(pdf)):
+        for g in range(1, SNM_WINDOW + 1):
+            if i + g < len(pdf):
+                exp.append((int(pdf.doc_id[i]), int(pdf.doc_id[i + g]), g,
+                            abs(int(pdf.n_chars[i + g]) - int(pdf.n_chars[i]))))
+    exp = sorted(exp)
+    got = sorted(zip(out.id_a, out.id_b, out.gap, out.cdiff))
+    assert got == exp
+
+
+def test_weighted_sample_deterministic_and_weighted(ray_session):
+    from pythongis_ray.queries import q_weighted_sample
+
+    a = q_weighted_sample(SF).to_pandas().reset_index(drop=True)
+    b = q_weighted_sample(SF).to_pandas().reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == 25
+    assert a.priority.is_monotonic_increasing
+    # priorities are hash//weight — verify one row end to end
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    row = a.iloc[0]
+    t = pa.table({"u": pa.array([str(int(row.doc_id))], pa.string())})
+    h = text.fingerprint(t, text_col="u", out_col="h")["h"][0].as_py()
+    uh = np.int64(h).view(np.uint64) if h < 0 else np.uint64(h)
+    w = int(pdf.loc[pdf.doc_id == row.doc_id, "n_chars"].iloc[0])
+    assert int(row.priority) == int((int(uh) >> 1) // w)
