@@ -12264,6 +12264,191 @@ FROM (SELECT a AS u, b AS v FROM tf
 GROUP BY u, v"""
 
 
+VORONOI_SITES = 6
+
+
+def q_voronoi_cells(sf_dir: str):
+    """Voronoi allocation over the terrain grid (the service-area /
+    nearest-facility raster op the reference's `distance` surface
+    gestures at, /root/reference/pythongis/raster/analyzer.py): the
+    {VORONOI_SITES} densest cells (ties lex) are sites; every
+    occupied grid cell is assigned to the site with the smallest
+    squared center distance (ties → best-ranked site), then one
+    per-site combine reports cell count and population. Sites are a
+    driver-side top-6 (tiny by construction) broadcast into a
+    vectorized argmin map — the grid itself never co-locates."""
+    import ray
+
+    from pythongis_ray import state
+
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    cells = pts.map_batches(cellify, batch_format="pyarrow",
+                            batch_size=65536)
+    grid = rel.groupby_aggregate(cells, ["cx", "cy"],
+                                 [("n", "cx", "count")]).materialize()
+
+    top = grid.to_pandas().sort_values(
+        ["n", "cx", "cy"], ascending=[False, True, True],
+        kind="stable").head(VORONOI_SITES).reset_index(drop=True)
+    sx = top["cx"].to_numpy(np.int64)
+    sy = top["cy"].to_numpy(np.int64)
+    sites_ref = ray.put((sx, sy))
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        ssx, ssy = state.get_broadcast(sites_ref, key_extra=("voronoi",))
+        cx = batch["cx"].to_numpy(zero_copy_only=False)
+        cy = batch["cy"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        dx = cx[:, None] - ssx[None, :]
+        dy = cy[:, None] - ssy[None, :]
+        d2 = dx * dx + dy * dy
+        site = np.argmin(d2, axis=1) + 1     # argmin takes FIRST min: tie → best rank
+        df = pd.DataFrame({"site": site.astype(np.int64), "n": n})
+        return df.groupby("site", sort=False).agg(
+            n_cells=("n", "size"), sum_n=("n", "sum")).reset_index() \
+            .astype(np.int64)
+
+    parts = grid.map_batches(assign, batch_format="pyarrow",
+                             batch_size=65536)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("site", sort=False)[["n_cells", "sum_n"]].sum() \
+            .reset_index().astype(np.int64)
+        out["sx"] = sx[out["site"].to_numpy() - 1]
+        out["sy"] = sy[out["site"].to_numpy() - 1]
+        return out[["site", "sx", "sy", "n_cells", "sum_n"]]
+
+    return rel.bucketed_group_apply(parts, ["site"], combine)
+
+
+def SQL_VORONOI_CELLS():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY ix // 8192, iy // 8192),
+sites AS (SELECT cx AS sx, cy AS sy,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, cx, cy) AS rk
+          FROM g ORDER BY n DESC, cx, cy LIMIT {VORONOI_SITES}),
+d AS (SELECT g.cx, g.cy, g.n, s.rk,
+             (g.cx - s.sx) * (g.cx - s.sx)
+             + (g.cy - s.sy) * (g.cy - s.sy) AS d2
+      FROM g CROSS JOIN sites s),
+a AS (SELECT cx, cy, n, rk,
+             ROW_NUMBER() OVER (PARTITION BY cx, cy ORDER BY d2, rk) AS rn
+      FROM d)
+SELECT CAST(s.rk AS BIGINT) AS site, CAST(s.sx AS BIGINT) AS sx,
+       CAST(s.sy AS BIGINT) AS sy,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(a.n) AS BIGINT) AS sum_n
+FROM a JOIN sites s ON s.rk = a.rk
+WHERE a.rn = 1 GROUP BY s.rk, s.sx, s.sy"""
+
+
+ITEM_COS_K, ITEM_COS_MIN_CO = 20, 2
+
+
+def q_item_cosine(sf_dir: str):
+    """Item-item cosine similarity from co-purchase baskets (the
+    neighborhood-model recommender prep): for part pairs co-bought in
+    >= {ITEM_COS_MIN_CO} orders, exact squared cosine of the binary
+    order-incidence vectors as integer ppm — cos² = co²/(na·nb), so
+    floor(co²·10⁶/(na·nb)) needs no square root. Pair emission is
+    bounded by basket size² inside the order-keyed bucket; supports
+    (na) are a part-vocabulary-bounded table broadcast into the
+    scoring map; top-{ITEM_COS_K} by (cos² desc, a, b) via a
+    distributed sort-limit."""
+    import ray
+
+    from pythongis_ray import state
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        t = pa.table({"ok": pc.cast(b["l_orderkey"], pa.int64()),
+                      "pk": pc.cast(b["l_partkey"], pa.int64())})
+        return t.group_by(["ok", "pk"]).aggregate([])
+
+    de = ds.map_batches(dedup_batch, batch_format="pyarrow",
+                        batch_size=65536).materialize()
+
+    sup = rel.groupby_aggregate(de, ["pk"], [("n", "ok", "count")]) \
+        .to_pandas()                       # part vocabulary: bounded
+    sup_arr = np.zeros(int(sup["pk"].max()) + 1, np.int64)
+    sup_arr[sup["pk"].to_numpy(np.int64)] = sup["n"].to_numpy(np.int64)
+    sup_ref = ray.put(sup_arr)
+
+    def per_order(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates(["ok", "pk"])
+        b = b.sort_values(["ok", "pk"], kind="stable")
+        ok = b["ok"].to_numpy(np.int64)
+        pk = b["pk"].to_numpy(np.int64)
+        outs = []
+        d = 1
+        while True:
+            msk = ok[d:] == ok[:-d]
+            if not msk.any():
+                break
+            outs.append((pk[:-d][msk], pk[d:][msk]))
+            d += 1
+        if not outs:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "co": np.empty(0, np.int64)})
+        df = pd.DataFrame({"a": np.concatenate([o[0] for o in outs]),
+                           "b": np.concatenate([o[1] for o in outs])})
+        return df.groupby(["a", "b"], sort=False).size().rename("co") \
+            .reset_index().astype(np.int64)
+
+    pair_parts = bucketed_group_apply(de, ["ok"], per_order)
+
+    def combine_score(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["a", "b"], sort=False)["co"].sum().reset_index()
+        c = c[c["co"] >= ITEM_COS_MIN_CO]
+        if len(c) == 0:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "co": np.empty(0, np.int64),
+                                 "cos2_ppm": np.empty(0, np.int64)})
+        s = state.get_broadcast(sup_ref, key_extra=("itemcos",))
+        a = c["a"].to_numpy(np.int64)
+        b = c["b"].to_numpy(np.int64)
+        co = c["co"].to_numpy(np.int64)
+        c["cos2_ppm"] = co * co * 1_000_000 // (s[a] * s[b])
+        return c.astype(np.int64)
+
+    scored = bucketed_group_apply(pair_parts, ["a", "b"], combine_score)
+    scored = rel.with_empty_schema(scored, pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("co", pa.int64()),
+         ("cos2_ppm", pa.int64())]))
+    return scored.sort(["cos2_ppm", "a", "b"],
+                       descending=[True, False, False]).limit(ITEM_COS_K)
+
+
+SQL_ITEM_COSINE = f"""
+WITH de AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+co AS (SELECT a.pk AS a, b.pk AS b, COUNT(*) AS co
+       FROM de a JOIN de b ON a.ok = b.ok AND a.pk < b.pk
+       GROUP BY a.pk, b.pk),
+sup AS (SELECT pk, COUNT(*) AS n FROM de GROUP BY pk)
+SELECT CAST(co.a AS BIGINT) AS a, CAST(co.b AS BIGINT) AS b,
+       CAST(co.co AS BIGINT) AS co,
+       CAST(co.co * co.co * 1000000 // (sa.n * sb.n) AS BIGINT) AS cos2_ppm
+FROM co JOIN sup sa ON sa.pk = co.a JOIN sup sb ON sb.pk = co.b
+WHERE co.co >= {ITEM_COS_MIN_CO}
+ORDER BY cos2_ppm DESC, a, b LIMIT {ITEM_COS_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -12506,6 +12691,8 @@ REGISTRY: dict[str, tuple] = {
     "snm_pairs": (q_snm_pairs, SQL_SNM_PAIRS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "ktruss": (q_ktruss, _sql_ktruss),
+    "voronoi_cells": (q_voronoi_cells, SQL_VORONOI_CELLS),
+    "item_cosine": (q_item_cosine, SQL_ITEM_COSINE),
 }
 
 

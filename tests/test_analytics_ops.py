@@ -1675,3 +1675,48 @@ def test_flow_direction_vs_bruteforce(ray_session):
         assert (int(row["n"]), int(row["sdx"]), int(row["sdy"])) == \
             (n0, sx, sy)
     assert len(got) == len(want)
+
+
+def test_voronoi_cells_mass_preserved(ray_session):
+    from pythongis_ray.queries import q_voronoi_cells, points_lineitem
+
+    SF = "/root/testdata/sf0.001"
+    out = q_voronoi_cells(SF).to_pandas()
+    assert len(out) == 6
+    pts = points_lineitem(SF)
+    import pandas as pd
+
+    cells = pts.to_pandas()
+    cells["cx"] = cells.ix // 8192
+    cells["cy"] = cells.iy // 8192
+    g = cells.groupby(["cx", "cy"]).size()
+    assert out.sum_n.sum() == len(cells)        # every point allocated once
+    assert out.n_cells.sum() == len(g)          # every occupied cell allocated
+
+
+def test_item_cosine_bruteforce(ray_session):
+    import pandas as pd
+    import numpy as np
+    from pythongis_ray.queries import (q_item_cosine, ITEM_COS_K,
+                                       ITEM_COS_MIN_CO)
+
+    SF = "/root/testdata/sf0.001"
+    out = q_item_cosine(SF).to_pandas().reset_index(drop=True)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"]) \
+        .drop_duplicates()
+    sup = li.groupby("l_partkey").size()
+    rows = {}
+    for _, basket in li.groupby("l_orderkey")["l_partkey"]:
+        pks = sorted(basket)
+        for i in range(len(pks)):
+            for j in range(i + 1, len(pks)):
+                rows[(pks[i], pks[j])] = rows.get((pks[i], pks[j]), 0) + 1
+    exp = []
+    for (a, b), co in rows.items():
+        if co >= ITEM_COS_MIN_CO:
+            exp.append((-(co * co * 1_000_000 // (sup[a] * sup[b])), a, b, co))
+    exp.sort()
+    exp = exp[:ITEM_COS_K]
+    got = list(zip(-out.cos2_ppm, out.a, out.b, out.co))
+    assert got == exp
