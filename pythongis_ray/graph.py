@@ -1845,3 +1845,69 @@ def ktruss(edges, src: str = "src", dst: str = "dst", k: int = 4,
         n_edges = n_new
 
     return _truss_support(e)
+
+
+def clustering_coefficient(edges, src: str = "src", dst: str = "dst"):
+    """Local clustering coefficient per node over the undirected
+    distinct-edge graph: cc = 2·tri / (deg·(deg-1)) reported as exact
+    integer ppm (one floor division — no float accumulates), for
+    nodes with deg >= 2. Triangles are enumerated once (a<b<c wedge
+    join + closing-edge probe, the _truss_support plan) and each
+    counts toward all three corners; degrees come from the doubled
+    distinct edge list. Both per-node tables are node-bounded; they
+    meet in ONE bucketed combine via union-all partials (no join)."""
+    def canon(batch: pa.Table) -> pa.Table:
+        u = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": np.minimum(u, v), "v": np.maximum(u, v)})
+
+    e = edges.map_batches(canon, batch_format="pyarrow", batch_size=65536)
+    e = rel.dedup(e, ["u", "v"])
+    e = rel.with_empty_schema(e, pa.schema(
+        [("u", pa.int64()), ("v", pa.int64())])).materialize()
+
+    supp = _truss_support(e)   # reuse: emits (u,v,support) per EDGE
+
+    # per-NODE triangle counts: sum each edge's support and divide by
+    # 2 (every triangle at a node covers exactly two incident edges)
+    def node_tri(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        s = batch["support"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": np.concatenate([u, v]).astype(np.int64),
+            "tri2": np.concatenate([s, s]).astype(np.int64),
+            "deg": np.zeros(2 * len(u), np.int64)})
+
+    def node_deg(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        n = 2 * len(u)
+        return pa.table({
+            "node": np.concatenate([u, v]).astype(np.int64),
+            "tri2": np.zeros(n, np.int64),
+            "deg": np.ones(n, np.int64)})
+
+    tri_parts = supp.map_batches(node_tri, batch_format="pyarrow",
+                                 batch_size=65536)
+    deg_parts = e.map_batches(node_deg, batch_format="pyarrow",
+                              batch_size=65536)
+    parts = tri_parts.union(deg_parts)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("node", sort=False)[["tri2", "deg"]].sum() \
+            .reset_index()
+        c = c[c["deg"] >= 2]
+        node = c["node"].to_numpy(np.int64)
+        tri = c["tri2"].to_numpy(np.int64) // 2
+        deg = c["deg"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "node": node, "tri": tri, "deg": deg,
+            "cc_ppm": 2 * tri * 1_000_000 // (deg * (deg - 1))})
+
+    out = rel.bucketed_group_apply(parts, ["node"], combine)
+    return rel.with_empty_schema(out, pa.schema(
+        [("node", pa.int64()), ("tri", pa.int64()),
+         ("deg", pa.int64()), ("cc_ppm", pa.int64())]))

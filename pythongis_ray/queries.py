@@ -12264,6 +12264,50 @@ FROM (SELECT a AS u, b AS v FROM tf
 GROUP BY u, v"""
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per page (exact integer ppm of
+    2·tri/(deg·(deg-1)), deg >= 2) over the undirected link graph —
+    the classic cohesion feature beside PageRank/HITS for spam and
+    community analysis. Triangles enumerated once via the wedge join
+    + closing-edge probe; node triangle counts are HALF the sum of
+    incident-edge supports (each triangle covers two incident edges),
+    so the per-node reduce needs no third join."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    return graph.clustering_coefficient(edges, src="src_page",
+                                        dst="dst_page")
+
+
+def _sql_clustering_coeff(edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM ({edges_sql}) WHERE src <> dst),
+deg AS (SELECT node, COUNT(*) AS deg FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node),
+t AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tc AS (SELECT node, COUNT(*) AS tri FROM (
+         SELECT a AS node FROM t
+         UNION ALL SELECT b FROM t
+         UNION ALL SELECT c FROM t)
+       GROUP BY node)
+SELECT CAST(d.node AS BIGINT) AS node,
+       CAST(COALESCE(tc.tri, 0) AS BIGINT) AS tri,
+       CAST(d.deg AS BIGINT) AS deg,
+       CAST(2 * COALESCE(tc.tri, 0) * 1000000
+            // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tc ON tc.node = d.node
+WHERE d.deg >= 2"""
+
+
 VORONOI_SITES = 6
 
 
@@ -12693,6 +12737,7 @@ REGISTRY: dict[str, tuple] = {
     "ktruss": (q_ktruss, _sql_ktruss),
     "voronoi_cells": (q_voronoi_cells, SQL_VORONOI_CELLS),
     "item_cosine": (q_item_cosine, SQL_ITEM_COSINE),
+    "clustering_coeff": (q_clustering_coeff, _sql_clustering_coeff),
 }
 
 

@@ -666,3 +666,33 @@ def test_ktruss_triangle_free_graph_empty(ray_session):
                                  "dst": pa.array(range(1, 10), pa.int64())}))
     out = graph.ktruss(ds, k=3, max_rounds=2).to_pandas()
     assert len(out) == 0
+
+
+def test_clustering_coefficient_bruteforce(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from itertools import combinations
+    from pythongis_ray import graph
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 25, 300)
+    dst = rng.integers(0, 25, 300)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                 "dst": pa.array(dst, pa.int64())}))
+    out = graph.clustering_coefficient(ds).to_pandas()
+    E = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    adj = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = {}
+    for n, nb in adj.items():
+        if len(nb) < 2:
+            continue
+        tri = sum(1 for x, y in combinations(sorted(nb), 2)
+                  if (min(x, y), max(x, y)) in E)
+        d = len(nb)
+        exp[n] = (tri, d, 2 * tri * 1_000_000 // (d * (d - 1)))
+    got = {int(r.node): (int(r.tri), int(r.deg), int(r.cc_ppm))
+           for r in out.itertuples()}
+    assert got == exp
