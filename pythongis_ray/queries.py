@@ -12493,6 +12493,89 @@ ORDER BY cos2_ppm DESC, a, b LIMIT {ITEM_COS_K}
 """
 
 
+def q_containment(sf_dir: str):
+    """Asymmetric shingle containment pairs (|Sa∩Sb| >= 0.8·|Sa|) —
+    subset-duplicate detection (wrapper/boilerplate-superset pages)
+    that symmetric Jaccard misses; Broder's containment measure.
+    Exact integer ppm; ordered output (a contained in b)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.containment_pairs(ds, threshold_ppm=800_000)
+
+
+SQL_CONTAINMENT = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' ')))
+        END AS sh
+      FROM d)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) * 1000000
+            // len(a.sh) AS BIGINT) AS cont_ppm
+FROM s a JOIN s b ON a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) * 1000000 >= 800000 * len(a.sh)
+"""
+
+
+CRAWL_BUDGET_K = 1000
+
+
+def q_crawl_budget(sf_dir: str):
+    """Proportional crawl-budget apportionment across hosts by the
+    largest-remainder (Hamilton) method: {CRAWL_BUDGET_K} crawl slots
+    split over hosts proportional to page counts — quota = floor(K·n/T)
+    plus one extra for the K - Σfloor largest remainders (K·n mod T,
+    ties → smaller host). The politeness-scheduler front half of a
+    crawler. Page counts reduce distributed (host-bounded partials);
+    the apportionment itself runs on the tiny host table."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def cnt(batch: pa.Table) -> pd.DataFrame:
+        h = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) % 50
+        u, c = np.unique(h, return_counts=True)
+        return pd.DataFrame({"host": u, "n": c.astype(np.int64)})
+
+    parts = ds.map_batches(cnt, batch_format="pyarrow", batch_size=65536)
+    hosts = rel.bucketed_group_apply(
+        parts, ["host"],
+        lambda g: g.groupby("host", sort=False)["n"].sum().reset_index()) \
+        .to_pandas()                      # host-bounded (50 rows)
+    K = CRAWL_BUDGET_K
+    n = hosts["n"].to_numpy(np.int64)
+    T = int(n.sum())
+    fl = K * n // T
+    rem = K * n % T
+    extra = K - int(fl.sum())
+    order = np.lexsort((hosts["host"].to_numpy(np.int64), -rem))
+    quota = fl.copy()
+    quota[order[:extra]] += 1
+    out = pd.DataFrame({"host": hosts["host"].to_numpy(np.int64),
+                        "n": n, "quota": quota})
+    return out.sort_values("host").reset_index(drop=True)
+
+
+SQL_CRAWL_BUDGET = f"""
+WITH c AS (SELECT CAST(doc_id % 50 AS BIGINT) AS host,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY doc_id % 50),
+t AS (SELECT c.*, SUM(n) OVER () AS tot,
+             {CRAWL_BUDGET_K} * n // SUM(n) OVER () AS fl,
+             {CRAWL_BUDGET_K} * n % SUM(n) OVER () AS rem
+      FROM c),
+r AS (SELECT t.*, ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk,
+             SUM(fl) OVER () AS sumfl
+      FROM t)
+SELECT host, n,
+       CAST(fl + CASE WHEN rk <= {CRAWL_BUDGET_K} - sumfl
+                 THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -12738,6 +12821,8 @@ REGISTRY: dict[str, tuple] = {
     "voronoi_cells": (q_voronoi_cells, SQL_VORONOI_CELLS),
     "item_cosine": (q_item_cosine, SQL_ITEM_COSINE),
     "clustering_coeff": (q_clustering_coeff, _sql_clustering_coeff),
+    "containment": (q_containment, SQL_CONTAINMENT),
+    "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
 }
 
 

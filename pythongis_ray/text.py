@@ -2902,3 +2902,74 @@ def ppjoin_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return cand.map_batches(verify, batch_format="pandas", batch_size=4096)
+
+
+def containment_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                      threshold_ppm: int = 800_000):
+    """Asymmetric shingle-set CONTAINMENT self-join: ordered pairs
+    (a, b) with |Sa ∩ Sb| >= t·|Sa| — the subset-duplicate detector
+    (page a is mostly inside page b: boilerplate supersets, quote
+    farms, wrapper pages) that symmetric Jaccard misses when the
+    container is much larger. Broder's containment measure beside
+    resemblance (SEQUENCES '97). Same inverted-index candidate plan
+    as ngram_jaccard_pairs (pairs sharing >= 1 shingle — complete for
+    any t > 0 since containment > 0 implies a shared shingle), but
+    pairs are emitted in BOTH orders and verified against the exact
+    integer containment in ppm."""
+    from pythongis_ray import relational as rel
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        th, tok_offs = _batch_token_hashes(arr)
+        sh, sh_offs = _batch_shingles(th, tok_offs)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(ids)), np.diff(sh_offs))
+        df = pd.DataFrame({"sh": sh.view(np.int64), id_col: ids[doc_of]})
+        return df.drop_duplicates()
+
+    bands = ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+
+    def bucket_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.duplicated(subset=["sh"], keep=False)]
+        outs = []
+        for _, g in b.groupby("sh", sort=False):
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({
+                "id_a": np.concatenate([ids[ia], ids[ib]]),
+                "id_b": np.concatenate([ids[ib], ids[ia]])}))
+        if not outs:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = rel.bucketed_group_apply(bands, ["sh"], bucket_pairs)
+    cand = rel.dedup(cand, ["id_a", "id_b"])
+    cand = rel.with_empty_schema(cand, pa.schema([("id_a", pa.int64()),
+                                                  ("id_b", pa.int64())]))
+    cand = _attach_pair_texts(cand, ds, id_col, text_col)
+    if cand is None:
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cont_ppm": pa.array([], pa.int64())}))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        for a_id, b_id, ta, tb in zip(batch["id_a"], batch["id_b"],
+                                      batch["text_a"], batch["text_b"]):
+            sa, sb = shingle_set(ta), shingle_set(tb)
+            cont = len(sa & sb) * 1_000_000 // len(sa)
+            if cont >= threshold_ppm:
+                out_a.append(int(a_id))
+                out_b.append(int(b_id))
+                out_c.append(cont)
+        return pd.DataFrame({"id_a": np.array(out_a, np.int64),
+                             "id_b": np.array(out_b, np.int64),
+                             "cont_ppm": np.array(out_c, np.int64)})
+
+    return cand.map_batches(verify, batch_format="pandas", batch_size=4096)

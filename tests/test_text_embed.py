@@ -1175,3 +1175,26 @@ def test_weighted_sample_deterministic_and_weighted(ray_session):
     uh = np.int64(h).view(np.uint64) if h < 0 else np.uint64(h)
     w = int(pdf.loc[pdf.doc_id == row.doc_id, "n_chars"].iloc[0])
     assert int(row.priority) == int((int(uh) >> 1) // w)
+
+
+def test_containment_pairs_bruteforce(ray_session, docs):
+    out = text.containment_pairs(docs, threshold_ppm=800_000).to_pandas()
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    sets = {int(i): text.shingle_set(t) for i, t in zip(pdf.doc_id, pdf.text)}
+    exp = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and len(sa & sb) * 1_000_000 >= 800_000 * len(sa):
+                exp.add((a, b, len(sa & sb) * 1_000_000 // len(sa)))
+    assert set(zip(out.id_a, out.id_b, out.cont_ppm)) == exp
+
+
+def test_crawl_budget_sums_to_k(ray_session):
+    from pythongis_ray.queries import q_crawl_budget, CRAWL_BUDGET_K
+
+    out = q_crawl_budget(SF)
+    assert out.quota.sum() == CRAWL_BUDGET_K
+    # proportionality: quota within 1 of the exact share
+    import numpy as np
+    share = CRAWL_BUDGET_K * out.n.to_numpy(np.int64) / out.n.sum()
+    assert (np.abs(out.quota.to_numpy() - share) < 1.0 + 1e-9).all()
