@@ -1911,3 +1911,96 @@ def clustering_coefficient(edges, src: str = "src", dst: str = "dst"):
     return rel.with_empty_schema(out, pa.schema(
         [("node", pa.int64()), ("tri", pa.int64()),
          ("deg", pa.int64()), ("cc_ppm", pa.int64())]))
+
+
+class _MultiBfsShard(_BfsShard):
+    """_BfsShard with VECTOR state: one distance column per landmark
+    set {node % seed_mod == l}, l < n_land — S BFS frontiers advance
+    in the same rounds over the same resident edges (the landmark /
+    sketch-based distance-feature pattern: one edge ingest, not S).
+    Messages stay 1-D per landmark (pre-combined minima)."""
+
+    def init(self, seed_mod: int, n_land: int, *incoming) -> int:
+        self.owned = np.unique(np.concatenate([self.src, *incoming]))
+        self.e_src_idx = np.searchsorted(self.owned, self.src)
+        db = _bucket_of(self.dst, self.nb)
+        o = np.argsort(db, kind="stable")
+        self.e_dst = self.dst[o]
+        self.e_src_idx = self.e_src_idx[o]
+        self.splits = np.searchsorted(db[o], np.arange(self.nb + 1))
+        self.src = self.dst = None
+        self.S = n_land
+        rem = self.owned % np.int64(seed_mod)
+        self.dist = np.where(
+            rem[:, None] == np.arange(n_land, dtype=np.int64)[None, :],
+            np.int64(0), BFS_INF)
+        return int((self.dist == 0).sum())
+
+    def scatter(self):
+        d = self.dist[self.e_src_idx]            # (E, S)
+        out = []
+        for t in range(self.nb):
+            sl = slice(self.splits[t], self.splits[t + 1])
+            msgs = []
+            for l in range(self.S):
+                dl = d[sl, l]
+                live = dl < BFS_INF
+                msgs.append(_group_min(self.e_dst[sl][live],
+                                       dl[live] + np.int64(1)))
+            out.append(tuple(msgs))
+        return tuple(out)
+
+    def gather(self, *msgs) -> int:
+        new = self.dist.copy()
+        for per_l in msgs:
+            for l, (ids, md) in enumerate(per_l):
+                if len(ids):
+                    idx = np.searchsorted(self.owned, ids)
+                    np.minimum.at(new[:, l], idx, md)
+        changed = int((new != self.dist).sum())
+        self.dist = new
+        return changed
+
+    def result(self) -> pa.Table:
+        cols = {"node": pa.array(self.owned)}
+        for l in range(self.S):
+            cols[f"d{l}"] = pa.array(self.dist[:, l])
+        return pa.table(cols)
+
+
+def multi_bfs_actors(edges, src: str = "src", dst: str = "dst",
+                     seed_mod: int = 97, n_landmarks: int = 3,
+                     iters: int = 8, num_shards: int | None = None):
+    """Simultaneous hop distances from ``n_landmarks`` seed sets
+    ({node % seed_mod == l}) in ONE resident-shard run — the landmark
+    distance-feature / harmonic-centrality prep. Edges route once;
+    every round advances all landmark frontiers together, so the cost
+    over single-landmark BFS is only the extra message columns. Fixed
+    round cap => exact replay of n_landmarks chained min-plus
+    LEFT-JOIN CTE sets in DuckDB."""
+    import ray
+    import ray.data as rd
+
+    nb = _shard_count(num_shards)
+    Shard = ray.remote(_MultiBfsShard)
+    shards = [Shard.remote(b, nb) for b in range(nb)]
+    try:
+        _route_edges(edges, shards, nb, src, dst, mode="directed")
+        ex = [sh.node_exchange.options(num_returns=nb).remote()
+              for sh in shards]
+        ray.get([shards[t].init.remote(seed_mod, n_landmarks,
+                                       *[ex[b][t] for b in range(nb)])
+                 for t in range(nb)])
+        for _ in range(iters):
+            sc = [sh.scatter.options(num_returns=nb).remote()
+                  for sh in shards]
+            changed = ray.get(
+                [shards[t].gather.remote(*[sc[b][t] for b in range(nb)])
+                 for t in range(nb)])
+            if sum(changed) == 0:
+                break
+        return rd.from_arrow_refs(
+            [sh.result.remote() for sh in shards]).materialize()
+    finally:
+        for sh in shards:
+            ray.kill(sh)

@@ -12576,6 +12576,85 @@ FROM r
 """
 
 
+LANDMARK_S, LANDMARK_ITERS = 3, 8
+
+
+def q_landmark_dist(sf_dir: str):
+    """Landmark distance features + harmonic centrality surrogate
+    (the sketch-based centrality/embedding prep): hop distances from
+    {LANDMARK_S} landmark seed sets (page_id % 97 == l) computed in
+    ONE resident-shard run — the vector-state Pregel pattern: edges
+    route once, all frontiers advance together. harmonic =
+    Σ_l 10⁶ // d_l over reached landmarks at positive distance
+    (exact integer). Unreached distances report the 2^40 sentinel."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    out = graph.multi_bfs_actors(edges, src="src_page", dst="dst_page",
+                                 seed_mod=BFS_SEED_MOD,
+                                 n_landmarks=LANDMARK_S,
+                                 iters=LANDMARK_ITERS)
+
+    def score(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ds_ = [b[f"d{l}"].to_numpy(zero_copy_only=False).astype(np.int64)
+               for l in range(LANDMARK_S)]
+        harm = np.zeros(len(node), np.int64)
+        for d in ds_:
+            ok = (d > 0) & (d < graph.BFS_INF)
+            harm[ok] += 1_000_000 // d[ok]
+        cols = {"node": pa.array(node)}
+        for l, d in enumerate(ds_):
+            cols[f"d{l}"] = pa.array(d)
+        cols["harmonic"] = pa.array(harm)
+        return pa.table(cols)
+
+    return out.map_batches(score, batch_format="pyarrow",
+                           batch_size=65536)
+
+
+def _sql_landmark_dist(iters: int = LANDMARK_ITERS,
+                       seed_mod: int = BFS_SEED_MOD,
+                       n_land: int = LANDMARK_S,
+                       edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    inf = 1 << 40
+    head = f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e)"""
+    chains = []
+    for l in range(n_land):
+        chains.append(f""",
+l{l}d0 AS MATERIALIZED (
+  SELECT node, CAST(CASE WHEN node % {seed_mod} = {l} THEN 0
+                         ELSE {inf} END AS BIGINT) AS dist
+  FROM nodes)""")
+        for k in range(1, iters + 1):
+            chains.append(f""",
+l{l}d{k} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(LEAST(MIN(dn.dist),
+                    COALESCE(MIN(ds.dist + 1), {inf})) AS BIGINT)
+           AS dist
+  FROM nodes n JOIN l{l}d{k - 1} dn ON dn.node = n.node
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN l{l}d{k - 1} ds ON ds.node = e.src
+  GROUP BY n.node)""")
+    sel_d = ", ".join(f"l{l}.dist AS d{l}" for l in range(n_land))
+    harm = " + ".join(
+        f"CASE WHEN l{l}.dist > 0 AND l{l}.dist < {inf} "
+        f"THEN 1000000 // l{l}.dist ELSE 0 END"
+        for l in range(n_land))
+    joins = " ".join(f"JOIN l{l}d{iters} l{l} ON l{l}.node = n.node"
+                     for l in range(n_land))
+    return head + "".join(chains) + f"""
+SELECT n.node, {sel_d}, CAST({harm} AS BIGINT) AS harmonic
+FROM nodes n {joins}"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -12823,6 +12902,7 @@ REGISTRY: dict[str, tuple] = {
     "clustering_coeff": (q_clustering_coeff, _sql_clustering_coeff),
     "containment": (q_containment, SQL_CONTAINMENT),
     "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
+    "landmark_dist": (q_landmark_dist, _sql_landmark_dist),
 }
 
 

@@ -696,3 +696,36 @@ def test_clustering_coefficient_bruteforce(ray_session):
     got = {int(r.node): (int(r.tri), int(r.deg), int(r.cc_ppm))
            for r in out.itertuples()}
     assert got == exp
+
+
+def test_multi_bfs_matches_single_runs(ray_session):
+    """Vector-state landmark BFS must equal S independent BFS runs."""
+    import ray.data as rd
+    import pyarrow as pa
+    from pythongis_ray import graph
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 40, 200)
+    dst = rng.integers(0, 40, 200)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    multi = graph.multi_bfs_actors(rd.from_arrow(t), seed_mod=7,
+                                   n_landmarks=3, iters=6).to_pandas() \
+        .set_index("node").sort_index()
+    # brute force per landmark
+    adj = {}
+    for a, b in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(a, set()).add(b)
+    nodes = sorted(set(src.tolist()) | set(dst.tolist()))
+    INF = int(graph.BFS_INF)
+    for l in range(3):
+        dist = {n: (0 if n % 7 == l else INF) for n in nodes}
+        for _ in range(6):
+            nd = dict(dist)
+            for u, vs in adj.items():
+                if dist[u] < INF:
+                    for v in vs:
+                        nd[v] = min(nd[v], dist[u] + 1)
+            dist = nd
+        got = multi[f"d{l}"].to_dict()
+        assert got == dist
