@@ -12655,6 +12655,133 @@ SELECT n.node, {sel_d}, CAST({harm} AS BIGINT) AS harmonic
 FROM nodes n {joins}"""
 
 
+def q_ann_recall(sf_dir: str):
+    """ANN quality evaluation as a first-class pipeline: recall@5 of
+    the LSH-bucketed search against the exact quantized top-5, per
+    query (recall_pct = 20·|approx ∩ exact|). Both sides are
+    deterministic integer pipelines, so even the EVALUATION is
+    oracle-replayable — the harness pattern for tuning n_planes /
+    nprobe at corpus scale."""
+    emb_e = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb_l = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          filters=[("vec_id", "<", 8)])
+    ex = embed.ann_topk(emb_e, qdf, k=5)[["query_id", "neighbor_id"]]
+    ap = embed.ann_lsh(emb_l, qdf, k=5)[["query_id", "neighbor_id"]]
+    hit = ex.merge(ap, on=["query_id", "neighbor_id"], how="inner") \
+        .groupby("query_id").size().rename("n_hit")
+    out = pd.DataFrame({"query_id": np.sort(qdf["vec_id"]
+                                            .to_numpy(np.int64))})
+    out["n_hit"] = out["query_id"].map(hit).fillna(0).astype(np.int64)
+    out["recall_pct"] = out["n_hit"] * 20
+    return out
+
+
+def _sql_ann_recall(k: int = 5, n_planes: int = 16, dim: int = 64) -> str:
+    from pythongis_ray import embed as _embed
+
+    planes = _embed.lsh_planes(n_planes, dim)
+    rows = ",\n    ".join(
+        f"({j}, [{', '.join(map(str, planes[j].tolist()))}])"
+        for j in range(n_planes))
+    return f"""
+WITH planes(j, p) AS (VALUES
+    {rows}),
+eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> round(CAST(x AS DOUBLE) * 1000)) AS e
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM eq WHERE vec_id < 8),
+ex_scored AS (
+  SELECT q.query_id, eq.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qe, eq.e) AS BIGINT) AS score
+  FROM q CROSS JOIN eq WHERE eq.vec_id != q.query_id),
+ex_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rank
+    FROM ex_scored) WHERE rank <= {k}),
+buck AS (
+  SELECT eq.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(eq.e, p.p) > 0
+                  THEN 1 << p.j ELSE 0 END) AS BIGINT) AS b
+  FROM eq CROSS JOIN planes p GROUP BY eq.vec_id),
+qb AS (SELECT DISTINCT b FROM buck WHERE vec_id < 8),
+cand AS (
+  SELECT eq.vec_id, eq.e FROM eq
+  JOIN buck ON buck.vec_id = eq.vec_id
+  JOIN qb ON qb.b = buck.b),
+ap_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qe, c.e) AS BIGINT) AS score
+  FROM q CROSS JOIN cand c WHERE c.vec_id != q.query_id),
+ap_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rank
+    FROM ap_scored) WHERE rank <= {k})
+SELECT q.query_id,
+       CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(ap.neighbor_id) * 20 AS BIGINT) AS recall_pct
+FROM q
+LEFT JOIN ex_top ex ON ex.query_id = q.query_id
+LEFT JOIN ap_top ap ON ap.query_id = ex.query_id
+                   AND ap.neighbor_id = ex.neighbor_id
+GROUP BY q.query_id"""
+
+
+def q_two_hop(sf_dir: str):
+    """Distinct two-hop reachability size per page (the
+    friend-of-friend / crawl-frontier fan-out feature): |{w : u→v→w}|
+    over the distinct link graph. One partitioned join builds the
+    2-paths, a keyed dedup collapses parallel mid-nodes, one bucketed
+    count finishes — no state beyond the narrow pair stream."""
+    from pythongis_ray import pages
+    from pythongis_ray.relational import bucketed_group_apply, join_large
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+
+    def as_uv(batch: pa.Table) -> pa.Table:
+        t = pa.table({"u": pc.cast(batch["src_page"], pa.int64()),
+                      "v": pc.cast(batch["dst_page"], pa.int64())})
+        return t.group_by(["u", "v"]).aggregate([])
+
+    def as_vw(batch: pa.Table) -> pa.Table:
+        t = pa.table({"v": pc.cast(batch["src_page"], pa.int64()),
+                      "w": pc.cast(batch["dst_page"], pa.int64())})
+        return t.group_by(["v", "w"]).aggregate([])
+
+    e1 = rel.dedup(edges.map_batches(as_uv, batch_format="pyarrow",
+                                     batch_size=65536), ["u", "v"])
+    e2 = rel.dedup(edges.map_batches(as_vw, batch_format="pyarrow",
+                                     batch_size=65536), ["v", "w"])
+    paths = join_large(e1, e2, on="v", num_buckets=16)
+    uw = rel.dedup(paths.map_batches(
+        lambda b: b.select(["u", "w"]), batch_format="pyarrow",
+        batch_size=65536), ["u", "w"])
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("u", sort=False).size()
+        return pd.DataFrame({"node": c.index.to_numpy(np.int64),
+                             "two_hop": c.to_numpy(np.int64)})
+
+    return rel.bucketed_group_apply(uw, ["u"], cnt)
+
+
+def _sql_two_hop(edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({edges_sql}))
+SELECT CAST(e1.src AS BIGINT) AS node,
+       CAST(COUNT(DISTINCT e2.dst) AS BIGINT) AS two_hop
+FROM e e1 JOIN e e2 ON e2.src = e1.dst
+GROUP BY e1.src"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -12903,6 +13030,8 @@ REGISTRY: dict[str, tuple] = {
     "containment": (q_containment, SQL_CONTAINMENT),
     "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
     "landmark_dist": (q_landmark_dist, _sql_landmark_dist),
+    "ann_recall": (q_ann_recall, _sql_ann_recall),
+    "two_hop": (q_two_hop, _sql_two_hop),
 }
 
 

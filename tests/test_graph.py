@@ -729,3 +729,37 @@ def test_multi_bfs_matches_single_runs(ray_session):
             dist = nd
         got = multi[f"d{l}"].to_dict()
         assert got == dist
+
+
+def test_two_hop_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_two_hop
+
+    SF = "/root/testdata/sf0.001"
+    out = q_two_hop(SF).to_pandas().set_index("node")["two_hop"].to_dict()
+    ids = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]) \
+        .doc_id.astype(int).tolist()
+    E = set()
+    for d in ids:
+        for k in (2, 4, 8):
+            E.add((d, d // k))
+    adj = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+    exp = {}
+    for u in adj:
+        ws = set()
+        for v in adj[u]:
+            ws |= adj.get(v, set())
+        if ws:
+            exp[u] = len(ws)
+    assert out == exp
+
+
+def test_ann_recall_consistent(ray_session):
+    from pythongis_ray.queries import q_ann_recall
+
+    out = q_ann_recall("/root/testdata/sf0.001")
+    assert (out.recall_pct == out.n_hit * 20).all()
+    assert out.n_hit.between(0, 5).all()
+    assert len(out) == 8
