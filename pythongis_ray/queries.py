@@ -12782,6 +12782,161 @@ FROM e e1 JOIN e e2 ON e2.src = e1.dst
 GROUP BY e1.src"""
 
 
+COST_DIST_ROUNDS, COST_DIST_SEEDS = 12, 3
+_COST_INF = 1 << 40
+
+
+def q_cost_distance(sf_dir: str):
+    """Accumulated-cost surface (the GIS cost-distance op the
+    reference's distance/spread analyses build toward,
+    /root/reference/pythongis/raster/analyzer.py): from the
+    {COST_DIST_SEEDS} densest cells (cost 0), spread over 8-neighbor
+    moves where entering a cell costs its point count; min-plus,
+    {COST_DIST_ROUNDS} simultaneous rounds (SQL replays the same
+    cap; unreached cells keep the 2^40 sentinel). The grid is
+    cell-bounded, so the rounds run vectorized on the materialized
+    cell table (searchsorted neighbor index built once) — the same
+    honest pattern as q_flow_acc; at continental raster scale the
+    resident-shard min-plus engine (graph.bfs_actors) takes over."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    cells = pts.map_batches(cellify, batch_format="pyarrow",
+                            batch_size=65536)
+    grid = rel.groupby_aggregate(cells, ["cx", "cy"],
+                                 [("n", "cx", "count")]).materialize()
+
+    def rounds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cx", "cy"], kind="stable") \
+            .reset_index(drop=True)
+        cx = g["cx"].to_numpy(np.int64)
+        cy = g["cy"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        key = cx * (np.int64(1) << 32) + cy
+        # top seeds by (n desc, cx, cy)
+        order = np.lexsort((cy, cx, -n))
+        seed_idx = order[:COST_DIST_SEEDS]
+        cost = np.full(len(g), np.int64(_COST_INF))
+        cost[seed_idx] = 0
+        # neighbor index: for each cell, positions of its 8 neighbors
+        nbrs = np.full((len(g), 8), -1, np.int64)
+        for d, (dx, dy) in enumerate([(-1, -1), (-1, 0), (-1, 1),
+                                      (0, -1), (0, 1),
+                                      (1, -1), (1, 0), (1, 1)]):
+            tkey = (cx + dx) * (np.int64(1) << 32) + (cy + dy)
+            pos = np.searchsorted(key, tkey)
+            pos = np.clip(pos, 0, len(key) - 1)
+            ok = key[pos] == tkey
+            nbrs[ok, d] = pos[ok]
+        for _ in range(COST_DIST_ROUNDS):
+            best = cost.copy()
+            for d in range(8):
+                has = nbrs[:, d] >= 0
+                cand = cost[nbrs[has, d]]
+                reach = cand < _COST_INF
+                upd = np.where(reach, cand + n[has], np.int64(_COST_INF))
+                np.minimum.at(best, np.flatnonzero(has), upd)
+            if (best == cost).all():
+                break
+            cost = best
+        return pd.DataFrame({"cx": cx, "cy": cy, "n": n, "cost": cost})
+
+    return grid.repartition(1).map_batches(
+        rounds, batch_format="pandas", batch_size=1 << 30)
+
+
+def SQL_COST_DISTANCE():
+    inf = _COST_INF
+    head = f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS MATERIALIZED (
+  SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY ix // 8192, iy // 8192),
+seeds AS (SELECT cx, cy FROM g
+          ORDER BY n DESC, cx, cy LIMIT {COST_DIST_SEEDS}),
+nb AS MATERIALIZED (
+  SELECT a.cx, a.cy, b.cx AS nx, b.cy AS ny
+  FROM g a JOIN g b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND NOT (a.cx = b.cx AND a.cy = b.cy)),
+c0 AS MATERIALIZED (
+  SELECT g.cx, g.cy,
+         CAST(CASE WHEN s.cx IS NOT NULL THEN 0
+                   ELSE {inf} END AS BIGINT) AS cost
+  FROM g LEFT JOIN seeds s ON s.cx = g.cx AND s.cy = g.cy)"""
+    step = f""",
+c{{k}} AS MATERIALIZED (
+  SELECT g.cx, g.cy,
+         CAST(LEAST(MIN(p.cost),
+              COALESCE(MIN(CASE WHEN pn.cost < {inf}
+                           THEN pn.cost + g.n END), {inf}))
+           AS BIGINT) AS cost
+  FROM g JOIN c{{p}} p ON p.cx = g.cx AND p.cy = g.cy
+  LEFT JOIN nb ON nb.cx = g.cx AND nb.cy = g.cy
+  LEFT JOIN c{{p}} pn ON pn.cx = nb.nx AND pn.cy = nb.ny
+  GROUP BY g.cx, g.cy)"""
+    body = "".join(step.format(k=k, p=k - 1)
+                   for k in range(1, COST_DIST_ROUNDS + 1))
+    return head + body + f"""
+SELECT g.cx, g.cy, g.n, c.cost
+FROM g JOIN c{COST_DIST_ROUNDS} c ON c.cx = g.cx AND c.cy = g.cy"""
+
+
+UPTIME_W_US = 600_000_000
+
+
+def q_interval_union(sf_dir: str):
+    """Per-user interval-UNION length (the uptime / active-time op —
+    the measure counterpart of the interval-overlap join): each event
+    opens a 10-minute activity window; overlapping windows must not
+    double-count. Fixed width means start-sorted windows are also
+    end-sorted, so the union telescopes: covered += end - max(start,
+    prev_end) — ONE user-keyed co-location, one in-bucket shift, no
+    sweep structure."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _events_us(sf_dir, cols=("user_id", "ts"))
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["user_id", "ts_us"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        s = g["ts_us"].to_numpy(np.int64)
+        e = s + UPTIME_W_US
+        pe = np.empty(len(g), np.int64)
+        pe[0] = s[0]
+        pe[1:] = e[:-1]
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        pe[first] = s[first]
+        inc = e - np.maximum(s, pe)
+        out = pd.DataFrame({"user_id": u, "inc": inc})
+        c = out.groupby("user_id", sort=False)["inc"].sum()
+        return pd.DataFrame({"user_id": c.index.to_numpy(np.int64),
+                             "uptime_us": c.to_numpy(np.int64)})
+
+    return bucketed_group_apply(ds, ["user_id"], per_bucket)
+
+
+SQL_INTERVAL_UNION = f"""
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {UPTIME_W_US} AS e
+            FROM events),
+o AS (SELECT user_id, s, e,
+             LAG(e) OVER (PARTITION BY user_id ORDER BY s, e) AS pe
+      FROM iv)
+SELECT user_id,
+       CAST(SUM(e - GREATEST(s, COALESCE(pe, s))) AS BIGINT) AS uptime_us
+FROM o GROUP BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -13032,6 +13187,8 @@ REGISTRY: dict[str, tuple] = {
     "landmark_dist": (q_landmark_dist, _sql_landmark_dist),
     "ann_recall": (q_ann_recall, _sql_ann_recall),
     "two_hop": (q_two_hop, _sql_two_hop),
+    "cost_distance": (q_cost_distance, SQL_COST_DISTANCE),
+    "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
 }
 
 

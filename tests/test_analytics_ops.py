@@ -1720,3 +1720,62 @@ def test_item_cosine_bruteforce(ray_session):
     exp = exp[:ITEM_COS_K]
     got = list(zip(-out.cos2_ppm, out.a, out.b, out.co))
     assert got == exp
+
+
+def test_cost_distance_properties(ray_session):
+    import numpy as np
+    from pythongis_ray.queries import q_cost_distance, _COST_INF
+
+    from pythongis_ray.queries import COST_DIST_ROUNDS
+
+    out = q_cost_distance("/root/testdata/sf0.001").to_pandas()
+    assert (out.cost == 0).sum() == 3            # the three seeds
+    # exact replay: simultaneous Bellman-Ford with the SAME round cap
+    cells = {(int(r.cx), int(r.cy)): int(r.n) for r in out.itertuples()}
+    seeds = out.sort_values(["n", "cx", "cy"],
+                            ascending=[False, True, True]).head(3)
+    cost = {c: _COST_INF for c in cells}
+    for r in seeds.itertuples():
+        cost[(int(r.cx), int(r.cy))] = 0
+    for _ in range(COST_DIST_ROUNDS):
+        new = dict(cost)
+        for (cx, cy), n in cells.items():
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == dy == 0:
+                        continue
+                    nb = (cx + dx, cy + dy)
+                    if nb in cost and cost[nb] < _COST_INF:
+                        new[(cx, cy)] = min(new[(cx, cy)],
+                                            cost[nb] + n)
+        if new == cost:
+            break
+        cost = new
+    got = {(int(r.cx), int(r.cy)): int(r.cost) for r in out.itertuples()}
+    assert got == cost
+
+
+def test_interval_union_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_interval_union, UPTIME_W_US
+
+    SF = "/root/testdata/sf0.001"
+    out = q_interval_union(SF).to_pandas() \
+        .set_index("user_id")["uptime_us"].to_dict()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev["s"] = ev.ts.astype("datetime64[us]").astype("int64")
+    exp = {}
+    for u, g in ev.groupby("user_id"):
+        ivs = sorted((s, s + UPTIME_W_US) for s in g.s)
+        total, cur_s, cur_e = 0, None, None
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    total += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            total += cur_e - cur_s
+        exp[int(u)] = total
+    assert out == exp
