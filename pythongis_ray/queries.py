@@ -12937,6 +12937,55 @@ FROM o GROUP BY user_id
 """
 
 
+def q_decay_score(sf_dir: str):
+    """Recency-weighted engagement score with EXACT exponential decay:
+    half-life = 1 day via integer bit shift — score = Σ cents(value)
+    // 2^age_days, age anchored at the corpus max day (one tiny
+    global-max reduce broadcast into the scoring pass). The
+    recommender/feed-ranking freshness op, with none of the float
+    drift decay scores usually carry."""
+    ds = _events_us(sf_dir, cols=("user_id", "ts", "value"))
+
+    day_ds = ds.map_batches(
+        lambda b: pa.table({"d": pa.array([
+            int(b["ts_us"].to_numpy(zero_copy_only=False).max()
+                // 86_400_000_000) if len(b) else -1], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+    max_day = int(day_ds.to_pandas()["d"].max())
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy(np.int64)
+        day = b["ts_us"].to_numpy(np.int64) // 86_400_000_000
+        age = np.minimum(max_day - day, 62)
+        cents = np.round(b["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        dec = cents // (np.int64(1) << age)
+        out = pd.DataFrame({"user_id": u, "s": dec})
+        c = out.groupby("user_id", sort=False)["s"].sum()
+        return pd.DataFrame({"user_id": c.index.to_numpy(np.int64),
+                             "decay_score": c.to_numpy(np.int64)})
+
+    parts = ds.map_batches(score, batch_format="pandas",
+                           batch_size=65536)
+    return rel.bucketed_group_apply(
+        parts, ["user_id"],
+        lambda g: g.groupby("user_id", sort=False)["decay_score"]
+        .sum().reset_index())
+
+
+SQL_DECAY_SCORE = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) // 86400000000 AS max_day
+            FROM events)
+SELECT user_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)
+            // (CAST(1 AS BIGINT) << LEAST(
+                 mx.max_day - epoch_us(ts) // 86400000000, 62)))
+         AS BIGINT) AS decay_score
+FROM events CROSS JOIN mx
+GROUP BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -13189,6 +13238,7 @@ REGISTRY: dict[str, tuple] = {
     "two_hop": (q_two_hop, _sql_two_hop),
     "cost_distance": (q_cost_distance, SQL_COST_DISTANCE),
     "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
+    "decay_score": (q_decay_score, SQL_DECAY_SCORE),
 }
 
 

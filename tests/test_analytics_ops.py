@@ -1779,3 +1779,21 @@ def test_interval_union_bruteforce(ray_session):
             total += cur_e - cur_s
         exp[int(u)] = total
     assert out == exp
+
+
+def test_decay_score_bruteforce(ray_session):
+    import pandas as pd
+    import numpy as np
+    from pythongis_ray.queries import q_decay_score
+
+    SF = "/root/testdata/sf0.001"
+    out = q_decay_score(SF).to_pandas() \
+        .set_index("user_id")["decay_score"].to_dict()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    day = ev.ts.astype("datetime64[us]").astype("int64") // 86_400_000_000
+    age = np.minimum(day.max() - day, 62)
+    cents = np.round(ev.value.to_numpy() * 100).astype("int64")
+    dec = cents // (1 << age.to_numpy())
+    exp = pd.DataFrame({"u": ev.user_id, "d": dec}).groupby("u")["d"] \
+        .sum().to_dict()
+    assert out == {int(k): int(v) for k, v in exp.items()}
