@@ -12986,6 +12986,97 @@ GROUP BY user_id
 """
 
 
+def q_quad_fit(sf_dir: str):
+    """EXACT degree-2 least squares per event type (y = a + b·x +
+    c·x², x = hour of day, y = value cents): the normal-equation
+    solution as four integer determinants via Cramer's rule —
+    coefficients are the exact rationals Da/D, Db/D, Dc/D with no
+    float matrix solve anywhere. Moments (Σx^k, Σx^k·y, k ≤ 4) are
+    int64-safe distributed partials; the 3×3 determinants exceed
+    int64 (~10^29) so the per-group finalize computes them in
+    arbitrary-precision Python ints and reports DECIMAL STRINGS,
+    mirrored by HUGEINT arithmetic + CAST(… AS VARCHAR) in the
+    oracle."""
+    ds = _events_us(sf_dir, cols=("ts", "event_type", "value"))
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = (b["ts_us"].to_numpy(np.int64) // 3_600_000_000) % 24
+        y = np.round(b["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        d = pd.DataFrame({
+            "event_type": b["event_type"], "n": 1,
+            "s1": x, "s2": x * x, "s3": x ** 3, "s4": x ** 4,
+            "t0": y, "t1": x * y, "t2": x * x * y})
+        return d.groupby("event_type", sort=False).sum().reset_index()
+
+    parts = ds.map_batches(moments, batch_format="pandas",
+                           batch_size=65536)
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return a * (e * i - f * h) - b * (d * i - f * g) \
+            + c * (d * h - e * g)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("event_type", sort=False).sum().reset_index()
+        rows = []
+        for r in m.itertuples():
+            n, s1, s2, s3, s4 = (int(r.n), int(r.s1), int(r.s2),
+                                 int(r.s3), int(r.s4))
+            t0, t1, t2 = int(r.t0), int(r.t1), int(r.t2)
+            D = det3(n, s1, s2, s1, s2, s3, s2, s3, s4)
+            Da = det3(t0, s1, s2, t1, s2, s3, t2, s3, s4)
+            Db = det3(n, t0, s2, s1, t1, s3, s2, t2, s4)
+            Dc = det3(n, s1, t0, s1, s2, t1, s2, s3, t2)
+            rows.append((r.event_type, str(D), str(Da), str(Db),
+                         str(Dc)))
+        return pd.DataFrame(rows, columns=["event_type", "det_d",
+                                           "det_a", "det_b", "det_c"])
+
+    return rel.bucketed_group_apply(parts, ["event_type"], finalize)
+
+
+def SQL_QUAD_FIT():
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (f"({a}*({e}*{i}-{f}*{h}) - {b}*({d}*{i}-{f}*{g})"
+                f" + {c}*({d}*{h}-{e}*{g}))")
+
+    cols = {k: f"h{k}" for k in
+            ["n", "s1", "s2", "s3", "s4", "t0", "t1", "t2"]}
+    casts = ",\n         ".join(
+        f"CAST({k} AS HUGEINT) AS {v}" for k, v in cols.items())
+    D = det3("hn", "hs1", "hs2", "hs1", "hs2", "hs3", "hs2", "hs3", "hs4")
+    Da = det3("ht0", "hs1", "hs2", "ht1", "hs2", "hs3", "ht2", "hs3", "hs4")
+    Db = det3("hn", "ht0", "hs2", "hs1", "ht1", "hs3", "hs2", "ht2", "hs4")
+    Dc = det3("hn", "hs1", "ht0", "hs1", "hs2", "ht1", "hs2", "hs3", "ht2")
+    return f"""
+WITH xy AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x*x) AS BIGINT) AS s2,
+         CAST(SUM(x*x*x) AS BIGINT) AS s3,
+         CAST(SUM(x*x*x*x) AS BIGINT) AS s4,
+         CAST(SUM(y) AS BIGINT) AS t0,
+         CAST(SUM(x*y) AS BIGINT) AS t1,
+         CAST(SUM(x*x*y) AS BIGINT) AS t2
+  FROM xy GROUP BY event_type),
+h AS (
+  SELECT event_type,
+         {casts}
+  FROM m)
+SELECT event_type,
+       CAST({D} AS VARCHAR) AS det_d,
+       CAST({Da} AS VARCHAR) AS det_a,
+       CAST({Db} AS VARCHAR) AS det_b,
+       CAST({Dc} AS VARCHAR) AS det_c
+FROM h"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -13239,6 +13330,7 @@ REGISTRY: dict[str, tuple] = {
     "cost_distance": (q_cost_distance, SQL_COST_DISTANCE),
     "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
     "decay_score": (q_decay_score, SQL_DECAY_SCORE),
+    "quad_fit": (q_quad_fit, SQL_QUAD_FIT),
 }
 
 

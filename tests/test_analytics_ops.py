@@ -1797,3 +1797,27 @@ def test_decay_score_bruteforce(ray_session):
     exp = pd.DataFrame({"u": ev.user_id, "d": dec}).groupby("u")["d"] \
         .sum().to_dict()
     assert out == {int(k): int(v) for k, v in exp.items()}
+
+
+def test_quad_fit_matches_lstsq(ray_session):
+    """Exact rational coefficients Da/D etc. must match numpy's float
+    least squares to float precision."""
+    import pandas as pd
+    import numpy as np
+    from pythongis_ray.queries import q_quad_fit
+
+    SF = "/root/testdata/sf0.001"
+    out = q_quad_fit(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    ev["x"] = (ev.ts.astype("datetime64[us]").astype("int64")
+               // 3_600_000_000) % 24
+    ev["y"] = np.round(ev.value * 100).astype("int64")
+    for r in out.itertuples():
+        g = ev[ev.event_type == r.event_type]
+        A = np.vander(g.x.to_numpy(float), 3, increasing=True)
+        coef, *_ = np.linalg.lstsq(A, g.y.to_numpy(float), rcond=None)
+        D = int(r.det_d)
+        got = np.array([int(r.det_a) / D, int(r.det_b) / D,
+                        int(r.det_c) / D])
+        assert np.allclose(got, coef, rtol=1e-6)
