@@ -13077,6 +13077,132 @@ SELECT event_type,
 FROM h"""
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve per language (the heavy-tail
+    diagnostic behind tokenizer vocab sizing): the number of distinct
+    words k90 whose rank-ordered frequencies (count desc, word asc)
+    first cover >= 90% of the token mass — integer test 10·cum >=
+    9·total, no float thresholds. One (lang, word) bucketed count,
+    then a lang-keyed finalize over the vocabulary-bounded frequency
+    table."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = b["text"].str.split(" ")
+        d = pd.DataFrame({
+            "lang": b["lang"].repeat(rows.str.len()).to_numpy(),
+            "w": np.concatenate(rows.to_numpy())})
+        c = d.groupby(["lang", "w"], sort=False).size().rename("c")
+        return c.reset_index()
+
+    freq = ds.map_batches(explode, batch_format="pandas",
+                          batch_size=4096)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby(["lang", "w"], sort=False)["c"].sum().reset_index()
+        outs = []
+        for lang, gg in f.groupby("lang", sort=False):
+            gg = gg.sort_values(["c", "w"], ascending=[False, True],
+                                kind="stable")
+            c = gg["c"].to_numpy(np.int64)
+            tot = int(c.sum())
+            cum = np.cumsum(c)
+            k90 = int(np.argmax(10 * cum >= 9 * tot)) + 1
+            outs.append((lang, len(gg), tot, k90))
+        return pd.DataFrame(outs, columns=["lang", "vocab", "total",
+                                           "k90"])
+
+    out = rel.bucketed_group_apply(freq, ["lang"], combine)
+    return out.map_batches(
+        lambda b: pa.table({
+            "lang": b["lang"],
+            "vocab": pc.cast(b["vocab"], pa.int64()),
+            "total": pc.cast(b["total"], pa.int64()),
+            "k90": pc.cast(b["k90"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+SQL_VOCAB_COVERAGE = """
+WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+f AS (SELECT lang, w, COUNT(*) AS c FROM t GROUP BY lang, w),
+o AS (SELECT lang, c,
+             SUM(c) OVER (PARTITION BY lang
+                          ORDER BY c DESC, w) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS tot,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY c DESC, w) AS rn
+      FROM f)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(MAX(tot) AS BIGINT) AS total,
+       CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN rn END)
+         AS BIGINT) AS k90
+FROM o GROUP BY lang
+"""
+
+
+def q_mannwhitney(sf_dir: str):
+    """Exact Mann-Whitney U between 'view' and 'click' event values
+    (the nonparametric A/B significance statistic beside q_ab_test's
+    odds ratio), doubled to stay integer under ties: U2 = Σ 2·[a>b] +
+    [a=b] over all cross pairs. Computed WITHOUT the pair space: per-
+    cents-value group counts (value-domain bounded) → one prefix-sum
+    finalize. Distributed partials are one map_batches + one bucketed
+    combine."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].isin(["view", "click"])
+        g = b[m]
+        val = np.round(g["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        isa = (g["event_type"] == "view").to_numpy()
+        d = pd.DataFrame({"val": val,
+                          "na": isa.astype(np.int64),
+                          "nb": (~isa).astype(np.int64)})
+        return d.groupby("val", sort=False).sum().reset_index()
+
+    parts = ds.map_batches(cnt, batch_format="pandas", batch_size=65536)
+    merged = rel.bucketed_group_apply(
+        parts, ["val"],
+        lambda g: g.groupby("val", sort=False).sum().reset_index())
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("val", kind="stable").reset_index(drop=True)
+        na = g["na"].to_numpy(np.int64)
+        nb = g["nb"].to_numpy(np.int64)
+        nb_lt = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        u2 = int((2 * na * nb_lt + na * nb).sum())
+        return pd.DataFrame({"n_a": [int(na.sum())],
+                             "n_b": [int(nb.sum())],
+                             "u2": [u2]}).astype(np.int64)
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=1 << 30)
+
+
+SQL_MANNWHITNEY = """
+WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS val,
+                  SUM(CASE WHEN event_type = 'view' THEN 1
+                      ELSE 0 END) AS na,
+                  SUM(CASE WHEN event_type = 'click' THEN 1
+                      ELSE 0 END) AS nb
+           FROM events WHERE event_type IN ('view', 'click')
+           GROUP BY 1),
+o AS (SELECT val, na, nb,
+             COALESCE(SUM(nb) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS nb_lt
+      FROM v)
+SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+       CAST(SUM(nb) AS BIGINT) AS n_b,
+       CAST(SUM(2 * na * nb_lt + na * nb) AS BIGINT) AS u2
+FROM o
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -13331,6 +13457,8 @@ REGISTRY: dict[str, tuple] = {
     "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
     "decay_score": (q_decay_score, SQL_DECAY_SCORE),
     "quad_fit": (q_quad_fit, SQL_QUAD_FIT),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "mannwhitney": (q_mannwhitney, SQL_MANNWHITNEY),
 }
 
 

@@ -1821,3 +1821,43 @@ def test_quad_fit_matches_lstsq(ray_session):
         got = np.array([int(r.det_a) / D, int(r.det_b) / D,
                         int(r.det_c) / D])
         assert np.allclose(got, coef, rtol=1e-6)
+
+
+def test_vocab_coverage_bruteforce(ray_session):
+    import pandas as pd
+    from collections import Counter
+    from pythongis_ray.queries import q_vocab_coverage
+
+    SF = "/root/testdata/sf0.001"
+    out = q_vocab_coverage(SF).to_pandas().set_index("lang")
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    for lang, g in pdf.groupby("lang"):
+        c = Counter(w for t in g.text for w in t.split(" "))
+        items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        tot = sum(c.values())
+        cum, k90 = 0, None
+        for i, (_, n) in enumerate(items):
+            cum += n
+            if 10 * cum >= 9 * tot:
+                k90 = i + 1
+                break
+        r = out.loc[lang]
+        assert (r.vocab, r.total, r.k90) == (len(c), tot, k90)
+
+
+def test_mannwhitney_bruteforce(ray_session):
+    import pandas as pd
+    import numpy as np
+    from pythongis_ray.queries import q_mannwhitney
+
+    SF = "/root/testdata/sf0.001"
+    out = q_mannwhitney(SF).to_pandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    a = np.round(ev[ev.event_type == "view"].value.to_numpy() * 100) \
+        .astype("int64")
+    b = np.round(ev[ev.event_type == "click"].value.to_numpy() * 100) \
+        .astype("int64")
+    u2 = int((2 * (a[:, None] > b[None, :]).sum())
+             + (a[:, None] == b[None, :]).sum())
+    assert (out.n_a, out.n_b, out.u2) == (len(a), len(b), u2)
