@@ -13203,6 +13203,180 @@ FROM o
 """
 
 
+GT_MAX_R = 10
+
+
+def q_good_turing(sf_dir: str):
+    """Good-Turing frequency-of-frequencies smoothing prep (the
+    classic LM backoff estimator): for word frequencies r = 1..10,
+    the type count N_r and the EXACT smoothed-count numerator
+    (r+1)·N_{r+1} (the smoothed count r* = numerator / N_r — kept as
+    an integer pair, no division). One (word) bucketed count, one
+    count-of-counts combine over the frequency-bounded table."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = b["text"].str.split(" ")
+        d = pd.DataFrame({"w": np.concatenate(rows.to_numpy())})
+        g = d.groupby("w", sort=False).size().rename("c")
+        return g.reset_index()
+
+    parts = ds.map_batches(explode, batch_format="pandas",
+                           batch_size=4096)
+    freq = rel.bucketed_group_apply(
+        parts, ["w"],
+        lambda g: g.groupby("w", sort=False)["c"].sum().reset_index())
+
+    def coc(b: pd.DataFrame) -> pd.DataFrame:
+        u, n = np.unique(b["c"].to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"r": u, "n_r": n.astype(np.int64)})
+
+    parts2 = freq.map_batches(coc, batch_format="pandas",
+                              batch_size=65536)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("r", sort=False)["n_r"].sum()
+        out = []
+        for r in range(1, GT_MAX_R + 1):
+            n_r = int(t.get(r, 0))
+            n_r1 = int(t.get(r + 1, 0))
+            out.append((r, n_r, (r + 1) * n_r1))
+        return pd.DataFrame(out, columns=["r", "n_r", "gt_num"]) \
+            .astype(np.int64)
+
+    return parts2.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=1 << 30)
+
+
+def SQL_GOOD_TURING():
+    return f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+f AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w),
+coc AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM f GROUP BY c),
+rr AS (SELECT CAST(r AS BIGINT) AS r
+       FROM (SELECT unnest(range(1, {GT_MAX_R + 1})) AS r))
+SELECT rr.r, CAST(COALESCE(a.n_r, 0) AS BIGINT) AS n_r,
+       CAST((rr.r + 1) * COALESCE(b.n_r, 0) AS BIGINT) AS gt_num
+FROM rr LEFT JOIN coc a ON a.r = rr.r
+        LEFT JOIN coc b ON b.r = rr.r + 1"""
+
+
+def q_modularity(sf_dir: str):
+    """Modularity audit of the LPA partition (the evaluation half of
+    community detection — pairs with q_communities the way ann_recall
+    pairs with ann_lsh): per community, intra-edge count e_in, degree
+    mass d_sum, and the EXACT integer contribution 4m·e_in − d_sum²
+    (modularity Q = Σ contrib / 4m² — one division deferred to the
+    reader). Labels come from the same deterministic 3-round LPA; the
+    self-loopless canonical edge set supplies m, degrees and
+    intra-edge tests via two partitioned label joins."""
+    from pythongis_ray import graph, pages
+    from pythongis_ray.relational import bucketed_group_apply, join_large
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    labels = graph.label_propagation(edges, src="src_page",
+                                     dst="dst_page", rounds=LPA_ROUNDS)
+    labels = labels.map_batches(
+        lambda b: pa.table({"node": pc.cast(b["node"], pa.int64()),
+                            "community": pc.cast(b["community"],
+                                                 pa.int64())}),
+        batch_format="pyarrow", batch_size=65536).materialize()
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = batch["src_page"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch["dst_page"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": np.minimum(u, v), "v": np.maximum(u, v)})
+
+    e = rel.dedup(edges.map_batches(canon, batch_format="pyarrow",
+                                    batch_size=65536), ["u", "v"])
+    e = rel.with_empty_schema(e, pa.schema(
+        [("u", pa.int64()), ("v", pa.int64())])).materialize()
+    m = e.count()
+
+    lu = labels.map_batches(
+        lambda b: pa.table({"u": b["node"], "cu": b["community"]}),
+        batch_format="pyarrow", batch_size=65536)
+    lv = labels.map_batches(
+        lambda b: pa.table({"v": b["node"], "cv": b["community"]}),
+        batch_format="pyarrow", batch_size=65536)
+    tagged = join_large(join_large(e, lu, on="u"), lv, on="v")
+
+    def parts_fn(b: pd.DataFrame) -> pd.DataFrame:
+        cu = b["cu"].to_numpy(np.int64)
+        cv = b["cv"].to_numpy(np.int64)
+        intra = cu == cv
+        d = pd.DataFrame({
+            "community": np.concatenate([cu[intra], cu, cv]),
+            "e_in": np.concatenate([np.ones(int(intra.sum()), np.int64),
+                                    np.zeros(2 * len(b), np.int64)]),
+            "d_sum": np.concatenate([np.zeros(int(intra.sum()), np.int64),
+                                     np.ones(2 * len(b), np.int64)]),
+            "n_nodes": 0})
+        return d.groupby("community", sort=False).sum().reset_index()
+
+    ep = tagged.map_batches(parts_fn, batch_format="pandas",
+                            batch_size=65536)
+    np_ = labels.map_batches(
+        lambda b: pd.DataFrame({
+            "community": b["community"].to_numpy(np.int64),
+            "e_in": 0, "d_sum": 0, "n_nodes": 1})
+        .groupby("community", sort=False).sum().reset_index(),
+        batch_format="pandas", batch_size=65536)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("community", sort=False)[
+            ["e_in", "d_sum", "n_nodes"]].sum().reset_index()
+        c["q_contrib"] = (4 * m * c["e_in"].to_numpy(np.int64)
+                          - c["d_sum"].to_numpy(np.int64) ** 2)
+        return c.astype(np.int64)
+
+    return bucketed_group_apply(ep.union(np_), ["community"], combine)
+
+
+def _sql_modularity(rounds: int = None,
+                    edges_sql: str = _SQL_PAGE_EDGES) -> str:
+    lpa = _sql_lpa(LPA_ROUNDS, edges_sql)
+    # reuse the LPA CTE chain: strip its final SELECT, keep the WITH
+    body = lpa[:lpa.rindex("\nSELECT")]
+    return body + f""",
+labels AS MATERIALIZED (
+  SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+  FROM l{LPA_ROUNDS}),
+ce AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e WHERE src <> dst),
+mm AS (SELECT COUNT(*) AS m FROM ce),
+te AS (SELECT ce.u, ce.v, lu.community AS cu, lv.community AS cv
+       FROM ce JOIN labels lu ON lu.node = ce.u
+               JOIN labels lv ON lv.node = ce.v),
+ein AS (SELECT cu AS community, COUNT(*) AS e_in
+        FROM te WHERE cu = cv GROUP BY cu),
+dsum AS (SELECT community, COUNT(*) AS d_sum FROM (
+           SELECT cu AS community FROM te
+           UNION ALL SELECT cv FROM te) GROUP BY community),
+nn AS (SELECT community, COUNT(*) AS n_nodes FROM labels
+       GROUP BY community)
+SELECT nn.community,
+       CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+       CAST(COALESCE(dsum.d_sum, 0) AS BIGINT) AS d_sum,
+       CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       CAST(4 * mm.m * COALESCE(ein.e_in, 0)
+            - COALESCE(dsum.d_sum, 0) * COALESCE(dsum.d_sum, 0)
+         AS BIGINT) AS q_contrib
+FROM nn CROSS JOIN mm
+LEFT JOIN ein ON ein.community = nn.community
+LEFT JOIN dsum ON dsum.community = nn.community"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -13459,6 +13633,8 @@ REGISTRY: dict[str, tuple] = {
     "quad_fit": (q_quad_fit, SQL_QUAD_FIT),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "mannwhitney": (q_mannwhitney, SQL_MANNWHITNEY),
+    "good_turing": (q_good_turing, SQL_GOOD_TURING),
+    "modularity": (q_modularity, _sql_modularity),
 }
 
 

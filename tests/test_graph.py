@@ -763,3 +763,39 @@ def test_ann_recall_consistent(ray_session):
     assert (out.recall_pct == out.n_hit * 20).all()
     assert out.n_hit.between(0, 5).all()
     assert len(out) == 8
+
+
+def test_modularity_invariants(ray_session):
+    from pythongis_ray.queries import q_modularity
+
+    SF = "/root/testdata/sf0.001"
+    out = q_modularity(SF).to_pandas()
+    # degree mass sums to 2m over all communities; e_in <= m
+    import pandas as pd
+
+    ids = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id"]).doc_id.astype(int)
+    E = {(min(d, d // k), max(d, d // k))
+         for d in ids for k in (2, 4, 8) if d != d // k}
+    m = len(E)
+    assert out.d_sum.sum() == 2 * m
+    assert out.e_in.sum() <= m
+    assert (out.q_contrib == 4 * m * out.e_in - out.d_sum ** 2).all()
+    # modularity Q = sum/4m^2 must be in [-1, 1]
+    q = out.q_contrib.sum() / (4 * m * m)
+    assert -1.0 <= q <= 1.0
+
+
+def test_good_turing_bruteforce(ray_session):
+    import pandas as pd
+    from collections import Counter
+    from pythongis_ray.queries import q_good_turing
+
+    SF = "/root/testdata/sf0.001"
+    out = q_good_turing(SF).to_pandas().set_index("r")
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    c = Counter(w for t in pdf.text for w in t.split(" "))
+    coc = Counter(c.values())
+    for r in range(1, 11):
+        assert out.loc[r, "n_r"] == coc.get(r, 0)
+        assert out.loc[r, "gt_num"] == (r + 1) * coc.get(r + 1, 0)
