@@ -13377,6 +13377,176 @@ LEFT JOIN ein ON ein.community = nn.community
 LEFT JOIN dsum ON dsum.community = nn.community"""
 
 
+LC_K = 1 << 20
+
+
+def q_label_compact(sf_dir: str):
+    """Cluster-compactness audit of the labeled embeddings (the
+    silhouette-lite evaluation op): per label, how many members'
+    NEAREST label centroid (by mean quantized dot, deterministic
+    integer score floor(dot·2^20 / n_l), ties → smaller label) is
+    their own. Label sums are label-bounded partials broadcast into
+    one vectorized scoring map; the floor keeps the score exact in
+    int64 (|dot|·2^20 < 2^56) and numpy floor division is mirrored
+    by an explicit floor-correction in the C-truncating SQL."""
+    import ray
+
+    from pythongis_ray import state
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def sums(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.round(np.stack(b["embedding"].to_numpy()) * 1000) \
+            .astype(np.int64)
+        lab = b["label"].to_numpy(np.int64)
+        d = pd.DataFrame(q, columns=[f"s{i}" for i in range(q.shape[1])])
+        d["label"] = lab
+        g = d.groupby("label", sort=False).sum()
+        g["n"] = d.groupby("label", sort=False).size()
+        return g.reset_index()
+
+    lbl_sums = rel.bucketed_group_apply(
+        emb.map_batches(sums, batch_format="pandas", batch_size=4096),
+        ["label"],
+        lambda g: g.groupby("label", sort=False).sum().reset_index()) \
+        .to_pandas().sort_values("label").reset_index(drop=True)
+    labs = lbl_sums["label"].to_numpy(np.int64)
+    S = lbl_sums.drop(columns=["label", "n"]).to_numpy(np.int64)
+    n_l = lbl_sums["n"].to_numpy(np.int64)
+    ref = ray.put((labs, S, n_l))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        labs_, S_, n_ = state.get_broadcast(ref, key_extra=("lcomp",))
+        q = np.round(np.stack(b["embedding"].to_numpy()) * 1000) \
+            .astype(np.int64)
+        own = b["label"].to_numpy(np.int64)
+        dots = q @ S_.T                       # (B, L)
+        sc = (dots * LC_K) // n_[None, :]     # numpy floor division
+        best = np.argmax(sc == sc.max(axis=1, keepdims=True), axis=1)
+        nearest = labs_[best]                 # ties → smallest label
+        d = pd.DataFrame({"label": own,
+                          "n_members": 1,
+                          "n_compact": (nearest == own).astype(np.int64)})
+        return d.groupby("label", sort=False).sum().reset_index()
+
+    parts = emb.map_batches(score, batch_format="pandas",
+                            batch_size=4096)
+    return rel.bucketed_group_apply(
+        parts, ["label"],
+        lambda g: g.groupby("label", sort=False).sum().reset_index()
+        .astype(np.int64))
+
+
+def SQL_LABEL_COMPACT():
+    return f"""
+WITH eq AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+                        x -> round(CAST(x AS DOUBLE) * 1000)) AS e
+  FROM embeddings),
+lc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+       FROM eq GROUP BY label),
+ls0 AS (
+  SELECT label, d.i AS dim, SUM(e[CAST(d.i AS INTEGER)]) AS s
+  FROM eq CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+  GROUP BY label, d.i),
+ls AS (
+  SELECT ls0.label, lc.n, list(ls0.s ORDER BY ls0.dim) AS s
+  FROM ls0 JOIN lc ON lc.label = ls0.label
+  GROUP BY ls0.label, lc.n),
+sc AS (
+  SELECT eq.vec_id, eq.label AS own, ls.label AS cand,
+         CAST(list_dot_product(eq.e, ls.s) AS BIGINT) * {LC_K} AS num,
+         ls.n
+  FROM eq CROSS JOIN ls),
+fl AS (
+  SELECT vec_id, own, cand,
+         (num // n) - CASE WHEN num < 0 AND num % n <> 0
+                      THEN 1 ELSE 0 END AS score
+  FROM sc),
+nearest AS (
+  SELECT vec_id, own, cand,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM fl)
+SELECT own AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN cand = own THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_compact
+FROM nearest WHERE rn = 1 GROUP BY own"""
+
+
+def q_fd_check(sf_dir: str):
+    """Functional-dependency profiling (TANE-lite data audit): for
+    candidate FDs over events, the key count and the number of keys
+    with more than one distinct dependent value (violations; the FD
+    holds iff zero). Each pair is one distinct-dedup + one keyed
+    combine — schema-discovery as a pipeline, not a driver loop."""
+    pairs = [("event_id", "user_id"), ("user_id", "event_type"),
+             ("event_type", "user_id"), ("user_id", "event_id")]
+    outs = []
+    for det, dep in pairs:
+        ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                                columns=[det, dep])
+        de = rel.dedup(ds.map_batches(
+            lambda b, det=det, dep=dep: pa.table({
+                "k": pc.cast(b[det], pa.int64())
+                if b[det].type != pa.string() else b[det],
+                "v": pc.cast(b[dep], pa.int64())
+                if b[dep].type != pa.string() else b[dep]}),
+            batch_format="pyarrow", batch_size=65536), ["k", "v"])
+
+        def cnt(g: pd.DataFrame, det=det, dep=dep) -> pd.DataFrame:
+            c = g.groupby("k", sort=False).size()
+            return pd.DataFrame({
+                "fd": [f"{det}->{dep}"],
+                "n_keys": [len(c)],
+                "n_violations": [int((c >= 2).sum())]})
+
+        part = rel.bucketed_group_apply(de, ["k"], cnt)
+        outs.append(rel.bucketed_group_apply(
+            part, ["fd"],
+            lambda g: g.groupby("fd", sort=False).sum().reset_index()))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "fd": b["fd"],
+            "n_keys": pc.cast(b["n_keys"], pa.int64()),
+            "n_violations": pc.cast(b["n_violations"], pa.int64()),
+            "holds": pc.cast(pc.equal(pc.cast(b["n_violations"],
+                                              pa.int64()), 0),
+                             pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow",
+                           batch_size=65536)
+
+
+SQL_FD_CHECK = """
+WITH p1 AS (SELECT 'event_id->user_id' AS fd,
+                   CAST(event_id AS VARCHAR) AS k,
+                   CAST(user_id AS VARCHAR) AS v FROM events),
+p2 AS (SELECT 'user_id->event_type', CAST(user_id AS VARCHAR),
+              event_type FROM events),
+p3 AS (SELECT 'event_type->user_id', event_type,
+              CAST(user_id AS VARCHAR) FROM events),
+p4 AS (SELECT 'user_id->event_id', CAST(user_id AS VARCHAR),
+              CAST(event_id AS VARCHAR) FROM events),
+a AS (SELECT fd, k, COUNT(DISTINCT v) AS c FROM (
+        SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
+      GROUP BY fd, k)
+SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(CASE WHEN SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM a GROUP BY fd
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -13635,6 +13805,8 @@ REGISTRY: dict[str, tuple] = {
     "mannwhitney": (q_mannwhitney, SQL_MANNWHITNEY),
     "good_turing": (q_good_turing, SQL_GOOD_TURING),
     "modularity": (q_modularity, _sql_modularity),
+    "label_compact": (q_label_compact, SQL_LABEL_COMPACT),
+    "fd_check": (q_fd_check, SQL_FD_CHECK),
 }
 
 

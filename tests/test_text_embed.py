@@ -1198,3 +1198,34 @@ def test_crawl_budget_sums_to_k(ray_session):
     import numpy as np
     share = CRAWL_BUDGET_K * out.n.to_numpy(np.int64) / out.n.sum()
     assert (np.abs(out.quota.to_numpy() - share) < 1.0 + 1e-9).all()
+
+
+def test_label_compact_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    from pythongis_ray.queries import q_label_compact, LC_K
+
+    SF = "/root/testdata/sf0.001"
+    out = q_label_compact(SF).to_pandas().set_index("label")
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    q = np.round(np.stack(pdf.embedding.to_numpy()) * 1000).astype("int64")
+    lab = pdf.label.to_numpy("int64")
+    labs = np.unique(lab)
+    S = np.stack([q[lab == l].sum(axis=0) for l in labs])
+    n = np.array([(lab == l).sum() for l in labs], "int64")
+    sc = (q @ S.T) * LC_K // n[None, :]
+    nearest = labs[np.argmax(sc == sc.max(axis=1, keepdims=True), axis=1)]
+    for l in labs:
+        assert out.loc[l, "n_members"] == (lab == l).sum()
+        assert out.loc[l, "n_compact"] == ((lab == l) & (nearest == l)).sum()
+
+
+def test_fd_check_expected_verdicts(ray_session):
+    from pythongis_ray.queries import q_fd_check
+
+    out = q_fd_check("/root/testdata/sf0.001").to_pandas() \
+        .set_index("fd")
+    assert out.loc["event_id->user_id", "holds"] == 1    # PK determines
+    assert out.loc["user_id->event_id", "holds"] == 0    # users repeat
+    assert out.loc["user_id->event_type", "holds"] == 0
+    assert (out.n_violations <= out.n_keys).all()
