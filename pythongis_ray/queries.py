@@ -13547,6 +13547,60 @@ FROM a GROUP BY fd
 """
 
 
+def q_type_overlap(sf_dir: str):
+    """Exact audience overlap between event types (the bitmap-index
+    intersection op KMV only approximates — q_host_overlap's exact
+    sibling): |users(A) ∩ users(B)| for every type pair, computed
+    WITHOUT materializing user sets: one (user, type) dedup, per-user
+    pair emission inside the user-keyed bucket (≤ C(5,2) rows per
+    user), one (a, b) combine."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    de = rel.dedup(ds.map_batches(
+        lambda b: pa.table({"u": pc.cast(b["user_id"], pa.int64()),
+                            "t": b["event_type"]}),
+        batch_format="pyarrow", batch_size=65536), ["u", "t"])
+
+    def per_user(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates(["u", "t"]).sort_values(["u", "t"],
+                                                      kind="stable")
+        u = b["u"].to_numpy(np.int64)
+        t = b["t"].to_numpy()
+        outs = []
+        d = 1
+        while True:
+            msk = u[d:] == u[:-d]
+            if not msk.any():
+                break
+            outs.append((t[:-d][msk], t[d:][msk]))
+            d += 1
+        if not outs:
+            return pd.DataFrame({"type_a": np.empty(0, object),
+                                 "type_b": np.empty(0, object),
+                                 "n_both": np.empty(0, np.int64)})
+        df = pd.DataFrame({"type_a": np.concatenate([o[0] for o in outs]),
+                           "type_b": np.concatenate([o[1] for o in outs])})
+        return df.groupby(["type_a", "type_b"], sort=False).size() \
+            .rename("n_both").reset_index()
+
+    parts = bucketed_group_apply(de, ["u"], per_user)
+    return bucketed_group_apply(
+        parts, ["type_a", "type_b"],
+        lambda g: g.groupby(["type_a", "type_b"], sort=False)["n_both"]
+        .sum().reset_index())
+
+
+SQL_TYPE_OVERLAP = """
+WITH de AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events)
+SELECT a.t AS type_a, b.t AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_both
+FROM de a JOIN de b ON a.u = b.u AND a.t < b.t
+GROUP BY a.t, b.t
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -13807,6 +13861,7 @@ REGISTRY: dict[str, tuple] = {
     "modularity": (q_modularity, _sql_modularity),
     "label_compact": (q_label_compact, SQL_LABEL_COMPACT),
     "fd_check": (q_fd_check, SQL_FD_CHECK),
+    "type_overlap": (q_type_overlap, SQL_TYPE_OVERLAP),
 }
 
 

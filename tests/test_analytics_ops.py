@@ -1861,3 +1861,22 @@ def test_mannwhitney_bruteforce(ray_session):
     u2 = int((2 * (a[:, None] > b[None, :]).sum())
              + (a[:, None] == b[None, :]).sum())
     assert (out.n_a, out.n_b, out.u2) == (len(a), len(b), u2)
+
+
+def test_type_overlap_bruteforce(ray_session):
+    import pandas as pd
+    from itertools import combinations
+    from pythongis_ray.queries import q_type_overlap
+
+    SF = "/root/testdata/sf0.001"
+    out = q_type_overlap(SF).to_pandas()
+    got = {(r.type_a, r.type_b): int(r.n_both) for r in out.itertuples()}
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    sets = {t: set(g.user_id) for t, g in ev.groupby("event_type")}
+    exp = {}
+    for a, b in combinations(sorted(sets), 2):
+        n = len(sets[a] & sets[b])
+        if n:
+            exp[(a, b)] = n
+    assert got == exp
