@@ -615,3 +615,102 @@ def pq_search(ds, codebooks: list[np.ndarray], query: np.ndarray,
         .head(k_top).reset_index(drop=True)
     cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
     return cand
+
+
+def mutual_nn_blocked(ds, id_col: str = "vec_id",
+                      emb_col: str = "embedding", scale: int = 1000,
+                      n_blocks: int = 8):
+    """Mutual nearest-neighbor pairs (each the other's exact top-1 by
+    quantized dot, ties → smaller id) — the reciprocal-best-match
+    primitive behind entity matching and contrastive-pair mining.
+    Same 1-Bucket-Theta block plan as neardup_pairs_blocked, but each
+    task emits per-row PARTIAL best-partner candidates; a per-id
+    combine picks the global top-1 and one unordered-pair co-location
+    keeps exactly the reciprocal pairs. Nothing driver-side; compute
+    is the inherent exact O(n²) spread over B(B+1)/2 tasks."""
+    from pythongis_ray import relational as rel
+
+    B = int(n_blocks)
+
+    def replicate(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = ((ids.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(7)
+               ).astype(np.int64) % B
+        j = np.arange(B, dtype=np.int64)
+        lo = np.minimum(blk[:, None], j[None, :])
+        hi = np.maximum(blk[:, None], j[None, :])
+        task = (lo * B + hi).ravel()
+        rep = np.repeat(np.arange(len(ids)), B)
+        emb = batch[emb_col].take(pa.array(rep))
+        return pd.DataFrame({
+            "task": task,
+            "_blk": np.repeat(blk, B),
+            id_col: np.repeat(ids, B),
+            emb_col: emb.to_pandas(),
+        })
+
+    def best_in_task(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id": np.array([], np.int64),
+                              "partner": np.array([], np.int64),
+                              "score": np.array([], np.int64)})
+        if len(g) < 2:
+            return empty
+        task = int(g["task"].iloc[0])
+        i, j = divmod(task, B)
+        g = g.sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy(np.int64)
+        blk = g["_blk"].to_numpy(np.int64)
+        mat = quantize(np.vstack(g[emb_col].to_numpy()), scale)
+        if i == j:
+            sc = mat @ mat.T
+            np.fill_diagonal(sc, np.iinfo(np.int64).min)
+            best = sc.argmax(axis=1)      # first max = smallest id
+            return pd.DataFrame({"id": ids, "partner": ids[best],
+                                 "score": sc[np.arange(len(ids)), best]})
+        ma, mb = blk == i, blk == j
+        if not ma.any() or not mb.any():
+            return empty
+        sc = mat[ma] @ mat[mb].T
+        ba = sc.argmax(axis=1)
+        bb = sc.argmax(axis=0)
+        return pd.DataFrame({
+            "id": np.concatenate([ids[ma], ids[mb]]),
+            "partner": np.concatenate([ids[mb][ba], ids[ma][bb]]),
+            "score": np.concatenate([sc[np.arange(int(ma.sum())), ba],
+                                     sc[bb, np.arange(int(mb.sum()))]])})
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow",
+                         batch_size=4096)
+    parts = rep.groupby("task").map_groups(best_in_task,
+                                           batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id", "score", "partner"],
+                          ascending=[True, False, True], kind="stable")
+        first = ~g["id"].duplicated()
+        return g[first][["id", "partner", "score"]]
+
+    nn = rel.bucketed_group_apply(parts, ["id"], combine)
+
+    def pair_key(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["id"].to_numpy(np.int64)
+        p = b["partner"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": np.minimum(i, p),
+                             "hi": np.maximum(i, p),
+                             "id": i, "score": b["score"].to_numpy(np.int64)})
+
+    keyed = nn.map_batches(pair_key, batch_format="pandas",
+                           batch_size=65536)
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["lo", "hi"], sort=False).agg(
+            n=("id", "size"), score=("score", "max")).reset_index()
+        c = c[c["n"] == 2]
+        return pd.DataFrame({"id_a": c["lo"].to_numpy(np.int64),
+                             "id_b": c["hi"].to_numpy(np.int64),
+                             "score": c["score"].to_numpy(np.int64)})
+
+    out = rel.bucketed_group_apply(keyed, ["lo", "hi"], mutual)
+    return rel.with_empty_schema(out, pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("score", pa.int64())]))

@@ -13601,6 +13601,37 @@ GROUP BY a.t, b.t
 """
 
 
+def q_mutual_nn(sf_dir: str):
+    """Reciprocal best-match pairs over the embedding corpus: (a, b)
+    where each is the other's EXACT top-1 by quantized dot (ties →
+    smaller id) — the entity-matching / contrastive-positive-mining
+    primitive. 1-Bucket-Theta block self-join emitting per-task
+    partial bests, per-id combine, one unordered-pair co-location."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embed.mutual_nn_blocked(emb)
+
+
+SQL_MUTUAL_NN = """
+WITH eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> round(CAST(x AS DOUBLE) * 1000)) AS e
+  FROM embeddings),
+s AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(list_dot_product(a.e, b.e) AS BIGINT) AS sc
+  FROM eq a JOIN eq b ON a.vec_id <> b.vec_id),
+nn AS (
+  SELECT ia, ib, sc FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ia
+              ORDER BY sc DESC, ib) AS rn
+    FROM s) WHERE rn = 1)
+SELECT n1.ia AS id_a, n1.ib AS id_b, n1.sc AS score
+FROM nn n1 JOIN nn n2 ON n2.ia = n1.ib AND n2.ib = n1.ia
+WHERE n1.ia < n1.ib
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -13862,6 +13893,7 @@ REGISTRY: dict[str, tuple] = {
     "label_compact": (q_label_compact, SQL_LABEL_COMPACT),
     "fd_check": (q_fd_check, SQL_FD_CHECK),
     "type_overlap": (q_type_overlap, SQL_TYPE_OVERLAP),
+    "mutual_nn": (q_mutual_nn, SQL_MUTUAL_NN),
 }
 
 

@@ -1229,3 +1229,26 @@ def test_fd_check_expected_verdicts(ray_session):
     assert out.loc["user_id->event_id", "holds"] == 0    # users repeat
     assert out.loc["user_id->event_type", "holds"] == 0
     assert (out.n_violations <= out.n_keys).all()
+
+
+def test_mutual_nn_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    n, d = 60, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float64)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(list(vecs))})
+    out = embed.mutual_nn_blocked(rd.from_arrow(t), n_blocks=4) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    q = np.round(vecs * 1000).astype(np.int64)
+    sc = q @ q.T
+    np.fill_diagonal(sc, np.iinfo(np.int64).min)
+    nn = sc.argmax(axis=1)     # first max = smallest id
+    exp = sorted((a, int(nn[a]), int(sc[a, nn[a]]))
+                 for a in range(n)
+                 if nn[nn[a]] == a and a < nn[a])
+    assert list(zip(out.id_a, out.id_b, out.score)) == exp
