@@ -13632,6 +13632,77 @@ WHERE n1.ia < n1.ib
 """
 
 
+FEISTEL_ROUNDS = 3
+
+
+def _feistel32(u: np.ndarray) -> np.ndarray:
+    """3-round Feistel permutation over 32-bit ids (format-preserving
+    pseudonymization): provably a BIJECTION on [0, 2^32) whatever the
+    round function, so joinability is preserved while raw ids never
+    leave the pipeline. Round math stays < 2^48, replayed verbatim in
+    BIGINT SQL."""
+    L = (u >> np.int64(16)) & np.int64(0xFFFF)
+    R = u & np.int64(0xFFFF)
+    for i in range(1, FEISTEL_ROUNDS + 1):
+        F = ((R * np.int64(2654435761) + np.int64(i) * np.int64(40503))
+             >> np.int64(13)) & np.int64(0xFFFF)
+        L, R = R, L ^ F
+    return L * np.int64(65536) + R
+
+
+def q_pseudonymize(sf_dir: str):
+    """Privacy-preserving user pseudonymization (the PII-pipeline
+    sibling of pii_scrub): per distinct user, a format-preserving
+    32-bit Feistel token — deterministic, collision-free by
+    construction (Feistel networks are bijections), and reversible
+    only with the round constants. One distinct-user dedup, one
+    vectorized map; per-user event counts ride along so the output is
+    a ready join key table."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+
+    def cnt(b: pa.Table) -> pd.DataFrame:
+        u, c = np.unique(b["user_id"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64), return_counts=True)
+        return pd.DataFrame({"user_id": u, "n_events": c.astype(np.int64)})
+
+    parts = ds.map_batches(cnt, batch_format="pyarrow", batch_size=65536)
+    users = rel.bucketed_group_apply(
+        parts, ["user_id"],
+        lambda g: g.groupby("user_id", sort=False)["n_events"].sum()
+        .reset_index())
+
+    def tok(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy(np.int64)
+        b = b.copy()
+        b["pseudo_id"] = _feistel32(u)
+        return b[["user_id", "pseudo_id", "n_events"]]
+
+    return users.map_batches(tok, batch_format="pandas",
+                             batch_size=65536)
+
+
+def SQL_PSEUDONYMIZE():
+    head = """
+WITH u AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM events GROUP BY user_id),
+f0 AS (SELECT user_id, n_events,
+              (user_id // 65536) % 65536 AS L,
+              user_id % 65536 AS R
+       FROM u)"""
+    steps = []
+    for i in range(1, FEISTEL_ROUNDS + 1):
+        steps.append(f""",
+f{i} AS (SELECT user_id, n_events, R AS L,
+               xor(L, ((R * 2654435761 + {i} * 40503) // 8192)
+                      % 65536) AS R
+        FROM f{i - 1})""")
+    return head + "".join(steps) + f"""
+SELECT user_id, CAST(L * 65536 + R AS BIGINT) AS pseudo_id, n_events
+FROM f{FEISTEL_ROUNDS}"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -13894,6 +13965,7 @@ REGISTRY: dict[str, tuple] = {
     "fd_check": (q_fd_check, SQL_FD_CHECK),
     "type_overlap": (q_type_overlap, SQL_TYPE_OVERLAP),
     "mutual_nn": (q_mutual_nn, SQL_MUTUAL_NN),
+    "pseudonymize": (q_pseudonymize, SQL_PSEUDONYMIZE),
 }
 
 

@@ -1880,3 +1880,16 @@ def test_type_overlap_bruteforce(ray_session):
         if n:
             exp[(a, b)] = n
     assert got == exp
+
+
+def test_feistel_bijection(ray_session):
+    import numpy as np
+    from pythongis_ray.queries import _feistel32, q_pseudonymize
+
+    u = np.arange(100_000, dtype=np.int64)
+    p = _feistel32(u)
+    assert len(np.unique(p)) == len(u)           # injective on a range
+    assert (p >= 0).all() and (p < (1 << 32)).all()
+    out = q_pseudonymize("/root/testdata/sf0.001").to_pandas()
+    assert out.pseudo_id.is_unique
+    assert (out.pseudo_id != out.user_id).any()
