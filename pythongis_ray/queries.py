@@ -13703,6 +13703,160 @@ SELECT user_id, CAST(L * 65536 + R AS BIGINT) AS pseudo_id, n_events
 FROM f{FEISTEL_ROUNDS}"""
 
 
+def q_laplacian(sf_dir: str):
+    """Discrete Laplacian (curvature) of the point-density terrain:
+    e + w + n + s − 4c per interior cell — the peak/pit detector
+    complementing q_slope_grid's gradient. Same sparse-stencil plan:
+    each cell emits to its 4 neighbors, one (cx, cy)-bucketed combine
+    assembles the stencil; no dense array."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grid_ds = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                    [("n", "cx", "count")])
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        v = b["n"].to_numpy(np.int64)
+        tx = np.concatenate([cx, cx - 1, cx + 1, cx, cx])
+        ty = np.concatenate([cy, cy, cy, cy - 1, cy + 1])
+        tag = np.repeat(np.arange(5, dtype=np.int64), len(b))
+        return pd.DataFrame({"cx": tx, "cy": ty, "tag": tag,
+                             "v": np.tile(v, 5)})
+
+    tagged = grid_ds.map_batches(emit, batch_format="pandas",
+                                 batch_size=65536)
+
+    def stencil(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.pivot_table(index=["cx", "cy"], columns="tag",
+                          values="v", aggfunc="sum")
+        p = p.reindex(columns=range(5))
+        p = p[p.notna().all(axis=1)]
+        c = p[0].to_numpy(np.int64)
+        nb = (p[1].to_numpy(np.int64) + p[2].to_numpy(np.int64)
+              + p[3].to_numpy(np.int64) + p[4].to_numpy(np.int64))
+        idx = p.index.to_frame(index=False)
+        return pd.DataFrame({"cx": idx["cx"].to_numpy(np.int64),
+                             "cy": idx["cy"].to_numpy(np.int64),
+                             "lap": nb - 4 * c})
+
+    out = rel.bucketed_group_apply(tagged, ["cx", "cy"], stencil)
+    return rel.with_empty_schema(out, pa.schema(
+        [("cx", pa.int64()), ("cy", pa.int64()), ("lap", pa.int64())]))
+
+
+def SQL_LAPLACIAN():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY ix // 8192, iy // 8192)
+SELECT c.cx, c.cy,
+       CAST(e.n + w.n + s.n + n_.n - 4 * c.n AS BIGINT) AS lap
+FROM g c
+JOIN g e ON e.cx = c.cx + 1 AND e.cy = c.cy
+JOIN g w ON w.cx = c.cx - 1 AND w.cy = c.cy
+JOIN g s ON s.cx = c.cx AND s.cy = c.cy + 1
+JOIN g n_ ON n_.cx = c.cx AND n_.cy = c.cy - 1"""
+
+
+def _ntile_from_rank(rn: np.ndarray, N: int, k: int) -> np.ndarray:
+    """NTILE(k) from a 1-based dense global rank — SQL's
+    big-tiles-first rule (first N%k tiles get one extra row)."""
+    big, rem = N // k, N % k
+    cut = rem * (big + 1)
+    pos = rn - 1
+    return np.where(pos < cut, pos // max(big + 1, 1),
+                    rem + (pos - cut) // max(big, 1)) + 1
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (the classic lifecycle-marketing
+    composition): per customer, Recency (last order day), Frequency
+    (order count), Monetary (exact cents), each cut into exact
+    quartiles by THREE chained two-pass global rankings over the
+    customer-bounded metric table, then segment = rq·100 + fq·10 +
+    mq. NTILE's big-tiles-first rule is replicated bit-for-bit."""
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_totalprice"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = b["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        cents = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        d = pd.DataFrame({"c": c, "r_day": day, "f": 1, "m_cents": cents})
+        return d.groupby("c", sort=False).agg(
+            r_day=("r_day", "max"), f=("f", "sum"),
+            m_cents=("m_cents", "sum")).reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    metrics = rel.bucketed_group_apply(
+        parts, ["c"],
+        lambda g: g.groupby("c", sort=False).agg(
+            r_day=("r_day", "max"), f=("f", "sum"),
+            m_cents=("m_cents", "sum")).reset_index()).materialize()
+    N = metrics.count()
+
+    # materialize between rank passes: each two-pass ranking consumes
+    # its input three times (sample + count + assign), so a lazy chain
+    # re-executes the upstream ranking lineage multiplicatively
+    ranked = rel.add_global_rank(metrics, ["r_day", "c"],
+                                 out_col="rn_r").materialize()
+    ranked = rel.add_global_rank(ranked, ["f", "c"],
+                                 out_col="rn_f").materialize()
+    ranked = rel.add_global_rank(ranked, ["m_cents", "c"],
+                                 out_col="rn_m")
+
+    def tiles(b: pd.DataFrame) -> pd.DataFrame:
+        rq = _ntile_from_rank(b["rn_r"].to_numpy(np.int64), N, 4)
+        fq = _ntile_from_rank(b["rn_f"].to_numpy(np.int64), N, 4)
+        mq = _ntile_from_rank(b["rn_m"].to_numpy(np.int64), N, 4)
+        return pd.DataFrame({
+            "custkey": b["c"].to_numpy(np.int64),
+            "r_day": b["r_day"].to_numpy(np.int64),
+            "f": b["f"].to_numpy(np.int64),
+            "m_cents": b["m_cents"].to_numpy(np.int64),
+            "rq": rq, "fq": fq, "mq": mq,
+            "segment": rq * 100 + fq * 10 + mq}).astype(np.int64)
+
+    return ranked.map_batches(tiles, batch_format="pandas",
+                              batch_size=65536)
+
+
+SQL_RFM_SEGMENTS = """
+WITH m AS (
+  SELECT o_custkey AS c,
+         MAX(epoch_us(o_orderdate) // 86400000000) AS r_day,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+           AS BIGINT) AS m_cents
+  FROM orders GROUP BY o_custkey),
+t AS (
+  SELECT c, r_day, f, m_cents,
+         NTILE(4) OVER (ORDER BY r_day, c) AS rq,
+         NTILE(4) OVER (ORDER BY f, c) AS fq,
+         NTILE(4) OVER (ORDER BY m_cents, c) AS mq
+  FROM m)
+SELECT c AS custkey, CAST(r_day AS BIGINT) AS r_day, f, m_cents,
+       CAST(rq AS BIGINT) AS rq, CAST(fq AS BIGINT) AS fq,
+       CAST(mq AS BIGINT) AS mq,
+       CAST(rq * 100 + fq * 10 + mq AS BIGINT) AS segment
+FROM t
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -13966,6 +14120,8 @@ REGISTRY: dict[str, tuple] = {
     "type_overlap": (q_type_overlap, SQL_TYPE_OVERLAP),
     "mutual_nn": (q_mutual_nn, SQL_MUTUAL_NN),
     "pseudonymize": (q_pseudonymize, SQL_PSEUDONYMIZE),
+    "laplacian": (q_laplacian, SQL_LAPLACIAN),
+    "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
 }
 
 

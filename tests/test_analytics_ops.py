@@ -1893,3 +1893,19 @@ def test_feistel_bijection(ray_session):
     out = q_pseudonymize("/root/testdata/sf0.001").to_pandas()
     assert out.pseudo_id.is_unique
     assert (out.pseudo_id != out.user_id).any()
+
+
+def test_rfm_segments_quartiles_balanced(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_rfm_segments
+
+    out = q_rfm_segments("/root/testdata/sf0.001").to_pandas()
+    n = len(out)
+    for col in ("rq", "fq", "mq"):
+        sizes = out[col].value_counts()
+        assert set(sizes.index) <= {1, 2, 3, 4}
+        assert sizes.max() - sizes.min() <= 1    # NTILE balance
+    assert (out.segment == out.rq * 100 + out.fq * 10 + out.mq).all()
+    # monetary quartile must be monotone in m_cents order
+    s = out.sort_values(["m_cents", "custkey"]).mq.to_numpy()
+    assert (s[1:] >= s[:-1]).all()
