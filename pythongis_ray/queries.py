@@ -13857,6 +13857,68 @@ FROM t
 """
 
 
+def q_weighted_median(sf_dir: str):
+    """Exact QUANTITY-weighted median price per return flag: the
+    smallest price cents whose cumulative quantity weight reaches
+    half the group total (2·cum >= tot — integer test, no halving).
+    The holistic weighted-order-statistic the plain median/quantile
+    ops don't cover; one flag-keyed co-location, in-bucket sort +
+    cumsum. At an unbounded-domain scale the counting-selection plan
+    of q_global_median applies per group instead."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_extendedprice",
+                                     "l_quantity"])
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        cents = np.round(b["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = pd.DataFrame({"flag": b["l_returnflag"].to_pandas(),
+                          "cents": cents, "w": q})
+        # pre-combine equal prices inside the batch: the shuffle then
+        # moves at most |distinct prices| rows per batch
+        return d.groupby(["flag", "cents"], sort=False)["w"].sum() \
+            .reset_index()
+
+    parts = ds.map_batches(prep, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def per_flag(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for flag, gg in g.groupby("flag", sort=False):
+            gg = gg.groupby("cents", sort=True)["w"].sum().reset_index()
+            w = gg["w"].to_numpy(np.int64)
+            cum = np.cumsum(w)
+            tot = int(cum[-1])
+            i = int(np.argmax(2 * cum >= tot))
+            outs.append((flag, int(gg["cents"].iloc[i]), tot))
+        return pd.DataFrame(outs, columns=["flag", "median_cents",
+                                           "total_qty"])
+
+    return bucketed_group_apply(parts, ["flag"], per_flag)
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH d AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                  CAST(l_quantity AS BIGINT) AS w
+           FROM lineitem),
+g AS (SELECT flag, cents, SUM(w) AS w FROM d GROUP BY flag, cents),
+o AS (SELECT flag, cents,
+             SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS tot
+      FROM g)
+SELECT flag, CAST(MIN(CASE WHEN 2 * cum >= tot THEN cents END)
+               AS BIGINT) AS median_cents,
+       CAST(MAX(tot) AS BIGINT) AS total_qty
+FROM o GROUP BY flag
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -14122,6 +14184,7 @@ REGISTRY: dict[str, tuple] = {
     "pseudonymize": (q_pseudonymize, SQL_PSEUDONYMIZE),
     "laplacian": (q_laplacian, SQL_LAPLACIAN),
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
+    "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
 }
 
 

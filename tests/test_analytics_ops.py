@@ -1909,3 +1909,23 @@ def test_rfm_segments_quartiles_balanced(ray_session):
     # monetary quartile must be monotone in m_cents order
     s = out.sort_values(["m_cents", "custkey"]).mq.to_numpy()
     assert (s[1:] >= s[:-1]).all()
+
+
+def test_weighted_median_bruteforce(ray_session):
+    import pandas as pd
+    import numpy as np
+    from pythongis_ray.queries import q_weighted_median
+
+    SF = "/root/testdata/sf0.001"
+    out = q_weighted_median(SF).to_pandas().set_index("flag")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice",
+                                  "l_quantity"])
+    li["cents"] = np.round(li.l_extendedprice * 100).astype("int64")
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.sort_values("cents")
+        cum = g.l_quantity.cumsum().to_numpy()
+        tot = int(cum[-1])
+        med = int(g.cents.to_numpy()[np.argmax(2 * cum >= tot)])
+        assert out.loc[flag, "median_cents"] == med
+        assert out.loc[flag, "total_qty"] == tot
