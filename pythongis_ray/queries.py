@@ -13919,6 +13919,135 @@ FROM o GROUP BY flag
 """
 
 
+def q_dau_stickiness(sf_dir: str):
+    """DAU/MAU stickiness per day (the product-analytics engagement
+    ratio): daily distinct users over that calendar month's distinct
+    users, exact integer ppm. Two keyed dedups ((day,user) and
+    (month,user)); the month table is date-bounded and broadcasts
+    into the per-day scoring — no second shuffle."""
+    import ray
+
+    from pythongis_ray import state
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _events_us(sf_dir, cols=("user_id", "ts"))
+
+    def keys(b: pa.Table) -> pa.Table:
+        day = b["ts_us"].to_numpy(zero_copy_only=False) // 86_400_000_000
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"day": pa.array(day.astype(np.int64)),
+                         "month": pa.array((day // 31).astype(np.int64)),
+                         "u": pa.array(u)})
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow",
+                           batch_size=65536).materialize()
+    dau = bucketed_group_apply(
+        rel.dedup(keyed.select_columns(["day", "u"]), ["day", "u"]),
+        ["day"],
+        lambda g: g.groupby("day", sort=False).size().rename("dau")
+        .reset_index())
+    mau_pd = bucketed_group_apply(
+        rel.dedup(keyed.select_columns(["month", "u"]), ["month", "u"]),
+        ["month"],
+        lambda g: g.groupby("month", sort=False).size().rename("mau")
+        .reset_index()).to_pandas()            # date-bounded
+    mau_map = dict(zip(mau_pd["month"].astype(int),
+                       mau_pd["mau"].astype(int)))
+    ref = ray.put(mau_map)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        mm = state.get_broadcast(ref, key_extra=("dau",))
+        day = b["day"].to_numpy(np.int64)
+        dau_ = b["dau"].to_numpy(np.int64)
+        mau_ = np.array([mm[int(d // 31)] for d in day], np.int64)
+        return pd.DataFrame({
+            "day": day, "dau": dau_, "mau": mau_,
+            "stick_ppm": dau_ * 1_000_000 // mau_})
+
+    return dau.map_batches(score, batch_format="pandas",
+                           batch_size=65536)
+
+
+SQL_DAU_STICKINESS = """
+WITH k AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  (epoch_us(ts) // 86400000000) // 31 AS month,
+                  user_id AS u
+           FROM events),
+d AS (SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau
+      FROM k GROUP BY day),
+m AS (SELECT month, CAST(COUNT(DISTINCT u) AS BIGINT) AS mau
+      FROM k GROUP BY month)
+SELECT CAST(d.day AS BIGINT) AS day, d.dau, m.mau,
+       CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stick_ppm
+FROM d JOIN m ON m.month = d.day // 31
+"""
+
+
+def q_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value triangle: users cohorted by first-seen
+    week; purchase revenue (exact cents) folded per (cohort week,
+    week offset), then the cumulative LTV curve via one running sum
+    over the date-bounded cohort×offset table. The revenue companion
+    of q_retention's activity triangle — cohort + offsets resolved in
+    ONE user-keyed pass."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _events_us(sf_dir, cols=("user_id", "ts", "event_type",
+                                  "value"))
+
+    def per_user(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["user_id", "ts_us"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        wk = g["ts_us"].to_numpy(np.int64) // (7 * 86_400_000_000)
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        cohort = wk[np.maximum.accumulate(
+            np.where(first, np.arange(len(g)), 0))]
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        cents = np.round(g["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        d = pd.DataFrame({"cohort": cohort[is_p],
+                          "off": (wk - cohort)[is_p],
+                          "rev": cents[is_p]})
+        return d.groupby(["cohort", "off"], sort=False)["rev"].sum() \
+            .reset_index()
+
+    parts = bucketed_group_apply(ds, ["user_id"], per_user)
+    cells = bucketed_group_apply(
+        parts, ["cohort", "off"],
+        lambda g: g.groupby(["cohort", "off"], sort=False)["rev"].sum()
+        .reset_index())
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cohort", "off"], kind="stable") \
+            .reset_index(drop=True)
+        g["cum_rev"] = g.groupby("cohort", sort=False)["rev"].cumsum()
+        return g.astype(np.int64)
+
+    return cells.repartition(1).map_batches(
+        cum, batch_format="pandas", batch_size=1 << 30)
+
+
+SQL_COHORT_LTV = """
+WITH w AS (SELECT user_id,
+                  epoch_us(ts) // 604800000000 AS wk,
+                  event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+c AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY user_id),
+r AS (SELECT c.cohort, w.wk - c.cohort AS off, SUM(w.cents) AS rev
+      FROM w JOIN c ON c.user_id = w.user_id
+      WHERE w.event_type = 'purchase'
+      GROUP BY c.cohort, w.wk - c.cohort)
+SELECT CAST(cohort AS BIGINT) AS cohort, CAST(off AS BIGINT) AS off,
+       CAST(rev AS BIGINT) AS rev,
+       CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY off)
+         AS BIGINT) AS cum_rev
+FROM r
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -14185,6 +14314,8 @@ REGISTRY: dict[str, tuple] = {
     "laplacian": (q_laplacian, SQL_LAPLACIAN),
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
     "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    "dau_stickiness": (q_dau_stickiness, SQL_DAU_STICKINESS),
+    "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
 }
 
 

@@ -1929,3 +1929,46 @@ def test_weighted_median_bruteforce(ray_session):
         med = int(g.cents.to_numpy()[np.argmax(2 * cum >= tot)])
         assert out.loc[flag, "median_cents"] == med
         assert out.loc[flag, "total_qty"] == tot
+
+
+def test_dau_stickiness_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_dau_stickiness
+
+    SF = "/root/testdata/sf0.001"
+    out = q_dau_stickiness(SF).to_pandas().set_index("day")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    day = ev.ts.astype("datetime64[us]").astype("int64") // 86_400_000_000
+    ev = ev.assign(day=day, month=day // 31)
+    for d, g in ev.groupby("day"):
+        dau = g.user_id.nunique()
+        mau = ev[ev.month == d // 31].user_id.nunique()
+        r = out.loc[d]
+        assert (r.dau, r.mau, r.stick_ppm) == (dau, mau,
+                                               dau * 1_000_000 // mau)
+
+
+def test_cohort_ltv_bruteforce(ray_session):
+    import pandas as pd
+    import numpy as np
+    from pythongis_ray.queries import q_cohort_ltv
+
+    SF = "/root/testdata/sf0.001"
+    out = q_cohort_ltv(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type", "value"])
+    wk = ev.ts.astype("datetime64[us]").astype("int64") // 604_800_000_000
+    ev = ev.assign(wk=wk)
+    cohort = ev.groupby("user_id").wk.min()
+    p = ev[ev.event_type == "purchase"].copy()
+    p["cohort"] = p.user_id.map(cohort)
+    p["off"] = p.wk - p.cohort
+    p["cents"] = np.round(p.value * 100).astype("int64")
+    exp = p.groupby(["cohort", "off"]).cents.sum().reset_index()
+    exp["cum"] = exp.groupby("cohort").cents.cumsum()
+    got = out.sort_values(["cohort", "off"]).reset_index(drop=True)
+    exp = exp.sort_values(["cohort", "off"]).reset_index(drop=True)
+    assert (got.cohort == exp.cohort).all()
+    assert (got.off == exp.off).all()
+    assert (got.rev == exp.cents).all()
+    assert (got.cum_rev == exp.cum).all()
