@@ -14048,6 +14048,76 @@ FROM r
 """
 
 
+def q_seq_pattern(sf_dir: str):
+    """Complex-event-processing pattern count (MATCH_RECOGNIZE
+    shape): users with a strictly-ordered view → click → purchase
+    containing NO error event inside the (view, purchase) span.
+    Equivalent segment formulation, vectorized: split each user's
+    timeline at errors (segment id = running error count); a match
+    exists iff SOME error-free segment contains v < c < p, decided
+    greedily (first view, first later click, any later purchase).
+    One user-keyed co-location; the oracle states it as the direct
+    triple-join + NOT EXISTS."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _events_us(sf_dir, cols=("user_id", "ts", "event_type"))
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["user_id", "ts_us"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        is_err = et == "error"
+        # per-user running error count = global cumsum minus the
+        # user's prefix at its first row
+        cum = np.cumsum(is_err.astype(np.int64))
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        base = np.where(first, cum - is_err.astype(np.int64), 0)
+        base = np.maximum.accumulate(np.where(first, base, 0))
+        seg = cum - is_err.astype(np.int64) - base
+        converted = set()
+        d = pd.DataFrame({"u": u, "seg": seg, "ts": ts, "et": et})
+        d = d[~is_err]
+        for (uu, _), gg in d.groupby(["u", "seg"], sort=False):
+            if uu in converted:
+                continue
+            t = gg["ts"].to_numpy()
+            e = gg["et"].to_numpy()
+            vi = np.flatnonzero(e == "view")
+            if not len(vi):
+                continue
+            v0 = t[vi[0]]
+            ci = np.flatnonzero((e == "click") & (t > v0))
+            if not len(ci):
+                continue
+            c0 = t[ci[0]]
+            if ((e == "purchase") & (t > c0)).any():
+                converted.add(uu)
+        return pd.DataFrame({"u": sorted(converted)}, dtype=np.int64)
+
+    conv = bucketed_group_apply(ds, ["user_id"], per_bucket)
+    conv = rel.with_empty_schema(conv, pa.schema([("u", pa.int64())]))
+    n = conv.count()
+    return pd.DataFrame({"n_converted": [n]}).astype(np.int64)
+
+
+SQL_SEQ_PATTERN = """
+SELECT CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_converted
+FROM events v
+JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+             AND c.ts > v.ts
+JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             AND p.ts > c.ts
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+    SELECT 1 FROM events x
+    WHERE x.user_id = v.user_id AND x.event_type = 'error'
+      AND x.ts > v.ts AND x.ts < p.ts)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -14316,6 +14386,7 @@ REGISTRY: dict[str, tuple] = {
     "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
     "dau_stickiness": (q_dau_stickiness, SQL_DAU_STICKINESS),
     "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
+    "seq_pattern": (q_seq_pattern, SQL_SEQ_PATTERN),
 }
 
 

@@ -1972,3 +1972,33 @@ def test_cohort_ltv_bruteforce(ray_session):
     assert (got.off == exp.off).all()
     assert (got.rev == exp.cents).all()
     assert (got.cum_rev == exp.cum).all()
+
+
+def test_seq_pattern_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_seq_pattern
+
+    SF = "/root/testdata/sf0.001"
+    out = q_seq_pattern(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    n = 0
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        rows = list(zip(g.ts, g.event_type))
+        hit = False
+        for i, (tv, ev_) in enumerate(rows):
+            if ev_ != "view" or hit:
+                continue
+            for j in range(i + 1, len(rows)):
+                if rows[j][1] == "click" and rows[j][0] > tv:
+                    for k in range(j + 1, len(rows)):
+                        if rows[k][1] == "purchase" and rows[k][0] > rows[j][0]:
+                            span_err = any(
+                                t2 > tv and t2 < rows[k][0] and e2 == "error"
+                                for t2, e2 in rows)
+                            if not span_err:
+                                hit = True
+        if hit:
+            n += 1
+    assert int(out.n_converted.iloc[0]) == n
