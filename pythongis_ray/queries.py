@@ -14118,6 +14118,94 @@ WHERE v.event_type = 'view'
 """
 
 
+BAND_DELTA = 5
+
+
+def q_price_band(sf_dir: str):
+    """Attribute-space band self-join (|price_a − price_b| <= 5
+    cents): the 1-D analogue of dwithin in VALUE space, via the
+    canonical-tile plan — each part replicates to price tiles t and
+    t+1 (tile width = the band), ONE tile co-location, and each pair
+    is emitted exactly once: by its lexicographically-smaller (cents,
+    key) anchor, whose HOME tile is the pair's canonical tile.
+    Output volume is band-bounded (sorted-range scan per anchor),
+    never the n² pair space."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    W = BAND_DELTA
+    ds = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_retailprice"])
+
+    def route(b: pa.Table) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.round(b["p_retailprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        t = c // W
+        # halo goes DOWN: the anchor (lower price) pairs upward, so a
+        # row must be visible in the tile below its own
+        return pd.DataFrame({
+            "tile": np.concatenate([t, t - 1]),
+            "k": np.concatenate([k, k]),
+            "c": np.concatenate([c, c]),
+            "home": np.concatenate([np.ones(len(k), bool),
+                                    np.zeros(len(k), bool)])})
+
+    routed = ds.map_batches(route, batch_format="pyarrow",
+                            batch_size=65536)
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for tile, g in bucket.groupby("tile", sort=False):
+            g = g.sort_values(["c", "k"], kind="stable") \
+                .reset_index(drop=True)
+            c = g["c"].to_numpy(np.int64)
+            k = g["k"].to_numpy(np.int64)
+            home = g["home"].to_numpy(bool)
+            anchor = home & (c // W == tile)
+            ai = np.flatnonzero(anchor)
+            if not len(ai):
+                continue
+            hi = np.searchsorted(c, c[ai] + W, "right")
+            cnt = hi - ai - 1
+            ok = cnt > 0
+            ai, hi, cnt = ai[ok], hi[ok], cnt[ok]
+            if not len(ai):
+                continue
+            src = np.repeat(ai, cnt)
+            dst = np.concatenate([np.arange(a + 1, h)
+                                  for a, h in zip(ai, hi)])
+            ka, kb = k[src], k[dst]
+            outs.append(pd.DataFrame({
+                "id_a": np.minimum(ka, kb), "id_b": np.maximum(ka, kb),
+                "diff": c[dst] - c[src]}))
+        if not outs:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64),
+                                 "diff": np.empty(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    out = bucketed_group_apply(routed, ["tile"], pairs).materialize()
+    if out.count() == 0:
+        # Dataset.to_pandas drops the schema of an ALL-empty dataset
+        # (even a typed empty Arrow block) — hand the driver a typed
+        # empty pandas frame instead
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "diff": pd.Series([], dtype=np.int64)})
+    return out
+
+
+SQL_PRICE_BAND = f"""
+WITH p AS (SELECT p_partkey AS k,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS c
+           FROM part)
+SELECT LEAST(a.k, b.k) AS id_a, GREATEST(a.k, b.k) AS id_b,
+       CAST(abs(a.c - b.c) AS BIGINT) AS diff
+FROM p a JOIN p b
+  ON a.k < b.k AND abs(a.c - b.c) <= {BAND_DELTA}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -14387,6 +14475,7 @@ REGISTRY: dict[str, tuple] = {
     "dau_stickiness": (q_dau_stickiness, SQL_DAU_STICKINESS),
     "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
     "seq_pattern": (q_seq_pattern, SQL_SEQ_PATTERN),
+    "price_band": (q_price_band, SQL_PRICE_BAND),
 }
 
 

@@ -2002,3 +2002,27 @@ def test_seq_pattern_bruteforce(ray_session):
         if hit:
             n += 1
     assert int(out.n_converted.iloc[0]) == n
+
+
+def test_price_band_bruteforce(ray_session):
+    import pandas as pd
+    import numpy as np
+    from pythongis_ray.queries import q_price_band, BAND_DELTA
+
+    SF = "/root/testdata/sf0.01"
+    out = q_price_band(SF).to_pandas()
+    p = pd.read_parquet(f"{SF}/part.parquet",
+                        columns=["p_partkey", "p_retailprice"])
+    c = np.round(p.p_retailprice.to_numpy() * 100).astype("int64")
+    k = p.p_partkey.to_numpy("int64")
+    exp = set()
+    order = np.argsort(c, kind="stable")
+    cs, ks = c[order], k[order]
+    for i in range(len(cs)):
+        j = i + 1
+        while j < len(cs) and cs[j] - cs[i] <= BAND_DELTA:
+            exp.add((min(ks[i], ks[j]), max(ks[i], ks[j]),
+                     cs[j] - cs[i]))
+            j += 1
+    assert set(zip(out.id_a, out.id_b, out["diff"])) == exp
+    assert len(out) == len(exp)              # exactly-once emission
