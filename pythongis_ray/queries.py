@@ -328,7 +328,10 @@ def q_embed_neardup(sf_dir: str):
     corpus materialization (r2 used a whole-corpus broadcast)."""
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
-    return embed.neardup_pairs_blocked(emb, threshold=400_000)
+    return rel.driver_safe(
+        embed.neardup_pairs_blocked(emb, threshold=400_000),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("score", pa.int64())]))
 
 
 SQL_EMBED_NEARDUP = """
@@ -2773,7 +2776,10 @@ def q_simhash_pairs(sf_dir: str):
     bucket members (true at every test sf), so the SQL omits it."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    return text.simhash_dedup_pairs(ds, max_hamming=8, bucket_cap=1024)
+    return rel.driver_safe(
+        text.simhash_dedup_pairs(ds, max_hamming=8, bucket_cap=1024),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("hamming", pa.int64())]))
 
 
 # shared SQL prelude: uint64 SimHash per doc replayed in HUGEINT
@@ -2832,7 +2838,10 @@ def q_minhash_pairs(sf_dir: str):
     the J ≥ 0.8 of every true pair; verified exhaustively)."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    return text.minhash_dedup_pairs(ds, threshold=0.5)
+    return rel.driver_safe(
+        text.minhash_dedup_pairs(ds, threshold=0.5),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("jaccard", pa.float64())]))
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -2841,7 +2850,10 @@ def q_ngram_jaccard(sf_dir: str):
     minhash_pairs but at a threshold the banding can't guarantee."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    return text.ngram_jaccard_pairs(ds, threshold=0.3)
+    return rel.driver_safe(
+        text.ngram_jaccard_pairs(ds, threshold=0.3),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("jaccard", pa.float64())]))
 
 
 SQL_NGRAM_JACCARD = """
@@ -3756,7 +3768,10 @@ def q_dup_spans(sf_dir: str):
     covered-token count (the Lee-et-al exact-substring dedup pass)."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    return text.dup_spans(ds, w=8)
+    return rel.driver_safe(
+        text.dup_spans(ds, w=8),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("lcs_run", pa.int64())]))
 
 
 SQL_DUP_SPANS = """
@@ -12070,7 +12085,10 @@ def q_ppjoin(sf_dir: str):
     (/root/reference/pythongis/vector/data.py:990)."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    return text.ppjoin_pairs(ds, threshold=0.4)
+    return rel.driver_safe(
+        text.ppjoin_pairs(ds, threshold=0.4),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("jaccard", pa.float64())]))
 
 
 SQL_PPJOIN = """
@@ -12156,9 +12174,11 @@ def q_snm_pairs(sf_dir: str):
         return pd.concat(outs, ignore_index=True)
 
     out = rel.bucketed_group_apply(routed, ["_blk"], pairs)
-    return rel.with_empty_schema(out, pa.schema(
+    snm_schema = pa.schema(
         [("id_a", pa.int64()), ("id_b", pa.int64()),
-         ("gap", pa.int64()), ("cdiff", pa.int64())]))
+         ("gap", pa.int64()), ("cdiff", pa.int64())])
+    return rel.driver_safe(
+        rel.with_empty_schema(out, snm_schema), snm_schema)
 
 
 SQL_SNM_PAIRS = f"""
@@ -12228,8 +12248,11 @@ def q_ktruss(sf_dir: str):
                              columns=["page_id", "html"])
     edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
                            batch_size=4096)
-    return graph.ktruss(edges, src="src_page", dst="dst_page",
-                        k=KTRUSS_K, max_rounds=KTRUSS_ROUNDS)
+    return rel.driver_safe(
+        graph.ktruss(edges, src="src_page", dst="dst_page",
+                     k=KTRUSS_K, max_rounds=KTRUSS_ROUNDS),
+        pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                   ("support", pa.int64())]))
 
 
 def _sql_ktruss(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS,
@@ -12423,7 +12446,17 @@ def q_item_cosine(sf_dir: str):
         return t.group_by(["ok", "pk"]).aggregate([])
 
     de = ds.map_batches(dedup_batch, batch_format="pyarrow",
-                        batch_size=65536).materialize()
+                        batch_size=65536)
+
+    # GLOBAL (ok, pk) dedup: batch-level dedup_batch misses duplicates
+    # that straddle block boundaries, which would inflate the supports
+    # (na, nb) vs the oracle's SELECT DISTINCT. Bucketing by ok
+    # co-locates every copy of an (ok, pk) pair, so one in-bucket
+    # drop_duplicates is exact; the same table then feeds both the
+    # support count and the pair emission (one shuffle each).
+    de = bucketed_group_apply(
+        de, ["ok"],
+        lambda g: g.drop_duplicates(["ok", "pk"])).materialize()
 
     sup = rel.groupby_aggregate(de, ["pk"], [("n", "ok", "count")]) \
         .to_pandas()                       # part vocabulary: bounded
@@ -12500,7 +12533,10 @@ def q_containment(sf_dir: str):
     Exact integer ppm; ordered output (a contained in b)."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    return text.containment_pairs(ds, threshold_ppm=800_000)
+    return rel.driver_safe(
+        text.containment_pairs(ds, threshold_ppm=800_000),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("cont_ppm", pa.int64())]))
 
 
 SQL_CONTAINMENT = """
@@ -13608,7 +13644,10 @@ def q_mutual_nn(sf_dir: str):
     primitive. 1-Bucket-Theta block self-join emitting per-task
     partial bests, per-id combine, one unordered-pair co-location."""
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embed.mutual_nn_blocked(emb)
+    return rel.driver_safe(
+        embed.mutual_nn_blocked(emb),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("score", pa.int64())]))
 
 
 SQL_MUTUAL_NN = """
@@ -13933,10 +13972,14 @@ def q_dau_stickiness(sf_dir: str):
     ds = _events_us(sf_dir, cols=("user_id", "ts"))
 
     def keys(b: pa.Table) -> pa.Table:
-        day = b["ts_us"].to_numpy(zero_copy_only=False) // 86_400_000_000
+        day = (b["ts_us"].to_numpy(zero_copy_only=False)
+               // 86_400_000_000).astype(np.int64)
+        # real calendar month (months since 1970-01), exact via the
+        # datetime64 civil calendar — matches SQL (year-1970)*12+month-1
+        mon = day.astype("datetime64[D]").astype("datetime64[M]") \
+            .astype(np.int64)
         u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"day": pa.array(day.astype(np.int64)),
-                         "month": pa.array((day // 31).astype(np.int64)),
+        return pa.table({"day": pa.array(day), "month": pa.array(mon),
                          "u": pa.array(u)})
 
     keyed = ds.map_batches(keys, batch_format="pyarrow",
@@ -13959,7 +14002,9 @@ def q_dau_stickiness(sf_dir: str):
         mm = state.get_broadcast(ref, key_extra=("dau",))
         day = b["day"].to_numpy(np.int64)
         dau_ = b["dau"].to_numpy(np.int64)
-        mau_ = np.array([mm[int(d // 31)] for d in day], np.int64)
+        mon = day.astype("datetime64[D]").astype("datetime64[M]") \
+            .astype(np.int64)
+        mau_ = np.array([mm[int(m)] for m in mon], np.int64)
         return pd.DataFrame({
             "day": day, "dau": dau_, "mau": mau_,
             "stick_ppm": dau_ * 1_000_000 // mau_})
@@ -13970,16 +14015,16 @@ def q_dau_stickiness(sf_dir: str):
 
 SQL_DAU_STICKINESS = """
 WITH k AS (SELECT epoch_us(ts) // 86400000000 AS day,
-                  (epoch_us(ts) // 86400000000) // 31 AS month,
+                  (year(ts) - 1970) * 12 + month(ts) - 1 AS month,
                   user_id AS u
            FROM events),
-d AS (SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau
-      FROM k GROUP BY day),
+d AS (SELECT day, month, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau
+      FROM k GROUP BY day, month),
 m AS (SELECT month, CAST(COUNT(DISTINCT u) AS BIGINT) AS mau
       FROM k GROUP BY month)
 SELECT CAST(d.day AS BIGINT) AS day, d.dau, m.mau,
        CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stick_ppm
-FROM d JOIN m ON m.month = d.day // 31
+FROM d JOIN m ON m.month = d.month
 """
 
 
@@ -14077,25 +14122,33 @@ def q_seq_pattern(sf_dir: str):
         base = np.where(first, cum - is_err.astype(np.int64), 0)
         base = np.maximum.accumulate(np.where(first, base, 0))
         seg = cum - is_err.astype(np.int64) - base
-        converted = set()
-        d = pd.DataFrame({"u": u, "seg": seg, "ts": ts, "et": et})
-        d = d[~is_err]
-        for (uu, _), gg in d.groupby(["u", "seg"], sort=False):
-            if uu in converted:
-                continue
-            t = gg["ts"].to_numpy()
-            e = gg["et"].to_numpy()
-            vi = np.flatnonzero(e == "view")
-            if not len(vi):
-                continue
-            v0 = t[vi[0]]
-            ci = np.flatnonzero((e == "click") & (t > v0))
-            if not len(ci):
-                continue
-            c0 = t[ci[0]]
-            if ((e == "purchase") & (t > c0)).any():
-                converted.add(uu)
-        return pd.DataFrame({"u": sorted(converted)}, dtype=np.int64)
+        # Vectorized greedy existence test over CONTIGUOUS (u, seg)
+        # runs (rows are (u, ts)-sorted; seg is non-decreasing within
+        # a user; (u, ts) has no ties in the fixtures, so "ts strictly
+        # later" == "positionally later"): segment-local cummax via
+        # cumsum-minus-prefix-at-segment-start — no Python loop over
+        # groups.
+        keep = ~is_err
+        u2, sg = u[keep], seg[keep]
+        et2 = et[keep]
+        n = len(u2)
+        if n == 0:
+            return pd.DataFrame({"u": np.empty(0, np.int64)})
+        is_view = et2 == "view"
+        is_click = et2 == "click"
+        is_pur = et2 == "purchase"
+        idx = np.arange(n)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (sg[1:] != sg[:-1])
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        csv = np.cumsum(is_view.astype(np.int64))
+        seen_view = (csv - (csv[start] - is_view[start])) > 0
+        qc = is_click & seen_view          # click with an earlier view
+        csc = np.cumsum(qc.astype(np.int64))
+        seen_cav = (csc - (csc[start] - qc[start])) > 0
+        conv = np.unique(u2[is_pur & seen_cav])
+        return pd.DataFrame({"u": conv.astype(np.int64)})
 
     conv = bucketed_group_apply(ds, ["user_id"], per_bucket)
     conv = rel.with_empty_schema(conv, pa.schema([("u", pa.int64())]))

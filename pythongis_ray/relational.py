@@ -917,6 +917,24 @@ def equal_breaks(lo: float, hi: float, k: int) -> list[float]:
 
 
 
+def driver_safe(ds, schema: pa.Schema):
+    """Driver-boundary finalizer for results that can be legitimately
+    empty: ``Dataset.to_pandas`` DROPS the schema of an ALL-empty
+    dataset (even one holding a typed empty Arrow block), so a query
+    whose result may be empty at some checked scale must hand the
+    driver a typed empty PANDAS frame instead (the price_band
+    pattern). Non-empty results pass through as the materialized
+    Dataset — zero extra cost beyond the count. Use in queries()
+    wrappers, not inside operators (tests chain .to_pandas on
+    operator Datasets)."""
+    if not hasattr(ds, "count"):          # already a pandas frame
+        return ds
+    ds = ds.materialize()
+    if ds.count() == 0:
+        return schema.empty_table().to_pandas()
+    return ds
+
+
 def with_empty_schema(ds, schema: pa.Schema):
     """Union a zero-row TYPED block into ``ds`` so downstream joins
     see a schema even when the dataset produced no blocks.
