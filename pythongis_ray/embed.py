@@ -273,27 +273,13 @@ def ann_ivf_int(ds, queries: pd.DataFrame, k: int = 5,
 def neardup_pairs(ds, threshold: int, id_col: str = "vec_id",
                   emb_col: str = "embedding", scale: int = 1000):
     """Exact embedding near-duplicate pairs: all (a < b) with quantized
-    dot ≥ threshold. The corpus id+matrix broadcasts once (``ray.put``)
-    and every batch does ONE int64 matmul against it — the exact
-    baseline of the near-dup family (`ann_lsh` is the approximate
-    scale path; at 10^9+ vectors the broadcast side becomes the
-    LSH-bucketed candidate set instead). Emits (id_a, id_b, score)."""
-    corpus = ds.select_columns([id_col, emb_col]).to_pandas()
-    cmat = quantize(np.vstack(corpus[emb_col].to_numpy()), scale)
-    cids = corpus[id_col].to_numpy(np.int64)
-    ref = ray.put({"ids": cids, "mat": cmat})
-
-    def fn(batch: pa.Table) -> pd.DataFrame:
-        c = state.get_broadcast(ref, key_extra=("neardup", scale))
-        mat = quantize(_as_matrix(batch[emb_col]), scale)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        scores = mat @ c["mat"].T                  # exact int64
-        hit = (scores >= threshold) & (ids[:, None] < c["ids"][None, :])
-        bi, cj = np.nonzero(hit)
-        return pd.DataFrame({"id_a": ids[bi], "id_b": c["ids"][cj],
-                             "score": scores[bi, cj]})
-
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
+    dot ≥ threshold. Delegates to the distributed 1-Bucket-Theta
+    blocked plan (``neardup_pairs_blocked``) — the former whole-corpus
+    ``to_pandas`` broadcast formulation is gone: a driver-side corpus
+    materialization has no place at 100 TB, and the blocked plan is
+    bit-identical. Emits (id_a, id_b, score)."""
+    return neardup_pairs_blocked(ds, threshold, id_col=id_col,
+                                 emb_col=emb_col, scale=scale)
 
 
 def neardup_pairs_blocked(ds, threshold: int, id_col: str = "vec_id",

@@ -96,26 +96,35 @@ def flagship(sf_dir: str, replicate: int = 1, how: str = "inner"):
     # see pages.pages_dataset)
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=None)
-    # two-level aggregate: the per-batch partials above are already
-    # combined, so the final combine input is a BOUNDED
-    # (batches × zones × langs) table — pull it and reduce vectorized
-    # on the driver (Ray 2.49's sort-based aggregate costs seconds
-    # even at 125 keys; at cluster scale this final table is
-    # tasks × keys rows, the canonical two-level-agg driver load)
-    pdf = parts.to_pandas()
-    agg = (pdf.groupby(["zone_idx", "lang"], sort=True)[["pp", "pt"]]
-           .sum().reset_index())
+    # two-level aggregate, fully distributed: the per-batch partials
+    # above are already combined per task, so the final combine input
+    # is a BOUNDED (tasks × zones × langs) table — ONE hash-bucketed
+    # shuffle reduces it (relational.bucketed_group_apply; Ray 2.49's
+    # sort-based aggregate iterates keys in Python). Nothing
+    # proportional to task count ever lands on the driver — at 10^6
+    # tasks × 10^4 keys the old driver-side to_pandas reduce was a
+    # 10^10-row table.
+    from pythongis_ray.relational import bucketed_group_apply
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["zone_idx", "lang"], sort=False)[["pp", "pt"]]
+                .sum().reset_index())
+
+    agg = bucketed_group_apply(parts, ["zone_idx", "lang"], combine,
+                               num_buckets=16)
 
     zid = zones["zone_id"].to_numpy(np.int64)
     zname = zones["name"].to_numpy()
-    zi = agg["zone_idx"].to_numpy(np.int64)
-    out = pd.DataFrame({"zone_id": zid[zi], "name": zname[zi],
-                        "lang": agg["lang"],
-                        "n_pages": agg["pp"].astype(np.int64),
-                        "sum_tokens": agg["pt"].astype(np.int64)})
-    import ray.data as rd
 
-    return rd.from_pandas(out)
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        zi = b["zone_idx"].to_numpy(np.int64)
+        return pd.DataFrame({"zone_id": zid[zi], "name": zname[zi],
+                             "lang": b["lang"],
+                             "n_pages": b["pp"].to_numpy(np.int64),
+                             "sum_tokens": b["pt"].to_numpy(np.int64)})
+
+    return agg.map_batches(finish, batch_format="pandas") \
+        .sort(["zone_id", "lang"])
 
 
 def flagship_wide_rejoin(sf_dir: str, replicate: int = 1):

@@ -671,11 +671,17 @@ def band_math_scalar(ds, op: str, scalar: float, t: int = TILE):
     return ds.map_batches(fn, batch_format="pandas", batch_size=256)
 
 
-def band_math(ds_a, ds_b, op: str, t: int = TILE, num_buckets: int = 16):
-    """tile-aligned binary op: join on (cell_id, band) via one groupby
-    co-location; nodata mask union (reference mask-union rule,
-    raster/data.py:318-346)."""
-    f = _OPS[op]
+def _paired_tile_combine(ds_a, ds_b, pixfn, t: int = TILE,
+                         num_buckets: int = 16):
+    """Tile-aligned binary combine on (cell_id, band), hash-bucketed:
+    ONE shuffle routes both sides into ``num_buckets`` buckets, and the
+    per-bucket kernel pairs ALL its (cell, band) keys at once — sort +
+    adjacent-row pairing, then ``pixfn`` over stacked (n, t, t) pixel
+    arrays. Replaces the sort-based ``groupby().map_groups`` combine,
+    which iterates keys in Python (minutes at 10^5 tiles — the Ray
+    2.49 gotcha measured on mosaic). Nodata mask union per the
+    reference rule (raster/data.py:318-346)."""
+    from pythongis_ray.relational import bucketed_group_apply
 
     def tag(side):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
@@ -688,21 +694,40 @@ def band_math(ds_a, ds_b, op: str, t: int = TILE, num_buckets: int = 16):
         ds_b.map_batches(tag(1), batch_format="pandas"))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["_side"] == 0]
-        b = g[g["_side"] == 1]
-        if len(a) == 0 or len(b) == 0:
-            return pd.DataFrame({c: [] for c in ("cell_id", "band", "tile", "nodata")})
-        ta = bytes_to_tile(a["tile"].iloc[0], t)
-        tb = bytes_to_tile(b["tile"].iloc[0], t)
-        nd = float(a["nodata"].iloc[0])
-        mask = (ta == nd) | (tb == float(b["nodata"].iloc[0]))
-        r = f(ta, tb).astype(np.float32)
-        r[mask] = nd
-        return pd.DataFrame({"cell_id": [a["cell_id"].iloc[0]],
-                             "band": [a["band"].iloc[0]],
-                             "tile": [tile_to_bytes(r)], "nodata": [nd]})
+        g = g.sort_values(["cell_id", "band", "_side"], kind="stable") \
+            .drop_duplicates(["cell_id", "band", "_side"], keep="first")
+        cell = g["cell_id"].to_numpy(np.int64)
+        band = g["band"].to_numpy()
+        side = g["_side"].to_numpy(np.int8)
+        ai = np.flatnonzero(
+            (cell[1:] == cell[:-1]) & (band[1:] == band[:-1])
+            & (side[:-1] == 0) & (side[1:] == 1))
+        if len(ai) == 0:
+            return pd.DataFrame(
+                {c: [] for c in ("cell_id", "band", "tile", "nodata")})
+        tiles = g["tile"].to_numpy()
+        nd = g["nodata"].to_numpy(np.float64)
+        ta = np.stack([bytes_to_tile(tiles[i], t) for i in ai])
+        tb = np.stack([bytes_to_tile(tiles[i + 1], t) for i in ai])
+        nda = nd[ai].astype(np.float32)[:, None, None]
+        ndb = nd[ai + 1].astype(np.float32)[:, None, None]
+        mask = (ta == nda) | (tb == ndb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(mask, nda, pixfn(ta, tb)).astype(np.float32)
+        return pd.DataFrame({"cell_id": cell[ai], "band": band[ai],
+                             "tile": [tile_to_bytes(x) for x in r],
+                             "nodata": nd[ai]})
 
-    return both.groupby(["cell_id", "band"]).map_groups(combine, batch_format="pandas")
+    return bucketed_group_apply(both, ["cell_id", "band"], combine,
+                                num_buckets=num_buckets)
+
+
+def band_math(ds_a, ds_b, op: str, t: int = TILE, num_buckets: int = 16):
+    """tile-aligned binary op: join on (cell_id, band) via one
+    hash-bucketed co-location + vectorized stacked-pixel kernel;
+    nodata mask union (reference mask-union rule,
+    raster/data.py:318-346)."""
+    return _paired_tile_combine(ds_a, ds_b, _OPS[op], t, num_buckets)
 
 
 def recode(ds, cond_op: str, cond_val: float, new_val: float, t: int = TILE):
@@ -776,20 +801,39 @@ def upscale(ds, t: int = TILE):
     halves = ds.map_batches(shrink, batch_format="pandas", batch_size=256)
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        nd = float(g["nodata"].iloc[0])
-        full = np.full((t, t), nd, dtype=np.float32)
+        # all parent keys in the bucket assemble at once into a
+        # (k, t, t) stack; the only per-row work is one h×h block copy
+        g = g.sort_values(["cell_id", "band", "quad"], kind="stable")
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: [] for c in ("cell_id", "band", "tile", "nodata")})
+        cell = g["cell_id"].to_numpy(np.int64)
+        band = g["band"].to_numpy()
+        quad = g["quad"].to_numpy(np.int64)
+        ndv = g["nodata"].to_numpy(np.float64)
+        tiles = g["tile"].to_numpy()
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = (cell[1:] != cell[:-1]) | (band[1:] != band[:-1])
+        gid = np.cumsum(new) - 1
+        first = np.flatnonzero(new)
+        k = len(first)
+        ndk = ndv[first]
+        full = np.empty((k, t, t), dtype=np.float32)
+        full[:] = ndk.astype(np.float32)[:, None, None]
         h = t // 2
-        for _, r in g.iterrows():
-            q = int(r["quad"])
+        for i in range(len(g)):
+            q = int(quad[i])
             x0 = (q & 1) * h
             y0 = ((q >> 1) & 1) * h
-            full[y0:y0 + h, x0:x0 + h] = bytes_to_tile(r["tile"], h)
-        return pd.DataFrame({"cell_id": [g["cell_id"].iloc[0]],
-                             "band": [g["band"].iloc[0]],
-                             "tile": [tile_to_bytes(full)], "nodata": [nd]})
+            full[gid[i], y0:y0 + h, x0:x0 + h] = bytes_to_tile(tiles[i], h)
+        return pd.DataFrame({"cell_id": cell[first], "band": band[first],
+                             "tile": [tile_to_bytes(x) for x in full],
+                             "nodata": ndk})
 
-    return halves.groupby(["cell_id", "band"]).map_groups(assemble,
-                                                          batch_format="pandas")
+    from pythongis_ray.relational import bucketed_group_apply
+    return bucketed_group_apply(halves, ["cell_id", "band"], assemble,
+                                num_buckets=16)
 
 
 def mosaic(datasets, rule: str = "first"):
@@ -1495,67 +1539,99 @@ def morphology(ds, op: str = "dilate", t: int = TILE):
     halos = ds.map_batches(emit, batch_format="pandas", batch_size=64)
 
     def stencil(g: pd.DataFrame) -> pd.DataFrame:
-        core = g[g["part"] == 4]
-        if len(core) == 0:
-            return pd.DataFrame({c: [] for c in ("cell_id", "band", "tile", "nodata")})
-        nd = float(core["nodata"].iloc[0])
-        pad = np.full((t + 2, t + 2), nd, dtype=np.float32)
-        pad[1:-1, 1:-1] = bytes_to_tile(core["tile"].iloc[0], t)
-        for _, row in g[g["part"] != 4].iterrows():
-            part = int(row["part"])
-            # part encodes sender→receiver direction; the sender sits at
-            # the OPPOSITE offset relative to this (receiving) tile
-            dx, dy = -(part % 3 - 1), -(part // 3 - 1)
-            strip = np.frombuffer(row["tile"], dtype="<f4")
-            # sender at offset (dx,dy) relative to us: its strip lands on
-            # our padded border on the (dx,dy) side
+        # vectorized over ALL receiving tiles in the bucket: every
+        # core pads into one (k, t+2, t+2) stack, halo strips land on
+        # their stack borders (one strip copy per halo row), and the
+        # 3x3 min/max/sum kernel evaluates ONCE for the whole stack —
+        # no per-key pandas groups
+        g = g.sort_values(["cell_id", "band", "part"], kind="stable")
+        cell = g["cell_id"].to_numpy(np.int64)
+        band = g["band"].to_numpy()
+        part = g["part"].to_numpy(np.int64)
+        ndv = g["nodata"].to_numpy(np.float64)
+        tiles = g["tile"].to_numpy()
+        n_rows = len(g)
+        if n_rows == 0:
+            return pd.DataFrame(
+                {c: [] for c in ("cell_id", "band", "tile", "nodata")})
+        new = np.empty(n_rows, bool)
+        new[0] = True
+        new[1:] = (cell[1:] != cell[:-1]) | (band[1:] != band[:-1])
+        gid = np.cumsum(new) - 1
+        n_keys = gid[-1] + 1
+        # keys without a core (pure-halo receivers) emit nothing
+        has_core = np.zeros(n_keys, bool)
+        core_rows = np.flatnonzero(part == 4)
+        has_core[gid[core_rows]] = True
+        kid_of_key = np.full(n_keys, -1, np.int64)
+        kid_of_key[has_core] = np.arange(int(has_core.sum()))
+        kid = kid_of_key[gid]              # per-row stack index or -1
+        k = int(has_core.sum())
+        if k == 0:
+            return pd.DataFrame(
+                {c: [] for c in ("cell_id", "band", "tile", "nodata")})
+        ndk = ndv[core_rows]               # core's nodata per key
+        nd3 = ndk.astype(np.float32)[:, None, None]
+        pad = np.empty((k, t + 2, t + 2), dtype=np.float32)
+        pad[:] = nd3
+        for i in core_rows:
+            pad[kid[i], 1:-1, 1:-1] = bytes_to_tile(tiles[i], t)
+        for i in np.flatnonzero((part != 4) & (kid >= 0)):
+            p = int(part[i])
+            # part encodes sender→receiver direction; the sender sits
+            # at the OPPOSITE offset relative to this (receiving) tile
+            dx, dy = -(p % 3 - 1), -(p // 3 - 1)
+            strip = np.frombuffer(tiles[i], dtype="<f4")
+            j = kid[i]
             if dx == -1 and dy == 0:
-                pad[1:-1, 0] = strip
+                pad[j, 1:-1, 0] = strip
             elif dx == 1 and dy == 0:
-                pad[1:-1, -1] = strip
+                pad[j, 1:-1, -1] = strip
             elif dx == 0 and dy == -1:
-                pad[0, 1:-1] = strip
+                pad[j, 0, 1:-1] = strip
             elif dx == 0 and dy == 1:
-                pad[-1, 1:-1] = strip
+                pad[j, -1, 1:-1] = strip
             elif dx == -1 and dy == -1:
-                pad[0, 0] = strip[0]
+                pad[j, 0, 0] = strip[0]
             elif dx == 1 and dy == -1:
-                pad[0, -1] = strip[0]
+                pad[j, 0, -1] = strip[0]
             elif dx == -1 and dy == 1:
-                pad[-1, 0] = strip[0]
+                pad[j, -1, 0] = strip[0]
             elif dx == 1 and dy == 1:
-                pad[-1, -1] = strip[0]
-        valid = pad != nd
-        stacks = [pad[1 + dy:t + 1 + dy, 1 + dx:t + 1 + dx]
+                pad[j, -1, -1] = strip[0]
+        valid = pad != nd3
+        stacks = [pad[:, 1 + dy:t + 1 + dy, 1 + dx:t + 1 + dx]
                   for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-        vstacks = [valid[1 + dy:t + 1 + dy, 1 + dx:t + 1 + dx]
+        vstacks = [valid[:, 1 + dy:t + 1 + dy, 1 + dx:t + 1 + dx]
                    for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
         arr = np.stack(stacks)
         va = np.stack(vstacks)
         if op == "dilate":
             out = np.where(va, arr, -np.inf).max(axis=0)
-            out = np.where(np.isfinite(out), out, nd)
+            out = np.where(np.isfinite(out), out, nd3)
         elif op == "erode":
             out = np.where(va, arr, np.inf).min(axis=0)
-            out = np.where(np.isfinite(out), out, nd)
+            out = np.where(np.isfinite(out), out, nd3)
         elif op == "edge":
             mx = np.where(va, arr, -np.inf).max(axis=0)
             mn = np.where(va, arr, np.inf).min(axis=0)
-            out = np.where(np.isfinite(mx) & np.isfinite(mn), mx - mn, nd)
+            out = np.where(np.isfinite(mx) & np.isfinite(mn), mx - mn, nd3)
         elif op == "smooth":
             s_ = np.where(va, arr, 0.0).sum(axis=0)
             c_ = va.sum(axis=0)
-            out = np.where(c_ > 0, s_ / np.maximum(c_, 1), nd)
+            out = np.where(c_ > 0, s_ / np.maximum(c_, 1), nd3)
         else:
             raise ValueError(op)
-        core_valid = pad[1:-1, 1:-1] != nd
-        out = np.where(core_valid, out, nd).astype(np.float32)
-        return pd.DataFrame({"cell_id": [core["cell_id"].iloc[0]],
-                             "band": [core["band"].iloc[0]],
-                             "tile": [tile_to_bytes(out)], "nodata": [nd]})
+        core_valid = pad[:, 1:-1, 1:-1] != nd3
+        out = np.where(core_valid, out, nd3).astype(np.float32)
+        return pd.DataFrame({"cell_id": cell[core_rows],
+                             "band": band[core_rows],
+                             "tile": [tile_to_bytes(x) for x in out],
+                             "nodata": ndk})
 
-    return halos.groupby(["cell_id", "band"]).map_groups(stencil,
-                                                         batch_format="pandas")
+    from pythongis_ray.relational import bucketed_group_apply
+    return bucketed_group_apply(halos, ["cell_id", "band"], stencil,
+                                num_buckets=16)
 
 
 # -------------------------------------------------------- interpolation
@@ -1675,35 +1751,10 @@ def roll(ds, shift_cells_x: int, t: int = TILE):
 def sequence_lerp(ds_a, ds_b, t_frac: float, t: int = TILE):
     """Interpolated raster between two keyframes (reference
     manager.sequence band lerp, raster/manager.py:65-160): per-tile
-    a*(1-t) + b*t via the aligned-tile join."""
-
-    def tag(side):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            b["_side"] = np.int8(side)
-            return b
-        return fn
-
-    both = ds_a.map_batches(tag(0), batch_format="pandas").union(
-        ds_b.map_batches(tag(1), batch_format="pandas"))
-
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["_side"] == 0]
-        b = g[g["_side"] == 1]
-        if len(a) == 0 or len(b) == 0:
-            return pd.DataFrame({c: [] for c in ("cell_id", "band", "tile", "nodata")})
-        ta = bytes_to_tile(a["tile"].iloc[0], t)
-        tb = bytes_to_tile(b["tile"].iloc[0], t)
-        nd = float(a["nodata"].iloc[0])
-        mask = (ta == nd) | (tb == float(b["nodata"].iloc[0]))
-        r = (ta * (1.0 - t_frac) + tb * t_frac).astype(np.float32)
-        r[mask] = nd
-        return pd.DataFrame({"cell_id": [a["cell_id"].iloc[0]],
-                             "band": [a["band"].iloc[0]],
-                             "tile": [tile_to_bytes(r)], "nodata": [nd]})
-
-    return both.groupby(["cell_id", "band"]).map_groups(combine,
-                                                        batch_format="pandas")
+    a*(1-t) + b*t via the hash-bucketed aligned-tile join (vectorized
+    stacked-pixel kernel, no per-key Python groups)."""
+    return _paired_tile_combine(
+        ds_a, ds_b, lambda ta, tb: ta * (1.0 - t_frac) + tb * t_frac, t)
 
 
 def raster_algebra(datasets, fn, t: int = TILE):
@@ -1725,22 +1776,48 @@ def raster_algebra(datasets, fn, t: int = TILE):
     n = len(datasets)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("_src")
-        if len(g) < n:
-            return pd.DataFrame({c: [] for c in ("cell_id", "band", "tile", "nodata")})
-        nd = float(g["nodata"].iloc[0])
-        arrs = [bytes_to_tile(b, t) for b in g["tile"]]
-        mask = np.zeros_like(arrs[0], dtype=bool)
-        for a in arrs:
-            mask |= a == nd
-        r = np.asarray(fn(arrs), dtype=np.float32)
-        r[mask] = nd
-        return pd.DataFrame({"cell_id": [g["cell_id"].iloc[0]],
-                             "band": [g["band"].iloc[0]],
-                             "tile": [tile_to_bytes(r)], "nodata": [nd]})
+        # vectorized over ALL keys in the bucket: complete keys (one
+        # row per source raster) reshape into (k, n) row-index blocks;
+        # ``fn`` receives n stacked (k, t, t) arrays — elementwise /
+        # broadcast-safe callables (the documented contract) evaluate
+        # once for the whole bucket, not per key
+        g = g.sort_values(["cell_id", "band", "_src"], kind="stable") \
+            .drop_duplicates(["cell_id", "band", "_src"], keep="first")
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: [] for c in ("cell_id", "band", "tile", "nodata")})
+        cell = g["cell_id"].to_numpy(np.int64)
+        band = g["band"].to_numpy()
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = (cell[1:] != cell[:-1]) | (band[1:] != band[:-1])
+        gid = np.cumsum(new) - 1
+        cnt = np.bincount(gid)
+        keep_g = cnt == n                  # keys present in every raster
+        rows = np.flatnonzero(keep_g[gid])
+        if len(rows) == 0:
+            return pd.DataFrame(
+                {c: [] for c in ("cell_id", "band", "tile", "nodata")})
+        idx = rows.reshape(-1, n)          # (k, n): sorted by _src per key
+        tiles = g["tile"].to_numpy()
+        ndk = g["nodata"].to_numpy(np.float64)[idx[:, 0]]
+        nd3 = ndk.astype(np.float32)[:, None, None]
+        stacks = [np.stack([bytes_to_tile(tiles[i], t) for i in idx[:, j]])
+                  for j in range(n)]
+        mask = np.zeros(stacks[0].shape, dtype=bool)
+        for a in stacks:
+            mask |= a == nd3
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(mask, nd3,
+                         np.asarray(fn(stacks))).astype(np.float32)
+        return pd.DataFrame({"cell_id": cell[idx[:, 0]],
+                             "band": band[idx[:, 0]],
+                             "tile": [tile_to_bytes(x) for x in r],
+                             "nodata": ndk})
 
-    return u.groupby(["cell_id", "band"]).map_groups(combine,
-                                                     batch_format="pandas")
+    from pythongis_ray.relational import bucketed_group_apply
+    return bucketed_group_apply(u, ["cell_id", "band"], combine,
+                                num_buckets=16)
 
 
 def disperse(points_df: pd.DataFrame, res: int = 4, t: int = TILE,

@@ -642,7 +642,7 @@ def _attach_pair_texts(cand, ds, id_col: str, text_col: str):
 
 
 def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                        threshold: float = 0.7):
+                        threshold: float = 0.7, bucket_cap: int = 1024):
     """Near-duplicate pairs via MinHash-LSH, every stage distributed:
 
       1. shingle → minhash → band explode (vectorized map_batches);
@@ -658,7 +658,13 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b.
     Scale note: run EXACT dedup first — a cluster of m identical docs
     emits O(m²) candidate pairs per band (reference dedup plan analog:
-    /root/reference/pythongis/vector/data.py:990-1015)."""
+    /root/reference/pythongis/vector/data.py:990-1015). A degenerate
+    band bucket (near-identical template cluster surviving exact
+    dedup) is additionally CAPPED at ``bucket_cap`` members — smallest
+    ids kept, deterministic — so no bucket can go quadratic unbounded;
+    dropped members are counted and logged once per bucket task."""
+    import logging
+
     from pythongis_ray import relational as rel
 
     bands = minhash_bands(ds, id_col, text_col)
@@ -669,10 +675,18 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         # then emit pairs only for the few multi-member buckets
         b = b[b.duplicated(subset=["band_id", "band_hash"], keep=False)]
         outs = []
+        n_dropped = 0
         for _, g in b.groupby(["band_id", "band_hash"], sort=False):
             ids = np.unique(g[id_col].to_numpy())
+            if len(ids) > bucket_cap:
+                n_dropped += len(ids) - bucket_cap
+                ids = ids[:bucket_cap]     # smallest ids, deterministic
             ia, ib = np.triu_indices(len(ids), k=1)
             outs.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+        if n_dropped:
+            logging.getLogger("pythongis_ray.text").warning(
+                "minhash LSH: capped degenerate band buckets, dropped "
+                "%d members (bucket_cap=%d)", n_dropped, bucket_cap)
         if not outs:
             return pd.DataFrame({"id_a": np.empty(0, np.int64),
                                  "id_b": np.empty(0, np.int64)})

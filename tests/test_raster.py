@@ -467,3 +467,33 @@ def test_rasterize_vector_general_polygon(ray_session):
             if abs(lon - cx) / a + abs(lat - cy) / b < 1.0:
                 exp.add((gx, gy))
     assert got == exp and (out.n == 1).all()
+
+
+def test_band_math_100k_tiles_is_seconds(ray_session):
+    """Scale guard: the (cell_id, band) tile combine must stay
+    vectorized per hash bucket — the sort-based groupby().map_groups
+    formulation iterates keys in Python and takes MINUTES at 10^5
+    tiles (the Ray 2.49 gotcha measured on mosaic)."""
+    import time
+
+    import ray.data as rd
+
+    n, t = 100_000, 8
+    rng = np.random.default_rng(7)
+    tiles_a = np.arange(n * t * t, dtype=np.float32).reshape(n, t * t)
+    tiles_b = rng.random((n, t * t), dtype=np.float32)
+    mk = lambda arr: pd.DataFrame({
+        "cell_id": np.arange(n, dtype=np.int64),
+        "band": np.zeros(n, np.int32),
+        "tile": [x.tobytes() for x in arr],
+        "nodata": np.full(n, raster.NODATA)})
+    a = rd.from_pandas(mk(tiles_a)).repartition(16)
+    b = rd.from_pandas(mk(tiles_b)).repartition(16)
+    t0 = time.time()
+    out = raster.band_math(a, b, "add", t=t).to_pandas()
+    wall = time.time() - t0
+    assert len(out) == n
+    assert wall < 120, f"tile combine took {wall:.0f}s — per-key regression"
+    row = out[out.cell_id == 12345].iloc[0]
+    assert np.allclose(raster.bytes_to_tile(row["tile"], t),
+                       (tiles_a[12345] + tiles_b[12345]).reshape(t, t))

@@ -1252,3 +1252,29 @@ def test_mutual_nn_bruteforce(ray_session):
                  for a in range(n)
                  if nn[nn[a]] == a and a < nn[a])
     assert list(zip(out.id_a, out.id_b, out.score)) == exp
+
+
+def test_minhash_bucket_cap_bounds_template_cluster(ray_session):
+    """A near-identical template cluster (here: byte-identical, the
+    worst case) must NOT go quadratic: with bucket_cap=C the candidate
+    set is bounded by C(C,2) pairs regardless of cluster size, and the
+    run stays seconds."""
+    import time
+
+    import ray.data as rd
+
+    from pythongis_ray import text
+
+    n, cap = 5000, 64
+    body = "the quick brown fox jumps over the lazy dog again and again " * 5
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [body] * n})).repartition(8)
+    t0 = time.time()
+    out = text.minhash_dedup_pairs(ds, threshold=0.5,
+                                   bucket_cap=cap).to_pandas()
+    wall = time.time() - t0
+    assert 0 < len(out) <= cap * (cap - 1) // 2
+    # capped ids are the smallest — pairs only among doc_id < cap
+    assert out.id_b.max() < cap
+    assert wall < 90, f"capped LSH took {wall:.0f}s"
