@@ -1229,6 +1229,63 @@ def q_asc_roundtrip(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_multiband_stats(sf_dir: str):
+    """Multiband (RGB-style) GeoTIFF interchange loop + per-band
+    coarse-zone stats: the point-density grid becomes a 3-band
+    float32 GeoTIFF (band b = (b+1)·n + b on occupied cells, nodata
+    elsewhere) written chunky-interleaved with deflate compression,
+    read back through the multiband reader, and reduced to
+    (band, zx = cx//90) cell counts + exact integer value sums. A
+    hash match proves per-band values survive the multiband format
+    bit-exactly (reference multiband ingest via PIL band split,
+    /root/reference/pythongis/raster/loader.py:236-334). Driver-side
+    but GRID-bounded (3×360×180), not corpus-bounded."""
+    import shutil
+    import tempfile
+
+    from pythongis_ray import raster as R
+
+    cells = q_rasterize(sf_dir).to_pandas()
+    w, h, nd = 360, 180, -1.0
+    arr = np.full((3, h, w), nd, np.float32)
+    cx = cells["cx"].to_numpy(np.int64)
+    cy = cells["cy"].to_numpy(np.int64)
+    n = cells["n"].to_numpy(np.int64)
+    for b in range(3):
+        arr[b, 179 - cy, cx] = ((b + 1) * n + b).astype(np.float32)
+    d = tempfile.mkdtemp(prefix="mb_q_", dir="/tmp")
+    try:
+        R.write_geotiff(f"{d}/m.tif", arr, (-180.0, 1.0, 90.0, 1.0),
+                        nodata=nd, compression="deflate")
+        back, meta = R.read_geotiff(f"{d}/m.tif")
+        assert meta["bands"] == 3 and back.shape == (3, h, w)
+        bs, rr, cc = np.nonzero(back != meta["nodata"])
+        df = pd.DataFrame({"band": bs.astype(np.int64),
+                           "zx": cc.astype(np.int64) // 90,
+                           "v": back[bs, rr, cc].astype(np.int64)})
+        g = df.groupby(["band", "zx"], sort=True).agg(
+            n_cells=("v", "size"), sum_v=("v", "sum")).reset_index()
+        return pa.Table.from_pandas(g.astype(np.int64),
+                                    preserve_index=False)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def SQL_MULTIBAND_STATS():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+r AS (SELECT ix // 1024 AS cx, iy // 1024 AS cy, COUNT(*) AS n
+      FROM pts GROUP BY 1, 2),
+b AS (SELECT 0 AS band, cx, n AS v FROM r
+      UNION ALL SELECT 1, cx, 2 * n + 1 FROM r
+      UNION ALL SELECT 2, cx, 3 * n + 2 FROM r)
+SELECT CAST(band AS BIGINT) AS band, CAST(cx // 90 AS BIGINT) AS zx,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS sum_v
+FROM b GROUP BY band, cx // 90 ORDER BY band, zx
+"""
+
+
 def q_flagship(sf_dir: str):
     """The headline pipeline: pages → geocode → spatial join → agg."""
     return pipelines.flagship(sf_dir)
@@ -14293,6 +14350,7 @@ REGISTRY: dict[str, tuple] = {
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "upscale": (q_upscale, SQL_UPSCALE),
     "rasterize": (q_rasterize, SQL_RASTERIZE),
+    "multiband_stats": (q_multiband_stats, SQL_MULTIBAND_STATS),
     "slope_grid": (q_slope_grid, SQL_SLOPE_GRID),
     "asc_roundtrip": (q_asc_roundtrip, SQL_RASTERIZE),
     "flagship": (q_flagship, SQL_FLAGSHIP),

@@ -280,14 +280,19 @@ def _undo_predictor(a: np.ndarray, predictor: int) -> np.ndarray:
 def read_geotiff(path: str):
     """Minimal GeoTIFF reader from the public TIFF 6.0 + GeoTIFF specs
     (the reference reads these via PIL,
-    /root/reference/pythongis/raster/loader.py:35-524): UNCOMPRESSED
-    strips or tiles, 8/16/32-bit int/uint/float, 1 sample per pixel.
-    Georeferencing from ModelPixelScale+ModelTiepoint (33550/33922) or
-    ModelTransformation (34264); nodata from GDAL tag 42113.
+    /root/reference/pythongis/raster/loader.py:35-524, including
+    multiband via mode/band split at loader.py:236-334): strips or
+    tiles, none/deflate/LZW/PackBits compression (+ horizontal
+    predictor), 8/16/32-bit int/uint/float, ANY SamplesPerPixel in
+    chunky (PlanarConfiguration=1, interleaved) or planar (=2)
+    layout. Georeferencing from ModelPixelScale+ModelTiepoint
+    (33550/33922) or ModelTransformation (34264); nodata from GDAL
+    tag 42113.
 
-    Returns (array (h, w) float64, meta) where meta has ``transform``
-    = (x0, px, y0, py) with lon = x0 + (col+0.5)*px,
-    lat = y0 - (row+0.5)*py, and ``nodata``."""
+    Returns (array, meta): (h, w) float64 for 1 sample/pixel,
+    (bands, h, w) float64 for multiband (e.g. RGB); meta has
+    ``transform`` = (x0, px, y0, py) with lon = x0 + (col+0.5)*px,
+    lat = y0 - (row+0.5)*py, ``nodata`` and ``bands``."""
     import struct
 
     with open(path, "rb") as f:
@@ -298,6 +303,8 @@ def read_geotiff(path: str):
     w, h = int(t[256]), int(t[257])
     comp = int(t.get(259, 1))
     predictor = int(t.get(317, 1))
+    spp = int(t.get(277, 1))
+    planar = int(t.get(284, 1))
     bits = int(t[258]) if not isinstance(t.get(258), tuple) else int(t[258][0])
     sfmt = int(t.get(339, 1)) if not isinstance(t.get(339), tuple) else int(t[339][0])
     dt = {(1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
@@ -307,44 +314,75 @@ def read_geotiff(path: str):
         raise NotImplementedError(f"sample_format={sfmt} bits={bits}")
     dtype = np.dtype(bo + dt)
     native = dtype.newbyteorder("=")
+    # samples interleaved per pixel within a segment row (chunky) or
+    # one sample per segment (planar / single-band)
+    seg_spp = spp if planar == 1 else 1
 
     def segment(so: int, nbytes: int, rows: int, cols: int) -> np.ndarray:
+        n_samp = rows * cols * seg_spp
         if comp == _TIFF_COMP_NONE:
-            a = np.frombuffer(data, dtype, rows * cols, so).reshape(rows, cols)
-            if predictor == 1:
-                return a
-            a = a.astype(native)
+            a = np.frombuffer(data, dtype, n_samp, so)
         else:
             raw = _tiff_decompress(data[so:so + nbytes], comp)
-            a = np.frombuffer(raw, dtype, rows * cols).reshape(rows, cols) \
-                .astype(native)
-        return _undo_predictor(a, predictor)
+            a = np.frombuffer(raw, dtype, n_samp)
+        a = a.reshape(rows, cols, seg_spp) if seg_spp > 1 \
+            else a.reshape(rows, cols)
+        if predictor != 1:
+            # horizontal differencing runs per sample CHANNEL along
+            # the row (TIFF 6.0 §14) — the 3-D reshape keeps channels
+            # on their own axis so the cumsum never crosses channels
+            a = _undo_predictor(a.astype(native), predictor)
+        return a
 
-    arr = np.empty((h, w), dtype=native)
+    if seg_spp > 1:
+        arr = np.empty((h, w, spp), dtype=native)
+    elif planar == 2 and spp > 1:
+        arr = np.empty((spp, h, w), dtype=native)
+    else:
+        arr = np.empty((h, w), dtype=native)
     if 322 in t:  # tiled layout
         tw, th = int(t[322]), int(t[323])
         offs = t[324] if isinstance(t[324], tuple) else (t[324],)
         cnts = (t.get(325) if isinstance(t.get(325), tuple)
                 else (t.get(325, len(data)),))
+        ntx = (w + tw - 1) // tw
+        nty = (h + th - 1) // th
+        per_band = ntx * nty
         i = 0
-        for ty in range(0, h, th):
-            for tx in range(0, w, tw):
-                tile = segment(offs[i],
-                               int(cnts[i] if i < len(cnts) else cnts[-1]),
-                               th, tw)
-                arr[ty:ty + th, tx:tx + tw] = \
-                    tile[:min(th, h - ty), :min(tw, w - tx)]
-                i += 1
+        for b in range(spp if planar == 2 else 1):
+            for ty in range(0, h, th):
+                for tx in range(0, w, tw):
+                    tile = segment(offs[i],
+                                   int(cnts[i] if i < len(cnts) else cnts[-1]),
+                                   th, tw)
+                    view = tile[:min(th, h - ty), :min(tw, w - tx)]
+                    if planar == 2 and spp > 1:
+                        arr[b, ty:ty + th, tx:tx + tw] = view
+                    else:
+                        arr[ty:ty + th, tx:tx + tw] = view
+                    i += 1
+        del per_band
     else:  # strips
         rps = int(t.get(278, h))
         offs = t[273] if isinstance(t[273], tuple) else (t[273],)
         cnts = (t.get(279) if isinstance(t.get(279), tuple)
                 else (t.get(279, len(data)),))
+        spb = (h + rps - 1) // rps         # strips per band (planar)
         for i, so in enumerate(offs):
-            r0 = i * rps
-            nr = min(rps, h - r0)
-            arr[r0:r0 + nr] = segment(so, int(cnts[i] if i < len(cnts)
-                                              else cnts[-1]), nr, w)
+            nb = int(cnts[i] if i < len(cnts) else cnts[-1])
+            if planar == 2 and spp > 1:
+                b, si = divmod(i, spb)
+                r0 = si * rps
+                nr = min(rps, h - r0)
+                arr[b, r0:r0 + nr] = segment(so, nb, nr, w)
+            else:
+                r0 = i * rps
+                nr = min(rps, h - r0)
+                arr[r0:r0 + nr] = segment(so, nb, nr, w)
+    if seg_spp > 1:                        # chunky → (bands, h, w)
+        arr = np.moveaxis(arr, 2, 0)
+    if spp == 1 and arr.ndim == 3:
+        arr = arr[0]
     nodata = float(t[42113]) if 42113 in t else None
     if 33550 in t and 33922 in t:
         sx, sy = t[33550][0], abs(t[33550][1])
@@ -359,7 +397,7 @@ def read_geotiff(path: str):
     else:
         transform = (0.0, 1.0, float(h), 1.0)
     return arr.astype(np.float64), {"transform": transform, "nodata": nodata,
-                                    "width": w, "height": h}
+                                    "width": w, "height": h, "bands": spp}
 
 
 def read_ascii_grid(path: str):
@@ -454,19 +492,21 @@ def _grid_to_tiles(arr_meta, res: int, t: int,
     arr, meta = arr_meta
     x0, px, y0, py = meta["transform"]
     src_nd = meta["nodata"]
+    nb = arr.shape[0] if arr.ndim == 3 else 1
 
     def fill(lon2, lat2, band):
+        src = arr if arr.ndim == 2 else arr[band]
         col = np.floor((lon2 - x0) / px).astype(np.int64)
         row = np.floor((y0 - lat2) / py).astype(np.int64)
         ok = (col >= 0) & (col < meta["width"]) & (row >= 0) & (row < meta["height"])
         out = np.full(lon2.shape, nodata, dtype=np.float64)
-        v = arr[row[ok], col[ok]]
+        v = src[row[ok], col[ok]]
         if src_nd is not None:
             v = np.where(v == src_nd, nodata, v)
         out[ok] = v
         return out.astype(np.float32)
 
-    return make_raster(fill, res=res, t=t, nodata=nodata)
+    return make_raster(fill, res=res, t=t, nodata=nodata, bands=nb)
 
 
 _WRITE_COMP_CODES = {None: _TIFF_COMP_NONE, "none": _TIFF_COMP_NONE,
@@ -477,26 +517,36 @@ _WRITE_COMP_CODES = {None: _TIFF_COMP_NONE, "none": _TIFF_COMP_NONE,
 def write_geotiff(path: str, arr: np.ndarray, transform,
                   nodata: float | None = None,
                   compression: str | None = None):
-    """Minimal GeoTIFF writer (single band, one-strip,
-    float32/int32/uint8; ``compression``: None | 'deflate' | 'lzw' |
-    'packbits'): ModelPixelScale + ModelTiepoint + GDAL nodata tags —
-    round-trips through :func:`read_geotiff` (reference
-    raster/saver.py:10-187 writes via PIL tiffinfo)."""
+    """Minimal GeoTIFF writer (one-strip, float32/int32/uint8/int16/
+    uint16; single band (h, w) or multiband (bands, h, w) chunky
+    interleave with RGB photometric for 3 bands; ``compression``:
+    None | 'deflate' | 'lzw' | 'packbits'): ModelPixelScale +
+    ModelTiepoint + GDAL nodata tags — round-trips through
+    :func:`read_geotiff` (reference raster/saver.py:10-187 writes via
+    PIL tiffinfo)."""
     import struct
 
     arr = np.asarray(arr)
-    h, w = arr.shape
-    if arr.dtype == np.float64:
-        arr = arr.astype(np.float32)
+    multi = arr.ndim == 3
+    if multi:
+        spp, h, w = arr.shape
+        pix = np.moveaxis(arr, 0, 2)       # chunky interleave (h, w, spp)
+    else:
+        spp = 1
+        h, w = arr.shape
+        pix = arr
+    if pix.dtype == np.float64:
+        pix = pix.astype(np.float32)
     dt_map = {np.dtype("float32"): (32, 3), np.dtype("int32"): (32, 2),
               np.dtype("uint8"): (8, 1), np.dtype("int16"): (16, 2),
               np.dtype("uint16"): (16, 1)}
-    if arr.dtype not in dt_map:
-        raise NotImplementedError(f"dtype {arr.dtype}")
-    bits, sfmt = dt_map[arr.dtype]
+    if pix.dtype not in dt_map:
+        raise NotImplementedError(f"dtype {pix.dtype}")
+    bits, sfmt = dt_map[pix.dtype]
     comp_code = _WRITE_COMP_CODES[compression]
     x0, px, y0, py = transform
-    data = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+    data = np.ascontiguousarray(pix).astype(
+        pix.dtype.newbyteorder("<")).tobytes()
     if comp_code == _TIFF_COMP_DEFLATE:
         import zlib
         data = zlib.compress(data)
@@ -515,20 +565,34 @@ def write_geotiff(path: str, arr: np.ndarray, transform,
         nd_ascii = b""
     scale = struct.pack("<3d", px, py, 0.0)
     tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, x0, y0, 0.0)
-    ntags = 12 if nodata is not None else 11
+    # per-sample BitsPerSample/SampleFormat arrays live at offsets only
+    # when they exceed the 4-byte inline slot (TIFF 6.0 inline rule):
+    # spp=2 packs two SHORTs into the value field, spp>=3 needs a blob
+    bits_blob = struct.pack(f"<{spp}H", *([bits] * spp)) if spp > 2 else b""
+    sfmt_blob = struct.pack(f"<{spp}H", *([sfmt] * spp)) if spp > 2 else b""
+    ntags = (12 if nodata is not None else 11) + (1 if spp > 1 else 0)
     hdr_len = 8
     ifd_len = 2 + ntags * 12 + 4
     data_off = hdr_len + ifd_len
     scale_off = data_off + len(data)
     tie_off = scale_off + len(scale)
-    nd_off = tie_off + len(tiepoint)
+    bits_off = tie_off + len(tiepoint)
+    sfmt_off = bits_off + len(bits_blob)
+    nd_off = sfmt_off + len(sfmt_blob)
+    photometric = 2 if spp == 3 else 1     # RGB for 3-band, else gray
     entries = [
-        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
+        (256, 3, 1, w), (257, 3, 1, h),
+        (258, 3, spp, bits if spp == 1
+         else (bits | (bits << 16)) if spp == 2 else bits_off),
         (259, 3, 1, comp_code),
-        (262, 3, 1, 1), (273, 4, 1, data_off), (278, 3, 1, h),
-        (279, 4, 1, len(data)), (339, 3, 1, sfmt),
+        (262, 3, 1, photometric), (273, 4, 1, data_off), (278, 3, 1, h),
+        (279, 4, 1, len(data)),
+        (339, 3, spp, sfmt if spp == 1
+         else (sfmt | (sfmt << 16)) if spp == 2 else sfmt_off),
         (33550, 12, 3, scale_off),
     ]
+    if spp > 1:
+        entries.append((277, 3, 1, spp))
     entries.append((33922, 12, 6, tie_off))
     if nodata is not None:
         entries.append((42113, 2, len(nd_ascii), nd_off))
@@ -542,6 +606,8 @@ def write_geotiff(path: str, arr: np.ndarray, transform,
         f.write(data)
         f.write(scale)
         f.write(tiepoint)
+        f.write(bits_blob)
+        f.write(sfmt_blob)
         if nodata is not None:
             f.write(nd_ascii)
     return path
@@ -637,6 +703,163 @@ def write_world_file(path: str, transform):
     x0, px, y0, py = transform
     with open(path, "w") as f:
         f.write(f"{px}\n0.0\n0.0\n{-py}\n{x0 + px / 2}\n{y0 - py / 2}\n")
+
+
+# ------------------------------------------------------------ PNG codec
+#
+# Pure-zlib PNG from the public spec (RFC 2083): the reference reads
+# any PIL image + world file as a raster
+# (/root/reference/pythongis/raster/loader.py:39-86,420-470); PIL is
+# absent here, so 8-bit gray/RGB/RGBA/palette PNGs decode natively.
+
+def _png_unfilter(raw: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters 0-4. None/Sub/Up are vectorized
+    (Sub is a per-channel modular cumsum); Average/Paeth are
+    inherently sequential along x and run on bytearrays."""
+    out = np.empty((h, rowbytes), np.uint8)
+    prev = np.zeros(rowbytes, np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, np.uint8, rowbytes, pos).copy()
+        pos += rowbytes
+        if ft == 0:
+            rec = row
+        elif ft == 1:                      # Sub: recon[x] += recon[x-bpp]
+            r2 = row.reshape(-1, bpp)
+            np.cumsum(r2, axis=0, dtype=np.uint8, out=r2)
+            rec = row
+        elif ft == 2:                      # Up (uint8 add wraps mod 256)
+            rec = row + prev
+        elif ft == 3:                      # Average
+            rb = bytearray(rowbytes)
+            pv = prev.tolist()
+            rw = row.tolist()
+            for i in range(rowbytes):
+                left = rb[i - bpp] if i >= bpp else 0
+                rb[i] = (rw[i] + ((left + pv[i]) >> 1)) & 0xFF
+            rec = np.frombuffer(bytes(rb), np.uint8)
+        elif ft == 4:                      # Paeth
+            rb = bytearray(rowbytes)
+            pv = prev.tolist()
+            rw = row.tolist()
+            for i in range(rowbytes):
+                a = rb[i - bpp] if i >= bpp else 0
+                b = pv[i]
+                c = pv[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa_ = p - a if p >= a else a - p
+                pb_ = p - b if p >= b else b - p
+                pc_ = p - c if p >= c else c - p
+                if pa_ <= pb_ and pa_ <= pc_:
+                    pred = a
+                elif pb_ <= pc_:
+                    pred = b
+                else:
+                    pred = c
+                rb[i] = (rw[i] + pred) & 0xFF
+            rec = np.frombuffer(bytes(rb), np.uint8)
+        else:
+            raise NotImplementedError(f"PNG filter {ft}")
+        out[y] = rec
+        prev = out[y]
+    return out
+
+
+def read_png(path: str):
+    """8-bit non-interlaced PNG → (array, meta). Gray → (h, w);
+    RGB/RGBA/palette → (bands, h, w). Georeferencing from a ``.wld``/
+    ``.pgw`` world-file sidecar when present (reference
+    check_world_file, raster/loader.py:39-86), else pixel coords."""
+    import os
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"{path}: not a PNG")
+    pos = 8
+    idat = []
+    plte = None
+    w = h = depth = ctype = inter = None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, _, _, inter = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if inter != 0:
+        raise NotImplementedError("interlaced PNG")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth}")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    px = _png_unfilter(raw, h, w * nch, nch).reshape(h, w, nch)
+    if ctype == 3:
+        px = plte[px[:, :, 0]]             # palette → RGB
+        nch = 3
+    bands = nch
+    arr = px[:, :, 0].astype(np.float64) if bands == 1 \
+        else np.moveaxis(px, 2, 0).astype(np.float64)
+    transform = None
+    stem = os.path.splitext(path)[0]
+    for cand in (stem + ".wld", stem + ".pgw"):
+        if os.path.exists(cand):
+            transform = read_world_file(cand)
+            break
+    if transform is None:
+        transform = (0.0, 1.0, float(h), 1.0)
+    return arr, {"transform": transform, "nodata": None,
+                 "width": w, "height": h, "bands": bands}
+
+
+def write_png(path: str, arr: np.ndarray, transform=None):
+    """8-bit PNG writer (gray (h, w) or multiband (bands, h, w) with
+    2→gray+alpha, 3→RGB, 4→RGBA; filter 0 scanlines, zlib). Writes a
+    ``.wld`` sidecar when ``transform`` is given."""
+    import os
+    import struct
+    import zlib
+
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        px = arr.astype(np.uint8)[:, :, None]
+    else:
+        px = np.moveaxis(arr.astype(np.uint8), 0, 2)
+    h, w, nch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    body = np.concatenate(
+        [np.zeros((h, 1), np.uint8),       # filter byte 0 per scanline
+         px.reshape(h, w * nch)], axis=1).tobytes()
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype,
+                                           0, 0, 0)))
+        f.write(chunk(b"IDAT", zlib.compress(body)))
+        f.write(chunk(b"IEND", b""))
+    if transform is not None:
+        write_world_file(os.path.splitext(path)[0] + ".wld", transform)
+    return path
+
+
+def png_to_tiles(path: str, res: int = 4, t: int = TILE,
+                 nodata: float = NODATA) -> pd.DataFrame:
+    """PNG + world file → the engine's tile table (one row per band,
+    same nearest sampling as geotiff_to_tiles)."""
+    return _grid_to_tiles(read_png(path), res, t, nodata)
 
 
 # ------------------------------------------------------------- band math

@@ -217,3 +217,86 @@ def test_ascii_grid_y_origin_ulp_roundtrip(tmp_path):
     a, m = R.read_ascii_grid(p)
     assert np.array_equal(a, arr)
     assert m["transform"] == transform
+
+
+def test_multiband_geotiff_roundtrip_all_compressions():
+    import tempfile
+
+    rng = np.random.default_rng(3)
+    arr = (rng.random((3, 21, 34)) * 255).astype(np.uint8)
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        for comp in (None, "deflate", "lzw", "packbits"):
+            p = f"{d}/mb_{comp}.tif"
+            raster.write_geotiff(p, arr, (-180.0, 1.0, 90.0, 1.0),
+                                 compression=comp)
+            back, meta = raster.read_geotiff(p)
+            assert back.shape == (3, 21, 34)
+            assert meta["bands"] == 3
+            assert np.array_equal(back, arr), comp
+            assert meta["transform"] == (-180.0, 1.0, 90.0, 1.0)
+
+
+def test_multiband_float_geotiff_roundtrip():
+    import tempfile
+
+    rng = np.random.default_rng(4)
+    arr = rng.random((2, 10, 13)).astype(np.float32)
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        p = f"{d}/f.tif"
+        raster.write_geotiff(p, arr, (0.0, 0.5, 5.0, 0.5), nodata=-1.0)
+        back, meta = raster.read_geotiff(p)
+        assert back.shape == (2, 10, 13) and meta["nodata"] == -1.0
+        assert np.allclose(back, arr)
+
+
+def test_png_roundtrip_gray_and_rgb():
+    import tempfile
+
+    rng = np.random.default_rng(5)
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        g = (rng.random((12, 17)) * 255).astype(np.uint8).astype(np.float64)
+        raster.write_png(f"{d}/g.png", g, transform=(-180.0, 1.0, 90.0, 1.0))
+        back, meta = raster.read_png(f"{d}/g.png")
+        assert np.array_equal(back, g) and meta["bands"] == 1
+        assert meta["transform"] == (-180.0, 1.0, 90.0, 1.0)
+        rgb = (rng.random((3, 9, 9)) * 255).astype(np.uint8).astype(np.float64)
+        raster.write_png(f"{d}/rgb.png", rgb)
+        b2, m2 = raster.read_png(f"{d}/rgb.png")
+        assert np.array_equal(b2, rgb) and m2["bands"] == 3
+
+
+def test_png_reads_reference_natural_earth_image():
+    """The reference's real 2048x1024 RGB basemap (adaptive filters
+    incl. Paeth) decodes; ocean blue dominates the channel means."""
+    arr, meta = raster.read_png(f"{NE}/land_shallow_topo_2048.png")
+    assert arr.shape == (3, 1024, 2048) and meta["bands"] == 3
+    means = arr.mean(axis=(1, 2))
+    assert means[2] > means[0] and means[2] > means[1]  # blue planet
+    assert 40 < means[0] < 60
+
+
+def test_png_to_tiles_multiband():
+    import tempfile
+
+    rng = np.random.default_rng(6)
+    rgb = (rng.random((3, 180, 360)) * 200 + 1).astype(np.uint8) \
+        .astype(np.float64)
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        raster.write_png(f"{d}/w.png", rgb,
+                         transform=(-180.0, 1.0, 90.0, 1.0))
+        from pythongis_ray import grid
+
+        tiles = raster.png_to_tiles(f"{d}/w.png", res=1)
+        assert set(tiles["band"]) == {0, 1, 2}
+        # spot-check one pixel per band: tile pixel centers sample the
+        # source grid nearest — with 1:1 alignment values must match
+        for b in range(3):
+            row = tiles[(tiles.band == b)].iloc[0]
+            cu = np.array([row["cell_id"]], np.int64).view(np.uint64)
+            xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(cu))
+            a = raster.bytes_to_tile(row["tile"])
+            lon = xmin + 0.5 * (xmax - xmin) / raster.TILE
+            lat = ymin + 0.5 * (ymax - ymin) / raster.TILE
+            col = int(np.floor(lon + 180.0))
+            srow = int(np.floor(90.0 - lat))
+            assert a[0, 0] == np.float32(rgb[b, srow, col])
