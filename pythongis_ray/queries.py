@@ -1229,6 +1229,80 @@ def q_asc_roundtrip(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+BUFJOIN_D2_UNITS = 1025   # buffer diameter×2 in lattice units: d = 512.5
+
+
+def llines_supplier(sf_dir: str) -> pd.DataFrame:
+    """supplier → one rectilinear L-polyline per supplier:
+    A = geocode(sk), horizontal run +dx units, then vertical +dy.
+    Endpoints on INTEGER lattice units; the square-cap buffer at
+    d = 512.5 units puts every buffer edge on HALF units, so no
+    lineitem point (integer units) ever touches a buffer boundary —
+    the PIP is unambiguous and exact."""
+    from pythongis_ray.geom import wkb as _wkb
+
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey"])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64) * 8 + 5
+    ixa, iya = fixtures.geocode_units(sk)
+    dx = (sk * 48271) % 4096 + 1
+    dy = (sk * 16807) % 4096 + 1
+    ax, ay = fixtures.units_to_deg(ixa, iya)
+    bx, _ = fixtures.units_to_deg(ixa + dx, iya)
+    _, cy2 = fixtures.units_to_deg(ixa + dx, iya + dy)
+    geoms = [_wkb.encode_linestring(np.array([[x1, y1], [x2, y1], [x2, y3]]))
+             for x1, y1, x2, y3 in zip(ax, ay, bx, cy2)]
+    return pd.DataFrame({"sk": sk, "geometry": geoms})
+
+
+def q_buffer_join(sf_dir: str):
+    """Buffer→overlay, the top-5 GIS workflow (reference buffers any
+    geometry then spatial-joins, manager.py:726-780 + 160-266): each
+    supplier's rectilinear L-polyline is buffered by d = 512.5 lattice
+    units with SQUARE caps through the real ``vector.buffer`` operator
+    (per-segment extended rectangles unioned by the exact rational
+    sweep — exact miter at the right-angle joint), then lineitem
+    points spatial-join INTO the buffered zones (broadcast prepared-
+    polygon PIP) and aggregate to per-supplier point counts. The SQL
+    oracle states the same region as the union of the two cap-extended
+    rectangles in doubled integer units (edges at half-units can never
+    equal an integer point coordinate)."""
+    import ray.data as _rd2
+
+    from pythongis_ray import vector
+
+    lines = llines_supplier(sf_dir)
+    d_deg = (BUFJOIN_D2_UNITS / 2) / 1024.0
+    buffered = vector.buffer(_rd2.from_pandas(lines), d_deg, cap="square")
+    bdf = buffered.to_pandas()             # supplier-bounded small side
+    pts = points_lineitem(sf_dir)
+    out = spatial.spatial_join(pts, bdf[["sk", "geometry"]],
+                               predicate="within")
+    return rel.groupby_aggregate(out.select_columns(["sk"]), ["sk"],
+                                 [("n_pts", "sk", "count")])
+
+
+def SQL_BUFFER_JOIN():
+    kp = _sql_keyed_points("supplier", "s_suppkey", 8, 5, "sk")
+    B = BUFJOIN_D2_UNITS
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+L AS (SELECT sk, ix AS ixa, iy AS iya,
+             (sk * 48271) % 4096 + 1 AS dx,
+             (sk * 16807) % 4096 + 1 AS dy
+      FROM ({kp}) _l)
+SELECT sk, CAST(COUNT(*) AS BIGINT) AS n_pts
+FROM L JOIN pts ON
+     (2 * pts.ix > 2 * L.ixa - {B} AND 2 * pts.ix < 2 * (L.ixa + L.dx) + {B}
+      AND 2 * pts.iy > 2 * L.iya - {B} AND 2 * pts.iy < 2 * L.iya + {B})
+  OR (2 * pts.ix > 2 * (L.ixa + L.dx) - {B}
+      AND 2 * pts.ix < 2 * (L.ixa + L.dx) + {B}
+      AND 2 * pts.iy > 2 * L.iya - {B}
+      AND 2 * pts.iy < 2 * (L.iya + L.dy) + {B})
+GROUP BY sk
+"""
+
+
 def q_multiband_stats(sf_dir: str):
     """Multiband (RGB-style) GeoTIFF interchange loop + per-band
     coarse-zone stats: the point-density grid becomes a 3-band
@@ -14351,6 +14425,7 @@ REGISTRY: dict[str, tuple] = {
     "upscale": (q_upscale, SQL_UPSCALE),
     "rasterize": (q_rasterize, SQL_RASTERIZE),
     "multiband_stats": (q_multiband_stats, SQL_MULTIBAND_STATS),
+    "buffer_join": (q_buffer_join, SQL_BUFFER_JOIN),
     "slope_grid": (q_slope_grid, SQL_SLOPE_GRID),
     "asc_roundtrip": (q_asc_roundtrip, SQL_RASTERIZE),
     "flagship": (q_flagship, SQL_FLAGSHIP),

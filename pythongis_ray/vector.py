@@ -52,9 +52,16 @@ def buffer_points(ds, radius, lon_col: str = "lon", lat_col: str = "lat",
              if isinstance(radius, str) else np.full(len(lon), float(radius)))
         geoms = []
         if geodetic:
-            for x, y, rr in zip(lon, lat, r):
-                ring = geodesy.geodetic_point_buffer(x, y, rr, n=n)
-                geoms.append(wkb.encode_polygon([ring]))
+            # one vectorized Vincenty fan for the whole batch (m×n
+            # bearings, per-point radii) — no per-point Python solver
+            m = len(lon)
+            bearings = np.linspace(0.0, 360.0, n, endpoint=False)
+            xs, ys = geodesy.vincenty_direct(
+                np.repeat(lon, n), np.repeat(lat, n),
+                np.tile(bearings, m), np.repeat(r.astype(np.float64), n))
+            ring3 = np.stack([xs.reshape(m, n), ys.reshape(m, n)], axis=2)
+            ring3 = np.concatenate([ring3, ring3[:, :1]], axis=1)
+            geoms = [wkb.encode_polygon([rg]) for rg in ring3]
         else:
             ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
             ca, sa = np.cos(ang), np.sin(ang)
@@ -64,6 +71,116 @@ def buffer_points(ds, radius, lon_col: str = "lon", lat_col: str = "lat",
         return batch.append_column(out_col, pa.array(geoms, pa.binary()))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def _disc_ring(x: float, y: float, d: float, n: int) -> np.ndarray:
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ring = np.column_stack([x + d * np.cos(ang), y + d * np.sin(ang)])
+    return np.vstack([ring, ring[:1]])
+
+
+def _seg_rect(a: np.ndarray, b: np.ndarray, d: float, square: bool):
+    v = b - a
+    L = float(np.hypot(v[0], v[1]))
+    if L == 0.0:
+        return None
+    u = v / L
+    if square:
+        a = a - u * d
+        b = b + u * d
+    nx, ny = -u[1] * d, u[0] * d
+    return np.array([[a[0] + nx, a[1] + ny], [b[0] + nx, b[1] + ny],
+                     [b[0] - nx, b[1] - ny], [a[0] - nx, a[1] - ny],
+                     [a[0] + nx, a[1] + ny]])
+
+
+def _buffer_one(buf: bytes, d: float, cap: str, n: int) -> bytes:
+    from pythongis_ray.geom import union as gunion
+
+    g = wkb.decode(bytes(buf))
+    t = g["type"]
+    parts: list[list[np.ndarray]] = []     # list of [rings] polys
+    if t in ("Point", "MultiPoint"):
+        for x, y in g["rings"][0]:
+            parts.append([_disc_ring(float(x), float(y), d, n)])
+    elif t in ("LineString", "MultiLineString"):
+        for coords in g["rings"]:
+            m = len(coords)
+            for i in range(m - 1):
+                r = _seg_rect(coords[i], coords[i + 1], d,
+                              cap == "square")
+                if r is not None:
+                    parts.append([r])
+            if cap == "round":
+                vs = range(m)              # caps + joins
+            elif cap == "flat":
+                vs = range(1, m - 1)       # joins only, butt ends
+            else:
+                vs = ()                    # square: extended rects
+            for i in vs:
+                parts.append([_disc_ring(float(coords[i, 0]),
+                                         float(coords[i, 1]), d, n)])
+    elif t in ("Polygon", "MultiPolygon"):
+        rp = g.get("ring_part") or [0] * len(g["rings"])
+        by_part: dict[int, list] = {}
+        for p, r in zip(rp, g["rings"]):
+            by_part.setdefault(int(p), []).append(r)
+        for rings in by_part.values():
+            parts.append(list(rings))      # the region itself
+            for ring in rings:             # dilate every edge (incl. holes)
+                for i in range(len(ring) - 1):
+                    r = _seg_rect(ring[i], ring[i + 1], d,
+                                  cap == "square")
+                    if r is not None:
+                        parts.append([r])
+                if cap in ("round", "flat"):
+                    for i in range(len(ring) - 1):
+                        parts.append([_disc_ring(float(ring[i, 0]),
+                                                 float(ring[i, 1]), d, n)])
+    else:
+        raise ValueError(f"cannot buffer geometry type {t}")
+    _, comps = gunion.union_polygons_exact(parts)
+    return wkb.encode_multi("MultiPolygon", comps)
+
+
+def buffer(ds, dist: float, geometry_col: str = "geometry",
+           cap: str = "round", n: int = 16, out_col: str | None = None):
+    """Planar buffer of ANY geometry column → MultiPolygon WKB
+    (reference manager.buffer buffers any geometry via shapely,
+    /root/reference/pythongis/vector/manager.py:726-780; here the
+    dilation is built shapely-free as a union of per-segment offset
+    rectangles + vertex discs, merged by the EXACT rational slab
+    sweep in geom/union.py).
+
+    Semantics per geometry type:
+      Point/MultiPoint   n-gon disc per point
+      LineString         per-segment rectangles; ``cap`` = 'round'
+                         (k-gon discs at every vertex: round caps +
+                         round joins), 'flat' (butt ends, round
+                         joins), 'square' (each segment extended
+                         ``dist`` at both ends — EXACT miter for
+                         rectilinear/right-angle polylines; oblique
+                         joins should use 'round')
+      Polygon            region ∪ edge rectangles ∪ vertex discs —
+                         the Minkowski dilation of the closed region
+                         (holes erode correctly)
+
+    Negative ``dist`` (erosion) is unsupported. Output parts are the
+    union's connected components."""
+    if dist <= 0:
+        raise ValueError("buffer distance must be positive")
+    out_col = out_col or geometry_col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        geoms = [None if b is None else _buffer_one(bytes(b), float(dist),
+                                                    cap, n)
+                 for b in batch[geometry_col].to_pylist()]
+        arr = pa.array(geoms, pa.binary())
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
 
 
 def geodetic_area(ds, geometry_col: str = "geometry",

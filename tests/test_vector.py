@@ -197,3 +197,82 @@ def test_centroids_multi_and_fallback(ray_session):
     assert abs(out.lat.iloc[0] - want[1]) < 1e-12
     assert (out.lon.iloc[1], out.lat.iloc[1]) == (2.0, 4.0)
     assert (out.lon.iloc[2], out.lat.iloc[2]) == (1.5, 2.5)
+
+
+def test_buffer_line_square_rectilinear_exact(ray_session):
+    """Square-cap buffer of a rectilinear L-line = union of the two
+    cap-extended axis-aligned rectangles, exactly."""
+    import ray.data as rd
+
+    from pythongis_ray import vector
+    from pythongis_ray.geom import algo, wkb
+
+    line = wkb.encode_linestring(np.array([[0., 0.], [4., 0.], [4., 3.]]))
+    ds = rd.from_pandas(pd.DataFrame({"fid": [1], "geometry": [line]}))
+    out = vector.buffer(ds, 0.5, cap="square").to_pandas()
+    g = wkb.decode(bytes(out["geometry"].iloc[0]))
+    pp = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
+    # R1=[-.5,4.5]x[-.5,.5]  R2=[3.5,4.5]x[-.5,3.5]
+    cases = [((0, 0), True), ((4, 3), True), ((4.4, 3.4), True),
+             ((-0.4, 0.4), True), ((2, 1), False), ((4.6, 0), False),
+             ((3.6, 2.0), True), ((3.4, 2.0), False),
+             ((2.0, 0.49), True), ((2.0, 0.51), False)]
+    for (x, y), want in cases:
+        got = bool(pp.covers_points(np.array([x], float),
+                                    np.array([y], float))[0])
+        assert got == want, ((x, y), got, want)
+
+
+def test_buffer_line_round_distance_semantics(ray_session):
+    """Round buffer ≈ the distance-d sausage: points clearly inside d
+    are covered, clearly outside are not (k-gon arc tolerance)."""
+    import ray.data as rd
+
+    from pythongis_ray import vector
+    from pythongis_ray.geom import algo, wkb
+
+    line = wkb.encode_linestring(np.array([[0., 0.], [10., 0.]]))
+    ds = rd.from_pandas(pd.DataFrame({"geometry": [line]}))
+    out = vector.buffer(ds, 1.0, cap="round", n=64).to_pandas()
+    g = wkb.decode(bytes(out["geometry"].iloc[0]))
+    pp = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
+    assert pp.covers_points(np.array([5.0]), np.array([0.95]))[0]
+    assert not pp.covers_points(np.array([5.0]), np.array([1.05]))[0]
+    assert pp.covers_points(np.array([-0.9]), np.array([0.0]))[0]
+    assert not pp.covers_points(np.array([-1.1]), np.array([0.0]))[0]
+    assert pp.covers_points(np.array([10.6]), np.array([0.6]))[0]
+
+
+def test_buffer_polygon_dilation_with_hole(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray import vector
+    from pythongis_ray.geom import algo, wkb
+
+    poly = wkb.encode_polygon([
+        np.array([[0., 0.], [10., 0.], [10., 10.], [0., 10.], [0., 0.]]),
+        np.array([[4., 4.], [6., 4.], [6., 6.], [4., 6.], [4., 4.]])])
+    ds = rd.from_pandas(pd.DataFrame({"geometry": [poly]}))
+    out = vector.buffer(ds, 1.0, cap="round", n=32).to_pandas()
+    g = wkb.decode(bytes(out["geometry"].iloc[0]))
+    pp = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
+    assert pp.covers_points(np.array([-0.9]), np.array([5.0]))[0]  # grew
+    assert not pp.covers_points(np.array([-1.1]), np.array([5.0]))[0]
+    assert pp.covers_points(np.array([4.5]), np.array([4.5]))[0]   # hole gone
+    # a 2x2 hole dilated by 1 closes completely
+    assert pp.covers_points(np.array([5.0]), np.array([5.0]))[0]
+
+
+def test_buffer_point_matches_buffer_points(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray import vector
+    from pythongis_ray.geom import algo, wkb
+
+    pt = wkb.encode_point(3.0, 4.0)
+    ds = rd.from_pandas(pd.DataFrame({"geometry": [pt]}))
+    out = vector.buffer(ds, 2.0, n=32).to_pandas()
+    g = wkb.decode(bytes(out["geometry"].iloc[0]))
+    pp = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
+    assert pp.covers_points(np.array([3.0]), np.array([5.8]))[0]
+    assert not pp.covers_points(np.array([3.0]), np.array([6.1]))[0]
