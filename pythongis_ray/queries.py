@@ -3275,6 +3275,23 @@ def q_warp_mercator(sf_dir: str):
     return out.select_columns(["mcell", "band", "nodata"])
 
 
+def q_warp_utm(sf_dir: str):
+    """Raster mesh warp lonlat → UTM 33N through the generalized
+    projected-warp path (rows-only: the Snyder series inverse is
+    transcendental; value parity is covered by the lon-field
+    reproduction unit test at mm-grade inverse accuracy, the same
+    protocol as reproject_utm)."""
+    from pythongis_ray import raster
+
+    src = raster.make_raster(lambda lon, lat, b: lon.astype(np.float32),
+                             res=2)
+    out = raster.warp_to_projection(
+        _rd().from_pandas(src), src_res=2, crs="utm:33N",
+        x_min=166_000.0, y_min=4_000_000.0, cell_m=8000.0,
+        width_px=4 * 64, height_px=4 * 64)
+    return out.select_columns(["dcell", "band", "nodata"])
+
+
 def q_dedup_near_embed(sf_dir: str):
     """Nearest-neighbor (rank-1) per query over the quantized-dot
     metric — the per-doc "closest near-dup" view of the embedding
@@ -14507,6 +14524,7 @@ REGISTRY: dict[str, tuple] = {
     "geodetic_area": (q_geodetic_area, None),
     "resample_bilinear": (q_resample_bilinear, None),
     "warp_mercator": (q_warp_mercator, None),
+    "warp_utm": (q_warp_utm, None),
     "dedup_near_embed": (q_dedup_near_embed, SQL_DEDUP_NEAR_EMBED),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "gpkg_roundtrip": (q_gpkg_roundtrip, SQL_GPKG_ROUNDTRIP),

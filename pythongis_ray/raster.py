@@ -659,9 +659,75 @@ def crs_wkt(crs: str) -> str:
     raise ValueError(f"unsupported crs token {crs!r}")
 
 
+def parse_wkt(wkt: str) -> dict:
+    """WKT1 CRS string → structured node tree
+    ``{"name": keyword, "values": [str | float | node, ...]}`` —
+    a PARSER, not a transformer (the reference carries arbitrary
+    pycrs CRSes, /root/reference/pythongis/vector/data.py:503-511;
+    pycrs is absent here, so foreign ``.prj`` sidecars round-trip
+    structurally instead of erroring)."""
+    s = wkt.strip()
+    pos = 0
+
+    def node():
+        nonlocal pos
+        start = pos
+        while pos < len(s) and s[pos] not in "[(":
+            pos += 1
+        name = s[start:pos].strip()
+        pos += 1                           # consume the [ or (
+        values = []
+        while True:
+            while pos < len(s) and s[pos] in ", \t\r\n":
+                pos += 1
+            if pos >= len(s):
+                raise ValueError("unterminated WKT node")
+            ch = s[pos]
+            if ch in ")]":
+                pos += 1
+                return {"name": name, "values": values}
+            if ch == '"':
+                end = s.index('"', pos + 1)
+                values.append(s[pos + 1:end])
+                pos = end + 1
+            else:
+                start = pos
+                while pos < len(s) and s[pos] not in ",])":
+                    pos += 1
+                tok = s[start:pos].strip()
+                if any(c in tok for c in "[("):
+                    pos = start
+                    values.append(node())
+                else:
+                    try:
+                        values.append(float(tok))
+                    except ValueError:
+                        values.append(tok)
+        # unreachable
+
+    return node()
+
+
+def format_wkt(node: dict) -> str:
+    """Inverse of :func:`parse_wkt` (canonical minified WKT1)."""
+    vals = []
+    for v in node["values"]:
+        if isinstance(v, dict):
+            vals.append(format_wkt(v))
+        elif isinstance(v, float):
+            vals.append(f"{int(v)}" if v == int(v) and abs(v) < 1e15
+                        else repr(v))
+        else:
+            vals.append(f'"{v}"')
+    return f'{node["name"]}[{",".join(vals)}]'
+
+
 def write_prj(path: str, crs: str) -> str:
     with open(path, "w") as f:
-        f.write(crs_wkt(crs))
+        if crs.startswith("wkt:"):         # foreign CRS round-trip
+            f.write(crs[4:])
+        else:
+            f.write(crs_wkt(crs))
     return path
 
 
@@ -688,7 +754,10 @@ def read_prj(path: str) -> str:
         return f"laea:{float(lon0.group(1)):g},{float(lat0.group(1)):g}"
     if "GEOGCS" in wkt and "WGS" in wkt and "PROJCS" not in wkt:
         return "wgs84"
-    raise ValueError(f"unrecognized .prj CRS in {path}")
+    # foreign CRS: carry it structurally (parse → canonical WKT) so
+    # the sidecar round-trips instead of erroring; projecting through
+    # it still fails loudly in _proj_pair / crs_wkt
+    return "wkt:" + format_wkt(parse_wkt(wkt))
 
 
 def read_world_file(path: str):
@@ -1716,6 +1785,124 @@ def warp_to_mercator(ds, src_res: int, zoom: int = 3, t: int = TILE,
     from pythongis_ray.relational import bucketed_group_apply
 
     return bucketed_group_apply(scattered, ["mcell"], per_dst, num_buckets=32)
+
+
+def _proj_pair(crs: str):
+    """CRS token → (forward, inverse) vectorized lonlat⟷metre fns
+    (the tokens crs_wkt understands: webmercator | utm:<zone>[N|S] |
+    laea:<lon0>,<lat0>)."""
+    if crs == "webmercator":
+        return merc_forward, merc_inverse
+    if crs.startswith("utm:"):
+        from pythongis_ray.geom import proj as _proj
+
+        zone = int(crs[4:].rstrip("NS"))
+        northern = not crs.endswith("S")
+        return (lambda lon, lat: _proj.utm_forward(lon, lat, zone),
+                lambda x, y: _proj.utm_inverse(x, y, zone, northern))
+    if crs.startswith("laea:"):
+        from pythongis_ray.geom import proj as _proj
+
+        lon0, lat0 = (float(v) for v in crs[5:].split(","))
+        return (lambda lon, lat: _proj.laea_forward(lon, lat, lon0, lat0),
+                lambda x, y: _proj.laea_inverse(x, y, lon0, lat0))
+    raise ValueError(f"unsupported warp crs {crs!r}")
+
+
+def warp_to_projection(ds, src_res: int, crs: str, x_min: float,
+                       y_min: float, cell_m: float, width_px: int,
+                       height_px: int, t: int = TILE,
+                       method: str = "bilinear"):
+    """Raster mesh warp to ANY of the engine's projected CRSes
+    (UTM / LAEA / WebMercator — generalizes :func:`warp_to_mercator`;
+    reference raster reproject, raster/manager.py:175-395). The
+    destination grid is (x_min, y_min, cell_m, width_px, height_px)
+    in projected metres, tiled t×t.
+
+    Same distributed shape as the mercator warp: each source tile
+    ships to the destination tiles covering its PROJECTED bbox
+    (boundary sampled at 8 points per edge — projections curve, the
+    corner bbox alone under-covers), one hash-bucketed co-location,
+    and the per-tile kernel inverse-projects the destination pixel
+    centers and samples the assembled source mosaic. Output rows:
+    (dcell = ty·ntx + tx, band, tile, nodata)."""
+    fwd, inv = _proj_pair(crs)
+    ntx = (width_px + t - 1) // t
+    nty = (height_px + t - 1) // t
+    nx_s, _ = grid.cell_dims(src_res)
+    psx = grid.cell_size_deg(src_res) / t
+    ncol = nx_s * t
+    tile_m = cell_m * t
+    x_max = x_min + width_px * cell_m
+    y_max = y_min + height_px * cell_m
+
+    # boundary parameterization for projected-bbox estimation
+    bnd = np.linspace(0.0, 1.0, 9)
+
+    def scatter(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, band, buf, nd in zip(batch["cell_id"], batch["band"],
+                                      batch["tile"], batch["nodata"]):
+            cu = np.array([cid], dtype=np.int64).view(np.uint64)
+            xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(cu))
+            bl = np.concatenate([xmin + bnd * (xmax - xmin),
+                                 np.full(9, xmax),
+                                 xmax - bnd * (xmax - xmin),
+                                 np.full(9, xmin)])
+            bb = np.concatenate([np.full(9, ymin),
+                                 ymin + bnd * (ymax - ymin),
+                                 np.full(9, ymax),
+                                 ymax - bnd * (ymax - ymin)])
+            with np.errstate(invalid="ignore"):
+                px_, py_ = fwd(bl, bb)
+            ok = np.isfinite(px_) & np.isfinite(py_)
+            if not ok.any():
+                continue
+            x0m, x1m = px_[ok].min(), px_[ok].max()
+            y0m, y1m = py_[ok].min(), py_[ok].max()
+            if x1m < x_min or x0m > x_max or y1m < y_min or y0m > y_max:
+                continue
+            tx_lo = max(0, int((x0m - cell_m - x_min) // tile_m))
+            tx_hi = min(ntx - 1, int((x1m + cell_m - x_min) // tile_m))
+            ty_lo = max(0, int((y0m - cell_m - y_min) // tile_m))
+            ty_hi = min(nty - 1, int((y1m + cell_m - y_min) // tile_m))
+            for ty in range(ty_lo, ty_hi + 1):
+                for tx in range(tx_lo, tx_hi + 1):
+                    rows.append({"dcell": ty * ntx + tx, "band": band,
+                                 "scell": int(np.int64(cid)), "tile": buf,
+                                 "nodata": nd})
+        return pd.DataFrame(rows,
+                            columns=["dcell", "band", "scell", "tile",
+                                     "nodata"])
+
+    scattered = ds.map_batches(scatter, batch_format="pandas",
+                               batch_size=64)
+
+    def per_dst(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (dc, band), gg in g.groupby(["dcell", "band"], sort=False):
+            nd = float(gg["nodata"].iloc[0])
+            tx, ty = int(dc) % ntx, int(dc) // ntx
+            xs = x_min + (tx * t + np.arange(t) + 0.5) * cell_m
+            ys = y_min + (ty * t + np.arange(t) + 0.5) * cell_m
+            xm, ym = np.meshgrid(xs, ys)
+            with np.errstate(invalid="ignore"):
+                lon2, lat2 = inv(xm, ym)
+            bad = ~(np.isfinite(lon2) & np.isfinite(lat2))
+            lon2 = np.where(bad, 0.0, lon2)
+            lat2 = np.where(bad, 0.0, lat2)
+            v = _mosaic_sample(list(zip(gg["scell"], gg["tile"])),
+                               lon2, lat2, nd, t, psx, ncol, method)
+            out = np.where(np.isnan(v) | bad, nd, v).astype(np.float32)
+            rows.append({"dcell": int(dc), "band": band,
+                         "tile": tile_to_bytes(out), "nodata": nd})
+        return pd.DataFrame(rows, columns=["dcell", "band", "tile",
+                                           "nodata"])
+
+    from pythongis_ray.relational import bucketed_group_apply
+
+    return bucketed_group_apply(scattered, ["dcell"], per_dst,
+                                num_buckets=32)
 
 
 # --------------------------------------------------- morphology (halo)

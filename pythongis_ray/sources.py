@@ -496,6 +496,317 @@ def write_xlsx(df: pd.DataFrame, path: str):
     return path
 
 
+# ------------------------------------------------- legacy .xls (BIFF8)
+#
+# Pure-stdlib BIFF8-in-OLE2 from the public [MS-CFB] + [MS-XLS] specs
+# (the reference reads legacy XLS via xlrd,
+# /root/reference/pythongis/vector/loader.py:88-108; xlrd is absent
+# here). Reader: CFB FAT/miniFAT streams; BIFF NUMBER/RK/MULRK/
+# LABEL/LABELSST+SST/BOOLERR cells. Writer: minimal valid CFB with a
+# single padded Workbook stream (regular sectors).
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_FREESECT, _ENDOFCHAIN, _FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+
+
+def _cfb_open_stream(data: bytes, want: str = "Workbook") -> bytes:
+    """Extract a named stream from an OLE2 compound file (FAT and
+    miniFAT paths both supported)."""
+    import struct
+
+    if data[:8] != _CFB_MAGIC:
+        raise ValueError("not an OLE2 compound file")
+    ssz = 1 << struct.unpack_from("<H", data, 30)[0]
+    mssz = 1 << struct.unpack_from("<H", data, 32)[0]
+    n_fat = struct.unpack_from("<I", data, 44)[0]
+    dir_start = struct.unpack_from("<I", data, 48)[0]
+    mini_cutoff = struct.unpack_from("<I", data, 56)[0]
+    minifat_start = struct.unpack_from("<I", data, 60)[0]
+    difat_start = struct.unpack_from("<I", data, 68)[0]
+    n_difat = struct.unpack_from("<I", data, 72)[0]
+
+    def sector(i: int) -> bytes:
+        off = 512 + i * ssz
+        return data[off:off + ssz]
+
+    # DIFAT: 109 header entries + chained DIFAT sectors
+    difat = list(struct.unpack_from("<109I", data, 76))
+    s = difat_start
+    for _ in range(n_difat):
+        blk = sector(s)
+        vals = struct.unpack(f"<{ssz // 4}I", blk)
+        difat.extend(vals[:-1])
+        s = vals[-1]
+    fat = []
+    for fs in difat[:n_fat]:
+        fat.extend(struct.unpack(f"<{ssz // 4}I", sector(fs)))
+
+    def chain(start: int) -> bytes:
+        out, s = [], start
+        seen = 0
+        while s not in (_ENDOFCHAIN, _FREESECT) and seen < len(fat) + 2:
+            out.append(sector(s))
+            s = fat[s]
+            seen += 1
+        return b"".join(out)
+
+    dirdata = chain(dir_start)
+    entries = []
+    for off in range(0, len(dirdata) - 127, 128):
+        nlen = struct.unpack_from("<H", dirdata, off + 64)[0]
+        name = dirdata[off:off + max(0, nlen - 2)].decode("utf-16-le",
+                                                          "replace")
+        typ = dirdata[off + 66]
+        start = struct.unpack_from("<I", dirdata, off + 116)[0]
+        size = struct.unpack_from("<I", dirdata, off + 120)[0]
+        entries.append((name, typ, start, size))
+    root = next(e for e in entries if e[1] == 5)
+    target = next((e for e in entries
+                   if e[1] == 2 and e[0].lstrip("\x05") == want), None)
+    if target is None:                     # common aliases
+        target = next(e for e in entries if e[1] == 2
+                      and e[0] in ("Book", "Workbook"))
+    name, _, start, size = target
+    if size < mini_cutoff:
+        # ministream: follow miniFAT inside the root entry's stream
+        ministream = chain(root[2])
+        minifat = []
+        s = minifat_start
+        while s not in (_ENDOFCHAIN, _FREESECT):
+            minifat.extend(struct.unpack(f"<{ssz // 4}I", sector(s)))
+            s = fat[s]
+        out, s = [], start
+        while s not in (_ENDOFCHAIN, _FREESECT):
+            out.append(ministream[s * mssz:(s + 1) * mssz])
+            s = minifat[s]
+        return b"".join(out)[:size]
+    return chain(start)[:size]
+
+
+def _biff_str(payload: bytes, off: int, cch: int):
+    """BIFF8 XLUnicodeRichExtendedString at ``off`` (cch chars known)
+    → (text, next_off)."""
+    import struct
+
+    grbit = payload[off]
+    off += 1
+    n_runs = n_ext = 0
+    if grbit & 0x08:                       # rich runs
+        n_runs = struct.unpack_from("<H", payload, off)[0]
+        off += 2
+    if grbit & 0x04:                       # ext (phonetic)
+        n_ext = struct.unpack_from("<I", payload, off)[0]
+        off += 4
+    if grbit & 0x01:                       # uncompressed UTF-16LE
+        raw = payload[off:off + 2 * cch]
+        off += 2 * cch
+        txt = raw.decode("utf-16-le", "replace")
+    else:                                  # compressed (latin-1 bytes)
+        raw = payload[off:off + cch]
+        off += cch
+        txt = raw.decode("latin-1")
+    off += 4 * n_runs + n_ext
+    return txt, off
+
+
+def _rk_value(rk: int) -> float:
+    div100 = rk & 1
+    if rk & 2:                             # 30-bit signed int
+        v = rk >> 2
+        if v & 0x20000000:
+            v -= 0x40000000
+        v = float(v)
+    else:                                  # top 30 bits of an IEEE f64
+        import struct
+
+        v = struct.unpack("<d", struct.pack("<Q", (rk & ~0x3) << 32))[0]
+    return v / 100.0 if div100 else v
+
+
+def read_xls(path: str, sheet: int = 0, header: bool = True) -> pd.DataFrame:
+    """Legacy BIFF8 ``.xls`` reader (reference vector/loader.py:88-108
+    via xlrd). Parses the OLE2 Workbook stream: globals substream for
+    SST + BOUNDSHEET, then the requested sheet substream's
+    NUMBER/RK/MULRK/LABEL/LABELSST/BOOLERR cell records. SST spanning
+    CONTINUE records is unsupported (raises) — beyond the small-table
+    interchange this covers."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    stream = _cfb_open_stream(data) if data[:8] == _CFB_MAGIC else data
+
+    # pass 1: globals — SST and sheet offsets
+    sst: list[str] = []
+    sheets: list[int] = []
+    pos = 0
+    while pos + 4 <= len(stream):
+        op, ln = struct.unpack_from("<HH", stream, pos)
+        payload = stream[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+        if op == 0x0000:
+            break
+        if op == 0x0085:                   # BOUNDSHEET
+            sheets.append(struct.unpack_from("<I", payload, 0)[0])
+        elif op == 0x00FC:                 # SST
+            n_unique = struct.unpack_from("<I", payload, 4)[0]
+            off = 8
+            for _ in range(n_unique):
+                if off + 3 > len(payload):
+                    raise NotImplementedError(
+                        "SST spans CONTINUE records — unsupported")
+                cch = struct.unpack_from("<H", payload, off)[0]
+                txt, off = _biff_str(payload, off + 2, cch)
+                sst.append(txt)
+        elif op == 0x000A and sheets:      # globals EOF
+            break
+    if not sheets:
+        raise ValueError(f"{path}: no BOUNDSHEET records")
+    pos = sheets[sheet]
+
+    cells: dict[tuple[int, int], object] = {}
+    while pos + 4 <= len(stream):
+        op, ln = struct.unpack_from("<HH", stream, pos)
+        payload = stream[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+        if op in (0x000A, 0x0000):         # sheet EOF
+            break
+        if op == 0x0203:                   # NUMBER
+            r, c = struct.unpack_from("<HH", payload, 0)
+            cells[(r, c)] = struct.unpack_from("<d", payload, 6)[0]
+        elif op == 0x027E:                 # RK
+            r, c = struct.unpack_from("<HH", payload, 0)
+            cells[(r, c)] = _rk_value(
+                struct.unpack_from("<I", payload, 6)[0])
+        elif op == 0x00BD:                 # MULRK
+            r, c0 = struct.unpack_from("<HH", payload, 0)
+            ncell = (ln - 6) // 6
+            for i in range(ncell):
+                rk = struct.unpack_from("<I", payload, 4 + i * 6 + 2)[0]
+                cells[(r, c0 + i)] = _rk_value(rk)
+        elif op == 0x00FD:                 # LABELSST
+            r, c = struct.unpack_from("<HH", payload, 0)
+            cells[(r, c)] = sst[struct.unpack_from("<I", payload, 6)[0]]
+        elif op == 0x0204:                 # LABEL (inline string)
+            r, c = struct.unpack_from("<HH", payload, 0)
+            cch = struct.unpack_from("<H", payload, 6)[0]
+            cells[(r, c)], _ = _biff_str(payload, 8, cch)
+        elif op == 0x0205:                 # BOOLERR
+            r, c = struct.unpack_from("<HH", payload, 0)
+            if payload[7] == 0:            # bool (not error)
+                cells[(r, c)] = bool(payload[6])
+    if not cells:
+        return pd.DataFrame()
+    nrow = max(r for r, _ in cells) + 1
+    ncol = max(c for _, c in cells) + 1
+    table = [[cells.get((r, c)) for c in range(ncol)]
+             for r in range(nrow)]
+    for row in table:
+        for i, v in enumerate(row):
+            if isinstance(v, float) and v.is_integer():
+                row[i] = int(v)
+    if header:
+        names = [str(h) if h is not None else f"col{i}"
+                 for i, h in enumerate(table[0])]
+        return pd.DataFrame(table[1:], columns=names)
+    return pd.DataFrame(table)
+
+
+def write_xls(df: pd.DataFrame, path: str, sheet_name: str = "Sheet1"):
+    """Minimal BIFF8 ``.xls`` writer (NUMBER + inline LABEL cells in a
+    single worksheet, wrapped in a minimal valid OLE2 container) —
+    round-trips through :func:`read_xls`; the stream is padded past
+    the 4096-byte mini-stream cutoff so it legally lives in regular
+    FAT sectors."""
+    import struct
+
+    def rec(op: int, payload: bytes) -> bytes:
+        return struct.pack("<HH", op, len(payload)) + payload
+
+    def bof(dt: int) -> bytes:
+        return rec(0x0809, struct.pack("<HHHHII", 0x0600, dt, 0x0DBB,
+                                       0x07CC, 0, 0))
+
+    # sheet substream
+    sheet = bytearray(bof(0x0010))
+    values = [list(df.columns)] + df.values.tolist()
+    for r, row in enumerate(values):
+        for c, v in enumerate(row):
+            if v is None or (isinstance(v, float) and v != v):
+                continue
+            if isinstance(v, (int, float, np.integer, np.floating)) \
+                    and not isinstance(v, bool):
+                sheet += rec(0x0203, struct.pack("<HHHd", r, c, 15,
+                                                 float(v)))
+            else:
+                s = str(v).encode("latin-1", "replace")
+                sheet += rec(0x0204, struct.pack("<HHHHB", r, c, 15,
+                                                 len(s), 0) + s)
+    sheet += rec(0x000A, b"")
+
+    # globals substream: BOUNDSHEET needs the sheet BOF offset
+    name = sheet_name.encode("latin-1", "replace")[:31]
+    bs_payload = struct.pack("<IHBB", 0, 0, len(name), 0) + name
+    globals_len = len(bof(0x0005)) + 4 + len(bs_payload) + 4
+    bs_payload = struct.pack("<IHBB", globals_len, 0, len(name), 0) + name
+    stream = bytearray(bof(0x0005))
+    stream += rec(0x0085, bs_payload)
+    stream += rec(0x000A, b"")
+    assert len(stream) == globals_len
+    stream += sheet
+    if len(stream) < 4097:                 # stay above the mini cutoff
+        stream += b"\x00" * (4097 - len(stream))
+
+    # OLE2: header | sector0 FAT | sector1 directory | stream sectors
+    ssz = 512
+    n_stream_sect = (len(stream) + ssz - 1) // ssz
+    stream = bytes(stream) + b"\x00" * (n_stream_sect * ssz - len(stream))
+    fat = [_FATSECT, _ENDOFCHAIN]          # FAT itself, dir chain
+    fat += [2 + i + 1 for i in range(n_stream_sect - 1)] + [_ENDOFCHAIN]
+    fat += [_FREESECT] * (ssz // 4 - len(fat))
+    if len(fat) > ssz // 4:
+        raise NotImplementedError("xls stream > one FAT sector (64 MB)")
+
+    def direntry(nm: str, typ: int, start: int, size: int,
+                 child: int = _FREESECT) -> bytes:
+        raw = nm.encode("utf-16-le")
+        e = bytearray(128)
+        e[:len(raw)] = raw
+        struct.pack_into("<H", e, 64, len(raw) + 2)
+        e[66] = typ
+        e[67] = 1                          # black
+        struct.pack_into("<III", e, 68, _FREESECT, _FREESECT, child)
+        struct.pack_into("<II", e, 116, start, size)
+        return bytes(e)
+
+    dirsec = (direntry("Root Entry", 5, _ENDOFCHAIN, 0, child=1)
+              + direntry("Workbook", 2, 2, len(stream))
+              + bytes(128) + bytes(128))
+    hdr = bytearray(512)
+    hdr[:8] = _CFB_MAGIC
+    struct.pack_into("<H", hdr, 24, 0x003E)   # minor version
+    struct.pack_into("<H", hdr, 26, 0x0003)   # major version 3
+    struct.pack_into("<H", hdr, 28, 0xFFFE)   # little-endian
+    struct.pack_into("<H", hdr, 30, 9)        # 512-byte sectors
+    struct.pack_into("<H", hdr, 32, 6)        # 64-byte minisectors
+    struct.pack_into("<I", hdr, 44, 1)        # one FAT sector
+    struct.pack_into("<I", hdr, 48, 1)        # dir starts at sector 1
+    struct.pack_into("<I", hdr, 56, 4096)     # mini cutoff
+    struct.pack_into("<I", hdr, 60, _ENDOFCHAIN)  # no miniFAT
+    struct.pack_into("<I", hdr, 64, 0)
+    struct.pack_into("<I", hdr, 68, _ENDOFCHAIN)  # no DIFAT chain
+    struct.pack_into("<I", hdr, 72, 0)
+    struct.pack_into("<I", hdr, 76, 0)        # DIFAT[0] = FAT at sector 0
+    for i in range(1, 109):
+        struct.pack_into("<I", hdr, 76 + 4 * i, _FREESECT)
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(struct.pack(f"<{ssz // 4}I", *fat))
+        f.write(dirsec)
+        f.write(stream)
+    return path
+
+
 def read_dta(path: str) -> pd.DataFrame:
     """Stata DTA reader (pandas' built-in parser — no external dep;
     reference loader.py:162-178 uses its own vendored parser)."""

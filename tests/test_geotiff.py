@@ -141,13 +141,16 @@ def test_prj_sidecar_roundtrip(tmp_path):
         p = str(tmp_path / f"{crs.replace(':', '_').replace(',', '_')}.prj")
         raster.write_prj(p, crs)
         assert raster.read_prj(p) == crs
-    # a foreign CRS fails loudly instead of silently misprojecting
+    # a foreign CRS round-trips structurally as a wkt: token (r3 it
+    # raised; projecting through it still fails loudly in crs_wkt)
     p = str(tmp_path / "foreign.prj")
     with open(p, "w") as f:
         f.write('PROJCS["NAD83 / Conus Albers",'
                 'PROJECTION["Albers_Conic_Equal_Area"]]')
+    tok = raster.read_prj(p)
+    assert tok.startswith("wkt:PROJCS")
     with pytest.raises(ValueError):
-        raster.read_prj(p)
+        raster.crs_wkt(tok)
 
 
 def test_ascii_grid_roundtrip_and_geotiff_parity(tmp_path):
@@ -300,3 +303,43 @@ def test_png_to_tiles_multiband():
             col = int(np.floor(lon + 180.0))
             srow = int(np.floor(90.0 - lat))
             assert a[0, 0] == np.float32(rgb[b, srow, col])
+
+
+def test_parse_wkt_reference_prj_roundtrip():
+    """Foreign .prj sidecars (the reference's Natural Earth ESRI WKT
+    and a hand-made projected CRS) parse structurally and round-trip
+    through read_prj → write_prj byte-stably (canonical form is a
+    fixed point)."""
+    import glob
+    import tempfile
+
+    for p in sorted(glob.glob(f"{NE}/*.prj")):
+        tree = raster.parse_wkt(open(p).read())
+        assert tree["name"] == "GEOGCS"
+        assert tree["values"][0] == "GCS_WGS_1984"
+        datum = next(v for v in tree["values"]
+                     if isinstance(v, dict) and v["name"] == "DATUM")
+        sph = next(v for v in datum["values"]
+                   if isinstance(v, dict) and v["name"] == "SPHEROID")
+        assert sph["values"][1] == 6378137.0
+        # canonical form is a fixed point of parse∘format
+        canon = raster.format_wkt(tree)
+        assert raster.format_wkt(raster.parse_wkt(canon)) == canon
+
+    foreign = ('PROJCS["NAD83 / Conus Albers",GEOGCS["NAD83",'
+               'DATUM["North_American_Datum_1983",'
+               'SPHEROID["GRS 1980",6378137,298.257222101]],'
+               'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+               'PROJECTION["Albers_Conic_Equal_Area"],'
+               'PARAMETER["latitude_of_center",23],UNIT["metre",1]]')
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        with open(f"{d}/f.prj", "w") as f:
+            f.write(foreign)
+        tok = raster.read_prj(f"{d}/f.prj")
+        assert tok.startswith("wkt:PROJCS")
+        raster.write_prj(f"{d}/g.prj", tok)
+        assert raster.read_prj(f"{d}/g.prj") == tok  # stable round-trip
+    # the engine's own CRSes still map to their tokens
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        raster.write_prj(f"{d}/u.prj", "utm:33N")
+        assert raster.read_prj(f"{d}/u.prj") == "utm:33N"

@@ -497,3 +497,57 @@ def test_band_math_100k_tiles_is_seconds(ray_session):
     row = out[out.cell_id == 12345].iloc[0]
     assert np.allclose(raster.bytes_to_tile(row["tile"], t),
                        (tiles_a[12345] + tiles_b[12345]).reshape(t, t))
+
+
+def test_warp_to_utm_lon_lat_field(ray_session):
+    """Warp a lon-valued raster into UTM 33N: every destination pixel
+    must read (approximately) the longitude of its own inverse
+    projection — the same parity check as the mercator warp, through
+    the generalized projected-warp path."""
+    import ray.data as rd
+
+    from pythongis_ray.geom import proj as proj_
+
+    src = raster.make_raster(lambda lon, lat, b: lon.astype(np.float32),
+                             res=2)
+    # a 2x2-tile window around the zone 33 center (lon0=15, ~N45)
+    x_min, y_min, cell = 200_000.0, 4_800_000.0, 4000.0
+    w_px = h_px = 2 * raster.TILE
+    out = raster.warp_to_projection(
+        rd.from_pandas(src), src_res=2, crs="utm:33N",
+        x_min=x_min, y_min=y_min, cell_m=cell,
+        width_px=w_px, height_px=h_px).to_pandas()
+    assert len(out) == 4
+    t = raster.TILE
+    for _, row in out.iterrows():
+        tx, ty = int(row.dcell) % 2, int(row.dcell) // 2
+        xs = x_min + (tx * t + np.arange(t) + 0.5) * cell
+        ys = y_min + (ty * t + np.arange(t) + 0.5) * cell
+        xm, ym = np.meshgrid(xs, ys)
+        lon_exp, _ = proj_.utm_inverse(xm, ym, 33, True)
+        a = raster.bytes_to_tile(row.tile, t)
+        assert np.allclose(a, lon_exp, atol=0.05)
+
+
+def test_warp_to_laea_round_trip(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray.geom import proj as proj_
+
+    src = raster.make_raster(lambda lon, lat, b: lat.astype(np.float32),
+                             res=2)
+    x_min, y_min, cell = -400_000.0, -400_000.0, 12_500.0
+    w_px = h_px = raster.TILE
+    out = raster.warp_to_projection(
+        rd.from_pandas(src), src_res=2, crs="laea:10,52",
+        x_min=x_min, y_min=y_min, cell_m=cell,
+        width_px=w_px, height_px=h_px).to_pandas()
+    assert len(out) == 1
+    t = raster.TILE
+    row = out.iloc[0]
+    xs = x_min + (np.arange(t) + 0.5) * cell
+    ys = y_min + (np.arange(t) + 0.5) * cell
+    xm, ym = np.meshgrid(xs, ys)
+    _, lat_exp = proj_.laea_inverse(xm, ym, 10.0, 52.0)
+    a = raster.bytes_to_tile(row.tile, t)
+    assert np.allclose(a, lat_exp, atol=0.05)

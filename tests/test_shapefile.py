@@ -210,3 +210,81 @@ def test_geopackage_flag_bits():
     # envelope indicator 1 (xy bounds): 4 doubles skipped
     env = struct.pack("<4d", 0, 1, 0, 1)
     assert _gpkg_parse_blob(base + bytes([0x03]) + srs + env + wkb) == wkb
+
+
+def test_xls_roundtrip():
+    import tempfile
+
+    from pythongis_ray import sources as S
+
+    df = pd.DataFrame({"name": ["alpha", "béta", "c"],
+                       "qty": [1, 2, 30],
+                       "price": [1.5, 2.25, -3.125]})
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        S.write_xls(df, f"{d}/t.xls")
+        with open(f"{d}/t.xls", "rb") as f:
+            assert f.read(8) == S._CFB_MAGIC  # real OLE2 container
+        back = S.read_xls(f"{d}/t.xls")
+    assert list(back.columns) == ["name", "qty", "price"]
+    assert back["qty"].tolist() == [1, 2, 30]
+    assert back["price"].tolist() == [1.5, 2.25, -3.125]
+    assert back["name"].tolist() == ["alpha", "béta", "c"]
+
+
+def test_xls_reader_rk_mulrk_sst_records():
+    """Hand-built BIFF8 stream per [MS-XLS]: RK (int, /100 and float
+    forms), MULRK, SST + LABELSST — the record vocabulary real Excel
+    writers emit, which the minimal writer does not."""
+    import struct
+
+    from pythongis_ray import sources as S
+
+    def rec(op, payload):
+        return struct.pack("<HH", op, len(payload)) + payload
+
+    def bof(dt):
+        return rec(0x0809, struct.pack("<HHHHII", 0x0600, dt,
+                                       0x0DBB, 0x07CC, 0, 0))
+
+    # SST with two compressed strings
+    sst = struct.pack("<II", 2, 2)
+    for s in (b"hdr", b"val"):
+        sst += struct.pack("<HB", len(s), 0) + s
+    glob = bytearray(bof(0x0005))
+    bs_at = len(glob) + 4 + 12 + 4 + len(sst) + 4  # after BOUNDSHEET+SST+EOF
+    name = b"S1"
+    bs = struct.pack("<IHBB", 0, 0, len(name), 0) + name
+    glob2 = bytearray(bof(0x0005))
+    glob2 += rec(0x0085, struct.pack("<IHBB", 0, 0, len(name), 0) + name)
+    glob2 += rec(0x00FC, sst)
+    glob2 += rec(0x000A, b"")
+    sheet_off = len(glob2)
+    glob2[len(bof(0x0005)) + 4:len(bof(0x0005)) + 8] = \
+        struct.pack("<I", sheet_off)
+    sheet = bytearray(bof(0x0010))
+    # row0: LABELSST x2 (headers)
+    sheet += rec(0x00FD, struct.pack("<HHHI", 0, 0, 15, 0))
+    sheet += rec(0x00FD, struct.pack("<HHHI", 0, 1, 15, 1))
+    # row1: RK int 42 | RK 3.14*100 div100 int form (314<<2)|3|1
+    sheet += rec(0x027E, struct.pack("<HHHI", 1, 0, 15, (42 << 2) | 2))
+    sheet += rec(0x027E, struct.pack("<HHHI", 1, 1, 15,
+                                     ((314 << 2) | 2) | 1))
+    # row2: MULRK two float-form RKs: top 30 bits of 2.5 and 0.75
+    def rkf(x):
+        (q,) = struct.unpack("<Q", struct.pack("<d", x))
+        return (q >> 32) & ~0x3
+    mul = struct.pack("<HH", 2, 0) \
+        + struct.pack("<HI", 15, rkf(2.5)) \
+        + struct.pack("<HI", 15, rkf(0.75)) + struct.pack("<H", 1)
+    sheet += rec(0x00BD, mul)
+    sheet += rec(0x000A, b"")
+    stream = bytes(glob2) + bytes(sheet)
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".xls", dir="/tmp",
+                                     delete=False) as f:
+        f.write(stream)
+        p = f.name
+    back = S.read_xls(p)
+    assert list(back.columns) == ["hdr", "val"]
+    assert back.iloc[0].tolist() == [42, 3.14]
+    assert back.iloc[1].tolist() == [2.5, 0.75]
