@@ -2,11 +2,13 @@
 
 Brief contract: treat media as ``payload: binary`` columns with typed
 metadata; implement decode / feature-extract / resize / frame-sample as
-actor-pool ``map_batches`` stages. The image/audio codec libraries are
-NOT in this container, so the decode kernel is STUBBED (explicit
-``NotImplementedError`` unless ``fake=True`` selects the deterministic
-fake decoder) — the Ray-side plumbing (schema, batch sizing for wide
-binary rows, actor signature, output layout) is real and tested.
+actor-pool ``map_batches`` stages. PNG and uncompressed BMP images
+decode for REAL (the repo's pure-zlib codecs — no PIL); formats whose
+codec libraries are NOT in this container (JPEG, audio/video codecs)
+keep an explicit stub (``NotImplementedError`` unless ``fake=True``
+selects the deterministic fake decoder) — the Ray-side plumbing
+(schema, batch sizing for wide binary rows, actor signature, output
+layout) is the same either way and is tested on the real path.
 
 Schema of a media table:
     id: int64, kind: string('image'|'audio'), payload: binary,
@@ -36,7 +38,17 @@ def synthesize_media(n: int = 64, kind: str = "image", payload_bytes: int = 4096
     rows = []
     for i in range(n):
         payload = rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes()
-        if kind == "image":
+        if kind in ("png", "bmp"):
+            # REAL encoded payloads for the native codec path
+            from pythongis_ray import raster as _raster
+
+            px = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+            payload = (_raster.encode_png_bytes(px) if kind == "png"
+                       else encode_bmp_bytes(px))
+            rows.append({"id": i, "kind": "image", "payload": payload,
+                         "meta_w": np.int32(64), "meta_h": np.int32(48),
+                         "meta_channels": np.int32(3)})
+        elif kind == "image":
             rows.append({"id": i, "kind": "image", "payload": payload,
                          "meta_w": np.int32(64), "meta_h": np.int32(48),
                          "meta_channels": np.int32(3)})
@@ -56,36 +68,99 @@ def synthesize_media(n: int = 64, kind: str = "image", payload_bytes: int = 4096
     return pd.DataFrame(rows)
 
 
+def encode_bmp_bytes(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BI_RGB BMP bytes."""
+    import struct
+
+    px = np.asarray(px, np.uint8)
+    h, w, _ = px.shape
+    pad = (-3 * w) % 4
+    rowbytes = 3 * w + pad
+    bgr = px[::-1, :, ::-1]                # bottom-up, BGR
+    body = np.concatenate(
+        [bgr.reshape(h, 3 * w),
+         np.zeros((h, pad), np.uint8)], axis=1).tobytes()
+    off = 14 + 40
+    return (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(body), 2835, 2835, 0, 0)
+            + body)
+
+
+def decode_bmp_bytes(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP bytes → (h, w, 3|4) uint8
+    RGB(A)."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack_from("<I", data, 10)
+    hdr, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+    nch = bpp // 8
+    bottom_up = h > 0
+    h = abs(h)
+    rowbytes = (nch * w + 3) & ~3
+    rows = np.frombuffer(data, np.uint8, h * rowbytes, off) \
+        .reshape(h, rowbytes)[:, :nch * w].reshape(h, w, nch)
+    if bottom_up:
+        rows = rows[::-1]
+    out = rows[:, :, [2, 1, 0]] if nch == 3 \
+        else rows[:, :, [2, 1, 0, 3]]      # BGR(A) → RGB(A)
+    return np.ascontiguousarray(out)
+
+
 class DecodeImage:
     """Actor-pool stage: payload → decoded pixel tensor column.
 
-    Real decode requires PIL/opencv (absent in this container):
-    ``fake=False`` raises NotImplementedError at the decode call site;
-    ``fake=True`` produces a deterministic pseudo-decode (payload bytes
-    hashed into a (h, w, c) uint8 tensor) so downstream stages are
-    exercised end to end.
+    PNG and uncompressed BMP payloads decode for REAL via the repo's
+    pure-zlib codecs (raster.decode_png_bytes / decode_bmp_bytes —
+    no PIL needed); meta_w/h/channels are updated from the decoded
+    shape. Other formats (JPEG etc. — codec libs absent from this
+    container): ``fake=True`` produces a deterministic pseudo-decode
+    (payload bytes tiled into the declared (h, w, c) tensor) so
+    downstream stages are exercised end to end; ``fake=False`` raises
+    NotImplementedError at the decode call site.
     """
 
     def __init__(self, fake: bool = True):
         self.fake = fake
 
     def _decode_one(self, payload: bytes, w: int, h: int, c: int) -> np.ndarray:
+        from pythongis_ray import raster as _raster
+
+        if payload[:8] == _raster.PNG_MAGIC:
+            return _raster.decode_png_bytes(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp_bytes(payload)
         if not self.fake:
             raise NotImplementedError(
-                "image decode requires PIL/opencv, not available in this "
-                "container — run with fake=True for the deterministic stub")
+                "only PNG/BMP decode natively; other formats need "
+                "PIL/opencv, not available in this container — run with "
+                "fake=True for the deterministic stub")
         raw = np.frombuffer(payload, dtype=np.uint8)
         reps = -(-(w * h * c) // len(raw))
         return np.tile(raw, reps)[: w * h * c].reshape(h, w, c)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tensors = []
+        tensors, ws, hs, cs = [], [], [], []
         for payload, w, h, c in zip(batch["payload"].to_pylist(),
                                     batch["meta_w"].to_pylist(),
                                     batch["meta_h"].to_pylist(),
                                     batch["meta_channels"].to_pylist()):
-            tensors.append(self._decode_one(payload, w, h, c).tobytes())
+            px = self._decode_one(payload, w, h, c)
+            tensors.append(px.tobytes())
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            cs.append(px.shape[2])
         out = batch.drop_columns(["payload"])
+        # meta reflects the DECODED shape (real codecs may disagree
+        # with the declared metadata; decoded truth wins)
+        for name, vals in (("meta_w", ws), ("meta_h", hs),
+                           ("meta_channels", cs)):
+            out = out.set_column(out.column_names.index(name), name,
+                                 pa.array(np.asarray(vals, np.int32)))
         return out.append_column("pixels", pa.array(tensors, pa.binary()))
 
 

@@ -836,19 +836,19 @@ def _png_unfilter(raw: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
     return out
 
 
-def read_png(path: str):
-    """8-bit non-interlaced PNG → (array, meta). Gray → (h, w);
-    RGB/RGBA/palette → (bands, h, w). Georeferencing from a ``.wld``/
-    ``.pgw`` world-file sidecar when present (reference
-    check_world_file, raster/loader.py:39-86), else pixel coords."""
-    import os
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_bytes(data: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG bytes → (h, w, channels) uint8 pixel
+    array (palette expanded to RGB). The byte-level decode behind
+    :func:`read_png` — also the REAL image-decode kernel for
+    multimodal PNG payloads (no PIL in this container)."""
     import struct
     import zlib
 
-    with open(path, "rb") as f:
-        data = f.read()
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError(f"{path}: not a PNG")
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
     pos = 8
     idat = []
     plte = None
@@ -874,8 +874,22 @@ def read_png(path: str):
     px = _png_unfilter(raw, h, w * nch, nch).reshape(h, w, nch)
     if ctype == 3:
         px = plte[px[:, :, 0]]             # palette → RGB
-        nch = 3
-    bands = nch
+    return px
+
+
+def read_png(path: str):
+    """8-bit non-interlaced PNG → (array, meta). Gray → (h, w);
+    RGB/RGBA/palette → (bands, h, w). Georeferencing from a ``.wld``/
+    ``.pgw`` world-file sidecar when present (reference
+    check_world_file, raster/loader.py:39-86), else pixel coords."""
+    import os
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] != PNG_MAGIC:
+        raise ValueError(f"{path}: not a PNG")
+    px = decode_png_bytes(data)
+    h, w, bands = px.shape
     arr = px[:, :, 0].astype(np.float64) if bands == 1 \
         else np.moveaxis(px, 2, 0).astype(np.float64)
     transform = None
@@ -890,19 +904,15 @@ def read_png(path: str):
                  "width": w, "height": h, "bands": bands}
 
 
-def write_png(path: str, arr: np.ndarray, transform=None):
-    """8-bit PNG writer (gray (h, w) or multiband (bands, h, w) with
-    2→gray+alpha, 3→RGB, 4→RGBA; filter 0 scanlines, zlib). Writes a
-    ``.wld`` sidecar when ``transform`` is given."""
-    import os
+def encode_png_bytes(px: np.ndarray) -> bytes:
+    """(h, w, channels) uint8 pixel array → 8-bit PNG bytes (filter 0
+    scanlines, zlib)."""
     import struct
     import zlib
 
-    arr = np.asarray(arr)
-    if arr.ndim == 2:
-        px = arr.astype(np.uint8)[:, :, None]
-    else:
-        px = np.moveaxis(arr.astype(np.uint8), 0, 2)
+    px = np.asarray(px, np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
     h, w, nch = px.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
     body = np.concatenate(
@@ -913,12 +923,24 @@ def write_png(path: str, arr: np.ndarray, transform=None):
         return (struct.pack(">I", len(payload)) + typ + payload
                 + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
 
+    return (PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(body))
+            + chunk(b"IEND", b""))
+
+
+def write_png(path: str, arr: np.ndarray, transform=None):
+    """8-bit PNG writer (gray (h, w) or multiband (bands, h, w) with
+    2→gray+alpha, 3→RGB, 4→RGBA). Writes a ``.wld`` sidecar when
+    ``transform`` is given."""
+    import os
+
+    arr = np.asarray(arr)
+    px = arr.astype(np.uint8) if arr.ndim == 2 \
+        else np.moveaxis(arr.astype(np.uint8), 0, 2)
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype,
-                                           0, 0, 0)))
-        f.write(chunk(b"IDAT", zlib.compress(body)))
-        f.write(chunk(b"IEND", b""))
+        f.write(encode_png_bytes(px))
     if transform is not None:
         write_world_file(os.path.splitext(path)[0] + ".wld", transform)
     return path
