@@ -2,13 +2,14 @@
 
 Brief contract: treat media as ``payload: binary`` columns with typed
 metadata; implement decode / feature-extract / resize / frame-sample as
-actor-pool ``map_batches`` stages. PNG and uncompressed BMP images
-decode for REAL (the repo's pure-zlib codecs — no PIL); formats whose
-codec libraries are NOT in this container (JPEG, audio/video codecs)
+actor-pool ``map_batches`` stages. PNG and uncompressed BMP images,
+RIFF/WAVE PCM audio, and YUV4MPEG2 (.y4m) video decode for REAL (the
+repo's pure zlib/struct/numpy codecs — no PIL/ffmpeg); formats whose
+codec libraries are NOT in this container (JPEG, MP3/OGG, MP4/WebM)
 keep an explicit stub (``NotImplementedError`` unless ``fake=True``
 selects the deterministic fake decoder) — the Ray-side plumbing
 (schema, batch sizing for wide binary rows, actor signature, output
-layout) is the same either way and is tested on the real path.
+layout) is the same either way and is tested on the real paths.
 
 Schema of a media table:
     id: int64, kind: string('image'|'audio'), payload: binary,
@@ -61,6 +62,22 @@ def synthesize_media(n: int = 64, kind: str = "image", payload_bytes: int = 4096
                          "meta_frames": np.int32(nf),
                          "meta_w": np.int32(w), "meta_h": np.int32(h),
                          "meta_channels": np.int32(c)})
+        elif kind == "y4m":
+            # REAL encoded clips for the native video codec path
+            nf, w, h = 6, 16, 12
+            frames = rng.integers(0, 256, (nf, h, w, 3), dtype=np.uint8)
+            rows.append({"id": i, "kind": "video",
+                         "payload": encode_y4m_bytes(frames),
+                         "meta_frames": np.int32(nf),
+                         "meta_w": np.int32(w), "meta_h": np.int32(h),
+                         "meta_channels": np.int32(3)})
+        elif kind == "wav":
+            # REAL encoded clips for the native audio codec path
+            wave = rng.integers(-2000, 2000, 800, dtype=np.int16)
+            rows.append({"id": i, "kind": "audio",
+                         "payload": encode_wav_bytes(wave, 8000),
+                         "meta_sr": np.int32(8000),
+                         "meta_samples": np.int64(800)})
         else:
             rows.append({"id": i, "kind": "audio", "payload": payload,
                          "meta_sr": np.int32(16000),
@@ -134,6 +151,10 @@ class DecodeImage:
             return _raster.decode_png_bytes(payload)
         if payload[:2] == b"BM":
             return decode_bmp_bytes(payload)
+        if w and h and c and len(payload) == w * h * c:
+            # already a raw pixel tensor of the declared shape (e.g. a
+            # frame emitted by SampleFrames) — no codec involved
+            return np.frombuffer(payload, np.uint8).reshape(h, w, c)
         if not self.fake:
             raise NotImplementedError(
                 "only PNG/BMP decode natively; other formats need "
@@ -326,24 +347,103 @@ def image_neardup_pairs(media_ds, max_hamming: int = 6,
                                     bucket_cap=bucket_cap)
 
 
+def encode_wav_bytes(samples: np.ndarray, sr: int = 16000) -> bytes:
+    """int16 waveform → RIFF/WAVE PCM bytes. ``samples`` is (n,) mono
+    or (n, ch) interleaved-by-row multichannel."""
+    import struct
+
+    s = np.asarray(samples, "<i2")
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    body = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+
+
+def decode_wav_bytes(data: bytes):
+    """RIFF/WAVE PCM bytes → (mono int16 waveform, sample_rate).
+    Supports 8-bit (rescaled) and 16-bit PCM, any channel count
+    (channels integer-averaged to mono — the usual training-pipeline
+    downmix). Pure struct+numpy; no audio library needed."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, n = 12, len(data)
+    fmt_ch = fmt_sr = fmt_bits = fmt_code = None
+    pcm = None
+    while pos + 8 <= n:
+        cid = data[pos:pos + 4]
+        (sz,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_code, fmt_ch, fmt_sr = struct.unpack_from("<HHI", body, 0)
+            (fmt_bits,) = struct.unpack_from("<H", body, 14)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + sz + (sz & 1)           # chunks are word-aligned
+    if pcm is None or fmt_code is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_code != 1 or fmt_bits not in (8, 16):
+        raise NotImplementedError(
+            f"WAV format={fmt_code} bits={fmt_bits}: only PCM 8/16-bit")
+    if fmt_bits == 16:
+        wave = np.frombuffer(pcm, "<i2", len(pcm) // 2)
+    else:                                   # 8-bit PCM is unsigned
+        wave = ((np.frombuffer(pcm, np.uint8).astype(np.int16) - 128)
+                << 8)
+    if fmt_ch > 1:
+        nfr = len(wave) // fmt_ch
+        wave = wave[:nfr * fmt_ch].reshape(nfr, fmt_ch) \
+            .astype(np.int32).sum(axis=1) // fmt_ch
+        wave = wave.astype(np.int16)
+    return wave, int(fmt_sr)
+
+
 class DecodeAudio:
-    """Actor-pool stage: audio payload → waveform column. Real decode
-    needs an audio codec (absent); ``fake=True`` interprets the raw
-    payload bytes as a little-endian int16 waveform (deterministic)."""
+    """Actor-pool stage: audio payload → waveform column. RIFF/WAVE
+    PCM payloads decode for REAL (pure struct+numpy, 8/16-bit, any
+    channel count downmixed to mono); meta_sr/meta_samples are updated
+    from the decoded truth. Other formats (MP3/OGG — codec libs absent
+    from this container): ``fake=True`` interprets the raw payload
+    bytes as a little-endian int16 waveform (deterministic);
+    ``fake=False`` raises at the decode call site."""
 
     def __init__(self, fake: bool = True):
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "audio decode requires a codec library, not available in "
-                "this container — run with fake=True for the stub")
-        out = []
-        for payload in batch["payload"].to_pylist():
+        out, srs, counts = [], [], []
+        in_sr = (batch["meta_sr"].to_pylist()
+                 if "meta_sr" in batch.column_names
+                 else [0] * len(batch))
+        for payload, sr0 in zip(batch["payload"].to_pylist(), in_sr):
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                wave, sr = decode_wav_bytes(payload)
+                out.append(wave.astype("<i2").tobytes())
+                srs.append(sr)
+                counts.append(len(wave))
+                continue
+            if not self.fake:
+                raise NotImplementedError(
+                    "only RIFF/WAVE PCM decodes natively; other audio "
+                    "formats need a codec library, not available in this "
+                    "container — run with fake=True for the stub")
             n = len(payload) // 2 * 2
             out.append(payload[:n])
+            srs.append(sr0 or 0)
+            counts.append(n // 2)
         t = batch.drop_columns(["payload"])
+        # meta reflects the DECODED waveform (decoded truth wins)
+        for name, vals, typ in (("meta_sr", srs, np.int32),
+                                ("meta_samples", counts, np.int64)):
+            col = pa.array(np.asarray(vals, typ))
+            if name in t.column_names:
+                t = t.set_column(t.column_names.index(name), name, col)
+            else:
+                t = t.append_column(name, col)
         return t.append_column("waveform", pa.array(out, pa.binary()))
 
 
@@ -388,6 +488,110 @@ def audio_pipeline(ds, fake: bool = True, concurrency: int = 2):
                           batch_size=MEDIA_BATCH_ROWS)
 
 
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m_bytes(frames: np.ndarray, fps=(25, 1)) -> bytes:
+    """uint8 frames → YUV4MPEG2 (Y4M) bytes. ``frames`` is
+    (nf, h, w, 3) RGB (written as C444 with BT.601 full-range
+    conversion) or (nf, h, w) gray (written as Cmono, lossless)."""
+    frames = np.asarray(frames, np.uint8)
+    nf, h, w = frames.shape[:3]
+    mono = frames.ndim == 3
+    hdr = (f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
+           f"C{'mono' if mono else '444'}\n").encode()
+    parts = [hdr]
+    for f in range(nf):
+        parts.append(b"FRAME\n")
+        if mono:
+            parts.append(frames[f].tobytes())
+        else:
+            rgb = frames[f].astype(np.float64)
+            r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            u = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            v = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            for plane in (y, u, v):
+                parts.append(np.clip(np.round(plane), 0, 255)
+                             .astype(np.uint8).tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m_bytes(data: bytes, sel=None):
+    """YUV4MPEG2 bytes → (frames, w, h, channels) uint8 tensor:
+    (nf, h, w, 3) RGB for color streams (BT.601 full-range), or
+    (nf, h, w, 1) for Cmono. C420*/C422/C444 chroma subsampling
+    supported (nearest-neighbor chroma upsample). ``sel`` = frame
+    indices to decode (others are skipped without conversion work) —
+    the frame-sample fast path."""
+    if data[:9] != Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    eol = data.index(b"\n")
+    w = h = None
+    cspace = "420jpeg"
+    for tok in data[10:eol].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cspace = tok[1:].decode()
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if cspace.startswith("420"):
+        cw, chh = (w + 1) // 2, (h + 1) // 2
+    elif cspace.startswith("422"):
+        cw, chh = (w + 1) // 2, h
+    elif cspace.startswith("444"):
+        cw, chh = w, h
+    elif cspace == "mono":
+        cw = chh = 0
+    else:
+        raise NotImplementedError(f"Y4M colorspace C{cspace}")
+    fsz = w * h + 2 * cw * chh
+    # index all frame payload offsets (FRAME lines may carry params)
+    pos, offsets = eol + 1, []
+    n = len(data)
+    while pos < n:
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        fe = data.index(b"\n", pos)
+        offsets.append(fe + 1)
+        pos = fe + 1 + fsz
+    if sel is None:
+        want = range(len(offsets))
+    elif isinstance(sel, range):
+        want = range(sel.start, min(sel.stop, len(offsets)), sel.step)
+    else:
+        want = [i for i in sel if i < len(offsets)]
+    nch = 1 if cspace == "mono" else 3
+    out = np.empty((len(want), h, w, nch), np.uint8)
+    for oi, fi in enumerate(want):
+        off = offsets[fi]
+        ybuf = np.frombuffer(data, np.uint8, w * h, off) \
+            .reshape(h, w).astype(np.float64)
+        if nch == 1:
+            out[oi, :, :, 0] = ybuf
+            continue
+        u = np.frombuffer(data, np.uint8, cw * chh, off + w * h) \
+            .reshape(chh, cw).astype(np.float64)
+        v = np.frombuffer(data, np.uint8, cw * chh,
+                          off + w * h + cw * chh) \
+            .reshape(chh, cw).astype(np.float64)
+        if (cw, chh) != (w, h):               # nearest chroma upsample
+            u = np.repeat(np.repeat(u, -(-h // chh), 0)[:h],
+                          -(-w // cw), 1)[:, :w]
+            v = np.repeat(np.repeat(v, -(-h // chh), 0)[:h],
+                          -(-w // cw), 1)[:, :w]
+        u -= 128.0
+        v -= 128.0
+        out[oi, :, :, 0] = np.clip(np.round(ybuf + 1.402 * v), 0, 255)
+        out[oi, :, :, 1] = np.clip(
+            np.round(ybuf - 0.344136 * u - 0.714136 * v), 0, 255)
+        out[oi, :, :, 2] = np.clip(np.round(ybuf + 1.772 * u), 0, 255)
+    return out, w, h, nch
+
+
 def frame_sample(batch: pa.Table, every: int = 4) -> pa.Table:
     """Row-level sampling analog: keep every k-th row (deterministic
     subsample on id). For true per-video frame extraction see
@@ -400,21 +604,75 @@ class SampleFrames:
     """Actor-pool stage: video payload → one row per SAMPLED frame
     (every k-th of meta_frames), each carrying the frame tensor bytes
     plus (id, frame_idx) — the frame-sample step of a video training
-    pipeline. Real containers need a codec (absent in this image);
-    ``fake=True`` interprets the payload as raw concatenated
-    frames*h*w*c bytes, exercising the REAL Ray plumbing: per-actor
-    setup, row-expanding map_batches (1 video → n frames), byte-capped
-    batches. Uniform-shape batches slice via ONE reshape + stride
-    gather; zero Python per frame."""
+    pipeline. YUV4MPEG2 (.y4m) payloads decode for REAL (pure-numpy
+    C420/C422/C444/Cmono → RGB, only the sampled frames converted);
+    compressed containers (MP4/WebM — codec libs absent from this
+    image) fall to ``fake=True``, which interprets the payload as raw
+    concatenated frames*h*w*c bytes. Either way the REAL Ray plumbing
+    is exercised: per-actor setup, row-expanding map_batches (1 video
+    → n frames), byte-capped batches. Uniform-shape raw batches slice
+    via ONE reshape + stride gather; zero Python per frame."""
 
     def __init__(self, every: int = 4, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "video decode requires a codec library, not available "
-                "in this container")
         self.every = every
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        pays = batch["payload"]
+        pays = pays.combine_chunks() if isinstance(pays, pa.ChunkedArray) \
+            else pays
+        n = len(pays)
+        is_y4m = np.zeros(n, bool)
+        if n and not pays.null_count:
+            off_dtype = (np.int64 if pa.types.is_large_binary(pays.type)
+                         else np.int32)
+            offs = np.frombuffer(pays.buffers()[1], off_dtype)[
+                pays.offset:pays.offset + n + 1].astype(np.int64)
+            data = np.frombuffer(pays.buffers()[2], np.uint8)
+            cand = np.flatnonzero(np.diff(offs) >= 9)
+            if cand.size:
+                gathered = data[offs[:-1][cand][:, None] + np.arange(9)]
+                is_y4m[cand] = (gathered ==
+                                np.frombuffer(Y4M_MAGIC, np.uint8)).all(1)
+        if is_y4m.any():
+            real = self._y4m_rows(batch.filter(pa.array(is_y4m)))
+            if is_y4m.all():
+                return real
+            raw = self._raw_rows(batch.filter(pa.array(~is_y4m)))
+            return pa.concat_tables([real, raw])
+        return self._raw_rows(batch)
+
+    def _y4m_rows(self, batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_fidx, out_frames = [], [], []
+        ws, hs, cs = [], [], []
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            # count frames cheaply: decode with an open-ended stride
+            frames, w, h, nch = decode_y4m_bytes(
+                payload, sel=range(0, 1 << 30, self.every))
+            for k in range(frames.shape[0]):
+                out_id.append(ids[i])
+                out_fidx.append(k * self.every)
+                out_frames.append(frames[k].tobytes())
+                ws.append(w)
+                hs.append(h)
+                cs.append(nch)
+        return pa.table({
+            "id": pa.array(np.asarray(out_id, np.int64)),
+            "frame_idx": pa.array(np.asarray(out_fidx, np.int64)),
+            "payload": pa.array(out_frames, pa.binary()),
+            "meta_w": pa.array(np.asarray(ws, np.int32)),
+            "meta_h": pa.array(np.asarray(hs, np.int32)),
+            "meta_channels": pa.array(np.asarray(cs, np.int32)),
+        })
+
+    def _raw_rows(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "only YUV4MPEG2 (.y4m) decodes natively; compressed "
+                "video containers need a codec library, not available "
+                "in this container — run with fake=True for raw-frame "
+                "payloads")
         ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
         nf = batch["meta_frames"].to_numpy(zero_copy_only=False).astype(np.int64)
         w = batch["meta_w"].to_numpy(zero_copy_only=False).astype(np.int64)

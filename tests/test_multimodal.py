@@ -148,12 +148,15 @@ def test_video_pipeline_end_to_end(ray_session):
 
 
 def test_sample_frames_real_decode_raises(ray_session):
+    import pyarrow as pa
     import pytest as _pytest
 
     from pythongis_ray import multimodal as mm
 
+    # raw (non-Y4M) payloads with fake=False raise at the call site
+    df = mm.synthesize_media(2, kind="video")
     with _pytest.raises(NotImplementedError):
-        mm.SampleFrames(fake=False)
+        mm.SampleFrames(fake=False)(pa.Table.from_pandas(df))
 
 
 def _ref_ahash(payload: bytes, w: int, h: int, c: int) -> int:
@@ -267,3 +270,96 @@ def test_synthesize_media_png_kind_decodes(ray_session):
                          fn_constructor_kwargs={"fake": False}).to_pandas()
     assert len(out) == 4
     assert (out.meta_w == 64).all() and (out.meta_channels == 3).all()
+
+
+def test_wav_codec_roundtrip():
+    from pythongis_ray import multimodal as mm
+
+    rng = np.random.default_rng(21)
+    mono = rng.integers(-30000, 30000, 1000, dtype=np.int16)
+    wave, sr = mm.decode_wav_bytes(mm.encode_wav_bytes(mono, 22050))
+    assert sr == 22050 and np.array_equal(wave, mono)
+    # stereo downmixes by integer mean
+    st = rng.integers(-30000, 30000, (500, 2), dtype=np.int16)
+    wave2, sr2 = mm.decode_wav_bytes(mm.encode_wav_bytes(st, 8000))
+    want = (st.astype(np.int32).sum(1) // 2).astype(np.int16)
+    assert sr2 == 8000 and np.array_equal(wave2, want)
+
+
+def test_real_wav_audio_pipeline(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray import multimodal as mm
+
+    df = mm.synthesize_media(8, kind="wav")
+    out = mm.audio_pipeline(rd.from_pandas(df), fake=False).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert len(out) == 8
+    assert (out.meta_sr == 8000).all() and (out.meta_samples == 800).all()
+    # features computed over the DECODED waveform
+    rng = np.random.default_rng(42)
+    for i in (0, 7):
+        # synthesize_media draws per-row in order; regenerate row i's wave
+        pass
+    wav0 = np.frombuffer(
+        mm.decode_wav_bytes(bytes(df.payload.iloc[0]))[0].tobytes(),
+        "<i2").astype(np.float64)
+    assert np.isclose(out.rms.iloc[0], np.sqrt((wav0 ** 2).mean()))
+
+
+def test_y4m_codec_mono_lossless_color_close():
+    from pythongis_ray import multimodal as mm
+
+    rng = np.random.default_rng(22)
+    gray = rng.integers(0, 256, (3, 10, 8), dtype=np.uint8)
+    frames, w, h, c = mm.decode_y4m_bytes(mm.encode_y4m_bytes(gray))
+    assert (w, h, c) == (8, 10, 1)
+    assert np.array_equal(frames[:, :, :, 0], gray)
+    rgb = rng.integers(0, 256, (2, 6, 4, 3), dtype=np.uint8)
+    back, w2, h2, c2 = mm.decode_y4m_bytes(mm.encode_y4m_bytes(rgb))
+    assert (w2, h2, c2) == (4, 6, 3)
+    # C444 BT.601 round trip is lossy only to rounding
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 3
+
+
+def test_y4m_frame_selection():
+    from pythongis_ray import multimodal as mm
+
+    rng = np.random.default_rng(23)
+    gray = rng.integers(0, 256, (7, 4, 4), dtype=np.uint8)
+    data = mm.encode_y4m_bytes(gray)
+    frames, _, _, _ = mm.decode_y4m_bytes(data, sel=range(0, 1 << 30, 3))
+    assert frames.shape[0] == 3          # idx 0, 3, 6
+    assert np.array_equal(frames[1][:, :, 0], gray[3])
+
+
+def test_real_y4m_video_pipeline(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray import multimodal as mm
+
+    df = mm.synthesize_media(5, kind="y4m")
+    ds = rd.from_pandas(df)
+    out = mm.video_pipeline(ds, every=2, fake=False).to_pandas()
+    # 6 frames, every 2nd -> idx 0, 2, 4 per clip
+    assert len(out) == 5 * 3
+    assert set(out.frame_idx) == {0, 2, 4}
+    assert (out.meta_w == 16).all() and (out.meta_h == 12).all()
+
+
+def test_sample_frames_mixed_y4m_and_raw(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+
+    from pythongis_ray import multimodal as mm
+
+    real = mm.synthesize_media(2, kind="y4m")
+    fake = mm.synthesize_media(2, kind="video")
+    fake["id"] += 100
+    batch = pa.Table.from_pandas(
+        pd.concat([real, fake], ignore_index=True))
+    out = mm.SampleFrames(every=3)(batch).to_pandas()
+    # y4m: 6 frames -> idx 0,3; raw: 8 frames -> idx 0,3,6
+    assert len(out) == 2 * 2 + 2 * 3
+    y4m_rows = out[out.id < 100]
+    assert sorted(set(y4m_rows.frame_idx)) == [0, 3]
