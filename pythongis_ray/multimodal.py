@@ -39,13 +39,15 @@ def synthesize_media(n: int = 64, kind: str = "image", payload_bytes: int = 4096
     rows = []
     for i in range(n):
         payload = rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes()
-        if kind in ("png", "bmp"):
+        if kind in ("png", "bmp", "jpg"):
             # REAL encoded payloads for the native codec path
+            from pythongis_ray import jpeg as _jpeg
             from pythongis_ray import raster as _raster
 
             px = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
             payload = (_raster.encode_png_bytes(px) if kind == "png"
-                       else encode_bmp_bytes(px))
+                       else encode_bmp_bytes(px) if kind == "bmp"
+                       else _jpeg.encode_jpeg_bytes(px, quality=90))
             rows.append({"id": i, "kind": "image", "payload": payload,
                          "meta_w": np.int32(64), "meta_h": np.int32(48),
                          "meta_channels": np.int32(3)})
@@ -131,11 +133,12 @@ def decode_bmp_bytes(data: bytes) -> np.ndarray:
 class DecodeImage:
     """Actor-pool stage: payload → decoded pixel tensor column.
 
-    PNG and uncompressed BMP payloads decode for REAL via the repo's
-    pure-zlib codecs (raster.decode_png_bytes / decode_bmp_bytes —
-    no PIL needed); meta_w/h/channels are updated from the decoded
-    shape. Other formats (JPEG etc. — codec libs absent from this
-    container): ``fake=True`` produces a deterministic pseudo-decode
+    PNG, baseline JPEG, and uncompressed BMP payloads decode for REAL
+    via the repo's pure-numpy codecs (raster.decode_png_bytes /
+    jpeg.decode_jpeg_bytes / decode_bmp_bytes — no PIL needed);
+    meta_w/h/channels are updated from the decoded shape. Other
+    formats (WebP/GIF etc. — codec libs absent from this container):
+    ``fake=True`` produces a deterministic pseudo-decode
     (payload bytes tiled into the declared (h, w, c) tensor) so
     downstream stages are exercised end to end; ``fake=False`` raises
     NotImplementedError at the decode call site.
@@ -145,19 +148,22 @@ class DecodeImage:
         self.fake = fake
 
     def _decode_one(self, payload: bytes, w: int, h: int, c: int) -> np.ndarray:
+        from pythongis_ray import jpeg as _jpeg
         from pythongis_ray import raster as _raster
 
         if payload[:8] == _raster.PNG_MAGIC:
             return _raster.decode_png_bytes(payload)
         if payload[:2] == b"BM":
             return decode_bmp_bytes(payload)
+        if payload[:3] == _jpeg.JPEG_MAGIC:
+            return _jpeg.decode_jpeg_bytes(payload)
         if w and h and c and len(payload) == w * h * c:
             # already a raw pixel tensor of the declared shape (e.g. a
             # frame emitted by SampleFrames) — no codec involved
             return np.frombuffer(payload, np.uint8).reshape(h, w, c)
         if not self.fake:
             raise NotImplementedError(
-                "only PNG/BMP decode natively; other formats need "
+                "only PNG/JPEG/BMP decode natively; other formats need "
                 "PIL/opencv, not available in this container — run with "
                 "fake=True for the deterministic stub")
         raw = np.frombuffer(payload, dtype=np.uint8)

@@ -953,6 +953,62 @@ def png_to_tiles(path: str, res: int = 4, t: int = TILE,
     return _grid_to_tiles(read_png(path), res, t, nodata)
 
 
+def read_jpg(path: str):
+    """Baseline JPEG → (array, meta) via the clean-room T.81 codec
+    (pythongis_ray.jpeg — no PIL). Gray → (h, w); RGB → (bands, h, w).
+    Georeferencing from a ``.jgw``/``.wld`` world-file sidecar when
+    present (reference check_world_file, raster/loader.py:39-86),
+    else pixel coords."""
+    import os
+
+    from pythongis_ray import jpeg as _jpeg
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:3] != _jpeg.JPEG_MAGIC:
+        raise ValueError(f"{path}: not a JPEG")
+    px = _jpeg.decode_jpeg_bytes(data)
+    h, w, bands = px.shape
+    arr = px[:, :, 0].astype(np.float64) if bands == 1 \
+        else np.moveaxis(px, 2, 0).astype(np.float64)
+    transform = None
+    stem = os.path.splitext(path)[0]
+    for cand in (stem + ".jgw", stem + ".wld"):
+        if os.path.exists(cand):
+            transform = read_world_file(cand)
+            break
+    if transform is None:
+        transform = (0.0, 1.0, float(h), 1.0)
+    return arr, {"transform": transform, "nodata": None,
+                 "width": w, "height": h, "bands": bands}
+
+
+def write_jpg(path: str, arr: np.ndarray, transform=None,
+              quality: int = 90):
+    """Baseline JPEG writer (gray (h, w) or 3-band (3, h, w) RGB).
+    Writes a ``.jgw`` sidecar when ``transform`` is given. Lossy —
+    round-trips are approximate, unlike PNG/GeoTIFF."""
+    import os
+
+    from pythongis_ray import jpeg as _jpeg
+
+    arr = np.asarray(arr)
+    px = arr.astype(np.uint8) if arr.ndim == 2 \
+        else np.moveaxis(arr.astype(np.uint8), 0, 2)
+    with open(path, "wb") as f:
+        f.write(_jpeg.encode_jpeg_bytes(px, quality=quality))
+    if transform is not None:
+        write_world_file(os.path.splitext(path)[0] + ".jgw", transform)
+    return path
+
+
+def jpg_to_tiles(path: str, res: int = 4, t: int = TILE,
+                 nodata: float = NODATA) -> pd.DataFrame:
+    """JPEG + world file → the engine's tile table (one row per band,
+    same nearest sampling as geotiff_to_tiles)."""
+    return _grid_to_tiles(read_jpg(path), res, t, nodata)
+
+
 # ------------------------------------------------------------- band math
 
 _OPS = {

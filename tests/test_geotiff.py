@@ -343,3 +343,67 @@ def test_parse_wkt_reference_prj_roundtrip():
     with tempfile.TemporaryDirectory(dir="/tmp") as d:
         raster.write_prj(f"{d}/u.prj", "utm:33N")
         assert raster.read_prj(f"{d}/u.prj") == "utm:33N"
+
+
+def test_jpg_roundtrip_gray_and_rgb():
+    """Baseline JPEG round-trip via the clean-room T.81 codec (lossy:
+    assert closeness, not equality) + .jgw world-file georef."""
+    import tempfile
+
+    yy, xx = np.mgrid[0:24, 0:31]
+    g = (128 + 90 * np.sin(xx / 6) * np.cos(yy / 5)).astype(np.uint8) \
+        .astype(np.float64)
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        raster.write_jpg(f"{d}/g.jpg", g, transform=(-180.0, 1.0, 90.0, 1.0),
+                         quality=95)
+        back, meta = raster.read_jpg(f"{d}/g.jpg")
+        assert back.shape == g.shape and meta["bands"] == 1
+        assert meta["transform"] == (-180.0, 1.0, 90.0, 1.0)
+        assert np.abs(back - g).mean() < 2.0
+        rgb = np.stack([(128 + 80 * np.sin(xx / 7)),
+                        (128 + 80 * np.cos(yy / 6)),
+                        (128 + 50 * np.sin((xx + yy) / 9))]) \
+            .astype(np.uint8).astype(np.float64)
+        raster.write_jpg(f"{d}/rgb.jpg", rgb, quality=95)
+        b2, m2 = raster.read_jpg(f"{d}/rgb.jpg")
+        assert b2.shape == rgb.shape and m2["bands"] == 3
+        assert np.abs(b2 - rgb).mean() < 3.0
+
+
+def test_jpg_reads_reference_real_file():
+    """A real libjpeg-produced file from the reference tree decodes
+    (its own DQT/DHT tables, subsampled chroma)."""
+    arr, meta = raster.read_jpg(
+        "/root/reference/pythongis/app/icons/perspectivemap.jpg")
+    assert arr.shape == (3, 250, 238) and meta["bands"] == 3
+    assert 200 < arr.mean() < 255          # light-background icon
+
+
+def test_jpg_to_tiles_multiband():
+    import tempfile
+
+    yy, xx = np.mgrid[0:180, 0:360]
+    rgb = np.stack([(120 + 60 * np.sin(xx / 40)),
+                    (120 + 60 * np.cos(yy / 30)),
+                    (120 + 40 * np.sin((xx - yy) / 50))]) \
+        .astype(np.uint8).astype(np.float64)
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        raster.write_jpg(f"{d}/w.jpg", rgb,
+                         transform=(-180.0, 1.0, 90.0, 1.0), quality=95)
+        tiles = raster.jpg_to_tiles(f"{d}/w.jpg", res=1)
+        assert set(tiles["band"]) == {0, 1, 2}
+        decoded, _ = raster.read_jpg(f"{d}/w.jpg")
+        from pythongis_ray import grid
+
+        # spot-check one pixel per band: tile pixel centers sample the
+        # DECODED grid nearest — with 1:1 alignment values must match
+        for b in range(3):
+            row = tiles[(tiles.band == b)].iloc[0]
+            cu = np.array([row["cell_id"]], np.int64).view(np.uint64)
+            xmin, ymin, xmax, ymax = (v[0] for v in grid.cell_bounds(cu))
+            a = raster.bytes_to_tile(row["tile"])
+            lon = xmin + 0.5 * (xmax - xmin) / raster.TILE
+            lat = ymin + 0.5 * (ymax - ymin) / raster.TILE
+            col = int(np.floor(lon + 180.0))
+            srow = int(np.floor(90.0 - lat))
+            assert a[0, 0] == np.float32(decoded[b, srow, col])

@@ -363,3 +363,48 @@ def test_sample_frames_mixed_y4m_and_raw(ray_session):
     assert len(out) == 2 * 2 + 2 * 3
     y4m_rows = out[out.id < 100]
     assert sorted(set(y4m_rows.frame_idx)) == [0, 3]
+
+
+def test_jpeg_codec_subsampling_roundtrip():
+    """Clean-room T.81 codec: 4:4:4 / 4:2:2 / 4:2:0 all round-trip on
+    a smooth image (lossy — closeness bounds), odd sizes pad
+    correctly, and gray is near-lossless at q95."""
+    from pythongis_ray import jpeg
+
+    yy, xx = np.mgrid[0:45, 0:62]
+    smooth = np.stack([
+        (128 + 100 * np.sin(xx / 15)).astype(np.uint8),
+        (128 + 100 * np.cos(yy / 12)).astype(np.uint8),
+        (128 + 60 * np.sin((xx + yy) / 20)).astype(np.uint8)], axis=2)
+    for ss, bound in (("444", 1.0), ("422", 1.6), ("420", 2.2)):
+        dec = jpeg.decode_jpeg_bytes(
+            jpeg.encode_jpeg_bytes(smooth, quality=92, subsampling=ss))
+        assert dec.shape == smooth.shape
+        assert np.abs(dec.astype(int) - smooth.astype(int)).mean() < bound
+    g = ((xx * 2 + yy * 3) % 256).astype(np.uint8)
+    dg = jpeg.decode_jpeg_bytes(jpeg.encode_jpeg_bytes(g, 95))
+    assert np.abs(dg[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+    for hh, ww in ((17, 31), (8, 8), (1, 1)):
+        d = jpeg.decode_jpeg_bytes(
+            jpeg.encode_jpeg_bytes(smooth[:hh, :ww], 90, "420"))
+        assert d.shape == (hh, ww, 3)
+
+
+def test_synthesize_media_jpg_kind_decodes(ray_session):
+    """JPEG payloads decode for REAL in the DecodeImage actor stage
+    (fake=False) via pythongis_ray.jpeg — no PIL."""
+    import ray.data as rd
+
+    from pythongis_ray import multimodal as mm
+
+    df = mm.synthesize_media(4, kind="jpg")
+    ds = rd.from_pandas(df)
+    out = ds.map_batches(mm.DecodeImage, batch_size=4,
+                         batch_format="pyarrow", concurrency=1,
+                         fn_constructor_kwargs={"fake": False}).to_pandas()
+    assert len(out) == 4
+    assert (out.meta_w == 64).all() and (out.meta_h == 48).all()
+    assert (out.meta_channels == 3).all()
+    for _, row in out.iterrows():
+        px = np.frombuffer(row["pixels"], np.uint8).reshape(48, 64, 3)
+        assert px.std() > 10           # decoded noise, not a constant fill
