@@ -188,12 +188,11 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
             .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
 
 
-def encode_jpeg_bytes(px: np.ndarray, quality: int = 90,
-                      subsampling: str = "444") -> bytes:
-    """uint8 image → baseline JFIF JPEG bytes. ``px`` is (h, w) gray
-    or (h, w, 3) RGB (YCbCr). ``subsampling`` is ``"444"``, ``"422"``
-    or ``"420"`` (chroma downsampled by box mean, the web default).
-    Annex K tables scaled by IJG ``quality``."""
+def _prepare_coef(px: np.ndarray, quality: int, subsampling: str):
+    """Shared forward path: pad → (downsampled) planes → DCT →
+    quantize. Returns zigzag-order coefficients per component:
+    (zigcoef[(nblocks, 64)], samp, bdims, qtabs, gray, h, w,
+    mcux, mcuy)."""
     px = np.asarray(px, np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -214,7 +213,7 @@ def encode_jpeg_bytes(px: np.ndarray, quality: int = 90,
     mcuy = -(-h // (8 * vmax))
     # pad to a full MCU grid by edge replication, downsample chroma
     ph, pw = mcuy * 8 * vmax, mcux * 8 * hmax
-    coef, bdims = [], []
+    zigcoef, bdims = [], []
     for ci, plane in enumerate(planes):
         p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
         sh, sv = samp[ci]
@@ -226,8 +225,56 @@ def encode_jpeg_bytes(px: np.ndarray, quality: int = 90,
         blocks = _blocks_of(p)
         f = np.einsum("ij,njk,lk->nil", _T, blocks, _T)
         q = qtabs[min(ci, len(qtabs) - 1)]
-        coef.append(np.round(f / q).astype(np.int64))
+        c = np.round(f / q).astype(np.int64).reshape(-1, 64)
+        zigcoef.append(c[:, ZIGZAG])               # zigzag order
         bdims.append((p.shape[0] // 8, p.shape[1] // 8))
+    return zigcoef, samp, bdims, qtabs, gray, h, w, mcux, mcuy
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+        + payload
+
+
+def _frame_headers(qtabs, samp, gray: bool, h: int, w: int,
+                   sof_marker: int, restart_interval: int) -> list:
+    """SOI → JFIF → DQT(s) → SOF → DHT(s) → optional DRI."""
+    out = [b"\xff\xd8"]                            # SOI
+    out.append(_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    for ti, q in enumerate(qtabs):
+        out.append(_seg(0xDB, bytes([ti])
+                        + bytes(q.reshape(64)[ZIGZAG].astype(np.uint8))))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, min(ci, 1)])
+    out.append(_seg(sof_marker, sof))
+    for cls, tid, bits, vals in (
+            (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+            (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)):
+        if gray and tid == 1:
+            continue
+        out.append(_seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                        + bytes(vals)))
+    if restart_interval:
+        out.append(_seg(0xDD, struct.pack(">H", restart_interval)))
+    return out
+
+
+def encode_jpeg_bytes(px: np.ndarray, quality: int = 90,
+                      subsampling: str = "444",
+                      restart_interval: int = 0) -> bytes:
+    """uint8 image → baseline JFIF JPEG bytes. ``px`` is (h, w) gray
+    or (h, w, 3) RGB (YCbCr). ``subsampling`` is ``"444"``, ``"422"``
+    or ``"420"`` (chroma downsampled by box mean, the web default).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (what camera/web encoders do for error resilience).
+    Annex K tables scaled by IJG ``quality``."""
+    zigcoef, samp, bdims, qtabs, gray, h, w, mcux, mcuy = \
+        _prepare_coef(px, quality, subsampling)
 
     dc_enc = [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
               _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
@@ -235,8 +282,7 @@ def encode_jpeg_bytes(px: np.ndarray, quality: int = 90,
               _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
 
     bw = _BitWriter()
-    prev_dc = [0] * len(planes)
-    zz = ZIGZAG
+    prev_dc = [0] * len(zigcoef)
 
     def put_block(ci: int, zig):
         t = min(ci, 1)
@@ -268,50 +314,201 @@ def encode_jpeg_bytes(px: np.ndarray, quality: int = 90,
             code, ln = ac_enc[t][0x00]            # EOB
             bw.write(code, ln)
 
+    mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
-            for ci in range(len(planes)):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.flush()                         # pad to byte boundary
+                bw.out += bytes([0xFF, 0xD0 + ((mcu_count
+                                                // restart_interval - 1)
+                                               & 7)])
+                prev_dc = [0] * len(zigcoef)
+            mcu_count += 1
+            for ci in range(len(zigcoef)):
                 sh, sv = samp[ci]
                 bwid = bdims[ci][1]
                 for bi in range(sv):
                     for bj in range(sh):
                         bidx = (my * sv + bi) * bwid + (mx * sh + bj)
-                        put_block(ci, coef[ci][bidx].reshape(64)[zz])
+                        put_block(ci, zigcoef[ci][bidx])
     bw.flush()
 
-    def seg(marker, payload):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
-            + payload
-
-    out = [b"\xff\xd8"]                            # SOI
-    out.append(seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
-    for ti, q in enumerate(qtabs):
-        out.append(seg(0xDB, bytes([ti])
-                       + bytes(q.reshape(64)[zz].astype(np.uint8))))
+    out = _frame_headers(qtabs, samp, gray, h, w, 0xC0, restart_interval)
     ncomp = 1 if gray else 3
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
-    for ci in range(ncomp):
-        sh, sv = samp[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, min(ci, 1)])
-    out.append(seg(0xC0, sof))                     # SOF0 baseline
-    for cls, tid, bits, vals in (
-            (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
-            (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
-            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
-            (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)):
-        if gray and tid == 1:
-            continue
-        out.append(seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
-                       + bytes(vals)))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         t = min(ci, 1)
         sos += bytes([ci + 1, (t << 4) | t])
     sos += bytes([0, 63, 0])
-    out.append(seg(0xDA, sos))
+    out.append(_seg(0xDA, sos))
     out.append(bytes(bw.out))
     out.append(b"\xff\xd9")                        # EOI
     return b"".join(out)
+
+
+def encode_jpeg_progressive_bytes(px: np.ndarray, quality: int = 90,
+                                  subsampling: str = "444") -> bytes:
+    """uint8 image → progressive JFIF JPEG bytes (SOF2) with a
+    successive-approximation scan script (DC first Al=1 → AC bands
+    Al=1 → DC refine → AC refines), per T.81 G.1. EOB runs are
+    flushed per block (always EOB0) so the Annex K AC tables — which
+    lack the EOBn (n>0) symbols — suffice."""
+    zigcoef, samp, bdims, qtabs, gray, h, w, mcux, mcuy = \
+        _prepare_coef(px, quality, subsampling)
+    ncomp = len(zigcoef)
+    dc_enc = [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+              _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_enc = [_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+              _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+
+    def dc_first_scan(bw, al):
+        prev = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    sh, sv = samp[ci]
+                    bwid = bdims[ci][1]
+                    for bi in range(sv):
+                        for bj in range(sh):
+                            bidx = (my * sv + bi) * bwid + mx * sh + bj
+                            dc = int(zigcoef[ci][bidx][0]) >> al
+                            diff = dc - prev[ci]
+                            prev[ci] = dc
+                            s, amp = _magnitude(diff)
+                            code, ln = dc_enc[min(ci, 1)][s]
+                            bw.write(code, ln)
+                            if s:
+                                bw.write(amp, s)
+
+    def dc_refine_scan(bw, al):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    sh, sv = samp[ci]
+                    bwid = bdims[ci][1]
+                    for bi in range(sv):
+                        for bj in range(sh):
+                            bidx = (my * sv + bi) * bwid + mx * sh + bj
+                            bw.write((int(zigcoef[ci][bidx][0]) >> al) & 1,
+                                     1)
+
+    def _pt(v: int, al: int) -> int:
+        """AC point transform: divide by 2^al toward zero (G.1.2.2)."""
+        return -((-v) >> al) if v < 0 else v >> al
+
+    def ac_first_scan(bw, ci, ss, se, al):
+        enc = ac_enc[min(ci, 1)]
+        c = zigcoef[ci]
+        # iterate the component's own (non-interleaved) block grid
+        cw = -(-(w * samp[ci][0]) // max(s[0] for s in samp))
+        ch = -(-(h * samp[ci][1]) // max(s[1] for s in samp))
+        nbw, nbh = -(-cw // 8), -(-ch // 8)
+        bwid = bdims[ci][1]
+        for by in range(nbh):
+            for bx in range(nbw):
+                zig = c[by * bwid + bx]
+                run = 0
+                emitted = False
+                for k in range(ss, se + 1):
+                    v = _pt(int(zig[k]), al)
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = enc[0xF0]      # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    s, amp = _magnitude(v)
+                    code, ln = enc[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(amp, s)
+                    run = 0
+                    emitted = True
+                if run > 0 or not emitted:
+                    code, ln = enc[0x00]          # EOB0 (run of 1)
+                    bw.write(code, ln)
+
+    def ac_refine_scan(bw, ci, ss, se, ah, al):
+        enc = ac_enc[min(ci, 1)]
+        c = zigcoef[ci]
+        cw = -(-(w * samp[ci][0]) // max(s[0] for s in samp))
+        ch = -(-(h * samp[ci][1]) // max(s[1] for s in samp))
+        nbw, nbh = -(-cw // 8), -(-ch // 8)
+        bwid = bdims[ci][1]
+        for by in range(nbh):
+            for bx in range(nbw):
+                zig = c[by * bwid + bx]
+                absval = [_pt(abs(int(zig[k])), al) for k in range(64)]
+                eob = 0                            # last newly-nonzero k
+                for k in range(ss, se + 1):
+                    if absval[k] == 1:
+                        eob = k
+                run = 0
+                pending = []                       # buffered corr. bits
+                for k in range(ss, se + 1):
+                    t = absval[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob:
+                        code, ln = enc[0xF0]      # ZRL + its history bits
+                        bw.write(code, ln)
+                        run -= 16
+                        for b in pending:
+                            bw.write(b, 1)
+                        pending = []
+                    if t > 1:                      # history: buffer LSB
+                        pending.append(t & 1)
+                        continue
+                    # newly nonzero (t == 1): runlength + sign bit
+                    code, ln = enc[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if int(zig[k]) > 0 else 0, 1)
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending = []
+                    run = 0
+                if run > 0 or pending:             # EOB0 + remaining bits
+                    code, ln = enc[0x00]
+                    bw.write(code, ln)
+                    for b in pending:
+                        bw.write(b, 1)
+
+    def scan_seg(comp_ids, ss, se, ah, al):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            t = min(cid - 1, 1)
+            sos += bytes([cid, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, sos)
+
+    out = _frame_headers(qtabs, samp, gray, h, w, 0xC2, 0)
+    all_ids = list(range(1, ncomp + 1))
+
+    def run_scan(header, emit):
+        out.append(header)
+        bw = _BitWriter()
+        emit(bw)
+        bw.flush()
+        out.append(bytes(bw.out))
+
+    run_scan(scan_seg(all_ids, 0, 0, 0, 1), lambda bw: dc_first_scan(bw, 1))
+    run_scan(scan_seg([1], 1, 5, 0, 1),
+             lambda bw: ac_first_scan(bw, 0, 1, 5, 1))
+    run_scan(scan_seg([1], 6, 63, 0, 1),
+             lambda bw: ac_first_scan(bw, 0, 6, 63, 1))
+    for cid in all_ids[1:]:
+        run_scan(scan_seg([cid], 1, 63, 0, 1),
+                 lambda bw, ci=cid - 1: ac_first_scan(bw, ci, 1, 63, 1))
+    run_scan(scan_seg(all_ids, 0, 0, 1, 0), lambda bw: dc_refine_scan(bw, 0))
+    for cid in all_ids:
+        run_scan(scan_seg([cid], 1, 63, 1, 0),
+                 lambda bw, ci=cid - 1: ac_refine_scan(bw, ci, 1, 63, 1, 0))
+    out.append(b"\xff\xd9")                        # EOI
+    return b"".join(out)
+
+
 
 
 class _BitReader:
@@ -352,9 +549,193 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _find_scan_end(data: bytes, start: int) -> int:
+    """First marker position after ``start`` that is not a stuffed 00
+    or an RSTn — i.e. the end of one scan's entropy-coded segment."""
+    pos, n = start, len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _destuff(data: bytes, start: int, end: int) -> np.ndarray:
+    """Entropy bytes [start, end) with stuffed 00s and RSTn markers
+    removed (restart boundaries are byte-aligned, so the reader just
+    re-aligns at each restart)."""
+    raw = np.frombuffer(data, np.uint8, end - start, start)
+    keep = np.ones(len(raw), bool)
+    is_ff = raw == 0xFF
+    nxt = np.r_[raw[1:], np.uint8(0)]
+    keep[1:][is_ff[:-1] & (nxt[:-1] == 0x00)] = False   # stuffed 00
+    rst_pos = np.flatnonzero(is_ff & (nxt >= 0xD0) & (nxt <= 0xD7))
+    keep[rst_pos] = False
+    keep[np.minimum(rst_pos + 1, len(raw) - 1)] = False
+    return raw[keep]
+
+
+class _Scan:
+    """One SOS scan: member comps + spectral/approximation params."""
+
+    __slots__ = ("comps", "ss", "se", "ah", "al")
+
+    def __init__(self, comps, ss, se, ah, al):
+        self.comps = comps
+        self.ss = ss
+        self.se = se
+        self.ah = ah
+        self.al = al
+
+
+def _scan_blocks(scan, comps, mcux, mcuy):
+    """Yield (component, block_index) in this scan's MCU order with
+    restart-boundary flags: (comp, bidx, is_mcu_start).
+
+    Interleaved (len > 1): T.81 A.2.3 — per MCU, each comp emits its
+    v*h blocks from the MCU-padded grid. Non-interleaved: the single
+    comp's OWN block grid (ceil(cw/8) x ceil(ch/8)), T.81 A.2.2."""
+    if len(scan.comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                first = True
+                for c in scan.comps:
+                    for bi in range(c["v"]):
+                        for bj in range(c["h"]):
+                            bidx = ((my * c["v"] + bi) * c["bw"]
+                                    + mx * c["h"] + bj)
+                            yield c, bidx, first
+                            first = False
+    else:
+        c = scan.comps[0]
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                yield c, by * c["bw"] + bx, True
+
+
+def _decode_scan(br, scan, comps, htabs, mcux, mcuy, restart_interval):
+    """Decode one entropy-coded scan into the comps' zigzag-order
+    coefficient arrays. Handles sequential (full-block) and all four
+    progressive scan kinds (DC/AC x first/refine), per T.81 F.2 / G.2
+    (the AC-refinement control flow follows the published libjpeg
+    decode_mcu_AC_refine structure)."""
+    sequential = scan.ss == 0 and scan.se == 63
+    prev_dc = {c["id"]: 0 for c in comps}
+    eobrun = 0
+    p1 = 1 << scan.al
+    m1 = -p1
+    mcu_count = 0
+    for c, bidx, is_start in _scan_blocks(scan, comps, mcux, mcuy):
+        if is_start:
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                if br.bit:
+                    br.bit = 0
+                    br.pos += 1
+                prev_dc = {cc["id"]: 0 for cc in comps}
+                eobrun = 0
+            mcu_count += 1
+        blk = c["coef"][bidx]
+        if sequential:
+            dct = htabs[(0, c["td"])]
+            act = htabs[(1, c["ta"])]
+            s = br.read_symbol(dct)
+            diff = _extend(br.read_bits(s), s) if s else 0
+            prev_dc[c["id"]] += diff
+            blk[0] = prev_dc[c["id"]]
+            k = 1
+            while k < 64:
+                sym = br.read_symbol(act)
+                if sym == 0x00:                    # EOB
+                    break
+                run, size = sym >> 4, sym & 15
+                if size == 0:
+                    if run == 15:                  # ZRL
+                        k += 16
+                        continue
+                    break
+                k += run
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                blk[k] = _extend(br.read_bits(size), size)
+                k += 1
+        elif scan.ss == 0:                         # progressive DC
+            if scan.ah == 0:                       # first
+                s = br.read_symbol(htabs[(0, c["td"])])
+                diff = _extend(br.read_bits(s), s) if s else 0
+                prev_dc[c["id"]] += diff
+                blk[0] = prev_dc[c["id"]] << scan.al
+            else:                                  # refine: 1 bit
+                if br.read_bit():
+                    blk[0] |= p1
+        elif scan.ah == 0:                         # progressive AC first
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            act = htabs[(1, c["ta"])]
+            k = scan.ss
+            while k <= scan.se:
+                sym = br.read_symbol(act)
+                r, s = sym >> 4, sym & 15
+                if s == 0:
+                    if r != 15:                    # EOBn
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += 16                        # ZRL
+                    continue
+                k += r
+                if k > scan.se:
+                    raise ValueError("AC index overflow")
+                blk[k] = _extend(br.read_bits(s), s) << scan.al
+                k += 1
+        else:                                      # progressive AC refine
+            act = htabs[(1, c["ta"])]
+            k = scan.ss
+            if eobrun == 0:
+                while k <= scan.se:
+                    sym = br.read_symbol(act)
+                    r, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if r != 15:                # EOBn
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        # r == 15: pass over 16 zero-history coefs
+                    else:
+                        s = p1 if br.read_bit() else m1
+                    while k <= scan.se:            # advance r zeros,
+                        if blk[k] != 0:            # correcting nonzeros
+                            if br.read_bit() and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= scan.se:
+                        blk[k] = s
+                    k += 1
+            if eobrun > 0:                         # EOB band: correct
+                while k <= scan.se:                # remaining nonzeros
+                    if blk[k] != 0:
+                        if br.read_bit() and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
 def decode_jpeg_bytes(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, channels) uint8 (1 = gray, 3 = RGB).
-    Supports SOF0, DRI restart intervals, 4:4:4 / 4:2:2 / 4:2:0."""
+    """JPEG bytes → (h, w, channels) uint8 (1 = gray, 3 = RGB).
+    Supports baseline sequential (SOF0/1) AND progressive (SOF2 —
+    spectral selection + successive approximation, the dominant web
+    encoding), DRI restart intervals, 4:4:4 / 4:2:2 / 4:2:0 chroma."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -363,15 +744,17 @@ def decode_jpeg_bytes(data: bytes) -> np.ndarray:
     comps = None
     h = w = 0
     restart_interval = 0
-    scan_comps = None
-    scan_start = None
+    hmax = vmax = 1
+    mcux = mcuy = 0
     n = len(data)
     while pos < n:
         if data[pos] != 0xFF:
             pos += 1
             continue
         marker = data[pos + 1]
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:                         # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
@@ -388,9 +771,7 @@ def decode_jpeg_bytes(data: bytes) -> np.ndarray:
                     vals = np.frombuffer(body, ">u2", 64, bpos + 1) \
                         .astype(np.int32)
                     bpos += 129
-                q = np.zeros(64, np.int32)
-                q[ZIGZAG] = vals
-                qtabs[tq] = q.reshape(8, 8)
+                qtabs[tq] = vals.copy()            # zigzag order
         elif marker == 0xC4:                       # DHT
             bpos = 0
             while bpos < len(body):
@@ -400,7 +781,7 @@ def decode_jpeg_bytes(data: bytes) -> np.ndarray:
                 vals = list(body[bpos + 17:bpos + 17 + nv])
                 htabs[(tc, th)] = _decode_table(bits, vals)
                 bpos += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:     # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):         # SOF0/1/2
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
             comps = []
@@ -408,118 +789,61 @@ def decode_jpeg_bytes(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["h"]            # MCU-padded grid
+                c["bh"] = mcuy * c["v"]
+                cw = -(-(w * c["h"]) // hmax)      # true comp size
+                ch = -(-(h * c["v"]) // vmax)
+                c["nbw"] = -(-cw // 8)             # non-interleaved grid
+                c["nbh"] = -(-ch // 8)
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential")
+                f"JPEG SOF{marker - 0xC0}: only baseline + progressive")
         elif marker == 0xDD:                       # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                       # SOS
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            scan_comps = []
+            by_id = {c["id"]: c for c in comps}
+            scomps = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si:3 + 2 * si]
-                scan_comps.append({"id": cs, "td": tt >> 4, "ta": tt & 15})
-            scan_start = pos + 2 + seglen
-            break
+                c = by_id[cs]
+                c["td"], c["ta"] = tt >> 4, tt & 15
+                scomps.append(c)
+            ss, se, ahl = body[1 + 2 * ns:4 + 2 * ns]
+            scan = _Scan(scomps, ss, se, ahl >> 4, ahl & 15)
+            entropy_start = pos + 2 + seglen
+            entropy_end = _find_scan_end(data, entropy_start)
+            br = _BitReader(_destuff(data, entropy_start, entropy_end))
+            _decode_scan(br, scan, comps, htabs, mcux, mcuy,
+                         restart_interval)
+            pos = entropy_end
+            continue
         pos += 2 + seglen
-    if comps is None or scan_start is None:
-        raise ValueError("JPEG missing SOF/SOS")
-
-    # destuff scan data, note restart-marker positions (in destuffed bytes)
-    raw = np.frombuffer(data, np.uint8, count=n - scan_start,
-                        offset=scan_start)
-    keep = np.ones(len(raw), bool)
-    is_ff = raw == 0xFF
-    nxt = np.r_[raw[1:], np.uint8(0)]
-    keep[1:][is_ff[:-1] & (nxt[:-1] == 0x00)] = False   # drop stuffed 00
-    rst = is_ff & (nxt >= 0xD0) & (nxt <= 0xD7)
-    eoi = np.flatnonzero(is_ff & (nxt == 0xD9))
-    end = eoi[0] if len(eoi) else len(raw)
-    keep[end:] = False
-    # drop restart marker byte pairs
-    rst_pos = np.flatnonzero(rst)
-    rst_pos = rst_pos[rst_pos < end]
-    keep[rst_pos] = False
-    keep[rst_pos + 1] = False
-    destuffed = raw[keep]
-    # restart boundaries in destuffed coordinates
-    kept_before = np.cumsum(keep) - keep.astype(np.int64)
-    rst_destuffed = set(kept_before[rst_pos].tolist())
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    by_id = {c["id"]: c for c in comps}
-    for sc in scan_comps:
-        by_id[sc["id"]].update(td=sc["td"], ta=sc["ta"])
-    for c in comps:
-        c["bw"] = mcux * c["h"]
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8), np.float64)
-
-    br = _BitReader(destuffed)
-    prev_dc = {c["id"]: 0 for c in comps}
-    zz = ZIGZAG
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                # re-align to byte boundary at the (removed) RSTn
-                if br.bit:
-                    br.bit = 0
-                    br.pos += 1
-                while br.pos < len(destuffed) and \
-                        br.pos not in rst_destuffed and False:
-                    br.pos += 1               # markers already removed
-                prev_dc = {c["id"]: 0 for c in comps}
-            mcu_count += 1
-            for c in comps:
-                dct = htabs[(0, c["td"])]
-                act = htabs[(1, c["ta"])]
-                for bi in range(c["v"]):
-                    for bj in range(c["h"]):
-                        zcoef = np.zeros(64, np.int64)
-                        s = br.read_symbol(dct)
-                        diff = _extend(br.read_bits(s), s) if s else 0
-                        prev_dc[c["id"]] += diff
-                        zcoef[0] = prev_dc[c["id"]]
-                        k = 1
-                        while k < 64:
-                            sym = br.read_symbol(act)
-                            if sym == 0x00:       # EOB
-                                break
-                            run, size = sym >> 4, sym & 15
-                            if size == 0:
-                                if run == 15:     # ZRL
-                                    k += 16
-                                    continue
-                                break
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zcoef[k] = _extend(br.read_bits(size), size)
-                            k += 1
-                        blk = np.zeros(64, np.float64)
-                        blk[zz] = zcoef
-                        bx = mx * c["h"] + bj
-                        byy = my * c["v"] + bi
-                        c["coef"][byy * c["bw"] + bx] = blk.reshape(8, 8) \
-                            .astype(np.float64)
+    if comps is None:
+        raise ValueError("JPEG missing SOF")
 
     planes = []
+    zz = ZIGZAG
     for c in comps:
-        q = qtabs[c["tq"]].astype(np.float64)
-        f = c["coef"] * q
+        q = qtabs[c["tq"]].astype(np.float64)      # zigzag order
+        f = np.zeros((c["coef"].shape[0], 64), np.float64)
+        f[:, zz] = c["coef"] * q                   # dezigzag + dequant
+        f = f.reshape(-1, 8, 8)
         blocks = np.einsum("ji,njk,kl->nil", _T, f, _T)   # inverse DCT
         plane = (blocks.reshape(c["bh"], c["bw"], 8, 8)
                  .transpose(0, 2, 1, 3)
                  .reshape(c["bh"] * 8, c["bw"] * 8)) + 128.0
-        # upsample to full MCU grid resolution
         ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
+        if ry > 1 or rx > 1:                       # chroma upsample
             plane = np.repeat(np.repeat(plane, ry, 0), rx, 1)
         planes.append(plane[:h, :w])
 

@@ -408,3 +408,42 @@ def test_synthesize_media_jpg_kind_decodes(ray_session):
     for _, row in out.iterrows():
         px = np.frombuffer(row["pixels"], np.uint8).reshape(48, 64, 3)
         assert px.std() > 10           # decoded noise, not a constant fill
+
+
+def test_jpeg_progressive_and_restart():
+    """Progressive (SOF2, successive approximation) decode is
+    BIT-IDENTICAL to baseline decode of the same quantized
+    coefficients — all four scan kinds (DC/AC x first/refine)
+    exercised — and DRI restart intervals round-trip."""
+    from pythongis_ray import jpeg
+
+    yy, xx = np.mgrid[0:45, 0:62]
+    smooth = np.stack([
+        (128 + 100 * np.sin(xx / 15)).astype(np.uint8),
+        (128 + 100 * np.cos(yy / 12)).astype(np.uint8),
+        (128 + 60 * np.sin((xx + yy) / 20)).astype(np.uint8)], axis=2)
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    for im in (smooth, noisy):
+        for ss in ("444", "422", "420"):
+            p = jpeg.decode_jpeg_bytes(
+                jpeg.encode_jpeg_progressive_bytes(im, 92, ss))
+            b = jpeg.decode_jpeg_bytes(jpeg.encode_jpeg_bytes(im, 92, ss))
+            assert np.array_equal(p, b)
+    g = ((xx * 2 + yy * 3) % 256).astype(np.uint8)
+    assert np.array_equal(
+        jpeg.decode_jpeg_bytes(jpeg.encode_jpeg_progressive_bytes(g, 95)),
+        jpeg.decode_jpeg_bytes(jpeg.encode_jpeg_bytes(g, 95)))
+    for hh, ww in ((17, 31), (8, 8), (1, 1)):
+        assert np.array_equal(
+            jpeg.decode_jpeg_bytes(
+                jpeg.encode_jpeg_progressive_bytes(smooth[:hh, :ww], 90,
+                                                   "420")),
+            jpeg.decode_jpeg_bytes(
+                jpeg.encode_jpeg_bytes(smooth[:hh, :ww], 90, "420")))
+    # restart markers: DRI-coded streams reproduce the no-DRI decode
+    want = jpeg.decode_jpeg_bytes(jpeg.encode_jpeg_bytes(smooth, 92, "420"))
+    for ri in (1, 2, 5):
+        got = jpeg.decode_jpeg_bytes(
+            jpeg.encode_jpeg_bytes(smooth, 92, "420", restart_interval=ri))
+        assert np.array_equal(got, want)
