@@ -39,15 +39,20 @@ def synthesize_media(n: int = 64, kind: str = "image", payload_bytes: int = 4096
     rows = []
     for i in range(n):
         payload = rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes()
-        if kind in ("png", "bmp", "jpg"):
+        if kind in ("png", "bmp", "jpg", "gif"):
             # REAL encoded payloads for the native codec path
+            from pythongis_ray import gif as _gif
             from pythongis_ray import jpeg as _jpeg
             from pythongis_ray import raster as _raster
 
             px = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+            if kind == "gif":                  # palette-safe: 216 colors
+                px = (px // 51 * 51)
             payload = (_raster.encode_png_bytes(px) if kind == "png"
                        else encode_bmp_bytes(px) if kind == "bmp"
-                       else _jpeg.encode_jpeg_bytes(px, quality=90))
+                       else _jpeg.encode_jpeg_bytes(px, quality=90)
+                       if kind == "jpg"
+                       else _gif.encode_gif_bytes(px))
             rows.append({"id": i, "kind": "image", "payload": payload,
                          "meta_w": np.int32(64), "meta_h": np.int32(48),
                          "meta_channels": np.int32(3)})
@@ -64,6 +69,19 @@ def synthesize_media(n: int = 64, kind: str = "image", payload_bytes: int = 4096
                          "meta_frames": np.int32(nf),
                          "meta_w": np.int32(w), "meta_h": np.int32(h),
                          "meta_channels": np.int32(c)})
+        elif kind == "gif_anim":
+            # REAL animated GIF clips for the native video codec path
+            from pythongis_ray import gif as _gif
+
+            nf, w, h = 6, 16, 12
+            frames = (rng.integers(0, 256, (nf, h, w, 3), dtype=np.uint8)
+                      // 51 * 51)              # 216-color palette-safe
+            rows.append({"id": i, "kind": "video",
+                         "payload": _gif.encode_gif_bytes(
+                             frames, delays=[10] * nf),
+                         "meta_frames": np.int32(nf),
+                         "meta_w": np.int32(w), "meta_h": np.int32(h),
+                         "meta_channels": np.int32(3)})
         elif kind == "y4m":
             # REAL encoded clips for the native video codec path
             nf, w, h = 6, 16, 12
@@ -148,6 +166,7 @@ class DecodeImage:
         self.fake = fake
 
     def _decode_one(self, payload: bytes, w: int, h: int, c: int) -> np.ndarray:
+        from pythongis_ray import gif as _gif
         from pythongis_ray import jpeg as _jpeg
         from pythongis_ray import raster as _raster
 
@@ -157,6 +176,8 @@ class DecodeImage:
             return decode_bmp_bytes(payload)
         if payload[:3] == _jpeg.JPEG_MAGIC:
             return _jpeg.decode_jpeg_bytes(payload)
+        if payload[:6] in _gif.GIF_MAGICS:
+            return _gif.decode_gif_bytes(payload)[0][0]   # first frame
         if w and h and c and len(payload) == w * h * c:
             # already a raw pixel tensor of the declared shape (e.g. a
             # frame emitted by SampleFrames) — no codec involved
@@ -629,6 +650,7 @@ class SampleFrames:
             else pays
         n = len(pays)
         is_y4m = np.zeros(n, bool)
+        is_gif = np.zeros(n, bool)
         if n and not pays.null_count:
             off_dtype = (np.int64 if pa.types.is_large_binary(pays.type)
                          else np.int32)
@@ -640,13 +662,41 @@ class SampleFrames:
                 gathered = data[offs[:-1][cand][:, None] + np.arange(9)]
                 is_y4m[cand] = (gathered ==
                                 np.frombuffer(Y4M_MAGIC, np.uint8)).all(1)
+                is_gif[cand] = (gathered[:, :4] ==
+                                np.frombuffer(b"GIF8", np.uint8)).all(1)
+        parts = []
         if is_y4m.any():
-            real = self._y4m_rows(batch.filter(pa.array(is_y4m)))
-            if is_y4m.all():
-                return real
-            raw = self._raw_rows(batch.filter(pa.array(~is_y4m)))
-            return pa.concat_tables([real, raw])
-        return self._raw_rows(batch)
+            parts.append(self._y4m_rows(batch.filter(pa.array(is_y4m))))
+        if is_gif.any():
+            parts.append(self._gif_rows(batch.filter(pa.array(is_gif))))
+        rest = ~(is_y4m | is_gif)
+        if rest.any() or not parts:
+            parts.append(self._raw_rows(batch.filter(pa.array(rest))))
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+
+    def _gif_rows(self, batch: pa.Table) -> pa.Table:
+        from pythongis_ray import gif as _gif
+
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_fidx, out_frames = [], [], []
+        ws, hs, cs = [], [], []
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            frames, _delays = _gif.decode_gif_bytes(payload)
+            for k in range(0, frames.shape[0], self.every):
+                out_id.append(ids[i])
+                out_fidx.append(k)
+                out_frames.append(frames[k].tobytes())
+                hs.append(frames.shape[1])
+                ws.append(frames.shape[2])
+                cs.append(3)
+        return pa.table({
+            "id": pa.array(np.asarray(out_id, np.int64)),
+            "frame_idx": pa.array(np.asarray(out_fidx, np.int64)),
+            "payload": pa.array(out_frames, pa.binary()),
+            "meta_w": pa.array(np.asarray(ws, np.int32)),
+            "meta_h": pa.array(np.asarray(hs, np.int32)),
+            "meta_channels": pa.array(np.asarray(cs, np.int32)),
+        })
 
     def _y4m_rows(self, batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)

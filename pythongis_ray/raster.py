@@ -1009,6 +1009,61 @@ def jpg_to_tiles(path: str, res: int = 4, t: int = TILE,
     return _grid_to_tiles(read_jpg(path), res, t, nodata)
 
 
+def read_gif(path: str):
+    """GIF (first frame) → (array, meta) via the clean-room LZW codec
+    (pythongis_ray.gif — no PIL). Always 3-band RGB (palette
+    expanded). Georeferencing from a ``.gfw``/``.wld`` world-file
+    sidecar when present (reference check_world_file,
+    raster/loader.py:39-86), else pixel coords."""
+    import os
+
+    from pythongis_ray import gif as _gif
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:6] not in _gif.GIF_MAGICS:
+        raise ValueError(f"{path}: not a GIF")
+    frames, _delays = _gif.decode_gif_bytes(data)
+    px = frames[0]
+    h, w, bands = px.shape
+    arr = np.moveaxis(px, 2, 0).astype(np.float64)
+    transform = None
+    stem = os.path.splitext(path)[0]
+    for cand in (stem + ".gfw", stem + ".wld"):
+        if os.path.exists(cand):
+            transform = read_world_file(cand)
+            break
+    if transform is None:
+        transform = (0.0, 1.0, float(h), 1.0)
+    return arr, {"transform": transform, "nodata": None,
+                 "width": w, "height": h, "bands": bands}
+
+
+def write_gif(path: str, arr: np.ndarray, transform=None):
+    """GIF writer (gray (h, w) or 3-band (3, h, w) RGB with ≤256
+    distinct colors). Writes a ``.gfw`` sidecar when ``transform``
+    is given."""
+    import os
+
+    from pythongis_ray import gif as _gif
+
+    arr = np.asarray(arr)
+    px = arr.astype(np.uint8) if arr.ndim == 2 \
+        else np.moveaxis(arr.astype(np.uint8), 0, 2)
+    with open(path, "wb") as f:
+        f.write(_gif.encode_gif_bytes(px))
+    if transform is not None:
+        write_world_file(os.path.splitext(path)[0] + ".gfw", transform)
+    return path
+
+
+def gif_to_tiles(path: str, res: int = 4, t: int = TILE,
+                 nodata: float = NODATA) -> pd.DataFrame:
+    """GIF + world file → the engine's tile table (one row per band,
+    same nearest sampling as geotiff_to_tiles)."""
+    return _grid_to_tiles(read_gif(path), res, t, nodata)
+
+
 # ------------------------------------------------------------- band math
 
 _OPS = {

@@ -407,3 +407,19 @@ def test_jpg_to_tiles_multiband():
             col = int(np.floor(lon + 180.0))
             srow = int(np.floor(90.0 - lat))
             assert a[0, 0] == np.float32(decoded[b, srow, col])
+
+
+def test_gif_raster_roundtrip_and_tiles():
+    import tempfile
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, (20, 33), dtype=np.uint8).astype(np.float64)
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        raster.write_gif(f"{d}/g.gif", g, transform=(-180.0, 1.0, 90.0, 1.0))
+        back, meta = raster.read_gif(f"{d}/g.gif")
+        # gray writes as RGB triplets; every band equals the source
+        assert meta["bands"] == 3 and meta["transform"][0] == -180.0
+        for b in range(3):
+            assert np.array_equal(back[b], g)
+        tiles = raster.gif_to_tiles(f"{d}/g.gif", res=5)
+        assert set(tiles["band"]) == {0, 1, 2}

@@ -447,3 +447,66 @@ def test_jpeg_progressive_and_restart():
         got = jpeg.decode_jpeg_bytes(
             jpeg.encode_jpeg_bytes(smooth, 92, "420", restart_interval=ri))
         assert np.array_equal(got, want)
+
+
+def test_gif_codec_roundtrip_and_real_file():
+    """Clean-room GIF87a/89a LZW codec: gray/RGB/animation
+    round-trips (incl. dictionary reset past 4096 entries) and a real
+    reference GIF decodes."""
+    from pythongis_ray import gif
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (30, 41), dtype=np.uint8)
+    frames, _ = gif.decode_gif_bytes(gif.encode_gif_bytes(g))
+    assert np.array_equal(frames[0], np.stack([g] * 3, 2))
+    pal = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 200, (25, 37))]
+    f2, _ = gif.decode_gif_bytes(gif.encode_gif_bytes(px))
+    assert np.array_equal(f2[0], px)
+    big = rng.integers(0, 250, (200, 300), dtype=np.uint8)  # LZW reset
+    f3, _ = gif.decode_gif_bytes(gif.encode_gif_bytes(big))
+    assert np.array_equal(f3[0], np.stack([big] * 3, 2))
+    anim = pal[rng.integers(0, 200, (5, 12, 15))]
+    f4, d4 = gif.decode_gif_bytes(gif.encode_gif_bytes(anim,
+                                                       delays=[10] * 5))
+    assert d4 == [10] * 5
+    assert all(np.array_equal(f4[i], anim[i]) for i in range(5))
+    real, _ = gif.decode_gif_bytes(open(
+        "/root/reference/pythongis/app/tk2/_othermisc/dropdown.gif",
+        "rb").read())
+    assert real.shape == (1, 23, 21, 3)
+
+
+def test_synthesize_media_gif_kind_decodes(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray import multimodal as mm
+
+    df = mm.synthesize_media(4, kind="gif")
+    out = rd.from_pandas(df).map_batches(
+        mm.DecodeImage, batch_size=4, batch_format="pyarrow",
+        concurrency=1, fn_constructor_kwargs={"fake": False}).to_pandas()
+    assert len(out) == 4
+    assert (out.meta_w == 64).all() and (out.meta_h == 48).all()
+
+
+def test_gif_anim_video_frame_sampling(ray_session):
+    """Animated GIFs feed the video pipeline for REAL: SampleFrames
+    explodes every 2nd composited frame, bit-exact vs the encoded
+    source frames."""
+    import ray.data as rd
+
+    from pythongis_ray import gif, multimodal as mm
+
+    df = mm.synthesize_media(3, kind="gif_anim")
+    out = rd.from_pandas(df).map_batches(
+        mm.SampleFrames, batch_size=4, batch_format="pyarrow",
+        concurrency=1,
+        fn_constructor_kwargs={"every": 2, "fake": False}).to_pandas()
+    assert len(out) == 9                       # 6 frames / every-2 x 3
+    assert set(out.frame_idx) == {0, 2, 4}
+    for _, row in out.iterrows():
+        src, _ = gif.decode_gif_bytes(
+            df.loc[df.id == row["id"], "payload"].iloc[0])
+        got = np.frombuffer(row["payload"], np.uint8).reshape(12, 16, 3)
+        assert np.array_equal(got, src[row["frame_idx"]])
