@@ -153,3 +153,116 @@ def laea_inverse(x, y, lon0: float, lat0: float):
                              (q - _q_authalic(sin_p)) / np.where(dq == 0, 1,
                                                                  dq))
     return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def _phi_from_q(q: np.ndarray) -> np.ndarray:
+    """Authalic q → geodetic latitude (radians) by Newton iteration
+    (Snyder eq 3-16)."""
+    phi = np.arcsin(np.clip(q / 2, -1, 1))
+    for _ in range(8):
+        sin_p = np.sin(phi)
+        cos_p = np.cos(phi)
+        denom = 1 - E2 * sin_p * sin_p
+        dq = 2 * (1 - E2) * cos_p / (denom * denom)
+        phi = phi + np.where(cos_p == 0, 0.0,
+                             (q - _q_authalic(sin_p))
+                             / np.where(dq == 0, 1, dq))
+    return phi
+
+
+def _m_snyder(phi: np.ndarray) -> np.ndarray:
+    """Snyder eq 14-15: m = cos(phi)/sqrt(1 - e^2 sin^2 phi)."""
+    sin_p = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1 - E2 * sin_p * sin_p)
+
+
+def _albers_consts(lat0: float, lat1: float, lat2: float):
+    p0, p1, p2 = (np.radians(v) for v in (lat0, lat1, lat2))
+    m1, m2 = float(_m_snyder(np.array(p1))), float(_m_snyder(np.array(p2)))
+    q0 = float(_q_authalic(np.sin(np.array(p0))))
+    q1 = float(_q_authalic(np.sin(np.array(p1))))
+    q2 = float(_q_authalic(np.sin(np.array(p2))))
+    if abs(lat1 - lat2) < 1e-12:               # single-parallel cone
+        n = float(np.sin(p1))
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)    # Snyder 14-14
+    C = m1 * m1 + n * q1                       # 14-13
+    rho0 = A * np.sqrt(max(C - n * q0, 0.0)) / n   # 14-12a
+    return n, C, rho0
+
+
+def albers_forward(lon, lat, lon0: float, lat0: float,
+                   lat1: float, lat2: float):
+    """Ellipsoidal Albers Equal-Area Conic (Snyder PP1395 eqs
+    14-12..14-16, authalic q): (lon, lat) degrees → metres."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    n, C, rho0 = _albers_consts(lat0, lat1, lat2)
+    q = _q_authalic(np.sin(np.radians(lat)))
+    rho = A * np.sqrt(np.maximum(C - n * q, 0.0)) / n
+    theta = n * np.radians(lon - lon0)
+    return rho * np.sin(theta), rho0 - rho * np.cos(theta)
+
+
+def albers_inverse(x, y, lon0: float, lat0: float,
+                   lat1: float, lat2: float):
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n, C, rho0 = _albers_consts(lat0, lat1, lat2)
+    rho = np.sqrt(x * x + (rho0 - y) ** 2)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * (rho0 - y))
+    q = (C - (rho * n / A) ** 2) / n           # Snyder 14-19
+    phi = _phi_from_q(q)
+    return lon0 + np.degrees(theta / n), np.degrees(phi)
+
+
+def _t_snyder(phi: np.ndarray) -> np.ndarray:
+    """Snyder eq 15-9: conformal t."""
+    sin_p = np.sin(phi)
+    return (np.tan(np.pi / 4 - phi / 2)
+            / ((1 - E * sin_p) / (1 + E * sin_p)) ** (E / 2))
+
+
+def _lcc_consts(lat0: float, lat1: float, lat2: float):
+    p0, p1, p2 = (np.radians(v) for v in (lat0, lat1, lat2))
+    m1, m2 = float(_m_snyder(np.array(p1))), float(_m_snyder(np.array(p2)))
+    t0 = float(_t_snyder(np.array(p0)))
+    t1 = float(_t_snyder(np.array(p1)))
+    t2 = float(_t_snyder(np.array(p2)))
+    if abs(lat1 - lat2) < 1e-12:
+        n = float(np.sin(p1))
+    else:
+        n = np.log(m1 / m2) / np.log(t1 / t2)  # Snyder 15-8
+    F = m1 / (n * t1 ** n)                     # 15-10
+    rho0 = A * F * t0 ** n                     # 15-7a
+    return n, F, rho0
+
+
+def lcc_forward(lon, lat, lon0: float, lat0: float,
+                lat1: float, lat2: float):
+    """Ellipsoidal Lambert Conformal Conic, 2 standard parallels
+    (Snyder PP1395 eqs 15-1..15-10): (lon, lat) degrees → metres."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    n, F, rho0 = _lcc_consts(lat0, lat1, lat2)
+    t = _t_snyder(np.radians(lat))
+    rho = A * F * t ** n
+    theta = n * np.radians(lon - lon0)
+    return rho * np.sin(theta), rho0 - rho * np.cos(theta)
+
+
+def lcc_inverse(x, y, lon0: float, lat0: float,
+                lat1: float, lat2: float):
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n, F, rho0 = _lcc_consts(lat0, lat1, lat2)
+    rho = np.sign(n) * np.sqrt(x * x + (rho0 - y) ** 2)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * (rho0 - y))
+    t = (rho / (A * F)) ** (1.0 / n)
+    # Snyder 7-9 / 15-3 iteration: phi from conformal t
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        sin_p = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - E * sin_p) / (1 + E * sin_p)) ** (E / 2))
+    return lon0 + np.degrees(theta / n), np.degrees(phi)

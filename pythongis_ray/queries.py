@@ -3292,6 +3292,45 @@ def q_warp_utm(sf_dir: str):
     return out.select_columns(["dcell", "band", "nodata"])
 
 
+def q_reproject_conic(sf_dir: str):
+    """Per-point Albers Equal-Area Conic + Lambert Conformal Conic
+    (CONUS parameters, Snyder ellipsoidal 2SP, geom/proj.py) over the
+    customer points — the conic national-grid workflow (rows-only:
+    transcendental series; correctness is locked by the
+    invariant-based unit tests: exact local equal-area for Albers,
+    conformality + unit scale on standard parallels for LCC)."""
+    from pythongis_ray.geom import proj as _proj
+
+    cpts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = np.clip(batch["lat"].to_numpy(zero_copy_only=False),
+                      -85.0, 85.0)
+        ax, ay = _proj.albers_forward(lon, lat, -96.0, 23.0, 29.5, 45.5)
+        lx, ly = _proj.lcc_forward(lon, lat, -96.0, 23.0, 33.0, 45.0)
+        return pa.table({"ck": batch["ck"],
+                         "albers_x": pa.array(ax), "albers_y": pa.array(ay),
+                         "lcc_x": pa.array(lx), "lcc_y": pa.array(ly)})
+
+    return cpts.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+def q_warp_albers(sf_dir: str):
+    """Raster mesh warp lonlat → CONUS Albers through the generalized
+    projected-warp path (rows-only, same protocol as warp_utm; value
+    parity covered by the lat-field reproduction unit test)."""
+    from pythongis_ray import raster
+
+    src = raster.make_raster(lambda lon, lat, b: lat.astype(np.float32),
+                             res=2)
+    out = raster.warp_to_projection(
+        _rd().from_pandas(src), src_res=2, crs="albers:-96,23,29.5,45.5",
+        x_min=-1_200_000.0, y_min=800_000.0, cell_m=20_000.0,
+        width_px=4 * 64, height_px=4 * 64)
+    return out.select_columns(["dcell", "band", "nodata"])
+
+
 def q_dedup_near_embed(sf_dir: str):
     """Nearest-neighbor (rank-1) per query over the quantized-dot
     metric — the per-doc "closest near-dup" view of the embedding
@@ -14525,6 +14564,8 @@ REGISTRY: dict[str, tuple] = {
     "resample_bilinear": (q_resample_bilinear, None),
     "warp_mercator": (q_warp_mercator, None),
     "warp_utm": (q_warp_utm, None),
+    "reproject_conic": (q_reproject_conic, None),
+    "warp_albers": (q_warp_albers, None),
     "dedup_near_embed": (q_dedup_near_embed, SQL_DEDUP_NEAR_EMBED),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "gpkg_roundtrip": (q_gpkg_roundtrip, SQL_GPKG_ROUNDTRIP),

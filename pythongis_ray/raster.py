@@ -656,6 +656,26 @@ def crs_wkt(crs: str) -> str:
                 f'PARAMETER["longitude_of_center",{lon0:g}],'
                 'PARAMETER["false_easting",0],'
                 'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    if crs.startswith("albers:"):
+        lon0, lat0, lat1, lat2 = (float(v) for v in crs[7:].split(","))
+        return ('PROJCS["Albers Equal Area Conic",' + _WKT_WGS84 + ","
+                'PROJECTION["Albers_Conic_Equal_Area"],'
+                f'PARAMETER["latitude_of_center",{lat0:g}],'
+                f'PARAMETER["longitude_of_center",{lon0:g}],'
+                f'PARAMETER["standard_parallel_1",{lat1:g}],'
+                f'PARAMETER["standard_parallel_2",{lat2:g}],'
+                'PARAMETER["false_easting",0],'
+                'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    if crs.startswith("lcc:"):
+        lon0, lat0, lat1, lat2 = (float(v) for v in crs[4:].split(","))
+        return ('PROJCS["Lambert Conformal Conic 2SP",' + _WKT_WGS84 + ","
+                'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+                f'PARAMETER["latitude_of_origin",{lat0:g}],'
+                f'PARAMETER["central_meridian",{lon0:g}],'
+                f'PARAMETER["standard_parallel_1",{lat1:g}],'
+                f'PARAMETER["standard_parallel_2",{lat2:g}],'
+                'PARAMETER["false_easting",0],'
+                'PARAMETER["false_northing",0],UNIT["metre",1]]')
     raise ValueError(f"unsupported crs token {crs!r}")
 
 
@@ -752,6 +772,20 @@ def read_prj(path: str) -> str:
         lat0 = re.search(r'latitude_of_center"?\s*,\s*(-?[\d.]+)', wkt)
         lon0 = re.search(r'longitude_of_center"?\s*,\s*(-?[\d.]+)', wkt)
         return f"laea:{float(lon0.group(1)):g},{float(lat0.group(1)):g}"
+    if "Albers_Conic_Equal_Area" in wkt or "Lambert_Conformal_Conic" in wkt:
+        lat0 = re.search(r'latitude_of_(?:center|origin)"?\s*,\s*(-?[\d.]+)',
+                         wkt)
+        lon0 = re.search(
+            r'(?:longitude_of_center|central_meridian)"?\s*,\s*(-?[\d.]+)',
+            wkt)
+        sp1 = re.search(r'standard_parallel_1"?\s*,\s*(-?[\d.]+)', wkt)
+        sp2 = re.search(r'standard_parallel_2"?\s*,\s*(-?[\d.]+)', wkt)
+        if lat0 and lon0 and sp1:
+            kind = ("albers" if "Albers_Conic_Equal_Area" in wkt else "lcc")
+            p2 = float(sp2.group(1)) if sp2 else float(sp1.group(1))
+            return (f"{kind}:{float(lon0.group(1)):g},"
+                    f"{float(lat0.group(1)):g},"
+                    f"{float(sp1.group(1)):g},{p2:g}")
     if "GEOGCS" in wkt and "WGS" in wkt and "PROJCS" not in wkt:
         return "wgs84"
     # foreign CRS: carry it structurally (parse → canonical WKT) so
@@ -1939,6 +1973,18 @@ def _proj_pair(crs: str):
         lon0, lat0 = (float(v) for v in crs[5:].split(","))
         return (lambda lon, lat: _proj.laea_forward(lon, lat, lon0, lat0),
                 lambda x, y: _proj.laea_inverse(x, y, lon0, lat0))
+    if crs.startswith("albers:"):
+        from pythongis_ray.geom import proj as _proj
+
+        p = tuple(float(v) for v in crs[7:].split(","))
+        return (lambda lon, lat: _proj.albers_forward(lon, lat, *p),
+                lambda x, y: _proj.albers_inverse(x, y, *p))
+    if crs.startswith("lcc:"):
+        from pythongis_ray.geom import proj as _proj
+
+        p = tuple(float(v) for v in crs[4:].split(","))
+        return (lambda lon, lat: _proj.lcc_forward(lon, lat, *p),
+                lambda x, y: _proj.lcc_inverse(x, y, *p))
     raise ValueError(f"unsupported warp crs {crs!r}")
 
 

@@ -414,16 +414,20 @@ def webmercator_to_lonlat(x: np.ndarray, y: np.ndarray):
 def reproject(ds, direction: str = "to_webmercator",
               lon_col: str = "lon", lat_col: str = "lat",
               x_col: str = "x", y_col: str = "y",
-              zone: int = 31, lon0: float = 10.0, lat0: float = 52.0):
+              zone: int = 31, lon0: float = 10.0, lat0: float = 52.0,
+              lat1: float = 33.0, lat2: float = 45.0):
     """Vectorized coordinate reprojection stage. Directions:
     ``to_webmercator``/``from_webmercator`` (spherical),
     ``to_utm``/``from_utm`` (Snyder ellipsoidal TM, ``zone``;
     inverse assumes northern hemisphere unless a ``northern`` column
     is present), ``to_laea``/``from_laea`` (ellipsoidal equal-area
-    centred at ``lon0``/``lat0``). The general-CRS engine of the
-    reference is pyproj (absent here); these cover the common
-    projected workflows (web tiles, metric zones, equal-area
-    statistics)."""
+    centred at ``lon0``/``lat0``), ``to_albers``/``from_albers``
+    (ellipsoidal Albers Equal-Area Conic, standard parallels
+    ``lat1``/``lat2``), ``to_lcc``/``from_lcc`` (ellipsoidal Lambert
+    Conformal Conic, 2SP). The general-CRS engine of the reference is
+    pyproj (absent here); these cover the common projected workflows
+    (web tiles, metric zones, equal-area statistics, conic national
+    grids)."""
     from pythongis_ray.geom import proj as _proj
 
     def fwd(batch: pa.Table) -> pa.Table:
@@ -433,6 +437,10 @@ def reproject(ds, direction: str = "to_webmercator",
             x, y = lonlat_to_webmercator(lon, lat)
         elif direction == "to_utm":
             x, y = _proj.utm_forward(lon, lat, zone)
+        elif direction == "to_albers":
+            x, y = _proj.albers_forward(lon, lat, lon0, lat0, lat1, lat2)
+        elif direction == "to_lcc":
+            x, y = _proj.lcc_forward(lon, lat, lon0, lat0, lat1, lat2)
         else:  # to_laea
             x, y = _proj.laea_forward(lon, lat, lon0, lat0)
         batch = batch.append_column(x_col, pa.array(x))
@@ -447,6 +455,10 @@ def reproject(ds, direction: str = "to_webmercator",
             northern = (batch["northern"].to_numpy(zero_copy_only=False)
                         if "northern" in batch.column_names else True)
             lon, lat = _proj.utm_inverse(x, y, zone, northern=northern)
+        elif direction == "from_albers":
+            lon, lat = _proj.albers_inverse(x, y, lon0, lat0, lat1, lat2)
+        elif direction == "from_lcc":
+            lon, lat = _proj.lcc_inverse(x, y, lon0, lat0, lat1, lat2)
         else:  # from_laea
             lon, lat = _proj.laea_inverse(x, y, lon0, lat0)
         batch = batch.append_column(lon_col, pa.array(lon))
@@ -455,7 +467,9 @@ def reproject(ds, direction: str = "to_webmercator",
     if direction == "to_lonlat":     # legacy name for the inverse
         direction = "from_webmercator"
     if direction not in ("to_webmercator", "to_utm", "to_laea",
-                         "from_webmercator", "from_utm", "from_laea"):
+                         "to_albers", "to_lcc",
+                         "from_webmercator", "from_utm", "from_laea",
+                         "from_albers", "from_lcc"):
         raise ValueError(f"unsupported direction {direction!r}")
     return ds.map_batches(fwd if direction.startswith("to_") else inv,
                           batch_format="pyarrow", batch_size=65536)

@@ -643,3 +643,74 @@ def test_min_enclosing_circle_vs_bruteforce():
     assert algo.min_enclosing_circle(np.array([[3, 4]])) == (3, 4, 1, 0)
     assert algo.min_enclosing_circle(
         np.array([[0, 0], [2, 2], [6, 6]])) == (3, 3, 1, 18)
+
+
+class TestConicProjections:
+    """geom.proj Albers Equal-Area Conic + Lambert Conformal Conic
+    (Snyder PP1395 ch. 14/15, ellipsoidal 2SP). Verified against the
+    projections' DEFINING invariants — properties no wrong formula
+    satisfies: exact local equal-area (Albers), local conformality +
+    unit scale on both standard parallels (both)."""
+
+    ALB = (-96.0, 23.0, 29.5, 45.5)        # CONUS Albers
+    LCC = (-96.0, 23.0, 33.0, 45.0)
+
+    def test_roundtrips(self):
+        from pythongis_ray.geom import proj
+        rng = np.random.default_rng(1)
+        lon = rng.uniform(-120, -70, 1000)
+        lat = rng.uniform(20, 50, 1000)
+        for fwd, inv, args in (
+                (proj.albers_forward, proj.albers_inverse, self.ALB),
+                (proj.lcc_forward, proj.lcc_inverse, self.LCC)):
+            x, y = fwd(lon, lat, *args)
+            lon2, lat2 = inv(x, y, *args)
+            assert np.abs(lon2 - lon).max() < 1e-9
+            assert np.abs(lat2 - lat).max() < 1e-9
+
+    def test_albers_equal_area_invariant(self):
+        from pythongis_ray.geom import proj
+        dl = 1e-3
+        for lam, phi in ((-100.0, 35.0), (-80.0, 28.0), (-110.0, 47.0)):
+            cl = np.array([lam, lam + dl, lam + dl, lam])
+            cp = np.array([phi, phi, phi + dl, phi + dl])
+            x, y = proj.albers_forward(cl, cp, *self.ALB)
+            planar = 0.5 * abs(np.dot(x, np.roll(y, -1))
+                               - np.dot(y, np.roll(x, -1)))
+            q1 = proj._q_authalic(np.sin(np.radians(phi)))
+            q2 = proj._q_authalic(np.sin(np.radians(phi + dl)))
+            ell = proj.A ** 2 / 2 * np.radians(dl) * (q2 - q1)
+            assert abs(planar / ell - 1) < 1e-6
+
+    def test_lcc_conformal_invariant(self):
+        from pythongis_ray.geom import proj
+        d = 1e-6
+        for lam, phi in ((-100.0, 35.0), (-85.0, 44.0)):
+            x0, y0 = proj.lcc_forward(lam, phi, *self.LCC)
+            xl, yl = proj.lcc_forward(lam + d, phi, *self.LCC)
+            xp, yp = proj.lcc_forward(lam, phi + d, *self.LCC)
+            sin_p = np.sin(np.radians(phi))
+            N = proj.A / np.sqrt(1 - proj.E2 * sin_p ** 2)
+            M = proj.A * (1 - proj.E2) / (1 - proj.E2 * sin_p ** 2) ** 1.5
+            kl = np.hypot(xl - x0, yl - y0) \
+                / (np.radians(d) * N * np.cos(np.radians(phi)))
+            kp = np.hypot(xp - x0, yp - y0) / (np.radians(d) * M)
+            assert abs(kl / kp - 1) < 1e-6      # isotropic scale
+            cosang = ((xl - x0) * (xp - x0) + (yl - y0) * (yp - y0)) \
+                / (np.hypot(xl - x0, yl - y0) * np.hypot(xp - x0, yp - y0))
+            assert abs(cosang) < 1e-6           # meridian ⟂ parallel
+
+    def test_unit_scale_on_standard_parallels(self):
+        from pythongis_ray.geom import proj
+        d = 1e-6
+        for fwd, args, (p1, p2) in (
+                (proj.albers_forward, self.ALB, (29.5, 45.5)),
+                (proj.lcc_forward, self.LCC, (33.0, 45.0))):
+            for phi_s in (p1, p2):
+                x0, y0 = fwd(-96.0, phi_s, *args)
+                xl, yl = fwd(-96.0 + d, phi_s, *args)
+                sin_p = np.sin(np.radians(phi_s))
+                N = proj.A / np.sqrt(1 - proj.E2 * sin_p ** 2)
+                k = np.hypot(xl - x0, yl - y0) \
+                    / (np.radians(d) * N * np.cos(np.radians(phi_s)))
+                assert abs(k - 1) < 1e-7

@@ -423,3 +423,11 @@ def test_gif_raster_roundtrip_and_tiles():
             assert np.array_equal(back[b], g)
         tiles = raster.gif_to_tiles(f"{d}/g.gif", res=5)
         assert set(tiles["band"]) == {0, 1, 2}
+
+
+def test_prj_conic_tokens_roundtrip(tmp_path):
+    """albers:/lcc: CRS tokens → WKT .prj → token round-trip."""
+    for crs in ("albers:-96,23,29.5,45.5", "lcc:-96,23,33,45"):
+        p = str(tmp_path / "c.prj")
+        raster.write_prj(p, crs)
+        assert raster.read_prj(p) == crs

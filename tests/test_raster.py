@@ -551,3 +551,35 @@ def test_warp_to_laea_round_trip(ray_session):
     _, lat_exp = proj_.laea_inverse(xm, ym, 10.0, 52.0)
     a = raster.bytes_to_tile(row.tile, t)
     assert np.allclose(a, lat_exp, atol=0.05)
+
+
+def test_warp_to_albers_and_lcc(ray_session):
+    """Generalized projected warp through the new conic CRS tokens:
+    destination pixels reproduce their own inverse projection."""
+    import ray.data as rd
+
+    from pythongis_ray.geom import proj as proj_
+
+    src = raster.make_raster(lambda lon, lat, b: lat.astype(np.float32),
+                             res=2)
+    t = raster.TILE
+    for crs, inv in (
+            ("albers:-96,23,29.5,45.5",
+             lambda x, y: proj_.albers_inverse(x, y, -96.0, 23.0,
+                                               29.5, 45.5)),
+            ("lcc:-96,23,33,45",
+             lambda x, y: proj_.lcc_inverse(x, y, -96.0, 23.0,
+                                            33.0, 45.0))):
+        x_min, y_min, cell = -800_000.0, 1_000_000.0, 25_000.0
+        out = raster.warp_to_projection(
+            rd.from_pandas(src), src_res=2, crs=crs,
+            x_min=x_min, y_min=y_min, cell_m=cell,
+            width_px=t, height_px=t).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        xs = x_min + (np.arange(t) + 0.5) * cell
+        ys = y_min + (np.arange(t) + 0.5) * cell
+        xm, ym = np.meshgrid(xs, ys)
+        _, lat_exp = inv(xm, ym)
+        a = raster.bytes_to_tile(row.tile, t)
+        assert np.allclose(a, lat_exp, atol=0.05)

@@ -276,3 +276,22 @@ def test_buffer_point_matches_buffer_points(ray_session):
     pp = algo.PreparedPolygon(g["rings"], g.get("ring_part"))
     assert pp.covers_points(np.array([3.0]), np.array([5.8]))[0]
     assert not pp.covers_points(np.array([3.0]), np.array([6.1]))[0]
+
+
+def test_reproject_albers_lcc_roundtrip(ray_session):
+    import ray.data as rd
+
+    from pythongis_ray import vector
+
+    df = pd.DataFrame({"lon": np.linspace(-110, -80, 50),
+                       "lat": np.linspace(25, 48, 50)})
+    for kind in ("albers", "lcc"):
+        ds = vector.reproject(rd.from_pandas(df), f"to_{kind}",
+                              lon0=-96.0, lat0=23.0, lat1=29.5, lat2=45.5)
+        back = vector.reproject(
+            ds.drop_columns(["lon", "lat"]), f"from_{kind}",
+            lon0=-96.0, lat0=23.0, lat1=29.5, lat2=45.5).to_pandas()
+        assert np.abs(back["lon"].to_numpy() - df["lon"].to_numpy()).max() \
+            < 1e-9
+        assert np.abs(back["lat"].to_numpy() - df["lat"].to_numpy()).max() \
+            < 1e-9
