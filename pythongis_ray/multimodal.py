@@ -178,6 +178,11 @@ class DecodeImage:
             return _jpeg.decode_jpeg_bytes(payload)
         if payload[:6] in _gif.GIF_MAGICS:
             return _gif.decode_gif_bytes(payload)[0][0]   # first frame
+        if payload[:2] in (b"II", b"MM") and len(payload) > 4 \
+                and payload[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+            arr, _meta = _raster.decode_tiff_bytes(payload)
+            px = arr if arr.ndim == 3 else arr[None]      # (bands, h, w)
+            return np.clip(np.moveaxis(px, 0, 2), 0, 255).astype(np.uint8)
         if w and h and c and len(payload) == w * h * c:
             # already a raw pixel tensor of the declared shape (e.g. a
             # frame emitted by SampleFrames) — no codec involved

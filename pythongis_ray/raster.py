@@ -293,10 +293,16 @@ def read_geotiff(path: str):
     (bands, h, w) float64 for multiband (e.g. RGB); meta has
     ``transform`` = (x0, px, y0, py) with lon = x0 + (col+0.5)*px,
     lat = y0 - (row+0.5)*py, ``nodata`` and ``bands``."""
-    import struct
-
     with open(path, "rb") as f:
         data = f.read()
+    return decode_tiff_bytes(data)
+
+
+def decode_tiff_bytes(data: bytes):
+    """TIFF/GeoTIFF bytes → (array, meta); the in-memory core of
+    :func:`read_geotiff` (also the multimodal TIFF decode kernel)."""
+    import struct
+
     bo = "<" if data[:2] == b"II" else ">"
     (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
     t = _tiff_read_ifd(data, bo, ifd_off)

@@ -510,3 +510,38 @@ def test_gif_anim_video_frame_sampling(ray_session):
             df.loc[df.id == row["id"], "payload"].iloc[0])
         got = np.frombuffer(row["payload"], np.uint8).reshape(12, 16, 3)
         assert np.array_equal(got, src[row["frame_idx"]])
+
+
+def test_tiff_payload_decodes_in_image_stage(ray_session):
+    """TIFF payloads (web images, scanned maps) decode for REAL in
+    DecodeImage via raster.decode_tiff_bytes — uint8 RGB bit-exact."""
+    import tempfile
+
+    import ray.data as rd
+
+    from pythongis_ray import multimodal as mm, raster
+
+    rng = np.random.default_rng(9)
+    srcs = [rng.integers(0, 256, (3, 20, 30), dtype=np.uint8)
+            for _ in range(3)]
+    payloads = []
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        for i, s in enumerate(srcs):
+            p = f"{d}/x{i}.tif"
+            raster.write_geotiff(p, s, (0.0, 1.0, 20.0, 1.0),
+                                 compression="deflate")
+            payloads.append(open(p, "rb").read())
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "id": np.arange(3, dtype=np.int64), "kind": ["image"] * 3,
+        "payload": payloads,
+        "meta_w": np.zeros(3, np.int32), "meta_h": np.zeros(3, np.int32),
+        "meta_channels": np.zeros(3, np.int32)})
+    out = rd.from_pandas(df).map_batches(
+        mm.DecodeImage, batch_size=4, batch_format="pyarrow",
+        concurrency=1, fn_constructor_kwargs={"fake": False}).to_pandas()
+    assert (out.meta_w == 30).all() and (out.meta_h == 20).all()
+    for _, row in out.iterrows():
+        got = np.frombuffer(row["pixels"], np.uint8).reshape(20, 30, 3)
+        assert np.array_equal(got, np.moveaxis(srcs[int(row["id"])], 0, 2))
