@@ -256,10 +256,38 @@ def run_benchmarks() -> dict:
                   lambda: q.q_typo_pairs(SF_DIR).count())
     extras["typo_pairs"] = ntypo
 
+    # 16. multimodal image decode: 2k mixed REAL payloads (PNG +
+    # JPEG + GIF + BMP, clean-room codecs) through the DecodeImage
+    # actor pool → resize → perceptual features. Synthesis (ENCODE on
+    # the driver) is untimed — the measured stage is the distributed
+    # decode path a WARC-derived media table would hit.
+    from pythongis_ray import multimodal as mm
+
+    base = pd.concat([
+        mm.synthesize_media(128, kind="png", seed=1),
+        mm.synthesize_media(128, kind="jpg", seed=2),
+        mm.synthesize_media(128, kind="gif", seed=3),
+        mm.synthesize_media(128, kind="bmp", seed=4),
+    ], ignore_index=True)
+    media = pd.concat([base] * 4, ignore_index=True)   # 2048 rows
+    media["id"] = range(len(media))
+    media_ds = rd.from_pandas(media).repartition(16).materialize()
+
+    def image_decode_bench():
+        # stateless codec stages ride the warm task pool (actors=True
+        # is for stages that hold real per-actor state, e.g. model
+        # weights; fresh actor pools pay seconds of process spawn)
+        return mm.image_pipeline(media_ds, fake=False,
+                                 actors=False).count()
+
+    nimg = timed("image_decode_2k", image_decode_bench)
+    extras["images_decoded"] = nimg
+    extras["images_per_sec"] = round(nimg / timings["image_decode_2k"], 1)
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
-        "metric": "headline pipeline suite wall time (15 stages: spatial joins, flagship, graph, dedup, windows)",
+        "metric": "headline pipeline suite wall time (16 stages: spatial joins, flagship, graph, dedup, windows, multimodal)",
         "value": total,
         "unit": "sec",
         "queries": timings,

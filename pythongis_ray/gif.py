@@ -25,35 +25,21 @@ GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
     """GIF variable-width LZW → index stream. Codes are packed
-    LSB-first; dictionary resets on CLEAR, caps at 4096."""
+    LSB-first; dictionary resets on CLEAR, caps at 4096. The table
+    holds materialized byte strings so each code emits with one
+    C-level concat instead of a per-byte chain walk."""
     clear = 1 << min_code_size
     end = clear + 1
-    # dictionary as flat bytes + per-entry (prev, first_byte) links
-    prefix = np.full(4096, -1, np.int32)
-    suffix = np.zeros(4096, np.uint8)
-    first = np.zeros(4096, np.uint8)
-    for i in range(clear):
-        suffix[i] = first[i] = i
-
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
     out = bytearray()
     bitbuf = 0
     nbits = 0
     width = min_code_size + 1
-    next_code = end + 1
-    prev = -1
+    prev = None
     pos = 0
     n = len(data)
-
-    def emit(code: int):
-        # walk the chain backwards, then reverse
-        chain = []
-        c = code
-        while c >= 0:
-            chain.append(suffix[c])
-            c = prefix[c]
-        out.extend(chain[::-1])
-
-    while pos < n or nbits >= width:
+    while True:
         while nbits < width and pos < n:
             bitbuf |= data[pos] << nbits
             nbits += 8
@@ -64,31 +50,24 @@ def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
         bitbuf >>= width
         nbits -= width
         if code == clear:
-            next_code = end + 1
+            table = list(base)
             width = min_code_size + 1
-            prev = -1
+            prev = None
             continue
         if code == end:
             break
-        if prev < 0:
-            emit(code)
-            prev = code
-            continue
-        if code < next_code:
-            entry_first = first[code]
-        elif code == next_code:
-            entry_first = first[prev]
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]                # KwKwK
         else:
             raise ValueError("corrupt GIF LZW stream")
-        if next_code < 4096:
-            prefix[next_code] = prev
-            suffix[next_code] = entry_first
-            first[next_code] = first[prev]
-            next_code += 1
-            if next_code == (1 << width) and width < 12:
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
                 width += 1
-        emit(code)
-        prev = code
+        prev = entry
     return bytes(out)
 
 

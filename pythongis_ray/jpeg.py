@@ -132,10 +132,29 @@ def _canonical_codes(bits, vals):
     return out
 
 
+_DECODE_TABLE_CACHE: dict = {}
+
+
 def _decode_table(bits, vals):
-    """(BITS, HUFFVAL) → {(length, code): symbol} for the bit reader."""
-    enc = _canonical_codes(bits, vals)
-    return {(ln, cd): sym for sym, (cd, ln) in enc.items()}
+    """(BITS, HUFFVAL) → one 16-bit-peek lookup list: entry i packs
+    ``(symbol << 8) | code_length`` for the canonical code prefixing
+    the 16-bit window i (the classic libjpeg fast-decode table;
+    length 0 marks an invalid prefix). Python-list entries index ~5×
+    faster than numpy scalars in the per-symbol hot loop; tables are
+    memoized — web corpora reuse the same handful of Huffman specs."""
+    key = (tuple(bits), tuple(vals))
+    hit = _DECODE_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut = np.zeros(1 << 16, np.int32)
+    for sym, (code, ln) in _canonical_codes(bits, vals).items():
+        lo = code << (16 - ln)
+        hi = (code + 1) << (16 - ln)
+        lut[lo:hi] = (sym << 8) | ln
+    lut = lut.tolist()
+    if len(_DECODE_TABLE_CACHE) < 64:      # bound worker-side memory
+        _DECODE_TABLE_CACHE[key] = lut
+    return lut
 
 
 class _BitWriter:
@@ -512,36 +531,59 @@ def encode_jpeg_progressive_bytes(px: np.ndarray, quality: int = 90,
 
 
 class _BitReader:
-    """MSB-first bit reader over destuffed scan bytes."""
+    """MSB-first bit reader over destuffed scan bytes with an int
+    accumulator (refilled 8 bytes at a time) and table-driven Huffman
+    decode — a valid stream never reads meaningfully past its end, so
+    the off-the-end refill pads with 1s (T.81 padding)."""
 
-    def __init__(self, data: np.ndarray):
-        self.data = data
-        self.pos = 0
-        self.bit = 0
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data):
+        self.data = bytes(data)
+        self.pos = 0                       # next refill byte
+        self.acc = 0
+        self.n = 0                         # bits held in acc
+
+    def _refill(self, need: int):
+        while self.n < need:
+            chunk = self.data[self.pos:self.pos + 8]
+            if chunk:
+                self.acc = ((self.acc << (8 * len(chunk)))
+                            | int.from_bytes(chunk, "big"))
+                self.n += 8 * len(chunk)
+                self.pos += len(chunk)
+            else:                          # pad past end with 1s
+                self.acc = (self.acc << 16) | 0xFFFF
+                self.n += 16
+        self.acc &= (1 << self.n) - 1
+
+    def read_bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._refill(k)
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
     def read_bit(self) -> int:
-        b = (int(self.data[self.pos]) >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if self.n < 1:
+            self._refill(1)
+        self.n -= 1
+        return (self.acc >> self.n) & 1
 
     def read_symbol(self, table) -> int:
-        code, ln = 0, 0
-        while ln < 17:
-            code = (code << 1) | self.read_bit()
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad Huffman code in scan")
+        if self.n < 16:
+            self._refill(16)
+        e = table[(self.acc >> (self.n - 16)) & 0xFFFF]
+        ln = e & 0xFF
+        if ln == 0:
+            raise ValueError("bad Huffman code in scan")
+        self.n -= ln
+        return e >> 8
+
+    def align_byte(self):
+        """Drop to the next byte boundary (restart-marker re-sync)."""
+        self.n -= self.n % 8
 
 
 def _extend(v: int, s: int) -> int:
@@ -633,20 +675,23 @@ def _decode_scan(br, scan, comps, htabs, mcux, mcuy, restart_interval):
         if is_start:
             if restart_interval and mcu_count and \
                     mcu_count % restart_interval == 0:
-                if br.bit:
-                    br.bit = 0
-                    br.pos += 1
+                # RSTn bytes are already removed from the destuffed
+                # stream; the segment before each was byte-aligned
+                br.align_byte()
                 prev_dc = {cc["id"]: 0 for cc in comps}
                 eobrun = 0
             mcu_count += 1
         blk = c["coef"][bidx]
         if sequential:
+            # build the block as a Python list (scalar numpy writes
+            # are ~10× slower than list ops in this hot loop)
             dct = htabs[(0, c["td"])]
             act = htabs[(1, c["ta"])]
             s = br.read_symbol(dct)
             diff = _extend(br.read_bits(s), s) if s else 0
             prev_dc[c["id"]] += diff
-            blk[0] = prev_dc[c["id"]]
+            lst = [0] * 64
+            lst[0] = prev_dc[c["id"]]
             k = 1
             while k < 64:
                 sym = br.read_symbol(act)
@@ -661,8 +706,9 @@ def _decode_scan(br, scan, comps, htabs, mcux, mcuy, restart_interval):
                 k += run
                 if k > 63:
                     raise ValueError("AC index overflow")
-                blk[k] = _extend(br.read_bits(size), size)
+                lst[k] = _extend(br.read_bits(size), size)
                 k += 1
+            blk[:] = lst
         elif scan.ss == 0:                         # progressive DC
             if scan.ah == 0:                       # first
                 s = br.read_symbol(htabs[(0, c["td"])])
@@ -695,10 +741,14 @@ def _decode_scan(br, scan, comps, htabs, mcux, mcuy, restart_interval):
                 blk[k] = _extend(br.read_bits(s), s) << scan.al
                 k += 1
         else:                                      # progressive AC refine
+            # the band segment as a Python list: this scan reads every
+            # coefficient position, where scalar numpy access dominates
             act = htabs[(1, c["ta"])]
-            k = scan.ss
+            seg = blk[scan.ss:scan.se + 1].tolist()
+            L = len(seg)
+            k = 0
             if eobrun == 0:
-                while k <= scan.se:
+                while k < L:
                     sym = br.read_symbol(act)
                     r, s = sym >> 4, sym & 15
                     if s == 0:
@@ -710,25 +760,28 @@ def _decode_scan(br, scan, comps, htabs, mcux, mcuy, restart_interval):
                         # r == 15: pass over 16 zero-history coefs
                     else:
                         s = p1 if br.read_bit() else m1
-                    while k <= scan.se:            # advance r zeros,
-                        if blk[k] != 0:            # correcting nonzeros
-                            if br.read_bit() and not (blk[k] & p1):
-                                blk[k] += p1 if blk[k] >= 0 else m1
+                    while k < L:                   # advance r zeros,
+                        v = seg[k]                 # correcting nonzeros
+                        if v != 0:
+                            if br.read_bit() and not (v & p1):
+                                seg[k] = v + (p1 if v >= 0 else m1)
                         else:
                             if r == 0:
                                 break
                             r -= 1
                         k += 1
-                    if s and k <= scan.se:
-                        blk[k] = s
+                    if s and k < L:
+                        seg[k] = s
                     k += 1
             if eobrun > 0:                         # EOB band: correct
-                while k <= scan.se:                # remaining nonzeros
-                    if blk[k] != 0:
-                        if br.read_bit() and not (blk[k] & p1):
-                            blk[k] += p1 if blk[k] >= 0 else m1
+                while k < L:                       # remaining nonzeros
+                    v = seg[k]
+                    if v != 0:
+                        if br.read_bit() and not (v & p1):
+                            seg[k] = v + (p1 if v >= 0 else m1)
                     k += 1
                 eobrun -= 1
+            blk[scan.ss:scan.se + 1] = seg
 
 
 def decode_jpeg_bytes(data: bytes) -> np.ndarray:

@@ -824,17 +824,37 @@ def video_pipeline(ds, every: int = 4, fake: bool = True,
 
 
 def image_pipeline(ds, fake: bool = True, concurrency: int = 2,
-                   out_w: int = 16, out_h: int = 16):
-    """decode → resize → featurize as chained actor-pool stages (media
-    stages keep genuine actor pools: a real decoder/model holds codec
-    state / weights per actor)."""
-    ds = ds.map_batches(DecodeImage, fn_constructor_kwargs=dict(fake=fake),
-                        batch_format="pyarrow", batch_size=MEDIA_BATCH_ROWS,
-                        concurrency=concurrency, num_cpus=1)
-    ds = ds.map_batches(ResizeImage,
-                        fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h),
-                        batch_format="pyarrow", batch_size=MEDIA_BATCH_ROWS,
-                        concurrency=concurrency, num_cpus=1)
-    return ds.map_batches(ImageFeatures, batch_format="pyarrow",
-                          batch_size=MEDIA_BATCH_ROWS,
-                          concurrency=concurrency, num_cpus=1)
+                   out_w: int = 16, out_h: int = 16,
+                   actors: bool = True):
+    """decode → resize → featurize. ``actors=True`` chains genuine
+    actor pools (the shape a real model-holding stage needs: weights
+    load once per actor in ``__init__``). ``actors=False`` runs the
+    same callables as stateless map_batches tasks on the
+    already-warm worker pool — the right choice when the stages hold
+    no heavy state, since fresh actor pools pay seconds of process
+    spawn on cold workers (see CLAUDE.md first-touch notes) and fuse
+    with neighbouring task stages."""
+    if actors:
+        ds = ds.map_batches(DecodeImage,
+                            fn_constructor_kwargs=dict(fake=fake),
+                            batch_format="pyarrow",
+                            batch_size=MEDIA_BATCH_ROWS,
+                            concurrency=concurrency, num_cpus=1)
+        ds = ds.map_batches(ResizeImage,
+                            fn_constructor_kwargs=dict(out_w=out_w,
+                                                       out_h=out_h),
+                            batch_format="pyarrow",
+                            batch_size=MEDIA_BATCH_ROWS,
+                            concurrency=concurrency, num_cpus=1)
+        return ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                              batch_size=MEDIA_BATCH_ROWS,
+                              concurrency=concurrency, num_cpus=1)
+    dec, res, fea = (DecodeImage(fake=fake),
+                     ResizeImage(out_w=out_w, out_h=out_h),
+                     ImageFeatures())
+
+    def all_stages(batch: pa.Table) -> pa.Table:
+        return fea(res(dec(batch)))
+
+    return ds.map_batches(all_stages, batch_format="pyarrow",
+                          batch_size=MEDIA_BATCH_ROWS)
