@@ -14446,6 +14446,152 @@ FROM p a JOIN p b
 """
 
 
+# hex grid: offset-row lattice (W even so W/2 is exact); the Voronoi
+# cells of an offset rectangular lattice ARE hexagons, and with
+# integer W/H every nearest-center comparison is an exact int64
+# squared distance — no sqrt(3) floats anywhere (the repo exactness
+# contract, fixtures.py docstring)
+HEX_W, HEX_H = 1024, 886
+
+
+def q_hexbin(sf_dir: str):
+    """Hexagonal binning (the density-map workhorse matplotlib calls
+    hexbin): customer points snap to the nearest center of an
+    offset-row lattice — candidate rows r0-1/r0/r0+1, one rounded
+    column each, exact integer squared-distance pick (ties break to
+    the lowest row, matching the oracle's ORDER BY d2, r, c) — then
+    count + balance-cents sum per hex cell. One bucketed combine."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(b["c_acctbal"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        x, y = fixtures.geocode_units(k * 4 + 1)
+        r0 = (2 * y + HEX_H) // (2 * HEX_H)
+        best_r = np.zeros_like(x)
+        best_c = np.zeros_like(x)
+        best_d = np.full_like(x, np.iinfo(np.int64).max)
+        for dr in (-1, 0, 1):                      # rows ascending:
+            r = r0 + dr                            # first win == min r
+            off = (r & 1) * (HEX_W // 2)
+            c = (2 * (x - off) + HEX_W) // (2 * HEX_W)
+            d2 = (x - (c * HEX_W + off)) ** 2 + (y - r * HEX_H) ** 2
+            better = d2 < best_d
+            best_r = np.where(better, r, best_r)
+            best_c = np.where(better, c, best_c)
+            best_d = np.where(better, d2, best_d)
+        df = pd.DataFrame({"hr": best_r, "hc": best_c, "cents": cents})
+        g = df.groupby(["hr", "hc"], sort=False).agg(
+            n=("cents", "size"), bal_cents=("cents", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["hr", "hc"], sort=False).agg(
+            n=("n", "sum"), bal_cents=("bal_cents", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["bal_cents"] = g["bal_cents"].astype(np.int64)
+        return g
+
+    return bucketed_group_apply(parts, ["hr", "hc"], combine)
+
+
+def SQL_HEXBIN():
+    src = ("(SELECT c_custkey*4+1 AS gk, "
+           "CAST(round(c_acctbal*100) AS BIGINT) AS cents FROM customer)")
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+cand AS (
+  SELECT gk, cents, ix, iy,
+         ((2*iy + {HEX_H}) // (2*{HEX_H})) + dr AS r
+  FROM ge CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dr) _d
+), cc AS (
+  SELECT gk, cents, ix, iy, r,
+         ((2*(ix - (r & 1)*{HEX_W // 2}) + {HEX_W}) // (2*{HEX_W})) AS c
+  FROM cand
+), scored AS (
+  SELECT gk, cents, r, c,
+         (ix - (c*{HEX_W} + (r & 1)*{HEX_W // 2}))
+           * (ix - (c*{HEX_W} + (r & 1)*{HEX_W // 2}))
+         + (iy - r*{HEX_H}) * (iy - r*{HEX_H}) AS d2
+  FROM cc
+), pick AS (
+  SELECT gk, cents, r, c,
+         ROW_NUMBER() OVER (PARTITION BY gk ORDER BY d2, r, c) AS rn
+  FROM scored
+)
+SELECT r AS hr, c AS hc, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS bal_cents
+FROM pick WHERE rn = 1 GROUP BY r, c
+"""
+
+
+def q_radius_gyration(sf_dir: str):
+    """Radius of gyration per user (the mobility-analytics standard:
+    mean squared distance of a user's event locations from their own
+    centroid). Kept EXACT by clearing denominators:
+    rg2_num = n*Σ(x²+y²) − (Σx)² − (Σy)²  (= n² · rg²) in integer
+    lattice units. Map-side partial moments fold per batch; one small
+    per-user combine."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = fixtures.geocode_units(eid * 4 + 1)
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "sx": x, "sy": y, "sq": x * x + y * y})
+        g = df.groupby("user_id", sort=False).agg(
+            n=("sq", "size"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sq=("sq", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id", sort=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sq=("sq", "sum")).reset_index()
+        out = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "n": g["n"].to_numpy(np.int64),
+            "rg2_num": (g["n"].to_numpy(np.int64)
+                        * g["sq"].to_numpy(np.int64)
+                        - g["sx"].to_numpy(np.int64) ** 2
+                        - g["sy"].to_numpy(np.int64) ** 2)})
+        return out
+
+    return bucketed_group_apply(parts, ["user_id"], combine)
+
+
+def SQL_RADIUS_GYRATION():
+    src = "(SELECT user_id, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(ix) AS sx, SUM(iy) AS sy, SUM(ix*ix + iy*iy) AS sq
+  FROM ge GROUP BY user_id)
+SELECT user_id, n,
+       CAST(n*sq - sx*sx - sy*sy AS BIGINT) AS rg2_num
+FROM agg
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -14670,6 +14816,8 @@ REGISTRY: dict[str, tuple] = {
     "zone_width": (q_zone_width, SQL_ZONE_WIDTH),
     "set_cover": (q_set_cover, SQL_SET_COVER),
     "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
+    "hexbin": (q_hexbin, SQL_HEXBIN),
+    "radius_gyration": (q_radius_gyration, SQL_RADIUS_GYRATION),
     "quadtree_leaves": (q_quadtree_leaves, SQL_QUADTREE),
     "st_trend": (q_st_trend, SQL_ST_TREND),
     "gi_star": (q_gi_star, SQL_GI_STAR),
