@@ -143,6 +143,8 @@ def decode_gif_bytes(data: bytes):
     if data[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF")
     w, h, flags, bg, _ = struct.unpack_from("<HHBBB", data, 6)
+    from pythongis_ray.raster import check_decode_dims
+    check_decode_dims(w, h, "GIF")
     pos = 13
     gct = None
     if flags & 0x80:

@@ -1,10 +1,16 @@
-"""Baseline JPEG codec — pure struct+numpy, no PIL.
+"""JPEG codec — pure struct+numpy, no PIL.
 
-Clean-room implementation of ITU-T T.81 baseline sequential DCT
-(SOF0) with the Annex K example quantization/Huffman tables on the
-encode side; the decoder reads whatever DQT/DHT tables the stream
-carries, supports gray + YCbCr with 4:4:4 / 4:2:2 / 4:2:0 chroma
-subsampling, and restart intervals (DRI / RSTn).
+Clean-room implementation of ITU-T T.81: baseline sequential DCT
+(SOF0) AND progressive (SOF2 — spectral selection + successive
+approximation, the dominant web encoding) with the Annex K example
+quantization/Huffman tables on the encode side; the decoder reads
+whatever DQT/DHT tables the stream carries (16-bit-peek LUT Huffman
+decode, memoized), supports gray + YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+chroma subsampling, and restart intervals (DRI / RSTn) in both
+directions. The progressive encoder exists chiefly so the progressive
+decoder is provable in this container: progressive decode of the same
+image is asserted BIT-IDENTICAL to baseline decode (same quantized
+coefficients through a completely different scan structure).
 
 Parity target: the reference loads .jpg rasters through PIL
 (``/root/reference/pythongis/raster/loader.py:236-334``) and georefs
@@ -836,6 +842,8 @@ def decode_jpeg_bytes(data: bytes) -> np.ndarray:
                 bpos += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):         # SOF0/1/2
             h, w = struct.unpack_from(">HH", body, 1)
+            from pythongis_ray.raster import check_decode_dims
+            check_decode_dims(w, h, "JPEG")
             ncomp = body[5]
             comps = []
             for ci in range(ncomp):

@@ -2,14 +2,17 @@
 
 Brief contract: treat media as ``payload: binary`` columns with typed
 metadata; implement decode / feature-extract / resize / frame-sample as
-actor-pool ``map_batches`` stages. PNG and uncompressed BMP images,
-RIFF/WAVE PCM audio, and YUV4MPEG2 (.y4m) video decode for REAL (the
-repo's pure zlib/struct/numpy codecs — no PIL/ffmpeg); formats whose
-codec libraries are NOT in this container (JPEG, MP3/OGG, MP4/WebM)
-keep an explicit stub (``NotImplementedError`` unless ``fake=True``
-selects the deterministic fake decoder) — the Ray-side plumbing
-(schema, batch sizing for wide binary rows, actor signature, output
-layout) is the same either way and is tested on the real paths.
+actor-pool ``map_batches`` stages. PNG, JPEG (baseline + progressive),
+GIF, TIFF and uncompressed BMP images, RIFF/WAVE PCM audio, and
+YUV4MPEG2 (.y4m) + animated-GIF video decode for REAL (the repo's pure
+zlib/struct/numpy codecs — no PIL/ffmpeg); formats whose codec
+libraries are NOT in this container (WebP, MP3/OGG, MP4/WebM) keep an
+explicit stub (``NotImplementedError`` unless ``fake=True`` selects
+the deterministic fake decoder) — the Ray-side plumbing (schema, batch
+sizing for wide binary rows, actor signature, output layout) is the
+same either way and is tested on the real paths. Every decoder is
+guarded by ``raster.check_decode_dims`` (decompression-bomb headers
+raise before allocating).
 
 Schema of a media table:
     id: int64, kind: string('image'|'audio'), payload: binary,
@@ -133,6 +136,8 @@ def decode_bmp_bytes(data: bytes) -> np.ndarray:
         raise ValueError("not a BMP")
     (off,) = struct.unpack_from("<I", data, 10)
     hdr, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    from pythongis_ray.raster import check_decode_dims
+    check_decode_dims(abs(w), abs(h), "BMP")
     if comp != 0 or bpp not in (24, 32):
         raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
     nch = bpp // 8
@@ -151,11 +156,13 @@ def decode_bmp_bytes(data: bytes) -> np.ndarray:
 class DecodeImage:
     """Actor-pool stage: payload → decoded pixel tensor column.
 
-    PNG, baseline JPEG, and uncompressed BMP payloads decode for REAL
-    via the repo's pure-numpy codecs (raster.decode_png_bytes /
-    jpeg.decode_jpeg_bytes / decode_bmp_bytes — no PIL needed);
-    meta_w/h/channels are updated from the decoded shape. Other
-    formats (WebP/GIF etc. — codec libs absent from this container):
+    PNG, JPEG (baseline + progressive), GIF (first frame), TIFF and
+    uncompressed BMP payloads decode for REAL via the repo's
+    pure-numpy codecs (raster.decode_png_bytes / jpeg.decode_jpeg_bytes
+    / gif.decode_gif_bytes / raster.decode_tiff_bytes /
+    decode_bmp_bytes — no PIL needed); meta_w/h/channels are updated
+    from the decoded shape. Other formats (WebP etc. — codec libs
+    absent from this container):
     ``fake=True`` produces a deterministic pseudo-decode
     (payload bytes tiled into the declared (h, w, c) tensor) so
     downstream stages are exercised end to end; ``fake=False`` raises

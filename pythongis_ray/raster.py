@@ -32,6 +32,18 @@ from pythongis_ray.geom import algo, wkb
 TILE = 64  # tile edge in pixels
 NODATA = -9999.0
 
+# decompression-bomb guard (PIL's MAX_IMAGE_PIXELS analogue): web
+# payloads carry attacker-controlled headers; a corrupt/malicious
+# size field must raise BEFORE the allocation, not OOM the worker
+MAX_DECODE_PIXELS = 1 << 28          # 268M px ~ 16384x16384
+
+
+def check_decode_dims(w: int, h: int, what: str = "image"):
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{what} dimensions {w}x{h} outside sane decode bounds "
+            f"(decompression-bomb guard, max {MAX_DECODE_PIXELS} px)")
+
 
 # ------------------------------------------------------------ tile codec
 
@@ -307,6 +319,7 @@ def decode_tiff_bytes(data: bytes):
     (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
     t = _tiff_read_ifd(data, bo, ifd_off)
     w, h = int(t[256]), int(t[257])
+    check_decode_dims(w, h, "TIFF")
     comp = int(t.get(259, 1))
     predictor = int(t.get(317, 1))
     spp = int(t.get(277, 1))
@@ -898,6 +911,7 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
         chunk = data[pos + 8:pos + 8 + ln]
         if typ == b"IHDR":
             w, h, depth, ctype, _, _, inter = struct.unpack(">IIBBBBB", chunk)
+            check_decode_dims(w, h, "PNG")
         elif typ == b"PLTE":
             plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
