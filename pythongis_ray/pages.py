@@ -31,8 +31,13 @@ EPOCH_2024 = 1704067200_000000  # 2024-01-01 in microseconds
 N_SITES = 50
 
 
+N_CDN = 7          # synthetic image CDN hosts (img_hosts oracle)
+IMGS_PER_PAGE = 2
+
+
 def synthesize_pages(batch: pa.Table, replicate: int = 1,
-                     links: bool = False) -> pa.Table:
+                     links: bool = False,
+                     images: bool = False) -> pa.Table:
     """documents batch → pages batch. With ``replicate`` > 1 each doc
     yields `replicate` pages with distinct page ids/urls (deterministic
     upsampling for benchmarks; ids = doc_id * replicate + r).
@@ -43,7 +48,14 @@ def synthesize_pages(batch: pa.Table, replicate: int = 1,
     tree-shaped web where low ids are hubs; page 0 self-loops). The
     anchors are EMPTY (``<a href="..."></a>``) so extract_text still
     yields byte-identical `text` — the north-rule invariant holds with
-    links on. SQL replay of the j-th target: ``doc_id // 2**j``."""
+    links on. SQL replay of the j-th target: ``doc_id // 2**j``.
+
+    With ``images=True`` each page carries IMGS_PER_PAGE ``<img>``
+    tags: the k-th references ``https://cdn{(p+k) % N_CDN}.example/
+    img/{p*IMGS_PER_PAGE+k}.jpg``. ``<img ...>`` is a void tag, so
+    the tag-strip extraction again yields byte-identical text. SQL
+    replay of the k-th ref: cdn = (page_id+k) % N_CDN,
+    img = page_id*IMGS_PER_PAGE + k."""
     doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     text = batch["text"]
     lang = batch["lang"]
@@ -78,6 +90,17 @@ def synthesize_pages(batch: pa.Table, replicate: int = 1,
                 pc.cast(pc.cast(pa.array(t), pa.string()), pa.binary()),
                 pa.array([b'"></a>'] * n, pa.binary()),
             ]
+    if images:
+        for k in range(IMGS_PER_PAGE):
+            cdn = (page_id + k) % N_CDN
+            img = page_id * IMGS_PER_PAGE + k
+            segs += [
+                pa.array([b'<img src="https://cdn'] * n, pa.binary()),
+                pc.cast(pc.cast(pa.array(cdn), pa.string()), pa.binary()),
+                pa.array([b".example/img/"] * n, pa.binary()),
+                pc.cast(pc.cast(pa.array(img), pa.string()), pa.binary()),
+                pa.array([b'.jpg">'] * n, pa.binary()),
+            ]
     segs.append(pa.array([b"</body></html>"] * len(page_id), pa.binary()))
     html = pc.binary_join_element_wise(*segs, b"")
     return pa.table({
@@ -104,7 +127,8 @@ def geocode_pages(batch: pa.Table, res: int = grid.DEFAULT_RES) -> pa.Table:
 
 
 def pages_dataset(sf_dir: str, replicate: int = 1, geocode: bool = True,
-                  columns: list[str] | None = None, links: bool = False):
+                  columns: list[str] | None = None, links: bool = False,
+                  images: bool = False):
     """read documents.parquet → pages Dataset (lazy, streaming)."""
     import ray.data as rd
 
@@ -114,7 +138,8 @@ def pages_dataset(sf_dir: str, replicate: int = 1, geocode: bool = True,
     # rows AND bytes by R, so the input batch shrinks by R (wide-row
     # memory rule — html ~1 KB/row must not produce GB-sized blocks)
     bs = max(256, 8192 // max(1, replicate))
-    ds = ds.map_batches(lambda b: synthesize_pages(b, replicate, links=links),
+    ds = ds.map_batches(lambda b: synthesize_pages(b, replicate, links=links,
+                                                   images=images),
                         batch_format="pyarrow", batch_size=bs)
     if geocode:
         # batch_size=None → one batch per upstream block. Ray fuses
@@ -197,6 +222,64 @@ def extract_links(batch: pa.Table, html_col: str = "html",
         "src_page": pa.array(src_np[parent]),
         "dst_page": pc.cast(dst, pa.int64()),
         "dst_url": urls,
+    })
+
+
+def extract_image_refs(batch: pa.Table, html_col: str = "html",
+                       src_col: str = "page_id") -> pa.Table:
+    """html → image-reference table ``(page_id, cdn, img_id,
+    img_url)`` — the media-discovery step of a multimodal corpus
+    pipeline (what feeds a fetch stage whose payloads the
+    multimodal codecs then decode). Same fully-vectorized shape as
+    :func:`extract_links`: ONE ``split_pattern('<img src="')``
+    explode + offset arithmetic + regex kernels; pages without images
+    emit no rows."""
+    col = batch[html_col]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    src = batch[src_col]
+    src_arr = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+    if arr.null_count:
+        valid = pc.is_valid(arr)
+        arr = arr.filter(valid)
+        src_arr = src_arr.filter(valid)
+    s = pc.cast(arr, pa.string())
+    lists = pc.split_pattern(s, '<img src="')
+    counts = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    total = int(counts.sum())
+    empty = pa.table({"page_id": pa.array([], pa.int64()),
+                      "cdn": pa.array([], pa.int64()),
+                      "img_id": pa.array([], pa.int64()),
+                      "img_url": pa.array([], pa.string())})
+    if total == 0:
+        return empty
+    flat = pc.list_flatten(lists)
+    parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    keep = np.ones(total, dtype=bool)
+    keep[starts] = False               # pre-first-img prefix per doc
+    idx = np.nonzero(keep)[0]
+    if len(idx) == 0:
+        return empty
+    tails = flat.take(pa.array(idx))
+    parent = parent[keep]
+    urls = pc.struct_field(pc.extract_regex(tails, r'^(?P<u>[^"]*)"'), "u")
+    cdn = pc.struct_field(
+        pc.extract_regex(urls, r"^https://cdn(?P<c>[0-9]+)\."), "c")
+    img = pc.struct_field(
+        pc.extract_regex(urls, r"/(?P<i>[0-9]+)\.[A-Za-z0-9]+$"), "i")
+    ok = pc.and_kleene(pc.is_valid(cdn), pc.is_valid(img))
+    ok_np = ok.to_numpy(zero_copy_only=False).astype(bool)
+    if not ok_np.all():
+        sel = pa.array(np.nonzero(ok_np)[0])
+        urls, cdn, img = urls.take(sel), cdn.take(sel), img.take(sel)
+        parent = parent[ok_np]
+    src_np = src_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "page_id": pa.array(src_np[parent]),
+        "cdn": pc.cast(cdn, pa.int64()),
+        "img_id": pc.cast(img, pa.int64()),
+        "img_url": urls,
     })
 
 

@@ -14577,6 +14577,61 @@ def q_radius_gyration(sf_dir: str):
     return bucketed_group_apply(parts, ["user_id"], combine)
 
 
+def q_img_hosts(sf_dir: str):
+    """Media discovery over the synthetic web: pages synthesize
+    <img src="https://cdn{(p+k)%7}.example/img/{2p+k}.jpg"> tags
+    (void tags — text byte-identity preserved), the vectorized
+    ``pages.extract_image_refs`` kernel pulls them back OUT of the
+    html, and per-CDN stats aggregate (the fetch-planning step of a
+    multimodal corpus pipeline). Oracle = deterministic generator
+    replay (the pagerank-links pattern): the extraction is verified
+    because its output must match the generator bit-for-bit."""
+    from pythongis_ray import pages
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, images=True,
+                             columns=["page_id", "html"])
+    refs = ds.map_batches(pages.extract_image_refs,
+                          batch_format="pyarrow", batch_size=4096)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "cdn": b["cdn"].to_numpy(zero_copy_only=False),
+            "img_id": b["img_id"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("cdn", sort=False).agg(
+            n=("img_id", "size"), min_img=("img_id", "min"),
+            max_img=("img_id", "max"),
+            sum_img=("img_id", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = refs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("cdn", sort=False).agg(
+            n=("n", "sum"), min_img=("min_img", "min"),
+            max_img=("max_img", "max"),
+            sum_img=("sum_img", "sum")).reset_index()
+        for c in ("n", "min_img", "max_img", "sum_img"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return bucketed_group_apply(parts, ["cdn"], combine)
+
+
+SQL_IMG_HOSTS = """
+WITH refs AS (
+  SELECT (doc_id + k) % 7 AS cdn, doc_id * 2 + k AS img_id
+  FROM documents CROSS JOIN (SELECT UNNEST([0, 1]) AS k) _k)
+SELECT cdn, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(img_id) AS BIGINT) AS min_img,
+       CAST(MAX(img_id) AS BIGINT) AS max_img,
+       CAST(SUM(img_id) AS BIGINT) AS sum_img
+FROM refs GROUP BY cdn
+"""
+
+
 def SQL_RADIUS_GYRATION():
     src = "(SELECT user_id, event_id*4+1 AS gk FROM events)"
     g = fixtures.sql_geocode("gk").replace("__SRC__", src)
@@ -14818,6 +14873,7 @@ REGISTRY: dict[str, tuple] = {
     "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
     "hexbin": (q_hexbin, SQL_HEXBIN),
     "radius_gyration": (q_radius_gyration, SQL_RADIUS_GYRATION),
+    "img_hosts": (q_img_hosts, SQL_IMG_HOSTS),
     "quadtree_leaves": (q_quadtree_leaves, SQL_QUADTREE),
     "st_trend": (q_st_trend, SQL_ST_TREND),
     "gi_star": (q_gi_star, SQL_GI_STAR),

@@ -84,3 +84,39 @@ def test_checkpoint_write_and_resume(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, df)
     man = checkpoint.read_manifest(out_dir)
     assert man.rows.sum() == 1000
+
+
+def test_images_preserve_text_byte_identity(ray_session):
+    """<img> tags are void: extraction over image-carrying html must
+    yield byte-identical text (the north-rule invariant), and the
+    vectorized extractor must recover every generated ref exactly."""
+    import pyarrow as pa
+
+    from pythongis_ray import pages
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 5, 99], pa.int64()),
+        "text": pa.array(["alpha", "beta <kept", "g&mma", ""],
+                         pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string())})
+    plain = pages.synthesize_pages(docs, links=True)
+    with_img = pages.synthesize_pages(docs, links=True, images=True)
+    import pyarrow.compute as pc
+
+    t1 = pages.extract_text(plain)["text_extracted"]
+    t2 = pages.extract_text(with_img)["text_extracted"]
+    assert t1.to_pylist() == t2.to_pylist()
+    refs = pages.extract_image_refs(with_img).to_pandas() \
+        .sort_values(["page_id", "img_id"]).reset_index(drop=True)
+    assert len(refs) == 4 * pages.IMGS_PER_PAGE
+    for _, r in refs.iterrows():
+        p = int(r.page_id)
+        k = int(r.img_id) - p * pages.IMGS_PER_PAGE
+        assert 0 <= k < pages.IMGS_PER_PAGE
+        assert int(r.cdn) == (p + k) % pages.N_CDN
+        assert r.img_url == (f"https://cdn{(p + k) % pages.N_CDN}"
+                             f".example/img/{r.img_id}.jpg")
+    # links still extract unchanged alongside images
+    e1 = pages.extract_links(plain).to_pandas()
+    e2 = pages.extract_links(with_img).to_pandas()
+    assert e1.equals(e2)
