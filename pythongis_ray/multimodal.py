@@ -153,6 +153,37 @@ def decode_bmp_bytes(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(out)
 
 
+def fetch_synthetic_images(batch: pa.Table, w: int = 16,
+                           h: int = 16) -> pa.Table:
+    """The fetch-stage stand-in for an image-ref table (no network in
+    this container): each ``img_id`` deterministically becomes a REAL
+    PNG payload — a solid (h, w, 3) image with color
+    ``((id*37) % 256, (id*59) % 256, (id*83) % 256)``. Losslessness
+    of the PNG codec makes downstream decode stats exactly
+    SQL-replayable from the color formula (queries.q_media_pixels)."""
+    from pythongis_ray import raster as _raster
+
+    ids = batch["img_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    px = np.empty((h, w, 3), np.uint8)
+    for i in ids:
+        px[:, :, 0] = (i * 37) % 256
+        px[:, :, 1] = (i * 59) % 256
+        px[:, :, 2] = (i * 83) % 256
+        payloads.append(_raster.encode_png_bytes(px))
+    out = pa.table({
+        "img_id": pa.array(ids),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta_w": pa.array(np.full(len(ids), w, np.int32)),
+        "meta_h": pa.array(np.full(len(ids), h, np.int32)),
+        "meta_channels": pa.array(np.full(len(ids), 3, np.int32)),
+    })
+    for name in batch.column_names:
+        if name not in out.column_names:
+            out = out.append_column(name, batch[name])
+    return out
+
+
 class DecodeImage:
     """Actor-pool stage: payload → decoded pixel tensor column.
 

@@ -14632,6 +14632,68 @@ FROM refs GROUP BY cdn
 """
 
 
+def q_media_pixels(sf_dir: str):
+    """END-TO-END multimodal pipeline with a bit-exact oracle:
+    synthesize pages with <img> tags → vectorized ref extraction →
+    "fetch" (each ref becomes a REAL solid-color PNG payload,
+    multimodal.fetch_synthetic_images) → REAL PNG decode
+    (DecodeImage, no fake path) → per-CDN integer pixel stats. PNG is
+    lossless, so the decoded channel values are exactly the color
+    formula ((id*37)%256, (id*59)%256, (id*83)%256) and the whole
+    encode→decode round trip is SQL-replayable — the only codec
+    pipeline in the registry whose bytes the oracle can check."""
+    from pythongis_ray import multimodal as mm, pages
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, images=True,
+                             columns=["page_id", "html"])
+    refs = ds.map_batches(pages.extract_image_refs,
+                          batch_format="pyarrow", batch_size=4096) \
+        .select_columns(["cdn", "img_id"])
+    media = refs.map_batches(mm.fetch_synthetic_images,
+                             batch_format="pyarrow",
+                             batch_size=mm.MEDIA_BATCH_ROWS)
+    dec = mm.DecodeImage(fake=False)
+
+    def decode_stats(b: pa.Table) -> pd.DataFrame:
+        px_rgb = []
+        for payload in b["payload"].to_pylist():
+            a = dec._decode_one(payload, 0, 0, 0)
+            # solid image: every channel is one exact byte value
+            px_rgb.append(int(a[:, :, 0].max()) + int(a[:, :, 1].max())
+                          + int(a[:, :, 2].max()))
+        df = pd.DataFrame({
+            "cdn": b["cdn"].to_numpy(zero_copy_only=False),
+            "rgb": np.asarray(px_rgb, np.int64)})
+        g = df.groupby("cdn", sort=False).agg(
+            n=("rgb", "size"), sum_rgb=("rgb", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = media.map_batches(decode_stats, batch_format="pyarrow",
+                              batch_size=mm.MEDIA_BATCH_ROWS)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("cdn", sort=False).agg(
+            n=("n", "sum"), sum_rgb=("sum_rgb", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_rgb"] = g["sum_rgb"].astype(np.int64)
+        return g
+
+    return bucketed_group_apply(parts, ["cdn"], combine)
+
+
+SQL_MEDIA_PIXELS = """
+WITH refs AS (
+  SELECT (doc_id + k) % 7 AS cdn, doc_id * 2 + k AS img_id
+  FROM documents CROSS JOIN (SELECT UNNEST([0, 1]) AS k) _k)
+SELECT cdn, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((img_id*37) % 256 + (img_id*59) % 256
+                + (img_id*83) % 256) AS BIGINT) AS sum_rgb
+FROM refs GROUP BY cdn
+"""
+
+
 def SQL_RADIUS_GYRATION():
     src = "(SELECT user_id, event_id*4+1 AS gk FROM events)"
     g = fixtures.sql_geocode("gk").replace("__SRC__", src)
@@ -14874,6 +14936,7 @@ REGISTRY: dict[str, tuple] = {
     "hexbin": (q_hexbin, SQL_HEXBIN),
     "radius_gyration": (q_radius_gyration, SQL_RADIUS_GYRATION),
     "img_hosts": (q_img_hosts, SQL_IMG_HOSTS),
+    "media_pixels": (q_media_pixels, SQL_MEDIA_PIXELS),
     "quadtree_leaves": (q_quadtree_leaves, SQL_QUADTREE),
     "st_trend": (q_st_trend, SQL_ST_TREND),
     "gi_star": (q_gi_star, SQL_GI_STAR),
