@@ -14694,6 +14694,134 @@ FROM refs GROUP BY cdn
 """
 
 
+MEDIA_NSAMP = 64       # WAV samples per synthetic clip
+MEDIA_NFRAMES = 4      # Y4M frames per synthetic clip (8x8 gray)
+
+
+def q_media_audio(sf_dir: str):
+    """End-to-end AUDIO pipeline with a bit-exact oracle: image refs
+    double as media ids; each becomes a REAL RIFF/WAVE PCM payload
+    with samples s_j = (id*31 + j*17) % 4096 − 2048 (PCM is
+    lossless), decoded by the real WAV codec, and per-CDN integer
+    sample-sum stats are replayed in SQL over the same formula."""
+    from pythongis_ray import multimodal as mm, pages
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, images=True,
+                             columns=["page_id", "html"])
+    refs = ds.map_batches(pages.extract_image_refs,
+                          batch_format="pyarrow", batch_size=4096) \
+        .select_columns(["cdn", "img_id"])
+
+    j = np.arange(MEDIA_NSAMP, dtype=np.int64)
+
+    def fetch_decode(b: pa.Table) -> pd.DataFrame:
+        ids = b["img_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.empty(len(ids), np.int64)
+        for i, aid in enumerate(ids):
+            wave = ((aid * 31 + j * 17) % 4096 - 2048).astype(np.int16)
+            payload = mm.encode_wav_bytes(wave, 8000)   # the "fetch"
+            got, sr = mm.decode_wav_bytes(payload)      # the REAL decode
+            sums[i] = int(got.astype(np.int64).sum())
+        df = pd.DataFrame({
+            "cdn": b["cdn"].to_numpy(zero_copy_only=False),
+            "s": sums})
+        g = df.groupby("cdn", sort=False).agg(
+            n=("s", "size"), sum_samples=("s", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = refs.map_batches(fetch_decode, batch_format="pyarrow",
+                             batch_size=4096)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("cdn", sort=False).agg(
+            n=("n", "sum"), sum_samples=("sum_samples", "sum")) \
+            .reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_samples"] = g["sum_samples"].astype(np.int64)
+        return g
+
+    return bucketed_group_apply(parts, ["cdn"], combine)
+
+
+SQL_MEDIA_AUDIO = f"""
+WITH refs AS (
+  SELECT (doc_id + k) % 7 AS cdn, doc_id * 2 + k AS aid
+  FROM documents CROSS JOIN (SELECT UNNEST([0, 1]) AS k) _k),
+samp AS (
+  SELECT cdn, aid, (aid*31 + j*17) % 4096 - 2048 AS s
+  FROM refs CROSS JOIN (SELECT UNNEST(range({MEDIA_NSAMP})) AS j) _j)
+SELECT cdn, CAST(COUNT(DISTINCT aid) AS BIGINT) AS n,
+       CAST(SUM(s) AS BIGINT) AS sum_samples
+FROM samp GROUP BY cdn
+"""
+
+
+def q_media_frames(sf_dir: str):
+    """End-to-end VIDEO pipeline with a bit-exact oracle: each media
+    ref becomes a REAL YUV4MPEG2 clip (4 gray 8×8 frames — Cmono is
+    LOSSLESS; pixel p of frame f = (id*13 + f*7 + p) % 256), the real
+    Y4M codec samples every 2nd frame (frames 0 and 2), and per-CDN
+    integer pixel sums replay in SQL over the same formula."""
+    from pythongis_ray import multimodal as mm, pages
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, images=True,
+                             columns=["page_id", "html"])
+    refs = ds.map_batches(pages.extract_image_refs,
+                          batch_format="pyarrow", batch_size=4096) \
+        .select_columns(["cdn", "img_id"])
+
+    p = np.arange(64, dtype=np.int64)
+
+    def fetch_decode(b: pa.Table) -> pd.DataFrame:
+        ids = b["img_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.empty(len(ids), np.int64)
+        for i, vid in enumerate(ids):
+            frames = np.stack([
+                ((vid * 13 + f * 7 + p) % 256).astype(np.uint8)
+                .reshape(8, 8) for f in range(MEDIA_NFRAMES)])
+            payload = mm.encode_y4m_bytes(frames)       # the "fetch"
+            got, w, h, nch = mm.decode_y4m_bytes(       # REAL decode +
+                payload, sel=range(0, MEDIA_NFRAMES, 2))  # frame sample
+            sums[i] = int(got.astype(np.int64).sum())
+        df = pd.DataFrame({
+            "cdn": b["cdn"].to_numpy(zero_copy_only=False),
+            "s": sums})
+        g = df.groupby("cdn", sort=False).agg(
+            n=("s", "size"), sum_px=("s", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = refs.map_batches(fetch_decode, batch_format="pyarrow",
+                             batch_size=4096)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("cdn", sort=False).agg(
+            n=("n", "sum"), sum_px=("sum_px", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_px"] = g["sum_px"].astype(np.int64)
+        return g
+
+    return bucketed_group_apply(parts, ["cdn"], combine)
+
+
+SQL_MEDIA_FRAMES = """
+WITH refs AS (
+  SELECT (doc_id + k) % 7 AS cdn, doc_id * 2 + k AS vid
+  FROM documents CROSS JOIN (SELECT UNNEST([0, 1]) AS k) _k),
+px AS (
+  SELECT cdn, vid, (vid*13 + f*7 + p) % 256 AS v
+  FROM refs
+  CROSS JOIN (SELECT UNNEST([0, 2]) AS f) _f
+  CROSS JOIN (SELECT UNNEST(range(64)) AS p) _p)
+SELECT cdn, CAST(COUNT(DISTINCT vid) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_px
+FROM px GROUP BY cdn
+"""
+
+
 def SQL_RADIUS_GYRATION():
     src = "(SELECT user_id, event_id*4+1 AS gk FROM events)"
     g = fixtures.sql_geocode("gk").replace("__SRC__", src)
@@ -14937,6 +15065,8 @@ REGISTRY: dict[str, tuple] = {
     "radius_gyration": (q_radius_gyration, SQL_RADIUS_GYRATION),
     "img_hosts": (q_img_hosts, SQL_IMG_HOSTS),
     "media_pixels": (q_media_pixels, SQL_MEDIA_PIXELS),
+    "media_audio": (q_media_audio, SQL_MEDIA_AUDIO),
+    "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
     "quadtree_leaves": (q_quadtree_leaves, SQL_QUADTREE),
     "st_trend": (q_st_trend, SQL_ST_TREND),
     "gi_star": (q_gi_star, SQL_GI_STAR),
