@@ -14822,6 +14822,86 @@ FROM px GROUP BY cdn
 """
 
 
+STAY_D2 = 40_000_000_000     # squared units (~200 km on the lattice)
+STAY_MIN = 3                 # >= this many consecutive events per stay
+
+
+def q_stay_points(sf_dir: str):
+    """Stay-point detection (mobility analytics): per user, maximal
+    runs of time-consecutive events where each hop stays within
+    sqrt(STAY_D2) of the PREVIOUS event; runs covering >= STAY_MIN
+    events count as stays. Exact: integer squared hop distances on
+    the lattice; runs found vectorized (flag diff positions — no
+    Python loop over users). One bucketed per-user shuffle (the
+    sessionize assumption)."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        x, y = fixtures.geocode_units(eid * 4 + 1)
+        same_user = np.r_[False, uid[1:] == uid[:-1]]
+        dx = np.r_[0, x[1:] - x[:-1]]
+        dy = np.r_[0, y[1:] - y[:-1]]
+        near = same_user & (dx * dx + dy * dy <= STAY_D2)
+        # runs of `near` flags: a run of length L covers L+1 events
+        starts = np.flatnonzero(near & ~np.r_[False, near[:-1]])
+        ends = np.flatnonzero(near & ~np.r_[near[1:], False])
+        runlen = ends - starts + 1                  # flags per run
+        keep = runlen >= (STAY_MIN - 1)
+        if not keep.any():
+            return pd.DataFrame({"user_id": np.array([], np.int64),
+                                 "n_stays": np.array([], np.int64),
+                                 "stay_events": np.array([], np.int64)})
+        su = uid[starts[keep]]
+        ev = runlen[keep] + 1
+        d = pd.DataFrame({"user_id": su, "ev": ev})
+        out = d.groupby("user_id", sort=False).agg(
+            n_stays=("ev", "size"), stay_events=("ev", "sum")) \
+            .reset_index()
+        out["n_stays"] = out["n_stays"].astype(np.int64)
+        out["stay_events"] = out["stay_events"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(ds, ["user_id"], per_bucket)
+
+
+def SQL_STAY_POINTS():
+    src = "(SELECT user_id, ts, event_id, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+hop AS (
+  SELECT user_id, ts, event_id, ix, iy,
+         LAG(ix) OVER w AS px, LAG(iy) OVER w AS py
+  FROM ge WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+flg AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN px IS NOT NULL
+                   AND (ix-px)*(ix-px) + (iy-py)*(iy-py) <= {STAY_D2}
+              THEN 1 ELSE 0 END AS near
+  FROM hop),
+isl AS (
+  SELECT user_id, near,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, near
+                              ORDER BY ts, event_id) AS grp
+  FROM flg),
+runs AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS flags
+  FROM isl WHERE near = 1 GROUP BY user_id, grp
+  HAVING COUNT(*) >= {STAY_MIN - 1})
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_stays,
+       CAST(SUM(flags + 1) AS BIGINT) AS stay_events
+FROM runs GROUP BY user_id
+"""
+
+
 def SQL_RADIUS_GYRATION():
     src = "(SELECT user_id, event_id*4+1 AS gk FROM events)"
     g = fixtures.sql_geocode("gk").replace("__SRC__", src)
@@ -15063,6 +15143,7 @@ REGISTRY: dict[str, tuple] = {
     "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
     "hexbin": (q_hexbin, SQL_HEXBIN),
     "radius_gyration": (q_radius_gyration, SQL_RADIUS_GYRATION),
+    "stay_points": (q_stay_points, SQL_STAY_POINTS),
     "img_hosts": (q_img_hosts, SQL_IMG_HOSTS),
     "media_pixels": (q_media_pixels, SQL_MEDIA_PIXELS),
     "media_audio": (q_media_audio, SQL_MEDIA_AUDIO),
