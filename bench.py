@@ -265,7 +265,8 @@ def run_benchmarks() -> dict:
 
     base = pd.concat([
         mm.synthesize_media(128, kind="png", seed=1),
-        mm.synthesize_media(128, kind="jpg", seed=2),
+        mm.synthesize_media(64, kind="jpg", seed=2),
+        mm.synthesize_media(64, kind="jpg_prog", seed=5),
         mm.synthesize_media(128, kind="gif", seed=3),
         mm.synthesize_media(128, kind="bmp", seed=4),
     ], ignore_index=True)

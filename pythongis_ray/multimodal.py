@@ -42,7 +42,7 @@ def synthesize_media(n: int = 64, kind: str = "image", payload_bytes: int = 4096
     rows = []
     for i in range(n):
         payload = rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes()
-        if kind in ("png", "bmp", "jpg", "gif"):
+        if kind in ("png", "bmp", "jpg", "jpg_prog", "gif"):
             # REAL encoded payloads for the native codec path
             from pythongis_ray import gif as _gif
             from pythongis_ray import jpeg as _jpeg
@@ -55,6 +55,9 @@ def synthesize_media(n: int = 64, kind: str = "image", payload_bytes: int = 4096
                        else encode_bmp_bytes(px) if kind == "bmp"
                        else _jpeg.encode_jpeg_bytes(px, quality=90)
                        if kind == "jpg"
+                       else _jpeg.encode_jpeg_progressive_bytes(
+                           px, quality=90, subsampling="420")
+                       if kind == "jpg_prog"
                        else _gif.encode_gif_bytes(px))
             rows.append({"id": i, "kind": "image", "payload": payload,
                          "meta_w": np.int32(64), "meta_h": np.int32(48),

@@ -14822,6 +14822,97 @@ FROM px GROUP BY cdn
 """
 
 
+def q_map_match(sf_dir: str):
+    """Map matching (GPS-trace snapping): every event snaps to its
+    single nearest road segment (part-derived horizontal lines,
+    1-in-16 sample of parts as the road set), then per-road load
+    stats (events matched + distinct users). Reuses the knn_lines
+    bit-exact single-division point-to-segment kernel, so the whole
+    snap is mirrored op-for-op in the oracle. Broadcast road set +
+    one bucketed per-road combine — no shuffle of the events."""
+    from pythongis_ray.geom import wkb as _wkb
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id"])
+
+    def to_pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        lon, lat = fixtures.units_to_deg(ix, iy)
+        return pa.table({"user_id": batch["user_id"],
+                         "lon": lon, "lat": lat})
+
+    epts = ds.map_batches(to_pts, batch_format="pyarrow",
+                          batch_size=65536)
+    pp = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pk = pp["p_partkey"].to_numpy().astype(np.int64)
+    pk = pk[pk % 16 == 0]                  # 1-in-16 road sample
+    sid = pk * 8 + 7
+    ix, iy = fixtures.geocode_units(sid)
+    ax, ay = fixtures.units_to_deg(ix, iy)
+    bx, _ = fixtures.units_to_deg(ix + 8000, iy)
+    geoms = [_wkb.encode_linestring(np.array([[x1, y1], [x2, y1]]))
+             for x1, y1, x2 in zip(ax, ay, bx)]
+    right = pd.DataFrame({"sid": sid, "geometry": geoms})
+    nn = spatial.knn_join_geoms(epts, right, k=1, id_col="sid")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"sid": b["nn_id"].to_numpy(np.int64),
+                             "user_id": b["user_id"].to_numpy(np.int64)})
+
+    pairs = nn.map_batches(project, batch_format="pandas")
+
+    def per_road(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("sid", sort=False).agg(
+            n_events=("user_id", "size"),
+            n_users=("user_id", "nunique")).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(pairs, ["sid"], per_road)
+
+
+def SQL_MAP_MATCH():
+    epts = ("(SELECT user_id, event_id*4+1 AS ek FROM events)")
+    g = fixtures.sql_geocode("ek").replace("__SRC__", epts)
+    sroad = ("(SELECT p_partkey*8+7 AS sid FROM part "
+             "WHERE p_partkey % 16 = 0)")
+    gr = fixtures.sql_geocode("sid").replace("__SRC__", sroad)
+    return f"""
+WITH ge AS ({g}),
+epts AS (SELECT user_id, ek, ix / 1024.0 - 180.0 AS lon,
+                iy / 1024.0 - 90.0 AS lat FROM ge),
+sraw AS ({gr}),
+seg AS (SELECT sid, ix / 1024.0 - 180.0 AS axx, iy / 1024.0 - 90.0 AS ayy,
+               (ix + 8000) / 1024.0 - 180.0 AS bxx,
+               iy / 1024.0 - 90.0 AS byy FROM sraw),
+d AS (
+  SELECT e.user_id, e.ek, s.sid,
+         CASE
+           WHEN (e.lon - axx) * (bxx - axx) + (e.lat - ayy) * (byy - ayy) <= 0
+             THEN (e.lon - axx) * (e.lon - axx) + (e.lat - ayy) * (e.lat - ayy)
+           WHEN (e.lon - axx) * (bxx - axx) + (e.lat - ayy) * (byy - ayy)
+                >= (bxx - axx) * (bxx - axx) + (byy - ayy) * (byy - ayy)
+             THEN (e.lon - bxx) * (e.lon - bxx) + (e.lat - byy) * (e.lat - byy)
+           ELSE ((e.lon - axx) * (byy - ayy) - (e.lat - ayy) * (bxx - axx))
+                * ((e.lon - axx) * (byy - ayy) - (e.lat - ayy) * (bxx - axx))
+                / ((bxx - axx) * (bxx - axx) + (byy - ayy) * (byy - ayy))
+         END AS dist_sq
+  FROM epts e CROSS JOIN seg s),
+r AS (
+  SELECT user_id, sid,
+         ROW_NUMBER() OVER (PARTITION BY ek
+                            ORDER BY dist_sq, sid) AS rn
+  FROM d)
+SELECT sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM r WHERE rn = 1 GROUP BY sid
+"""
+
+
 STAY_D2 = 40_000_000_000     # squared units (~200 km on the lattice)
 STAY_MIN = 3                 # >= this many consecutive events per stay
 
@@ -15144,6 +15235,7 @@ REGISTRY: dict[str, tuple] = {
     "hexbin": (q_hexbin, SQL_HEXBIN),
     "radius_gyration": (q_radius_gyration, SQL_RADIUS_GYRATION),
     "stay_points": (q_stay_points, SQL_STAY_POINTS),
+    "map_match": (q_map_match, SQL_MAP_MATCH),
     "img_hosts": (q_img_hosts, SQL_IMG_HOSTS),
     "media_pixels": (q_media_pixels, SQL_MEDIA_PIXELS),
     "media_audio": (q_media_audio, SQL_MEDIA_AUDIO),
