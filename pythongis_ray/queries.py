@@ -14913,6 +14913,53 @@ FROM r WHERE rn = 1 GROUP BY sid
 """
 
 
+def q_render_density(sf_dir: str):
+    """The renderer's density-rasterization core, oracle-checked:
+    customer points scatter onto a 512x256 screen grid through the
+    EXACT pixel mapping render.MapCanvas.to_px uses (floor((lon+180)/
+    360*W) — identical IEEE double ops in numpy and DuckDB), partial
+    count canvases fold associatively, and the output is the
+    pixel-count histogram (how many pixels hold k points)."""
+    from pythongis_ray import render
+
+    m = render.MapCanvas(width=512, height=256)
+    ds = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+
+    def partial(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        col, row, ok = m.to_px(lon, lat)
+        canvas = np.zeros((m.height, m.width), np.int64)
+        np.add.at(canvas, (row[ok], col[ok]), 1)
+        return pa.table({"canvas": pa.array([canvas.tobytes()],
+                                            pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    canvas = render._fold_canvases(parts, m.height, m.width,
+                                   np.int64, "sum")
+    nz = canvas[canvas > 0]
+    k, n = np.unique(nz, return_counts=True)
+    return pd.DataFrame({"points_per_pixel": k.astype(np.int64),
+                         "n_pixels": n.astype(np.int64)})
+
+
+def SQL_RENDER_DENSITY():
+    return f"""
+WITH cpts AS ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")}),
+px AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 512) AS BIGINT) AS c,
+         CAST(FLOOR((90.0 - lat) / 180.0 * 256) AS BIGINT) AS r
+  FROM cpts),
+inb AS (SELECT r, c FROM px
+        WHERE c >= 0 AND c < 512 AND r >= 0 AND r < 256),
+cnt AS (SELECT r, c, COUNT(*) AS k FROM inb GROUP BY r, c)
+SELECT CAST(k AS BIGINT) AS points_per_pixel,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels
+FROM cnt GROUP BY k
+"""
+
+
 STAY_D2 = 40_000_000_000     # squared units (~200 km on the lattice)
 STAY_MIN = 3                 # >= this many consecutive events per stay
 
@@ -15236,6 +15283,7 @@ REGISTRY: dict[str, tuple] = {
     "radius_gyration": (q_radius_gyration, SQL_RADIUS_GYRATION),
     "stay_points": (q_stay_points, SQL_STAY_POINTS),
     "map_match": (q_map_match, SQL_MAP_MATCH),
+    "render_density": (q_render_density, SQL_RENDER_DENSITY),
     "img_hosts": (q_img_hosts, SQL_IMG_HOSTS),
     "media_pixels": (q_media_pixels, SQL_MEDIA_PIXELS),
     "media_audio": (q_media_audio, SQL_MEDIA_AUDIO),

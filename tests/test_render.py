@@ -1,0 +1,119 @@
+"""Distributed headless renderer (render.py) — reference renderer.py
+Map.save parity for the data-product core: layers rasterize to
+associative partial canvases, symbology via classify breaks, output
+through the repo's own PNG/JPEG codecs + world file."""
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def test_point_layer_exact_pixels(ray_session):
+    from pythongis_ray import render
+
+    df = pd.DataFrame({"lon": [-180.0, 0.0, 179.0],
+                       "lat": [89.9, 0.1, -89.0]})
+    m = render.MapCanvas(width=360, height=180)
+    m.add_points(_rd().from_pandas(df), color=(255, 0, 0))
+    img = m.render()
+    col, row, ok = m.to_px(df.lon.to_numpy(), df.lat.to_numpy())
+    assert ok.all()
+    for r, c in zip(row, col):
+        assert tuple(img[r, c]) == (255, 0, 0)
+    # background untouched elsewhere
+    assert (img == 255).sum() >= 360 * 180 * 3 - 3 * 3 - 27
+
+
+def test_graduated_points_and_density(ray_session):
+    from pythongis_ray import classify, render
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"lon": rng.uniform(-170, 170, 500),
+                       "lat": rng.uniform(-80, 80, 500),
+                       "val": rng.uniform(0, 100, 500)})
+    bks = classify.equal(df["val"].to_numpy(), 5)
+    m = render.MapCanvas(width=128, height=64)
+    m.add_points(_rd().from_pandas(df), value_col="val", breaks=bks)
+    img = m.render()
+    # graduated (no explicit color) → sequential ramp colors only
+    colored = img[(img != 255).any(axis=2)]
+    ramp0 = {tuple(c) for c in render.SEQUENTIAL}
+    assert len(colored) > 0
+    assert all(tuple(c) in ramp0 for c in colored)
+
+    m2 = render.MapCanvas(width=64, height=32)
+    m2.add_points(_rd().from_pandas(df), mode="count")
+    img2 = m2.render()
+    ramp = {tuple(c) for c in render.SEQUENTIAL}
+    colored2 = img2[(img2 != 255).any(axis=2)]
+    assert len(colored2) > 0
+    assert all(tuple(c) in ramp for c in colored2)
+
+
+def test_polygon_fill_matches_pip(ray_session):
+    from pythongis_ray import render
+    from pythongis_ray.geom import wkb as _wkb
+
+    ring = np.array([[-10.0, -10.0], [30.0, -10.0], [30.0, 20.0],
+                     [-10.0, 20.0], [-10.0, -10.0]])
+    tri = np.array([[-60.0, -40.0], [-20.0, -40.0], [-40.0, 0.0],
+                    [-60.0, -40.0]])
+    df = pd.DataFrame({"geometry": [_wkb.encode_polygon([ring]),
+                                    _wkb.encode_polygon([tri])],
+                       "val": [1.0, 2.0]})
+    m = render.MapCanvas(width=180, height=90)
+    m.add_polygons(_rd().from_pandas(df), color=(0, 0, 200))
+    img = m.render()
+    # reference check: every pixel center inside the rect must be blue
+    x0, y0, x1, y1 = m.bbox
+    pxw, pxh = (x1 - x0) / m.width, (y1 - y0) / m.height
+    for r in range(m.height):
+        for c in range(m.width):
+            cx = x0 + (c + 0.5) * pxw
+            cy = y1 - (r + 0.5) * pxh
+            in_rect = -10 < cx < 30 and -10 < cy < 20
+            if in_rect:
+                assert tuple(img[r, c]) == (0, 0, 200)
+    # triangle contributes some pixels too
+    assert (img == (0, 0, 200)).all(axis=2).sum() > \
+        int((40 / pxw) * (30 / pxh)) - 5
+
+
+def test_line_layer_covers_segment(ray_session):
+    from pythongis_ray import render
+    from pythongis_ray.geom import wkb as _wkb
+
+    seg = _wkb.encode_linestring(np.array([[-90.0, 0.0], [90.0, 0.0]]))
+    df = pd.DataFrame({"geometry": [seg]})
+    m = render.MapCanvas(width=360, height=180)
+    m.add_lines(_rd().from_pandas(df), color=(10, 20, 30))
+    img = m.render()
+    col0, row, _ = m.to_px(np.array([-90.0]), np.array([0.0]))
+    col1, _, _ = m.to_px(np.array([89.9]), np.array([0.0]))
+    hit = (img[row[0], col0[0]:col1[0] + 1] == (10, 20, 30)).all(axis=1)
+    assert hit.all()                      # continuous horizontal line
+
+
+def test_save_png_jpg_roundtrip(ray_session, tmp_path):
+    from pythongis_ray import raster, render
+
+    df = pd.DataFrame({"lon": [0.0, 10.0], "lat": [0.0, 5.0]})
+    m = render.MapCanvas(width=64, height=32)
+    m.add_points(_rd().from_pandas(df), color=(200, 30, 40), radius=1)
+    img = m.render()
+    p = str(tmp_path / "map.png")
+    m.save(p)
+    back, meta = raster.read_png(p)
+    assert meta["bands"] == 3
+    assert np.array_equal(np.moveaxis(back, 0, 2).astype(np.uint8), img)
+    assert meta["transform"] == (-180.0, 360.0 / 64, 90.0, 180.0 / 32)
+    j = str(tmp_path / "map.jpg")
+    m.save(j, quality=95)
+    jb, jm = raster.read_jpg(j)
+    assert jm["bands"] == 3
+    assert np.abs(np.moveaxis(jb, 0, 2) - img.astype(np.float64)).mean() < 6
