@@ -235,3 +235,28 @@ def corpus_build(docs_ds):
 
     return kept.map_batches(scrub, batch_format="pyarrow",
                             batch_size=8192)
+
+
+def choropleth(sf_dir: str, path: str, replicate: int = 1,
+               width: int = 512, height: int = 256):
+    """The flagship's visual data product: run the fused page
+    spatial-join aggregate, color each zone polygon by its page
+    count (quantile breaks over the 25 zone totals), and save a
+    georeferenced PNG/JPEG through the distributed renderer — the
+    reference's Map(…).save() workflow (renderer.py Map/save)
+    re-expressed over the engine's own pipeline output."""
+    import ray.data as rd
+
+    from pythongis_ray import classify, render
+
+    agg = flagship(sf_dir, replicate=replicate).to_pandas()
+    per_zone = agg.groupby("zone_id", as_index=False)["n_pages"].sum()
+    zones = load_zones(sf_dir)
+    z = zones.merge(per_zone, on="zone_id", how="left").fillna(
+        {"n_pages": 0})
+    bks = classify.quantile(z["n_pages"].to_numpy(np.float64),
+                            len(render.SEQUENTIAL))
+    m = render.MapCanvas(width=width, height=height)
+    m.add_polygons(rd.from_pandas(z[["geometry", "n_pages"]]),
+                   value_col="n_pages", breaks=bks, color=None)
+    return m.save(path)

@@ -117,3 +117,20 @@ def test_save_png_jpg_roundtrip(ray_session, tmp_path):
     jb, jm = raster.read_jpg(j)
     assert jm["bands"] == 3
     assert np.abs(np.moveaxis(jb, 0, 2) - img.astype(np.float64)).mean() < 6
+
+
+def test_choropleth_end_to_end(ray_session, tmp_path):
+    """flagship aggregate → zone choropleth → saved georeferenced PNG
+    that decodes to sequential-ramp zone fills."""
+    from pythongis_ray import pipelines, raster, render
+
+    p = str(tmp_path / "choro.png")
+    pipelines.choropleth("/root/testdata/sf0.001", p, width=180,
+                         height=90)
+    back, meta = raster.read_png(p)
+    assert meta["bands"] == 3 and meta["transform"][0] == -180.0
+    img = np.moveaxis(back, 0, 2).astype(np.uint8)
+    colored = img[(img != 255).any(axis=2)]
+    ramp = {tuple(c) for c in render.SEQUENTIAL}
+    assert len(colored) > 100                 # zones actually filled
+    assert all(tuple(c) in ramp for c in colored)
