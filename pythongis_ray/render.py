@@ -43,6 +43,8 @@ def _fold_canvases(partials, h: int, w: int, dtype, op):
         for buf in b["canvas"].to_pylist():
             a = np.frombuffer(buf, dtype).reshape(h, w)
             acc = a.astype(dtype) if acc is None else npop(acc, a)
+        if acc is None:                    # empty upstream block
+            return pa.table({"canvas": pa.array([], pa.binary())})
         return pa.table({"canvas": pa.array([acc.tobytes()], pa.binary())})
 
     folded = partials.map_batches(fold_block, batch_format="pyarrow",
