@@ -285,6 +285,20 @@ def run_benchmarks() -> dict:
     extras["images_decoded"] = nimg
     extras["images_per_sec"] = round(nimg / timings["image_decode_2k"], 1)
 
+    # 17. renderer: 600k-point density map onto a 1024x512 canvas via
+    # the scale-safe sparse (pixel,count) path + one bucketed combine
+    def render_bench():
+        from pythongis_ray import render
+
+        pts = q.points_lineitem(SF_DIR)
+        m = render.MapCanvas(width=1024, height=512)
+        m.add_points(pts, mode="count", sparse=True)
+        img = m.render()
+        return int((img != 255).any(axis=2).sum())
+
+    npx = timed("render_density_600k", render_bench)
+    extras["render_pixels_colored"] = npx
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {

@@ -88,15 +88,51 @@ class MapCanvas:
 
     def add_points(self, ds, lon_col: str = "lon", lat_col: str = "lat",
                    value_col: str | None = None, breaks=None,
-                   color=None, radius: int = 0, mode: str = "class"):
+                   color=None, radius: int = 0, mode: str = "class",
+                   sparse: bool | None = None):
         """Point layer. ``mode="class"``: pixel takes the max class
         (1-based; classes from ``breaks`` over ``value_col``, else
         constant class 1 colored ``color``). ``mode="count"``: pixel
         counts points (density map; colored by a sequential ramp over
-        quantile breaks of the nonzero counts at render time)."""
+        quantile breaks of the nonzero counts at render time).
+
+        ``sparse`` (default: auto — on for canvases > 2^18 px when
+        radius is 0): partials are (pixel, value) TABLES combined by
+        one bucketed shuffle instead of dense per-batch canvases —
+        the scale-safe form: dense partials move O(batches × h × w)
+        bytes; sparse moves O(touched pixels) regardless of batch
+        count."""
         h, w = self.height, self.width
         to_px = self.to_px
         rad = int(radius)
+        if sparse is None:
+            sparse = rad == 0 and h * w > (1 << 18)
+        if sparse and rad == 0:
+            def sparse_partial(b: pa.Table) -> pd.DataFrame:
+                lon = b[lon_col].to_numpy(zero_copy_only=False)
+                lat = b[lat_col].to_numpy(zero_copy_only=False)
+                col, row, ok = to_px(lon, lat)
+                pix = row[ok] * w + col[ok]
+                if mode == "count":
+                    val = np.ones(len(pix), np.int64)
+                elif value_col is not None and breaks is not None:
+                    from pythongis_ray import classify
+                    v = b[value_col].to_numpy(zero_copy_only=False)
+                    val = classify.find_class(v, breaks) \
+                        .astype(np.int64)[ok] + 1
+                else:
+                    val = np.ones(len(pix), np.int64)
+                agg = "sum" if mode == "count" else "max"
+                d = pd.DataFrame({"pix": pix, "val": val})
+                g = d.groupby("pix", sort=False)["val"] \
+                    .agg(agg).reset_index()
+                g["val"] = g["val"].astype(np.int64)
+                return g
+
+            self._layers.append(("points_sparse", ds, sparse_partial,
+                                 "sum" if mode == "count" else "max",
+                                 mode, color, breaks))
+            return self
 
         def partial(b: pa.Table) -> pa.Table:
             lon = b[lon_col].to_numpy(zero_copy_only=False)
@@ -260,9 +296,29 @@ class MapCanvas:
         img = np.empty((h, w, 3), np.uint8)
         img[:] = np.asarray(self.background, np.uint8)
         for kind, ds, partial, op, mode, color, breaks in self._layers:
-            partials = ds.map_batches(partial, batch_format="pyarrow",
-                                      batch_size=8192)
-            canvas = _fold_canvases(partials, h, w, np.int64, op)
+            if kind == "points_sparse":
+                from pythongis_ray.relational import bucketed_group_apply
+
+                parts = ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=65536)
+                agg = "sum" if op == "sum" else "max"
+
+                def combine(b: pd.DataFrame, _agg=agg) -> pd.DataFrame:
+                    g = b.groupby("pix", sort=False)["val"] \
+                        .agg(_agg).reset_index()
+                    g["val"] = g["val"].astype(np.int64)
+                    return g
+
+                folded = bucketed_group_apply(parts, ["pix"], combine) \
+                    .to_pandas()
+                canvas = np.zeros(h * w, np.int64)
+                canvas[folded["pix"].to_numpy(np.int64)] = \
+                    folded["val"].to_numpy(np.int64)
+                canvas = canvas.reshape(h, w)
+            else:
+                partials = ds.map_batches(partial, batch_format="pyarrow",
+                                          batch_size=8192)
+                canvas = _fold_canvases(partials, h, w, np.int64, op)
             if mode == "count":
                 nz = canvas[canvas > 0]
                 if len(nz) == 0:

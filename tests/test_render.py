@@ -134,3 +134,24 @@ def test_choropleth_end_to_end(ray_session, tmp_path):
     ramp = {tuple(c) for c in render.SEQUENTIAL}
     assert len(colored) > 100                 # zones actually filled
     assert all(tuple(c) in ramp for c in colored)
+
+
+def test_sparse_density_matches_dense(ray_session):
+    """The scale-safe sparse (pixel,count) path produces the exact
+    same canvas image as dense per-batch partials."""
+    from pythongis_ray import render
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"lon": rng.uniform(-179, 179, 3000),
+                       "lat": rng.uniform(-89, 89, 3000)})
+    md = render.MapCanvas(width=1024, height=512)
+    md.add_points(_rd().from_pandas(df), mode="count", sparse=False)
+    ms = render.MapCanvas(width=1024, height=512)
+    ms.add_points(_rd().from_pandas(df), mode="count", sparse=True)
+    assert np.array_equal(md.render(), ms.render())
+    # class mode too
+    mc = render.MapCanvas(width=1024, height=512)
+    mc.add_points(_rd().from_pandas(df), color=(9, 9, 9), sparse=True)
+    mcd = render.MapCanvas(width=1024, height=512)
+    mcd.add_points(_rd().from_pandas(df), color=(9, 9, 9), sparse=False)
+    assert np.array_equal(mc.render(), mcd.render())
