@@ -14960,6 +14960,65 @@ FROM cnt GROUP BY k
 """
 
 
+def q_render_zones(sf_dir: str):
+    """The renderer's polygon-fill core, oracle-checked: the 25 zone
+    rectangles rasterize onto a 360x180 canvas through the exact
+    pixel-center PIP (render.MapCanvas.add_polygons — crossing-number
+    + boundary, which for axis-aligned rects equals inclusive-bounds
+    containment), pixels take the MAX zone class (zone_id % 5 + 1),
+    and the output is pixels-per-class. SQL replays pixel centers ×
+    rect containment × MAX class."""
+    import ray.data as rd
+
+    from pythongis_ray import pipelines, render
+
+    zones = pipelines.load_zones(sf_dir).copy()
+    zones["cls"] = (zones["zone_id"].to_numpy(np.int64) % 5 + 1) \
+        .astype(np.float64)
+    m = render.MapCanvas(width=360, height=180)
+    # breaks chosen so find_class(cls)+1 == cls (identity classing)
+    m.add_polygons(rd.from_pandas(zones[["geometry", "cls"]]),
+                   value_col="cls", breaks=[0.5, 1.5, 2.5, 3.5, 4.5, 5.5])
+    img_classes = None
+    # reuse the layer partial directly to read back class values
+    kind, ds, partial, op, mode, color, breaks = m._layers[0]
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+    canvas = render._fold_canvases(parts, m.height, m.width,
+                                   np.int64, op)
+    nz = canvas[canvas > 0]
+    k, n = np.unique(nz, return_counts=True)
+    del img_classes
+    return pd.DataFrame({"zone_class": k.astype(np.int64),
+                         "n_pixels": n.astype(np.int64)})
+
+
+SQL_RENDER_ZONES = """
+WITH z AS (
+  SELECT n_nationkey AS zone_id FROM nation),
+zr AS (
+  SELECT zone_id, zone_id % 5 + 1 AS cls,
+         ((zone_id % 5) * 73728 + 0.5) / 1024.0 - 180.0 AS x0,
+         ((zone_id // 5) * 36864 + 0.5) / 1024.0 - 90.0 AS y0,
+         ((zone_id % 5) * 73728 + 0.5 + 72000) / 1024.0 - 180.0 AS x1,
+         ((zone_id // 5) * 36864 + 0.5 + 36000) / 1024.0 - 90.0 AS y1
+  FROM z),
+px AS (
+  SELECT c, r, -180.0 + (c + 0.5) * 1.0 AS cx, 90.0 - (r + 0.5) * 1.0 AS cy
+  FROM (SELECT UNNEST(range(360)) AS c) _c
+  CROSS JOIN (SELECT UNNEST(range(180)) AS r) _r),
+hit AS (
+  SELECT p.c, p.r, MAX(zr.cls) AS cls
+  FROM px p JOIN zr
+    ON p.cx >= zr.x0 AND p.cx <= zr.x1
+   AND p.cy >= zr.y0 AND p.cy <= zr.y1
+  GROUP BY p.c, p.r)
+SELECT CAST(cls AS BIGINT) AS zone_class,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels
+FROM hit GROUP BY cls
+"""
+
+
 STAY_D2 = 40_000_000_000     # squared units (~200 km on the lattice)
 STAY_MIN = 3                 # >= this many consecutive events per stay
 
@@ -15284,6 +15343,7 @@ REGISTRY: dict[str, tuple] = {
     "stay_points": (q_stay_points, SQL_STAY_POINTS),
     "map_match": (q_map_match, SQL_MAP_MATCH),
     "render_density": (q_render_density, SQL_RENDER_DENSITY),
+    "render_zones": (q_render_zones, SQL_RENDER_ZONES),
     "img_hosts": (q_img_hosts, SQL_IMG_HOSTS),
     "media_pixels": (q_media_pixels, SQL_MEDIA_PIXELS),
     "media_audio": (q_media_audio, SQL_MEDIA_AUDIO),
