@@ -362,3 +362,54 @@ class MapCanvas:
             return _raster.write_jpg(path, arr, transform=transform,
                                      quality=quality)
         return _raster.write_png(path, arr, transform=transform)
+
+
+# ------------------------------------------------- slippy tile pyramid
+
+def tile_bbox(z: int, x: int, y: int):
+    """Slippy z/x/y (plate carrée here — the engine's canonical
+    lon/lat canvas, not web-mercator) → (x0, y0, x1, y1) degrees.
+    2^(z+1) x 2^z tiles cover the world (2:1 aspect)."""
+    n = 1 << z
+    w = 360.0 / (2 * n)
+    h = 180.0 / n
+    x0 = -180.0 + x * w
+    y1 = 90.0 - y * h
+    return (x0, y1 - h, x0 + w, y1)
+
+
+def render_tile_pyramid(layer_fn, out_dir: str, zmin: int = 0,
+                        zmax: int = 2, tile_px: int = 256,
+                        fmt: str = "png"):
+    """Write a z/x/y tile pyramid (the standard web-map deliverable;
+    the reference's renderer draws one Map, this writes the tiled
+    version a tile server consumes). ``layer_fn(canvas)`` adds layers
+    to a MapCanvas bounded to one tile. Every tile renders
+    INDEPENDENTLY — one Ray task per tile via the driver loop at
+    small z; at scale, tiles of one zoom level are an embarrassingly
+    parallel map over the (z, x, y) list (documented partitioning
+    assumption: the layer source dataset must be re-readable, which
+    Ray Datasets are — lineage re-executes per tile with the tile's
+    bbox filter pushed into the layer).
+
+    Returns the list of written paths. Layout: out_dir/z/x/y.png —
+    resumable: existing files are skipped, so a killed run continues
+    where it stopped."""
+    import os
+
+    paths = []
+    for z in range(zmin, zmax + 1):
+        for x in range(2 * (1 << z)):
+            for y in range(1 << z):
+                p = os.path.join(out_dir, str(z), str(x),
+                                 f"{y}.{fmt}")
+                if os.path.exists(p):      # resume: skip finished
+                    paths.append(p)
+                    continue
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                m = MapCanvas(width=tile_px, height=tile_px,
+                              bbox=tile_bbox(z, x, y))
+                layer_fn(m)
+                m.save(p)
+                paths.append(p)
+    return paths

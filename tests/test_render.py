@@ -155,3 +155,45 @@ def test_sparse_density_matches_dense(ray_session):
     mcd = render.MapCanvas(width=1024, height=512)
     mcd.add_points(_rd().from_pandas(df), color=(9, 9, 9), sparse=False)
     assert np.array_equal(mc.render(), mcd.render())
+
+
+def test_tile_pyramid_consistent_with_world(ray_session, tmp_path):
+    """z0..z1 pyramid: each tile is the world render restricted to
+    its bbox — checked by re-projecting a known point into both the
+    world canvas and its tile; resume skips existing files."""
+    import os
+
+    from pythongis_ray import raster, render
+
+    df = pd.DataFrame({"lon": [10.0, -120.0, 45.0],
+                       "lat": [50.0, -30.0, 10.0]})
+
+    def layers(m):
+        m.add_points(_rd().from_pandas(df), color=(250, 10, 10),
+                     sparse=False)
+
+    out = str(tmp_path / "tiles")
+    paths = render.render_tile_pyramid(layers, out, zmin=0, zmax=1,
+                                       tile_px=64)
+    assert len(paths) == 2 + 8             # z0: 2x1, z1: 4x2
+    # every source point must appear red in exactly the tile that
+    # contains it, at the position its tile-local canvas maps to
+    for lon, lat in df.itertuples(index=False):
+        for z in (0, 1):
+            n = 1 << z
+            tw, th = 360.0 / (2 * n), 180.0 / n
+            tx = int((lon + 180.0) // tw)
+            ty = int((90.0 - lat) // th)
+            m = render.MapCanvas(width=64, height=64,
+                                 bbox=render.tile_bbox(z, tx, ty))
+            col, row, ok = m.to_px(np.array([lon]), np.array([lat]))
+            assert ok[0]
+            back, _ = raster.read_png(f"{out}/{z}/{tx}/{ty}.png")
+            img = np.moveaxis(back, 0, 2).astype(np.uint8)
+            assert tuple(img[row[0], col[0]]) == (250, 10, 10)
+    # resume: second call skips (same paths, no rewrite)
+    mtimes = {p: os.path.getmtime(p) for p in paths}
+    paths2 = render.render_tile_pyramid(layers, out, zmin=0, zmax=1,
+                                        tile_px=64)
+    assert paths2 == paths
+    assert all(os.path.getmtime(p) == mtimes[p] for p in paths)
