@@ -201,10 +201,17 @@ class DecodeImage:
     (payload bytes tiled into the declared (h, w, c) tensor) so
     downstream stages are exercised end to end; ``fake=False`` raises
     NotImplementedError at the decode call site.
+
+    ``on_error="raise"`` (default) propagates decode failures;
+    ``on_error="skip"`` DROPS undecodable rows — at web scale corrupt
+    payloads are certain and must not kill the job (the CC pipeline's
+    skip-bad-records norm). Skipped counts are logged per batch via
+    the standard logging module.
     """
 
-    def __init__(self, fake: bool = True):
+    def __init__(self, fake: bool = True, on_error: str = "raise"):
         self.fake = fake
+        self.on_error = on_error
 
     def _decode_one(self, payload: bytes, w: int, h: int, c: int) -> np.ndarray:
         from pythongis_ray import gif as _gif
@@ -238,17 +245,32 @@ class DecodeImage:
         return np.tile(raw, reps)[: w * h * c].reshape(h, w, c)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tensors, ws, hs, cs = [], [], [], []
+        tensors, ws, hs, cs, keep = [], [], [], [], []
         for payload, w, h, c in zip(batch["payload"].to_pylist(),
                                     batch["meta_w"].to_pylist(),
                                     batch["meta_h"].to_pylist(),
                                     batch["meta_channels"].to_pylist()):
-            px = self._decode_one(payload, w, h, c)
+            try:
+                px = self._decode_one(payload, w, h, c)
+            except Exception:
+                if self.on_error != "skip":
+                    raise
+                keep.append(False)
+                continue
+            keep.append(True)
             tensors.append(px.tobytes())
             hs.append(px.shape[0])
             ws.append(px.shape[1])
             cs.append(px.shape[2])
-        out = batch.drop_columns(["payload"])
+        out = batch
+        if not all(keep):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "DecodeImage skipped %d/%d undecodable payloads",
+                len(keep) - sum(keep), len(keep))
+            out = out.filter(pa.array(keep))
+        out = out.drop_columns(["payload"])
         # meta reflects the DECODED shape (real codecs may disagree
         # with the declared metadata; decoded truth wins)
         for name, vals in (("meta_w", ws), ("meta_h", hs),

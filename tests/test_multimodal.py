@@ -545,3 +545,42 @@ def test_tiff_payload_decodes_in_image_stage(ray_session):
     for _, row in out.iterrows():
         got = np.frombuffer(row["pixels"], np.uint8).reshape(20, 30, 3)
         assert np.array_equal(got, np.moveaxis(srcs[int(row["id"])], 0, 2))
+
+
+def test_decode_on_error_skip(ray_session):
+    """Corrupt payloads must not kill a web-scale decode job:
+    on_error='skip' drops the bad rows and keeps the good ones
+    bit-exact; the default still raises."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pythongis_ray import multimodal as mm, raster
+
+    rng = np.random.default_rng(13)
+    good = [rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)
+            for _ in range(3)]
+    payloads = [raster.encode_png_bytes(good[0]),
+                b"\x89PNG\r\n\x1a\nGARBAGE-----",     # corrupt PNG
+                raster.encode_png_bytes(good[1]),
+                b"\xff\xd8\xffnot-a-real-jpeg",        # corrupt JPEG
+                raster.encode_png_bytes(good[2])]
+    df = pd.DataFrame({
+        "id": np.arange(5, dtype=np.int64), "kind": ["image"] * 5,
+        "payload": payloads,
+        "meta_w": np.zeros(5, np.int32), "meta_h": np.zeros(5, np.int32),
+        "meta_channels": np.zeros(5, np.int32)})
+    out = rd.from_pandas(df).map_batches(
+        mm.DecodeImage, batch_size=8, batch_format="pyarrow",
+        concurrency=1,
+        fn_constructor_kwargs={"fake": False, "on_error": "skip"}) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(out["id"]) == [0, 2, 4]
+    for i, row in out.iterrows():
+        px = np.frombuffer(row["pixels"], np.uint8).reshape(8, 9, 3)
+        assert np.array_equal(px, good[i])
+    # default mode raises on the same input
+    with pytest.raises(Exception):
+        rd.from_pandas(df).map_batches(
+            mm.DecodeImage, batch_size=8, batch_format="pyarrow",
+            concurrency=1,
+            fn_constructor_kwargs={"fake": False}).materialize()
