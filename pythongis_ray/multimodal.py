@@ -504,33 +504,52 @@ class DecodeAudio:
     from the decoded truth. Other formats (MP3/OGG — codec libs absent
     from this container): ``fake=True`` interprets the raw payload
     bytes as a little-endian int16 waveform (deterministic);
-    ``fake=False`` raises at the decode call site."""
+    ``fake=False`` raises at the decode call site.
+    ``on_error="skip"`` drops undecodable rows (logged count) instead
+    of failing the job — the web-scale skip-bad-records norm."""
 
-    def __init__(self, fake: bool = True):
+    def __init__(self, fake: bool = True, on_error: str = "raise"):
         self.fake = fake
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out, srs, counts = [], [], []
+        out, srs, counts, keep = [], [], [], []
         in_sr = (batch["meta_sr"].to_pylist()
                  if "meta_sr" in batch.column_names
                  else [0] * len(batch))
         for payload, sr0 in zip(batch["payload"].to_pylist(), in_sr):
-            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-                wave, sr = decode_wav_bytes(payload)
-                out.append(wave.astype("<i2").tobytes())
-                srs.append(sr)
-                counts.append(len(wave))
+            try:
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    wave, sr = decode_wav_bytes(payload)
+                    out.append(wave.astype("<i2").tobytes())
+                    srs.append(sr)
+                    counts.append(len(wave))
+                    keep.append(True)
+                    continue
+                if not self.fake:
+                    raise NotImplementedError(
+                        "only RIFF/WAVE PCM decodes natively; other audio "
+                        "formats need a codec library, not available in "
+                        "this container — run with fake=True for the stub")
+            except Exception:
+                if self.on_error != "skip":
+                    raise
+                keep.append(False)
                 continue
-            if not self.fake:
-                raise NotImplementedError(
-                    "only RIFF/WAVE PCM decodes natively; other audio "
-                    "formats need a codec library, not available in this "
-                    "container — run with fake=True for the stub")
             n = len(payload) // 2 * 2
             out.append(payload[:n])
             srs.append(sr0 or 0)
             counts.append(n // 2)
-        t = batch.drop_columns(["payload"])
+            keep.append(True)
+        t = batch
+        if not all(keep):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "DecodeAudio skipped %d/%d undecodable payloads",
+                len(keep) - sum(keep), len(keep))
+            t = t.filter(pa.array(keep))
+        t = t.drop_columns(["payload"])
         # meta reflects the DECODED waveform (decoded truth wins)
         for name, vals, typ in (("meta_sr", srs, np.int32),
                                 ("meta_samples", counts, np.int64)):
@@ -708,9 +727,11 @@ class SampleFrames:
     → n frames), byte-capped batches. Uniform-shape raw batches slice
     via ONE reshape + stride gather; zero Python per frame."""
 
-    def __init__(self, every: int = 4, fake: bool = True):
+    def __init__(self, every: int = 4, fake: bool = True,
+                 on_error: str = "raise"):
         self.every = every
         self.fake = fake
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pays = batch["payload"]
@@ -748,8 +769,15 @@ class SampleFrames:
         ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
         out_id, out_fidx, out_frames = [], [], []
         ws, hs, cs = [], [], []
+        skipped = 0
         for i, payload in enumerate(batch["payload"].to_pylist()):
-            frames, _delays = _gif.decode_gif_bytes(payload)
+            try:
+                frames, _delays = _gif.decode_gif_bytes(payload)
+            except Exception:
+                if self.on_error != "skip":
+                    raise
+                skipped += 1
+                continue
             for k in range(0, frames.shape[0], self.every):
                 out_id.append(ids[i])
                 out_fidx.append(k)
@@ -770,10 +798,17 @@ class SampleFrames:
         ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
         out_id, out_fidx, out_frames = [], [], []
         ws, hs, cs = [], [], []
+        skipped = 0
         for i, payload in enumerate(batch["payload"].to_pylist()):
             # count frames cheaply: decode with an open-ended stride
-            frames, w, h, nch = decode_y4m_bytes(
-                payload, sel=range(0, 1 << 30, self.every))
+            try:
+                frames, w, h, nch = decode_y4m_bytes(
+                    payload, sel=range(0, 1 << 30, self.every))
+            except Exception:
+                if self.on_error != "skip":
+                    raise
+                skipped += 1
+                continue
             for k in range(frames.shape[0]):
                 out_id.append(ids[i])
                 out_fidx.append(k * self.every)
