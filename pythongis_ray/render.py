@@ -12,6 +12,16 @@ the output is itself a georeferenced raster.
 
 Out of scope (GUI surface, correctly): tkinter view, interactive
 zoom, legends/labels/antialiasing.
+
+Scale shape: POINT layers stream any cardinality (dense per-batch
+canvases for small canvases, sparse (pixel, value) partials + one
+bucketed shuffle above 2^18 px — O(touched pixels) moved, not
+O(batches x canvas)). POLYGON layers loop features inside each batch
+(each feature's pixel window is PIP-vectorized) — right for the
+10^2..10^5 polygons a map draws; a 10^7-polygon choropleth should
+pre-dissolve (spatial.dissolve) first. Giant outputs go through
+``render_tile_pyramid`` (independent, resumable per-tile jobs), not
+one driver-side canvas.
 """
 
 from __future__ import annotations
