@@ -15114,6 +15114,245 @@ FROM agg
 """
 
 
+# DBSCAN / Ripley parameters: eps in lattice units, minPts counts the
+# point itself (DBSCAN's |N_eps(p)| >= minPts). eps=96 on the 256-unit
+# city jitter boxes makes the hotspot cities dense cores while the
+# uniform background stays noise.
+DBSCAN_EPS = 96
+DBSCAN_MINPTS = 4
+RIPLEY_RADII = (32, 64, 96)
+
+
+def _keyed_units(sf_dir: str, table: str, key_col: str, mult: int,
+                 add: int, out_key: str):
+    """Like _keyed_points but keeps the exact integer lattice units."""
+    ds = _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=[key_col])
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = k * mult + add
+        ix, iy = fixtures.geocode_units(key)
+        return pa.table({out_key: key, "ix": ix, "iy": iy})
+
+    return ds.map_batches(to_units, batch_format="pyarrow",
+                          batch_size=65536)
+
+
+def q_dbscan(sf_dir: str):
+    """DBSCAN density clustering over customer points (the classic
+    spatial clustering the reference ecosystem reaches for via
+    sklearn): core point = |N_eps(p)| >= minPts (self included,
+    exact integer d² <= eps²), clusters = connected components of the
+    core-core eps-graph labeled by min member id, border points attach
+    to the SMALLEST cluster label among their core neighbors, noise is
+    omitted. Distributed plan: exactly-once canonical-tile self-join
+    (spatial.dwithin_self_pairs — ONE bucketed shuffle, density-bounded
+    tiles) → bucketed degree count → resident-shard Pregel components
+    (graph.connected_components) → partitioned border attach. No
+    all-pairs stage anywhere; the oracle replays the same definition
+    with a recursive reach CTE."""
+    from pythongis_ray import graph
+    from pythongis_ray.relational import bucketed_group_apply
+
+    empty = pd.DataFrame({"ck": pd.Series([], dtype=np.int64),
+                          "cluster": pd.Series([], dtype=np.int64),
+                          "core": pd.Series([], dtype=np.int64)})
+    pts = _keyed_units(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+    pairs = spatial.dwithin_self_pairs(
+        pts, "ck", "ix", "iy", eps=DBSCAN_EPS).materialize()
+    if pairs.count() == 0:
+        return empty
+
+    def both_sides(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        c = b["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"ck": pa.array(np.concatenate([a, c]))})
+
+    sides = pairs.map_batches(both_sides, batch_format="pyarrow",
+                              batch_size=65536)
+
+    def count_nbrs(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("ck", sort=False).size()
+        return pd.DataFrame({"ck": s.index.to_numpy(np.int64),
+                             "nbrs": s.to_numpy(np.int64)})
+
+    deg = bucketed_group_apply(sides, ["ck"], count_nbrs)
+
+    def core_flag(b: pa.Table) -> pa.Table:
+        ck = b["ck"].to_numpy(zero_copy_only=False)
+        nb = b["nbrs"].to_numpy(zero_copy_only=False)
+        keep = (nb + 1) >= DBSCAN_MINPTS
+        return pa.table({"ck": pa.array(ck[keep]),
+                         "is_core": pa.array(np.ones(int(keep.sum()),
+                                                     np.int64))})
+
+    core = deg.map_batches(core_flag, batch_format="pyarrow",
+                           batch_size=65536).materialize()
+    if core.count() == 0:
+        return empty
+
+    # attach core flags to both pair sides (partitioned joins — the
+    # pair/core tables are candidate-bounded, never the full input)
+    fa = rel.join_large(pairs, core.map_batches(
+        lambda b: b.rename_columns(["id_a", "core_a"]),
+        batch_format="pyarrow"), on="id_a", how="left")
+    fb = rel.join_large(fa, core.map_batches(
+        lambda b: b.rename_columns(["id_b", "core_b"]),
+        batch_format="pyarrow"), on="id_b", how="left")
+
+    def split_edges(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        c = b["id_b"].to_numpy(zero_copy_only=False)
+        ca = np.nan_to_num(
+            b["core_a"].to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0).astype(np.int64)
+        cb = np.nan_to_num(
+            b["core_b"].to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0).astype(np.int64)
+        cc = (ca == 1) & (cb == 1)
+        # border candidates: exactly one side core → (noncore, core)
+        ab = (ca == 1) & (cb == 0)
+        ba = (cb == 1) & (ca == 0)
+        return pa.table({
+            "id_a": pa.array(np.concatenate([a[cc]])),
+            "id_b": pa.array(np.concatenate([c[cc]])),
+        }), pa.table({
+            "ck": pa.array(np.concatenate([c[ab], a[ba]])),
+            "core_ck": pa.array(np.concatenate([a[ab], c[ba]]))})
+
+    # one pass splitting into two outputs isn't expressible in a single
+    # map_batches — the pair table is materialized and tiny, run two
+    # cheap filters instead
+    def core_edges(b: pa.Table) -> pa.Table:
+        t1, _ = split_edges(b)
+        return t1
+
+    def border_cand(b: pa.Table) -> pa.Table:
+        _, t2 = split_edges(b)
+        return t2
+
+    fb = fb.materialize()
+    edges = fb.map_batches(core_edges, batch_format="pyarrow",
+                           batch_size=65536)
+    selfe = core.map_batches(
+        lambda b: pa.table({"id_a": b["ck"], "id_b": b["ck"]}),
+        batch_format="pyarrow", batch_size=65536)
+    comp = graph.connected_components(edges.union(selfe)).materialize()
+
+    bc = fb.map_batches(border_cand, batch_format="pyarrow",
+                        batch_size=65536)
+    bj = rel.join_large(bc, comp.map_batches(
+        lambda b: b.rename_columns(["core_ck", "cluster"]),
+        batch_format="pyarrow"), on="core_ck")
+
+    def min_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("ck", sort=False)["cluster"].min()
+        return pd.DataFrame({"ck": s.index.to_numpy(np.int64),
+                             "cluster": s.to_numpy(np.int64),
+                             "core": np.zeros(len(s), np.int64)})
+
+    border = bucketed_group_apply(bj, ["ck"], min_cluster)
+    corerows = comp.map_batches(
+        lambda b: pa.table({"ck": b["node"], "cluster": b["component"],
+                            "core": pa.array(np.ones(len(b), np.int64))}),
+        batch_format="pyarrow", batch_size=65536)
+    out = corerows.union(border).materialize()
+    if out.count() == 0:
+        return empty
+    return out
+
+
+def SQL_DBSCAN():
+    src = "(SELECT c_custkey*4+1 AS ck FROM customer)"
+    g = fixtures.sql_geocode("ck").replace("__SRC__", src)
+    return f"""
+WITH RECURSIVE
+pts AS (SELECT ck, ix, iy FROM ({g}) _g),
+prs AS (
+  SELECT a.ck AS ca, b.ck AS cb
+  FROM pts a JOIN pts b ON a.ck < b.ck
+  AND (a.ix-b.ix)*(a.ix-b.ix) + (a.iy-b.iy)*(a.iy-b.iy)
+      <= {DBSCAN_EPS * DBSCAN_EPS}),
+deg AS (
+  SELECT ck, COUNT(*) AS nb FROM
+  (SELECT ca AS ck FROM prs UNION ALL SELECT cb FROM prs) _u
+  GROUP BY ck),
+core AS (SELECT ck FROM deg WHERE nb + 1 >= {DBSCAN_MINPTS}),
+ce AS (
+  SELECT p.ca AS a, p.cb AS b FROM prs p
+  JOIN core x ON p.ca = x.ck JOIN core y ON p.cb = y.ck),
+edges AS (
+  SELECT a, b FROM ce UNION SELECT b, a FROM ce
+  UNION SELECT ck, ck FROM core),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS ck, MIN(dst) AS cluster FROM reach GROUP BY src),
+bcand AS (
+  SELECT p.cb AS ck, p.ca AS core_ck FROM prs p
+    JOIN core x ON p.ca = x.ck
+    LEFT JOIN core y ON p.cb = y.ck WHERE y.ck IS NULL
+  UNION ALL
+  SELECT p.ca, p.cb FROM prs p
+    JOIN core x ON p.cb = x.ck
+    LEFT JOIN core y ON p.ca = y.ck WHERE y.ck IS NULL),
+border AS (
+  SELECT q.ck, MIN(c.cluster) AS cluster
+  FROM bcand q JOIN comp c ON q.core_ck = c.ck
+  GROUP BY q.ck)
+SELECT ck, cluster, CAST(1 AS BIGINT) AS core FROM comp
+UNION ALL
+SELECT ck, cluster, CAST(0 AS BIGINT) AS core FROM border
+"""
+
+
+def q_ripley_k(sf_dir: str):
+    """Ripley's K pair-count curve (the spatial point-pattern
+    statistic): the number of unordered point pairs within distance r
+    for each r in RIPLEY_RADII, over customer points. One exactly-once
+    canonical-tile self-join at the LARGEST radius feeds every radius
+    (one shuffle for the whole curve); per-batch partial counts fold to
+    a 3-row table. Always emits one row per radius (0 when no pairs)."""
+    pts = _keyed_units(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+    rmax = max(RIPLEY_RADII)
+    pairs = spatial.dwithin_self_pairs(pts, "ck", "ix", "iy", eps=rmax)
+    radii = np.array(RIPLEY_RADII, np.int64)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        d2 = b["d2"].to_numpy(zero_copy_only=False)
+        n = np.array([(d2 <= r * r).sum() for r in radii], np.int64)
+        return pd.DataFrame({"r": radii, "n_pairs": n})
+
+    parts = pairs.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"r": radii,
+                             "n_pairs": np.zeros(len(radii), np.int64)})
+    g = parts.groupby("r", sort=True)["n_pairs"].sum()
+    g = g.reindex(radii, fill_value=0)
+    return pd.DataFrame({"r": radii, "n_pairs": g.to_numpy(np.int64)})
+
+
+def SQL_RIPLEY_K():
+    src = "(SELECT c_custkey*4+1 AS ck FROM customer)"
+    g = fixtures.sql_geocode("ck").replace("__SRC__", src)
+    rmax = max(RIPLEY_RADII)
+    radii = ", ".join(str(r) for r in RIPLEY_RADII)
+    return f"""
+WITH pts AS (SELECT ck, ix, iy FROM ({g}) _g),
+prs AS (
+  SELECT (a.ix-b.ix)*(a.ix-b.ix) + (a.iy-b.iy)*(a.iy-b.iy) AS d2
+  FROM pts a JOIN pts b ON a.ck < b.ck
+  AND (a.ix-b.ix)*(a.ix-b.ix) + (a.iy-b.iy)*(a.iy-b.iy)
+      <= {rmax * rmax}),
+radii AS (SELECT UNNEST([{radii}]) AS r)
+SELECT CAST(r AS BIGINT) AS r, CAST(COUNT(p.d2) AS BIGINT) AS n_pairs
+FROM radii LEFT JOIN prs p ON p.d2 <= r*r
+GROUP BY r
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -15399,6 +15638,8 @@ REGISTRY: dict[str, tuple] = {
     "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
     "seq_pattern": (q_seq_pattern, SQL_SEQ_PATTERN),
     "price_band": (q_price_band, SQL_PRICE_BAND),
+    "dbscan": (q_dbscan, SQL_DBSCAN),
+    "ripley_k": (q_ripley_k, SQL_RIPLEY_K),
 }
 
 

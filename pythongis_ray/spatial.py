@@ -2147,3 +2147,133 @@ def spatial_join_shuffle(points_ds, zones_ds, predicate: str = "intersects",
         return pa.table(dict(zip(target.names, cols)), schema=target)
 
     return joined.map_batches(cast_out, batch_format="pyarrow")
+
+
+# ----------------------------------------- exactly-once point self-join
+
+def dwithin_self_pairs(points_ds, id_col: str = "pk", ix_col: str = "ix",
+                       iy_col: str = "iy", eps: int = 96,
+                       tile: int | None = None,
+                       max_candidates_per_slab: int = 2_000_000):
+    """All unordered point pairs within ``eps`` lattice units, each
+    emitted EXACTLY ONCE as ``(id_a < id_b, d2)`` — fully distributed.
+
+    The 2-D generalization of the price-band down-halo plan (and the
+    distributed analogue of the reference's rtree candidate step,
+    /root/reference/pythongis/vector/sql.py): points bucket into square
+    tiles of side ``T = tile or eps`` (T >= eps required). A pair
+    within eps spans home tiles at Chebyshev distance <= 1, and its
+    canonical meeting tile is the lexicographically smaller of the two
+    home tiles. Each point therefore routes one ANCHOR copy to its
+    home tile plus HALO copies to its four lex-smaller neighbors
+    ((-1,-1), (-1,0), (-1,+1), (0,-1)); inside a tile the vectorized
+    all-pairs kernel keeps anchor-anchor and anchor-halo pairs only
+    (a halo-halo pair's canonical tile is elsewhere), so every
+    qualifying pair appears once and only once. ONE bucketed shuffle;
+    in-bucket pair emission is pure index arithmetic (repeat/cumsum)
+    over ALL tiles in the bucket at once — no Python loop per tile.
+
+    Scale note: per-tile candidate volume is m_tile² — bounded by point
+    density at the tile side (= eps, the same density bound DBSCAN-type
+    consumers assume). Slabs of ``max_candidates_per_slab`` bound the
+    in-bucket temporary when a bucket holds hot tiles.
+    """
+    T = int(tile) if tile is not None else int(eps)
+    if T < eps:
+        raise ValueError(f"tile side {T} must be >= eps {eps}")
+    eps2 = int(eps) * int(eps)
+    HALO = ((-1, -1), (-1, 0), (-1, 1), (0, -1))
+
+    def route(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = batch[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = batch[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tx = ix // T
+        ty = iy // T
+        n = len(ids)
+        reps = 1 + len(HALO)
+        otx = np.empty(n * reps, np.int64)
+        oty = np.empty(n * reps, np.int64)
+        anc = np.zeros(n * reps, np.int64)
+        otx[:n] = tx
+        oty[:n] = ty
+        anc[:n] = 1
+        for i, (dx, dy) in enumerate(HALO):
+            s = slice(n * (i + 1), n * (i + 2))
+            otx[s] = tx + dx
+            oty[s] = ty + dy
+        return pd.DataFrame({
+            "tx": otx, "ty": oty, "anc": anc,
+            "id": np.tile(ids, reps),
+            "x": np.tile(ix, reps), "y": np.tile(iy, reps)})
+
+    routed = points_ds.map_batches(route, batch_format="pyarrow",
+                                   batch_size=65536)
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "d2": pd.Series([], dtype=np.int64)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty.copy()
+        key = np.lexsort((g["ty"].to_numpy(), g["tx"].to_numpy()))
+        tx = g["tx"].to_numpy()[key]
+        ty = g["ty"].to_numpy()[key]
+        ids = g["id"].to_numpy()[key]
+        x = g["x"].to_numpy()[key]
+        y = g["y"].to_numpy()[key]
+        anc = g["anc"].to_numpy()[key]
+        new = np.empty(len(tx), bool)
+        new[0] = True
+        new[1:] = (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
+        gid = np.cumsum(new) - 1                    # tile index per row
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(tx)))
+        # slab boundaries on cumulative m² so temporaries stay bounded
+        cand = sizes.astype(np.int64) ** 2
+        cum = np.cumsum(cand)
+        outs = []
+        lo_g = 0
+        while lo_g < len(sizes):
+            hi_g = int(np.searchsorted(
+                cum, (cum[lo_g - 1] if lo_g else 0)
+                + max_candidates_per_slab, side="right"))
+            hi_g = max(hi_g, lo_g + 1)
+            r0 = starts[lo_g]
+            r1 = (starts[hi_g] if hi_g < len(sizes) else len(tx))
+            m = sizes[lo_g:hi_g]
+            srel = starts[lo_g:hi_g] - r0
+            # per-row block = all rows of its tile (within the slab)
+            per_row = np.repeat(m, m)               # |tile| per row
+            tot = int(per_row.sum())
+            li = np.repeat(np.arange(r1 - r0), per_row)
+            csr = np.concatenate(([0], np.cumsum(per_row)))
+            pos = np.arange(tot) - np.repeat(csr[:-1], per_row)
+            ri = np.repeat(np.repeat(srel, m), per_row) + pos
+            keep = li < ri                          # upper triangle
+            li = li[keep]
+            ri = ri[keep]
+            fa = anc[r0 + li]
+            fb = anc[r0 + ri]
+            keep2 = (fa + fb) >= 1                  # drop halo-halo
+            li = li[keep2]
+            ri = ri[keep2]
+            dx = x[r0 + li] - x[r0 + ri]
+            dy = y[r0 + li] - y[r0 + ri]
+            d2 = dx * dx + dy * dy
+            hit = d2 <= eps2
+            if hit.any():
+                ia = ids[r0 + li[hit]]
+                ib = ids[r0 + ri[hit]]
+                lo = np.minimum(ia, ib)
+                hi = np.maximum(ia, ib)
+                outs.append(pd.DataFrame({"id_a": lo, "id_b": hi,
+                                          "d2": d2[hit]}))
+            lo_g = hi_g
+        if not outs:
+            return empty.copy()
+        return pd.concat(outs, ignore_index=True)
+
+    from pythongis_ray.relational import bucketed_group_apply
+    return bucketed_group_apply(routed, ["tx", "ty"], per_bucket)

@@ -636,3 +636,129 @@ def test_lines_shuffle_checkpoint_resume(ray_session, tmp_path):
         rd.from_pandas(lines), zones).to_pandas()
     c = sorted(map(tuple, want[["lid", "zone_id"]].to_numpy()))
     assert a == c
+
+
+# ------------------------------------- dwithin_self_pairs (exactly-once)
+
+def _brute_pairs(ids, ix, iy, eps):
+    out = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d2 = int(ix[i] - ix[j]) ** 2 + int(iy[i] - iy[j]) ** 2
+            if d2 <= eps * eps:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                out[(a, b)] = d2
+    return out
+
+
+def _pairs_df(ids, ix, iy, eps, **kw):
+    import ray.data as rd
+    ds = rd.from_pandas(pd.DataFrame({
+        "pk": ids.astype(np.int64), "ix": ix.astype(np.int64),
+        "iy": iy.astype(np.int64)}))
+    got = spatial.dwithin_self_pairs(ds, "pk", "ix", "iy", eps=eps,
+                                     **kw).to_pandas()
+    return got
+
+
+def test_dwithin_self_pairs_brute(ray_session):
+    rng = np.random.default_rng(7)
+    n = 600
+    # clustered + uniform mix, duplicated coords, exact-eps distances
+    ix = np.concatenate([rng.integers(0, 400, n // 2),
+                         rng.integers(0, 100000, n // 2 - 4),
+                         [500, 500 + 96, 777, 777]])
+    iy = np.concatenate([rng.integers(0, 400, n // 2),
+                         rng.integers(0, 100000, n // 2 - 4),
+                         [9000, 9000, 42, 42]])
+    ids = np.arange(n) * 3 + 1
+    want = _brute_pairs(ids, ix, iy, 96)
+    got = _pairs_df(ids, ix, iy, 96)
+    have = {(int(a), int(b)): int(d) for a, b, d in
+            zip(got["id_a"], got["id_b"], got["d2"])}
+    assert len(got) == len(have), "duplicate pair emitted"
+    assert have == want
+
+
+def test_dwithin_self_pairs_tile_and_slab(ray_session):
+    # larger tile than eps + tiny slab cap exercise the chunked path
+    rng = np.random.default_rng(11)
+    n = 300
+    ix = rng.integers(0, 600, n)
+    iy = rng.integers(0, 600, n)
+    ids = np.arange(n).astype(np.int64)
+    want = _brute_pairs(ids, ix, iy, 50)
+    got = _pairs_df(ids, ix, iy, 50, tile=128,
+                    max_candidates_per_slab=500)
+    have = {(int(a), int(b)): int(d) for a, b, d in
+            zip(got["id_a"], got["id_b"], got["d2"])}
+    assert len(got) == len(have)
+    assert have == want
+
+
+def test_dwithin_self_pairs_empty(ray_session):
+    got = _pairs_df(np.array([1, 2]), np.array([0, 100000]),
+                    np.array([0, 100000]), 96)
+    assert len(got) == 0
+
+
+def test_dbscan_brute(ray_session):
+    """q_dbscan vs a brute-force reference DBSCAN on sf0.001 customers."""
+    from pythongis_ray import queries as q
+
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64) * 4 + 1
+    ix, iy = fixtures.geocode_units(ck)
+    n = len(ck)
+    eps2 = q.DBSCAN_EPS ** 2
+    # brute neighbor counts (self included)
+    nbrs = {int(k): set() for k in ck}
+    for i in range(n):
+        d2 = (ix - ix[i]) ** 2 + (iy - iy[i]) ** 2
+        for j in np.flatnonzero(d2 <= eps2):
+            if j != i:
+                nbrs[int(ck[i])].add(int(ck[j]))
+    core = {k for k, s in nbrs.items() if len(s) + 1 >= q.DBSCAN_MINPTS}
+    # components over core-core edges (min-label)
+    label = {k: k for k in core}
+    changed = True
+    while changed:
+        changed = False
+        for k in core:
+            for m in nbrs[k]:
+                if m in core and label[m] < label[k]:
+                    label[k] = label[m]
+                    changed = True
+    want = {(k, label[k], 1) for k in core}
+    for k, s in nbrs.items():
+        if k in core:
+            continue
+        cs = [label[m] for m in s if m in core]
+        if cs:
+            want.add((k, min(cs), 0))
+    got = q.q_dbscan(SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    have = {(int(a), int(b), int(c)) for a, b, c in
+            zip(got["ck"], got["cluster"], got["core"])}
+    assert have == want
+
+
+def test_ripley_k_brute(ray_session):
+    from pythongis_ray import queries as q
+
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64) * 4 + 1
+    ix, iy = fixtures.geocode_units(ck)
+    got = q.q_ripley_k(SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    for r, np_ in zip(got["r"], got["n_pairs"]):
+        n = 0
+        for i in range(len(ck)):
+            d2 = (ix[i+1:] - ix[i]) ** 2 + (iy[i+1:] - iy[i]) ** 2
+            n += int((d2 <= int(r) * int(r)).sum())
+        assert int(np_) == n
