@@ -15353,6 +15353,289 @@ GROUP BY r
 """
 
 
+def q_robots_filter(sf_dir: str):
+    """Crawl-politeness robots.txt filter with longest-prefix-match
+    semantics (the Google robots rule: the most specific matching rule
+    wins, default allow). Each host ``site{s}.example`` publishes two
+    synthetic rules — ``Disallow: /<d>`` with d = s%10 and
+    ``Allow: /<d><e>`` with e = (s*7)%10 — and every page URL is
+    judged against its host's rules: blocked iff the path starts with
+    d and is NOT rescued by the longer allow prefix de. URLs are
+    parsed back OUT of the synthesized page url strings (one
+    vectorized extract_regex — the oracle replays the generator
+    arithmetic, so the parse is verified bit-for-bit, the img_hosts
+    pattern). Output: per-host page/blocked/allowed counts."""
+    from pythongis_ray import pages
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = pages.pages_dataset(sf_dir, geocode=False,
+                             columns=["page_id", "url"])
+
+    def judge(b: pa.Table) -> pd.DataFrame:
+        m = pc.extract_regex(
+            b["url"], r"^https://site(?P<s>[0-9]+)\.example/(?P<p>[0-9]+)$")
+        s = pc.struct_field(m, "s").to_pandas().astype(np.int64).to_numpy()
+        path = pc.struct_field(m, "p")
+        d = pc.cast(pa.array(s % 10), pa.string())
+        e = pc.cast(pa.array((s * 7) % 10), pa.string())
+        c1 = pc.utf8_slice_codeunits(path, 0, 1)
+        c2 = pc.utf8_slice_codeunits(path, 1, 2)
+        blocked = pc.and_(pc.equal(c1, d),
+                          pc.invert(pc.equal(c2, e))).to_numpy(
+                              zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"site": s, "blocked": blocked})
+        g = df.groupby("site", sort=False).agg(
+            n_pages=("blocked", "size"),
+            n_blocked=("blocked", "sum")).reset_index()
+        g["n_pages"] = g["n_pages"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(judge, batch_format="pyarrow",
+                           batch_size=8192)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("site", sort=False).agg(
+            n_pages=("n_pages", "sum"),
+            n_blocked=("n_blocked", "sum")).reset_index()
+        g["n_pages"] = g["n_pages"].astype(np.int64)
+        g["n_blocked"] = g["n_blocked"].astype(np.int64)
+        g["n_allowed"] = g["n_pages"] - g["n_blocked"]
+        return g
+
+    return bucketed_group_apply(parts, ["site"], combine)
+
+
+SQL_ROBOTS_FILTER = """
+WITH p AS (SELECT doc_id % 50 AS site, CAST(doc_id AS VARCHAR) AS path
+           FROM documents),
+v AS (SELECT site,
+             CASE WHEN substr(path, 1, 1) = CAST(site % 10 AS VARCHAR)
+                   AND substr(path, 2, 1) <> CAST((site*7) % 10 AS VARCHAR)
+                  THEN 1 ELSE 0 END AS blocked
+      FROM p)
+SELECT site, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+       CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS n_allowed
+FROM v GROUP BY site
+"""
+
+
+# co-presence: spatial eps (lattice units) and time window (microsec)
+COPRES_EPS = 96
+COPRES_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_co_presence(sf_dir: str):
+    """Spatio-temporal co-presence join (the contact-tracing /
+    co-location analytic): pairs of DIFFERENT users with events within
+    96 lattice units AND within 1 hour of each other, counted per
+    unordered user pair. Plan: one exactly-once canonical-tile spatial
+    self-join over event points prunes to the distance-bounded
+    candidate set, the time predicate filters AFTER pairing (spatial
+    candidates are density-bounded, so no space-time grid is needed),
+    user/ts attach via partitioned joins on the tiny pair table. The
+    oracle replays the full predicate as an inequality self-join."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        return pa.table({"event_id": pa.array(eid), "ix": ix, "iy": iy,
+                         "user_id": batch["user_id"],
+                         "ts_us": pa.array(us)})
+
+    pts = ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    # user/ts ride THROUGH the self-join (carry) and the time + same-
+    # user predicates prune IN-KERNEL — no re-join onto the pair table,
+    # and only the ~0.1% of spatial candidates inside the window ever
+    # leave a bucket
+    pairs = spatial.dwithin_self_pairs(
+        pts, "event_id", "ix", "iy", eps=COPRES_EPS,
+        carry=("user_id", "ts_us"),
+        pair_filter=lambda d2, ca, cb:
+            (ca["user_id"] != cb["user_id"])
+            & (np.abs(ca["ts_us"] - cb["ts_us"]) <= COPRES_WINDOW_US))
+    empty = pd.DataFrame({"user_a": pd.Series([], dtype=np.int64),
+                          "user_b": pd.Series([], dtype=np.int64),
+                          "n_meet": pd.Series([], dtype=np.int64)})
+
+    def fold(b: pa.Table) -> pd.DataFrame:
+        ua = b["user_id_a"].to_numpy(zero_copy_only=False)
+        ub = b["user_id_b"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(ua, ub)
+        hi = np.maximum(ua, ub)
+        df = pd.DataFrame({"user_a": lo, "user_b": hi})
+        g = df.groupby(["user_a", "user_b"], sort=False).size()
+        return pd.DataFrame({
+            "user_a": g.index.get_level_values(0).to_numpy(np.int64),
+            "user_b": g.index.get_level_values(1).to_numpy(np.int64),
+            "n_meet": g.to_numpy(np.int64)})
+
+    parts = pairs.map_batches(fold, batch_format="pyarrow",
+                              batch_size=65536)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["user_a", "user_b"], sort=False)["n_meet"].sum()
+        return pd.DataFrame({
+            "user_a": g.index.get_level_values(0).to_numpy(np.int64),
+            "user_b": g.index.get_level_values(1).to_numpy(np.int64),
+            "n_meet": g.to_numpy(np.int64)})
+
+    out = bucketed_group_apply(parts, ["user_a", "user_b"],
+                               combine).materialize()
+    if out.count() == 0:
+        return empty
+    return out
+
+
+def SQL_CO_PRESENCE():
+    src = "(SELECT event_id, user_id, ts, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g})
+SELECT LEAST(a.user_id, b.user_id) AS user_a,
+       GREATEST(a.user_id, b.user_id) AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_meet
+FROM ge a JOIN ge b
+  ON a.event_id < b.event_id
+ AND (a.ix-b.ix)*(a.ix-b.ix) + (a.iy-b.iy)*(a.iy-b.iy)
+     <= {COPRES_EPS * COPRES_EPS}
+ AND a.user_id <> b.user_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {COPRES_WINDOW_US}
+GROUP BY LEAST(a.user_id, b.user_id), GREATEST(a.user_id, b.user_id)
+"""
+
+
+# trajectory similarity: home-cell resolution (4° tiles) — users are
+# paired only within their home tile, the blocking key
+TRAJ_CELL = 4096
+
+
+def q_traj_hausdorff(sf_dir: str):
+    """Trajectory-similarity join: symmetric discrete Hausdorff
+    distance (exact integer d²) between the event-point sets of every
+    pair of users sharing a HOME TILE (home = location of the user's
+    smallest event_id; tile = 4°). The mobility-mining classic
+    (comparing movement footprints) as a blocked pair join: a tiny
+    per-user home table routes each user's full trajectory to ONE
+    tile bucket; inside a bucket the kernel computes all pair
+    Hausdorffs at once from a row-chunked distance matrix +
+    minimum/maximum.reduceat over user blocks — no per-pair Python
+    loop. Pair volume is bounded by tile membership (the blocking
+    assumption, documented like snm_pairs' halo blocks)."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        return pa.table({"event_id": pa.array(eid),
+                         "user_id": batch["user_id"],
+                         "ix": ix, "iy": iy})
+
+    pts = ev.map_batches(prep, batch_format="pyarrow",
+                         batch_size=65536).materialize()
+
+    def first_pt(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="stable")
+        top = g.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame({
+            "user_id": top["user_id"].to_numpy(np.int64),
+            "hx": top["ix"].to_numpy(np.int64) // TRAJ_CELL,
+            "hy": top["iy"].to_numpy(np.int64) // TRAJ_CELL})
+
+    home = bucketed_group_apply(pts, ["user_id"], first_pt)
+    routed = rel.join_large(pts, home, on="user_id")
+
+    empty = pd.DataFrame({"user_a": pd.Series([], dtype=np.int64),
+                          "user_b": pd.Series([], dtype=np.int64),
+                          "h2": pd.Series([], dtype=np.int64)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (_, _), cell in g.groupby(["hx", "hy"], sort=False):
+            users = np.unique(cell["user_id"].to_numpy(np.int64))
+            if len(users) < 2:
+                continue
+            cell = cell.sort_values(["user_id", "event_id"],
+                                    kind="stable")
+            u = cell["user_id"].to_numpy(np.int64)
+            x = cell["ix"].to_numpy(np.int64)
+            y = cell["iy"].to_numpy(np.int64)
+            new = np.empty(len(u), bool)
+            new[0] = True
+            new[1:] = u[1:] != u[:-1]
+            off = np.flatnonzero(new)          # user block offsets
+            k = len(off)
+            n = len(u)
+            # per-point min distance to each OTHER user's block,
+            # row-chunked so the d² matrix temporary stays bounded
+            pmins = np.empty((n, k), np.int64)
+            step = max(1, 2_000_000 // max(n, 1))
+            for r0 in range(0, n, step):
+                r1 = min(n, r0 + step)
+                dx = x[r0:r1, None] - x[None, :]
+                dy = y[r0:r1, None] - y[None, :]
+                d2 = dx * dx + dy * dy
+                pmins[r0:r1] = np.minimum.reduceat(d2, off, axis=1)
+            # directed[i, j] = max over i's points of min to j's set
+            directed = np.maximum.reduceat(pmins, off, axis=0)
+            h2 = np.maximum(directed, directed.T)
+            iu, ju = np.triu_indices(k, 1)
+            outs.append(pd.DataFrame({
+                "user_a": users[iu], "user_b": users[ju],
+                "h2": h2[iu, ju]}))
+        if not outs:
+            return empty.copy()
+        return pd.concat(outs, ignore_index=True)
+
+    out = bucketed_group_apply(routed, ["hx", "hy"],
+                               per_bucket).materialize()
+    if out.count() == 0:
+        return empty
+    return out
+
+
+def SQL_TRAJ_HAUSDORFF():
+    src = "(SELECT event_id, user_id, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+me AS (SELECT user_id, MIN(event_id) AS e0 FROM ge GROUP BY user_id),
+home AS (SELECT g.user_id, g.ix // {TRAJ_CELL} AS hx,
+                g.iy // {TRAJ_CELL} AS hy
+         FROM ge g JOIN me ON g.user_id = me.user_id
+                          AND g.event_id = me.e0),
+up AS (SELECT a.user_id AS ua, b.user_id AS ub
+       FROM home a JOIN home b
+         ON a.user_id < b.user_id AND a.hx = b.hx AND a.hy = b.hy),
+pm AS (SELECT up.ua, up.ub, pa.event_id,
+              MIN((pa.ix-pb.ix)*(pa.ix-pb.ix)
+                  + (pa.iy-pb.iy)*(pa.iy-pb.iy)) AS mind2
+       FROM up JOIN ge pa ON pa.user_id = up.ua
+               JOIN ge pb ON pb.user_id = up.ub
+       GROUP BY up.ua, up.ub, pa.event_id),
+dab AS (SELECT ua, ub, MAX(mind2) AS d FROM pm GROUP BY ua, ub),
+pm2 AS (SELECT up.ua, up.ub, pb.event_id,
+              MIN((pa.ix-pb.ix)*(pa.ix-pb.ix)
+                  + (pa.iy-pb.iy)*(pa.iy-pb.iy)) AS mind2
+       FROM up JOIN ge pa ON pa.user_id = up.ua
+               JOIN ge pb ON pb.user_id = up.ub
+       GROUP BY up.ua, up.ub, pb.event_id),
+dba AS (SELECT ua, ub, MAX(mind2) AS d FROM pm2 GROUP BY ua, ub)
+SELECT dab.ua AS user_a, dab.ub AS user_b,
+       CAST(GREATEST(dab.d, dba.d) AS BIGINT) AS h2
+FROM dab JOIN dba ON dab.ua = dba.ua AND dab.ub = dba.ub
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -15640,6 +15923,9 @@ REGISTRY: dict[str, tuple] = {
     "price_band": (q_price_band, SQL_PRICE_BAND),
     "dbscan": (q_dbscan, SQL_DBSCAN),
     "ripley_k": (q_ripley_k, SQL_RIPLEY_K),
+    "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
+    "co_presence": (q_co_presence, SQL_CO_PRESENCE),
+    "traj_hausdorff": (q_traj_hausdorff, SQL_TRAJ_HAUSDORFF),
 }
 
 

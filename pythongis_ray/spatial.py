@@ -2154,7 +2154,8 @@ def spatial_join_shuffle(points_ds, zones_ds, predicate: str = "intersects",
 def dwithin_self_pairs(points_ds, id_col: str = "pk", ix_col: str = "ix",
                        iy_col: str = "iy", eps: int = 96,
                        tile: int | None = None,
-                       max_candidates_per_slab: int = 2_000_000):
+                       max_candidates_per_slab: int = 2_000_000,
+                       carry: tuple = (), pair_filter=None):
     """All unordered point pairs within ``eps`` lattice units, each
     emitted EXACTLY ONCE as ``(id_a < id_b, d2)`` — fully distributed.
 
@@ -2177,6 +2178,16 @@ def dwithin_self_pairs(points_ds, id_col: str = "pk", ix_col: str = "ix",
     density at the tile side (= eps, the same density bound DBSCAN-type
     consumers assume). Slabs of ``max_candidates_per_slab`` bound the
     in-bucket temporary when a bucket holds hot tiles.
+
+    ``carry`` names extra int64 columns to ride through the shuffle and
+    appear on the pair rows as ``{col}_a`` / ``{col}_b`` (aligned with
+    the id_a < id_b canonical order) — the shuffle-once alternative to
+    re-joining attributes onto the pair table. ``pair_filter(d2, ca,
+    cb)`` (carried-column dicts, canonical order) may return a bool
+    mask applied IN-KERNEL, so selective non-spatial predicates (a time
+    window, a key inequality) prune before any pair row is emitted.
+    Symmetric predicates only — the canonical order is not the input
+    order.
     """
     T = int(tile) if tile is not None else int(eps)
     if T < eps:
@@ -2202,17 +2213,24 @@ def dwithin_self_pairs(points_ds, id_col: str = "pk", ix_col: str = "ix",
             s = slice(n * (i + 1), n * (i + 2))
             otx[s] = tx + dx
             oty[s] = ty + dy
-        return pd.DataFrame({
-            "tx": otx, "ty": oty, "anc": anc,
-            "id": np.tile(ids, reps),
-            "x": np.tile(ix, reps), "y": np.tile(iy, reps)})
+        out = {"tx": otx, "ty": oty, "anc": anc,
+               "id": np.tile(ids, reps),
+               "x": np.tile(ix, reps), "y": np.tile(iy, reps)}
+        for c in carry:
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            out[c] = np.tile(v, reps)
+        return pd.DataFrame(out)
 
     routed = points_ds.map_batches(route, batch_format="pyarrow",
                                    batch_size=65536)
 
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                          "id_b": pd.Series([], dtype=np.int64),
-                          "d2": pd.Series([], dtype=np.int64)})
+    empty_cols = {"id_a": pd.Series([], dtype=np.int64),
+                  "id_b": pd.Series([], dtype=np.int64),
+                  "d2": pd.Series([], dtype=np.int64)}
+    for c in carry:
+        empty_cols[f"{c}_a"] = pd.Series([], dtype=np.int64)
+        empty_cols[f"{c}_b"] = pd.Series([], dtype=np.int64)
+    empty = pd.DataFrame(empty_cols)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -2224,6 +2242,7 @@ def dwithin_self_pairs(points_ds, id_col: str = "pk", ix_col: str = "ix",
         x = g["x"].to_numpy()[key]
         y = g["y"].to_numpy()[key]
         anc = g["anc"].to_numpy()[key]
+        cvals = {c: g[c].to_numpy()[key] for c in carry}
         new = np.empty(len(tx), bool)
         new[0] = True
         new[1:] = (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
@@ -2264,12 +2283,31 @@ def dwithin_self_pairs(points_ds, id_col: str = "pk", ix_col: str = "ix",
             d2 = dx * dx + dy * dy
             hit = d2 <= eps2
             if hit.any():
-                ia = ids[r0 + li[hit]]
-                ib = ids[r0 + ri[hit]]
-                lo = np.minimum(ia, ib)
-                hi = np.maximum(ia, ib)
-                outs.append(pd.DataFrame({"id_a": lo, "id_b": hi,
-                                          "d2": d2[hit]}))
+                gi = r0 + li[hit]
+                gj = r0 + ri[hit]
+                ia = ids[gi]
+                ib = ids[gj]
+                swap = ib < ia              # canonical id_a < id_b
+                lo = np.where(swap, ib, ia)
+                hi = np.where(swap, ia, ib)
+                d2h = d2[hit]
+                ca = {c: np.where(swap, v[gj], v[gi])
+                      for c, v in cvals.items()}
+                cb = {c: np.where(swap, v[gi], v[gj])
+                      for c, v in cvals.items()}
+                if pair_filter is not None:
+                    fm = np.asarray(pair_filter(d2h, ca, cb), bool)
+                    if not fm.any():
+                        lo_g = hi_g
+                        continue
+                    lo, hi, d2h = lo[fm], hi[fm], d2h[fm]
+                    ca = {c: v[fm] for c, v in ca.items()}
+                    cb = {c: v[fm] for c, v in cb.items()}
+                row = {"id_a": lo, "id_b": hi, "d2": d2h}
+                for c in carry:
+                    row[f"{c}_a"] = ca[c]
+                    row[f"{c}_b"] = cb[c]
+                outs.append(pd.DataFrame(row))
             lo_g = hi_g
         if not outs:
             return empty.copy()

@@ -762,3 +762,28 @@ def test_ripley_k_brute(ray_session):
             d2 = (ix[i+1:] - ix[i]) ** 2 + (iy[i+1:] - iy[i]) ** 2
             n += int((d2 <= int(r) * int(r)).sum())
         assert int(np_) == n
+
+
+def test_dwithin_self_pairs_carry_filter(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    n = 400
+    ix = rng.integers(0, 500, n).astype(np.int64)
+    iy = rng.integers(0, 500, n).astype(np.int64)
+    ids = np.arange(n).astype(np.int64)
+    grp = (ids % 7).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"pk": ids, "ix": ix, "iy": iy, "grp": grp}))
+    got = spatial.dwithin_self_pairs(
+        ds, "pk", "ix", "iy", eps=40, carry=("grp",),
+        pair_filter=lambda d2, ca, cb: ca["grp"] != cb["grp"]).to_pandas()
+    want = {}
+    for (a, b), d2 in _brute_pairs(ids, ix, iy, 40).items():
+        if a % 7 != b % 7:
+            want[(a, b)] = d2
+    have = {(int(a), int(b)): int(d) for a, b, d in
+            zip(got["id_a"], got["id_b"], got["d2"])}
+    assert have == want
+    # carried columns align with the canonical order
+    assert (got["grp_a"].to_numpy() == got["id_a"].to_numpy() % 7).all()
+    assert (got["grp_b"].to_numpy() == got["id_b"].to_numpy() % 7).all()
