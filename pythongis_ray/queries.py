@@ -15636,6 +15636,377 @@ FROM dab JOIN dba ON dab.ua = dba.ua AND dab.ub = dba.ub
 """
 
 
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the html-extracted web link graph as
+    EXACT integer moments (Newman's r with every mean division
+    cleared): over the m directed edges, with x/y = TOTAL degree
+    (in+out over the edge multiset) of the two endpoints, emit one row
+    (m, sxy, sx, sy, sxx, syy) so r = (m*sxy − sx*sy) /
+    sqrt((m*sxx − sx²)(m*syy − sy²)). The degree table is node-bounded
+    and attached to each endpoint via partitioned joins; the moment
+    fold is per-batch partials + a single-row combine, so nothing on
+    the driver grows with edge count. Realizes the graph-metric layer
+    the reference lacks entirely (its tables are per-feature Python,
+    vector/data.py)."""
+    from pythongis_ray import pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096).materialize()
+
+    def ends(b: pa.Table) -> pa.Table:
+        s = b["src_page"].to_numpy(zero_copy_only=False)
+        d = b["dst_page"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": np.concatenate([s, d])})
+
+    deg = rel.groupby_aggregate(
+        edges.map_batches(ends, batch_format="pyarrow",
+                          batch_size=65536),
+        ["node"], [("deg", "node", "count")])
+
+    e1 = rel.join_large(
+        edges.map_batches(lambda b: pa.table(
+            {"node": b["src_page"], "dst_page": b["dst_page"]}),
+            batch_format="pyarrow", batch_size=65536),
+        deg, on="node")
+    e1 = e1.map_batches(lambda b: pd.DataFrame(
+        {"node": b["dst_page"].to_numpy(np.int64),
+         "dega": b["deg"].to_numpy(np.int64)}),
+        batch_format="pandas", batch_size=65536)
+    e2 = rel.join_large(e1, deg, on="node")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["dega"].to_numpy(np.int64)
+        y = b["deg"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "m": [np.int64(len(b))], "sxy": [np.int64((x * y).sum())],
+            "sx": [np.int64(x.sum())], "sy": [np.int64(y.sum())],
+            "sxx": [np.int64((x * x).sum())],
+            "syy": [np.int64((y * y).sum())]})
+
+    parts = e2.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({c: [np.int64(g[c].sum())]
+                             for c in ("m", "sxy", "sx", "sy",
+                                       "sxx", "syy")})
+
+    one = parts.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                            batch_format="pandas")
+    return one.groupby("_one").map_groups(
+        lambda g: combine(g.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+SQL_ASSORTATIVITY = f"""
+WITH e AS ({_SQL_PAGE_EDGES}),
+ends AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM ends GROUP BY node),
+j AS (SELECT da.d AS x, db.d AS y
+      FROM e JOIN deg da ON da.node = e.src
+             JOIN deg db ON db.node = e.dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(x*y) AS BIGINT) AS sxy,
+       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+FROM j
+"""
+
+
+RICH_CLUB_KS = (4, 6, 8, 10, 12)
+
+
+def q_rich_club(sf_dir: str):
+    """Rich-club profile of the web link graph: for each degree
+    threshold k, the number of nodes with total degree > k and the
+    number of directed edges whose BOTH endpoints exceed k (the
+    rich-club coefficient's exact integer numerator/denominator
+    inputs; phi(k) = n_edges / (n_nodes*(n_nodes-1)) for the directed
+    normalization). Same node-bounded degree attach as assortativity;
+    the per-k fold unions edge partials and node partials through one
+    tiny k-bucketed combine."""
+    from pythongis_ray import pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096).materialize()
+
+    def ends(b: pa.Table) -> pa.Table:
+        s = b["src_page"].to_numpy(zero_copy_only=False)
+        d = b["dst_page"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": np.concatenate([s, d])})
+
+    deg = rel.groupby_aggregate(
+        edges.map_batches(ends, batch_format="pyarrow",
+                          batch_size=65536),
+        ["node"], [("deg", "node", "count")]).materialize()
+
+    e1 = rel.join_large(
+        edges.map_batches(lambda b: pa.table(
+            {"node": b["src_page"], "dst_page": b["dst_page"]}),
+            batch_format="pyarrow", batch_size=65536),
+        deg, on="node")
+    e1 = e1.map_batches(lambda b: pd.DataFrame(
+        {"node": b["dst_page"].to_numpy(np.int64),
+         "dega": b["deg"].to_numpy(np.int64)}),
+        batch_format="pandas", batch_size=65536)
+    e2 = rel.join_large(e1, deg, on="node")
+
+    def edge_part(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["dega"].to_numpy(np.int64)
+        y = b["deg"].to_numpy(np.int64)
+        ks = np.array(RICH_CLUB_KS, np.int64)
+        ne = np.array([((x > k) & (y > k)).sum() for k in ks], np.int64)
+        return pd.DataFrame({"k": ks, "n_nodes": np.zeros(len(ks),
+                                                          np.int64),
+                             "n_edges": ne})
+
+    def node_part(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["deg"].to_numpy(np.int64)
+        ks = np.array(RICH_CLUB_KS, np.int64)
+        nn = np.array([(d > k).sum() for k in ks], np.int64)
+        return pd.DataFrame({"k": ks, "n_nodes": nn,
+                             "n_edges": np.zeros(len(ks), np.int64)})
+
+    parts = e2.map_batches(edge_part, batch_format="pandas",
+                           batch_size=65536).union(
+        deg.map_batches(node_part, batch_format="pandas",
+                        batch_size=65536))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", sort=False).agg(
+            n_nodes=("n_nodes", "sum"),
+            n_edges=("n_edges", "sum")).reset_index()
+        for c in ("k", "n_nodes", "n_edges"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return rel.bucketed_group_apply(parts, ["k"], combine)
+
+
+def SQL_RICH_CLUB():
+    ks = ", ".join(f"({k})" for k in RICH_CLUB_KS)
+    return f"""
+WITH e AS ({_SQL_PAGE_EDGES}),
+ends AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e),
+deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM ends GROUP BY node),
+ks(k) AS (VALUES {ks})
+SELECT CAST(ks.k AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE d > ks.k)
+           AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM e JOIN deg da ON da.node = e.src
+               JOIN deg db ON db.node = e.dst
+        WHERE da.d > ks.k AND db.d > ks.k) AS n_edges
+FROM ks
+"""
+
+
+# impossible-travel: squared speed limit in (lattice units / second)^2
+TRAVEL_SPEED2 = 400
+
+
+def q_impossible_travel(sf_dir: str):
+    """Impossible-travel detection (the geo-fraud / account-abuse
+    classic): per user, consecutive events ordered by ts whose implied
+    speed exceeds the limit — flagged iff d² > {TRAVEL_SPEED2}·(Δt_s+1)²
+    with d² the exact integer lattice distance and Δt_s the floored
+    second gap (the +1 makes zero-gap hops finite and keeps the whole
+    predicate integer-exact). One user-bucketed shuffle, vectorized
+    diff inside the bucket ((user_id, ts) has no ties in the
+    fixtures, so the order is deterministic); output per-user hop and
+    flag counts."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        return pa.table({"user_id": batch["user_id"], "ts_us": us,
+                         "ix": ix, "iy": iy})
+
+    pts = ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        x = g["ix"].to_numpy(np.int64)
+        y = g["iy"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        dt = (t[1:] - t[:-1]) // 1_000_000
+        d2 = (x[1:] - x[:-1]) ** 2 + (y[1:] - y[:-1]) ** 2
+        flag = (d2 > TRAVEL_SPEED2 * (dt + 1) ** 2) & same
+        df = pd.DataFrame({"user_id": u[1:][same],
+                           "f": flag[same].astype(np.int64)})
+        out = df.groupby("user_id", sort=False).agg(
+            n_hops=("f", "size"), n_flagged=("f", "sum")).reset_index()
+        out["n_hops"] = out["n_hops"].astype(np.int64)
+        out["n_flagged"] = out["n_flagged"].astype(np.int64)
+        return out
+
+    return rel.bucketed_group_apply(pts, ["user_id"], per_bucket)
+
+
+def SQL_IMPOSSIBLE_TRAVEL():
+    src = "(SELECT event_id, user_id, ts, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+hops AS (SELECT user_id,
+                LAG(ix) OVER w AS px, LAG(iy) OVER w AS py,
+                LAG(epoch_us(ts)) OVER w AS pt,
+                ix, iy, epoch_us(ts) AS t
+         FROM ge WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+v AS (SELECT user_id,
+             CASE WHEN (ix-px)*(ix-px) + (iy-py)*(iy-py)
+                       > {TRAVEL_SPEED2}
+                         * ((t-pt)//1000000 + 1)
+                         * ((t-pt)//1000000 + 1)
+                  THEN 1 ELSE 0 END AS f
+      FROM hops WHERE px IS NOT NULL)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hops,
+       CAST(SUM(f) AS BIGINT) AS n_flagged
+FROM v GROUP BY user_id
+"""
+
+
+WS_DOUBLINGS = 10  # basin label = flow pointer applied 2^10 times
+
+
+def q_watershed(sf_dir: str):
+    """Watershed basin labeling over the D8 flow graph (the hydrology
+    companion to flow_acc, realizing the drainage layer behind the
+    reference's empty slope stub, raster/analyzer.py:655): every cell
+    is labeled with the SINK it ultimately drains to, computed by
+    pointer doubling — {WS_DOUBLINGS} doublings = 2^{WS_DOUBLINGS}
+    pointer steps, exact because the 8° grid has ≤ 45×23 cells so no
+    drainage path exceeds 1024 hops. The corpus-sized work is the one
+    streamed density pass + cell-bucketed stencil; the doubling acts
+    on the cell-bounded pointer table (flow_acc's bounded-rounds
+    contract). SQL replays each doubling as a self-join CTE."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grid_ds = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                    [("n", "cx", "count")])
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        v = b["n"].to_numpy(np.int64)
+        txs, tys, tags = [cx], [cy], [np.full(len(b), 8, np.int64)]
+        for d, (dx, dy) in enumerate(_D8):
+            txs.append(cx - dx)
+            tys.append(cy - dy)
+            tags.append(np.full(len(b), d, np.int64))
+        return pd.DataFrame({"cx": np.concatenate(txs),
+                             "cy": np.concatenate(tys),
+                             "tag": np.concatenate(tags),
+                             "v": np.tile(v, 9)})
+
+    tagged = grid_ds.map_batches(emit, batch_format="pandas",
+                                 batch_size=65536)
+
+    def stencil(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.pivot_table(index=["cx", "cy"], columns="tag",
+                          values="v", aggfunc="sum")
+        p = p.reindex(columns=range(9))
+        p = p[p[8].notna()]
+        own = p[8].to_numpy(np.int64)
+        big = np.int64(1) << 62
+        keys = np.full((len(p), 8), big, np.int64)
+        for d in range(8):
+            bn = p[d].to_numpy(np.float64)
+            has = ~np.isnan(bn)
+            lower = has & (bn < own)
+            keys[lower, d] = bn[lower].astype(np.int64) * 8 + d
+        best = keys.min(axis=1)
+        has_flow = best < big
+        d_star = keys.argmin(axis=1)
+        cx = p.index.get_level_values(0).to_numpy(np.int64)
+        cy = p.index.get_level_values(1).to_numpy(np.int64)
+        dx = np.array([d[0] for d in _D8], np.int64)[d_star]
+        dy = np.array([d[1] for d in _D8], np.int64)[d_star]
+        return pd.DataFrame({
+            "cx": cx, "cy": cy,
+            "tx": np.where(has_flow, cx + dx, cx),
+            "ty": np.where(has_flow, cy + dy, cy)})
+
+    cells = rel.bucketed_group_apply(tagged, ["cx", "cy"], stencil)
+
+    def label(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cx", "cy"], kind="stable") \
+            .reset_index(drop=True)
+        key = g["cx"].to_numpy(np.int64) * (np.int64(1) << 32) \
+            + g["cy"].to_numpy(np.int64)
+        tkey = g["tx"].to_numpy(np.int64) * (np.int64(1) << 32) \
+            + g["ty"].to_numpy(np.int64)
+        ptr = np.searchsorted(key, tkey)
+        for _ in range(WS_DOUBLINGS):
+            ptr = ptr[ptr]
+        cx = g["cx"].to_numpy(np.int64)
+        cy = g["cy"].to_numpy(np.int64)
+        return pd.DataFrame({"cx": cx, "cy": cy,
+                             "basin_x": cx[ptr], "basin_y": cy[ptr]})
+
+    one = cells.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                            batch_format="pandas")
+    return one.groupby("_one").map_groups(
+        lambda g: label(g.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+def SQL_WATERSHED():
+    dirs = ", ".join(f"({d}, {dx}, {dy})"
+                     for d, (dx, dy) in enumerate(_D8))
+    steps = []
+    prev = "p0"
+    for r in range(1, WS_DOUBLINGS + 1):
+        steps.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT a.cx, a.cy, b.tx, b.ty
+  FROM {prev} a JOIN {prev} b ON b.cx = a.tx AND b.cy = a.ty)""")
+        prev = f"p{r}"
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+cells AS MATERIALIZED (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+        CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+cand AS (SELECT a.cx, a.cy, b.n AS bn, d.d AS d,
+                a.cx + d.dx AS tx, a.cy + d.dy AS ty
+         FROM cells a
+         CROSS JOIN (VALUES {dirs}) d(d, dx, dy)
+         JOIN cells b ON b.cx = a.cx + d.dx AND b.cy = a.cy + d.dy
+         WHERE b.n < a.n),
+flow AS (SELECT cx, cy, tx, ty FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY cx, cy
+                                      ORDER BY bn, d) AS rn
+         FROM cand) WHERE rn = 1),
+p0 AS MATERIALIZED (
+  SELECT c.cx, c.cy,
+         COALESCE(f.tx, c.cx) AS tx, COALESCE(f.ty, c.cy) AS ty
+  FROM cells c LEFT JOIN flow f ON f.cx = c.cx AND f.cy = c.cy),
+{",".join(steps)[1:]}
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(tx AS BIGINT) AS basin_x, CAST(ty AS BIGINT) AS basin_y
+FROM p{WS_DOUBLINGS}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -15926,6 +16297,10 @@ REGISTRY: dict[str, tuple] = {
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "co_presence": (q_co_presence, SQL_CO_PRESENCE),
     "traj_hausdorff": (q_traj_hausdorff, SQL_TRAJ_HAUSDORFF),
+    "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
+    "rich_club": (q_rich_club, SQL_RICH_CLUB),
+    "impossible_travel": (q_impossible_travel, SQL_IMPOSSIBLE_TRAVEL),
+    "watershed": (q_watershed, SQL_WATERSHED),
 }
 
 
