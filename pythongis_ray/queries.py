@@ -16007,6 +16007,176 @@ FROM p{WS_DOUBLINGS}
 """
 
 
+def q_benford(sf_dir: str):
+    """Benford's-law first-digit audit (the fraud-screening classic)
+    of event values per event_type: leading decimal digit of the
+    exact integer cents, counted per (type, digit). The digit is
+    extracted by a bounded vectorized divide-by-10 loop (≤19 steps on
+    the whole array — no string round-trip, no per-row Python); SQL
+    replays it as substr of the integer's decimal text, identical for
+    positive ints. Partial counts fold per batch; only (type, digit)
+    rows shuffle."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        keep = c > 0
+        d = c[keep]
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d = np.where(big, d // 10, d)
+        df = pd.DataFrame({"event_type":
+                           b["event_type"].to_pandas()[keep].to_numpy(),
+                           "digit": d})
+        g = (df.groupby(["event_type", "digit"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    return rel.groupby_aggregate(parts, ["event_type", "digit"],
+                                 [("n", "n", "sum")])
+
+
+SQL_BENFORD = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+d AS (SELECT event_type,
+             CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                 AS digit
+      FROM c WHERE cents > 0)
+SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY event_type, digit
+"""
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch conversion attribution: every purchase event is
+    credited to the user's immediately preceding event's type (the
+    marketing-analytics classic — which touchpoint gets the sale).
+    One user-bucketed shuffle; inside a bucket the previous-event
+    lookup is a vectorized shift over the (user, ts)-sorted frame
+    ((user_id, ts) has no ties in the fixtures). Output: per
+    attributed channel, purchases credited."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        cur = et[1:][same]
+        prev = et[:-1][same]
+        sel = cur == "purchase"
+        df = pd.DataFrame({"channel": prev[sel]})
+        out = (df.groupby("channel", sort=False).size()
+               .rename("n_purchases").reset_index())
+        out["n_purchases"] = out["n_purchases"].astype(np.int64)
+        return out
+
+    parts = rel.bucketed_group_apply(ds, ["user_id"], per_bucket)
+    return rel.groupby_aggregate(parts, ["channel"],
+                                 [("n_purchases", "n_purchases", "sum")])
+
+
+SQL_ATTRIBUTION = """
+WITH h AS (SELECT event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts) AS prev
+           FROM events)
+SELECT prev AS channel, CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM h WHERE event_type = 'purchase' AND prev IS NOT NULL
+GROUP BY prev
+"""
+
+
+GEOHASH_CHARS = 4          # 20 bits: 10 lon + 10 lat
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def q_geohash_cells(sf_dir: str):
+    """Geohash cell index (the public base-32 interleaved-bit format,
+    lon bit first) over the lineitem point set: count points per
+    {GEOHASH_CHARS}-char geohash. On the dyadic lattice every geohash
+    bit is EXACT integer arithmetic — lon bit j = (ix·2^(j+1)) //
+    368640 mod 2 (and lat over 184320) — so the whole encode replays
+    bit-for-bit in SQL, including the base-32 char lookup. Adds the
+    third public cell-index family next to quadkey (grid.py) and
+    Z-order (zorder_shards)."""
+    pts = points_lineitem(sf_dir)
+    nbits = GEOHASH_CHARS * 5
+
+    def encode(batch: pa.Table) -> pd.DataFrame:
+        ix = batch["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = batch["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.zeros(len(ix), np.int64)
+        lon_j = 0
+        lat_j = 0
+        for b in range(nbits):
+            if b % 2 == 0:
+                bit = (ix << (lon_j + 1)) // 368640 % 2
+                lon_j += 1
+            else:
+                bit = (iy << (lat_j + 1)) // 184320 % 2
+                lat_j += 1
+            v = v * 2 + bit
+        df = pd.DataFrame({"v": v})
+        g = df.groupby("v", sort=False).size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = pts.map_batches(encode, batch_format="pyarrow",
+                            batch_size=65536)
+    agg = rel.groupby_aggregate(parts, ["v"], [("n", "n", "sum")])
+
+    alpha = np.array(list(_GH32))
+
+    def stringify(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["v"].to_numpy(np.int64)
+        gh = np.full(len(v), "", object)
+        for c in range(GEOHASH_CHARS):
+            shift = 5 * (GEOHASH_CHARS - 1 - c)
+            gh = np.char.add(gh.astype(str),
+                             alpha[(v >> shift) & 31])
+        return pd.DataFrame({"geohash": gh,
+                             "n": b["n"].to_numpy(np.int64)})
+
+    return agg.map_batches(stringify, batch_format="pandas",
+                           batch_size=65536)
+
+
+def SQL_GEOHASH_CELLS():
+    terms = []
+    lon_j = 0
+    lat_j = 0
+    nbits = GEOHASH_CHARS * 5
+    for b in range(nbits):
+        w = 1 << (nbits - 1 - b)
+        if b % 2 == 0:
+            terms.append(f"((ix * {1 << (lon_j + 1)}) // 368640 % 2) * {w}")
+            lon_j += 1
+        else:
+            terms.append(f"((iy * {1 << (lat_j + 1)}) // 184320 % 2) * {w}")
+            lat_j += 1
+    vexpr = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{_GH32}', (v >> {5 * (GEOHASH_CHARS - 1 - c)}) % 32 + 1, 1)"
+        for c in range(GEOHASH_CHARS))
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+enc AS (SELECT {vexpr} AS v FROM pts),
+agg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM enc GROUP BY v)
+SELECT {chars} AS geohash, n FROM agg
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -16301,6 +16471,9 @@ REGISTRY: dict[str, tuple] = {
     "rich_club": (q_rich_club, SQL_RICH_CLUB),
     "impossible_travel": (q_impossible_travel, SQL_IMPOSSIBLE_TRAVEL),
     "watershed": (q_watershed, SQL_WATERSHED),
+    "benford": (q_benford, SQL_BENFORD),
+    "attribution": (q_attribution, SQL_ATTRIBUTION),
+    "geohash_cells": (q_geohash_cells, SQL_GEOHASH_CELLS),
 }
 
 
