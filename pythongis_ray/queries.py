@@ -16177,6 +16177,225 @@ SELECT {chars} AS geohash, n FROM agg
 """
 
 
+def q_lisa_quadrants(sf_dir: str):
+    """LISA cluster classification (Anselin's local Moran quadrants —
+    the hot/cold-spot cluster map, complementing the global moran_i
+    and gi_star queries): every interior cell of the density grid is
+    classified HH=1 / LL=2 / HL=3 / LH=4 by the SIGNS of its own
+    centered value and its rook-lag sum, with the global mean division
+    cleared (z_i ∝ T·n_i − S, so signs are exact int64 at every
+    checked scale). The two global scalars (T cells, S total) are a
+    bounded driver fold; the lag is the slope_grid 5-tag sparse
+    stencil. Cells where either term is exactly 0 get quad=0."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grid_ds = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                    [("n", "cx", "count")]).materialize()
+
+    tot = grid_ds.map_batches(
+        lambda b: pd.DataFrame({"t": [np.int64(len(b))],
+                                "s": [np.int64(b["n"].sum())]}),
+        batch_format="pandas", batch_size=65536).to_pandas()
+    T = np.int64(tot["t"].sum())
+    S = np.int64(tot["s"].sum())
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        v = b["n"].to_numpy(np.int64)
+        tx = np.concatenate([cx, cx - 1, cx + 1, cx, cx])
+        ty = np.concatenate([cy, cy, cy, cy - 1, cy + 1])
+        tag = np.repeat(np.arange(5, dtype=np.int64), len(b))
+        return pd.DataFrame({"cx": tx, "cy": ty, "tag": tag,
+                             "v": np.tile(v, 5)})
+
+    tagged = grid_ds.map_batches(emit, batch_format="pandas",
+                                 batch_size=65536)
+
+    def stencil(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.pivot_table(index=["cx", "cy"], columns="tag",
+                          values="v", aggfunc="sum")
+        p = p.reindex(columns=range(5))
+        ok = p.notna().all(axis=1)
+        p = p[ok]
+        z = T * p[0].to_numpy(np.int64) - S
+        lag = sum(T * p[k].to_numpy(np.int64) - S for k in range(1, 5))
+        quad = np.zeros(len(p), np.int64)
+        quad[(z > 0) & (lag > 0)] = 1
+        quad[(z < 0) & (lag < 0)] = 2
+        quad[(z > 0) & (lag < 0)] = 3
+        quad[(z < 0) & (lag > 0)] = 4
+        idx = p.index.to_frame(index=False)
+        return pd.DataFrame({"cx": idx["cx"].to_numpy(np.int64),
+                             "cy": idx["cy"].to_numpy(np.int64),
+                             "quad": quad})
+
+    out = rel.bucketed_group_apply(tagged, ["cx", "cy"], stencil)
+    return rel.with_empty_schema(out, pa.schema(
+        [("cx", pa.int64()), ("cy", pa.int64()), ("quad", pa.int64())]))
+
+
+def SQL_LISA_QUADRANTS():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS MATERIALIZED (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+        CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(n) AS BIGINT) AS s FROM g),
+j AS (SELECT c.cx, c.cy,
+             tot.t * c.n - tot.s AS z,
+             (tot.t * e.n - tot.s) + (tot.t * w.n - tot.s)
+             + (tot.t * n_.n - tot.s) + (tot.t * s_.n - tot.s) AS lag
+      FROM g c CROSS JOIN tot
+      JOIN g e  ON e.cx = c.cx + 1 AND e.cy = c.cy
+      JOIN g w  ON w.cx = c.cx - 1 AND w.cy = c.cy
+      JOIN g n_ ON n_.cx = c.cx AND n_.cy = c.cy - 1
+      JOIN g s_ ON s_.cx = c.cx AND s_.cy = c.cy + 1)
+SELECT cx, cy,
+       CAST(CASE WHEN z > 0 AND lag > 0 THEN 1
+                 WHEN z < 0 AND lag < 0 THEN 2
+                 WHEN z > 0 AND lag < 0 THEN 3
+                 WHEN z < 0 AND lag > 0 THEN 4
+                 ELSE 0 END AS BIGINT) AS quad
+FROM j
+"""
+
+
+FILL_ROUNDS = 40  # ≥ max boundary distance on the 45×23-cell 8° grid
+
+
+def q_fill_sinks(sf_dir: str):
+    """Depression filling (the priority-flood hydrology pre-step that
+    makes flow_acc/watershed drainage-complete): filled(c) is the
+    lowest level water at cell c can escape to the grid BOUNDARY, the
+    fixed point of f ← max(elev, min over 8 neighbors of f) with
+    boundary cells (any missing neighbor) pinned at their elevation.
+    {FILL_ROUNDS} Jacobi rounds are exact here because no cell is
+    farther than {FILL_ROUNDS} steps from the boundary on the ≤45×23
+    cell grid (bounded-rounds contract, as flow_acc). The corpus pass
+    is the one streamed density aggregate; the rounds act on the
+    cell-bounded table as a DENSE ≤45×23 array inside the single
+    bounded combine. SQL replays each round as a min-over-neighbors
+    join CTE. Output: cells whose filled level exceeds elevation
+    (the detected sinks) plus depth."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grid_ds = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                    [("n", "cx", "count")])
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        cx = g["cx"].to_numpy(np.int64)
+        cy = g["cy"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        x0, y0 = cx.min(), cy.min()
+        W = int(cx.max() - x0) + 1
+        H = int(cy.max() - y0) + 1
+        BIG = np.int64(1) << 60
+        elev = np.full((H + 2, W + 2), -1, np.int64)   # pad = missing
+        elev[cy - y0 + 1, cx - x0 + 1] = n
+        present = elev >= 0
+        # boundary: any of the 8 neighbors missing
+        nb_ok = np.ones_like(present)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                sh = np.zeros_like(present)
+                sh[max(0, dy):H + 2 + min(0, dy),
+                   max(0, dx):W + 2 + min(0, dx)] = \
+                    present[max(0, -dy):H + 2 + min(0, -dy),
+                            max(0, -dx):W + 2 + min(0, -dx)]
+                nb_ok &= sh
+        interior = present & nb_ok
+        f = np.where(present & ~interior, elev, BIG)
+        f[~present] = BIG
+        for _ in range(FILL_ROUNDS):
+            m = np.full_like(f, BIG)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    sh = np.full_like(f, BIG)
+                    sh[max(0, dy):H + 2 + min(0, dy),
+                       max(0, dx):W + 2 + min(0, dx)] = \
+                        f[max(0, -dy):H + 2 + min(0, -dy),
+                          max(0, -dx):W + 2 + min(0, -dx)]
+                    m = np.minimum(m, sh)
+            f = np.where(interior, np.maximum(elev, m), f)
+        yy, xx = np.nonzero(present & (f > elev))
+        return pd.DataFrame({
+            "cx": (xx + x0 - 1).astype(np.int64),
+            "cy": (yy + y0 - 1).astype(np.int64),
+            "elev": elev[yy, xx],
+            "filled": f[yy, xx]})
+
+    one = grid_ds.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                              batch_format="pandas")
+    out = one.groupby("_one").map_groups(
+        lambda g: fill(g.drop(columns=["_one"])),
+        batch_format="pandas").materialize()
+    if out.count() == 0:
+        # a drainage-complete grid has NO sinks — typed empty pandas
+        # (Dataset.to_pandas drops the schema of an all-empty dataset)
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("cx", "cy", "elev", "filled")})
+    return out
+
+
+def SQL_FILL_SINKS():
+    dirs = ", ".join(f"({dx}, {dy})"
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                     if not (dx == 0 and dy == 0))
+    steps = []
+    prev = "f0"
+    for r in range(1, FILL_ROUNDS + 1):
+        steps.append(f"""
+f{r} AS MATERIALIZED (
+  SELECT c.cx, c.cy, c.n, c.inter,
+         CASE WHEN c.inter = 0 THEN c.f
+              ELSE GREATEST(c.n, (SELECT MIN(p.f) FROM {prev} p
+                    JOIN (VALUES {dirs}) d(dx, dy)
+                      ON p.cx = c.cx + d.dx AND p.cy = c.cy + d.dy))
+         END AS f
+  FROM {prev} c)""")
+        prev = f"f{r}"
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS MATERIALIZED (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+        CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+nbcnt AS (SELECT c.cx, c.cy,
+                 (SELECT COUNT(*) FROM g p
+                  JOIN (VALUES {dirs}) d(dx, dy)
+                    ON p.cx = c.cx + d.dx AND p.cy = c.cy + d.dy) AS k
+          FROM g c),
+f0 AS MATERIALIZED (
+  SELECT g.cx, g.cy, g.n,
+         CASE WHEN nb.k = 8 THEN 1 ELSE 0 END AS inter,
+         CASE WHEN nb.k = 8 THEN CAST(1152921504606846976 AS BIGINT)
+              ELSE g.n END AS f
+  FROM g JOIN nbcnt nb ON nb.cx = g.cx AND nb.cy = g.cy),
+{",".join(steps)[1:]}
+SELECT cx, cy, CAST(n AS BIGINT) AS elev, CAST(f AS BIGINT) AS filled
+FROM f{FILL_ROUNDS} WHERE f > n
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -16474,6 +16693,8 @@ REGISTRY: dict[str, tuple] = {
     "benford": (q_benford, SQL_BENFORD),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "geohash_cells": (q_geohash_cells, SQL_GEOHASH_CELLS),
+    "lisa_quadrants": (q_lisa_quadrants, SQL_LISA_QUADRANTS),
+    "fill_sinks": (q_fill_sinks, SQL_FILL_SINKS),
 }
 
 
