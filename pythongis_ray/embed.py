@@ -50,19 +50,28 @@ class TopKDot:
     the final exact top-k is a tiny driver-side combine."""
 
     def __init__(self, queries_ref, id_col: str, emb_col: str, k: int,
-                 scale: int = 1000):
+                 scale: int = 1000, label_col: str | None = None):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.qids = np.asarray(q["id"], np.int64)
         self.qmat = np.asarray(q["mat"], np.int64)
+        self.qlabs = (np.asarray(q["lab"], np.int64)
+                      if label_col is not None else None)
         self.id_col = id_col
         self.emb_col = emb_col
         self.k = k
         self.scale = scale
+        self.label_col = label_col
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         mat = quantize(_as_matrix(batch[self.emb_col]), self.scale)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         scores = self.qmat @ mat.T  # (nq, nb) exact int64
+        if self.label_col is not None:
+            # hard-negative masking: same-label rows can never win
+            lab = batch[self.label_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            scores = np.where(self.qlabs[:, None] == lab[None, :],
+                              np.int64(-1) << 62, scores)
         k = min(self.k, scores.shape[1])
         # partial top-k per query within this batch (ties → smallest id)
         out_q, out_i, out_s = [], [], []
@@ -104,6 +113,39 @@ def ann_topk(ds, queries: pd.DataFrame, k: int = 5, id_col: str = "vec_id",
                            batch_size=4096).to_pandas()
     if exclude_self:
         parts = parts[parts.query_id != parts.neighbor_id]
+    parts = parts.sort_values(["query_id", "score", "neighbor_id"],
+                              ascending=[True, False, True], kind="stable")
+    out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
+def hard_negatives(ds, queries: pd.DataFrame, k: int = 1,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   label_col: str = "label",
+                   scale: int = 1000) -> pd.DataFrame:
+    """Contrastive hard-negative mining: per query, the top-k corpus
+    vectors by quantized dot product whose label DIFFERS from the
+    query's (the highest-similarity wrong-class examples a contrastive
+    trainer wants). Same shape as ann_topk — broadcast query matrix,
+    per-batch vectorized matmul with same-label rows masked to −2^62,
+    driver combine over nq·k·nbatches partial rows. Exact int64
+    scoring, ties to the smallest neighbor id."""
+    qmat = quantize(np.vstack(queries[emb_col].to_numpy()), scale)
+    payload = {"id": queries[id_col].to_numpy(np.int64), "mat": qmat,
+               "lab": queries[label_col].to_numpy(np.int64)}
+    ref = ray.put(payload)
+
+    def fn(batch):
+        st = state.get_broadcast(
+            ref, builder=lambda q: TopKDot(q, id_col, emb_col, k, scale,
+                                           label_col=label_col),
+            key_extra=("hardneg", id_col, emb_col, k, scale, label_col))
+        return st(batch)
+
+    parts = ds.map_batches(fn, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
+    parts = parts[parts["score"] > (np.int64(-1) << 62)]
     parts = parts.sort_values(["query_id", "score", "neighbor_id"],
                               ascending=[True, False, True], kind="stable")
     out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)

@@ -16396,6 +16396,71 @@ FROM f{FILL_ROUNDS} WHERE f > n
 """
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """Corpus-interchange loop: documents → distributed ndjson shards
+    (sources.write_jsonl) → distributed re-read → (doc_id, text). The
+    value-hash match vs SELECT doc_id, text FROM documents proves
+    every text byte (including CJK codepoints through their JSON
+    escapes) survived the encode/decode — the per-row byte-identity
+    invariant extended to the ndjson format."""
+    import shutil
+    import tempfile
+
+    from pythongis_ray import sources
+
+    d = tempfile.mkdtemp(prefix="jsonl_q_", dir="/tmp")
+    try:
+        ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+        sources.write_jsonl(ds, d)
+        back = sources.read_jsonl(d)
+        return back.select_columns(["doc_id", "text"]).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_JSONL_ROUNDTRIP = "SELECT doc_id, text FROM documents"
+
+
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining over the embedding corpus:
+    for each of the 8 query vectors, the top-1 corpus vector by exact
+    quantized dot product whose LABEL differs from the query's — the
+    highest-similarity wrong-class example a contrastive trainer pairs
+    against each anchor. Distributed part: broadcast query matrix,
+    per-batch masked matmul partial top-k (embed.hard_negatives);
+    driver combine over nq·nbatches rows."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          filters=[("vec_id", "<", 8)])
+    nn = embed.hard_negatives(emb, qdf, k=1)
+    out = nn[["query_id", "neighbor_id", "score"]].reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlab,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qe
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qe,
+              list_transform(e.embedding,
+                             x -> round(CAST(x AS DOUBLE) * 1000)))
+              AS BIGINT) AS score
+  FROM q CROSS JOIN embeddings e WHERE e.label <> q.qlab
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score FROM ranked WHERE rank = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -16695,6 +16760,8 @@ REGISTRY: dict[str, tuple] = {
     "geohash_cells": (q_geohash_cells, SQL_GEOHASH_CELLS),
     "lisa_quadrants": (q_lisa_quadrants, SQL_LISA_QUADRANTS),
     "fill_sinks": (q_fill_sinks, SQL_FILL_SINKS),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
 }
 
 

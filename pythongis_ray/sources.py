@@ -81,6 +81,26 @@ def wkb_to_geojson_geom(buf: bytes | None) -> dict | None:
     raise ValueError(t)
 
 
+def write_jsonl(ds, dir_path: str):
+    """Newline-delimited JSON sink — the lingua-franca web-corpus
+    interchange format (Common-Crawl-derived corpora, dataset-hub
+    dumps ship as ndjson shards). Ray's native distributed writer:
+    each task writes its own shard file, so output parallelism follows
+    block parallelism and no driver assembly happens (unlike
+    write_geojson's single FeatureCollection). Unicode round-trips via
+    standard JSON escapes byte-exactly (see q_jsonl_roundtrip)."""
+    ds.write_json(dir_path)
+
+
+def read_jsonl(dir_or_paths):
+    """Distributed ndjson read (Arrow's JSON reader, one task per
+    file/shard) — the splittable at-scale companion to read_geojson's
+    driver-side FeatureCollection parse."""
+    import ray.data as rd
+
+    return rd.read_json(dir_or_paths)
+
+
 def read_geojson(path: str):
     """GeoJSON FeatureCollection file → Dataset with property columns +
     ``geometry`` (WKB binary). The file-level parse is a single driver

@@ -1278,3 +1278,25 @@ def test_minhash_bucket_cap_bounds_template_cluster(ray_session):
     # capped ids are the smallest — pairs only among doc_id < cap
     assert out.id_b.max() < cap
     assert wall < 90, f"capped LSH took {wall:.0f}s"
+
+
+def test_hard_negatives_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    queries = pdf[pdf.vec_id < 4]
+    out = embed.hard_negatives(emb, queries, k=2)
+    mat = embed.quantize(np.vstack(pdf.embedding.to_numpy()))
+    ids = pdf.vec_id.to_numpy()
+    labs = pdf.label.to_numpy()
+    for _, q in queries.iterrows():
+        qv = mat[ids == q.vec_id][0]
+        scores = mat @ qv
+        order = [i for i in np.lexsort((ids, -scores))
+                 if labs[i] != q.label][:2]
+        got = out[out.query_id == q.vec_id].sort_values("rank")
+        assert got.neighbor_id.tolist() == ids[order].tolist()
+        assert got.score.tolist() == scores[order].tolist()
+        # every mined negative really is another class
+        assert (labs[np.isin(ids, got.neighbor_id)] != q.label).all()

@@ -3,6 +3,7 @@
 import glob
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -92,3 +93,19 @@ def test_warc_manifest_hides_stale_parts(ray_session, tmp_path):
     back = sources.read_warc(d).to_pandas()
     assert len(back) == 500
     assert not back.url.str.contains("stale").any()
+
+
+def test_jsonl_roundtrip_byte_identity(ray_session, tmp_path):
+    d = str(tmp_path / "jsonl")
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sources.write_jsonl(ds, d)
+    back = sources.read_jsonl(d).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    orig = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == len(orig)
+    assert (back.text == orig.text).all()
