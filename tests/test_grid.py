@@ -85,3 +85,46 @@ def test_cell_pyramid_levels_consistent(ray_session):
         parent = out[out.res == r - 1].set_index(["cell_ix", "cell_iy"]) \
             .n_points
         assert rolled.sort_index().equals(parent.sort_index())
+
+
+def test_geohash_cells_vs_float_encoder(ray_session):
+    """q_geohash_cells vs the classic float-bisection geohash encoder
+    (exact on the dyadic lattice — every midpoint is a dyadic
+    rational, representable and comparable exactly in float64)."""
+    import pandas as pd
+    from pythongis_ray import fixtures
+    from pythongis_ray import queries as q
+
+    def encode(lon, lat, nchars=4):
+        alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lo, hi = -180.0, 180.0
+        la, lb = -90.0, 90.0
+        bits = []
+        for i in range(nchars * 5):
+            if i % 2 == 0:
+                mid = (lo + hi) / 2
+                bits.append(lon >= mid)
+                lo, hi = (mid, hi) if lon >= mid else (lo, mid)
+            else:
+                mid = (la + lb) / 2
+                bits.append(lat >= mid)
+                la, lb = (mid, lb) if lat >= mid else (la, mid)
+        v = 0
+        for b in bits:
+            v = v * 2 + int(b)
+        return "".join(alpha[(v >> (5 * (nchars - 1 - c))) & 31]
+                       for c in range(nchars))
+
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber"])
+    pk = li.l_orderkey.to_numpy("int64") * 8 \
+        + li.l_linenumber.to_numpy("int64")
+    ix, iy = fixtures.geocode_units(pk)
+    lon, lat = fixtures.units_to_deg(np.asarray(ix), np.asarray(iy))
+    want = {}
+    for o, a in zip(lon, lat):
+        g = encode(float(o), float(a))
+        want[g] = want.get(g, 0) + 1
+    got = q.q_geohash_cells("/root/testdata/sf0.001").to_pandas()
+    have = dict(zip(got.geohash, got.n.astype(int)))
+    assert have == want

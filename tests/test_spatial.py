@@ -787,3 +787,79 @@ def test_dwithin_self_pairs_carry_filter(ray_session):
     # carried columns align with the canonical order
     assert (got["grp_a"].to_numpy() == got["id_a"].to_numpy() % 7).all()
     assert (got["grp_b"].to_numpy() == got["id_b"].to_numpy() % 7).all()
+
+
+def _density_grid(sf="/root/testdata/sf0.001"):
+    import pandas as pd
+    from pythongis_ray import fixtures
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber"])
+    pk = li.l_orderkey.to_numpy(np.int64) * 8 \
+        + li.l_linenumber.to_numpy(np.int64)
+    ix, iy = fixtures.geocode_units(pk)
+    df = pd.DataFrame({"cx": np.asarray(ix) // 8192,
+                       "cy": np.asarray(iy) // 8192})
+    return df.groupby(["cx", "cy"]).size().to_dict()
+
+
+_D8T = ((1, 0), (-1, 0), (0, 1), (0, -1),
+        (1, 1), (1, -1), (-1, 1), (-1, -1))
+
+
+def _brute_flow(grid):
+    """steepest-descent pointer per cell (ties by direction order)."""
+    ptr = {}
+    for (cx, cy), n in grid.items():
+        best = None
+        for d, (dx, dy) in enumerate(_D8T):
+            m = grid.get((cx + dx, cy + dy))
+            if m is not None and m < n and \
+                    (best is None or (m, d) < best[:2]):
+                best = (m, d, (cx + dx, cy + dy))
+        ptr[(cx, cy)] = best[2] if best else (cx, cy)
+    return ptr
+
+
+def test_watershed_brute(ray_session):
+    from pythongis_ray import queries as q
+    grid = _density_grid()
+    ptr = _brute_flow(grid)
+    # brute: follow pointers to the fixpoint (sink)
+    want = {}
+    for c in grid:
+        cur = c
+        while ptr[cur] != cur:
+            cur = ptr[cur]
+        want[c] = cur
+    got = q.q_watershed("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == len(grid)
+    for _, r in got.iterrows():
+        assert want[(r.cx, r.cy)] == (r.basin_x, r.basin_y)
+
+
+def test_fill_sinks_brute(ray_session):
+    from pythongis_ray import queries as q
+    grid = _density_grid()
+    BIG = 1 << 60
+    # boundary = any missing 8-neighbor; relax to convergence
+    inter = {c for c in grid
+             if all((c[0] + dx, c[1] + dy) in grid for dx, dy in _D8T)}
+    f = {c: (BIG if c in inter else n) for c, n in grid.items()}
+    while True:
+        changed = False
+        for c in grid:
+            if c not in inter:
+                continue
+            m = min(f[(c[0] + dx, c[1] + dy)] for dx, dy in _D8T)
+            v = max(grid[c], m)
+            if v != f[c]:
+                f[c] = v
+                changed = True
+        if not changed:
+            break
+    want = {c: (grid[c], f[c]) for c in grid if f[c] > grid[c]}
+    got = q.q_fill_sinks("/root/testdata/sf0.001")
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    have = {(int(r.cx), int(r.cy)): (int(r.elev), int(r.filled))
+            for _, r in got.iterrows()}
+    assert have == want
