@@ -266,3 +266,72 @@ def lcc_inverse(x, y, lon0: float, lat0: float,
         phi = np.pi / 2 - 2 * np.arctan(
             t * ((1 - E * sin_p) / (1 + E * sin_p)) ** (E / 2))
     return lon0 + np.degrees(theta / n), np.degrees(phi)
+
+
+# ------------------------------------------ Mollweide (authalic form)
+
+_SQRT2 = np.sqrt(2.0)
+
+
+def _moll_theta(beta: np.ndarray) -> np.ndarray:
+    """Solve Mollweide's transcendental 2θ + sin 2θ = π sin β
+    (Snyder eq 31-2..31-3) by guarded Newton; θ pinned exactly at the
+    poles where the derivative vanishes."""
+    beta = np.asarray(beta, np.float64)
+    target = np.pi * np.sin(beta)
+    theta = beta.copy()
+    for _ in range(25):
+        f = 2 * theta + np.sin(2 * theta) - target
+        df = 2 + 2 * np.cos(2 * theta)
+        step = np.where(df > 1e-12, f / np.where(df == 0, 1.0, df), 0.0)
+        theta = theta - step
+    pole = np.abs(beta) >= np.pi / 2 - 1e-12
+    return np.where(pole, np.sign(beta) * np.pi / 2, theta)
+
+
+def moll_forward(lon, lat, lon0: float = 0.0):
+    """Ellipsoidal Mollweide (the equal-area pseudocylindrical world
+    projection) via the authalic sphere: geodetic latitude → authalic
+    β (Snyder eq 3-11/3-12), then the spherical Mollweide on radius
+    R_q = A·sqrt(q_p/2) — the same authalic-form construction proj
+    uses for ellipsoids. x = R·(2√2/π)·Δλ·cosθ, y = R·√2·sinθ."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    lam = np.radians(lon - lon0)
+    lam = (lam + np.pi) % (2 * np.pi) - np.pi
+    beta = np.arcsin(np.clip(_q_authalic(np.sin(np.radians(lat))) / _QP,
+                             -1, 1))
+    theta = _moll_theta(beta)
+    # pin on the INPUT latitude: arcsin loses ~1e-8 rad near ±1, so a
+    # true pole would otherwise land metres off the map apex
+    pole = np.abs(lat) >= 90.0 - 1e-12
+    theta = np.where(pole, np.sign(lat) * np.pi / 2, theta)
+    x = _RQ * (2 * _SQRT2 / np.pi) * lam * np.cos(theta)
+    y = _RQ * _SQRT2 * np.sin(theta)
+    return x, y
+
+
+def moll_inverse(x, y, lon0: float = 0.0):
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    theta = np.arcsin(np.clip(y / (_RQ * _SQRT2), -1, 1))
+    beta = np.arcsin(np.clip((2 * theta + np.sin(2 * theta)) / np.pi,
+                             -1, 1))
+    cos_t = np.cos(theta)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = np.pi * x / (2 * _SQRT2 * _RQ * cos_t)
+    lam = np.where(cos_t == 0, 0.0, lam)     # poles: λ undefined → λ0
+    phi = _phi_from_beta_series(beta)
+    return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def _phi_from_beta_series(beta: np.ndarray) -> np.ndarray:
+    """Authalic → geodetic latitude by the closed series (Snyder eq
+    3-18) — unlike the Newton recovery it stays exact at the poles
+    (every correction term carries sin 2kβ)."""
+    e4 = E2 * E2
+    e6 = e4 * E2
+    return (beta
+            + (E2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta)
+            + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta)
+            + (761 * e6 / 45360) * np.sin(6 * beta))

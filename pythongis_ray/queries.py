@@ -16396,6 +16396,28 @@ FROM f{FILL_ROUNDS} WHERE f > n
 """
 
 
+def q_reproject_moll(sf_dir: str):
+    """Per-point Mollweide (equal-area pseudocylindrical world
+    projection, authalic-sphere form, geom/proj.py) over the customer
+    points — the world-thematic-map workflow (rows-only:
+    transcendental Newton solve; correctness locked by the
+    invariant-based unit tests: exact local equal-area vs the
+    ellipsoid, pseudocylindrical shape, 2:1 boundary ellipse,
+    pole-exact round trips)."""
+    from pythongis_ray.geom import proj as _proj
+
+    cpts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        x, y = _proj.moll_forward(lon, lat, 0.0)
+        return pa.table({"ck": batch["ck"],
+                         "moll_x": pa.array(x), "moll_y": pa.array(y)})
+
+    return cpts.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """Corpus-interchange loop: documents → distributed ndjson shards
     (sources.write_jsonl) → distributed re-read → (doc_id, text). The
@@ -16762,6 +16784,7 @@ REGISTRY: dict[str, tuple] = {
     "fill_sinks": (q_fill_sinks, SQL_FILL_SINKS),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "reproject_moll": (q_reproject_moll, None),
 }
 
 

@@ -695,6 +695,13 @@ def crs_wkt(crs: str) -> str:
                 f'PARAMETER["standard_parallel_2",{lat2:g}],'
                 'PARAMETER["false_easting",0],'
                 'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    if crs.startswith("moll:"):
+        lon0 = float(crs[5:])
+        return ('PROJCS["Mollweide",' + _WKT_WGS84 + ","
+                'PROJECTION["Mollweide"],'
+                f'PARAMETER["central_meridian",{lon0:g}],'
+                'PARAMETER["false_easting",0],'
+                'PARAMETER["false_northing",0],UNIT["metre",1]]')
     raise ValueError(f"unsupported crs token {crs!r}")
 
 
@@ -791,6 +798,9 @@ def read_prj(path: str) -> str:
         lat0 = re.search(r'latitude_of_center"?\s*,\s*(-?[\d.]+)', wkt)
         lon0 = re.search(r'longitude_of_center"?\s*,\s*(-?[\d.]+)', wkt)
         return f"laea:{float(lon0.group(1)):g},{float(lat0.group(1)):g}"
+    if '"Mollweide"' in wkt:
+        lon0 = re.search(r'central_meridian"?\s*,\s*(-?[\d.]+)', wkt)
+        return f"moll:{float(lon0.group(1)):g}"
     if "Albers_Conic_Equal_Area" in wkt or "Lambert_Conformal_Conic" in wkt:
         lat0 = re.search(r'latitude_of_(?:center|origin)"?\s*,\s*(-?[\d.]+)',
                          wkt)
@@ -2005,6 +2015,12 @@ def _proj_pair(crs: str):
         p = tuple(float(v) for v in crs[4:].split(","))
         return (lambda lon, lat: _proj.lcc_forward(lon, lat, *p),
                 lambda x, y: _proj.lcc_inverse(x, y, *p))
+    if crs.startswith("moll:"):
+        from pythongis_ray.geom import proj as _proj
+
+        lon0 = float(crs[5:])
+        return (lambda lon, lat: _proj.moll_forward(lon, lat, lon0),
+                lambda x, y: _proj.moll_inverse(x, y, lon0))
     raise ValueError(f"unsupported warp crs {crs!r}")
 
 

@@ -424,10 +424,12 @@ def reproject(ds, direction: str = "to_webmercator",
     centred at ``lon0``/``lat0``), ``to_albers``/``from_albers``
     (ellipsoidal Albers Equal-Area Conic, standard parallels
     ``lat1``/``lat2``), ``to_lcc``/``from_lcc`` (ellipsoidal Lambert
-    Conformal Conic, 2SP). The general-CRS engine of the reference is
-    pyproj (absent here); these cover the common projected workflows
-    (web tiles, metric zones, equal-area statistics, conic national
-    grids)."""
+    Conformal Conic, 2SP), ``to_moll``/``from_moll`` (Mollweide
+    equal-area world map via the authalic sphere, centred ``lon0``).
+    The general-CRS engine of the reference is pyproj (absent here);
+    these cover the common projected workflows (web tiles, metric
+    zones, equal-area statistics, conic national grids, world
+    thematic maps)."""
     from pythongis_ray.geom import proj as _proj
 
     def fwd(batch: pa.Table) -> pa.Table:
@@ -441,6 +443,8 @@ def reproject(ds, direction: str = "to_webmercator",
             x, y = _proj.albers_forward(lon, lat, lon0, lat0, lat1, lat2)
         elif direction == "to_lcc":
             x, y = _proj.lcc_forward(lon, lat, lon0, lat0, lat1, lat2)
+        elif direction == "to_moll":
+            x, y = _proj.moll_forward(lon, lat, lon0)
         else:  # to_laea
             x, y = _proj.laea_forward(lon, lat, lon0, lat0)
         batch = batch.append_column(x_col, pa.array(x))
@@ -459,6 +463,8 @@ def reproject(ds, direction: str = "to_webmercator",
             lon, lat = _proj.albers_inverse(x, y, lon0, lat0, lat1, lat2)
         elif direction == "from_lcc":
             lon, lat = _proj.lcc_inverse(x, y, lon0, lat0, lat1, lat2)
+        elif direction == "from_moll":
+            lon, lat = _proj.moll_inverse(x, y, lon0)
         else:  # from_laea
             lon, lat = _proj.laea_inverse(x, y, lon0, lat0)
         batch = batch.append_column(lon_col, pa.array(lon))
@@ -467,9 +473,9 @@ def reproject(ds, direction: str = "to_webmercator",
     if direction == "to_lonlat":     # legacy name for the inverse
         direction = "from_webmercator"
     if direction not in ("to_webmercator", "to_utm", "to_laea",
-                         "to_albers", "to_lcc",
+                         "to_albers", "to_lcc", "to_moll",
                          "from_webmercator", "from_utm", "from_laea",
-                         "from_albers", "from_lcc"):
+                         "from_albers", "from_lcc", "from_moll"):
         raise ValueError(f"unsupported direction {direction!r}")
     return ds.map_batches(fwd if direction.startswith("to_") else inv,
                           batch_format="pyarrow", batch_size=65536)

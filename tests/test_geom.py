@@ -1,3 +1,4 @@
+import pandas as pd
 import numpy as np
 import pytest
 
@@ -714,3 +715,92 @@ class TestConicProjections:
                 k = np.hypot(xl - x0, yl - y0) \
                     / (np.radians(d) * N * np.cos(np.radians(phi_s)))
                 assert abs(k - 1) < 1e-7
+
+
+class TestMollweide:
+    """Mollweide via the authalic sphere — locked by its DEFINING
+    invariants (exact local equal-area against the ellipsoid, the
+    pseudocylindrical shape, the 2:1 boundary ellipse) plus global
+    round-trips including the poles."""
+
+    def test_roundtrip_global(self):
+        from pythongis_ray.geom import proj
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-179.9, 179.9, 500)
+        lat = rng.uniform(-89.9, 89.9, 500)
+        x, y = proj.moll_forward(lon, lat, lon0=10.0)
+        lo2, la2 = proj.moll_inverse(x, y, lon0=10.0)
+        dlon = (lo2 - lon + 180.0) % 360.0 - 180.0   # date-line wrap
+        assert np.max(np.abs(dlon)) < 1e-7
+        assert np.max(np.abs(la2 - lat)) < 1e-7
+        # poles map to (0, ±sqrt(2) R) and invert to ±90 exactly
+        xp, yp = proj.moll_forward(np.array([23.0, -50.0]),
+                                   np.array([90.0, -90.0]))
+        assert np.allclose(xp, 0.0, atol=1e-6)
+        assert np.allclose(np.abs(yp), np.sqrt(2) * proj._RQ)
+        _, lap = proj.moll_inverse(xp, yp)
+        assert np.allclose(lap, [90.0, -90.0])
+
+    def test_equal_area_invariant(self):
+        from pythongis_ray.geom import proj
+        dl = 1e-3
+        for lam, phi in ((-100.0, 35.0), (20.0, -28.0), (140.0, 62.0),
+                         (0.0, 0.0)):
+            cl = np.array([lam, lam + dl, lam + dl, lam])
+            cp = np.array([phi, phi, phi + dl, phi + dl])
+            x, y = proj.moll_forward(cl, cp)
+            planar = 0.5 * abs(np.dot(x, np.roll(y, -1))
+                               - np.dot(y, np.roll(x, -1)))
+            q1 = proj._q_authalic(np.sin(np.radians(phi)))
+            q2 = proj._q_authalic(np.sin(np.radians(phi + dl)))
+            ell = proj.A ** 2 / 2 * np.radians(dl) * (q2 - q1)
+            # 1e-5: unlike the conics, x varies with phi, so the
+            # graticule quad has a second-order trapezoid term
+            assert abs(planar / ell - 1) < 1e-5
+
+    def test_pseudocylindrical_shape(self):
+        from pythongis_ray.geom import proj
+        # y depends only on latitude; x is linear in Δλ at fixed lat
+        lons = np.array([-120.0, -30.0, 15.0, 45.0, 160.0])
+        for phi in (-60.0, 0.0, 33.0, 71.0):
+            x, y = proj.moll_forward(lons, np.full(5, phi))
+            assert np.ptp(y) < 1e-9
+            slopes = x / np.radians(lons)
+            assert np.ptp(slopes) < 1e-6 * abs(slopes[0])
+        # equator along y=0; central meridian along x=0
+        xe, ye = proj.moll_forward(np.array([-90.0, 90.0]),
+                                   np.zeros(2))
+        assert np.allclose(ye, 0.0, atol=1e-9)
+        xc, _ = proj.moll_forward(np.zeros(3),
+                                  np.array([-45.0, 10.0, 80.0]))
+        assert np.allclose(xc, 0.0, atol=1e-9)
+
+    def test_boundary_ellipse(self):
+        from pythongis_ray.geom import proj
+        # the ±180° meridian traces the 2:1 ellipse
+        # (x/(2√2R))² + (y/(√2R))² = 1
+        lats = np.array([-80.0, -45.0, 0.0, 30.0, 66.0, 89.0])
+        x, y = proj.moll_forward(np.full(len(lats), 180.0 - 1e-9), lats)
+        r = (x / (2 * np.sqrt(2) * proj._RQ)) ** 2 \
+            + (y / (np.sqrt(2) * proj._RQ)) ** 2
+        assert np.max(np.abs(r - 1)) < 1e-8
+        # equator endpoints at ±2√2 R
+        assert abs(x[2] - 2 * np.sqrt(2) * proj._RQ) < 1.0
+
+    def test_reproject_stage_and_warp_pair(self, ray_session):
+        import ray.data as rd
+        from pythongis_ray import raster, vector
+        df = pd.DataFrame({"lon": [10.0, -120.0, 0.0],
+                           "lat": [52.0, -33.0, 0.0]})
+        out = vector.reproject(rd.from_pandas(df), "to_moll",
+                               lon0=0.0).to_pandas()
+        back = vector.reproject(
+            rd.from_pandas(out[["x", "y"]]), "from_moll",
+            lon0=0.0).to_pandas()
+        assert np.max(np.abs(back.lon.to_numpy()[:, None]
+                             - df.lon.to_numpy()[:, None])) < 1e-7
+        fwd, inv = raster._proj_pair("moll:0")
+        x, y = fwd(df.lon.to_numpy(), df.lat.to_numpy())
+        lo, la = inv(x, y)
+        assert np.max(np.abs(lo - df.lon.to_numpy())) < 1e-7
+        assert np.max(np.abs(la - df.lat.to_numpy())) < 1e-7

@@ -137,7 +137,7 @@ def test_small_nodata_ascii_roundtrip(tmp_path):
 def test_prj_sidecar_roundtrip(tmp_path):
     """.prj write → read recognizes every engine CRS token."""
     for crs in ("wgs84", "webmercator", "utm:31N", "utm:33S",
-                "laea:10,52"):
+                "laea:10,52", "moll:0", "moll:-96"):
         p = str(tmp_path / f"{crs.replace(':', '_').replace(',', '_')}.prj")
         raster.write_prj(p, crs)
         assert raster.read_prj(p) == crs
