@@ -16483,6 +16483,148 @@ SELECT query_id, neighbor_id, score FROM ranked WHERE rank = 1
 """
 
 
+def q_move_octants(sf_dir: str):
+    """Movement-direction histogram (the mobility-mining direction
+    rose): every consecutive user hop is classified into one of 8
+    45°-boundary sectors using ONLY sign and magnitude comparisons of
+    the exact integer displacement (octant boundaries at 0/45/90/…
+    are rational predicates — no atan2, bit-replayable in SQL CASE).
+    Zero-displacement hops are excluded. One user-bucketed shuffle,
+    vectorized np.select in the bucket; output global per-octant hop
+    counts."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        return pa.table({"user_id": batch["user_id"], "ts_us": us,
+                         "ix": ix, "iy": iy})
+
+    pts = ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        x = g["ix"].to_numpy(np.int64)
+        y = g["iy"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        dx = (x[1:] - x[:-1])[same]
+        dy = (y[1:] - y[:-1])[same]
+        nz = (dx != 0) | (dy != 0)
+        dx, dy = dx[nz], dy[nz]
+        octant = np.select(
+            [(dx > 0) & (dy >= 0) & (dx > dy),
+             (dy > 0) & (dx > 0) & (dy >= dx),
+             (dy > 0) & (dx <= 0) & (dy > -dx),
+             (dx < 0) & (dy > 0) & (-dx >= dy),
+             (dx < 0) & (dy <= 0) & (-dx > -dy),
+             (dy < 0) & (dx < 0) & (-dy >= -dx),
+             (dy < 0) & (dx >= 0) & (-dy > dx)],
+            [0, 1, 2, 3, 4, 5, 6], default=7).astype(np.int64)
+        gq = pd.Series(octant).value_counts().sort_index()
+        return pd.DataFrame({"octant": gq.index.to_numpy(np.int64),
+                             "n_hops": gq.to_numpy(np.int64)})
+
+    parts = rel.bucketed_group_apply(pts, ["user_id"], per_bucket)
+    return rel.groupby_aggregate(parts, ["octant"],
+                                 [("n_hops", "n_hops", "sum")])
+
+
+def SQL_MOVE_OCTANTS():
+    src = "(SELECT event_id, user_id, ts, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+hops AS (SELECT ix - LAG(ix) OVER w AS dx, iy - LAG(iy) OVER w AS dy
+         FROM ge WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+v AS (SELECT CASE
+        WHEN dx >  0 AND dy >= 0 AND dx >  dy  THEN 0
+        WHEN dy >  0 AND dx >  0 AND dy >= dx  THEN 1
+        WHEN dy >  0 AND dx <= 0 AND dy > -dx  THEN 2
+        WHEN dx <  0 AND dy >  0 AND -dx >= dy THEN 3
+        WHEN dx <  0 AND dy <= 0 AND -dx > -dy THEN 4
+        WHEN dy <  0 AND dx <  0 AND -dy >= -dx THEN 5
+        WHEN dy <  0 AND dx >= 0 AND -dy > dx  THEN 6
+        ELSE 7 END AS octant
+      FROM hops
+      WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0))
+SELECT CAST(octant AS BIGINT) AS octant,
+       CAST(COUNT(*) AS BIGINT) AS n_hops
+FROM v GROUP BY octant
+"""
+
+
+def q_peaks(sf_dir: str):
+    """Time-series peak detection over the hourly event-count series
+    per event_type: an hour is a PEAK iff its count strictly exceeds
+    both neighbor hours' counts (absent hours count 0 — the standard
+    local-maximum definition on a sparse series). The corpus pass is
+    one (type, hour) count aggregate; the neighbor test runs inside
+    one type-bucketed combine via searchsorted against the hour-sorted
+    bounded series (hours × types rows, not events)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def hourly(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "hour": us // 3_600_000_000})
+        g = (df.groupby(["event_type", "hour"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(hourly, batch_format="pyarrow",
+                           batch_size=65536)
+    counts = rel.groupby_aggregate(parts, ["event_type", "hour"],
+                                   [("n", "n", "sum")])
+
+    def find_peaks(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, gg in g.groupby("event_type", sort=False):
+            gg = gg.sort_values("hour", kind="stable")
+            h = gg["hour"].to_numpy(np.int64)
+            n = gg["n"].to_numpy(np.int64)
+            prev = np.zeros(len(h), np.int64)
+            nxt = np.zeros(len(h), np.int64)
+            i = np.searchsorted(h, h - 1)
+            ok = (i < len(h)) & (h[np.minimum(i, len(h) - 1)] == h - 1)
+            prev[ok] = n[i[ok]]
+            j = np.searchsorted(h, h + 1)
+            ok = (j < len(h)) & (h[np.minimum(j, len(h) - 1)] == h + 1)
+            nxt[ok] = n[j[ok]]
+            keep = (n > prev) & (n > nxt)
+            outs.append(pd.DataFrame({
+                "event_type": np.repeat(et, keep.sum()),
+                "hour": h[keep], "n": n[keep]}))
+        cols = {"event_type": pd.Series(dtype=object),
+                "hour": pd.Series(dtype=np.int64),
+                "n": pd.Series(dtype=np.int64)}
+        if not outs:
+            return pd.DataFrame(cols)
+        return pd.concat(outs, ignore_index=True)
+
+    return rel.bucketed_group_apply(counts, ["event_type"], find_peaks)
+
+
+SQL_PEAKS = """
+WITH c AS (SELECT event_type,
+                  epoch_us(ts) // 3600000000 AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+SELECT c.event_type, c.hour, c.n
+FROM c
+LEFT JOIN c p ON p.event_type = c.event_type AND p.hour = c.hour - 1
+LEFT JOIN c x ON x.event_type = c.event_type AND x.hour = c.hour + 1
+WHERE c.n > COALESCE(p.n, 0) AND c.n > COALESCE(x.n, 0)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -16785,6 +16927,8 @@ REGISTRY: dict[str, tuple] = {
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "reproject_moll": (q_reproject_moll, None),
+    "move_octants": (q_move_octants, SQL_MOVE_OCTANTS),
+    "peaks": (q_peaks, SQL_PEAKS),
 }
 
 
