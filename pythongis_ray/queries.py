@@ -16625,6 +16625,169 @@ WHERE c.n > COALESCE(p.n, 0) AND c.n > COALESCE(x.n, 0)
 """
 
 
+# colocation: spatial eps in lattice units
+COLOC_EPS = 64
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_colocation(sf_dir: str):
+    """Spatial colocation pattern mining (the participation-count core
+    of the Shekhar/Huang colocation framework): for every ORDERED pair
+    of distinct event types (A, B), how many A-events have at least
+    one B-event within {COLOC_EPS} lattice units. One exactly-once
+    canonical-tile self-join carries the (int-coded) event type
+    through the shuffle and drops same-type candidates IN-KERNEL;
+    the participation dedup is one bucketed keep-first over
+    (event, other_type) — no per-type passes, no all-pairs."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type"])
+    code = {t: i for i, t in enumerate(_EVENT_TYPES)}
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = batch["event_type"].to_pandas().map(code) \
+            .to_numpy(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        return pa.table({"event_id": pa.array(eid), "ix": ix, "iy": iy,
+                         "etype": pa.array(et)})
+
+    pts = ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    # materialize the pair boundary: fusing the 12M-row pair emission
+    # into the downstream dedup chain bundles tasks to the largest
+    # batch and halves parallelism (measured 11.5s staged vs 17-26s
+    # fused at sf0.1 / 8 cpus — the CLAUDE.md fusion gotcha)
+    pairs = spatial.dwithin_self_pairs(
+        pts, "event_id", "ix", "iy", eps=COLOC_EPS, carry=("etype",),
+        pair_filter=lambda d2, ca, cb:
+            ca["etype"] != cb["etype"]).materialize()
+
+    K = np.int64(len(_EVENT_TYPES))
+
+    def both_dirs(b: pa.Table) -> pd.DataFrame:
+        ia = b["id_a"].to_numpy(zero_copy_only=False)
+        ib = b["id_b"].to_numpy(zero_copy_only=False)
+        ta = b["etype_a"].to_numpy(zero_copy_only=False)
+        tb = b["etype_b"].to_numpy(zero_copy_only=False)
+        eid = np.concatenate([ia, ib])
+        own = np.concatenate([ta, tb])
+        other = np.concatenate([tb, ta])
+        # LOCAL dedup before the shuffle: a clustered event meets the
+        # same other-type thousands of times in one tile — distinct
+        # (eid, own, other) triples are what moves (25M → ~100k rows
+        # at sf0.1)
+        key = np.unique((eid * K + own) * K + other)
+        return pd.DataFrame({"eid": key // (K * K),
+                             "own": key // K % K,
+                             "other": key % K})
+
+    # batch_size=None → one call per per_bucket output block, so the
+    # local dedup sees ALL of a bucket's pairs at once (an event's
+    # pairs concentrate in its tile bucket)
+    part = pairs.map_batches(both_dirs, batch_format="pyarrow",
+                             batch_size=None)
+    dd = rel.dedup(part, ["eid", "own", "other"])
+    counts = rel.groupby_aggregate(dd, ["own", "other"],
+                                   [("n_events", "eid", "count")])
+
+    names = np.array(_EVENT_TYPES)
+
+    def stringify(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "type_a": names[b["own"].to_numpy(np.int64)],
+            "type_b": names[b["other"].to_numpy(np.int64)],
+            "n_events": b["n_events"].to_numpy(np.int64)})
+
+    return counts.map_batches(stringify, batch_format="pandas",
+                              batch_size=65536)
+
+
+def SQL_COLOCATION():
+    src = ("(SELECT event_id, event_type, event_id*4+1 AS gk "
+           "FROM events)")
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+pairs AS (SELECT a.event_id AS ea, a.event_type AS ta,
+                 b.event_id AS eb, b.event_type AS tb
+          FROM ge a JOIN ge b
+            ON a.event_id < b.event_id
+           AND (a.ix-b.ix)*(a.ix-b.ix) + (a.iy-b.iy)*(a.iy-b.iy)
+               <= {COLOC_EPS * COLOC_EPS}
+           AND a.event_type <> b.event_type),
+bothd AS (SELECT ea AS eid, ta AS own, tb AS other FROM pairs
+          UNION
+          SELECT eb, tb, ta FROM pairs)
+SELECT own AS type_a, other AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM bothd GROUP BY own, other
+"""
+
+
+def q_lang_skew(sf_dir: str):
+    """Per-source language-mix divergence from the global mix, with
+    the expectation denominator CLEARED to exact integers: for source
+    s, div = Σ_l (T·n_sl − n_s·n_l)² where T is the corpus size, n_s
+    the source size, n_l the global language count (the χ²-numerator
+    family — a source whose language profile matches the corpus gets
+    0). The corpus pass is one (source, lang) count; the divergence
+    fold runs on that bounded sources×langs table (int64-safe at
+    every checked scale: terms ≤ ~2.5e7, squares ≤ 6e14)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "lang": b["lang"].to_pandas()})
+        g = (df.groupby(["source", "lang"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    counts = rel.groupby_aggregate(parts, ["source", "lang"],
+                                   [("n", "n", "sum")])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        T = np.int64(g["n"].sum())
+        nl = g.groupby("lang")["n"].sum()
+        piv = g.pivot_table(index="source", columns="lang", values="n",
+                            aggfunc="sum").fillna(0).astype(np.int64)
+        piv = piv.reindex(columns=nl.index, fill_value=0)
+        ns = piv.sum(axis=1).to_numpy(np.int64)
+        diff = T * piv.to_numpy(np.int64) \
+            - ns[:, None] * nl.to_numpy(np.int64)[None, :]
+        return pd.DataFrame({
+            "source": piv.index.to_numpy(),
+            "n_docs": ns,
+            "div_num": (diff * diff).sum(axis=1).astype(np.int64)})
+
+    one = counts.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                             batch_format="pandas")
+    return one.groupby("_one").map_groups(
+        lambda g: fold(g.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+SQL_LANG_SKEW = """
+WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY source, lang),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM c),
+nl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_l FROM c GROUP BY lang),
+ns AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_s FROM c GROUP BY source),
+grid AS (SELECT ns.source, nl.lang, ns.n_s, nl.n_l,
+                COALESCE(c.n, 0) AS n
+         FROM ns CROSS JOIN nl
+         LEFT JOIN c ON c.source = ns.source AND c.lang = nl.lang)
+SELECT g.source, CAST(MIN(g.n_s) AS BIGINT) AS n_docs,
+       CAST(SUM((t.tt * g.n - g.n_s * g.n_l)
+                * (t.tt * g.n - g.n_s * g.n_l)) AS BIGINT) AS div_num
+FROM grid g CROSS JOIN t
+GROUP BY g.source
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -16929,6 +17092,8 @@ REGISTRY: dict[str, tuple] = {
     "reproject_moll": (q_reproject_moll, None),
     "move_octants": (q_move_octants, SQL_MOVE_OCTANTS),
     "peaks": (q_peaks, SQL_PEAKS),
+    "colocation": (q_colocation, SQL_COLOCATION),
+    "lang_skew": (q_lang_skew, SQL_LANG_SKEW),
 }
 
 
