@@ -16788,6 +16788,117 @@ GROUP BY g.source
 """
 
 
+def q_winnow_fps(sf_dir: str):
+    """Winnowing document fingerprints (MOSS): per doc, distinct
+    window-minima of the 5-token shingle hashes (window 4) and how
+    many are shared with another doc — the guaranteed-recall,
+    ~2/(w+1)-bandwidth local fingerprint standard (see
+    text.winnow_stats). Oracle: the full shingle-hash replay of
+    dup_shingles plus a list-slice min fold per window in HUGEINT."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text.winnow_stats(ds, k=5, w=4)
+
+
+SQL_WINNOW_FPS = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+hw AS (SELECT doc_id,
+         [list_reduce(list_prepend(CAST(0 AS HUGEINT),
+            [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(w, '')]),
+            (a, x) -> (a * 1099511628211 + x)
+                      % CAST('18446744073709551616' AS HUGEINT))
+          FOR w IN toks] AS thl,
+         len(toks) AS n
+       FROM d),
+sh AS (SELECT doc_id,
+         [list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             thl[i + 1 : i + least(n, 5)]),
+             (a, x) -> (a * 1000003 + x)
+                       % CAST('18446744073709551616' AS HUGEINT))
+          FOR i IN range(greatest(n - 4, 1))] AS shs
+       FROM hw),
+wn AS (SELECT doc_id,
+         [list_reduce(shs[i + 1 : i + least(len(shs), 4)],
+                      (a, x) -> least(a, x))
+          FOR i IN range(greatest(len(shs) - 3, 1))] AS fps
+       FROM sh),
+ps AS (SELECT doc_id, UNNEST(fps) AS f FROM wn),
+pf AS (SELECT DISTINCT doc_id, f FROM ps),
+sf AS (SELECT f FROM pf GROUP BY f HAVING COUNT(*) >= 2)
+SELECT pf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST(SUM(CASE WHEN sf.f IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shared
+FROM pf LEFT JOIN sf ON sf.f = pf.f
+GROUP BY pf.doc_id
+"""
+
+
+def q_postings_bytes(sf_dir: str):
+    """Inverted-index size estimation: per term, the exact byte cost
+    of its delta-encoded varint posting list (the storage model every
+    search index uses — gaps of sorted doc ids, LEB128 bytes = 1 +
+    one per 7-bit overflow threshold). Per-doc distinct terms explode
+    map-side; ONE term-bucketed combine sorts each posting list and
+    folds gap bytes vectorized (np.searchsorted on the 2^7k
+    thresholds). Output: (word, df, n_bytes)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        col = b["text"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        toks = pc.split_pattern(arr, " ")
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        nn = np.diff(toks.offsets.to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        did = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), nn)
+        df = pd.DataFrame({"word": flat, "doc_id": did})
+        return df.drop_duplicates(ignore_index=True)
+
+    rows = ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=4096)
+
+    TH = np.array([1 << (7 * j) for j in range(1, 9)], np.int64)
+
+    def per_word(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["word", "doc_id"], kind="stable")
+        w = g["word"].to_numpy()
+        d = g["doc_id"].to_numpy(np.int64)
+        new = np.concatenate(([True], w[1:] != w[:-1]))
+        gap = np.where(new, d, d - np.concatenate(([0], d[:-1])))
+        nb = 1 + np.searchsorted(TH, gap, side="right")
+        out = pd.DataFrame({"word": w, "one": np.int64(1), "nb": nb})
+        agg = out.groupby("word", sort=False).agg(
+            df=("one", "sum"), n_bytes=("nb", "sum")).reset_index()
+        agg["df"] = agg["df"].astype(np.int64)
+        agg["n_bytes"] = agg["n_bytes"].astype(np.int64)
+        return agg
+
+    return rel.bucketed_group_apply(rows, ["word"], per_word)
+
+
+SQL_POSTINGS_BYTES = """
+WITH ws AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+            FROM documents),
+wd AS (SELECT DISTINCT doc_id, word FROM ws),
+g AS (SELECT word, doc_id,
+             doc_id - LAG(doc_id) OVER (PARTITION BY word
+                                        ORDER BY doc_id) AS gap
+      FROM wd),
+v AS (SELECT word, COALESCE(gap, doc_id) AS val FROM g)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(1 + CASE WHEN val >= 128 THEN 1 ELSE 0 END
+                  + CASE WHEN val >= 16384 THEN 1 ELSE 0 END
+                  + CASE WHEN val >= 2097152 THEN 1 ELSE 0 END
+                  + CASE WHEN val >= 268435456 THEN 1 ELSE 0 END
+                  + CASE WHEN val >= 34359738368 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bytes
+FROM v GROUP BY word
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -17094,6 +17205,8 @@ REGISTRY: dict[str, tuple] = {
     "peaks": (q_peaks, SQL_PEAKS),
     "colocation": (q_colocation, SQL_COLOCATION),
     "lang_skew": (q_lang_skew, SQL_LANG_SKEW),
+    "winnow_fps": (q_winnow_fps, SQL_WINNOW_FPS),
+    "postings_bytes": (q_postings_bytes, SQL_POSTINGS_BYTES),
 }
 
 

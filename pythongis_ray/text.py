@@ -514,6 +514,81 @@ def _batch_shingles(th: np.ndarray, tok_offs: np.ndarray,
     return sh, sh_offs
 
 
+def winnow_stats(ds, k: int = MH_SHINGLE_K, w: int = 4,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    algorithm): per document, the DISTINCT set of sliding-window
+    minima over the k-token shingle hashes (window ``w``), and how
+    many of those fingerprints also appear in another document. The
+    guarantee that makes winnowing the local-document-fingerprint
+    standard: any shared run of w+k-1 tokens yields at least one
+    shared fingerprint, while only ~2/(w+1) of shingles are kept —
+    the bandwidth knob for cross-corpus matching. Same two-shuffle
+    shape as dup_shingle_stats; the window minimum is w vectorized
+    np.minimum passes over the batch-flat shingle array (uint64
+    order — identical to the HUGEINT mod-2^64 order the SQL oracle
+    replays)."""
+    import pandas as pd
+
+    from pythongis_ray.relational import bucketed_group_apply
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": np.array([], np.int64),
+                              "f": np.array([], np.int64)})
+        if batch.num_rows == 0:
+            return empty
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        th, tok_offs = _batch_token_hashes(arr)
+        sh, sh_offs = _batch_shingles(th, tok_offs, k)
+        nsh = np.diff(sh_offs)
+        nwin = np.maximum(nsh - w + 1, 1)
+        total = int(nwin.sum())
+        if total == 0:
+            return empty
+        doc_of = np.repeat(np.arange(len(nsh), dtype=np.int64), nwin)
+        win_offs = np.concatenate(([0], np.cumsum(nwin)))
+        local = np.arange(total, dtype=np.int64) \
+            - np.repeat(win_offs[:-1], nwin)
+        base = sh_offs[:-1][doc_of] + local
+        wlen = np.minimum(nsh, w)[doc_of]
+        acc = sh[base].copy()
+        for j in range(1, w):
+            m = j < wlen
+            if not m.any():
+                break
+            acc[m] = np.minimum(acc[m], sh[base[m] + j])
+        ids = pc.cast(batch[id_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        did = np.repeat(ids, nwin)
+        f = acc.view(np.int64)
+        order = np.lexsort((f, did))
+        dd, ff = did[order], f[order]
+        new = np.concatenate(([True],
+                              (dd[1:] != dd[:-1]) | (ff[1:] != ff[:-1])))
+        return pd.DataFrame({"doc_id": dd[new], "f": ff[new]})
+
+    rows = ds.select_columns([id_col, text_col]) \
+        .map_batches(explode, batch_format="pyarrow", batch_size=4096)
+
+    def flag_shared(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per (doc, fp) — group size == distinct docs carrying f
+        nd = g.groupby("f")["doc_id"].transform("size").to_numpy()
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "shared": (nd >= 2).astype(np.int64)})
+
+    flagged = bucketed_group_apply(rows, ["f"], flag_shared)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", sort=False).agg(
+            n_fps=("shared", "size"),
+            n_shared=("shared", "sum")).reset_index()
+        return out.astype(np.int64)
+
+    return bucketed_group_apply(flagged, ["doc_id"], per_doc)
+
+
 def _batch_minhash(sh: np.ndarray, sh_offs: np.ndarray) -> np.ndarray:
     """(n_docs, MH_PERMS) uint64 signatures via one
     ``minimum.reduceat`` per permutation chunk — zero Python per doc.

@@ -1300,3 +1300,34 @@ def test_hard_negatives_matches_bruteforce(ray_session):
         assert got.score.tolist() == scores[order].tolist()
         # every mined negative really is another class
         assert (labs[np.isin(ids, got.neighbor_id)] != q.label).all()
+
+
+def test_winnow_stats_brute(ray_session):
+    import ray.data as rd
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"]).head(120)
+    out = text.winnow_stats(rd.from_pandas(pdf), k=5, w=4).to_pandas()
+    # brute: per doc, shingle hashes -> window minima -> distinct set
+    fps = {}
+    for _, r in pdf.iterrows():
+        th, offs = text._batch_token_hashes(
+            __import__("pyarrow").array([r.text]))
+        sh, _ = text._batch_shingles(th, offs, 5)
+        m = len(sh)
+        wins = [min(sh[i:i + 4]) for i in range(max(m - 3, 1))]
+        fps[r.doc_id] = set(int(v) for v in wins)
+    shared = {}
+    for d, s in fps.items():
+        for f in s:
+            shared.setdefault(f, set()).add(d)
+    got = {int(r.doc_id): (int(r.n_fps), int(r.n_shared))
+           for _, r in out.iterrows()}
+    for d, s in fps.items():
+        ns = sum(1 for f in s if len(shared[f]) >= 2)
+        assert got[d] == (len(s), ns)
+    # the winnowing bandwidth bound: fps kept << shingles
+    th, offs = text._batch_token_hashes(
+        __import__("pyarrow").array(list(pdf.text)))
+    sh_all, _ = text._batch_shingles(th, offs, 5)
+    assert out.n_fps.sum() < len(sh_all)
