@@ -16899,6 +16899,164 @@ FROM v GROUP BY word
 """
 
 
+G_FUNC_RADII = (32, 64, 128, 256)
+
+
+def q_g_function(sf_dir: str):
+    """Empirical G-function (nearest-neighbor distance distribution —
+    the event-to-event companion of ripley_k's K-function): for each
+    r, how many customer points have their nearest OTHER point within
+    r, censored at rmax={max(G_FUNC_RADII)} (points whose NN is
+    farther contribute to no radius, the standard empirical-G
+    censoring). One exactly-once tile self-join at rmax feeds the
+    whole curve; per-point minima fold through one id-bucketed
+    combine. Output always has one row per radius plus the constant
+    denominator n_points."""
+    pts = _keyed_units(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+    n_points = np.int64(pts.count())
+    rmax = max(G_FUNC_RADII)
+    pairs = spatial.dwithin_self_pairs(pts, "ck", "ix", "iy", eps=rmax)
+    radii = np.array(G_FUNC_RADII, np.int64)
+
+    def both(b: pa.Table) -> pd.DataFrame:
+        ia = b["id_a"].to_numpy(zero_copy_only=False)
+        ib = b["id_b"].to_numpy(zero_copy_only=False)
+        d2 = b["d2"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"ck": np.concatenate([ia, ib]),
+                           "d2": np.concatenate([d2, d2])})
+        g = df.groupby("ck", sort=False)["d2"].min().reset_index()
+        g["d2"] = g["d2"].astype(np.int64)
+        return g
+
+    per_pt = rel.bucketed_group_apply(
+        pairs.map_batches(both, batch_format="pyarrow",
+                          batch_size=65536),
+        ["ck"],
+        lambda g: g.groupby("ck", sort=False)["d2"].min().reset_index()
+                   .astype(np.int64))
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["d2"].to_numpy(np.int64)
+        n = np.array([(m <= r * r).sum() for r in radii], np.int64)
+        return pd.DataFrame({"r": radii, "n_within": n})
+
+    parts = per_pt.map_batches(hist, batch_format="pandas",
+                               batch_size=65536).to_pandas()
+    if len(parts):
+        g = parts.groupby("r", sort=True)["n_within"].sum() \
+            .reindex(radii, fill_value=0)
+        nw = g.to_numpy(np.int64)
+    else:
+        nw = np.zeros(len(radii), np.int64)
+    return pd.DataFrame({"r": radii, "n_within": nw,
+                         "n_points": np.full(len(radii), n_points)})
+
+
+def SQL_G_FUNCTION():
+    src = "(SELECT c_custkey*4+1 AS ck FROM customer)"
+    g = fixtures.sql_geocode("ck").replace("__SRC__", src)
+    rmax = max(G_FUNC_RADII)
+    radii = ", ".join(f"({r})" for r in G_FUNC_RADII)
+    return f"""
+WITH pts AS (SELECT ck, ix, iy FROM ({g}) _g),
+nn AS (SELECT a.ck,
+              MIN((a.ix-b.ix)*(a.ix-b.ix)
+                  + (a.iy-b.iy)*(a.iy-b.iy)) AS m
+       FROM pts a JOIN pts b
+         ON a.ck <> b.ck
+        AND (a.ix-b.ix)*(a.ix-b.ix) + (a.iy-b.iy)*(a.iy-b.iy)
+            <= {rmax * rmax}
+       GROUP BY a.ck)
+SELECT r.r, CAST(SUM(CASE WHEN nn.m <= r.r * r.r THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_within,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_points
+FROM (VALUES {radii}) r(r) LEFT JOIN nn ON TRUE
+GROUP BY r.r
+"""
+
+
+def q_arrival_gaps(sf_dir: str):
+    """Inter-arrival gap quantiles per event_type (the load-profile
+    classic): consecutive same-type events in the global (ts,
+    event_id)-ordered stream; p50/p90 of the µs gaps by the
+    engine-wide quantile_disc convention sorted[floor((n-1)q)]. Type
+    cardinality is 5, so each type's series sits whole in one bucket
+    (the sessionize partitioning assumption)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "event_id"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gg in g.groupby("event_type", sort=False):
+            gg = gg.sort_values(["ts", "event_id"], kind="stable")
+            us = gg["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            if len(us) < 2:
+                continue
+            gap = np.sort(us[1:] - us[:-1])
+            n = len(gap)
+            # DuckDB quantile_disc picks sorted[ceil(q*n) - 1]
+            rows.append({"event_type": et, "n_gaps": n,
+                         "p50": gap[(n + 1) // 2 - 1],
+                         "p90": gap[(9 * n + 9) // 10 - 1]})
+        cols = ("event_type", "n_gaps", "p50", "p90")
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype=object if c ==
+                                              "event_type" else np.int64)
+                                 for c in cols})
+        return pd.DataFrame(rows, columns=list(cols))
+
+    return rel.bucketed_group_apply(ds, ["event_type"], per_type)
+
+
+SQL_ARRIVAL_GAPS = """
+WITH s AS (SELECT event_type,
+                  epoch_us(ts) - LAG(epoch_us(ts))
+                      OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS gap
+           FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90
+FROM s WHERE gap IS NOT NULL GROUP BY event_type
+"""
+
+
+def q_path_trigrams(sf_dir: str):
+    """User-journey trigrams: counts of consecutive event-type triples
+    per user stream (the order-3 extension of the transitions Markov
+    query — path-mining's bread and butter). One user-bucketed
+    shuffle; triples form by two vectorized shifts inside the
+    (user, ts)-sorted bucket."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        same2 = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        df = pd.DataFrame({"t1": et[:-2][same2], "t2": et[1:-1][same2],
+                           "t3": et[2:][same2]})
+        out = (df.groupby(["t1", "t2", "t3"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = rel.bucketed_group_apply(ds, ["user_id"], per_bucket)
+    return rel.groupby_aggregate(parts, ["t1", "t2", "t3"],
+                                 [("n", "n", "sum")])
+
+
+SQL_PATH_TRIGRAMS = """
+WITH s AS (SELECT user_id, event_type AS t3,
+                  LAG(event_type) OVER w AS t2,
+                  LAG(event_type, 2) OVER w AS t1
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE t1 IS NOT NULL GROUP BY t1, t2, t3
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -17207,6 +17365,9 @@ REGISTRY: dict[str, tuple] = {
     "lang_skew": (q_lang_skew, SQL_LANG_SKEW),
     "winnow_fps": (q_winnow_fps, SQL_WINNOW_FPS),
     "postings_bytes": (q_postings_bytes, SQL_POSTINGS_BYTES),
+    "g_function": (q_g_function, SQL_G_FUNCTION),
+    "arrival_gaps": (q_arrival_gaps, SQL_ARRIVAL_GAPS),
+    "path_trigrams": (q_path_trigrams, SQL_PATH_TRIGRAMS),
 }
 
 
