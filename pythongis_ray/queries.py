@@ -17057,6 +17057,114 @@ FROM s WHERE t1 IS NOT NULL GROUP BY t1, t2, t3
 """
 
 
+def q_sde_moments(sf_dir: str):
+    """Standard deviational ellipse inputs per nation (the ESRI
+    'Directional Distribution' tool): the exact integer moment
+    six-tuple (n, sx, sy, sxx, syy, sxy) of each nation's customer
+    points in lattice units — mean center, rotation angle
+    tan 2θ = 2·(n·sxy − sx·sy) / ((n·sxx − sx²) − (n·syy − sy²)) and
+    both axis lengths derive from it by closed form. Per-batch partial
+    sums, one (nation)-keyed combine; nothing floats until the caller
+    takes the arctangent."""
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) * 4 + 1
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ix, iy = fixtures.geocode_units(ck)
+        x = np.asarray(ix, np.int64)
+        y = np.asarray(iy, np.int64)
+        df = pd.DataFrame({"nation": nk, "n": np.int64(1), "sx": x,
+                           "sy": y, "sxx": x * x, "syy": y * y,
+                           "sxy": x * y})
+        g = df.groupby("nation", sort=False).sum().reset_index()
+        return g.astype(np.int64)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    return rel.groupby_aggregate(
+        parts, ["nation"],
+        [(c, c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+
+
+def SQL_SDE_MOMENTS():
+    src = "(SELECT c_nationkey AS nation, c_custkey*4+1 AS gk FROM customer)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g})
+SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ix) AS BIGINT) AS sx, CAST(SUM(iy) AS BIGINT) AS sy,
+       CAST(SUM(ix*ix) AS BIGINT) AS sxx,
+       CAST(SUM(iy*iy) AS BIGINT) AS syy,
+       CAST(SUM(ix*iy) AS BIGINT) AS sxy
+FROM ge GROUP BY nation
+"""
+
+
+def q_forecast_error(sf_dir: str):
+    """Seasonal-naive forecast backtest (the baseline every real
+    forecaster must beat): predict each hour's event count per type
+    as the SAME HOUR YESTERDAY's count (absent → 0) and report the
+    exact integer MAE numerator Σ|actual − forecast| over hours with
+    actual traffic. The corpus pass is one (type, hour) count; the
+    backtest runs in one type-bucketed combine via searchsorted on
+    the hour-sorted bounded series."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def hourly(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "hour": us // 3_600_000_000})
+        g = (df.groupby(["event_type", "hour"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(hourly, batch_format="pyarrow",
+                           batch_size=65536)
+    counts = rel.groupby_aggregate(parts, ["event_type", "hour"],
+                                   [("n", "n", "sum")])
+
+    def backtest(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gg in g.groupby("event_type", sort=False):
+            gg = gg.sort_values("hour", kind="stable")
+            h = gg["hour"].to_numpy(np.int64)
+            n = gg["n"].to_numpy(np.int64)
+            f = np.zeros(len(h), np.int64)
+            i = np.searchsorted(h, h - 24)
+            ok = (i < len(h)) & (h[np.minimum(i, len(h) - 1)] == h - 24)
+            f[ok] = n[i[ok]]
+            rows.append({"event_type": et, "n_hours": len(h),
+                         "mae_num": int(np.abs(n - f).sum())})
+        cols = ("event_type", "n_hours", "mae_num")
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype=object if c ==
+                                              "event_type" else np.int64)
+                                 for c in cols})
+        return pd.DataFrame(rows, columns=list(cols))
+
+    return rel.bucketed_group_apply(counts, ["event_type"], backtest)
+
+
+SQL_FORECAST_ERROR = """
+WITH c AS (SELECT event_type,
+                  epoch_us(ts) // 3600000000 AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+SELECT c.event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(ABS(c.n - COALESCE(p.n, 0))) AS BIGINT) AS mae_num
+FROM c LEFT JOIN c p
+  ON p.event_type = c.event_type AND p.hour = c.hour - 24
+GROUP BY c.event_type
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -17368,6 +17476,8 @@ REGISTRY: dict[str, tuple] = {
     "g_function": (q_g_function, SQL_G_FUNCTION),
     "arrival_gaps": (q_arrival_gaps, SQL_ARRIVAL_GAPS),
     "path_trigrams": (q_path_trigrams, SQL_PATH_TRIGRAMS),
+    "sde_moments": (q_sde_moments, SQL_SDE_MOMENTS),
+    "forecast_error": (q_forecast_error, SQL_FORECAST_ERROR),
 }
 
 
