@@ -299,10 +299,21 @@ def run_benchmarks() -> dict:
     npx = timed("render_density_600k", render_bench)
     extras["render_pixels_colored"] = npx
 
+    # 18. spatio-temporal co-presence join: exactly-once canonical-
+    # tile pair join over the clustered event points with the 1-hour
+    # window + user-inequality predicates pruned IN-KERNEL via
+    # carried columns (one shuffle; no re-join onto the pair table)
+    def co_presence_bench():
+        out = q.q_co_presence(SF_DIR)
+        return out.count() if hasattr(out, "count") else len(out)
+
+    nco = timed("co_presence_150k", co_presence_bench)
+    extras["co_presence_pairs"] = nco
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
-        "metric": "headline pipeline suite wall time (16 stages: spatial joins, flagship, graph, dedup, windows, multimodal)",
+        "metric": "headline pipeline suite wall time (17 stages: spatial joins, flagship, graph, dedup, windows, multimodal, co-presence)",
         "value": total,
         "unit": "sec",
         "queries": timings,
