@@ -497,7 +497,9 @@ FROM events
 
 def q_quantiles(sf_dir: str):
     """Discrete quantiles per group (quantile_disc semantics:
-    sorted[floor((n-1)q)])."""
+    sorted[ceil(q*n) - 1] — probed in relational.py; at q=0.25/0.75
+    this coincides with floor((n-1)q) for every n, at q=0.9 it does
+    not — see q_arrival_gaps)."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_type", "value"])
 
@@ -17165,6 +17167,167 @@ GROUP BY c.event_type
 """
 
 
+RING_VNODES_NEW = 72
+
+
+def q_ring_rebalance(sf_dir: str):
+    """Consistent-hashing rebalance audit (the scale-ops question
+    behind every shard expansion): route every distinct key on the
+    {RING_VNODES}-vnode ring AND the {RING_VNODES_NEW}-vnode ring and
+    count keys per (old_node, new_node) — consistent hashing's
+    minimal-movement guarantee shows as a diagonal-dominant matrix
+    where only keys adjacent to the 8 new vnodes move. Same broadcast
+    ring + streaming key route as hash_ring, two successor lookups
+    per key; SQL replays both rings' HUGEINT arithmetic."""
+    import ray
+
+    from pythongis_ray import state
+
+    def _h(sx: str) -> int:
+        h = 0
+        for ch in sx.encode():
+            h = (h * 1099511628211 + ch) % (1 << 64)
+        return (h * 2862933555777941757) % (1 << 64)
+
+    rings = []
+    for nv in (RING_VNODES, RING_VNODES_NEW):
+        vn = sorted((_h(f"node{i}"), i) for i in range(nv))
+        rings.append((np.array([h for h, _ in vn], np.uint64),
+                      np.array([i for _, i in vn], np.int64)))
+    vref = ray.put(tuple(rings))
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    def keys(b: pa.Table) -> pd.DataFrame:
+        et = b["event_type"].to_pandas().to_numpy(object)
+        uid = b["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = np.array([f"{e}-{u}" for e, u in zip(et, uid)], object)
+        return pd.DataFrame({"key": k}).drop_duplicates()
+
+    raw = ds.map_batches(keys, batch_format="pyarrow",
+                         batch_size=65536)
+    uniq = rel.bucketed_group_apply(
+        raw, ["key"], lambda g: g.drop_duplicates(ignore_index=True))
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        (oh, oi), (nh, ni) = state.get_broadcast(
+            vref, key_extra=("ring2",))
+        ks = b["key"].to_numpy(object)
+        hs = np.array([_h(s) for s in ks], np.uint64)
+        po = np.searchsorted(oh, hs, "left")
+        po[po == len(oh)] = 0
+        pn = np.searchsorted(nh, hs, "left")
+        pn[pn == len(nh)] = 0
+        df = pd.DataFrame({"old_node": oi[po].astype(np.int64),
+                           "new_node": ni[pn].astype(np.int64)})
+        g = (df.groupby(["old_node", "new_node"], sort=False).size()
+             .rename("n_keys").reset_index())
+        g["n_keys"] = g["n_keys"].astype(np.int64)
+        return g
+
+    parts = uniq.map_batches(route, batch_format="pandas",
+                             batch_size=65536)
+    return rel.groupby_aggregate(parts, ["old_node", "new_node"],
+                                 [("n_keys", "n_keys", "sum")])
+
+
+def SQL_RING_REBALANCE():
+    def ring(nv: int, name: str) -> str:
+        return f"""
+{name} AS (SELECT v.range AS i,
+              (list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                [CAST(ascii(c) AS HUGEINT)
+                 FOR c IN string_split('node' || CAST(v.range AS VARCHAR),
+                                       '')]),
+                (a, x) -> (a * 1099511628211 + x)
+                          % CAST('18446744073709551616' AS HUGEINT))
+               * 2862933555777941757)
+              % CAST('18446744073709551616' AS HUGEINT) AS h
+            FROM range(0, {nv}) v)"""
+
+    return f"""
+WITH {ring(RING_VNODES, "vo")},
+{ring(RING_VNODES_NEW, "vn")[1:]},
+k AS (SELECT DISTINCT event_type || '-' || CAST(user_id AS VARCHAR)
+        AS key FROM events),
+kh AS (SELECT key,
+         (list_reduce(list_prepend(CAST(0 AS HUGEINT),
+           [CAST(ascii(c) AS HUGEINT) FOR c IN string_split(key, '')]),
+           (a, x) -> (a * 1099511628211 + x)
+                     % CAST('18446744073709551616' AS HUGEINT))
+          * 2862933555777941757)
+         % CAST('18446744073709551616' AS HUGEINT) AS h
+       FROM k),
+succ AS (SELECT kh.key,
+           COALESCE((SELECT MIN(vo.h) FROM vo WHERE vo.h >= kh.h),
+                    (SELECT MIN(h) FROM vo)) AS ovh,
+           COALESCE((SELECT MIN(vn.h) FROM vn WHERE vn.h >= kh.h),
+                    (SELECT MIN(h) FROM vn)) AS nvh
+         FROM kh)
+SELECT CAST(vo.i AS BIGINT) AS old_node, CAST(vn.i AS BIGINT) AS new_node,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM succ JOIN vo ON vo.h = succ.ovh JOIN vn ON vn.h = succ.nvh
+GROUP BY vo.i, vn.i
+"""
+
+
+def q_distance_decay(sf_dir: str):
+    """Movement distance-decay profile (the Lévy-flight / gravity-law
+    histogram): consecutive user hops binned by the BINARY ORDER of
+    their exact squared distance — band = number of binary digits of
+    d² (zero hops excluded), an exact integer banding replayed in SQL
+    as length(bin(d2)). One user-bucketed shuffle, searchsorted
+    banding in the bucket; output per-band hop counts."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        return pa.table({"user_id": batch["user_id"], "ts_us": us,
+                         "ix": ix, "iy": iy})
+
+    pts = ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    POWS = np.array([np.int64(1) << k for k in range(1, 63)], np.int64)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        x = g["ix"].to_numpy(np.int64)
+        y = g["iy"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        d2 = ((x[1:] - x[:-1]) ** 2 + (y[1:] - y[:-1]) ** 2)[same]
+        d2 = d2[d2 > 0]
+        band = np.searchsorted(POWS, d2, side="right") + 1
+        s = pd.Series(band).value_counts().sort_index()
+        return pd.DataFrame({"band": s.index.to_numpy(np.int64),
+                             "n_hops": s.to_numpy(np.int64)})
+
+    parts = rel.bucketed_group_apply(pts, ["user_id"], per_bucket)
+    return rel.groupby_aggregate(parts, ["band"],
+                                 [("n_hops", "n_hops", "sum")])
+
+
+def SQL_DISTANCE_DECAY():
+    src = "(SELECT event_id, user_id, ts, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+hops AS (SELECT (ix - LAG(ix) OVER w) AS dx, (iy - LAG(iy) OVER w) AS dy
+         FROM ge WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+d AS (SELECT dx*dx + dy*dy AS d2 FROM hops
+      WHERE dx IS NOT NULL AND dx*dx + dy*dy > 0)
+SELECT CAST(length(bin(d2)) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_hops
+FROM d GROUP BY band
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -17478,6 +17641,8 @@ REGISTRY: dict[str, tuple] = {
     "path_trigrams": (q_path_trigrams, SQL_PATH_TRIGRAMS),
     "sde_moments": (q_sde_moments, SQL_SDE_MOMENTS),
     "forecast_error": (q_forecast_error, SQL_FORECAST_ERROR),
+    "ring_rebalance": (q_ring_rebalance, SQL_RING_REBALANCE),
+    "distance_decay": (q_distance_decay, SQL_DISTANCE_DECAY),
 }
 
 
