@@ -17328,6 +17328,185 @@ FROM d GROUP BY band
 """
 
 
+def q_mann_kendall(sf_dir: str):
+    """Emerging-hotspot trend detection (the ESRI 'Emerging Hot Spot'
+    core): per 8° cell, the Mann-Kendall S statistic of its DAILY
+    event-count series over the global day span (absent days count 0
+    — MK runs on the regular series): S = Σ_{i<j} sign(c_j − c_i),
+    an exact integer in [-T(T-1)/2, +T(T-1)/2]. The corpus pass is
+    one (cell, day) count; the pairwise fold runs per cell on the
+    T≈30-long dense vector inside one cell-bucketed combine. Output:
+    (cx, cy, s_stat, n_days)."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        df = pd.DataFrame({"cx": np.asarray(ix) // 8192,
+                           "cy": np.asarray(iy) // 8192,
+                           "day": us // 86_400_000_000})
+        g = (df.groupby(["cx", "cy", "day"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ev.map_batches(prep, batch_format="pyarrow",
+                           batch_size=65536)
+    counts = rel.groupby_aggregate(parts, ["cx", "cy", "day"],
+                                   [("n", "n", "sum")]).materialize()
+    span = counts.map_batches(
+        lambda b: pd.DataFrame({"lo": [np.int64(b["day"].min())],
+                                "hi": [np.int64(b["day"].max())]}),
+        batch_format="pandas", batch_size=65536).to_pandas()
+    lo, hi = np.int64(span["lo"].min()), np.int64(span["hi"].max())
+    T = int(hi - lo + 1)
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (cx, cy), gg in g.groupby(["cx", "cy"], sort=False):
+            v = np.zeros(T, np.int64)
+            v[gg["day"].to_numpy(np.int64) - lo] = \
+                gg["n"].to_numpy(np.int64)
+            d = np.sign(v[None, :] - v[:, None])
+            s = int(np.triu(d, 1).sum())
+            rows.append({"cx": int(cx), "cy": int(cy), "s_stat": s,
+                         "n_days": T})
+        cols = ("cx", "cy", "s_stat", "n_days")
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in cols})
+        return pd.DataFrame(rows, columns=list(cols)).astype(np.int64)
+
+    return rel.bucketed_group_apply(counts, ["cx", "cy"], per_cell)
+
+
+def SQL_MANN_KENDALL():
+    src = "(SELECT event_id, ts, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+c AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ge GROUP BY 1, 2, 3),
+span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+cells AS (SELECT DISTINCT cx, cy FROM c),
+days AS (SELECT UNNEST(range((SELECT lo FROM span),
+                             (SELECT hi FROM span) + 1)) AS day),
+grid AS (SELECT cells.cx, cells.cy, days.day,
+                COALESCE(c.n, 0) AS n
+         FROM cells CROSS JOIN days
+         LEFT JOIN c ON c.cx = cells.cx AND c.cy = cells.cy
+                    AND c.day = days.day)
+SELECT a.cx, a.cy,
+       CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                     WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat,
+       CAST((SELECT hi - lo + 1 FROM span) AS BIGINT) AS n_days
+FROM grid a JOIN grid b
+  ON a.cx = b.cx AND a.cy = b.cy AND a.day < b.day
+GROUP BY a.cx, a.cy
+"""
+
+
+KNOX_EPS = 96                 # lattice units
+KNOX_W_S = 3600               # seconds
+
+
+def q_knox_counts(sf_dir: str):
+    """Knox space-time interaction test inputs (the spatial-
+    epidemiology classic): over all C(n,2) event pairs, the exact
+    counts of pairs CLOSE IN SPACE (d² ≤ {KNOX_EPS}²), CLOSE IN TIME
+    (|Δt| ≤ {KNOX_W_S}s), and close in BOTH — the 2×2 table the Knox
+    statistic compares against its permutation expectation
+    n_s·n_t/n_pairs. Both pair counts ride the SAME exactly-once
+    canonical-tile kernel: the spatial one on (ix, iy) with the
+    timestamp carried (one pass yields n_space AND n_spacetime), the
+    temporal one on (seconds, 0) — the 1-D degeneration of the tile
+    join. Single-row output."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        return pa.table({"event_id": pa.array(eid), "ix": ix, "iy": iy,
+                         "t_s": pa.array(us // 1_000_000)})
+
+    pts = ev.map_batches(prep, batch_format="pyarrow",
+                         batch_size=65536).materialize()
+    n = np.int64(pts.count())
+
+    sp = spatial.dwithin_self_pairs(pts, "event_id", "ix", "iy",
+                                    eps=KNOX_EPS, carry=("t_s",))
+
+    def fold_sp(b: pa.Table) -> pd.DataFrame:
+        dt = b["t_s_a"].to_numpy(zero_copy_only=False) \
+            - b["t_s_b"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "n_space": [np.int64(b.num_rows)],
+            "n_st": [np.int64((np.abs(dt) <= KNOX_W_S).sum())]})
+
+    sps = sp.map_batches(fold_sp, batch_format="pyarrow",
+                         batch_size=65536).to_pandas()
+
+    def zero(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "tx": batch["t_s"],
+                         "ty": pa.array(np.zeros(batch.num_rows,
+                                                 np.int64))})
+
+    tp = spatial.dwithin_self_pairs(
+        pts.map_batches(zero, batch_format="pyarrow",
+                        batch_size=65536),
+        "event_id", "tx", "ty", eps=KNOX_W_S)
+    tps = tp.map_batches(
+        lambda b: pd.DataFrame({"n_time": [np.int64(b.num_rows)]}),
+        batch_format="pyarrow", batch_size=65536).to_pandas()
+
+    return pd.DataFrame({
+        "n_pairs": [np.int64(n * (n - 1) // 2)],
+        "n_space": [np.int64(sps["n_space"].sum()) if len(sps)
+                    else np.int64(0)],
+        "n_time": [np.int64(tps["n_time"].sum()) if len(tps)
+                   else np.int64(0)],
+        "n_st": [np.int64(sps["n_st"].sum()) if len(sps)
+                 else np.int64(0)]})
+
+
+def SQL_KNOX_COUNTS():
+    src = "(SELECT event_id, ts, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+e AS (SELECT event_id, ix, iy, epoch_us(ts) // 1000000 AS s FROM ge),
+sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_space,
+              CAST(SUM(CASE WHEN abs(a.s - b.s) <= {KNOX_W_S}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_st
+       FROM e a JOIN e b
+         ON a.event_id < b.event_id
+        AND (a.ix-b.ix)*(a.ix-b.ix) + (a.iy-b.iy)*(a.iy-b.iy)
+            <= {KNOX_EPS * KNOX_EPS}),
+tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_time
+       FROM e a JOIN e b
+         ON a.event_id < b.event_id
+        AND b.s BETWEEN a.s - {KNOX_W_S} AND a.s + {KNOX_W_S}),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+SELECT CAST(tot.n * (tot.n - 1) // 2 AS BIGINT) AS n_pairs,
+       COALESCE(sp.n_space, 0) AS n_space,
+       COALESCE(tp.n_time, 0) AS n_time,
+       COALESCE(sp.n_st, 0) AS n_st
+FROM tot CROSS JOIN sp CROSS JOIN tp
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -17643,6 +17822,8 @@ REGISTRY: dict[str, tuple] = {
     "forecast_error": (q_forecast_error, SQL_FORECAST_ERROR),
     "ring_rebalance": (q_ring_rebalance, SQL_RING_REBALANCE),
     "distance_decay": (q_distance_decay, SQL_DISTANCE_DECAY),
+    "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
+    "knox_counts": (q_knox_counts, SQL_KNOX_COUNTS),
 }
 
 
