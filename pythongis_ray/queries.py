@@ -17507,6 +17507,91 @@ FROM tot CROSS JOIN sp CROSS JOIN tp
 """
 
 
+NN_CV_EPS = 256
+
+
+def q_nn_crossval(sf_dir: str):
+    """Leave-one-out nearest-neighbor cross-validation (the
+    interpolation-backtest every geostatistics workflow runs before
+    trusting a surface): each customer point's value (c_custkey mod
+    997, deterministic) is predicted by its nearest OTHER point
+    within {NN_CV_EPS} units (ties → smallest neighbor id, censored
+    beyond the radius) and the exact integer error folds to one row
+    (n_points, n_scored, mae_num). One exactly-once tile self-join
+    with the value carried; the per-point argmin is a (d2, neighbor)
+    lexicographic head-1 inside one id-bucketed combine."""
+    pts_u = _keyed_units(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+
+    def val(b: pa.Table) -> pa.Table:
+        ck = b["ck"].to_numpy(zero_copy_only=False)
+        return pa.table({"ck": b["ck"], "ix": b["ix"], "iy": b["iy"],
+                         "v": pa.array(ck % 997)})
+
+    pts = pts_u.map_batches(val, batch_format="pyarrow",
+                            batch_size=65536).materialize()
+    n_points = np.int64(pts.count())
+    pairs = spatial.dwithin_self_pairs(pts, "ck", "ix", "iy",
+                                       eps=NN_CV_EPS, carry=("v",))
+
+    def both(b: pa.Table) -> pd.DataFrame:
+        ia = b["id_a"].to_numpy(zero_copy_only=False)
+        ib = b["id_b"].to_numpy(zero_copy_only=False)
+        va = b["v_a"].to_numpy(zero_copy_only=False)
+        vb = b["v_b"].to_numpy(zero_copy_only=False)
+        d2 = b["d2"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "ck": np.concatenate([ia, ib]),
+            "own_v": np.concatenate([va, vb]),
+            "d2": np.concatenate([d2, d2]),
+            "nbr": np.concatenate([ib, ia]),
+            "nbr_v": np.concatenate([vb, va])})
+        # local prune: only each point's best candidate in this batch
+        # needs to shuffle
+        df = df.sort_values(["ck", "d2", "nbr"], kind="stable")
+        return df.groupby("ck", sort=False).head(1)
+
+    cand = pairs.map_batches(both, batch_format="pyarrow",
+                             batch_size=None)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ck", "d2", "nbr"], kind="stable")
+        top = g.groupby("ck", sort=False).head(1)
+        return pd.DataFrame({
+            "n_scored": [np.int64(len(top))],
+            "mae_num": [np.int64(np.abs(
+                top["own_v"].to_numpy(np.int64)
+                - top["nbr_v"].to_numpy(np.int64)).sum())]})
+
+    parts = rel.bucketed_group_apply(cand, ["ck"], pick).to_pandas()
+    return pd.DataFrame({
+        "n_points": [n_points],
+        "n_scored": [np.int64(parts["n_scored"].sum()) if len(parts)
+                     else np.int64(0)],
+        "mae_num": [np.int64(parts["mae_num"].sum()) if len(parts)
+                    else np.int64(0)]})
+
+
+def SQL_NN_CROSSVAL():
+    src = "(SELECT c_custkey*4+1 AS ck FROM customer)"
+    g = fixtures.sql_geocode("ck").replace("__SRC__", src)
+    return f"""
+WITH pts AS (SELECT ck, ix, iy, ck % 997 AS v FROM ({g}) _g),
+cand AS (SELECT a.ck, a.v AS own_v, b.v AS nbr_v,
+                ROW_NUMBER() OVER (PARTITION BY a.ck
+                  ORDER BY (a.ix-b.ix)*(a.ix-b.ix)
+                           + (a.iy-b.iy)*(a.iy-b.iy), b.ck) AS rn
+         FROM pts a JOIN pts b
+           ON a.ck <> b.ck
+          AND (a.ix-b.ix)*(a.ix-b.ix) + (a.iy-b.iy)*(a.iy-b.iy)
+              <= {NN_CV_EPS * NN_CV_EPS}),
+sel AS (SELECT * FROM cand WHERE rn = 1)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_points,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(COALESCE(SUM(ABS(own_v - nbr_v)), 0) AS BIGINT) AS mae_num
+FROM sel
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -17824,6 +17909,7 @@ REGISTRY: dict[str, tuple] = {
     "distance_decay": (q_distance_decay, SQL_DISTANCE_DECAY),
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "knox_counts": (q_knox_counts, SQL_KNOX_COUNTS),
+    "nn_crossval": (q_nn_crossval, SQL_NN_CROSSVAL),
 }
 
 
