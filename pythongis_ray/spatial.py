@@ -2223,6 +2223,15 @@ def dwithin_self_pairs(points_ds, id_col: str = "pk", ix_col: str = "ix",
 
     routed = points_ds.map_batches(route, batch_format="pyarrow",
                                    batch_size=65536)
+    # the bucketed combine parallelism follows the SORT's output
+    # partitioning, which follows INPUT block count — a single-row-
+    # group parquet source reaches here as 2 fat blocks and the
+    # 64-bucket pair kernel runs as 2 TASKS (measured: 9.3s of kernel
+    # on 2 cores). Split the routed table to ~2 blocks/CPU first.
+    import ray as _ray
+
+    nsplit = 2 * max(4, int(_ray.cluster_resources().get("CPU", 4)))
+    routed = routed.repartition(nsplit)
 
     empty_cols = {"id_a": pd.Series([], dtype=np.int64),
                   "id_b": pd.Series([], dtype=np.int64),
