@@ -863,3 +863,71 @@ def test_fill_sinks_brute(ray_session):
     have = {(int(r.cx), int(r.cy)): (int(r.elev), int(r.filled))
             for _, r in got.iterrows()}
     assert have == want
+
+
+def test_traj_hausdorff_brute(ray_session):
+    """q_traj_hausdorff's chunked reduceat kernel vs an O(n²)
+    per-pair recomputation at sf0.001."""
+    from pythongis_ray import fixtures
+    from pythongis_ray import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "user_id"])
+    ix, iy = fixtures.geocode_units(
+        ev.event_id.to_numpy(np.int64) * 4 + 1)
+    ev = ev.assign(ix=np.asarray(ix), iy=np.asarray(iy))
+    # home tile = location of the user's smallest event_id
+    first = ev.sort_values(["user_id", "event_id"]) \
+        .groupby("user_id").head(1)
+    home = {int(r.user_id): (int(r.ix) // q.TRAJ_CELL,
+                             int(r.iy) // q.TRAJ_CELL)
+            for _, r in first.iterrows()}
+    pts = {u: g[["ix", "iy"]].to_numpy(np.int64)
+           for u, g in ev.groupby("user_id")}
+
+    def directed(pa_, pb_):
+        return max(min(int((px - qx) ** 2 + (py - qy) ** 2)
+                       for qx, qy in pb_) for px, py in pa_)
+
+    want = {}
+    users = sorted(pts)
+    for i, ua in enumerate(users):
+        for ub in users[i + 1:]:
+            if home[ua] != home[ub]:
+                continue
+            want[(ua, ub)] = max(directed(pts[ua], pts[ub]),
+                                 directed(pts[ub], pts[ua]))
+    out = q.q_traj_hausdorff(sf)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    have = {(int(r.user_a), int(r.user_b)): int(r.h2)
+            for _, r in out.iterrows()}
+    assert have == want
+
+
+def test_colocation_brute(ray_session):
+    """q_colocation participation counts vs O(n²) recomputation."""
+    from pythongis_ray import fixtures
+    from pythongis_ray import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "event_type"])
+    ix, iy = fixtures.geocode_units(
+        ev.event_id.to_numpy(np.int64) * 4 + 1)
+    x = np.asarray(ix); y = np.asarray(iy)
+    et = ev.event_type.to_numpy()
+    n = len(ev)
+    eps2 = q.COLOC_EPS ** 2
+    part = {}
+    for i in range(n):
+        d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+        near = (d2 <= eps2) & (et != et[i])
+        near[i] = False
+        for other in set(et[near]):
+            part.setdefault((et[i], other), set()).add(i)
+    want = {k: len(v) for k, v in part.items()}
+    out = q.q_colocation(sf).to_pandas()
+    have = {(r.type_a, r.type_b): int(r.n_events)
+            for _, r in out.iterrows()}
+    assert have == want
