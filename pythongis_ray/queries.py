@@ -16700,8 +16700,15 @@ def q_colocation(sf_dir: str):
             "type_b": names[b["other"].to_numpy(np.int64)],
             "n_events": b["n_events"].to_numpy(np.int64)})
 
-    return counts.map_batches(stringify, batch_format="pandas",
-                              batch_size=65536)
+    out = counts.map_batches(stringify, batch_format="pandas",
+                             batch_size=65536).materialize()
+    if out.count() == 0:
+        # an isolated point set has NO colocations — typed empty
+        # pandas (Dataset.to_pandas drops all-empty schemas)
+        return pd.DataFrame({"type_a": pd.Series([], dtype=object),
+                             "type_b": pd.Series([], dtype=object),
+                             "n_events": pd.Series([], dtype=np.int64)})
+    return out
 
 
 def SQL_COLOCATION():
