@@ -931,3 +931,30 @@ def test_colocation_brute(ray_session):
     have = {(r.type_a, r.type_b): int(r.n_events)
             for _, r in out.iterrows()}
     assert have == want
+
+
+def test_dwithin_self_pairs_property(ray_session):
+    """Randomized robustness sweep for the exactly-once tile kernel:
+    duplicate coordinates, tile != eps, degenerate clusters, single
+    points — every draw must equal the O(n²) reference."""
+    import ray.data as rd
+    rng = np.random.default_rng(17)
+    for trial in range(8):
+        n = int(rng.integers(1, 300))
+        span = int(rng.integers(8, 600))
+        eps = int(rng.integers(1, 150))
+        tile = eps + int(rng.integers(0, 64))
+        ix = rng.integers(0, span, n).astype(np.int64)
+        iy = rng.integers(0, span, n).astype(np.int64)
+        if n > 10:      # force coordinate duplicates
+            ix[n // 2:n // 2 + 5] = ix[0]
+            iy[n // 2:n // 2 + 5] = iy[0]
+        ids = rng.permutation(n).astype(np.int64)
+        ds = rd.from_pandas(pd.DataFrame(
+            {"pk": ids, "ix": ix, "iy": iy}))
+        got = spatial.dwithin_self_pairs(
+            ds, "pk", "ix", "iy", eps=eps, tile=tile).to_pandas()
+        want = _brute_pairs(ids, ix, iy, eps)
+        have = {(int(a), int(b)): int(d) for a, b, d in
+                zip(got["id_a"], got["id_b"], got["d2"])}
+        assert have == want, (trial, n, span, eps, tile)
