@@ -17599,6 +17599,121 @@ FROM sel
 """
 
 
+def q_obb_zones(sf_dir: str):
+    """Minimum-area oriented bounding rectangle per supplier zone
+    (the ArcGIS 'Minimum Bounding Geometry (RECTANGLE_BY_AREA)'
+    classic) by rotating calipers: the optimal rectangle is flush
+    with a hull edge, so per zone the engine walks the monotone-chain
+    hull's edges and minimizes the EXACT rational area
+    (width·height)/|edge|² in Python ints (products reach ~1e23 —
+    past int64, the quad_fit precedent), emitting the REDUCED
+    fraction as VARCHAR. The oracle re-derives hull edges with the
+    O(n³) edge characterization (convex_hull's oracle) and replays
+    the rational argmin in HUGEINT with a NOT EXISTS cross-multiplied
+    compare — equal minima reduce to the same canonical fraction."""
+    from math import gcd
+
+    from pythongis_ray.geom import algo
+
+    ds = _rd().read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey"])
+
+    def to_pts(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ix, iy = fixtures.geocode_units(k * 4 + 3)
+        return pa.table({"nk": pa.array(k % 5), "x": pa.array(ix),
+                         "y": pa.array(iy)})
+
+    pts = ds.map_batches(to_pts, batch_format="pyarrow",
+                         batch_size=65536)
+
+    def per_zone(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nk, gg in g.groupby("nk", sort=False):
+            P = np.unique(gg[["x", "y"]].to_numpy(np.int64), axis=0)
+            if len(P) < 2:
+                continue
+            hull = algo.convex_hull_ccw(P)
+            # convex_hull_ccw returns an OPEN vertex list — close the
+            # cycle or the last edge's flush direction is never tried
+            hull = np.vstack([hull, hull[:1]])
+            best = None                      # (num, den) python ints
+            x = P[:, 0]
+            y = P[:, 1]
+            for i in range(len(hull) - 1):
+                dx = int(hull[i + 1, 0] - hull[i, 0])
+                dy = int(hull[i + 1, 1] - hull[i, 1])
+                l2 = dx * dx + dy * dy
+                proj = x * dx + y * dy       # |p·d| ≤ 2.7e11, int64 ok
+                w = int(proj.max()) - int(proj.min())
+                cross = dx * (y - int(hull[i, 1])) \
+                    - dy * (x - int(hull[i, 0]))
+                h = int(cross.max())
+                num = w * h                  # python ints past here
+                if best is None or num * best[1] < best[0] * l2:
+                    best = (num, l2)
+            d = gcd(best[0], best[1]) or 1
+            rows.append({"nk": np.int64(nk),
+                         "area_num": str(best[0] // d),
+                         "area_den": str(best[1] // d)})
+        cols = ("nk", "area_num", "area_den")
+        if not rows:
+            return pd.DataFrame({"nk": pd.Series(dtype=np.int64),
+                                 "area_num": pd.Series(dtype=object),
+                                 "area_den": pd.Series(dtype=object)})
+        return pd.DataFrame(rows, columns=list(cols))
+
+    return rel.bucketed_group_apply(pts, ["nk"], per_zone)
+
+
+def SQL_OBB_ZONES():
+    src = "(SELECT s_suppkey*4+3 AS sup_id, s_suppkey % 5 AS nk FROM supplier)"
+    g = fixtures.sql_geocode("sup_id").replace("__SRC__", src)
+    return f"""
+WITH gp AS ({g}),
+p AS (SELECT DISTINCT CAST(nk AS BIGINT) AS nk, ix AS x, iy AS y FROM gp),
+e AS (SELECT a.nk, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      FROM p a JOIN p b
+        ON a.nk = b.nk AND NOT (a.x = b.x AND a.y = b.y)),
+hull AS (SELECT * FROM e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p q
+    WHERE q.nk = e.nk
+      AND NOT (q.x = e.x1 AND q.y = e.y1)
+      AND NOT (q.x = e.x2 AND q.y = e.y2)
+      AND NOT (
+        (e.x2 - e.x1) * (q.y - e.y1) - (e.y2 - e.y1) * (q.x - e.x1) > 0
+        OR ((e.x2 - e.x1) * (q.y - e.y1)
+              - (e.y2 - e.y1) * (q.x - e.x1) = 0
+            AND (q.x - e.x1) * (e.x2 - e.x1)
+                  + (q.y - e.y1) * (e.y2 - e.y1) > 0
+            AND (q.x - e.x1) * (e.x2 - e.x1)
+                  + (q.y - e.y1) * (e.y2 - e.y1)
+                < (e.x2 - e.x1) * (e.x2 - e.x1)
+                  + (e.y2 - e.y1) * (e.y2 - e.y1))))),
+m AS (SELECT h.nk,
+             CAST(MAX(q.x * (h.x2 - h.x1) + q.y * (h.y2 - h.y1))
+                  - MIN(q.x * (h.x2 - h.x1) + q.y * (h.y2 - h.y1))
+                  AS HUGEINT)
+             * CAST(MAX((h.x2 - h.x1) * (q.y - h.y1)
+                        - (h.y2 - h.y1) * (q.x - h.x1)) AS HUGEINT)
+                 AS num,
+             CAST((h.x2 - h.x1) * (h.x2 - h.x1)
+                  + (h.y2 - h.y1) * (h.y2 - h.y1) AS HUGEINT) AS den
+      FROM hull h JOIN p q ON q.nk = h.nk
+      GROUP BY h.nk, h.x1, h.y1, h.x2, h.y2),
+best AS (SELECT * FROM m r
+         WHERE NOT EXISTS (SELECT 1 FROM m s
+                           WHERE s.nk = r.nk
+                             AND s.num * r.den < r.num * s.den))
+SELECT DISTINCT nk,
+       CAST(num // GREATEST(gcd(num, den), 1) AS VARCHAR) AS area_num,
+       CAST(den // GREATEST(gcd(num, den), 1) AS VARCHAR) AS area_den
+FROM best
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -17917,6 +18032,7 @@ REGISTRY: dict[str, tuple] = {
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "knox_counts": (q_knox_counts, SQL_KNOX_COUNTS),
     "nn_crossval": (q_nn_crossval, SQL_NN_CROSSVAL),
+    "obb_zones": (q_obb_zones, SQL_OBB_ZONES),
 }
 
 

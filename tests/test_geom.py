@@ -804,3 +804,56 @@ class TestMollweide:
         lo, la = inv(x, y)
         assert np.max(np.abs(lo - df.lon.to_numpy())) < 1e-7
         assert np.max(np.abs(la - df.lat.to_numpy())) < 1e-7
+
+
+class TestMinAreaRect:
+    def test_obb_vs_all_pairs_brute(self):
+        """Rotating calipers over the hull vs the O(n^3) brute force
+        over ALL directed point pairs as flush-edge candidates."""
+        from fractions import Fraction
+
+        from pythongis_ray.geom import algo
+
+        rng = np.random.default_rng(5)
+        for _ in range(25):
+            n = int(rng.integers(3, 40))
+            P = np.unique(rng.integers(0, 200, (n, 2)).astype(np.int64),
+                          axis=0)
+            if len(P) < 3:
+                continue
+            x, y = P[:, 0], P[:, 1]
+            # brute: every ordered pair is a candidate edge direction
+            best = None
+            for i in range(len(P)):
+                for j in range(len(P)):
+                    if i == j:
+                        continue
+                    dx = int(P[j, 0] - P[i, 0])
+                    dy = int(P[j, 1] - P[i, 1])
+                    proj = x * dx + y * dy
+                    w = int(proj.max()) - int(proj.min())
+                    cross = dx * (y - int(P[i, 1])) \
+                        - dy * (x - int(P[i, 0]))
+                    h = int(cross.max()) - min(0, int(cross.min()))
+                    # flush on one side only counts when all points are
+                    # on one side; general support width:
+                    h = int(cross.max()) - int(cross.min())
+                    a = Fraction(w * h, dx * dx + dy * dy)
+                    if best is None or a < best:
+                        best = a
+            # engine: hull walk (CCW edges put all points at cross>=0)
+            hull = algo.convex_hull_ccw(P)
+            hull = np.vstack([hull, hull[:1]])   # close the cycle
+            got = None
+            for i in range(len(hull) - 1):
+                dx = int(hull[i + 1, 0] - hull[i, 0])
+                dy = int(hull[i + 1, 1] - hull[i, 1])
+                proj = x * dx + y * dy
+                w = int(proj.max()) - int(proj.min())
+                cross = dx * (y - int(hull[i, 1])) \
+                    - dy * (x - int(hull[i, 0]))
+                a = Fraction(w * int(cross.max()),
+                             dx * dx + dy * dy)
+                if got is None or a < got:
+                    got = a
+            assert got == best
