@@ -17714,6 +17714,53 @@ FROM best
 """
 
 
+def q_sqlish_pipeline(sf_dir: str):
+    """End-to-end sqlish.Query composition (the reference's
+    sql.query(_from/_select/_where/_groupby) surface,
+    vector/sql.py:182-244, as one fluent plan): urgent orders →
+    computed cents column → hash join to the customer dimension →
+    per-mktsegment exact aggregate. Exercises where/select/join/
+    groupby through the BUILDER (each stage is the same engine
+    operator the standalone queries use) with a plain-SQL oracle."""
+    from pythongis_ray import sqlish
+
+    o = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderpriority",
+                                    "o_totalprice"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    out = (sqlish.Query(o)
+           .where(lambda b: b["o_orderpriority"] == "1-URGENT")
+           .select(c_custkey="o_custkey",
+                   cents=lambda b: np.rint(
+                       b["o_totalprice"].to_numpy() * 100.0)
+                   .astype(np.int64))
+           .join(cust, on="c_custkey")
+           .groupby("c_mktsegment",
+                    [("n_orders", "cents", "count"),
+                     ("sum_cents", "cents", "sum")])
+           .dataset())
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_orders"] = b["n_orders"].astype(np.int64)
+        b["sum_cents"] = b["sum_cents"].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+SQL_SQLISH_PIPELINE = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY c.c_mktsegment
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -18033,6 +18080,7 @@ REGISTRY: dict[str, tuple] = {
     "knox_counts": (q_knox_counts, SQL_KNOX_COUNTS),
     "nn_crossval": (q_nn_crossval, SQL_NN_CROSSVAL),
     "obb_zones": (q_obb_zones, SQL_OBB_ZONES),
+    "sqlish_pipeline": (q_sqlish_pipeline, SQL_SQLISH_PIPELINE),
 }
 
 
