@@ -17761,6 +17761,122 @@ GROUP BY c.c_mktsegment
 """
 
 
+K_ANON = 5
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit (the release-readiness privacy check): treat
+    (lang, source, n_chars//100) as the quasi-identifier tuple over
+    documents and report, per language, the number of QI equivalence
+    classes, how many violate k={K_ANON}, and the total records at
+    re-identification risk inside violating classes. One (QI)-grouped
+    count + one per-lang rollup — both bounded shuffles."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source", "n_chars"])
+
+    def qi(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": b["lang"].to_pandas(),
+                           "source": b["source"].to_pandas(),
+                           "nb": b["n_chars"].to_numpy(
+                               zero_copy_only=False) // 100})
+        g = (df.groupby(["lang", "source", "nb"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(qi, batch_format="pyarrow", batch_size=65536)
+    classes = rel.groupby_aggregate(parts, ["lang", "source", "nb"],
+                                    [("n", "n", "sum")])
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(np.int64)
+        viol = n < K_ANON
+        out = pd.DataFrame({"lang": g["lang"].to_numpy(),
+                            "one": np.int64(1),
+                            "v": viol.astype(np.int64),
+                            "r": np.where(viol, n, 0)})
+        a = out.groupby("lang", sort=False).agg(
+            n_classes=("one", "sum"), n_violating=("v", "sum"),
+            n_at_risk=("r", "sum")).reset_index()
+        for c in ("n_classes", "n_violating", "n_at_risk"):
+            a[c] = a[c].astype(np.int64)
+        return a
+
+    grouped = rel.bucketed_group_apply(classes, ["lang"], rollup)
+    return rel.groupby_aggregate(
+        grouped, ["lang"],
+        [("n_classes", "n_classes", "sum"),
+         ("n_violating", "n_violating", "sum"),
+         ("n_at_risk", "n_at_risk", "sum")])
+
+
+SQL_K_ANONYMITY = f"""
+WITH c AS (SELECT lang, source, n_chars // 100 AS nb,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2, 3)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+           AS n_at_risk
+FROM c GROUP BY lang
+"""
+
+
+L_DIV = 3
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit (k-anonymity's companion: a uniform QI class
+    still leaks its SENSITIVE attribute): with QI = (user_id bucket
+    user_id//100, day) over events and event_type as the sensitive
+    attribute, count QI classes whose distinct-sensitive-value count
+    falls below l={L_DIV}. Distinct-per-class folds map-side
+    (per-batch drop_duplicates) before the one grouped count."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def qi(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "ub": b["user_id"].to_numpy(zero_copy_only=False) // 100,
+            "day": us // 86_400_000_000,
+            "event_type": b["event_type"].to_pandas()})
+        return df.drop_duplicates(ignore_index=True)
+
+    parts = ds.map_batches(qi, batch_format="pyarrow", batch_size=65536)
+    dd = rel.dedup(parts, ["ub", "day", "event_type"])
+    divers = rel.groupby_aggregate(dd, ["ub", "day"],
+                                   [("n_distinct", "event_type",
+                                     "count")])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        nd = b["n_distinct"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_classes": [np.int64(len(b))],
+            "n_below_l": [np.int64((nd < L_DIV).sum())]})
+
+    parts2 = divers.map_batches(fold, batch_format="pandas",
+                                batch_size=65536).to_pandas()
+    return pd.DataFrame({
+        "n_classes": [np.int64(parts2["n_classes"].sum())],
+        "n_below_l": [np.int64(parts2["n_below_l"].sum())]})
+
+
+SQL_L_DIVERSITY = f"""
+WITH d AS (SELECT DISTINCT user_id // 100 AS ub,
+                  epoch_us(ts) // 86400000000 AS day, event_type
+           FROM events),
+c AS (SELECT ub, day, CAST(COUNT(*) AS BIGINT) AS nd
+      FROM d GROUP BY ub, day)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN nd < {L_DIV} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_below_l
+FROM c
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -18081,6 +18197,8 @@ REGISTRY: dict[str, tuple] = {
     "nn_crossval": (q_nn_crossval, SQL_NN_CROSSVAL),
     "obb_zones": (q_obb_zones, SQL_OBB_ZONES),
     "sqlish_pipeline": (q_sqlish_pipeline, SQL_SQLISH_PIPELINE),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
 }
 
 
