@@ -17877,6 +17877,96 @@ FROM c
 """
 
 
+SFCA_R = 512          # catchment radius, lattice units
+SFCA_PPM = 1_000_000  # supply ratio in integer micro-units
+
+
+def q_access_2sfca(sf_dir: str):
+    """Two-step floating catchment accessibility (2SFCA — the
+    healthcare-access classic): step 1 gives each supplier the ratio
+    R_s = {SFCA_PPM} // (customers within {SFCA_R} units) in exact
+    integer micro-units; step 2 sums R_s over the suppliers within
+    reach of each customer. The bipartite distance join rides the
+    exactly-once self-join kernel over the UNION of both point sets
+    (disjoint id spaces, side flag carried, same-side pairs pruned
+    in-kernel); D_s and A_c are two bounded grouped folds plus one
+    partitioned join of R_s back onto the pair table. Output: per
+    customer (ck, n_sup, access_ppm), customers with no supplier in
+    reach excluded (documented censoring, mirrored in SQL)."""
+    cust = _keyed_units(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+    sup = _keyed_units(sf_dir, "supplier", "s_suppkey", 4, 3, "sk")
+
+    def tag(side: int, idcol: str):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b[idcol].to_numpy(zero_copy_only=False)
+            return pa.table({"uid": pa.array(ids * 2 + side),
+                             "ix": b["ix"], "iy": b["iy"],
+                             "side": pa.array(
+                                 np.full(len(ids), side, np.int64))})
+        return fn
+
+    both = cust.map_batches(tag(0, "ck"), batch_format="pyarrow",
+                            batch_size=65536).union(
+        sup.map_batches(tag(1, "sk"), batch_format="pyarrow",
+                        batch_size=65536))
+    pairs = spatial.dwithin_self_pairs(
+        both, "uid", "ix", "iy", eps=SFCA_R, carry=("side",),
+        pair_filter=lambda d2, ca, cb: ca["side"] != cb["side"])
+
+    def orient(b: pa.Table) -> pd.DataFrame:
+        ia = b["id_a"].to_numpy(zero_copy_only=False)
+        ib = b["id_b"].to_numpy(zero_copy_only=False)
+        sa = b["side_a"].to_numpy(zero_copy_only=False)
+        # uid = (key*4+add)*2+side — unwrap back to the raw keys
+        cu = (np.where(sa == 0, ia, ib) // 2 - 1) // 4
+        su = (np.where(sa == 0, ib, ia) // 2 - 3) // 4
+        return pd.DataFrame({"ck": cu, "sk": su})
+
+    cs = pairs.map_batches(orient, batch_format="pyarrow",
+                           batch_size=65536).materialize()
+    dsup = rel.groupby_aggregate(cs, ["sk"], [("d_s", "ck", "count")])
+
+    def ratio(b: pd.DataFrame) -> pd.DataFrame:
+        b["r_ppm"] = (SFCA_PPM // b["d_s"].to_numpy(np.int64)) \
+            .astype(np.int64)
+        return b[["sk", "r_ppm"]]
+
+    rsup = dsup.map_batches(ratio, batch_format="pandas",
+                            batch_size=65536)
+    joined = rel.join_large(cs, rsup, on="sk")
+    out = rel.groupby_aggregate(joined, ["ck"],
+                                [("n_sup", "sk", "count"),
+                                 ("access_ppm", "r_ppm", "sum")])
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_sup", "access_ppm"):
+            b[c] = b[c].astype(np.int64)
+        return b
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+def SQL_ACCESS_2SFCA():
+    csrc = "(SELECT c_custkey*4+1 AS gk, c_custkey AS k FROM customer)"
+    ssrc = "(SELECT s_suppkey*4+3 AS gk, s_suppkey AS k FROM supplier)"
+    gc = fixtures.sql_geocode("gk").replace("__SRC__", csrc)
+    gs = fixtures.sql_geocode("gk").replace("__SRC__", ssrc)
+    return f"""
+WITH cp AS (SELECT k AS ck, ix, iy FROM ({gc}) _c),
+sp AS (SELECT k AS sk, ix, iy FROM ({gs}) _s),
+pr AS (SELECT cp.ck, sp.sk
+       FROM cp JOIN sp
+         ON (cp.ix-sp.ix)*(cp.ix-sp.ix) + (cp.iy-sp.iy)*(cp.iy-sp.iy)
+            <= {SFCA_R * SFCA_R}),
+ds AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS d_s FROM pr GROUP BY sk),
+r AS (SELECT sk, CAST({SFCA_PPM} // d_s AS BIGINT) AS r_ppm FROM ds)
+SELECT pr.ck, CAST(COUNT(*) AS BIGINT) AS n_sup,
+       CAST(SUM(r.r_ppm) AS BIGINT) AS access_ppm
+FROM pr JOIN r ON r.sk = pr.sk
+GROUP BY pr.ck
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -18199,6 +18289,7 @@ REGISTRY: dict[str, tuple] = {
     "sqlish_pipeline": (q_sqlish_pipeline, SQL_SQLISH_PIPELINE),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "access_2sfca": (q_access_2sfca, SQL_ACCESS_2SFCA),
 }
 
 
