@@ -313,7 +313,7 @@ def run_benchmarks() -> dict:
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
-        "metric": "headline pipeline suite wall time (17 stages: spatial joins, flagship, graph, dedup, windows, multimodal, co-presence)",
+        "metric": "headline pipeline suite wall time (18 stages: spatial joins, flagship, graph, dedup, windows, multimodal, co-presence)",
         "value": total,
         "unit": "sec",
         "queries": timings,

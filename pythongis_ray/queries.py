@@ -17967,6 +17967,105 @@ GROUP BY pr.ck
 """
 
 
+HUFF_R = 512
+HUFF_SHIFT = 40
+
+
+def q_huff_capture(sf_dir: str):
+    """Huff gravity-model market capture: every customer within reach
+    of ≥1 supplier is captured by the supplier maximizing attraction
+    w_s/d² (w_s = s_suppkey%5+1, ties → smallest supplier). The
+    argmax is EXACT through an integer order embedding: with d² ≤
+    {HUFF_R}² < 2^18, competing rationals differ by ≥ 2^-36, so
+    key = (w << {HUFF_SHIFT}) // d² preserves strict order and maps
+    equal rationals to equal keys — a vectorized sort key on both
+    sides (no per-customer Python loop, no floats). Same bipartite
+    side-flagged tile join as access_2sfca. Output: per winning
+    supplier, customers captured."""
+    cust = _keyed_units(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+    sup = _keyed_units(sf_dir, "supplier", "s_suppkey", 4, 3, "sk")
+
+    def tag(side: int, idcol: str):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b[idcol].to_numpy(zero_copy_only=False)
+            return pa.table({"uid": pa.array(ids * 2 + side),
+                             "ix": b["ix"], "iy": b["iy"],
+                             "side": pa.array(
+                                 np.full(len(ids), side, np.int64))})
+        return fn
+
+    both = cust.map_batches(tag(0, "ck"), batch_format="pyarrow",
+                            batch_size=65536).union(
+        sup.map_batches(tag(1, "sk"), batch_format="pyarrow",
+                        batch_size=65536))
+    pairs = spatial.dwithin_self_pairs(
+        both, "uid", "ix", "iy", eps=HUFF_R, carry=("side",),
+        pair_filter=lambda d2, ca, cb: ca["side"] != cb["side"])
+
+    def orient(b: pa.Table) -> pd.DataFrame:
+        ia = b["id_a"].to_numpy(zero_copy_only=False)
+        ib = b["id_b"].to_numpy(zero_copy_only=False)
+        sa = b["side_a"].to_numpy(zero_copy_only=False)
+        d2 = b["d2"].to_numpy(zero_copy_only=False)
+        ck = (np.where(sa == 0, ia, ib) // 2 - 1) // 4
+        sk = (np.where(sa == 0, ib, ia) // 2 - 3) // 4
+        w = sk % 5 + 1
+        key = (w << HUFF_SHIFT) // np.maximum(d2, 1)
+        key[d2 == 0] = np.int64(1) << 62   # co-located: infinite pull
+        df = pd.DataFrame({"ck": ck, "sk": sk, "key": key})
+        # local prune: only each customer's best candidate per batch
+        df = df.sort_values(["ck", "key", "sk"],
+                            ascending=[True, False, True],
+                            kind="stable")
+        return df.groupby("ck", sort=False).head(1)
+
+    cand = pairs.map_batches(orient, batch_format="pyarrow",
+                             batch_size=None)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ck", "key", "sk"],
+                          ascending=[True, False, True], kind="stable")
+        top = g.groupby("ck", sort=False).head(1)
+        out = (top.groupby("sk", sort=False).size()
+               .rename("n_captured").reset_index())
+        out["n_captured"] = out["n_captured"].astype(np.int64)
+        return out
+
+    parts = rel.bucketed_group_apply(cand, ["ck"], pick)
+    return rel.groupby_aggregate(parts, ["sk"],
+                                 [("n_captured", "n_captured", "sum")])
+
+
+def SQL_HUFF_CAPTURE():
+    csrc = "(SELECT c_custkey*4+1 AS gk, c_custkey AS k FROM customer)"
+    ssrc = "(SELECT s_suppkey*4+3 AS gk, s_suppkey AS k FROM supplier)"
+    gc = fixtures.sql_geocode("gk").replace("__SRC__", csrc)
+    gs = fixtures.sql_geocode("gk").replace("__SRC__", ssrc)
+    big = 1 << 62
+    return f"""
+WITH cp AS (SELECT k AS ck, ix, iy FROM ({gc}) _c),
+sp AS (SELECT k AS sk, sk % 5 + 1 AS w, ix, iy
+       FROM (SELECT k, k AS sk, ix, iy FROM ({gs}) _s) _w),
+pr AS (SELECT cp.ck, sp.sk,
+              (cp.ix-sp.ix)*(cp.ix-sp.ix)
+              + (cp.iy-sp.iy)*(cp.iy-sp.iy) AS d2,
+              sp.w
+       FROM cp JOIN sp
+         ON (cp.ix-sp.ix)*(cp.ix-sp.ix) + (cp.iy-sp.iy)*(cp.iy-sp.iy)
+            <= {HUFF_R * HUFF_R}),
+keyed AS (SELECT ck, sk,
+                 CASE WHEN d2 = 0 THEN CAST({big} AS BIGINT)
+                      ELSE (w * {1 << HUFF_SHIFT}) // d2 END AS key
+          FROM pr),
+win AS (SELECT ck, sk,
+               ROW_NUMBER() OVER (PARTITION BY ck
+                                  ORDER BY key DESC, sk) AS rn
+        FROM keyed)
+SELECT sk, CAST(COUNT(*) AS BIGINT) AS n_captured
+FROM win WHERE rn = 1 GROUP BY sk
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -18290,6 +18389,7 @@ REGISTRY: dict[str, tuple] = {
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "access_2sfca": (q_access_2sfca, SQL_ACCESS_2SFCA),
+    "huff_capture": (q_huff_capture, SQL_HUFF_CAPTURE),
 }
 
 
