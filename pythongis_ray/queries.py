@@ -18066,6 +18066,128 @@ FROM win WHERE rn = 1 GROUP BY sk
 """
 
 
+ATTACK_K = 16
+
+
+def q_attack_robustness(sf_dir: str):
+    """Network attack robustness (the Albert-Jeong-Barabási targeted-
+    attack experiment): remove the {ATTACK_K} highest-total-degree
+    pages (ties → smaller id) from the html-extracted link graph and
+    report what remains — surviving nodes/edges, number of connected
+    components, and the largest component's size. Hub selection is a
+    per-batch partial top-K + bounded driver merge; the post-attack
+    components run on the resident hash-min engine with self-edges
+    guaranteeing isolated survivors count. Oracle: recursive-CTE
+    transitive closure over the filtered edge set."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096).materialize()
+
+    def ends(b: pa.Table) -> pa.Table:
+        s = b["src_page"].to_numpy(zero_copy_only=False)
+        d = b["dst_page"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": np.concatenate([s, d])})
+
+    deg = rel.groupby_aggregate(
+        edges.map_batches(ends, batch_format="pyarrow",
+                          batch_size=65536),
+        ["node"], [("deg", "node", "count")])
+
+    def part_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["deg", "node"],
+                             ascending=[False, True],
+                             kind="stable").head(ATTACK_K)
+
+    parts = deg.map_batches(part_topk, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+    hubs = parts.sort_values(["deg", "node"], ascending=[False, True],
+                             kind="stable").head(ATTACK_K)
+    hub_set = set(hubs["node"].astype(np.int64))
+    import ray as _ray
+
+    href = _ray.put(np.array(sorted(hub_set), np.int64))
+
+    def filt(b: pa.Table) -> pa.Table:
+        from pythongis_ray import state
+
+        h = state.get_broadcast(href, key_extra=("attack", ATTACK_K))
+        s = b["src_page"].to_numpy(zero_copy_only=False)
+        d = b["dst_page"].to_numpy(zero_copy_only=False)
+        keep = ~(np.isin(s, h) | np.isin(d, h))
+        return pa.table({"id_a": pa.array(s[keep]),
+                         "id_b": pa.array(d[keep])})
+
+    surv = edges.map_batches(filt, batch_format="pyarrow",
+                             batch_size=65536).materialize()
+    n_edges = np.int64(surv.count())
+
+    # survivors include every non-hub page (isolated ones too) via
+    # self-edges unioned into the CC input
+    def selfe(b: pa.Table) -> pa.Table:
+        from pythongis_ray import state
+
+        h = state.get_broadcast(href, key_extra=("attack", ATTACK_K))
+        p = b["page_id"].to_numpy(zero_copy_only=False)
+        p = p[~np.isin(p, h)]
+        return pa.table({"id_a": pa.array(p), "id_b": pa.array(p)})
+
+    nodes_self = pages.pages_dataset(sf_dir, geocode=False,
+                                     columns=["page_id"]) \
+        .map_batches(selfe, batch_format="pyarrow", batch_size=65536)
+    comp = graph.connected_components(surv.union(nodes_self))
+
+    def fold(b: pa.Table) -> pd.DataFrame:
+        lab = b["component"].to_numpy(zero_copy_only=False)
+        g = pd.Series(lab).value_counts()
+        return pd.DataFrame({"comp": g.index.to_numpy(np.int64),
+                             "sz": g.to_numpy(np.int64)})
+
+    sizes = rel.groupby_aggregate(
+        comp.map_batches(fold, batch_format="pyarrow",
+                         batch_size=65536),
+        ["comp"], [("sz", "sz", "sum")]).to_pandas()
+    return pd.DataFrame({
+        "n_nodes": [np.int64(sizes["sz"].sum())],
+        "n_edges": [n_edges],
+        "n_components": [np.int64(len(sizes))],
+        "largest_cc": [np.int64(sizes["sz"].max()) if len(sizes)
+                       else np.int64(0)]})
+
+
+def SQL_ATTACK_ROBUSTNESS():
+    return f"""
+WITH RECURSIVE
+e0 AS ({_SQL_PAGE_EDGES}),
+ends AS (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM ends GROUP BY node),
+hubs AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT {ATTACK_K}),
+se AS (SELECT src, dst FROM e0
+       WHERE src NOT IN (SELECT node FROM hubs)
+         AND dst NOT IN (SELECT node FROM hubs)),
+pages_ AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS p FROM documents
+           WHERE doc_id NOT IN (SELECT node FROM hubs)),
+edges AS (SELECT src AS a, dst AS b FROM se
+          UNION SELECT dst, src FROM se
+          UNION SELECT p, p FROM pages_),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS node, MIN(dst) AS label
+         FROM reach GROUP BY src),
+sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM comp GROUP BY label)
+SELECT (SELECT CAST(SUM(sz) AS BIGINT) FROM sizes) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM se) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_components,
+       (SELECT CAST(MAX(sz) AS BIGINT) FROM sizes) AS largest_cc
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -18390,6 +18512,7 @@ REGISTRY: dict[str, tuple] = {
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "access_2sfca": (q_access_2sfca, SQL_ACCESS_2SFCA),
     "huff_capture": (q_huff_capture, SQL_HUFF_CAPTURE),
+    "attack_robustness": (q_attack_robustness, SQL_ATTACK_ROBUSTNESS),
 }
 
 
