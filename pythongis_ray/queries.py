@@ -18188,6 +18188,127 @@ SELECT (SELECT CAST(SUM(sz) AS BIGINT) FROM sizes) AS n_nodes,
 """
 
 
+def q_linear_ref(sf_dir: str):
+    """Linear referencing (the milepost / ST_LineLocatePoint classic):
+    every event snaps to its nearest DIAGONAL road segment and gets
+    the integer ppm measure along it — floor((10^6·clamp(AP·AB, 0,
+    |AB|²)) / |AB|²). Float64 point-to-segment arithmetic is mirrored
+    OP-FOR-OP in the oracle (the knn_lines discipline: identical
+    formula and evaluation order → identical bits → the argmin and
+    the floored measure agree exactly). Broadcast road table, one
+    vectorized (batch×roads) argmin per batch; per-road rollup."""
+    import ray as _ray
+
+    from pythongis_ray import state
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id"])
+
+    pp = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pk = np.sort(pp["p_partkey"].to_numpy().astype(np.int64))
+    pk = pk[pk % 16 == 0]
+    sid = pk * 8 + 7
+    rix, riy = fixtures.geocode_units(sid)
+    rix = np.asarray(rix, np.int64)
+    riy = np.asarray(riy, np.int64)
+    dx = (sid * 48271) % 8192 + 512
+    dy = (sid * 16807) % 8192 - 4096
+    ax, ay = fixtures.units_to_deg(rix, riy)
+    bx, by = fixtures.units_to_deg(rix + dx, riy + dy)
+    ref = _ray.put({"sid": sid, "ax": ax, "ay": ay, "bx": bx, "by": by})
+
+    def snap(batch: pa.Table) -> pd.DataFrame:
+        r = state.get_broadcast(ref, key_extra=("linref",))
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        px, py = fixtures.units_to_deg(np.asarray(ix), np.asarray(iy))
+        axx, ayy, bxx, byy = r["ax"], r["ay"], r["bx"], r["by"]
+        ex = px[:, None] - axx[None, :]
+        ey = py[:, None] - ayy[None, :]
+        ux = (bxx - axx)[None, :]
+        uy = (byy - ayy)[None, :]
+        dot = ex * ux + ey * uy
+        l2 = (bxx - axx) ** 2 + (byy - ayy) ** 2
+        cr = ex * uy - ey * ux
+        d_in = cr * cr / l2[None, :]
+        d_a = ex * ex + ey * ey
+        fx = px[:, None] - bxx[None, :]
+        fy = py[:, None] - byy[None, :]
+        d_b = fx * fx + fy * fy
+        d = np.where(dot <= 0, d_a,
+                     np.where(dot >= l2[None, :], d_b, d_in))
+        j = np.argmin(d, axis=1)            # ties → first = min sid
+        rows = np.arange(len(eid))
+        dsel = dot[rows, j]
+        lsel = l2[j]
+        mpp = np.floor(
+            (1_000_000.0 * np.minimum(np.maximum(dsel, 0.0), lsel))
+            / lsel).astype(np.int64)
+        df = pd.DataFrame({"sid": r["sid"][j], "m": mpp})
+        g = df.groupby("sid", sort=False).agg(
+            n_events=("m", "size"), sum_mppm=("m", "sum")).reset_index()
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["sum_mppm"] = g["sum_mppm"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(snap, batch_format="pyarrow",
+                           batch_size=16384)
+    return rel.groupby_aggregate(parts, ["sid"],
+                                 [("n_events", "n_events", "sum"),
+                                  ("sum_mppm", "sum_mppm", "sum")])
+
+
+def SQL_LINEAR_REF():
+    epts = "(SELECT event_id*4+1 AS ek FROM events)"
+    g = fixtures.sql_geocode("ek").replace("__SRC__", epts)
+    sroad = ("(SELECT p_partkey*8+7 AS sid FROM part "
+             "WHERE p_partkey % 16 = 0)")
+    gr = fixtures.sql_geocode("sid").replace("__SRC__", sroad)
+    return f"""
+WITH ge AS ({g}),
+epts AS (SELECT ek, ix / 1024.0 - 180.0 AS px,
+                iy / 1024.0 - 90.0 AS py FROM ge),
+sraw AS ({gr}),
+seg AS (SELECT sid,
+               ix / 1024.0 - 180.0 AS axx, iy / 1024.0 - 90.0 AS ayy,
+               (ix + ((sid * 48271) % 8192 + 512)) / 1024.0 - 180.0
+                   AS bxx,
+               (iy + ((sid * 16807) % 8192 - 4096)) / 1024.0 - 90.0
+                   AS byy
+        FROM sraw),
+d AS (
+  SELECT e.ek, s.sid,
+         (e.px - axx) * (bxx - axx) + (e.py - ayy) * (byy - ayy) AS dot,
+         (bxx - axx) * (bxx - axx) + (byy - ayy) * (byy - ayy) AS l2,
+         CASE
+           WHEN (e.px - axx) * (bxx - axx) + (e.py - ayy) * (byy - ayy)
+                <= 0
+             THEN (e.px - axx) * (e.px - axx)
+                  + (e.py - ayy) * (e.py - ayy)
+           WHEN (e.px - axx) * (bxx - axx) + (e.py - ayy) * (byy - ayy)
+                >= (bxx - axx) * (bxx - axx) + (byy - ayy) * (byy - ayy)
+             THEN (e.px - bxx) * (e.px - bxx)
+                  + (e.py - byy) * (e.py - byy)
+           ELSE ((e.px - axx) * (byy - ayy) - (e.py - ayy) * (bxx - axx))
+                * ((e.px - axx) * (byy - ayy) - (e.py - ayy) * (bxx - axx))
+                / ((bxx - axx) * (bxx - axx) + (byy - ayy) * (byy - ayy))
+         END AS dist_sq
+  FROM epts e CROSS JOIN seg s),
+w AS (SELECT ek, sid, dot, l2,
+             ROW_NUMBER() OVER (PARTITION BY ek
+                                ORDER BY dist_sq, sid) AS rn
+      FROM d),
+m AS (SELECT sid,
+             CAST(FLOOR((1000000.0 * LEAST(GREATEST(dot, 0), l2)) / l2)
+                  AS BIGINT) AS mppm
+      FROM w WHERE rn = 1)
+SELECT sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(mppm) AS BIGINT) AS sum_mppm
+FROM m GROUP BY sid
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -18513,6 +18634,7 @@ REGISTRY: dict[str, tuple] = {
     "access_2sfca": (q_access_2sfca, SQL_ACCESS_2SFCA),
     "huff_capture": (q_huff_capture, SQL_HUFF_CAPTURE),
     "attack_robustness": (q_attack_robustness, SQL_ATTACK_ROBUSTNESS),
+    "linear_ref": (q_linear_ref, SQL_LINEAR_REF),
 }
 
 
