@@ -18309,6 +18309,83 @@ FROM m GROUP BY sid
 """
 
 
+HW_CELL = 2048
+
+
+def q_home_work(sf_dir: str):
+    """Home/work anchor inference (the mobility-mining staple): per
+    user, the two most-visited {HW_CELL}-unit cells (visits DESC, then
+    cell coords — fully deterministic), and the exact integer squared
+    commute distance between the two cell ORIGINS. Users with fewer
+    than two distinct cells are excluded (no second anchor). One
+    (user, cell) count + one user-bucketed top-2 pick."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        df = pd.DataFrame({"user_id": batch["user_id"].to_numpy(
+            zero_copy_only=False),
+            "cx": np.asarray(ix) // HW_CELL,
+            "cy": np.asarray(iy) // HW_CELL})
+        g = (df.groupby(["user_id", "cx", "cy"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ev.map_batches(prep, batch_format="pyarrow",
+                           batch_size=65536)
+    counts = rel.groupby_aggregate(parts, ["user_id", "cx", "cy"],
+                                   [("n", "n", "sum")])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "cx", "cy"],
+                          ascending=[True, False, True, True],
+                          kind="stable")
+        top = g.groupby("user_id", sort=False).head(2)
+        sz = top.groupby("user_id", sort=False)["n"].transform("size")
+        top = top[sz == 2]
+        h = top.groupby("user_id", sort=False).head(1)
+        w = top.groupby("user_id", sort=False).tail(1)
+        hx = h["cx"].to_numpy(np.int64) * HW_CELL
+        hy = h["cy"].to_numpy(np.int64) * HW_CELL
+        wx = w["cx"].to_numpy(np.int64) * HW_CELL
+        wy = w["cy"].to_numpy(np.int64) * HW_CELL
+        return pd.DataFrame({
+            "user_id": h["user_id"].to_numpy(np.int64),
+            "home_cx": h["cx"].to_numpy(np.int64),
+            "home_cy": h["cy"].to_numpy(np.int64),
+            "work_cx": w["cx"].to_numpy(np.int64),
+            "work_cy": w["cy"].to_numpy(np.int64),
+            "commute_d2": (hx - wx) ** 2 + (hy - wy) ** 2})
+
+    return rel.bucketed_group_apply(counts, ["user_id"], pick)
+
+
+def SQL_HOME_WORK():
+    src = "(SELECT event_id, user_id, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+c AS (SELECT user_id, ix // {HW_CELL} AS cx, iy // {HW_CELL} AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ge GROUP BY 1, 2, 3),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY n DESC, cx, cy) AS rn
+      FROM c),
+h AS (SELECT user_id, cx, cy FROM r WHERE rn = 1),
+w AS (SELECT user_id, cx, cy FROM r WHERE rn = 2)
+SELECT h.user_id, h.cx AS home_cx, h.cy AS home_cy,
+       w.cx AS work_cx, w.cy AS work_cy,
+       CAST(((h.cx - w.cx) * {HW_CELL}) * ((h.cx - w.cx) * {HW_CELL})
+            + ((h.cy - w.cy) * {HW_CELL}) * ((h.cy - w.cy) * {HW_CELL})
+            AS BIGINT) AS commute_d2
+FROM h JOIN w ON w.user_id = h.user_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -18635,6 +18712,7 @@ REGISTRY: dict[str, tuple] = {
     "huff_capture": (q_huff_capture, SQL_HUFF_CAPTURE),
     "attack_robustness": (q_attack_robustness, SQL_ATTACK_ROBUSTNESS),
     "linear_ref": (q_linear_ref, SQL_LINEAR_REF),
+    "home_work": (q_home_work, SQL_HOME_WORK),
 }
 
 
