@@ -18386,6 +18386,94 @@ FROM h JOIN w ON w.user_id = h.user_id
 """
 
 
+def q_triad_census(sf_dir: str):
+    """Directed triad closure census (the network-science motif
+    question behind 'is the web hierarchical or cyclic'): over the
+    DISTINCT self-loop-free edge set, count directed 2-paths a→b→c
+    (distinct nodes), how many close TRANSITIVELY (a→c — the
+    feed-forward motif) and how many close CYCLICALLY (c→a; each
+    3-cycle counts once per rotation, documented). Distinct edges via
+    one bucketed dedup; the path table is in·out-bounded (≤42 rows
+    per node here) and closes via two partitioned joins."""
+    from pythongis_ray import pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    raw = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                         batch_size=4096)
+
+    def clean(b: pa.Table) -> pd.DataFrame:
+        s = b["src_page"].to_numpy(zero_copy_only=False)
+        d = b["dst_page"].to_numpy(zero_copy_only=False)
+        k = s != d
+        return pd.DataFrame({"src": s[k], "dst": d[k]}) \
+            .drop_duplicates(ignore_index=True)
+
+    edges = rel.dedup(raw.map_batches(clean, batch_format="pyarrow",
+                                      batch_size=65536),
+                      ["src", "dst"]).materialize()
+
+    def _np64(col):
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    mid = edges.map_batches(
+        lambda b: pd.DataFrame({"b": _np64(b["src"]),
+                                "c": _np64(b["dst"])}),
+        batch_format="pyarrow", batch_size=65536)
+    first = edges.map_batches(
+        lambda b: pd.DataFrame({"a": _np64(b["src"]),
+                                "b": _np64(b["dst"])}),
+        batch_format="pyarrow", batch_size=65536)
+    paths = rel.join_large(first, mid, on="b")
+    paths = paths.map_batches(
+        lambda b: b[b["a"] != b["c"]][["a", "c"]],
+        batch_format="pandas", batch_size=65536).materialize()
+
+    fwd = edges.map_batches(
+        lambda b: pd.DataFrame({"a": _np64(b["src"]),
+                                "c": _np64(b["dst"]),
+                                "f": np.int64(1)}),
+        batch_format="pyarrow", batch_size=65536)
+    back = edges.map_batches(
+        lambda b: pd.DataFrame({"a": _np64(b["dst"]),
+                                "c": _np64(b["src"]),
+                                "g": np.int64(1)}),
+        batch_format="pyarrow", batch_size=65536)
+    j1 = rel.join_large(paths, fwd, on=["a", "c"], how="left")
+    j2 = rel.join_large(j1, back, on=["a", "c"], how="left")
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        f = b["f"].fillna(0).to_numpy(np.int64)
+        g = b["g"].fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({"n_paths": [np.int64(len(b))],
+                             "n_transitive": [np.int64(f.sum())],
+                             "n_cyclic": [np.int64(g.sum())]})
+
+    parts = j2.map_batches(fold, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    return pd.DataFrame({
+        "n_paths": [np.int64(parts["n_paths"].sum())],
+        "n_transitive": [np.int64(parts["n_transitive"].sum())],
+        "n_cyclic": [np.int64(parts["n_cyclic"].sum())]})
+
+
+SQL_TRIAD_CENSUS = f"""
+WITH e0 AS ({_SQL_PAGE_EDGES}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+p AS (SELECT a.src AS a, a.dst AS b, b.dst AS c
+      FROM e a JOIN e b ON b.src = a.dst
+      WHERE a.src <> b.dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM e f
+                                  WHERE f.src = p.a AND f.dst = p.c)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_transitive,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM e g
+                                  WHERE g.src = p.c AND g.dst = p.a)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cyclic
+FROM p
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -18713,6 +18801,7 @@ REGISTRY: dict[str, tuple] = {
     "attack_robustness": (q_attack_robustness, SQL_ATTACK_ROBUSTNESS),
     "linear_ref": (q_linear_ref, SQL_LINEAR_REF),
     "home_work": (q_home_work, SQL_HOME_WORK),
+    "triad_census": (q_triad_census, SQL_TRIAD_CENSUS),
 }
 
 
