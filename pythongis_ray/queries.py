@@ -18474,6 +18474,97 @@ FROM p
 """
 
 
+def q_burstiness(sf_dir: str):
+    """Goh-Barabási burstiness inputs per user: the exact integer
+    moment triple (n_gaps, sum_gap, sum_gap2) of inter-event gaps in
+    floored SECONDS (µs gaps square past int64),
+    from which B = (σ−μ)/(σ+μ) follows by one square root — the
+    temporal-pattern classifier (B→−1 periodic, 0 Poisson, →1 bursty).
+    Users with < 2 gaps excluded; one user-bucketed shuffle."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = u[1:] == u[:-1]
+        gap = (t[1:] - t[:-1])[same] // 1_000_000
+        uu = u[1:][same]
+        df = pd.DataFrame({"user_id": uu, "g": gap})
+        out = df.groupby("user_id", sort=False).agg(
+            n_gaps=("g", "size"), sum_gap=("g", "sum"),
+            sum_gap2=("g", lambda s: np.int64(
+                (s.to_numpy(np.int64) ** 2).sum()))).reset_index()
+        out = out[out["n_gaps"] >= 2]
+        for c in ("n_gaps", "sum_gap", "sum_gap2"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return rel.bucketed_group_apply(ds, ["user_id"], per_user)
+
+
+SQL_BURSTINESS = """
+WITH s AS (SELECT user_id,
+                  (epoch_us(ts) - LAG(epoch_us(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts))
+                  // 1000000 AS g
+           FROM events),
+a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(g) AS BIGINT) AS sum_gap,
+             CAST(SUM(g * g) AS BIGINT) AS sum_gap2
+      FROM s WHERE g IS NOT NULL GROUP BY user_id)
+SELECT * FROM a WHERE n_gaps >= 2
+"""
+
+
+def q_simpson_diversity(sf_dir: str):
+    """Simpson diversity index inputs per source over its language
+    mix, denominator-cleared: D = 1 − Σ n_l(n_l−1) / (N(N−1)), so the
+    exact pair (hom_num = Σ n_l(n_l−1), hom_den = N(N−1)) determines
+    it — the ecology/market-concentration index (hom_num/hom_den is
+    also the collision probability, the Herfindahl cousin). One
+    bounded (source, lang) count."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "lang": b["lang"].to_pandas()})
+        g = (df.groupby(["source", "lang"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    counts = rel.groupby_aggregate(parts, ["source", "lang"],
+                                   [("n", "n", "sum")])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(np.int64)
+        out = pd.DataFrame({"source": g["source"].to_numpy(),
+                            "h": n * (n - 1), "n": n})
+        a = out.groupby("source", sort=False).agg(
+            hom_num=("h", "sum"), nn=("n", "sum")).reset_index()
+        a["hom_num"] = a["hom_num"].astype(np.int64)
+        a["hom_den"] = (a["nn"].astype(np.int64)
+                        * (a["nn"].astype(np.int64) - 1))
+        return a[["source", "hom_num", "hom_den"]]
+
+    return rel.bucketed_group_apply(counts, ["source"], fold)
+
+
+SQL_SIMPSON_DIVERSITY = """
+WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY source, lang)
+SELECT source,
+       CAST(SUM(n * (n - 1)) AS BIGINT) AS hom_num,
+       CAST(SUM(n) * (SUM(n) - 1) AS BIGINT) AS hom_den
+FROM c GROUP BY source
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -18802,6 +18893,8 @@ REGISTRY: dict[str, tuple] = {
     "linear_ref": (q_linear_ref, SQL_LINEAR_REF),
     "home_work": (q_home_work, SQL_HOME_WORK),
     "triad_census": (q_triad_census, SQL_TRIAD_CENSUS),
+    "burstiness": (q_burstiness, SQL_BURSTINESS),
+    "simpson_diversity": (q_simpson_diversity, SQL_SIMPSON_DIVERSITY),
 }
 
 
