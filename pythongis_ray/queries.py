@@ -18565,6 +18565,97 @@ FROM c GROUP BY source
 """
 
 
+RBO_K = 10
+# RBO(p=1/2) truncated at K, denominators cleared: score_num =
+# Σ_d 2^(K−d) · (lcm(1..K)/d) · overlap@d — exact integers end to end
+_RBO_COEF = [(d, (1 << (RBO_K - d)) * (2520 // d))
+             for d in range(1, RBO_K + 1)]
+
+
+def q_rbo_rankings(sf_dir: str):
+    """Rank-biased overlap (Webber's RBO, p=1/2, depth {RBO_K})
+    between the two natural page authorities — in-degree and 5-round
+    integer PageRank — with every denominator cleared:
+    score_num = Σ_d 2^(K−d)·(2520/d)·|top_d(A) ∩ top_d(B)| (2520 =
+    lcm(1..10)). Both top-10 lists come from per-batch partial top-k
+    + a bounded driver merge (ties → smaller page id on both sides
+    and in the oracle's ROW_NUMBER). Output: (score_num,
+    overlap_at_k) — one row."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096).materialize()
+
+    def indeg(b: pa.Table) -> pd.DataFrame:
+        d = b["dst_page"].to_numpy(zero_copy_only=False)
+        g = pd.Series(d).value_counts()
+        return pd.DataFrame({"node": g.index.to_numpy(np.int64),
+                             "v": g.to_numpy(np.int64)})
+
+    ind = rel.groupby_aggregate(
+        edges.map_batches(indeg, batch_format="pyarrow",
+                          batch_size=65536),
+        ["node"], [("v", "v", "sum")])
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["v", "node"], ascending=[False, True],
+                             kind="stable").head(RBO_K)
+
+    ind_top = ind.map_batches(topk, batch_format="pandas",
+                              batch_size=65536).to_pandas()
+    ind_top = ind_top.sort_values(["v", "node"],
+                                  ascending=[False, True],
+                                  kind="stable").head(RBO_K)
+    A = ind_top["node"].to_numpy(np.int64)
+
+    pr = graph.pagerank_actors(edges, src="src_page", dst="dst_page",
+                               iters=5)
+    pr_top = pr.map_batches(
+        lambda b: pd.DataFrame({
+            "node": b["node"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "v": b["mass"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)}),
+        batch_format="pyarrow", batch_size=65536) \
+        .map_batches(topk, batch_format="pandas",
+                     batch_size=65536).to_pandas()
+    pr_top = pr_top.sort_values(["v", "node"], ascending=[False, True],
+                                kind="stable").head(RBO_K)
+    B = pr_top["node"].to_numpy(np.int64)
+
+    score = 0
+    ov_k = 0
+    for d, coef in _RBO_COEF:
+        ov = len(set(A[:d].tolist()) & set(B[:d].tolist()))
+        score += coef * ov
+        if d == RBO_K:
+            ov_k = ov
+    return pd.DataFrame({"score_num": [np.int64(score)],
+                         "overlap_at_k": [np.int64(ov_k)]})
+
+
+def SQL_RBO_RANKINGS():
+    coefs = ", ".join(f"({d}, {c})" for d, c in _RBO_COEF)
+    return f"""{_sql_pagerank_ctes(5)},
+rp AS (SELECT node, ROW_NUMBER() OVER (ORDER BY mass DESC, node) AS r
+       FROM m5),
+ind AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS v
+        FROM e GROUP BY dst),
+ri AS (SELECT node, ROW_NUMBER() OVER (ORDER BY v DESC, node) AS r
+       FROM ind),
+ov AS (SELECT dd.d, dd.c,
+              (SELECT COUNT(*) FROM rp a JOIN ri b ON b.node = a.node
+               WHERE a.r <= dd.d AND b.r <= dd.d) AS o
+       FROM (VALUES {coefs}) dd(d, c))
+SELECT CAST(SUM(c * o) AS BIGINT) AS score_num,
+       CAST(MAX(CASE WHEN d = {RBO_K} THEN o END) AS BIGINT)
+           AS overlap_at_k
+FROM ov
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -18895,6 +18986,7 @@ REGISTRY: dict[str, tuple] = {
     "triad_census": (q_triad_census, SQL_TRIAD_CENSUS),
     "burstiness": (q_burstiness, SQL_BURSTINESS),
     "simpson_diversity": (q_simpson_diversity, SQL_SIMPSON_DIVERSITY),
+    "rbo_rankings": (q_rbo_rankings, SQL_RBO_RANKINGS),
 }
 
 
