@@ -18656,6 +18656,160 @@ FROM ov
 """
 
 
+def q_kendall_tau(sf_dir: str):
+    """Kendall rank-correlation inputs between two per-source metrics
+    (doc count vs total chars) with everything integer: over all
+    source pairs, concordant − discordant (the τ numerator), plus tie
+    counts on each side — the exact (nc − nd, tx, ty, n) tuple that
+    determines τ-b. The per-source table is bounded (20 sources), so
+    the O(S²) pair fold runs in the single bounded combine (kmv-merge
+    contract)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "c": b["n_chars"].to_numpy(
+                               zero_copy_only=False)})
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("c", "size"), sum_chars=("c", "sum")).reset_index()
+        for c in ("n_docs", "sum_chars"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    per_src = rel.groupby_aggregate(parts, ["source"],
+                                    [("n_docs", "n_docs", "sum"),
+                                     ("sum_chars", "sum_chars", "sum")])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["n_docs"].to_numpy(np.int64)
+        y = g["sum_chars"].to_numpy(np.int64)
+        dx = np.sign(x[:, None] - x[None, :])
+        dy = np.sign(y[:, None] - y[None, :])
+        iu = np.triu_indices(len(g), 1)
+        s = dx[iu] * dy[iu]
+        return pd.DataFrame({
+            "n_sources": [np.int64(len(g))],
+            "nc_minus_nd": [np.int64(s.sum())],
+            "ties_x": [np.int64((dx[iu] == 0).sum())],
+            "ties_y": [np.int64((dy[iu] == 0).sum())]})
+
+    one = per_src.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                              batch_format="pandas")
+    return one.groupby("_one").map_groups(
+        lambda g: fold(g.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+SQL_KENDALL_TAU = """
+WITH m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS x,
+                  CAST(SUM(n_chars) AS BIGINT) AS y
+           FROM documents GROUP BY source),
+pr AS (SELECT sign(b.x - a.x) * sign(b.y - a.y) AS s,
+              CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+              CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+       FROM m a JOIN m b ON a.source < b.source)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_sources,
+       CAST(COALESCE(SUM(s), 0) AS BIGINT) AS nc_minus_nd,
+       CAST(COALESCE(SUM(tx), 0) AS BIGINT) AS ties_x,
+       CAST(COALESCE(SUM(ty), 0) AS BIGINT) AS ties_y
+FROM pr
+"""
+
+
+TS_SHIFT = 20
+
+
+def q_theilsen_daily(sf_dir: str):
+    """Theil-Sen robust trend estimator per event_type over the daily
+    count series: the MEDIAN of all pairwise slopes (Δcount/Δday),
+    selected EXACTLY — slopes order by the injective integer embedding
+    (Δy·2^{TS_SHIFT}) // Δx (distinct rationals with Δx ≤ days differ
+    by ≥ 1/days², far above the floor error), the median row picked
+    by ROW_NUMBER at ceil(n/2) under (key, dy, dx), and the winning
+    slope emitted as the gcd-reduced fraction. Day series are
+    cell-bounded; the pair fold is days² per type."""
+    from math import gcd
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def daily(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "day": us // 86_400_000_000})
+        g = (df.groupby(["event_type", "day"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(daily, batch_format="pyarrow",
+                           batch_size=65536)
+    counts = rel.groupby_aggregate(parts, ["event_type", "day"],
+                                   [("n", "n", "sum")])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gg in g.groupby("event_type", sort=False):
+            gg = gg.sort_values("day", kind="stable")
+            d = gg["day"].to_numpy(np.int64)
+            n = gg["n"].to_numpy(np.int64)
+            iu, ju = np.triu_indices(len(d), 1)
+            dx = d[ju] - d[iu]
+            dy = n[ju] - n[iu]
+            key = (dy << TS_SHIFT) // dx
+            order = np.lexsort((dx, dy, key))
+            m = len(key)
+            pick = order[(m + 1) // 2 - 1]     # ceil(m/2)-th
+            a, b_ = int(dy[pick]), int(dx[pick])
+            dgcd = gcd(abs(a), b_) or 1
+            rows.append({"event_type": et, "n_pairs": m,
+                         "slope_num": a // dgcd,
+                         "slope_den": b_ // dgcd})
+        cols = ("event_type", "n_pairs", "slope_num", "slope_den")
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype=object if c ==
+                                              "event_type" else np.int64)
+                                 for c in cols})
+        out = pd.DataFrame(rows, columns=list(cols))
+        for c in cols[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return rel.bucketed_group_apply(counts, ["event_type"], per_type)
+
+
+def SQL_THEILSEN_DAILY():
+    return f"""
+WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+pr AS (SELECT a.event_type,
+              b.n - a.n AS dy, b.day - a.day AS dx
+       FROM c a JOIN c b ON b.event_type = a.event_type
+                        AND b.day > a.day),
+k0 AS (SELECT event_type, dy, dx,
+             -- FLOOR division (DuckDB // truncates toward zero;
+             -- numpy floors) — emulate floor for negative dy
+             CASE WHEN dy >= 0 THEN (dy * {1 << TS_SHIFT}) // dx
+                  ELSE -(((-dy) * {1 << TS_SHIFT} + dx - 1) // dx)
+             END AS key
+      FROM pr),
+k AS (SELECT event_type, dy, dx, key,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY key, dy, dx) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM k0)
+SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+       CAST(dy // GREATEST(gcd(abs(dy), dx), 1) AS BIGINT) AS slope_num,
+       CAST(dx // GREATEST(gcd(abs(dy), dx), 1) AS BIGINT) AS slope_den
+FROM k WHERE rn = (m + 1) // 2
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -18987,6 +19141,8 @@ REGISTRY: dict[str, tuple] = {
     "burstiness": (q_burstiness, SQL_BURSTINESS),
     "simpson_diversity": (q_simpson_diversity, SQL_SIMPSON_DIVERSITY),
     "rbo_rankings": (q_rbo_rankings, SQL_RBO_RANKINGS),
+    "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
+    "theilsen_daily": (q_theilsen_daily, SQL_THEILSEN_DAILY),
 }
 
 
