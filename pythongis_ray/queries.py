@@ -18810,6 +18810,107 @@ FROM k WHERE rn = (m + 1) // 2
 """
 
 
+def q_stl_daily(sf_dir: str):
+    """Robust STL-lite decomposition of each event type's daily count
+    series, exact integers end to end: trend = centered 7-day MEDIAN
+    (odd window → the true middle), seasonal = per-weekday median of
+    the detrended values (engine-wide quantile_disc rule
+    sorted[ceil(n/2)−1]), residual = detrended − seasonal. The series
+    is zero-filled over the global day span (medians on the regular
+    grid); only days with a full trend window are emitted. Day counts
+    are cell-bounded, so the decomposition runs per type inside one
+    bucketed combine; SQL replays the trend window as a day±3
+    self-join + quantile_disc."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def daily(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "day": us // 86_400_000_000})
+        g = (df.groupby(["event_type", "day"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(daily, batch_format="pyarrow",
+                           batch_size=65536)
+    counts = rel.groupby_aggregate(parts, ["event_type", "day"],
+                                   [("n", "n", "sum")]).materialize()
+    span = counts.map_batches(
+        lambda b: pd.DataFrame({"lo": [np.int64(b["day"].min())],
+                                "hi": [np.int64(b["day"].max())]}),
+        batch_format="pandas", batch_size=65536).to_pandas()
+    lo, hi = np.int64(span["lo"].min()), np.int64(span["hi"].max())
+    T = int(hi - lo + 1)
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gg in g.groupby("event_type", sort=False):
+            v = np.zeros(T, np.int64)
+            v[gg["day"].to_numpy(np.int64) - lo] = \
+                gg["n"].to_numpy(np.int64)
+            if T < 7:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(v, 7)
+            trend = np.sort(win, axis=1)[:, 3]      # true 7-median
+            days = np.arange(lo + 3, hi - 2, dtype=np.int64)
+            detr = v[3:T - 3] - trend
+            wk = days % 7
+            seas = np.zeros(7, np.int64)
+            for w in range(7):
+                vals = np.sort(detr[wk == w])
+                if len(vals):
+                    seas[w] = vals[(len(vals) + 1) // 2 - 1]
+            s = seas[wk]
+            rows.append(pd.DataFrame({
+                "event_type": np.repeat(et, len(days)),
+                "day": days, "n": v[3:T - 3], "trend": trend,
+                "seasonal": s, "resid": detr - s}))
+        cols = {"event_type": pd.Series(dtype=object),
+                "day": pd.Series(dtype=np.int64),
+                "n": pd.Series(dtype=np.int64),
+                "trend": pd.Series(dtype=np.int64),
+                "seasonal": pd.Series(dtype=np.int64),
+                "resid": pd.Series(dtype=np.int64)}
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.concat(rows, ignore_index=True)
+
+    return rel.bucketed_group_apply(counts, ["event_type"], per_type)
+
+
+SQL_STL_DAILY = """
+WITH c0 AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c0),
+days AS (SELECT UNNEST(range((SELECT lo FROM span),
+                             (SELECT hi FROM span) + 1)) AS day),
+types AS (SELECT DISTINCT event_type FROM c0),
+c AS (SELECT t.event_type, d.day, COALESCE(c0.n, 0) AS n
+      FROM types t CROSS JOIN days d
+      LEFT JOIN c0 ON c0.event_type = t.event_type
+                  AND c0.day = d.day),
+tr AS (SELECT a.event_type, a.day, a.n,
+              CAST(quantile_disc(b.n, 0.5) AS BIGINT) AS trend
+       FROM c a JOIN c b
+         ON b.event_type = a.event_type
+        AND b.day BETWEEN a.day - 3 AND a.day + 3
+       WHERE a.day >= (SELECT lo FROM span) + 3
+         AND a.day <= (SELECT hi FROM span) - 3
+       GROUP BY a.event_type, a.day, a.n),
+se AS (SELECT event_type, day % 7 AS wk,
+              CAST(quantile_disc(n - trend, 0.5) AS BIGINT) AS seasonal
+       FROM tr GROUP BY event_type, day % 7)
+SELECT tr.event_type, tr.day, tr.n, tr.trend, se.seasonal,
+       CAST(tr.n - tr.trend - se.seasonal AS BIGINT) AS resid
+FROM tr JOIN se ON se.event_type = tr.event_type
+               AND se.wk = tr.day % 7
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -19143,6 +19244,7 @@ REGISTRY: dict[str, tuple] = {
     "rbo_rankings": (q_rbo_rankings, SQL_RBO_RANKINGS),
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
     "theilsen_daily": (q_theilsen_daily, SQL_THEILSEN_DAILY),
+    "stl_daily": (q_stl_daily, SQL_STL_DAILY),
 }
 
 
