@@ -18911,6 +18911,67 @@ FROM tr JOIN se ON se.event_type = tr.event_type
 """
 
 
+def q_clamped_balance(sf_dir: str):
+    """Zero-clamped running balance per user (the inventory/wallet
+    semantics naive window sums get wrong): credits = purchase cents,
+    debits = error cents, and the balance CLAMPS at zero — which IS
+    window-expressible via the prefix-minimum identity
+    B_t = S_t − min(0, min_{τ≤t} S_τ) for a one-sided clamp. Output
+    per user: raw final sum, clamped final balance, and the deepest
+    raw drawdown below zero. One user-bucketed cumsum/cummin; SQL
+    replays with SUM/MIN OVER prefix windows."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type",
+                                     "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        c = np.rint(g["value"].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        et = g["event_type"].to_numpy()
+        sign = np.where(et == "purchase", 1,
+                        np.where(et == "error", -1, 0))
+        amt = c * sign
+        df = pd.DataFrame({"u": u, "a": amt})
+        s = df.groupby("u", sort=False)["a"].cumsum().to_numpy(np.int64)
+        smin = pd.Series(s).groupby(u, sort=False).cummin() \
+            .to_numpy(np.int64)
+        last = np.concatenate((u[1:] != u[:-1], [True]))
+        fin = s[last]
+        fmin = np.minimum(smin[last], 0)
+        return pd.DataFrame({
+            "user_id": u[last],
+            "final_raw": fin,
+            "final_clamped": fin - fmin,
+            "min_prefix": fmin})
+
+    return rel.bucketed_group_apply(ds, ["user_id"], per_user)
+
+
+SQL_CLAMPED_BALANCE = """
+WITH x AS (SELECT user_id, ts,
+                  CAST(round(value * 100) AS BIGINT)
+                  * CASE event_type WHEN 'purchase' THEN 1
+                                    WHEN 'error' THEN -1 ELSE 0 END
+                      AS a
+           FROM events),
+w AS (SELECT user_id,
+             SUM(a) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS s,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC) AS rn
+      FROM x),
+m AS (SELECT user_id, MIN(LEAST(s, 0)) AS fmin, CAST(COUNT(*) AS BIGINT) AS _n
+      FROM w GROUP BY user_id)
+SELECT w.user_id, CAST(w.s AS BIGINT) AS final_raw,
+       CAST(w.s - m.fmin AS BIGINT) AS final_clamped,
+       CAST(m.fmin AS BIGINT) AS min_prefix
+FROM w JOIN m ON m.user_id = w.user_id
+WHERE w.rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -19245,6 +19306,7 @@ REGISTRY: dict[str, tuple] = {
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
     "theilsen_daily": (q_theilsen_daily, SQL_THEILSEN_DAILY),
     "stl_daily": (q_stl_daily, SQL_STL_DAILY),
+    "clamped_balance": (q_clamped_balance, SQL_CLAMPED_BALANCE),
 }
 
 
