@@ -18972,6 +18972,95 @@ WHERE w.rn = 1
 """
 
 
+BOOT_B = 64
+BOOT_C = 1 << 20
+_BOOT_M = 2862933555777941757
+_BOOT_A = 3037000493
+
+
+def q_bootstrap_means(sf_dir: str):
+    """Deterministic bootstrap of the per-type value sum: {BOOT_B}
+    resamples of size n drawn WITH replacement by the replayable
+    64-bit LCG index h(k) = (k·{_BOOT_M} + {_BOOT_A}) mod 2^64 mod n
+    over the (ts, event_id)-ordered value array (k = b·2^20 + i) —
+    the resampling-inference classic with a bit-exact oracle (the
+    pseudonymize/simhash HUGEINT-replay discipline; numpy uint64
+    wraparound IS mod 2^64). Output per type: n, observed cent sum,
+    resamples strictly above it, and the min/max resample sums."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "event_id",
+                                     "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gg in g.groupby("event_type", sort=False):
+            gg = gg.sort_values(["ts", "event_id"], kind="stable")
+            x = np.rint(gg["value"].to_numpy(np.float64) * 100.0) \
+                .astype(np.int64)
+            n = len(x)
+            if n == 0:
+                continue
+            i = np.arange(n, dtype=np.uint64)
+            b = np.arange(BOOT_B, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                k = b[:, None] * np.uint64(BOOT_C) + i[None, :]
+                h = k * np.uint64(_BOOT_M) + np.uint64(_BOOT_A)
+            idx = (h % np.uint64(n)).astype(np.int64)
+            sums = x[idx].sum(axis=1)
+            obs = np.int64(x.sum())
+            rows.append({"event_type": et, "n": n,
+                         "observed_sum": obs,
+                         "n_above": np.int64((sums > obs).sum()),
+                         "min_resample": np.int64(sums.min()),
+                         "max_resample": np.int64(sums.max())})
+        cols = ("event_type", "n", "observed_sum", "n_above",
+                "min_resample", "max_resample")
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype=object if c ==
+                                              "event_type" else np.int64)
+                                 for c in cols})
+        out = pd.DataFrame(rows, columns=list(cols))
+        for c in cols[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return rel.bucketed_group_apply(ds, ["event_type"], per_type)
+
+
+SQL_BOOTSTRAP_MEANS = f"""
+WITH x AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) - 1 AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+bb AS (SELECT UNNEST(range(0, {BOOT_B})) AS b),
+ii AS (SELECT UNNEST(range(0, (SELECT MAX(n) FROM x))) AS i),
+draws AS (SELECT t.event_type, t.n, bb.b, ii.i,
+                 CAST((CAST(bb.b * {BOOT_C} + ii.i AS HUGEINT)
+                       * {_BOOT_M} + {_BOOT_A})
+                      % CAST('18446744073709551616' AS HUGEINT)
+                      % t.n AS BIGINT) AS idx
+          FROM (SELECT DISTINCT event_type, n FROM x) t
+          CROSS JOIN bb CROSS JOIN ii
+          WHERE ii.i < t.n),
+sums AS (SELECT d.event_type, d.b, CAST(SUM(x.c) AS BIGINT) AS s
+         FROM draws d JOIN x ON x.event_type = d.event_type
+                             AND x.rn = d.idx
+         GROUP BY d.event_type, d.b),
+obs AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS observed_sum
+        FROM x GROUP BY event_type)
+SELECT o.event_type, o.n, o.observed_sum,
+       CAST(SUM(CASE WHEN s.s > o.observed_sum THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above,
+       CAST(MIN(s.s) AS BIGINT) AS min_resample,
+       CAST(MAX(s.s) AS BIGINT) AS max_resample
+FROM obs o JOIN sums s ON s.event_type = o.event_type
+GROUP BY o.event_type, o.n, o.observed_sum
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -19307,6 +19396,7 @@ REGISTRY: dict[str, tuple] = {
     "theilsen_daily": (q_theilsen_daily, SQL_THEILSEN_DAILY),
     "stl_daily": (q_stl_daily, SQL_STL_DAILY),
     "clamped_balance": (q_clamped_balance, SQL_CLAMPED_BALANCE),
+    "bootstrap_means": (q_bootstrap_means, SQL_BOOTSTRAP_MEANS),
 }
 
 
