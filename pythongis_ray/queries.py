@@ -19061,6 +19061,132 @@ GROUP BY o.event_type, o.n, o.observed_sum
 """
 
 
+def q_rle_sessions(sf_dir: str):
+    """Run-length structure of each user's event-type stream (the
+    behavioral-stereotypy measure: many short runs = erratic, few
+    long runs = repetitive): per user, total events, number of runs,
+    and the longest run, all exact over the (user, ts) order. One
+    user-bucketed shuffle; runs fall out of one vectorized
+    change-flag cumsum. SQL replays with LAG + a prefix-sum run id."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        new = np.concatenate(([True],
+                              (u[1:] != u[:-1]) | (et[1:] != et[:-1])))
+        rid = np.cumsum(new) - 1
+        run_len = np.bincount(rid)
+        run_user = u[new]
+        df = pd.DataFrame({"user_id": run_user, "rl": run_len})
+        out = df.groupby("user_id", sort=False).agg(
+            n_events=("rl", "sum"), n_runs=("rl", "size"),
+            longest_run=("rl", "max")).reset_index()
+        for c in ("n_events", "n_runs", "longest_run"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return rel.bucketed_group_apply(ds, ["user_id"], per_user)
+
+
+SQL_RLE_SESSIONS = """
+WITH runs AS (SELECT user_id,
+                SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS rid
+         FROM (SELECT user_id, ts,
+                      CASE WHEN LAG(event_type) OVER
+                               (PARTITION BY user_id ORDER BY ts)
+                               IS DISTINCT FROM event_type
+                           THEN 1 ELSE 0 END AS chg
+               FROM events) _c),
+rl AS (SELECT user_id, rid, CAST(COUNT(*) AS BIGINT) AS len
+       FROM runs GROUP BY user_id, rid)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(len) AS BIGINT) AS longest_run
+FROM rl GROUP BY user_id
+"""
+
+
+PG_CELL = 4096
+PG_MIN_USERS = 2
+
+
+def q_place_graph(sf_dir: str):
+    """Place co-visitation graph (the location-graph product every
+    mobility platform builds): edges between {PG_CELL}-unit cells
+    weighted by DISTINCT common visitors, kept at weight ≥
+    {PG_MIN_USERS}. Per-user distinct cells fold map-side; the pair
+    explosion runs per user inside one user-bucketed combine (cells
+    per user is bounded by their trajectory, the documented blocking
+    assumption) and ONE (cell, cell) count shuffles."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "cell": (np.asarray(ix) // PG_CELL) * 1_000_000
+            + np.asarray(iy) // PG_CELL})
+        return df.drop_duplicates(ignore_index=True)
+
+    cells = rel.dedup(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        ["user_id", "cell"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, gg in g.groupby("user_id", sort=False):
+            c = np.sort(gg["cell"].to_numpy(np.int64))
+            if len(c) < 2:
+                continue
+            iu, ju = np.triu_indices(len(c), 1)
+            outs.append(pd.DataFrame({"cell_a": c[iu],
+                                      "cell_b": c[ju]}))
+        if not outs:
+            return pd.DataFrame({"cell_a": pd.Series(dtype=np.int64),
+                                 "cell_b": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    pr = rel.bucketed_group_apply(cells, ["user_id"], pairs)
+    counts = rel.groupby_aggregate(pr, ["cell_a", "cell_b"],
+                                   [("n_users", "cell_a", "count")])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_users"] >= PG_MIN_USERS].copy()
+        b["n_users"] = b["n_users"].astype(np.int64)
+        return b
+
+    out = counts.map_batches(keep, batch_format="pandas",
+                             batch_size=65536).materialize()
+    if out.count() == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("cell_a", "cell_b", "n_users")})
+    return out
+
+
+def SQL_PLACE_GRAPH():
+    src = "(SELECT event_id, user_id, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+uc AS (SELECT DISTINCT user_id,
+              (ix // {PG_CELL}) * 1000000 + iy // {PG_CELL} AS cell
+       FROM ge),
+pr AS (SELECT a.cell AS cell_a, b.cell AS cell_b
+       FROM uc a JOIN uc b
+         ON a.user_id = b.user_id AND a.cell < b.cell)
+SELECT cell_a, cell_b, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM pr GROUP BY cell_a, cell_b
+HAVING COUNT(*) >= {PG_MIN_USERS}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -19397,6 +19523,8 @@ REGISTRY: dict[str, tuple] = {
     "stl_daily": (q_stl_daily, SQL_STL_DAILY),
     "clamped_balance": (q_clamped_balance, SQL_CLAMPED_BALANCE),
     "bootstrap_means": (q_bootstrap_means, SQL_BOOTSTRAP_MEANS),
+    "rle_sessions": (q_rle_sessions, SQL_RLE_SESSIONS),
+    "place_graph": (q_place_graph, SQL_PLACE_GRAPH),
 }
 
 
