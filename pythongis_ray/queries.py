@@ -19187,6 +19187,78 @@ HAVING COUNT(*) >= {PG_MIN_USERS}
 """
 
 
+NMS_EPS = 128
+
+
+def q_label_nms(sf_dir: str):
+    """Non-maximum suppression over customer points (the cartographic
+    label-decluttering / detection-dedup primitive): keep a point iff
+    it is the strict maximum of (priority, id) within {NMS_EPS} units
+    — priority = ck%97, the total order making NMS parallel and
+    deterministic (unlike sequential greedy placement). Pairs from
+    the exactly-once tile kernel with priority carried; each pair
+    emits its LOSER, one bucketed distinct, and survivors = points
+    minus losers via a broadcast suppressed-id filter (losers are
+    output-bounded). Output: kept (ck, prio) rows."""
+    import ray as _ray
+
+    from pythongis_ray import state
+
+    pts_u = _keyed_units(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+
+    def addp(b: pa.Table) -> pa.Table:
+        ck = b["ck"].to_numpy(zero_copy_only=False)
+        return pa.table({"ck": b["ck"], "ix": b["ix"], "iy": b["iy"],
+                         "prio": pa.array(ck % 97)})
+
+    pts = pts_u.map_batches(addp, batch_format="pyarrow",
+                            batch_size=65536).materialize()
+    pairs = spatial.dwithin_self_pairs(pts, "ck", "ix", "iy",
+                                       eps=NMS_EPS, carry=("prio",))
+
+    def losers(b: pa.Table) -> pd.DataFrame:
+        ia = b["id_a"].to_numpy(zero_copy_only=False)
+        ib = b["id_b"].to_numpy(zero_copy_only=False)
+        pa_ = b["prio_a"].to_numpy(zero_copy_only=False)
+        pb = b["prio_b"].to_numpy(zero_copy_only=False)
+        # total order (prio, id): ids are unique so no true ties
+        a_wins = (pa_ > pb) | ((pa_ == pb) & (ia > ib))
+        lose = np.where(a_wins, ib, ia)
+        return pd.DataFrame({"ck": np.unique(lose)})
+
+    sup = rel.dedup(pairs.map_batches(losers, batch_format="pyarrow",
+                                      batch_size=None), ["ck"])
+    sup_ids = sup.to_pandas()["ck"].to_numpy(np.int64)
+    sref = _ray.put(np.sort(sup_ids))
+
+    def keep(b: pa.Table) -> pd.DataFrame:
+        s = state.get_broadcast(sref, key_extra=("nms", NMS_EPS))
+        ck = b["ck"].to_numpy(zero_copy_only=False)
+        k = ~np.isin(ck, s)
+        return pd.DataFrame({"ck": ck[k],
+                             "prio": b["prio"].to_numpy(
+                                 zero_copy_only=False)[k]})
+
+    return pts.map_batches(keep, batch_format="pyarrow",
+                           batch_size=65536)
+
+
+def SQL_LABEL_NMS():
+    src = "(SELECT c_custkey*4+1 AS ck FROM customer)"
+    g = fixtures.sql_geocode("ck").replace("__SRC__", src)
+    return f"""
+WITH pts AS (SELECT ck, ck % 97 AS prio, ix, iy FROM ({g}) _g)
+SELECT p.ck, CAST(p.prio AS BIGINT) AS prio
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.ck <> p.ck
+    AND (q.ix-p.ix)*(q.ix-p.ix) + (q.iy-p.iy)*(q.iy-p.iy)
+        <= {NMS_EPS * NMS_EPS}
+    AND (q.prio > p.prio OR (q.prio = p.prio AND q.ck > p.ck)))
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -19525,6 +19597,7 @@ REGISTRY: dict[str, tuple] = {
     "bootstrap_means": (q_bootstrap_means, SQL_BOOTSTRAP_MEANS),
     "rle_sessions": (q_rle_sessions, SQL_RLE_SESSIONS),
     "place_graph": (q_place_graph, SQL_PLACE_GRAPH),
+    "label_nms": (q_label_nms, SQL_LABEL_NMS),
 }
 
 
