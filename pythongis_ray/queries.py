@@ -19259,6 +19259,79 @@ WHERE NOT EXISTS (
 """
 
 
+KDE_STEP = 4096
+KDE_R = 8192
+
+
+def q_kde_epanechnikov(sf_dir: str):
+    """Kernel density surface with the Epanechnikov kernel made EXACT
+    on the lattice: density(cell) = Σ over points within R={KDE_R} of
+    (R² − d²) where d is the distance to the cell CENTER on the
+    {KDE_STEP}-unit grid — integer weights, no floats (the named-
+    kernel upgrade over box-count density/smooth). Each point
+    scatters to its fixed 5×5 cell neighborhood map-side (25
+    offsets, vectorized), ONE (cell) count shuffle; SQL explodes the
+    same 25 offsets via VALUES. Zero-weight contributions drop on
+    both sides."""
+    pts = points_lineitem(sf_dir)
+    half = KDE_STEP // 2
+    offs = [(dx, dy) for dx in range(-2, 3) for dy in range(-2, 3)]
+
+    def scatter(batch: pa.Table) -> pd.DataFrame:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        cx0 = ix // KDE_STEP
+        cy0 = iy // KDE_STEP
+        outs = []
+        for dx, dy in offs:
+            cx = cx0 + dx
+            cy = cy0 + dy
+            mx = cx * KDE_STEP + half
+            my = cy * KDE_STEP + half
+            d2 = (ix - mx) ** 2 + (iy - my) ** 2
+            w = KDE_R * KDE_R - d2
+            k = w > 0
+            if k.any():
+                outs.append(pd.DataFrame({"cx": cx[k], "cy": cy[k],
+                                          "w": w[k]}))
+        if not outs:
+            return pd.DataFrame({"cx": pd.Series(dtype=np.int64),
+                                 "cy": pd.Series(dtype=np.int64),
+                                 "w": pd.Series(dtype=np.int64)})
+        df = pd.concat(outs, ignore_index=True)
+        g = df.groupby(["cx", "cy"], sort=False)["w"].sum().reset_index()
+        g["w"] = g["w"].astype(np.int64)
+        return g
+
+    parts = pts.map_batches(scatter, batch_format="pyarrow",
+                            batch_size=65536)
+    return rel.groupby_aggregate(parts, ["cx", "cy"],
+                                 [("density", "w", "sum")])
+
+
+def SQL_KDE_EPANECHNIKOV():
+    offs = ", ".join(f"({dx}, {dy})" for dx in range(-2, 3)
+                     for dy in range(-2, 3))
+    half = KDE_STEP // 2
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+sc AS (SELECT (p.ix // {KDE_STEP} + o.dx) AS cx,
+              (p.iy // {KDE_STEP} + o.dy) AS cy,
+              {KDE_R * KDE_R}
+              - (p.ix - ((p.ix // {KDE_STEP} + o.dx) * {KDE_STEP}
+                         + {half}))
+                * (p.ix - ((p.ix // {KDE_STEP} + o.dx) * {KDE_STEP}
+                           + {half}))
+              - (p.iy - ((p.iy // {KDE_STEP} + o.dy) * {KDE_STEP}
+                         + {half}))
+                * (p.iy - ((p.iy // {KDE_STEP} + o.dy) * {KDE_STEP}
+                           + {half})) AS w
+       FROM pts p CROSS JOIN (VALUES {offs}) o(dx, dy))
+SELECT cx, cy, CAST(SUM(w) AS BIGINT) AS density
+FROM sc WHERE w > 0 GROUP BY cx, cy
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -19598,6 +19671,7 @@ REGISTRY: dict[str, tuple] = {
     "rle_sessions": (q_rle_sessions, SQL_RLE_SESSIONS),
     "place_graph": (q_place_graph, SQL_PLACE_GRAPH),
     "label_nms": (q_label_nms, SQL_LABEL_NMS),
+    "kde_epanechnikov": (q_kde_epanechnikov, SQL_KDE_EPANECHNIKOV),
 }
 
 
