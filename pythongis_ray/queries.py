@@ -19332,6 +19332,74 @@ FROM sc WHERE w > 0 GROUP BY cx, cy
 """
 
 
+PH_THRESH = 3
+PH_MIN_DAYS = 10
+
+
+def q_persistent_hotspots(sf_dir: str):
+    """Persistent hotspots (the stability filter over daily hot-spot
+    maps — transient spikes vs durable centers): 8°-cells whose daily
+    event count reaches ≥{PH_THRESH} on at least {PH_MIN_DAYS} days,
+    with the hot-day count and the total events on hot days. One
+    (cell, day) aggregate; the persistence fold is a bounded per-cell
+    count."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        df = pd.DataFrame({"cx": np.asarray(ix) // 8192,
+                           "cy": np.asarray(iy) // 8192,
+                           "day": us // 86_400_000_000})
+        g = (df.groupby(["cx", "cy", "day"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ev.map_batches(prep, batch_format="pyarrow",
+                           batch_size=65536)
+    counts = rel.groupby_aggregate(parts, ["cx", "cy", "day"],
+                                   [("n", "n", "sum")])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["n"] >= PH_THRESH]
+        out = g.groupby(["cx", "cy"], sort=False).agg(
+            hot_days=("n", "size"),
+            hot_events=("n", "sum")).reset_index()
+        out = out[out["hot_days"] >= PH_MIN_DAYS]
+        for c in ("hot_days", "hot_events"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    out = rel.bucketed_group_apply(counts, ["cx", "cy"],
+                                   fold).materialize()
+    if out.count() == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("cx", "cy", "hot_days",
+                                       "hot_events")})
+    return out
+
+
+def SQL_PERSISTENT_HOTSPOTS():
+    src = "(SELECT event_id, ts, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+c AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ge GROUP BY 1, 2, 3)
+SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS hot_days,
+       CAST(SUM(n) AS BIGINT) AS hot_events
+FROM c WHERE n >= {PH_THRESH}
+GROUP BY cx, cy HAVING COUNT(*) >= {PH_MIN_DAYS}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -19672,6 +19740,8 @@ REGISTRY: dict[str, tuple] = {
     "place_graph": (q_place_graph, SQL_PLACE_GRAPH),
     "label_nms": (q_label_nms, SQL_LABEL_NMS),
     "kde_epanechnikov": (q_kde_epanechnikov, SQL_KDE_EPANECHNIKOV),
+    "persistent_hotspots": (q_persistent_hotspots,
+                            SQL_PERSISTENT_HOTSPOTS),
 }
 
 
