@@ -19400,6 +19400,87 @@ GROUP BY cx, cy HAVING COUNT(*) >= {PH_MIN_DAYS}
 """
 
 
+MG_K = 32
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters through a Misra-Gries candidate pass (the
+    deterministic streaming-sketch companion to cms_topk): per batch,
+    an MG({MG_K}) summary keeps every token exceeding 1/({MG_K}+1) of
+    the batch — by pigeonhole any token above T/{MG_K} GLOBALLY must
+    exceed that in some batch, so the candidate union is a guaranteed
+    superset; one exact filtered count then yields the TRUE heavy
+    hitters (count > total/{MG_K}) with no false positives. Candidate
+    volume is ≤ {MG_K}·nbatches — the sketch bounds the shuffle, the
+    verify restores exactness (the engine's sketch-then-verify
+    discipline). Output: (word, n, total)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def mg(b: pa.Table) -> pd.DataFrame:
+        col = b["text"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        toks = pc.split_pattern(arr, " ").flatten() \
+            .to_numpy(zero_copy_only=False)
+        vc = pd.Series(toks).value_counts()
+        n = int(vc.sum())
+        # exact per-batch counts make the MG guarantee trivial: keep
+        # tokens with count > n/(K+1) (what MG's counters retain)
+        keep = vc[vc.to_numpy() * (MG_K + 1) > n]
+        return pd.DataFrame({"word": keep.index.to_numpy(object),
+                             "bn": keep.to_numpy(np.int64),
+                             "total": np.int64(n)})
+
+    cand_df = ds.map_batches(mg, batch_format="pyarrow",
+                             batch_size=4096).to_pandas()
+    empty = pd.DataFrame({"word": pd.Series([], dtype=object),
+                          "n": pd.Series([], dtype=np.int64),
+                          "total": pd.Series([], dtype=np.int64)})
+    if len(cand_df) == 0:
+        # no batch-level heavy hitter ⟹ (pigeonhole) no global one
+        return empty
+    words = sorted(set(cand_df["word"]))
+
+    def count_all(b: pa.Table) -> pd.DataFrame:
+        col = b["text"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        toks = pc.split_pattern(arr, " ").flatten() \
+            .to_numpy(zero_copy_only=False)
+        vc = pd.Series(toks).value_counts()
+        out = vc[vc.index.isin(words)]
+        return pd.DataFrame({"word": out.index.to_numpy(object),
+                             "n": out.to_numpy(np.int64)})
+
+    parts = ds.map_batches(count_all, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
+    g = parts.groupby("word", sort=False)["n"].sum()
+    # true token total: one dedicated bounded pass (one row per batch)
+    tot_parts = ds.map_batches(
+        lambda b: pd.DataFrame({"t": [np.int64(len(
+            (b["text"].combine_chunks() if isinstance(
+                b["text"], pa.ChunkedArray) else b["text"])
+            .to_pandas().str.split(" ").explode()))]}),
+        batch_format="pyarrow", batch_size=4096).to_pandas()
+    T = np.int64(tot_parts["t"].sum())
+    hh = g[g.to_numpy() * MG_K > T].sort_index()
+    return pd.DataFrame({"word": hh.index.to_numpy(object),
+                         "n": hh.to_numpy(np.int64),
+                         "total": np.full(len(hh), T, np.int64)})
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word
+           FROM documents),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM w),
+c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word)
+SELECT c.word, c.n, t.total
+FROM c CROSS JOIN t
+WHERE c.n * {MG_K} > t.total
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -19742,6 +19823,7 @@ REGISTRY: dict[str, tuple] = {
     "kde_epanechnikov": (q_kde_epanechnikov, SQL_KDE_EPANECHNIKOV),
     "persistent_hotspots": (q_persistent_hotspots,
                             SQL_PERSISTENT_HOTSPOTS),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
 }
 
 
