@@ -19481,6 +19481,95 @@ WHERE c.n * {MG_K} > t.total
 """
 
 
+def q_wasserstein_1d(sf_dir: str):
+    """Exact 1-D Wasserstein (earth-mover) distance between each
+    source's doc-length distribution (bins = n_chars//100) and the
+    corpus-wide one, denominators CLEARED: with T_s/T_g the totals
+    and cum_s/cum_g the bin-cumulative counts, EMD = num/den where
+    num = Σ_i |T_g·cum_s(b_i) − T_s·cum_g(b_i)|·(b_{i+1}−b_i) over
+    the sorted distinct bins and den = T_s·T_g — all int64 at every
+    checked scale. The (source, bin) table is bounded; the cumulative
+    fold runs in the single bounded combine. The drift metric every
+    mixture-rebalancing pipeline wants, exactly."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "bin": b["n_chars"].to_numpy(
+                               zero_copy_only=False) // 100})
+        g = (df.groupby(["source", "bin"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    counts = rel.groupby_aggregate(parts, ["source", "bin"],
+                                   [("n", "n", "sum")])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        bins = np.sort(g["bin"].unique().astype(np.int64))
+        gap = np.diff(bins)
+        glob = g.groupby("bin")["n"].sum().reindex(bins, fill_value=0) \
+            .to_numpy(np.int64)
+        cg = np.cumsum(glob)
+        Tg = np.int64(cg[-1])
+        rows = []
+        for src, gg in g.groupby("source", sort=False):
+            cs = gg.set_index("bin")["n"].reindex(bins, fill_value=0) \
+                .to_numpy(np.int64).cumsum()
+            Ts = np.int64(cs[-1])
+            num = np.abs(Tg * cs[:-1] - Ts * cg[:-1]) @ gap
+            rows.append({"source": src, "emd_num": np.int64(num),
+                         "emd_den": Ts * Tg})
+        out = pd.DataFrame(rows,
+                           columns=["source", "emd_num", "emd_den"])
+        out["emd_num"] = out["emd_num"].astype(np.int64)
+        out["emd_den"] = out["emd_den"].astype(np.int64)
+        return out
+
+    one = counts.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                             batch_format="pandas")
+    return one.groupby("_one").map_groups(
+        lambda g: fold(g.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+SQL_WASSERSTEIN_1D = """
+WITH c AS (SELECT source, n_chars // 100 AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+bins AS (SELECT DISTINCT bin FROM c),
+nxt AS (SELECT bin, LEAD(bin) OVER (ORDER BY bin) AS nb FROM bins),
+srcs AS (SELECT DISTINCT source FROM c),
+grid AS (SELECT s.source, b.bin, COALESCE(c.n, 0) AS n
+         FROM srcs s CROSS JOIN bins b
+         LEFT JOIN c ON c.source = s.source AND c.bin = b.bin),
+cs AS (SELECT source, bin,
+              SUM(n) OVER (PARTITION BY source ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS cs
+       FROM grid),
+gg AS (SELECT bin, SUM(n) AS n FROM grid GROUP BY bin),
+cgt AS (SELECT bin, SUM(n) OVER (ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING) AS cg
+        FROM gg),
+cum AS (SELECT cs.source, cs.bin, cs.cs, cgt.cg
+        FROM cs JOIN cgt ON cgt.bin = cs.bin),
+tot AS (SELECT source, MAX(cs) AS ts FROM cum GROUP BY source),
+tg AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents)
+SELECT cum.source,
+       CAST(SUM(ABS(tg.t * cum.cs - tot.ts * cum.cg)
+                * (nxt.nb - cum.bin)) AS BIGINT) AS emd_num,
+       CAST(MAX(tot.ts * tg.t) AS BIGINT) AS emd_den
+FROM cum
+JOIN nxt ON nxt.bin = cum.bin AND nxt.nb IS NOT NULL
+JOIN tot ON tot.source = cum.source
+CROSS JOIN tg
+GROUP BY cum.source
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -19824,6 +19913,7 @@ REGISTRY: dict[str, tuple] = {
     "persistent_hotspots": (q_persistent_hotspots,
                             SQL_PERSISTENT_HOTSPOTS),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "wasserstein_1d": (q_wasserstein_1d, SQL_WASSERSTEIN_1D),
 }
 
 
