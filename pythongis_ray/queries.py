@@ -19570,6 +19570,67 @@ GROUP BY cum.source
 """
 
 
+def q_discrete_1mean(sf_dir: str):
+    """Discrete 1-mean facility location: the customer point
+    minimizing total SQUARED distance to all customers, exact and
+    join-free — expand Σ_q d²(p,q) = n·|p|² − 2·p·S + Q with the
+    three global moments (n, S=Σq, Q=Σ|q|²), so one bounded moment
+    fold plus one streamed argmin scores every candidate in O(1)
+    (the classic sum-of-squares expansion that turns an all-pairs
+    objective into two scans). Ties → smallest key. Output one row
+    (ck, cost)."""
+    pts = _keyed_units(sf_dir, "customer", "c_custkey", 4, 1, "ck") \
+        .materialize()
+
+    mom = pts.map_batches(
+        lambda b: pd.DataFrame({
+            "n": [np.int64(b.num_rows)],
+            "sx": [np.int64(b["ix"].to_numpy(zero_copy_only=False)
+                            .sum())],
+            "sy": [np.int64(b["iy"].to_numpy(zero_copy_only=False)
+                            .sum())],
+            "q": [np.int64((b["ix"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64) ** 2
+                            + b["iy"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64) ** 2).sum())]}),
+        batch_format="pyarrow", batch_size=65536).to_pandas()
+    n = np.int64(mom["n"].sum())
+    sx = np.int64(mom["sx"].sum())
+    sy = np.int64(mom["sy"].sum())
+    Q = np.int64(mom["q"].sum())
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        ck = b["ck"].to_numpy(zero_copy_only=False)
+        x = b["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cost = n * (x * x + y * y) - 2 * (x * sx + y * sy) + Q
+        df = pd.DataFrame({"ck": ck, "cost": cost})
+        return df.sort_values(["cost", "ck"], kind="stable").head(1)
+
+    best = pts.map_batches(score, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    best = best.sort_values(["cost", "ck"], kind="stable").head(1)
+    return best.reset_index(drop=True).astype(np.int64)
+
+
+def SQL_DISCRETE_1MEAN():
+    src = "(SELECT c_custkey*4+1 AS ck FROM customer)"
+    g = fixtures.sql_geocode("ck").replace("__SRC__", src)
+    return f"""
+WITH pts AS (SELECT ck, ix, iy FROM ({g}) _g),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ix) AS BIGINT) AS sx,
+             CAST(SUM(iy) AS BIGINT) AS sy,
+             CAST(SUM(ix*ix + iy*iy) AS BIGINT) AS q FROM pts),
+sc AS (SELECT p.ck,
+              m.n * (p.ix*p.ix + p.iy*p.iy)
+              - 2 * (p.ix*m.sx + p.iy*m.sy) + m.q AS cost
+       FROM pts p CROSS JOIN m)
+SELECT ck, CAST(cost AS BIGINT) AS cost
+FROM sc ORDER BY cost, ck LIMIT 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -19914,6 +19975,7 @@ REGISTRY: dict[str, tuple] = {
                             SQL_PERSISTENT_HOTSPOTS),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "wasserstein_1d": (q_wasserstein_1d, SQL_WASSERSTEIN_1D),
+    "discrete_1mean": (q_discrete_1mean, SQL_DISCRETE_1MEAN),
 }
 
 
