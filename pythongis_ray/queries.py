@@ -19631,6 +19631,88 @@ FROM sc ORDER BY cost, ck LIMIT 1
 """
 
 
+KC_ROUNDS = 4
+
+
+def q_kcenter_greedy(sf_dir: str):
+    """Gonzalez greedy k-center seeding over customer points (the
+    2-approximation every coreset / kmeans++ pipeline starts from),
+    fully deterministic: c₁ = smallest key; each round adds the point
+    FARTHEST (exact integer d² to the current center set, ties →
+    smallest key). {KC_ROUNDS} rounds of one streamed argmax each —
+    the per-round state is just the center list (broadcast scalars).
+    Output: (round, ck, d2_to_set) — d2 0 for the seed."""
+    pts = _keyed_units(sf_dir, "customer", "c_custkey", 4, 1, "ck") \
+        .materialize()
+
+    seed = pts.map_batches(
+        lambda b: pd.DataFrame({
+            "ck": [np.int64(b["ck"].to_numpy(
+                zero_copy_only=False).min())]}),
+        batch_format="pyarrow", batch_size=65536).to_pandas()
+    c0 = np.int64(seed["ck"].min())
+    cx, cy = fixtures.geocode_units(np.array([c0]))
+    centers = [(c0, int(np.asarray(cx)[0]), int(np.asarray(cy)[0]))]
+    out = [{"round": np.int64(1), "ck": c0, "d2_to_set": np.int64(0)}]
+
+    for r in range(2, KC_ROUNDS + 1):
+        carr = np.array([(x, y) for _, x, y in centers], np.int64)
+
+        def far(b: pa.Table, _c=carr) -> pd.DataFrame:
+            ck = b["ck"].to_numpy(zero_copy_only=False)
+            x = b["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = b["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d2 = ((x[:, None] - _c[None, :, 0]) ** 2
+                  + (y[:, None] - _c[None, :, 1]) ** 2).min(axis=1)
+            df = pd.DataFrame({"ck": ck, "d2": d2})
+            return df.sort_values(["d2", "ck"],
+                                  ascending=[False, True],
+                                  kind="stable").head(1)
+
+        cand = pts.map_batches(far, batch_format="pyarrow",
+                               batch_size=65536).to_pandas()
+        cand = cand.sort_values(["d2", "ck"], ascending=[False, True],
+                                kind="stable").head(1)
+        nk = np.int64(cand["ck"].iloc[0])
+        nx, ny = fixtures.geocode_units(np.array([nk]))
+        centers.append((nk, int(np.asarray(nx)[0]),
+                        int(np.asarray(ny)[0])))
+        out.append({"round": np.int64(r), "ck": nk,
+                    "d2_to_set": np.int64(cand["d2"].iloc[0])})
+
+    df = pd.DataFrame(out, columns=["round", "ck", "d2_to_set"])
+    return df.astype(np.int64)
+
+
+def SQL_KCENTER_GREEDY():
+    src = "(SELECT c_custkey*4+1 AS ck FROM customer)"
+    g = fixtures.sql_geocode("ck").replace("__SRC__", src)
+    steps = ["c1 AS MATERIALIZED (SELECT ck, ix, iy FROM pts "
+             "WHERE ck = (SELECT MIN(ck) FROM pts))"]
+    prev_centers = "SELECT * FROM c1"
+    sel = ["SELECT 1 AS round, ck, CAST(0 AS BIGINT) AS d2_to_set "
+           "FROM c1"]
+    for r in range(2, KC_ROUNDS + 1):
+        steps.append(f"""
+d{r} AS MATERIALIZED (
+  SELECT p.ck, p.ix, p.iy,
+         MIN((p.ix-c.ix)*(p.ix-c.ix) + (p.iy-c.iy)*(p.iy-c.iy)) AS d2
+  FROM pts p CROSS JOIN ({prev_centers}) c
+  GROUP BY p.ck, p.ix, p.iy),
+c{r} AS MATERIALIZED (
+  SELECT ck, ix, iy, d2 FROM d{r}
+  ORDER BY d2 DESC, ck LIMIT 1)""")
+        prev_centers += f" UNION ALL SELECT ck, ix, iy FROM c{r}"
+        sel.append(f"SELECT {r} AS round, ck, CAST(d2 AS BIGINT) "
+                   f"AS d2_to_set FROM c{r}")
+    return f"""
+WITH pts AS (SELECT ck, ix, iy FROM ({g}) _g),
+{",".join(steps)}
+SELECT CAST(round AS BIGINT) AS round, ck, d2_to_set
+FROM ({" UNION ALL ".join(sel)})
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -19976,6 +20058,7 @@ REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "wasserstein_1d": (q_wasserstein_1d, SQL_WASSERSTEIN_1D),
     "discrete_1mean": (q_discrete_1mean, SQL_DISCRETE_1MEAN),
+    "kcenter_greedy": (q_kcenter_greedy, SQL_KCENTER_GREEDY),
 }
 
 
