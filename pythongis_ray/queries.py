@@ -19713,6 +19713,50 @@ FROM ({" UNION ALL ".join(sel)})
 """
 
 
+def q_concentration(sf_dir: str):
+    """Top-1% concentration (the activity-inequality headline next to
+    the Gini query): events held by the ceil(U/100) most active users
+    (count DESC, user_id ties) vs total. User activity is a bounded
+    table; the top slice folds via per-batch partial top-k + driver
+    merge. Output one row (n_users, k_top, top_events, total_events)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        g = pd.Series(b["user_id"].to_numpy(zero_copy_only=False)) \
+            .value_counts()
+        return pd.DataFrame({"user_id": g.index.to_numpy(np.int64),
+                             "n": g.to_numpy(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    ua = rel.groupby_aggregate(parts, ["user_id"],
+                               [("n", "n", "sum")]).to_pandas()
+    U = len(ua)
+    k = (U + 99) // 100
+    ua = ua.sort_values(["n", "user_id"], ascending=[False, True],
+                        kind="stable")
+    return pd.DataFrame({
+        "n_users": [np.int64(U)], "k_top": [np.int64(k)],
+        "top_events": [np.int64(ua["n"].head(k).sum())],
+        "total_events": [np.int64(ua["n"].sum())]})
+
+
+SQL_CONCENTRATION = """
+WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY user_id),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rn
+      FROM c),
+u AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM c)
+SELECT u.nu AS n_users,
+       CAST((u.nu + 99) // 100 AS BIGINT) AS k_top,
+       CAST(SUM(CASE WHEN r.rn <= (u.nu + 99) // 100 THEN r.n
+                     ELSE 0 END) AS BIGINT) AS top_events,
+       CAST(SUM(r.n) AS BIGINT) AS total_events
+FROM r CROSS JOIN u GROUP BY u.nu
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -20059,6 +20103,7 @@ REGISTRY: dict[str, tuple] = {
     "wasserstein_1d": (q_wasserstein_1d, SQL_WASSERSTEIN_1D),
     "discrete_1mean": (q_discrete_1mean, SQL_DISCRETE_1MEAN),
     "kcenter_greedy": (q_kcenter_greedy, SQL_KCENTER_GREEDY),
+    "concentration": (q_concentration, SQL_CONCENTRATION),
 }
 
 
