@@ -19757,6 +19757,121 @@ FROM r CROSS JOIN u GROUP BY u.nu
 """
 
 
+VGM_EPS = 256
+VGM_SAMPLE = 16
+
+
+def q_variogram(sf_dir: str):
+    """Directional experimental variogram (the geostatistics core
+    that precedes any kriging): over a 1-in-{VGM_SAMPLE} sample of
+    the lineitem points, every pair within {VGM_EPS} units
+    contributes (q_a−q_b)² to its (direction, lag-band) cell —
+    direction = the 45° sector of the displacement folded mod 180°
+    (the move_octants sign predicates, octant%4: E/NE/N/NW), lag
+    band = binary order of d² (length(bin(d2)) in SQL). Everything
+    is exact integers; pairs ride the exactly-once tile kernel with
+    coordinates and value carried so direction and Δq compute
+    in-kernel-adjacent with no re-join. Output: (dir, band, n_pairs,
+    gamma_num = Σ Δq²)."""
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_quantity"])
+
+    def to_pts(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = ok % VGM_SAMPLE == 0    # sample whole orders — pk =
+        pk = (ok * 8 + ln)[keep]       # 8·ok+ln is never ≡0 mod 16
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        ix, iy = fixtures.geocode_units(pk)
+        return pa.table({"pk": pa.array(pk), "ix": ix, "iy": iy,
+                         "qty": pa.array(qty)})
+
+    pts = ds.map_batches(to_pts, batch_format="pyarrow",
+                         batch_size=65536)
+    pairs = spatial.dwithin_self_pairs(
+        pts, "pk", "ix", "iy", eps=VGM_EPS,
+        carry=("ix", "iy", "qty"))
+
+    POWS = np.array([np.int64(1) << k for k in range(1, 63)], np.int64)
+
+    def fold(b: pa.Table) -> pd.DataFrame:
+        dx = b["ix_a"].to_numpy(zero_copy_only=False) \
+            - b["ix_b"].to_numpy(zero_copy_only=False)
+        dy = b["iy_a"].to_numpy(zero_copy_only=False) \
+            - b["iy_b"].to_numpy(zero_copy_only=False)
+        dq = b["qty_a"].to_numpy(zero_copy_only=False) \
+            - b["qty_b"].to_numpy(zero_copy_only=False)
+        d2 = b["d2"].to_numpy(zero_copy_only=False)
+        nz = d2 > 0
+        dx, dy, dq, d2 = dx[nz], dy[nz], dq[nz], d2[nz]
+        octant = np.select(
+            [(dx > 0) & (dy >= 0) & (dx > dy),
+             (dy > 0) & (dx > 0) & (dy >= dx),
+             (dy > 0) & (dx <= 0) & (dy > -dx),
+             (dx < 0) & (dy > 0) & (-dx >= dy),
+             (dx < 0) & (dy <= 0) & (-dx > -dy),
+             (dy < 0) & (dx < 0) & (-dy >= -dx),
+             (dy < 0) & (dx >= 0) & (-dy > dx)],
+            [0, 1, 2, 3, 4, 5, 6], default=7).astype(np.int64)
+        direc = octant % 4
+        band = np.searchsorted(POWS, d2, side="right") + 1
+        df = pd.DataFrame({"dir": direc, "band": band,
+                           "one": np.int64(1), "g": dq * dq})
+        out = df.groupby(["dir", "band"], sort=False).agg(
+            n_pairs=("one", "sum"), gamma_num=("g", "sum")).reset_index()
+        for c in ("n_pairs", "gamma_num"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    parts = pairs.map_batches(fold, batch_format="pyarrow",
+                              batch_size=None)
+    out = rel.groupby_aggregate(parts, ["dir", "band"],
+                                [("n_pairs", "n_pairs", "sum"),
+                                 ("gamma_num", "gamma_num", "sum")]) \
+        .materialize()
+    if out.count() == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("dir", "band", "n_pairs",
+                                       "gamma_num")})
+    return out
+
+
+def SQL_VARIOGRAM():
+    src = (f"(SELECT l_orderkey*8+l_linenumber AS gk, "
+           f"CAST(l_quantity AS BIGINT) AS qty FROM lineitem "
+           f"WHERE l_orderkey % {VGM_SAMPLE} = 0)")
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH pts AS (SELECT gk, qty, ix, iy FROM ({g}) _g),
+pr AS (SELECT a.ix - b.ix AS dx, a.iy - b.iy AS dy,
+              a.qty - b.qty AS dq,
+              (a.ix-b.ix)*(a.ix-b.ix) + (a.iy-b.iy)*(a.iy-b.iy) AS d2
+       FROM pts a JOIN pts b
+         ON a.gk < b.gk
+        AND (a.ix-b.ix)*(a.ix-b.ix) + (a.iy-b.iy)*(a.iy-b.iy)
+            <= {VGM_EPS * VGM_EPS}),
+v AS (SELECT CASE
+        WHEN dx >  0 AND dy >= 0 AND dx >  dy  THEN 0
+        WHEN dy >  0 AND dx >  0 AND dy >= dx  THEN 1
+        WHEN dy >  0 AND dx <= 0 AND dy > -dx  THEN 2
+        WHEN dx <  0 AND dy >  0 AND -dx >= dy THEN 3
+        WHEN dx <  0 AND dy <= 0 AND -dx > -dy THEN 4
+        WHEN dy <  0 AND dx <  0 AND -dy >= -dx THEN 5
+        WHEN dy <  0 AND dx >= 0 AND -dy > dx  THEN 6
+        ELSE 7 END % 4 AS dir,
+        length(bin(d2)) AS band, dq
+      FROM pr WHERE d2 > 0)
+SELECT CAST(dir AS BIGINT) AS dir, CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(dq * dq) AS BIGINT) AS gamma_num
+FROM v GROUP BY dir, band
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -20104,6 +20219,7 @@ REGISTRY: dict[str, tuple] = {
     "discrete_1mean": (q_discrete_1mean, SQL_DISCRETE_1MEAN),
     "kcenter_greedy": (q_kcenter_greedy, SQL_KCENTER_GREEDY),
     "concentration": (q_concentration, SQL_CONCENTRATION),
+    "variogram": (q_variogram, SQL_VARIOGRAM),
 }
 
 
