@@ -2026,3 +2026,77 @@ def test_price_band_bruteforce(ray_session):
             j += 1
     assert set(zip(out.id_a, out.id_b, out["diff"])) == exp
     assert len(out) == len(exp)              # exactly-once emission
+
+
+def test_wasserstein_1d_brute(ray_session):
+    """Engine EMD vs the O(n log n) brute sorted-sample computation."""
+    from fractions import Fraction
+
+    from pythongis_ray import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    out = q.q_wasserstein_1d(sf)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["source", "n_chars"])
+    docs["bin"] = docs.n_chars // 100
+    bins = np.sort(docs["bin"].unique())
+    gap = np.diff(bins)
+    glob = docs.groupby("bin").size().reindex(bins, fill_value=0) \
+        .to_numpy().cumsum()
+    Tg = glob[-1]
+    for _, r in out.iterrows():
+        sub = docs[docs.source == r.source]
+        cs = sub.groupby("bin").size().reindex(bins, fill_value=0) \
+            .to_numpy().cumsum()
+        Ts = cs[-1]
+        num = int(np.abs(Tg * cs[:-1] - Ts * glob[:-1]) @ gap)
+        assert Fraction(int(r.emd_num), int(r.emd_den)) \
+            == Fraction(num, int(Ts * Tg))
+
+
+def test_label_nms_brute(ray_session):
+    from pythongis_ray import fixtures
+    from pythongis_ray import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    cust = pd.read_parquet(f"{sf}/customer.parquet",
+                           columns=["c_custkey"])
+    ck = cust.c_custkey.to_numpy("int64") * 4 + 1
+    ix, iy = fixtures.geocode_units(ck)
+    x, y = np.asarray(ix), np.asarray(iy)
+    prio = ck % 97
+    keep = []
+    for i in range(len(ck)):
+        d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+        near = (d2 <= q.NMS_EPS ** 2) & (ck != ck[i])
+        beaten = ((prio[near] > prio[i])
+                  | ((prio[near] == prio[i]) & (ck[near] > ck[i]))).any()
+        if not beaten:
+            keep.append(int(ck[i]))
+    got = q.q_label_nms(sf).to_pandas()
+    assert sorted(got.ck.tolist()) == sorted(keep)
+
+
+def test_kcenter_greedy_brute(ray_session):
+    from pythongis_ray import fixtures
+    from pythongis_ray import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    cust = pd.read_parquet(f"{sf}/customer.parquet",
+                           columns=["c_custkey"])
+    ck = np.sort(cust.c_custkey.to_numpy("int64") * 4 + 1)
+    ix, iy = fixtures.geocode_units(ck)
+    x, y = np.asarray(ix), np.asarray(iy)
+    centers = [0]
+    want = [(1, int(ck[0]), 0)]
+    for r in range(2, q.KC_ROUNDS + 1):
+        d2 = np.min([(x - x[c]) ** 2 + (y - y[c]) ** 2
+                     for c in centers], axis=0)
+        best = np.lexsort((ck, -d2))[0]
+        centers.append(best)
+        want.append((r, int(ck[best]), int(d2[best])))
+    got = q.q_kcenter_greedy(sf)
+    have = [(int(a), int(b), int(c)) for a, b, c in
+            zip(got["round"], got["ck"], got["d2_to_set"])]
+    assert have == want
