@@ -19872,6 +19872,54 @@ FROM v GROUP BY dir, band
 """
 
 
+def q_cut_conductance(sf_dir: str):
+    """Cut conductance of the parity bipartition of the link graph
+    (the partition-quality metric behind every min-cut / community
+    evaluation): φ = cut / min(vol_even, vol_odd) reported as the
+    exact integer triple (cut_edges, vol_even, vol_odd) over the
+    directed edge multiset (vol = endpoint incidences). One streamed
+    pass of per-batch partials — no shuffle beyond the single-row
+    fold."""
+    from pythongis_ray import pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        s = b["src_page"].to_numpy(zero_copy_only=False)
+        d = b["dst_page"].to_numpy(zero_copy_only=False)
+        sp = s % 2
+        dp = d % 2
+        cut = np.int64((sp != dp).sum())
+        vol_e = np.int64((sp == 0).sum() + (dp == 0).sum())
+        vol_o = np.int64((sp == 1).sum() + (dp == 1).sum())
+        return pd.DataFrame({"cut_edges": [cut], "vol_even": [vol_e],
+                             "vol_odd": [vol_o]})
+
+    parts = edges.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536).to_pandas()
+    return pd.DataFrame({
+        "cut_edges": [np.int64(parts["cut_edges"].sum())],
+        "vol_even": [np.int64(parts["vol_even"].sum())],
+        "vol_odd": [np.int64(parts["vol_odd"].sum())]})
+
+
+SQL_CUT_CONDUCTANCE = f"""
+WITH e AS ({_SQL_PAGE_EDGES})
+SELECT CAST(SUM(CASE WHEN src % 2 <> dst % 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS cut_edges,
+       CAST(SUM(CASE WHEN src % 2 = 0 THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN dst % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS vol_even,
+       CAST(SUM(CASE WHEN src % 2 = 1 THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN dst % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS vol_odd
+FROM e
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -20220,6 +20268,7 @@ REGISTRY: dict[str, tuple] = {
     "kcenter_greedy": (q_kcenter_greedy, SQL_KCENTER_GREEDY),
     "concentration": (q_concentration, SQL_CONCENTRATION),
     "variogram": (q_variogram, SQL_VARIOGRAM),
+    "cut_conductance": (q_cut_conductance, SQL_CUT_CONDUCTANCE),
 }
 
 
