@@ -19920,6 +19920,96 @@ FROM e
 """
 
 
+def q_visitor_mix(sf_dir: str):
+    """Resident/visitor mix per cell (the urban-analytics staple built
+    on home inference): each user's HOME is their most-visited
+    {HW_CELL}-unit cell (visits DESC, then cell coords — the
+    home_work rule), and every event splits its cell's traffic into
+    resident (event cell == visitor's home) vs visitor counts. The
+    home table is user-bounded and joins back onto the event stream
+    via one partitioned join; one (cell) count shuffle."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "cx": np.asarray(ix) // HW_CELL,
+            "cy": np.asarray(iy) // HW_CELL})
+
+    evc = ev.map_batches(prep, batch_format="pyarrow",
+                         batch_size=65536).materialize()
+
+    def vcount(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["user_id", "cx", "cy"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    counts = rel.groupby_aggregate(
+        evc.map_batches(vcount, batch_format="pandas",
+                        batch_size=65536),
+        ["user_id", "cx", "cy"], [("n", "n", "sum")])
+
+    def home(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "cx", "cy"],
+                          ascending=[True, False, True, True],
+                          kind="stable")
+        top = g.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame({
+            "user_id": top["user_id"].to_numpy(np.int64),
+            "hx": top["cx"].to_numpy(np.int64),
+            "hy": top["cy"].to_numpy(np.int64)})
+
+    homes = rel.bucketed_group_apply(counts, ["user_id"], home)
+    joined = rel.join_large(evc, homes, on="user_id")
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        res = ((b["cx"] == b["hx"]) & (b["cy"] == b["hy"])) \
+            .to_numpy().astype(np.int64)
+        df = pd.DataFrame({"cx": b["cx"].to_numpy(np.int64),
+                           "cy": b["cy"].to_numpy(np.int64),
+                           "r": res, "v": 1 - res})
+        g = df.groupby(["cx", "cy"], sort=False).agg(
+            n_resident=("r", "sum"), n_visitor=("v", "sum")) \
+            .reset_index()
+        for c in ("n_resident", "n_visitor"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    parts = joined.map_batches(fold, batch_format="pandas",
+                               batch_size=65536)
+    return rel.groupby_aggregate(parts, ["cx", "cy"],
+                                 [("n_resident", "n_resident", "sum"),
+                                  ("n_visitor", "n_visitor", "sum")])
+
+
+def SQL_VISITOR_MIX():
+    src = "(SELECT event_id, user_id, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+ec AS (SELECT user_id, ix // {HW_CELL} AS cx, iy // {HW_CELL} AS cy
+       FROM ge),
+c AS (SELECT user_id, cx, cy, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ec GROUP BY 1, 2, 3),
+h AS (SELECT user_id, cx AS hx, cy AS hy FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY n DESC, cx, cy) AS rn FROM c)
+      WHERE rn = 1)
+SELECT ec.cx, ec.cy,
+       CAST(SUM(CASE WHEN ec.cx = h.hx AND ec.cy = h.hy
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resident,
+       CAST(SUM(CASE WHEN ec.cx = h.hx AND ec.cy = h.hy
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_visitor
+FROM ec JOIN h ON h.user_id = ec.user_id
+GROUP BY ec.cx, ec.cy
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -20269,6 +20359,7 @@ REGISTRY: dict[str, tuple] = {
     "concentration": (q_concentration, SQL_CONCENTRATION),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cut_conductance": (q_cut_conductance, SQL_CUT_CONDUCTANCE),
+    "visitor_mix": (q_visitor_mix, SQL_VISITOR_MIX),
 }
 
 
