@@ -20010,6 +20010,60 @@ GROUP BY ec.cx, ec.cy
 """
 
 
+CAL_BIN = 500
+CAL_LABEL_CHARS = 300
+
+
+def q_calibration(sf_dir: str):
+    """Reliability-diagram inputs for the quality_lr scorer (the
+    ML-eval readout every production classifier ships with): docs bin
+    by integer score ({CAL_BIN} milli-weight buckets) against the
+    deterministic pseudo-label n_chars ≥ {CAL_LABEL_CHARS}; each bin
+    reports (n, n_pos) — the exact counts behind predicted-vs-actual
+    calibration. One scoring pass + one bin-count shuffle."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "n_chars"])
+    scored = ds.map_batches(text.quality_lr, batch_format="pyarrow",
+                            batch_size=8192)
+
+    def binned(b: pa.Table) -> pd.DataFrame:
+        sc = b["score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "bin": np.floor_divide(sc, CAL_BIN),
+            "one": np.int64(1),
+            "pos": (nc >= CAL_LABEL_CHARS).astype(np.int64)})
+        g = df.groupby("bin", sort=False).agg(
+            n=("one", "sum"), n_pos=("pos", "sum")).reset_index()
+        for c in ("n", "n_pos"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    parts = scored.map_batches(binned, batch_format="pyarrow",
+                               batch_size=65536)
+    return rel.groupby_aggregate(parts, ["bin"],
+                                 [("n", "n", "sum"),
+                                  ("n_pos", "n_pos", "sum")])
+
+
+def SQL_CALIBRATION():
+    # the scorer SQL minus its threshold filter: score for ALL docs
+    base = _sql_quality_lr()
+    allscores = base[:base.rindex("WHERE ")]
+    return f"""
+WITH scored AS ({allscores}),
+j AS (SELECT s.score, d.n_chars
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+SELECT CAST(CASE WHEN score >= 0 THEN score // {CAL_BIN}
+                 ELSE -((-score + {CAL_BIN} - 1) // {CAL_BIN})
+            END AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN n_chars >= {CAL_LABEL_CHARS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+FROM j GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -20360,6 +20414,7 @@ REGISTRY: dict[str, tuple] = {
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cut_conductance": (q_cut_conductance, SQL_CUT_CONDUCTANCE),
     "visitor_mix": (q_visitor_mix, SQL_VISITOR_MIX),
+    "calibration": (q_calibration, SQL_CALIBRATION),
 }
 
 
