@@ -20064,6 +20064,77 @@ FROM j GROUP BY 1
 """
 
 
+def q_auc_inputs(sf_dir: str):
+    """Exact ROC-AUC of the quality scorer against the length
+    pseudo-label, as integers: AUC = (concordant + ties/2) / (P·N),
+    so the pair (auc2_num = 2·concordant + ties, auc_den = 2·P·N)
+    determines it exactly. Computed from the BOUNDED per-score
+    (n_pos, n_neg) histogram with one cumulative pass — the
+    rank-statistic identity, no pos×neg pair join. Output one row
+    (n_pos, n_neg, auc2_num)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "n_chars"])
+    scored = ds.map_batches(text.quality_lr, batch_format="pyarrow",
+                            batch_size=8192)
+
+    def hist(b: pa.Table) -> pd.DataFrame:
+        sc = b["score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = (b["n_chars"].to_numpy(zero_copy_only=False)
+               >= CAL_LABEL_CHARS).astype(np.int64)
+        df = pd.DataFrame({"score": sc, "p": pos, "q": 1 - pos})
+        g = df.groupby("score", sort=False).agg(
+            n_pos=("p", "sum"), n_neg=("q", "sum")).reset_index()
+        for c in ("n_pos", "n_neg"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    parts = scored.map_batches(hist, batch_format="pyarrow",
+                               batch_size=65536)
+    counts = rel.groupby_aggregate(parts, ["score"],
+                                   [("n_pos", "n_pos", "sum"),
+                                    ("n_neg", "n_neg", "sum")])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("score", kind="stable")
+        p = g["n_pos"].to_numpy(np.int64)
+        q = g["n_neg"].to_numpy(np.int64)
+        cumq = np.concatenate(([0], np.cumsum(q)[:-1]))
+        auc2 = np.int64((p * (2 * cumq + q)).sum())
+        return pd.DataFrame({"n_pos": [np.int64(p.sum())],
+                             "n_neg": [np.int64(q.sum())],
+                             "auc2_num": [auc2]})
+
+    one = counts.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                             batch_format="pandas")
+    return one.groupby("_one").map_groups(
+        lambda g: fold(g.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+def SQL_AUC_INPUTS():
+    base = _sql_quality_lr()
+    allscores = base[:base.rindex("WHERE ")]
+    return f"""
+WITH scored AS ({allscores}),
+j AS (SELECT s.score,
+             CASE WHEN d.n_chars >= {CAL_LABEL_CHARS}
+                  THEN 1 ELSE 0 END AS pos
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+h AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+      FROM j GROUP BY score),
+c AS (SELECT score, n_pos, n_neg,
+             COALESCE(SUM(n_neg) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cumq
+      FROM h)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(n_pos * (2 * cumq + n_neg)) AS BIGINT) AS auc2_num
+FROM c
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -20415,6 +20486,7 @@ REGISTRY: dict[str, tuple] = {
     "cut_conductance": (q_cut_conductance, SQL_CUT_CONDUCTANCE),
     "visitor_mix": (q_visitor_mix, SQL_VISITOR_MIX),
     "calibration": (q_calibration, SQL_CALIBRATION),
+    "auc_inputs": (q_auc_inputs, SQL_AUC_INPUTS),
 }
 
 
