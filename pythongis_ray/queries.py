@@ -20135,6 +20135,55 @@ FROM c
 """
 
 
+def q_lang_confusion(sf_dir: str):
+    """Confusion matrix of the stopword language-ID against the
+    labeled lang column (the eval table behind precision/recall per
+    class): (lang_true, lang_pred, n) over all docs. One scoring pass
+    (the langid actor pool) + one pair-count shuffle; SQL replays the
+    count-argmax heuristic and joins the label."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(text.LanguageId, batch_format="pyarrow",
+                         batch_size=8192, concurrency=2)
+
+    def pairs(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"lang_true": b["lang"].to_pandas(),
+                           "lang_pred": b["lang_pred"].to_pandas()})
+        g = (df.groupby(["lang_true", "lang_pred"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = out.map_batches(pairs, batch_format="pyarrow",
+                            batch_size=65536)
+    return rel.groupby_aggregate(parts, ["lang_true", "lang_pred"],
+                                 [("n", "n", "sum")])
+
+
+SQL_LANG_CONFUSION = """
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+              FROM documents),
+w AS (SELECT doc_id, UNNEST(l) AS word FROM toks),
+sc AS (SELECT doc_id,
+  COUNT(*) FILTER (word IN ('der','die','das','und','ist','nicht')) AS de,
+  COUNT(*) FILTER (word IN ('the','and','of','to','a','in','is')) AS en,
+  COUNT(*) FILTER (word IN ('el','la','los','y','es','una')) AS es,
+  COUNT(*) FILTER (word IN ('le','la','les','et','est','une')) AS fr
+  FROM w GROUP BY 1),
+pred AS (SELECT doc_id,
+  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+       WHEN en >= es AND en >= fr THEN 'en'
+       WHEN es >= fr THEN 'es'
+       ELSE 'fr' END AS lang_pred
+  FROM sc)
+SELECT d.lang AS lang_true, p.lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.lang_pred
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -20487,6 +20536,7 @@ REGISTRY: dict[str, tuple] = {
     "visitor_mix": (q_visitor_mix, SQL_VISITOR_MIX),
     "calibration": (q_calibration, SQL_CALIBRATION),
     "auc_inputs": (q_auc_inputs, SQL_AUC_INPUTS),
+    "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
 }
 
 
