@@ -20184,6 +20184,107 @@ GROUP BY d.lang, p.lang_pred
 """
 
 
+def q_gapfill_daily(sf_dir: str):
+    """Gap filling of each USER's daily count series (the sensor-ETL
+    staple): for every day in the global span with NO events of a
+    type, the linear interpolation between the nearest present
+    neighbors as the exact fraction lerp_num/lerp_den — num =
+    n_prev·(next−d) + n_next·(d−prev), den = next−prev (boundary gaps
+    before the first / after the last present day are excluded on
+    both sides). Per-type searchsorted in one bounded combine; SQL
+    finds neighbors with window MAX/MIN over the zero-filled grid."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def daily(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(
+            zero_copy_only=False),
+            "day": us // 86_400_000_000})
+        g = (df.groupby(["user_id", "day"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(daily, batch_format="pyarrow",
+                           batch_size=65536)
+    counts = rel.groupby_aggregate(parts, ["user_id", "day"],
+                                   [("n", "n", "sum")]).materialize()
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gg in g.groupby("user_id", sort=False):
+            gg = gg.sort_values("day", kind="stable")
+            d = gg["day"].to_numpy(np.int64)
+            n = gg["n"].to_numpy(np.int64)
+            if len(d) < 2:
+                continue
+            grid = np.arange(d[0], d[-1] + 1, dtype=np.int64)
+            missing = grid[~np.isin(grid, d)]
+            if len(missing) == 0:
+                continue
+            j = np.searchsorted(d, missing)      # next present
+            nd, pv = d[j], d[j - 1]
+            nn, pn = n[j], n[j - 1]
+            num = pn * (nd - missing) + nn * (missing - pv)
+            den = nd - pv
+            rows.append(pd.DataFrame({
+                "user_id": np.repeat(np.int64(et), len(missing)),
+                "day": missing, "lerp_num": num, "lerp_den": den}))
+        cols = {"user_id": pd.Series(dtype=np.int64),
+                "day": pd.Series(dtype=np.int64),
+                "lerp_num": pd.Series(dtype=np.int64),
+                "lerp_den": pd.Series(dtype=np.int64)}
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.concat(rows, ignore_index=True)
+
+    out = rel.bucketed_group_apply(counts, ["user_id"],
+                                   fill).materialize()
+    if out.count() == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("user_id", "day", "lerp_num",
+                                       "lerp_den")})
+    return out
+
+
+SQL_GAPFILL_DAILY = """
+WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+         FROM c GROUP BY user_id),
+days AS (SELECT UNNEST(range((SELECT MIN(lo) FROM span),
+                             (SELECT MAX(hi) FROM span) + 1)) AS day),
+grid AS (SELECT s.user_id, d.day, c.n
+         FROM span s JOIN days d
+           ON d.day BETWEEN s.lo AND s.hi
+         LEFT JOIN c ON c.user_id = s.user_id
+                    AND c.day = d.day),
+nb AS (SELECT user_id, day, n,
+              MAX(CASE WHEN n IS NOT NULL THEN day END)
+                  OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pv,
+              MIN(CASE WHEN n IS NOT NULL THEN day END)
+                  OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN 1 FOLLOWING
+                        AND UNBOUNDED FOLLOWING) AS nd
+       FROM grid),
+pvv AS (SELECT user_id, day AS d2, n AS pn FROM c),
+ndd AS (SELECT user_id, day AS d3, n AS nn FROM c)
+SELECT nb.user_id, nb.day,
+       CAST(pvv.pn * (nb.nd - nb.day)
+            + ndd.nn * (nb.day - nb.pv) AS BIGINT) AS lerp_num,
+       CAST(nb.nd - nb.pv AS BIGINT) AS lerp_den
+FROM nb
+JOIN pvv ON pvv.user_id = nb.user_id AND pvv.d2 = nb.pv
+JOIN ndd ON ndd.user_id = nb.user_id AND ndd.d3 = nb.nd
+WHERE nb.n IS NULL
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -20537,6 +20638,7 @@ REGISTRY: dict[str, tuple] = {
     "calibration": (q_calibration, SQL_CALIBRATION),
     "auc_inputs": (q_auc_inputs, SQL_AUC_INPUTS),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
+    "gapfill_daily": (q_gapfill_daily, SQL_GAPFILL_DAILY),
 }
 
 
