@@ -20285,6 +20285,40 @@ WHERE nb.n IS NULL
 """
 
 
+def q_punchcard(sf_dir: str):
+    """Punch-card activity profile (the GitHub-style weekday×hour
+    heatmap): counts per (event_type, dow, hour) with dow = epoch-day
+    mod 7 and hour = epoch-hour mod 24 — the canonical time-of-week
+    rhythm table. Pure map-side fold + one small-key shuffle."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "dow": us // 86_400_000_000 % 7,
+                           "hour": us // 3_600_000_000 % 24})
+        g = (df.groupby(["event_type", "dow", "hour"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    return rel.groupby_aggregate(parts, ["event_type", "dow", "hour"],
+                                 [("n", "n", "sum")])
+
+
+SQL_PUNCHCARD = """
+SELECT event_type,
+       CAST(epoch_us(ts) // 86400000000 % 7 AS BIGINT) AS dow,
+       CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -20639,6 +20673,7 @@ REGISTRY: dict[str, tuple] = {
     "auc_inputs": (q_auc_inputs, SQL_AUC_INPUTS),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "gapfill_daily": (q_gapfill_daily, SQL_GAPFILL_DAILY),
+    "punchcard": (q_punchcard, SQL_PUNCHCARD),
 }
 
 
