@@ -20319,6 +20319,77 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def q_explore_return(sf_dir: str):
+    """Exploration vs preferential return (the Song et al. mobility
+    decomposition): per user over the (ts)-ordered {HW_CELL}-unit
+    cell sequence — events visiting a NEVER-seen cell (exploration),
+    events immediately repeating the previous cell (inertia), and
+    totals. First-visit flags fall out of a vectorized
+    first-occurrence test in the user bucket; SQL mirrors with
+    ROW_NUMBER over (user, cell) and LAG."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "ts_us": us,
+            "cell": (np.asarray(ix) // HW_CELL) * 1_000_000
+            + np.asarray(iy) // HW_CELL})
+
+    pts = ev.map_batches(prep, batch_format="pyarrow",
+                         batch_size=65536)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        c = g["cell"].to_numpy(np.int64)
+        # first occurrence of (user, cell) in stream order
+        df = pd.DataFrame({"u": u, "c": c})
+        first = ~df.duplicated(subset=["u", "c"]).to_numpy()
+        prev_same = np.concatenate(
+            ([False], (u[1:] == u[:-1]) & (c[1:] == c[:-1])))
+        out = pd.DataFrame({"user_id": u,
+                            "e": first.astype(np.int64),
+                            "r": prev_same.astype(np.int64),
+                            "one": np.int64(1)})
+        a = out.groupby("user_id", sort=False).agg(
+            n_events=("one", "sum"), n_explore=("e", "sum"),
+            n_inertia=("r", "sum")).reset_index()
+        for col in ("n_events", "n_explore", "n_inertia"):
+            a[col] = a[col].astype(np.int64)
+        return a
+
+    return rel.bucketed_group_apply(pts, ["user_id"], per_user)
+
+
+def SQL_EXPLORE_RETURN():
+    src = "(SELECT event_id, user_id, ts, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    return f"""
+WITH ge AS ({g}),
+ec AS (SELECT user_id, ts,
+              (ix // {HW_CELL}) * 1000000 + iy // {HW_CELL} AS cell
+       FROM ge),
+f AS (SELECT user_id, ts, cell,
+             ROW_NUMBER() OVER (PARTITION BY user_id, cell
+                                ORDER BY ts) AS occ,
+             LAG(cell) OVER (PARTITION BY user_id ORDER BY ts) AS pc
+      FROM ec)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_explore,
+       CAST(SUM(CASE WHEN pc = cell THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_inertia
+FROM f GROUP BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -20674,6 +20745,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "gapfill_daily": (q_gapfill_daily, SQL_GAPFILL_DAILY),
     "punchcard": (q_punchcard, SQL_PUNCHCARD),
+    "explore_return": (q_explore_return, SQL_EXPLORE_RETURN),
 }
 
 
