@@ -20390,6 +20390,88 @@ FROM f GROUP BY user_id
 """
 
 
+SFC_BITS = 6
+
+
+def q_sfc_locality(sf_dir: str):
+    """Space-filling-curve locality audit (the index-design question
+    'how much does Z-order beat row-major for neighbor queries'):
+    over the occupied 8° density cells, for every rook-adjacent cell
+    pair sum |Δkey| under the Morton interleave vs under row-major
+    order — exact integers (n_pairs, z_sum, rowmajor_sum). The cell
+    table is resolution-bounded; the fold runs in the single bounded
+    combine."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grid_ds = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                    [("n", "cx", "count")])
+    W = 368640 // 8192  # row-major width
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cx = g["cx"].to_numpy(np.int64)
+        cy = g["cy"].to_numpy(np.int64)
+        m = np.zeros(len(cx), np.int64)
+        for bit in range(SFC_BITS):
+            m |= ((cx >> bit) & 1) << (2 * bit)
+            m |= ((cy >> bit) & 1) << (2 * bit + 1)
+        rm = cy * W + cx
+        key = cx * (np.int64(1) << 32) + cy
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        npairs = 0
+        zsum = 0
+        rsum = 0
+        for dx, dy in ((1, 0), (0, 1)):      # each adjacency once
+            tk = (cx + dx) * (np.int64(1) << 32) + (cy + dy)
+            j = np.searchsorted(ks, tk)
+            ok = (j < len(ks)) & (ks[np.minimum(j, len(ks) - 1)] == tk)
+            part = order[j[ok]]
+            src = np.flatnonzero(ok)
+            npairs += int(ok.sum())
+            zsum += int(np.abs(m[src] - m[part]).sum())
+            rsum += int(np.abs(rm[src] - rm[part]).sum())
+        return pd.DataFrame({"n_pairs": [np.int64(npairs)],
+                             "z_sum": [np.int64(zsum)],
+                             "rowmajor_sum": [np.int64(rsum)]})
+
+    one = grid_ds.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                              batch_format="pandas")
+    return one.groupby("_one").map_groups(
+        lambda g: fold(g.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+def SQL_SFC_LOCALITY():
+    terms = " + ".join(
+        f"((cx // {1 << b}) % 2) * {1 << (2 * b)}"
+        f" + ((cy // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(SFC_BITS))
+    W = 368640 // 8192
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT DISTINCT ix // 8192 AS cx, iy // 8192 AS cy FROM pts),
+k AS (SELECT cx, cy, CAST({terms} AS BIGINT) AS m,
+             CAST(cy * {W} + cx AS BIGINT) AS rm
+      FROM g),
+pr AS (SELECT a.m AS ma, b.m AS mb, a.rm AS ra, b.rm AS rb
+       FROM k a JOIN k b
+         ON (b.cx = a.cx + 1 AND b.cy = a.cy)
+         OR (b.cx = a.cx AND b.cy = a.cy + 1))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ABS(ma - mb)) AS BIGINT) AS z_sum,
+       CAST(SUM(ABS(ra - rb)) AS BIGINT) AS rowmajor_sum
+FROM pr
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -20746,6 +20828,7 @@ REGISTRY: dict[str, tuple] = {
     "gapfill_daily": (q_gapfill_daily, SQL_GAPFILL_DAILY),
     "punchcard": (q_punchcard, SQL_PUNCHCARD),
     "explore_return": (q_explore_return, SQL_EXPLORE_RETURN),
+    "sfc_locality": (q_sfc_locality, SQL_SFC_LOCALITY),
 }
 
 
