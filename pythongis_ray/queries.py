@@ -20472,6 +20472,92 @@ FROM pr
 """
 
 
+SK_POINTS = (5, 10, 20, 40)
+
+
+def q_explore_curve(sf_dir: str):
+    """The S(k) exploration curve (Song et al.'s sublinear
+    distinct-places growth law): at each checkpoint k ∈ {SK_POINTS},
+    over users with ≥ k events, the exact sum of distinct
+    {HW_CELL}-unit cells seen within their first k events — the
+    (n_users, sum_cells) pairs that trace S(k). First-occurrence
+    cumsum per user in one bucketed combine; SQL mirrors with
+    ROW_NUMBER occurrence flags and a prefix sum."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "ts_us": us,
+            "cell": (np.asarray(ix) // HW_CELL) * 1_000_000
+            + np.asarray(iy) // HW_CELL})
+
+    pts = ev.map_batches(prep, batch_format="pyarrow",
+                         batch_size=65536)
+    ks = np.array(SK_POINTS, np.int64)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        first = (~g.duplicated(subset=["user_id", "cell"])
+                 .to_numpy()).astype(np.int64)
+        # event index within user + cumulative distinct cells
+        new_u = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(new_u)
+        idx = np.arange(len(u)) - np.repeat(starts, np.diff(
+            np.append(starts, len(u)))) + 1
+        cum = np.cumsum(first)
+        base = np.repeat(np.concatenate(([0], cum[starts[1:] - 1])),
+                         np.diff(np.append(starts, len(u))))
+        s_at = cum - base
+        rows = []
+        for k in ks:
+            sel = idx == k
+            rows.append({"k": np.int64(k),
+                         "n_users": np.int64(sel.sum()),
+                         "sum_cells": np.int64(s_at[sel].sum())})
+        return pd.DataFrame(rows, columns=["k", "n_users",
+                                           "sum_cells"]).astype(np.int64)
+
+    parts = rel.bucketed_group_apply(pts, ["user_id"], per_user)
+    return rel.groupby_aggregate(parts, ["k"],
+                                 [("n_users", "n_users", "sum"),
+                                  ("sum_cells", "sum_cells", "sum")])
+
+
+def SQL_EXPLORE_CURVE():
+    src = "(SELECT event_id, user_id, ts, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    ks = ", ".join(f"({k})" for k in SK_POINTS)
+    return f"""
+WITH ge AS ({g}),
+ec AS (SELECT user_id, ts,
+              (ix // {HW_CELL}) * 1000000 + iy // {HW_CELL} AS cell
+       FROM ge),
+f AS (SELECT user_id, ts,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, cell
+                                          ORDER BY ts) = 1
+                  THEN 1 ELSE 0 END AS firstv
+      FROM ec),
+c AS (SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts)
+                 AS idx,
+             SUM(firstv) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS s_at
+      FROM f)
+SELECT k.k, CAST(COUNT(c.user_id) AS BIGINT) AS n_users,
+       CAST(COALESCE(SUM(c.s_at), 0) AS BIGINT) AS sum_cells
+FROM (VALUES {ks}) k(k) LEFT JOIN c ON c.idx = k.k
+GROUP BY k.k
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -20829,6 +20915,7 @@ REGISTRY: dict[str, tuple] = {
     "punchcard": (q_punchcard, SQL_PUNCHCARD),
     "explore_return": (q_explore_return, SQL_EXPLORE_RETURN),
     "sfc_locality": (q_sfc_locality, SQL_SFC_LOCALITY),
+    "explore_curve": (q_explore_curve, SQL_EXPLORE_CURVE),
 }
 
 
