@@ -20558,6 +20558,408 @@ GROUP BY k.k
 """
 
 
+# ------------------------------------- r4 batch: interchange + band math
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV interchange loop (reference CSV loader xfield/yfield path,
+    /root/reference/pythongis/vector/loader.py:109-140 + CSV saver):
+    supplier keyed points → plain CSV via Ray's distributed Arrow CSV
+    sink (one file per block) → ``sources.read_points_csv`` (xfield=
+    'lon', yfield='lat' → WKB point geometry) → exact lattice-unit
+    reconstruction. A hash match proves coordinate doubles survive the
+    text format (Arrow writes shortest-round-trip decimals; the dyadic
+    lattice makes the rint inverse exact)."""
+    import shutil
+    import tempfile
+
+    from pythongis_ray import sources
+    from pythongis_ray.geom import wkb as _wkb
+
+    pts = _keyed_points(sf_dir, "supplier", "s_suppkey", 8, 3, "sk")
+    d = tempfile.mkdtemp(prefix="csvq_", dir="/tmp")
+    try:
+        pts.write_csv(d)
+        back = sources.read_points_csv(d, "lon", "lat")
+
+        def decode(batch: pd.DataFrame) -> pa.Table:
+            x, y = _wkb.decode_points([bytes(b) for b in batch["geometry"]])
+            ix = np.rint((x + 180.0) * 1024.0).astype(np.int64)
+            iy = np.rint((y + 90.0) * 1024.0).astype(np.int64)
+            return pa.table({
+                "sk": pa.array(batch["sk"].to_numpy(np.int64)),
+                "ix": pa.array(ix), "iy": pa.array(iy)})
+
+        return back.map_batches(decode, batch_format="pandas",
+                                batch_size=8192).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def SQL_CSV_ROUNDTRIP():
+    return f"""
+SELECT sk, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy
+FROM ({_sql_keyed_points("supplier", "s_suppkey", 8, 3, "sk")}) _c
+"""
+
+
+def q_shp_roundtrip(sf_dir: str):
+    """Shapefile interchange loop (the reference's primary vector
+    format, /root/reference/pythongis/vector/loader.py shp branch +
+    saver.py): part keyed points → .shp/.shx/.dbf (+.prj) → read back
+    → WKB decode + DBF numeric key. Proves ESRI record framing, LE
+    coordinate doubles, and DBF N-field text numbers round-trip
+    exactly. Driver-side interchange sink like the reference saver."""
+    import shutil
+    import tempfile
+
+    from pythongis_ray import sources
+    from pythongis_ray.geom import wkb as _wkb
+
+    pts = _keyed_points(sf_dir, "part", "p_partkey", 2, 1, "gk")
+
+    def to_geom(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "gk": batch["gk"].to_numpy(np.int64),
+            "geometry": list(_wkb.encode_points(
+                batch["lon"].to_numpy(np.float64),
+                batch["lat"].to_numpy(np.float64)))})
+
+    d = tempfile.mkdtemp(prefix="shpq_", dir="/tmp")
+    try:
+        g = pts.map_batches(to_geom, batch_format="pandas",
+                            batch_size=8192)
+        sources.write_shapefile(g, f"{d}/pts.shp")
+        back = sources.shapefile_dataset(f"{d}/pts.shp")
+
+        def decode(batch: pd.DataFrame) -> pa.Table:
+            x, y = _wkb.decode_points([bytes(b) for b in batch["geometry"]])
+            ix = np.rint((x + 180.0) * 1024.0).astype(np.int64)
+            iy = np.rint((y + 90.0) * 1024.0).astype(np.int64)
+            return pa.table({
+                "gk": pa.array(batch["gk"].to_numpy(np.int64)),
+                "ix": pa.array(ix), "iy": pa.array(iy)})
+
+        return back.map_batches(decode, batch_format="pandas",
+                                batch_size=8192).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def SQL_SHP_ROUNDTRIP():
+    return f"""
+SELECT gk, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy
+FROM ({_sql_keyed_points("part", "p_partkey", 2, 1, "gk")}) _s
+"""
+
+
+def q_band_math_grid(sf_dir: str):
+    """Band math A+B with the reference's nodata mask-union rule
+    (/root/reference/pythongis/raster/data.py:318-346) on the real
+    TILE-BUFFER path: lineitem and customer point densities are burned
+    into 64×64-pixel tiles at res 3 (360 lattice units per pixel —
+    pixel edges sit ON the dyadic lattice, so the float pixel
+    assignment in rasterize_points is exact, gpx = ix // 360), then
+    combined by ``raster.band_math`` (the hash-bucketed paired-tile
+    kernel that replaced sort-based map_groups) and unpacked to
+    (gpx, gpy, n) pixel rows. Count rasters use nodata=0, so the mask
+    union IS an inner join on mutually nonzero pixels: the oracle is
+    two pixel-key GROUP BYs joined with n = na + nb."""
+    from pythongis_ray import raster
+
+    a = raster.rasterize_points(points_lineitem(sf_dir), res=3)
+    cpts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+    b = raster.rasterize_points(cpts, res=3)
+    out = raster.band_math(a, b, "add")
+    t = raster.TILE
+
+    def unpack_tiles(batch: pd.DataFrame) -> pd.DataFrame:
+        gx, gy, vs = [], [], []
+        for cid, buf, nd in zip(batch["cell_id"], batch["tile"],
+                                batch["nodata"]):
+            arr = raster.bytes_to_tile(buf, t)
+            fy, fx = np.nonzero(arr != np.float32(nd))
+            if len(fx) == 0:
+                continue
+            _, cix, ciy = grid.unpack(
+                np.array([cid], np.int64).view(np.uint64))
+            gx.append(cix[0] * t + fx)
+            gy.append(ciy[0] * t + fy)
+            vs.append(arr[fy, fx].astype(np.int64))
+        if not gx:
+            return pd.DataFrame({"gpx": pd.Series([], dtype=np.int64),
+                                 "gpy": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"gpx": np.concatenate(gx),
+                             "gpy": np.concatenate(gy),
+                             "n": np.concatenate(vs)})
+
+    return out.map_batches(unpack_tiles, batch_format="pandas",
+                           batch_size=256)
+
+
+def SQL_BAND_MATH_GRID():
+    return f"""
+WITH la AS (SELECT ix // 360 AS gpx, iy // 360 AS gpy,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ({SQL_PTS_LINEITEM()}) GROUP BY 1, 2),
+lb AS (SELECT ix // 360 AS gpx, iy // 360 AS gpy,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")})
+       GROUP BY 1, 2)
+SELECT a.gpx, a.gpy, a.n + b.n AS n
+FROM la a JOIN lb b ON a.gpx = b.gpx AND a.gpy = b.gpy
+"""
+
+
+VW_TOL_UNITS = 1 << 24          # doubled-area threshold, lattice units²
+
+
+def q_simplify_vw(sf_dir: str):
+    """Line simplification — one Visvalingam–Whyatt effective-area
+    sweep (vector.simplify_vw; the reference's manager.simplify is
+    shapely Douglas-Peucker, manager.py — VW is the other classic,
+    exposed alongside vector.simplify which stays brute-parity
+    tested). Fixture: a 7-vertex 'GPS track' per customer (base =
+    geocode(ck), vertex deltas hash-derived ±4°, all on the lattice)
+    → simplify_vw at doubled-area tol 2^24 units² (coords are
+    degrees, so tol = 2^24/2^20 — dyadic, and every cross product is
+    float-exact: diffs ≤ 16° are multiples of 2^-10, products
+    multiples of 2^-20 bounded by 2^28) → to_vertices explosion →
+    exact lattice units. Oracle: LAG/LEAD window cross products in
+    pure integer unit space — keep j∈{0,6} or |cross| ≥ 2^24."""
+    from pythongis_ray import vector as vec
+    from pythongis_ray.geom import wkb as _wkb
+
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey"])
+
+    def mk_tracks(batch: pa.Table) -> pa.Table:
+        c = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = c * 4 + 2
+        bx, by = fixtures.geocode_units(ck)
+        j = np.arange(7, dtype=np.int64)
+        kj = ck[:, None] * 8 + j[None, :]
+        vx = bx[:, None] + (kj * 48271) % 8192 - 4096
+        vy = by[:, None] + (kj * 16807) % 8192 - 4096
+        lon = vx / 1024.0 - 180.0
+        lat = vy / 1024.0 - 90.0
+        geoms = [_wkb.encode_linestring(np.column_stack([lon[i], lat[i]]))
+                 for i in range(len(ck))]
+        return pa.table({"ck": pa.array(ck),
+                         "geometry": pa.array(geoms, pa.binary())})
+
+    tracks = ds.map_batches(mk_tracks, batch_format="pyarrow",
+                            batch_size=16384)
+    simp = vec.simplify_vw(tracks, VW_TOL_UNITS / 1048576.0)
+    verts = vec.to_vertices(simp)
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        vx = batch["vx"].to_numpy(zero_copy_only=False)
+        vy = batch["vy"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ck": pc.cast(batch["ck"], pa.int64()),
+            "ix": pa.array(np.rint((vx + 180.0) * 1024.0).astype(np.int64)),
+            "iy": pa.array(np.rint((vy + 90.0) * 1024.0).astype(np.int64))})
+
+    return verts.map_batches(to_units, batch_format="pyarrow",
+                             batch_size=65536)
+
+
+def SQL_SIMPLIFY_VW():
+    src = "(SELECT c_custkey*4+2 AS ck FROM customer)"
+    g = fixtures.sql_geocode("ck").replace("__SRC__", src)
+    return f"""
+WITH base AS (SELECT ck, ix AS bx, iy AS by_ FROM ({g}) _b),
+v AS (SELECT ck, j,
+             bx + (ck*8+j) * 48271 % 8192 - 4096 AS vx,
+             by_ + (ck*8+j) * 16807 % 8192 - 4096 AS vy
+      FROM base, (SELECT UNNEST(range(7)) AS j)),
+w AS (SELECT ck, j, vx, vy,
+             LAG(vx)  OVER (PARTITION BY ck ORDER BY j) AS px,
+             LAG(vy)  OVER (PARTITION BY ck ORDER BY j) AS py,
+             LEAD(vx) OVER (PARTITION BY ck ORDER BY j) AS nx,
+             LEAD(vy) OVER (PARTITION BY ck ORDER BY j) AS ny
+      FROM v)
+SELECT ck, vx AS ix, vy AS iy FROM w
+WHERE j = 0 OR j = 6
+   OR abs((vx - px) * (ny - py) - (vy - py) * (nx - px)) >= {VW_TOL_UNITS}
+"""
+
+
+def q_poly_centroids(sf_dir: str):
+    """Exact polygon centroids (reference to_points 'centroid' path /
+    Feature.get_shapely().centroid): one asymmetric quad per supplier,
+    shoelace moments computed by the decode_flat vectorized kernel —
+    translated to each ring's FIRST VERTEX so every intermediate stays
+    under 2^53 (the absolute-coordinate shoelace overflows float64
+    exactness; the local frame is the standard fix). Output is the
+    cleared-denominator centroid: a2 = Σcross (doubled area),
+    cx_num = 3·a2·x0 + Σ(lx+lx')·cr so that centroid_x = cx_num/(3·a2)
+    — all int64. Oracle: the quad's closed-form products in the
+    CENTER-anchored frame (a2 = (a+c)(b+d), gxn = (c²−a²)(b+d),
+    gyn = (a+c)(d²−b²), so cx_num = 3·a2·cxu + gxn — translation
+    invariance makes the first-vertex and center anchors agree).
+    vector.centroids (the float operator) is parity-tested against
+    this rational form in tests/test_vector.py."""
+    from pythongis_ray.geom import wkb as _wkb
+
+    ds = _rd().read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey"])
+
+    def mk_quads(batch: pa.Table) -> pa.Table:
+        s = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = s * 16 + 5
+        cxu, cyu = fixtures.geocode_units(k)
+        a = (k * 7) % 3840 + 257
+        b = (k * 11) % 3840 + 257
+        c = (k * 13) % 3840 + 257
+        d = (k * 17) % 3840 + 257
+        rings = np.empty((len(s), 5, 2), np.float64)
+        rings[:, 0, 0] = cxu - a
+        rings[:, 0, 1] = cyu
+        rings[:, 1, 0] = cxu
+        rings[:, 1, 1] = cyu - b
+        rings[:, 2, 0] = cxu + c
+        rings[:, 2, 1] = cyu
+        rings[:, 3, 0] = cxu
+        rings[:, 3, 1] = cyu + d
+        rings[:, 4] = rings[:, 0]
+        rings[:, :, 0] = rings[:, :, 0] / 1024.0 - 180.0
+        rings[:, :, 1] = rings[:, :, 1] / 1024.0 - 90.0
+        return pa.table({"sk": pa.array(s),
+                         "geometry": pa.array(
+                             _wkb.encode_polygons_uniform(rings),
+                             pa.binary())})
+
+    quads = ds.map_batches(mk_quads, batch_format="pyarrow",
+                           batch_size=16384)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        f = _wkb.decode_flat(batch["geometry"])
+        pts, off, feat = f["pts"], f["ring_off"], f["ring_feat"]
+        ux = np.rint((pts[:, 0] + 180.0) * 1024.0).astype(np.int64)
+        uy = np.rint((pts[:, 1] + 90.0) * 1024.0).astype(np.int64)
+        # translate each ring to its first vertex (exactness guard)
+        lens = off[1:] - off[:-1]
+        x0 = np.repeat(ux[off[:-1]], lens)
+        y0 = np.repeat(uy[off[:-1]], lens)
+        lx, ly = ux - x0, uy - y0
+        last = np.zeros(len(pts), bool)
+        last[off[1:] - 1] = True
+        src = np.nonzero(~last)[0]
+        cr = lx[src] * ly[src + 1] - lx[src + 1] * ly[src]
+        gx = (lx[src] + lx[src + 1]) * cr
+        gy = (ly[src] + ly[src + 1]) * cr
+        nseg = lens - 1
+        red = np.concatenate(([0], np.cumsum(nseg)))[:-1]
+        a2 = np.add.reduceat(cr, red)
+        gxn = np.add.reduceat(gx, red)
+        gyn = np.add.reduceat(gy, red)
+        sk = batch["sk"].to_numpy(zero_copy_only=False)[feat]
+        return pa.table({
+            "sk": pa.array(sk),
+            "a2": pa.array(a2),
+            "cx_num": pa.array(3 * a2 * ux[off[:-1]] + gxn),
+            "cy_num": pa.array(3 * a2 * uy[off[:-1]] + gyn)})
+
+    return quads.map_batches(moments, batch_format="pyarrow",
+                             batch_size=16384)
+
+
+def SQL_POLY_CENTROIDS():
+    src = "(SELECT s_suppkey AS sk, s_suppkey*16+5 AS k FROM supplier)"
+    g = fixtures.sql_geocode("k").replace("__SRC__", src)
+    return f"""
+WITH q AS (SELECT sk, ix AS cxu, iy AS cyu,
+                  (k*7) % 3840 + 257 AS a, (k*11) % 3840 + 257 AS b,
+                  (k*13) % 3840 + 257 AS c, (k*17) % 3840 + 257 AS d
+           FROM ({g}) _q)
+SELECT sk,
+       (a + c) * (b + d) AS a2,
+       3 * (a + c) * (b + d) * cxu + (c*c - a*a) * (b + d) AS cx_num,
+       3 * (a + c) * (b + d) * cyu + (a + c) * (d*d - b*b) AS cy_num
+FROM q
+"""
+
+
+def q_hillshade(sf_dir: str):
+    """Hillshade over the density terrain (the classic analytic the
+    reference's raster/analyzer.py sketches next to slope): per cell,
+    the UNNORMALIZED illumination dot product of the surface normal
+    (−gx, −gy, 2) with the integer light vector L = (2, 3, 6) (a
+    Pythagorean quadruple, |L| = 7): illum_num = −2·gx − 3·gy + 12,
+    plus n2 = gx² + gy² + 4 so shade = illum_num/(7·√n2) is fully
+    determined downstream — the sqrt never enters the engine. Same
+    sparse 4-neighbor stencil as slope_grid (cells emit to neighbors,
+    one bucketed combine); exact integers end to end."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grid_ds = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                    [("n", "cx", "count")])
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        v = b["n"].to_numpy(np.int64)
+        tx = np.concatenate([cx, cx - 1, cx + 1, cx, cx])
+        ty = np.concatenate([cy, cy, cy, cy - 1, cy + 1])
+        tag = np.repeat(np.arange(5, dtype=np.int64), len(b))
+        return pd.DataFrame({"cx": tx, "cy": ty, "tag": tag,
+                             "v": np.tile(v, 5)})
+
+    tagged = grid_ds.map_batches(emit, batch_format="pandas",
+                                 batch_size=65536)
+
+    def stencil(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.pivot_table(index=["cx", "cy"], columns="tag",
+                          values="v", aggfunc="sum")
+        p = p.reindex(columns=range(5))
+        p = p[p.notna().all(axis=1)]
+        e = p[1].to_numpy(np.int64)
+        w = p[2].to_numpy(np.int64)
+        s = p[3].to_numpy(np.int64)
+        n_ = p[4].to_numpy(np.int64)
+        gx, gy = e - w, s - n_
+        idx = p.index.to_frame(index=False)
+        return pd.DataFrame({
+            "cx": idx["cx"].to_numpy(np.int64),
+            "cy": idx["cy"].to_numpy(np.int64),
+            "illum_num": -2 * gx - 3 * gy + 12,
+            "n2": gx * gx + gy * gy + 4})
+
+    out = rel.bucketed_group_apply(tagged, ["cx", "cy"], stencil)
+    return rel.with_empty_schema(out, pa.schema(
+        [("cx", pa.int64()), ("cy", pa.int64()),
+         ("illum_num", pa.int64()), ("n2", pa.int64())]))
+
+
+def SQL_HILLSHADE():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY ix // 8192, iy // 8192)
+SELECT c.cx, c.cy,
+       CAST(-2 * (e.n - w.n) - 3 * (s.n - n_.n) + 12 AS BIGINT)
+           AS illum_num,
+       CAST((e.n - w.n) * (e.n - w.n)
+            + (s.n - n_.n) * (s.n - n_.n) + 4 AS BIGINT) AS n2
+FROM g c
+JOIN g e  ON e.cx = c.cx + 1 AND e.cy = c.cy
+JOIN g w  ON w.cx = c.cx - 1 AND w.cy = c.cy
+JOIN g n_ ON n_.cx = c.cx AND n_.cy = c.cy - 1
+JOIN g s  ON s.cx = c.cx AND s.cy = c.cy + 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -20916,6 +21318,12 @@ REGISTRY: dict[str, tuple] = {
     "explore_return": (q_explore_return, SQL_EXPLORE_RETURN),
     "sfc_locality": (q_sfc_locality, SQL_SFC_LOCALITY),
     "explore_curve": (q_explore_curve, SQL_EXPLORE_CURVE),
+    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    "shp_roundtrip": (q_shp_roundtrip, SQL_SHP_ROUNDTRIP),
+    "band_math_grid": (q_band_math_grid, SQL_BAND_MATH_GRID),
+    "simplify_vw": (q_simplify_vw, SQL_SIMPLIFY_VW),
+    "poly_centroids": (q_poly_centroids, SQL_POLY_CENTROIDS),
+    "hillshade": (q_hillshade, SQL_HILLSHADE),
 }
 
 

@@ -356,6 +356,62 @@ def simplify(ds, tolerance: float, geometry_col: str = "geometry"):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
 
 
+def simplify_vw(ds, min_area2: float, geometry_col: str = "geometry"):
+    """One-pass Visvalingam–Whyatt effective-area filter: interior
+    LineString vertices whose DOUBLED triangle area
+    ``|cross(prev, cur, next)|`` is below ``min_area2`` are dropped
+    simultaneously; endpoints always survive. The non-iterative sweep
+    (a single VW elimination round, the standard pre-weeding pass) —
+    the classic simplifier alongside Douglas-Peucker
+    (:func:`simplify`); reference simplify delegates to shapely
+    (/root/reference/pythongis/vector/manager.py).
+
+    Vectorized over the :func:`wkb.decode_flat` cohort: ONE cross-
+    product kernel for the whole batch; only the WKB re-encode is
+    per-feature. Non-line rings pass through untouched. On the dyadic
+    lattice fixtures every cross product is float-exact, so the keep
+    decision is deterministic and SQL-replayable."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        f = wkb.decode_flat(batch[geometry_col])
+        pts, off = f["pts"], f["ring_off"]
+        rtyp, feat = f["ring_type"], f["ring_feat"]
+        lens = off[1:] - off[:-1]
+        n = len(pts)
+        keep = np.ones(n, dtype=bool)
+        if n >= 3:
+            a, b_, c = pts[:-2], pts[1:-1], pts[2:]
+            cr = np.abs((b_[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                        - (b_[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+            interior = np.zeros(n, dtype=bool)
+            interior[1:-1] = True
+            interior[off[:-1]] = False          # ring starts
+            interior[np.maximum(off[1:] - 1, 0)] = False  # ring ends
+            line_v = np.repeat(rtyp == 2, lens)
+            drop = np.zeros(n, dtype=bool)
+            drop[1:-1] = cr < float(min_area2)
+            keep = ~(drop & interior & line_v)
+        out = []
+        vrow = np.repeat(feat, lens) if len(lens) else np.empty(0, np.int64)
+        nring_feat = np.bincount(feat, minlength=batch.num_rows) \
+            if len(feat) else np.zeros(batch.num_rows, np.int64)
+        for i, b in enumerate(batch[geometry_col].to_pylist()):
+            if b is None or not f["valid"][i]:
+                out.append(b)
+                continue
+            m = vrow == i
+            # only single-ring LineStrings are rewritten; anything
+            # else (points, polygons, multi-part) passes through
+            if nring_feat[i] != 1 or keep[m].all():
+                out.append(bytes(b))
+            else:
+                out.append(wkb.encode_linestring(pts[m & keep]))
+        return batch.set_column(batch.column_names.index(geometry_col),
+                                geometry_col, pa.array(out, pa.binary()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
 def clean(ds, geometry_col: str = "geometry"):
     """Drop rows with null geometry; drop non-finite coordinates inside
     geometries (reference Feature.transform drops inf/NaN points,

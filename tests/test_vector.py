@@ -295,3 +295,60 @@ def test_reproject_albers_lcc_roundtrip(ray_session):
             < 1e-9
         assert np.abs(back["lat"].to_numpy() - df["lat"].to_numpy()).max() \
             < 1e-9
+
+
+def test_simplify_vw_one_pass(ray_session):
+    import ray.data as rd
+
+    # vertex 1 nearly collinear (tiny effective area); 2 and 3 sharp
+    pts = np.array([[0.0, 0.0], [1.0, 0.01], [2.0, 0.0],
+                    [3.0, 4.0], [4.0, 0.0]])
+    df = pd.DataFrame({"lid": [7], "geometry": [wkb.encode_linestring(pts)]})
+    out = vector.simplify_vw(rd.from_pandas(df), 1.0).to_pandas()
+    got = wkb.decode(bytes(out.geometry.iloc[0]))["rings"][0]
+    # brute-force: doubled area at each interior vertex
+    def a2(i):
+        a, b, c = pts[i - 1], pts[i], pts[i + 1]
+        return abs((b[0]-a[0])*(c[1]-a[1]) - (b[1]-a[1])*(c[0]-a[0]))
+    keep = [0] + [i for i in (1, 2, 3) if a2(i) >= 1.0] + [4]
+    assert np.array_equal(got, pts[keep])
+    assert len(got) < len(pts)      # something was actually dropped
+
+
+def test_simplify_vw_passthrough(ray_session):
+    import ray.data as rd
+
+    poly = wkb.encode_polygon([rect(0, 0, 4, 8)])
+    line = wkb.encode_linestring(np.array([[0.0, 0.0], [1.0, 1.0]]))
+    df = pd.DataFrame({"lid": [1, 2], "geometry": [poly, line]})
+    out = vector.simplify_vw(rd.from_pandas(df), 100.0).to_pandas()
+    out = out.sort_values("lid")
+    assert bytes(out.geometry.iloc[0]) == poly      # polygons untouched
+    assert bytes(out.geometry.iloc[1]) == line      # 2-pt line untouched
+
+
+def test_centroids_matches_rational_form(ray_session):
+    """vector.centroids (float op) vs the exact cleared-denominator
+    centroid the poly_centroids oracle computes."""
+    import ray.data as rd
+
+    rng = [(257, 900, 1300, 2000), (3000, 400, 257, 3800),
+           (1111, 2222, 3333, 444)]
+    rows = []
+    exp = []
+    for i, (a, b, c, d) in enumerate(rng):
+        cxu, cyu = 200000 + i * 9000, 90000 + i * 4000
+        ring = np.array([[cxu - a, cyu], [cxu, cyu - b], [cxu + c, cyu],
+                         [cxu, cyu + d], [cxu - a, cyu]], float)
+        ring[:, 0] = ring[:, 0] / 1024.0 - 180.0
+        ring[:, 1] = ring[:, 1] / 1024.0 - 90.0
+        rows.append({"pid": i, "geometry": wkb.encode_polygon([ring])})
+        a2 = (a + c) * (b + d)
+        cx_num = 3 * a2 * cxu + (c * c - a * a) * (b + d)
+        cy_num = 3 * a2 * cyu + (a + c) * (d * d - b * b)
+        exp.append((cx_num / (3 * a2) / 1024.0 - 180.0,
+                    cy_num / (3 * a2) / 1024.0 - 90.0))
+    out = vector.centroids(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
+    out = out.sort_values("pid")
+    for (elon, elat), lon, lat in zip(exp, out.lon, out.lat):
+        assert abs(lon - elon) < 1e-9 and abs(lat - elat) < 1e-9
