@@ -20960,6 +20960,278 @@ JOIN g s  ON s.cx = c.cx AND s.cy = c.cy + 1
 """
 
 
+def q_yule_k(sf_dir: str):
+    """Yule's characteristic K inputs per document (the classic
+    vocabulary-richness signal used in LLM-corpus quality filtering;
+    K = 10⁴·(s2 − n)/n² falls out of the three integer columns):
+    token count n_tokens, distinct types v_types, and the sum of
+    squared term frequencies s2 = Σ c_w². Documents are independent,
+    so the whole computation is ONE stateless map_batches pass —
+    vectorized split + a within-batch double groupby; no shuffle at
+    any scale."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def per_doc(b: pd.DataFrame) -> pd.DataFrame:
+        rows = b["text"].str.split(" ")
+        d = pd.DataFrame({
+            "doc_id": b["doc_id"].repeat(rows.str.len()).to_numpy(),
+            "w": np.concatenate(rows.to_numpy())})
+        c = (d.groupby(["doc_id", "w"], sort=False).size()
+             .rename("c").reset_index())
+        c["cc"] = c["c"] * c["c"]
+        g = c.groupby("doc_id", sort=False).agg(
+            n_tokens=("c", "sum"), v_types=("c", "count"),
+            s2=("cc", "sum")).reset_index()
+        for col in ("doc_id", "n_tokens", "v_types", "s2"):
+            g[col] = g[col].astype(np.int64)
+        return g
+
+    return ds.map_batches(per_doc, batch_format="pandas",
+                          batch_size=4096)
+
+
+SQL_YULE_K = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+f AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS v_types,
+       CAST(SUM(c * c) AS BIGINT) AS s2
+FROM f GROUP BY doc_id
+"""
+
+
+T_CLOSE_BAND = 2000   # sensitive attribute: value cents // 2000
+
+
+def q_t_closeness(sf_dir: str):
+    """t-closeness audit — the third leg of the privacy triad next to
+    q_k_anonymity and q_l_diversity (Li et al. ICDE'07): per
+    quasi-identifier class (event_type, epoch-dow), the CLEARED total
+    variation distance between the class's sensitive-value
+    distribution (value cents // 2000 band) and the global one:
+    tv_num = Σ_s |n_gs·T − T_g·n_s|, so t = tv_num/(2·T·T_g) never
+    needs a float. One bounded (class, band) grouped count; the
+    global marginal and the per-class fold both happen on that tiny
+    table (classes × bands ≤ a few hundred rows)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "dow": us // 86_400_000_000 % 7,
+                           "sb": cents // T_CLOSE_BAND})
+        g = (df.groupby(["event_type", "dow", "sb"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    cells = rel.groupby_aggregate(parts, ["event_type", "dow", "sb"],
+                                  [("n", "n", "sum")]).to_pandas()
+    cells["n"] = cells["n"].astype(np.int64)
+    piv = cells.pivot_table(index=["event_type", "dow"], columns="sb",
+                            values="n", aggfunc="sum", fill_value=0)
+    ngs = piv.to_numpy(np.int64)                     # classes × bands
+    ns = ngs.sum(axis=0)                             # global marginal
+    tg = ngs.sum(axis=1)
+    t_total = int(ns.sum())
+    tv = np.abs(ngs * t_total - tg[:, None] * ns[None, :]).sum(axis=1)
+    idx = piv.index.to_frame(index=False)
+    return pd.DataFrame({
+        "event_type": idx["event_type"].to_numpy(),
+        "dow": idx["dow"].to_numpy(np.int64),
+        "n_class": tg,
+        "tv_num": tv})
+
+
+def SQL_T_CLOSENESS():
+    return f"""
+WITH c AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 % 7 AS dow,
+                  CAST(round(value * 100) AS BIGINT) // {T_CLOSE_BAND}
+                      AS sb,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2, 3),
+bands AS (SELECT sb, SUM(n) AS ns FROM c GROUP BY sb),
+cls AS (SELECT event_type, dow, SUM(n) AS tg FROM c GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS t FROM c),
+x AS (SELECT cl.event_type, cl.dow, cl.tg, b.sb, b.ns,
+             COALESCE(cc.n, 0) AS ngs
+      FROM cls cl CROSS JOIN bands b
+      LEFT JOIN c cc ON cc.event_type = cl.event_type
+                    AND cc.dow = cl.dow AND cc.sb = b.sb)
+SELECT event_type, CAST(dow AS BIGINT) AS dow,
+       CAST(MAX(tg) AS BIGINT) AS n_class,
+       CAST(SUM(abs(ngs * (SELECT t FROM tot) - tg * ns)) AS BIGINT)
+           AS tv_num
+FROM x GROUP BY event_type, dow
+"""
+
+
+KM_CENSOR_DAYS = 7
+
+
+def q_km_inputs(sf_dir: str):
+    """Kaplan-Meier survival inputs over user lifetimes (the churn
+    curve's exact risk table, censoring-aware — the product estimator
+    itself is a cumulative product of these rationals): duration =
+    last − first active epoch-day per user; users whose last activity
+    falls within {KM_CENSOR_DAYS} days of the global max day are
+    right-censored (still active). Per distinct duration t: deaths
+    (uncensored ending at t), censored count, and the at-risk set
+    size n_t = #(duration ≥ t) — a suffix sum over the day-bounded
+    duration table. One user-keyed grouped min/max; everything after
+    runs on bounded tables."""
+    ds = _events_us(sf_dir, cols=("user_id", "ts"))
+
+    def days(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "day": pa.array(b["ts_us"].to_numpy(zero_copy_only=False)
+                            // 86_400_000_000)})
+
+    d = ds.map_batches(days, batch_format="pyarrow", batch_size=65536)
+    users = rel.groupby_aggregate(d, ["user_id"],
+                                  [("fd", "day", "min"),
+                                   ("ld", "day", "max")]).to_pandas()
+    fd = users["fd"].to_numpy(np.int64)
+    ld = users["ld"].to_numpy(np.int64)
+    gmax = int(ld.max())
+    dur = ld - fd
+    cens = (ld > gmax - KM_CENSOR_DAYS).astype(np.int64)
+    t = pd.DataFrame({"dur": dur, "cens": cens})
+    g = t.groupby("dur", sort=True).agg(
+        deaths=("cens", lambda s: int((1 - s).sum())),
+        censored=("cens", "sum"), m=("cens", "count"))
+    at_risk = g["m"].to_numpy(np.int64)[::-1].cumsum()[::-1]
+    return pd.DataFrame({
+        "dur": g.index.to_numpy(np.int64),
+        "deaths": g["deaths"].to_numpy(np.int64),
+        "censored": g["censored"].to_numpy(np.int64),
+        "at_risk": at_risk})
+
+
+def SQL_KM_INPUTS():
+    return f"""
+WITH u AS (SELECT user_id,
+                  MIN(epoch_us(ts) // 86400000000) AS fd,
+                  MAX(epoch_us(ts) // 86400000000) AS ld
+           FROM events GROUP BY user_id),
+g AS (SELECT MAX(ld) AS gmax FROM u),
+s AS (SELECT ld - fd AS dur,
+             CASE WHEN ld > (SELECT gmax FROM g) - {KM_CENSOR_DAYS}
+                  THEN 1 ELSE 0 END AS cens
+      FROM u),
+c AS (SELECT dur,
+             SUM(1 - cens) AS deaths, SUM(cens) AS censored,
+             COUNT(*) AS m
+      FROM s GROUP BY dur)
+SELECT CAST(dur AS BIGINT) AS dur, CAST(deaths AS BIGINT) AS deaths,
+       CAST(censored AS BIGINT) AS censored,
+       CAST(SUM(m) OVER (ORDER BY dur DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS at_risk
+FROM c
+"""
+
+
+MMR_K = 5
+
+
+def q_mmr_select(sf_dir: str):
+    """Maximal Marginal Relevance selection (Carbonell-Goldstein
+    SIGIR'98 — the diverse-retrieval / data-selection greedy): with
+    λ = 1/2 the argmax of λ·rel − (1−λ)·maxsim equals the argmax of
+    the INTEGER score rel_i − max_{s∈S} dot(i, s) on the ×1000
+    quantized embeddings. Query = vec 0; {MMR_K} greedy rounds, each
+    ONE distributed pass: per-batch partial argmax (score desc,
+    vec_id asc) → a tasks-bounded driver pick; the selected set
+    (≤ {MMR_K} vectors) rides along as a broadcast constant. Oracle =
+    {MMR_K} chained LIMIT-1 CTEs with GREATEST over the selected
+    dots."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          filters=[("vec_id", "=", 0)])
+    qv = embed.quantize(
+        np.asarray(list(qdf["embedding"]), np.float64))[0]
+
+    selected: list[tuple[int, int, np.ndarray]] = []   # (id, score, vec)
+    for _ in range(MMR_K):
+        sel_ids = np.array([s[0] for s in selected], np.int64)
+        sel_mat = (np.stack([s[2] for s in selected])
+                   if selected else np.zeros((0, len(qv)), np.int64))
+
+        def best(b: pa.Table, sel_ids=sel_ids, sel_mat=sel_mat):
+            ids = b["vec_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = ~np.isin(ids, sel_ids) & (ids != 0)
+            if not m.any():
+                return pd.DataFrame({"vec_id": [], "score": [],
+                                     "emb": []})
+            X = embed.quantize(embed._as_matrix(b["embedding"]))[m]
+            ids = ids[m]
+            rel = X @ qv
+            ms = (X @ sel_mat.T).max(axis=1) if len(sel_mat) \
+                else np.zeros(len(ids), np.int64)
+            sc = rel - ms
+            i = np.lexsort((ids, -sc))[0]
+            return pd.DataFrame({"vec_id": [ids[i]],
+                                 "score": [int(sc[i])],
+                                 "emb": [X[i].tolist()]})
+
+        cand = emb.map_batches(best, batch_format="pyarrow",
+                               batch_size=8192).to_pandas()
+        cand = cand.sort_values(["score", "vec_id"],
+                                ascending=[False, True], kind="stable")
+        w = cand.iloc[0]
+        selected.append((int(w["vec_id"]), int(w["score"]),
+                         np.asarray(w["emb"], np.int64)))
+
+    return pd.DataFrame({
+        "rank": np.arange(1, MMR_K + 1, dtype=np.int64),
+        "vec_id": np.array([s[0] for s in selected], np.int64),
+        "score": np.array([s[1] for s in selected], np.int64)})
+
+
+def SQL_MMR_SELECT():
+    pre = """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding,
+                      x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+r AS (SELECT e.vec_id,
+             CAST(list_dot_product(e.v,
+                  (SELECT v FROM e WHERE vec_id = 0)) AS BIGINT)
+                 AS rel, e.v
+      FROM e WHERE e.vec_id != 0),
+s1 AS (SELECT vec_id, rel AS score, v FROM r
+       ORDER BY rel DESC, vec_id LIMIT 1)"""
+    ctes = [pre]
+    for k in range(2, MMR_K + 1):
+        prev = ", ".join(f"CAST(list_dot_product(r.v, (SELECT v FROM s{j})) AS BIGINT)"
+                         for j in range(1, k))
+        notin = ", ".join(f"(SELECT vec_id FROM s{j})" for j in range(1, k))
+        ctes.append(f"""
+s{k} AS (SELECT vec_id, rel - GREATEST({prev}) AS score, v
+        FROM r WHERE vec_id NOT IN ({notin})
+        ORDER BY score DESC, vec_id LIMIT 1)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, vec_id, score FROM s{k}"
+        for k in range(1, MMR_K + 1))
+    return (",".join(ctes)
+            + f"\nSELECT CAST(rank AS BIGINT) AS rank, vec_id, "
+              f"CAST(score AS BIGINT) AS score FROM ({sel}) _m\n")
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -21324,6 +21596,10 @@ REGISTRY: dict[str, tuple] = {
     "simplify_vw": (q_simplify_vw, SQL_SIMPLIFY_VW),
     "poly_centroids": (q_poly_centroids, SQL_POLY_CENTROIDS),
     "hillshade": (q_hillshade, SQL_HILLSHADE),
+    "yule_k": (q_yule_k, SQL_YULE_K),
+    "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
+    "km_inputs": (q_km_inputs, SQL_KM_INPUTS),
+    "mmr_select": (q_mmr_select, SQL_MMR_SELECT),
 }
 
 
