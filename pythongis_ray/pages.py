@@ -37,7 +37,8 @@ IMGS_PER_PAGE = 2
 
 def synthesize_pages(batch: pa.Table, replicate: int = 1,
                      links: bool = False,
-                     images: bool = False) -> pa.Table:
+                     images: bool = False,
+                     nest: bool = False) -> pa.Table:
     """documents batch → pages batch. With ``replicate`` > 1 each doc
     yields `replicate` pages with distinct page ids/urls (deterministic
     upsampling for benchmarks; ids = doc_id * replicate + r).
@@ -77,8 +78,20 @@ def synthesize_pages(batch: pa.Table, replicate: int = 1,
         "")
     warc_ts = pa.array((EPOCH_2024 + page_id * 37_000_000).view(np.int64),
                        type=pa.timestamp("us"))
-    segs = [pa.array([b"<html><body>"] * len(page_id), pa.binary()),
-            pc.cast(text, pa.binary())]
+    segs = [pa.array([b"<html><body>"] * len(page_id), pa.binary())]
+    if nest:
+        # deterministic DOM depth: 1 + page_id % 7 nested divs wrap
+        # the text; tag-strip extraction still yields byte-identical
+        # text (the north-rule invariant), while real parsers must
+        # measure depth = 3 + page_id % 7 from the bytes
+        ndiv = 1 + page_id % 7
+        opens = pa.array([b"<div>" * int(k) for k in ndiv], pa.binary())
+        segs.append(opens)
+    segs.append(pc.cast(text, pa.binary()))
+    if nest:
+        closes = pa.array([b"</div>" * int(k) for k in ndiv],
+                          pa.binary())
+        segs.append(closes)
     if links:
         for j in (1, 2, 3):
             t = page_id >> j
@@ -128,7 +141,7 @@ def geocode_pages(batch: pa.Table, res: int = grid.DEFAULT_RES) -> pa.Table:
 
 def pages_dataset(sf_dir: str, replicate: int = 1, geocode: bool = True,
                   columns: list[str] | None = None, links: bool = False,
-                  images: bool = False):
+                  images: bool = False, nest: bool = False):
     """read documents.parquet → pages Dataset (lazy, streaming)."""
     import ray.data as rd
 
@@ -139,7 +152,7 @@ def pages_dataset(sf_dir: str, replicate: int = 1, geocode: bool = True,
     # memory rule — html ~1 KB/row must not produce GB-sized blocks)
     bs = max(256, 8192 // max(1, replicate))
     ds = ds.map_batches(lambda b: synthesize_pages(b, replicate, links=links,
-                                                   images=images),
+                                                   images=images, nest=nest),
                         batch_format="pyarrow", batch_size=bs)
     if geocode:
         # batch_size=None → one batch per upstream block. Ray fuses
@@ -167,6 +180,70 @@ def extract_text(batch: pa.Table, html_col: str = "html",
     s = pc.cast(batch[html_col], pa.string())
     stripped = pc.replace_substring_regex(s, "<[^>]*>", "")
     return batch.append_column(out_col, stripped)
+
+
+_VOID_TAGS = {"img", "br", "hr", "meta", "link", "input", "area",
+              "base", "col", "embed", "source", "track", "wbr"}
+
+
+def tag_depth(batch: pa.Table, html_col: str = "html",
+              src_col: str = "page_id") -> pa.Table:
+    """html → per-page DOM statistics ``(page_id, depth, n_tags)``:
+    maximum tag-nesting depth (the structural-complexity signal CC
+    quality filters use) and total tag count. Parser-free and
+    vectorized like :func:`extract_links`: ONE ``split_pattern('<')``
+    kernel explodes tags, ONE ``extract_regex`` classifies each tag
+    (closing slash + name), HTML void elements contribute no depth,
+    and the per-page max-prefix-sum is a segmented
+    ``np.maximum.reduceat`` over one global cumsum — zero Python per
+    tag. Tag-soup semantics: a stray ``<name ...>`` sequence inside
+    text counts as a tag (like every strip-based CC extractor); a
+    bare ``<`` with no following ``>`` does not."""
+    col = batch[html_col]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    src = batch[src_col]
+    src_arr = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+    if arr.null_count:
+        valid = pc.is_valid(arr)
+        arr = arr.filter(valid)
+        src_arr = src_arr.filter(valid)
+    s = pc.cast(arr, pa.string())
+    lists = pc.split_pattern(s, "<")
+    counts = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    pid = src_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(pid) == 0 or int(counts.sum()) == 0:
+        return pa.table({"page_id": pa.array([], pa.int64()),
+                         "depth": pa.array([], pa.int64()),
+                         "n_tags": pa.array([], pa.int64())})
+    flat = pc.list_flatten(lists)
+    # piece 0 of each doc is the pre-first-'<' prefix, not a tag
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    is_prefix = np.zeros(len(flat), dtype=bool)
+    is_prefix[starts] = True
+    # a real tag piece carries its closing '>' (a stray '<' in text
+    # never does, since pieces are '<'-delimited)
+    m = pc.extract_regex(
+        flat, r"^(?P<close>/?)(?P<name>[a-zA-Z][a-zA-Z0-9]*)[^>]*>")
+    ok = pc.is_valid(m).to_numpy(zero_copy_only=False) & ~is_prefix
+    close = np.zeros(len(flat), dtype=bool)
+    name = np.empty(len(flat), dtype=object)
+    st = pc.struct_field(m, "close").to_numpy(zero_copy_only=False)
+    nm = pc.struct_field(m, "name").to_numpy(zero_copy_only=False)
+    close[ok] = st[ok] == "/"
+    name[ok] = nm[ok]
+    void = np.zeros(len(flat), dtype=bool)
+    void[ok] = pd.Series(name[ok]).str.lower().isin(_VOID_TAGS).to_numpy()
+    delta = np.zeros(len(flat), dtype=np.int64)
+    delta[ok & ~void] = 1
+    delta[ok & ~void & close] = -1
+    run = np.cumsum(delta)
+    seg_max = np.maximum.reduceat(run, starts)
+    base = np.concatenate(([0], run[np.cumsum(counts) - 1][:-1]))
+    n_tags = np.add.reduceat(ok.astype(np.int64), starts)
+    return pa.table({"page_id": pa.array(pid),
+                     "depth": pa.array(seg_max - base),
+                     "n_tags": pa.array(n_tags)})
 
 
 def extract_links(batch: pa.Table, html_col: str = "html",

@@ -21232,6 +21232,34 @@ s{k} AS (SELECT vec_id, rel - GREATEST({prev}) AS score, v
               f"CAST(score AS BIGINT) AS score FROM ({sel}) _m\n")
 
 
+def q_dom_depth(sf_dir: str):
+    """DOM structural statistics from raw html bytes (the CC quality
+    signal 'template complexity'): pages are synthesized with
+    deterministic nesting (1 + page_id % 7 divs wrap the text,
+    extract_text stays byte-identical — pages.synthesize_pages
+    nest=True), and the engine re-measures max tag-nesting depth and
+    tag count with the parser-free vectorized pages.tag_depth kernel
+    (split + extract_regex + segmented max-prefix-sum; void elements
+    contribute no depth). The oracle replays the planted arithmetic:
+    depth = 3 + id % 7, n_tags = 6 + 2·(id % 7) — a hash match means
+    the byte-level measurement recovered exactly what synthesis
+    planted."""
+    from pythongis_ray import pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, nest=True,
+                             columns=["page_id", "html"])
+    return ds.map_batches(pages.tag_depth, batch_format="pyarrow",
+                          batch_size=4096)
+
+
+SQL_DOM_DEPTH = """
+SELECT CAST(doc_id AS BIGINT) AS page_id,
+       CAST(3 + doc_id % 7 AS BIGINT) AS depth,
+       CAST(6 + 2 * (doc_id % 7) AS BIGINT) AS n_tags
+FROM documents
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -21600,6 +21628,7 @@ REGISTRY: dict[str, tuple] = {
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
     "km_inputs": (q_km_inputs, SQL_KM_INPUTS),
     "mmr_select": (q_mmr_select, SQL_MMR_SELECT),
+    "dom_depth": (q_dom_depth, SQL_DOM_DEPTH),
 }
 
 

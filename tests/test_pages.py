@@ -120,3 +120,33 @@ def test_images_preserve_text_byte_identity(ray_session):
     e1 = pages.extract_links(plain).to_pandas()
     e2 = pages.extract_links(with_img).to_pandas()
     assert e1.equals(e2)
+
+
+def test_tag_depth_kernel():
+    import pyarrow as pa
+
+    docs = pa.table({
+        "page_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "html": pa.array([
+            b"<html><body><div><div>x</div></div></body></html>",  # depth 4
+            b"plain text, no tags at all",                          # depth 0
+            b"<p>a<br><img src='x.jpg'>b</p>",                      # voids: depth 1
+            b"<html><body>stray <kept here</body></html>",          # '<' in text
+        ], pa.binary())})
+    out = pages.tag_depth(docs).to_pandas().sort_values("page_id")
+    assert out.depth.tolist() == [4, 0, 1, 2]
+    assert out.n_tags.tolist() == [8, 0, 4, 4]
+
+
+def test_nested_pages_text_byte_identical():
+    import pyarrow as pa
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 5, 13], pa.int64()),
+        "text": pa.array(["alpha beta", "", "g&mma"], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string())})
+    nested = pages.synthesize_pages(docs, nest=True, links=True)
+    t = pages.extract_text(nested)["text_extracted"].to_pylist()
+    assert t == ["alpha beta", "", "g&mma"]
+    d = pages.tag_depth(nested).to_pandas().sort_values("page_id")
+    assert d.depth.tolist() == [3 + i % 7 for i in (0, 5, 13)]
