@@ -21260,6 +21260,168 @@ FROM documents
 """
 
 
+IDW_Q = 1 << 30   # inverse-distance weight quantum
+
+
+def q_idw_cells(sf_dir: str):
+    """Inverse-distance-weighted interpolation (the reference's vector
+    → raster `interpolate`, /root/reference/pythongis/raster/
+    manager.py IDW branch; raster.idw is the float operator — this is
+    the exactness-disciplined pipeline form): the {VORONOI_SITES}
+    densest terrain cells are sites (same construction as
+    q_voronoi_cells); every occupied cell gets the quantized-weight
+    IDW estimate of density from ALL sites, w_s = 2^30 // (1 + d²_s)
+    — floor-quantized so both sides are integers (true 1/d² weights
+    need cleared products of six d² values, far past int64). Output
+    is the cleared pair (num = Σ n_s·w_s, den = Σ w_s); the estimate
+    num/den never needs a float. Sites broadcast once; the map is
+    stateless and vectorized — no shuffle beyond the density grid."""
+    import ray
+
+    from pythongis_ray import state
+
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    cells = pts.map_batches(cellify, batch_format="pyarrow",
+                            batch_size=65536)
+    grd = rel.groupby_aggregate(cells, ["cx", "cy"],
+                                [("n", "cx", "count")]).materialize()
+
+    top = grd.to_pandas().sort_values(
+        ["n", "cx", "cy"], ascending=[False, True, True],
+        kind="stable").head(VORONOI_SITES).reset_index(drop=True)
+    sites_ref = ray.put((top["cx"].to_numpy(np.int64),
+                         top["cy"].to_numpy(np.int64),
+                         top["n"].to_numpy(np.int64)))
+
+    def interp(batch: pa.Table) -> pa.Table:
+        ssx, ssy, sn = state.get_broadcast(sites_ref,
+                                           key_extra=("idw_sites",))
+        cx = batch["cx"].to_numpy(zero_copy_only=False)
+        cy = batch["cy"].to_numpy(zero_copy_only=False)
+        dx = cx[:, None] - ssx[None, :]
+        dy = cy[:, None] - ssy[None, :]
+        w = IDW_Q // (1 + dx * dx + dy * dy)
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                         "num": pa.array((w * sn[None, :]).sum(axis=1)),
+                         "den": pa.array(w.sum(axis=1))})
+
+    return grd.map_batches(interp, batch_format="pyarrow",
+                           batch_size=65536)
+
+
+def SQL_IDW_CELLS():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2),
+s AS (SELECT cx AS sx, cy AS sy, n AS sn FROM g
+      ORDER BY n DESC, cx, cy LIMIT {VORONOI_SITES})
+SELECT g.cx, g.cy,
+       CAST(SUM(({IDW_Q} // (1 + (g.cx - s.sx) * (g.cx - s.sx)
+                               + (g.cy - s.sy) * (g.cy - s.sy))) * s.sn)
+            AS BIGINT) AS num,
+       CAST(SUM({IDW_Q} // (1 + (g.cx - s.sx) * (g.cx - s.sx)
+                              + (g.cy - s.sy) * (g.cy - s.sy)))
+            AS BIGINT) AS den
+FROM g CROSS JOIN s
+GROUP BY g.cx, g.cy
+"""
+
+
+KATZ_L = 4
+
+
+def q_katz(sf_dir: str):
+    """Katz centrality with attenuation β = 1/2 truncated at
+    {KATZ_L} hops over the html-extracted link graph, scaled by 2^L
+    to stay integer: katz(v) = Σ_l 2^(L−l)·p_l(v) where p_l = in-path
+    counts (p_{{l+1}}(v) = Σ_(u,v) p_l(u), multi-edges count with
+    multiplicity). The halving attenuation is exact bit arithmetic —
+    no float damping (same trick as q_decay_score). Each round is ONE
+    partitioned join of the static materialized edge table against
+    the shrinking (node, p) table + a destination-keyed combine;
+    oracle = chained AS MATERIALIZED join CTEs (support(p_l) ⊆
+    support(p_1), so the finalize is LEFT JOINs onto p1)."""
+    from pythongis_ray import pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    e = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                       batch_size=4096).map_batches(
+        lambda b: pa.table({"key": b["src_page"],
+                            "dst": b["dst_page"]}),
+        batch_format="pyarrow", batch_size=65536).materialize()
+
+    # p1 = indegree (p0 ≡ 1 on every node)
+    p = rel.groupby_aggregate(
+        e.map_batches(lambda b: pa.table({"node": b["dst"]}),
+                      batch_format="pyarrow", batch_size=65536),
+        ["node"], [("p", "node", "count")]).materialize()
+    levels = [p]
+    for _ in range(1, KATZ_L):
+        pk = p.map_batches(lambda b: pa.table({"key": b["node"],
+                                               "p": b["p"]}),
+                           batch_format="pyarrow", batch_size=65536)
+        j = rel.join_large(e, pk, on="key", num_buckets=16)
+        msgs = j.map_batches(
+            lambda b: pa.table({"node": b["dst"], "p": b["p"]}),
+            batch_format="pyarrow", batch_size=65536)
+        p = rel.groupby_aggregate(msgs, ["node"],
+                                  [("p", "p", "sum")]).materialize()
+        levels.append(p)
+
+    parts = None
+    for li, lev in enumerate(levels):
+        wgt = 1 << (KATZ_L - 1 - li)
+        t = lev.map_batches(
+            lambda b, wgt=wgt: pa.table({
+                "node": b["node"],
+                "katz": pc.multiply(pc.cast(b["p"], pa.int64()),
+                                    pa.scalar(wgt, pa.int64()))}),
+            batch_format="pyarrow", batch_size=65536)
+        parts = t if parts is None else parts.union(t)
+    return rel.groupby_aggregate(parts, ["node"], [("katz", "katz", "sum")])
+
+
+def SQL_KATZ():
+    lvl = ["p1 AS MATERIALIZED (SELECT dst AS node, "
+           "CAST(COUNT(*) AS BIGINT) AS p FROM e GROUP BY dst)"]
+    for k in range(2, KATZ_L + 1):
+        lvl.append(f"""
+p{k} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(pp.p) AS BIGINT) AS p
+  FROM e JOIN p{k - 1} pp ON pp.node = e.src GROUP BY e.dst)""")
+    joins = "\n".join(f"LEFT JOIN p{k} ON p{k}.node = p1.node"
+                      for k in range(2, KATZ_L + 1))
+    terms = " + ".join(
+        f"{1 << (KATZ_L - k)} * COALESCE(p{k}.p, 0)"
+        for k in range(2, KATZ_L + 1))
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST(doc_id // 2 AS BIGINT) AS dst FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 4 AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 8 AS BIGINT)
+  FROM documents),
+{",".join(lvl)}
+SELECT p1.node, CAST({1 << (KATZ_L - 1)} * p1.p + {terms} AS BIGINT)
+           AS katz
+FROM p1
+{joins}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -21629,6 +21791,8 @@ REGISTRY: dict[str, tuple] = {
     "km_inputs": (q_km_inputs, SQL_KM_INPUTS),
     "mmr_select": (q_mmr_select, SQL_MMR_SELECT),
     "dom_depth": (q_dom_depth, SQL_DOM_DEPTH),
+    "idw_cells": (q_idw_cells, SQL_IDW_CELLS),
+    "katz": (q_katz, SQL_KATZ),
 }
 
 
