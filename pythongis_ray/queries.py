@@ -21422,6 +21422,334 @@ FROM p1
 """
 
 
+def q_join_counts(sf_dir: str):
+    """Join-count statistics (Cliff-Ord; the binary-surface spatial
+    autocorrelation test that completes the moran_i / lisa_quadrants /
+    gi_star family): occupied terrain cells are colored Black when
+    above the global mean (n·nc > 2·s — the grid_regions level test),
+    White otherwise; adjacent occupied pairs (4-neighborhood, counted
+    once via the east/north half-stencil) are tallied as BB / BW / WW.
+    One density groupby + the sparse-stencil co-location; the global
+    tally is three integer sums."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    cells = pts.map_batches(cellify, batch_format="pyarrow",
+                            batch_size=65536)
+    grd = rel.groupby_aggregate(cells, ["cx", "cy"],
+                                [("n", "cx", "count")]).materialize()
+    tp = grd.map_batches(
+        lambda b: pa.table({"nc": pa.array([b.num_rows], pa.int64()),
+                            "s": pa.array([int(pc.sum(b["n"]).as_py())],
+                                          pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    nc, s = int(tp["nc"].sum()), int(tp["s"].sum())
+
+    # each cell posts its color to its east/north neighbor positions;
+    # the resident combine pairs poster with resident exactly once
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        blk = (b["n"].to_numpy(np.int64) * nc > 2 * s).astype(np.int64)
+        tx = np.concatenate([cx, cx + 1, cx])
+        ty = np.concatenate([cy, cy, cy + 1])
+        tag = np.repeat(np.arange(3, dtype=np.int64), len(b))
+        return pd.DataFrame({"cx": tx, "cy": ty, "tag": tag,
+                             "blk": np.tile(blk, 3)})
+
+    tagged = grd.map_batches(emit, batch_format="pandas",
+                             batch_size=65536)
+
+    def pair_counts(b: pd.DataFrame) -> pd.DataFrame:
+        own = b[b["tag"] == 0].set_index(["cx", "cy"])["blk"]
+        inc = b[b["tag"] != 0].set_index(["cx", "cy"])["blk"]
+        j = inc.to_frame("nb").join(own.to_frame("me"), how="inner")
+        t = j["me"].to_numpy(np.int64) + j["nb"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bb": [int((t == 2).sum())], "bw": [int((t == 1).sum())],
+            "ww": [int((t == 0).sum())]})
+
+    parts = rel.bucketed_group_apply(tagged, ["cx", "cy"], pair_counts)
+    out = parts.map_batches(
+        lambda b: pd.DataFrame({"bb": [int(b["bb"].sum())],
+                                "bw": [int(b["bw"].sum())],
+                                "ww": [int(b["ww"].sum())]}),
+        batch_format="pandas").to_pandas()
+    return pd.DataFrame({"bb": [int(out["bb"].sum())],
+                         "bw": [int(out["bw"].sum())],
+                         "ww": [int(out["ww"].sum())]})
+
+
+def SQL_JOIN_COUNTS():
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+g AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy, COUNT(*) AS n
+      FROM pts GROUP BY 1, 2),
+t AS (SELECT COUNT(*) AS nc, SUM(n) AS s FROM g),
+c AS (SELECT cx, cy,
+             CASE WHEN n * (SELECT nc FROM t) > 2 * (SELECT s FROM t)
+                  THEN 1 ELSE 0 END AS blk
+      FROM g),
+p AS (SELECT a.blk + b.blk AS tt
+      FROM c a JOIN c b
+        ON (b.cx = a.cx + 1 AND b.cy = a.cy)
+        OR (b.cx = a.cx AND b.cy = a.cy + 1))
+SELECT CAST(SUM(CASE WHEN tt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+       CAST(SUM(CASE WHEN tt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bw,
+       CAST(SUM(CASE WHEN tt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ww
+FROM p
+"""
+
+
+CC_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+def q_cross_corr(sf_dir: str):
+    """Lagged cross-correlation inputs between the daily 'view' and
+    'purchase' series (the marketing lead-lag diagnostic; q_autocorr
+    is the self-paired case): the gap-filled day grid [d0, dmax] with
+    missing days = 0 makes the alignment deterministic, and per lag
+    ℓ ∈ {CC_LAGS} the exact integer moments (n, sx, sy, sxy, sxx,
+    syy) over pairs (x_d, y_(d+ℓ)) determine Pearson r without a
+    float. Daily counts are one small-key distributed fold; the
+    lag algebra runs on the day-bounded table."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        et = b["event_type"].to_pandas()
+        m = et.isin(["view", "purchase"])
+        us = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)[m.to_numpy()]
+        df = pd.DataFrame({"et": et[m].to_numpy(),
+                           "day": us // 86_400_000_000})
+        g = (df.groupby(["et", "day"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    daily = rel.groupby_aggregate(parts, ["et", "day"],
+                                  [("n", "n", "sum")]).to_pandas()
+    daily["n"] = daily["n"].astype(np.int64)
+    d0, d1 = int(daily["day"].min()), int(daily["day"].max())
+    days = np.arange(d0, d1 + 1, dtype=np.int64)
+    x = np.zeros(len(days), np.int64)
+    y = np.zeros(len(days), np.int64)
+    for et, arr in (("view", x), ("purchase", y)):
+        sub = daily[daily["et"] == et]
+        arr[sub["day"].to_numpy(np.int64) - d0] = \
+            sub["n"].to_numpy(np.int64)
+    rows = []
+    for lag in CC_LAGS:
+        if lag >= 0:
+            xa, ya = x[:len(x) - lag or None], y[lag:]
+        else:
+            xa, ya = x[-lag:], y[:lag]
+        rows.append((lag, len(xa), int(xa.sum()), int(ya.sum()),
+                     int((xa * ya).sum()), int((xa * xa).sum()),
+                     int((ya * ya).sum())))
+    return pd.DataFrame(rows, columns=["lag", "n", "sx", "sy",
+                                       "sxy", "sxx", "syy"]) \
+        .astype(np.int64)
+
+
+def SQL_CROSS_CORR():
+    lags = ", ".join(f"({v})" for v in CC_LAGS)
+    return f"""
+WITH e AS (SELECT event_type AS et,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events WHERE event_type IN ('view', 'purchase')),
+b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+d AS (SELECT UNNEST(range((SELECT d0 FROM b),
+                          (SELECT d1 FROM b) + 1)) AS day),
+cv AS (SELECT day, COUNT(*) AS n FROM e WHERE et = 'view'
+       GROUP BY day),
+cp AS (SELECT day, COUNT(*) AS n FROM e WHERE et = 'purchase'
+       GROUP BY day),
+s AS (SELECT d.day, COALESCE(cv.n, 0) AS x, COALESCE(cp.n, 0) AS y
+      FROM d LEFT JOIN cv ON cv.day = d.day
+             LEFT JOIN cp ON cp.day = d.day)
+SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a.x) AS BIGINT) AS sx, CAST(SUM(b2.y) AS BIGINT) AS sy,
+       CAST(SUM(a.x * b2.y) AS BIGINT) AS sxy,
+       CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+       CAST(SUM(b2.y * b2.y) AS BIGINT) AS syy
+FROM (VALUES {lags}) l(lag)
+JOIN s a ON TRUE
+JOIN s b2 ON b2.day = a.day + l.lag
+GROUP BY l.lag
+"""
+
+
+MATCH_ROUNDS = 3
+
+
+def q_matching(sf_dir: str):
+    """Distributed greedy matching via locally-dominant edges (Hoepman
+    2004 / Preis'99: an edge is matched when it is the min-priority
+    incident edge of BOTH endpoints — rounds are conflict-free and
+    deterministic, unlike sequential greedy): over the deduped
+    undirected link graph (u < v, self-loops dropped), priority =
+    edge key u·2²¹ + v (a total order). {MATCH_ROUNDS} simultaneous
+    rounds; each is one per-node min fold + two keyed joins + the
+    endpoint elimination anti-joins — all bucketed (native=False: the
+    native Dataset.join would spawn an actor pool per round). Output
+    (u, v, round matched). A fixed round count keeps the oracle
+    replayable as chained CTEs; edges still augmentable after round
+    {MATCH_ROUNDS} are out of scope on BOTH sides by construction."""
+    from pythongis_ray import pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src_page"].to_numpy(zero_copy_only=False)
+        d = b["dst_page"].to_numpy(zero_copy_only=False)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        m = u < v
+        return pa.table({"u": pa.array(u[m]), "v": pa.array(v[m])})
+
+    e = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                       batch_size=4096) \
+        .map_batches(canon, batch_format="pyarrow", batch_size=65536)
+    e = rel.dedup(e, ["u", "v"])
+    def add_priority(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        # LCG-scrambled priority: without it every node's min edge
+        # points at its lowest-id ancestor and dominance collapses
+        # into the hub core (a 9-edge matching at every scale);
+        # scrambling scatters local minima so each round matches a
+        # constant fraction (Hoepman's expectation). ek stays a TOTAL
+        # order: the injective (u,v) pack rides as the low bits under
+        # the 19-bit hash (valid for ids < 2^21; int64-safe).
+        ph = (u * 69069 + v * 48271) % (1 << 19)
+        return b.append_column(
+            "ek", pa.array(ph * (1 << 43) + u * (1 << 21) + v))
+
+    alive = e.map_batches(add_priority, batch_format="pyarrow",
+                          batch_size=65536).materialize()
+
+    matched_parts = []
+    for rnd in range(1, MATCH_ROUNDS + 1):
+        both = alive.map_batches(
+            lambda b: pa.table({
+                "node": pa.concat_arrays([
+                    pc.cast(b["u"], pa.int64()).combine_chunks(),
+                    pc.cast(b["v"], pa.int64()).combine_chunks()]),
+                "ek": pa.concat_arrays(
+                    [pc.cast(b["ek"], pa.int64()).combine_chunks()] * 2)}),
+            batch_format="pyarrow", batch_size=65536)
+        nm = rel.groupby_aggregate(both, ["node"], [("mn", "ek", "min")])
+        nmu = nm.map_batches(lambda b: pa.table(
+            {"u": b["node"], "mu": b["mn"]}),
+            batch_format="pyarrow", batch_size=65536)
+        nmv = nm.map_batches(lambda b: pa.table(
+            {"v": b["node"], "mv": b["mn"]}),
+            batch_format="pyarrow", batch_size=65536)
+        j = rel.join_large(alive, nmu, on="u", num_buckets=16,
+                           native=False)
+        j = rel.join_large(j, nmv, on="v", num_buckets=16,
+                           native=False)
+
+        def pick(b: pd.DataFrame, rnd=rnd) -> pd.DataFrame:
+            m = (b["ek"].to_numpy(np.int64)
+                 == b["mu"].to_numpy(np.int64)) \
+                & (b["ek"].to_numpy(np.int64)
+                   == b["mv"].to_numpy(np.int64))
+            g = b[m]
+            return pd.DataFrame({
+                "u": g["u"].to_numpy(np.int64),
+                "v": g["v"].to_numpy(np.int64),
+                "round": np.full(int(m.sum()), rnd, np.int64)})
+
+        matched = j.map_batches(pick, batch_format="pandas",
+                                batch_size=65536).materialize()
+        matched_parts.append(matched)
+        if rnd == MATCH_ROUNDS:
+            break
+        gone = matched.map_batches(
+            lambda b: pa.table({
+                "node": pa.concat_arrays([
+                    pc.cast(b["u"], pa.int64()).combine_chunks(),
+                    pc.cast(b["v"], pa.int64()).combine_chunks()]),
+                "hit": pa.array(np.ones(b.num_rows * 2, np.int64))}),
+            batch_format="pyarrow", batch_size=65536)
+        gone = rel.dedup(gone, ["node"])
+        for col in ("u", "v"):
+            side = gone.map_batches(
+                lambda b, col=col: pa.table({col: b["node"],
+                                             f"hit_{col}": b["hit"]}),
+                batch_format="pyarrow", batch_size=65536)
+            alive = rel.join_large(alive, side, on=col, num_buckets=16,
+                                   how="left", native=False)
+            alive = alive.map_batches(
+                lambda b, col=col: b[b[f"hit_{col}"].isna()]
+                [["u", "v", "ek"]],
+                batch_format="pandas", batch_size=65536)
+        alive = alive.materialize()
+
+    out = None
+    for mpart in matched_parts:
+        out = mpart if out is None else out.union(mpart)
+    res = out.to_pandas()
+    if len(res) == 0:
+        return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                             "v": pd.Series([], dtype=np.int64),
+                             "round": pd.Series([], dtype=np.int64)})
+    return res.astype(np.int64)
+
+
+def SQL_MATCHING():
+    ctes = ["""e1 AS MATERIALIZED (
+  SELECT u, v,
+         ((u * 69069 + v * 48271) % 524288) * 8796093022208
+             + u * 2097152 + v AS ek
+  FROM (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM links WHERE least(src, dst) < greatest(src, dst)) _e)"""]
+    sels = []
+    for r in range(1, MATCH_ROUNDS + 1):
+        ctes.append(f"""
+nm{r} AS MATERIALIZED (
+  SELECT node, MIN(ek) AS mn FROM (
+    SELECT u AS node, ek FROM e{r}
+    UNION ALL SELECT v AS node, ek FROM e{r}) _n{r} GROUP BY node),
+m{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e
+  JOIN nm{r} a ON a.node = e.u AND a.mn = e.ek
+  JOIN nm{r} b ON b.node = e.v AND b.mn = e.ek)""")
+        sels.append(f"SELECT u, v, {r} AS round FROM m{r}")
+        if r < MATCH_ROUNDS:
+            ctes.append(f"""
+e{r + 1} AS MATERIALIZED (
+  SELECT * FROM e{r}
+  WHERE u NOT IN (SELECT u FROM m{r} UNION SELECT v FROM m{r})
+    AND v NOT IN (SELECT u FROM m{r} UNION SELECT v FROM m{r}))""")
+    return f"""
+WITH links AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST(doc_id // 2 AS BIGINT) AS dst FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 4 AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 8 AS BIGINT)
+  FROM documents),
+{",".join(ctes)}
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(round AS BIGINT) AS round
+FROM ({" UNION ALL ".join(sels)}) _m
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -21793,6 +22121,9 @@ REGISTRY: dict[str, tuple] = {
     "dom_depth": (q_dom_depth, SQL_DOM_DEPTH),
     "idw_cells": (q_idw_cells, SQL_IDW_CELLS),
     "katz": (q_katz, SQL_KATZ),
+    "join_counts": (q_join_counts, SQL_JOIN_COUNTS),
+    "cross_corr": (q_cross_corr, SQL_CROSS_CORR),
+    "matching": (q_matching, SQL_MATCHING),
 }
 
 
