@@ -21588,22 +21588,12 @@ GROUP BY l.lag
 """
 
 
-MATCH_ROUNDS = 3
-
-
-def q_matching(sf_dir: str):
-    """Distributed greedy matching via locally-dominant edges (Hoepman
-    2004 / Preis'99: an edge is matched when it is the min-priority
-    incident edge of BOTH endpoints — rounds are conflict-free and
-    deterministic, unlike sequential greedy): over the deduped
-    undirected link graph (u < v, self-loops dropped), priority =
-    edge key u·2²¹ + v (a total order). {MATCH_ROUNDS} simultaneous
-    rounds; each is one per-node min fold + two keyed joins + the
-    endpoint elimination anti-joins — all bucketed (native=False: the
-    native Dataset.join would spawn an actor pool per round). Output
-    (u, v, round matched). A fixed round count keeps the oracle
-    replayable as chained CTEs; edges still augmentable after round
-    {MATCH_ROUNDS} are out of scope on BOTH sides by construction."""
+def _weighted_link_edges(sf_dir: str):
+    """Deduped undirected link graph (u < v, self-loops dropped) with
+    an LCG-scrambled TOTAL-ORDER weight: wk = ((u·69069 + v·48271)
+    mod 2^19)·2^43 + u·2^21 + v. The injective (u,v) pack rides as
+    the low bits so ties are impossible (valid for ids < 2^21,
+    int64-safe). Shared by q_matching and q_boruvka."""
     from pythongis_ray import pages
 
     ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
@@ -21621,22 +21611,58 @@ def q_matching(sf_dir: str):
                        batch_size=4096) \
         .map_batches(canon, batch_format="pyarrow", batch_size=65536)
     e = rel.dedup(e, ["u", "v"])
+
     def add_priority(b: pa.Table) -> pa.Table:
         u = b["u"].to_numpy(zero_copy_only=False)
         v = b["v"].to_numpy(zero_copy_only=False)
-        # LCG-scrambled priority: without it every node's min edge
-        # points at its lowest-id ancestor and dominance collapses
-        # into the hub core (a 9-edge matching at every scale);
-        # scrambling scatters local minima so each round matches a
-        # constant fraction (Hoepman's expectation). ek stays a TOTAL
-        # order: the injective (u,v) pack rides as the low bits under
-        # the 19-bit hash (valid for ids < 2^21; int64-safe).
         ph = (u * 69069 + v * 48271) % (1 << 19)
         return b.append_column(
             "ek", pa.array(ph * (1 << 43) + u * (1 << 21) + v))
 
-    alive = e.map_batches(add_priority, batch_format="pyarrow",
-                          batch_size=65536).materialize()
+    return e.map_batches(add_priority, batch_format="pyarrow",
+                         batch_size=65536).materialize()
+
+
+_SQL_WEIGHTED_LINK_EDGES = """
+links AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST(doc_id // 2 AS BIGINT) AS dst FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 4 AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 8 AS BIGINT)
+  FROM documents),
+e1 AS MATERIALIZED (
+  SELECT u, v,
+         ((u * 69069 + v * 48271) % 524288) * 8796093022208
+             + u * 2097152 + v AS ek
+  FROM (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM links WHERE least(src, dst) < greatest(src, dst)) _e)"""
+
+
+MATCH_ROUNDS = 3
+
+
+def q_matching(sf_dir: str):
+    """Distributed greedy matching via locally-dominant edges (Hoepman
+    2004 / Preis'99: an edge is matched when it is the min-priority
+    incident edge of BOTH endpoints — rounds are conflict-free and
+    deterministic, unlike sequential greedy): over the deduped
+    undirected link graph (u < v, self-loops dropped), priority =
+    edge key u·2²¹ + v (a total order). {MATCH_ROUNDS} simultaneous
+    rounds; each is one per-node min fold + two keyed joins + the
+    endpoint elimination anti-joins — all bucketed (native=False: the
+    native Dataset.join would spawn an actor pool per round). Output
+    (u, v, round matched). A fixed round count keeps the oracle
+    replayable as chained CTEs; edges still augmentable after round
+    {MATCH_ROUNDS} are out of scope on BOTH sides by construction."""
+    # LCG-scrambled total-order priority (see _weighted_link_edges):
+    # without it every node's min edge points at its lowest-id
+    # ancestor and dominance collapses into the hub core (a 9-edge
+    # matching at every scale); scrambling scatters local minima so
+    # each round matches a constant fraction (Hoepman's expectation).
+    alive = _weighted_link_edges(sf_dir)
 
     matched_parts = []
     for rnd in range(1, MATCH_ROUNDS + 1):
@@ -21709,12 +21735,7 @@ def q_matching(sf_dir: str):
 
 
 def SQL_MATCHING():
-    ctes = ["""e1 AS MATERIALIZED (
-  SELECT u, v,
-         ((u * 69069 + v * 48271) % 524288) * 8796093022208
-             + u * 2097152 + v AS ek
-  FROM (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-        FROM links WHERE least(src, dst) < greatest(src, dst)) _e)"""]
+    ctes = []
     sels = []
     for r in range(1, MATCH_ROUNDS + 1):
         ctes.append(f"""
@@ -21734,19 +21755,216 @@ e{r + 1} AS MATERIALIZED (
   WHERE u NOT IN (SELECT u FROM m{r} UNION SELECT v FROM m{r})
     AND v NOT IN (SELECT u FROM m{r} UNION SELECT v FROM m{r}))""")
     return f"""
-WITH links AS MATERIALIZED (
-  SELECT CAST(doc_id AS BIGINT) AS src,
-         CAST(doc_id // 2 AS BIGINT) AS dst FROM documents
-  UNION ALL
-  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 4 AS BIGINT)
-  FROM documents
-  UNION ALL
-  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 8 AS BIGINT)
-  FROM documents),
+WITH {_SQL_WEIGHTED_LINK_EDGES},
 {",".join(ctes)}
 SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
        CAST(round AS BIGINT) AS round
 FROM ({" UNION ALL ".join(sels)}) _m
+"""
+
+
+BORUVKA_ROUNDS = 3
+BR_CC_ROUNDS = 8      # SQL pointer-doubling steps (2^8-hop reach, margin)
+
+
+def q_boruvka(sf_dir: str):
+    """Borůvka minimum-spanning-forest rounds over the weighted link
+    graph (Borůvka 1926 — THE distributed MST algorithm: GraphX /
+    Parallel Borůvka both use exactly this round structure): each
+    round every component selects its minimum-weight outgoing edge
+    (the scrambled total order of _weighted_link_edges — injective,
+    so the classic multiple-min-edge pitfall can't occur), selected
+    edges join the forest, and touching components merge by pointer
+    DOUBLING on the successor forest (each component's min edge names
+    its merge partner — a functional graph whose only cycles are the
+    mutual 2-cycles, broken by min; the watershed idiom).
+    {BORUVKA_ROUNDS} fixed rounds → a partial forest at large scale
+    (full MST needs ~log₂ N rounds; the fixture tree completes in 3),
+    deterministic on both sides. Per round: two keyed joins attach
+    component labels to edges, one per-component min fold, the
+    doubling loop (log₂ iterations, each a keyed join on the
+    component-level table, converged via a changed-count), one
+    relabel join — every step bucketed; the edge table is static and
+    materialized once. Oracle: chained CTE rounds with
+    {BR_CC_ROUNDS} fixed doubling steps (2^{BR_CC_ROUNDS}-hop reach —
+    the engine side converges, so an oracle match also certifies the
+    SQL step budget suffices at this scale)."""
+    e = _weighted_link_edges(sf_dir)
+
+    def init_comp(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        n = np.unique(np.concatenate([u, v]))
+        return pa.table({"node": pa.array(n)})
+
+    comp = rel.dedup(e.map_batches(init_comp, batch_format="pyarrow",
+                                   batch_size=65536), ["node"])
+    comp = comp.map_batches(
+        lambda b: b.append_column("comp", b["node"]),
+        batch_format="pyarrow", batch_size=65536).materialize()
+
+    sel_parts = []
+    for rnd in range(1, BORUVKA_ROUNDS + 1):
+        cu = comp.map_batches(lambda b: pa.table(
+            {"u": b["node"], "cu": b["comp"]}),
+            batch_format="pyarrow", batch_size=65536)
+        cv = comp.map_batches(lambda b: pa.table(
+            {"v": b["node"], "cv": b["comp"]}),
+            batch_format="pyarrow", batch_size=65536)
+        j = rel.join_large(e, cu, on="u", num_buckets=16, native=False)
+        j = rel.join_large(j, cv, on="v", num_buckets=16, native=False)
+        cand = j.map_batches(
+            lambda b: b[b["cu"].to_numpy() != b["cv"].to_numpy()],
+            batch_format="pandas", batch_size=65536).materialize()
+        if cand.count() == 0:
+            break
+        both = cand.map_batches(
+            lambda b: pd.DataFrame({
+                "comp": np.concatenate([b["cu"].to_numpy(np.int64),
+                                        b["cv"].to_numpy(np.int64)]),
+                "ek": np.tile(b["ek"].to_numpy(np.int64), 2)}),
+            batch_format="pandas", batch_size=65536)
+        m = rel.groupby_aggregate(both, ["comp"], [("mw", "ek", "min")])
+        mwk = rel.dedup(m.map_batches(
+            lambda b: pa.table({"ek": b["mw"]}),
+            batch_format="pyarrow", batch_size=65536), ["ek"])
+        sel = rel.join_large(cand, mwk, on="ek", num_buckets=16,
+                             native=False).materialize()
+        sel_parts.append((rnd, sel))
+        # merge: successor pointers (each component's min edge names
+        # its merge partner — a functional graph whose only cycles are
+        # the mutual 2-cycles), resolved to canonical roots by pointer
+        # DOUBLING to a fixed point (log₂ iterations, each one keyed
+        # join on the component-level table) — the watershed idiom,
+        # ~10× cheaper than per-round hash-min CC at this shape
+        mm = rel.join_large(
+            m.map_batches(lambda b: pa.table(
+                {"mcomp": b["comp"], "ek": b["mw"]}),
+                batch_format="pyarrow", batch_size=65536),
+            cand, on="ek", num_buckets=16, native=False)
+        succ = mm.map_batches(
+            lambda b: pd.DataFrame({
+                "comp": b["mcomp"].to_numpy(np.int64),
+                "s": np.where(
+                    b["mcomp"].to_numpy(np.int64)
+                    == b["cu"].to_numpy(np.int64),
+                    b["cv"].to_numpy(np.int64),
+                    b["cu"].to_numpy(np.int64))}),
+            batch_format="pandas", batch_size=65536)
+        s2 = rel.join_large(
+            succ,
+            succ.map_batches(lambda b: pa.table(
+                {"s": pa.Array.from_pandas(b["comp"]),
+                 "ss": pa.Array.from_pandas(b["s"])}),
+                batch_format="pandas", batch_size=65536),
+            on="s", num_buckets=16, native=False)
+        p = s2.map_batches(
+            lambda b: pd.DataFrame({
+                "comp": b["comp"].to_numpy(np.int64),
+                "p": np.where((b["ss"].to_numpy(np.int64)
+                               == b["comp"].to_numpy(np.int64))
+                              & (b["comp"].to_numpy(np.int64)
+                                 < b["s"].to_numpy(np.int64)),
+                              b["comp"].to_numpy(np.int64),
+                              b["s"].to_numpy(np.int64))}),
+            batch_format="pandas", batch_size=65536).materialize()
+        for _ in range(10):
+            pj = rel.join_large(
+                p,
+                p.map_batches(lambda b: pa.table(
+                    {"p": pa.Array.from_pandas(b["comp"]),
+                     "pp": pa.Array.from_pandas(b["p"])}),
+                    batch_format="pandas", batch_size=65536),
+                on="p", num_buckets=16, native=False)
+            nxt = pj.map_batches(
+                lambda b: pd.DataFrame({
+                    "comp": b["comp"].to_numpy(np.int64),
+                    "p": b["pp"].to_numpy(np.int64),
+                    "chg": (b["pp"].to_numpy(np.int64)
+                            != b["p"].to_numpy(np.int64))
+                    .astype(np.int64)}),
+                batch_format="pandas", batch_size=65536).materialize()
+            changed = nxt.sum("chg")
+            p = nxt.drop_columns(["chg"]).materialize()
+            if not changed:
+                break
+        roots = p.map_batches(
+            lambda b: pa.table({"comp": pa.Array.from_pandas(b["comp"]),
+                                "root": pa.Array.from_pandas(b["p"])}),
+            batch_format="pandas", batch_size=65536)
+        comp = rel.join_large(comp, roots, on="comp", num_buckets=16,
+                              how="left", native=False)
+        comp = comp.map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["node"].to_numpy(np.int64),
+                "comp": np.where(b["root"].isna(),
+                                 b["comp"].to_numpy(np.int64),
+                                 b["root"].to_numpy(np.float64)
+                                 ).astype(np.int64)}),
+            batch_format="pandas", batch_size=65536).materialize()
+
+    frames = []
+    for rnd, sel in sel_parts:
+        d = sel.to_pandas()
+        frames.append(pd.DataFrame({
+            "u": d["u"].to_numpy(np.int64),
+            "v": d["v"].to_numpy(np.int64),
+            "round": np.full(len(d), rnd, np.int64)}))
+    if not frames:
+        return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                             "v": pd.Series([], dtype=np.int64),
+                             "round": pd.Series([], dtype=np.int64)})
+    return pd.concat(frames, ignore_index=True)
+
+
+def SQL_BORUVKA():
+    ctes = ["""c0 AS MATERIALIZED (
+  SELECT node, node AS comp FROM (
+    SELECT u AS node FROM e1 UNION SELECT v FROM e1) _n)"""]
+    sels = []
+    prev_c = "c0"
+    for r in range(1, BORUVKA_ROUNDS + 1):
+        ctes.append(f"""
+cand{r} AS MATERIALIZED (
+  SELECT e.u, e.v, e.ek, a.comp AS cu, b.comp AS cv
+  FROM e1 e JOIN {prev_c} a ON a.node = e.u
+            JOIN {prev_c} b ON b.node = e.v
+  WHERE a.comp != b.comp),
+pm{r} AS MATERIALIZED (
+  SELECT comp, MIN(ek) AS mw FROM (
+    SELECT cu AS comp, ek FROM cand{r}
+    UNION ALL SELECT cv, ek FROM cand{r}) _b{r}
+  GROUP BY comp),
+sel{r} AS MATERIALIZED (
+  SELECT c.u, c.v FROM cand{r} c
+  JOIN (SELECT DISTINCT mw FROM pm{r}) m ON m.mw = c.ek),
+succ{r} AS MATERIALIZED (
+  SELECT pm.comp,
+         CASE WHEN c.cu = pm.comp THEN c.cv ELSE c.cu END AS s
+  FROM pm{r} pm JOIN cand{r} c ON c.ek = pm.mw),
+p{r}_0 AS MATERIALIZED (
+  SELECT a.comp,
+         CASE WHEN b.s = a.comp AND a.comp < a.s
+              THEN a.comp ELSE a.s END AS p
+  FROM succ{r} a JOIN succ{r} b ON b.comp = a.s)""")
+        prev_p = f"p{r}_0"
+        for s in range(1, BR_CC_ROUNDS + 1):
+            ctes.append(f"""
+p{r}_{s} AS MATERIALIZED (
+  SELECT a.comp, b.p FROM {prev_p} a JOIN {prev_p} b ON b.comp = a.p)""")
+            prev_p = f"p{r}_{s}"
+        ctes.append(f"""
+c{r} AS MATERIALIZED (
+  SELECT c.node, COALESCE({prev_p}.p, c.comp) AS comp
+  FROM {prev_c} c LEFT JOIN {prev_p} ON {prev_p}.comp = c.comp)""")
+        prev_c = f"c{r}"
+        sels.append(f"SELECT u, v, {r} AS round FROM sel{r}")
+    return f"""
+WITH {_SQL_WEIGHTED_LINK_EDGES},
+{",".join(ctes)}
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(round AS BIGINT) AS round
+FROM ({" UNION ALL ".join(sels)}) _t
 """
 
 
@@ -22124,6 +22342,7 @@ REGISTRY: dict[str, tuple] = {
     "join_counts": (q_join_counts, SQL_JOIN_COUNTS),
     "cross_corr": (q_cross_corr, SQL_CROSS_CORR),
     "matching": (q_matching, SQL_MATCHING),
+    "boruvka": (q_boruvka, SQL_BORUVKA),
 }
 
 
