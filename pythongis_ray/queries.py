@@ -21968,6 +21968,149 @@ FROM ({" UNION ALL ".join(sels)}) _t
 """
 
 
+STRAHLER_ROUNDS = 12
+
+
+def q_stream_order(sf_dir: str):
+    """Strahler stream order over the D8 flow graph (the hydrology
+    suite's last classic, joining flow_direction / flow_acc /
+    watershed / fill_sinks): order 1 at source cells (no inflow);
+    where a cell's inflows share their maximum order m twice or more,
+    the order steps to m+1, else stays m. Computed as
+    {STRAHLER_ROUNDS} bounded Jacobi rounds of the monotone update
+    from the all-ones start — converged on every test grid (flow
+    paths on the ≤45×23 cell table are short), and the R-bounded
+    semantics keeps both sides identical by construction regardless.
+    Corpus-sized work = one density pass + one cell-bucketed stencil;
+    the rounds act on the cell-bounded flow table (flow_acc's
+    contract). SQL: per round, inflow max via a grouped fold and the
+    count-at-max via a self-join back onto the per-order counts."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grid_ds = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                    [("n", "cx", "count")])
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        v = b["n"].to_numpy(np.int64)
+        txs, tys, tags = [cx], [cy], [np.full(len(b), 8, np.int64)]
+        for d, (dx, dy) in enumerate(_D8):
+            txs.append(cx - dx)
+            tys.append(cy - dy)
+            tags.append(np.full(len(b), d, np.int64))
+        return pd.DataFrame({"cx": np.concatenate(txs),
+                             "cy": np.concatenate(tys),
+                             "tag": np.concatenate(tags),
+                             "v": np.tile(v, 9)})
+
+    tagged = grid_ds.map_batches(emit, batch_format="pandas",
+                                 batch_size=65536)
+
+    def stencil(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.pivot_table(index=["cx", "cy"], columns="tag",
+                          values="v", aggfunc="sum")
+        p = p.reindex(columns=range(9))
+        p = p[p[8].notna()]
+        own = p[8].to_numpy(np.int64)
+        big = np.int64(1) << 62
+        keys = np.full((len(p), 8), big, np.int64)
+        for d in range(8):
+            bn = p[d].to_numpy(np.float64)
+            has = ~np.isnan(bn)
+            lower = has & (bn < own)
+            keys[lower, d] = bn[lower].astype(np.int64) * 8 + d
+        best = keys.min(axis=1)
+        has_flow = best < big
+        d_star = keys.argmin(axis=1)
+        cx = p.index.get_level_values(0).to_numpy(np.int64)
+        cy = p.index.get_level_values(1).to_numpy(np.int64)
+        dx = np.array([d[0] for d in _D8], np.int64)[d_star]
+        dy = np.array([d[1] for d in _D8], np.int64)[d_star]
+        return pd.DataFrame({
+            "cx": cx, "cy": cy, "has_flow": has_flow,
+            "tx": np.where(has_flow, cx + dx, cx),
+            "ty": np.where(has_flow, cy + dy, cy)})
+
+    cells = rel.bucketed_group_apply(tagged, ["cx", "cy"], stencil)
+
+    def rounds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cx", "cy"], kind="stable") \
+            .reset_index(drop=True)
+        key = g["cx"].to_numpy(np.int64) * (np.int64(1) << 32) \
+            + g["cy"].to_numpy(np.int64)
+        tkey = g["tx"].to_numpy(np.int64) * (np.int64(1) << 32) \
+            + g["ty"].to_numpy(np.int64)
+        tidx = np.searchsorted(key, tkey)
+        hf = g["has_flow"].to_numpy(bool)
+        o = np.ones(len(g), np.int64)
+        for _ in range(STRAHLER_ROUNDS):
+            mx = np.zeros(len(g), np.int64)
+            np.maximum.at(mx, tidx[hf], o[hf])
+            cnt = np.zeros(len(g), np.int64)
+            at_max = o[hf] == mx[tidx[hf]]
+            np.add.at(cnt, tidx[hf][at_max],
+                      np.ones(int(at_max.sum()), np.int64))
+            o = np.where(mx == 0, 1, np.where(cnt >= 2, mx + 1, mx))
+        return pd.DataFrame({"cx": g["cx"].to_numpy(np.int64),
+                             "cy": g["cy"].to_numpy(np.int64),
+                             "strahler": o})
+
+    one = cells.map_batches(lambda b: b.assign(_one=np.int64(0)),
+                            batch_format="pandas")
+    return one.groupby("_one").map_groups(
+        lambda g: rounds(g.drop(columns=["_one"])),
+        batch_format="pandas")
+
+
+def _sql_stream_order() -> str:
+    dirs = ", ".join(f"({d}, {dx}, {dy})"
+                     for d, (dx, dy) in enumerate(_D8))
+    rounds = []
+    prev = "s0"
+    for r in range(1, STRAHLER_ROUNDS + 1):
+        rounds.append(f"""
+i{r} AS (SELECT f.tx AS cx, f.ty AS cy, {prev}.o, COUNT(*) AS c
+         FROM {prev} JOIN flow f
+           ON f.cx = {prev}.cx AND f.cy = {prev}.cy
+         GROUP BY 1, 2, 3),
+x{r} AS (SELECT cx, cy, MAX(o) AS mx FROM i{r} GROUP BY 1, 2),
+s{r} AS MATERIALIZED (
+  SELECT c.cx, c.cy,
+         CASE WHEN x.mx IS NULL THEN 1
+              WHEN i.c >= 2 THEN x.mx + 1 ELSE x.mx END AS o
+  FROM cells c
+  LEFT JOIN x{r} x ON x.cx = c.cx AND x.cy = c.cy
+  LEFT JOIN i{r} i ON i.cx = c.cx AND i.cy = c.cy AND i.o = x.mx)""")
+        prev = f"s{r}"
+    return f"""
+WITH pts AS ({SQL_PTS_LINEITEM()}),
+cells AS MATERIALIZED (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+        CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+cand AS (SELECT a.cx, a.cy, b.n AS bn, d.d AS d,
+                a.cx + d.dx AS tx, a.cy + d.dy AS ty
+         FROM cells a
+         CROSS JOIN (VALUES {dirs}) d(d, dx, dy)
+         JOIN cells b ON b.cx = a.cx + d.dx AND b.cy = a.cy + d.dy
+         WHERE b.n < a.n),
+flow AS MATERIALIZED (SELECT cx, cy, tx, ty FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY cx, cy
+                   ORDER BY bn * 8 + d) AS rn FROM cand) _f
+        WHERE rn = 1),
+s0 AS MATERIALIZED (SELECT cx, cy, 1 AS o FROM cells),
+{",".join(rounds)}
+SELECT cx, cy, CAST(o AS BIGINT) AS strahler FROM {prev}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -22343,6 +22486,7 @@ REGISTRY: dict[str, tuple] = {
     "cross_corr": (q_cross_corr, SQL_CROSS_CORR),
     "matching": (q_matching, SQL_MATCHING),
     "boruvka": (q_boruvka, SQL_BORUVKA),
+    "stream_order": (q_stream_order, _sql_stream_order),
 }
 
 
