@@ -22177,6 +22177,261 @@ FROM c
 """
 
 
+RECODE_CAP = 3.0
+
+
+def q_recode_grid(sf_dir: str):
+    """Band recode / conditional overwrite on the real tile-buffer
+    path (reference Band.recode, /root/reference/pythongis/raster/
+    data.py:516-590): the lineitem density raster at res 3 (pixel
+    edges on the lattice — see band_math_grid) recoded with
+    'values > {RECODE_CAP} → {RECODE_CAP}' (a cap, the classic
+    outlier clamp), then unpacked to nonzero pixels. Count pixels are
+    small integers in float32, so the cap is exact and the oracle is
+    LEAST(n, cap) per pixel."""
+    from pythongis_ray import raster
+
+    a = raster.rasterize_points(points_lineitem(sf_dir), res=3)
+    out = raster.recode(a, "gt", RECODE_CAP, RECODE_CAP)
+    t = raster.TILE
+
+    def unpack_tiles(batch: pd.DataFrame) -> pd.DataFrame:
+        gx, gy, vs = [], [], []
+        for cid, buf, nd in zip(batch["cell_id"], batch["tile"],
+                                batch["nodata"]):
+            arr = raster.bytes_to_tile(buf, t)
+            fy, fx = np.nonzero(arr != np.float32(nd))
+            if len(fx) == 0:
+                continue
+            _, cix, ciy = grid.unpack(
+                np.array([cid], np.int64).view(np.uint64))
+            gx.append(cix[0] * t + fx)
+            gy.append(ciy[0] * t + fy)
+            vs.append(arr[fy, fx].astype(np.int64))
+        if not gx:
+            return pd.DataFrame({"gpx": pd.Series([], dtype=np.int64),
+                                 "gpy": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"gpx": np.concatenate(gx),
+                             "gpy": np.concatenate(gy),
+                             "n": np.concatenate(vs)})
+
+    return out.map_batches(unpack_tiles, batch_format="pandas",
+                           batch_size=256)
+
+
+def SQL_RECODE_GRID():
+    return f"""
+WITH la AS (SELECT ix // 360 AS gpx, iy // 360 AS gpy,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ({SQL_PTS_LINEITEM()}) GROUP BY 1, 2)
+SELECT gpx, gpy, LEAST(n, {int(RECODE_CAP)}) AS n FROM la
+"""
+
+
+def _columnar_roundtrip(sf_dir: str, writer, reader, tag: str):
+    """Shared engine for the Feather/ORC interchange loops: customer
+    keyed points with integer lattice units → per-block columnar sink
+    (content-derived names + manifest) → multi-file Dataset read →
+    hash-checked against the keyed-point oracle."""
+    import shutil
+    import tempfile
+
+    pts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 3, "fk")
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "fk": pc.cast(batch["fk"], pa.int64()),
+            "ix": pa.array(np.rint((lon + 180.0) * 1024.0)
+                           .astype(np.int64)),
+            "iy": pa.array(np.rint((lat + 90.0) * 1024.0)
+                           .astype(np.int64))})
+
+    d = tempfile.mkdtemp(prefix=f"{tag}_q_", dir="/tmp")
+    try:
+        writer(pts.map_batches(to_units, batch_format="pyarrow",
+                               batch_size=16384), d)
+        return reader(d).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_feather_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) interchange loop: distributed per-block
+    sink + manifest → multi-file read. The zero-copy Arrow sibling of
+    the parquet path (reference vector loader/saver family)."""
+    from pythongis_ray import sources
+
+    return _columnar_roundtrip(sf_dir, sources.write_feather,
+                               sources.read_feather, "feather")
+
+
+def q_orc_roundtrip(sf_dir: str):
+    """ORC interchange loop (the Hive/Spark columnar sibling):
+    distributed per-block sink + manifest → multi-file read."""
+    from pythongis_ray import sources
+
+    return _columnar_roundtrip(sf_dir, sources.write_orc,
+                               sources.read_orc, "orc")
+
+
+def _sql_columnar_roundtrip():
+    return f"""
+SELECT fk, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy
+FROM ({_sql_keyed_points("customer", "c_custkey", 4, 3, "fk")}) _f
+"""
+
+
+def q_spearman(sf_dir: str):
+    """Spearman rank correlation inputs between l_quantity and price
+    cents (the robust monotone-association statistic beside
+    kendall_tau): tie-averaged ranks doubled to stay integer —
+    2·avgrank(v) = 2·P(v) + c(v) + 1 from the VALUE-DOMAIN count
+    table (the mannwhitney discipline: no global sort, no pair
+    space), broadcast as searchsorted maps into a stateless per-row
+    pass that folds the exact integer moments (n, sx, sy, sxy, sxx,
+    syy) — Pearson-on-ranks falls out without a float. Value domains
+    are data-bounded (≤ distinct prices), not corpus-bounded."""
+    import ray
+
+    from pythongis_ray import state
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_extendedprice"])
+
+    def vals(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = np.rint(batch["l_extendedprice"]
+                    .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"q": pa.array(q), "p": pa.array(p)})
+
+    vds = ds.map_batches(vals, batch_format="pyarrow",
+                         batch_size=65536).materialize()
+
+    def rank_map(col: str):
+        cnt = rel.groupby_aggregate(
+            vds.select_columns([col]), [col],
+            [("c", col, "count")]).to_pandas()
+        cnt = cnt.sort_values(col, kind="stable").reset_index(drop=True)
+        v = cnt[col].to_numpy(np.int64)
+        c = cnt["c"].to_numpy(np.int64)
+        pre = np.concatenate(([0], np.cumsum(c)))[:-1]
+        return v, 2 * pre + c + 1
+
+    qv, qr = rank_map("q")
+    pv, pr = rank_map("p")
+    maps_ref = ray.put((qv, qr, pv, pr))
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        mqv, mqr, mpv, mpr = state.get_broadcast(
+            maps_ref, key_extra=("spearman",))
+        q = batch["q"].to_numpy(zero_copy_only=False)
+        p = batch["p"].to_numpy(zero_copy_only=False)
+        rx = mqr[np.searchsorted(mqv, q)]
+        ry = mpr[np.searchsorted(mpv, p)]
+        return pd.DataFrame({
+            "n": [len(q)], "sx": [int(rx.sum())], "sy": [int(ry.sum())],
+            "sxy": [int((rx * ry).sum())], "sxx": [int((rx * rx).sum())],
+            "syy": [int((ry * ry).sum())]})
+
+    parts = vds.map_batches(moments, batch_format="pyarrow",
+                            batch_size=65536).to_pandas()
+    return pd.DataFrame({c: [int(parts[c].sum())]
+                         for c in ("n", "sx", "sy", "sxy",
+                                   "sxx", "syy")}).astype(np.int64)
+
+
+SQL_SPEARMAN = """
+WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+           FROM lineitem),
+rq AS (SELECT q, 2 * (SUM(c) OVER (ORDER BY q) - c) + c + 1 AS r2
+       FROM (SELECT q, COUNT(*) AS c FROM b GROUP BY q) _q),
+rp AS (SELECT p, 2 * (SUM(c) OVER (ORDER BY p) - c) + c + 1 AS r2
+       FROM (SELECT p, COUNT(*) AS c FROM b GROUP BY p) _p),
+j AS (SELECT rq.r2 AS rx, rp.r2 AS ry
+      FROM b JOIN rq ON rq.q = b.q JOIN rp ON rp.p = b.p)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+       CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+       CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+       CAST(SUM(ry * ry) AS BIGINT) AS syy
+FROM j
+"""
+
+
+def q_gpx_roundtrip(sf_dir: str):
+    """GPX interchange loop (GPS tracks — the classic field-data
+    format next to the shapefile): the 7-vertex customer tracks →
+    distributed .gpx sink (repr doubles = shortest-round-trip text)
+    → regex-kernel reader → vertex explosion → exact lattice units.
+    A hash match proves the XML text preserved every coordinate and
+    track key."""
+    import shutil
+    import tempfile
+
+    from pythongis_ray import sources, vector as vec
+    from pythongis_ray.geom import wkb as _wkb
+
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey"])
+
+    def mk_tracks(batch: pa.Table) -> pa.Table:
+        c = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ck = c * 4 + 2
+        bx, by = fixtures.geocode_units(ck)
+        j = np.arange(7, dtype=np.int64)
+        kj = ck[:, None] * 8 + j[None, :]
+        vx = bx[:, None] + (kj * 48271) % 8192 - 4096
+        vy = by[:, None] + (kj * 16807) % 8192 - 4096
+        lon = vx / 1024.0 - 180.0
+        lat = vy / 1024.0 - 90.0
+        geoms = [_wkb.encode_linestring(np.column_stack([lon[i], lat[i]]))
+                 for i in range(len(ck))]
+        return pa.table({"tid": pa.array(ck),
+                         "geometry": pa.array(geoms, pa.binary())})
+
+    tracks = ds.map_batches(mk_tracks, batch_format="pyarrow",
+                            batch_size=16384)
+    d = tempfile.mkdtemp(prefix="gpx_q_", dir="/tmp")
+    try:
+        sources.write_gpx(tracks, d)
+        back = sources.read_gpx(d)
+        verts = vec.to_vertices(back)
+
+        def to_units(batch: pa.Table) -> pa.Table:
+            vx = batch["vx"].to_numpy(zero_copy_only=False)
+            vy = batch["vy"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "ck": pc.cast(batch["tid"], pa.int64()),
+                "ix": pa.array(np.rint((vx + 180.0) * 1024.0)
+                               .astype(np.int64)),
+                "iy": pa.array(np.rint((vy + 90.0) * 1024.0)
+                               .astype(np.int64))})
+
+        return verts.map_batches(to_units, batch_format="pyarrow",
+                                 batch_size=65536).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def SQL_GPX_ROUNDTRIP():
+    src = "(SELECT c_custkey*4+2 AS ck FROM customer)"
+    g = fixtures.sql_geocode("ck").replace("__SRC__", src)
+    return f"""
+WITH base AS (SELECT ck, ix AS bx, iy AS by_ FROM ({g}) _b)
+SELECT ck,
+       bx + (ck*8+j) * 48271 % 8192 - 4096 AS ix,
+       by_ + (ck*8+j) * 16807 % 8192 - 4096 AS iy
+FROM base, (SELECT UNNEST(range(7)) AS j)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -22554,6 +22809,11 @@ REGISTRY: dict[str, tuple] = {
     "boruvka": (q_boruvka, SQL_BORUVKA),
     "stream_order": (q_stream_order, _sql_stream_order),
     "cell_coverage": (q_cell_coverage, SQL_CELL_COVERAGE),
+    "recode_grid": (q_recode_grid, SQL_RECODE_GRID),
+    "feather_roundtrip": (q_feather_roundtrip, _sql_columnar_roundtrip),
+    "orc_roundtrip": (q_orc_roundtrip, _sql_columnar_roundtrip),
+    "spearman": (q_spearman, SQL_SPEARMAN),
+    "gpx_roundtrip": (q_gpx_roundtrip, SQL_GPX_ROUNDTRIP),
 }
 
 

@@ -1192,3 +1192,206 @@ def _gpkg_sql_type(col: pd.Series) -> str:
 
 def _py(v):
     return v.item() if hasattr(v, "item") else v
+
+
+# ------------------------------------------- Arrow IPC (Feather) / ORC
+
+# Columnar interchange beyond Parquet: Feather (Arrow IPC) and ORC,
+# both as distributed per-block sinks (content-derived part names +
+# manifest — the write_warc / checkpoint.py resumable-sink discipline)
+# with multi-file Dataset readers.
+
+def _part_file_name(batch: pa.Table) -> str:
+    import zlib
+
+    head = batch.slice(0, min(64, batch.num_rows))
+    h = zlib.crc32(b"|".join(
+        str(head[c][0].as_py()).encode() for c in head.column_names))
+    return f"part-{h:08x}-{batch.num_rows}"
+
+
+def _write_columnar(ds, dir_path: str, ext: str, writer) -> int:
+    import json
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+
+    def sink(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "file": pa.array([], pa.string())})
+        name = _part_file_name(batch) + ext
+        path = os.path.join(dir_path, name)
+        tmp = path + ".tmp"
+        writer(batch, tmp)
+        os.replace(tmp, path)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64()),
+                         "file": pa.array([name])})
+
+    out = ds.map_batches(sink, batch_format="pyarrow",
+                         batch_size=16384).to_pandas()
+    mtmp = os.path.join(dir_path, "_MANIFEST.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump({"files": sorted(out["file"].tolist())}, f)
+    os.replace(mtmp, os.path.join(dir_path, "_MANIFEST.json"))
+    return int(out["n"].sum())
+
+
+def _read_columnar(dir_or_paths, ext: str, reader):
+    import glob
+    import json
+    import os
+
+    import ray.data as rd
+
+    if isinstance(dir_or_paths, str) and os.path.isdir(dir_or_paths):
+        man = os.path.join(dir_or_paths, "_MANIFEST.json")
+        if os.path.exists(man):
+            with open(man) as f:
+                names = json.load(f)["files"]
+            paths = [os.path.join(dir_or_paths, n) for n in names]
+        else:
+            paths = sorted(glob.glob(os.path.join(dir_or_paths,
+                                                  f"*{ext}")))
+    elif isinstance(dir_or_paths, str):
+        paths = [dir_or_paths]
+    else:
+        paths = list(dir_or_paths)
+
+    def load(batch: pa.Table) -> pa.Table:
+        tables = [reader(p) for p in batch["item"].to_pylist()]
+        return pa.concat_tables(tables)
+
+    return rd.from_items(paths).map_batches(load, batch_format="pyarrow",
+                                            batch_size=1)
+
+
+def write_feather(ds, dir_path: str) -> int:
+    """Dataset → directory of Arrow IPC (Feather v2) files, one per
+    block. Returns rows written."""
+    import pyarrow.feather as paf
+
+    return _write_columnar(ds, dir_path, ".feather",
+                           lambda t, p: paf.write_feather(t, p))
+
+
+def read_feather(dir_or_paths):
+    """Feather directory/paths → Dataset (one read task per file)."""
+    import pyarrow.feather as paf
+
+    return _read_columnar(dir_or_paths, ".feather", paf.read_table)
+
+
+def write_orc(ds, dir_path: str) -> int:
+    """Dataset → directory of ORC files, one per block."""
+    import pyarrow.orc as porc
+
+    return _write_columnar(ds, dir_path, ".orc",
+                           lambda t, p: porc.write_table(t, p))
+
+
+def read_orc(dir_or_paths):
+    """ORC directory/paths → Dataset (one read task per file)."""
+    import pyarrow.orc as porc
+
+    return _read_columnar(dir_or_paths, ".orc",
+                          lambda p: porc.ORCFile(p).read())
+
+
+# ------------------------------------------------------------- GPX
+
+# GPS-track interchange (the classic field-data format next to the
+# shapefile): one <trk> per row, <trkpt lat lon> per vertex. Writer is
+# a distributed per-block sink like write_warc; reader parses with two
+# regex kernels (no XML lib needed for the subset we emit — attribute
+# order is fixed by our writer and checked by the round-trip oracle).
+
+def write_gpx(ds, dir_path: str, key_col: str = "tid",
+              geometry_col: str = "geometry") -> int:
+    import json
+    import os
+
+    from pythongis_ray.geom import wkb as _wkb
+
+    os.makedirs(dir_path, exist_ok=True)
+
+    def sink(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "file": pa.array([], pa.string())})
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        parts = ['<?xml version="1.0"?>\n<gpx version="1.1">\n']
+        for k, buf in zip(keys, batch[geometry_col].to_pylist()):
+            g = _wkb.decode(bytes(buf))
+            pts = g["rings"][0]
+            seg = "".join(
+                f'<trkpt lat="{lat!r}" lon="{lon!r}"></trkpt>'
+                for lon, lat in pts)
+            parts.append(f'<trk><name>{int(k)}</name><trkseg>'
+                         f'{seg}</trkseg></trk>\n')
+        parts.append("</gpx>\n")
+        body = "".join(parts).encode()
+        name = f"part-{int(keys[0]):012d}-{n}.gpx"
+        path = os.path.join(dir_path, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.replace(tmp, path)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "file": pa.array([name])})
+
+    out = ds.map_batches(sink, batch_format="pyarrow",
+                         batch_size=4096).to_pandas()
+    mtmp = os.path.join(dir_path, "_MANIFEST.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump({"files": sorted(out["file"].tolist())}, f)
+    os.replace(mtmp, os.path.join(dir_path, "_MANIFEST.json"))
+    return int(out["n"].sum())
+
+
+def read_gpx(dir_or_paths):
+    """GPX directory/paths → Dataset (tid, geometry LineString WKB);
+    one parse task per file, two regex kernels per track."""
+    import glob
+    import json
+    import os
+    import re
+
+    import ray.data as rd
+
+    from pythongis_ray.geom import wkb as _wkb
+
+    if isinstance(dir_or_paths, str) and os.path.isdir(dir_or_paths):
+        man = os.path.join(dir_or_paths, "_MANIFEST.json")
+        if os.path.exists(man):
+            with open(man) as f:
+                paths = [os.path.join(dir_or_paths, n)
+                         for n in json.load(f)["files"]]
+        else:
+            paths = sorted(glob.glob(os.path.join(dir_or_paths, "*.gpx")))
+    elif isinstance(dir_or_paths, str):
+        paths = [dir_or_paths]
+    else:
+        paths = list(dir_or_paths)
+
+    trk_re = re.compile(
+        r"<trk><name>(\d+)</name><trkseg>(.*?)</trkseg></trk>", re.S)
+    pt_re = re.compile(r'<trkpt lat="([^"]+)" lon="([^"]+)">')
+
+    def load(batch: pa.Table) -> pa.Table:
+        tids, geoms = [], []
+        for p in batch["item"].to_pylist():
+            with open(p, "rb") as f:
+                text = f.read().decode()
+            for m in trk_re.finditer(text):
+                tids.append(int(m.group(1)))
+                pts = np.array([(float(lon), float(lat))
+                                for lat, lon in pt_re.findall(m.group(2))],
+                               np.float64)
+                geoms.append(_wkb.encode_linestring(pts))
+        return pa.table({"tid": pa.array(tids, pa.int64()),
+                         "geometry": pa.array(geoms, pa.binary())})
+
+    return rd.from_items(paths).map_batches(load, batch_format="pyarrow",
+                                            batch_size=1)
