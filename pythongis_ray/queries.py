@@ -22432,6 +22432,139 @@ FROM base, (SELECT UNNEST(range(7)) AS j)
 """
 
 
+COVER_LEVELS = 3          # refinements below the 8192-unit seed cells
+_DIA_A2, _DIA_B2 = 30001, 20001      # doubled-unit diamond semi-axes
+_DIA_M = _DIA_A2 * _DIA_B2
+
+
+def q_poly_cover(sf_dir: str):
+    """Adaptive polygon cell-cover expansion (the north-star's H3/S2
+    polyfill step, mixed-resolution: coarse cells fully inside stop
+    early, boundary cells refine): quadkey cover of the 5 region
+    diamonds from 8192-unit seed cells down {COVER_LEVELS} levels to
+    1024-unit leaves. Containment/overlap tests are EXACT integer
+    half-plane arithmetic in doubled units (B2·|dx| + A2·|dy| vs
+    A2·B2; the half-odd semi-axes make equality impossible by parity,
+    so every cell classifies strictly). Zones explode independently
+    in one vectorized pass — the cover is the standard input to the
+    engine's cell-keyed spatial joins. Output (zone_id, level, cx,
+    cy, full): full=1 interior cells (emitted at the coarsest level
+    that contains them), full=0 boundary leaves."""
+    ds = _rd().read_parquet(f"{sf_dir}/region.parquet",
+                            columns=["r_regionkey"])
+
+    def cover(batch: pa.Table) -> pd.DataFrame:
+        k = batch["r_regionkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cx2 = 2 * (k * 73728 + 36864)
+        cy2 = np.full_like(k, 184320)
+        out_z, out_l, out_x, out_y, out_f = [], [], [], [], []
+        # level-0 seeds: bbox cells at 8192 units (16384 doubled)
+        s2 = 16384
+        zs, xs, ys = [], [], []
+        for i in range(len(k)):
+            x0 = (cx2[i] - _DIA_A2) // s2
+            x1 = (cx2[i] + _DIA_A2) // s2
+            y0 = (cy2[i] - _DIA_B2) // s2
+            y1 = (cy2[i] + _DIA_B2) // s2
+            gx, gy = np.meshgrid(np.arange(x0, x1 + 1),
+                                 np.arange(y0, y1 + 1), indexing="ij")
+            zs.append(np.full(gx.size, i, np.int64))
+            xs.append(gx.ravel())
+            ys.append(gy.ravel())
+        zi = np.concatenate(zs)
+        cx = np.concatenate(xs)
+        cy = np.concatenate(ys)
+        for level in range(COVER_LEVELS + 1):
+            ccx, ccy = cx2[zi], cy2[zi]
+            X0, Y0 = cx * s2, cy * s2
+            X1, Y1 = X0 + s2, Y0 + s2
+            ndx = np.maximum(0, np.maximum(X0 - ccx, ccx - X1))
+            ndy = np.maximum(0, np.maximum(Y0 - ccy, ccy - Y1))
+            fdx = np.maximum(X1 - ccx, ccx - X0)
+            fdy = np.maximum(Y1 - ccy, ccy - Y0)
+            inter = _DIA_B2 * ndx + _DIA_A2 * ndy < _DIA_M
+            full = _DIA_B2 * fdx + _DIA_A2 * fdy < _DIA_M
+            emit = full | (inter & (level == COVER_LEVELS))
+            out_z.append(k[zi[emit]])
+            out_l.append(np.full(int(emit.sum()), level, np.int64))
+            out_x.append(cx[emit])
+            out_y.append(cy[emit])
+            out_f.append(full[emit].astype(np.int64))
+            if level == COVER_LEVELS:
+                break
+            ref = inter & ~full
+            zi, cx, cy = zi[ref], cx[ref], cy[ref]
+            # subdivide into 4 children at half size
+            zi = np.repeat(zi, 4)
+            qx = np.tile(np.array([0, 1, 0, 1], np.int64), len(cx))
+            qy = np.tile(np.array([0, 0, 1, 1], np.int64), len(cx))
+            cx = np.repeat(cx * 2, 4) + qx
+            cy = np.repeat(cy * 2, 4) + qy
+            s2 //= 2
+        return pd.DataFrame({"zone_id": np.concatenate(out_z),
+                             "level": np.concatenate(out_l),
+                             "cx": np.concatenate(out_x),
+                             "cy": np.concatenate(out_y),
+                             "is_full": np.concatenate(out_f)})
+
+    return ds.map_batches(cover, batch_format="pyarrow",
+                          batch_size=4096)
+
+
+def SQL_POLY_COVER():
+    a2, b2, m = _DIA_A2, _DIA_B2, _DIA_M
+
+    def cls(s2: int) -> str:
+        return f"""
+  GREATEST(0, cx * {s2} - cx2, cx2 - cx * {s2} - {s2}) AS ndx,
+  GREATEST(0, cy * {s2} - cy2, cy2 - cy * {s2} - {s2}) AS ndy,
+  GREATEST(cx * {s2} + {s2} - cx2, cx2 - cx * {s2}) AS fdx,
+  GREATEST(cy * {s2} + {s2} - cy2, cy2 - cy * {s2}) AS fdy"""
+
+    ctes = [f"""z AS (SELECT r_regionkey AS zone_id,
+           2 * (r_regionkey * 73728 + 36864) AS cx2,
+           184320 AS cy2 FROM region),
+s0x AS (SELECT zone_id, cx2, cy2,
+        UNNEST(range((cx2 - {a2}) // 16384,
+                     (cx2 + {a2}) // 16384 + 1)) AS cx FROM z),
+g0 AS (SELECT zone_id, cx2, cy2, cx,
+       UNNEST(range((cy2 - {b2}) // 16384,
+                    (cy2 + {b2}) // 16384 + 1)) AS cy FROM s0x),
+c0 AS (SELECT zone_id, cx2, cy2, cx, cy, {cls(16384)} FROM g0)"""]
+    sels = [f"SELECT zone_id, 0 AS level, cx, cy, 1 AS is_full FROM c0 "
+            f"WHERE {b2} * fdx + {a2} * fdy < {m}"]
+    s2 = 16384
+    for lvl in range(1, COVER_LEVELS + 1):
+        s2 //= 2
+        ctes.append(f"""
+g{lvl} AS (SELECT zone_id, cx2, cy2, cx * 2 + q.qx AS cx,
+                  cy * 2 + q.qy AS cy
+          FROM c{lvl - 1}, (VALUES (0, 0), (1, 0), (0, 1), (1, 1))
+              q(qx, qy)
+          WHERE {b2} * ndx + {a2} * ndy < {m}
+            AND NOT ({b2} * fdx + {a2} * fdy < {m})),
+c{lvl} AS (SELECT zone_id, cx2, cy2, cx, cy, {cls(s2)} FROM g{lvl})""")
+        if lvl < COVER_LEVELS:
+            sels.append(
+                f"SELECT zone_id, {lvl} AS level, cx, cy, 1 AS is_full "
+                f"FROM c{lvl} WHERE {b2} * fdx + {a2} * fdy < {m}")
+        else:
+            sels.append(
+                f"SELECT zone_id, {lvl} AS level, cx, cy, "
+                f"CASE WHEN {b2} * fdx + {a2} * fdy < {m} THEN 1 "
+                f"ELSE 0 END AS is_full "
+                f"FROM c{lvl} WHERE {b2} * ndx + {a2} * ndy < {m}")
+    return f"""
+WITH {",".join(ctes)}
+SELECT CAST(zone_id AS BIGINT) AS zone_id, CAST(level AS BIGINT)
+           AS level,
+       CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(is_full AS BIGINT) AS is_full
+FROM ({" UNION ALL ".join(sels)}) _c
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -22814,6 +22947,7 @@ REGISTRY: dict[str, tuple] = {
     "orc_roundtrip": (q_orc_roundtrip, _sql_columnar_roundtrip),
     "spearman": (q_spearman, SQL_SPEARMAN),
     "gpx_roundtrip": (q_gpx_roundtrip, SQL_GPX_ROUNDTRIP),
+    "poly_cover": (q_poly_cover, SQL_POLY_COVER),
 }
 
 
