@@ -22277,6 +22277,17 @@ def q_orc_roundtrip(sf_dir: str):
                                sources.read_orc, "orc")
 
 
+def q_avro_roundtrip(sf_dir: str):
+    """Avro object-container interchange loop (the classic row-major
+    big-data format; clean-room writer/reader from the public 1.11
+    spec — zigzag varints, metadata map, sync markers, codec null):
+    distributed per-block sink + manifest → per-file parse tasks."""
+    from pythongis_ray import sources
+
+    return _columnar_roundtrip(sf_dir, sources.write_avro,
+                               sources.read_avro, "avro")
+
+
 def _sql_columnar_roundtrip():
     return f"""
 SELECT fk, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy
@@ -22948,6 +22959,7 @@ REGISTRY: dict[str, tuple] = {
     "spearman": (q_spearman, SQL_SPEARMAN),
     "gpx_roundtrip": (q_gpx_roundtrip, SQL_GPX_ROUNDTRIP),
     "poly_cover": (q_poly_cover, SQL_POLY_COVER),
+    "avro_roundtrip": (q_avro_roundtrip, _sql_columnar_roundtrip),
 }
 
 

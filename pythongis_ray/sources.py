@@ -1395,3 +1395,198 @@ def read_gpx(dir_or_paths):
 
     return rd.from_items(paths).map_batches(load, batch_format="pyarrow",
                                             batch_size=1)
+
+
+# ------------------------------------------------------------- Avro
+
+# Clean-room Avro 1.11 object-container files (public spec,
+# https://avro.apache.org/docs/ — magic Obj\x01, metadata map with the
+# JSON schema, codec null, 16-byte sync marker, zigzag-varint framing).
+# Flat record schemas over long / double / string / bytes — the subset
+# the engine's tables need. Distributed per-block sink + multi-file
+# reader like the Feather/ORC pair above.
+
+_AVRO_MAGIC = b"Obj\x01"
+
+
+def _zz_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zz_read(buf: memoryview, pos: int) -> tuple[int, int]:
+    shift = 0
+    u = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _avro_schema_of(table: pa.Table) -> tuple[str, list]:
+    import json
+
+    fields = []
+    kinds = []
+    for name, typ in zip(table.schema.names, table.schema.types):
+        if pa.types.is_integer(typ):
+            at, k = "long", "long"
+        elif pa.types.is_floating(typ):
+            at, k = "double", "double"
+        elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            at, k = "string", "string"
+        elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+            at, k = "bytes", "bytes"
+        else:
+            raise ValueError(f"avro sink: unsupported type {typ}")
+        fields.append({"name": name, "type": at})
+        kinds.append(k)
+    schema = json.dumps({"type": "record", "name": "row",
+                         "fields": fields})
+    return schema, kinds
+
+
+def write_avro(ds, dir_path: str) -> int:
+    """Dataset → directory of .avro object-container files (one per
+    block, codec null). Returns rows written."""
+    import hashlib
+    import json
+    import os
+    import struct
+
+    os.makedirs(dir_path, exist_ok=True)
+
+    def sink(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "file": pa.array([], pa.string())})
+        schema, kinds = _avro_schema_of(batch)
+        cols = []
+        for name, kind in zip(batch.schema.names, kinds):
+            v = batch[name].to_pylist()
+            cols.append((kind, v))
+        body = bytearray()
+        for i in range(n):
+            for kind, v in cols:
+                x = v[i]
+                if kind == "long":
+                    body += _zz_encode(int(x))
+                elif kind == "double":
+                    body += struct.pack("<d", float(x))
+                elif kind == "string":
+                    b = x.encode()
+                    body += _zz_encode(len(b)) + b
+                else:
+                    b = bytes(x)
+                    body += _zz_encode(len(b)) + b
+        sync = hashlib.md5(schema.encode()
+                           + _zz_encode(n)).digest()   # deterministic
+        meta = {b"avro.schema": schema.encode(),
+                b"avro.codec": b"null"}
+        head = bytearray(_AVRO_MAGIC)
+        head += _zz_encode(len(meta))
+        for k, v in sorted(meta.items()):
+            head += _zz_encode(len(k)) + k + _zz_encode(len(v)) + v
+        head += _zz_encode(0)          # end of metadata map
+        head += sync
+        head += _zz_encode(n) + _zz_encode(len(body)) + body + sync
+        name = f"part-{hashlib.md5(bytes(body[:256])).hexdigest()[:12]}-{n}.avro"
+        path = os.path.join(dir_path, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(head)
+        os.replace(tmp, path)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "file": pa.array([name])})
+
+    out = ds.map_batches(sink, batch_format="pyarrow",
+                         batch_size=16384).to_pandas()
+    mtmp = os.path.join(dir_path, "_MANIFEST.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump({"files": sorted(out["file"].tolist())}, f)
+    os.replace(mtmp, os.path.join(dir_path, "_MANIFEST.json"))
+    return int(out["n"].sum())
+
+
+def _avro_parse(data: bytes) -> pa.Table:
+    import json
+    import struct
+
+    if data[:4] != _AVRO_MAGIC:
+        raise ValueError("not an avro object container")
+    buf = memoryview(data)
+    pos = 4
+    meta = {}
+    while True:
+        cnt, pos = _zz_read(buf, pos)
+        if cnt == 0:
+            break
+        if cnt < 0:                   # block with byte size prefix
+            cnt = -cnt
+            _, pos = _zz_read(buf, pos)
+        for _ in range(cnt):
+            klen, pos = _zz_read(buf, pos)
+            k = bytes(buf[pos:pos + klen]).decode()
+            pos += klen
+            vlen, pos = _zz_read(buf, pos)
+            meta[k] = bytes(buf[pos:pos + vlen])
+            pos += vlen
+    if meta.get("avro.codec", b"null") != b"null":
+        raise ValueError("avro reader: only codec null supported")
+    schema = json.loads(meta["avro.schema"].decode())
+    names = [f["name"] for f in schema["fields"]]
+    kinds = [f["type"] for f in schema["fields"]]
+    sync = bytes(buf[pos:pos + 16])
+    pos += 16
+    cols: dict[str, list] = {n: [] for n in names}
+    total = len(buf)
+    while pos < total:
+        cnt, pos = _zz_read(buf, pos)
+        blen, pos = _zz_read(buf, pos)
+        end = pos + blen
+        for _ in range(cnt):
+            for n_, k in zip(names, kinds):
+                if k == "long":
+                    v, pos = _zz_read(buf, pos)
+                elif k == "double":
+                    v = struct.unpack_from("<d", buf, pos)[0]
+                    pos += 8
+                else:
+                    ln, pos = _zz_read(buf, pos)
+                    raw = bytes(buf[pos:pos + ln])
+                    pos += ln
+                    v = raw.decode() if k == "string" else raw
+                cols[n_].append(v)
+        if pos != end:
+            raise ValueError("avro reader: block length mismatch")
+        if bytes(buf[pos:pos + 16]) != sync:
+            raise ValueError("avro reader: sync marker mismatch")
+        pos += 16
+    arrays = []
+    for n_, k in zip(names, kinds):
+        t = {"long": pa.int64(), "double": pa.float64(),
+             "string": pa.string(), "bytes": pa.binary()}[k]
+        arrays.append(pa.array(cols[n_], t))
+    return pa.table(dict(zip(names, arrays)))
+
+
+def read_avro(dir_or_paths):
+    """Avro directory/paths → Dataset (one parse task per file)."""
+    def reader(p):
+        with open(p, "rb") as f:
+            return _avro_parse(f.read())
+
+    return _read_columnar(dir_or_paths, ".avro", reader)
