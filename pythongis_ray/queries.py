@@ -22576,6 +22576,133 @@ FROM ({" UNION ALL ".join(sels)}) _c
 """
 
 
+SCD2_OPEN = 1 << 62
+
+
+def q_scd2(sf_dir: str):
+    """Slowly-changing-dimension type-2 history build (the classic
+    warehouse ETL op beside q_upsert_merge): each user's event_type
+    stream collapses to its CHANGE points, and every change opens a
+    validity interval [valid_from, valid_to) closed by the next
+    change (open intervals carry the 2^62 sentinel — the driver's
+    hash can't take nullable columns). One user-keyed co-location;
+    change detection and the LEAD are vectorized shifts inside the
+    bucket ((user_id, ts) is tie-free in the fixtures, so the order
+    is total)."""
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = _events_us(sf_dir, cols=("user_id", "ts", "event_type"))
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["user_id", "ts_us"], kind="stable") \
+            .reset_index(drop=True)
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        e = g["event_type"].to_numpy()
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        chg = first | np.concatenate(([True], e[1:] != e[:-1]))
+        cu, ct, ce = u[chg], t[chg], e[chg]
+        cfirst = np.concatenate(([True], cu[1:] != cu[:-1]))
+        nxt = np.concatenate((ct[1:], [SCD2_OPEN]))
+        last = np.concatenate((cfirst[1:], [True]))
+        vto = np.where(last, SCD2_OPEN, nxt)
+        return pd.DataFrame({"user_id": cu, "event_type": ce,
+                             "valid_from": ct, "valid_to": vto})
+
+    return bucketed_group_apply(ds, ["user_id"], per_bucket)
+
+
+SQL_SCD2 = f"""
+WITH o AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts) AS pe
+           FROM events),
+c AS (SELECT user_id, ts_us, event_type FROM o
+      WHERE pe IS NULL OR pe != event_type)
+SELECT user_id, event_type, ts_us AS valid_from,
+       COALESCE(LEAD(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us), {SCD2_OPEN})
+           AS valid_to
+FROM c
+"""
+
+
+def q_line_intersections(sf_dir: str):
+    """Exact intersection POINTS of properly-crossing segment pairs
+    (the constructive output the line×line join only tests — the
+    reference's shapely `.intersection()` surface, computed
+    shapely-free): candidate pairs come from the cell-bucketed
+    spatial_join_line_line; the point is emitted as the cleared
+    rational (xi_num/den, yi_num/den) with den = cross(r, s)
+    canonicalized positive — pure int64 (coords ≤ 2^19 units, deltas
+    ≤ 2^13, so num ≤ ~2^47). Touch/collinear contacts are excluded by
+    the strict 0 < t_num < den, 0 < u_num < den tests. The refine
+    re-derives both segments arithmetically from their keys, so only
+    the (ck, sup_id) pair table moves."""
+    lines = lines_customer(sf_dir)
+    right = seglines_supplier(sf_dir)
+    pairs = spatial.spatial_join_line_line(lines, right) \
+        .select_columns(["ck", "sup_id"])
+
+    def refine(b: pa.Table) -> pd.DataFrame:
+        ck = b["ck"].to_numpy(zero_copy_only=False)
+        sk = b["sup_id"].to_numpy(zero_copy_only=False)
+        ax, ay = fixtures.geocode_units(ck)
+        rx = (ck * 48271) % 8192 - 4096
+        ry = (ck * 16807) % 8192 - 4096
+        cx, cy = fixtures.geocode_units(sk)
+        sx = (sk * 48271) % 8192 - 4096
+        sy = (sk * 16807) % 8192 - 4096
+        den0 = rx * sy - ry * sx
+        tn0 = (cx - ax) * sy - (cy - ay) * sx
+        un0 = (cx - ax) * ry - (cy - ay) * rx
+        sgn = np.where(den0 < 0, -1, 1)
+        den = sgn * den0
+        tn = sgn * tn0
+        un = sgn * un0
+        ok = (den != 0) & (tn > 0) & (tn < den) & (un > 0) & (un < den)
+        xi = sgn * (ax * den0 + tn0 * rx)
+        yi = sgn * (ay * den0 + tn0 * ry)
+        return pd.DataFrame({"ck": ck[ok], "sup_id": sk[ok],
+                             "den": den[ok], "xi_num": xi[ok],
+                             "yi_num": yi[ok]})
+
+    return pairs.map_batches(refine, batch_format="pyarrow",
+                             batch_size=65536)
+
+
+def SQL_LINE_INTERSECTIONS():
+    cs = _sql_keyed_points("customer", "c_custkey", 4, 1, "ck")
+    ss = _sql_keyed_points("supplier", "s_suppkey", 8, 7, "sup_id")
+    return f"""
+WITH a AS (SELECT ck, ix AS ax, iy AS ay,
+                  (ck * 48271) % 8192 - 4096 AS rx,
+                  (ck * 16807) % 8192 - 4096 AS ry
+           FROM ({cs}) _a),
+b AS (SELECT sup_id, ix AS cx, iy AS cy,
+             (sup_id * 48271) % 8192 - 4096 AS sx,
+             (sup_id * 16807) % 8192 - 4096 AS sy
+      FROM ({ss}) _b),
+p AS (SELECT ck, sup_id,
+             rx * sy - ry * sx AS den0,
+             (cx - ax) * sy - (cy - ay) * sx AS tn0,
+             (cx - ax) * ry - (cy - ay) * rx AS un0,
+             ax, ay, rx, ry
+      FROM a CROSS JOIN b),
+q AS (SELECT ck, sup_id,
+             CASE WHEN den0 < 0 THEN -den0 ELSE den0 END AS den,
+             CASE WHEN den0 < 0 THEN -tn0 ELSE tn0 END AS tn,
+             CASE WHEN den0 < 0 THEN -un0 ELSE un0 END AS un,
+             CASE WHEN den0 < 0 THEN -(ax * den0 + tn0 * rx)
+                  ELSE ax * den0 + tn0 * rx END AS xi_num,
+             CASE WHEN den0 < 0 THEN -(ay * den0 + tn0 * ry)
+                  ELSE ay * den0 + tn0 * ry END AS yi_num
+      FROM p)
+SELECT ck, sup_id, den, xi_num, yi_num FROM q
+WHERE den != 0 AND tn > 0 AND tn < den AND un > 0 AND un < den
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -22960,6 +23087,8 @@ REGISTRY: dict[str, tuple] = {
     "gpx_roundtrip": (q_gpx_roundtrip, SQL_GPX_ROUNDTRIP),
     "poly_cover": (q_poly_cover, SQL_POLY_COVER),
     "avro_roundtrip": (q_avro_roundtrip, _sql_columnar_roundtrip),
+    "scd2": (q_scd2, SQL_SCD2),
+    "line_intersections": (q_line_intersections, SQL_LINE_INTERSECTIONS),
 }
 
 
