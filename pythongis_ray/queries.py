@@ -22703,6 +22703,85 @@ WHERE den != 0 AND tn > 0 AND tn < den AND un > 0 AND un < den
 """
 
 
+def q_walk_edge_load(sf_dir: str):
+    """Walk-based edge load (the sampled edge-betweenness proxy used
+    for graph sparsification / backbone extraction): traversal counts
+    per consecutive (u, v) step pair over the deterministic DeepWalk
+    corpus (graph.random_walks — resident-shard engine, LCG hop
+    choice). Dangling stalls contribute (v, v) self-pairs on both
+    sides by the same rule. Pairs fold inside start-keyed buckets
+    (one shifted compare), then one (u, v) combine; the oracle wraps
+    the chained-CTE walk replay as a derived table and self-joins
+    adjacent steps."""
+    from pythongis_ray import graph, pages
+    from pythongis_ray.relational import bucketed_group_apply
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    walks = graph.random_walks(edges, src="src_page", dst="dst_page",
+                               length=WALK_LEN)
+
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["start", "step"], kind="stable")
+        start = b["start"].to_numpy(np.int64)
+        node = b["node"].to_numpy(np.int64)
+        m = start[1:] == start[:-1]
+        df = pd.DataFrame({"u": node[:-1][m], "v": node[1:][m]})
+        return (df.groupby(["u", "v"], sort=False)
+                .size().rename("pcnt").reset_index())
+
+    parts = bucketed_group_apply(walks, ["start"], pair_bucket)
+    out = rel.groupby_aggregate(parts, ["u", "v"],
+                                [("cnt", "pcnt", "sum")])
+    return out.map_batches(
+        lambda b: pa.table({"u": pc.cast(b["u"], pa.int64()),
+                            "v": pc.cast(b["v"], pa.int64()),
+                            "cnt": pc.cast(b["cnt"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_walk_edge_load() -> str:
+    return f"""
+SELECT a.node AS u, b.node AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ({_sql_random_walks()}) a
+JOIN ({_sql_random_walks()}) b
+  ON b.start = a.start AND b.step = a.step + 1
+GROUP BY a.node, b.node
+"""
+
+
+def q_compress_ratio(sf_dir: str):
+    """Gopher-style compression-ratio quality signal (Rae et al. 2021
+    use exactly this redundancy filter): per document, the DEFLATE
+    size at a fixed level over the raw byte size, as the integer
+    per-mille ratio len(zlib(text))·1000 // len(text). zlib level 6
+    is deterministic for a given input on a given zlib build, and the
+    ratio is computed inside one stateless map_batches pass (C-speed
+    per doc, no Python hot loop beyond the compress call). SQL cannot
+    express DEFLATE — rows-only entry; brute-force parity is asserted
+    in tests/test_text_embed.py."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def ratio(b: pa.Table) -> pa.Table:
+        import zlib
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = b["text"].to_pylist()
+        rm = np.empty(len(txt), np.int64)
+        for i, t in enumerate(txt):
+            raw = t.encode()
+            rm[i] = (len(zlib.compress(raw, 6)) * 1000
+                     // max(1, len(raw)))
+        return pa.table({"doc_id": pa.array(ids),
+                         "ratio_pm": pa.array(rm)})
+
+    return ds.map_batches(ratio, batch_format="pyarrow",
+                          batch_size=4096)
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -23089,6 +23168,8 @@ REGISTRY: dict[str, tuple] = {
     "avro_roundtrip": (q_avro_roundtrip, _sql_columnar_roundtrip),
     "scd2": (q_scd2, SQL_SCD2),
     "line_intersections": (q_line_intersections, SQL_LINE_INTERSECTIONS),
+    "walk_edge_load": (q_walk_edge_load, _sql_walk_edge_load),
+    "compress_ratio": (q_compress_ratio, None),
 }
 
 

@@ -1331,3 +1331,26 @@ def test_winnow_stats_brute(ray_session):
         __import__("pyarrow").array(list(pdf.text)))
     sh_all, _ = text._batch_shingles(th, offs, 5)
     assert out.n_fps.sum() < len(sh_all)
+
+
+def test_compress_ratio_parity(ray_session):
+    """q_compress_ratio rows-only entry: brute-force parity on the
+    same fixture slice."""
+    import zlib
+
+    import pandas as pd
+
+    from pythongis_ray import queries
+
+    out = queries.q_compress_ratio("/root/testdata/sf0.001").to_pandas()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    exp = {int(r.doc_id): len(zlib.compress(r.text.encode(), 6)) * 1000
+           // max(1, len(r.text.encode()))
+           for r in docs.itertuples()}
+    got = dict(zip(out.doc_id.astype(int), out.ratio_pm.astype(int)))
+    assert got == exp
+    # word-soup text compresses well; tiny docs may inflate past
+    # 1000‰ (zlib header overhead), but nothing degenerates to 0
+    assert 0 < min(exp.values()) and max(exp.values()) < 2000
+    assert sum(v < 1000 for v in exp.values()) > len(exp) // 2
