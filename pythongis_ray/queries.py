@@ -22782,6 +22782,72 @@ def q_compress_ratio(sf_dir: str):
                           batch_size=4096)
 
 
+def q_bfs_parents(sf_dir: str):
+    """Shortest-path TREE extraction (the constructive counterpart of
+    link_distance, like line_intersections is for the line join):
+    for every reached non-seed node, its BFS parent = the minimum-id
+    in-neighbor sitting exactly one hop closer. Distances come from
+    the resident-shard min-plus engine; the parent pick is one
+    partitioned edge⋈dist join per side + a destination-keyed min
+    fold. Output (node, dist, parent) for 1 ≤ dist < cap; ties break
+    to the smallest parent id on both sides by the min fold."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    e = edges.map_batches(
+        lambda b: pa.table({"key": b["src_page"],
+                            "dst": b["dst_page"]}),
+        batch_format="pyarrow", batch_size=65536).materialize()
+    dist = graph.bfs_actors(e, src="key", dst="dst",
+                            seed_mod=BFS_SEED_MOD,
+                            iters=BFS_ITERS).materialize()
+    inf = 1 << 40
+
+    du = dist.map_batches(lambda b: pa.table(
+        {"key": b["node"], "du": pc.cast(b["dist"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+    j = rel.join_large(e, du, on="key", num_buckets=16, native=False)
+    dv = dist.map_batches(lambda b: pa.table(
+        {"dst": b["node"], "dv": pc.cast(b["dist"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+    j = rel.join_large(j, dv, on="dst", num_buckets=16, native=False)
+
+    def cand(b: pd.DataFrame) -> pd.DataFrame:
+        du_ = b["du"].to_numpy(np.int64)
+        dv_ = b["dv"].to_numpy(np.int64)
+        m = (dv_ >= 1) & (dv_ < inf) & (du_ == dv_ - 1)
+        g = b[m]
+        return pd.DataFrame({"node": g["dst"].to_numpy(np.int64),
+                             "dist": g["dv"].to_numpy(np.int64),
+                             "parent": g["key"].to_numpy(np.int64)})
+
+    cands = j.map_batches(cand, batch_format="pandas",
+                          batch_size=65536)
+    out = rel.groupby_aggregate(cands, ["node", "dist"],
+                                [("parent", "parent", "min")])
+    return out.map_batches(
+        lambda b: pa.table({
+            "node": pc.cast(b["node"], pa.int64()),
+            "dist": pc.cast(b["dist"], pa.int64()),
+            "parent": pc.cast(b["parent"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_bfs_parents() -> str:
+    inf = 1 << 40
+    return f"""
+SELECT e.dst AS node, d2.dist AS dist, MIN(e.src) AS parent
+FROM ({_SQL_PAGE_EDGES}) e
+JOIN ({_sql_bfs()}) d1 ON d1.node = e.src
+JOIN ({_sql_bfs()}) d2 ON d2.node = e.dst
+WHERE d2.dist >= 1 AND d2.dist < {inf} AND d1.dist = d2.dist - 1
+GROUP BY e.dst, d2.dist
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -23170,6 +23236,7 @@ REGISTRY: dict[str, tuple] = {
     "line_intersections": (q_line_intersections, SQL_LINE_INTERSECTIONS),
     "walk_edge_load": (q_walk_edge_load, _sql_walk_edge_load),
     "compress_ratio": (q_compress_ratio, None),
+    "bfs_parents": (q_bfs_parents, _sql_bfs_parents),
 }
 
 
