@@ -22848,6 +22848,75 @@ GROUP BY e.dst, d2.dist
 """
 
 
+def q_mvt_roundtrip(sf_dir: str):
+    """Mapbox Vector Tile encode → decode loop (clean-room protobuf
+    wire format + zigzag-delta command streams, mvt.py — the modern
+    web-map output next to the PNG renderer): customer points are
+    tiled at 23040-unit tiles, quantized to the extent-4096 tile
+    frame with exact floor division qx = (ix mod 23040)·4096 //
+    23040, encoded one tile per bucket (features in ck order), and
+    decoded back to (tile, fid, qx, qy) rows. A hash match proves the
+    wire bytes carry every feature id and quantized coordinate."""
+    from pythongis_ray import mvt
+
+    pts = _keyed_points(sf_dir, "customer", "c_custkey", 4, 1, "ck")
+
+    def tile_local(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        ix = np.rint((lon + 180.0) * 1024.0).astype(np.int64)
+        iy = np.rint((lat + 90.0) * 1024.0).astype(np.int64)
+        return pa.table({
+            "ck": pc.cast(batch["ck"], pa.int64()),
+            "tcx": pa.array(ix // 23040), "tcy": pa.array(iy // 23040),
+            "qx": pa.array((ix % 23040) * 4096 // 23040),
+            "qy": pa.array((iy % 23040) * 4096 // 23040)})
+
+    local = pts.map_batches(tile_local, batch_format="pyarrow",
+                            batch_size=65536)
+
+    def encode_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (tcx, tcy), g in b.groupby(["tcx", "tcy"], sort=False):
+            g = g.sort_values("ck", kind="stable")
+            feats = [mvt.encode_point_feature(int(ck), int(qx), int(qy))
+                     for ck, qx, qy in zip(g["ck"], g["qx"], g["qy"])]
+            tile = mvt.encode_tile([mvt.encode_layer("pts", feats)])
+            rows.append({"tcx": np.int64(tcx), "tcy": np.int64(tcy),
+                         "tile": tile})
+        return pd.DataFrame(rows, columns=["tcx", "tcy", "tile"])
+
+    tiles = rel.bucketed_group_apply(local, ["tcx", "tcy"],
+                                     encode_bucket)
+
+    def decode(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"tcx": [], "tcy": [], "ck": [], "qx": [], "qy": []}
+        for tcx, tcy, blob in zip(b["tcx"], b["tcy"], b["tile"]):
+            for layer in mvt.decode_tile(bytes(blob)):
+                assert layer["name"] == "pts"
+                assert layer["extent"] == 4096
+                for fid, gtype, coords in layer["features"]:
+                    assert gtype == 1 and len(coords) == 1
+                    out["tcx"].append(np.int64(tcx))
+                    out["tcy"].append(np.int64(tcy))
+                    out["ck"].append(np.int64(fid))
+                    out["qx"].append(np.int64(coords[0][0]))
+                    out["qy"].append(np.int64(coords[0][1]))
+        return pd.DataFrame(out).astype(np.int64)
+
+    return tiles.map_batches(decode, batch_format="pandas",
+                             batch_size=256)
+
+
+def SQL_MVT_ROUNDTRIP():
+    return f"""
+SELECT ix // 23040 AS tcx, iy // 23040 AS tcy, ck,
+       (ix % 23040) * 4096 // 23040 AS qx,
+       (iy % 23040) * 4096 // 23040 AS qy
+FROM ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")}) _m
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -23237,6 +23306,7 @@ REGISTRY: dict[str, tuple] = {
     "walk_edge_load": (q_walk_edge_load, _sql_walk_edge_load),
     "compress_ratio": (q_compress_ratio, None),
     "bfs_parents": (q_bfs_parents, _sql_bfs_parents),
+    "mvt_roundtrip": (q_mvt_roundtrip, SQL_MVT_ROUNDTRIP),
 }
 
 

@@ -71,3 +71,21 @@ def test_gpx_roundtrip_geometry(ray_session, tmp_path):
     assert back.tid.tolist() == [42]
     got = wkb.decode(bytes(back.geometry.iloc[0]))["rings"][0]
     assert np.array_equal(got, pts)
+
+
+def test_mvt_codec_line_and_point():
+    from pythongis_ray import mvt
+
+    line = mvt.encode_line_feature(
+        9, np.array([5, 100, 100, 0]), np.array([7, 7, 4000, 0]))
+    pt = mvt.encode_point_feature(3, 4095, 0)
+    tile = mvt.encode_tile([mvt.encode_layer("roads", [line]),
+                            mvt.encode_layer("pts", [pt])])
+    layers = mvt.decode_tile(tile)
+    assert [l["name"] for l in layers] == ["roads", "pts"]
+    fid, gtype, coords = layers[0]["features"][0]
+    assert (fid, gtype) == (9, 2)
+    assert coords == [(5, 7), (100, 7), (100, 4000), (0, 0)]
+    fid2, gtype2, coords2 = layers[1]["features"][0]
+    assert (fid2, gtype2, coords2) == (3, 1, [(4095, 0)])
+    assert all(l["extent"] == 4096 for l in layers)
