@@ -22917,6 +22917,70 @@ FROM ({_sql_keyed_points("customer", "c_custkey", 4, 1, "ck")}) _m
 """
 
 
+def q_basin_stats(sf_dir: str):
+    """Zonal statistics over a DERIVED zoning — the composition
+    pattern (watershed labels feed a zonal rollup the way the
+    reference chains manager ops): per drainage basin (q_watershed's
+    pointer-doubled sink labels), exact cell count, total density
+    ('runoff mass'), and the peak cell density. The labels table is
+    cell-bounded; one bucketed join attaches the density grid, one
+    basin-keyed combine rolls up. Oracle composes the full watershed
+    CTE chain as a derived table and re-joins the cell counts."""
+    pts = points_lineitem(sf_dir)
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy(zero_copy_only=False)
+        iy = batch["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({"cx": pa.array(ix // 8192),
+                         "cy": pa.array(iy // 8192)})
+
+    ds = pts.map_batches(cellify, batch_format="pyarrow",
+                         batch_size=65536)
+    grd = rel.groupby_aggregate(ds, ["cx", "cy"],
+                                [("n", "cx", "count")]).materialize()
+
+    labels = q_watershed(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "cx": b["cx"].to_numpy(np.int64),
+            "cy": b["cy"].to_numpy(np.int64),
+            "bk": b["basin_x"].to_numpy(np.int64) * (np.int64(1) << 32)
+            + b["basin_y"].to_numpy(np.int64)}),
+        batch_format="pandas", batch_size=65536)
+    j = rel.join_large(labels, grd, on=["cx", "cy"], num_buckets=16,
+                       native=False)
+    out = rel.groupby_aggregate(j, ["bk"],
+                                [("n_cells", "n", "count"),
+                                 ("mass", "n", "sum"),
+                                 ("peak", "n", "max")])
+
+    def unpack(b: pd.DataFrame) -> pd.DataFrame:
+        bk = b["bk"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "basin_x": bk >> 32, "basin_y": bk & ((1 << 32) - 1),
+            "n_cells": b["n_cells"].to_numpy(np.int64),
+            "mass": b["mass"].to_numpy(np.int64),
+            "peak": b["peak"].to_numpy(np.int64)})
+
+    return out.map_batches(unpack, batch_format="pandas",
+                           batch_size=65536)
+
+
+def SQL_BASIN_STATS():
+    return f"""
+WITH pts2 AS ({SQL_PTS_LINEITEM()}),
+g2 AS (SELECT ix // 8192 AS cx, iy // 8192 AS cy,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM pts2 GROUP BY 1, 2)
+SELECT w.basin_x, w.basin_y,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(g2.n) AS BIGINT) AS mass,
+       CAST(MAX(g2.n) AS BIGINT) AS peak
+FROM ({SQL_WATERSHED()}) w
+JOIN g2 ON g2.cx = w.cx AND g2.cy = w.cy
+GROUP BY w.basin_x, w.basin_y
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -23307,6 +23371,7 @@ REGISTRY: dict[str, tuple] = {
     "compress_ratio": (q_compress_ratio, None),
     "bfs_parents": (q_bfs_parents, _sql_bfs_parents),
     "mvt_roundtrip": (q_mvt_roundtrip, SQL_MVT_ROUNDTRIP),
+    "basin_stats": (q_basin_stats, SQL_BASIN_STATS),
 }
 
 
