@@ -22981,6 +22981,49 @@ GROUP BY w.basin_x, w.basin_y
 """
 
 
+def q_quant_error(sf_dir: str):
+    """int8 embedding-quantization distortion audit (the compression
+    step every production ANN index takes before PQ): per vector, the
+    self-dot under the ×127 int8 grid vs the ×1000 reference grid,
+    and the cleared-denominator distortion |d8·1000² − d1000·127²|
+    (zero iff the two grids agree exactly after scale adjustment —
+    never, so the column measures true rounding loss). One stateless
+    vectorized pass; SQL replays both quantizations with
+    list_transform + list_dot_product."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+    def audit(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        X = embed._as_matrix(b["embedding"]).astype(np.float64)
+        q1000 = np.rint(X * 1000).astype(np.int64)
+        q8 = np.rint(X * 127).astype(np.int64)
+        d1000 = (q1000 * q1000).sum(axis=1)
+        d8 = (q8 * q8).sum(axis=1)
+        err = np.abs(d8 * 1000000 - d1000 * 16129)
+        return pa.table({"vec_id": pa.array(ids),
+                         "d8": pa.array(d8), "d1000": pa.array(d1000),
+                         "err": pa.array(err)})
+
+    return emb.map_batches(audit, batch_format="pyarrow",
+                           batch_size=65536)
+
+
+SQL_QUANT_ERROR = """
+WITH q AS (SELECT vec_id,
+    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v1000,
+    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127)) AS v8
+  FROM embeddings)
+SELECT vec_id,
+       CAST(list_dot_product(v8, v8) AS BIGINT) AS d8,
+       CAST(list_dot_product(v1000, v1000) AS BIGINT) AS d1000,
+       CAST(abs(CAST(list_dot_product(v8, v8) AS BIGINT) * 1000000
+                - CAST(list_dot_product(v1000, v1000) AS BIGINT) * 16129)
+            AS BIGINT) AS err
+FROM q
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -23372,6 +23415,7 @@ REGISTRY: dict[str, tuple] = {
     "bfs_parents": (q_bfs_parents, _sql_bfs_parents),
     "mvt_roundtrip": (q_mvt_roundtrip, SQL_MVT_ROUNDTRIP),
     "basin_stats": (q_basin_stats, SQL_BASIN_STATS),
+    "quant_error": (q_quant_error, SQL_QUANT_ERROR),
 }
 
 
