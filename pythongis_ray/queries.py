@@ -23024,6 +23024,161 @@ FROM q
 """
 
 
+WEAK_TIE_MAX = 2
+
+
+def q_weak_ties(sf_dir: str):
+    """Weak ties (Granovetter — edges whose endpoints share at most
+    {WEAK_TIE_MAX} common neighbors, i.e. low triangle support; the
+    classic tie-strength / community-boundary signal; support 0 would
+    be a true local bridge): the deduped undirected link graph's
+    edges left-joined against graph._truss_support (the ktruss
+    wedge+probe machinery — edges in no triangle simply don't appear
+    there, so the left join's nulls ARE support 0). Oracle: per-edge
+    shared-neighbor COUNT over the doubled adjacency, COALESCEd to 0
+    for triangle-free edges."""
+    e = _weighted_link_edges(sf_dir).map_batches(
+        lambda b: pa.table({"u": b["u"], "v": b["v"]}),
+        batch_format="pyarrow", batch_size=65536).materialize()
+    from pythongis_ray.graph import _truss_support
+
+    supp = _truss_support(e).map_batches(
+        lambda b: pa.table({"u": b["u"], "v": b["v"],
+                            "support": b["support"]}),
+        batch_format="pyarrow", batch_size=65536)
+    j = rel.join_large(e, supp, on=["u", "v"], num_buckets=16,
+                       how="left", native=False)
+
+    def keep_weak(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["support"].fillna(0).to_numpy(np.int64)
+        g = s <= WEAK_TIE_MAX
+        return pd.DataFrame({"u": b["u"].to_numpy(np.int64)[g],
+                             "v": b["v"].to_numpy(np.int64)[g],
+                             "support": s[g]})
+
+    out = j.map_batches(keep_weak, batch_format="pandas",
+                        batch_size=65536).materialize()
+    if out.count() == 0:
+        # Dataset.to_pandas drops the schema of an ALL-empty dataset
+        # — hand the driver a typed empty pandas frame instead
+        return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                             "v": pd.Series([], dtype=np.int64),
+                             "support": pd.Series([], dtype=np.int64)})
+    return out
+
+
+def SQL_WEAK_TIES():
+    return f"""
+WITH {_SQL_WEIGHTED_LINK_EDGES},
+adj AS MATERIALIZED (
+  SELECT u AS x, v AS y FROM e1 UNION ALL SELECT v, u FROM e1),
+sup AS (
+  SELECT e1.u, e1.v, COUNT(*) AS c
+  FROM e1
+  JOIN adj a ON a.x = e1.u
+  JOIN adj b ON b.x = e1.v AND b.y = a.y
+  GROUP BY e1.u, e1.v)
+SELECT e1.u, e1.v,
+       CAST(COALESCE(sup.c, 0) AS BIGINT) AS support
+FROM e1 LEFT JOIN sup ON sup.u = e1.u AND sup.v = e1.v
+WHERE COALESCE(sup.c, 0) <= {WEAK_TIE_MAX}
+"""
+
+
+ST_CC_ROUNDS = 12
+
+
+def q_st_clusters(sf_dir: str):
+    """Spatio-temporal event clusters (the ST-DBSCAN shape: outbreak /
+    burst detection over the event point cloud): events pair when
+    close in BOTH space (d² ≤ {KNOX_EPS}² — the Knox predicate) and
+    time (|Δt| ≤ {KNOX_W_S}s, pruned IN-KERNEL by the pair_filter so
+    non-qualifying pairs never leave the tile kernel), then pairs
+    merge into connected components (resident-shard hash-min,
+    converged). Output (cluster = min event id, n_events) — isolated
+    events never pair, so every cluster has ≥ 2 members. Oracle:
+    range self-join + {ST_CC_ROUNDS} hash-min/pointer-jump rounds
+    (the grid_regions idiom; the converged engine certifies the
+    budget)."""
+    from pythongis_ray import graph
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ix, iy = fixtures.geocode_units(eid * 4 + 1)
+        return pa.table({"event_id": pa.array(eid), "ix": ix, "iy": iy,
+                         "t_s": pa.array(us // 1_000_000)})
+
+    pts = ev.map_batches(prep, batch_format="pyarrow",
+                         batch_size=65536).materialize()
+
+    def in_window(d2, ca, cb):
+        return np.abs(ca["t_s"] - cb["t_s"]) <= KNOX_W_S
+
+    pairs = spatial.dwithin_self_pairs(pts, "event_id", "ix", "iy",
+                                       eps=KNOX_EPS, carry=("t_s",),
+                                       pair_filter=in_window)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"id_a": pc.cast(b["id_a"], pa.int64()),
+                            "id_b": pc.cast(b["id_b"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536).materialize()
+    cc = graph.connected_components(edges)
+    out = rel.groupby_aggregate(
+        cc.map_batches(lambda b: pa.table(
+            {"cluster": pc.cast(b["component"], pa.int64())}),
+            batch_format="pyarrow", batch_size=65536),
+        ["cluster"], [("n_events", "cluster", "count")])
+    return out.map_batches(
+        lambda b: pa.table({
+            "cluster": pc.cast(b["cluster"], pa.int64()),
+            "n_events": pc.cast(b["n_events"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def SQL_ST_CLUSTERS():
+    src = "(SELECT event_id, ts, event_id*4+1 AS gk FROM events)"
+    g = fixtures.sql_geocode("gk").replace("__SRC__", src)
+    rounds = []
+    prev = "l0"
+    for r in range(1, ST_CC_ROUNDS + 1):
+        rounds.append(f"""
+l{r} AS MATERIALIZED (
+  SELECT n.k, LEAST(n.m, j.lab2) AS lab FROM
+    (SELECT e.k1 AS k, MIN(lp.lab) AS m
+     FROM ge2 e JOIN {prev} lp ON lp.k = e.k2 GROUP BY e.k1) n
+  JOIN
+    (SELECT l1.k, l2.lab AS lab2
+     FROM {prev} l1 JOIN {prev} l2 ON l2.k = l1.lab) j
+  ON j.k = n.k)""")
+        prev = f"l{r}"
+    return f"""
+WITH ge AS ({g}),
+e AS (SELECT event_id, ix, iy, epoch_us(ts) // 1000000 AS s FROM ge),
+pe AS MATERIALIZED (
+  SELECT a.event_id AS k1, b.event_id AS k2
+  FROM e a JOIN e b
+    ON a.event_id < b.event_id
+   AND (a.ix-b.ix)*(a.ix-b.ix) + (a.iy-b.iy)*(a.iy-b.iy)
+       <= {KNOX_EPS * KNOX_EPS}
+   AND b.s BETWEEN a.s - {KNOX_W_S} AND a.s + {KNOX_W_S}),
+nd AS (SELECT DISTINCT k FROM (
+  SELECT k1 AS k FROM pe UNION ALL SELECT k2 FROM pe) _n),
+ge2 AS MATERIALIZED (
+  SELECT k1, k2 FROM pe UNION ALL SELECT k2, k1 FROM pe
+  UNION ALL SELECT k, k FROM nd),
+l0 AS MATERIALIZED (SELECT k, k AS lab FROM nd),
+{",".join(rounds)}
+SELECT CAST(lab AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM {prev} GROUP BY lab
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -23416,6 +23571,8 @@ REGISTRY: dict[str, tuple] = {
     "mvt_roundtrip": (q_mvt_roundtrip, SQL_MVT_ROUNDTRIP),
     "basin_stats": (q_basin_stats, SQL_BASIN_STATS),
     "quant_error": (q_quant_error, SQL_QUANT_ERROR),
+    "weak_ties": (q_weak_ties, SQL_WEAK_TIES),
+    "st_clusters": (q_st_clusters, SQL_ST_CLUSTERS),
 }
 
 
