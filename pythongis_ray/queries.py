@@ -6898,9 +6898,10 @@ def q_typo_pairs(sf_dir: str):
 
     ds = pages.pages_dataset(sf_dir, geocode=False, columns=["url"])
     out = text.edit1_pairs(ds, "url")
-    return out.map_batches(
+    return rel.driver_safe(out.map_batches(
         lambda b: pa.table({"url_a": b["a"], "url_b": b["b"]}),
-        batch_format="pyarrow", batch_size=65536)
+        batch_format="pyarrow", batch_size=65536),
+        pa.schema([("url_a", pa.string()), ("url_b", pa.string())]))
 
 
 SQL_TYPO_PAIRS = """
@@ -21662,7 +21663,10 @@ def q_matching(sf_dir: str):
     # ancestor and dominance collapses into the hub core (a 9-edge
     # matching at every scale); scrambling scatters local minima so
     # each round matches a constant fraction (Hoepman's expectation).
-    alive = _weighted_link_edges(sf_dir)
+    # materialized: each round consumes `alive` twice (the endpoint
+    # fold and the attach join) — lazy, that re-runs the whole
+    # link-extraction lineage two times per round
+    alive = _weighted_link_edges(sf_dir).materialize()
 
     matched_parts = []
     for rnd in range(1, MATCH_ROUNDS + 1):
@@ -21674,7 +21678,10 @@ def q_matching(sf_dir: str):
                 "ek": pa.concat_arrays(
                     [pc.cast(b["ek"], pa.int64()).combine_chunks()] * 2)}),
             batch_format="pyarrow", batch_size=65536)
-        nm = rel.groupby_aggregate(both, ["node"], [("mn", "ek", "min")])
+        # materialized: nm feeds BOTH endpoint projections — lazy, the
+        # groupby would execute twice
+        nm = rel.groupby_aggregate(both, ["node"],
+                                   [("mn", "ek", "min")]).materialize()
         nmu = nm.map_batches(lambda b: pa.table(
             {"u": b["node"], "mu": b["mn"]}),
             batch_format="pyarrow", batch_size=65536)
@@ -21765,6 +21772,7 @@ FROM ({" UNION ALL ".join(sels)}) _m
 
 BORUVKA_ROUNDS = 3
 BR_CC_ROUNDS = 8      # SQL pointer-doubling steps (2^8-hop reach, margin)
+BR_LOCAL_RESOLVE_CAP = 4_000_000   # successor rows; ≈64 MB driver-side
 
 
 def q_boruvka(sf_dir: str):
@@ -21785,11 +21793,13 @@ def q_boruvka(sf_dir: str):
     doubling loop (log₂ iterations, each a keyed join on the
     component-level table, converged via a changed-count), one
     relabel join — every step bucketed; the edge table is static and
-    materialized once. Oracle: chained CTE rounds with
+    materialized once (joins consume their input per call — a lazy
+    edge Dataset would re-run the whole link-extraction lineage
+    2× per round). Oracle: chained CTE rounds with
     {BR_CC_ROUNDS} fixed doubling steps (2^{BR_CC_ROUNDS}-hop reach —
     the engine side converges, so an oracle match also certifies the
     SQL step budget suffices at this scale)."""
-    e = _weighted_link_edges(sf_dir)
+    e = _weighted_link_edges(sf_dir).materialize()
 
     def init_comp(b: pa.Table) -> pa.Table:
         u = b["u"].to_numpy(zero_copy_only=False)
@@ -21825,23 +21835,27 @@ def q_boruvka(sf_dir: str):
                 "ek": np.tile(b["ek"].to_numpy(np.int64), 2)}),
             batch_format="pandas", batch_size=65536)
         m = rel.groupby_aggregate(both, ["comp"], [("mw", "ek", "min")])
-        mwk = rel.dedup(m.map_batches(
-            lambda b: pa.table({"ek": b["mw"]}),
-            batch_format="pyarrow", batch_size=65536), ["ek"])
-        sel = rel.join_large(cand, mwk, on="ek", num_buckets=16,
-                             native=False).materialize()
-        sel_parts.append((rnd, sel))
         # merge: successor pointers (each component's min edge names
         # its merge partner — a functional graph whose only cycles are
         # the mutual 2-cycles), resolved to canonical roots by pointer
-        # DOUBLING to a fixed point (log₂ iterations, each one keyed
-        # join on the component-level table) — the watershed idiom,
-        # ~10× cheaper than per-round hash-min CC at this shape
+        # DOUBLING to a fixed point — the watershed idiom, ~10×
+        # cheaper than per-round hash-min CC at this shape. ONE ek
+        # join serves both outputs: mm = (component, its min edge row)
+        # yields the selected forest edges (dedup by ek — an edge
+        # chosen by both endpoints appears twice) AND the successor
+        # table, so the former separate cand×min-keys join is gone.
         mm = rel.join_large(
             m.map_batches(lambda b: pa.table(
                 {"mcomp": b["comp"], "ek": b["mw"]}),
                 batch_format="pyarrow", batch_size=65536),
-            cand, on="ek", num_buckets=16, native=False)
+            cand, on="ek", num_buckets=16, native=False).materialize()
+        sel = rel.dedup(mm.map_batches(
+            lambda b: pa.table({"u": pa.Array.from_pandas(b["u"]),
+                                "v": pa.Array.from_pandas(b["v"]),
+                                "ek": pa.Array.from_pandas(b["ek"])}),
+            batch_format="pandas", batch_size=65536),
+            ["ek"]).materialize()
+        sel_parts.append((rnd, sel))
         succ = mm.map_batches(
             lambda b: pd.DataFrame({
                 "comp": b["mcomp"].to_numpy(np.int64),
@@ -21850,48 +21864,77 @@ def q_boruvka(sf_dir: str):
                     == b["cu"].to_numpy(np.int64),
                     b["cv"].to_numpy(np.int64),
                     b["cu"].to_numpy(np.int64))}),
-            batch_format="pandas", batch_size=65536)
-        s2 = rel.join_large(
-            succ,
-            succ.map_batches(lambda b: pa.table(
-                {"s": pa.Array.from_pandas(b["comp"]),
-                 "ss": pa.Array.from_pandas(b["s"])}),
-                batch_format="pandas", batch_size=65536),
-            on="s", num_buckets=16, native=False)
-        p = s2.map_batches(
-            lambda b: pd.DataFrame({
-                "comp": b["comp"].to_numpy(np.int64),
-                "p": np.where((b["ss"].to_numpy(np.int64)
-                               == b["comp"].to_numpy(np.int64))
-                              & (b["comp"].to_numpy(np.int64)
-                                 < b["s"].to_numpy(np.int64)),
-                              b["comp"].to_numpy(np.int64),
-                              b["s"].to_numpy(np.int64))}),
             batch_format="pandas", batch_size=65536).materialize()
-        for _ in range(10):
-            pj = rel.join_large(
-                p,
-                p.map_batches(lambda b: pa.table(
-                    {"p": pa.Array.from_pandas(b["comp"]),
-                     "pp": pa.Array.from_pandas(b["p"])}),
+        if succ.count() <= BR_LOCAL_RESOLVE_CAP:
+            # successor-forest resolve, driver-local: the table is one
+            # row per MERGING component (geometrically shrinking round
+            # over round), so it is bounded in practice — squaring the
+            # successor FUNCTION in numpy (f ← f∘f, true pointer
+            # doubling) replaces the 2-cycle-break join plus ~10
+            # bucketed doubling joins with microseconds. The
+            # distributed path below stays for a round where the
+            # successor table is still huge.
+            dp = succ.to_pandas()
+            comp_ids = dp["comp"].to_numpy(np.int64)
+            s = dp["s"].to_numpy(np.int64)
+            order = np.argsort(comp_ids, kind="stable")
+            keys = comp_ids[order]
+            sv = s[order]
+            # break the mutual 2-cycles: p = self where succ(succ)
+            # loops back and we are the smaller endpoint
+            idx = np.clip(np.searchsorted(keys, sv), 0, len(keys) - 1)
+            ss = np.where(keys[idx] == sv, sv[idx], sv)
+            f = np.where((ss == keys) & (keys < sv), keys, sv)
+            for _ in range(64):
+                idx = np.clip(np.searchsorted(keys, f), 0, len(keys) - 1)
+                nf = np.where(keys[idx] == f, f[idx], f)
+                if np.array_equal(nf, f):
+                    break
+                f = nf
+            roots = _rd().from_pandas(pd.DataFrame(
+                {"comp": keys, "root": f}))
+        else:
+            s2 = rel.join_large(
+                succ,
+                succ.map_batches(lambda b: pa.table(
+                    {"s": pa.Array.from_pandas(b["comp"]),
+                     "ss": pa.Array.from_pandas(b["s"])}),
                     batch_format="pandas", batch_size=65536),
-                on="p", num_buckets=16, native=False)
-            nxt = pj.map_batches(
+                on="s", num_buckets=16, native=False)
+            p = s2.map_batches(
                 lambda b: pd.DataFrame({
                     "comp": b["comp"].to_numpy(np.int64),
-                    "p": b["pp"].to_numpy(np.int64),
-                    "chg": (b["pp"].to_numpy(np.int64)
-                            != b["p"].to_numpy(np.int64))
-                    .astype(np.int64)}),
+                    "p": np.where((b["ss"].to_numpy(np.int64)
+                                   == b["comp"].to_numpy(np.int64))
+                                  & (b["comp"].to_numpy(np.int64)
+                                     < b["s"].to_numpy(np.int64)),
+                                  b["comp"].to_numpy(np.int64),
+                                  b["s"].to_numpy(np.int64))}),
                 batch_format="pandas", batch_size=65536).materialize()
-            changed = nxt.sum("chg")
-            p = nxt.drop_columns(["chg"]).materialize()
-            if not changed:
-                break
-        roots = p.map_batches(
-            lambda b: pa.table({"comp": pa.Array.from_pandas(b["comp"]),
-                                "root": pa.Array.from_pandas(b["p"])}),
-            batch_format="pandas", batch_size=65536)
+            for _ in range(10):
+                pj = rel.join_large(
+                    p,
+                    p.map_batches(lambda b: pa.table(
+                        {"p": pa.Array.from_pandas(b["comp"]),
+                         "pp": pa.Array.from_pandas(b["p"])}),
+                        batch_format="pandas", batch_size=65536),
+                    on="p", num_buckets=16, native=False)
+                nxt = pj.map_batches(
+                    lambda b: pd.DataFrame({
+                        "comp": b["comp"].to_numpy(np.int64),
+                        "p": b["pp"].to_numpy(np.int64),
+                        "chg": (b["pp"].to_numpy(np.int64)
+                                != b["p"].to_numpy(np.int64))
+                        .astype(np.int64)}),
+                    batch_format="pandas", batch_size=65536).materialize()
+                changed = nxt.sum("chg")
+                p = nxt.drop_columns(["chg"]).materialize()
+                if not changed:
+                    break
+            roots = p.map_batches(
+                lambda b: pa.table({"comp": pa.Array.from_pandas(b["comp"]),
+                                    "root": pa.Array.from_pandas(b["p"])}),
+                batch_format="pandas", batch_size=65536)
         comp = rel.join_large(comp, roots, on="comp", num_buckets=16,
                               how="left", native=False)
         comp = comp.map_batches(
