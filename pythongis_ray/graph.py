@@ -1043,7 +1043,8 @@ class _BfsShard:
         eb = _bucket_of(ends, self.nb)
         return tuple(ends[eb == t] for t in range(self.nb))
 
-    def init(self, seed_mod: int, *incoming, weight_mod=None) -> int:
+    def init(self, seed_mod: int, *incoming, weight_mod=None,
+             temporal_mod=None) -> int:
         self.owned = np.unique(np.concatenate([self.src, *incoming]))
         self.e_src_idx = np.searchsorted(self.owned, self.src)
         db = _bucket_of(self.dst, self.nb)
@@ -1057,6 +1058,14 @@ class _BfsShard:
         self.e_w = (None if weight_mod is None else
                     ((self.src + self.dst) % np.int64(weight_mod)
                      + np.int64(1))[o])
+        # temporal mode: edges carry the deterministic TIME
+        # t = (src+dst) % temporal_mod and the fold is time-respecting
+        # earliest arrival — an edge relaxes only when its time is at
+        # or after the source's current arrival, and the contribution
+        # IS the edge time (not dist+w)
+        self.e_t = (None if temporal_mod is None else
+                    ((self.src + self.dst)
+                     % np.int64(temporal_mod))[o])
         self.splits = np.searchsorted(db[o], np.arange(self.nb + 1))
         self.src = self.dst = None
         self.dist = np.where(self.owned % seed_mod == 0,
@@ -1068,6 +1077,11 @@ class _BfsShard:
         out = []
         for t in range(self.nb):
             sl = slice(self.splits[t], self.splits[t + 1])
+            if self.e_t is not None:
+                ts = self.e_t[sl]
+                live = (d[sl] < BFS_INF) & (ts >= d[sl])
+                out.append(_group_min(self.e_dst[sl][live], ts[live]))
+                continue
             live = d[sl] < BFS_INF
             w = (np.int64(1) if self.e_w is None
                  else self.e_w[sl][live])
@@ -1093,16 +1107,22 @@ class _BfsShard:
 def bfs_actors(edges, src: str = "src", dst: str = "dst",
                seed_mod: int = 97, iters: int = 8,
                num_shards: int | None = None,
-               weight_mod: int | None = None):
+               weight_mod: int | None = None,
+               temporal_mod: int | None = None):
     """Hop distance from the seed set {node : node % seed_mod == 0}
     following edge direction, capped at ``iters`` rounds (nodes
     farther than that — or unreachable — keep the BFS_INF sentinel).
     With ``weight_mod`` set, edges carry the deterministic integer
     weight ``(src + dst) % weight_mod + 1`` and the propagation is
     min-plus over weighted paths (Bellman-Ford rounds on the same
-    resident-shard engine — SSSP, not just hop count). Fixed round
-    count makes either result an exact replay of a chained min-plus
-    LEFT-JOIN CTE in DuckDB, independent of sharding.
+    resident-shard engine — SSSP, not just hop count). With
+    ``temporal_mod`` set, edges carry the deterministic TIME
+    ``(src + dst) % temporal_mod`` and the fold is time-respecting
+    EARLIEST ARRIVAL (Wu et al., VLDB'14 one-pass semantics run in
+    synchronous rounds): an edge relaxes only when its time ≥ the
+    source's current arrival, and the relaxed value is the edge time.
+    Fixed round count makes any of these an exact replay of a chained
+    min-fold LEFT-JOIN CTE in DuckDB, independent of sharding.
     Reference analogue: link-distance crawls in web-graph analysis
     (no direct reference op; the graph layer generalizes
     /root/reference/pythongis/vector/sql.py's per-group folds to
@@ -1110,19 +1130,21 @@ def bfs_actors(edges, src: str = "src", dst: str = "dst",
     import ray
     import ray.data as rd
 
+    if weight_mod is not None and temporal_mod is not None:
+        raise ValueError("weight_mod and temporal_mod are exclusive")
     nb = _shard_count(num_shards)
     Shard = ray.remote(_BfsShard)
     shards = [Shard.remote(b, nb) for b in range(nb)]
     try:
         return _bfs_rounds(edges, shards, nb, src, dst, seed_mod, iters,
-                           weight_mod)
+                           weight_mod, temporal_mod)
     finally:
         for sh in shards:
             ray.kill(sh)
 
 
 def _bfs_rounds(edges, shards, nb, src, dst, seed_mod, iters,
-                weight_mod=None):
+                weight_mod=None, temporal_mod=None):
     import ray
     import ray.data as rd
 
@@ -1131,7 +1153,8 @@ def _bfs_rounds(edges, shards, nb, src, dst, seed_mod, iters,
           for sh in shards]
     ray.get([shards[t].init.remote(seed_mod,
                                    *[ex[b][t] for b in range(nb)],
-                                   weight_mod=weight_mod)
+                                   weight_mod=weight_mod,
+                                   temporal_mod=temporal_mod)
              for t in range(nb)])
 
     for _ in range(iters):

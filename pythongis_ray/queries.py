@@ -23222,6 +23222,150 @@ FROM {prev} GROUP BY lab
 """
 
 
+GRAM_ROUNDS = 6
+GRAM_SHIFT = 20      # normalized eigenvector components ≤ 2^20
+
+
+def q_gram_power(sf_dir: str):
+    """Distributed PCA top direction (the 100-TB dimensionality-
+    reduction prep): the Gram matrix of the quantized embedding table
+    is a SINGLE streaming pass — each block contributes a dim×dim
+    int64 partial (one batched matmul), combined by one tiny
+    (dim²-bounded) groupby — then {GRAM_ROUNDS} exact integer power-
+    iteration rounds on the driver's dim×dim matrix (Python ints, no
+    float drift) with the HITS global-max-divisor normalization
+    (v ← v·2^{GRAM_SHIFT} // max|w|, Python FLOOR division). Output
+    (dim, v): the dominant eigenvector direction, deterministic from
+    the all-ones start. Oracle: unnest → self-join Gram in HUGEINT,
+    chained per-round CTEs (AS MATERIALIZED — DuckDB re-evaluates
+    multiply-referenced iterative CTEs exponentially otherwise) with
+    the negative-numerator CASE emulating floor division."""
+    from pythongis_ray.embed import _as_matrix, quantize
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def partial_gram(b: pa.Table) -> pa.Table:
+        m = quantize(_as_matrix(b["embedding"]))
+        g = m.T @ m                        # int64-exact per block
+        d = g.shape[0]
+        r, c = np.divmod(np.arange(d * d, dtype=np.int64), d)
+        return pa.table({"r": r, "c": c, "g": g.ravel()})
+
+    parts = ds.map_batches(partial_gram, batch_format="pyarrow",
+                           batch_size=65536)
+    gram = rel.groupby_aggregate(parts, ["r", "c"],
+                                 [("g", "g", "sum")]).to_pandas()
+    d = int(gram["r"].max()) + 1
+    G = [[0] * d for _ in range(d)]
+    for r, c, g in zip(gram["r"].to_numpy(np.int64),
+                       gram["c"].to_numpy(np.int64),
+                       gram["g"].to_numpy(np.int64)):
+        G[r][c] = int(g)                   # Python ints: no overflow
+    v = [1 << GRAM_SHIFT] * d
+    for _ in range(GRAM_ROUNDS):
+        w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        v = [(x << GRAM_SHIFT) // mx for x in w]   # Python floor div
+    return pd.DataFrame({"dim": np.arange(d, dtype=np.int64),
+                         "v": np.array(v, np.int64)})
+
+
+def SQL_GRAM_POWER():
+    s = 1 << GRAM_SHIFT
+    ctes = [f"""e AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS HUGEINT)) AS q
+  FROM embeddings),
+f AS MATERIALIZED (
+  SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS i
+  FROM e),
+g AS MATERIALIZED (
+  SELECT a.i AS r, b.i AS c, SUM(a.x * b.x) AS g
+  FROM f a JOIN f b ON b.vec_id = a.vec_id GROUP BY a.i, b.i),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT r AS i, CAST({s} AS HUGEINT) AS v FROM g)"""]
+    prev = "v0"
+    for k in range(1, GRAM_ROUNDS + 1):
+        ctes.append(f"""
+w{k} AS MATERIALIZED (
+  SELECT g.r AS i, SUM(g.g * v.v) AS w
+  FROM g JOIN {prev} v ON v.i = g.c GROUP BY g.r),
+m{k} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{k}),
+v{k} AS MATERIALIZED (
+  SELECT i, CASE WHEN w >= 0 THEN (w * {s}) // m
+                 ELSE -(((-w) * {s} + m - 1) // m) END AS v
+  FROM w{k}, m{k})""")
+        prev = f"v{k}"
+    return f"""
+WITH {",".join(ctes)}
+SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(v AS BIGINT) AS v
+FROM {prev}
+"""
+
+
+TEMPORAL_MOD = 16     # deterministic edge time t = (src+dst) % 16
+
+
+def q_temporal_reach(sf_dir: str):
+    """Time-respecting earliest arrival from the seed pages
+    (page_id % {BFS_SEED_MOD} == 0) over the extracted link graph —
+    the temporal-graph reachability primitive (information-diffusion
+    / contact-tracing shape; Wu et al. VLDB'14 semantics): an edge
+    (u→v, t) can be taken only at t ≥ the current arrival at u, and
+    taking it arrives at v AT t (not t+1 — instantaneous traversal),
+    so arrivals are minima over monotone-time paths. Edge times are
+    the deterministic (src+dst) % {TEMPORAL_MOD} — a pure function of
+    the edge, identical in the DuckDB replay. Runs on the resident-
+    shard min-fold engine (graph._BfsShard temporal mode — edges
+    routed once, rounds exchange pre-combined per-destination
+    minima), {BFS_ITERS} synchronous rounds. Oracle: chained
+    LEFT-JOIN CTEs with the time-qualifying CASE."""
+    from pythongis_ray import graph, pages
+
+    ds = pages.pages_dataset(sf_dir, geocode=False, links=True,
+                             columns=["page_id", "html"])
+    edges = ds.map_batches(pages.extract_links, batch_format="pyarrow",
+                           batch_size=4096)
+    out = graph.bfs_actors(edges, src="src_page", dst="dst_page",
+                           seed_mod=BFS_SEED_MOD, iters=BFS_ITERS,
+                           temporal_mod=TEMPORAL_MOD)
+    return out.map_batches(
+        lambda b: pa.table({
+            "node": pc.cast(b["node"], pa.int64()),
+            "arrival": pc.cast(b["dist"], pa.int64())}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def SQL_TEMPORAL_REACH():
+    inf = 1 << 40
+    tmod = TEMPORAL_MOD
+    head = f"""
+WITH e AS MATERIALIZED ({_SQL_PAGE_EDGES}),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+d0 AS MATERIALIZED (
+  SELECT node, CAST(CASE WHEN node % {BFS_SEED_MOD} = 0 THEN 0
+                         ELSE {inf} END AS BIGINT) AS dist
+  FROM nodes)"""
+    step = f""",
+d{{k}} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(LEAST(MIN(dn.dist),
+              COALESCE(MIN(CASE
+                WHEN (e.src + e.dst) % {tmod} >= ds.dist
+                THEN (e.src + e.dst) % {tmod} END), {inf}))
+           AS BIGINT) AS dist
+  FROM nodes n JOIN d{{p}} dn ON dn.node = n.node
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN d{{p}} ds ON ds.node = e.src
+  GROUP BY n.node)"""
+    body = "".join(step.format(k=k, p=k - 1)
+                   for k in range(1, BFS_ITERS + 1))
+    return (head + body
+            + f"\nSELECT node, dist AS arrival FROM d{BFS_ITERS}")
+
+
 REGISTRY: dict[str, tuple] = {
     # (fn, sql-or-None)
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -23616,6 +23760,8 @@ REGISTRY: dict[str, tuple] = {
     "quant_error": (q_quant_error, SQL_QUANT_ERROR),
     "weak_ties": (q_weak_ties, SQL_WEAK_TIES),
     "st_clusters": (q_st_clusters, SQL_ST_CLUSTERS),
+    "gram_power": (q_gram_power, SQL_GRAM_POWER),
+    "temporal_reach": (q_temporal_reach, SQL_TEMPORAL_REACH),
 }
 
 
