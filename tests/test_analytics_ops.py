@@ -2100,3 +2100,81 @@ def test_kcenter_greedy_brute(ray_session):
     have = [(int(a), int(b), int(c)) for a, b, c in
             zip(got["round"], got["ck"], got["d2_to_set"])]
     assert have == want
+
+
+# ----------------------------------------------------- round-4 wave-3
+
+
+@pytest.mark.parametrize("seed,n", [(1, 8), (2, 24), (3, 17)])
+def test_dtw_antidiagonal_matches_naive(seed, n):
+    """The anti-diagonal DTW sweep in q_dtw_profiles equals the
+    textbook row-by-row DP on random integer series."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 50, n).astype(np.int64)
+    b = rng.integers(0, 50, n).astype(np.int64)
+
+    # textbook DP
+    INF = 1 << 40
+    c = np.abs(a[:, None] - b[None, :])
+    D = np.zeros((n, n), np.int64)
+    for i in range(n):
+        for j in range(n):
+            best = 0 if (i == 0 and j == 0) else min(
+                D[i - 1, j] if i > 0 else INF,
+                D[i, j - 1] if j > 0 else INF,
+                D[i - 1, j - 1] if i > 0 and j > 0 else INF)
+            D[i, j] = c[i, j] + best
+    want = int(D[n - 1, n - 1])
+
+    # the query's sweep, re-run at this n
+    E = np.full((n, n), INF, np.int64)
+    for s in range(2 * n - 1):
+        i = np.arange(max(0, s - (n - 1)), min(n - 1, s) + 1)
+        j = s - i
+        if s == 0:
+            E[0, 0] = c[0, 0]
+            continue
+        up = np.where(i > 0, E[np.maximum(i - 1, 0), j], INF)
+        lf = np.where(j > 0, E[i, np.maximum(j - 1, 0)], INF)
+        dg = np.where((i > 0) & (j > 0),
+                      E[np.maximum(i - 1, 0), np.maximum(j - 1, 0)],
+                      INF)
+        E[i, j] = c[i, j] + np.minimum(np.minimum(up, lf), dg)
+    assert int(E[n - 1, n - 1]) == want
+
+
+def test_dod_bytes_matches_scalar_encoder():
+    """The vectorized delta-of-delta varint accounting equals a
+    scalar LEB128 encoder over the same element stream."""
+    rng = np.random.default_rng(7)
+    t = np.sort(rng.integers(1_600_000_000_000_000,
+                             1_600_000_400_000_000, 40).astype(np.int64))
+
+    def scalar_bytes(ts):
+        elems = [int(ts[0])]
+        if len(ts) > 1:
+            elems.append(int(ts[1] - ts[0]))
+        for i in range(2, len(ts)):
+            elems.append(int((ts[i] - ts[i - 1])
+                             - (ts[i - 1] - ts[i - 2])))
+        total = 0
+        for d in elems:
+            zz = (d << 1) ^ (d >> 63) if d < 0 else 2 * d
+            total += 1
+            while zz >= 128:
+                zz >>= 7
+                total += 1
+        return total
+
+    d1 = np.zeros(len(t), np.int64)
+    d1[1:] = t[1:] - t[:-1]
+    dod = np.zeros(len(t), np.int64)
+    dod[2:] = d1[2:] - d1[1:-1]
+    elem = t.copy()
+    elem[1] = d1[1]
+    elem[2:] = dod[2:]
+    zz = (elem << 1) ^ (elem >> 63)
+    nb = np.ones(len(t), np.int64)
+    for k in range(1, 9):
+        nb += (zz >= (1 << (7 * k))).astype(np.int64)
+    assert int(nb.sum()) == scalar_bytes(t)

@@ -799,3 +799,63 @@ def test_good_turing_bruteforce(ray_session):
     for r in range(1, 11):
         assert out.loc[r, "n_r"] == coc.get(r, 0)
         assert out.loc[r, "gt_num"] == (r + 1) * coc.get(r + 1, 0)
+
+
+def _temporal_reference(src, dst, seed_mod, tmod, iters):
+    """Serial earliest-arrival replay of bfs_actors temporal mode."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    ea = np.where(nodes % seed_mod == 0, np.int64(0),
+                  np.int64(1) << 40)
+    t = (src + dst) % tmod
+    si = np.array([idx[int(s)] for s in src])
+    di = np.array([idx[int(d)] for d in dst])
+    for _ in range(iters):
+        new = ea.copy()
+        ok = (ea[si] < (1 << 40)) & (t >= ea[si])
+        np.minimum.at(new, di[ok], t[ok])
+        ea = new
+    return nodes, ea
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,iters",
+                         [(3, 50, 120, 5), (11, 300, 900, 8)])
+def test_temporal_bfs_matches_serial(ray_session, seed, n_nodes,
+                                     n_edges, iters):
+    """Temporal mode (earliest arrival, edge usable only at
+    t >= arrival(src), arrival = edge time) is bit-identical to the
+    serial synchronous replay for any sharding."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    out = graph.bfs_actors(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})),
+        seed_mod=7, iters=iters, num_shards=3,
+        temporal_mod=16).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    nodes, ea = _temporal_reference(src, dst, 7, 16, iters)
+    assert out["node"].to_numpy().tolist() == nodes.tolist()
+    assert out["dist"].to_numpy().tolist() == ea.tolist()
+
+
+def test_temporal_bfs_respects_time_order(ray_session):
+    """On the chain 0→1→2 with edge times t(0,1)=(0+1)%16=1 and
+    t(1,2)=(1+2)%16=3 ≥ 1, node 2 is reached at time 3; with
+    temporal_mod=2 the second edge's time (3%2=1) equals arrival 1,
+    still passable."""
+    import ray.data as rd
+
+    from pythongis_ray import graph
+
+    edges = pa.table({"src": pa.array(np.array([0, 1], np.int64)),
+                      "dst": pa.array(np.array([1, 2], np.int64))})
+    out = graph.bfs_actors(rd.from_arrow(edges), seed_mod=1000,
+                           iters=4, num_shards=2,
+                           temporal_mod=16).to_pandas()
+    got = dict(zip(out["node"], out["dist"]))
+    assert got[0] == 0 and got[1] == 1 and got[2] == 3
