@@ -2178,3 +2178,106 @@ def test_dod_bytes_matches_scalar_encoder():
     for k in range(1, 9):
         nb += (zz >= (1 << (7 * k))).astype(np.int64)
     assert int(nb.sum()) == scalar_bytes(t)
+
+
+def test_rsi14_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    from pythongis_ray.queries import q_rsi14
+
+    SF = "/root/testdata/sf0.001"
+    got = q_rsi14(SF)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "ts", "value"])
+    us = ev.ts.astype("datetime64[us]").astype("int64")
+    ev = ev.assign(day=us // 86_400_000_000, us=us,
+                   c=(ev.value * 100).round().astype("int64"))
+    want = []
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["day", "us", "event_id"])
+        closes = g.groupby("day")["c"].last()
+        d = closes.diff().dropna()
+        gain = d.clip(lower=0).rolling(14).sum()
+        loss = (-d).clip(lower=0).rolling(14).sum()
+        for day, gn, ls in zip(d.index, gain, loss):
+            if np.isnan(gn):
+                continue
+            tot = int(gn) + int(ls)
+            rsi = 500_000 if tot == 0 else 1_000_000 * int(gn) // tot
+            want.append((et, int(day), int(gn), int(ls), rsi))
+    w = pd.DataFrame(want, columns=["event_type", "day", "gain",
+                                    "loss", "rsi_ppm"])
+    g2 = got.sort_values(["event_type", "day"]).reset_index(drop=True)
+    w2 = w.sort_values(["event_type", "day"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g2, w2, check_dtype=False)
+
+
+def test_bollinger_breaks_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_bollinger_breaks
+
+    SF = "/root/testdata/sf0.001"
+    got = q_bollinger_breaks(SF)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    assert set(got.flag.unique()) <= {-1, 0, 1}
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "ts", "value"])
+    us = ev.ts.astype("datetime64[us]").astype("int64")
+    ev = ev.assign(day=us // 86_400_000_000, us=us,
+                   c=(ev.value * 100).round().astype("int64"))
+    checked = 0
+    for _, r in got.head(200).iterrows():
+        g = ev[ev.event_type == r.event_type]
+        g = g.sort_values(["day", "us", "event_id"])
+        closes = g.groupby("day")["c"].last()
+        win = closes[closes.index <= r.day].tail(20)
+        assert len(win) == 20 and win.iloc[-1] == r.close
+        mu = win.mean()
+        sd = win.std(ddof=0)
+        outside = abs(r.close - mu) > 2 * sd + 1e-9
+        if outside:
+            assert r.flag == (1 if r.close > mu else -1)
+        else:
+            assert r.flag == 0
+        checked += 1
+    assert checked > 0
+
+
+def test_rr_estimate_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_rr_estimate
+
+    SF = "/root/testdata/sf0.001"
+    got = q_rr_estimate(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    cents = (ev.value * 100).round().astype("int64")
+    t = (cents >= 10_000).astype("int64")
+    flip = ((ev.event_id * 48271) % 2147483648) % 4 == 0
+    obs = t.where(~flip, 1 - t)
+    for et, g in ev.assign(t=t, obs=obs).groupby("event_type"):
+        r = got.loc[et]
+        assert (r.n, r.n_obs, r.n_true) == (len(g), g.obs.sum(),
+                                            g.t.sum())
+        assert r.est_num == 4 * r.n_obs - r.n
+        assert r.err_num == r.est_num - 2 * r.n_true
+
+
+def test_q13_zero_bucket(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_q13_custdist
+
+    SF = "/root/testdata/sf0.001"
+    got = q_q13_custdist(SF)
+    ncust = len(pd.read_parquet(f"{SF}/customer.parquet",
+                                columns=["c_custkey"]))
+    assert got.custdist.sum() == ncust
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+    orders = orders[orders.o_orderpriority != "4-NOT SPECIFIED"]
+    per = orders.groupby("o_custkey").size()
+    wantzero = ncust - per.size
+    if wantzero:
+        assert int(got.set_index("c_count").loc[0, "custdist"]) \
+            == wantzero

@@ -958,3 +958,54 @@ def test_dwithin_self_pairs_property(ray_session):
         have = {(int(a), int(b)): int(d) for a, b, d in
                 zip(got["id_a"], got["id_b"], got["d2"])}
         assert have == want, (trial, n, span, eps, tile)
+
+
+def test_flow_length_brute(ray_session):
+    from pythongis_ray import queries as q
+    grid = _density_grid()
+    ptr = _brute_flow(grid)
+    want = {}
+    for c in grid:
+        cur, hops = c, 0
+        while ptr[cur] != cur:
+            cur = ptr[cur]
+            hops += 1
+        want[c] = hops
+    got = q.q_flow_length("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == len(grid)
+    for _, r in got.iterrows():
+        assert want[(r.cx, r.cy)] == r.flow_len
+
+
+def test_terrain_aspect_brute(ray_session):
+    from pythongis_ray import queries as q
+    grid = _density_grid()
+    got = q.q_terrain_aspect("/root/testdata/sf0.001").to_pandas()
+    # rows = cells with all 8 neighbors
+    full = {c for c in grid
+            if all((c[0] + dx, c[1] + dy) in grid for dx, dy in _D8T)}
+    assert set(zip(got.cx, got.cy)) == full
+    for _, r in got.iterrows():
+        c = (int(r.cx), int(r.cy))
+        e = grid[(c[0] + 1, c[1])]
+        w = grid[(c[0] - 1, c[1])]
+        s = grid[(c[0], c[1] + 1)]
+        n = grid[(c[0], c[1] - 1)]
+        se = grid[(c[0] + 1, c[1] + 1)]
+        ne = grid[(c[0] + 1, c[1] - 1)]
+        sw = grid[(c[0] - 1, c[1] + 1)]
+        nw = grid[(c[0] - 1, c[1] - 1)]
+        gx = (ne + 2 * e + se) - (nw + 2 * w + sw)
+        gy = (sw + 2 * s + se) - (nw + 2 * n + ne)
+        assert r.curv == e + w + s + n - 4 * grid[c]
+        if gx == 0 and gy == 0:
+            assert r.aspect_oct == -1
+        else:
+            # octant contains the gradient angle (45-degree sectors,
+            # left-closed starting at the +x axis)
+            import math
+            ang = math.atan2(gy, gx) % (2 * math.pi)
+            lo = r.aspect_oct * math.pi / 4
+            hi = lo + math.pi / 4
+            eps = 1e-12
+            assert lo - eps <= ang < hi + eps

@@ -1354,3 +1354,66 @@ def test_compress_ratio_parity(ray_session):
     # 1000‰ (zlib header overhead), but nothing degenerates to 0
     assert 0 < min(exp.values()) and max(exp.values()) < 2000
     assert sum(v < 1000 for v in exp.values()) > len(exp) // 2
+
+
+def test_doc_ttr_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_doc_ttr
+
+    SF = "/root/testdata/sf0.001"
+    got = q_doc_ttr(SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    for _, r in docs.iterrows():
+        toks = r.text.split(" ")
+        row = got.loc[r.doc_id]
+        assert row.n_words == len(toks)
+        assert row.n_types == len(set(toks))
+        assert row.ttr_ppm == 1_000_000 * len(set(toks)) // max(
+            len(toks), 1)
+
+
+def test_hapax_stats_bruteforce(ray_session):
+    from collections import Counter
+
+    import pandas as pd
+    from pythongis_ray.queries import q_hapax_stats
+
+    SF = "/root/testdata/sf0.001"
+    got = q_hapax_stats(SF).set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text"])
+    for src, g in docs.groupby("source"):
+        cnt = Counter(w for t in g.text for w in t.split(" "))
+        hap = sum(1 for v in cnt.values() if v == 1)
+        r = got.loc[src]
+        assert (r.n_types, r.n_hapax) == (len(cnt), hap)
+        assert r.hapax_ppm == 1_000_000 * hap // max(len(cnt), 1)
+
+
+def test_etld_rollup_longest_suffix(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import (_PSL_1, _PSL_2, _PSL_SUBS,
+                                       _PSL_SUFFIXES, q_etld_rollup)
+
+    SF = "/root/testdata/sf0.001"
+    got = q_etld_rollup(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id"])
+    want = {}
+    for did in docs.doc_id:
+        host = (_PSL_SUBS[did % 3] + f"site{did % 50}."
+                + _PSL_SUFFIXES[did % 7])
+        labels = host.split(".")
+        if ".".join(labels[-2:]) in _PSL_2:
+            regd = ".".join(labels[-3:])
+        else:
+            assert labels[-1] in _PSL_1
+            regd = ".".join(labels[-2:])
+        want[regd] = want.get(regd, 0) + 1
+    assert dict(zip(got.regd, got.n_pages)) == want
+    # a multi-label suffix must never be mistaken for a registrable
+    # domain, and subdomain prefixes never survive the rollup
+    for regd in got.regd:
+        assert regd not in _PSL_2
+        assert not regd.startswith(("www.", "cdn."))
