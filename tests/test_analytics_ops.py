@@ -2281,3 +2281,59 @@ def test_q13_zero_bucket(ray_session):
     if wantzero:
         assert int(got.set_index("c_count").loc[0, "custdist"]) \
             == wantzero
+
+
+def test_stump_split_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_stump_split
+
+    SF = "/root/testdata/sf0.001"
+    got = q_stump_split(SF).iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["n_chars", "lang"])
+    vals = sorted(docs.n_chars.unique())
+    best = None
+    for t in vals:
+        L = docs[docs.n_chars <= t]
+        R = docs[docs.n_chars > t]
+        if len(R) == 0:
+            break
+        al = int((L.lang == "en").sum())
+        bl = len(L) - al
+        ar = int((R.lang == "en").sum())
+        br = len(R) - ar
+        score = ((al * al + bl * bl) * 1_048_576 // (al + bl)
+                 + (ar * ar + br * br) * 1_048_576 // (ar + br))
+        if best is None or score > best[0]:
+            best = (score, t, al, bl, ar, br)
+    assert (got.score_q, got.thresh, got.en_left, got.other_left,
+            got.en_right, got.other_right) == best
+
+
+def test_zipf_slope_bruteforce(ray_session):
+    from collections import Counter
+
+    import pandas as pd
+    from pythongis_ray.queries import q_zipf_slope
+
+    SF = "/root/testdata/sf0.001"
+    got = q_zipf_slope(SF).iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    cnt = Counter(w for t in docs.text for w in t.split(" "))
+    # rank order: cnt desc, word desc (add_global_rank applies
+    # `descending` to every column)
+    ranked = sorted(cnt.items(),
+                    key=lambda kv: (-kv[1],
+                                    tuple(-ord(c) for c in kv[0])))
+    pts = [(r + 1, c) for r, (_, c) in enumerate(ranked)]
+    xs = [x.bit_length() for x, _ in pts]
+    ys = [c.bit_length() for _, c in pts]
+    n = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    assert (got.n, got.num, got.den) == (n, num, den)
+    assert got.slope_mil == (1000 * num) // den
+    assert got.slope_mil < 0            # zipfian: falls with rank
