@@ -2337,3 +2337,124 @@ def test_zipf_slope_bruteforce(ray_session):
     assert (got.n, got.num, got.den) == (n, num, den)
     assert got.slope_mil == (1000 * num) // den
     assert got.slope_mil < 0            # zipfian: falls with rank
+
+
+def _tpch_pairs(SF):
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    return li.drop_duplicates().rename(
+        columns={"l_partkey": "pk", "l_suppkey": "sk"})
+
+
+def _region_supps(SF, rname):
+    import pandas as pd
+
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    n = pd.read_parquet(f"{SF}/nation.parquet")
+    r = pd.read_parquet(f"{SF}/region.parquet")
+    m = s.merge(n, left_on="s_nationkey", right_on="n_nationkey") \
+        .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    return set(m.loc[m.r_name == rname, "s_suppkey"])
+
+
+def test_q2_mincost_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_q2_mincost
+
+    SF = "/root/testdata/sf0.001"
+    got = q_q2_mincost(SF)
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    sel = set(part.loc[part.p_size == 15, "p_partkey"])
+    eur = _region_supps(SF, "EUROPE")
+    ps = _tpch_pairs(SF)
+    ps = ps[ps.pk.isin(sel) & ps.sk.isin(eur)].copy()
+    ps["cost"] = 100 + (ps.pk * 31 + ps.sk * 17) % 10000
+    want = ps[ps.cost == ps.groupby("pk").cost.transform("min")]
+    assert len(got) == len(want)
+    assert set(zip(got.p_partkey, got.s_suppkey, got.cost_c)) \
+        == set(zip(want.pk, want.sk, want.cost))
+
+
+def test_q21_blame_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_q21_blame
+
+    SF = "/root/testdata/sf0.001"
+    got = q_q21_blame(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_returnflag"])
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderkey", "o_orderstatus"])
+    fo = set(o.loc[o.o_orderstatus == "F", "o_orderkey"])
+    li = li[li.l_orderkey.isin(fo)]
+    blamed = {}
+    for ok, g in li.groupby("l_orderkey"):
+        if g.l_suppkey.nunique() < 2:
+            continue
+        rs = g.loc[g.l_returnflag == "R", "l_suppkey"].unique()
+        if len(rs) == 1:
+            blamed[int(rs[0])] = blamed.get(int(rs[0]), 0) + 1
+    s = pd.read_parquet(f"{SF}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    names = dict(zip(s.s_suppkey, s.s_name))
+    want = {names[k]: v for k, v in blamed.items()}
+    assert dict(zip(got.s_name, got.numwait)) == want
+
+
+def test_q22_windfall_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_q22_windfall
+
+    SF = "/root/testdata/sf0.001"
+    got = q_q22_windfall(SF)
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+    urgent = set(o.loc[o.o_orderpriority == "1-URGENT", "o_custkey"])
+    bal = (c.c_acctbal * 100).round().astype("int64")
+    pos = bal[bal > 0]
+    sel = c[(bal * len(pos) > pos.sum())
+            & ~c.c_custkey.isin(urgent)].copy()
+    sel["cc"] = sel.c_nationkey % 10
+    sel["bal"] = bal[sel.index]
+    want = sel.groupby("cc").bal.agg(["count", "sum"])
+    assert len(got) == len(want)
+    for cc, row in want.iterrows():
+        r = got[got.cntrycode == cc].iloc[0]
+        assert (r.numcust, r.totacctbal_c) == (row["count"], row["sum"])
+
+
+def test_q20_q16_shapes(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_q16_suppcnt, q_q20_potential
+
+    SF = "/root/testdata/sf0.001"
+    g16 = q_q16_suppcnt(SF)
+    # every count is a distinct-supplier count: bounded by supplier dim
+    ns = len(pd.read_parquet(f"{SF}/supplier.parquet",
+                             columns=["s_suppkey"]))
+    assert (g16.supplier_cnt >= 1).all()
+    assert (g16.supplier_cnt <= ns).all()
+    assert not g16.duplicated(["p_brand", "p_type", "p_size"]).any()
+    # brute-force the full census
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    m = m[(m.p_brand != "Brand#45") & (m.p_type != "ECONOMY")
+          & m.p_size.isin([1, 5, 10, 15, 20, 25, 30, 35])
+          & (m.l_suppkey % 10 != 3)]
+    want = m.drop_duplicates(["p_brand", "p_type", "p_size",
+                              "l_suppkey"]) \
+        .groupby(["p_brand", "p_type", "p_size"]).size()
+    assert len(g16) == len(want)
+    for (b, t, sz), cnt in want.items():
+        assert int(g16[(g16.p_brand == b) & (g16.p_type == t)
+                       & (g16.p_size == sz)].supplier_cnt.iloc[0]) == cnt
+
+    g20 = q_q20_potential(SF)
+    am = _region_supps(SF, "AMERICA")
+    assert set(g20.s_suppkey) <= am
