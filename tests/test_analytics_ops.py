@@ -2458,3 +2458,91 @@ def test_q20_q16_shapes(ray_session):
     g20 = q_q20_potential(SF)
     am = _region_supps(SF, "AMERICA")
     assert set(g20.s_suppkey) <= am
+
+
+def _daily_close_brute(SF):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = (ev.ts.astype("int64") // 10**6) // 86400
+    ev["c"] = (ev.value * 100).round().astype("int64")
+    ev = ev.sort_values(["event_type", "day", "ts", "event_id"])
+    return ev.groupby(["event_type", "day"]).agg(
+        close=("c", "last"), vol=("c", "size")).reset_index()
+
+
+def test_obv_daily_bruteforce(ray_session):
+    import numpy as np
+    from pythongis_ray.queries import q_obv_daily
+
+    SF = "/root/testdata/sf0.001"
+    got = q_obv_daily(SF).to_pandas()
+    cv = _daily_close_brute(SF)
+    for et, t in cv.groupby("event_type"):
+        t = t.sort_values("day")
+        c = t.close.to_numpy("int64")
+        v = t.vol.to_numpy("int64")
+        obv = np.cumsum(np.sign(np.diff(c)) * v[1:])
+        g = got[got.event_type == et].sort_values("day")
+        assert list(g.day) == list(t.day.to_numpy()[1:])
+        assert list(g.obv) == list(obv)
+
+
+def test_stoch_k_bruteforce(ray_session):
+    from pythongis_ray.queries import q_stoch_k
+
+    SF = "/root/testdata/sf0.001"
+    got = q_stoch_k(SF).to_pandas()
+    cv = _daily_close_brute(SF)
+    for et, t in cv.groupby("event_type"):
+        t = t.sort_values("day")
+        c = list(t.close)
+        days = list(t.day)
+        g = got[got.event_type == et].set_index("day")
+        for i in range(13, len(c)):
+            w = c[i - 13:i + 1]
+            lo, hi, x = min(w), max(w), c[i]
+            k = 500 if hi == lo else 1000 * (x - lo) // (hi - lo)
+            r = g.loc[days[i]]
+            assert (r.lo, r.hi, r.k_pm) == (lo, hi, k)
+        assert len(g) == max(0, len(c) - 13)
+
+
+def test_abc_parts_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_abc_parts
+
+    SF = "/root/testdata/sf0.001"
+    got = q_abc_parts(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    cents = (li.l_extendedprice * 100).round().astype("int64")
+    dp = (li.l_discount * 100).round().astype("int64")
+    per = li.assign(rev=cents * (100 - dp)) \
+        .groupby("l_partkey").rev.sum().reset_index() \
+        .sort_values(["rev", "l_partkey"], ascending=[False, True])
+    cum, tot = per.rev.cumsum(), per.rev.sum()
+    cls = ["A" if 100 * c <= 80 * tot else
+           "B" if 100 * c <= 95 * tot else "C" for c in cum]
+    want = dict(zip(per.l_partkey, cls))
+    assert dict(zip(got.p_partkey, got.abc)) == want
+    # the classes partition the catalogue and A is the head
+    assert set(got.abc) <= {"A", "B", "C"}
+
+
+def test_new_returning_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_new_returning
+
+    SF = "/root/testdata/sf0.001"
+    got = q_new_returning(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts"])
+    ev["day"] = (ev.ts.astype("int64") // 10**6) // 86400
+    ud = ev[["user_id", "day"]].drop_duplicates()
+    first = ud.groupby("user_id").day.min()
+    for _, r in got.iterrows():
+        act = set(ud.loc[ud.day == r.day, "user_id"])
+        nn = sum(1 for u in act if first[u] == r.day)
+        assert (r.n_active, r.n_new, r.n_returning) \
+            == (len(act), nn, len(act) - nn)
+    assert got.n_new.sum() == ud.user_id.nunique()
