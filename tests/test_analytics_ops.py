@@ -2546,3 +2546,74 @@ def test_new_returning_bruteforce(ray_session):
         assert (r.n_active, r.n_new, r.n_returning) \
             == (len(act), nn, len(act) - nn)
     assert got.n_new.sum() == ud.user_id.nunique()
+
+
+def test_assoc_rules_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import _ASSOC_MINSUP, q_assoc_rules
+
+    SF = "/root/testdata/sf0.001"
+    got = q_assoc_rules(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"]) \
+        .drop_duplicates()
+    N = li.l_orderkey.nunique()
+    sup = li.groupby("l_partkey").size()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m.l_partkey_x != m.l_partkey_y]
+    nab = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    nab = nab[nab >= _ASSOC_MINSUP]
+    assert len(got) == len(nab)
+    g = got.set_index(["a", "b"])
+    for (a, b), n in nab.items():
+        r = g.loc[(a, b)]
+        na, nb = int(sup[a]), int(sup[b])
+        assert (r.n_ab, r.n_a, r.n_b) == (n, na, nb)
+        assert r.conf_ppm == 10**6 * n // na
+        assert r.lift_ppm == 10**6 * N * n // (na * nb)
+
+
+def test_latency_bands_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_latency_bands
+
+    SF = "/root/testdata/sf0.001"
+    got = q_latency_bands(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    ev["c"] = (ev.value * 100).round().astype("int64")
+    for et, g in ev.groupby("event_type"):
+        c = sorted(g.c)
+        n = len(c)
+        r = got.loc[et]
+        assert r.n == n
+        # DuckDB quantile_disc convention: index = ceil(q*n) - 1
+        for q_num, q_den, col in ((1, 2, "p50"), (9, 10, "p90"),
+                                  (99, 100, "p99")):
+            k = -(-q_num * n // q_den) - 1
+            assert r[col] == c[k]
+
+
+def test_systematic_and_census(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import (q_char_census,
+                                       q_systematic_sample)
+
+    SF = "/root/testdata/sf0.001"
+    got = q_systematic_sample(SF).to_pandas().sort_values("rn")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+    ids = sorted(ev.event_id)
+    want = [(ids[i], i + 1) for i in range(0, len(ids), 100)]
+    assert list(zip(got.event_id, got.rn)) == want
+
+    cen = q_char_census(SF).to_pandas().set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text"])
+    for src, g in docs.groupby("source"):
+        t = "".join(g.text)
+        v = sum(1 for ch in t if ch in "aeiouAEIOU")
+        al = sum(1 for ch in t if ch.isalpha())
+        sp = t.count(" ")
+        r = cen.loc[src]
+        assert (r.vowels, r.consonants, r.spaces, r.other) \
+            == (v, al - v, sp, len(t) - al - sp)
