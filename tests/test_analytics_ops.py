@@ -2617,3 +2617,83 @@ def test_systematic_and_census(ray_session):
         r = cen.loc[src]
         assert (r.vowels, r.consonants, r.spaces, r.other) \
             == (v, al - v, sp, len(t) - al - sp)
+
+
+def test_ship_bizdays_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    from pythongis_ray.queries import q_ship_bizdays
+
+    SF = "/root/testdata/sf0.001"
+    got = q_ship_bizdays(SF).set_index("o_orderpriority")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+
+    def biz_count(a, b):
+        # brute: walk days in [a, b), count weekdays (epoch day 0 =
+        # Thu) — the half-open convention of g(b) - g(a); signed,
+        # since the synthetic fixture has ship dates both sides of
+        # the order date
+        if b < a:
+            return -biz_count(b, a)
+        return sum(1 for d in range(a, b)
+                   if (d % 7) in (0, 1, 4, 5, 6))
+
+    od = (j.o_orderdate.astype("int64") // 10**6 // 86400).to_numpy()
+    sd = (j.l_shipdate.astype("int64") // 10**6 // 86400).to_numpy()
+    biz = np.array([biz_count(int(a), int(b)) for a, b in
+                    zip(od[:500], sd[:500])])
+    # full aggregate via the same closed form the engine uses
+    P = np.array([0, 1, 2, 2, 2, 3, 4])
+    g = lambda d: 5 * (d // 7) + P[d % 7]  # noqa: E731
+    full_biz = g(sd) - g(od)
+    assert (full_biz[:500] == biz).all()
+    w = j.assign(biz=full_biz).groupby("o_orderpriority").biz \
+        .agg(["count", "sum", "max"])
+    for prio, r in w.iterrows():
+        got_r = got.loc[prio]
+        assert (got_r.n, got_r.sum_biz, got_r.max_biz) \
+            == (r["count"], r["sum"], r["max"])
+
+
+def test_dau_overlap_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_dau_overlap
+
+    SF = "/root/testdata/sf0.001"
+    got = q_dau_overlap(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts"])
+    ev["day"] = ev.ts.astype("int64") // 10**6 // 86400
+    byday = {d: set(g.user_id) for d, g in ev.groupby("day")}
+    for _, r in got.iterrows():
+        a, b = byday[r.day], byday[r.day + 1]
+        assert (r.n_day, r.n_next, r.n_inter, r.n_union) \
+            == (len(a), len(b), len(a & b), len(a | b))
+        assert r.jac_ppm == 10**6 * len(a & b) // len(a | b)
+    days = sorted(byday)
+    assert len(got) == sum(1 for d in days if d + 1 in byday)
+
+
+def test_encode_plan_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_encode_plan
+
+    SF = "/root/testdata/sf0.001"
+    got = q_encode_plan(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet") \
+        .sort_values(["user_id", "ts", "event_id"])
+    for uid, g in ev.groupby("user_id"):
+        ets = list(g.event_type)
+        runs = 1 + sum(1 for i in range(1, len(ets))
+                       if ets[i] != ets[i - 1])
+        n, vocab = len(ets), len(set(ets))
+        r = got.loc[uid]
+        assert (r.n, r.runs, r.vocab) == (n, runs, vocab)
+        plain, dic, rle = 8 * n, n + 8 * vocab, 5 * runs
+        best = ("rle" if rle <= dic and rle <= plain
+                else "dict" if dic <= plain else "plain")
+        assert (r.plain_b, r.dict_b, r.rle_b, r.best) \
+            == (plain, dic, rle, best)
