@@ -2697,3 +2697,83 @@ def test_encode_plan_bruteforce(ray_session):
                 else "dict" if dic <= plain else "plain")
         assert (r.plain_b, r.dict_b, r.rle_b, r.best) \
             == (plain, dic, rle, best)
+
+
+def _dgim_simulate(n):
+    """Event-at-a-time DGIM: append a size-1 bucket per event; when a
+    size has 3 buckets, merge the two OLDEST into one of double size.
+    Returns newest-first bucket sizes."""
+    buckets = []          # oldest-first list of sizes
+    for _ in range(n):
+        buckets.append(1)
+        sz = 1
+        while buckets.count(sz) > 2:
+            i = buckets.index(sz)      # two OLDEST of this size
+            del buckets[i:i + 2]
+            buckets.insert(i, sz * 2)
+            sz *= 2
+    return list(reversed(buckets))
+
+
+def test_dgim_closed_form_matches_simulator():
+    from pythongis_ray.queries import _dgim_digits
+
+    for n in list(range(1, 600)) + [1023, 1024, 4097, 12345]:
+        sizes = []
+        for i, d in enumerate(_dgim_digits(n)):
+            sizes.extend([1 << i] * d)
+        assert sizes == _dgim_simulate(n), n
+        assert sum(sizes) == n
+
+
+def test_dgim_counts_bound(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import _DGIM_WINDOW_DAYS, q_dgim_counts
+
+    SF = "/root/testdata/sf0.001"
+    got = q_dgim_counts(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts"])
+    for _, r in got.iterrows():
+        g = ev[ev.event_type == r.event_type]
+        # pandas datetime64[us] → int64 is microseconds already
+        us = g.ts.astype("int64").to_numpy()
+        now = us.max()
+        lo = now - _DGIM_WINDOW_DAYS * 86_400_000_000
+        exact = int((us > lo).sum())
+        assert r.n == len(g)
+        assert r.exact == exact
+        # DGIM guarantee: relative error ≤ 50% of the true count
+        assert abs(r.est - exact) * 2 <= exact + 1
+
+
+def test_lang_mixing_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_lang_mixing
+
+    SF = "/root/testdata/sf0.001"
+    got = q_lang_mixing(SF)
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "lang"])
+    lang = dict(zip(d.doc_id, d.lang))
+    pairs = {}
+    for did in d.doc_id:
+        for k in (2, 4, 8):
+            key = (lang[did], lang[did // k])
+            pairs[key] = pairs.get(key, 0) + 1
+    tot = sum(pairs.values())
+    assert len(got) == len(pairs)
+    for _, r in got.iterrows():
+        n = pairs[(r.lang_src, r.lang_dst)]
+        assert r.n == n and r.share_ppm == 10**6 * n // tot
+
+
+def test_quadrat_vmr_identity(ray_session):
+    from pythongis_ray.queries import q_quadrat_vmr
+
+    SF = "/root/testdata/sf0.001"
+    r = q_quadrat_vmr(SF).iloc[0]
+    assert r.vmr_num == r.n_cells * r.sum_sq - r.sum_n**2
+    assert r.vmr_den == r.n_cells * r.sum_n
+    assert r.vmr_ppm == 10**6 * r.vmr_num // r.vmr_den
+    assert r.vmr_num >= 0
