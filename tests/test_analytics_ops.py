@@ -2777,3 +2777,45 @@ def test_quadrat_vmr_identity(ray_session):
     assert r.vmr_den == r.n_cells * r.sum_n
     assert r.vmr_ppm == 10**6 * r.vmr_num // r.vmr_den
     assert r.vmr_num >= 0
+
+
+def test_stream_join_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_stream_join
+
+    SF = "/root/testdata/sf0.001"
+    got = q_stream_join(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["hr"] = ev.ts.astype("int64") // 10**6 // 3600
+    c = ev[ev.event_type == "click"]
+    p = ev[ev.event_type == "purchase"]
+    m = c.merge(p, on="user_id")
+    m = m[(m.hr_x - m.hr_y).abs() <= 6]
+    m["day"] = m.hr_x // 24
+    want = m.groupby(["user_id", "day"]).size()
+    assert len(got) == len(want)
+    g = got.set_index(["user_id", "day"])
+    for (u, d), n in want.items():
+        assert int(g.loc[(u, d), "n"]) == n
+
+
+def test_trending_types_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_trending_types
+
+    SF = "/root/testdata/sf0.001"
+    got = q_trending_types(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts"])
+    ev["win"] = ev.ts.astype("int64") // 10**6 // 86400 // 7
+    c = ev.groupby(["event_type", "win"]).size()
+    rows = 0
+    for et in ev.event_type.unique():
+        wins = sorted(c[et].index)
+        for prev_w, w in zip(wins, wins[1:]):
+            r = got[(got.event_type == et) & (got.win == w)].iloc[0]
+            assert (r.n, r.prev_n, r.delta) == \
+                (c[(et, w)], c[(et, prev_w)],
+                 c[(et, w)] - c[(et, prev_w)])
+            rows += 1
+    assert len(got) == rows
