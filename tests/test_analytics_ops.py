@@ -2819,3 +2819,60 @@ def test_trending_types_bruteforce(ray_session):
                  c[(et, w)] - c[(et, prev_w)])
             rows += 1
     assert len(got) == rows
+
+
+def test_order_islands_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_order_islands
+
+    SF = "/root/testdata/sf0.001"
+    got = q_order_islands(SF).to_pandas().set_index("c_custkey")
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate"])
+    o["m"] = o.o_orderdate.dt.year * 12 + o.o_orderdate.dt.month - 1
+    for ck, g in o.groupby("o_custkey"):
+        ms = sorted(set(g.m))
+        lens, cur = [], 1
+        for a, b in zip(ms, ms[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                lens.append(cur)
+                cur = 1
+        lens.append(cur)
+        r = got.loc[ck]
+        assert (r.n_months, r.n_islands, r.max_len) \
+            == (len(ms), len(lens), max(lens))
+    assert len(got) == o.o_custkey.nunique()
+
+
+def test_score_deciles_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray import text as _text
+    from pythongis_ray.queries import q_score_deciles
+
+    SF = "/root/testdata/sf0.001"
+    got = q_score_deciles(SF).to_pandas().set_index("decile")
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text", "lang"])
+    stop = set(_text.STOPWORDS)
+    rows = []
+    for _, r in d.iterrows():
+        toks = r.text.split(" ")
+        score = 1000 * sum(1 for w in toks if w in stop) // len(toks)
+        rows.append((score, r.doc_id, 1 if r.lang == "en" else 0))
+    rows.sort()
+    n = len(rows)
+    base, rem = divmod(n, 10)
+    # DuckDB NTILE: first rem tiles get base+1 rows
+    idx = 0
+    for dec in range(1, 11):
+        size = base + 1 if dec <= rem else base
+        chunk = rows[idx:idx + size]
+        idx += size
+        if not chunk:
+            continue
+        r = got.loc[dec]
+        assert (r.n, r.n_pos) == (len(chunk),
+                                  sum(p for _, _, p in chunk))
+    assert got.n.sum() == n
