@@ -149,7 +149,8 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
 
 def pagerank(edges, src: str = "src", dst: str = "dst", iters: int = 5,
              init_mass: int = 1_000_000, base_mass: int = 150_000,
-             d_num: int = 85, d_den: int = 100):
+             d_num: int = 85, d_den: int = 100,
+             return_trace: bool = False):
     """Deterministic INTEGER PageRank over an edge Dataset — host/page
     authority scoring for a crawled web graph (the classic corpus-
     quality signal; the reference has no graph ops at all).
@@ -167,6 +168,10 @@ def pagerank(edges, src: str = "src", dst: str = "dst", iters: int = 5,
     (both choices mirror exactly in SQL). All arithmetic is int64:
     with d_num/d_den = 0.85 total mass stays O(nodes * init_mass), so
     85*mass fits int64 up to ~10^11 nodes.
+
+    ``return_trace=True`` additionally returns the per-round (node,
+    mass) Datasets (already materialized by the loop — no extra cost)
+    for convergence diagnostics.
 
     Structure per iteration (the Pregel round as TWO hash-bucketed
     shuffles, same scatter/gather shape as connected_components):
@@ -232,6 +237,7 @@ def pagerank(edges, src: str = "src", dst: str = "dst", iters: int = 5,
         g["mass"] = g["contrib"].to_numpy(np.int64) + np.int64(base_mass)
         return g[["node", "mass"]]
 
+    trace = [mass]
     for _ in range(iters):
         mass_rows = mass.map_batches(
             lambda b: pa.table({
@@ -249,6 +255,9 @@ def pagerank(edges, src: str = "src", dst: str = "dst", iters: int = 5,
                                         ["key"], scatter)
         mass = rel.bucketed_group_apply(msgs, ["node"],
                                         gather).materialize()
+        trace.append(mass)
+    if return_trace:
+        return mass, trace
     return mass
 
 

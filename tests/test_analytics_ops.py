@@ -2876,3 +2876,81 @@ def test_score_deciles_bruteforce(ray_session):
         assert (r.n, r.n_pos) == (len(chunk),
                                   sum(p for _, _, p in chunk))
     assert got.n.sum() == n
+
+
+def test_segment_flows_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_segment_flows
+
+    SF = "/root/testdata/sf0.001"
+    got = q_segment_flows(SF)
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+
+    def quartiles(sub):
+        m = sub.groupby("o_custkey").cents.sum().reset_index() \
+            .sort_values(["cents", "o_custkey"]).reset_index(drop=True)
+        n = len(m)
+        base, rem = divmod(n, 4)
+        qs, idx = {}, 0
+        for q in range(1, 5):
+            size = base + 1 if q <= rem else base
+            for _, r in m.iloc[idx:idx + size].iterrows():
+                qs[r.o_custkey] = q
+            idx += size
+        return qs
+
+    qa = quartiles(o[o.o_orderdate < "1998-01-01"])
+    qb = quartiles(o[o.o_orderdate >= "1998-01-01"])
+    want = {}
+    for ck in set(qa) | set(qb):
+        key = (qa.get(ck, 0), qb.get(ck, 0))
+        want[key] = want.get(key, 0) + 1
+    assert dict(zip(zip(got.q_from, got.q_to), got.n)) == want
+
+
+def test_recon_orders_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    from pythongis_ray.queries import q_recon_orders
+
+    SF = "/root/testdata/sf0.001"
+    got = q_recon_orders(SF).set_index("sign")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    r = li.assign(r=(li.l_extendedprice * 100).round().astype("int64")
+                  * (100 - (li.l_discount * 100).round().astype("int64"))
+                  * (100 + (li.l_tax * 100).round().astype("int64"))) \
+        .groupby("l_orderkey").r.sum()
+    s = o.set_index("o_orderkey").o_totalprice.mul(100).round() \
+        .astype("int64") * 10000
+    d = (r - s.reindex(r.index)).dropna()
+    for sgn in (-1, 0, 1):
+        sub = d[np.sign(d) == sgn]
+        if len(sub) == 0:
+            assert sgn not in got.index
+            continue
+        assert (got.loc[sgn].n_orders, got.loc[sgn].sum_absdiff) \
+            == (len(sub), sub.abs().sum())
+
+
+def test_hilbert_curve_properties(ray_session):
+    import numpy as np
+    from pythongis_ray.queries import _HIL_N, _hilbert_d, q_hilbert_locality
+
+    n = _HIL_N
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    d = _hilbert_d(xs.ravel(), ys.ravel())
+    # bijective over the full grid
+    assert len(np.unique(d)) == n * n
+    # consecutive curve positions are Manhattan-adjacent
+    order = np.argsort(d)
+    ox, oy = xs.ravel()[order], ys.ravel()[order]
+    assert (np.abs(np.diff(ox)) + np.abs(np.diff(oy)) == 1).all()
+
+    r = q_hilbert_locality("/root/testdata/sf0.001").to_pandas().iloc[0]
+    # Hilbert's rotation preserves adjacency: far more rook-adjacent
+    # pairs stay CONSECUTIVE on the curve than under Morton (the raw
+    # |delta| sum can go either way - a few Hilbert jumps are huge)
+    assert r.n_pairs > 0
+    assert r.hilbert_unit > r.z_unit

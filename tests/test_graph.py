@@ -859,3 +859,43 @@ def test_temporal_bfs_respects_time_order(ray_session):
                            temporal_mod=16).to_pandas()
     got = dict(zip(out["node"], out["dist"]))
     assert got[0] == 0 and got[1] == 1 and got[2] == 3
+
+
+def test_pagerank_trace(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from pythongis_ray import graph
+
+    e = pd.DataFrame({"src": [0, 1, 2, 2], "dst": [1, 2, 0, 1]})
+    final, trace = graph.pagerank(rd.from_pandas(e), iters=3,
+                                  return_trace=True)
+    assert len(trace) == 4                      # m0..m3
+    m0 = trace[0].to_pandas()
+    assert (m0["mass"] == 1_000_000).all()
+    # final is the last trace entry
+    f = final.to_pandas().sort_values("node").reset_index(drop=True)
+    t = trace[-1].to_pandas().sort_values("node").reset_index(drop=True)
+    assert f.equals(t)
+    # replay round 1 by hand: contributions (85*m)//(100*od)
+    od = e.groupby("src").size()
+    m1 = trace[1].to_pandas().set_index("node")["mass"]
+    for v in (0, 1, 2):
+        contrib = sum((85 * 1_000_000) // (100 * od[u])
+                      for u, w in zip(e.src, e.dst) if w == v)
+        assert m1[v] == 150_000 + contrib
+
+
+def test_cluster_sizes_consistency(ray_session):
+    from pythongis_ray.queries import (q_cluster_sizes,
+                                       q_dedup_components)
+
+    SF = "/root/testdata/sf0.001"
+    hist = q_cluster_sizes(SF)
+    comp = q_dedup_components(SF).to_pandas()
+    sizes = comp.groupby("component").size().value_counts()
+    assert dict(zip(hist["size"], hist.n_clusters)) \
+        == {int(k): int(v) for k, v in sizes.items()}
+    # total docs in clusters match
+    assert (hist["size"] * hist.n_clusters).sum() == len(comp)
