@@ -2954,3 +2954,44 @@ def test_hilbert_curve_properties(ray_session):
     # |delta| sum can go either way - a few Hilbert jumps are huge)
     assert r.n_pairs > 0
     assert r.hilbert_unit > r.z_unit
+
+
+def test_rendezvous_hash_minimal_disruption(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import _HRW_DROP, q_rendezvous_hash
+
+    SF = "/root/testdata/sf0.001"
+    got = q_rendezvous_hash(SF).set_index("node")
+    ndocs = len(pd.read_parquet(f"{SF}/documents.parquet",
+                                columns=["doc_id"]))
+    assert got.n_before.sum() == ndocs
+    assert got.n_after.sum() == ndocs
+    # HRW guarantee: only the dropped node's docs move
+    assert got.loc[_HRW_DROP].n_after == 0
+    assert got.n_gained.sum() == got.loc[_HRW_DROP].n_before
+    for v in got.index:
+        if v == _HRW_DROP:
+            continue
+        assert got.loc[v].n_after \
+            == got.loc[v].n_before + got.loc[v].n_gained
+
+
+def test_transition_times_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_transition_times
+
+    SF = "/root/testdata/sf0.001"
+    got = q_transition_times(SF).set_index(["from_type", "to_type"])
+    ev = pd.read_parquet(f"{SF}/events.parquet") \
+        .sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    for _, g in ev.groupby("user_id"):
+        ts = g.ts.astype("int64").tolist()
+        et = g.event_type.tolist()
+        for i in range(1, len(et)):
+            k = (et[i - 1], et[i])
+            n, s = want.get(k, (0, 0))
+            want[k] = (n + 1, s + ts[i] - ts[i - 1])
+    assert len(got) == len(want)
+    for k, (n, s) in want.items():
+        assert (got.loc[k].n, got.loc[k].sum_gap_us) == (n, s)
