@@ -899,3 +899,47 @@ def test_cluster_sizes_consistency(ray_session):
         == {int(k): int(v) for k, v in sizes.items()}
     # total docs in clusters match
     assert (hist["size"] * hist.n_clusters).sum() == len(comp)
+
+
+def test_bowtie_structure(ray_session):
+    from pythongis_ray.queries import q_bowtie, q_scc_hosts
+
+    SF = "/root/testdata/sf0.001"
+    bt = q_bowtie(SF).to_pandas().set_index("node")
+    scc = q_scc_hosts(SF).to_pandas()
+    # core = largest SCC (ties to smallest label)
+    sz = scc[scc.scc >= 0].groupby("scc").size().reset_index(name="c")
+    giant = int(sz.sort_values(["c", "scc"],
+                               ascending=[False, True]).iloc[0].scc)
+    core = set(scc[scc.scc == giant].node)
+    assert set(bt[bt.klass == "core"].index) == core
+    # classes partition all nodes
+    assert set(bt.klass) <= {"core", "in", "out", "other"}
+    assert len(bt) == scc.node.nunique()
+    # brute reachability on the host edge set
+    import pandas as pd
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id"])
+    edges = set()
+    for d in docs.doc_id:
+        for k in (2, 4, 8):
+            edges.add((d % 50, (d // k) % 50))
+    fwd = {}
+    for s, t in edges:
+        fwd.setdefault(s, set()).add(t)
+    to_core = set(core)
+    for _ in range(8):
+        to_core |= {s for s, t in edges if t in to_core}
+    from_core = set(core)
+    for _ in range(8):
+        from_core |= {t for s, t in edges if s in from_core}
+    for node, r in bt.iterrows():
+        if node in core:
+            want = "core"
+        elif node in to_core:
+            want = "in"
+        elif node in from_core:
+            want = "out"
+        else:
+            want = "other"
+        assert r.klass == want, (node, r.klass, want)
