@@ -2995,3 +2995,36 @@ def test_transition_times_bruteforce(ray_session):
     assert len(got) == len(want)
     for k, (n, s) in want.items():
         assert (got.loc[k].n, got.loc[k].sum_gap_us) == (n, s)
+
+
+def test_ks_stat_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    from pythongis_ray.queries import q_ks_stat
+
+    SF = "/root/testdata/sf0.001"
+    r = q_ks_stat(SF).iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    a = np.sort((ev[ev.event_type == "click"].value * 100)
+                .round().astype("int64").to_numpy())
+    b = np.sort((ev[ev.event_type == "purchase"].value * 100)
+                .round().astype("int64").to_numpy())
+    vals = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, vals, side="right")
+    f2 = np.searchsorted(b, vals, side="right")
+    d = int(np.abs(len(b) * f1 - len(a) * f2).max())
+    assert (r.n1, r.n2, r.d_num, r.d_den) \
+        == (len(a), len(b), d, len(a) * len(b))
+    assert r.d_ppm == 10**6 * d // (len(a) * len(b))
+
+
+def test_kappa_langid_identities(ray_session):
+    from pythongis_ray.queries import q_kappa_langid
+
+    r = q_kappa_langid("/root/testdata/sf0.001").iloc[0]
+    assert 0 < r.agree <= r.n
+    assert r.kappa_num == r.n * r.agree - r.sum_rc
+    assert r.kappa_den == r.n * r.n - r.sum_rc
+    assert r.kappa_ppm == 10**6 * int(r.kappa_num) // int(r.kappa_den)
+    assert -1_000_000 <= r.kappa_ppm <= 1_000_000
