@@ -3028,3 +3028,33 @@ def test_kappa_langid_identities(ray_session):
     assert r.kappa_den == r.n * r.n - r.sum_rc
     assert r.kappa_ppm == 10**6 * int(r.kappa_num) // int(r.kappa_den)
     assert -1_000_000 <= r.kappa_ppm <= 1_000_000
+
+
+def test_weighted_jaccard_bruteforce(ray_session):
+    from collections import Counter
+
+    import pandas as pd
+    from pythongis_ray.queries import SNM_WINDOW, q_weighted_jaccard
+
+    SF = "/root/testdata/sf0.001"
+    got = q_weighted_jaccard(SF).to_pandas() \
+        .set_index(["id_a", "id_b"])
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "n_chars", "text"]) \
+        .sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    bags = {r.doc_id: Counter(r.text.split(" "))
+            for _, r in d.iterrows()}
+    npairs = 0
+    for i in range(len(d)):
+        for gap in range(1, SNM_WINDOW + 1):
+            if i + gap >= len(d):
+                break
+            a, b = int(d.doc_id[i]), int(d.doc_id[i + gap])
+            ca, cb = bags[a], bags[b]
+            inter = sum(min(ca[w], cb[w]) for w in ca if w in cb)
+            uni = sum(ca.values()) + sum(cb.values()) - inter
+            r = got.loc[(a, b)]
+            assert (r.inter, r.uni) == (inter, uni)
+            assert r.wj_ppm == 10**6 * inter // max(uni, 1)
+            npairs += 1
+    assert len(got) == npairs
