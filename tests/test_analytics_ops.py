@@ -3058,3 +3058,25 @@ def test_weighted_jaccard_bruteforce(ray_session):
             assert r.wj_ppm == 10**6 * inter // max(uni, 1)
             npairs += 1
     assert len(got) == npairs
+
+
+def test_front_coding_bruteforce(ray_session):
+    import os
+
+    import pandas as pd
+    from pythongis_ray.queries import q_front_coding
+
+    SF = "/root/testdata/sf0.001"
+    r = q_front_coding(SF).iloc[0]
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    urls = sorted(
+        ((int(i) % 50, int(i), f"https://site{i % 50}.example/{i}")
+         for i in d.doc_id))
+    us = [u for _, _, u in urls]
+    lcp = sum(len(os.path.commonprefix([a, b]))
+              for a, b in zip(us, us[1:]))
+    plain = sum(map(len, us))
+    assert (r.n_urls, r.plain_bytes, r.sum_lcp) \
+        == (len(us), plain, lcp)
+    assert r.front_bytes == plain - lcp + len(us)
+    assert r.front_bytes < r.plain_bytes      # front coding must win
