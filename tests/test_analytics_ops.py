@@ -3080,3 +3080,25 @@ def test_front_coding_bruteforce(ray_session):
         == (len(us), plain, lcp)
     assert r.front_bytes == plain - lcp + len(us)
     assert r.front_bytes < r.plain_bytes      # front coding must win
+
+
+def test_crawl_staleness_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_crawl_staleness
+
+    SF = "/root/testdata/sf0.001"
+    got = q_crawl_staleness(SF).set_index("host")
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    ts = {int(i): 1704067200_000000 + int(i) * 37_000_000
+          for i in d.doc_id}
+    gmax = max(ts.values())
+    lo = gmax - 7 * 86_400_000_000
+    for h in range(50):
+        pages = [t for i, t in ts.items() if i % 50 == h]
+        if not pages:
+            assert h not in got.index
+            continue
+        r = got.loc[h]
+        assert (r.n_pages, r.max_ts_us, r.n_stale) \
+            == (len(pages), max(pages),
+                sum(1 for t in pages if t < lo))

@@ -943,3 +943,30 @@ def test_bowtie_structure(ray_session):
         else:
             want = "other"
         assert r.klass == want, (node, r.klass, want)
+
+
+def test_knn_degree_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_knn_degree
+
+    SF = "/root/testdata/sf0.001"
+    got = q_knn_degree(SF).set_index("k")
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    edges = set()
+    for i in d.doc_id:
+        for k in (2, 4, 8):
+            edges.add((int(i) % 50, (int(i) // k) % 50))
+    od = {}
+    for s, t in edges:
+        od[s] = od.get(s, 0) + 1
+    want = {}
+    for s, t in edges:
+        if t not in od:
+            continue
+        n, tot = want.get(od[s], (0, 0))
+        want[od[s]] = (n + 1, tot + od[t])
+    assert len(got) == len(want)
+    for k, (n, tot) in want.items():
+        r = got.loc[k]
+        assert (r.n_edges, r.sum_nbr_deg) == (n, tot)
+        assert r.knn_ppm == 10**6 * tot // n
