@@ -3102,3 +3102,57 @@ def test_crawl_staleness_bruteforce(ray_session):
         assert (r.n_pages, r.max_ts_us, r.n_stale) \
             == (len(pages), max(pages),
                 sum(1 for t in pages if t < lo))
+
+
+def test_source_style_bruteforce(ray_session):
+    from collections import Counter
+
+    import pandas as pd
+    from pythongis_ray import text as _text
+    from pythongis_ray.queries import q_source_style
+
+    SF = "/root/testdata/sf0.001"
+    got = q_source_style(SF).set_index(["src_a", "src_b"])
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["source", "text"])
+    stop = set(_text.STOPWORDS)
+    prof = {}
+    for src, g in d.groupby("source"):
+        c = Counter(w for t in g.text for w in t.split(" ")
+                    if w in stop)
+        prof[src] = c
+    srcs = sorted(prof)
+    words = sorted(set().union(*[set(c) for c in prof.values()]))
+    cnt = 0
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            va = [prof[a].get(w, 0) for w in words]
+            vb = [prof[b].get(w, 0) for w in words]
+            ab = sum(x * y for x, y in zip(va, vb))
+            aa = sum(x * x for x in va)
+            bb = sum(y * y for y in vb)
+            assert got.loc[(a, b)].cos2_ppm \
+                == 10**6 * ab * ab // (aa * bb)
+            cnt += 1
+    assert len(got) == cnt
+
+
+def test_edge_hygiene_bruteforce(ray_session):
+    from collections import Counter
+
+    import pandas as pd
+    from pythongis_ray.queries import q_edge_hygiene
+
+    SF = "/root/testdata/sf0.001"
+    r = q_edge_hygiene(SF).iloc[0]
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    em = Counter()
+    for i in d.doc_id:
+        for k in (2, 4, 8):
+            em[(int(i), int(i) // k)] += 1
+    srcs = {s for s, _ in em}
+    dsts = {t for _, t in em}
+    assert (r.n_total, r.n_distinct) == (sum(em.values()), len(em))
+    assert r.n_multi == sum(1 for v in em.values() if v > 1)
+    assert r.n_self == sum(v for (s, t), v in em.items() if s == t)
+    assert r.n_dangling == len(dsts - srcs)
