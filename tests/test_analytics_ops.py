@@ -3156,3 +3156,51 @@ def test_edge_hygiene_bruteforce(ray_session):
     assert r.n_multi == sum(1 for v in em.values() if v > 1)
     assert r.n_self == sum(v for (s, t), v in em.items() if s == t)
     assert r.n_dangling == len(dsts - srcs)
+
+
+def test_autocomplete_top_bruteforce(ray_session):
+    from collections import Counter
+
+    import pandas as pd
+    from pythongis_ray.queries import q_autocomplete_top
+
+    SF = "/root/testdata/sf0.001"
+    got = q_autocomplete_top(SF).set_index("prefix")
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    c = Counter(w for t in d.text for w in t.split(" "))
+    # argmax by (count desc, word asc)
+    want = {}
+    for w, n in c.items():
+        for k in (1, 2, 3):
+            if len(w) >= k:
+                p = w[:k]
+                if p not in want or (-n, w) < (-want[p][1], want[p][0]):
+                    want[p] = (w, n)
+    assert len(got) == len(want)
+    for p, (w, n) in want.items():
+        assert (got.loc[p].word, got.loc[p].n) == (w, n)
+
+
+def test_ttc_percentiles_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_ttc_percentiles
+
+    SF = "/root/testdata/sf0.001"
+    r = q_ttc_percentiles(SF).iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    gaps = []
+    for _, g in ev.groupby("user_id"):
+        clicks = g[g.event_type == "click"].ts
+        if clicks.empty:
+            continue
+        fc = clicks.min()
+        purch = g[(g.event_type == "purchase") & (g.ts >= fc)].ts
+        if purch.empty:
+            continue
+        gaps.append(int((purch.min() - fc).value // 1000))
+    gaps.sort()
+    n = len(gaps)
+    assert r.n_conv == n
+    if n:
+        assert r.p50_us == gaps[-(-n // 2) - 1]
+        assert r.p90_us == gaps[-(-9 * n // 10) - 1]
