@@ -3204,3 +3204,32 @@ def test_ttc_percentiles_bruteforce(ray_session):
     if n:
         assert r.p50_us == gaps[-(-n // 2) - 1]
         assert r.p90_us == gaps[-(-9 * n // 10) - 1]
+
+
+def test_weekend_lift_and_sla(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import (q_sla_attainment,
+                                       q_weekend_lift)
+
+    SF = "/root/testdata/sf0.001"
+    wl = q_weekend_lift(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts"])
+    day = ev.ts.astype("int64") // 10**6 // 86400
+    # epoch day 0 = Thursday → dow 2,3 = Sat,Sun
+    is_we = (day % 7).isin([2, 3])
+    # cross-check the dow convention against the calendar
+    assert (ev.ts.dt.dayofweek.isin([5, 6]) == is_we).all()
+    for et, g in ev.assign(we=is_we).groupby("event_type"):
+        nwe = int(g.we.sum())
+        nwd = len(g) - nwe
+        r = wl.loc[et]
+        assert (r.n_weekday, r.n_weekend) == (nwd, nwe)
+        assert r.lift_ppm == 10**6 * 5 * nwe // max(2 * nwd, 1)
+
+    sla = q_sla_attainment(SF)
+    assert (sla.n_within <= sla.n).all()
+    assert (sla.attain_ppm == 10**6 * sla.n_within // sla.n).all()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    assert sla.n.sum() == len(li)
