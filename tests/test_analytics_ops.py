@@ -3233,3 +3233,35 @@ def test_weekend_lift_and_sla(ray_session):
     li = pd.read_parquet(f"{SF}/lineitem.parquet",
                          columns=["l_orderkey"])
     assert sla.n.sum() == len(li)
+
+
+def test_merkle_levels_properties(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import (_MERKLE_SHARD, q_merkle_levels)
+
+    SF = "/root/testdata/sf0.001"
+    got = q_merkle_levels(SF)
+    # parent hash == sum of child hashes (mod 2^64, in the shifted
+    # signed representation: u = h + 2^63)
+    by = {(int(r.level), int(r.node_id)): int(r.h) + (1 << 63)
+          for _, r in got.iterrows()}
+    for (lvl, node), u in by.items():
+        if lvl == 0:
+            continue
+        kids = [by.get((lvl - 1, 2 * node)),
+                by.get((lvl - 1, 2 * node + 1))]
+        s = sum(k for k in kids if k is not None) % (1 << 64)
+        assert u == s, (lvl, node)
+    # level-0 shard for doc 0 changes if any doc changes: hash is a
+    # sum of per-doc fingerprints — check one leaf against the kernel
+    import pyarrow as pa
+    from pythongis_ray import text as _text
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    sub = d[d.doc_id // _MERKLE_SHARD == 0]
+    t = _text.fingerprint(pa.table({"doc_id": sub.doc_id.to_numpy(),
+                                    "text": sub.text.to_numpy()}))
+    import numpy as np
+    want = int(t["fp"].to_numpy().view(np.uint64).astype(object).sum()
+               % (1 << 64))
+    assert by[(0, 0)] == want
