@@ -3265,3 +3265,27 @@ def test_merkle_levels_properties(ray_session):
     want = int(t["fp"].to_numpy().view(np.uint64).astype(object).sum()
                % (1 << 64))
     assert by[(0, 0)] == want
+
+
+def test_dup_threshold_curve_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray import text as _text
+    from pythongis_ray.queries import q_dup_threshold_curve
+
+    SF = "/root/testdata/sf0.001"
+    got = q_dup_threshold_curve(SF)
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    sets = {int(r.doc_id): _text.shingle_set(r.text)
+            for _, r in d.iterrows()}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            band = 20 * inter // len(sets[a] | sets[b])
+            if band >= 4:
+                want[band] = want.get(band, 0) + 1
+    assert dict(zip(got.band, got.n_pairs)) == want
