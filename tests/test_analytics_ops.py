@@ -3289,3 +3289,39 @@ def test_dup_threshold_curve_bruteforce(ray_session):
             if band >= 4:
                 want[band] = want.get(band, 0) + 1
     assert dict(zip(got.band, got.n_pairs)) == want
+
+
+def test_orders_monolithic_and_division(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import (q_orders_monolithic,
+                                       q_rel_division)
+
+    SF = "/root/testdata/sf0.001"
+    om = q_orders_monolithic(SF).set_index("o_orderpriority")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority"])
+    li["m"] = li.l_shipdate.dt.year * 12 + li.l_shipdate.dt.month
+    per = li.groupby("l_orderkey").m.agg(["min", "max"])
+    per = per.join(o.set_index("o_orderkey"))
+    for prio, g in per.groupby("o_orderpriority"):
+        r = om.loc[prio]
+        assert (r.n_orders, r.n_monolithic) \
+            == (len(g), int((g["min"] == g["max"]).sum()))
+
+    rd_ = q_rel_division(SF)
+    p = pd.read_parquet(f"{SF}/part.parquet",
+                        columns=["p_partkey", "p_type"])
+    li2 = pd.read_parquet(f"{SF}/lineitem.parquet",
+                          columns=["l_orderkey", "l_partkey"])
+    m = li2.merge(p, left_on="l_partkey", right_on="p_partkey") \
+        .merge(o[["o_orderkey"]].join(
+            pd.read_parquet(f"{SF}/orders.parquet",
+                            columns=["o_custkey"])),
+            left_on="l_orderkey", right_on="o_orderkey")
+    cov = m.groupby("o_custkey").p_type.nunique()
+    nt = p.p_type.nunique()
+    want = set(cov[cov == nt].index)
+    assert set(rd_.c_custkey) == want
+    assert (rd_.n_types == nt).all()
