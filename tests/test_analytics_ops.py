@@ -3325,3 +3325,39 @@ def test_orders_monolithic_and_division(ray_session):
     want = set(cov[cov == nt].index)
     assert set(rd_.c_custkey) == want
     assert (rd_.n_types == nt).all()
+
+
+def test_set_ops_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_set_ops
+
+    SF = "/root/testdata/sf0.001"
+    r = q_set_ops(SF).iloc[0]
+    a = set(pd.read_parquet(f"{SF}/events.parquet",
+                            columns=["user_id"]).user_id)
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+    b = set(o.loc[o.o_orderpriority == "1-URGENT", "o_custkey"])
+    assert (r.n_a_except_b, r.n_b_except_a, r.n_intersect,
+            r.n_union) == (len(a - b), len(b - a), len(a & b),
+                           len(a | b))
+
+
+def test_ams_f2_properties(ray_session):
+    from collections import Counter
+
+    import pandas as pd
+    from pythongis_ray.queries import q_ams_f2
+
+    SF = "/root/testdata/sf0.001"
+    r = q_ams_f2(SF).iloc[0]
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    c = Counter(w for t in d.text for w in t.split(" "))
+    f2 = sum(v * v for v in c.values())
+    assert r.f2_exact == f2
+    ests = sorted(int(r[f"est{i}"]) for i in range(8))
+    assert r.est_median == (ests[3] + ests[4]) // 2
+    # each AMS estimator is unbiased with variance <= 2*F2^2:
+    # sanity — the median lands within a factor of 4 of the truth
+    assert f2 // 4 <= r.est_median <= 4 * f2
+    assert r.err_ppm == 10**6 * (int(r.est_median) - f2) // f2
