@@ -3361,3 +3361,24 @@ def test_ams_f2_properties(ray_session):
     # sanity — the median lands within a factor of 4 of the truth
     assert f2 // 4 <= r.est_median <= 4 * f2
     assert r.err_ppm == 10**6 * (int(r.est_median) - f2) // f2
+
+
+def test_skew_report_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_skew_report
+
+    SF = "/root/testdata/sf0.001"
+    got = q_skew_report(SF).set_index("key_col")
+    for table, col in [("orders", "o_custkey"),
+                       ("lineitem", "l_partkey"),
+                       ("lineitem", "l_suppkey"),
+                       ("events", "user_id")]:
+        s = pd.read_parquet(f"{SF}/{table}.parquet",
+                            columns=[col])[col]
+        vc = s.value_counts()
+        mx = int(vc.max())
+        hot = int(min(k for k, v in vc.items() if v == mx))
+        r = got.loc[f"{table}.{col}"]
+        assert (r.n_keys, r.n_rows, r.hot_key, r.hot_n) \
+            == (s.nunique(), len(s), hot, mx)
+        assert r.hot_share_ppm == 10**6 * mx // len(s)
