@@ -970,3 +970,35 @@ def test_knn_degree_bruteforce(ray_session):
         r = got.loc[k]
         assert (r.n_edges, r.sum_nbr_deg) == (n, tot)
         assert r.knn_ppm == 10**6 * tot // n
+
+
+def test_bipartite_check_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_bipartite_check
+
+    SF = "/root/testdata/sf0.001"
+    r = q_bipartite_check(SF).iloc[0]
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    edges = set()
+    nodes = set()
+    for i in d.doc_id:
+        for k in (2, 4, 8):
+            edges.add((int(i), int(i) // k))
+            nodes.add(int(i))
+            nodes.add(int(i) // k)
+    INF = 1 << 40
+    # synchronous bounded-round BFS, matching the engine's 8 rounds
+    dist = {n: (0 if n % 97 == 0 else INF) for n in nodes}
+    for _ in range(8):
+        nxt = dict(dist)
+        for s, t in edges:
+            if dist[s] + 1 < nxt[t]:
+                nxt[t] = dist[s] + 1
+        dist = nxt
+    checked = [(s, t) for s, t in edges
+               if s != t and dist[s] < INF and dist[t] < INF]
+    conf = sum(1 for s, t in checked
+               if dist[s] % 2 == dist[t] % 2)
+    assert (r.n_checked, r.n_conflict) == (len(checked), conf)
+    assert r.n_unreached == sum(1 for n in nodes if dist[n] >= INF)
+    assert r.is_bipartite == (1 if conf == 0 else 0)
