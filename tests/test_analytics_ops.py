@@ -3382,3 +3382,33 @@ def test_skew_report_bruteforce(ray_session):
         assert (r.n_keys, r.n_rows, r.hot_key, r.hot_n) \
             == (s.nunique(), len(s), hot, mx)
         assert r.hot_share_ppm == 10**6 * mx // len(s)
+
+
+def test_order_aging_and_brand_returns(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_brand_returns, q_order_aging
+
+    SF = "/root/testdata/sf0.001"
+    oa = q_order_aging(SF).set_index("band")
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderdate", "o_orderstatus"])
+    gday = int(o.o_orderdate.astype("int64").max() // 10**6 // 86400)
+    open_ = o[o.o_orderstatus == "O"]
+    age = gday - open_.o_orderdate.astype("int64") // 10**6 // 86400
+    want = age.groupby(age // 90).agg(["count", "sum"])
+    assert len(oa) == len(want)
+    for band, r in want.iterrows():
+        assert (oa.loc[band].n, oa.loc[band].sum_age) \
+            == (r["count"], r["sum"])
+
+    br = q_brand_returns(SF).set_index("p_brand")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_returnflag"])
+    p = pd.read_parquet(f"{SF}/part.parquet",
+                        columns=["p_partkey", "p_brand"])
+    m = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    for brand, g in m.groupby("p_brand"):
+        nr = int((g.l_returnflag == "R").sum())
+        r = br.loc[brand]
+        assert (r.n_lines, r.n_returned) == (len(g), nr)
+        assert r.return_ppm == 10**6 * nr // len(g)
