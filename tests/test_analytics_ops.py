@@ -3412,3 +3412,21 @@ def test_order_aging_and_brand_returns(ray_session):
         r = br.loc[brand]
         assert (r.n_lines, r.n_returned) == (len(g), nr)
         assert r.return_ppm == 10**6 * nr // len(g)
+
+
+def test_dup_locality_consistency(ray_session):
+    from pythongis_ray import text as _text
+    from pythongis_ray.queries import q_dup_locality
+
+    import ray.data as rd
+    import pandas as pd
+
+    SF = "/root/testdata/sf0.001"
+    r = q_dup_locality(SF).iloc[0]
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = _text.minhash_dedup_pairs(ds, threshold=0.5).to_pandas()
+    intra = int((pairs.id_a % 50 == pairs.id_b % 50).sum())
+    assert (r.n_pairs, r.n_intra, r.n_cross) \
+        == (len(pairs), intra, len(pairs) - intra)
+    assert r.intra_ppm == 10**6 * intra // max(len(pairs), 1)
