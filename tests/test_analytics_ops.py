@@ -3430,3 +3430,35 @@ def test_dup_locality_consistency(ray_session):
     assert (r.n_pairs, r.n_intra, r.n_cross) \
         == (len(pairs), intra, len(pairs) - intra)
     assert r.intra_ppm == 10**6 * intra // max(len(pairs), 1)
+
+
+def test_lcs_users_textbook_dp(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import _lcs_sequences, q_lcs_users
+
+    SF = "/root/testdata/sf0.001"
+    got = q_lcs_users(SF).set_index(["user_a", "user_b"])
+    seqs = _lcs_sequences(SF)
+
+    def lcs(a, b):
+        # textbook row-by-row DP
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0]
+            for j, y in enumerate(b, 1):
+                cur.append(prev[j - 1] + 1 if x == y
+                           else max(prev[j], cur[-1]))
+            prev = cur
+        return prev[-1]
+
+    cnt = 0
+    for u in sorted(seqs):
+        if u + 1 not in seqs:
+            continue
+        r = got.loc[(u, u + 1)]
+        assert (r.len_a, r.len_b) == (len(seqs[u]), len(seqs[u + 1]))
+        assert r.lcs == lcs(seqs[u], seqs[u + 1])
+        cnt += 1
+    assert len(got) == cnt
+    # LCS sanity bounds
+    assert (got.lcs <= got[["len_a", "len_b"]].min(axis=1)).all()
