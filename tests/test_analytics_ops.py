@@ -3462,3 +3462,38 @@ def test_lcs_users_textbook_dp(ray_session):
     assert len(got) == cnt
     # LCS sanity bounds
     assert (got.lcs <= got[["len_a", "len_b"]].min(axis=1)).all()
+
+
+def test_tax_and_hhi_bruteforce(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import q_supplier_hhi, q_tax_incidence
+
+    SF = "/root/testdata/sf0.001"
+    ti = q_tax_incidence(SF).set_index("nation")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    n = pd.read_parquet(f"{SF}/nation.parquet")
+    m = li.merge(s, left_on="l_suppkey", right_on="s_suppkey") \
+        .merge(n, left_on="s_nationkey", right_on="n_nationkey")
+    base = ((m.l_extendedprice * 100).round().astype("int64")
+            * (100 - (m.l_discount * 100).round().astype("int64")))
+    tax = base * (m.l_tax * 100).round().astype("int64")
+    w = m.assign(base=base, tax=tax).groupby("n_name") \
+        [["base", "tax"]].sum()
+    for nation, r in w.iterrows():
+        g = ti.loc[nation]
+        assert (g.base_cp, g.tax_cp2) == (r.base, r.tax)
+        assert g.rate_ppm == 10**6 * int(r.tax) // int(r.base)
+
+    hhi = q_supplier_hhi(SF).to_pandas().set_index("p_partkey")
+    q = li.assign(q=li.l_quantity.round().astype("int64")) \
+        .groupby(["l_partkey", "l_suppkey"]).q.sum()
+    for pk, g in q.groupby(level=0):
+        v = g.to_numpy()
+        r = hhi.loc[pk]
+        assert (r.n_suppliers, r.total_qty) == (len(v), v.sum())
+        assert r.hhi_ppm == 10**6 * int((v.astype(object)**2).sum()) \
+            // int(v.sum())**2
+    # monopoly parts must read exactly 1e6
+    mono = hhi[hhi.n_suppliers == 1]
+    assert (mono.hhi_ppm == 10**6).all()
