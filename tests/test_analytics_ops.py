@@ -3497,3 +3497,35 @@ def test_tax_and_hhi_bruteforce(ray_session):
     # monopoly parts must read exactly 1e6
     mono = hhi[hhi.n_suppliers == 1]
     assert (mono.hhi_ppm == 10**6).all()
+
+
+def test_priority_drift_and_core_profile(ray_session):
+    import pandas as pd
+    from pythongis_ray.queries import (q_core_profile,
+                                       q_priority_drift)
+
+    SF = "/root/testdata/sf0.001"
+    pdft = q_priority_drift(SF)
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderdate", "o_orderpriority"])
+    o["y"] = o.o_orderdate.dt.year
+    c = o.groupby(["y", "o_orderpriority"]).size()
+    tot = o.groupby("y").size()
+    share = {(y, p): 10**6 * n // tot[y] for (y, p), n in c.items()}
+    rows = 0
+    for p in o.o_orderpriority.unique():
+        ys = sorted(y for (y, pp) in share if pp == p)
+        for py, y in zip(ys, ys[1:]):
+            r = pdft[(pdft.o_year == y)
+                     & (pdft.o_orderpriority == p)].iloc[0]
+            assert r.n == c[(y, p)]
+            assert r.share_ppm == share[(y, p)]
+            assert r.delta_ppm == share[(y, p)] - share[(py, p)]
+            rows += 1
+    assert len(pdft) == rows
+
+    prof = q_core_profile(SF)
+    # monotone: higher k peels at least as many nodes
+    ns = list(prof.sort_values("k").n_nodes)
+    assert ns == sorted(ns, reverse=True)
+    assert prof.k.tolist() == [1, 2, 3, 4]
