@@ -3529,3 +3529,23 @@ def test_priority_drift_and_core_profile(ray_session):
     ns = list(prof.sort_values("k").n_nodes)
     assert ns == sorted(ns, reverse=True)
     assert prof.k.tolist() == [1, 2, 3, 4]
+
+
+def test_name_combos_bruteforce(ray_session):
+    from collections import Counter
+
+    import pandas as pd
+    from pythongis_ray.queries import q_name_combos
+
+    SF = "/root/testdata/sf0.001"
+    got = q_name_combos(SF).set_index(["adj", "noun"])
+    p = pd.read_parquet(f"{SF}/part.parquet", columns=["p_name"])
+    combos = Counter(tuple(n.split(" ")) for n in p.p_name)
+    na = Counter(a for a, _ in combos.elements())
+    nn = Counter(w for _, w in combos.elements())
+    tot = sum(combos.values())
+    assert len(got) == len(combos)
+    for (a, w), n in combos.items():
+        r = got.loc[(a, w)]
+        assert r.n == n
+        assert r.lift_ppm == 10**6 * tot * n // (na[a] * nn[w])
