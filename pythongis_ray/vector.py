@@ -50,25 +50,25 @@ def buffer_points(ds, radius, lon_col: str = "lon", lat_col: str = "lat",
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
         r = (batch[radius].to_numpy(zero_copy_only=False)
              if isinstance(radius, str) else np.full(len(lon), float(radius)))
-        geoms = []
+        m = len(lon)
         if geodetic:
             # one vectorized Vincenty fan for the whole batch (m×n
             # bearings, per-point radii) — no per-point Python solver
-            m = len(lon)
             bearings = np.linspace(0.0, 360.0, n, endpoint=False)
             xs, ys = geodesy.vincenty_direct(
                 np.repeat(lon, n), np.repeat(lat, n),
                 np.tile(bearings, m), np.repeat(r.astype(np.float64), n))
-            ring3 = np.stack([xs.reshape(m, n), ys.reshape(m, n)], axis=2)
-            ring3 = np.concatenate([ring3, ring3[:, :1]], axis=1)
-            geoms = [wkb.encode_polygon([rg]) for rg in ring3]
+            xs, ys = xs.reshape(m, n), ys.reshape(m, n)
         else:
+            # vectorized ring lattice: (m,n) broadcast, no per-point loop
             ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
             ca, sa = np.cos(ang), np.sin(ang)
-            for x, y, rr in zip(lon, lat, r):
-                ring = np.column_stack([x + rr * ca, y + rr * sa])
-                geoms.append(wkb.encode_polygon([np.vstack([ring, ring[:1]])]))
-        return batch.append_column(out_col, pa.array(geoms, pa.binary()))
+            xs = lon[:, None] + r[:, None] * ca[None, :]
+            ys = lat[:, None] + r[:, None] * sa[None, :]
+        ring3 = np.stack([xs, ys], axis=2)
+        ring3 = np.concatenate([ring3, ring3[:, :1]], axis=1)
+        geoms = wkb.encode_polygons_uniform(ring3)
+        return batch.append_column(out_col, pa.array(list(geoms), pa.binary()))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
 
