@@ -106,6 +106,20 @@ def test_minhash_dedup_pairs(ray_session):
     assert set(zip(pairs.id_a, pairs.id_b)) == {(1, 2)}
 
 
+def test_jaccard_pairs_batch_matches_scalar():
+    import pyarrow as pa
+
+    docs_a = ["alpha beta gamma delta epsilon zeta eta theta",
+              "one two three", "", "x", "a b c d e f g h i j",
+              "the quick brown fox jumps over the lazy dog again and again"]
+    docs_b = ["alpha beta gamma delta epsilon zeta eta iota",
+              "one two three", "", "x y", "a b c d e f g h i j",
+              "the quick brown fox jumps over the lazy cat again and again"]
+    vec = text.jaccard_pairs_batch(pa.array(docs_a), pa.array(docs_b))
+    for i, (a, b) in enumerate(zip(docs_a, docs_b)):
+        assert vec[i] == text.jaccard_shingles(a, b), (a, b)
+
+
 def test_simhash_similarity():
     a = text.simhash64("the quick brown fox jumps over the lazy dog")
     b = text.simhash64("the quick brown fox jumps over the lazy cat")
