@@ -197,3 +197,90 @@ def test_tile_pyramid_consistent_with_world(ray_session, tmp_path):
                                         tile_px=64)
     assert paths2 == paths
     assert all(os.path.getmtime(p) == mtimes[p] for p in paths)
+
+
+# ------------------------------------------------- annotation layer
+
+
+def test_title_composited(ray_session):
+    from pythongis_ray import render
+
+    df = pd.DataFrame({"lon": [0.0], "lat": [0.0]})
+    m = render.MapCanvas(width=200, height=100)
+    m.add_points(_rd().from_pandas(df), color=(255, 0, 0))
+    m.title = "Map Title"
+    img = m.render()
+    # title bar: white box with black border + black glyph ink in the
+    # top rows, horizontally centered
+    top = img[:24]
+    assert (top == 0).all(axis=2).sum() > 20          # border + ink
+    tw = render.text_width("Map Title", 2)
+    x0 = (200 - tw) // 2 - 6
+    assert (img[2, x0:x0 + tw + 12] == 0).all()       # top border row
+    # without a title the same map has no black ink up there
+    m2 = render.MapCanvas(width=200, height=100)
+    m2.add_points(_rd().from_pandas(df), color=(255, 0, 0))
+    assert not (m2.render()[:24] == 0).all(axis=2).any()
+
+
+def test_legend_swatch_and_classes(ray_session):
+    from pythongis_ray import classify, render
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"lon": rng.uniform(-170, 170, 200),
+                       "lat": rng.uniform(-80, 80, 200),
+                       "val": rng.uniform(0, 100, 200)})
+    bks = classify.equal(df["val"].to_numpy(), 4)
+    m = render.MapCanvas(width=300, height=200)
+    m.add_points(_rd().from_pandas(df), value_col="val", breaks=bks,
+                 label="values")
+    m.add_legend(title="Legend")
+    img = m.render()
+    # the legend box is in the SE corner: locate its white fill and
+    # assert one swatch pixel-row per class in ramp order
+    entry = m._legend_entries[0]
+    assert entry["kind"] == "classes" and len(entry["breaks"]) == 5
+    # swatch colors appear in the image (4 classes → first 4 ramp colors)
+    flat = img.reshape(-1, 3)
+    for c in render.SEQUENTIAL[:4]:
+        assert (flat == np.asarray(c, np.uint8)).all(axis=1).any(), c
+    # formatted break labels end up as black ink inside the box
+    se = img[120:, 180:]
+    assert (se == 0).all(axis=2).sum() > 30
+
+
+def test_size_graduated_points_and_legend(ray_session):
+    from pythongis_ray import render
+
+    df = pd.DataFrame({"lon": [-90.0, 90.0], "lat": [0.0, 0.0],
+                       "pop": [0.0, 2_000_000.0]})
+    m = render.MapCanvas(width=360, height=180)
+    m.add_points(_rd().from_pandas(df), size_col="pop", sizes=(2, 8),
+                 color=(200, 0, 0), label="population")
+    m.add_legend()
+    img = m.render()
+    red = (img == np.asarray((200, 0, 0), np.uint8)).all(axis=2)
+    col, row, _ = m.to_px(df.lon.to_numpy(), df.lat.to_numpy())
+    # small symbol: radius-2 disc (13 px); big symbol: radius-8 disc
+    half = 360 // 2
+    small = red[:, :half - 20].sum()   # around lon=-90
+    big = red[60:120, half:half + 160].sum()  # around lon=+90, mid rows
+    assert 10 <= small <= 30
+    assert big >= 150                  # ~197 px disc (+ none of legend)
+    # legend labels use the value formatter: 0 and 2M
+    assert m._legend_entries[0]["kind"] == "sizes"
+    assert render.format_value(2_000_000) == "2M"
+    assert render.format_value(0) == "0"
+
+
+def test_format_value_magnitudes():
+    from pythongis_ray.render import format_value
+
+    assert format_value(1_200_000) == "1.2M"
+    assert format_value(2_500_000_000) == "2.5B"
+    assert format_value(1500) == "1.5K"
+    assert format_value(100) == "100"
+    assert format_value(12.4) == "12"
+    assert format_value(1.25) == "1.2"
+    assert format_value(0.25) == "0.25"
+    assert format_value(0.5) == "0.5"
