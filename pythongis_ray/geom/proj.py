@@ -335,3 +335,137 @@ def _phi_from_beta_series(beta: np.ndarray) -> np.ndarray:
             + (E2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta)
             + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta)
             + (761 * e6 / 45360) * np.sin(6 * beta))
+
+
+# ---------------------------------------- Robinson (table projection)
+
+# Robinson's published 5-degree interpolation table (Robinson 1974,
+# "A New Map Projection"; the same PLEN/PDFE node values proj's robin
+# uses). X scales parallel length, Y scales distance from the equator.
+_ROB_LAT = np.arange(0.0, 95.0, 5.0)
+_ROB_X = np.array([
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322])
+_ROB_Y = np.array([
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000])
+_ROB_FXC = 0.8487          # x = FXC * R * X(lat) * lambda
+_ROB_FYC = 1.3523          # y = FYC * R * Y(lat) * sign(lat)
+
+
+def _nat_cubic_m(y: np.ndarray, h: float) -> np.ndarray:
+    """Second derivatives of the natural cubic spline through equally
+    spaced nodes (Thomas tridiagonal solve of M[i-1]+4M[i]+M[i+1] =
+    6(y[i-1]-2y[i]+y[i+1])/h^2; M[0]=M[-1]=0)."""
+    n = len(y)
+    rhs = np.zeros(n)
+    rhs[1:-1] = 6.0 * (y[:-2] - 2 * y[1:-1] + y[2:]) / (h * h)
+    diag = np.full(n, 4.0)
+    diag[0] = diag[-1] = 1.0
+    upper = np.ones(n - 1)
+    upper[0] = 0.0
+    lower = np.ones(n - 1)
+    lower[-1] = 0.0
+    # forward elimination
+    for i in range(1, n):
+        w = lower[i - 1] / diag[i - 1]
+        diag[i] -= w * upper[i - 1]
+        rhs[i] -= w * rhs[i - 1]
+    m = np.zeros(n)
+    m[-1] = rhs[-1] / diag[-1]
+    for i in range(n - 2, -1, -1):
+        m[i] = (rhs[i] - upper[i] * m[i + 1]) / diag[i]
+    return m
+
+
+_ROB_MX = _nat_cubic_m(_ROB_X, 5.0)
+_ROB_MY = _nat_cubic_m(_ROB_Y, 5.0)
+
+
+def _rob_spline(vals: np.ndarray, m: np.ndarray,
+                lat_abs: np.ndarray) -> np.ndarray:
+    """Evaluate the natural cubic spline at |lat| in [0, 90]."""
+    h = 5.0
+    i = np.clip((lat_abs // h).astype(np.int64), 0, len(vals) - 2)
+    a = lat_abs - _ROB_LAT[i]
+    b = h - a
+    return (m[i] * b ** 3 + m[i + 1] * a ** 3) / (6 * h) \
+        + (vals[i] / h - m[i] * h / 6) * b \
+        + (vals[i + 1] / h - m[i + 1] * h / 6) * a
+
+
+def robin_forward(lon, lat, lon0: float = 0.0):
+    """Robinson pseudocylindrical world projection (the reference's
+    +proj=robin demo, tests/test_render_projections.py:77): x/y from
+    the published 5-degree table, natural-cubic-spline interpolated,
+    on the sphere of radius A. Neither equal-area nor conformal by
+    design; the pole line is 0.5322x the equator."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    lam = np.radians(lon - lon0)
+    lam = (lam + np.pi) % (2 * np.pi) - np.pi
+    la = np.clip(np.abs(lat), 0.0, 90.0)
+    x = _ROB_FXC * A * _rob_spline(_ROB_X, _ROB_MX, la) * lam
+    y = _ROB_FYC * A * _rob_spline(_ROB_Y, _ROB_MY, la) * np.sign(lat)
+    return x, y
+
+
+def robin_inverse(x, y, lon0: float = 0.0):
+    """Inverse Robinson: |lat| from Y by vectorized bisection on the
+    monotone spline (60 halvings ~ 1e-16 deg), lambda from X(lat)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    yy = np.clip(np.abs(y) / (_ROB_FYC * A), 0.0, 1.0)
+    lo = np.zeros_like(yy)
+    hi = np.full_like(yy, 90.0)
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        below = _rob_spline(_ROB_Y, _ROB_MY, mid) < yy
+        lo = np.where(below, mid, lo)
+        hi = np.where(below, hi, mid)
+    la = 0.5 * (lo + hi)
+    lat = la * np.sign(y)
+    lam = x / (_ROB_FXC * A * _rob_spline(_ROB_X, _ROB_MX, la))
+    return lon0 + np.degrees(lam), lat
+
+
+# -------------------------------------------- proj4-token CRS aliases
+
+_PROJ4_DIR = {"merc": "webmercator", "webmerc": "webmercator",
+              "utm": "utm", "laea": "laea", "aea": "albers",
+              "lcc": "lcc", "moll": "moll", "robin": "robin"}
+
+
+def parse_proj4(s: str) -> dict:
+    """Parse the proj4 tokens the reference uses as CRS currency
+    (reference delegates to pyproj; '+proj=robin' etc. appear in its
+    render demos). Returns {'proj': <engine name>, 'inverse': bool,
+    and any of zone/lon0/lat0/lat1/lat2}. Unknown +proj values raise
+    ValueError listing the supported set."""
+    out: dict = {"inverse": False}
+    key_map = {"zone": ("zone", int), "lon_0": ("lon0", float),
+               "lat_0": ("lat0", float), "lat_1": ("lat1", float),
+               "lat_2": ("lat2", float)}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if tok == "inv":
+            out["inverse"] = True
+            continue
+        if "=" not in tok:
+            continue
+        k, v = tok.split("=", 1)
+        if k == "proj":
+            if v not in _PROJ4_DIR:
+                raise ValueError(
+                    f"unsupported +proj={v}; supported: "
+                    f"{sorted(_PROJ4_DIR)} (arbitrary-EPSG needs "
+                    "pyproj, absent in this environment)")
+            out["proj"] = _PROJ4_DIR[v]
+        elif k in key_map:
+            name, cast = key_map[k]
+            out[name] = cast(v)
+    if "proj" not in out:
+        raise ValueError(f"no +proj= token in {s!r}")
+    return out

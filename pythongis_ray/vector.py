@@ -501,6 +501,8 @@ def reproject(ds, direction: str = "to_webmercator",
             x, y = _proj.lcc_forward(lon, lat, lon0, lat0, lat1, lat2)
         elif direction == "to_moll":
             x, y = _proj.moll_forward(lon, lat, lon0)
+        elif direction == "to_robin":
+            x, y = _proj.robin_forward(lon, lat, lon0)
         else:  # to_laea
             x, y = _proj.laea_forward(lon, lat, lon0, lat0)
         batch = batch.append_column(x_col, pa.array(x))
@@ -521,6 +523,8 @@ def reproject(ds, direction: str = "to_webmercator",
             lon, lat = _proj.lcc_inverse(x, y, lon0, lat0, lat1, lat2)
         elif direction == "from_moll":
             lon, lat = _proj.moll_inverse(x, y, lon0)
+        elif direction == "from_robin":
+            lon, lat = _proj.robin_inverse(x, y, lon0)
         else:  # from_laea
             lon, lat = _proj.laea_inverse(x, y, lon0, lat0)
         batch = batch.append_column(lon_col, pa.array(lon))
@@ -528,10 +532,23 @@ def reproject(ds, direction: str = "to_webmercator",
 
     if direction == "to_lonlat":     # legacy name for the inverse
         direction = "from_webmercator"
+    if "+proj=" in direction:        # proj4-token CRS alias — the
+        # reference's CRS currency ('+proj=robin' etc.; its engine is
+        # pyproj, manager.py:822-846). '+inv' selects the inverse.
+        p = _proj.parse_proj4(direction)
+        direction = ("from_" if p["inverse"] else "to_") + p["proj"]
+        zone = p.get("zone", zone)
+        # absent +lon_0/+lat_x tokens mean 0 in proj4, not the
+        # keyword defaults (which are demo-region values)
+        lon0 = p.get("lon0", 0.0)
+        lat0 = p.get("lat0", 0.0)
+        lat1 = p.get("lat1", 0.0)
+        lat2 = p.get("lat2", 0.0)
     if direction not in ("to_webmercator", "to_utm", "to_laea",
-                         "to_albers", "to_lcc", "to_moll",
+                         "to_albers", "to_lcc", "to_moll", "to_robin",
                          "from_webmercator", "from_utm", "from_laea",
-                         "from_albers", "from_lcc", "from_moll"):
+                         "from_albers", "from_lcc", "from_moll",
+                         "from_robin"):
         raise ValueError(f"unsupported direction {direction!r}")
     return ds.map_batches(fwd if direction.startswith("to_") else inv,
                           batch_format="pyarrow", batch_size=65536)

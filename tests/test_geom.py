@@ -806,6 +806,84 @@ class TestMollweide:
         assert np.max(np.abs(la - df.lat.to_numpy())) < 1e-7
 
 
+class TestRobinson:
+    """Robinson (published-table pseudocylindrical; the reference's
+    +proj=robin demo) — locked by its DEFINING invariants: exact node
+    reproduction, pole line = 0.5322x the equator, C1 spline
+    continuity across nodes, pseudocylindrical shape, round trips."""
+
+    def test_nodes_exact_and_continuous(self):
+        from pythongis_ray.geom import proj
+        got_x = proj._rob_spline(proj._ROB_X, proj._ROB_MX, proj._ROB_LAT)
+        got_y = proj._rob_spline(proj._ROB_Y, proj._ROB_MY, proj._ROB_LAT)
+        assert np.max(np.abs(got_x - proj._ROB_X)) < 1e-12
+        assert np.max(np.abs(got_y - proj._ROB_Y)) < 1e-12
+        eps = 1e-9
+        for node in (5.0, 45.0, 85.0):
+            lo, hi = np.array([node - eps]), np.array([node + eps])
+            for vals, m in ((proj._ROB_X, proj._ROB_MX),
+                            (proj._ROB_Y, proj._ROB_MY)):
+                a = proj._rob_spline(vals, m, lo)[0]
+                b = proj._rob_spline(vals, m, hi)[0]
+                assert abs(a - b) < 1e-6          # value continuity
+                # derivative continuity (C1 of the cubic spline)
+                da = (proj._rob_spline(vals, m, lo)[0]
+                      - proj._rob_spline(vals, m, lo - 1e-6)[0]) / 1e-6
+                db = (proj._rob_spline(vals, m, hi + 1e-6)[0]
+                      - proj._rob_spline(vals, m, hi)[0]) / 1e-6
+                assert abs(da - db) < 1e-3
+
+    def test_pole_line_ratio(self):
+        from pythongis_ray.geom import proj
+        xp, _ = proj.robin_forward(np.array([100.0]), np.array([90.0]))
+        xe, _ = proj.robin_forward(np.array([100.0]), np.array([0.0]))
+        assert abs(xp[0] / xe[0] - 0.5322) < 1e-12
+        # the pole is a LINE (x != 0), unlike Mollweide's point pole
+        assert xp[0] != 0.0
+
+    def test_pseudocylindrical_and_roundtrip(self):
+        from pythongis_ray.geom import proj
+        lons = np.array([-120.0, -30.0, 15.0, 45.0, 160.0])
+        for phi in (-60.0, 0.0, 33.0, 71.0):
+            x, y = proj.robin_forward(lons, np.full(5, phi))
+            assert np.ptp(y) < 1e-9               # y = f(lat) only
+            slopes = x / np.radians(lons)
+            assert np.ptp(slopes) < 1e-6 * abs(slopes[0])
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(-179.9, 179.9, 500)
+        lat = rng.uniform(-90.0, 90.0, 500)
+        x, y = proj.robin_forward(lon, lat, lon0=10.0)
+        lo2, la2 = proj.robin_inverse(x, y, lon0=10.0)
+        dlon = (lo2 - lon + 180.0) % 360.0 - 180.0
+        assert np.max(np.abs(dlon)) < 1e-7
+        assert np.max(np.abs(la2 - lat)) < 1e-7
+
+    def test_proj4_alias_stage(self, ray_session):
+        import ray.data as rd
+        from pythongis_ray import vector
+        from pythongis_ray.geom import proj
+        df = pd.DataFrame({"lon": [10.0, -120.0, 0.0],
+                           "lat": [52.0, -33.0, 0.0]})
+        out = vector.reproject(rd.from_pandas(df), "+proj=robin") \
+            .to_pandas()
+        ex, ey = proj.robin_forward(df.lon.to_numpy(), df.lat.to_numpy())
+        assert np.allclose(out.x.to_numpy(), ex)
+        assert np.allclose(out.y.to_numpy(), ey)
+        back = vector.reproject(
+            rd.from_pandas(out[["x", "y"]]), "+proj=robin +inv") \
+            .to_pandas()
+        assert np.max(np.abs(back.lon.to_numpy() - df.lon.to_numpy())) < 1e-7
+        # aliases cover every implemented CRS + parameter tokens
+        o2 = vector.reproject(
+            rd.from_pandas(df), "+proj=utm +zone=32").to_pandas()
+        from pythongis_ray.geom.proj import utm_forward
+        ex2, _ = utm_forward(df.lon.to_numpy(), df.lat.to_numpy(), 32)
+        assert np.allclose(o2.x.to_numpy(), ex2)
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            proj.parse_proj4("+proj=stere")
+
+
 class TestMinAreaRect:
     def test_obb_vs_all_pairs_brute(self):
         """Rotating calipers over the hull vs the O(n^3) brute force
