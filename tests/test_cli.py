@@ -42,3 +42,27 @@ def test_cli_pagerank_with_checkpoint(ray_session, tmp_path, capsys):
                    "--iters", "3", "--checkpoint-dir", cdir])
     assert rc == 0
     assert os.path.exists(f"{cdir}/round_0003/_DONE")
+
+
+def test_registry_index_current():
+    """docs/REGISTRY.md must match the live registry exactly — the
+    CI-style staleness guard from the r4 verdict (COVERAGE.md's
+    headline had drifted 349 vs 500). Regenerate with
+    `python tools/registry_index.py` after adding queries."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import registry_index
+
+    with open("/root/repo/docs/REGISTRY.md") as f:
+        committed = f.read()
+    assert committed == registry_index.build(), (
+        "docs/REGISTRY.md is stale — run python tools/registry_index.py")
+
+
+def test_oracles_subset_of_queries():
+    from pythongis_ray import queries
+
+    q, o = queries.get_queries(), queries.get_oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 501
