@@ -122,6 +122,17 @@ def run_benchmarks() -> dict:
     timed("flagship_pages", lambda: pipelines.flagship(SF_DIR, replicate=50)
           .to_pandas().n_pages.sum())
 
+    # 3b. wide-row discipline showcase: heavy html/text projected OUT
+    # before the spatial join, re-attached post-join by bucketed hash
+    # join — the un-aggregated joined-pages product with payloads
+    def wide_rejoin_bench():
+        return pipelines.flagship_wide_rejoin(SF_DIR, replicate=4) \
+            .count()
+
+    nwide = timed("flagship_wide_rejoin", wide_rejoin_bench)
+    extras["wide_rejoin_rows_per_sec"] = round(
+        nwide / timings["flagship_wide_rejoin"], 1)
+
     # 4. kNN join
     def knn():
         cpts = q._keyed_points(SF_DIR, "customer", "c_custkey", 4, 1, "ck")
@@ -313,7 +324,7 @@ def run_benchmarks() -> dict:
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
-        "metric": "headline pipeline suite wall time (18 stages: spatial joins, flagship, graph, dedup, windows, multimodal, co-presence)",
+        "metric": "headline pipeline suite wall time (19 stages: spatial joins, flagship incl. wide-row rejoin, graph, dedup, windows, multimodal, co-presence)",
         "value": total,
         "unit": "sec",
         "queries": timings,
