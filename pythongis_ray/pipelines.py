@@ -195,8 +195,13 @@ def corpus_build(docs_ds):
     # 3. near-dup clusters among survivors; keep representatives.
     # (materialize above: the pair+CC stage and the final filter both
     # consume the survivor set — pin it once instead of recomputing.)
-    pairs = text.minhash_dedup_pairs(survivors,
-                                     threshold=0.5).materialize()
+    # degree_cap=64: bounded candidate volume under template-cluster
+    # skew (n x 64 pairs max); CC connectivity to each cluster's
+    # min-id representative is preserved (see minhash_dedup_pairs),
+    # and recall is exact while clusters stay <= 64 members — the
+    # oracle-fixture regime (components there are 2-5 docs)
+    pairs = text.minhash_dedup_pairs(survivors, threshold=0.5,
+                                     degree_cap=64).materialize()
     comp = graph.connected_components(
         pairs.select_columns(["id_a", "id_b"]))
     comp = comp.map_batches(

@@ -780,7 +780,8 @@ def _attach_pair_texts(cand, ds, id_col: str, text_col: str):
 
 
 def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                        threshold: float = 0.7, bucket_cap: int = 1024):
+                        threshold: float = 0.7, bucket_cap: int = 1024,
+                        degree_cap: int | None = None):
     """Near-duplicate pairs via MinHash-LSH, every stage distributed:
 
       1. shingle → minhash → band explode (vectorized map_batches);
@@ -800,7 +801,19 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     band bucket (near-identical template cluster surviving exact
     dedup) is additionally CAPPED at ``bucket_cap`` members — smallest
     ids kept, deterministic — so no bucket can go quadratic unbounded;
-    dropped members are counted and logged once per bucket task."""
+    dropped members are counted and logged once per bucket task.
+
+    ``degree_cap`` (opt-in; the connected-components consumers set
+    it): after cross-band dedup, each doc keeps only its
+    ``degree_cap`` SMALLEST-id partners — candidate volume is then
+    <= n_docs x degree_cap instead of buckets x C(bucket_cap, 2)
+    (mutation-variant bucket memberships of one template cluster
+    otherwise multiply: the 10%-template torture corpus emits 3.5M
+    clique pairs uncapped). Every node retains the edge to its
+    smallest partner, so the descending-id chain to each cluster's
+    representative — all that CC-based dedup consumes — is preserved;
+    exact pair RECALL is complete whenever every near-dup cluster has
+    <= degree_cap members (the oracle fixtures' regime)."""
     import logging
 
     from pythongis_ray import relational as rel
@@ -819,8 +832,25 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             if len(ids) > bucket_cap:
                 n_dropped += len(ids) - bucket_cap
                 ids = ids[:bucket_cap]     # smallest ids, deterministic
-            ia, ib = np.triu_indices(len(ids), k=1)
-            outs.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+            if degree_cap is not None:
+                # emit only each member's degree_cap smallest
+                # co-members: the global post-cap keeps exactly the D
+                # smallest partners per id across buckets, and each of
+                # those is within the D smallest of its own bucket —
+                # so pre-capping here changes nothing downstream while
+                # cutting emission from C(m,2) to m*D per bucket
+                m = len(ids)
+                counts = np.minimum(np.arange(m), degree_cap)
+                ib = np.repeat(np.arange(m), counts)
+                local = np.arange(counts.sum()) \
+                    - np.repeat(np.concatenate(([0],
+                                np.cumsum(counts)[:-1])), counts)
+                outs.append(pd.DataFrame({"id_a": ids[local],
+                                          "id_b": ids[ib]}))
+            else:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                outs.append(pd.DataFrame({"id_a": ids[ia],
+                                          "id_b": ids[ib]}))
         if n_dropped:
             logging.getLogger("pythongis_ray.text").warning(
                 "minhash LSH: capped degenerate band buckets, dropped "
@@ -833,6 +863,12 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     cand = rel.bucketed_group_apply(bands, ["band_id", "band_hash"],
                                     bucket_pairs)
     cand = rel.dedup(cand, ["id_a", "id_b"])
+    if degree_cap is not None:
+        def cap_degree(b: pd.DataFrame, _d=int(degree_cap)) -> pd.DataFrame:
+            b = b.sort_values(["id_b", "id_a"], kind="stable")
+            return b.groupby("id_b", sort=False).head(_d)
+
+        cand = rel.bucketed_group_apply(cand, ["id_b"], cap_degree)
     cand = rel.with_empty_schema(cand, pa.schema([("id_a", pa.int64()),
                                                   ("id_b", pa.int64())]))
     cand = _attach_pair_texts(cand, ds, id_col, text_col)
