@@ -121,17 +121,31 @@ def read_geojson(path: str):
 
 def write_geojson(ds, path: str, geometry_col: str = "geometry"):
     """Dataset → one GeoJSON FeatureCollection (driver-side assembly;
-    for big outputs use write_parquet — this is the interchange sink)."""
-    feats = []
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pandas"):
-        for _, row in batch.iterrows():
-            props = {k: (v.item() if hasattr(v, "item") else v)
-                     for k, v in row.items() if k != geometry_col}
-            feats.append({"type": "Feature", "properties": props,
-                          "geometry": wkb_to_geojson_geom(row[geometry_col])})
+    for big outputs use write_parquet — this is the interchange sink).
+    Streams batch-at-a-time: properties come from the C-level
+    ``to_dict('records')`` (no iterrows) and each batch is serialized
+    with ONE json.dumps call, so memory is O(batch), not O(file)."""
+
+    def _default(o):
+        if hasattr(o, "item"):
+            return o.item()
+        raise TypeError(type(o))
+
+    n = 0
     with open(path, "w") as f:
-        json.dump({"type": "FeatureCollection", "features": feats}, f)
-    return len(feats)
+        f.write('{"type": "FeatureCollection", "features": [')
+        for batch in ds.iter_batches(batch_size=4096,
+                                     batch_format="pandas"):
+            geoms = [wkb_to_geojson_geom(g) for g in batch[geometry_col]]
+            props = batch.drop(columns=[geometry_col]).to_dict("records")
+            feats = [{"type": "Feature", "properties": p, "geometry": g}
+                     for p, g in zip(props, geoms)]
+            if feats:
+                chunk = json.dumps(feats, default=_default)[1:-1]
+                f.write(("" if n == 0 else ", ") + chunk)
+                n += len(feats)
+        f.write("]}")
+    return n
 
 
 # ------------------------------------------------------------ Shapefile
@@ -384,11 +398,12 @@ def write_shapefile(ds, path: str, geometry_col: str = "geometry",
         for name, ftype, flen in fdescs:
             f.write(struct.pack("<11sc4xBB14x", name, ftype, flen, 0))
         f.write(b"\x0d")
-        for _, row in pdf.iterrows():
+        # itertuples: no per-row Series construction (interchange
+        # sink — small exports; corpora go through write_parquet)
+        for row in pdf[attr_cols].itertuples(index=False, name=None):
             f.write(b" ")
-            for (name, ftype, flen), enc, c in zip(fdescs, encoders, attr_cols):
-                v = enc(row[c])
-                f.write(v.ljust(flen)[:flen])
+            for (name, ftype, flen), enc, v in zip(fdescs, encoders, row):
+                f.write(enc(v).ljust(flen)[:flen])
         f.write(b"\x1a")
     return len(recs)
 
@@ -471,7 +486,8 @@ def write_xlsx(df: pd.DataFrame, path: str):
     header = "".join(cell(f"{colname(j)}1", c)
                      for j, c in enumerate(df.columns))
     body.append(f'<row r="1">{header}</row>')
-    for i, (_, row) in enumerate(df.iterrows(), start=2):
+    for i, row in enumerate(df.itertuples(index=False, name=None),
+                            start=2):
         cells = "".join(cell(f"{colname(j)}{i}", v)
                         for j, v in enumerate(row))
         body.append(f'<row r="{i}">{cells}</row>')
