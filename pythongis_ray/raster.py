@@ -2021,6 +2021,12 @@ def _proj_pair(crs: str):
         lon0 = float(crs[5:])
         return (lambda lon, lat: _proj.moll_forward(lon, lat, lon0),
                 lambda x, y: _proj.moll_inverse(x, y, lon0))
+    if crs.startswith("robin:"):
+        from pythongis_ray.geom import proj as _proj
+
+        lon0 = float(crs[6:])
+        return (lambda lon, lat: _proj.robin_forward(lon, lat, lon0),
+                lambda x, y: _proj.robin_inverse(x, y, lon0))
     raise ValueError(f"unsupported warp crs {crs!r}")
 
 

@@ -882,6 +882,12 @@ class TestRobinson:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             proj.parse_proj4("+proj=stere")
+        # raster warp CRS token pairs with the same engine
+        from pythongis_ray import raster
+        fwd, inv = raster._proj_pair("robin:0")
+        lo, la = inv(*fwd(df.lon.to_numpy(), df.lat.to_numpy()))
+        assert np.max(np.abs(lo - df.lon.to_numpy())) < 1e-7
+        assert np.max(np.abs(la - df.lat.to_numpy())) < 1e-7
 
 
 class TestMinAreaRect:
