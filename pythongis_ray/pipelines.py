@@ -246,7 +246,9 @@ def choropleth(sf_dir: str, path: str, replicate: int = 1,
                width: int = 512, height: int = 256):
     """The flagship's visual data product: run the fused page
     spatial-join aggregate, color each zone polygon by its page
-    count (quantile breaks over the 25 zone totals), and save a
+    count (quantile breaks over the 25 zone totals), compose the
+    annotation layer (title + per-class legend with formatted break
+    values — reference Map.title/add_legend), and save a
     georeferenced PNG/JPEG through the distributed renderer — the
     reference's Map(…).save() workflow (renderer.py Map/save)
     re-expressed over the engine's own pipeline output."""
@@ -263,5 +265,8 @@ def choropleth(sf_dir: str, path: str, replicate: int = 1,
                             len(render.SEQUENTIAL))
     m = render.MapCanvas(width=width, height=height)
     m.add_polygons(rd.from_pandas(z[["geometry", "n_pages"]]),
-                   value_col="n_pages", breaks=bks, color=None)
+                   value_col="n_pages", breaks=bks, color=None,
+                   label="pages per zone")
+    m.title = "Pages per zone"
+    m.add_legend()
     return m.save(path)

@@ -133,7 +133,11 @@ def test_choropleth_end_to_end(ray_session, tmp_path):
     colored = img[(img != 255).any(axis=2)]
     ramp = {tuple(c) for c in render.SEQUENTIAL}
     assert len(colored) > 100                 # zones actually filled
-    assert all(tuple(c) in ramp for c in colored)
+    # every non-background pixel is a ramp fill or annotation ink
+    # (title/legend black, composited since r5)
+    assert all(tuple(c) in ramp or tuple(c) == (0, 0, 0)
+               for c in colored)
+    assert (img == 0).all(axis=2).any()       # annotations present
 
 
 def test_sparse_density_matches_dense(ray_session):
