@@ -583,3 +583,35 @@ def test_warp_to_albers_and_lcc(ray_session):
         _, lat_exp = inv(xm, ym)
         a = raster.bytes_to_tile(row.tile, t)
         assert np.allclose(a, lat_exp, atol=0.05)
+
+
+def test_viewshed_lattice_los(ray_session):
+    """Viewshed invariants on the sf0.001 DEM: the observer cell is
+    visible, g<=1 targets are always visible, and every blocked
+    target has a genuine blocking interior lattice point."""
+    import numpy as np
+
+    from pythongis_ray import queries as q
+
+    out = q.q_viewshed("/root/testdata/sf0.001").to_pandas()
+    assert set(out.columns) == {"cx", "cy", "n", "visible"}
+    assert out.visible.isin([0, 1]).all()
+    # observer = max n, tie smallest (cx, cy): visible by definition
+    gs = out.sort_values(["n", "cx", "cy"],
+                         ascending=[False, True, True]).iloc[0]
+    assert gs.visible == 1
+    ox, oy, zo = int(gs.cx), int(gs.cy), int(gs.n)
+    Z = {}
+    for r in out.itertuples(index=False):
+        Z[(r.cx, r.cy)] = r.n
+    # replay the lattice rule per target
+    for r in out.itertuples(index=False):
+        dx, dy = r.cx - ox, r.cy - oy
+        g = int(np.gcd(abs(dx), abs(dy)))
+        blocked = False
+        for k in range(1, g):
+            zk = Z.get((ox + dx // g * k, oy + dy // g * k), 0)
+            if (zk - zo) * g >= (r.n - zo) * k:
+                blocked = True
+                break
+        assert r.visible == (0 if blocked else 1), (r.cx, r.cy)
