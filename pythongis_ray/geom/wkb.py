@@ -186,6 +186,22 @@ def encode_polygons_uniform(rings: np.ndarray) -> np.ndarray:
                        dtype=object, count=m)
 
 
+def encode_linestrings_uniform(paths: np.ndarray) -> np.ndarray:
+    """Vectorized: (m, k, 2) float64 paths → (m,) object array of
+    k-point WKB LineStrings. One coord-matrix view + tobytes (the
+    encode_polygons_uniform pattern)."""
+    m, k, _ = paths.shape
+    rec = 9 + 16 * k
+    raw = np.empty((m, rec), dtype=np.uint8)
+    raw[:, :9] = np.frombuffer(
+        struct.pack("<BII", 1, WKB_LINESTRING, k), np.uint8)
+    raw[:, 9:] = np.ascontiguousarray(paths, "<f8").view(np.uint8) \
+        .reshape(m, 16 * k)
+    flat = raw.tobytes()
+    return np.fromiter((flat[i * rec:(i + 1) * rec] for i in range(m)),
+                       dtype=object, count=m)
+
+
 def decode_points(wkbs) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized decode of a column of WKB *points* → (lon, lat).
 

@@ -589,19 +589,42 @@ def connect(left_ds, right: pd.DataFrame, on: str,
     class _Connect:
         def __init__(self):
             r = ray.get(ref)
-            self.right = r.set_index(on)
+            self.right = r[[on, lon_col, lat_col]].rename(columns={
+                lon_col: "_rlon", lat_col: "_rlat"})
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            for _, row in batch.iterrows():
-                key = row[on]
-                if key not in self.right.index:
-                    continue
-                r = self.right.loc[key]
-                path = great_circle_path(row[lon_col], row[lat_col],
-                                         r[lon_col], r[lat_col], segments)
-                rows.append({on: key, "geometry": wkb.encode_linestring(path)})
-            return pd.DataFrame(rows, columns=[on, "geometry"])
+            j = batch.merge(self.right, on=on, how="inner")
+            m = len(j)
+            if m == 0:
+                return pd.DataFrame({on: np.empty(0, np.int64),
+                                     "geometry": np.empty(0, object)})
+            # batched spherical slerp: same op order as
+            # great_circle_path, broadcast over the whole batch
+            lo1 = np.radians(j[lon_col].to_numpy(np.float64))
+            la1 = np.radians(j[lat_col].to_numpy(np.float64))
+            lo2 = np.radians(j["_rlon"].to_numpy(np.float64))
+            la2 = np.radians(j["_rlat"].to_numpy(np.float64))
+            v1 = np.stack([np.cos(la1) * np.cos(lo1),
+                           np.cos(la1) * np.sin(lo1), np.sin(la1)], 1)
+            v2 = np.stack([np.cos(la2) * np.cos(lo2),
+                           np.cos(la2) * np.sin(lo2), np.sin(la2)], 1)
+            omega = np.arccos(np.clip((v1 * v2).sum(1), -1, 1))
+            t = np.linspace(0, 1, segments + 1)
+            so = np.sin(omega)
+            sosafe = np.where(so == 0, 1.0, so)
+            vs = (np.sin((1 - t)[None, :, None] * omega[:, None, None])
+                  * v1[:, None, :]
+                  + np.sin(t[None, :, None] * omega[:, None, None])
+                  * v2[:, None, :]) / sosafe[:, None, None]
+            # coincident endpoints (omega=0): constant path
+            vs[so == 0] = v1[so == 0][:, None, :]
+            lons = np.degrees(np.arctan2(vs[:, :, 1], vs[:, :, 0]))
+            lats = np.degrees(np.arcsin(np.clip(
+                vs[:, :, 2] / np.linalg.norm(vs, axis=2), -1, 1)))
+            paths = np.stack([lons, lats], axis=2)
+            geoms = wkb.encode_linestrings_uniform(paths)
+            return pd.DataFrame({on: j[on].to_numpy(),
+                                 "geometry": geoms})
 
     return left_ds.map_batches(_Connect, batch_format="pandas", batch_size=4096,
                                concurrency=2, num_cpus=1)
