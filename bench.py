@@ -133,6 +133,17 @@ def run_benchmarks() -> dict:
     extras["wide_rejoin_rows_per_sec"] = round(
         nwide / timings["flagship_wide_rejoin"], 1)
 
+    # 3c. 1M-point planar buffer (the r5 vectorized ring build +
+    # batch WKB polygon encoder; was a per-point Python loop)
+    def buffer_bench():
+        from pythongis_ray import vector as _vector
+        pts = q.points_lineitem(SF_DIR, replicate=2)
+        return _vector.buffer_points(pts, 0.01, n=16).count()
+
+    nbuf = timed("buffer_points_1m", buffer_bench)
+    extras["buffer_points_per_sec"] = round(
+        nbuf / timings["buffer_points_1m"], 1)
+
     # 4. kNN join
     def knn():
         cpts = q._keyed_points(SF_DIR, "customer", "c_custkey", 4, 1, "ck")
@@ -324,7 +335,7 @@ def run_benchmarks() -> dict:
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
-        "metric": "headline pipeline suite wall time (19 stages: spatial joins, flagship incl. wide-row rejoin, graph, dedup, windows, multimodal, co-presence)",
+        "metric": "headline pipeline suite wall time (20 stages: spatial joins, flagship incl. wide-row rejoin, buffer, graph, dedup, windows, multimodal, co-presence)",
         "value": total,
         "unit": "sec",
         "queries": timings,
