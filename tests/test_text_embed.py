@@ -1518,3 +1518,49 @@ def test_corpus_build_skew_collapses_capped_cluster(ray_session):
     # bucket_cap here, so recall is complete)
     assert 0 in kept_ids
     assert len([i for i in kept_ids if i < cluster]) == 1
+
+
+def test_degree_cap_preserves_components(ray_session):
+    """Property: connected components over degree-capped candidate
+    pairs equal components over uncapped pairs — the invariant that
+    makes degree_cap safe for CC-based dedup (every node keeps the
+    edge to its smallest partner, so descending chains to each
+    component representative survive)."""
+    import ray.data as rd
+    from pythongis_ray import graph, text
+
+    # two template clusters + unique docs
+    base1 = ("the quick brown fox jumps over the lazy dog and runs "
+             "far across the misty field of tall green grass today").split()
+    base2 = ("a heavy rain falls on the old roof of the small house "
+             "near the river bend where the willows lean in wind").split()
+    docs = []
+    for i in range(60):
+        t = list(base1)
+        t[5] = f"v{i}"
+        docs.append(" ".join(t))
+    for i in range(40):
+        t = list(base2)
+        t[7] = f"w{i}"
+        docs.append(" ".join(t))
+    for i in range(50):
+        docs.append(" ".join(f"u{i}q{j}" if j % 4 else "the"
+                             for j in range(30)))
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+
+    def comps(degree_cap):
+        pairs = text.minhash_dedup_pairs(
+            rd.from_pandas(df), threshold=0.5,
+            degree_cap=degree_cap).materialize()
+        if pairs.count() == 0:
+            return {}
+        cc = graph.connected_components(
+            pairs.select_columns(["id_a", "id_b"])).to_pandas()
+        return dict(zip(cc.iloc[:, 0], cc.iloc[:, 1]))
+
+    uncapped = comps(None)
+    capped = comps(3)           # aggressive cap
+    assert set(uncapped) == set(capped)          # same nodes paired
+    # identical partition (same representative per node)
+    assert uncapped == capped
