@@ -324,7 +324,8 @@ class MapCanvas:
                           for i in range(len(b) - 1)]
                 e = dict(e, labels=labels)
                 wmax = max(20 + text_width(t) for t in labels)
-                rows.append((e, 4 + 12 * len(labels),
+                rows.append((e, 4 + 12 * len(labels)
+                             + (12 if lab else 0),
                              max(wmax, 20 + text_width(lab))))
             else:                       # sizes
                 rmin, rmax = e["sizes"]
