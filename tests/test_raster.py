@@ -615,3 +615,22 @@ def test_viewshed_lattice_los(ray_session):
                 blocked = True
                 break
         assert r.visible == (0 if blocked else 1), (r.cx, r.cy)
+
+
+def test_viewshed_multi_bounds_and_consistency(ray_session):
+    """Multi-observer viewshed: vis_count in [0, K]; the top peak
+    itself sees everything the single-observer viewshed marks
+    visible (observer 1 of K is the same cell)."""
+    from pythongis_ray import queries as q
+
+    multi = q.q_viewshed_multi("/root/testdata/sf0.001").to_pandas()
+    single = q.q_viewshed("/root/testdata/sf0.001").to_pandas()
+    assert multi.vis_count.between(0, q.VSHED_K).all()
+    j = multi.merge(single, on=["cx", "cy", "n"])
+    assert len(j) == len(multi)
+    # every cell visible from observer 1 has vis_count >= 1
+    assert (j.loc[j.visible == 1, "vis_count"] >= 1).all()
+    # observers see themselves: vis_count of the top-3 peaks >= 1
+    top = multi.sort_values(["n", "cx", "cy"],
+                            ascending=[False, True, True]).head(3)
+    assert (top.vis_count >= 1).all()
